@@ -1,38 +1,50 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query at sf0.001; ``queries()`` maps each
+implemented operator (SURVEY.md §2 + extensions) to a (spark, sf_dir) ->
+DataFrame callable; ``oracle_sql()`` gives the DuckDB twin for each
+SQL-expressible query.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from firebase_etl_spark.plans import queries as Q  # noqa: E402
+from firebase_etl_spark.plans.oracles import ORACLES  # noqa: E402
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: TPC-H Q1-shaped pricing summary on sf0.001."""
+    return Q.q1_pricing_summary(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": Q.q1_pricing_summary,
+        "latest_order_per_customer": Q.latest_order_per_customer,
+        "customer_order_counts_having": Q.customer_order_counts_having,
+        "dup_order_members": Q.dup_order_members,
+        "revenue_by_region": Q.revenue_by_region,
+        "customers_without_orders": Q.customers_without_orders,
+        "customers_with_orders_semi": Q.customers_with_orders_semi,
+        "order_status_distribution": Q.order_status_distribution,
+        "conditional_counts": Q.conditional_counts,
+        "top3_orders_per_customer": Q.top3_orders_per_customer,
+        "null_counts_events": Q.null_counts_events,
+        "events_hourly_stats": Q.events_hourly_stats,
+        "global_top100_orders": Q.global_top100_orders,
+        "masked_customer_emails": Q.masked_customer_emails,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, sql in ORACLES.items() if name in queries()}

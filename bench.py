@@ -1,0 +1,61 @@
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print one
+JSON line with per-query wall times.
+
+Each query executes as ``collect()`` (driver materialization included, like
+the oracle gate). A warmup pass on sf0.001 triggers JVM/codegen warmup so
+the timed numbers reflect steady-state execution, not JIT compilation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from firebase_etl_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WARMUP_DIR = "/root/testdata/sf0.001"
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench")
+    queries = entrymod.queries()
+
+    # warmup: JVM/codegen/Python-worker spinup on the tiny SF
+    for name, fn in queries.items():
+        try:
+            fn(spark, WARMUP_DIR).collect()
+        except Exception:
+            pass
+
+    timings: dict[str, float] = {}
+    t_total = time.perf_counter()
+    for name, fn in queries.items():
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+    total = round(time.perf_counter() - t_total, 4)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,58 @@
+"""Conflict resolution against a load target — anti-join + id regeneration.
+
+Parity target: reference main.py:144-154 + postgres_loader.py:54-86: fetch
+all existing target ids, per-row membership test, regenerate colliding ids by
+rejection-sampling uuid4 prefixes (J2/J3).
+
+Spark-first design: the O(n·m) membership loop becomes a left-anti /
+left-semi join. The existing-id side is a single projected column (column
+pruning pushes to the source scan); it is usually small enough to broadcast.
+Regenerated ids can collide again, so the rewrite iterates to a fixpoint —
+each iteration only reprocesses the (tiny) colliding remainder.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from firebase_etl_spark.functions.identity import uuid20
+
+
+def skip_conflicts(incoming: DataFrame, existing: DataFrame, key: str = "id") -> DataFrame:
+    """Rows whose key does not already exist in the target (left anti)."""
+    return incoming.join(F.broadcast(existing.select(key)), key, "left_anti")
+
+
+def find_conflicts(incoming: DataFrame, existing: DataFrame, key: str = "id") -> DataFrame:
+    """Rows whose key already exists in the target (left semi)."""
+    return incoming.join(F.broadcast(existing.select(key)), key, "left_semi")
+
+
+def resolve_id_conflicts(
+    incoming: DataFrame,
+    existing: DataFrame,
+    key: str = "id",
+    max_rounds: int = 5,
+) -> DataFrame:
+    """Rewrite colliding ids with fresh uuid20s until disjoint from both the
+    target's ids and the non-colliding incoming rows.
+
+    Each round: semi-join finds collisions, they get fresh ids, the loop
+    re-checks. With 20-char uuid space re-collision is ~impossible, so this
+    is 1 round in practice; ``max_rounds`` bounds the plan size. The
+    existing-id projection is broadcast — no shuffle of the incoming side.
+    """
+    existing_ids = existing.select(key)
+    clean = incoming.join(F.broadcast(existing_ids), key, "left_anti")
+    colliding = incoming.join(F.broadcast(existing_ids), key, "left_semi")
+    for _ in range(max_rounds):
+        if colliding.isEmpty():
+            break
+        retried = colliding.withColumn(key, uuid20())
+        still = retried.join(F.broadcast(existing_ids), key, "left_semi")
+        clean = clean.unionByName(
+            retried.join(F.broadcast(existing_ids), key, "left_anti")
+        )
+        colliding = still
+    return clean

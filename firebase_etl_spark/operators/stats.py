@@ -1,0 +1,59 @@
+"""Statistics surface (SURVEY §2.5 A1-A10).
+
+The reference computes its stats with one SQL query per metric over separate
+connections (postgres_loader.py:426-472) and boolean ``.sum()``s
+(firebase_service.py:189-192). The engine computes all scalar metrics in ONE
+aggregation pass (single scan, map-side partial aggs) and returns grouped
+distributions as DataFrames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def user_stats(df: DataFrame) -> dict:
+    """Scalar metrics in one pass: total, hasEmail sum, provider conditional
+    counts, recent-30d count (A1, A4, A6)."""
+    exprs = [F.count(F.lit(1)).alias("total_users")]
+    if "email" in df.columns:
+        exprs.append(F.count(F.col("email")).alias("users_with_email"))
+    if "provider" in df.columns:
+        exprs.append(F.count_if(F.col("provider") == "CREDENTIALS").alias("credentials_users"))
+        exprs.append(F.count_if(F.col("provider") == "google.com").alias("google_users"))
+    if "createdAt" in df.columns:
+        exprs.append(
+            F.count_if(
+                F.col("createdAt") >= F.current_timestamp() - F.expr("INTERVAL 30 DAYS")
+            ).alias("recent_users_30d")
+        )
+    row = df.agg(*exprs).collect()[0]
+    return row.asDict()
+
+
+def distribution(df: DataFrame, key: str) -> DataFrame:
+    """GROUP BY key COUNT(*) (A2/A3: provider / emailVerified distributions)."""
+    return df.groupBy(key).agg(F.count(F.lit(1)).alias("n")).orderBy(F.desc("n"), key)
+
+
+def duplicate_groups(df: DataFrame, key: str) -> DataFrame:
+    """Values of ``key`` occurring more than once (A5: HAVING COUNT(*)>1)."""
+    return (
+        df.filter(F.col(key).isNotNull())
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def null_counts(df: DataFrame, columns: tuple[str, ...]) -> DataFrame:
+    """Per-column null counts in one pass (A8)."""
+    return df.agg(
+        *[F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}_nulls") for c in columns]
+    )
+
+
+def describe(df: DataFrame) -> DataFrame:
+    """Summary statistics (A9 — df.describe())."""
+    return df.summary()

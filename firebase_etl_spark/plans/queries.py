@@ -1,0 +1,231 @@
+"""Headline analytical queries over the synthetic star schema.
+
+Each function takes (spark, sf_dir) and returns a DataFrame; each has an
+ANSI-SQL oracle twin in ``oracles.py`` (run by DuckDB for the correctness
+gate). Aggregate/computed columns are aliased identically on both sides —
+the driver's compare sorts columns by name before hashing.
+
+These exercise the operator inventory of SURVEY.md §2 on the driver's
+synthetic tables, per the FIXTURES.md §5 mapping: dedup W2 ⇒ latest order
+per customer; joins J1 ⇒ customer⋈nation⋈region; anti/semi J2/J3 ⇒
+customers with(out) orders; aggregations A1-A8; windows W2-W5.
+
+Scale notes are inline: every join states its expected physical strategy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from firebase_etl_spark.sources.tables import load_table
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy groupBy with 8 partial-aggregable
+    aggregates. One shuffle on a 6-value grouping key; no skew risk.
+    Filter `l_shipdate <= date` is pushed to the parquet scan."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 flagship dedup on synthetic data: one surviving (latest) order per
+    customer; ties broken by o_orderkey desc. Single hash-shuffle window."""
+    o = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc_nulls_last(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "o_orderstatus",
+        )
+    )
+
+
+def customer_order_counts_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: duplicate-group detection — customers with more than one order
+    (GROUP BY ... HAVING COUNT(*) > 1). Map-side partial count, tiny shuffle."""
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .filter(F.col("order_count") > 1)
+    )
+
+
+def dup_order_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: per-duplicated-key stats with the sorted member list, serialized
+    as a CSV string so the oracle hash is representation-stable."""
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.array_join(
+                F.array_sort(F.collect_list(F.col("o_orderkey").cast("string"))), ","
+            ).alias("member_keys"),
+        )
+        .filter(F.col("order_count") > 1)
+    )
+
+
+def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: customer ⋈ nation ⋈ region ⋈ orders. nation/region are tiny
+    dimensions -> broadcast (no shuffle of the fact side); customer⋈orders
+    shuffles on custkey (AQE may still broadcast customer at small SF)."""
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    dim = c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    ).join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+    return (
+        o.join(dim, o.o_custkey == dim.c_custkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+            F.count(F.lit(1)).alias("order_count"),
+        )
+        .orderBy("r_name")
+    )
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/J3: left anti join — customers that never ordered."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    return c.join(o.select("o_custkey"), c.c_custkey == F.col("o_custkey"), "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+def customers_with_orders_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 complement: left semi join — customers having at least one order."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    return c.join(o.select("o_custkey"), c.c_custkey == F.col("o_custkey"), "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+def order_status_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: GROUP BY status COUNT — the reference's provider-distribution
+    shape (postgres_loader.py:437-442)."""
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderstatus")
+    )
+
+
+def conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/A6: conditional aggregates in one pass (count_if / boolean sums +
+    a timestamp-range predicate P8 with a fixed reference date)."""
+    o = load_table(spark, "orders", sf_dir)
+    return o.agg(
+        F.count(F.lit(1)).alias("total_orders"),
+        F.count_if(F.col("o_orderstatus") == "F").alias("finished_orders"),
+        F.count_if(F.col("o_orderpriority") == "1-URGENT").alias("urgent_orders"),
+        F.count_if(
+            F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+        ).alias("recent_orders"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+    )
+
+
+def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: top-k per group — 3 most valuable orders per customer."""
+    o = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "rk",
+        )
+    )
+
+
+def null_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: per-column null counts over events in one aggregation pass."""
+    e = load_table(spark, "events", sf_dir)
+    return e.agg(
+        F.count(F.when(F.col("user_id").isNull(), 1)).alias("user_id_nulls"),
+        F.count(F.when(F.col("value").isNull(), 1)).alias("value_nulls"),
+        F.count(F.when(F.col("props").isNull(), 1)).alias("props_nulls"),
+        F.count(F.lit(1)).alias("total_rows"),
+    )
+
+
+def events_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming tumbling-window aggregation: per (hour,
+    event_type) counts + sums. date_trunc keeps it a plain hash aggregate."""
+    e = load_table(spark, "events", sf_dir)
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def global_top100_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: global order + limit (TopK physical operator — Spark plans
+    TakeOrderedAndProject, no full sort at scale)."""
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+def masked_customer_emails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 string masking applied to customer names (display redaction)."""
+    c = load_table(spark, "customer", sf_dir)
+    return c.select(
+        "c_custkey",
+        F.concat(F.substring(F.col("c_name"), 1, 3), F.lit("***")).alias("masked_name"),
+    )

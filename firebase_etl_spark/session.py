@@ -1,0 +1,62 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local mode is the test harness; the configs are chosen so the same code is
+correct and fast on a multi-executor cluster:
+
+- AQE on (runtime coalesce, skew-join splitting) so shuffle partition counts
+  self-tune at 1000× the local data volume.
+- ``spark.sql.shuffle.partitions`` sized to cores locally; on a cluster AQE
+  raises the effective parallelism from
+  ``spark.sql.adaptive.coalescePartitions.initialPartitionNum``.
+- Session timezone pinned to UTC so timestamp semantics agree with the
+  DuckDB oracle and are cluster-location-independent.
+- Arrow enabled for any pandas interchange (Pandas UDF batches).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "firebase_etl_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) so
+    tests and bench share one entry point; on a real cluster pass
+    ``master=None`` with ``spark.master`` set externally, or an explicit URL.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # driver testdata stores events.ts as TIMESTAMP(NANOS); Spark has no
+        # nanos type — read as long and convert in the loader (tables.py).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

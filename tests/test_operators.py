@@ -1,0 +1,100 @@
+"""Operator tests: dedup (flagship), validation split, conflict resolution."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from firebase_etl_spark.operators.conflict import resolve_id_conflicts, skip_conflicts
+from firebase_etl_spark.operators.dedup import (
+    dedup_keep_latest,
+    dedup_keep_latest_two_phase,
+    duplicate_stats,
+)
+from firebase_etl_spark.operators.validate import required_columns_report, validate_users
+
+ROWS = [
+    # (id, email, createdAt)
+    ("a1", "x@e.com", "2024-01-01"),
+    ("a2", "x@e.com", "2024-03-01"),   # survivor for x@e.com (latest)
+    ("a3", "x@e.com", None),           # null order col loses
+    ("b1", "y@e.com", "2024-02-01"),   # singleton survives
+    ("c1", None, "2024-01-05"),        # null key dropped
+    ("d1", "z@e.com", "2024-02-02"),
+    ("d2", "z@e.com", "2024-02-02"),   # tie -> tiebreaker id desc -> d2
+]
+
+
+def _df(spark):
+    df = spark.createDataFrame(ROWS, "id string, email string, createdAt string")
+    return df.withColumn("createdAt", F.col("createdAt").cast("timestamp"))
+
+
+def test_dedup_keep_latest(spark):
+    out = dedup_keep_latest(_df(spark), key="email", order_col="createdAt")
+    got = {r["email"]: r["id"] for r in out.collect()}
+    assert got == {"x@e.com": "a2", "y@e.com": "b1", "z@e.com": "d2"}
+
+
+def test_dedup_keep_first(spark):
+    out = dedup_keep_latest(_df(spark), key="email", order_col="createdAt", keep="first")
+    got = {r["email"]: r["id"] for r in out.collect()}
+    # keep='first': earliest createdAt wins; null order still loses; tie -> asc id
+    assert got == {"x@e.com": "a1", "y@e.com": "b1", "z@e.com": "d1"}
+
+
+def test_dedup_two_phase_matches_window(spark):
+    df = _df(spark)
+    cols = ["id", "email", "createdAt"]
+    w = dedup_keep_latest(df, key="email", order_col="createdAt").select(cols)
+    tp = dedup_keep_latest_two_phase(df, key="email", order_col="createdAt").select(cols)
+    assert sorted(map(tuple, w.collect())) == sorted(map(tuple, tp.collect()))
+
+
+def test_duplicate_stats(spark):
+    out = {r["email"]: r for r in duplicate_stats(_df(spark), key="email").collect()}
+    assert set(out) == {"x@e.com", "z@e.com"}
+    assert out["x@e.com"]["dup_count"] == 3
+    assert out["x@e.com"]["member_ids"] == ["a1", "a2", "a3"]
+
+
+def test_validate_users_split(spark):
+    df = spark.createDataFrame(
+        [
+            ("i1", "a@b.c", "ACTIVE"),
+            (None, "b@b.c", "ACTIVE"),
+            ("i3", None, "BANNED"),
+            ("i4", "c@b.c", "WEIRD"),
+        ],
+        "id string, email string, status string",
+    )
+    res = validate_users(df)
+    assert {r["id"] for r in res.valid.collect()} == {"i1"}
+    quar = {r["id"]: r["violations"] for r in res.quarantine.collect()}
+    assert quar[None] == ["id_null"]
+    assert quar["i3"] == ["email_null"]
+    assert quar["i4"] == ["status_invalid"]
+
+
+def test_required_columns_report(spark):
+    df = spark.createDataFrame([("a", None), (None, "x")], "id string, email string")
+    rep = required_columns_report(df)
+    assert rep["total_rows"] == 2
+    assert rep["null_counts"] == {"id": 1, "email": 1}
+    assert rep["valid"] is False
+
+
+def test_conflict_resolution(spark):
+    incoming = spark.createDataFrame(
+        [("k1", "a"), ("k2", "b"), ("k3", "c")], "id string, v string"
+    )
+    existing = spark.createDataFrame([("k2",), ("k9",)], "id string")
+    kept = skip_conflicts(incoming, existing)
+    assert {r["id"] for r in kept.collect()} == {"k1", "k3"}
+
+    resolved = resolve_id_conflicts(incoming, existing)
+    rows = resolved.collect()
+    assert len(rows) == 3                      # nothing dropped
+    ids = {r["id"] for r in rows}
+    assert "k2" not in ids                     # collision rewritten
+    assert {r["v"] for r in rows} == {"a", "b", "c"}
+    assert not ids & {"k2", "k9"}
