@@ -17,7 +17,9 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from firebase_etl_spark.plans import queries as Q  # noqa: E402
+from firebase_etl_spark.plans import queries_ext as QX  # noqa: E402
 from firebase_etl_spark.plans.oracles import ORACLES  # noqa: E402
+from firebase_etl_spark.plans.oracles_ext import ORACLES_EXT  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -43,8 +45,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_stats": Q.events_hourly_stats,
         "global_top100_orders": Q.global_top100_orders,
         "masked_customer_emails": Q.masked_customer_emails,
+        # --- extensions: text analysis / dedup / similarity / events ---
+        "doc_text_features": QX.doc_text_features,
+        "doc_lang_stats": QX.doc_lang_stats,
+        "doc_exact_dedup_summary": QX.doc_exact_dedup_summary,
+        "doc_jaccard_vs_queries": QX.doc_jaccard_vs_queries,
+        "doc_minhash_near_dups": QX.doc_minhash_near_dups,
+        "doc_simhash_near_dups": QX.doc_simhash_near_dups,
+        "embedding_norms": QX.embedding_norms,
+        "embedding_topk_bruteforce": QX.embedding_topk_bruteforce,
+        "embedding_topk_lsh": QX.embedding_topk_lsh,
+        "events_json_stats": QX.events_json_stats,
+        "user_sessions": QX.user_sessions,
+        "part_type_pattern": QX.part_type_pattern,
+        "orders_rollup": QX.orders_rollup,
+        "top_customer_revenue": QX.top_customer_revenue,
+        "mktsegment_order_priority_pivot": QX.mktsegment_order_priority_pivot,
+        "supplier_nation_stats": QX.supplier_nation_stats,
+        "lineitem_set_ops": QX.lineitem_set_ops,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, sql in ORACLES.items() if name in queries()}
+    merged = {**ORACLES, **ORACLES_EXT}
+    return {name: sql for name, sql in merged.items() if name in queries()}

@@ -1,0 +1,294 @@
+"""Approximate / near-duplicate detection at corpus scale.
+
+Four families, each idiomatic Spark (SURVEY.md extension inventory):
+
+- **exact**: hash-groupBy on a normalized fingerprint (text.fingerprint).
+- **n-gram Jaccard vs a query set**: exact token-set Jaccard against a small
+  set of probe documents — linear in corpus size (broadcast the probes), the
+  oracle-checkable baseline.
+- **MinHash + LSH**: signature = per-seed min over shingle hashes (native
+  xxhash64 — no Python); banding -> candidate buckets -> exact-Jaccard
+  verify. All-pairs near-dup detection without the O(n²) cross join: cost is
+  O(n · seeds) + bucket-local pairs. This is the 100 TB path.
+- **SimHash**: 64-bit sign-aggregated token-hash fingerprint; hamming
+  distance <= k on banded prefixes finds near-dups for cheap.
+
+MinHash/SimHash outputs depend on the engine hash (xxhash64), so their
+correctness checks are property tests (recall vs brute force on a small SF)
+rather than value-equality oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from firebase_etl_spark.operators.text import fingerprint, token_set, word_shingles
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup_summary(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row corpus summary: total docs, distinct normalized fingerprints,
+    docs that are exact (normalized) duplicates of another doc."""
+    fps = df.select(fingerprint(text_col).alias("fp"))
+    per_fp = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("n"))
+    return per_fp.agg(
+        F.sum("n").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.coalesce(F.sum(F.when(F.col("n") > 1, F.col("n"))), F.lit(0)).alias(
+            "n_dup_docs"
+        ),
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one doc per normalized fingerprint (min id survives — explicit
+    deterministic tiebreak)."""
+    with_fp = df.withColumn("__fp", fingerprint(text_col))
+    best = with_fp.groupBy("__fp").agg(F.min(id_col).alias("__keep"))
+    return (
+        with_fp.join(best, "__fp")
+        .filter(F.col(id_col) == F.col("__keep"))
+        .drop("__fp", "__keep")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact Jaccard vs query set (oracle-checkable)
+# ---------------------------------------------------------------------------
+
+def jaccard_vs_queries(
+    df: DataFrame,
+    query_ids: list[int],
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-set Jaccard of every doc against each probe doc; pairs above
+    threshold. The probe side is tiny -> broadcast cross join; corpus side
+    streams once. Returns (query_id, doc_id, jaccard)."""
+    toks = df.select(F.col(id_col), token_set(text_col).alias("toks"))
+    probes = toks.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("toks").alias("q_toks")
+    )
+    pairs = toks.crossJoin(F.broadcast(probes)).filter(F.col(id_col) != F.col("query_id"))
+    jac = F.size(F.array_intersect("toks", "q_toks")) / F.size(
+        F.array_union("toks", "q_toks")
+    )
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("query_id", F.col(id_col), "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 32,
+    shingle_n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc MinHash signature: sig[i] = min over shingles of
+    xxhash64(shingle, seed_i). Pure Column expressions — the per-seed hash is
+    xxhash64 of the shingle concatenated with the seed."""
+    shingles = word_shingles(text_col, shingle_n)
+    # xxhash64(shingle, seed_i): the multi-arg form hashes the tuple — one
+    # JVM hash per (shingle, seed), no per-seed string concat
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return df.select(F.col(id_col), sig.alias("signature"))
+
+
+def minhash_candidates(
+    signatures: DataFrame,
+    bands: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` bands, hash each band,
+    explode to (band_id, band_hash) keys, self-join within buckets.
+    Shuffle is on band-hash keys — bucket-local pairs only, never O(n²)."""
+    sig_len_col = F.size("signature")
+    rows_per_band = (sig_len_col / bands).cast("int")
+    banded = signatures.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice("signature", b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidates from LSH, verified with exact shingle-set Jaccard.
+    Returns (id_a, id_b, jaccard >= threshold).
+
+    The signature/shingle projections are persisted before the self-joins:
+    the banded self-join and the two verify joins would otherwise recompute
+    the (wide) hashing expression tree once per branch. At cluster scale the
+    same applies — materialize signatures (persist or a table) and join the
+    cheap side back."""
+    sigs = minhash_signatures(df, num_hashes, shingle_n, text_col, id_col).persist()
+    sh = df.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("sh")).persist()
+    try:
+        cands = minhash_candidates(sigs, bands, id_col)
+        a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+        b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+        jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+            F.array_union("sh_a", "sh_b")
+        )
+        out = (
+            cands.join(a, "id_a")
+            .join(b, "id_b")
+            .withColumn("jaccard", F.round(jac, 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+        # materialize while the inputs are cached, then release them
+        out = out.localCheckpoint(eager=True)
+    finally:
+        sigs.unpersist()
+        sh.unpersist()
+    return out
+
+
+def brute_force_near_dups(
+    df: DataFrame,
+    threshold: float = 0.5,
+    shingle_n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """O(n²) exact near-dup ground truth — recall baseline for LSH tests.
+    Only run at tiny SF."""
+    sh = df.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash: per token-hash bit, sum +1/-1 across tokens; the sign
+    of each bit-sum forms the fingerprint. Expressed with aggregate/zip_with
+    over a 64-wide int array — native, no Python, no explode/shuffle."""
+    toks = F.array_distinct(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    )
+
+    # shift amounts must be Python ints in Spark's shift functions, so the 64
+    # bit positions are unrolled at plan-build time
+    def contrib(t):
+        return F.array(
+            *[
+                F.when(
+                    F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1))
+                for i in range(64)
+            ]
+        )
+
+    sums = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, t: F.zip_with(acc, contrib(t), lambda x, y: x + y),
+    )
+    staged = df.select(F.col(id_col), sums.alias("__bitsums"))
+    fp = None
+    for i in range(64):
+        # bit 63 is the sign bit: 1<<63 overflows signed long, use min-long
+        bit_val = (1 << i) if i < 63 else -(1 << 63)
+        term = F.when(
+            F.element_at("__bitsums", i + 1) > 0, F.lit(bit_val).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp.bitwiseOR(term)
+    return staged.select(F.col(id_col), fp.alias("simhash"))
+
+
+def hamming_distance(col_a, col_b):
+    """Population count of the XOR — Spark has bit_count natively."""
+    return F.bit_count(col_a.bitwiseXOR(col_b))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    max_hamming: int = 8,
+    prefix_bits: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dups via SimHash: block on the top ``prefix_bits`` bits (cheap
+    LSH — near-identical docs share the prefix), then verify hamming <= k
+    within blocks. At corpus scale, rotate prefixes for full recall; one
+    prefix is the demonstration default."""
+    sh = simhash(df, text_col, id_col)
+    blocked = sh.withColumn("block", F.shiftrightunsigned("simhash", 64 - prefix_bits))
+    a = blocked.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"), "block"
+    )
+    b = blocked.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"), "block"
+    )
+    return (
+        a.join(b, "block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", hamming_distance(F.col("h_a"), F.col("h_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,153 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths (SURVEY.md extension inventory):
+
+- **Brute-force cosine top-k** against a small query set: exact, linear in
+  corpus size, probe side broadcast. The oracle-checkable baseline, and at
+  100 TB still the right plan for a handful of probes (one scan, no index).
+- **Random-hyperplane LSH (sign-LSH) bucketed ANN**: hash every vector to a
+  compact bit-bucket; candidates share a bucket (multi-probe across tables
+  for recall); exact cosine re-rank inside buckets. Sub-linear candidate
+  sets at scale; recall measured against brute force in tests.
+
+Dot products run in double precision via zip_with/aggregate — native
+Column expressions; Arrow/Pandas UDFs are not needed for 64-dim vectors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _to_double(col) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a, b) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm(a) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a, b) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine for each probe id. Probe side broadcast; ranking
+    via window with (similarity desc, id asc) — fully deterministic given
+    6-dp rounding. Returns (query_id, vec_id, cosine_sim, rank)."""
+    vecs = df.select(F.col(id_col), _to_double(F.col(vec_col)).alias("v"))
+    probes = vecs.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("q")
+    )
+    pairs = vecs.crossJoin(F.broadcast(probes)).filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    sims = pairs.select(
+        "query_id",
+        F.col(id_col),
+        F.round(cosine(F.col("v"), F.col("q")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col)
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def signlsh_buckets(
+    df: DataFrame,
+    tables: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table random-hyperplane LSH. Each table t gets a bucket id:
+    bit i = sign(v · plane_i). Output is exploded to one row per (vector,
+    table) with a composite (table, bucket) key — candidates for a probe are
+    vectors sharing the key in ANY table (standard OR-amplification).
+    Planes are literal constants folded into the plan — no side lookup."""
+    v = _to_double(F.col(vec_col))
+    buckets = []
+    for t, planes in enumerate(tables):
+        bucket = None
+        for plane in planes:
+            bit = F.when(
+                dot(v, F.array(*[F.lit(float(x)) for x in plane])) > 0, 1
+            ).otherwise(0)
+            bucket = bit if bucket is None else F.shiftleft(bucket, 1).bitwiseOR(bit)
+        # composite key: table index in the high bits
+        buckets.append(bucket.bitwiseOR(F.lit(t << 32)))
+    return df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(F.array(*buckets)).alias("bucket"),
+    )
+
+
+def ann_topk_lsh(
+    df: DataFrame,
+    query_ids: list[int],
+    tables: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN: candidates share an LSH bucket with the probe in at least one
+    table; exact cosine re-rank on the deduplicated candidate set. At scale
+    the bucket equi-join replaces the O(n·q) full scan; recall tunes with
+    (tables × planes-per-table)."""
+    bucketed = signlsh_buckets(df, tables, id_col, vec_col)
+    probes = bucketed.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("bucket").alias("qb")
+    )
+    cand_ids = (
+        bucketed.join(
+            F.broadcast(probes),
+            (F.col("bucket") == F.col("qb")) & (F.col(id_col) != F.col("query_id")),
+        )
+        .select("query_id", id_col)
+        .distinct()
+    )
+    vecs = df.select(F.col(id_col), _to_double(F.col(vec_col)).alias("v"))
+    qvecs = vecs.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("q")
+    )
+    sims = (
+        cand_ids.join(vecs, id_col)
+        .join(F.broadcast(qvecs), "query_id")
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.round(cosine(F.col("v"), F.col("q")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col)
+    )
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_norms(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector L2 norm + dimension — sanity/statistics surface."""
+    v = _to_double(F.col(vec_col))
+    return df.select(
+        F.col(id_col),
+        F.size(F.col(vec_col)).alias("dim"),
+        F.round(norm(v), 6).alias("l2_norm"),
+    )

@@ -1,0 +1,121 @@
+"""Text-analysis operators over a document corpus (extension beyond the
+reference — SURVEY.md §7.2 step 9; first-class at training-data scale).
+
+All hot-path transforms are native Column expressions (whole-stage codegen,
+no Python). Each produces deterministic output so a DuckDB oracle can check
+it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny per-language marker-word sets for the n-gram/stopword language-ID
+#: heuristic. Deterministic and SQL-expressible (argmax with fixed
+#: priority-order tiebreak).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "es": ("el", "la", "y", "los", "de"),
+    "zh": (),  # no latin markers; falls through to default
+}
+
+#: English stopwords for the quality score's stopword ratio.
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+def tokenize(col: Column | str) -> Column:
+    """Whitespace tokenization (lowercased). ``split`` on \\s+ matches
+    DuckDB's regexp_split_to_array for parity."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokenize(col))
+
+
+def distinct_token_ratio(col: Column | str) -> Column:
+    """Lexical diversity: distinct tokens / tokens (repetition signal)."""
+    toks = tokenize(col)
+    return F.size(F.array_distinct(toks)) / F.size(toks)
+
+
+def avg_token_length(col: Column | str) -> Column:
+    toks = tokenize(col)
+    return F.aggregate(
+        toks, F.lit(0.0), lambda acc, t: acc + F.length(t)
+    ) / F.size(toks)
+
+
+def stopword_ratio(col: Column | str) -> Column:
+    toks = tokenize(col)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return hits / F.size(toks)
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite quality heuristic in [0,1]: favors diverse, mid-length
+    tokens with a sane stopword rate. Deterministic; weights are fixed."""
+    c = F.col(col) if isinstance(col, str) else col
+    lex = distinct_token_ratio(c)
+    stop = stopword_ratio(c)
+    length_ok = F.when(
+        (token_count(c) >= 20) & (token_count(c) <= 1000), F.lit(1.0)
+    ).otherwise(F.lit(0.5))
+    stop_ok = F.lit(1.0) - F.abs(stop - F.lit(0.3))
+    return F.round(F.lit(0.4) * lex + F.lit(0.3) * length_ok + F.lit(0.3) * stop_ok, 6)
+
+
+def language_id(col: Column | str, default: str = "en") -> Column:
+    """Marker-word language ID: per-language hit counts over the token set,
+    argmax with fixed priority tiebreak (en > fr > de > es)."""
+    toks = F.array_distinct(tokenize(col))
+    scores = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*markers)))
+        for lang, markers in LANG_MARKERS.items()
+        if markers
+    }
+    best = F.greatest(*scores.values())
+    expr = None
+    for lang in ("en", "fr", "de", "es"):  # fixed tiebreak priority
+        cond = (scores[lang] == best) & (best > 0)
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    return expr.otherwise(default)
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: md5 of the normalized text (lowercase, collapsed
+    whitespace). The exact-dedup key."""
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.md5(normalized.cast("binary"))
+
+
+def token_set(col: Column | str) -> Column:
+    """Sorted distinct token array — the n-gram/Jaccard comparison unit."""
+    return F.array_sort(F.array_distinct(tokenize(col)))
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (the MinHash input unit)."""
+    toks = tokenize(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return F.array_distinct(grams)
+
+
+def text_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document feature table: token stats, quality, language, fingerprint."""
+    return df.select(
+        F.col(id_col),
+        token_count(text_col).alias("n_tokens"),
+        F.round(distinct_token_ratio(text_col), 6).alias("distinct_ratio"),
+        F.round(avg_token_length(text_col), 6).alias("avg_token_len"),
+        F.round(stopword_ratio(text_col), 6).alias("stop_ratio"),
+        quality_score(text_col).alias("quality"),
+        language_id(text_col).alias("lang_pred"),
+        fingerprint(text_col).alias("fp"),
+    )

@@ -1,0 +1,184 @@
+"""DuckDB oracle twins for the extension queries.
+
+MinHash/SimHash/LSH queries are intentionally absent (engine-hash-dependent;
+the driver records rows-only checks and tests/ measure recall vs brute
+force). Everything else is exact.
+"""
+
+# language-ID argmax as SQL (same marker sets + tiebreak priority as
+# operators/text.py LANG_MARKERS)
+_LANG_SQL = """
+    CASE
+      WHEN en_hits >= fr_hits AND en_hits >= de_hits AND en_hits >= es_hits AND en_hits > 0 THEN 'en'
+      WHEN fr_hits >= de_hits AND fr_hits >= es_hits AND fr_hits > 0 THEN 'fr'
+      WHEN de_hits >= es_hits AND de_hits > 0 THEN 'de'
+      WHEN es_hits > 0 THEN 'es'
+      ELSE 'en'
+    END
+"""
+
+_TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+ORACLES_EXT: dict[str, str] = {
+    "doc_text_features": f"""
+        WITH base AS (
+            SELECT doc_id,
+                   {_TOKS} AS toks,
+                   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+            FROM documents
+        ), feat AS (
+            SELECT doc_id, toks, norm,
+                   len(toks) AS n_tokens,
+                   len(list_distinct(toks)) * 1.0 / len(toks) AS distinct_ratio_raw,
+                   list_sum(list_transform(toks, t -> length(t))) * 1.0 / len(toks) AS avg_len_raw,
+                   len(list_filter(toks, t -> list_contains(
+                       ['the','a','an','and','or','of','to','in','is','it'], t)))
+                       * 1.0 / len(toks) AS stop_ratio_raw,
+                   len(list_filter(list_distinct(toks), t -> list_contains(
+                       ['the','a','and','of','to'], t))) AS en_hits,
+                   len(list_filter(list_distinct(toks), t -> list_contains(
+                       ['le','la','et','les','des'], t))) AS fr_hits,
+                   len(list_filter(list_distinct(toks), t -> list_contains(
+                       ['der','die','und','das','ist'], t))) AS de_hits,
+                   len(list_filter(list_distinct(toks), t -> list_contains(
+                       ['el','la','y','los','de'], t))) AS es_hits
+            FROM base
+        )
+        SELECT doc_id,
+               n_tokens,
+               round(distinct_ratio_raw, 6) AS distinct_ratio,
+               round(avg_len_raw, 6) AS avg_token_len,
+               round(stop_ratio_raw, 6) AS stop_ratio,
+               round(0.4 * distinct_ratio_raw
+                     + 0.3 * (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.5 END)
+                     + 0.3 * (1.0 - abs(stop_ratio_raw - 0.3)), 6) AS quality,
+               {_LANG_SQL} AS lang_pred,
+               md5(norm) AS fp
+        FROM feat
+    """,
+    "doc_lang_stats": f"""
+        SELECT lang, count(*) AS n_docs,
+               round(avg(n_chars), 2) AS avg_chars,
+               sum(len({_TOKS})) AS total_tokens
+        FROM documents GROUP BY lang ORDER BY lang
+    """,
+    "doc_exact_dedup_summary": """
+        WITH fp AS (
+            SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+            FROM documents
+        ), per AS (SELECT fp, count(*) AS n FROM fp GROUP BY fp)
+        SELECT sum(n) AS n_docs, count(*) AS n_distinct,
+               coalesce(sum(CASE WHEN n > 1 THEN n END), 0) AS n_dup_docs
+        FROM per
+    """,
+    "doc_jaccard_vs_queries": f"""
+        WITH toks AS (
+            SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents
+        ), probes AS (
+            SELECT doc_id AS query_id, toks AS q_toks FROM toks
+            WHERE doc_id IN (0, 1, 2, 3, 4)
+        )
+        SELECT query_id, doc_id,
+               round(len(list_intersect(toks, q_toks)) * 1.0
+                     / len(list_distinct(list_concat(toks, q_toks))), 6) AS jaccard
+        FROM toks CROSS JOIN probes
+        WHERE doc_id <> query_id
+          AND round(len(list_intersect(toks, q_toks)) * 1.0
+                    / len(list_distinct(list_concat(toks, q_toks))), 6) >= 0.5
+    """,
+    "embedding_norms": """
+        SELECT vec_id, len(embedding) AS dim,
+               round(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[]))), 6) AS l2_norm
+        FROM embeddings
+    """,
+    "embedding_topk_bruteforce": """
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        probes AS (SELECT vec_id AS query_id, e AS q FROM v WHERE vec_id IN (0,1,2,3,4)),
+        sims AS (
+            SELECT query_id, vec_id,
+                   round(list_inner_product(e, q)
+                         / (sqrt(list_inner_product(e, e)) * sqrt(list_inner_product(q, q))),
+                         6) AS cosine_sim
+            FROM v CROSS JOIN probes WHERE vec_id <> query_id
+        )
+        SELECT query_id, vec_id, cosine_sim, rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id
+            ) AS rank FROM sims
+        ) WHERE rank <= 10
+    """,
+    "events_json_stats": """
+        SELECT event_type, count(*) AS n,
+               round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+               min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+               max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "user_sessions": """
+        WITH tagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessioned AS (
+            SELECT user_id,
+                   sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_id
+            FROM tagged
+        ), per_session AS (
+            SELECT user_id, session_id, count(*) AS n_events
+            FROM sessioned GROUP BY user_id, session_id
+        )
+        SELECT user_id, count(*) AS n_sessions,
+               round(avg(n_events), 4) AS avg_session_events
+        FROM per_session GROUP BY user_id ORDER BY user_id
+    """,
+    "part_type_pattern": """
+        SELECT p_type,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_type LIKE '%M%'
+        GROUP BY p_type ORDER BY p_type
+    """,
+    "orders_rollup": """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    "top_customer_revenue": """
+        SELECT c_custkey, c_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_custkey, c_name
+        ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    "mktsegment_order_priority_pivot": """
+        SELECT c_mktsegment,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+               count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+               count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    "supplier_nation_stats": """
+        SELECT n_name, count(DISTINCT s_suppkey) AS n_suppliers,
+               round(sum(s_acctbal), 2) AS total_acctbal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name
+    """,
+    "lineitem_set_ops": """
+        WITH r_keys AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R'),
+             a_keys AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'A')
+        SELECT
+            (SELECT count(*) FROM (SELECT * FROM r_keys EXCEPT SELECT * FROM a_keys)) AS only_r_orders,
+            (SELECT count(*) FROM (SELECT * FROM r_keys INTERSECT SELECT * FROM a_keys)) AS both_orders
+    """,
+}

@@ -1,0 +1,234 @@
+"""Extension queries: text analysis, dedup, similarity search, JSON/event
+analytics, richer relational shapes (pattern filter, rollup, 3-way join,
+sessionization). Each has an oracle twin in ``oracles_ext.py`` unless the
+result depends on the engine hash function (MinHash/SimHash/LSH — those are
+rows-only checks with property tests in tests/)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from firebase_etl_spark.operators import dedup_approx as DA
+from firebase_etl_spark.operators import similarity as SIM
+from firebase_etl_spark.operators import text as TX
+from firebase_etl_spark.sources.tables import load_table
+
+QUERY_DOC_IDS = [0, 1, 2, 3, 4]
+QUERY_VEC_IDS = [0, 1, 2, 3, 4]
+
+# fixed pseudo-random hyperplanes for sign-LSH (deterministic; generated once
+# with a fixed seed, embedded as literals so plans are reproducible).
+# 12 tables × 4 planes: OR-amplification for usable recall on near-uniform
+# vectors; tune (tables, planes) per corpus at scale.
+import random as _random
+
+_rng = _random.Random(7)
+LSH_TABLES = [
+    [[_rng.gauss(0, 1) for _ in range(64)] for _ in range(4)] for _ in range(12)
+]
+
+
+# --- text analysis ---------------------------------------------------------
+
+def doc_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return TX.text_features(d)
+
+
+def doc_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.sum(TX.token_count("text")).alias("total_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+def doc_exact_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return DA.exact_dedup_summary(d)
+
+
+def doc_jaccard_vs_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return DA.jaccard_vs_queries(d, QUERY_DOC_IDS, threshold=0.5)
+
+
+def doc_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-dependent — rows-only driver check; recall property-tested."""
+    d = load_table(spark, "documents", sf_dir)
+    return DA.minhash_near_dups(d, threshold=0.5)
+
+
+def doc_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-dependent — rows-only driver check; property-tested. The
+    synthetic docs share one vocabulary, so a loose radius emits hundreds of
+    thousands of pairs; 4 bits keeps the answer near-dup-tight."""
+    d = load_table(spark, "documents", sf_dir)
+    return DA.simhash_near_dups(d, max_hamming=4)
+
+
+# --- similarity search -----------------------------------------------------
+
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "embeddings", sf_dir)
+    return SIM.embedding_norms(e)
+
+
+def embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "embeddings", sf_dir)
+    return SIM.cosine_topk(e, QUERY_VEC_IDS, k=10)
+
+
+def embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via sign-LSH buckets — rows-only; recall property-tested."""
+    e = load_table(spark, "embeddings", sf_dir)
+    return SIM.ann_topk_lsh(e, QUERY_VEC_IDS, LSH_TABLES, k=10)
+
+
+# --- events / JSON / sessionization ---------------------------------------
+
+def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction (get_json_object) + grouped stats."""
+    e = load_table(spark, "events", sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        e.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: per-user event gaps > 30 min start a new session;
+    output per-user session count + avg session size. Two windows over the
+    same (user_id, ts) partitioning — one shuffle."""
+    e = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    tagged = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sessioned = tagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_session = sessioned.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.round(F.avg("n_events"), 4).alias("avg_session_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --- richer relational shapes ---------------------------------------------
+
+def part_type_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 pattern filter + join + agg: revenue by part type for ECONOMY/SMALL
+    parts (LIKE + IN pushdown to the parquet scan)."""
+    p = load_table(spark, "part", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.join(F.broadcast(p.filter(F.col("p_type").like("%M%"))), li.l_partkey == p.p_partkey)
+        .groupBy("p_type")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("p_type")
+    )
+
+
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets rollup over (status, priority) — subtotals + grand total."""
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+def top_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join customer⋈orders⋈lineitem + top-20: the shuffle-heavy
+    headline join. lineitem⋈orders shuffles on orderkey; the customer side
+    broadcasts at these SFs (AQE decides from runtime stats)."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    return rev.orderBy(F.col("revenue").desc(), F.col("c_custkey")).limit(20)
+
+
+def mktsegment_order_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per market segment × order status."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+        .orderBy("c_mktsegment")
+    )
+
+
+def supplier_nation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation + join: per nation, suppliers + their balance."""
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def lineitem_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: orderkeys appearing with returnflag 'R' but never 'A'
+    (EXCEPT), one summary row. Exercises distinct + except."""
+    li = load_table(spark, "lineitem", sf_dir)
+    r_keys = li.filter(F.col("l_returnflag") == "R").select("l_orderkey").distinct()
+    a_keys = li.filter(F.col("l_returnflag") == "A").select("l_orderkey").distinct()
+    only_r = r_keys.subtract(a_keys)  # EXCEPT
+    both = r_keys.intersect(a_keys)   # INTERSECT
+    return only_r.agg(F.count(F.lit(1)).alias("only_r_orders")).crossJoin(
+        both.agg(F.count(F.lit(1)).alias("both_orders"))
+    )

@@ -1,0 +1,131 @@
+"""Structured Streaming twins of the batch operators (SURVEY.md §2.12, §7.2
+step 9): the reference is strictly batch, so these are the planned streaming
+extension — windowed aggregation with watermarks, streaming dedup, and
+session windows over the ``events`` table.
+
+Local smoke path: ``readStream`` over the parquet directory + ``memory``
+sink + ``processAllAvailable()`` drives a bounded batch through the
+streaming engine synchronously (tests/test_streaming.py). The same plans
+bind to Kafka/file sources in production — the transformations are
+source-agnostic.
+
+Scale notes: watermarks bound state; ``dropDuplicatesWithinWatermark``
+keeps the dedup state window-local instead of unbounded; session windows
+use the native ``session_window`` operator (state merges are handled by
+the engine, no applyInPandasWithState needed for gap sessions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: events table schema with ts as long nanos (as stored — see
+#: sources/tables.py) — the stream reader converts to TimestampType.
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),  # nanos (parquet TIMESTAMP(NANOS))
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming read of the events parquet (file source). One file per
+    micro-batch locally; on a cluster this is the pattern for a landing-zone
+    directory fed by an ingestion job."""
+    import os
+
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA).option("maxFilesPerTrigger", 1)
+    if os.path.isfile(path):
+        # file source wants a directory: point at the parent + glob filter
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    raw = reader.parquet(path)
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def streaming_event_counts(
+    events: DataFrame,
+    window: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling (or sliding) windowed counts+sums per event_type with a
+    watermark for late data. Streaming twin of events_hourly_stats."""
+    win = (
+        F.window("ts", window, slide) if slide else F.window("ts", window)
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win, F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of the dedup operator: drop duplicate events by key
+    within the watermark horizon — state stays bounded by event time."""
+    keys = keys or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def streaming_sessionization(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Session windows per user: events separated by < gap merge into one
+    session. Native session_window — engine-managed merging state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_stream_to_memory(
+    spark: SparkSession, plan: DataFrame, name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Drive a bounded streaming plan to completion into an in-memory table;
+    returns the materialized result as a batch DataFrame (test/smoke path)."""
+    q = (
+        plan.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")

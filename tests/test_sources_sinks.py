@@ -1,0 +1,85 @@
+"""Sources (RTDB export reader, JDBC option construction) and sinks
+(JSON/CSV/parquet, quarantine loader), plus multimodal plumbing."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from firebase_etl_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    extract_media_features,
+    media_dedup_exact,
+)
+from firebase_etl_spark.sinks.files import write_csv, write_json, write_parquet
+from firebase_etl_spark.sinks.loader import load_with_quarantine
+from firebase_etl_spark.sources.firebase import read_rtdb_export, write_rtdb_export
+from firebase_etl_spark.sources.jdbc import JdbcConfig, read_table
+
+
+def test_rtdb_export_roundtrip(spark, tmp_path):
+    export = {
+        "uidA": {"email": "a@x.com", "name": "A", "status": "actif"},
+        "uidB": {"email": "b@x.com", "createdAt": "2024-01-01"},
+        "uidC": "corrupt-not-a-dict",
+    }
+    path = str(tmp_path / "users.json")
+    write_rtdb_export(export, path)
+    df = read_rtdb_export(spark, path)
+    rows = {r["id"]: r for r in df.collect()}
+    assert set(rows) == {"uidA", "uidB"}          # corrupt entry dropped
+    assert rows["uidA"]["email"] == "a@x.com"
+    assert rows["uidA"]["uid"] == "uidA"          # map key materialized
+    assert rows["uidB"]["createdAt"] == "2024-01-01"
+
+
+def test_jdbc_reader_options_lazy(spark):
+    cfg = JdbcConfig(url="jdbc:postgresql://db:5432/x", user="u", password="p")
+    assert cfg.options()["fetchsize"] == "10000"
+    # reader builds without connecting; load() would need a driver jar
+    reader = spark.read.format("jdbc").options(**cfg.options()).option("dbtable", "t")
+    assert reader is not None
+
+
+def test_file_sinks_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    jp, cp, pp = (str(tmp_path / n) for n in ("j", "c", "p"))
+    write_json(df, jp, single_file=True)
+    write_csv(df, cp, single_file=True)
+    write_parquet(df, pp)
+    assert spark.read.json(jp).count() == 2
+    assert spark.read.option("header", "true").csv(cp).count() == 2
+    assert sorted(map(tuple, spark.read.parquet(pp).collect())) == [(1, "a"), (2, "b")]
+
+
+def test_load_with_quarantine(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("i1", "a@b.c", "ACTIVE"), (None, "b@b.c", "ACTIVE"), ("i3", None, "BAD")],
+        "id string, email string, status string",
+    )
+    rep = load_with_quarantine(
+        df, str(tmp_path / "good"), str(tmp_path / "quar")
+    )
+    assert (rep.total, rep.loaded, rep.quarantined) == (3, 1, 2)
+    quar = spark.read.parquet(str(tmp_path / "quar"))
+    assert "violations" in quar.columns
+
+
+def test_media_feature_extraction(spark):
+    rows = [
+        (1, "image", "image/png", b"\x89PNGdata", (4, 4, None)),
+        (2, "audio", "audio/wav", b"RIFFdata", (None, None, 1200)),
+        (3, "hologram", None, b"??", (None, None, None)),  # unsupported kind
+        (4, "image", "image/png", b"\x89PNGdata", (4, 4, None)),  # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in extract_media_features(df).collect()}
+    assert feats[1]["decode_ok"] and feats[2]["decode_ok"]
+    assert not feats[3]["decode_ok"]              # stub raises -> flagged
+    assert feats[1]["sha256"] == feats[4]["sha256"]
+    assert len(feats[1]["feat"]) == 8
+    assert feats[1]["feat"] == feats[4]["feat"]   # deterministic
+
+    kept = sorted(r["media_id"] for r in media_dedup_exact(df).collect())
+    assert kept == [1, 2, 3]                      # dup 4 collapsed into 1
