@@ -63,6 +63,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mktsegment_order_priority_pivot": QX.mktsegment_order_priority_pivot,
         "supplier_nation_stats": QX.supplier_nation_stats,
         "lineitem_set_ops": QX.lineitem_set_ops,
+        # --- streaming twins (rows-only; batch-equivalence pinned in tests) ---
+        "stream_hourly_event_counts": QX.stream_hourly_event_counts,
+        "stream_user_sessions": QX.stream_user_sessions,
     }
 
 

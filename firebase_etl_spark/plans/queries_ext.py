@@ -140,6 +140,41 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- streaming twins (rows-only: Structured Streaming is not
+# SQL-oracle-expressible; batch-equivalence is pinned in tests) -------------
+
+def _run_bounded_stream(spark, sf_dir, build, name_prefix):
+    import uuid as _uuid
+
+    from firebase_etl_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    name = f"{name_prefix}_{_uuid.uuid4().hex[:8]}"
+    return run_stream_to_memory(spark, build(stream), name)
+
+
+def stream_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window counts driven to completion over the
+    bounded events table (append mode: watermark-closed windows)."""
+    from firebase_etl_spark.streaming.events import streaming_event_counts
+
+    return _run_bounded_stream(
+        spark, sf_dir, lambda s: streaming_event_counts(s, window="1 hour"), "stream_counts"
+    )
+
+
+def stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (30-min gap) per user."""
+    from firebase_etl_spark.streaming.events import streaming_sessionization
+
+    return _run_bounded_stream(
+        spark, sf_dir, lambda s: streaming_sessionization(s), "stream_sessions"
+    )
+
+
 # --- richer relational shapes ---------------------------------------------
 
 def part_type_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,99 @@
+"""Property-based tests (hypothesis) for the parser semantics pinned in
+SURVEY §7.3: datetime format dialects, the 1e10 epoch boundary, null-token
+casing. Values are generated in batches and pushed through Spark in ONE
+action per example set — hypothesis drives the data, not the job count."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from firebase_etl_spark.functions.cleaning import NULL_TOKENS, clean_string
+from firebase_etl_spark.functions.timestamps import parse_datetime
+
+
+def _reference_parse(v):
+    """Driver-side reimplementation of the reference's parse order
+    (user_transformer.py:83-148) for cross-checking."""
+    if v is None:
+        return None
+    s = str(v).strip()
+    for fmt in (
+        "%Y-%m-%d %H:%M:%S",
+        "%Y-%m-%dT%H:%M:%S",
+        "%Y-%m-%dT%H:%M:%S.%f",
+        "%Y-%m-%d",
+    ):
+        try:
+            return dt.datetime.strptime(s, fmt)
+        except ValueError:
+            pass
+    try:
+        num = float(s)
+    except ValueError:
+        return None
+    import math
+
+    if math.isnan(num) or math.isinf(num):
+        return None
+    if abs(num) > 1e10:
+        return dt.datetime.fromtimestamp(num / 1000.0, dt.timezone.utc).replace(
+            tzinfo=None
+        )
+    return dt.datetime.fromtimestamp(num, dt.timezone.utc).replace(tzinfo=None)
+
+
+_dt_strategy = st.one_of(
+    st.datetimes(
+        min_value=dt.datetime(1971, 1, 1), max_value=dt.datetime(2100, 1, 1)
+    ).map(lambda d: d.replace(microsecond=0).strftime("%Y-%m-%d %H:%M:%S")),
+    st.datetimes(
+        min_value=dt.datetime(1971, 1, 1), max_value=dt.datetime(2100, 1, 1)
+    ).map(lambda d: d.replace(microsecond=0).isoformat()),
+    st.dates(min_value=dt.date(1971, 1, 1), max_value=dt.date(2100, 1, 1)).map(
+        lambda d: d.isoformat()
+    ),
+    st.integers(min_value=0, max_value=4_000_000_000).map(str),          # epoch sec
+    st.integers(min_value=10_000_000_001, max_value=4_000_000_000_000).map(str),  # ms
+    st.sampled_from(["NaT", "nan", "", "garbage", "2024-13-45", None]),
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_dt_strategy, min_size=1, max_size=60))
+def test_parse_datetime_matches_reference(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    got = [r[0] for r in df.select(parse_datetime(F.col("v")).alias("o")).collect()]
+    expected = [_reference_parse(v) for v in values]
+    for v, g, e in zip(values, got, expected):
+        assert g == e, f"input {v!r}: spark={g!r} reference={e!r}"
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.sampled_from(
+                [t.upper() for t in NULL_TOKENS if t]
+                + [t.capitalize() for t in NULL_TOKENS if t]
+                + ["  ", "", None]
+            ),
+            st.text(
+                alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd")),
+                max_size=12,
+            ),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_clean_string_null_domain(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    got = [r[0] for r in df.select(clean_string(F.col("v")).alias("o")).collect()]
+    for v, g in zip(values, got):
+        if v is None or v.strip().lower() in NULL_TOKENS:
+            assert g is None, f"{v!r} should clean to NULL, got {g!r}"
+        else:
+            assert g == v.strip()
