@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_counts_events": Q.null_counts_events,
         "events_hourly_stats": Q.events_hourly_stats,
         "global_top100_orders": Q.global_top100_orders,
+        "order_point_lookup": Q.order_point_lookup,
         "masked_customer_emails": Q.masked_customer_emails,
         # --- extensions: text analysis / dedup / similarity / events ---
         "doc_text_features": QX.doc_text_features,
@@ -57,6 +58,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_lsh": QX.embedding_topk_lsh,
         "events_json_stats": QX.events_json_stats,
         "user_sessions": QX.user_sessions,
+        "events_asof_orders": QX.events_asof_orders,
+        "lineitem_summary_stats": QX.lineitem_summary_stats,
+        "orders_deterministic_sample": QX.orders_deterministic_sample,
         "part_type_pattern": QX.part_type_pattern,
         "orders_rollup": QX.orders_rollup,
         "top_customer_revenue": QX.top_customer_revenue,

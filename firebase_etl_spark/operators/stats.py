@@ -57,3 +57,18 @@ def null_counts(df: DataFrame, columns: tuple[str, ...]) -> DataFrame:
 def describe(df: DataFrame) -> DataFrame:
     """Summary statistics (A9 — df.describe())."""
     return df.summary()
+
+
+def with_observed_counts(df: DataFrame, name: str, conditions: dict):
+    """A10 side-channel metrics without a second scan: attach ``observe``
+    metrics (count-if per named condition) that materialize when the plan
+    executes — the distributed replacement for the reference's Python
+    success/fail counters (user_transformer.py:40-43; collected via
+    ``spark.sparkContext`` listener or ``Observation``)."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("total")] + [
+        F.count_if(cond).alias(metric) for metric, cond in conditions.items()
+    ]
+    return df.observe(obs, *metrics), obs

@@ -100,6 +100,11 @@ ORACLES: dict[str, str] = {
         SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
         FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
     """,
+    "order_point_lookup": """
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               round(o_totalprice, 2) AS o_totalprice
+        FROM orders WHERE o_orderkey = 42
+    """,
     "masked_customer_emails": """
         SELECT c_custkey, substr(c_name, 1, 3) || '***' AS masked_name
         FROM customer

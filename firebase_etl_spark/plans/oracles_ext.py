@@ -138,6 +138,41 @@ ORACLES_EXT: dict[str, str] = {
                round(avg(n_events), 4) AS avg_session_events
         FROM per_session GROUP BY user_id ORDER BY user_id
     """,
+    "events_asof_orders": """
+        WITH ranked AS (
+            SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+                   row_number() OVER (
+                       PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC NULLS LAST
+                   ) AS rn
+            FROM events e
+            LEFT JOIN orders o
+              ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+        )
+        SELECT event_id, user_id, ts, o_orderkey, o_orderdate
+        FROM ranked WHERE rn = 1
+    """,
+    "lineitem_summary_stats": """
+        SELECT count(*) AS n,
+               round(avg(l_quantity), 4) AS qty_mean,
+               round(stddev_samp(l_quantity), 4) AS qty_std,
+               round(min(l_quantity), 2) AS qty_min,
+               round(max(l_quantity), 2) AS qty_max,
+               round(avg(l_extendedprice), 4) AS price_mean,
+               round(min(l_extendedprice), 2) AS price_min,
+               round(max(l_extendedprice), 2) AS price_max
+        FROM lineitem
+    """,
+    "orders_deterministic_sample": """
+        WITH sample AS (
+            SELECT * FROM orders ORDER BY o_orderkey LIMIT 100
+        )
+        SELECT count(*) AS sample_n,
+               round(avg(o_totalprice), 2) AS sample_avg_price,
+               min(o_orderdate) AS first_date,
+               max(o_orderdate) AS last_date
+        FROM sample
+    """,
     "part_type_pattern": """
         SELECT p_type,
                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,

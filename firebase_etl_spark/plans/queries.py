@@ -222,6 +222,18 @@ def global_top100_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def order_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 point lookup: single-key get. The equality predicate pushes to the
+    parquet scan (row-group skipping via min/max stats at scale)."""
+    o = load_table(spark, "orders", sf_dir)
+    return o.filter(F.col("o_orderkey") == 42).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+
+
 def masked_customer_emails(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F11 string masking applied to customer names (display redaction)."""
     c = load_table(spark, "customer", sf_dir)

@@ -177,6 +177,55 @@ def stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- richer relational shapes ---------------------------------------------
 
+def events_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks the customer's most recent order at or
+    before the event time (union+window formulation — one shuffle)."""
+    from firebase_etl_spark.operators.asof import asof_join
+
+    e = load_table(spark, "events", sf_dir).select("event_id", "user_id", "ts")
+    o = load_table(spark, "orders", sf_dir)
+    return asof_join(
+        e,
+        o,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_payload=["o_orderkey", "o_orderdate"],
+        right_tiebreak="o_orderkey",
+    )
+
+
+def lineitem_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 descriptive statistics, explicit form (count/mean/stddev/min/max
+    over the numeric measures) so the oracle is exact."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("l_quantity"), 4).alias("qty_mean"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("qty_std"),
+        F.round(F.min("l_quantity"), 2).alias("qty_min"),
+        F.round(F.max("l_quantity"), 2).alias("qty_max"),
+        F.round(F.avg("l_extendedprice"), 4).alias("price_mean"),
+        F.round(F.min("l_extendedprice"), 2).alias("price_min"),
+        F.round(F.max("l_extendedprice"), 2).alias("price_max"),
+    )
+
+
+def orders_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 sampling-for-analysis: a deterministic 100-row sample (lowest
+    orderkeys — LIMIT without ORDER BY is engine-arbitrary, so the sample is
+    pinned) plus its summary row."""
+    o = load_table(spark, "orders", sf_dir)
+    sample = o.orderBy("o_orderkey").limit(100)
+    return sample.agg(
+        F.count(F.lit(1)).alias("sample_n"),
+        F.round(F.avg("o_totalprice"), 2).alias("sample_avg_price"),
+        F.min("o_orderdate").alias("first_date"),
+        F.max("o_orderdate").alias("last_date"),
+    )
+
+
 def part_type_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P7 pattern filter + join + agg: revenue by part type for ECONOMY/SMALL
     parts (LIKE + IN pushdown to the parquet scan)."""

@@ -1,0 +1,79 @@
+"""Catalog introspection (S11-S13) and observe-metrics (A10) coverage."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from firebase_etl_spark.operators.stats import (
+    distribution,
+    duplicate_groups,
+    null_counts,
+    user_stats,
+    with_observed_counts,
+)
+from firebase_etl_spark.sources.catalog import (
+    list_tables,
+    register_catalog,
+    table_columns,
+    table_stats,
+)
+
+
+def test_catalog_listing_and_search(spark, sf_dir):
+    register_catalog(spark, sf_dir)
+    all_tables = {r["table_name"] for r in list_tables(spark).collect()}
+    assert {"orders", "lineitem", "customer"} <= all_tables
+    hits = {r["table_name"] for r in list_tables(spark, like="ORD").collect()}
+    assert hits == {"orders"}
+
+
+def test_table_columns_metadata(spark, sf_dir):
+    register_catalog(spark, sf_dir)
+    cols = {r["column_name"]: r["data_type"] for r in table_columns(spark, "orders").collect()}
+    assert cols["o_orderkey"] == "bigint"
+    assert cols["o_totalprice"] == "double"
+
+
+def test_table_stats_counts(spark, sf_dir):
+    stats = {r["table_name"]: r["n_rows"] for r in table_stats(spark, sf_dir).collect()}
+    assert stats["region"] == 5
+    assert stats["nation"] == 25
+
+
+def test_observe_metrics_single_pass(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", None)], "k string, v int"
+    )
+    observed, obs = with_observed_counts(
+        df, "m", {"v_null": F.col("v").isNull(), "v_big": F.col("v") > 1}
+    )
+    assert observed.count() == 3  # materialize
+    got = obs.get
+    assert (got["total"], got["v_null"], got["v_big"]) == (3, 1, 1)
+
+
+def test_user_stats_and_distribution(spark):
+    df = spark.createDataFrame(
+        [
+            ("a@x", "CREDENTIALS", True),
+            ("b@x", "google.com", False),
+            (None, "CREDENTIALS", False),
+        ],
+        "email string, provider string, emailVerified boolean",
+    )
+    s = user_stats(df)
+    assert s["total_users"] == 3
+    assert s["users_with_email"] == 2
+    assert s["credentials_users"] == 2
+    assert s["google_users"] == 1
+
+    dist = {r["provider"]: r["n"] for r in distribution(df, "provider").collect()}
+    assert dist == {"CREDENTIALS": 2, "google.com": 1}
+
+    dups = duplicate_groups(
+        spark.createDataFrame([("x",), ("x",), ("y",)], "k string"), "k"
+    ).collect()
+    assert [(r["k"], r["n"]) for r in dups] == [("x", 2)]
+
+    nc = null_counts(df, ("email", "provider")).collect()[0]
+    assert (nc["email_nulls"], nc["provider_nulls"]) == (1, 0)
