@@ -67,6 +67,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mktsegment_order_priority_pivot": QX.mktsegment_order_priority_pivot,
         "supplier_nation_stats": QX.supplier_nation_stats,
         "lineitem_set_ops": QX.lineitem_set_ops,
+        "lineitem_cube": QX.lineitem_cube,
+        "orders_by_year_month": QX.orders_by_year_month,
+        "customer_name_functions": QX.customer_name_functions,
+        "lineitem_percentiles": QX.lineitem_percentiles,
+        "top20_tokens": QX.top20_tokens,
+        "embedding_near_dup_pairs": QX.embedding_near_dup_pairs,
         # --- streaming twins (rows-only; batch-equivalence pinned in tests) ---
         "stream_hourly_event_counts": QX.stream_hourly_event_counts,
         "stream_user_sessions": QX.stream_user_sessions,

@@ -209,6 +209,54 @@ ORACLES_EXT: dict[str, str] = {
         FROM supplier JOIN nation ON s_nationkey = n_nationkey
         GROUP BY n_name ORDER BY n_name
     """,
+    "lineitem_cube": """
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "orders_by_year_month": """
+        SELECT year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
+               month(o_orderdate) AS mon, count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+    "customer_name_functions": """
+        SELECT c_custkey,
+               upper(c_name) AS upper_name,
+               lower(c_name) AS lower_name,
+               length(c_name) AS name_len,
+               substr(c_name, 1, 8) AS name_prefix,
+               replace(c_name, 'Customer', 'Cust') AS name_short,
+               lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key
+        FROM customer
+    """,
+    "lineitem_percentiles": """
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.5), 4) AS price_p50,
+               round(quantile_cont(l_extendedprice, 0.9), 4) AS price_p90,
+               round(median(l_quantity), 4) AS qty_median
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "top20_tokens": """
+        SELECT token, count(*) AS n
+        FROM (
+            SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+            FROM documents
+        )
+        GROUP BY token ORDER BY n DESC, token LIMIT 20
+    """,
+    "embedding_near_dup_pairs": """
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_inner_product(a.e, b.e)
+                     / (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))),
+                     6) AS cosine_sim
+        FROM v a CROSS JOIN v b
+        WHERE a.vec_id < b.vec_id
+          AND round(list_inner_product(a.e, b.e)
+                    / (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))),
+                    6) >= 0.4
+    """,
     "lineitem_set_ops": """
         WITH r_keys AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R'),
              a_keys AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'A')

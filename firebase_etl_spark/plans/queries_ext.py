@@ -305,6 +305,100 @@ def supplier_nation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all grouping-set combinations."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+def orders_by_year_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part functions: year/quarter/month truncation + counts."""
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.quarter("o_orderdate").alias("qtr"),
+            F.month("o_orderdate").alias("mon"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("yr", "qtr", "mon")
+    )
+
+
+def customer_name_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface: upper/lower/length/substring/replace/lpad
+    over customer names (F2/F11 family on synthetic data)."""
+    c = load_table(spark, "customer", sf_dir)
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("upper_name"),
+        F.lower("c_name").alias("lower_name"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("name_short"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded_key"),
+    )
+
+
+def lineitem_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles/median per returnflag (interpolated — matches
+    DuckDB quantile_cont)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("price_p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("price_p90"),
+            F.round(F.median("l_quantity"), 4).alias("qty_median"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def top20_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequencies: explode + count + top-k (the UDTF-shaped
+    surface). Explode shuffles token rows; partial counts combine map-side."""
+    d = load_table(spark, "documents", sf_dir)
+    return (
+        d.select(F.explode(TX.tokenize("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(20)
+    )
+
+
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicates, exact: all pairs with cosine >=
+    threshold. Exhaustive self-join here (oracle-exact); the LSH-bucketed
+    path (embedding_topk_lsh / signlsh_buckets) is the 100 TB variant of the
+    same operator. The synthetic embeddings are near-orthogonal (max pair
+    cosine ~0.51 at sf0.01), so the threshold is 0.4 — 'unusually similar'
+    for this corpus."""
+    e = load_table(spark, "embeddings", sf_dir)
+    v = e.select(
+        F.col("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    from firebase_etl_spark.operators.similarity import cosine
+
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine_sim") >= 0.4)
+        .select("id_a", "id_b", "cosine_sim")
+    )
+
+
 def lineitem_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations: orderkeys appearing with returnflag 'R' but never 'A'
     (EXCEPT), one summary row. Exercises distinct + except."""

@@ -30,14 +30,15 @@ def _duck(sf_dir):
 
 
 def _norm(v):
+    # every value becomes a string so mixed None/str/float tuples sort
     if v is None:
-        return None
+        return "\x00NULL"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 6)
+        return str(round(v, 6))
     if isinstance(v, (list, tuple)):
-        return tuple(_norm(x) for x in v)
+        return str(tuple(_norm(x) for x in v))
     return str(v)
 
 
