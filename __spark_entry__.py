@@ -32,6 +32,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": Q.q1_pricing_summary,
+        "q3_shipping_priority": Q.q3_shipping_priority,
         "latest_order_per_customer": Q.latest_order_per_customer,
         "customer_order_counts_having": Q.customer_order_counts_having,
         "dup_order_members": Q.dup_order_members,
@@ -67,6 +68,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mktsegment_order_priority_pivot": QX.mktsegment_order_priority_pivot,
         "supplier_nation_stats": QX.supplier_nation_stats,
         "lineitem_set_ops": QX.lineitem_set_ops,
+        "events_near_pairs": QX.events_near_pairs,
+        "events_daily_from_hourly": QX.events_daily_from_hourly,
         "lineitem_cube": QX.lineitem_cube,
         "orders_by_year_month": QX.orders_by_year_month,
         "customer_name_functions": QX.customer_name_functions,

@@ -209,6 +209,20 @@ ORACLES_EXT: dict[str, str] = {
         FROM supplier JOIN nation ON s_nationkey = n_nationkey
         GROUP BY n_name ORDER BY n_name
     """,
+    "events_near_pairs": """
+        SELECT a.user_id, count(*) AS n_pairs
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_id < b.event_id
+         AND epoch(b.ts) BETWEEN epoch(a.ts) - 120 AND epoch(a.ts) + 120
+        GROUP BY a.user_id ORDER BY a.user_id
+    """,
+    "events_daily_from_hourly": """
+        SELECT date_trunc('day', ts) AS day, event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
     "lineitem_cube": """
         SELECT l_returnflag, l_linestatus, count(*) AS n,
                round(sum(l_quantity), 2) AS sum_qty

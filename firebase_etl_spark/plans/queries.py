@@ -222,6 +222,31 @@ def global_top100_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective filters on three tables, two joins, agg,
+    top-10 by revenue. Filters push to every scan; the customer dimension
+    broadcasts; lineitem⋈orders shuffles once on orderkey."""
+    c = load_table(spark, "customer", sf_dir).filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_shipdate") > F.lit("1996-03-15").cast("date")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
 def order_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 point lookup: single-key get. The equality predicate pushes to the
     parquet scan (row-group skipping via min/max stats at scale)."""

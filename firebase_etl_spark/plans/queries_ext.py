@@ -305,6 +305,58 @@ def supplier_nation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: pairs of events from the same user within 120 seconds,
+    counted per user. Bucketized (granule = interval width) so the join is a
+    hash shuffle, not a per-user cross join."""
+    from firebase_etl_spark.operators.range_join import range_join
+
+    e = load_table(spark, "events", sf_dir).select("event_id", "user_id", "ts")
+    a = e.select(
+        F.col("event_id").alias("id_a"), F.col("user_id"), F.col("ts").alias("ts_a")
+    )
+    b = e.select(
+        F.col("event_id").alias("id_b"),
+        F.col("user_id").alias("user_b"),
+        F.col("ts").alias("ts_b"),
+    )
+    pairs = range_join(
+        a, b,
+        left_on="user_id", right_on="user_b",
+        left_time="ts_a", right_time="ts_b",
+        before_seconds=120, after_seconds=120,
+    ).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("user_id")
+    )
+
+
+def events_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical (hypertable-style) rollup: the daily aggregate is
+    computed FROM the hourly aggregate, not the raw events — the
+    continuous-aggregate pattern where coarser resolutions reuse finer
+    partials instead of rescanning the fact table."""
+    e = load_table(spark, "events", sf_dir)
+    hourly = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+    return (
+        hourly.groupBy(
+            # cast to date: DuckDB's date_trunc('day') yields DATE, Spark's
+            # yields TIMESTAMP — align the types for the oracle hash
+            F.date_trunc("day", F.col("hour")).cast("date").alias("day"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.round(F.sum("v"), 2).alias("total_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
 def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (returnflag, linestatus): all grouping-set combinations."""
     li = load_table(spark, "lineitem", sf_dir)

@@ -54,6 +54,8 @@ def get_spark(
         # driver testdata stores events.ts as TIMESTAMP(NANOS); Spark has no
         # nanos type — read as long and convert in the loader (tables.py).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # managed tables (bucketed sinks) land outside the repo
+        .config("spark.sql.warehouse.dir", "/tmp/spark-warehouse")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
