@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mktsegment_order_priority_pivot": QX.mktsegment_order_priority_pivot,
         "supplier_nation_stats": QX.supplier_nation_stats,
         "lineitem_set_ops": QX.lineitem_set_ops,
+        "documents_clean_corpus": QX.documents_clean_corpus,
         "events_near_pairs": QX.events_near_pairs,
         "events_daily_from_hourly": QX.events_daily_from_hourly,
         "lineitem_cube": QX.lineitem_cube,

@@ -91,6 +91,8 @@ def transform_users(raw: DataFrame, auth: DataFrame | None = None) -> TransformR
         normalize_status(F.col("status")).alias("status"),
         parse_interests(F.col("interests")).alias("interests"),
         parse_datetime(coalesce_spellings(df, "lastConnexion")).alias("lastConnexion"),
+        # adjacency map (test.py:16): JSON '{"uid": true}' -> map<string,boolean>
+        F.from_json(F.col("following"), "map<string,boolean>").alias("following"),
     )
 
     result: ValidationResult = validate_users(canonical)

@@ -209,6 +209,28 @@ ORACLES_EXT: dict[str, str] = {
         FROM supplier JOIN nation ON s_nationkey = n_nationkey
         GROUP BY n_name ORDER BY n_name
     """,
+    "documents_clean_corpus": f"""
+        WITH feat AS (
+            SELECT doc_id, lang, source,
+                   len({_TOKS}) AS n_tokens,
+                   round(0.4 * (len(list_distinct({_TOKS})) * 1.0 / len({_TOKS}))
+                         + 0.3 * (CASE WHEN len({_TOKS}) BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.5 END)
+                         + 0.3 * (1.0 - abs(len(list_filter({_TOKS}, t -> list_contains(
+                               ['the','a','an','and','or','of','to','in','is','it'], t)))
+                               * 1.0 / len({_TOKS}) - 0.3)), 6) AS quality,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+            FROM documents
+        ), kept AS (
+            SELECT * FROM feat WHERE quality >= 0.8 AND n_tokens >= 30
+        ), survivors AS (
+            SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+            FROM kept
+        )
+        SELECT lang, source, count(*) AS n_docs,
+               round(avg(quality), 6) AS avg_quality
+        FROM survivors WHERE rn = 1
+        GROUP BY lang, source ORDER BY lang, source
+    """,
     "events_near_pairs": """
         SELECT a.user_id, count(*) AS n_pairs
         FROM events a JOIN events b

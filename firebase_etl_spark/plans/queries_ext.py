@@ -305,6 +305,36 @@ def supplier_nation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def documents_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data pipeline: feature-score the corpus, keep
+    quality >= 0.8 docs with >= 30 tokens, drop exact (normalized)
+    duplicates keeping the lowest doc_id, report per (lang, source) counts.
+    One scan + one agg; the dedup group-by rides the same exchange."""
+    d = load_table(spark, "documents", sf_dir)
+    feat = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        TX.token_count("text").alias("n_tokens"),
+        TX.quality_score("text").alias("quality"),
+        TX.fingerprint("text").alias("fp"),
+    ).filter((F.col("quality") >= 0.8) & (F.col("n_tokens") >= 30))
+    survivors = feat.withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy("fp").orderBy("doc_id")
+        ),
+    ).filter(F.col("__rn") == 1)
+    return (
+        survivors.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
 def events_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join: pairs of events from the same user within 120 seconds,
     counted per user. Bucketized (granule = interval width) so the join is a
@@ -433,22 +463,10 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     same operator. The synthetic embeddings are near-orthogonal (max pair
     cosine ~0.51 at sf0.01), so the threshold is 0.4 — 'unusually similar'
     for this corpus."""
-    e = load_table(spark, "embeddings", sf_dir)
-    v = e.select(
-        F.col("vec_id"),
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
-    a = v.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    b = v.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
-    from firebase_etl_spark.operators.similarity import cosine
+    from firebase_etl_spark.operators.similarity import cosine_all_pairs_blas
 
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
-        .filter(F.col("cosine_sim") >= 0.4)
-        .select("id_a", "id_b", "cosine_sim")
-    )
+    e = load_table(spark, "embeddings", sf_dir)
+    return cosine_all_pairs_blas(e, threshold=0.4)
 
 
 def lineitem_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
