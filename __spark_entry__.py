@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": QX.embedding_norms,
         "embedding_topk_bruteforce": QX.embedding_topk_bruteforce,
         "embedding_topk_lsh": QX.embedding_topk_lsh,
+        "embedding_topk_ivf": QX.embedding_topk_ivf,
         "events_json_stats": QX.events_json_stats,
         "user_sessions": QX.user_sessions,
         "events_asof_orders": QX.events_asof_orders,
@@ -77,6 +78,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_percentiles": QX.lineitem_percentiles,
         "top20_tokens": QX.top20_tokens,
         "embedding_near_dup_pairs": QX.embedding_near_dup_pairs,
+        # --- multimodal columns (stub codec; sha256-derived => oracle-checkable) ---
+        "media_feature_stats": QX.media_feature_stats,
+        "media_dedup_survivors": QX.media_dedup_survivors,
         # --- streaming twins (rows-only; batch-equivalence pinned in tests) ---
         "stream_hourly_event_counts": QX.stream_hourly_event_counts,
         "stream_user_sessions": QX.stream_user_sessions,

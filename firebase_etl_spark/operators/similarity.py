@@ -224,3 +224,78 @@ def embedding_norms(
         F.size(F.col(vec_col)).alias("dim"),
         F.round(norm(v), 6).alias("l2_norm"),
     )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    seed_ids: list[int] | None = None,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-Flat ANN: coarse-quantize every vector to its nearest centroid
+    cell, probe only the ``n_probe`` cells closest to each query, exact
+    cosine re-rank inside the candidate set.
+
+    Centroids are deterministic seed vectors (rows of the corpus chosen by
+    id), not k-means iterates — which keeps the whole operator a pure
+    dataflow (fully oracle-checkable) while exercising the real IVF shape:
+    a tiny broadcast centroid table, a partition-parallel assignment pass
+    (map-side only — the centroid join broadcasts, the argmin is a partial
+    aggregate), and a cell-bucketed candidate join instead of a full scan.
+    At scale the assignment pass writes once (partitionBy(cell)) and every
+    query touches n_probe/M of the data. Swap the seed centroids for
+    k-means output and nothing downstream changes.
+
+    Cosines are rounded to 6dp BEFORE the argmin/rank so Spark and the
+    DuckDB oracle pick identical winners; ties break on lower cell/vec id.
+    """
+    seeds = seed_ids if seed_ids is not None else [i * 31 for i in range(16)]
+    vecs = df.select(
+        F.col(id_col), normalized(_to_double(F.col(vec_col))).alias("v")
+    )
+    cents = F.broadcast(
+        vecs.filter(F.col(id_col).isin(seeds)).select(
+            F.col(id_col).alias("cell"), F.col("v").alias("cv")
+        )
+    )
+    sims = vecs.crossJoin(cents).select(
+        id_col,
+        "cell",
+        F.round(dot(F.col("v"), F.col("cv")), 6).alias("cos"),
+    )
+    # nearest cell per vector: partial-aggregable argmax, ties -> lower cell
+    assign = sims.groupBy(id_col).agg(
+        F.max_by("cell", F.struct(F.col("cos"), -F.col("cell"))).alias("cell")
+    )
+    # top-n_probe cells per query
+    wq = Window.partitionBy(id_col).orderBy(F.col("cos").desc(), F.col("cell"))
+    probes = (
+        sims.filter(F.col(id_col).isin(query_ids))
+        .withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= n_probe)
+        .select(F.col(id_col).alias("query_id"), "cell")
+    )
+    cand = probes.join(assign, "cell").select("query_id", id_col)
+    qvecs = vecs.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("q")
+    )
+    scored = (
+        cand.join(F.broadcast(qvecs), "query_id")
+        .join(vecs, id_col)
+        .select(
+            "query_id",
+            id_col,
+            F.round(dot(F.col("v"), F.col("q")), 6).alias("cosine_sim"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

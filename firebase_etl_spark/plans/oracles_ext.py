@@ -301,3 +301,73 @@ ORACLES_EXT: dict[str, str] = {
             (SELECT count(*) FROM (SELECT * FROM r_keys INTERSECT SELECT * FROM a_keys)) AS both_orders
     """,
 }
+
+ORACLES_EXT["media_feature_stats"] = """
+    WITH media AS (
+        SELECT doc_id AS media_id,
+               ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+               octet_length(encode(text)) AS n_bytes,
+               sha256(text) AS h
+        FROM documents
+    )
+    SELECT kind, count(*) AS n_media, sum(n_bytes) AS total_bytes,
+           count(DISTINCT h) AS n_unique,
+           round(avg(CAST(CAST(concat('0x', substr(h, 1, 2)) AS INT) / 255.0 AS FLOAT)), 6) AS avg_f0
+    FROM media GROUP BY kind ORDER BY kind
+"""
+
+ORACLES_EXT["media_dedup_survivors"] = """
+    WITH media AS (
+        SELECT doc_id AS media_id,
+               ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+               sha256(text) AS h
+        FROM documents
+    ), keep AS (
+        SELECT h, min(media_id) AS keep_id FROM media GROUP BY h
+    )
+    SELECT m.kind, count(*) AS n_survivors, min(m.media_id) AS first_id
+    FROM media m JOIN keep k ON m.h = k.h AND m.media_id = k.keep_id
+    GROUP BY m.kind ORDER BY m.kind
+"""
+
+ORACLES_EXT["embedding_topk_ivf"] = """
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+    ), nv AS (
+        SELECT vec_id,
+               list_transform(ve, x -> x / sqrt(list_inner_product(ve, ve))) AS ve
+        FROM v
+    ), c AS (
+        SELECT vec_id AS cell, ve AS cv FROM nv
+        WHERE vec_id IN (0, 31, 62, 93, 124, 155, 186, 217, 248, 279, 310, 341, 372, 403, 434, 465)
+    ), sims AS (
+        SELECT nv.vec_id, c.cell,
+               round(list_inner_product(nv.ve, c.cv), 6) AS cos
+        FROM nv CROSS JOIN c
+    ), assign AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rn
+            FROM sims
+        ) WHERE rn = 1
+    ), probes AS (
+        SELECT vec_id AS query_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rn
+            FROM sims WHERE vec_id IN (0, 1, 2, 3, 4)
+        ) WHERE rn <= 4
+    ), cand AS (
+        SELECT p.query_id, a.vec_id FROM probes p JOIN assign a USING (cell)
+    ), scored AS (
+        SELECT cd.query_id, cd.vec_id,
+               round(list_inner_product(q.ve, t.ve), 6) AS cosine_sim
+        FROM cand cd
+        JOIN nv q ON q.vec_id = cd.query_id
+        JOIN nv t ON t.vec_id = cd.vec_id
+    )
+    SELECT query_id, vec_id, cosine_sim, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rank
+        FROM scored
+    ) WHERE rank <= 10
+    ORDER BY query_id, rank
+"""

