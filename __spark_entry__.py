@@ -78,6 +78,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_percentiles": QX.lineitem_percentiles,
         "top20_tokens": QX.top20_tokens,
         "embedding_near_dup_pairs": QX.embedding_near_dup_pairs,
+        # --- full user-ETL pipeline (reference main.py shape) ---
+        "users_pipeline_report": QX.users_pipeline_report,
+        "users_pipeline_quarantine": QX.users_pipeline_quarantine,
         # --- multimodal columns (stub codec; sha256-derived => oracle-checkable) ---
         "media_feature_stats": QX.media_feature_stats,
         "media_dedup_survivors": QX.media_dedup_survivors,

@@ -9,6 +9,7 @@ the timed numbers reflect steady-state execution, not JIT compilation.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -34,12 +35,18 @@ def main() -> None:
         except Exception:
             pass
 
+    # drop py4j refs from the warmup pass so the JVM ContextCleaner can
+    # release its broadcasts/checkpoint RDDs before the timed runs
+    spark.catalog.clearCache()
+    gc.collect()
+
     timings: dict[str, float] = {}
     t_total = time.perf_counter()
     for name, fn in queries.items():
         t0 = time.perf_counter()
         fn(spark, SF_DIR).collect()
         timings[name] = round(time.perf_counter() - t0, 4)
+        gc.collect()  # between queries, outside each query's own timer
     total = round(time.perf_counter() - t_total, 4)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

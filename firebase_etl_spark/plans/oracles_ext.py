@@ -371,3 +371,56 @@ ORACLES_EXT["embedding_topk_ivf"] = """
     ) WHERE rank <= 10
     ORDER BY query_id, rank
 """
+
+# Mirrors _messy_users_from_customers + transform_users independently:
+# branches on the same key-mods, then replays validate/dedup/report in SQL.
+# Unparseable createdAt maps to Spark's current_timestamp(); the oracle uses
+# a far-future sentinel — both beat every real date and tie within a group,
+# so the id-desc tiebreak picks the same survivor.
+ORACLES_EXT["users_pipeline_report"] = """
+    WITH raw AS (
+        SELECT c_custkey AS k,
+               printf('uid%015d', c_custkey) AS uid,
+               CASE WHEN c_custkey % 3 = 2 THEN 'google.com' ELSE 'CREDENTIALS' END AS provider,
+               CASE
+                   WHEN c_custkey % 17 IN (0, 1, 2) THEN
+                       CASE WHEN c_custkey % 3 = 2
+                            THEN printf('google_user_uid%015d@placeholder.com', c_custkey)
+                            ELSE NULL END
+                   WHEN c_custkey % 17 IN (3, 4, 5) THEN printf('dup%d@example.com', c_custkey % 5)
+                   ELSE printf('user%d@example.com', c_custkey)
+               END AS email,
+               CASE c_custkey % 5 WHEN 0 THEN true WHEN 2 THEN true ELSE false END AS everified,
+               CASE c_custkey % 5
+                   WHEN 0 THEN make_timestamp(2024, CAST(c_custkey % 12 + 1 AS BIGINT),
+                                              CAST(c_custkey % 28 + 1 AS BIGINT),
+                                              CAST(c_custkey % 24 AS BIGINT),
+                                              CAST(c_custkey % 60 AS BIGINT), 0)
+                   WHEN 1 THEN make_timestamp(2024, CAST(c_custkey % 12 + 1 AS BIGINT),
+                                              CAST(c_custkey % 28 + 1 AS BIGINT),
+                                              CAST(c_custkey % 24 AS BIGINT),
+                                              CAST(c_custkey % 60 AS BIGINT), 0)
+                   WHEN 2 THEN make_timestamp((c_custkey * 37 + 1700000000) * 1000000)
+                   ELSE TIMESTAMP '9999-01-01'
+               END AS created
+        FROM customer
+    ), survivors AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY email ORDER BY created DESC, uid DESC
+            ) AS rn
+            FROM raw WHERE email IS NOT NULL
+        ) WHERE rn = 1
+    )
+    SELECT provider,
+           count(*) AS n_users,
+           count(*) FILTER (everified) AS n_verified,
+           count(*) FILTER (email LIKE '%@placeholder.com') AS n_placeholder
+    FROM survivors GROUP BY provider ORDER BY provider
+"""
+
+ORACLES_EXT["users_pipeline_quarantine"] = """
+    SELECT 'email_null' AS violation, count(*) AS n_rows
+    FROM customer
+    WHERE c_custkey % 17 IN (0, 1, 2) AND c_custkey % 3 <> 2
+"""

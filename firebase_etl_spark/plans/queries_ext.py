@@ -548,3 +548,102 @@ def embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells, exact re-rank. Fully oracle-checkable (see similarity.ivf_topk)."""
     e = load_table(spark, "embeddings", sf_dir)
     return SIM.ivf_topk(e, QUERY_VEC_IDS, k=10, n_probe=4)
+
+
+# --- full user-ETL pipeline, driver-exposed --------------------------------
+
+def _messy_users_from_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic messy raw_users derived from ``customer`` by key-mod
+    arithmetic, so the DuckDB oracle can branch on the same mods instead of
+    re-implementing the parsers. Exercises: null-token emails, duplicate
+    email groups, 4 createdAt formats (space/T/epoch/unparseable), string
+    bools, EN/FR status synonyms, missing ids."""
+    from firebase_etl_spark.schemas import RAW_USER_SCHEMA
+
+    k = F.col("c_custkey")
+    c = load_table(spark, "customer", sf_dir)
+    derived = {
+        "uid": F.format_string("uid%015d", k),
+        "id": F.when(k % 29 == 0, F.lit(None)).otherwise(
+            F.format_string("uid%015d", k)
+        ),
+        "email": F.when(
+            k % 17 == 0, F.lit("")
+        ).when(
+            k % 17 == 1, F.lit("  nan  ")
+        ).when(
+            k % 17 == 2, F.lit(None)
+        ).when(
+            (k % 17).isin(3, 4, 5), F.format_string("dup%d@example.com", k % 5)
+        ).otherwise(F.format_string("user%d@example.com", k)),
+        "emailVerified": F.element_at(
+            F.array(F.lit("true"), F.lit("false"), F.lit("1"), F.lit("0"), F.lit(None)),
+            (k % 5 + 1).cast("int"),
+        ),
+        "provider": F.element_at(
+            F.array(F.lit(None), F.lit("CREDENTIALS"), F.lit("google.com")),
+            (k % 3 + 1).cast("int"),
+        ),
+        "status": F.element_at(
+            F.array(*[F.lit(s) for s in (
+                "ACTIVE", "actif", "ENABLED", "Inactive", "INACTIF",
+                "disabled", "BANNED", "banni", "blocked", "garbage", None,
+            )]),
+            (k % 11 + 1).cast("int"),
+        ),
+        "createdAt": F.when(
+            k % 5 == 0,
+            F.format_string(
+                "2024-%02d-%02d %02d:%02d:00", k % 12 + 1, k % 28 + 1, k % 24, k % 60
+            ),
+        ).when(
+            k % 5 == 1,
+            F.format_string(
+                "2024-%02d-%02dT%02d:%02d:00", k % 12 + 1, k % 28 + 1, k % 24, k % 60
+            ),
+        ).when(
+            k % 5 == 2, (k * 37 + 1700000000).cast("string")
+        ).when(k % 5 == 3, F.lit("NaT")).otherwise(F.lit(None)),
+        "name": F.when(k % 4 == 0, F.lit(None)).otherwise(
+            F.format_string("User %d", k)
+        ),
+        "interests": F.when(k % 3 == 0, F.lit("music, sports")).otherwise(F.lit(None)),
+    }
+    cols = [
+        derived.get(f.name, F.lit(None).cast("string")).cast("string").alias(f.name)
+        for f in RAW_USER_SCHEMA.fields
+    ]
+    return c.select(*cols)
+
+
+def users_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE reference pipeline end-to-end (main.py:18-204 shape): messy raw
+    users -> clean/derive -> validate split -> dedup keep-latest-per-email ->
+    provider distribution (postgres_loader.py:437-442). One lazy plan; the
+    oracle independently mirrors survivor choice and placeholder emails."""
+    from firebase_etl_spark.pipeline import transform_users
+
+    users = transform_users(_messy_users_from_customers(spark, sf_dir)).users
+    return (
+        users.groupBy("provider")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.count_if(F.col("emailVerified")).alias("n_verified"),
+            F.count_if(F.col("email").like("%@placeholder.com")).alias("n_placeholder"),
+        )
+        .orderBy("provider")
+    )
+
+
+def users_pipeline_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine side of the validation split: violation reason -> row
+    count (reference error channel, user_transformer.py:370-377)."""
+    from firebase_etl_spark.pipeline import transform_users
+
+    q = transform_users(_messy_users_from_customers(spark, sf_dir)).quarantine
+    return (
+        q.select(F.explode("violations").alias("violation"))
+        .groupBy("violation")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("violation")
+    )

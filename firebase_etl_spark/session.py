@@ -38,6 +38,14 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = cpus
 
+    # Shuffle/spill scratch on tmpfs when available: local single-node runs
+    # stall on /tmp fsyncs (state-store deltas, shuffle files) long before
+    # CPU matters. On a cluster this is the same knob ops point at fast
+    # NVMe — env-overridable either way.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -57,6 +65,8 @@ def get_spark(
         # managed tables (bucketed sinks) land outside the repo
         .config("spark.sql.warehouse.dir", "/tmp/spark-warehouse")
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -17,6 +17,8 @@ the engine, no applyInPandasWithState needed for gap sessions).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -114,18 +116,46 @@ def streaming_sessionization(
 
 
 def run_stream_to_memory(
-    spark: SparkSession, plan: DataFrame, name: str, output_mode: str = "append"
+    spark: SparkSession,
+    plan: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Drive a bounded streaming plan to completion into an in-memory table;
-    returns the materialized result as a batch DataFrame (test/smoke path)."""
-    q = (
-        plan.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+    returns the materialized result as a batch DataFrame (test/smoke path).
+
+    ``state_partitions`` sizes the state store for the bounded local drive:
+    a streaming agg pins one state-store instance (with per-batch delta
+    checkpoints) per shuffle partition for the life of the query, so 32
+    partitions over a few thousand windows is pure overhead. On a real
+    cluster with unbounded input leave it None (cluster default). The
+    checkpoint goes on tmpfs when available — state durability across
+    driver restarts is a production-checkpoint (object-store path) concern,
+    not a bounded-smoke concern."""
+    import shutil
+    import tempfile
+
+    ckpt_root = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    ckpt = f"{ckpt_root}/spark-stream-ckpt/{name}"
+    conf = spark.conf
+    old_parts = conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        q.processAllAvailable()
+        q = (
+            plan.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        if state_partitions is not None:
+            conf.set("spark.sql.shuffle.partitions", old_parts)
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.sql(f"SELECT * FROM {name}")
