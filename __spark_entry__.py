@@ -33,6 +33,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": Q.q1_pricing_summary,
         "q3_shipping_priority": Q.q3_shipping_priority,
+        "q6_forecast_revenue": Q.q6_forecast_revenue,
+        "q18_large_orders": Q.q18_large_orders,
         "latest_order_per_customer": Q.latest_order_per_customer,
         "customer_order_counts_having": Q.customer_order_counts_having,
         "dup_order_members": Q.dup_order_members,
@@ -71,6 +73,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_set_ops": QX.lineitem_set_ops,
         "documents_clean_corpus": QX.documents_clean_corpus,
         "events_near_pairs": QX.events_near_pairs,
+        "events_salted_type_stats": QX.events_salted_type_stats,
         "events_daily_from_hourly": QX.events_daily_from_hourly,
         "lineitem_cube": QX.lineitem_cube,
         "orders_by_year_month": QX.orders_by_year_month,
@@ -84,9 +87,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- multimodal columns (stub codec; sha256-derived => oracle-checkable) ---
         "media_feature_stats": QX.media_feature_stats,
         "media_dedup_survivors": QX.media_dedup_survivors,
+        "media_thumbnail_stats": QX.media_thumbnail_stats,
+        "media_frame_counts": QX.media_frame_counts,
         # --- streaming twins (rows-only; batch-equivalence pinned in tests) ---
         "stream_hourly_event_counts": QX.stream_hourly_event_counts,
         "stream_user_sessions": QX.stream_user_sessions,
+        "stream_keep_latest_per_user": QX.stream_keep_latest_per_user,
     }
 
 

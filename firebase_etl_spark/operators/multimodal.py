@@ -105,3 +105,100 @@ def media_dedup_exact(df: DataFrame) -> DataFrame:
         .filter(F.col("media_id") == F.col("__keep"))
         .drop("__h", "__keep")
     )
+
+
+RESIZE_SCHEMA = (
+    "media_id long, kind string, payload binary, width int, height int, "
+    "resize_ok boolean"
+)
+
+FRAME_SCHEMA = (
+    "media_id long, frame_idx int, frame_ts_ms long, frame_hash string"
+)
+
+
+def _resize_stub(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic fake resize: a real implementation decodes with
+    PIL/libvips, resizes, re-encodes. The stub derives a pseudo-thumbnail —
+    ``width*height`` bytes streamed from the payload hash — so output size
+    scales with the requested dims and tests can assert on it."""
+    h = hashlib.sha256(payload or b"")
+    out, block = b"", h.digest()
+    need = max(0, width * height)
+    while len(out) < need:
+        block = hashlib.sha256(block).digest()
+        out += block
+    return out[:need]
+
+
+def resize_images(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Thumbnail pass for image rows: mapInPandas over Arrow batches, binary
+    in -> binary out. Non-image rows pass through untouched with
+    ``resize_ok=false`` (filter upstream to skip them entirely — that
+    predicate prunes at the scan)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, kinds = pdf["payload"], pdf["kind"]
+            out_payload, out_ok = [], []
+            for payload, kind in zip(payloads, kinds):
+                raw = bytes(payload) if payload is not None else b""
+                if kind == "image":
+                    out_payload.append(_resize_stub(raw, width, height))
+                    out_ok.append(True)
+                else:
+                    out_payload.append(raw)
+                    out_ok.append(False)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": kinds,
+                    "payload": out_payload,
+                    "width": width,
+                    "height": height,
+                    "resize_ok": out_ok,
+                }
+            )
+
+    return df.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000, max_frames: int = 4) -> DataFrame:
+    """Frame sampling for video rows — the UDTF-shaped multimodal op: one
+    input row fans out to N frame rows. A real implementation seeks with
+    ffmpeg; the stub emits one deterministic frame hash per sample point
+    (sha256 chain over the payload), duration taken from ``meta.duration_ms``
+    (NULL duration -> single frame at t=0). Fan-out happens inside
+    mapInPandas, so the expansion is partition-local — no shuffle until
+    someone aggregates the frames."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, hashes = [], [], [], []
+            for media_id, kind, payload, meta in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["meta"]
+            ):
+                if kind != "video":
+                    continue
+                raw = bytes(payload) if payload is not None else b""
+                duration = None
+                if meta is not None:
+                    duration = meta.get("duration_ms") if isinstance(meta, dict) else meta["duration_ms"]
+                n = 1 if not duration else min(max_frames, max(1, int(duration) // every_ms + 1))
+                block = hashlib.sha256(raw).digest()
+                for i in range(n):
+                    block = hashlib.sha256(block).digest()
+                    ids.append(media_id)
+                    idxs.append(i)
+                    tss.append(i * every_ms)
+                    hashes.append(block.hex())
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_ts_ms": pd.Series(tss, dtype="int64"),
+                    "frame_hash": pd.Series(hashes, dtype="object"),
+                }
+            )
+
+    return df.mapInPandas(run, schema=FRAME_SCHEMA)

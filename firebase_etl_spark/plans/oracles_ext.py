@@ -424,3 +424,67 @@ ORACLES_EXT["users_pipeline_quarantine"] = """
     FROM customer
     WHERE c_custkey % 17 IN (0, 1, 2) AND c_custkey % 3 <> 2
 """
+
+ORACLES_EXT["q6_forecast_revenue"] = """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+ORACLES_EXT["q18_large_orders"] = """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           round(o_totalprice, 2) AS o_totalprice,
+           round(total_qty, 2) AS total_qty
+    FROM orders
+    JOIN (
+        SELECT l_orderkey, sum(l_quantity) AS total_qty
+        FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+    ) big ON o_orderkey = big.l_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+    LIMIT 100
+"""
+
+ORACLES_EXT["media_thumbnail_stats"] = """
+    SELECT count(*) AS n_images,
+           count(DISTINCT sha256(text)) AS n_distinct_thumbs,
+           round(avg(32 * 32), 2) AS avg_thumb_bytes
+    FROM documents WHERE doc_id % 3 = 0
+"""
+
+ORACLES_EXT["media_frame_counts"] = """
+    WITH v AS (
+        SELECT doc_id, CAST((doc_id * 777) % 5000 AS INT) AS d
+        FROM documents WHERE doc_id % 3 = 2
+    ), f AS (
+        SELECT doc_id,
+               CASE WHEN d = 0 THEN 1 ELSE least(4, d // 1000 + 1) END AS n_frames
+        FROM v
+    )
+    SELECT n_frames, count(*) AS n_videos FROM f GROUP BY n_frames ORDER BY n_frames
+"""
+
+# Oracle for the applyInPandasWithState upsert stream: its final state per
+# key is keep-latest, i.e. plain SQL. Ordering runs on microsecond-truncated
+# time (Spark stores micros; events.parquet is nanos) with event_id-desc
+# tiebreak, so both engines pick the same winner even on micro-level ties.
+ORACLES_EXT["stream_keep_latest_per_user"] = """
+    SELECT user_id, ts, event_id, event_type, value FROM (
+        SELECT user_id,
+               make_timestamp(epoch_us(ts)) AS ts,
+               event_id, event_type, value,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC
+               ) AS rn
+        FROM events
+    ) WHERE rn = 1 ORDER BY user_id
+"""
+
+ORACLES_EXT["events_salted_type_stats"] = """
+    SELECT event_type, count(*) AS n_events,
+           round(sum(value), 2) AS total_value,
+           round(min(value), 4) AS min_value,
+           round(max(value), 4) AS max_value
+    FROM events GROUP BY event_type ORDER BY event_type
+"""

@@ -501,7 +501,8 @@ def _documents_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(
             F.lit(None).cast("int").alias("width"),
             F.lit(None).cast("int").alias("height"),
-            F.lit(None).cast("int").alias("duration_ms"),
+            # deterministic fake duration so frame sampling is oracle-checkable
+            ((F.col("doc_id") * 777) % 5000).cast("int").alias("duration_ms"),
         ).alias("meta"),
     )
 
@@ -647,3 +648,92 @@ def users_pipeline_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .orderBy("violation")
     )
+
+
+def media_thumbnail_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize plumbing: binary -> mapInPandas thumbnail (stub codec,
+    output size = width*height) -> rollup. Distinct-thumbnail count equals
+    distinct-payload count (the stub is deterministic per payload), which is
+    what the oracle checks; byte-exact stub output is pinned in pytest."""
+    from firebase_etl_spark.operators.multimodal import resize_images
+
+    media = _documents_as_media(spark, sf_dir).filter(F.col("kind") == "image")
+    thumbs = resize_images(media, width=32, height=32)
+    return thumbs.agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.count_distinct(F.sha2("payload", 256)).alias("n_distinct_thumbs"),
+        F.round(F.avg(F.octet_length("payload")), 2).alias("avg_thumb_bytes"),
+    )
+
+
+def media_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (the UDTF-shaped fan-out): one row per sampled
+    frame, partition-local expansion, then frames-per-video distribution.
+    Frame count derives from meta.duration_ms, mirrored mod-wise by the
+    oracle; frame-hash chain determinism is pinned in pytest."""
+    from firebase_etl_spark.operators.multimodal import sample_frames
+
+    media = _documents_as_media(spark, sf_dir).filter(F.col("kind") == "video")
+    frames = sample_frames(media, every_ms=1000, max_frames=4)
+    per_video = frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_frames"))
+    return (
+        per_video.groupBy("n_frames")
+        .agg(F.count(F.lit(1)).alias("n_videos"))
+        .orderBy("n_frames")
+    )
+
+
+def stream_keep_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming op (applyInPandasWithState upsert stream):
+    final keep-latest row per user. Rows-only driver check; batch
+    equivalence with dedup_keep_latest is pinned in tests/test_streaming."""
+    from firebase_etl_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+        streaming_keep_latest,
+    )
+    import uuid as _uuid
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    name = f"keep_latest_{_uuid.uuid4().hex[:8]}"
+    out = run_stream_to_memory(
+        spark, streaming_keep_latest(stream), name, output_mode="update"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .orderBy("user_id")
+    )
+
+
+def events_salted_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key aggregation via two-phase salting: event_type has only 5
+    distinct values, so at 100 TB every key is hot — a plain groupBy sends
+    ~1/5 of the table to one reducer, while the salted plan combines
+    map-side on (key, salt) first. Result is identical to the plain GROUP
+    BY, which is exactly what the oracle checks."""
+    from firebase_etl_spark.operators.skew import salted_aggregate
+
+    e = load_table(spark, "events", sf_dir)
+    out = salted_aggregate(
+        e,
+        key="event_type",
+        aggs={
+            "n_events": F.count(F.lit(1)),
+            "total_value": F.sum("value"),
+            "min_value": F.min("value"),
+            "max_value": F.max("value"),
+        },
+        salt_buckets=32,
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.round("total_value", 2).alias("total_value"),
+        F.round("min_value", 4).alias("min_value"),
+        F.round("max_value", 4).alias("max_value"),
+    ).orderBy("event_type")

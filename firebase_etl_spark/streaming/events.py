@@ -159,3 +159,75 @@ def run_stream_to_memory(
             conf.set("spark.sql.shuffle.partitions", old_parts)
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.sql(f"SELECT * FROM {name}")
+
+
+def streaming_keep_latest(
+    events: DataFrame,
+    key: str = "user_id",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): last-write-wins
+    materialization per key — the streaming twin of dedup keep-latest
+    (operators/dedup.py) expressed as explicit state instead of a window.
+
+    Per key, state holds the max event time + that event's payload; each
+    micro-batch merges its rows into state and emits the current winner, so
+    the sink sees an upsert stream (one row per key per batch it changed
+    in). State is one tuple per key — bounded by key cardinality, not
+    event count; a watermark-based timeout would age out idle keys when
+    key space is unbounded.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{key} long, ts timestamp, event_id long, event_type string, value double"
+    )
+    state_schema = "ts_micros long, event_id long, event_type string, value double"
+
+    def update(key_tuple, pdfs, state: GroupState):
+        best = None  # (ts_micros, event_id, event_type, value)
+        if state.exists:
+            best = tuple(state.get)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            # vectorized keep-latest: greater (ts, event_id) wins — explicit
+            # tiebreak, same ordering as the batch operator. Per-row Python
+            # would dominate wall time at thousands of groups per batch.
+            micros = pdf["ts"].astype("int64") // 1000
+            top = micros == micros.max()
+            eids = pdf["event_id"][top]
+            i = eids.index[eids.to_numpy().argmax()]
+            cand = (
+                int(micros[i]),
+                int(pdf["event_id"][i]),
+                str(pdf["event_type"][i]),
+                float(pdf["value"][i]),
+            )
+            if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+                best = cand
+        if best is not None:
+            state.update(best)
+            yield pd.DataFrame(
+                {
+                    key: [key_tuple[0]],
+                    "ts": [pd.Timestamp(best[0] * 1000, unit="ns")],
+                    "event_id": [best[1]],
+                    "event_type": [best[2]],
+                    "value": [best[3]],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .select(key, "ts", "event_id", "event_type", "value")
+        .groupBy(key)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -10,6 +10,8 @@ from pyspark.sql import functions as F
 from firebase_etl_spark.operators.multimodal import (
     MEDIA_SCHEMA,
     extract_media_features,
+    resize_images,
+    sample_frames,
     media_dedup_exact,
 )
 from firebase_etl_spark.sinks.files import write_csv, write_json, write_parquet
@@ -83,3 +85,48 @@ def test_media_feature_extraction(spark):
 
     kept = sorted(r["media_id"] for r in media_dedup_exact(df).collect())
     assert kept == [1, 2, 3]                      # dup 4 collapsed into 1
+
+
+def test_resize_images_stub_exact(spark):
+    import hashlib
+
+    rows = [
+        (1, "image", "image/png", b"\x89PNGdata", (4, 4, None)),
+        (2, "audio", "audio/wav", b"RIFFdata", (None, None, 1200)),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in resize_images(df, 8, 8).collect()}
+    # byte-exact vs a local replay of the stub chain
+    block = hashlib.sha256(b"\x89PNGdata").digest()
+    expected = b""
+    while len(expected) < 64:
+        block = hashlib.sha256(block).digest()
+        expected += block
+    assert bytes(out[1]["payload"]) == expected[:64]
+    assert out[1]["resize_ok"] and out[1]["width"] == 8
+    assert not out[2]["resize_ok"]                 # non-image passes through
+    assert bytes(out[2]["payload"]) == b"RIFFdata"
+
+
+def test_sample_frames_fanout_and_determinism(spark):
+    import hashlib
+
+    rows = [
+        (1, "video", None, b"vid1", (None, None, 3500)),  # 4 frames @1000ms
+        (2, "video", None, b"vid2", (None, None, 0)),     # 1 frame (zero dur)
+        (3, "video", None, b"vid3", (None, None, None)),  # 1 frame (null dur)
+        (4, "image", None, b"img", (2, 2, None)),         # skipped
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    frames = sample_frames(df, every_ms=1000, max_frames=4).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert sorted(len(v) for v in by_id.values()) == [1, 1, 4]
+    assert 4 not in by_id
+    f1 = sorted(by_id[1], key=lambda r: r["frame_idx"])
+    assert [r["frame_ts_ms"] for r in f1] == [0, 1000, 2000, 3000]
+    block = hashlib.sha256(b"vid1").digest()
+    for r in f1:  # hash chain replays exactly
+        block = hashlib.sha256(block).digest()
+        assert r["frame_hash"] == block.hex()

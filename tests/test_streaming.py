@@ -70,3 +70,44 @@ def test_streaming_sessionization_runs(spark, events_stream):
     for r in rows:
         assert r["session_end"] > r["session_start"]
         assert r["n_events"] >= 1
+
+
+def test_streaming_keep_latest_matches_batch_dedup(spark):
+    """The stateful upsert stream's final state per key must equal the batch
+    keep-latest window: same (max ts, event_id-desc tiebreak) winner."""
+    from firebase_etl_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+        streaming_keep_latest,
+    )
+    from firebase_etl_spark.operators.dedup import dedup_keep_latest
+    from firebase_etl_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    stream = read_events_stream(spark, f"{sf}/events.parquet")
+    out = run_stream_to_memory(
+        spark, streaming_keep_latest(stream), "keep_latest_t", output_mode="update"
+    )
+    # final emission per key (single-file source => one batch, but stay
+    # robust to multi-batch: later emission wins)
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    stream_final = {
+        r["user_id"]: (r["ts"], r["event_id"])
+        for r in out.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .collect()
+    }
+
+    e = load_table(spark, "events", sf).select("user_id", "ts", "event_id")
+    batch = {
+        r["user_id"]: (r["ts"], r["event_id"])
+        for r in dedup_keep_latest(
+            e, key="user_id", order_col="ts", tiebreaker="event_id"
+        ).collect()
+    }
+    assert stream_final == batch
