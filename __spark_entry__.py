@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_near_pairs": QX.events_near_pairs,
         "events_salted_type_stats": QX.events_salted_type_stats,
         "events_daily_from_hourly": QX.events_daily_from_hourly,
+        "events_sliding_counts": QX.events_sliding_counts,
         "lineitem_cube": QX.lineitem_cube,
         "orders_by_year_month": QX.orders_by_year_month,
         "customer_name_functions": QX.customer_name_functions,

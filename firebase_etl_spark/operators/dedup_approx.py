@@ -20,6 +20,7 @@ rather than value-equality oracles.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -99,18 +100,38 @@ def minhash_signatures(
     """Per-doc MinHash signature: sig[i] = min over shingles of
     xxhash64(shingle, seed_i). Pure Column expressions — the per-seed hash is
     xxhash64 of the shingle concatenated with the seed."""
-    shingles = word_shingles(text_col, shingle_n)
-    # xxhash64(shingle, seed_i): the multi-arg form hashes the tuple — one
-    # JVM hash per (shingle, seed), no per-seed string concat
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i)))
-            )
-            for i in range(num_hashes)
-        ]
+    # Textbook construction: ONE base hash per shingle (JVM xxhash64), then
+    # num_hashes affine mixes a_i*h + b_i of that base hash, min per seed.
+    # The mix runs vectorized in a pandas_udf — as Column expressions it
+    # would be num_hashes interpreted array folds (higher-order functions
+    # don't codegen), and ANSI mode forbids the wrapping multiply anyway
+    # (numpy uint64 wraps, which is exactly what hash mixing wants).
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    rng = np.random.RandomState(0x5EED)
+    a = rng.randint(1, 2**63 - 1, size=num_hashes).astype(np.uint64) | np.uint64(1)
+    b = rng.randint(0, 2**63 - 1, size=num_hashes).astype(np.uint64)
+
+    @pandas_udf("array<long>")
+    def sig(hashes: pd.Series) -> pd.Series:
+        out = []
+        for h in hashes:
+            hv = np.asarray(h, dtype=np.uint64)
+            if hv.size == 0:
+                out.append(np.full(num_hashes, np.iinfo(np.int64).max))
+                continue
+            mixed = a[:, None] * hv[None, :] + b[:, None]  # (seeds, shingles)
+            out.append((mixed.min(axis=1) >> np.uint64(1)).astype(np.int64))
+        return pd.Series(out)
+
+    staged = df.select(
+        F.col(id_col),
+        F.transform(
+            word_shingles(text_col, shingle_n), lambda s: F.xxhash64(s)
+        ).alias("__h"),
     )
-    return df.select(F.col(id_col), sig.alias("signature"))
+    return staged.select(F.col(id_col), sig(F.col("__h")).alias("signature"))
 
 
 def minhash_candidates(
@@ -231,23 +252,27 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     toks = F.array_distinct(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     )
+    # hash each token ONCE (materialized into the array), then fold bits —
+    # folding over raw tokens would re-evaluate xxhash64 per bit position
+    # (64x the hashing work; Catalyst doesn't CSE across when-branches)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
 
     # shift amounts must be Python ints in Spark's shift functions, so the 64
     # bit positions are unrolled at plan-build time
-    def contrib(t):
+    def contrib(h):
         return F.array(
             *[
                 F.when(
-                    F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                    F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
                 ).otherwise(F.lit(-1))
                 for i in range(64)
             ]
         )
 
     sums = F.aggregate(
-        toks,
+        hashes,
         F.array_repeat(F.lit(0), 64),
-        lambda acc, t: F.zip_with(acc, contrib(t), lambda x, y: x + y),
+        lambda acc, h: F.zip_with(acc, contrib(h), lambda x, y: x + y),
     )
     staged = df.select(F.col(id_col), sums.alias("__bitsums"))
     fp = None
@@ -278,17 +303,27 @@ def simhash_near_dups(
     within blocks. At corpus scale, rotate prefixes for full recall; one
     prefix is the demonstration default."""
     sh = simhash(df, text_col, id_col)
-    blocked = sh.withColumn("block", F.shiftrightunsigned("simhash", 64 - prefix_bits))
+    # persist fingerprints before the self-join: both join branches would
+    # otherwise re-evaluate the (wide) bit-fold expression tree
+    blocked = sh.withColumn(
+        "block", F.shiftrightunsigned("simhash", 64 - prefix_bits)
+    ).persist()
     a = blocked.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"), "block"
     )
     b = blocked.select(
         F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"), "block"
     )
-    return (
-        a.join(b, "block")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", hamming_distance(F.col("h_a"), F.col("h_b")))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-    )
+    try:
+        out = (
+            a.join(b, "block")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("hamming", hamming_distance(F.col("h_a"), F.col("h_b")))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming")
+        )
+        # materialize while the fingerprints are cached, then release
+        out = out.localCheckpoint(eager=True)
+    finally:
+        blocked.unpersist()
+    return out

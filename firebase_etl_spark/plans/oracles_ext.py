@@ -488,3 +488,18 @@ ORACLES_EXT["events_salted_type_stats"] = """
            round(max(value), 4) AS max_value
     FROM events GROUP BY event_type ORDER BY event_type
 """
+
+# Sliding windows via explicit window-set expansion: a 2h-window/1h-slide
+# event belongs to windows starting at trunc(ts)-1h and trunc(ts) (epoch-
+# aligned, same alignment Spark uses).
+ORACLES_EXT["events_sliding_counts"] = """
+    SELECT window_start, event_type, count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM (
+        SELECT date_trunc('hour', ts) - to_hours(i) AS window_start,
+               event_type, value
+        FROM events, (SELECT unnest([0, 1]) AS i)
+    )
+    GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+"""

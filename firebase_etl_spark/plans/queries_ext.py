@@ -435,9 +435,16 @@ def lineitem_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("price_p50"),
-            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("price_p90"),
+            # one percentile buffer per group serves both cut points —
+            # separate calls would sort the column once per percentile
+            F.expr("percentile(l_extendedprice, array(0.5, 0.9))").alias("__p"),
             F.round(F.median("l_quantity"), 4).alias("qty_median"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("__p", 1), 4).alias("price_p50"),
+            F.round(F.element_at("__p", 2), 4).alias("price_p90"),
+            "qty_median",
         )
         .orderBy("l_returnflag")
     )
@@ -737,3 +744,26 @@ def events_salted_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("min_value", 4).alias("min_value"),
         F.round("max_value", 4).alias("max_value"),
     ).orderBy("event_type")
+
+
+def events_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation in batch: 2-hour windows every hour, so
+    each event lands in two windows. Spark explodes the window set per row
+    before the shuffle (map-side), then it's a plain hash agg — the same
+    plan Structured Streaming uses for its sliding twin."""
+    e = load_table(spark, "events", sf_dir)
+    win = F.window("ts", "2 hours", "1 hour")
+    return (
+        e.groupBy(win, "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").cast("timestamp").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
