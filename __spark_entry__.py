@@ -35,6 +35,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": Q.q3_shipping_priority,
         "q6_forecast_revenue": Q.q6_forecast_revenue,
         "q18_large_orders": Q.q18_large_orders,
+        "q4_order_priority": Q.q4_order_priority,
+        "q12_shipmode_priority": Q.q12_shipmode_priority,
+        "q14_promo_revenue": Q.q14_promo_revenue,
+        "customer_running_revenue": Q.customer_running_revenue,
+        "order_rank_stats": Q.order_rank_stats,
+        "lineitem_grouping_sets": Q.lineitem_grouping_sets,
         "latest_order_per_customer": Q.latest_order_per_customer,
         "customer_order_counts_having": Q.customer_order_counts_having,
         "dup_order_members": Q.dup_order_members,
@@ -74,6 +80,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_clean_corpus": QX.documents_clean_corpus,
         "events_near_pairs": QX.events_near_pairs,
         "events_salted_type_stats": QX.events_salted_type_stats,
+        "events_distinct_users_approx": QX.events_distinct_users_approx,
         "events_daily_from_hourly": QX.events_daily_from_hourly,
         "events_sliding_counts": QX.events_sliding_counts,
         "lineitem_cube": QX.lineitem_cube,

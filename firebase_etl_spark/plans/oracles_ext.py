@@ -503,3 +503,61 @@ ORACLES_EXT["events_sliding_counts"] = """
     GROUP BY window_start, event_type
     ORDER BY window_start, event_type
 """
+
+ORACLES_EXT["q4_order_priority"] = """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o.o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+ORACLES_EXT["q12_shipmode_priority"] = """
+    SELECT l_returnflag,
+           count(*) FILTER (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS high_line_count,
+           count(*) FILTER (o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= DATE '1997-01-01'
+    GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+ORACLES_EXT["q14_promo_revenue"] = """
+    SELECT round(
+        100.0 * sum(CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+        / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-04-01'
+"""
+
+ORACLES_EXT["customer_running_revenue"] = """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           round(o_totalprice, 2) AS o_totalprice,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders WHERE o_custkey <= 5
+    ORDER BY o_custkey, o_orderdate, o_orderkey
+"""
+
+ORACLES_EXT["order_rank_stats"] = """
+    SELECT o_orderstatus, o_orderkey,
+           round(o_totalprice, 2) AS o_totalprice,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           round(percent_rank() OVER w, 6) AS prnk,
+           ntile(4) OVER w AS quartile
+    FROM orders WHERE o_orderkey <= 2000
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+    ORDER BY o_orderstatus, rnk, o_orderkey
+"""
+
+ORACLES_EXT["lineitem_grouping_sets"] = """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_items,
+           round(sum(l_extendedprice), 2) AS total_price,
+           grouping(l_returnflag) AS g_flag,
+           grouping(l_linestatus) AS g_status
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    ORDER BY g_flag, g_status, l_returnflag, l_linestatus
+"""

@@ -316,3 +316,120 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), "o_orderdate", "o_orderkey")
         .limit(100)
     )
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS subquery as a left-semi join — orders with at
+    least one late lineitem, counted per priority. The semi-join needs only
+    l_orderkey from the probe side (column pruning to one column), and AQE
+    picks broadcast for the deduped key set when it's small."""
+    o = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + conditional aggregation (count_if on the
+    priority class). The synthetic schema has no shipmode column, so the
+    class splits on returnflag; the interesting part — pivot-style
+    conditional sums in one pass — is intact."""
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_shipdate") >= F.lit("1997-01-01").cast("date")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count_if(high).alias("high_line_count"),
+            F.count_if(~high).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: broadcast dimension join + ratio of conditional sum
+    to total sum in a single aggregation (no second scan)."""
+    p = load_table(spark, "part", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("date"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.col("p_type").like("PROMO%")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0 * F.sum(F.when(promo, rev).otherwise(F.lit(0.0))) / F.sum(rev),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+def customer_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative window: per-customer running order total in date order
+    (rows between unbounded preceding and current). One hash shuffle on
+    custkey; top-5 customers by key keep the result small."""
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_custkey") <= 5)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    ).orderBy("o_custkey", "o_orderdate", "o_orderkey")
+
+
+def order_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-function family in one pass: rank, dense_rank, percent_rank,
+    ntile(4) over order value within status. Single window shuffle."""
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_orderkey") <= 2000)
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderstatus",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    ).orderBy("o_orderstatus", "rnk", "o_orderkey")
+
+
+def lineitem_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((returnflag, linestatus), (returnflag), ()) —
+    the general form behind rollup/cube, one shuffle for all three levels."""
+    load_table(spark, "lineitem", sf_dir).createOrReplaceTempView("__li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n_items,
+               round(sum(l_extendedprice), 2) AS total_price,
+               grouping(l_returnflag) AS g_flag,
+               grouping(l_linestatus) AS g_status
+        FROM __li_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY g_flag, g_status, l_returnflag, l_linestatus
+        """
+    )

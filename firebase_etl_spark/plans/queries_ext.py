@@ -767,3 +767,19 @@ def events_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "event_type")
     )
+
+
+def events_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct (HyperLogLog++) per event_type next to the exact
+    count — the sketch is the 100 TB cardinality plan (mergeable partials,
+    no distinct shuffle). Engine sketches differ, so this is a rows-only
+    driver check; the <2% relative-error bound is pinned in pytest."""
+    e = load_table(spark, "events", sf_dir)
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+            F.count_distinct("user_id").alias("exact_users"),
+        )
+        .orderBy("event_type")
+    )

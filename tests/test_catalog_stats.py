@@ -77,3 +77,14 @@ def test_user_stats_and_distribution(spark):
 
     nc = null_counts(df, ("email", "provider")).collect()[0]
     assert (nc["email_nulls"], nc["provider_nulls"]) == (1, 0)
+
+
+def test_approx_count_distinct_error_bound(spark):
+    """HLL++ at rsd=0.01 must land within 2% of the exact distinct count."""
+    from firebase_etl_spark.plans.queries_ext import events_distinct_users_approx
+
+    rows = events_distinct_users_approx(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        err = abs(r["approx_users"] - r["exact_users"]) / max(1, r["exact_users"])
+        assert err < 0.02, (r["event_type"], err)
