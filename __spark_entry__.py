@@ -87,8 +87,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_by_year_month": QX.orders_by_year_month,
         "customer_name_functions": QX.customer_name_functions,
         "lineitem_percentiles": QX.lineitem_percentiles,
+        "lineitem_percentiles_approx": QX.lineitem_percentiles_approx,
         "top20_tokens": QX.top20_tokens,
         "embedding_near_dup_pairs": QX.embedding_near_dup_pairs,
+        "embedding_dedup_clusters": QX.embedding_dedup_clusters,
         # --- full user-ETL pipeline (reference main.py shape) ---
         "users_pipeline_report": QX.users_pipeline_report,
         "users_pipeline_quarantine": QX.users_pipeline_quarantine,

@@ -1,0 +1,88 @@
+"""Iterative graph algorithms — the dedup-clustering step.
+
+Pairwise near-dup detection (MinHash/SimHash/cosine) emits edges; turning
+edges into *clusters* (one survivor per group) is connected components —
+the one genuinely iterative algorithm in a training-data pipeline.
+
+Spark-first design: min-label propagation as a driver-side loop of joins.
+Each iteration is one shuffle (edge join + min-agg); ``localCheckpoint``
+truncates lineage per iteration so plans don't grow exponentially, and the
+loop exits on a converged-count check (``changed == 0``). Iteration count is
+bounded by the component diameter — near-dup clusters are shallow (dups of
+dups of one original), so a handful of rounds. For web-scale graphs with
+long chains, switch to the alternating large-star/small-star formulation
+(same join primitives, O(log n) rounds); the loop harness here is the same.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label every node with its component's minimum node id.
+
+    ``edges`` is undirected input (each pair once, either order). Returns
+    (node, component) — component = min id reachable. Deterministic for any
+    edge order.
+    """
+    # symmetrize once; nodes = all endpoints
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym = sym.distinct().localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # candidate label per node: min over neighbors' current labels
+        nbr = (
+            sym.join(labels, sym.u == labels.node)
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+                (F.coalesce(F.col("nbr_min"), F.col("component")) < F.col("component"))
+                .cast("int")
+                .alias("__changed"),
+            )
+            .localCheckpoint(eager=True)  # truncate lineage each round
+        )
+        changed = updated.agg(F.sum("__changed")).collect()[0][0] or 0
+        labels = updated.drop("__changed")
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Cluster summary over a near-dup edge set: one row per component with
+    its representative (min id = the survivor) and member count. Singleton
+    docs (no edges) are not rows here — they are their own survivors."""
+    cc = connected_components(edges, src, dst)
+    return (
+        cc.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .select(
+            F.col("component").alias("representative"),
+            "n_members",
+        )
+    )

@@ -561,3 +561,31 @@ ORACLES_EXT["lineitem_grouping_sets"] = """
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
     ORDER BY g_flag, g_status, l_returnflag, l_linestatus
 """
+
+# Connected components in SQL: recursive reachability closure over the
+# symmetrized near-dup edges, then min reachable id per node = component.
+ORACLES_EXT["embedding_dedup_clusters"] = """
+    WITH nv AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> x / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                                               CAST(embedding AS DOUBLE[])))) AS ve
+        FROM embeddings
+    ), pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM nv a JOIN nv b ON a.vec_id < b.vec_id
+        WHERE round(list_inner_product(a.ve, b.ve), 6) >= 0.4
+    ), edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ), walk AS (
+        WITH RECURSIVE r(node, label) AS (
+            SELECT u, u FROM edges
+            UNION
+            SELECT e.v, r.label FROM r JOIN edges e ON r.node = e.u
+        )
+        SELECT node, min(label) AS component FROM r GROUP BY node
+    )
+    SELECT component AS representative, count(*) AS n_members
+    FROM walk GROUP BY component ORDER BY representative
+"""

@@ -783,3 +783,41 @@ def events_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> connected components -> cluster summary: the step
+    that turns pairwise similarity into dedup groups. Iterative min-label
+    propagation (operators/graph.py); the oracle replays it as a recursive
+    CTE over the identical edge set."""
+    from firebase_etl_spark.operators.graph import dedup_clusters
+    from firebase_etl_spark.operators.similarity import cosine_all_pairs_blas
+
+    e = load_table(spark, "embeddings", sf_dir)
+    edges = cosine_all_pairs_blas(e, threshold=0.4)
+    return dedup_clusters(edges).orderBy("representative")
+
+
+def lineitem_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (Greenwald-Khanna sketch) next to exact —
+    the 100 TB quantile plan: mergeable per-partition sketches, no sort.
+    Sketches are engine-specific, so rows-only; the accuracy bound vs the
+    exact percentile is pinned in pytest."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "approx_percentile(l_extendedprice, array(0.5, 0.9), 1000)"
+            ).alias("__ap"),
+            F.expr("percentile(l_extendedprice, array(0.5, 0.9))").alias("__ep"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("__ap", 1), 2).alias("approx_p50"),
+            F.round(F.element_at("__ap", 2), 2).alias("approx_p90"),
+            F.round(F.element_at("__ep", 1), 2).alias("exact_p50"),
+            F.round(F.element_at("__ep", 2), 2).alias("exact_p90"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -88,3 +88,14 @@ def test_approx_count_distinct_error_bound(spark):
     for r in rows:
         err = abs(r["approx_users"] - r["exact_users"]) / max(1, r["exact_users"])
         assert err < 0.02, (r["event_type"], err)
+
+
+def test_approx_percentile_error_bound(spark):
+    """GK sketch at accuracy=1000 must land within 1% relative error."""
+    from firebase_etl_spark.plans.queries_ext import lineitem_percentiles_approx
+
+    rows = lineitem_percentiles_approx(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        for a, e in ((r["approx_p50"], r["exact_p50"]), (r["approx_p90"], r["exact_p90"])):
+            assert abs(a - e) / abs(e) < 0.01, (r["l_returnflag"], a, e)

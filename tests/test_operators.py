@@ -98,3 +98,28 @@ def test_conflict_resolution(spark):
     assert "k2" not in ids                     # collision rewritten
     assert {r["v"] for r in rows} == {"a", "b", "c"}
     assert not ids & {"k2", "k9"}
+
+
+def test_connected_components_labels_and_clusters(spark):
+    from firebase_etl_spark.operators.graph import connected_components, dedup_clusters
+
+    # two components {1,2,3,7} (chain + cross edge) and {10,11}; 99 isolated
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 7), (7, 1), (10, 11)], "id_a long, id_b long"
+    )
+    cc = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
+    cl = {r["representative"]: r["n_members"] for r in dedup_clusters(edges).collect()}
+    assert cl == {1: 4, 10: 2}
+
+
+def test_connected_components_long_chain_converges(spark):
+    from firebase_etl_spark.operators.graph import connected_components
+
+    # path graph 0-1-2-...-12: worst-case diameter for label propagation
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    cc = connected_components(edges).collect()
+    assert {r["component"] for r in cc} == {0}
+    assert len(cc) == 13
