@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_near_pairs": QX.events_near_pairs,
         "events_salted_type_stats": QX.events_salted_type_stats,
         "events_distinct_users_approx": QX.events_distinct_users_approx,
+        "events_stratified_sample": QX.events_stratified_sample,
         "events_daily_from_hourly": QX.events_daily_from_hourly,
         "events_sliding_counts": QX.events_sliding_counts,
         "lineitem_cube": QX.lineitem_cube,

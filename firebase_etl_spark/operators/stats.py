@@ -72,3 +72,18 @@ def with_observed_counts(df: DataFrame, name: str, conditions: dict):
         F.count_if(cond).alias(metric) for metric, cond in conditions.items()
     ]
     return df.observe(obs, *metrics), obs
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling (``sampleBy``) — the rebalancing step
+    of a training-data pipeline (e.g. downsample over-represented languages
+    or event types). One scan, no shuffle: each row draws against its
+    stratum's fraction. Deterministic for a fixed seed and partitioning;
+    exact-count-per-stratum sampling would need a window (sort by random,
+    row_number <= n) at one shuffle — this is the cheap path."""
+    return df.sampleBy(strata_col, fractions=fractions, seed=seed)

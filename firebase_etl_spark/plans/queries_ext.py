@@ -821,3 +821,26 @@ def lineitem_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+def events_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling by event_type (rebalancing), then per-stratum
+    achieved counts next to the population counts. Sampler is
+    engine-specific => rows-only; proportion tolerance + seed-determinism
+    pinned in pytest."""
+    from firebase_etl_spark.operators.stats import stratified_sample
+
+    e = load_table(spark, "events", sf_dir)
+    fractions = {"click": 0.1, "view": 0.05, "purchase": 1.0, "signup": 1.0, "error": 0.5}
+    s = stratified_sample(e, "event_type", fractions)
+    pop = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_total"))
+    smp = s.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_sampled"))
+    return (
+        pop.join(smp, "event_type", "left")
+        .select(
+            "event_type",
+            "n_total",
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+        )
+        .orderBy("event_type")
+    )

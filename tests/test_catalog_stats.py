@@ -99,3 +99,22 @@ def test_approx_percentile_error_bound(spark):
     for r in rows:
         for a, e in ((r["approx_p50"], r["exact_p50"]), (r["approx_p90"], r["exact_p90"])):
             assert abs(a - e) / abs(e) < 0.01, (r["l_returnflag"], a, e)
+
+
+def test_stratified_sample_proportions_and_determinism(spark):
+    from firebase_etl_spark.plans.queries_ext import events_stratified_sample
+
+    rows1 = events_stratified_sample(spark, "/root/testdata/sf0.01").collect()
+    rows2 = events_stratified_sample(spark, "/root/testdata/sf0.01").collect()
+    assert [tuple(r) for r in rows1] == [tuple(r) for r in rows2]  # same seed
+    fr = {"click": 0.1, "view": 0.05, "purchase": 1.0, "signup": 1.0, "error": 0.5}
+    for r in rows1:
+        want = fr[r["event_type"]]
+        got = r["n_sampled"] / r["n_total"]
+        # Bernoulli tolerance: full strata are exact, others within 4 sigma
+        if want == 1.0:
+            assert got == 1.0
+        else:
+            import math
+            sigma = math.sqrt(want * (1 - want) / r["n_total"])
+            assert abs(got - want) < 4 * sigma, (r["event_type"], got, want)

@@ -50,3 +50,47 @@ def test_limit_zero_schema_probe_no_scan(spark, sf_dir):
     df = load_table(spark, "lineitem", sf_dir)
     assert len(df.schema.fields) == 11  # no job ran to get this
     assert df.limit(0).count() == 0
+
+
+def test_q6_all_filters_pushed(spark, sf_dir):
+    df = Q.q6_forecast_revenue(spark, sf_dir)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert has_pushed_filter(df, col), col
+    # projection pruned to the four needed columns
+    schemas = scans_read_columns(df)
+    assert schemas and all("l_orderkey" not in s for s in schemas)
+
+
+def test_q14_broadcasts_dimension(spark, sf_dir):
+    assert uses_broadcast_join(Q.q14_promo_revenue(spark, sf_dir))
+
+
+def test_q18_top100_no_global_sort(spark, sf_dir):
+    assert "TakeOrderedAndProject" in physical_plan(Q.q18_large_orders(spark, sf_dir))
+
+
+def test_q4_semi_join_prunes_probe_side(spark, sf_dir):
+    df = Q.q4_order_priority(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "LeftSemi" in plan
+    # lineitem probe side reads only the join key + pushed filter column
+    schemas = scans_read_columns(df)
+    assert any(
+        "l_orderkey" in s and "l_quantity" not in s and "l_extendedprice" not in s
+        for s in schemas
+    ), schemas
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Data skipping: reading one partition of a partitionBy'd dataset must
+    plan partition filters, not scan-and-filter."""
+    from firebase_etl_spark.sinks.files import write_parquet
+
+    li = load_table(spark, "lineitem", "/root/testdata/sf0.001")
+    path = str(tmp_path / "li_by_flag")
+    write_parquet(li, path, partition_by=["l_returnflag"])
+    rd = spark.read.parquet(path).filter(F.col("l_returnflag") == "R")
+    plan = physical_plan(rd)
+    assert "PartitionFilters" in plan and "l_returnflag" in plan.split("PartitionFilters", 1)[1][:200]
+    n_r = rd.count()
+    assert 0 < n_r < li.count()
