@@ -90,6 +90,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_percentiles": QX.lineitem_percentiles,
         "lineitem_percentiles_approx": QX.lineitem_percentiles_approx,
         "top20_tokens": QX.top20_tokens,
+        "top_bigrams_udtf": QX.top_bigrams_udtf,
+        "orders_moving_avg": QX.orders_moving_avg,
         "embedding_near_dup_pairs": QX.embedding_near_dup_pairs,
         "embedding_dedup_clusters": QX.embedding_dedup_clusters,
         # --- full user-ETL pipeline (reference main.py shape) ---

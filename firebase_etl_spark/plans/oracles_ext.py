@@ -589,3 +589,29 @@ ORACLES_EXT["embedding_dedup_clusters"] = """
     SELECT component AS representative, count(*) AS n_members
     FROM walk GROUP BY component ORDER BY representative
 """
+
+ORACLES_EXT["orders_moving_avg"] = """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           round(o_totalprice, 2) AS o_totalprice,
+           round(avg(o_totalprice) OVER w, 2) AS avg_30d,
+           count(*) OVER w AS n_30d
+    FROM orders WHERE o_custkey <= 10
+    WINDOW w AS (
+        PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+        RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
+    )
+    ORDER BY o_custkey, o_orderdate, o_orderkey
+"""
+
+ORACLES_EXT["top_bigrams_udtf"] = """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+        FROM documents
+    ), grams AS (
+        SELECT tk[i] || ' ' || tk[i + 1] AS ngram
+        FROM toks, LATERAL (SELECT unnest(range(1, len(tk))) AS i)
+    )
+    SELECT ngram, count(*) AS n FROM grams
+    GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20
+"""

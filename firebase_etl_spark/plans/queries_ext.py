@@ -844,3 +844,47 @@ def events_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def orders_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame: per-customer 30-day trailing average
+    order value — frame bounded by event-time interval, not row count, so
+    sparse and dense histories get the same semantics. One shuffle on
+    custkey; frame evaluation is sort-local within the partition."""
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_custkey") <= 10)
+    # NTZ -> TZ timestamp -> epoch seconds (direct NTZ->long cast is
+    # rejected under ANSI; session TZ is pinned UTC so this is exact)
+    epoch_s = F.unix_seconds(F.col("o_orderdate").cast("timestamp"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(epoch_s)
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.round(F.avg("o_totalprice").over(w), 2).alias("avg_30d"),
+        F.count(F.lit(1)).over(w).alias("n_30d"),
+    ).orderBy("o_custkey", "o_orderdate", "o_orderkey")
+
+
+def top_bigrams_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus bigrams via a real Python UDTF (lateral join shape):
+    the table-function API counterpart of the explode-based top20_tokens.
+    Oracle replays the n-gram expansion with SQL list ops."""
+    from firebase_etl_spark.operators.udtf import NGrams
+
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    d.createOrReplaceTempView("__docs_udtf")
+    spark.udtf.register("ngrams_udtf", NGrams)
+    expanded = spark.sql(
+        "SELECT g.ngram FROM __docs_udtf, LATERAL ngrams_udtf(doc_id, text) AS g"
+    )
+    return (
+        expanded.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "ngram")
+        .limit(20)
+    )

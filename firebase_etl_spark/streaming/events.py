@@ -231,3 +231,57 @@ def streaming_keep_latest(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_upsert_parquet(
+    spark: SparkSession,
+    plan: DataFrame,
+    path: str,
+    key: str,
+    name: str,
+    state_partitions: int | None = 8,
+) -> None:
+    """Production-shaped streaming sink: foreachBatch drives each
+    micro-batch through the batch upsert (sinks/merge.py), so the target
+    parquet is a keyed materialized view of the stream — last write per key
+    wins within a batch, later batches overwrite earlier keys. The same
+    foreachBatch body targets Delta/Iceberg MERGE or a JDBC upsert in
+    production; foreachBatch is the bridge that reuses batch sinks from
+    streaming without a dedicated connector."""
+    import shutil
+    import tempfile
+
+    from firebase_etl_spark.sinks.merge import upsert
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not os.path.isdir(path):
+            batch_df.write.mode("overwrite").parquet(path)
+            return
+        merged = upsert(spark.read.parquet(path), batch_df, key)
+        staged = f"{path.rstrip('/')}.staging"
+        # materialize to staging BEFORE touching the dir being read, then swap
+        merged.write.mode("overwrite").parquet(staged)
+        shutil.rmtree(path)
+        os.replace(staged, path)
+
+    ckpt_root = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    ckpt = f"{ckpt_root}/spark-stream-ckpt/{name}"
+    conf = spark.conf
+    old_parts = conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            plan.writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        if state_partitions is not None:
+            conf.set("spark.sql.shuffle.partitions", old_parts)
+        shutil.rmtree(ckpt, ignore_errors=True)

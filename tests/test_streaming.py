@@ -111,3 +111,35 @@ def test_streaming_keep_latest_matches_batch_dedup(spark):
         ).collect()
     }
     assert stream_final == batch
+
+
+def test_foreachbatch_upsert_materializes_keep_latest(spark, tmp_path):
+    """Streaming keep-latest driven through a foreachBatch parquet upsert:
+    the final table must equal the batch dedup — one row per user, latest
+    (ts, event_id) wins — regardless of micro-batch boundaries."""
+    from firebase_etl_spark.streaming.events import (
+        read_events_stream,
+        stream_upsert_parquet,
+        streaming_keep_latest,
+    )
+    from firebase_etl_spark.operators.dedup import dedup_keep_latest
+    from firebase_etl_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    path = str(tmp_path / "users_latest")
+    stream = read_events_stream(spark, f"{sf}/events.parquet")
+    stream_upsert_parquet(
+        spark, streaming_keep_latest(stream), path, key="user_id", name="fb_upsert_t"
+    )
+    got = {
+        r["user_id"]: (r["ts"], r["event_id"])
+        for r in spark.read.parquet(path).collect()
+    }
+    e = load_table(spark, "events", sf).select("user_id", "ts", "event_id")
+    want = {
+        r["user_id"]: (r["ts"], r["event_id"])
+        for r in dedup_keep_latest(
+            e, key="user_id", order_col="ts", tiebreaker="event_id"
+        ).collect()
+    }
+    assert got == want
