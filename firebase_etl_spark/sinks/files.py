@@ -41,3 +41,37 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_mb: int = 128,
+) -> int:
+    """Small-files compaction — the operational fix for streaming/incremental
+    sinks that accumulate thousands of tiny files (each file costs a task +
+    a namenode/liststatus entry at read time). Sizes the rewrite from actual
+    on-disk bytes, repartitions to ~target_file_mb outputs, writes to a
+    staging dir and swaps. Returns the new file count.
+
+    On object stores the swap step becomes a manifest/metadata commit
+    (Delta/Iceberg rewriteDataFiles); the sizing logic is identical."""
+    import math
+    import os
+    import shutil
+
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    staged = f"{path.rstrip('/')}.compacting"
+    df.repartition(n).write.mode("overwrite").parquet(staged)
+    shutil.rmtree(path)
+    os.replace(staged, path)
+    return sum(
+        1 for _, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+    )

@@ -113,3 +113,24 @@ def test_ivf_topk_exact_rerank_and_recall(spark, embeddings):
         exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
     hit = sum(len(approx_by_q.get(q, set()) & s) for q, s in exact_sets.items())
     assert hit > 0
+
+
+def test_winnow_fingerprints_edit_locality(spark):
+    """Identical docs share all prints; a one-word edit keeps most prints
+    (winnowing's guarantee); disjoint text shares none."""
+    from firebase_etl_spark.operators.text import winnow_fingerprints
+    import pyspark.sql.functions as F
+
+    base = " ".join(f"w{i}" for i in range(60))
+    edited = " ".join(("XX" if i == 30 else f"w{i}") for i in range(60))
+    other = " ".join(f"z{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, edited), (4, other)], "doc_id long, text string"
+    )
+    p = {
+        r["doc_id"]: set(r["prints"]) for r in winnow_fingerprints(df).collect()
+    }
+    assert p[1] == p[2]
+    overlap = len(p[1] & p[3]) / len(p[1] | p[3])
+    assert overlap > 0.5, overlap
+    assert not (p[1] & p[4])

@@ -130,3 +130,19 @@ def test_sample_frames_fanout_and_determinism(spark):
     for r in f1:  # hash chain replays exactly
         block = hashlib.sha256(block).digest()
         assert r["frame_hash"] == block.hex()
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    from firebase_etl_spark.sinks.files import compact_parquet
+    from firebase_etl_spark.sources.tables import load_table
+
+    li = load_table(spark, "lineitem", "/root/testdata/sf0.001")
+    path = str(tmp_path / "fragmented")
+    li.repartition(64).write.parquet(path)  # simulate tiny-file buildup
+    import os
+
+    before = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    n_rows = li.count()
+    after = compact_parquet(spark, path, target_file_mb=128)
+    assert before == 64 and after < 8
+    assert spark.read.parquet(path).count() == n_rows
