@@ -100,11 +100,22 @@ def token_set(col: Column | str) -> Column:
 
 
 def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (the MinHash input unit)."""
+    """Distinct word n-gram shingles (the MinHash input unit).
+
+    Built as a zip_with chain of shifted copies: each zip_with evaluates its
+    two input arrays ONCE and maps lambda-bound elements, so the whole thing
+    is O(n x tokens). The transform-over-sequence formulation with
+    slice(toks, i, n) in the lambda re-evaluates the tokenizer per position
+    (outer-array references in HOF lambdas are re-evaluated per element —
+    no hoisting, no CSE). zip_with pads the shorter (shifted) array with
+    nulls and concat null-propagates, so partial trailing shingles drop out
+    in the final filter."""
     toks = tokenize(col)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
-    return F.array_distinct(grams)
+    acc = toks
+    for i in range(1, n):
+        shifted = F.slice(toks, i + 1, F.greatest(F.size(toks) - i, F.lit(1)))
+        acc = F.zip_with(acc, shifted, lambda x, y: F.concat(x, F.lit(" "), y))
+    return F.array_distinct(F.filter(acc, lambda x: x.isNotNull()))
 
 
 def text_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
