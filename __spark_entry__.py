@@ -107,6 +107,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_hourly_event_counts": QX.stream_hourly_event_counts,
         "stream_user_sessions": QX.stream_user_sessions,
         "stream_keep_latest_per_user": QX.stream_keep_latest_per_user,
+        "stream_sliding_counts": QX.stream_sliding_counts,
+        "stream_dedup_events": QX.stream_dedup_events,
     }
 
 

@@ -905,3 +905,35 @@ def doc_winnow_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("n_prints"), 4).alias("avg_prints_per_doc"),
     ).crossJoin(corpus)
+
+
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding windows (2h window / 1h slide) — the streaming twin
+    of events_sliding_counts (which is the oracle-checked batch form)."""
+    from firebase_etl_spark.streaming.events import streaming_event_counts
+
+    return _run_bounded_stream(
+        spark,
+        sf_dir,
+        lambda s: streaming_event_counts(s, window="2 hours", slide="1 hour"),
+        "stream_sliding",
+    )
+
+
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup within the watermark horizon
+    (dropDuplicatesWithinWatermark on (user_id, event_type)): emits the
+    first event per key seen inside the horizon; state ages out with event
+    time. Results depend on micro-batch arrival order => rows-only; the
+    per-key uniqueness invariant is what tests pin."""
+    from firebase_etl_spark.streaming.events import streaming_dedup
+
+    out = _run_bounded_stream(
+        spark,
+        sf_dir,
+        lambda s: streaming_dedup(s, keys=["user_id", "event_type"]),
+        "stream_dedup",
+    )
+    return out.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_emitted")
+    )

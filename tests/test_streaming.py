@@ -143,3 +143,30 @@ def test_foreachbatch_upsert_materializes_keep_latest(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_stream_dedup_emits_once_per_key(spark):
+    from firebase_etl_spark.plans.queries_ext import stream_dedup_events
+
+    rows = stream_dedup_events(spark, "/root/testdata/sf0.001").collect()
+    assert rows and all(r["n_emitted"] == 1 for r in rows)
+
+
+def test_stream_sliding_matches_batch_sliding(spark):
+    """Closed sliding windows from the stream must agree with the batch
+    sliding-window aggregation on (window_start, event_type) counts."""
+    from firebase_etl_spark.plans.queries_ext import (
+        events_sliding_counts,
+        stream_sliding_counts,
+    )
+
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in stream_sliding_counts(spark, "/root/testdata/sf0.001").collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in events_sliding_counts(spark, "/root/testdata/sf0.001").collect()
+    }
+    # append mode emits only watermark-closed windows: subset, value-equal
+    assert got and all(want.get(k) == v for k, v in got.items())
