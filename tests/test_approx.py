@@ -134,3 +134,30 @@ def test_winnow_fingerprints_edit_locality(spark):
     overlap = len(p[1] & p[3]) / len(p[1] | p[3])
     assert overlap > 0.5, overlap
     assert not (p[1] & p[4])
+
+
+def test_kmeans_centroids_improve_ivf_assignment(spark, embeddings):
+    """Lloyd's iterations must not worsen the clustering objective: mean
+    max-cosine-to-centroid after refinement >= seeded start (monotone
+    non-decreasing objective is k-means' invariant), and centroids stay
+    unit-norm and k-sized."""
+    import numpy as np
+    from firebase_etl_spark.operators.similarity import kmeans_centroids
+
+    pdf = embeddings.toPandas()
+    mat = np.stack([np.array(v, dtype=np.float64) for v in pdf["embedding"]])
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+
+    def objective(cents):
+        c = np.array(cents)
+        return float(np.mean((mat @ c.T).max(axis=1)))
+
+    seeds = [
+        list(v)
+        for v in mat[np.isin(pdf["vec_id"].to_numpy(), [i * 31 for i in range(16)])]
+    ]
+    c0 = kmeans_centroids(embeddings, k=16, iters=0)
+    c5 = kmeans_centroids(embeddings, k=16, iters=3)
+    assert len(c5) == 16 and all(abs(np.linalg.norm(c) - 1) < 1e-9 for c in c5)
+    assert objective(c5) >= objective(c0) - 1e-9
+    assert objective(c5) > objective(seeds) - 1e-9
