@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_order_priority": Q.q4_order_priority,
         "q12_shipmode_priority": Q.q12_shipmode_priority,
         "q14_promo_revenue": Q.q14_promo_revenue,
+        "q17_small_quantity_revenue": Q.q17_small_quantity_revenue,
         "customer_running_revenue": Q.customer_running_revenue,
         "order_rank_stats": Q.order_rank_stats,
         "lineitem_grouping_sets": Q.lineitem_grouping_sets,
@@ -68,6 +69,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_lsh": QX.embedding_topk_lsh,
         "embedding_topk_ivf": QX.embedding_topk_ivf,
         "events_json_stats": QX.events_json_stats,
+        "events_props_key_stats": QX.events_props_key_stats,
         "user_sessions": QX.user_sessions,
         "events_asof_orders": QX.events_asof_orders,
         "lineitem_summary_stats": QX.lineitem_summary_stats,

@@ -615,3 +615,20 @@ ORACLES_EXT["top_bigrams_udtf"] = """
     SELECT ngram, count(*) AS n FROM grams
     GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20
 """
+
+ORACLES_EXT["q17_small_quantity_revenue"] = """
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_type LIKE 'PROMO%'
+      AND l_quantity < (
+          SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = lineitem.l_partkey
+      )
+"""
+
+ORACLES_EXT["events_props_key_stats"] = """
+    SELECT k AS key, count(*) AS n
+    FROM (SELECT unnest(json_keys(props)) AS k FROM events WHERE props IS NOT NULL)
+    GROUP BY k ORDER BY k
+"""

@@ -433,3 +433,25 @@ def lineitem_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY g_flag, g_status, l_returnflag, l_linestatus
         """
     )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery — lineitems below 20% of
+    their part's average quantity. Catalyst decorrelates the subquery into
+    an aggregate + join (no per-row re-execution); expressed via spark.sql
+    so the decorrelation path itself is exercised. The part filter
+    broadcasts; the per-part average is a map-side-combinable agg."""
+    load_table(spark, "lineitem", sf_dir).createOrReplaceTempView("__li_q17")
+    load_table(spark, "part", sf_dir).createOrReplaceTempView("__p_q17")
+    return spark.sql(
+        """
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM __li_q17, __p_q17
+        WHERE p_partkey = l_partkey
+          AND p_type LIKE 'PROMO%'
+          AND l_quantity < (
+              SELECT 0.2 * avg(l_quantity) FROM __li_q17 l2
+              WHERE l2.l_partkey = __li_q17.l_partkey
+          )
+        """
+    )

@@ -937,3 +937,17 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).alias("n_emitted")
     )
+
+
+def events_props_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed JSON: parse props into map<string,string>, explode the
+    keys, count key frequency — the schema-on-read path for ragged JSON
+    (vs get_json_object's single-path extraction in events_json_stats)."""
+    e = load_table(spark, "events", sf_dir)
+    m = F.from_json("props", "map<string,string>")
+    return (
+        e.select(F.explode(F.map_keys(m)).alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("key")
+    )
