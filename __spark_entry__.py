@@ -39,6 +39,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_shipmode_priority": Q.q12_shipmode_priority,
         "q14_promo_revenue": Q.q14_promo_revenue,
         "q17_small_quantity_revenue": Q.q17_small_quantity_revenue,
+        "q5_local_supplier_volume": Q.q5_local_supplier_volume,
+        "q10_returned_items": Q.q10_returned_items,
         "customer_running_revenue": Q.customer_running_revenue,
         "order_rank_stats": Q.order_rank_stats,
         "lineitem_grouping_sets": Q.lineitem_grouping_sets,

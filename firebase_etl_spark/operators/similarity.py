@@ -10,8 +10,10 @@ Two paths (SURVEY.md extension inventory):
   for recall); exact cosine re-rank inside buckets. Sub-linear candidate
   sets at scale; recall measured against brute force in tests.
 
-Dot products run in double precision via zip_with/aggregate — native
-Column expressions; Arrow/Pandas UDFs are not needed for 64-dim vectors.
+Pairwise dot products run in double precision via zip_with/aggregate
+(small probe sets); bulk vector math (LSH bucketing, all-pairs cosine)
+runs as vectorized numpy over Arrow batches — higher-order Column
+expressions evaluate interpreted and lose to BLAS at matrix shapes.
 """
 
 from __future__ import annotations

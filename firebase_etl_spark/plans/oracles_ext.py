@@ -632,3 +632,27 @@ ORACLES_EXT["events_props_key_stats"] = """
     FROM (SELECT unnest(json_keys(props)) AS k FROM events WHERE props IS NOT NULL)
     GROUP BY k ORDER BY k
 """
+
+ORACLES_EXT["q5_local_supplier_volume"] = """
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name ORDER BY revenue DESC, n_name
+"""
+
+ORACLES_EXT["q10_returned_items"] = """
+    SELECT c_custkey, c_name, n_name, c_mktsegment,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY c_custkey, c_name, n_name, c_mktsegment
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
