@@ -41,6 +41,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity_revenue": Q.q17_small_quantity_revenue,
         "q5_local_supplier_volume": Q.q5_local_supplier_volume,
         "q10_returned_items": Q.q10_returned_items,
+        "q19_disjunctive_revenue": Q.q19_disjunctive_revenue,
+        "customer_order_arrays": Q.customer_order_arrays,
         "customer_running_revenue": Q.customer_running_revenue,
         "order_rank_stats": Q.order_rank_stats,
         "lineitem_grouping_sets": Q.lineitem_grouping_sets,

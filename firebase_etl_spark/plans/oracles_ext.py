@@ -656,3 +656,20 @@ ORACLES_EXT["q10_returned_items"] = """
     GROUP BY c_custkey, c_name, n_name, c_mktsegment
     ORDER BY revenue DESC, c_custkey LIMIT 20
 """
+
+ORACLES_EXT["q19_disjunctive_revenue"] = """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_type LIKE 'PROMO%' AND l_quantity BETWEEN 1 AND 11)
+       OR (p_type LIKE 'STANDARD%' AND l_quantity BETWEEN 10 AND 20)
+       OR (p_size <= 5 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+ORACLES_EXT["customer_order_arrays"] = """
+    SELECT o_custkey,
+           min(o_orderdate) AS first_order,
+           max(o_orderdate) AS last_order,
+           count(*) AS n_orders
+    FROM orders WHERE o_custkey <= 50
+    GROUP BY o_custkey ORDER BY o_custkey
+"""

@@ -513,3 +513,45 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive branches over the joined
+    pair. Catalyst extracts the common p_partkey=l_partkey conjunct so the
+    join stays an equi-join (broadcast), with the OR residual as a post-join
+    filter; per-branch quantity bands keep each disjunct selective."""
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    branch1 = (
+        F.col("p_type").like("PROMO%") & (F.col("l_quantity").between(1, 11))
+    )
+    branch2 = (
+        F.col("p_type").like("STANDARD%") & (F.col("l_quantity").between(10, 20))
+    )
+    branch3 = (F.col("p_size") <= 5) & (F.col("l_quantity").between(20, 30))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(branch1 | branch2 | branch3)
+        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+    )
+
+
+def customer_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: per-customer ordered event history built with
+    collect_list + array_sort, then scalar projections off the array
+    (first/last/count). Output stays scalar so the oracle is trivially the
+    min/max/count pair — the array path is the exercised machinery."""
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_custkey") <= 50)
+    arr = F.array_sort(F.collect_list("o_orderdate"))
+    return (
+        o.groupBy("o_custkey")
+        .agg(arr.alias("__dates"))
+        .select(
+            "o_custkey",
+            F.element_at("__dates", 1).alias("first_order"),
+            F.element_at("__dates", -1).alias("last_order"),
+            F.size("__dates").alias("n_orders"),
+        )
+        .orderBy("o_custkey")
+    )
