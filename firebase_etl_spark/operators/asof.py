@@ -31,24 +31,36 @@ def asof_join(
     right_tiebreak: str | None = None,
 ) -> DataFrame:
     """Backward as-of join. Returns all left columns + ``right_payload``
-    columns (NULL where no right row precedes the left row)."""
+    columns (NULL where no right row precedes the left row).
+
+    The right payload travels as ONE struct and is carried with a single
+    ``last(struct, ignoreNulls)`` — the matched row is atomic, so a NULL in
+    one payload column can never stitch values from different right rows
+    (merge_asof / ASOF JOIN whole-row semantics). The tiebreak orders in its
+    native type; casting to long would NULL out string ids and make tie
+    resolution nondeterministic.
+    """
     tiebreak = right_tiebreak or right_payload[0]
+
+    r_payload_t = right.select(
+        F.struct(*[F.col(c) for c in right_payload]).alias("__r")
+    ).schema["__r"].dataType
 
     l_tagged = left.select(
         F.col(left_on).alias("__key"),
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__is_left"),
-        F.lit(None).cast("long").alias("__rtb"),
+        F.lit(None).cast(right.schema[tiebreak].dataType).alias("__rtb"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_payload],
+        F.lit(None).cast(r_payload_t).alias("__r"),
     )
     r_tagged = right.select(
         F.col(right_on).alias("__key"),
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__is_left"),
-        F.col(tiebreak).cast("long").alias("__rtb"),
+        F.col(tiebreak).alias("__rtb"),
         F.lit(None).cast(l_tagged.schema["__l"].dataType).alias("__l"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_payload],
+        F.struct(*[F.col(c) for c in right_payload]).alias("__r"),
     )
     unioned = l_tagged.unionByName(r_tagged)
 
@@ -62,12 +74,9 @@ def asof_join(
     carried = unioned.select(
         "__is_left",
         "__l",
-        *[
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__rv_{c}")
-            for c in right_payload
-        ],
+        F.last(F.col("__r"), ignorenulls=True).over(w).alias("__rv"),
     )
     out_cols = [F.col(f"__l.{c}").alias(c) for c in left.columns] + [
-        F.col(f"__rv_{c}").alias(c) for c in right_payload
+        F.col(f"__rv.{c}").alias(c) for c in right_payload
     ]
     return carried.filter(F.col("__is_left") == 1).select(*out_cols)

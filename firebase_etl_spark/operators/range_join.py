@@ -29,28 +29,33 @@ def range_join(
     """Inner range join: all (left, right) pairs with matching key and
     ``right_time`` in [left_time - before, left_time + after]. Returns all
     columns of both sides."""
-    span = before_seconds + after_seconds
-    granule = granule_seconds or max(span, 1)
+    # microsecond precision: a whole-second cast would merge sub-second
+    # boundary cases differently than timestamp-native engines (DuckDB
+    # epoch_us); granule stays >= span so the bucket math is unchanged
+    before_us = before_seconds * 1_000_000
+    after_us = after_seconds * 1_000_000
+    span_us = before_us + after_us
+    granule_us = (granule_seconds or 0) * 1_000_000 or max(span_us, 1)
 
-    l_epoch = F.col(left_time).cast("long")
-    r_epoch = F.col(right_time).cast("long")
+    l_epoch = F.unix_micros(F.col(left_time))
+    r_epoch = F.unix_micros(F.col(right_time))
 
     # left row explodes into every bucket its interval touches
     l_bucketed = left.withColumn(
         "__lb",
         F.explode(
             F.sequence(
-                F.floor((l_epoch - before_seconds) / granule).cast("long"),
-                F.floor((l_epoch + after_seconds) / granule).cast("long"),
+                F.floor((l_epoch - before_us) / granule_us).cast("long"),
+                F.floor((l_epoch + after_us) / granule_us).cast("long"),
             )
         ),
     )
-    r_bucketed = right.withColumn("__rb", F.floor(r_epoch / granule).cast("long"))
+    r_bucketed = right.withColumn("__rb", F.floor(r_epoch / granule_us).cast("long"))
 
     joined = l_bucketed.join(
         r_bucketed,
         (F.col(left_on) == F.col(right_on)) & (F.col("__lb") == F.col("__rb")),
     ).drop("__lb", "__rb")
     return joined.filter(
-        (r_epoch >= l_epoch - before_seconds) & (r_epoch <= l_epoch + after_seconds)
+        (r_epoch >= l_epoch - before_us) & (r_epoch <= l_epoch + after_us)
     )

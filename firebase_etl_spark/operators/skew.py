@@ -19,32 +19,38 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+# final-phase recombiners for decomposable partial aggregates: partial
+# counts/sums re-sum, partial min/max re-min/re-max. Anything else (avg,
+# stddev, percentiles, ...) is NOT closed under recombination and must be
+# rewritten by the caller as a ratio/merge of decomposable partials.
+_RECOMBINE = {"sum": F.sum, "min": F.min, "max": F.max}
+
+
 def salted_aggregate(
     df: DataFrame,
     key: str,
-    aggs: dict[str, Column],
+    aggs: dict[str, tuple[Column, str]],
     salt_buckets: int = 32,
 ) -> DataFrame:
     """Two-phase aggregation for skewed keys. ``aggs`` maps output column ->
-    partial aggregate expression; supported finals: sum-of-sums and
-    max-of-max / min-of-min are composed by the caller choosing re-combinable
-    aggregates (sum, min, max, count via sum)."""
+    ``(partial_expr, recombine)`` where ``recombine`` is one of ``"sum"``
+    (for count/sum partials), ``"min"``, ``"max"``. The spec is explicit —
+    no introspection of the Column — so a non-decomposable aggregate raises
+    here instead of silently recombining wrong (e.g. avg summed as
+    sum-of-avgs)."""
+    finals = []
+    for name, (expr, how) in aggs.items():
+        if how not in _RECOMBINE:
+            raise ValueError(
+                f"salted_aggregate: aggregate {name!r} requests recombine "
+                f"{how!r}; only {sorted(_RECOMBINE)} are decomposable. "
+                "Rewrite avg/stddev/etc. as ratios of sum/count partials."
+            )
+        finals.append(_RECOMBINE[how](F.col(f"__p_{name}")).alias(name))
     salted = df.withColumn("__salt", (F.rand(seed=42) * salt_buckets).cast("int"))
     partial = salted.groupBy(key, "__salt").agg(
-        *[expr.alias(f"__p_{name}") for name, expr in aggs.items()]
+        *[expr.alias(f"__p_{name}") for name, (expr, _) in aggs.items()]
     )
-    # recombine: counts/sums re-sum; min/max re-min/re-max. The partial
-    # expression's class decides — callers pass F.sum/F.count/F.min/F.max.
-    finals = []
-    for name, expr in aggs.items():
-        fn_name = expr._jc.toString() if hasattr(expr, "_jc") else ""
-        src = F.col(f"__p_{name}")
-        if "min(" in fn_name:
-            finals.append(F.min(src).alias(name))
-        elif "max(" in fn_name:
-            finals.append(F.max(src).alias(name))
-        else:  # count and sum both recombine by summing
-            finals.append(F.sum(src).alias(name))
     return partial.groupBy(key).agg(*finals)
 
 

@@ -59,7 +59,7 @@ ORACLES_EXT: dict[str, str] = {
     "doc_lang_stats": f"""
         SELECT lang, count(*) AS n_docs,
                round(avg(n_chars), 2) AS avg_chars,
-               sum(len({_TOKS})) AS total_tokens
+               CAST(sum(len({_TOKS})) AS BIGINT) AS total_tokens
         FROM documents GROUP BY lang ORDER BY lang
     """,
     "doc_exact_dedup_summary": """
@@ -67,8 +67,8 @@ ORACLES_EXT: dict[str, str] = {
             SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
             FROM documents
         ), per AS (SELECT fp, count(*) AS n FROM fp GROUP BY fp)
-        SELECT sum(n) AS n_docs, count(*) AS n_distinct,
-               coalesce(sum(CASE WHEN n > 1 THEN n END), 0) AS n_dup_docs
+        SELECT CAST(sum(n) AS BIGINT) AS n_docs, count(*) AS n_distinct,
+               CAST(coalesce(sum(CASE WHEN n > 1 THEN n END), 0) AS BIGINT) AS n_dup_docs
         FROM per
     """,
     "doc_jaccard_vs_queries": f"""
@@ -119,7 +119,7 @@ ORACLES_EXT: dict[str, str] = {
         WITH tagged AS (
             SELECT user_id, ts, event_id,
                    CASE WHEN lag(ts) OVER w IS NULL
-                             OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                         THEN 1 ELSE 0 END AS new_session
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -236,7 +236,8 @@ ORACLES_EXT: dict[str, str] = {
         FROM events a JOIN events b
           ON a.user_id = b.user_id
          AND a.event_id < b.event_id
-         AND epoch(b.ts) BETWEEN epoch(a.ts) - 120 AND epoch(a.ts) + 120
+         AND epoch_us(b.ts) BETWEEN epoch_us(a.ts) - 120000000
+                                AND epoch_us(a.ts) + 120000000
         GROUP BY a.user_id ORDER BY a.user_id
     """,
     "events_daily_from_hourly": """
@@ -310,7 +311,7 @@ ORACLES_EXT["media_feature_stats"] = """
                sha256(text) AS h
         FROM documents
     )
-    SELECT kind, count(*) AS n_media, sum(n_bytes) AS total_bytes,
+    SELECT kind, count(*) AS n_media, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
            count(DISTINCT h) AS n_unique,
            round(avg(CAST(CAST(concat('0x', substr(h, 1, 2)) AS INT) / 255.0 AS FLOAT)), 6) AS avg_f0
     FROM media GROUP BY kind ORDER BY kind
@@ -479,6 +480,75 @@ ORACLES_EXT["stream_keep_latest_per_user"] = """
                ) AS rn
         FROM events
     ) WHERE rn = 1 ORDER BY user_id
+"""
+
+# Bounded append-mode streaming twins ARE oracle-expressible: with one
+# input file the run is deterministic — the engine emits exactly the
+# windows whose end precedes the final watermark (max event time - delay).
+# The oracles replay that semantics in SQL: aggregate, then keep windows
+# with end <= max(ts) - delay. Timestamps compare on microsecond precision
+# (make_timestamp(epoch_us(ts))) matching Spark's nanos->micros truncation.
+ORACLES_EXT["stream_hourly_event_counts"] = """
+    WITH e AS (SELECT make_timestamp(epoch_us(ts)) AS ts, event_type, value FROM events),
+    wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM e),
+    g AS (
+        SELECT date_trunc('hour', ts) AS window_start,
+               date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+               event_type, count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM e GROUP BY 1, 2, 3
+    )
+    SELECT g.* FROM g, wm WHERE g.window_end <= wm.w
+"""
+
+ORACLES_EXT["stream_sliding_counts"] = """
+    WITH e AS (SELECT make_timestamp(epoch_us(ts)) AS ts, event_type, value FROM events),
+    wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM e),
+    g AS (
+        SELECT date_trunc('hour', ts) - to_hours(i) AS window_start,
+               date_trunc('hour', ts) - to_hours(i) + INTERVAL 2 HOUR AS window_end,
+               event_type, value
+        FROM e, (SELECT unnest([0, 1]) AS i)
+    ), agg AS (
+        SELECT window_start, window_end, event_type, count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM g GROUP BY 1, 2, 3
+    )
+    SELECT agg.* FROM agg, wm WHERE agg.window_end <= wm.w
+"""
+
+# session_window semantics: events merge while the next starts strictly
+# inside [prev, prev+gap); session end = last event + gap; emitted once the
+# watermark (max ts - 30 min) passes the session end.
+ORACLES_EXT["stream_user_sessions"] = """
+    WITH e AS (SELECT user_id, make_timestamp(epoch_us(ts)) AS ts, value FROM events),
+    wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM e),
+    tagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                    THEN 1 ELSE 0 END AS ns
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+        SELECT user_id, ts, value,
+               sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM tagged
+    ), per AS (
+        SELECT min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               user_id, count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM s GROUP BY user_id, sid
+    )
+    SELECT per.* FROM per, wm WHERE per.session_end <= wm.w
+"""
+
+# Single input file => single micro-batch: dropDuplicatesWithinWatermark
+# emits exactly one row per present key, so the emission count is exact SQL.
+ORACLES_EXT["stream_dedup_events"] = """
+    SELECT user_id, event_type, CAST(1 AS BIGINT) AS n_emitted
+    FROM events GROUP BY user_id, event_type
 """
 
 ORACLES_EXT["events_salted_type_stats"] = """

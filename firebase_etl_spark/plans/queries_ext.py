@@ -116,10 +116,12 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     same (user_id, ts) partitioning — one shuffle."""
     e = load_table(spark, "events", sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # compare on microsecond longs (unix_micros vs DuckDB epoch_us) so both
+    # engines resolve sub-second gaps at the 30-min boundary identically
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
     tagged = e.withColumn(
         "new_session",
-        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+        F.when(gap.isNull() | (gap > 1800 * 1_000_000), F.lit(1)).otherwise(F.lit(0)),
     )
     sessioned = tagged.withColumn(
         "session_id",
@@ -730,10 +732,10 @@ def events_salted_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         e,
         key="event_type",
         aggs={
-            "n_events": F.count(F.lit(1)),
-            "total_value": F.sum("value"),
-            "min_value": F.min("value"),
-            "max_value": F.max("value"),
+            "n_events": (F.count(F.lit(1)), "sum"),
+            "total_value": (F.sum("value"), "sum"),
+            "min_value": (F.min("value"), "min"),
+            "max_value": (F.max("value"), "max"),
         },
         salt_buckets=32,
     )

@@ -21,18 +21,41 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     """Read one synthetic table as a DataFrame (lazy parquet scan).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark reads as a raw
-    nanosecond long (``spark.sql.legacy.parquet.nanosAsLong``); convert to a
-    microsecond TimestampType exactly as DuckDB truncates it, so oracle
-    comparisons agree.
+    ``events.ts`` is parquet TIMESTAMP(NANOS, isAdjustedToUTC=false). How that
+    arrives depends on the session the caller hands us:
+
+    * sessions built with ``spark.sql.legacy.parquet.nanosAsLong`` (our own
+      ``get_spark``) read it as a raw nanosecond ``bigint``;
+    * plain Spark 4.1 sessions read it as ``timestamp_ntz`` truncated to
+      microseconds (matching DuckDB's truncation);
+    * older/conservative sessions refuse the scan with PARQUET_TYPE_ILLEGAL,
+      in which case we set the legacy conf at runtime and retry.
+
+    All flavors are normalized to a UTC-instant TimestampType at microsecond
+    precision so downstream ``cast('long')`` epoch arithmetic and DuckDB
+    oracle comparisons agree regardless of who built the session.
     """
     sf_dir = sf_dir or DEFAULT_SF_DIR
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        # PARQUET_TYPE_ILLEGAL: this session can't map TIMESTAMP(NANOS);
+        # the legacy conf is runtime-settable, so flip it and retry.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
     for field in df.schema.fields:
-        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+        if field.name != "ts":
+            continue
+        kind = field.dataType.simpleString()
+        if kind == "bigint":
             # integer division — `/` would go through double and lose
             # precision at 1e18 nanos
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif kind == "timestamp_ntz":
+            # naive micros are UTC wall clock; pin them to UTC instants so the
+            # result is independent of spark.sql.session.timeZone
+            df = df.withColumn("ts", F.expr("to_utc_timestamp(ts, 'UTC')"))
     return df
 
 

@@ -49,7 +49,17 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
     raw = reader.parquet(path)
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # The forced-long read of the TIMESTAMP(NANOS) column is conf-dependent:
+    # sessions built with spark.sql.legacy.parquet.nanosAsLong deliver raw
+    # NANOS, while a plain session's reader truncates to MICROS before
+    # applying the long schema (and flipping the conf at runtime does not
+    # reach the already-planned streaming source). Disambiguate by
+    # magnitude: any date after 1973 is >= 1e17 in nanos, while micros stay
+    # < 1e16 until year 2286 — the two ranges cannot overlap for real data.
+    micros = F.when(
+        F.col("ts") >= F.lit(10**17), F.expr("ts div 1000")
+    ).otherwise(F.col("ts"))
+    return raw.withColumn("ts", F.timestamp_micros(micros))
 
 
 def streaming_event_counts(
@@ -115,6 +125,37 @@ def streaming_sessionization(
     )
 
 
+def _await_no_data_batch(q, timeout_s: float = 15.0) -> None:
+    """Block until the engine has run a no-data micro-batch after the last
+    data batch (or ``timeout_s`` passes).
+
+    ``processAllAvailable()`` returns as soon as all SOURCE data is
+    committed — but append-mode windowed aggregations only emit when the
+    watermark advances, which happens in the no-data batch the engine
+    schedules right AFTER the last data batch
+    (``spark.sql.streaming.noDataMicroBatches.enabled``). Stopping the
+    query immediately races that batch and the sink sees zero finalized
+    windows. Bounded-drive concern only: an unbounded production stream
+    always has a next batch.
+    """
+    import time
+
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        # oldest-first scan: a 0-input batch only counts once a data batch
+        # precedes it (the source's warm-up batches are also 0-input)
+        seen_data = False
+        progresses = q.recentProgress
+        for p in progresses:
+            if p and p["numInputRows"] > 0:
+                seen_data = True
+            elif p is not None and seen_data:
+                return
+        if not progresses and q.lastProgress is None:
+            return  # query never produced progress; nothing to wait for
+        time.sleep(0.1)
+
+
 def run_stream_to_memory(
     spark: SparkSession,
     plan: DataFrame,
@@ -152,6 +193,10 @@ def run_stream_to_memory(
         )
         try:
             q.processAllAvailable()
+            if output_mode == "append":
+                # update/complete sinks see rows at the data batch itself;
+                # only append-mode windows need the watermark flush batch
+                _await_no_data_batch(q)
         finally:
             q.stop()
     finally:
@@ -195,7 +240,11 @@ def streaming_keep_latest(
             # vectorized keep-latest: greater (ts, event_id) wins — explicit
             # tiebreak, same ordering as the batch operator. Per-row Python
             # would dominate wall time at thousands of groups per batch.
-            micros = pdf["ts"].astype("int64") // 1000
+            # Arrow may hand the batch over as datetime64[ns] OR
+            # datetime64[us] depending on session confs/pandas version — a
+            # bare astype(int64) silently yields different units, so pin the
+            # unit before going to integers.
+            micros = pdf["ts"].astype("datetime64[us]").astype("int64")
             top = micros == micros.max()
             eids = pdf["event_id"][top]
             i = eids.index[eids.to_numpy().argmax()]
@@ -212,7 +261,7 @@ def streaming_keep_latest(
             yield pd.DataFrame(
                 {
                     key: [key_tuple[0]],
-                    "ts": [pd.Timestamp(best[0] * 1000, unit="ns")],
+                    "ts": [pd.Timestamp(best[0], unit="us")],
                     "event_id": [best[1]],
                     "event_type": [best[2]],
                     "value": [best[3]],

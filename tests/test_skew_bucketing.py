@@ -27,14 +27,22 @@ def test_salted_aggregate_matches_plain(spark):
             df,
             "k",
             {
-                "n": F.count(F.lit(1)),
-                "s": F.sum("v"),
-                "mx": F.max("v"),
+                "n": (F.count(F.lit(1)), "sum"),
+                "s": (F.sum("v"), "sum"),
+                "mx": (F.max("v"), "max"),
             },
             salt_buckets=8,
         ).collect()
     }
     assert salted == plain
+
+
+def test_salted_aggregate_rejects_non_decomposable(spark):
+    import pytest
+
+    df = spark.createDataFrame([("a", 1)], "k string, v int")
+    with pytest.raises(ValueError, match="decomposable"):
+        salted_aggregate(df, "k", {"m": (F.avg("v"), "avg")})
 
 
 def test_salted_join_matches_plain(spark):
