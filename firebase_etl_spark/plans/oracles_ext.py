@@ -1,8 +1,11 @@
 """DuckDB oracle twins for the extension queries.
 
-MinHash/SimHash/LSH queries are intentionally absent (engine-hash-dependent;
-the driver records rows-only checks and tests/ measure recall vs brute
-force). Everything else is exact.
+SimHash/winnowing and the sketch queries (HLL, GK percentiles, seeded
+sampling) are intentionally absent (engine-hash/sketch-dependent; the
+driver records rows-only checks and tests/ pin their invariants).
+MinHash-near-dups and LSH-topk DO have oracles: their exact verification /
+re-rank stage is amplified to full recall on this corpus, so the outputs
+equal their brute-force twins. Everything else is exact.
 """
 
 # language-ID argmax as SQL (same marker sets + tiebreak priority as
@@ -302,6 +305,38 @@ ORACLES_EXT: dict[str, str] = {
             (SELECT count(*) FROM (SELECT * FROM r_keys INTERSECT SELECT * FROM a_keys)) AS both_orders
     """,
 }
+
+# ann_topk_lsh's exact re-rank equals brute-force top-k because LSH_TABLES
+# is OR-amplified to 100% candidate recall on this corpus (measured at
+# sf0.01; deterministic hyperplanes + data) — so it shares the oracle.
+ORACLES_EXT["embedding_topk_lsh"] = ORACLES_EXT["embedding_topk_bruteforce"]
+
+# minhash_near_dups verifies candidates with EXACT shingle Jaccard, and the
+# banded candidate set has full recall on this corpus (equals brute force
+# at sf0.01) — so the verified output is the exact pair set below. Word
+# 2-gram shingles over whitespace tokens, both sides distinct-deduped.
+ORACLES_EXT["doc_minhash_near_dups"] = r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(tk)),
+                                            i -> tk[i] || ' ' || tk[i + 1])) AS sh
+        FROM toks
+    )
+    SELECT id_a, id_b, jaccard FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.sh, b.sh)) * 1.0
+                     / nullif(len(list_distinct(list_concat(a.sh, b.sh))), 0),
+                     6) AS jaccard
+        FROM sh a JOIN sh b
+          ON a.doc_id < b.doc_id
+         -- sound prune: J(A,B) >= 0.5 forces |A| and |B| within 2x of
+         -- each other, so the list ops run on ~1/3 of the n^2 pairs
+         AND len(a.sh) * 2 >= len(b.sh) AND len(b.sh) * 2 >= len(a.sh)
+    ) WHERE jaccard >= 0.5
+"""
 
 ORACLES_EXT["media_feature_stats"] = """
     WITH media AS (

@@ -87,3 +87,30 @@ def list_tables(spark: SparkSession, cfg: JdbcConfig, like: str | None = None) -
     if like:
         q += f" AND table_name ILIKE '%{like}%'"
     return read_query(spark, cfg, q)
+
+
+def execute_batch(connect, statements: list[str]) -> int:
+    """Batch SQL executor (K8, reference sql_extraction.py:252-282): run a
+    list of DDL/DML statements in ONE transaction — commit only after every
+    statement succeeds, roll back on the first failure.
+
+    Takes a zero-arg ``connect`` callable returning a DB-API connection
+    (psycopg2, pg8000, ...) rather than going through Spark: statement
+    batches are a control-plane concern (CREATE TABLE, GRANT, maintenance
+    DML) — Spark's JDBC source moves DataFrames, it does not execute
+    arbitrary statements. Returns the number of statements executed."""
+    connection = connect()
+    cursor = None
+    try:
+        cursor = connection.cursor()
+        for statement in statements:
+            cursor.execute(statement)
+        connection.commit()
+        return len(statements)
+    except Exception:
+        connection.rollback()
+        raise
+    finally:
+        if cursor is not None:
+            cursor.close()
+        connection.close()

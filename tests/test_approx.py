@@ -161,3 +161,22 @@ def test_kmeans_centroids_improve_ivf_assignment(spark, embeddings):
     assert len(c5) == 16 and all(abs(np.linalg.norm(c) - 1) < 1e-9 for c in c5)
     assert objective(c5) >= objective(c0) - 1e-9
     assert objective(c5) > objective(seeds) - 1e-9
+
+
+def test_grid_all_pairs_matches_blas_baseline(spark, embeddings):
+    """The block-matrix grid join (scale path, no driver materialization)
+    must emit the byte-identical pair set as the broadcast BLAS baseline,
+    for block counts that do and don't divide the corpus evenly."""
+    base = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in SIM.cosine_all_pairs_blas(embeddings, threshold=0.3).collect()
+    }
+    assert base  # threshold low enough that the invariant is non-vacuous
+    for n_blocks in (1, 3, 8):
+        grid = {
+            (r["id_a"], r["id_b"]): r["cosine_sim"]
+            for r in SIM.cosine_all_pairs_grid(
+                embeddings, threshold=0.3, n_blocks=n_blocks
+            ).collect()
+        }
+        assert grid == base, f"n_blocks={n_blocks}"

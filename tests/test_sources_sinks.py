@@ -146,3 +146,58 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
     after = compact_parquet(spark, path, target_file_mb=128)
     assert before == 64 and after < 8
     assert spark.read.parquet(path).count() == n_rows
+
+
+class _FakeCursor:
+    def __init__(self, fail_on=None):
+        self.executed, self.closed, self.fail_on = [], False, fail_on
+
+    def execute(self, stmt):
+        if self.fail_on is not None and stmt == self.fail_on:
+            raise RuntimeError(f"boom: {stmt}")
+        self.executed.append(stmt)
+
+    def close(self):
+        self.closed = True
+
+
+class _FakeConn:
+    def __init__(self, fail_on=None):
+        self.cur = _FakeCursor(fail_on)
+        self.committed = self.rolled_back = self.conn_closed = False
+
+    def cursor(self):
+        return self.cur
+
+    def commit(self):
+        self.committed = True
+
+    def rollback(self):
+        self.rolled_back = True
+
+    def close(self):
+        self.conn_closed = True
+
+
+def test_execute_batch_commits_once_after_all():
+    from firebase_etl_spark.sources.jdbc import execute_batch
+
+    conn = _FakeConn()
+    n = execute_batch(lambda: conn, ["CREATE TABLE t (a int)", "INSERT INTO t VALUES (1)"])
+    assert n == 2
+    assert conn.cur.executed == ["CREATE TABLE t (a int)", "INSERT INTO t VALUES (1)"]
+    assert conn.committed and not conn.rolled_back
+    assert conn.cur.closed and conn.conn_closed
+
+
+def test_execute_batch_rolls_back_on_failure():
+    import pytest
+
+    from firebase_etl_spark.sources.jdbc import execute_batch
+
+    conn = _FakeConn(fail_on="BAD SQL")
+    with pytest.raises(RuntimeError, match="boom"):
+        execute_batch(lambda: conn, ["INSERT INTO t VALUES (1)", "BAD SQL", "never"])
+    assert conn.rolled_back and not conn.committed
+    assert "never" not in conn.cur.executed
+    assert conn.cur.closed and conn.conn_closed
