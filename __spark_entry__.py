@@ -42,6 +42,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_local_supplier_volume": Q.q5_local_supplier_volume,
         "q10_returned_items": Q.q10_returned_items,
         "q19_disjunctive_revenue": Q.q19_disjunctive_revenue,
+        "q7_nation_volume": Q.q7_nation_volume,
+        "q8_market_share": Q.q8_market_share,
+        "q13_customer_distribution": Q.q13_customer_distribution,
+        "q15_top_supplier": Q.q15_top_supplier,
+        "q21_waiting_suppliers": Q.q21_waiting_suppliers,
+        "q22_global_sales_opportunity": Q.q22_global_sales_opportunity,
         "customer_order_arrays": Q.customer_order_arrays,
         "customer_running_revenue": Q.customer_running_revenue,
         "order_rank_stats": Q.order_rank_stats,
@@ -109,7 +115,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dedup_survivors": QX.media_dedup_survivors,
         "media_thumbnail_stats": QX.media_thumbnail_stats,
         "media_frame_counts": QX.media_frame_counts,
-        # --- streaming twins (rows-only; batch-equivalence pinned in tests) ---
+        # --- streaming twins (bounded emission is deterministic => 4 of 5
+        # oracle-checked; batch-equivalence also pinned in tests) ---
         "stream_hourly_event_counts": QX.stream_hourly_event_counts,
         "stream_user_sessions": QX.stream_user_sessions,
         "stream_keep_latest_per_user": QX.stream_keep_latest_per_user,

@@ -32,10 +32,24 @@ def connected_components(
     (node, component) — component = min id reachable. Deterministic for any
     edge order.
     """
-    # symmetrize once; nodes = all endpoints
+    # symmetrize with ONE evaluation of the (possibly expensive) edge plan:
+    # a union of e with swapped-e would execute the edge subtree twice —
+    # Spark does not CSE across union branches — so explode both directions
+    # from a single pass instead
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    sym = sym.distinct().localCheckpoint(eager=True)
+    sym = (
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u").alias("u"), F.col("v").alias("v")),
+                    F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+                )
+            ).alias("p")
+        )
+        .select("p.u", "p.v")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()
@@ -43,20 +57,36 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
-        # candidate label per node: min over neighbors' current labels
+        # step 1 — neighbor propagation: min over neighbors' current labels
         nbr = (
             sym.join(labels, sym.u == labels.node)
             .groupBy(F.col("v").alias("node"))
             .agg(F.min("component").alias("nbr_min"))
         )
+        stepped = labels.join(nbr, "node", "left").select(
+            "node",
+            F.col("component").alias("__old"),
+            F.least(
+                F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+            ).alias("__c1"),
+        )
+        # step 2 — pointer jumping (path doubling): follow my label to ITS
+        # label. Neighbor steps alone need diameter rounds (measured 17 on
+        # the sf0.1 near-dup chains); doubling cuts that to O(log d).
+        par = stepped.select(
+            F.col("node").alias("__pn"), F.col("__c1").alias("__pc")
+        )
         updated = (
-            labels.join(nbr, "node", "left")
+            stepped.join(par, stepped.__c1 == par.__pn, "left")
             .select(
                 "node",
                 F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                    F.col("__c1"), F.coalesce(F.col("__pc"), F.col("__c1"))
                 ).alias("component"),
-                (F.coalesce(F.col("nbr_min"), F.col("component")) < F.col("component"))
+                (
+                    F.least(F.col("__c1"), F.coalesce(F.col("__pc"), F.col("__c1")))
+                    < F.col("__old")
+                )
                 .cast("int")
                 .alias("__changed"),
             )

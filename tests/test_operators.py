@@ -123,3 +123,109 @@ def test_connected_components_long_chain_converges(spark):
     cc = connected_components(edges).collect()
     assert {r["component"] for r in cc} == {0}
     assert len(cc) == 13
+
+
+# --- asof_join (operators/asof.py) -----------------------------------------
+
+def _asof_fixture(spark):
+    from datetime import datetime as dt
+
+    left = spark.createDataFrame(
+        [
+            (1, "u1", dt(2024, 1, 10, 12, 0, 0)),
+            (2, "u1", dt(2024, 1, 20, 0, 0, 0)),
+            (3, "u2", dt(2024, 1, 5, 0, 0, 0)),
+        ],
+        "event_id long, user string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", dt(2024, 1, 10, 12, 0, 0), "ord-a", 10.0),
+            ("u1", dt(2024, 1, 10, 12, 0, 0), "ord-b", 20.0),
+            ("u1", dt(2024, 1, 15, 0, 0, 0), "ord-c", 30.0),
+            ("u2", dt(2024, 2, 1, 0, 0, 0), "ord-z", 99.0),
+        ],
+        "user string, ots timestamp, order_id string, amount double",
+    )
+    return left, right
+
+
+def test_asof_join_backward_with_string_tiebreak(spark):
+    """Ties at equal right time resolve by the GREATEST tiebreak in its
+    native type — a string id must not be cast-to-long into NULL (which
+    made tie resolution nondeterministic before round 2)."""
+    from firebase_etl_spark.operators.asof import asof_join
+
+    left, right = _asof_fixture(spark)
+    out = {
+        r["event_id"]: (r["order_id"], r["amount"])
+        for r in asof_join(
+            left, right,
+            left_on="user", right_on="user",
+            left_time="ts", right_time="ots",
+            right_payload=["order_id", "amount"],
+            right_tiebreak="order_id",
+        ).collect()
+    }
+    # event 1: ts == both ord-a/ord-b times (ties match; 'ord-b' > 'ord-a')
+    assert out[1] == ("ord-b", 20.0)
+    # event 2: most recent earlier order is ord-c
+    assert out[2] == ("ord-c", 30.0)
+    # event 3: u2's only order is in the future -> no match
+    assert out[3] == (None, None)
+
+
+def test_asof_join_payload_is_atomic_across_nulls(spark):
+    """A NULL inside the newest matching right row must NOT backfill from an
+    older right row — the payload travels as one struct (merge_asof
+    whole-row semantics)."""
+    from datetime import datetime as dt
+
+    from firebase_etl_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "k", dt(2024, 3, 1))], "event_id long, key string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            ("k", dt(2024, 1, 1), 100, "old-note"),
+            ("k", dt(2024, 2, 1), 200, None),  # newest: note IS NULL
+        ],
+        "key string, rts timestamp, score int, note string",
+    )
+    row = asof_join(
+        left, right,
+        left_on="key", right_on="key",
+        left_time="ts", right_time="rts",
+        right_payload=["score", "note"],
+        right_tiebreak="score",
+    ).collect()[0]
+    assert row["score"] == 200
+    assert row["note"] is None  # NOT "old-note"
+
+
+def test_range_join_subsecond_boundaries(spark):
+    """The bucketized range join compares microsecond epochs: a pair 120.5s
+    apart must NOT match a +/-120s window, one 119.9s apart must."""
+    from datetime import datetime as dt
+
+    from firebase_etl_spark.operators.range_join import range_join
+
+    a = spark.createDataFrame(
+        [(1, "k", dt(2024, 1, 1, 0, 0, 0, 0))], "id_a long, k string, ts_a timestamp"
+    )
+    b = spark.createDataFrame(
+        [
+            (2, "k", dt(2024, 1, 1, 0, 1, 59, 900000)),  # +119.9s -> in
+            (3, "k", dt(2024, 1, 1, 0, 2, 0, 500000)),   # +120.5s -> out
+        ],
+        "id_b long, k2 string, ts_b timestamp",
+    )
+    got = {
+        r["id_b"]
+        for r in range_join(
+            a, b, left_on="k", right_on="k2", left_time="ts_a",
+            right_time="ts_b", before_seconds=120, after_seconds=120,
+        ).collect()
+    }
+    assert got == {2}
