@@ -68,6 +68,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "masked_customer_emails": Q.masked_customer_emails,
         # --- extensions: text analysis / dedup / similarity / events ---
         "doc_text_features": QX.doc_text_features,
+        "doc_token_counts": QX.doc_token_counts,
+        "doc_tfidf_top_terms": QX.doc_tfidf_top_terms,
         "doc_lang_stats": QX.doc_lang_stats,
         "doc_exact_dedup_summary": QX.doc_exact_dedup_summary,
         "doc_jaccard_vs_queries": QX.doc_jaccard_vs_queries,

@@ -25,12 +25,34 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    check_every: int = 2,
+    edges_per_task: int = 100_000,
+    local_edge_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Label every node with its component's minimum node id.
 
     ``edges`` is undirected input (each pair once, either order). Returns
     (node, component) — component = min id reachable. Deterministic for any
     edge order.
+
+    Adaptive execution, same decision shape as broadcast-vs-shuffle joins:
+    the edge set is OUTPUT-sized (near-dup pairs above a threshold), orders
+    of magnitude smaller than the corpus that produced it. At or below
+    ``local_edge_threshold`` edges (~32 MB at 2M — the configured broadcast
+    threshold's order) the materialized edges collect to the driver for
+    union-find with path compression: O(E α(E)) once, versus an iterative
+    join loop that costs ~0.5 s/round in scheduling+broadcast overhead
+    regardless of data size (measured at sf0.1: 11 rounds of pointer-
+    jumped label propagation = ~6 s for an 1840-edge graph). Above the
+    threshold, the distributed loop runs:
+
+    - each round is one join+agg job; the loop's shuffle partitioning is
+      sized from the materialized edge count (``edges_per_task``) because
+      iterative plans under localCheckpoint don't get AQE's runtime
+      coalescing;
+    - a pointer-jumping step per round cuts diameter-bound rounds to
+      roughly half (17 -> 11 measured);
+    - the converged-count action runs every ``check_every`` rounds.
     """
     # symmetrize with ONE evaluation of the (possibly expensive) edge plan:
     # a union of e with swapped-e would execute the edge subtree twice —
@@ -50,13 +72,57 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    spark = edges.sparkSession
+    n_edges = sym.count()  # cheap: sym is checkpointed
+    if n_edges <= local_edge_threshold:
+        return _cc_local(spark, sym)
+    conf = spark.conf
+    old_parts = conf.get("spark.sql.shuffle.partitions")
+    loop_parts = max(1, min(int(old_parts), n_edges // edges_per_task + 1))
+    conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        labels = _cc_loop(sym, max_iter, check_every)
+    finally:
+        conf.set("spark.sql.shuffle.partitions", old_parts)
+    return labels
+
+
+def _cc_local(spark, sym: DataFrame) -> DataFrame:
+    """Driver-side union-find over a small (collected) edge list; returns
+    the same (node, component=min reachable id) frame as the loop."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in sym.collect():
+        u, v = row["u"], row["v"]
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # min id wins as representative => same labels as min-propagation
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+    rows = [(n, find(n)) for n in parent]
+    return spark.createDataFrame(rows, "node long, component long")
+
+
+def _cc_loop(sym: DataFrame, max_iter: int, check_every: int) -> DataFrame:
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # step 1 — neighbor propagation: min over neighbors' current labels
         nbr = (
             sym.join(labels, sym.u == labels.node)
@@ -92,10 +158,11 @@ def connected_components(
             )
             .localCheckpoint(eager=True)  # truncate lineage each round
         )
-        changed = updated.agg(F.sum("__changed")).collect()[0][0] or 0
         labels = updated.drop("__changed")
-        if changed == 0:
-            break
+        if (it + 1) % check_every == 0 or it == max_iter - 1:
+            changed = updated.agg(F.sum("__changed")).collect()[0][0] or 0
+            if changed == 0:
+                break
     return labels
 
 

@@ -190,3 +190,25 @@ def winnow_fingerprints(
     return prints.groupBy(id_col).agg(
         F.array_sort(F.collect_set("__wmin")).alias("prints")
     )
+
+
+#: GPT-2-style pre-tokenizer regex (Radford et al. 2019; the public
+#: tiktoken/gpt2 pattern), simplified to a lookahead-free form so Spark's
+#: Java regex and DuckDB's RE2 match identically: contraction suffixes,
+#: space-prefixed letter runs, digit runs, punctuation runs, whitespace.
+BPEISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpeish_tokens(col: Column | str) -> Column:
+    """Pre-tokenizer segmentation for LLM token accounting: the pieces a
+    BPE vocabulary would merge within. Whitespace-only matches drop (they
+    glue to the following token in real BPE)."""
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.regexp_extract_all(c, F.lit(BPEISH_PATTERN), F.lit(0))
+    return F.filter(pieces, lambda t: F.trim(t) != F.lit(""))
+
+
+def bpeish_token_count(col: Column | str) -> Column:
+    """Approximate LLM token count — the budgeting statistic for training
+    pipelines (tokens-per-doc distributions, corpus token totals)."""
+    return F.size(bpeish_tokens(col))

@@ -74,6 +74,44 @@ ORACLES_EXT: dict[str, str] = {
                CAST(coalesce(sum(CASE WHEN n > 1 THEN n END), 0) AS BIGINT) AS n_dup_docs
         FROM per
     """,
+    # same lookahead-free GPT-2-style pattern as text.py:BPEISH_PATTERN
+    # (SQL-escaped leading quote); Java regex and RE2 agree on it.
+    "doc_token_counts": r"""
+        WITH b AS (
+            SELECT doc_id,
+                   len(regexp_split_to_array(lower(trim(text)), '\s+')) AS ws_tokens,
+                   len(list_filter(
+                       regexp_extract_all(text,
+                           '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'),
+                       t -> trim(t) <> '')) AS bpe_tokens,
+                   length(text) AS n_chars_text
+            FROM documents
+        )
+        SELECT doc_id, ws_tokens, bpe_tokens, n_chars_text,
+               round(n_chars_text * 1.0 / bpe_tokens, 4) AS chars_per_bpe_token
+        FROM b
+    """,
+    "doc_tfidf_top_terms": r"""
+        WITH toks AS (
+            SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+        ), df AS (
+            SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                   round(tf.tf * (ln((n.n_docs + 1) * 1.0 / (df.df + 1)) + 1.0),
+                         6) AS tfidf
+            FROM tf JOIN df USING (term), n
+        )
+        SELECT doc_id, term, tf, df, tfidf, rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, term
+            ) AS rank FROM scored
+        ) WHERE rank <= 3
+    """,
     "doc_jaccard_vs_queries": f"""
         WITH toks AS (
             SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents

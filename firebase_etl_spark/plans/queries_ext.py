@@ -52,6 +52,58 @@ def doc_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM token accounting: whitespace tokens vs BPE-ish pre-tokenizer
+    pieces (operators/text.py:BPEISH_PATTERN) per document, plus the
+    chars-per-token budgeting ratio. Pure regexp Column expressions —
+    codegen, no Python."""
+    d = load_table(spark, "documents", sf_dir)
+    return d.select(
+        "doc_id",
+        TX.token_count("text").alias("ws_tokens"),
+        TX.bpeish_token_count("text").alias("bpe_tokens"),
+        F.length("text").alias("n_chars_text"),
+        F.round(
+            F.length("text") / TX.bpeish_token_count("text"), 4
+        ).alias("chars_per_bpe_token"),
+    )
+
+
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF relevance scoring, fully relational: explode tokens once,
+    term frequency per (doc, term), document frequency from the SAME
+    aggregate (no second corpus scan), smoothed idf = ln((N+1)/(df+1)) + 1
+    with the corpus size N as a broadcast scalar, top-3 terms per doc by
+    (rounded score desc, term asc). Two shuffles (tf agg, df agg) + one
+    broadcast join back — the shape that holds at corpus scale."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select("doc_id", F.explode(TX.tokenize("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + 1) / (F.col("df") + 1))
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rank")
+    )
+
+
 def doc_exact_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
     return DA.exact_dedup_summary(d)

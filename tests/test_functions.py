@@ -114,3 +114,15 @@ def test_placeholder_email_and_uuid(spark):
     ids = [r[0] for r in spark.range(100).select(uuid20().alias("u")).collect()]
     assert all(len(i) == 20 for i in ids)
     assert len(set(ids)) == 100
+
+
+def test_bpeish_tokenizer_segmentation(spark):
+    """GPT-2-style pre-tokenizer: contractions split off, letter/digit/punct
+    runs separate, whitespace glues forward (dropped as standalone)."""
+    from firebase_etl_spark.operators.text import bpeish_tokens
+
+    df = spark.createDataFrame(
+        [("it's 42 files, don't panic!",)], "text string"
+    )
+    toks = df.select(bpeish_tokens("text").alias("t")).collect()[0]["t"]
+    assert toks == ["it", "'s", " 42", " files", ",", " don", "'t", " panic", "!"]

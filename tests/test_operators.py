@@ -125,6 +125,29 @@ def test_connected_components_long_chain_converges(spark):
     assert len(cc) == 13
 
 
+def test_connected_components_local_and_distributed_paths_agree(spark):
+    """The adaptive driver-side union-find (small edge sets) and the
+    distributed label-propagation loop must produce identical labels;
+    threshold=0 forces the loop, the default takes the local path."""
+    from firebase_etl_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)]          # chain 0..9
+        + [(20, 25), (25, 21), (21, 20)]         # triangle
+        + [(40, 41)],
+        "id_a long, id_b long",
+    )
+    local = {
+        r["node"]: r["component"] for r in connected_components(edges).collect()
+    }
+    dist = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, local_edge_threshold=0).collect()
+    }
+    assert local == dist
+    assert local[9] == 0 and local[25] == 20 and local[41] == 40
+
+
 # --- asof_join (operators/asof.py) -----------------------------------------
 
 def _asof_fixture(spark):
