@@ -272,6 +272,59 @@ ORACLES_EXT: dict[str, str] = {
         FROM survivors WHERE rn = 1
         GROUP BY lang, source ORDER BY lang, source
     """,
+    # full pipeline replay: quality gate -> exact dedup -> brute-force
+    # Jaccard near-dup edges (banding recall is full on this corpus) ->
+    # recursive-CTE connected components -> survivor stats.
+    "documents_training_corpus": f"""
+        WITH feat AS (
+            SELECT doc_id, lang, source,
+                   {_TOKS} AS tk,
+                   len({_TOKS}) AS n_tokens,
+                   round(0.4 * (len(list_distinct({_TOKS})) * 1.0 / len({_TOKS}))
+                         + 0.3 * (CASE WHEN len({_TOKS}) BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.5 END)
+                         + 0.3 * (1.0 - abs(len(list_filter({_TOKS}, t -> list_contains(
+                               ['the','a','an','and','or','of','to','in','is','it'], t)))
+                               * 1.0 / len({_TOKS}) - 0.3)), 6) AS quality,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+            FROM documents
+        ), kept AS (
+            SELECT * FROM feat WHERE quality >= 0.8 AND n_tokens >= 30
+        ), exact_kept AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+                FROM kept
+            ) WHERE rn = 1
+        ), sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(tk)),
+                                                i -> tk[i] || ' ' || tk[i + 1])) AS sh
+            FROM exact_kept
+        ), pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sh a JOIN sh b
+              ON a.doc_id < b.doc_id
+             AND len(a.sh) * 2 >= len(b.sh) AND len(b.sh) * 2 >= len(a.sh)
+            WHERE round(len(list_intersect(a.sh, b.sh)) * 1.0
+                        / nullif(len(list_distinct(list_concat(a.sh, b.sh))), 0),
+                        6) >= 0.5
+        ), edges AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION SELECT id_b, id_a FROM pairs
+        ), walk AS (
+            WITH RECURSIVE r(node, label) AS (
+                SELECT u, u FROM edges
+                UNION
+                SELECT e.v, r.label FROM r JOIN edges e ON r.node = e.u
+            )
+            SELECT node, min(label) AS component FROM r GROUP BY node
+        )
+        SELECT lang, source, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               round(avg(quality), 6) AS avg_quality
+        FROM exact_kept
+        WHERE doc_id NOT IN (SELECT node FROM walk WHERE component <> node)
+        GROUP BY lang, source ORDER BY lang, source
+    """,
     "events_near_pairs": """
         SELECT a.user_id, count(*) AS n_pairs
         FROM events a JOIN events b

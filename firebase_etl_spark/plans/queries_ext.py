@@ -399,6 +399,65 @@ def documents_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def documents_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-corpus pipeline — the composition the individual
+    operators exist for: (1) feature-score and quality-gate the corpus,
+    (2) drop exact duplicates (normalized-text fingerprint, lowest doc_id
+    survives), (3) cluster NEAR-duplicates among the remainder (MinHash-LSH
+    candidates, exact-Jaccard verify at 0.5, connected components) and keep
+    one doc per cluster, (4) report per (lang, source): surviving docs,
+    whitespace-token total, average quality.
+
+    Every stage is the scale-shaped operator: hash-window dedup, banded
+    LSH (never O(n^2)), adaptive connected components. The oracle replays
+    all four stages in SQL (brute-force Jaccard + recursive-CTE CC), valid
+    because banding recall is full on this corpus."""
+    from firebase_etl_spark.operators.graph import connected_components
+
+    d = load_table(spark, "documents", sf_dir)
+    feat = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        TX.token_count("text").alias("n_tokens"),
+        TX.quality_score("text").alias("quality"),
+        TX.fingerprint("text").alias("fp"),
+    ).filter((F.col("quality") >= 0.8) & (F.col("n_tokens") >= 30))
+    exact_kept = (
+        feat.withColumn(
+            "__rn", F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .persist()
+    )
+    try:
+        edges = DA.minhash_near_dups(exact_kept, threshold=0.5).select(
+            "id_a", "id_b"
+        )
+        # one doc per near-dup cluster: drop nodes whose component label is
+        # a smaller doc_id; singletons never appear as nodes and survive
+        cc = connected_components(edges)
+        losers = cc.filter(F.col("component") != F.col("node")).select(
+            F.col("node").alias("doc_id")
+        )
+        survivors = exact_kept.join(losers, "doc_id", "left_anti")
+        out = (
+            survivors.groupBy("lang", "source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").alias("total_tokens"),
+                F.round(F.avg("quality"), 6).alias("avg_quality"),
+            )
+            .orderBy("lang", "source")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        exact_kept.unpersist()
+    return out
+
+
 def events_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join: pairs of events from the same user within 120 seconds,
     counted per user. Bucketized (granule = interval width) so the join is a

@@ -94,3 +94,45 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     assert "PartitionFilters" in plan and "l_returnflag" in plan.split("PartitionFilters", 1)[1][:200]
     n_r = rd.count()
     assert 0 < n_r < li.count()
+
+
+def test_q7_nation_pair_filter_pushed_to_both_scans(spark, sf_dir):
+    """The disjunctive nation-pair predicate must split and push into BOTH
+    nation dimension scans (Catalyst infers per-side domains), and every
+    dimension join must broadcast."""
+    df = Q.q7_nation_volume(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("EqualTo(n_name,NATION_1)") >= 2
+    assert uses_broadcast_join(df)
+    assert has_pushed_filter(df, "l_shipdate")
+
+
+def test_q21_semi_anti_joins_no_cartesian(spark, sf_dir):
+    """The correlated EXISTS/NOT EXISTS pair must compile to semi/anti hash
+    joins — never a nested-loop/cartesian shape."""
+    df = Q.q21_waiting_suppliers(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q22_scalar_threshold_broadcasts(spark, sf_dir):
+    """The avg-acctbal scalar joins as a broadcast (one row), and the
+    dormancy check is a left-anti join, not a subquery re-scan per row."""
+    df = Q.q22_global_sales_opportunity(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "LeftAnti" in plan
+    assert uses_broadcast_join(df)
+
+
+def test_grid_all_pairs_no_driver_side_plan(spark, sf_dir):
+    """The grid all-pairs plan is one connected dataflow: packing shuffle +
+    block-pair join + mapInPandas — and mapInPandas appears in the PLAN
+    (distributed), with no collect-feeding-literal pattern (a local
+    relation would show as LocalTableScan on the corpus side)."""
+    from firebase_etl_spark.operators.similarity import cosine_all_pairs_grid
+
+    e = load_table(spark, "embeddings", sf_dir)
+    plan = physical_plan(cosine_all_pairs_grid(e, threshold=0.4))
+    assert "MapInPandas" in plan
+    assert "LocalTableScan" not in plan
