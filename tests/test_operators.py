@@ -252,3 +252,60 @@ def test_range_join_subsecond_boundaries(spark):
         ).collect()
     }
     assert got == {2}
+
+
+def test_asof_join_forward_and_tolerance(spark):
+    """Forward direction matches the EARLIEST right row at/after the left
+    time (ties match; greatest tiebreak wins); tolerance nulls out matches
+    farther than the bound."""
+    from datetime import datetime as dt
+
+    from firebase_etl_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, "u", dt(2024, 1, 10)),
+            (2, "u", dt(2024, 3, 1)),
+        ],
+        "event_id long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u", dt(2024, 1, 10), "a", 1.0),   # ties with event 1
+            ("u", dt(2024, 1, 10), "b", 2.0),   # same time, greater id wins
+            ("u", dt(2024, 4, 1), "z", 9.0),    # 31 days after event 2
+        ],
+        "k string, rts timestamp, rid string, val double",
+    )
+    out = {
+        r["event_id"]: (r["rid"], r["val"])
+        for r in asof_join(
+            left, right, left_on="k", right_on="k", left_time="ts",
+            right_time="rts", right_payload=["rid", "val"],
+            right_tiebreak="rid", direction="forward",
+        ).collect()
+    }
+    assert out[1] == ("b", 2.0)
+    assert out[2] == ("z", 9.0)
+
+    bounded = {
+        r["event_id"]: r["rid"]
+        for r in asof_join(
+            left, right, left_on="k", right_on="k", left_time="ts",
+            right_time="rts", right_payload=["rid", "val"],
+            right_tiebreak="rid", direction="forward",
+            tolerance_seconds=7 * 86400,
+        ).collect()
+    }
+    assert bounded[1] == "b"
+    assert bounded[2] is None  # 31 days > 7-day tolerance
+
+
+def test_asof_join_rejects_bad_direction(spark):
+    import pytest
+
+    from firebase_etl_spark.operators.asof import asof_join
+
+    df = spark.createDataFrame([(1, 1)], "a long, t long")
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(df, df, "a", "a", "t", "t", ["a"], direction="nearest")
