@@ -125,6 +125,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_keep_latest_per_user": QX.stream_keep_latest_per_user,
         "stream_sliding_counts": QX.stream_sliding_counts,
         "stream_dedup_events": QX.stream_dedup_events,
+        "stream_enriched_segments": QX.stream_enriched_segments,
+        "stream_near_pairs": QX.stream_near_pairs,
     }
 
 

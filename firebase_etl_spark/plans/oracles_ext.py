@@ -670,6 +670,35 @@ ORACLES_EXT["stream_user_sessions"] = """
     SELECT per.* FROM per, wm WHERE per.session_end <= wm.w
 """
 
+# stream-static enrichment rollup: left join to the dimension is
+# stateless, so the only streaming semantics are the windowed aggregate's
+# watermark cutoff — same replay as stream_hourly_event_counts.
+ORACLES_EXT["stream_enriched_segments"] = """
+    WITH e AS (SELECT make_timestamp(epoch_us(ts)) AS ts, user_id, value FROM events),
+    wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM e),
+    j AS (
+        SELECT e.ts, e.value, c.c_mktsegment
+        FROM e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    ), g AS (
+        SELECT date_trunc('hour', ts) AS window_start, c_mktsegment,
+               count(*) AS n_events, round(sum(value), 2) AS total_value
+        FROM j GROUP BY 1, 2
+    )
+    SELECT g.* FROM g, wm WHERE g.window_start + INTERVAL 1 HOUR <= wm.w
+"""
+
+# stream-stream inner join on a bounded run emits the complete pair set —
+# identical semantics to the batch range join's per-user pair counts.
+ORACLES_EXT["stream_near_pairs"] = """
+    SELECT a.user_id, count(*) AS n_pairs
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND epoch_us(b.ts) BETWEEN epoch_us(a.ts) - 120000000
+                            AND epoch_us(a.ts) + 120000000
+    GROUP BY a.user_id ORDER BY a.user_id
+"""
+
 # Single input file => single micro-batch: dropDuplicatesWithinWatermark
 # emits exactly one row per present key, so the emission count is exact SQL.
 ORACLES_EXT["stream_dedup_events"] = """

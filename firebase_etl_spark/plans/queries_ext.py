@@ -239,6 +239,53 @@ def stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_enriched_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: streaming events left-join the static
+    customer dimension (broadcast per micro-batch, no join state), then a
+    watermarked hourly rollup per market segment. Bounded append emission
+    is deterministic => oracle-checked."""
+    import uuid as _uuid
+
+    from firebase_etl_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+        streaming_enrich_with_dim,
+    )
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    dim = load_table(spark, "customer", sf_dir)
+    name = f"stream_enrich_{_uuid.uuid4().hex[:8]}"
+    return run_stream_to_memory(
+        spark, streaming_enrich_with_dim(stream, dim), name
+    )
+
+
+def stream_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join (two event feeds, time-interval predicate,
+    watermark-bounded join state) — the streaming twin of the batch
+    bucketized range join. A bounded run emits the complete pair set, so
+    the per-user counts share events_near_pairs' exact semantics."""
+    import uuid as _uuid
+
+    from firebase_etl_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+        streaming_self_join_near_pairs,
+    )
+
+    a = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    b = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    name = f"stream_pairs_{_uuid.uuid4().hex[:8]}"
+    pairs = run_stream_to_memory(
+        spark, streaming_self_join_near_pairs(a, b), name
+    )
+    return (
+        pairs.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("user_id")
+    )
+
+
 # --- richer relational shapes ---------------------------------------------
 
 def events_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:

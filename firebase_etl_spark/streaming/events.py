@@ -334,3 +334,74 @@ def stream_upsert_parquet(
         if state_partitions is not None:
             conf.set("spark.sql.shuffle.partitions", old_parts)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def streaming_enrich_with_dim(
+    events: DataFrame,
+    dim: DataFrame,
+    stream_key: str = "user_id",
+    dim_key: str = "c_custkey",
+    dim_cols: tuple[str, ...] = ("c_mktsegment",),
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-static enrichment join + windowed rollup — the standard
+    streaming-fact/dimension pattern: the static side broadcasts into every
+    micro-batch (no state), the post-join windowed aggregate carries the
+    only state, bounded by the watermark. At scale the dimension re-reads
+    per batch pick up slowly-changing updates for free."""
+    joined = events.join(
+        F.broadcast(dim.select(F.col(dim_key), *[F.col(c) for c in dim_cols])),
+        events[stream_key] == F.col(dim_key),
+        "left",
+    )
+    return (
+        joined.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), *[F.col(c) for c in dim_cols])
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            *dim_cols,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def streaming_self_join_near_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    within_seconds: int = 120,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join with a time-interval condition — the
+    correlation pattern (two event feeds matched within a window). Both
+    sides carry watermarks so the join state is range-bounded: a buffered
+    row ages out once the opposite watermark passes its interval. Inner
+    joins emit matches as both sides arrive, so a bounded run produces the
+    complete deterministic pair set.
+
+    Count aggregation happens downstream in BATCH (over the materialized
+    join output): chaining another streaming agg after a stream-stream
+    join would need its own watermark epoch and complete-mode semantics —
+    the join itself is the streaming-shaped work here."""
+    a = left.select(
+        F.col("event_id").alias("id_a"),
+        F.col("user_id"),
+        F.col("ts").alias("ts_a"),
+    ).withWatermark("ts_a", watermark)
+    b = right.select(
+        F.col("event_id").alias("id_b"),
+        F.col("user_id").alias("user_b"),
+        F.col("ts").alias("ts_b"),
+    ).withWatermark("ts_b", watermark)
+    return a.join(
+        b,
+        (F.col("user_id") == F.col("user_b"))
+        & (F.col("id_a") < F.col("id_b"))
+        & (F.col("ts_b") >= F.col("ts_a") - F.expr(f"INTERVAL {within_seconds} SECONDS"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr(f"INTERVAL {within_seconds} SECONDS")),
+    ).select("user_id", "id_a", "id_b")

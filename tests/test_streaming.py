@@ -170,3 +170,43 @@ def test_stream_sliding_matches_batch_sliding(spark):
     }
     # append mode emits only watermark-closed windows: subset, value-equal
     assert got and all(want.get(k) == v for k, v in got.items())
+
+
+def test_stream_stream_join_matches_batch_range_join(spark):
+    """The watermarked stream-stream interval join on a bounded run must
+    produce exactly the batch bucketized range join's per-user pair set."""
+    from firebase_etl_spark.plans.queries_ext import (
+        events_near_pairs,
+        stream_near_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["user_id"]: r["n_pairs"] for r in stream_near_pairs(spark, sf).collect()
+    }
+    want = {
+        r["user_id"]: r["n_pairs"] for r in events_near_pairs(spark, sf).collect()
+    }
+    assert got == want and want
+
+
+def test_stream_static_enrichment_segments_are_closed_windows(spark):
+    """Every emitted enrichment window must be closed by the final
+    watermark, and counts must sum to at most the full event count."""
+    import pyspark.sql.functions as F
+
+    from firebase_etl_spark.plans.queries_ext import stream_enriched_segments
+    from firebase_etl_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = stream_enriched_segments(spark, sf)
+    rows = out.collect()
+    assert rows
+    e = load_table(spark, "events", sf)
+    max_ts = e.agg(F.max("ts")).collect()[0][0]
+    n_events = e.count()
+    import datetime as dt
+
+    wm = max_ts - dt.timedelta(minutes=10)
+    assert all(r["window_start"] + dt.timedelta(hours=1) <= wm for r in rows)
+    assert sum(r["n_events"] for r in rows) <= n_events
