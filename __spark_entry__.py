@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_lsh": QX.embedding_topk_lsh,
         "embedding_topk_ivf": QX.embedding_topk_ivf,
         "events_json_stats": QX.events_json_stats,
+        "events_variant_stats": QX.events_variant_stats,
         "events_props_key_stats": QX.events_props_key_stats,
         "user_sessions": QX.user_sessions,
         "events_asof_orders": QX.events_asof_orders,

@@ -156,6 +156,13 @@ ORACLES_EXT: dict[str, str] = {
                max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
         FROM events GROUP BY event_type ORDER BY event_type
     """,
+    "events_variant_stats": """
+        SELECT event_type, count(*) AS n,
+               round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+               min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+               max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
     "user_sessions": """
         WITH tagged AS (
             SELECT user_id, ts, event_id,

@@ -1112,6 +1112,29 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON via Spark 4's VARIANT type: parse_json once,
+    variant_get typed paths after — the schema-on-read path that stays
+    binary-encoded (no string re-parse per extraction) and pushes typed
+    access into the engine. Twin of events_json_stats' get_json_object
+    formulation; same oracle semantics."""
+    e = load_table(spark, "events", sf_dir)
+    v = e.select(
+        "event_type", F.try_parse_json(F.col("props")).alias("v")
+    )
+    k = F.variant_get(F.col("v"), "$.k", "int")
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(k), 4).alias("avg_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def events_props_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-typed JSON: parse props into map<string,string>, explode the
     keys, count key frequency — the schema-on-read path for ragged JSON
