@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_set_ops": QX.lineitem_set_ops,
         "documents_clean_corpus": QX.documents_clean_corpus,
         "documents_training_corpus": QX.documents_training_corpus,
+        "documents_mixture_sample": QX.documents_mixture_sample,
         "events_near_pairs": QX.events_near_pairs,
         "events_salted_type_stats": QX.events_salted_type_stats,
         "events_distinct_users_approx": QX.events_distinct_users_approx,

@@ -332,6 +332,24 @@ ORACLES_EXT: dict[str, str] = {
         WHERE doc_id NOT IN (SELECT node FROM walk WHERE component <> node)
         GROUP BY lang, source ORDER BY lang, source
     """,
+    "documents_mixture_sample": """
+        WITH ranked AS (
+            SELECT doc_id, lang,
+                   CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.3
+                             WHEN 'fr' THEN 0.3 WHEN 'es' THEN 0.2
+                             WHEN 'zh' THEN 0.1 ELSE 0.0 END AS rate,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rn,
+                   count(*) OVER (PARTITION BY lang) AS n_total
+            FROM documents
+        )
+        SELECT lang, max(n_total) AS n_total, count(*) AS n_sampled,
+               CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        FROM ranked WHERE rn <= ceil(rate * n_total)
+        GROUP BY lang ORDER BY lang
+    """,
     "events_near_pairs": """
         SELECT a.user_id, count(*) AS n_pairs
         FROM events a JOIN events b

@@ -505,6 +505,50 @@ def documents_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+#: target sampling rates per language for the mixture query — the "data
+#: mixing" knob of a training pipeline (e.g. downsample dominant languages).
+MIXTURE_RATES: dict[str, float] = {
+    "en": 0.5, "de": 0.3, "fr": 0.3, "es": 0.2, "zh": 0.1,
+}
+
+
+def documents_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic EXACT-quota mixture sampling: within each language,
+    rank documents by a stable pseudo-random key (md5 of the doc id — an
+    engine-portable shuffle order) and keep exactly ceil(rate * n) docs.
+    Unlike sampleBy (Bernoulli, seed- and partitioning-dependent), quotas
+    are hit exactly and the selected SET is reproducible across engines —
+    which is what makes mixing ratios auditable. One window over one
+    shuffle; the id_checksum pins the selection, not just its size."""
+    d = load_table(spark, "documents", sf_dir)
+    rate = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(r))
+            for lang, r in MIXTURE_RATES.items()
+        ],
+        F.lit(0.0),
+    )
+    w = Window.partitionBy("lang")
+    wr = w.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    ranked = d.select(
+        "doc_id",
+        "lang",
+        rate.alias("rate"),
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n_total"),
+    )
+    sampled = ranked.filter(F.col("rn") <= F.ceil(F.col("rate") * F.col("n_total")))
+    return (
+        sampled.groupBy("lang")
+        .agg(
+            F.max("n_total").alias("n_total"),
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+        .orderBy("lang")
+    )
+
+
 def events_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join: pairs of events from the same user within 120 seconds,
     counted per user. Bucketized (granule = interval width) so the join is a
