@@ -291,30 +291,46 @@ def hamming_distance(col_a, col_b):
 def simhash_near_dups(
     df: DataFrame,
     max_hamming: int = 8,
-    prefix_bits: int = 16,
+    n_blocks: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Near-dups via SimHash: block on the top ``prefix_bits`` bits (cheap
-    LSH — near-identical docs share the prefix), then verify hamming <= k
-    within blocks. At corpus scale, rotate prefixes for full recall; one
-    prefix is the demonstration default."""
-    sh = simhash(df, text_col, id_col)
-    # persist fingerprints before the self-join: both join branches would
-    # otherwise re-evaluate the (wide) bit-fold expression tree
-    blocked = sh.withColumn(
-        "block", F.shiftrightunsigned("simhash", 64 - prefix_bits)
-    ).persist()
-    a = blocked.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"), "block"
-    )
-    b = blocked.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"), "block"
-    )
+    """Near-dups via SimHash with GUARANTEED recall: split the 64-bit
+    fingerprint into ``n_blocks`` >= max_hamming+1 bit-bands and join pairs
+    sharing ANY band — by pigeonhole, hamming <= max_hamming pairs differ
+    in at most max_hamming bands, so at least one band matches (the
+    classic multi-index Hamming search). Exact hamming verify inside
+    buckets. Shuffle stays bucket-local (band, band_bits) keys — never
+    O(n²)."""
+    blocks = n_blocks or (max_hamming + 1)
+    widths = [64 // blocks + (1 if i < 64 % blocks else 0) for i in range(blocks)]
+    sh = simhash(df, text_col, id_col).persist()
     try:
+        band_cols, off = [], 0
+        for w in widths:
+            band = F.shiftrightunsigned("simhash", off)
+            if w < 64:  # w == 64 (single block) needs no mask; 2^64-1
+                band = band.bitwiseAND(F.lit((1 << w) - 1))  # overflows long
+            band_cols.append(band)
+            off += w
+        banded = sh.select(
+            F.col(id_col),
+            "simhash",
+            F.posexplode(F.array(*band_cols)).alias("band", "band_bits"),
+        )
+        a = banded.select(
+            F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"),
+            "band", "band_bits",
+        )
+        b = banded.select(
+            F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"),
+            "band", "band_bits",
+        )
         out = (
-            a.join(b, "block")
+            a.join(b, ["band", "band_bits"])
             .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "h_a", "h_b")
+            .distinct()  # a close pair matches in up to `blocks` bands
             .withColumn("hamming", hamming_distance(F.col("h_a"), F.col("h_b")))
             .filter(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming")
@@ -322,5 +338,5 @@ def simhash_near_dups(
         # materialize while the fingerprints are cached, then release
         out = out.localCheckpoint(eager=True)
     finally:
-        blocked.unpersist()
+        sh.unpersist()
     return out

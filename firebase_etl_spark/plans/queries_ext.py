@@ -125,9 +125,11 @@ def doc_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def doc_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hash-dependent — rows-only driver check; property-tested. The
-    synthetic docs share one vocabulary, so a loose radius emits hundreds of
-    thousands of pairs; 4 bits keeps the answer near-dup-tight."""
+    """Hash-dependent (xxhash64 fingerprints) — rows-only driver check;
+    banded blocking has pigeonhole-guaranteed recall at the radius
+    (equality with brute-force hamming pinned in tests). The synthetic
+    docs share one vocabulary, so a loose radius emits hundreds of
+    thousands of pairs; hamming <= 4 keeps the answer near-dup-tight."""
     d = load_table(spark, "documents", sf_dir)
     return DA.simhash_near_dups(d, max_hamming=4)
 

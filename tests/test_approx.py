@@ -180,3 +180,24 @@ def test_grid_all_pairs_matches_blas_baseline(spark, embeddings):
             ).collect()
         }
         assert grid == base, f"n_blocks={n_blocks}"
+
+
+def test_simhash_banding_has_full_recall(spark, docs):
+    """Pigeonhole banding must find EVERY pair within the hamming radius —
+    compare against the brute-force all-pairs hamming join at sf0.001."""
+    sh = DA.simhash(docs).cache()
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("h_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("h_b"))
+    brute = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", DA.hamming_distance(F.col("h_a"), F.col("h_b")))
+        .filter(F.col("hamming") <= 4)
+        .collect()
+    }
+    banded = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in DA.simhash_near_dups(docs, max_hamming=4).collect()
+    }
+    assert banded == brute and brute
