@@ -206,8 +206,9 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- streaming twins (rows-only: Structured Streaming is not
-# SQL-oracle-expressible; batch-equivalence is pinned in tests) -------------
+# --- streaming twins (bounded runs are deterministic: append-mode windows
+# flush once the final watermark passes, so most carry exact DuckDB oracles
+# replaying the watermark cutoff in SQL; batch-equivalence also in tests) ---
 
 def _run_bounded_stream(spark, sf_dir, build, name_prefix):
     import uuid as _uuid
