@@ -201,3 +201,47 @@ def test_execute_batch_rolls_back_on_failure():
     assert conn.rolled_back and not conn.committed
     assert "never" not in conn.cur.executed
     assert conn.cur.closed and conn.conn_closed
+
+
+def test_rtdb_datasource_partition_parallel_scan(spark, tmp_path):
+    """The custom Python DataSource must expose the map-of-objects export
+    as a multi-partition (key, raw) scan whose parsed content equals the
+    wholetext reader's output."""
+    import json
+
+    from firebase_etl_spark.sources.firebase import write_rtdb_export
+    from firebase_etl_spark.sources.rtdb_datasource import RtdbDataSource
+
+    rows = {
+        f"uid{i:03d}": {"uid": f"uid{i:03d}", "email": f"u{i}@x.com", "age": i}
+        for i in range(40)
+    }
+    rows["corrupt"] = "not-an-object"
+    path = str(tmp_path / "export.json")
+    write_rtdb_export(rows, path)
+
+    spark.dataSource.register(RtdbDataSource)
+    df = (
+        spark.read.format("rtdb")
+        .option("path", path)
+        .option("numPartitions", "4")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4
+    got = {r["key"]: r["raw"] for r in df.collect()}
+    assert len(got) == 41
+    assert json.loads(got["uid007"]) == rows["uid007"]
+    assert json.loads(got["corrupt"]) == "not-an-object"  # survives for quarantine
+
+    # typed downstream parse matches the wholetext reader's semantics
+    import pyspark.sql.functions as F
+
+    from firebase_etl_spark.schemas import RAW_USER_SCHEMA
+
+    parsed = (
+        df.withColumn("rec", F.from_json("raw", RAW_USER_SCHEMA))
+        .filter(F.col("rec").isNotNull() & F.col("raw").startswith("{"))
+        .select("key", "rec.email")
+    )
+    emails = {r["key"]: r["email"] for r in parsed.collect()}
+    assert emails["uid001"] == "u1@x.com" and "corrupt" not in emails
