@@ -59,6 +59,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # let Python DataSources (sources/rtdb_datasource.py) receive
+        # pushed filters — off by default in Spark 4.1
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # driver testdata stores events.ts as TIMESTAMP(NANOS); Spark has no
         # nanos type — read as long and convert in the loader (tables.py).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -35,7 +35,13 @@ import json
 import zlib
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    In,
+    InputPartition,
+)
 from pyspark.sql.types import StringType, StructField, StructType
 
 RTDB_SCAN_SCHEMA = StructType(
@@ -59,12 +65,32 @@ class RtdbReader(DataSourceReader):
         if not self.path:
             raise ValueError("rtdb source requires option 'path'")
         self.num_partitions = int(options.get("numpartitions", 8))
+        self.key_filter: set[str] | None = None  # None = full scan
+
+    def pushFilters(self, filters):  # noqa: N802 (API name)
+        """Point/`IN` lookups on ``key`` prune to their hash buckets — the
+        S2 point-lookup path served by the scan itself (an RTDB backend
+        would turn this into a direct child-node GET). Everything else
+        stays with Spark."""
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("key",):
+                self.key_filter = {str(f.value)}
+            elif isinstance(f, In) and f.attribute == ("key",):
+                self.key_filter = {str(v) for v in f.values}
+            else:
+                yield f
+
+    def _bucket_of(self, key: str) -> int:
+        return zlib.crc32(key.encode("utf-8")) % self.num_partitions
 
     def partitions(self) -> Sequence[InputPartition]:
-        # no driver-side file read: buckets are defined by a key hash
+        # no driver-side file read: buckets are defined by a key hash;
+        # a pushed key filter keeps only the buckets that can match
+        buckets = range(self.num_partitions)
+        if self.key_filter is not None:
+            buckets = sorted({self._bucket_of(k) for k in self.key_filter})
         return [
-            RtdbKeyBucket(i, self.num_partitions, self.path)
-            for i in range(self.num_partitions)
+            RtdbKeyBucket(i, self.num_partitions, self.path) for i in buckets
         ]
 
     def read(self, partition: RtdbKeyBucket) -> Iterator[tuple]:
@@ -73,6 +99,8 @@ class RtdbReader(DataSourceReader):
         if not isinstance(root, dict):
             return
         for key, value in root.items():
+            if self.key_filter is not None and key not in self.key_filter:
+                continue
             h = zlib.crc32(key.encode("utf-8")) % partition.num_buckets
             if h != partition.bucket:
                 continue

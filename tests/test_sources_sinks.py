@@ -245,3 +245,27 @@ def test_rtdb_datasource_partition_parallel_scan(spark, tmp_path):
     )
     emails = {r["key"]: r["email"] for r in parsed.collect()}
     assert emails["uid001"] == "u1@x.com" and "corrupt" not in emails
+
+
+def test_rtdb_datasource_key_pushdown_prunes_partitions(spark, tmp_path):
+    """An equality filter on key must push into the scan: only the matching
+    hash bucket is planned, and the result is the single row."""
+    from firebase_etl_spark.sources.firebase import write_rtdb_export
+    from firebase_etl_spark.sources.rtdb_datasource import RtdbDataSource
+
+    rows = {f"uid{i:03d}": {"uid": f"uid{i:03d}", "age": i} for i in range(40)}
+    path = str(tmp_path / "export.json")
+    write_rtdb_export(rows, path)
+
+    spark.dataSource.register(RtdbDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    df = (
+        spark.read.format("rtdb")
+        .option("path", path)
+        .option("numPartitions", "8")
+        .load()
+        .filter("key = 'uid007'")
+    )
+    assert df.rdd.getNumPartitions() == 1  # 7 of 8 buckets pruned at plan time
+    got = df.collect()
+    assert len(got) == 1 and got[0]["key"] == "uid007"
