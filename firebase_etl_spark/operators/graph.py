@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 
 def connected_components(
@@ -112,7 +113,16 @@ def _cc_local(spark, sym: DataFrame) -> DataFrame:
             else:
                 parent[ru] = rv
     rows = [(n, find(n)) for n in parent]
-    return spark.createDataFrame(rows, "node long, component long")
+    # keep the node id type the caller gave us (the distributed loop is
+    # type-agnostic; the local path must be too — string ids are legal)
+    node_type = sym.schema["u"].dataType
+    schema = StructType(
+        [
+            StructField("node", node_type, False),
+            StructField("component", node_type, False),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
 
 
 def _cc_loop(sym: DataFrame, max_iter: int, check_every: int) -> DataFrame:

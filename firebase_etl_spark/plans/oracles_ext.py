@@ -347,7 +347,7 @@ ORACLES_EXT: dict[str, str] = {
         )
         SELECT lang, max(n_total) AS n_total, count(*) AS n_sampled,
                CAST(sum(doc_id) AS BIGINT) AS id_checksum
-        FROM ranked WHERE rn <= ceil(rate * n_total)
+        FROM ranked WHERE rn <= ceil(round(rate * n_total, 6))
         GROUP BY lang ORDER BY lang
     """,
     "events_near_pairs": """

@@ -540,7 +540,12 @@ def documents_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wr).alias("rn"),
         F.count(F.lit(1)).over(w).alias("n_total"),
     )
-    sampled = ranked.filter(F.col("rn") <= F.ceil(F.col("rate") * F.col("n_total")))
+    # round before ceil: rate*n in float64 can land epsilon above an exact
+    # integer (0.1*1000 -> 100.0000…01) and ceil would admit one extra doc
+    # while a DECIMAL-computing oracle would not
+    sampled = ranked.filter(
+        F.col("rn") <= F.ceil(F.round(F.col("rate") * F.col("n_total"), 6))
+    )
     return (
         sampled.groupBy("lang")
         .agg(

@@ -74,11 +74,17 @@ class RtdbReader(DataSourceReader):
         stays with Spark."""
         for f in filters:
             if isinstance(f, EqualTo) and f.attribute == ("key",):
-                self.key_filter = {str(f.value)}
+                keys = {str(f.value)}
             elif isinstance(f, In) and f.attribute == ("key",):
-                self.key_filter = {str(v) for v in f.values}
+                # pyspark 4.1's In dataclass stores the tuple in `value`
+                keys = {str(v) for v in f.value}
             else:
                 yield f
+                continue
+            # multiple consumed key filters conjoin => intersect, don't clobber
+            self.key_filter = (
+                keys if self.key_filter is None else self.key_filter & keys
+            )
 
     def _bucket_of(self, key: str) -> int:
         return zlib.crc32(key.encode("utf-8")) % self.num_partitions

@@ -53,9 +53,21 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
             # precision at 1e18 nanos
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         elif kind == "timestamp_ntz":
-            # naive micros are UTC wall clock; pin them to UTC instants so the
-            # result is independent of spark.sql.session.timeZone
-            df = df.withColumn("ts", F.expr("to_utc_timestamp(ts, 'UTC')"))
+            # naive micros are UTC wall clock; pin them to UTC instants. Any
+            # route through an NTZ->TIMESTAMP cast (incl. to_utc_timestamp)
+            # applies spark.sql.session.timeZone first, and interval
+            # arithmetic with a DAY component is DST-aware — both shift the
+            # instant on non-UTC sessions. make_timestamp with an explicit
+            # 'UTC' zone rebuilds the wall clock from tz-free field
+            # extractions, so the result is session-timezone independent at
+            # full microsecond precision (extract SECOND keeps the fraction).
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "make_timestamp(year(ts), month(ts), day(ts), "
+                    "hour(ts), minute(ts), extract(SECOND FROM ts), 'UTC')"
+                ),
+            )
     return df
 
 

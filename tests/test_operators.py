@@ -309,3 +309,18 @@ def test_asof_join_rejects_bad_direction(spark):
     df = spark.createDataFrame([(1, 1)], "a long, t long")
     with pytest.raises(ValueError, match="direction"):
         asof_join(df, df, "a", "a", "t", "t", ["a"], direction="nearest")
+
+
+def test_connected_components_string_ids_both_paths(spark):
+    """Node id type follows the input on BOTH adaptive paths — string ids
+    were supported by the join loop and must survive the local union-find."""
+    from firebase_etl_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("x", "y")], "id_a string, id_b string"
+    )
+    for thresh in (2_000_000, 0):  # local path, then distributed loop
+        cc = connected_components(edges, local_edge_threshold=thresh)
+        assert cc.schema["node"].dataType.simpleString() == "string"
+        got = {r["node"]: r["component"] for r in cc.collect()}
+        assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}

@@ -269,3 +269,47 @@ def test_rtdb_datasource_key_pushdown_prunes_partitions(spark, tmp_path):
     assert df.rdd.getNumPartitions() == 1  # 7 of 8 buckets pruned at plan time
     got = df.collect()
     assert len(got) == 1 and got[0]["key"] == "uid007"
+
+
+def test_rtdb_datasource_in_filter_pushdown(spark, tmp_path):
+    """`key IN (...)` (pyspark In filter, tuple in `.value`) must push down:
+    only the matching buckets are planned and exactly those rows return."""
+    from firebase_etl_spark.sources.firebase import write_rtdb_export
+    from firebase_etl_spark.sources.rtdb_datasource import RtdbDataSource
+
+    rows = {f"uid{i:03d}": {"uid": f"uid{i:03d}", "age": i} for i in range(40)}
+    path = str(tmp_path / "export.json")
+    write_rtdb_export(rows, path)
+
+    spark.dataSource.register(RtdbDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    df = (
+        spark.read.format("rtdb")
+        .option("path", path)
+        .option("numPartitions", "8")
+        .load()
+        .filter("key in ('uid003', 'uid017', 'uid031')")
+    )
+    assert df.rdd.getNumPartitions() <= 3  # at most one bucket per key
+    assert {r["key"] for r in df.collect()} == {"uid003", "uid017", "uid031"}
+
+
+def test_rtdb_datasource_conjoined_key_filters_intersect(tmp_path):
+    """`key = 'a' AND key IN ('a','b')` pushes two consumed filters; the
+    reader must intersect them, not keep only the last one."""
+    from firebase_etl_spark.sources.rtdb_datasource import RtdbReader
+    from pyspark.sql.datasource import EqualTo, In
+
+    r = RtdbReader({"path": str(tmp_path / "x.json")})
+    leftover = list(
+        r.pushFilters([EqualTo(("key",), "a"), In(("key",), ("a", "b"))])
+    )
+    assert leftover == []
+    assert r.key_filter == {"a"}
+
+    r2 = RtdbReader({"path": str(tmp_path / "x.json")})
+    leftover2 = list(
+        r2.pushFilters([In(("key",), ("a", "b")), EqualTo(("key",), "c")])
+    )
+    assert leftover2 == []
+    assert r2.key_filter == set()  # contradictory conjunction => no rows
