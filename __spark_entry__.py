@@ -31,66 +31,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "q1_pricing_summary": Q.q1_pricing_summary,
-        "q3_shipping_priority": Q.q3_shipping_priority,
-        "q6_forecast_revenue": Q.q6_forecast_revenue,
-        "q18_large_orders": Q.q18_large_orders,
-        "q4_order_priority": Q.q4_order_priority,
-        "q12_shipmode_priority": Q.q12_shipmode_priority,
-        "q14_promo_revenue": Q.q14_promo_revenue,
-        "q17_small_quantity_revenue": Q.q17_small_quantity_revenue,
-        "q5_local_supplier_volume": Q.q5_local_supplier_volume,
-        "q10_returned_items": Q.q10_returned_items,
-        "q19_disjunctive_revenue": Q.q19_disjunctive_revenue,
-        "q7_nation_volume": Q.q7_nation_volume,
-        "q8_market_share": Q.q8_market_share,
-        "q13_customer_distribution": Q.q13_customer_distribution,
-        "q15_top_supplier": Q.q15_top_supplier,
-        "q21_waiting_suppliers": Q.q21_waiting_suppliers,
-        "q22_global_sales_opportunity": Q.q22_global_sales_opportunity,
-        "customer_order_arrays": Q.customer_order_arrays,
-        "customer_running_revenue": Q.customer_running_revenue,
-        "order_rank_stats": Q.order_rank_stats,
-        "lineitem_grouping_sets": Q.lineitem_grouping_sets,
-        "latest_order_per_customer": Q.latest_order_per_customer,
-        "customer_order_counts_having": Q.customer_order_counts_having,
-        "dup_order_members": Q.dup_order_members,
-        "revenue_by_region": Q.revenue_by_region,
-        "customers_without_orders": Q.customers_without_orders,
-        "customers_with_orders_semi": Q.customers_with_orders_semi,
-        "order_status_distribution": Q.order_status_distribution,
-        "conditional_counts": Q.conditional_counts,
-        "top3_orders_per_customer": Q.top3_orders_per_customer,
-        "null_counts_events": Q.null_counts_events,
-        "events_hourly_stats": Q.events_hourly_stats,
-        "global_top100_orders": Q.global_top100_orders,
-        "order_point_lookup": Q.order_point_lookup,
-        "masked_customer_emails": Q.masked_customer_emails,
-        # --- extensions: text analysis / dedup / similarity / events ---
-        "doc_text_features": QX.doc_text_features,
-        "doc_token_counts": QX.doc_token_counts,
-        "doc_tfidf_top_terms": QX.doc_tfidf_top_terms,
-        "doc_lang_stats": QX.doc_lang_stats,
-        "doc_exact_dedup_summary": QX.doc_exact_dedup_summary,
-        "doc_jaccard_vs_queries": QX.doc_jaccard_vs_queries,
-        "doc_minhash_near_dups": QX.doc_minhash_near_dups,
-        "doc_simhash_near_dups": QX.doc_simhash_near_dups,
-        "doc_winnow_summary": QX.doc_winnow_summary,
-        "embedding_norms": QX.embedding_norms,
-        "embedding_topk_bruteforce": QX.embedding_topk_bruteforce,
-        "embedding_topk_lsh": QX.embedding_topk_lsh,
-        "embedding_topk_ivf": QX.embedding_topk_ivf,
-        "events_json_stats": QX.events_json_stats,
-        "events_variant_stats": QX.events_variant_stats,
-        "events_props_key_stats": QX.events_props_key_stats,
-        "user_sessions": QX.user_sessions,
-        "events_asof_orders": QX.events_asof_orders,
-        "lineitem_summary_stats": QX.lineitem_summary_stats,
-        "orders_deterministic_sample": QX.orders_deterministic_sample,
-        "part_type_pattern": QX.part_type_pattern,
-        "orders_rollup": QX.orders_rollup,
-        "top_customer_revenue": QX.top_customer_revenue,
-        "mktsegment_order_priority_pivot": QX.mktsegment_order_priority_pivot,
+        # Entry order is deliberate: the driver's correctness snapshot
+        # checks the FIRST 50 entries, so queries without a prior
+        # driver-green row lead (never-checked extensions, then the
+        # r1-only set incl. the three fixed-since-r1 events queries),
+        # padded with green sentinels to prove no regression.
         "supplier_nation_stats": QX.supplier_nation_stats,
         "lineitem_set_ops": QX.lineitem_set_ops,
         "documents_clean_corpus": QX.documents_clean_corpus,
@@ -112,16 +57,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_moving_avg": QX.orders_moving_avg,
         "embedding_near_dup_pairs": QX.embedding_near_dup_pairs,
         "embedding_dedup_clusters": QX.embedding_dedup_clusters,
-        # --- full user-ETL pipeline (reference main.py shape) ---
         "users_pipeline_report": QX.users_pipeline_report,
         "users_pipeline_quarantine": QX.users_pipeline_quarantine,
-        # --- multimodal columns (stub codec; sha256-derived => oracle-checkable) ---
         "media_feature_stats": QX.media_feature_stats,
         "media_dedup_survivors": QX.media_dedup_survivors,
         "media_thumbnail_stats": QX.media_thumbnail_stats,
         "media_frame_counts": QX.media_frame_counts,
-        # --- streaming twins (bounded emission is deterministic => 4 of 5
-        # oracle-checked; batch-equivalence also pinned in tests) ---
         "stream_hourly_event_counts": QX.stream_hourly_event_counts,
         "stream_user_sessions": QX.stream_user_sessions,
         "stream_keep_latest_per_user": QX.stream_keep_latest_per_user,
@@ -129,6 +70,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_events": QX.stream_dedup_events,
         "stream_enriched_segments": QX.stream_enriched_segments,
         "stream_near_pairs": QX.stream_near_pairs,
+        "events_props_key_stats": QX.events_props_key_stats,
+        "user_sessions": QX.user_sessions,
+        "events_asof_orders": QX.events_asof_orders,
+        "lineitem_summary_stats": QX.lineitem_summary_stats,
+        "orders_deterministic_sample": QX.orders_deterministic_sample,
+        "part_type_pattern": QX.part_type_pattern,
+        "orders_rollup": QX.orders_rollup,
+        "top_customer_revenue": QX.top_customer_revenue,
+        "mktsegment_order_priority_pivot": QX.mktsegment_order_priority_pivot,
+        "q1_pricing_summary": Q.q1_pricing_summary,
+        "latest_order_per_customer": Q.latest_order_per_customer,
+        "null_counts_events": Q.null_counts_events,
+        "doc_minhash_near_dups": QX.doc_minhash_near_dups,
+        "embedding_topk_lsh": QX.embedding_topk_lsh,
+        "events_variant_stats": QX.events_variant_stats,
+        "masked_customer_emails": Q.masked_customer_emails,
+        # ---- previously driver-green (r1/r2); pinned by tests/test_oracle.py ----
+        "q3_shipping_priority": Q.q3_shipping_priority,
+        "q6_forecast_revenue": Q.q6_forecast_revenue,
+        "q18_large_orders": Q.q18_large_orders,
+        "q4_order_priority": Q.q4_order_priority,
+        "q12_shipmode_priority": Q.q12_shipmode_priority,
+        "q14_promo_revenue": Q.q14_promo_revenue,
+        "q17_small_quantity_revenue": Q.q17_small_quantity_revenue,
+        "q5_local_supplier_volume": Q.q5_local_supplier_volume,
+        "q10_returned_items": Q.q10_returned_items,
+        "q19_disjunctive_revenue": Q.q19_disjunctive_revenue,
+        "q7_nation_volume": Q.q7_nation_volume,
+        "q8_market_share": Q.q8_market_share,
+        "q13_customer_distribution": Q.q13_customer_distribution,
+        "q15_top_supplier": Q.q15_top_supplier,
+        "q21_waiting_suppliers": Q.q21_waiting_suppliers,
+        "q22_global_sales_opportunity": Q.q22_global_sales_opportunity,
+        "customer_order_arrays": Q.customer_order_arrays,
+        "customer_running_revenue": Q.customer_running_revenue,
+        "order_rank_stats": Q.order_rank_stats,
+        "lineitem_grouping_sets": Q.lineitem_grouping_sets,
+        "customer_order_counts_having": Q.customer_order_counts_having,
+        "dup_order_members": Q.dup_order_members,
+        "revenue_by_region": Q.revenue_by_region,
+        "customers_without_orders": Q.customers_without_orders,
+        "customers_with_orders_semi": Q.customers_with_orders_semi,
+        "order_status_distribution": Q.order_status_distribution,
+        "conditional_counts": Q.conditional_counts,
+        "top3_orders_per_customer": Q.top3_orders_per_customer,
+        "events_hourly_stats": Q.events_hourly_stats,
+        "global_top100_orders": Q.global_top100_orders,
+        "order_point_lookup": Q.order_point_lookup,
+        "doc_text_features": QX.doc_text_features,
+        "doc_token_counts": QX.doc_token_counts,
+        "doc_tfidf_top_terms": QX.doc_tfidf_top_terms,
+        "doc_lang_stats": QX.doc_lang_stats,
+        "doc_exact_dedup_summary": QX.doc_exact_dedup_summary,
+        "doc_jaccard_vs_queries": QX.doc_jaccard_vs_queries,
+        "doc_simhash_near_dups": QX.doc_simhash_near_dups,
+        "doc_winnow_summary": QX.doc_winnow_summary,
+        "embedding_norms": QX.embedding_norms,
+        "embedding_topk_bruteforce": QX.embedding_topk_bruteforce,
+        "embedding_topk_ivf": QX.embedding_topk_ivf,
+        "events_json_stats": QX.events_json_stats,
     }
 
 
