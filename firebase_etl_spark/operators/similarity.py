@@ -242,9 +242,10 @@ def cosine_all_pairs_blas(
 def cosine_all_pairs_grid(
     df: DataFrame,
     threshold: float,
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_block_bytes: int = 64 * 1024 * 1024,
 ) -> DataFrame:
     """Exact all-pairs cosine >= threshold as a BLOCK-MATRIX (grid) join —
     the scale path: no driver-side corpus materialization, no full-corpus
@@ -260,7 +261,8 @@ def cosine_all_pairs_grid(
 
     Scale accounting at N vectors, B blocks: shuffled bytes ~ N*B (each
     block joins B others), peak task memory = 2 blocks = 2*N/B vectors.
-    Choose B ~ sqrt(N*dim*8 / task_mem) so blocks fit the executor; the
+    Choose B ~ sqrt(N*dim*8 / task_mem) so blocks fit the executor (the
+    default n_blocks=None derives exactly that from a count+dim probe); the
     quadratic work is irreducible for EXACT all-pairs — for corpora where
     even the grid is too hot, the sign-LSH path (ann_topk_lsh /
     signlsh_buckets + exact re-rank) is the sub-quadratic approximation.
@@ -268,7 +270,26 @@ def cosine_all_pairs_grid(
     Output: (id_a, id_b, cosine_sim) with id_a < id_b, 6-dp rounding —
     byte-identical to cosine_all_pairs_blas (pinned in tests).
     """
+    import math
+
     import numpy as np
+
+    if n_blocks is None:
+        # size B from the corpus so blocks fill (not fragment) executor
+        # memory: B = ceil(sqrt(corpus_bytes / target_block_bytes)) keeps a
+        # block ~ target bytes while block-PAIR count B*(B+1)/2 stays the
+        # minimum the memory budget allows — a fixed B oversizes small
+        # corpora into pure scheduling overhead (36 near-empty tasks at
+        # sf0.1) and undersizes huge ones into spills. One tiny count+dim
+        # action up front; the dim read prunes to the array column only.
+        n_vecs, dim = (
+            df.agg(
+                F.count(F.lit(1)), F.first(F.size(F.col(vec_col)), ignorenulls=True)
+            ).collect()[0]
+            or (0, 0)
+        )
+        corpus_bytes = (n_vecs or 0) * (dim or 0) * 8
+        n_blocks = max(2, math.ceil(math.sqrt(corpus_bytes / target_block_bytes)))
 
     vecs = df.select(
         F.col(id_col).alias("id"), normalized(_to_double(F.col(vec_col))).alias("v")

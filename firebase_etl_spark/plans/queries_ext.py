@@ -994,16 +994,18 @@ def events_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def events_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate distinct (HyperLogLog++) per event_type next to the exact
-    count — the sketch is the 100 TB cardinality plan (mergeable partials,
-    no distinct shuffle). Engine sketches differ, so this is a rows-only
-    driver check; the <2% relative-error bound is pinned in pytest."""
+    """Approximate distinct (HyperLogLog++) per event_type — the 100 TB
+    cardinality plan (mergeable partials, no distinct shuffle). The sketch
+    is the whole point, so the plan is sketch-only: an exact count_distinct
+    alongside would reintroduce the full distinct shuffle the sketch
+    avoids. Engine sketches differ, so this is a rows-only driver check;
+    the <2% relative-error bound vs exact is pinned in pytest
+    (tests/test_catalog_stats.py)."""
     e = load_table(spark, "events", sf_dir)
     return (
         e.groupBy("event_type")
         .agg(
             F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-            F.count_distinct("user_id").alias("exact_users"),
         )
         .orderBy("event_type")
     )

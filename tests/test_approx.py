@@ -172,7 +172,7 @@ def test_grid_all_pairs_matches_blas_baseline(spark, embeddings):
         for r in SIM.cosine_all_pairs_blas(embeddings, threshold=0.3).collect()
     }
     assert base  # threshold low enough that the invariant is non-vacuous
-    for n_blocks in (1, 3, 8):
+    for n_blocks in (1, 3, 8, None):  # None = corpus-sized adaptive default
         grid = {
             (r["id_a"], r["id_b"]): r["cosine_sim"]
             for r in SIM.cosine_all_pairs_grid(

@@ -80,13 +80,27 @@ def test_user_stats_and_distribution(spark):
 
 
 def test_approx_count_distinct_error_bound(spark):
-    """HLL++ at rsd=0.01 must land within 2% of the exact distinct count."""
-    from firebase_etl_spark.plans.queries_ext import events_distinct_users_approx
+    """HLL++ at rsd=0.01 must land within 2% of the exact distinct count.
+    The exact side lives HERE only — the driver query is sketch-only so its
+    plan keeps the no-distinct-shuffle property the sketch exists for."""
+    import pyspark.sql.functions as F
 
-    rows = events_distinct_users_approx(spark, "/root/testdata/sf0.001").collect()
+    from firebase_etl_spark.plans.queries_ext import events_distinct_users_approx
+    from firebase_etl_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = events_distinct_users_approx(spark, sf).collect()
     assert rows
+    exact = {
+        r["event_type"]: r["exact_users"]
+        for r in load_table(spark, "events", sf)
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("exact_users"))
+        .collect()
+    }
     for r in rows:
-        err = abs(r["approx_users"] - r["exact_users"]) / max(1, r["exact_users"])
+        want = exact[r["event_type"]]
+        err = abs(r["approx_users"] - want) / max(1, want)
         assert err < 0.02, (r["event_type"], err)
 
 
