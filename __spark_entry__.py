@@ -79,6 +79,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_rollup": QX.orders_rollup,
         "top_customer_revenue": QX.top_customer_revenue,
         "mktsegment_order_priority_pivot": QX.mktsegment_order_priority_pivot,
+        "rtdb_export_segment_stats": QX.rtdb_export_segment_stats,
+        "doc_simhash_portable_near_dups": QX.doc_simhash_portable_near_dups,
+        "doc_winnow_portable_summary": QX.doc_winnow_portable_summary,
         "q1_pricing_summary": Q.q1_pricing_summary,
         "latest_order_per_customer": Q.latest_order_per_customer,
         "null_counts_events": Q.null_counts_events,

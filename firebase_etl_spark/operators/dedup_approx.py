@@ -292,23 +292,69 @@ def hamming_distance(col_a, col_b):
     return F.bit_count(col_a.bitwiseXOR(col_b))
 
 
+def simhash_portable(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """60-bit SimHash from an md5 token hash — CONTENT-identical in any
+    engine with md5 (the cross-engine-auditable twin of ``simhash``, whose
+    xxhash64 is engine-specific). 60 bits: the fingerprint is built from
+    the first 15 hex chars of md5 so it stays in non-negative signed-long
+    range in engines without unsigned 64-bit (and needs no sign-bit
+    special case). Same relational shape as ``simhash``: one projection
+    computing the hash, one map-side-combinable aggregate of 60 bit-sums,
+    sign-bit packing."""
+    n_bits = 60
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+        ).alias("__tok"),
+    ).select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5("__tok"), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("__h"),
+    )
+    h = F.col("__h")
+    sums = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"__b{i}")
+            for i in range(n_bits)
+        ]
+    )
+    fp = None
+    for i in range(n_bits):
+        term = F.when(F.col(f"__b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        fp = term if fp is None else fp.bitwiseOR(term)
+    return sums.select(F.col(id_col), fp.cast("long").alias("simhash"))
+
+
 def simhash_near_dups(
     df: DataFrame,
     max_hamming: int = 8,
     n_blocks: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    portable: bool = False,
 ) -> DataFrame:
-    """Near-dups via SimHash with GUARANTEED recall: split the 64-bit
+    """Near-dups via SimHash with GUARANTEED recall: split the n-bit
     fingerprint into ``n_blocks`` >= max_hamming+1 bit-bands and join pairs
     sharing ANY band — by pigeonhole, hamming <= max_hamming pairs differ
     in at most max_hamming bands, so at least one band matches (the
     classic multi-index Hamming search). Exact hamming verify inside
     buckets. Shuffle stays bucket-local (band, band_bits) keys — never
-    O(n²)."""
+    O(n²). ``portable=True`` fingerprints with the md5-based 60-bit
+    ``simhash_portable`` (cross-engine deterministic => oracle-checkable);
+    default is the faster xxhash64 64-bit ``simhash``."""
+    n_bits = 60 if portable else 64
     blocks = n_blocks or (max_hamming + 1)
-    widths = [64 // blocks + (1 if i < 64 % blocks else 0) for i in range(blocks)]
-    sh = simhash(df, text_col, id_col).persist()
+    widths = [
+        n_bits // blocks + (1 if i < n_bits % blocks else 0) for i in range(blocks)
+    ]
+    fingerprint = simhash_portable if portable else simhash
+    sh = fingerprint(df, text_col, id_col).persist()
     try:
         band_cols, off = [], 0
         for w in widths:

@@ -87,3 +87,37 @@ def stratified_sample(
     exact-count-per-stratum sampling would need a window (sort by random,
     row_number <= n) at one shuffle — this is the cheap path."""
     return df.sampleBy(strata_col, fractions=fractions, seed=seed)
+
+
+def stratified_sample_hash(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    key_col: str,
+) -> DataFrame:
+    """Deterministic per-stratum *universe* sampling: keep a row iff the
+    60-bit prefix of md5(key) falls below fraction * 2^60.
+
+    Same one-scan/no-shuffle cost as ``stratified_sample``, but the
+    selection is CONTENT-addressed instead of RNG-addressed: identical
+    across engines, partitionings, retries, and runs — which is what an
+    auditable training-data pipeline needs (and what makes a cross-engine
+    oracle possible; any engine with md5 replays it). Sampling the same
+    key universe across tables also keeps joins closed under sampling.
+    Quota is fraction ± binomial noise; for EXACT quotas use the
+    rank-window pattern (documents_mixture_sample) at one shuffle.
+
+    Thresholds are computed as INTEGER literals driver-side so both sides
+    of a comparison avoid engine-specific double->int cast semantics
+    (Spark truncates, DuckDB rounds)."""
+    u = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    thresh = F.coalesce(
+        *[
+            F.when(F.col(strata_col) == k, F.lit(int(v * (1 << 60))))
+            for k, v in fractions.items()
+        ],
+        F.lit(0),
+    )
+    return df.filter(u < thresh)

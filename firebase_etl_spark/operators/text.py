@@ -138,6 +138,7 @@ def winnow_fingerprints(
     id_col: str = "doc_id",
     k: int = 4,
     window: int = 4,
+    portable: bool = False,
 ) -> DataFrame:
     """Winnowing fingerprints (the rolling-hash fingerprint family): hash
     every POSITIONAL word k-gram, slide a window over the hash sequence,
@@ -168,10 +169,17 @@ def winnow_fingerprints(
     gram_str = F.concat_ws(
         " ", F.col("tok"), *[F.lead("tok", i).over(wo) for i in range(1, k)]
     )
+    # gram hash: xxhash64 (fast scale path) or the md5 60-bit prefix
+    # (``portable`` — content-identical in any engine with md5, which is
+    # what makes a cross-engine oracle for the fingerprints possible)
+    if portable:
+        gh = F.conv(F.substring(F.md5(gram_str), 1, 15), 16, 10).cast("bigint")
+    else:
+        gh = F.xxhash64(gram_str)
     # full k-grams only; a doc shorter than k keeps its single partial gram
     grams = (
         toks.withColumn("__nt", F.count(F.lit(1)).over(wall))
-        .withColumn("gh", F.xxhash64(gram_str))
+        .withColumn("gh", gh)
         .filter(
             (F.col("pos") <= F.col("__nt") - k)
             | ((F.col("__nt") < k) & (F.col("pos") == 0))

@@ -1,8 +1,11 @@
 """DuckDB oracle twins for the extension queries.
 
-SimHash/winnowing and the sketch queries (HLL, GK percentiles, seeded
-sampling) are intentionally absent (engine-hash/sketch-dependent; the
-driver records rows-only checks and tests/ pin their invariants).
+Only the xxhash64 SimHash/winnowing variants and the sketch queries
+(HLL, GK percentiles) are absent — engine-hash/sketch-dependent by nature;
+the driver records rows-only checks, tests/ pin their invariants, and each
+hash-dependent operator has a PORTABLE md5-based twin that IS replayed here
+(doc_simhash_portable_near_dups, doc_winnow_portable_summary,
+events_stratified_sample's universe sampler).
 MinHash-near-dups and LSH-topk DO have oracles: their exact verification /
 re-rank stage is amplified to full recall on this corpus, so the outputs
 equal their brute-force twins. Everything else is exact.
@@ -419,6 +422,39 @@ ORACLES_EXT: dict[str, str] = {
         SELECT
             (SELECT count(*) FROM (SELECT * FROM r_keys EXCEPT SELECT * FROM a_keys)) AS only_r_orders,
             (SELECT count(*) FROM (SELECT * FROM r_keys INTERSECT SELECT * FROM a_keys)) AS both_orders
+    """,
+    # replays stratified_sample_hash: 60-bit md5(event_id) prefix under a
+    # per-stratum integer threshold (same literals as the Spark side —
+    # int(fraction * 2^60) computed once driver-side)
+    "events_stratified_sample": """
+        WITH s AS (
+            SELECT event_type,
+                   ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::UBIGINT AS u,
+                   CASE event_type
+                        WHEN 'click' THEN 115292150460684704
+                        WHEN 'view' THEN 57646075230342352
+                        WHEN 'purchase' THEN 1152921504606846976
+                        WHEN 'signup' THEN 1152921504606846976
+                        WHEN 'error' THEN 576460752303423488
+                        ELSE 0 END AS thresh
+            FROM events
+        )
+        SELECT event_type,
+               count(*) AS n_total,
+               count(*) FILTER (WHERE u < thresh) AS n_sampled
+        FROM s GROUP BY event_type ORDER BY event_type
+    """,
+    # the Spark side round-trips customer through an RTDB export + the
+    # custom `rtdb` DataSource; computing the same aggregate straight from
+    # the parquet table proves the source preserves content exactly
+    "rtdb_export_segment_stats": """
+        SELECT c_mktsegment AS segment,
+               count(*) AS n_customers,
+               round(sum(c_acctbal), 2) AS total_acctbal,
+               count(DISTINCT c_nationkey) AS n_nations
+        FROM customer
+        GROUP BY c_mktsegment
+        ORDER BY segment
     """,
 }
 
@@ -1027,4 +1063,87 @@ ORACLES_EXT["customer_order_arrays"] = """
            count(*) AS n_orders
     FROM orders WHERE o_custkey <= 50
     GROUP BY o_custkey ORDER BY o_custkey
+"""
+
+
+def _simhash_portable_oracle(n_bits: int = 60, max_hamming: int = 4) -> str:
+    """Full DuckDB replay of the portable md5 SimHash near-dup operator
+    (fingerprint + hamming verify). Banding on the Spark side is
+    recall-lossless (pigeonhole), so brute-force hamming here defines the
+    same pair set. The 60 bit-sum columns are generated, not hand-written."""
+    bit_sums = ",\n                   ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(n_bits)
+    )
+    fp_terms = "\n                 + ".join(
+        f"(CASE WHEN b{i} > 0 THEN (1::BIGINT << {i}) ELSE 0::BIGINT END)"
+        for i in range(n_bits)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+                FROM documents
+            )
+        ),
+        h AS (
+            SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+            FROM toks
+        ),
+        bits AS (
+            SELECT doc_id,
+                   {bit_sums}
+            FROM h GROUP BY doc_id
+        ),
+        fp AS (
+            SELECT doc_id,
+                   {fp_terms} AS fp
+            FROM bits
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
+        ORDER BY id_a, id_b
+    """
+
+
+ORACLES_EXT["doc_simhash_portable_near_dups"] = _simhash_portable_oracle()
+
+# full replay of the portable winnowing scheme with DuckDB list
+# expressions: positional k-grams (k=4) -> md5 60-bit gram hash ->
+# sliding-window (w=4) minima -> per-doc distinct prints. Short docs keep
+# one partial gram / one window, mirroring the Spark operator's edge rules.
+ORACLES_EXT["doc_winnow_portable_summary"] = r"""
+    WITH base AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 4 THEN
+                   list_transform(range(1, len(toks) - 2),
+                       i -> ('0x' || substr(md5(array_to_string(toks[i:i+3], ' ')), 1, 15))::BIGINT)
+               ELSE [('0x' || substr(md5(array_to_string(toks, ' ')), 1, 15))::BIGINT]
+               END AS ghs
+        FROM base
+    ),
+    p AS (
+        SELECT doc_id,
+               CASE WHEN len(ghs) >= 4 THEN
+                   list_distinct(list_transform(range(1, len(ghs) - 2),
+                       j -> list_min(ghs[j:j+3])))
+               ELSE [list_min(ghs)]
+               END AS prints
+        FROM g
+    ),
+    corpus AS (
+        SELECT count(DISTINCT pr) AS n_distinct_prints
+        FROM (SELECT unnest(prints) AS pr FROM p)
+    )
+    SELECT (SELECT count(*) FROM p) AS n_docs,
+           (SELECT round(avg(len(prints)), 4) FROM p) AS avg_prints_per_doc,
+           n_distinct_prints
+    FROM corpus
 """

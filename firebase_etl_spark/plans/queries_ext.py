@@ -1052,14 +1052,16 @@ def lineitem_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def events_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified downsampling by event_type (rebalancing), then per-stratum
-    achieved counts next to the population counts. Sampler is
-    engine-specific => rows-only; proportion tolerance + seed-determinism
-    pinned in pytest."""
-    from firebase_etl_spark.operators.stats import stratified_sample
+    achieved counts next to the population counts. Deterministic universe
+    sampling (md5-threshold, operators/stats.py:stratified_sample_hash):
+    content-addressed selection is engine/partitioning/retry-independent,
+    so the DuckDB oracle replays it exactly — the seeded Bernoulli variant
+    (stratified_sample) stays available and proportion-tested in pytest."""
+    from firebase_etl_spark.operators.stats import stratified_sample_hash
 
     e = load_table(spark, "events", sf_dir)
     fractions = {"click": 0.1, "view": 0.05, "purchase": 1.0, "signup": 1.0, "error": 0.5}
-    s = stratified_sample(e, "event_type", fractions)
+    s = stratified_sample_hash(e, "event_type", fractions, key_col="event_id")
     pop = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_total"))
     smp = s.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_sampled"))
     return (
@@ -1201,3 +1203,98 @@ def events_props_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("key")
     )
+
+
+def rtdb_export_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 (full-node scan) with hard oracle evidence: round-trip the
+    customer dim through an RTDB map-of-objects export and the custom
+    multi-partition ``rtdb`` DataSource (sources/rtdb_datasource.py), then
+    aggregate per market segment. The oracle computes the identical
+    aggregate straight from the parquet table, so a green row proves the
+    source's partitioned scan + raw-record parse preserve content exactly
+    (reference firebase_service.py:110-218 export shape).
+
+    The fixture write is INPUT materialization — the export file a backup
+    job produces — not part of the measured plan: the bounded customer dim
+    is collected once per sf_dir, written atomically, and reused.
+    """
+    import json
+    import os
+
+    from firebase_etl_spark.sources.rtdb_datasource import RtdbDataSource
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/spark_graft_rtdb_customer_{tag}.json"
+    if not os.path.exists(path):
+        c = load_table(spark, "customer", sf_dir).select(
+            "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+        )
+        export = {
+            f"c{r['c_custkey']}": {k: r[k] for k in r.asDict()}
+            for r in c.collect()
+        }
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(export, fh, ensure_ascii=False)
+        os.replace(tmp, path)  # atomic: concurrent callers see old or new
+
+    spark.dataSource.register(RtdbDataSource)
+    # a reader that implements pushFilters() hard-fails on sessions where
+    # Python-source pushdown is off (the default); runtime-settable conf
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    rec = F.from_json(
+        "raw",
+        "c_custkey bigint, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    scan = (
+        spark.read.format("rtdb")
+        .option("path", path)
+        .option("numPartitions", "8")
+        .load()
+        .select(rec.alias("r"))
+        .select("r.*")
+    )
+    return (
+        scan.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            F.count_distinct("c_nationkey").alias("n_nations"),
+        )
+        .orderBy("segment")
+    )
+
+
+def doc_simhash_portable_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash near-dups over the PORTABLE md5-based 60-bit
+    fingerprint (operators/dedup_approx.py:simhash_portable): content-
+    addressed hashing makes the fingerprints — and therefore the verified
+    pair set — engine-independent, so the DuckDB oracle replays the whole
+    operator (fingerprint + hamming <= 4). Banding is recall-lossless
+    (pigeonhole), so the oracle uses the brute-force hamming join: same
+    set by construction. The xxhash64 variant (doc_simhash_near_dups)
+    stays the fast scale path; this one is the auditable twin."""
+    d = load_table(spark, "documents", sf_dir)
+    return DA.simhash_near_dups(d, max_hamming=4, portable=True).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def doc_winnow_portable_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint summary over the PORTABLE md5-based gram hash
+    (operators/text.py:winnow_fingerprints(portable=True)): the selected
+    prints are content-addressed, so DuckDB replays the whole scheme —
+    k-gram hashing, sliding-window minima, per-doc dedup — with list
+    expressions. The xxhash64 variant (doc_winnow_summary) stays the fast
+    path; this is its auditable twin, same summary shape."""
+    d = load_table(spark, "documents", sf_dir)
+    prints = TX.winnow_fingerprints(d, portable=True)
+    per_doc = prints.select(F.size("prints").alias("n_prints"))
+    corpus = prints.select(F.explode("prints").alias("p")).agg(
+        F.count_distinct("p").alias("n_distinct_prints")
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_prints"), 4).alias("avg_prints_per_doc"),
+    ).crossJoin(corpus)

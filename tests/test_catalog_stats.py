@@ -116,19 +116,38 @@ def test_approx_percentile_error_bound(spark):
 
 
 def test_stratified_sample_proportions_and_determinism(spark):
+    """Covers BOTH samplers: the md5-threshold universe sampler behind the
+    driver query (content-deterministic), and the seeded-Bernoulli
+    operator (seed-deterministic) at the same fractions."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from firebase_etl_spark.operators.stats import stratified_sample
     from firebase_etl_spark.plans.queries_ext import events_stratified_sample
+    from firebase_etl_spark.sources.tables import load_table
 
     rows1 = events_stratified_sample(spark, "/root/testdata/sf0.01").collect()
     rows2 = events_stratified_sample(spark, "/root/testdata/sf0.01").collect()
-    assert [tuple(r) for r in rows1] == [tuple(r) for r in rows2]  # same seed
+    assert [tuple(r) for r in rows1] == [tuple(r) for r in rows2]  # content-addressed
     fr = {"click": 0.1, "view": 0.05, "purchase": 1.0, "signup": 1.0, "error": 0.5}
+
+    e = load_table(spark, "events", "/root/testdata/sf0.01")
+    bern = dict(
+        stratified_sample(e, "event_type", fr)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
     for r in rows1:
         want = fr[r["event_type"]]
-        got = r["n_sampled"] / r["n_total"]
-        # Bernoulli tolerance: full strata are exact, others within 4 sigma
-        if want == 1.0:
-            assert got == 1.0
-        else:
-            import math
-            sigma = math.sqrt(want * (1 - want) / r["n_total"])
-            assert abs(got - want) < 4 * sigma, (r["event_type"], got, want)
+        # tolerance: full strata are exact, others within 4 sigma
+        for got in (
+            r["n_sampled"] / r["n_total"],
+            bern[r["event_type"]] / r["n_total"],
+        ):
+            if want == 1.0:
+                assert got == 1.0
+            else:
+                sigma = math.sqrt(want * (1 - want) / r["n_total"])
+                assert abs(got - want) < 4 * sigma, (r["event_type"], got, want)
