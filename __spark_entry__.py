@@ -82,6 +82,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rtdb_export_segment_stats": QX.rtdb_export_segment_stats,
         "doc_simhash_portable_near_dups": QX.doc_simhash_portable_near_dups,
         "doc_winnow_portable_summary": QX.doc_winnow_portable_summary,
+        "doc_gopher_quality_report": QX.doc_gopher_quality_report,
+        "doc_contamination_screen": QX.doc_contamination_screen,
         "q1_pricing_summary": Q.q1_pricing_summary,
         "latest_order_per_customer": Q.latest_order_per_customer,
         "null_counts_events": Q.null_counts_events,

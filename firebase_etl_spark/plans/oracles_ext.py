@@ -1147,3 +1147,127 @@ ORACLES_EXT["doc_winnow_portable_summary"] = r"""
            n_distinct_prints
     FROM corpus
 """
+
+# full replay of the Gopher-rule quality report (operators/quality.py):
+# word-level rules off the token list, n-gram repetition fractions via an
+# unnested gram count, identical tiebreak (count desc, gram asc) and 6dp
+# per-doc rounding before the 4dp per-lang averages.
+ORACLES_EXT["doc_gopher_quality_report"] = r"""
+    WITH base AS (
+        SELECT doc_id, lang,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents
+    ),
+    feat AS (
+        SELECT doc_id, lang, toks,
+               len(toks) AS wc,
+               length(array_to_string(toks, ' ')) AS nchars,
+               round(list_sum(list_transform(toks, t -> length(t))) * 1.0
+                     / len(toks), 6) AS mwl,
+               len(list_filter(toks,
+                   t -> contains(t, '#') OR contains(t, '...'))) AS symbolish,
+               round(len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+                     * 1.0 / len(toks), 6) AS alpha_frac,
+               len(list_intersect(list_distinct(toks),
+                   ['the','a','an','and','or','of','to','in','is','it'])) AS stops
+        FROM base
+    ),
+    grams AS (
+        SELECT doc_id, n,
+               unnest(list_transform(range(1, len(toks) - n + 2),
+                   i -> array_to_string(toks[i:i+n-1], ' '))) AS gram
+        FROM base, (VALUES (2),(3),(4),(5)) t(n)
+        WHERE len(toks) >= n
+    ),
+    counts AS (
+        SELECT doc_id, n, gram, count(*) AS cnt FROM grams GROUP BY ALL
+    ),
+    pern AS (
+        SELECT doc_id, n,
+               max(CASE WHEN rn = 1 THEN cnt * length(gram) END) AS top_chars,
+               coalesce(sum(CASE WHEN cnt > 1 THEN cnt * length(gram) END), 0) AS dup_chars
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id, n ORDER BY cnt DESC, gram
+            ) AS rn FROM counts
+        ) GROUP BY doc_id, n
+    ),
+    fr AS (
+        SELECT f.doc_id, f.lang, f.wc, f.mwl, f.symbolish, f.alpha_frac,
+               f.stops,
+               round(coalesce(max(CASE WHEN p.n = 2 THEN p.top_chars END)
+                     * 1.0 / nullif(f.nchars, 0), 0), 6) AS top2,
+               round(coalesce(max(CASE WHEN p.n = 3 THEN p.top_chars END)
+                     * 1.0 / nullif(f.nchars, 0), 0), 6) AS top3,
+               round(coalesce(max(CASE WHEN p.n = 4 THEN p.top_chars END)
+                     * 1.0 / nullif(f.nchars, 0), 0), 6) AS top4,
+               round(coalesce(max(CASE WHEN p.n = 5 THEN p.dup_chars END)
+                     * 1.0 / nullif(f.nchars, 0), 0), 6) AS dup5
+        FROM feat f LEFT JOIN pern p ON f.doc_id = p.doc_id
+        GROUP BY f.doc_id, f.lang, f.wc, f.nchars, f.mwl, f.symbolish,
+                 f.alpha_frac, f.stops
+    ),
+    flags AS (
+        SELECT lang,
+               (wc BETWEEN 50 AND 100000) AS ok_wc,
+               (mwl BETWEEN 3.0 AND 10.0) AS ok_mwl,
+               (symbolish * 1.0 / wc <= 0.1) AS ok_sym,
+               (alpha_frac >= 0.8) AS ok_alpha,
+               (stops >= 2) AS ok_stop,
+               (top2 <= 0.20) AS ok_top2,
+               (top3 <= 0.18) AS ok_top3,
+               (top4 <= 0.16) AS ok_top4,
+               (dup5 <= 0.15) AS ok_dup5,
+               top2, dup5
+        FROM fr
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN ok_wc AND ok_mwl AND ok_sym AND ok_alpha
+                          AND ok_stop AND ok_top2 AND ok_top3 AND ok_top4
+                          AND ok_dup5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all,
+           CAST(sum(CASE WHEN NOT ok_wc THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_word_count,
+           CAST(sum(CASE WHEN NOT ok_mwl THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_mean_word_len,
+           CAST(sum(CASE WHEN NOT ok_sym THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_symbol_ratio,
+           CAST(sum(CASE WHEN NOT ok_alpha THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_alpha_words,
+           CAST(sum(CASE WHEN NOT ok_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stopwords,
+           CAST(sum(CASE WHEN NOT ok_top2 THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_top2gram,
+           CAST(sum(CASE WHEN NOT ok_top3 THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_top3gram,
+           CAST(sum(CASE WHEN NOT ok_top4 THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_top4gram,
+           CAST(sum(CASE WHEN NOT ok_dup5 THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_dup5gram,
+           round(avg(top2), 4) AS avg_top2_frac,
+           round(avg(dup5), 4) AS avg_dup5_frac
+    FROM flags GROUP BY lang ORDER BY lang
+"""
+
+# replays the 5-gram decontamination screen: distinct positional word
+# 5-grams per doc, probe set = QUERY_DOC_IDS, containment join, one row
+# per probe with zeros preserved
+ORACLES_EXT["doc_contamination_screen"] = r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+                   i -> array_to_string(toks[i:i+4], ' ')))) AS gram
+        FROM toks WHERE len(toks) >= 5
+    ),
+    probes AS (SELECT doc_id AS probe_id, gram FROM g WHERE doc_id IN (0,1,2,3,4)),
+    corpus AS (SELECT doc_id, gram FROM g WHERE doc_id NOT IN (0,1,2,3,4)),
+    agg AS (
+        SELECT probe_id,
+               count(DISTINCT doc_id) AS n_contaminated_docs,
+               CAST(count(*) AS BIGINT) AS n_shared_gram_hits
+        FROM corpus JOIN probes USING (gram)
+        GROUP BY probe_id
+    )
+    SELECT p.probe_id,
+           coalesce(a.n_contaminated_docs, 0) AS n_contaminated_docs,
+           coalesce(a.n_shared_gram_hits, 0) AS n_shared_gram_hits
+    FROM (SELECT DISTINCT doc_id AS probe_id FROM documents
+          WHERE doc_id IN (0,1,2,3,4)) p
+    LEFT JOIN agg a ON p.probe_id = a.probe_id
+    ORDER BY p.probe_id
+"""

@@ -1276,9 +1276,9 @@ def doc_simhash_portable_near_dups(spark: SparkSession, sf_dir: str) -> DataFram
     set by construction. The xxhash64 variant (doc_simhash_near_dups)
     stays the fast scale path; this one is the auditable twin."""
     d = load_table(spark, "documents", sf_dir)
-    return DA.simhash_near_dups(d, max_hamming=4, portable=True).orderBy(
-        "id_a", "id_b"
-    )
+    # no orderBy: the gate compares sorted multisets, and a global sort of
+    # the (large) pair set would be pure overhead at corpus scale
+    return DA.simhash_near_dups(d, max_hamming=4, portable=True)
 
 
 def doc_winnow_portable_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1298,3 +1298,91 @@ def doc_winnow_portable_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("n_prints"), 4).alias("avg_prints_per_doc"),
     ).crossJoin(corpus)
+
+
+def doc_gopher_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality filtering report (operators/quality.py): per
+    language, how many docs pass all rules and which rule trips — the
+    decision table a corpus-curation run produces before dedup. Every rule
+    (word stats + n-gram repetition fractions) is deterministic relational
+    logic, replayed exactly by the DuckDB oracle."""
+    from firebase_etl_spark.operators.quality import gopher_quality_flags
+
+    d = load_table(spark, "documents", sf_dir)
+    flags = gopher_quality_flags(d)
+    j = d.select("doc_id", "lang").join(flags, "doc_id")
+    fails = [
+        ("n_fail_word_count", "ok_word_count"),
+        ("n_fail_mean_word_len", "ok_mean_word_len"),
+        ("n_fail_symbol_ratio", "ok_symbol_ratio"),
+        ("n_fail_alpha_words", "ok_alpha_words"),
+        ("n_fail_stopwords", "ok_stopwords"),
+        ("n_fail_top2gram", "ok_top2gram"),
+        ("n_fail_top3gram", "ok_top3gram"),
+        ("n_fail_top4gram", "ok_top4gram"),
+        ("n_fail_dup5gram", "ok_dup5gram"),
+    ]
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("pass_all").cast("long")).alias("n_pass_all"),
+            *[
+                F.sum((~F.col(ok)).cast("long")).alias(name)
+                for name, ok in fails
+            ],
+            F.round(F.avg("top2gram_char_frac"), 4).alias("avg_top2_frac"),
+            F.round(F.avg("dup5gram_char_frac"), 4).alias("avg_dup5_frac"),
+        )
+        .orderBy("lang")
+    )
+
+
+def doc_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination screen (the GPT-3-appendix-style n-gram
+    overlap check a training corpus runs against held-out benchmarks):
+    treat the QUERY_DOC_IDS docs as the eval set, flag every corpus doc
+    sharing any word 5-gram with a probe. Probe grams broadcast (eval sets
+    are tiny next to the corpus), corpus grams stream through one explode
+    + hash join — no shuffle of the corpus side beyond the final per-probe
+    aggregate. One row PER PROBE, zeros preserved (the report a curation
+    run files per benchmark). Deterministic, replayed exactly by the
+    DuckDB oracle."""
+    n = 5  # gram size; published decontamination uses 5-13 by doc length
+    d = load_table(spark, "documents", sf_dir)
+
+    def grams(df_):
+        return df_.select(
+            "doc_id", F.explode(TX.word_shingles("text", n)).alias("gram")
+        )
+
+    probes = grams(d.filter(F.col("doc_id").isin(QUERY_DOC_IDS))).select(
+        F.col("doc_id").alias("probe_id"), "gram"
+    )
+    corpus = grams(d.filter(~F.col("doc_id").isin(QUERY_DOC_IDS)))
+    agg = (
+        corpus.join(F.broadcast(probes), "gram")
+        .groupBy("probe_id")
+        .agg(
+            F.count_distinct("doc_id").alias("n_contaminated_docs"),
+            F.count(F.lit(1)).alias("n_shared_gram_hits"),
+        )
+    )
+    all_probes = (
+        d.filter(F.col("doc_id").isin(QUERY_DOC_IDS))
+        .select(F.col("doc_id").alias("probe_id"))
+        .distinct()
+    )
+    return (
+        all_probes.join(agg, "probe_id", "left")
+        .select(
+            "probe_id",
+            F.coalesce("n_contaminated_docs", F.lit(0)).alias(
+                "n_contaminated_docs"
+            ),
+            F.coalesce("n_shared_gram_hits", F.lit(0)).alias(
+                "n_shared_gram_hits"
+            ),
+        )
+        .orderBy("probe_id")
+    )

@@ -324,3 +324,30 @@ def test_connected_components_string_ids_both_paths(spark):
         assert cc.schema["node"].dataType.simpleString() == "string"
         got = {r["node"]: r["component"] for r in cc.collect()}
         assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_gopher_quality_rules(spark):
+    """Rule sanity on constructed docs: a repeated-phrase doc trips the
+    repetition rules, a normal-prose doc passes everything, a symbol-heavy
+    doc trips symbol/alpha rules."""
+    from firebase_etl_spark.operators.quality import gopher_quality_flags
+
+    prose = (
+        "the quick brown fox jumps over a lazy dog and then it runs "
+        "to the old mill where many small animals gather in the warm "
+        "evening light while birds sing softly of distant hills and "
+        "rivers that wind slowly toward the sea bringing cool air "
+        "to every meadow and grove in the quiet valley below tonight"
+    )
+    looped = ("spam ham " * 60).strip()          # one 2-gram dominates
+    symbols = " ".join(["###"] * 80)             # no alphabetic words
+    docs = spark.createDataFrame(
+        [(1, prose), (2, looped), (3, symbols)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in gopher_quality_flags(docs).collect()}
+    assert rows[1]["pass_all"], {
+        k: v for k, v in rows[1].asDict().items() if k.startswith("ok_") and not v
+    }
+    assert not rows[2]["ok_top2gram"] and not rows[2]["pass_all"]
+    assert not rows[3]["ok_alpha_words"] and not rows[3]["ok_symbol_ratio"]
+    assert rows[2]["top2gram_char_frac"] > 0.75  # the loop IS the doc
