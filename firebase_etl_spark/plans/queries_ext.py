@@ -1374,7 +1374,9 @@ def doc_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return (
-        all_probes.join(agg, "probe_id", "left")
+        # agg is <= |probes| rows; broadcast so the zero-preserving left
+        # join never plans a sort-merge
+        all_probes.join(F.broadcast(agg), "probe_id", "left")
         .select(
             "probe_id",
             F.coalesce("n_contaminated_docs", F.lit(0)).alias(

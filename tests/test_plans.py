@@ -136,3 +136,43 @@ def test_grid_all_pairs_no_driver_side_plan(spark, sf_dir):
     plan = physical_plan(cosine_all_pairs_grid(e, threshold=0.4))
     assert "MapInPandas" in plan
     assert "LocalTableScan" not in plan
+
+
+def test_contamination_screen_broadcasts_probes_no_smj(spark, sf_dir):
+    """The 5-gram containment join must broadcast the (tiny) probe side and
+    the zero-preserving probe left-join must not fall back to sort-merge —
+    at corpus scale an SMJ there would shuffle the corpus gram explosion."""
+    from firebase_etl_spark.plans.queries_ext import doc_contamination_screen
+
+    df = doc_contamination_screen(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_gopher_report_no_cartesian_all_doc_partitioned(spark, sf_dir):
+    """The quality report's joins stay doc-keyed (no cross joins); the scan
+    prunes to the columns it needs."""
+    from firebase_etl_spark.plans.queries_ext import doc_gopher_quality_report
+
+    df = doc_gopher_quality_report(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    schemas = scans_read_columns(df)
+    assert schemas and all("n_chars" not in s for s in schemas), schemas
+
+
+def test_stratified_sample_hash_is_scan_only(spark, sf_dir):
+    """The universe sampler must stay a scan-side filter: no join, no extra
+    shuffle beyond the final per-stratum aggregate."""
+    from firebase_etl_spark.operators.stats import stratified_sample_hash
+    from firebase_etl_spark.sources.tables import load_table as lt
+
+    e = lt(spark, "events", sf_dir)
+    s = stratified_sample_hash(
+        e, "event_type", {"click": 0.1, "view": 1.0}, key_col="event_id"
+    )
+    plan = physical_plan(s)
+    for op in ("Join", "Exchange", "Sort"):
+        assert op not in plan, f"{op} in sampler plan"
