@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_winnow_portable_summary": QX.doc_winnow_portable_summary,
         "doc_gopher_quality_report": QX.doc_gopher_quality_report,
         "doc_contamination_screen": QX.doc_contamination_screen,
+        "doc_winnow_near_dups": QX.doc_winnow_near_dups,
         "q1_pricing_summary": Q.q1_pricing_summary,
         "latest_order_per_customer": Q.latest_order_per_customer,
         "null_counts_events": Q.null_counts_events,

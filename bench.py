@@ -42,7 +42,11 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     queries = entrymod.queries()
 
-    # warmup: JVM/codegen/Python-worker spinup on the tiny SF
+    # warmup: JVM/codegen/Python-worker spinup on the tiny SF. Measured
+    # trade: warming every query costs only ~15s of extra wall (the tiny-SF
+    # runs are cheap) and keeps BOTH timed passes steady-state, so min-of-2
+    # never reports a compile-inflated number when host noise lands on the
+    # warm pass.
     for name, fn in queries.items():
         try:
             fn(spark, WARMUP_DIR).collect()

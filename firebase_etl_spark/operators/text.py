@@ -200,6 +200,46 @@ def winnow_fingerprints(
     )
 
 
+def winnow_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    window: int = 4,
+    min_shared: int = 3,
+    max_df: int = 1000,
+    portable: bool = False,
+) -> DataFrame:
+    """Shared-fingerprint near-dup pairs (the MOSS scheme): pairs of docs
+    sharing at least ``min_shared`` winnowing prints, with the shared-print
+    count as the match strength.
+
+    Scale design: prints with document frequency above ``max_df`` are
+    dropped BEFORE the self-join — a print shared by m docs creates
+    ~m²/2 candidate rows, so the df cut is what bounds bucket size and
+    join skew at corpus scale (the same role stop-print/boilerplate
+    removal plays in MOSS deployments; dropped prints are boilerplate by
+    definition). Both shuffles are keyed on the print value then the doc
+    pair — bucket-local, never all-pairs. ``portable=True`` uses the md5
+    gram hash so a DuckDB oracle can replay the pair set exactly.
+    """
+    prints = winnow_fingerprints(df, text_col, id_col, k, window, portable)
+    e = prints.select(F.col(id_col), F.explode("prints").alias("p"))
+    dfreq = e.groupBy("p").agg(F.count(F.lit(1)).alias("__df"))
+    kept = e.join(dfreq.filter(F.col("__df") <= max_df), "p").select(
+        F.col(id_col), "p"
+    )
+    a = kept.select(F.col(id_col).alias("id_a"), "p")
+    b = kept.select(F.col(id_col).alias("id_b"), "p")
+    return (
+        a.join(b, "p")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_prints"))
+        .filter(F.col("n_shared_prints") >= min_shared)
+    )
+
+
 #: GPT-2-style pre-tokenizer regex (Radford et al. 2019; the public
 #: tiktoken/gpt2 pattern), simplified to a lookahead-free form so Spark's
 #: Java regex and DuckDB's RE2 match identically: contraction suffixes,

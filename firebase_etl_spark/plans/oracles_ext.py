@@ -1271,3 +1271,37 @@ ORACLES_EXT["doc_contamination_screen"] = r"""
     LEFT JOIN agg a ON p.probe_id = a.probe_id
     ORDER BY p.probe_id
 """
+
+# replays winnow_near_dups(portable): same prints as the summary oracle,
+# df-cut at 50, shared-print pair count >= 3
+ORACLES_EXT["doc_winnow_near_dups"] = r"""
+    WITH base AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 4 THEN
+                   list_transform(range(1, len(toks) - 2),
+                       i -> ('0x' || substr(md5(array_to_string(toks[i:i+3], ' ')), 1, 15))::BIGINT)
+               ELSE [('0x' || substr(md5(array_to_string(toks, ' ')), 1, 15))::BIGINT]
+               END AS ghs
+        FROM base
+    ),
+    p AS (
+        SELECT doc_id,
+               CASE WHEN len(ghs) >= 4 THEN
+                   list_distinct(list_transform(range(1, len(ghs) - 2),
+                       j -> list_min(ghs[j:j+3])))
+               ELSE [list_min(ghs)] END AS prints
+        FROM g
+    ),
+    e AS (SELECT doc_id, unnest(prints) AS pr FROM p),
+    dfreq AS (SELECT pr, count(*) AS dfv FROM e GROUP BY pr),
+    kept AS (SELECT e.doc_id, e.pr FROM e JOIN dfreq USING (pr) WHERE dfv <= 50)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared_prints
+    FROM kept a JOIN kept b ON a.pr = b.pr AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= 3
+"""

@@ -1388,3 +1388,12 @@ def doc_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe_id")
     )
+
+
+def doc_winnow_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-based near-dup detection (the MOSS use of the prints):
+    doc pairs sharing >= 3 portable fingerprints after dropping
+    boilerplate prints (document frequency > 50). Fully replayed by the
+    DuckDB oracle over the same md5 gram hash."""
+    d = load_table(spark, "documents", sf_dir)
+    return TX.winnow_near_dups(d, min_shared=3, max_df=50, portable=True)
