@@ -351,3 +351,22 @@ def test_gopher_quality_rules(spark):
     assert not rows[2]["ok_top2gram"] and not rows[2]["pass_all"]
     assert not rows[3]["ok_alpha_words"] and not rows[3]["ok_symbol_ratio"]
     assert rows[2]["top2gram_char_frac"] > 0.75  # the loop IS the doc
+
+
+def test_winnow_near_dups_df_cut_bounds_boilerplate(spark):
+    """A print appearing in every doc (shared boilerplate) must be dropped
+    by the document-frequency cut instead of generating ~m^2/2 join rows;
+    docs that only share boilerplate then produce NO pair."""
+    from firebase_etl_spark.operators.text import winnow_near_dups
+
+    boiler = "standard legal footer applies to all documents here"
+    docs = [(i, f"unique text body number {i} " * 3 + boiler) for i in range(12)]
+    docs.append((100, docs[0][1]))  # one true near-dup of doc 0
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    strict = winnow_near_dups(df, min_shared=1, max_df=3, portable=True).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in strict}
+    assert pairs == {(0, 100)}  # boilerplate-only overlaps suppressed
+
+    loose = winnow_near_dups(df, min_shared=1, max_df=1000, portable=True)
+    assert loose.count() > len(pairs)  # without the cut, boilerplate pairs everything
