@@ -156,6 +156,9 @@ def test_gopher_report_no_cartesian_all_doc_partitioned(spark, sf_dir):
     prunes to the columns it needs."""
     from firebase_etl_spark.plans.queries_ext import doc_gopher_quality_report
 
+    # another test may have cached `documents`; pruning is only visible on
+    # a real parquet scan, not an InMemoryRelation
+    spark.catalog.clearCache()
     df = doc_gopher_quality_report(spark, sf_dir)
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
