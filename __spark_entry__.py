@@ -92,6 +92,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_lsh": QX.embedding_topk_lsh,
         "events_variant_stats": QX.events_variant_stats,
         "masked_customer_emails": Q.masked_customer_emails,
+        # ---- added late in round 3 (outside this round's 50-query window;
+        # rotate to the front next round) ----
+        "doc_segment_dedup_report": QX.doc_segment_dedup_report,
+        "customer_status_scd2": QX.customer_status_scd2,
+        "events_key_skew_profile": QX.events_key_skew_profile,
+        "documents_temperature_mixture": QX.documents_temperature_mixture,
         # ---- previously driver-green (r1/r2); pinned by tests/test_oracle.py ----
         "q3_shipping_priority": Q.q3_shipping_priority,
         "q6_forecast_revenue": Q.q6_forecast_revenue,

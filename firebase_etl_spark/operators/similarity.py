@@ -190,6 +190,116 @@ def ann_topk_lsh(
     return out
 
 
+def quantized_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN via int8 scalar quantization + exact re-rank — the
+    memory-bandwidth scale path: at 100 TB the quantized copy of the
+    corpus is 4× smaller than float32 (dim bytes per vector), candidate
+    scoring runs on integer dot products, and only the ``shortlist``
+    survivors per probe ever touch the full-precision vectors.
+
+    Scheme: per-dimension corpus [min,max] over the NORMALIZED vectors
+    (one posexplode + groupBy(dim) — partial aggregation collapses each
+    partition to <= dim rows before the shuffle, so the stats cost one
+    narrow map-side pass), affine-quantize each component to int8
+    (round((x-mn)*255/(mx-mn)) - 128; constant dims get scale 0), rank
+    candidates by integer dot product, then exact cosine re-rank of the
+    top-``shortlist`` per probe (ties broken by id — deterministic).
+    The re-rank joins back to the float vectors by id, so the shortlist
+    window shuffles only (query_id, id, qdot) rows.
+
+    With ``shortlist`` sized for full recall (measured: int8 on 64-dim
+    unit vectors ranks the true top-10 well inside the top-100), the
+    output EQUALS brute-force cosine_topk — which is what makes it
+    oracle-checkable; recall is also asserted directly in tests."""
+    vecs = df.select(
+        F.col(id_col), normalized(_to_double(F.col(vec_col))).alias("v")
+    )
+    dims = vecs.select(F.posexplode("v").alias("i", "x"))
+    rng = (
+        dims.groupBy("i")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "mn"))),
+                lambda s: s["mn"],
+            ).alias("mns"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "mx"))),
+                lambda s: s["mx"],
+            ).alias("mxs"),
+        )
+        .select(
+            "mns",
+            F.zip_with(
+                "mxs",
+                "mns",
+                lambda mx, mn: F.when(
+                    mx > mn, F.lit(255.0) / (mx - mn)
+                ).otherwise(F.lit(0.0)),
+            ).alias("scls"),
+        )
+    )
+
+    def quant(vc):
+        return F.zip_with(
+            F.zip_with(vc, F.col("mns"), lambda x, mn: x - mn),
+            F.col("scls"),
+            lambda dx, s: (F.round(dx * s, 0) - F.lit(128)).cast("tinyint"),
+        )
+
+    qvecs = vecs.crossJoin(F.broadcast(rng)).select(
+        F.col(id_col), quant(F.col("v")).alias("qv")
+    )
+    qprobes = qvecs.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("qv").alias("qq")
+    )
+    # int math on the int8 payloads: tinyint*tinyint would overflow ANSI
+    qdot = F.aggregate(
+        F.zip_with("qv", "qq", lambda a, b: a.cast("int") * b.cast("int")),
+        F.lit(0),
+        lambda acc, t: acc + t,
+    )
+    scored = (
+        qvecs.crossJoin(F.broadcast(qprobes))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col, qdot.alias("qdot"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("qdot").desc(), F.col(id_col)
+    )
+    short_ids = (
+        scored.withColumn("crank", F.row_number().over(wq))
+        .filter(F.col("crank") <= shortlist)
+        .select("query_id", id_col)
+    )
+    fprobes = vecs.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("q")
+    )
+    sims = (
+        short_ids.join(vecs, id_col)
+        .join(F.broadcast(fprobes), "query_id")
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.round(dot(F.col("v"), F.col("q")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col)
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def cosine_all_pairs_blas(
     df: DataFrame,
     threshold: float,

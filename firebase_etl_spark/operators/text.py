@@ -240,6 +240,76 @@ def winnow_near_dups(
     )
 
 
+def segment_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 20,
+) -> DataFrame:
+    """Corpus-level segment dedup — the CCNet/RefinedWeb paragraph-dedup
+    shape: split every document into segments, hash each normalized
+    segment, keep only the globally-FIRST occurrence (min (doc_id, pos))
+    of each distinct segment, and reassemble what survives. Returns a
+    per-document report: (id, n_chunks, n_kept, n_chars_kept, kept_md5)
+    where kept_md5 fingerprints the reassembled surviving text, so an
+    oracle checks the exact kept CONTENT, not just counts.
+
+    The segmenter here is fixed-width word windows (the synthetic corpus
+    is single-line); on real corpora the split is newline paragraphs —
+    one expression swap, the pipeline shape is identical.
+
+    Scale design: explode tokens once and build segments with a
+    (doc, chunk) group-by — never a per-segment re-tokenize (HOF lambdas
+    re-evaluate outer-array references per element, an O(tokens^2) trap).
+    First-occurrence election is a partial-aggregable min(struct) keyed
+    on the segment text — the same content-keyed single shuffle as exact
+    dedup — followed by a co-partitioned join back. No window over the
+    whole corpus, no skew beyond segment frequency (boilerplate segments
+    concentrate, but min() combines map-side)."""
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokenize(text_col)).alias("pos", "tok")
+    )
+    segs = (
+        toks.withColumn("chunk", (F.col("pos") / chunk_words).cast("int"))
+        .groupBy(id_col, "chunk")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("seg")
+        )
+    )
+    first = segs.groupBy("seg").agg(
+        F.min(
+            F.struct(F.col(id_col).alias("d"), F.col("chunk").alias("c"))
+        ).alias("first")
+    )
+    kept = segs.join(first, "seg").where(
+        (F.col(id_col) == F.col("first.d")) & (F.col("chunk") == F.col("first.c"))
+    )
+    kept_doc = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk", "seg"))),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+    totals = segs.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_chunks"))
+    return totals.join(kept_doc, id_col, "left").select(
+        F.col(id_col),
+        "n_chunks",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.length(F.coalesce("kept_text", F.lit(""))).alias("n_chars_kept"),
+        F.md5(F.coalesce("kept_text", F.lit(""))).alias("kept_md5"),
+    )
+
+
 #: GPT-2-style pre-tokenizer regex (Radford et al. 2019; the public
 #: tiktoken/gpt2 pattern), simplified to a lookahead-free form so Spark's
 #: Java regex and DuckDB's RE2 match identically: contraction suffixes,

@@ -1305,3 +1305,134 @@ ORACLES_EXT["doc_winnow_near_dups"] = r"""
     GROUP BY a.doc_id, b.doc_id
     HAVING count(*) >= 3
 """
+
+# replays scd2_history over orders: change-point lag (IS DISTINCT FROM =
+# Spark's null-safe eqNullSafe negation), running regime number, regime
+# collapse, lead() validity intervals
+ORACLES_EXT["customer_status_scd2"] = r"""
+    WITH s AS (
+        SELECT o_custkey, o_orderdate, o_orderstatus, o_orderkey,
+               CASE WHEN lag(o_orderstatus) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) IS DISTINCT FROM o_orderstatus THEN 1 ELSE 0 END AS chg
+        FROM orders
+    ),
+    v AS (
+        SELECT *, sum(chg) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS UNBOUNDED PRECEDING
+        ) AS ver FROM s
+    ),
+    h AS (
+        SELECT o_custkey, ver, o_orderstatus,
+               min(o_orderdate) AS valid_from,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM v GROUP BY o_custkey, ver, o_orderstatus
+    )
+    SELECT o_custkey, CAST(ver AS BIGINT) AS version, o_orderstatus,
+           valid_from,
+           lead(valid_from) OVER w2 AS valid_to,
+           (lead(valid_from) OVER w2 IS NULL) AS is_current,
+           n_rows
+    FROM h WINDOW w2 AS (PARTITION BY o_custkey ORDER BY ver)
+"""
+
+# replays the skew profiler: per-key counts, per-type totals, top-3 keys
+# by (count desc, user_id)
+ORACLES_EXT["events_key_skew_profile"] = r"""
+    WITH per_key AS (
+        SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n_rows
+        FROM events GROUP BY event_type, user_id
+    ),
+    totals AS (
+        SELECT event_type, CAST(sum(n_rows) AS BIGINT) AS n_events,
+               CAST(count(*) AS BIGINT) AS n_keys
+        FROM per_key GROUP BY event_type
+    ),
+    top AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY event_type ORDER BY n_rows DESC, user_id
+        ) AS rnk FROM per_key
+    )
+    SELECT t.event_type, CAST(t.rnk AS INT) AS rnk, t.user_id, t.n_rows,
+           round(t.n_rows * 1.0 / s.n_events, 6) AS share,
+           round(t.n_rows * 1.0 * s.n_keys / s.n_events, 4) AS skew_x_avg,
+           s.n_events, s.n_keys
+    FROM top t JOIN totals s USING (event_type)
+    WHERE t.rnk <= 3
+    ORDER BY t.event_type, t.rnk
+"""
+
+# replays the temperature mixture: fixed-point sqrt weights (exact integer
+# total), 25% budget, md5 shuffle order, quota cap at n_l
+ORACLES_EXT["documents_temperature_mixture"] = r"""
+    WITH counts AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_l,
+               CAST(round(sqrt(count(*)) * 1e6, 0) AS BIGINT) AS w_fx
+        FROM documents GROUP BY lang
+    ),
+    tot AS (
+        SELECT CAST(sum(n_l) AS BIGINT) AS n_total,
+               CAST(sum(w_fx) AS BIGINT) AS w_total
+        FROM counts
+    ),
+    quotas AS (
+        SELECT lang, n_l,
+               least(n_l, CAST(ceil(round(
+                   ceil(0.25 * n_total) * w_fx * 1.0 / w_total, 6
+               )) AS BIGINT)) AS quota
+        FROM counts, tot
+    ),
+    ranked AS (
+        SELECT doc_id, lang, row_number() OVER (
+            PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        ) AS rn FROM documents
+    )
+    SELECT r.lang, max(q.n_l) AS n_l, max(q.quota) AS quota,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(sum(r.doc_id) AS BIGINT) AS id_checksum
+    FROM ranked r JOIN quotas q USING (lang)
+    WHERE r.rn <= q.quota
+    GROUP BY r.lang ORDER BY r.lang
+"""
+
+# replays segment_dedup(chunk_words=20): fixed-width word chunks, global
+# first-occurrence (min (doc_id, chunk)) per distinct segment, reassembly
+# in chunk order, md5 of the surviving text
+ORACLES_EXT["doc_segment_dedup_report"] = r"""
+    WITH base AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents
+    ),
+    ch AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(0, CAST(ceil(len(toks) / 20.0) AS INT)),
+                   i -> {'chunk': i,
+                         'seg': array_to_string(toks[(i*20+1):(i*20+20)], ' ')}
+               )) AS u
+        FROM base
+    ),
+    segs AS (SELECT doc_id, CAST(u.chunk AS INT) AS chunk, u.seg AS seg FROM ch),
+    kept AS (
+        SELECT doc_id, chunk, seg FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY seg ORDER BY doc_id, chunk
+            ) AS rn FROM segs
+        ) WHERE rn = 1
+    ),
+    agg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+               string_agg(seg, ' ' ORDER BY chunk) AS kept_text
+        FROM kept GROUP BY doc_id
+    ),
+    totals AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks FROM segs
+        GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_chunks,
+           coalesce(a.n_kept, 0) AS n_kept,
+           CAST(length(coalesce(a.kept_text, '')) AS INT) AS n_chars_kept,
+           md5(coalesce(a.kept_text, '')) AS kept_md5
+    FROM totals t LEFT JOIN agg a USING (doc_id)
+"""

@@ -1390,6 +1390,128 @@ def doc_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_segment_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level segment dedup (operators/text.py:segment_dedup — the
+    CCNet paragraph-dedup shape on fixed-width word segments): per doc,
+    how many segments survive the global first-occurrence election and an
+    md5 of the reassembled surviving text. The DuckDB oracle replays the
+    whole scheme — chunking, first-occurrence, reassembly — exactly."""
+    d = load_table(spark, "documents", sf_dir)
+    return TX.segment_dedup(d, chunk_words=20)
+
+
+def customer_status_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history (operators/scd2.py): collapse each customer's order
+    stream into order-status regimes with [valid_from, valid_to) validity
+    intervals — the keep-history alternative to the reference's
+    UPDATE-in-place upsert (K5). Deterministic: ties on o_orderdate break
+    by o_orderkey; fully replayed by the DuckDB oracle."""
+    from firebase_etl_spark.operators.scd2 import scd2_history
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_custkey", "o_orderdate", "o_orderstatus", "o_orderkey"
+    )
+    return scd2_history(
+        o,
+        key_col="o_custkey",
+        ts_col="o_orderdate",
+        attr_cols=["o_orderstatus"],
+        tiebreak_cols=["o_orderkey"],
+    )
+
+
+def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew profiler — the diagnosis that decides when a groupBy/join
+    needs salting (operators/skew.py): per event_type, the 3 heaviest
+    user_id keys with their row share and skew factor (heavy-key count
+    over the per-key mean). Two keyed aggregations + a broadcast of the
+    per-type totals; the per-key counts combine map-side so the heavy
+    keys themselves never concentrate rows on one task."""
+    e = load_table(spark, "events", sf_dir)
+    per_key = e.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    totals = per_key.groupBy("event_type").agg(
+        F.sum("n_rows").alias("n_events"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n_rows").desc(), "user_id"
+    )
+    top = per_key.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 3
+    )
+    return (
+        top.join(F.broadcast(totals), "event_type")
+        .select(
+            "event_type",
+            "rnk",
+            "user_id",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("n_events"), 6).alias("share"),
+            F.round(
+                F.col("n_rows") * F.col("n_keys") / F.col("n_events"), 4
+            ).alias("skew_x_avg"),
+            "n_events",
+            "n_keys",
+        )
+        .orderBy("event_type", "rnk")
+    )
+
+
+def documents_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled multilingual mixing (the n^alpha upsampling rule
+    multilingual LM pipelines use, alpha=0.5): language quotas proportional
+    to sqrt(n_lang), scaled to a 25% corpus budget, selection by the same
+    engine-portable md5 shuffle order as documents_mixture_sample. Float
+    hygiene: per-language weights are fixed-point bigints (round(sqrt*1e6))
+    so the weight TOTAL is an exact integer sum — no cross-engine
+    float-summation-order drift — and the quota guards ceil with round(,6).
+    One window over one shuffle; quotas broadcast."""
+    d = load_table(spark, "documents", sf_dir)
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    counts = counts.withColumn(
+        "w_fx", F.round(F.sqrt("n_l") * 1e6, 0).cast("long")
+    )
+    tot = counts.agg(
+        F.sum("n_l").alias("n_total"), F.sum("w_fx").alias("w_total")
+    )
+    quotas = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_l",
+        F.least(
+            F.col("n_l"),
+            F.ceil(
+                F.round(
+                    F.ceil(F.lit(0.25) * F.col("n_total"))
+                    * F.col("w_fx")
+                    / F.col("w_total"),
+                    6,
+                )
+            ),
+        ).alias("quota"),
+    )
+    wr = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = d.select(
+        "doc_id", "lang", F.row_number().over(wr).alias("rn")
+    )
+    sampled = ranked.join(F.broadcast(quotas), "lang").filter(
+        F.col("rn") <= F.col("quota")
+    )
+    return (
+        sampled.groupBy("lang")
+        .agg(
+            F.max("n_l").alias("n_l"),
+            F.max("quota").alias("quota"),
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+        .orderBy("lang")
+    )
+
+
 def doc_winnow_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-based near-dup detection (the MOSS use of the prints):
     doc pairs sharing >= 3 portable fingerprints after dropping
