@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_status_scd2": QX.customer_status_scd2,
         "events_key_skew_profile": QX.events_key_skew_profile,
         "documents_temperature_mixture": QX.documents_temperature_mixture,
+        "embedding_topk_quantized": QX.embedding_topk_quantized,
         # ---- previously driver-green (r1/r2); pinned by tests/test_oracle.py ----
         "q3_shipping_priority": Q.q3_shipping_priority,
         "q6_forecast_revenue": Q.q6_forecast_revenue,

@@ -462,6 +462,7 @@ ORACLES_EXT: dict[str, str] = {
 # is OR-amplified to 100% candidate recall on this corpus (measured at
 # sf0.01; deterministic hyperplanes + data) — so it shares the oracle.
 ORACLES_EXT["embedding_topk_lsh"] = ORACLES_EXT["embedding_topk_bruteforce"]
+ORACLES_EXT["embedding_topk_quantized"] = ORACLES_EXT["embedding_topk_bruteforce"]
 
 # minhash_near_dups verifies candidates with EXACT shingle Jaccard, and the
 # banded candidate set has full recall on this corpus (equals brute force

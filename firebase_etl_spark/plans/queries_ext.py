@@ -155,6 +155,17 @@ def embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ann_topk_lsh(e, QUERY_VEC_IDS, LSH_TABLES, k=10)
 
 
+def embedding_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via int8 scalar quantization + exact re-rank
+    (operators/similarity.py:quantized_topk): integer-dot shortlist over
+    the 4×-smaller quantized corpus, full-precision cosine only on the
+    survivors. Shortlist sized for 100% top-10 recall here, so the output
+    equals brute force and shares its oracle; recall is also asserted
+    directly in tests."""
+    e = load_table(spark, "embeddings", sf_dir)
+    return SIM.quantized_topk(e, QUERY_VEC_IDS, k=10, shortlist=100)
+
+
 # --- events / JSON / sessionization ---------------------------------------
 
 def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

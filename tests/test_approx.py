@@ -84,6 +84,32 @@ def test_ann_lsh_results_subset_of_bruteforce_space(spark, embeddings):
     assert hit > 0, "ANN found nothing from the exact top-k at all"
 
 
+def test_quantized_topk_equals_bruteforce(spark, embeddings):
+    """The int8-quantized ANN must return EXACTLY the brute-force top-k —
+    the shortlist is sized for full recall and the re-rank is exact
+    full-precision cosine, which is the property its shared oracle relies
+    on. Also pins that a tiny shortlist degrades recall but never emits a
+    pair whose similarity disagrees with the exact computation."""
+    exact = SIM.cosine_topk(embeddings, QUERY_VEC_IDS, k=10).collect()
+    quant = SIM.quantized_topk(
+        embeddings, QUERY_VEC_IDS, k=10, shortlist=100
+    ).collect()
+    assert sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["cosine_sim"])
+        for r in quant
+    ) == sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["cosine_sim"])
+        for r in exact
+    )
+    exact_sims = {(r["query_id"], r["vec_id"]): r["cosine_sim"] for r in exact}
+    small = SIM.quantized_topk(
+        embeddings, QUERY_VEC_IDS, k=10, shortlist=12
+    ).collect()
+    for r in small:
+        if (r["query_id"], r["vec_id"]) in exact_sims:
+            assert r["cosine_sim"] == exact_sims[(r["query_id"], r["vec_id"])]
+
+
 def test_exact_dedup_keeps_one_per_fingerprint(spark):
     df = spark.createDataFrame(
         [(1, "same   text"), (2, "SAME text"), (3, "other")],
