@@ -43,6 +43,42 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC sink — the second columnar interchange format (Hive/Trino
+    ecosystems). Same predicate-pushdown and column-pruning behavior as
+    parquet on re-read; kept API-symmetric with write_parquet so a
+    pipeline flips formats with one argument."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    fmt: str = "parquet",
+) -> None:
+    """Idempotent incremental load: dynamic partition overwrite replaces
+    ONLY the partitions present in ``df`` and leaves every other partition
+    untouched — the reprocess-one-day pattern. Static overwrite (Spark's
+    default) would drop the whole table first; the dynamic mode is scoped
+    to this one write via the per-writer conf, not a session-wide flip."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .format(fmt)
+        .save(path)
+    )
+
+
 def compact_parquet(
     spark,
     path: str,

@@ -55,6 +55,49 @@ def test_file_sinks_roundtrip(spark, tmp_path):
     assert sorted(map(tuple, spark.read.parquet(pp).collect())) == [(1, "a"), (2, "b")]
 
 
+def test_orc_sink_roundtrip_with_pruning(spark, tmp_path):
+    """ORC round-trip preserves values and, like parquet, serves partition
+    pruning from the directory layout."""
+    from firebase_etl_spark.sinks.files import write_orc
+
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "x"), (3, "c", "y")],
+        "id long, v string, part string",
+    )
+    path = str(tmp_path / "orc")
+    write_orc(df, path, partition_by=["part"])
+    back = spark.read.orc(path)
+    assert sorted((r["id"], r["v"]) for r in back.collect()) == [
+        (1, "a"), (2, "b"), (3, "c"),
+    ]
+    pruned = back.filter(F.col("part") == "y")
+    assert [r["id"] for r in pruned.collect()] == [3]
+    # partition pruning shows up as a pushed partition filter, not a scan
+    # of both part= directories
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "part" in plan
+
+
+def test_dynamic_partition_overwrite_replaces_only_touched(spark, tmp_path):
+    """overwrite_partitions must replace ONLY the partitions present in the
+    incoming frame (reprocess-one-day), never truncate the table."""
+    from firebase_etl_spark.sinks.files import overwrite_partitions
+
+    path = str(tmp_path / "t")
+    full = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-01"), (3, "2024-01-02")],
+        "id long, day string",
+    )
+    overwrite_partitions(full, path, ["day"])
+    redo = spark.createDataFrame([(9, "2024-01-02")], "id long, day string")
+    overwrite_partitions(redo, path, ["day"])
+    # partition-column type inference reads day back as DATE; compare as str
+    back = sorted(
+        (r["id"], str(r["day"])) for r in spark.read.parquet(path).collect()
+    )
+    assert back == [(1, "2024-01-01"), (2, "2024-01-01"), (9, "2024-01-02")]
+
+
 def test_load_with_quarantine(spark, tmp_path):
     df = spark.createDataFrame(
         [("i1", "a@b.c", "ACTIVE"), (None, "b@b.c", "ACTIVE"), ("i3", None, "BAD")],
