@@ -99,6 +99,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_key_skew_profile": QX.events_key_skew_profile,
         "documents_temperature_mixture": QX.documents_temperature_mixture,
         "embedding_topk_quantized": QX.embedding_topk_quantized,
+        "events_value_outliers": QX.events_value_outliers,
+        "orders_price_histogram": QX.orders_price_histogram,
         # ---- previously driver-green (r1/r2); pinned by tests/test_oracle.py ----
         "q3_shipping_priority": Q.q3_shipping_priority,
         "q6_forecast_revenue": Q.q6_forecast_revenue,

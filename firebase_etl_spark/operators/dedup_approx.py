@@ -57,6 +57,49 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def incremental_exact_dedup(
+    spark,
+    batch: DataFrame,
+    ledger_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-batch exact dedup — the shape a CONTINUOUS ingest pipeline
+    needs: the corpus arrives in batches, and a doc must be dropped if any
+    EARLIER batch already contained its normalized fingerprint. State is a
+    parquet fingerprint ledger: (1) anti-join the batch against the ledger
+    (drops previously-seen content), (2) within-batch exact dedup (min id
+    survives), (3) append the survivors' fingerprints so the next batch
+    sees them. Returns the surviving rows.
+
+    Scale: the ledger is fingerprints only (one 32-byte column, zstd'd),
+    not text; the anti-join shuffles on the fingerprint hash exactly like
+    single-corpus exact dedup. The append is partition-parallel; on object
+    stores the ledger becomes a Delta/Iceberg table so concurrent batches
+    commit atomically — the plan shape is identical."""
+    import os
+
+    with_fp = batch.withColumn("__fp", fingerprint(text_col))
+    if os.path.exists(ledger_path):
+        seen = spark.read.parquet(ledger_path)
+        fresh = with_fp.join(seen, with_fp["__fp"] == seen["fp"], "left_anti")
+    else:
+        fresh = with_fp
+    best = fresh.groupBy("__fp").agg(F.min(id_col).alias("__keep"))
+    survivors = (
+        fresh.join(best, "__fp")
+        .filter(F.col(id_col) == F.col("__keep"))
+        .drop("__keep")
+    )
+    # materialize before the ledger write so the anti-join against the OLD
+    # ledger isn't re-planned on top of the appended files
+    survivors = survivors.localCheckpoint(eager=True)
+    survivors.select(F.col("__fp").alias("fp")).write.mode("append").parquet(
+        ledger_path
+    )
+    return survivors.drop("__fp")
+
+
 # ---------------------------------------------------------------------------
 # exact Jaccard vs query set (oracle-checkable)
 # ---------------------------------------------------------------------------

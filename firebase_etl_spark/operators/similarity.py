@@ -218,9 +218,13 @@ def quantized_topk(
     unit vectors ranks the true top-10 well inside the top-100), the
     output EQUALS brute-force cosine_topk — which is what makes it
     oracle-checkable; recall is also asserted directly in tests."""
+    # persist the normalized projection: normalized() re-evaluates its norm
+    # per array element (HOF lambdas don't hoist), and BOTH the range-stats
+    # branch and the quantize branch consume it — uncached, the corpus
+    # would pay that O(dim^2) projection twice
     vecs = df.select(
         F.col(id_col), normalized(_to_double(F.col(vec_col))).alias("v")
-    )
+    ).persist()
     dims = vecs.select(F.posexplode("v").alias("i", "x"))
     rng = (
         dims.groupBy("i")
@@ -254,50 +258,65 @@ def quantized_topk(
             lambda dx, s: (F.round(dx * s, 0) - F.lit(128)).cast("tinyint"),
         )
 
-    qvecs = vecs.crossJoin(F.broadcast(rng)).select(
-        F.col(id_col), quant(F.col("v")).alias("qv")
+    # persist the (normalized, quantized) projection: it feeds the corpus
+    # branch, both probe branches, and the re-rank join — and both
+    # normalized() and the per-dim range subtree sit in HOF lambdas that
+    # would otherwise re-evaluate per element per branch
+    qvecs = (
+        vecs.crossJoin(F.broadcast(rng))
+        .select(F.col(id_col), F.col("v"), quant(F.col("v")).alias("qv"))
+        .persist()
     )
-    qprobes = qvecs.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col("qv").alias("qq")
-    )
-    # int math on the int8 payloads: tinyint*tinyint would overflow ANSI
-    qdot = F.aggregate(
-        F.zip_with("qv", "qq", lambda a, b: a.cast("int") * b.cast("int")),
-        F.lit(0),
-        lambda acc, t: acc + t,
-    )
-    scored = (
-        qvecs.crossJoin(F.broadcast(qprobes))
-        .filter(F.col(id_col) != F.col("query_id"))
-        .select("query_id", id_col, qdot.alias("qdot"))
-    )
-    wq = Window.partitionBy("query_id").orderBy(
-        F.col("qdot").desc(), F.col(id_col)
-    )
-    short_ids = (
-        scored.withColumn("crank", F.row_number().over(wq))
-        .filter(F.col("crank") <= shortlist)
-        .select("query_id", id_col)
-    )
-    fprobes = vecs.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col("v").alias("q")
-    )
-    sims = (
-        short_ids.join(vecs, id_col)
-        .join(F.broadcast(fprobes), "query_id")
-        .select(
-            "query_id",
-            F.col(id_col),
-            F.round(dot(F.col("v"), F.col("q")), 6).alias("cosine_sim"),
+    try:
+        qprobes = qvecs.filter(F.col(id_col).isin(query_ids)).select(
+            F.col(id_col).alias("query_id"), F.col("qv").alias("qq")
         )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col(id_col)
-    )
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+        # int math on the int8 payloads: tinyint*tinyint would overflow ANSI
+        qdot = F.aggregate(
+            F.zip_with(
+                "qv", "qq", lambda a, b: a.cast("int") * b.cast("int")
+            ),
+            F.lit(0),
+            lambda acc, t: acc + t,
+        )
+        scored = (
+            qvecs.select(id_col, "qv")
+            .crossJoin(F.broadcast(qprobes))
+            .filter(F.col(id_col) != F.col("query_id"))
+            .select("query_id", id_col, qdot.alias("qdot"))
+        )
+        wq = Window.partitionBy("query_id").orderBy(
+            F.col("qdot").desc(), F.col(id_col)
+        )
+        short_ids = (
+            scored.withColumn("crank", F.row_number().over(wq))
+            .filter(F.col("crank") <= shortlist)
+            .select("query_id", id_col)
+        )
+        fprobes = qvecs.filter(F.col(id_col).isin(query_ids)).select(
+            F.col(id_col).alias("query_id"), F.col("v").alias("q")
+        )
+        sims = (
+            short_ids.join(qvecs.select(id_col, "v"), id_col)
+            .join(F.broadcast(fprobes), "query_id")
+            .select(
+                "query_id",
+                F.col(id_col),
+                F.round(dot(F.col("v"), F.col("q")), 6).alias("cosine_sim"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine_sim").desc(), F.col(id_col)
+        )
+        out = (
+            sims.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        qvecs.unpersist()
+        vecs.unpersist()
+    return out
 
 
 def cosine_all_pairs_blas(

@@ -1307,6 +1307,46 @@ ORACLES_EXT["doc_winnow_near_dups"] = r"""
     HAVING count(*) >= 3
 """
 
+# replays the IQR-fence outlier screen: quantile_cont matches Spark's
+# interpolated percentile (parity established by lineitem_percentiles)
+ORACLES_EXT["events_value_outliers"] = r"""
+    WITH fences AS (
+        SELECT event_type,
+               quantile_cont(value, 0.25) AS q1,
+               quantile_cont(value, 0.75) AS q3,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY event_type
+    ),
+    flagged AS (
+        SELECT e.event_type, e.value, f.q1, f.q3, f.n_events,
+               (e.value < f.q1 - 1.5 * (f.q3 - f.q1)
+                OR e.value > f.q3 + 1.5 * (f.q3 - f.q1)) AS is_out
+        FROM events e JOIN fences f USING (event_type)
+    )
+    SELECT event_type,
+           max(n_events) AS n_events,
+           CAST(sum(CASE WHEN is_out THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers,
+           round(min(CASE WHEN is_out THEN value END), 4)
+               AS min_outlier_value,
+           round(max(CASE WHEN is_out THEN value END), 4)
+               AS max_outlier_value,
+           round(max(q1), 4) AS q1,
+           round(max(q3), 4) AS q3
+    FROM flagged GROUP BY event_type ORDER BY event_type
+"""
+
+# replays the fixed-width price histogram (identical IEEE division+floor)
+ORACLES_EXT["orders_price_histogram"] = r"""
+    SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(min(o_totalprice), 2) AS min_price,
+           round(max(o_totalprice), 2) AS max_price,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY 1 ORDER BY 1
+"""
+
 # replays scd2_history over orders: change-point lag (IS DISTINCT FROM =
 # Spark's null-safe eqNullSafe negation), running regime number, regime
 # collapse, lead() validity intervals

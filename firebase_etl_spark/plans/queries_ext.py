@@ -1523,6 +1523,73 @@ def documents_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped anomaly screen: per event_type, flag events whose value is
+    an IQR-fence outlier (Tukey fences at quartile +- 1.5*IQR — the
+    data-quality gate a load pipeline runs before trusting a metric
+    column). Exact percentiles via one keyed sort-agg; fences broadcast
+    back; zero-preserving per-type report. Both engines interpolate
+    quartiles linearly over the same doubles, so the flag set is
+    deterministic."""
+    e = load_table(spark, "events", sf_dir)
+    fences = e.groupBy("event_type").agg(
+        # one percentile buffer per group serves both quartiles
+        F.expr("percentile(value, array(0.25, 0.75))").alias("__q"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).select(
+        "event_type",
+        F.element_at("__q", 1).alias("q1"),
+        F.element_at("__q", 2).alias("q3"),
+        "n_events",
+    )
+    j = e.join(F.broadcast(fences), "event_type")
+    flagged = j.withColumn(
+        "is_out",
+        (
+            F.col("value") < F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+        )
+        | (
+            F.col("value") > F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+        ),
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.sum(F.col("is_out").cast("long")).alias("n_outliers"),
+            F.round(F.min(F.when(F.col("is_out"), F.col("value"))), 4).alias(
+                "min_outlier_value"
+            ),
+            F.round(F.max(F.when(F.col("is_out"), F.col("value"))), 4).alias(
+                "max_outlier_value"
+            ),
+            F.round(F.max("q1"), 4).alias("q1"),
+            F.round(F.max("q3"), 4).alias("q3"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def orders_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals — the distribution profile
+    behind partition/bucket sizing decisions. Integer bucketing over one
+    scan-side expression (floor of the same IEEE division both engines
+    compute), one keyed aggregation."""
+    o = load_table(spark, "orders", sf_dir)
+    width = 25000.0
+    b = F.floor(F.col("o_totalprice") / width).cast("long")
+    return (
+        o.groupBy(b.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def doc_winnow_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-based near-dup detection (the MOSS use of the prints):
     doc pairs sharing >= 3 portable fingerprints after dropping

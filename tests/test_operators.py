@@ -370,3 +370,51 @@ def test_winnow_near_dups_df_cut_bounds_boilerplate(spark):
 
     loose = winnow_near_dups(df, min_shared=1, max_df=1000, portable=True)
     assert loose.count() > len(pairs)  # without the cut, boilerplate pairs everything
+
+
+def test_scd2_history_regimes_intervals_nullsafe(spark):
+    """Consecutive identical attributes collapse into one regime; null ==
+    null is NOT a change (eqNullSafe); validity intervals chain exactly and
+    only the last regime per key is current."""
+    from firebase_etl_spark.operators.scd2 import scd2_history
+
+    rows = [
+        (1, 1, "A"), (1, 2, "A"), (1, 3, None), (1, 4, None), (1, 5, "B"),
+        (2, 1, "X"),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts long, s string")
+    out = {
+        (r["k"], r["version"]): r
+        for r in scd2_history(df, "k", "ts", ["s"]).collect()
+    }
+    assert len(out) == 4
+    a, n, b = out[(1, 1)], out[(1, 2)], out[(1, 3)]
+    assert (a["s"], a["valid_from"], a["valid_to"], a["n_rows"]) == ("A", 1, 3, 2)
+    assert (n["s"], n["valid_from"], n["valid_to"], n["n_rows"]) == (None, 3, 5, 2)
+    assert (b["s"], b["valid_from"], b["valid_to"], b["n_rows"]) == ("B", 5, None, 1)
+    assert [r["is_current"] for r in (a, n, b)] == [False, False, True]
+    x = out[(2, 1)]
+    assert (x["s"], x["valid_to"], x["is_current"]) == ("X", None, True)
+
+
+def test_incremental_exact_dedup_across_batches(spark, tmp_path):
+    """Batch 2 must drop content batch 1 already ingested (even under
+    normalization differences), dedup within itself, and extend the ledger
+    so batch 3 sees batch 2's fingerprints."""
+    from firebase_etl_spark.operators.dedup_approx import incremental_exact_dedup
+
+    ledger = str(tmp_path / "ledger")
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma")], "doc_id long, text string"
+    )
+    s1 = sorted(r["doc_id"] for r in incremental_exact_dedup(spark, b1, ledger).collect())
+    assert s1 == [1, 2]
+    b2 = spark.createDataFrame(
+        [(3, "ALPHA   beta"), (4, "delta"), (5, "delta"), (6, "epsilon")],
+        "doc_id long, text string",
+    )
+    s2 = sorted(r["doc_id"] for r in incremental_exact_dedup(spark, b2, ledger).collect())
+    assert s2 == [4, 6]  # 3 seen in batch 1; 5 within-batch dup of 4
+    b3 = spark.createDataFrame([(7, "epsilon")], "doc_id long, text string")
+    s3 = [r["doc_id"] for r in incremental_exact_dedup(spark, b3, ledger).collect()]
+    assert s3 == []

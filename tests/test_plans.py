@@ -179,3 +179,51 @@ def test_stratified_sample_hash_is_scan_only(spark, sf_dir):
     plan = physical_plan(s)
     for op in ("Join", "Exchange", "Sort"):
         assert op not in plan, f"{op} in sampler plan"
+
+
+def test_segment_dedup_single_content_shuffle_no_cartesian(spark, sf_dir):
+    """Segment dedup must stay keyed end-to-end: the first-occurrence
+    election joins on segment content (hash join, never cartesian) and the
+    scan prunes to (doc_id, text)."""
+    from firebase_etl_spark.operators.text import segment_dedup
+
+    spark.catalog.clearCache()
+    d = load_table(spark, "documents", sf_dir)
+    df = segment_dedup(d)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    schemas = scans_read_columns(df)
+    assert schemas and all("lang" not in s for s in schemas), schemas
+
+
+def test_scd2_windows_share_one_key_partitioning(spark, sf_dir):
+    """Both SCD2 windows and the regime collapse are keyed on the dimension
+    key — the plan must not contain a single-partition (empty-key) window,
+    which is the all-on-one-task trap."""
+    from firebase_etl_spark.plans.queries_ext import customer_status_scd2
+
+    plan = physical_plan(customer_status_scd2(spark, sf_dir))
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quantized_topk_broadcasts_stats_and_probes(spark, sf_dir):
+    """The quantized ANN must broadcast the per-dim range row and the probe
+    set — a sort-merge join anywhere in the shortlist path would shuffle
+    the corpus per probe."""
+    from firebase_etl_spark.plans.queries_ext import embedding_topk_quantized
+
+    plan = physical_plan(embedding_topk_quantized(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_skew_profile_broadcasts_totals(spark, sf_dir):
+    """The per-type totals (a handful of rows) must broadcast back onto the
+    top-key rows."""
+    from firebase_etl_spark.plans.queries_ext import events_key_skew_profile
+
+    plan = physical_plan(events_key_skew_profile(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
