@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_quantized": QX.embedding_topk_quantized,
         "events_value_outliers": QX.events_value_outliers,
         "orders_price_histogram": QX.orders_price_histogram,
+        "doc_quality_deciles": QX.doc_quality_deciles,
         # ---- previously driver-green (r1/r2); pinned by tests/test_oracle.py ----
         "q3_shipping_priority": Q.q3_shipping_priority,
         "q6_forecast_revenue": Q.q6_forecast_revenue,

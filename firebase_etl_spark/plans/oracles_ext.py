@@ -1307,6 +1307,41 @@ ORACLES_EXT["doc_winnow_near_dups"] = r"""
     HAVING count(*) >= 3
 """
 
+# replays the quality-decile report: same composite score as
+# doc_text_features, quantile_cont cut points, value-based bucket =
+# 1 + #cuts strictly below the score
+ORACLES_EXT["doc_quality_deciles"] = f"""
+    WITH base AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    feat AS (
+        SELECT doc_id, len(toks) AS n_tokens,
+               round(0.4 * (len(list_distinct(toks)) * 1.0 / len(toks))
+                     + 0.3 * (CASE WHEN len(toks) BETWEEN 20 AND 1000
+                              THEN 1.0 ELSE 0.5 END)
+                     + 0.3 * (1.0 - abs(len(list_filter(toks,
+                           t -> list_contains(['the','a','an','and','or',
+                           'of','to','in','is','it'], t))) * 1.0
+                           / len(toks) - 0.3)), 6) AS q
+        FROM base
+    ),
+    cuts AS (
+        SELECT quantile_cont(q, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])
+               AS cuts
+        FROM feat
+    ),
+    b AS (
+        SELECT f.doc_id, f.q, f.n_tokens,
+               CAST(len(list_filter(c.cuts, x -> f.q > x)) + 1 AS INT)
+                   AS decile
+        FROM feat f, cuts c
+    )
+    SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(min(q), 6) AS min_q, round(max(q), 6) AS max_q
+    FROM b GROUP BY decile ORDER BY decile
+"""
+
 # replays the IQR-fence outlier screen: quantile_cont matches Spark's
 # interpolated percentile (parity established by lineitem_percentiles)
 ORACLES_EXT["events_value_outliers"] = r"""

@@ -1523,6 +1523,46 @@ def documents_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def doc_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus report by quality decile — the curriculum/mixing input a
+    curation run produces (how many docs and tokens sit in each quality
+    band). Scale-safe decile assignment: exact interpolated cut points
+    from ONE tiny aggregate, broadcast back, bucket = 1 + #cuts below the
+    score — never a global ntile(), whose total-order window is the
+    single-partition trap. Value-based deciles on purpose: equal scores
+    (exact dup docs) land in the same band, so bands are content-stable
+    even where rank-based ntile would split them arbitrarily."""
+    d = load_table(spark, "documents", sf_dir)
+    scored = d.select(
+        "doc_id",
+        F.round(TX.quality_score("text"), 6).alias("q"),
+        TX.token_count("text").alias("toks"),
+    )
+    cuts = scored.agg(
+        F.expr(
+            "percentile(q, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
+        ).alias("cuts")
+    )
+    bucketed = scored.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "q",
+        "toks",
+        (
+            F.size(F.filter("cuts", lambda c: F.col("q") > c)) + 1
+        ).alias("decile"),
+    )
+    return (
+        bucketed.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").alias("total_tokens"),
+            F.round(F.min("q"), 6).alias("min_q"),
+            F.round(F.max("q"), 6).alias("max_q"),
+        )
+        .orderBy("decile")
+    )
+
+
 def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped anomaly screen: per event_type, flag events whose value is
     an IQR-fence outlier (Tukey fences at quartile +- 1.5*IQR — the
