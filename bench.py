@@ -61,16 +61,19 @@ def main() -> None:
     # stall lottery, while staying honest per query.
     timings: dict[str, float] = {}
     for _ in range(2):
-        for i, (name, fn) in enumerate(queries.items()):
+        for name, fn in queries.items():
             t0 = time.perf_counter()
             fn(spark, SF_DIR).collect()
             dt = round(time.perf_counter() - t0, 4)
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
-            gc.collect()  # between queries, outside each query's own timer
-            if (i + 1) % 10 == 0:
-                _release_session_state(spark)
-        _release_session_state(spark)
+            # full release between EVERY query (outside the timers): the
+            # checkpoint-heavy dedup/CC queries cluster together in dict
+            # order, and their dropped RDDs/broadcasts inflate the next
+            # query 2-4x until a full JVM gc drains the ContextCleaner
+            # (measured on simhash_near_dups: 2.8s steady vs 4-14s when
+            # sharing a gc-debt window). Costs ~wall only, not timings.
+            _release_session_state(spark)
     total = round(sum(timings.values()), 4)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

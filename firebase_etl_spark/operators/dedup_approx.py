@@ -399,6 +399,9 @@ def simhash_near_dups(
     fingerprint = simhash_portable if portable else simhash
     sh = fingerprint(df, text_col, id_col).persist()
     try:
+        # count() doubles as the eager materialization of the persist; the
+        # row count drives the join strategy below
+        n_docs = sh.count()
         band_cols, off = [], 0
         for w in widths:
             band = F.shiftrightunsigned("simhash", off)
@@ -419,6 +422,18 @@ def simhash_near_dups(
             F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"),
             "band", "band_bits",
         )
+        # join strategy: correlated corpora put thousands of docs in one
+        # band bucket, and a shuffle join keys on (band, band_bits) — the
+        # whole O(bucket^2) expansion of a mega-bucket lands in ONE task.
+        # Broadcasting the build side keeps the probe side on its natural
+        # even partitioning, so a hot bucket's output is produced by every
+        # task that probes it instead of a single straggler. The banded
+        # build is blocks x n_docs rows of 4 longs (~40 B) — broadcast it
+        # while it fits comfortably (~50 MB), same size-based decision an
+        # engine makes for dimension joins; beyond that fall back to the
+        # shuffle join and let AQE's skew-join splitting handle stragglers.
+        if n_docs * blocks <= 1_250_000:
+            b = F.broadcast(b)
         # hamming verify BEFORE the dedup: it is computable bucket-locally
         # from the fingerprints already on the joined row, and filtering
         # first means the distinct's shuffle carries only surviving

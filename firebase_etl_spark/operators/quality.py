@@ -49,6 +49,15 @@ def repetition_features(
 
     Docs too short to have an n-gram get 0.0 for that n. Fractions are
     rounded to 6dp so cross-engine double aggregation stays hash-equal.
+
+    Shape: one token explode + one doc-keyed window builds the gram rows
+    (whole-stage codegen; HOF slice/array_join alternatives run
+    interpreted and measured ~2x slower), then one (doc, n, gram) count
+    aggregate. The top-gram selection is a min(struct(-cnt, gram, chars))
+    aggregate — same "max count, ties by gram ascending" pick as a
+    row_number window, but map-side combinable and sort-free — and the
+    per-n values collapse to one row per doc with conditional aggregates,
+    removing the window sort + one shuffle of the windowed formulation.
     """
     top_ns = sorted(TOP_NGRAM_MAX_FRAC)
     dup_ns = sorted(DUP_NGRAM_MAX_FRAC)
@@ -98,40 +107,41 @@ def repetition_features(
     counts = longf.groupBy(id_col, "__nchars", "n", "gram").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    wtop = Window.partitionBy(id_col, "n").orderBy(F.desc("cnt"), "gram")
-    per_n = (
-        counts.withColumn("rn", F.row_number().over(wtop))
-        .groupBy(id_col, "__nchars", "n")
-        .agg(
-            F.max(
-                F.when(F.col("rn") == 1, F.col("cnt") * F.length("gram"))
-            ).alias("top_chars"),
-            F.coalesce(
-                F.sum(F.when(F.col("cnt") > 1, F.col("cnt") * F.length("gram"))),
-                F.lit(0),
-            ).alias("dup_chars"),
-        )
+    # top gram per (doc, n) without a window: min over (-cnt, gram) picks
+    # the highest count with ties broken by gram ascending; chars rides
+    # along in the struct. Conditional per-n aggregates collapse straight
+    # to one row per doc.
+    chars = F.col("cnt") * F.length("gram")
+    top_struct = F.struct(
+        (-F.col("cnt")).alias("neg_cnt"), F.col("gram"), chars.alias("chars")
     )
-    return per_n.groupBy(id_col).agg(
+    per_n = counts.groupBy(id_col).agg(
+        F.first("__nchars").alias("__nchars"),
+        *[
+            F.min(F.when(F.col("n") == n, top_struct))
+            .getField("chars")
+            .alias(f"__top{n}")
+            for n in top_ns
+        ],
+        *[
+            F.coalesce(
+                F.sum(F.when((F.col("n") == n) & (F.col("cnt") > 1), chars)),
+                F.lit(0),
+            ).alias(f"__dup{n}")
+            for n in dup_ns
+        ],
+    )
+    return per_n.select(
+        F.col(id_col),
         *[
             F.round(
-                F.coalesce(
-                    F.max(F.when(F.col("n") == n, F.col("top_chars")))
-                    / F.first("__nchars"),
-                    F.lit(0.0),
-                ),
-                6,
+                F.coalesce(F.col(f"__top{n}") / F.col("__nchars"), F.lit(0.0)), 6
             ).alias(f"top{n}gram_char_frac")
             for n in top_ns
         ],
         *[
             F.round(
-                F.coalesce(
-                    F.max(F.when(F.col("n") == n, F.col("dup_chars")))
-                    / F.first("__nchars"),
-                    F.lit(0.0),
-                ),
-                6,
+                F.coalesce(F.col(f"__dup{n}") / F.col("__nchars"), F.lit(0.0)), 6
             ).alias(f"dup{n}gram_char_frac")
             for n in dup_ns
         ],

@@ -1102,11 +1102,22 @@ def _simhash_portable_oracle(n_bits: int = 60, max_hamming: int = 4) -> str:
                    {fp_terms} AS fp
             FROM bits
         )
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
-        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
-        ORDER BY id_a, id_b
+        , pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+            FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
+        ),
+        members AS (
+            SELECT hamming, id_a AS d FROM pairs
+            UNION ALL
+            SELECT hamming, id_b AS d FROM pairs
+        )
+        SELECT p.hamming, p.n_pairs, m.n_docs
+        FROM (SELECT hamming, count(*) AS n_pairs FROM pairs GROUP BY hamming) p
+        JOIN (SELECT hamming, count(DISTINCT d) AS n_docs FROM members
+              GROUP BY hamming) m USING (hamming)
+        ORDER BY hamming
     """
 
 

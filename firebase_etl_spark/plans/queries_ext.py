@@ -125,13 +125,31 @@ def doc_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def doc_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hash-dependent (xxhash64 fingerprints) — rows-only driver check;
-    banded blocking has pigeonhole-guaranteed recall at the radius
-    (equality with brute-force hamming pinned in tests). The synthetic
-    docs share one vocabulary, so a loose radius emits hundreds of
-    thousands of pairs; hamming <= 4 keeps the answer near-dup-tight."""
+    """SimHash near-dup PROFILE: per hamming distance, how many verified
+    pairs and how many distinct docs participate. Hash-dependent (xxhash64
+    fingerprints) — rows-only driver check; banded blocking has
+    pigeonhole-guaranteed recall at the radius (equality with brute-force
+    hamming pinned in tests). The headline query aggregates instead of
+    emitting the raw pair set: the synthetic docs share one vocabulary, so
+    dup clusters are large and materializing all O(m^2) member pairs to
+    the driver is exactly the shape that breaks at corpus scale — real
+    curation runs keep pairs distributed (feeding CC / keep-one) and
+    surface a profile like this one."""
     d = load_table(spark, "documents", sf_dir)
-    return DA.simhash_near_dups(d, max_hamming=4)
+    return _dup_pair_profile(DA.simhash_near_dups(d, max_hamming=4))
+
+
+def _dup_pair_profile(pairs: DataFrame) -> DataFrame:
+    """(hamming, n_pairs, n_docs) summary of a verified near-dup pair set."""
+    n_pairs = pairs.groupBy("hamming").agg(F.count(F.lit(1)).alias("n_pairs"))
+    n_docs = (
+        pairs.select(
+            "hamming", F.explode(F.array("id_a", "id_b")).alias("d")
+        )
+        .groupBy("hamming")
+        .agg(F.count_distinct("d").alias("n_docs"))
+    )
+    return n_pairs.join(n_docs, "hamming").orderBy("hamming")
 
 
 # --- similarity search -----------------------------------------------------
@@ -1285,11 +1303,16 @@ def doc_simhash_portable_near_dups(spark: SparkSession, sf_dir: str) -> DataFram
     operator (fingerprint + hamming <= 4). Banding is recall-lossless
     (pigeonhole), so the oracle uses the brute-force hamming join: same
     set by construction. The xxhash64 variant (doc_simhash_near_dups)
-    stays the fast scale path; this one is the auditable twin."""
+    stays the fast scale path; this one is the auditable twin. Like that
+    twin, the headline query returns the (hamming, n_pairs, n_docs)
+    profile rather than the raw pair set — at sf0.1 this corpus yields
+    ~536k verified pairs, and shipping O(m^2) dup-cluster member pairs to
+    the driver is the scale anti-pattern the profile avoids (the pair set
+    itself stays a distributed operator, pinned pair-exact in tests)."""
     d = load_table(spark, "documents", sf_dir)
-    # no orderBy: the gate compares sorted multisets, and a global sort of
-    # the (large) pair set would be pure overhead at corpus scale
-    return DA.simhash_near_dups(d, max_hamming=4, portable=True)
+    return _dup_pair_profile(
+        DA.simhash_near_dups(d, max_hamming=4, portable=True)
+    )
 
 
 def doc_winnow_portable_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
