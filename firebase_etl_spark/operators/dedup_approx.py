@@ -181,10 +181,14 @@ def minhash_candidates(
     signatures: DataFrame,
     bands: int = 8,
     id_col: str = "doc_id",
+    broadcast_build: bool = False,
 ) -> DataFrame:
     """LSH banding: split the signature into ``bands`` bands, hash each band,
     explode to (band_id, band_hash) keys, self-join within buckets.
-    Shuffle is on band-hash keys — bucket-local pairs only, never O(n²)."""
+    Shuffle is on band-hash keys — bucket-local pairs only, never O(n²).
+    ``broadcast_build=True`` (set by callers that know the corpus is
+    small) broadcasts the build side so a hot bucket's pair expansion is
+    produced by every probe task instead of one shuffle-key straggler."""
     sig_len_col = F.size("signature")
     rows_per_band = (sig_len_col / bands).cast("int")
     banded = signatures.select(
@@ -205,7 +209,7 @@ def minhash_candidates(
         ).alias("band", "band_hash"),
     )
     left = banded.alias("l")
-    right = banded.alias("r")
+    right = F.broadcast(banded.alias("r")) if broadcast_build else banded.alias("r")
     return (
         left.join(
             right,
@@ -240,7 +244,11 @@ def minhash_near_dups(
     sigs = minhash_signatures(df, num_hashes, shingle_n, text_col, id_col).persist()
     sh = df.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("sh")).persist()
     try:
-        cands = minhash_candidates(sigs, bands, id_col)
+        # count() materializes the persist and sizes the banded self-join:
+        # bands x n_docs build rows at ~16 B broadcast comfortably up to
+        # ~3M rows; beyond that the shuffle join + AQE skew split take over
+        small = sigs.count() * bands <= 3_000_000
+        cands = minhash_candidates(sigs, bands, id_col, broadcast_build=small)
         a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
         b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
         jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(

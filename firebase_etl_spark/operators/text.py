@@ -224,20 +224,35 @@ def winnow_near_dups(
     gram hash so a DuckDB oracle can replay the pair set exactly.
     """
     prints = winnow_fingerprints(df, text_col, id_col, k, window, portable)
-    e = prints.select(F.col(id_col), F.explode("prints").alias("p"))
-    dfreq = e.groupBy("p").agg(F.count(F.lit(1)).alias("__df"))
-    kept = e.join(dfreq.filter(F.col("__df") <= max_df), "p").select(
-        F.col(id_col), "p"
-    )
-    a = kept.select(F.col(id_col).alias("id_a"), "p")
-    b = kept.select(F.col(id_col).alias("id_b"), "p")
-    return (
-        a.join(b, "p")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_shared_prints"))
-        .filter(F.col("n_shared_prints") >= min_shared)
-    )
+    # persist the exploded prints: dfreq, the df-cut join, and both sides
+    # of the self-join all branch from it, and each branch would otherwise
+    # recompute the whole fingerprint pipeline (explode + window minima)
+    e = prints.select(F.col(id_col), F.explode("prints").alias("p")).persist()
+    try:
+        # count() materializes the persist and sizes the join strategy:
+        # (id, print) rows are 16 B, so up to ~3M rows (~50 MB) the df-cut
+        # map and the self-join build side broadcast — same skew argument
+        # as the simhash banded join (a hot print's pair expansion spreads
+        # across probe tasks instead of one shuffle-key straggler).
+        small = e.count() <= 3_000_000
+        dfreq = e.groupBy("p").agg(F.count(F.lit(1)).alias("__df"))
+        keep_freq = dfreq.filter(F.col("__df") <= max_df)
+        kept = e.join(
+            F.broadcast(keep_freq) if small else keep_freq, "p"
+        ).select(F.col(id_col), "p")
+        a = kept.select(F.col(id_col).alias("id_a"), "p")
+        b = kept.select(F.col(id_col).alias("id_b"), "p")
+        out = (
+            a.join(F.broadcast(b) if small else b, "p")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_shared_prints"))
+            .filter(F.col("n_shared_prints") >= min_shared)
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        e.unpersist()
+    return out
 
 
 def segment_dedup(
