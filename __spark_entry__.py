@@ -102,6 +102,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_outliers": QX.events_value_outliers,
         "orders_price_histogram": QX.orders_price_histogram,
         "doc_quality_deciles": QX.doc_quality_deciles,
+        "doc_pii_screen": QX.doc_pii_screen,
+        "doc_lm_perplexity_report": QX.doc_lm_perplexity_report,
         # ---- previously driver-green (r1/r2); pinned by tests/test_oracle.py ----
         "q3_shipping_priority": Q.q3_shipping_priority,
         "q6_forecast_revenue": Q.q6_forecast_revenue,

@@ -1,0 +1,92 @@
+"""Bigram language-model scoring — the perplexity-filter stage of a
+training-data pipeline (the CCNet/KenLM curation step, re-expressed
+relationally; extension beyond the reference).
+
+A corpus-trained add-k bigram model assigns every document an average
+log2-probability per bigram; implausible token streams (mojibake,
+boilerplate loops, shuffled text) score far below fluent ones and get
+screened out. The whole thing — training AND scoring — is three
+aggregates and two joins over one token explode:
+
+    bigrams   = (doc, w1, w2) rows              [slice+zip, no window]
+    c12       = count per (w1, w2)              [train: bigram counts]
+    c1        = count per w1 (as a context)     [train: context counts]
+    V         = distinct next-token vocabulary  [smoothing denominator]
+    score_doc = avg over doc bigrams of log2((c12 + k) / (c1 + k·V))
+
+Scale shape: training counts shuffle on token keys (map-side
+combinable); scoring joins the doc bigrams back on those keys. The count
+tables are vocabulary-sized, orders of magnitude smaller than the
+corpus, so both scoring joins broadcast (checked against a row-count
+threshold like every other size-based join decision in this package); a
+web-scale vocabulary falls back to shuffle joins on the same plan. Every
+step is deterministic relational logic — a DuckDB oracle replays
+training and scoring exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from firebase_etl_spark.operators.text import tokenize
+
+#: broadcast the count tables while they stay vocabulary-sized
+BROADCAST_MAX_ROWS = 3_000_000
+
+
+def doc_bigrams(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, w1, w2) — one row per consecutive token pair. Built by zipping
+    the token array with itself shifted one (slice + arrays_zip), so no
+    per-token explode-then-window pass is needed."""
+    toks = df.select(F.col(id_col), tokenize(text_col).alias("__toks")).filter(
+        F.size("__toks") >= 2
+    )
+    shifted = toks.select(
+        F.col(id_col),
+        F.slice("__toks", 1, F.size("__toks") - 1).alias("w1"),
+        F.slice("__toks", 2, F.size("__toks") - 1).alias("w2"),
+    )
+    return shifted.select(
+        F.col(id_col), F.explode(F.arrays_zip("w1", "w2")).alias("bg")
+    ).select(F.col(id_col), F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    k: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc (id, n_bigrams, avg_log2_prob) under the corpus-trained
+    add-k bigram model. Higher = more predictable under corpus statistics;
+    the junk tail is the low end. Docs with <2 tokens are absent (no
+    bigram evidence)."""
+    bg = doc_bigrams(df, text_col, id_col).persist()
+    try:
+        # training: counts over the SAME corpus being scored (standard for
+        # curation — the model defines "typical for this corpus")
+        c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+        c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+        vocab = bg.select(F.count_distinct("w2").alias("v"))
+
+        small = c12.count() <= BROADCAST_MAX_ROWS
+        if small:
+            c12, c1 = F.broadcast(c12), F.broadcast(c1)
+        prob = (F.col("c12") + F.lit(k)) / (F.col("c1") + F.lit(k) * F.col("v"))
+        out = (
+            bg.join(c12, ["w1", "w2"])
+            .join(c1, "w1")
+            .crossJoin(F.broadcast(vocab))
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_bigrams"),
+                F.round(F.avg(F.log2(prob)), 6).alias("avg_log2_prob"),
+            )
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        bg.unpersist()
+    return out

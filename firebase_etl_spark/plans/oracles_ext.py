@@ -1523,3 +1523,73 @@ ORACLES_EXT["doc_segment_dedup_report"] = r"""
            md5(coalesce(a.kept_text, '')) AS kept_md5
     FROM totals t LEFT JOIN agg a USING (doc_id)
 """
+
+
+# full replay of the PII screen: same regexes (written to mean the same
+# thing in Java regex and RE2), counts on the original text, sequential
+# global replace in PATTERNS order, scrubbed-content fingerprint.
+ORACLES_EXT["doc_pii_screen"] = r"""
+    WITH s AS (
+        SELECT lang,
+               length(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+               length(regexp_extract_all(text,
+                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+               length(regexp_extract_all(text,
+                   '\+?\d[\d()./ -]{7,}\d')) AS n_phone,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                   '\+?\d[\d()./ -]{7,}\d', '<PHONE>', 'g') AS scrubbed
+        FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_email,
+           CAST(sum(CASE WHEN n_ipv4 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_ipv4,
+           CAST(sum(CASE WHEN n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_phone,
+           CAST(sum(n_email) AS BIGINT) AS total_emails,
+           CAST(sum(n_ipv4) AS BIGINT) AS total_ipv4,
+           CAST(sum(n_phone) AS BIGINT) AS total_phones,
+           count(DISTINCT md5(scrubbed)) AS n_distinct_scrubbed,
+           CAST(sum(length(scrubbed)) AS BIGINT) AS scrubbed_chars
+    FROM s GROUP BY lang ORDER BY lang
+"""
+
+# full replay of the bigram-LM perplexity filter: list-slice zip builds
+# the bigrams, the same add-k model is trained and scored in SQL.
+ORACLES_EXT["doc_lm_perplexity_report"] = r"""
+    WITH tk AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\s+') AS t
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS z
+        FROM tk WHERE len(t) >= 2
+    ),
+    bg2 AS (
+        SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM bg
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg2 GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM bg2 GROUP BY w1),
+    v AS (SELECT count(DISTINCT w2) AS v FROM bg2),
+    scored AS (
+        SELECT doc_id,
+               count(*) AS n_bigrams,
+               round(avg(log2((c12 + 0.5) / (c1 + 0.5 * v))), 6) AS avg_log2_prob
+        FROM bg2 JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+        GROUP BY doc_id
+    )
+    SELECT d.lang,
+           count(*) AS n_docs,
+           round(avg(avg_log2_prob), 4) AS mean_score,
+           round(min(avg_log2_prob), 6) AS min_score,
+           round(max(avg_log2_prob), 6) AS max_score,
+           CAST(sum(CASE WHEN avg_log2_prob < -12.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_below_floor,
+           CAST(sum(n_bigrams) AS BIGINT) AS total_bigrams
+    FROM documents d JOIN scored USING (doc_id)
+    GROUP BY d.lang ORDER BY d.lang
+"""

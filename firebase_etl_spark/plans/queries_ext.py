@@ -1660,3 +1660,63 @@ def doc_winnow_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle over the same md5 gram hash."""
     d = load_table(spark, "documents", sf_dir)
     return TX.winnow_near_dups(d, min_shared=3, max_df=50, portable=True)
+
+
+def doc_pii_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII screen over the corpus (operators/pii.py): per language, how
+    many docs contain each PII type, total match counts, and a content
+    fingerprint of the scrubbed corpus (count of distinct scrubbed-text
+    md5s + total scrubbed chars) so the oracle pins the redacted CONTENT,
+    not just the counts. On this synthetic corpus the counts are zero —
+    the screen PROVES the corpus is clean, which is precisely its job in
+    a curation run; the scrub itself is pinned on constructed PII in
+    tests. One projection + one aggregate: no shuffle before the final
+    per-language rollup."""
+    from firebase_etl_spark.operators.pii import scrub_pii
+
+    d = load_table(spark, "documents", sf_dir)
+    s = scrub_pii(d.select("doc_id", "lang", "text"))
+    return (
+        s.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_email") > 0).cast("long")).alias("docs_with_email"),
+            F.sum((F.col("n_ipv4") > 0).cast("long")).alias("docs_with_ipv4"),
+            F.sum((F.col("n_phone") > 0).cast("long")).alias("docs_with_phone"),
+            F.sum("n_email").alias("total_emails"),
+            F.sum("n_ipv4").alias("total_ipv4"),
+            F.sum("n_phone").alias("total_phones"),
+            F.count_distinct(F.md5("scrubbed")).alias("n_distinct_scrubbed"),
+            F.sum(F.length("scrubbed")).alias("scrubbed_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def doc_lm_perplexity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity filter report (operators/lm.py): per language,
+    the distribution of per-doc average log2 bigram probability under the
+    corpus-trained add-k model, plus how many docs fall below a fixed
+    fluency floor (the screen-out candidates). Training and scoring are
+    both relational — the DuckDB oracle replays the full model."""
+    from firebase_etl_spark.operators.lm import bigram_lm_scores
+
+    d = load_table(spark, "documents", sf_dir)
+    scores = bigram_lm_scores(d, k=0.5)
+    floor = -12.0
+    return (
+        d.select("doc_id", "lang")
+        .join(scores, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("avg_log2_prob"), 4).alias("mean_score"),
+            F.round(F.min("avg_log2_prob"), 6).alias("min_score"),
+            F.round(F.max("avg_log2_prob"), 6).alias("max_score"),
+            F.sum((F.col("avg_log2_prob") < floor).cast("long")).alias(
+                "n_below_floor"
+            ),
+            F.sum("n_bigrams").alias("total_bigrams"),
+        )
+        .orderBy("lang")
+    )

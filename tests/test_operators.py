@@ -418,3 +418,41 @@ def test_incremental_exact_dedup_across_batches(spark, tmp_path):
     b3 = spark.createDataFrame([(7, "epsilon")], "doc_id long, text string")
     s3 = [r["doc_id"] for r in incremental_exact_dedup(spark, b3, ledger).collect()]
     assert s3 == []
+
+
+def test_pii_scrub_counts_and_content(spark):
+    """Constructed PII is counted and scrubbed; clean text passes through
+    untouched; an email is not double-counted as a phone (scrub order)."""
+    from firebase_etl_spark.operators.pii import scrub_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact bob.smith+x@example.co.uk or call +1 (555) 123-4567"),
+            (2, "server at 192.168.1.100 went down"),
+            (3, "a perfectly clean sentence"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in scrub_pii(docs).collect()}
+    assert (rows[1]["n_email"], rows[1]["n_phone"], rows[1]["n_ipv4"]) == (1, 1, 0)
+    assert rows[1]["scrubbed"] == "contact <EMAIL> or call <PHONE>"
+    assert (rows[2]["n_ipv4"], rows[2]["n_email"]) == (1, 0)
+    assert rows[2]["scrubbed"] == "server at <IP> went down"
+    assert rows[3]["scrubbed"] == rows[3]["text"]
+
+
+def test_bigram_lm_scores_fluency_ordering(spark):
+    """A doc made of the corpus's dominant bigram pattern must outscore a
+    doc of corpus-atypical transitions; probabilities stay <= 0 in log2."""
+    from firebase_etl_spark.operators.lm import bigram_lm_scores
+
+    common = " ".join(["the cat sat on the mat"] * 10)
+    docs = [(i, common) for i in range(8)]
+    docs.append((100, "mat the on sat cat the mat on"))  # reversed transitions
+    docs.append((200, "x"))  # single token: no bigrams, absent from output
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in bigram_lm_scores(df).collect()}
+    assert 200 not in rows
+    assert rows[0]["avg_log2_prob"] > rows[100]["avg_log2_prob"]
+    assert all(r["avg_log2_prob"] <= 0 for r in rows.values())
+    assert rows[0]["n_bigrams"] == len(common.split()) - 1
