@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_deciles": QX.doc_quality_deciles,
         "doc_pii_screen": QX.doc_pii_screen,
         "doc_lm_perplexity_report": QX.doc_lm_perplexity_report,
+        "documents_packing_plan": QX.documents_packing_plan,
         # ---- previously driver-green (r1/r2); pinned by tests/test_oracle.py ----
         "q3_shipping_priority": Q.q3_shipping_priority,
         "q6_forecast_revenue": Q.q6_forecast_revenue,

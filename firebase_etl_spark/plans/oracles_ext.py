@@ -1593,3 +1593,36 @@ ORACLES_EXT["doc_lm_perplexity_report"] = r"""
     FROM documents d JOIN scored USING (doc_id)
     GROUP BY d.lang ORDER BY d.lang
 """
+
+
+# replays the packing plan with the textbook single-window global cumsum
+# (the formulation the Spark side deliberately avoids at scale); offsets
+# and sequence indices must agree exactly with the two-phase prefix sum.
+ORACLES_EXT["documents_packing_plan"] = r"""
+    WITH t AS (
+        SELECT doc_id,
+               len(string_split_regex(lower(trim(text)), '\s+')) AS n_toks
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_toks,
+               sum(n_toks) OVER (ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) - n_toks AS start_off
+        FROM t
+    ),
+    s AS (
+        SELECT doc_id, n_toks, start_off,
+               start_off // 256 AS start_seq,
+               (start_off + n_toks - 1) // 256 AS end_seq
+        FROM c
+    )
+    SELECT count(*) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+           CAST(max(end_seq) + 1 AS BIGINT) AS n_sequences,
+           CAST(sum(CASE WHEN end_seq > start_seq THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_split_docs,
+           CAST(max(n_toks) AS BIGINT) AS max_doc_tokens,
+           round(CAST(sum(n_toks) AS DOUBLE) / ((max(end_seq) + 1) * 256), 6)
+               AS fill_ratio
+    FROM s
+"""

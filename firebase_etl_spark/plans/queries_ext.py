@@ -1720,3 +1720,27 @@ def doc_lm_perplexity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def documents_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing report (operators/packing.py): lay the corpus into
+    256-token training sequences in doc_id order and report the packing
+    outcome — sequences produced, split docs, boundary waste. The global
+    prefix sum underneath is the two-phase (partition totals + offsets)
+    formulation, never a global-order window; the DuckDB oracle replays
+    it with the single-window equivalent and must agree exactly."""
+    from firebase_etl_spark.operators.packing import packed_spans
+
+    d = load_table(spark, "documents", sf_dir)
+    ctx = 256
+    spans = packed_spans(d, ctx_len=ctx)
+    return spans.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("total_tokens"),
+        (F.max(F.col("end_seq")) + 1).alias("n_sequences"),
+        F.sum(F.col("is_split").cast("long")).alias("n_split_docs"),
+        F.max("n_toks").alias("max_doc_tokens"),
+        F.round(
+            F.sum("n_toks") / ((F.max("end_seq") + 1) * ctx), 6
+        ).alias("fill_ratio"),
+    )

@@ -456,3 +456,21 @@ def test_bigram_lm_scores_fluency_ordering(spark):
     assert rows[0]["avg_log2_prob"] > rows[100]["avg_log2_prob"]
     assert all(r["avg_log2_prob"] <= 0 for r in rows.values())
     assert rows[0]["n_bigrams"] == len(common.split()) - 1
+
+
+def test_packed_spans_two_phase_prefix_sum(spark):
+    """Offsets must equal the single-stream prefix sum regardless of how
+    the range partitioner splits the id space (exercised with more
+    partitions than rows); split detection matches interval arithmetic."""
+    from firebase_etl_spark.operators.packing import packed_spans
+
+    docs = [(i, " ".join(["w"] * (10 + 7 * (i % 5)))) for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = sorted(packed_spans(df, ctx_len=32).collect(), key=lambda r: r["doc_id"])
+    off = 0
+    for r in rows:
+        assert r["start_off"] == off, (r["doc_id"], r["start_off"], off)
+        assert r["start_seq"] == off // 32
+        assert r["end_seq"] == (off + r["n_toks"] - 1) // 32
+        assert r["is_split"] == (r["start_seq"] != r["end_seq"])
+        off += r["n_toks"]
