@@ -32,26 +32,22 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Entry order is deliberate: the driver's correctness snapshot
-        # checks the FIRST 50 entries, so queries without a prior
-        # driver-green row lead (never-checked extensions, then the
-        # r1-only set incl. the three fixed-since-r1 events queries),
-        # padded with green sentinels to prove no regression.
-        "supplier_nation_stats": QX.supplier_nation_stats,
+        # checks the FIRST 50 entries. All 50 slots go to queries with
+        # no prior driver-green row (r1+r2 key sets diffed against
+        # queries()); every previously-green query stays pinned by the
+        # local gate replica tests/test_oracle.py.
         "lineitem_set_ops": QX.lineitem_set_ops,
         "documents_clean_corpus": QX.documents_clean_corpus,
         "documents_training_corpus": QX.documents_training_corpus,
         "documents_mixture_sample": QX.documents_mixture_sample,
         "events_near_pairs": QX.events_near_pairs,
         "events_salted_type_stats": QX.events_salted_type_stats,
-        "events_distinct_users_approx": QX.events_distinct_users_approx,
         "events_stratified_sample": QX.events_stratified_sample,
         "events_daily_from_hourly": QX.events_daily_from_hourly,
         "events_sliding_counts": QX.events_sliding_counts,
         "lineitem_cube": QX.lineitem_cube,
         "orders_by_year_month": QX.orders_by_year_month,
-        "customer_name_functions": QX.customer_name_functions,
         "lineitem_percentiles": QX.lineitem_percentiles,
-        "lineitem_percentiles_approx": QX.lineitem_percentiles_approx,
         "top20_tokens": QX.top20_tokens,
         "top_bigrams_udtf": QX.top_bigrams_udtf,
         "orders_moving_avg": QX.orders_moving_avg,
@@ -73,27 +69,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props_key_stats": QX.events_props_key_stats,
         "user_sessions": QX.user_sessions,
         "events_asof_orders": QX.events_asof_orders,
-        "lineitem_summary_stats": QX.lineitem_summary_stats,
-        "orders_deterministic_sample": QX.orders_deterministic_sample,
-        "part_type_pattern": QX.part_type_pattern,
-        "orders_rollup": QX.orders_rollup,
-        "top_customer_revenue": QX.top_customer_revenue,
-        "mktsegment_order_priority_pivot": QX.mktsegment_order_priority_pivot,
         "rtdb_export_segment_stats": QX.rtdb_export_segment_stats,
         "doc_simhash_portable_near_dups": QX.doc_simhash_portable_near_dups,
         "doc_winnow_portable_summary": QX.doc_winnow_portable_summary,
         "doc_gopher_quality_report": QX.doc_gopher_quality_report,
         "doc_contamination_screen": QX.doc_contamination_screen,
         "doc_winnow_near_dups": QX.doc_winnow_near_dups,
-        "q1_pricing_summary": Q.q1_pricing_summary,
-        "latest_order_per_customer": Q.latest_order_per_customer,
-        "null_counts_events": Q.null_counts_events,
-        "doc_minhash_near_dups": QX.doc_minhash_near_dups,
-        "embedding_topk_lsh": QX.embedding_topk_lsh,
-        "events_variant_stats": QX.events_variant_stats,
-        "masked_customer_emails": Q.masked_customer_emails,
-        # ---- added late in round 3 (outside this round's 50-query window;
-        # rotate to the front next round) ----
         "doc_segment_dedup_report": QX.doc_segment_dedup_report,
         "customer_status_scd2": QX.customer_status_scd2,
         "events_key_skew_profile": QX.events_key_skew_profile,
@@ -105,7 +86,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_screen": QX.doc_pii_screen,
         "doc_lm_perplexity_report": QX.doc_lm_perplexity_report,
         "documents_packing_plan": QX.documents_packing_plan,
-        # ---- previously driver-green (r1/r2); pinned by tests/test_oracle.py ----
+        # ---- outside the 50-query window ----
+        # never-evidenced spillover (rotate into round 4's window):
+        "documents_semantic_keep_best": QX.documents_semantic_keep_best,
+        "supplier_nation_stats": QX.supplier_nation_stats,
+        "customer_name_functions": QX.customer_name_functions,
+        "events_distinct_users_approx": QX.events_distinct_users_approx,
+        "lineitem_percentiles_approx": QX.lineitem_percentiles_approx,
+        # previously driver-green (r1/r2):
+        "lineitem_summary_stats": QX.lineitem_summary_stats,
+        "orders_deterministic_sample": QX.orders_deterministic_sample,
+        "part_type_pattern": QX.part_type_pattern,
+        "orders_rollup": QX.orders_rollup,
+        "top_customer_revenue": QX.top_customer_revenue,
+        "mktsegment_order_priority_pivot": QX.mktsegment_order_priority_pivot,
+        "q1_pricing_summary": Q.q1_pricing_summary,
+        "latest_order_per_customer": Q.latest_order_per_customer,
+        "null_counts_events": Q.null_counts_events,
+        "doc_minhash_near_dups": QX.doc_minhash_near_dups,
+        "embedding_topk_lsh": QX.embedding_topk_lsh,
+        "events_variant_stats": QX.events_variant_stats,
+        "masked_customer_emails": Q.masked_customer_emails,
         "q3_shipping_priority": Q.q3_shipping_priority,
         "q6_forecast_revenue": Q.q6_forecast_revenue,
         "q18_large_orders": Q.q18_large_orders,

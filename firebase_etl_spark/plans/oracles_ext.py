@@ -1626,3 +1626,60 @@ ORACLES_EXT["documents_packing_plan"] = r"""
                AS fill_ratio
     FROM s
 """
+
+
+# semantic keep-best: the embedding CC closure (same CTEs as
+# embedding_dedup_clusters) + the quality replay (same feat expression as
+# doc_quality_deciles) + a window election of the survivor per cluster.
+ORACLES_EXT["documents_semantic_keep_best"] = f"""
+    WITH nv AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> x / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                                               CAST(embedding AS DOUBLE[])))) AS ve
+        FROM embeddings
+    ), pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM nv a JOIN nv b ON a.vec_id < b.vec_id
+        WHERE round(list_inner_product(a.ve, b.ve), 6) >= 0.4
+    ), edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ), walk AS (
+        WITH RECURSIVE r(node, label) AS (
+            SELECT u, u FROM edges
+            UNION
+            SELECT e.v, r.label FROM r JOIN edges e ON r.node = e.u
+        )
+        SELECT node, min(label) AS component FROM r GROUP BY node
+    ), base AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), feat AS (
+        SELECT doc_id, len(toks) AS n_tokens,
+               round(0.4 * (len(list_distinct(toks)) * 1.0 / len(toks))
+                     + 0.3 * (CASE WHEN len(toks) BETWEEN 20 AND 1000
+                              THEN 1.0 ELSE 0.5 END)
+                     + 0.3 * (1.0 - abs(len(list_filter(toks,
+                           t -> list_contains(['the','a','an','and','or',
+                           'of','to','in','is','it'], t))) * 1.0
+                           / len(toks) - 0.3)), 6) AS q
+        FROM base
+    ), comp AS (
+        SELECT f.doc_id, f.q, f.n_tokens,
+               coalesce(w.component, f.doc_id) AS component
+        FROM feat f LEFT JOIN walk w ON f.doc_id = w.node
+    ), elected AS (
+        SELECT doc_id, q, n_tokens, component,
+               row_number() OVER (PARTITION BY component
+                                  ORDER BY q DESC, doc_id) AS rn
+        FROM comp
+    )
+    SELECT count(*) AS n_docs,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(sum(CASE WHEN rn = 1 THEN n_tokens END) AS BIGINT) AS tokens_kept,
+           CAST(coalesce(sum(CASE WHEN rn > 1 THEN n_tokens END), 0) AS BIGINT)
+               AS tokens_dropped,
+           CAST(sum(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS kept_id_sum
+    FROM elected
+"""

@@ -1744,3 +1744,50 @@ def documents_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_toks") / ((F.max("end_seq") + 1) * ctx), 6
         ).alias("fill_ratio"),
     )
+
+
+def documents_semantic_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup with quality-aware survivor election: embedding
+    near-dup edges (grid join) -> connected components -> keep the
+    highest-quality doc per cluster (ties to the lowest id), singletons
+    keep themselves. The report pins WHICH docs survive (sum of kept ids)
+    plus the token budget the dedup saves — the number a curation run
+    actually acts on. Oracle replays CC recursively and the election with
+    a window."""
+    from firebase_etl_spark.operators.graph import connected_components
+    from firebase_etl_spark.operators.similarity import cosine_all_pairs_grid
+
+    e = load_table(spark, "embeddings", sf_dir)
+    d = load_table(spark, "documents", sf_dir)
+    edges = cosine_all_pairs_grid(e, threshold=0.4)
+    cc = connected_components(edges)
+    scored = d.select(
+        "doc_id",
+        F.round(TX.quality_score("text"), 6).alias("q"),
+        TX.token_count("text").alias("toks"),
+    )
+    withc = scored.join(cc, scored.doc_id == cc.node, "left").select(
+        scored.doc_id,
+        "q",
+        "toks",
+        F.coalesce(cc.component, scored.doc_id).alias("component"),
+    )
+    # per-cluster argmax(q) with deterministic ties: min over (-q, id)
+    best = withc.groupBy("component").agg(
+        F.min(
+            F.struct((-F.col("q")).alias("nq"), F.col("doc_id").alias("id"))
+        ).alias("b")
+    )
+    kept = withc.join(best, "component").withColumn(
+        "is_kept", F.col("doc_id") == F.col("b.id")
+    )
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("is_kept").cast("long")).alias("n_kept"),
+        F.sum((~F.col("is_kept")).cast("long")).alias("n_dropped"),
+        F.sum(F.when(F.col("is_kept"), F.col("toks"))).alias("tokens_kept"),
+        F.coalesce(
+            F.sum(F.when(~F.col("is_kept"), F.col("toks"))), F.lit(0)
+        ).alias("tokens_dropped"),
+        F.sum(F.when(F.col("is_kept"), F.col("doc_id"))).alias("kept_id_sum"),
+    )
