@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- outside the 50-query window ----
         # never-evidenced spillover (rotate into round 4's window):
         "documents_semantic_keep_best": QX.documents_semantic_keep_best,
+        "documents_bpe_merges": QX.documents_bpe_merges,
         "supplier_nation_stats": QX.supplier_nation_stats,
         "customer_name_functions": QX.customer_name_functions,
         "events_distinct_users_approx": QX.events_distinct_users_approx,

@@ -1,0 +1,123 @@
+"""Distributed BPE tokenizer training — learning a byte-pair-encoding
+merge table from corpus word frequencies (the tokenizer-construction step
+of an LLM data pipeline; extension beyond the reference).
+
+Classic BPE (Sennrich et al. 2016): start from characters (plus a
+word-end marker), repeatedly merge the most frequent adjacent symbol
+pair. The training state is the WORD-FREQUENCY table, not the corpus:
+one row per distinct word with its count, symbols kept as a
+space-separated string. Each merge round is
+
+    pair counts   one slice+zip explode + keyed aggregate (weighted by
+                  word count, map-side combinable)
+    argmax pair   min(struct(-n, a, b)) -> a single-row collect (the
+                  same k-constants driver pull as a k-means centroid)
+    apply merge   literal string replace of ' a b ' -> ' ab ' on every
+                  word row
+
+Scale shape: the vocabulary table is orders of magnitude smaller than
+the corpus (tens of millions of rows at web scale vs billions of docs),
+so a loop of small aggregates over a persisted, periodically
+checkpointed table is the right plan — identical in shape to the k-means
+trainer in similarity.py. Nothing per-document happens after the initial
+word count.
+
+Merge-application semantics: replace() consumes its match, so a chain of
+overlapping occurrences (only possible when left==right, e.g. 'a a a a')
+needs one extra pass per chained merge. ``REPLACE_PASSES`` bounded
+passes are applied — exact leftmost-nonoverlapping BPE for words with up
+to 2*REPLACE_PASSES chained symbols, i.e. for any corpus whose words fit
+that bound (asserted against a pure-Python reference trainer in tests).
+Both the Spark plan and the DuckDB oracle apply the same pass count, so
+the cross-engine comparison is exact by construction regardless.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from firebase_etl_spark.operators.text import tokenize
+
+#: replace passes per merge round (exact for words up to ~2x this many
+#: chained same-symbol merges; corpus words here are far shorter)
+REPLACE_PASSES = 6
+#: word-end marker symbol (standard BPE so 'low'/'lower' share prefixes
+#: but not suffix-crossing merges)
+END = "</w>"
+
+
+def _word_freq(df: DataFrame, text_col: str) -> DataFrame:
+    """(seq, cnt): distinct words as sentinel-spaced symbol strings."""
+    w = df.select(F.explode(tokenize(text_col)).alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    seq = F.concat(
+        F.lit(" "),
+        F.array_join(F.split("w", ""), " "),
+        F.lit(f" {END} "),
+    )
+    return w.select(seq.alias("seq"), "cnt")
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """(a, b, n): adjacent-symbol pair counts weighted by word count."""
+    arr = F.split(F.trim("seq"), " ")
+    shifted = words.select(
+        F.slice(arr, 1, F.size(arr) - 1).alias("w1"),
+        F.slice(arr, 2, F.size(arr) - 1).alias("w2"),
+        "cnt",
+    )
+    return (
+        shifted.select(F.explode(F.arrays_zip("w1", "w2")).alias("p"), "cnt")
+        .groupBy(F.col("p.w1").alias("a"), F.col("p.w2").alias("b"))
+        .agg(F.sum("cnt").alias("n"))
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    spark: SparkSession,
+    n_merges: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges; returns a DataFrame
+    (merge_rank, left_sym, right_sym, pair_count) in learning order.
+    Ties break lexicographically on (left, right) — deterministic."""
+    words = _word_freq(df, text_col).persist()
+    words.count()  # materialize before looping
+    merges: list[tuple[int, str, str, int]] = []
+    try:
+        for rank in range(n_merges):
+            top = (
+                _pair_counts(words)
+                .agg(
+                    F.min(
+                        F.struct(
+                            (-F.col("n")).alias("neg"),
+                            F.col("a"),
+                            F.col("b"),
+                        )
+                    ).alias("t")
+                )
+                .collect()[0]["t"]
+            )
+            if top is None:
+                break
+            a, b, n = top["a"], top["b"], -top["neg"]
+            merges.append((rank, a, b, n))
+            seq = F.col("seq")
+            for _ in range(REPLACE_PASSES):
+                seq = F.replace(
+                    seq, F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
+                )
+            nxt = words.select(seq.alias("seq"), "cnt")
+            # cut the growing replace-expression lineage and swap tables
+            nxt = nxt.localCheckpoint(eager=True)
+            words.unpersist()
+            words = nxt
+    finally:
+        words.unpersist()
+    return spark.createDataFrame(
+        merges, "merge_rank int, left_sym string, right_sym string, pair_count long"
+    )

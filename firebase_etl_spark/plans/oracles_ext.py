@@ -1683,3 +1683,50 @@ ORACLES_EXT["documents_semantic_keep_best"] = f"""
            CAST(sum(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS kept_id_sum
     FROM elected
 """
+
+
+def _bpe_oracle(n_merges: int = 10, passes: int = 6) -> str:
+    """Generated replay of bpe_train: one CTE layer per merge round
+    (pair counts -> argmax -> bounded-pass replace), mirroring
+    operators/bpe.py REPLACE_PASSES exactly."""
+    layers = [r"""w0 AS MATERIALIZED (
+        SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' </w> ' AS seq,
+               cnt
+        FROM (SELECT w, count(*) AS cnt
+              FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+                    FROM documents)
+              GROUP BY w)
+    )"""]
+    for i in range(n_merges):
+        layers.append(f"""p{i} AS MATERIALIZED (
+        SELECT z[1] AS a, z[2] AS b, sum(cnt) AS n
+        FROM (SELECT unnest(list_zip(arr[1:len(arr)-1], arr[2:len(arr)])) AS z, cnt
+              FROM (SELECT string_split(trim(seq), ' ') AS arr, cnt FROM w{i}))
+        GROUP BY a, b
+    ),
+    t{i} AS (SELECT a, b, CAST(n AS BIGINT) AS n FROM p{i}
+             ORDER BY n DESC, a, b LIMIT 1)""")
+        if i < n_merges - 1:
+            rep = "seq"
+            for _ in range(passes):
+                rep = (
+                    f"replace({rep}, ' '||(SELECT a FROM t{i})||' '||"
+                    f"(SELECT b FROM t{i})||' ', ' '||(SELECT a FROM t{i})||"
+                    f"(SELECT b FROM t{i})||' ')"
+                )
+            layers.append(
+                f"w{i + 1} AS MATERIALIZED (SELECT {rep} AS seq, cnt FROM w{i})"
+            )
+    union = "\n        UNION ALL ".join(
+        f"SELECT {i} AS merge_rank, a AS left_sym, b AS right_sym, "
+        f"n AS pair_count FROM t{i}"
+        for i in range(n_merges)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(layers)
+        + f"\n    SELECT * FROM ({union}) ORDER BY merge_rank"
+    )
+
+
+ORACLES_EXT["documents_bpe_merges"] = _bpe_oracle()

@@ -1791,3 +1791,15 @@ def documents_semantic_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tokens_dropped"),
         F.sum(F.when(F.col("is_kept"), F.col("doc_id"))).alias("kept_id_sum"),
     )
+
+
+def documents_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/bpe.py): the first 10
+    learned merges over the corpus word-frequency table, with pair counts.
+    The DuckDB oracle replays every round — pair counting, argmax with
+    lexicographic ties, bounded-pass merge application — as one generated
+    nested-CTE query, so the learned merge table is cross-engine exact."""
+    from firebase_etl_spark.operators.bpe import bpe_train
+
+    d = load_table(spark, "documents", sf_dir)
+    return bpe_train(d, spark, n_merges=10).orderBy("merge_rank")

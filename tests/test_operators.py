@@ -474,3 +474,54 @@ def test_packed_spans_two_phase_prefix_sum(spark):
         assert r["end_seq"] == (off + r["n_toks"] - 1) // 32
         assert r["is_split"] == (r["start_seq"] != r["end_seq"])
         off += r["n_toks"]
+
+
+def test_bpe_train_matches_reference_trainer(spark):
+    """The distributed trainer must learn the same merge table (pairs,
+    order, counts) as a pure-Python exact BPE reference on the same word
+    frequencies — including the chained same-symbol case ('a a a a')
+    covered by the bounded replace passes."""
+    from collections import Counter
+
+    from firebase_etl_spark.operators.bpe import END, bpe_train
+
+    texts = [
+        "low low low lower lowest",
+        "new newer newest wide wider",
+        "aaaa aaaa aa banana bandana",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+
+    def ref_bpe(words: Counter, n: int):
+        seqs = {w: tuple(w) + (END,) for w in words}
+        out = []
+        for rank in range(n):
+            pc: Counter = Counter()
+            for w, cnt in words.items():
+                s = seqs[w]
+                for i in range(len(s) - 1):
+                    pc[(s[i], s[i + 1])] += cnt
+            if not pc:
+                break
+            (a, b), n_top = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            out.append((rank, a, b, n_top))
+            for w in seqs:
+                s, merged, i = seqs[w], [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        merged.append(a + b)
+                        i += 2
+                    else:
+                        merged.append(s[i])
+                        i += 1
+                seqs[w] = tuple(merged)
+        return out
+
+    words = Counter(w for t in texts for w in t.lower().split())
+    expected = ref_bpe(words, 8)
+    got = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_train(df, spark, n_merges=8).orderBy("merge_rank").collect()
+    ]
+    assert got == expected
