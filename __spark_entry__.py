@@ -90,6 +90,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never-evidenced spillover (rotate into round 4's window):
         "documents_semantic_keep_best": QX.documents_semantic_keep_best,
         "documents_bpe_merges": QX.documents_bpe_merges,
+        "events_funnel_report": QX.events_funnel_report,
+        "user_retention_cohorts": QX.user_retention_cohorts,
         "supplier_nation_stats": QX.supplier_nation_stats,
         "customer_name_functions": QX.customer_name_functions,
         "events_distinct_users_approx": QX.events_distinct_users_approx,

@@ -1730,3 +1730,41 @@ def _bpe_oracle(n_merges: int = 10, passes: int = 6) -> str:
 
 
 ORACLES_EXT["documents_bpe_merges"] = _bpe_oracle()
+
+
+ORACLES_EXT["events_funnel_report"] = """
+    WITH ev AS (
+        SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+    ),
+    v AS (SELECT user_id, min(us) AS t_view FROM ev
+          WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.us) AS t_click
+          FROM ev e JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.us > v.t_view
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.us) AS t_purchase
+          FROM ev e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.us > c.t_click
+          GROUP BY e.user_id)
+    SELECT count(*) AS n_view,
+           count(t_click) AS n_click_after_view,
+           count(t_purchase) AS n_purchase_after_click,
+           round(count(t_click) * 1.0 / count(*), 6) AS view_to_click,
+           round(count(t_purchase) * 1.0 / count(t_click), 6)
+               AS click_to_purchase
+    FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+"""
+
+ORACLES_EXT["user_retention_cohorts"] = """
+    WITH first AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(f.cohort_week AS DATE) AS cohort_week,
+           CAST((epoch_us(date_trunc('week', e.ts))
+                 - epoch_us(f.cohort_week)) // 604800000000 AS BIGINT)
+               AS week_offset,
+           count(DISTINCT e.user_id) AS n_active
+    FROM events e JOIN first f USING (user_id)
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""

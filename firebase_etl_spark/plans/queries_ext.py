@@ -1803,3 +1803,77 @@ def documents_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, "documents", sf_dir)
     return bpe_train(d, spark, n_merges=10).orderBy("merge_rank")
+
+
+def events_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase: per user, each stage
+    counts only if it happens strictly AFTER the previous stage's first
+    occurrence (the analytics-engine staple that plain per-type counts get
+    wrong). Three user-keyed conditional aggregates; after the first
+    shuffle everything stays co-partitioned on user_id, so the stage
+    joins add no exchange. Microsecond-long comparisons on both engines."""
+    e = load_table(spark, "events", sf_dir)
+    ev = e.select("user_id", "event_type", F.unix_micros("ts").alias("us"))
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("us").alias("t_view")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("us") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("us") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_purchase"))
+    )
+    counts = (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_view"),
+            F.count("t_click").alias("n_click_after_view"),
+            F.count("t_purchase").alias("n_purchase_after_click"),
+        )
+    )
+    return counts.select(
+        "n_view",
+        "n_click_after_view",
+        "n_purchase_after_click",
+        F.round(F.col("n_click_after_view") / F.col("n_view"), 6).alias(
+            "view_to_click"
+        ),
+        F.round(
+            F.col("n_purchase_after_click") / F.col("n_click_after_view"), 6
+        ).alias("click_to_purchase"),
+    )
+
+
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users grouped by first-seen week, counted
+    as active in each later week (week_offset 0, 1, 2, ...). One
+    first-seen aggregate + one co-partitioned join back + one keyed
+    count-distinct — the cohort table every product-analytics warehouse
+    materializes."""
+    e = load_table(spark, "events", sf_dir)
+    wk = lambda col: F.date_trunc("week", col)  # noqa: E731
+    first = e.groupBy("user_id").agg(wk(F.min("ts")).alias("cohort_week"))
+    activity = e.select("user_id", wk(F.col("ts")).alias("act_week")).join(
+        first, "user_id"
+    )
+    offset = (
+        (F.unix_micros("act_week") - F.unix_micros("cohort_week"))
+        / F.lit(7 * 24 * 3600 * 1_000_000)
+    ).cast("long")
+    return (
+        activity.groupBy(
+            F.col("cohort_week").cast("date").alias("cohort_week"),
+            offset.alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
