@@ -92,6 +92,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_bpe_merges": QX.documents_bpe_merges,
         "events_funnel_report": QX.events_funnel_report,
         "user_retention_cohorts": QX.user_retention_cohorts,
+        "customer_rfm_segments": QX.customer_rfm_segments,
+        "events_rate_anomalies": QX.events_rate_anomalies,
         "supplier_nation_stats": QX.supplier_nation_stats,
         "customer_name_functions": QX.customer_name_functions,
         "events_distinct_users_approx": QX.events_distinct_users_approx,

@@ -1768,3 +1768,56 @@ ORACLES_EXT["user_retention_cohorts"] = """
     FROM events e JOIN first f USING (user_id)
     GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+ORACLES_EXT["customer_rfm_segments"] = """
+    WITH per_c AS (
+        SELECT o_custkey,
+               date_diff('day', CAST(max(o_orderdate) AS DATE),
+                         (SELECT CAST(max(o_orderdate) AS DATE) FROM orders))
+                   AS recency_days,
+               count(*) AS frequency,
+               round(sum(o_totalprice), 2) AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    cuts AS (
+        SELECT quantile_cont(recency_days, [0.25, 0.5, 0.75]) AS rc,
+               quantile_cont(frequency, [0.25, 0.5, 0.75]) AS fc,
+               quantile_cont(monetary, [0.25, 0.5, 0.75]) AS mc
+        FROM per_c
+    ),
+    seg AS (
+        SELECT CAST(len(list_filter(c.rc, x -> p.recency_days > x)) + 1 AS INT) AS r,
+               CAST(len(list_filter(c.fc, x -> p.frequency > x)) + 1 AS INT) AS f,
+               CAST(len(list_filter(c.mc, x -> p.monetary > x)) + 1 AS INT) AS m
+        FROM per_c p, cuts c
+    )
+    SELECT r, f, m, count(*) AS n_customers
+    FROM seg GROUP BY r, f, m ORDER BY r, f, m
+"""
+
+ORACLES_EXT["events_rate_anomalies"] = """
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hh, count(*) AS n
+        FROM events GROUP BY event_type, hh
+    ),
+    stats AS (
+        SELECT event_type, avg(n) AS mu, stddev_pop(n) AS sigma,
+               count(*) AS n_hours
+        FROM hourly GROUP BY event_type
+    ),
+    j AS (
+        SELECT h.event_type, h.n, s.mu, s.sigma, s.n_hours,
+               abs(h.n - s.mu) > 3 * s.sigma AS is_anom
+        FROM hourly h JOIN stats s USING (event_type)
+    )
+    SELECT event_type,
+           CAST(max(n_hours) AS BIGINT) AS n_hours,
+           round(max(mu), 4) AS mean_hourly,
+           round(max(sigma), 4) AS sd_hourly,
+           CAST(sum(CASE WHEN is_anom THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_anomalous_hours,
+           CAST(max(CASE WHEN is_anom THEN n END) AS BIGINT)
+               AS worst_hour_count
+    FROM j GROUP BY event_type ORDER BY event_type
+"""

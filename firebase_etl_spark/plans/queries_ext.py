@@ -1877,3 +1877,79 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").alias("n_active"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per customer recency (days since last order at
+    the corpus horizon), frequency, monetary; quartile-bucket each
+    dimension against exact interpolated quartiles computed in ONE tiny
+    aggregate and broadcast back (no global ntile window — same
+    value-based bucketing rationale as doc_quality_deciles), then count
+    customers per (r, f, m) segment."""
+    o = load_table(spark, "orders", sf_dir)
+    horizon = o.agg(F.max("o_orderdate").alias("h"))
+    per_c = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "o_custkey",
+            F.datediff(F.to_date("h"), F.to_date("last_order")).alias(
+                "recency_days"
+            ),
+            "frequency",
+            "monetary",
+        )
+    )
+    cuts = per_c.agg(
+        F.expr("percentile(recency_days, array(0.25,0.5,0.75))").alias("rc"),
+        F.expr("percentile(frequency, array(0.25,0.5,0.75))").alias("fc"),
+        F.expr("percentile(monetary, array(0.25,0.5,0.75))").alias("mc"),
+    )
+    def bucket(col, cuts_col):
+        return (F.size(F.filter(cuts_col, lambda c: F.col(col) > c)) + 1)
+    seg = per_c.crossJoin(F.broadcast(cuts)).select(
+        bucket("recency_days", F.col("rc")).alias("r"),
+        bucket("frequency", F.col("fc")).alias("f"),
+        bucket("monetary", F.col("mc")).alias("m"),
+    )
+    return (
+        seg.groupBy("r", "f", "m")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("r", "f", "m")
+    )
+
+
+def events_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-rate anomaly screen: hourly counts per event type, flagged
+    where the hour's count deviates from that type's mean by more than 3
+    population standard deviations. Two keyed aggregates + one broadcast
+    join back; the report keeps zero-anomaly types visible (the normal
+    operating state)."""
+    e = load_table(spark, "events", sf_dir)
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hh")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = hourly.groupBy("event_type").agg(
+        F.avg("n").alias("mu"),
+        F.stddev_pop("n").alias("sigma"),
+        F.count(F.lit(1)).alias("n_hours"),
+    )
+    j = hourly.join(F.broadcast(stats), "event_type").withColumn(
+        "is_anom", F.abs(F.col("n") - F.col("mu")) > 3 * F.col("sigma")
+    )
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.first("n_hours").alias("n_hours"),
+            F.round(F.first("mu"), 4).alias("mean_hourly"),
+            F.round(F.first("sigma"), 4).alias("sd_hourly"),
+            F.sum(F.col("is_anom").cast("long")).alias("n_anomalous_hours"),
+            F.max(F.when(F.col("is_anom"), F.col("n"))).alias("worst_hour_count"),
+        )
+        .orderBy("event_type")
+    )
