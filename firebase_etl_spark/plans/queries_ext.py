@@ -1844,11 +1844,16 @@ def events_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_view",
         "n_click_after_view",
         "n_purchase_after_click",
-        F.round(F.col("n_click_after_view") / F.col("n_view"), 6).alias(
-            "view_to_click"
-        ),
+        # try_divide: an empty stage yields NULL, not an ANSI-mode
+        # divide-by-zero abort (degenerate inputs are routine at scale)
         F.round(
-            F.col("n_purchase_after_click") / F.col("n_click_after_view"), 6
+            F.try_divide(F.col("n_click_after_view"), F.col("n_view")), 6
+        ).alias("view_to_click"),
+        F.round(
+            F.try_divide(
+                F.col("n_purchase_after_click"), F.col("n_click_after_view")
+            ),
+            6,
         ).alias("click_to_purchase"),
     )
 

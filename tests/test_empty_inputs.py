@@ -1,0 +1,90 @@
+"""Degenerate-input robustness: every representative operator family must
+handle an EMPTY corpus/table without raising — at cluster scale empty
+partitions and empty post-filter inputs are routine, and an operator that
+throws on them kills the whole job."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from firebase_etl_spark.operators import dedup_approx as DA
+from firebase_etl_spark.operators import text as TX
+
+
+@pytest.fixture(scope="module")
+def empty_docs(spark):
+    return spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars int"
+    )
+
+
+@pytest.fixture(scope="module")
+def empty_events(spark):
+    return spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+
+
+def test_empty_simhash_near_dups(spark, empty_docs):
+    assert DA.simhash_near_dups(empty_docs, max_hamming=4).count() == 0
+    assert DA.simhash_near_dups(empty_docs, max_hamming=4, portable=True).count() == 0
+
+
+def test_empty_minhash_near_dups(spark, empty_docs):
+    assert DA.minhash_near_dups(empty_docs).count() == 0
+
+
+def test_empty_winnow_near_dups(spark, empty_docs):
+    assert TX.winnow_near_dups(empty_docs, portable=True).count() == 0
+
+
+def test_empty_exact_dedup(spark, empty_docs):
+    assert DA.exact_dedup(empty_docs).count() == 0
+    assert DA.exact_dedup_summary(empty_docs).collect()[0]["n_docs"] is None or \
+        DA.exact_dedup_summary(empty_docs).collect()[0]["n_docs"] == 0
+
+
+def test_empty_bigram_lm(spark, empty_docs):
+    from firebase_etl_spark.operators.lm import bigram_lm_scores
+
+    assert bigram_lm_scores(empty_docs).count() == 0
+
+
+def test_empty_packing(spark, empty_docs):
+    from firebase_etl_spark.operators.packing import packed_spans
+
+    assert packed_spans(empty_docs).count() == 0
+
+
+def test_empty_bpe(spark, empty_docs):
+    from firebase_etl_spark.operators.bpe import bpe_train
+
+    assert bpe_train(empty_docs, spark, n_merges=3).count() == 0
+
+
+def test_empty_pii(spark, empty_docs):
+    from firebase_etl_spark.operators.pii import scrub_pii
+
+    assert scrub_pii(empty_docs).count() == 0
+
+
+def test_empty_gopher(spark, empty_docs):
+    from firebase_etl_spark.operators.quality import gopher_quality_flags
+
+    assert gopher_quality_flags(empty_docs).count() == 0
+
+
+def test_empty_sessions_and_funnel_shapes(spark, empty_events, tmp_path):
+    """Event-family queries run against an empty events parquet dir."""
+    import firebase_etl_spark.plans.queries_ext as QX
+
+    sf = str(tmp_path)
+    empty_events.write.parquet(os.path.join(sf, "events.parquet"))
+    assert QX.user_sessions(spark, sf).count() == 0
+    assert QX.user_retention_cohorts(spark, sf).count() == 0
+    r = QX.events_funnel_report(spark, sf).collect()[0]
+    assert r["n_view"] == 0
