@@ -42,83 +42,101 @@ def repetition_features(
     Definitions (identical in the DuckDB oracle):
 
     - ``top{n}gram_char_frac``: chars covered by every occurrence of the
-      single most frequent word n-gram (ties broken by gram ascending),
-      over the chars of the space-normalized text.
+      single most frequent word n-gram (count ties resolved by taking the
+      LARGEST char coverage among the tied grams — a tie-break computable
+      from (count, length) alone, so it never needs the gram string), over
+      the chars of the space-normalized text.
     - ``dup{n}gram_char_frac``: chars covered by all occurrences of grams
       appearing more than once, same denominator.
 
     Docs too short to have an n-gram get 0.0 for that n. Fractions are
     rounded to 6dp so cross-engine double aggregation stays hash-equal.
 
-    Shape: one token explode + one doc-keyed window builds the gram rows
-    (whole-stage codegen; HOF slice/array_join alternatives run
-    interpreted and measured ~2x slower), then one (doc, n, gram) count
-    aggregate. The top-gram selection is a min(struct(-cnt, gram, chars))
-    aggregate — same "max count, ties by gram ascending" pick as a
-    row_number window, but map-side combinable and sort-free — and the
-    per-n values collapse to one row per doc with conditional aggregates,
-    removing the window sort + one shuffle of the windowed formulation.
+    Shape: window-free and shuffle-light. The shifted tokens every n-gram
+    needs come from ONE arrays_zip of end-clamped array slices (zip pads
+    the shorter tails with null, which marks where full n-grams end), so
+    gram rows are built by two Generates with no token-level sort, no
+    lead() window, and no 100k-token-row exchange — the only exchange is
+    a repartition of the DOC rows before the explode, which lets both
+    downstream aggregates run partial+final with no shuffle at all. The
+    count aggregate keys on (doc, n, HASH(gram)): the tie-break above
+    needs only (count, length), so the gram string never enters an
+    aggregation key or buffer — keys are fixed-width longs and the
+    near-unique-key hash aggregate (~1M distinct grams at sf0.1, the
+    operator's dominant cost) runs on the fast UnsafeRow path. A 64-bit
+    in-doc gram-hash collision (~1e-15 per doc at ~200 grams/doc) would
+    perturb one count; the DuckDB oracle groups by the actual gram string
+    and agrees exactly in its absence. Top-gram selection is a
+    max(struct(cnt, chars)) conditional aggregate per n — map-side
+    combinable, sort-free, one row per doc.
     """
     top_ns = sorted(TOP_NGRAM_MAX_FRAC)
     dup_ns = sorted(DUP_NGRAM_MAX_FRAC)
     all_ns = sorted({*top_ns, *dup_ns})
     max_n = max(all_ns)
 
-    d = df.select(F.col(id_col), TX.tokenize(text_col).alias("__toks")).select(
-        F.col(id_col),
-        F.length(F.array_join("__toks", " ")).alias("__nchars"),
-        F.posexplode("__toks").alias("pos", "tok"),
+    n_parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    toks = (
+        df.select(F.col(id_col), TX.tokenize(text_col).alias("__toks"))
+        .repartition(int(n_parts), F.col(id_col))
+        .select(
+            F.col(id_col),
+            F.length(F.array_join("__toks", " ")).alias("__nchars"),
+            "__toks",
+        )
     )
-    wo = Window.partitionBy(id_col).orderBy("pos")
-    wall = Window.partitionBy(id_col)
-    # window expressions can't live inside a generator: materialize the
-    # shifted tokens as plain columns first, then explode gram structs
-    shifted = d.select(
+    # one zip of max_n end-clamped slices: row i carries (t_i, ..., t_{i+4})
+    # with nulls past the end of the document
+    shifts = [
+        F.slice(
+            "__toks", i + 1, F.greatest(F.size("__toks") - i, F.lit(0))
+        ).alias(f"__s{i}")
+        for i in range(max_n)
+    ]
+    z = toks.select(
         F.col(id_col),
         "__nchars",
-        "pos",
-        "tok",
-        F.count(F.lit(1)).over(wall).alias("__nt"),
-        *[F.lead("tok", i).over(wo).alias(f"__l{i}") for i in range(1, max_n)],
+        F.explode(F.arrays_zip(*shifts)).alias("z"),
     )
     gram_structs = [
         F.when(
-            F.col("pos") <= F.col("__nt") - n,  # full n-grams only
+            F.col(f"z.__s{n - 1}").isNotNull(),  # full n-grams only
             F.struct(
                 F.lit(n).alias("n"),
                 F.concat_ws(
-                    " ",
-                    F.col("tok"),
-                    *[F.col(f"__l{i}") for i in range(1, n)],
+                    " ", *[F.col(f"z.__s{i}") for i in range(n)]
                 ).alias("gram"),
             ),
         )
         for n in all_ns
     ]
     longf = (
-        shifted.select(
+        z.select(
             F.col(id_col),
             "__nchars",
             F.explode(F.array(*gram_structs)).alias("g"),
         )
         .filter(F.col("g").isNotNull())
-        .select(F.col(id_col), "__nchars", "g.n", "g.gram")
+        .select(
+            F.col(id_col),
+            "__nchars",
+            F.col("g.n").alias("n"),
+            F.xxhash64("g.gram").alias("gh"),
+            F.length("g.gram").alias("glen"),
+        )
     )
-    counts = longf.groupBy(id_col, "__nchars", "n", "gram").agg(
-        F.count(F.lit(1)).alias("cnt")
+    counts = longf.groupBy(id_col, "__nchars", "n", "gh").agg(
+        F.count(F.lit(1)).alias("cnt"), F.max("glen").alias("glen")
     )
-    # top gram per (doc, n) without a window: min over (-cnt, gram) picks
-    # the highest count with ties broken by gram ascending; chars rides
-    # along in the struct. Conditional per-n aggregates collapse straight
-    # to one row per doc.
-    chars = F.col("cnt") * F.length("gram")
-    top_struct = F.struct(
-        (-F.col("cnt")).alias("neg_cnt"), F.col("gram"), chars.alias("chars")
-    )
+    # top gram per (doc, n) without a window: max over (cnt, chars) picks
+    # the highest count, then the largest char coverage among count ties.
+    # Conditional per-n aggregates collapse straight to one row per doc.
+    chars = F.col("cnt") * F.col("glen")
+    top_struct = F.struct(F.col("cnt"), chars.alias("chars"))
     per_n = counts.groupBy(id_col).agg(
         F.first("__nchars").alias("__nchars"),
         *[
-            F.min(F.when(F.col("n") == n, top_struct))
+            F.max(F.when(F.col("n") == n, top_struct))
             .getField("chars")
             .alias(f"__top{n}")
             for n in top_ns

@@ -1195,12 +1195,15 @@ ORACLES_EXT["doc_gopher_quality_report"] = r"""
         SELECT doc_id, n, gram, count(*) AS cnt FROM grams GROUP BY ALL
     ),
     pern AS (
+        -- count ties resolve to the LARGEST char coverage (cnt*len), the
+        -- same (count, length)-determined tie-break the Spark side uses
         SELECT doc_id, n,
                max(CASE WHEN rn = 1 THEN cnt * length(gram) END) AS top_chars,
                coalesce(sum(CASE WHEN cnt > 1 THEN cnt * length(gram) END), 0) AS dup_chars
         FROM (
             SELECT *, row_number() OVER (
-                PARTITION BY doc_id, n ORDER BY cnt DESC, gram
+                PARTITION BY doc_id, n
+                ORDER BY cnt DESC, cnt * length(gram) DESC
             ) AS rn FROM counts
         ) GROUP BY doc_id, n
     ),
