@@ -149,26 +149,40 @@ def winnow_fingerprints(
     self-join over an exploded (print, doc) table is the corpus-scale
     near-dup path, same shape as MinHash banding.
 
-    Relational formulation on purpose: a nested array expression
-    (transform over sequence with slice(toks, i, k) in the lambda) re-runs
-    the tokenizer per gram and the gram transform per window — Spark
-    higher-order lambdas neither hoist loop invariants nor get CSE, and
-    CollapseProject re-inlines staged projections, so that shape is
-    O(tokens^2) interpreted work per document (measured 60x slower). Here:
-    explode tokens once, build each k-gram with lead() windows, take the
-    sliding min with a rows-frame window, collect per doc. Both windows and
-    the final aggregation share one hash partitioning on the doc id — a
-    single shuffle, and every step is codegen-able."""
-    from pyspark.sql import Window
-
+    Relational formulation on purpose — and window-free: a nested array
+    expression (transform over sequence with slice(toks, i, k) in the
+    lambda) re-runs the tokenizer per gram and the gram transform per
+    window — Spark higher-order lambdas neither hoist loop invariants nor
+    get CSE, so that shape is O(tokens^2) interpreted work per document
+    (measured 60x slower). lead()/rows-frame windows work but cost a
+    token-row exchange plus two sorts. Here the shifted values every gram
+    and every window need come from arrays_zip of end-clamped array
+    slices (null padding marks where full grams/windows end, and both
+    concat_ws and least() skip nulls — which also yields the short-doc
+    partial-gram / single-window edge rules for free): explode the token
+    zip to codegen gram-hash rows, re-assemble the per-doc hash sequence
+    with a doc-local sorted collect, zip-slice THAT for the sliding min.
+    One repartition of the doc rows up front means every aggregate runs
+    partial+final with no shuffle and no sort."""
+    n_parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     toks = df.select(
-        F.col(id_col), F.posexplode(tokenize(text_col)).alias("pos", "tok")
+        F.col(id_col), tokenize(text_col).alias("__toks")
+    ).repartition(int(n_parts), F.col(id_col))
+    # row i of the zip carries (t_i, ..., t_{i+k-1}), nulls past the end
+    shifts = [
+        F.slice(
+            "__toks", i + 1, F.greatest(F.size("__toks") - i, F.lit(0))
+        ).alias(f"__s{i}")
+        for i in range(k)
+    ]
+    z = toks.select(
+        F.col(id_col),
+        F.size("__toks").alias("__nt"),
+        F.posexplode(F.arrays_zip(*shifts)).alias("pos", "z"),
     )
-    wo = Window.partitionBy(id_col).orderBy("pos")
-    wall = Window.partitionBy(id_col)
-    gram_str = F.concat_ws(
-        " ", F.col("tok"), *[F.lead("tok", i).over(wo) for i in range(1, k)]
-    )
+    # concat_ws skips nulls: a doc shorter than k yields its single
+    # partial gram at pos 0, exactly the prior edge rule
+    gram_str = F.concat_ws(" ", *[F.col(f"z.__s{i}") for i in range(k)])
     # gram hash: xxhash64 (fast scale path) or the md5 60-bit prefix
     # (``portable`` — content-identical in any engine with md5, which is
     # what makes a cross-engine oracle for the fingerprints possible)
@@ -176,25 +190,36 @@ def winnow_fingerprints(
         gh = F.conv(F.substring(F.md5(gram_str), 1, 15), 16, 10).cast("bigint")
     else:
         gh = F.xxhash64(gram_str)
-    # full k-grams only; a doc shorter than k keeps its single partial gram
-    grams = (
-        toks.withColumn("__nt", F.count(F.lit(1)).over(wall))
-        .withColumn("gh", gh)
-        .filter(
-            (F.col("pos") <= F.col("__nt") - k)
-            | ((F.col("__nt") < k) & (F.col("pos") == 0))
-        )
+    grams = z.filter(
+        F.col(f"z.__s{k - 1}").isNotNull()  # full k-grams only ...
+        | ((F.col("__nt") < k) & (F.col("pos") == 0))  # ... or the stub
+    ).select(F.col(id_col), "pos", gh.alias("gh"))
+    # per-doc hash sequence, in gram order, with no window: doc-local
+    # sorted collect (partial+final aggregate, no exchange — the input is
+    # already hash-partitioned by doc), then zip-slice for the sliding
+    # min; least() skips the null padding, and the validity filter keeps
+    # full windows plus the single short-doc window
+    seq = grams.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("pos", "gh")))
+        .getField("gh")
+        .alias("hs")
     )
-    # sliding min over full windows; short docs keep their single window
-    wmin = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
-    prints = (
-        grams.withColumn("__ng", F.count(F.lit(1)).over(wall))
-        .withColumn("__wmin", F.min("gh").over(wmin))
-        .filter(
-            (F.col("pos") <= F.col("__ng") - window)
-            | ((F.col("__ng") < window) & (F.col("pos") == 0))
-        )
+    wshifts = [
+        F.slice(
+            "hs", i + 1, F.greatest(F.size("hs") - i, F.lit(0))
+        ).alias(f"__w{i}")
+        for i in range(window)
+    ]
+    wz = seq.select(
+        F.col(id_col),
+        F.size("hs").alias("__ng"),
+        F.posexplode(F.arrays_zip(*wshifts)).alias("pos", "w"),
     )
+    wmin = F.least(*[F.col(f"w.__w{i}") for i in range(window)])
+    prints = wz.filter(
+        F.col(f"w.__w{window - 1}").isNotNull()
+        | ((F.col("__ng") < window) & (F.col("pos") == 0))
+    ).select(F.col(id_col), wmin.alias("__wmin"))
     return prints.groupBy(id_col).agg(
         F.array_sort(F.collect_set("__wmin")).alias("prints")
     )
