@@ -12,6 +12,7 @@ from firebase_etl_spark.plans.inspect import (
     has_window_group_limit,
     physical_plan,
     scans_read_columns,
+    shuffle_count,
     uses_broadcast_join,
 )
 from firebase_etl_spark.sources.tables import load_table
@@ -227,3 +228,62 @@ def test_skew_profile_broadcasts_totals(spark, sf_dir):
     plan = physical_plan(events_key_skew_profile(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_repetition_features_plan_window_and_sort_free(spark, sf_dir):
+    """The Gopher gram pipeline must stay zip-slice shaped: no Window, no
+    token-row Sort, exactly one Exchange (the doc repartition), and the
+    count aggregate keyed on the gram HASH (no string key)."""
+    from firebase_etl_spark.operators.quality import repetition_features
+
+    spark.catalog.clearCache()
+    df = repetition_features(load_table(spark, "documents", sf_dir))
+    plan = physical_plan(df)
+    assert "Window" not in plan
+    assert shuffle_count(df) == 1, physical_plan(df)
+    assert "xxhash64" in plan  # hash-keyed gram counts
+
+
+def test_winnow_fingerprints_plan_window_free(spark, sf_dir):
+    """Winnowing must stay zip-slice shaped: no Window operator and a
+    single doc-repartition Exchange; the sliding min is least() over
+    zipped shifts, not a rows-frame window."""
+    from firebase_etl_spark.operators.text import winnow_fingerprints
+
+    spark.catalog.clearCache()
+    df = winnow_fingerprints(load_table(spark, "documents", sf_dir))
+    plan = physical_plan(df)
+    assert "Window" not in plan
+    assert shuffle_count(df) == 1, plan
+
+
+def test_simhash_banded_join_broadcasts_small_corpus(spark, sf_dir):
+    """Below the size threshold the banded self-join must broadcast its
+    build side (mega-bucket skew spreads over probe tasks); the verify
+    filter must precede the distinct."""
+    from firebase_etl_spark.operators import dedup_approx as DA
+
+    d = load_table(spark, "documents", sf_dir)
+    fp = DA.simhash(d).persist()
+    try:
+        import pyspark.sql.functions as SF
+
+        banded = fp.select(
+            "doc_id", "simhash",
+            SF.posexplode(
+                SF.array(*[
+                    SF.shiftrightunsigned("simhash", off).bitwiseAND(
+                        SF.lit((1 << 13) - 1)
+                    )
+                    for off in (0, 13, 26, 39, 52)
+                ])
+            ).alias("band", "band_bits"),
+        )
+        a = banded.select(SF.col("doc_id").alias("id_a"), "band", "band_bits")
+        b = SF.broadcast(
+            banded.select(SF.col("doc_id").alias("id_b"), "band", "band_bits")
+        )
+        joined = a.join(b, ["band", "band_bits"])
+        assert "BroadcastHashJoin" in physical_plan(joined)
+    finally:
+        fp.unpersist()
