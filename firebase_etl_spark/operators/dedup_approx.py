@@ -461,3 +461,124 @@ def simhash_near_dups(
     finally:
         sh.unpersist()
     return out
+
+
+def _banded_sigs(
+    signatures: DataFrame, bands: int, id_col: str
+) -> DataFrame:
+    """(id, band, band_hash) rows for an existing signature table —
+    the banding half of minhash_candidates, reusable against a ledger."""
+    sig_len_col = F.size("signature")
+    rows_per_band = (sig_len_col / bands).cast("int")
+    return signatures.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice("signature", b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+
+
+def incremental_minhash_dedup(
+    spark,
+    batch: DataFrame,
+    ledger_path: str,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-batch NEAR-dup dedup — the continuous-ingest twin of
+    ``incremental_exact_dedup``: a document is dropped when any EARLIER
+    batch (or an earlier-id doc in this batch) contains a near-duplicate.
+
+    State design is what makes this scale: the ledger stores ONLY MinHash
+    signatures (num_hashes longs per doc — size-independent of the text,
+    mergeable across batches), never text or shingle sets. Candidates
+    come from LSH banding (batch self-join + batch-vs-ledger join, both
+    bucket-local); verification uses the MinHash Jaccard ESTIMATE (the
+    fraction of equal signature components, an unbiased estimator of the
+    true Jaccard), because the ledger has no shingles to verify exactly —
+    exactly the trade production near-dup ledgers make. Survivors append
+    their signatures; on object stores the ledger becomes a Delta/Iceberg
+    table with the same plan shape.
+
+    Returns the surviving batch rows."""
+    import os
+
+    sigs = minhash_signatures(
+        batch, num_hashes, shingle_n, text_col, id_col
+    ).persist()
+    try:
+        est = (
+            F.aggregate(
+                F.zip_with(
+                    "sig_a", "sig_b", lambda x, y: (x == y).cast("int")
+                ),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            )
+            / F.lit(num_hashes)
+        )
+        new_banded = _banded_sigs(sigs, bands, id_col)
+        sig_a = sigs.select(
+            F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a")
+        )
+        sig_b = sigs.select(
+            F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b")
+        )
+        # within-batch: earlier id survives; any verified pair drops id_b
+        a = new_banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
+        b = new_banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+        within = (
+            a.join(b, ["band", "band_hash"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+            .join(sig_a, "id_a")
+            .join(sig_b, "id_b")
+            .filter(F.round(est, 6) >= threshold)
+            .select(F.col("id_b").alias(id_col))
+        )
+        dropped = within
+        if os.path.exists(ledger_path):
+            old = spark.read.parquet(ledger_path)
+            old_banded = _banded_sigs(old, bands, id_col).select(
+                F.col(id_col).alias("id_a"), "band", "band_hash"
+            )
+            old_sigs = old.select(
+                F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a")
+            )
+            cross = (
+                old_banded.join(b, ["band", "band_hash"])
+                .select("id_a", "id_b")
+                .distinct()
+                .join(old_sigs, "id_a")
+                .join(sig_b, "id_b")
+                .filter(F.round(est, 6) >= threshold)
+                .select(F.col("id_b").alias(id_col))
+            )
+            dropped = dropped.unionByName(cross)
+        survivors = batch.join(dropped.distinct(), id_col, "left_anti")
+        keep_sigs = sigs.join(dropped.distinct(), id_col, "left_anti")
+        # materialize before the ledger write so the anti-joins against the
+        # OLD ledger aren't re-planned over the appended files
+        survivors = survivors.localCheckpoint(eager=True)
+        keep_sigs.localCheckpoint(eager=True).write.mode("append").parquet(
+            ledger_path
+        )
+    finally:
+        sigs.unpersist()
+    return survivors

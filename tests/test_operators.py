@@ -525,3 +525,24 @@ def test_bpe_train_matches_reference_trainer(spark):
         for r in bpe_train(df, spark, n_merges=8).orderBy("merge_rank").collect()
     ]
     assert got == expected
+
+
+def test_incremental_minhash_dedup_across_batches(spark, tmp_path):
+    """Near-dups are dropped within a batch (earlier id survives) AND
+    against prior batches via the signature ledger; unique docs pass."""
+    from firebase_etl_spark.operators.dedup_approx import incremental_minhash_dedup
+
+    ledger = str(tmp_path / "sig_ledger")
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+    uniq = "completely different content about distributed query engines"
+    b1 = spark.createDataFrame([(0, dup), (1, dup)], "doc_id long, text string")
+    s1 = incremental_minhash_dedup(spark, b1, ledger, threshold=0.8)
+    assert {r["doc_id"] for r in s1.collect()} == {0}
+
+    b2 = spark.createDataFrame([(2, dup), (3, uniq)], "doc_id long, text string")
+    s2 = incremental_minhash_dedup(spark, b2, ledger, threshold=0.8)
+    assert {r["doc_id"] for r in s2.collect()} == {3}
+
+    # the ledger now carries exactly the survivors' signatures
+    ids = {r["doc_id"] for r in spark.read.parquet(ledger).collect()}
+    assert ids == {0, 3}
