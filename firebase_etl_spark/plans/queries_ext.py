@@ -478,6 +478,47 @@ def documents_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def curated_exact_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stages 1-2 of the curation pipeline (quality gate + exact dedup),
+    returned PERSISTED — the caller must unpersist. Shared by the report
+    query below and the corpus writer (pipeline_corpus.py)."""
+    d = load_table(spark, "documents", sf_dir)
+    feat = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        TX.token_count("text").alias("n_tokens"),
+        TX.quality_score("text").alias("quality"),
+        TX.fingerprint("text").alias("fp"),
+    ).filter((F.col("quality") >= 0.8) & (F.col("n_tokens") >= 30))
+    return (
+        feat.withColumn(
+            "__rn", F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .persist()
+    )
+
+
+def curated_survivors(exact_kept: DataFrame) -> DataFrame:
+    """Stage 3: near-dup clustering (MinHash-LSH candidates, exact-Jaccard
+    verify, connected components) keeping one doc per cluster."""
+    from firebase_etl_spark.operators.graph import connected_components
+
+    edges = DA.minhash_near_dups(exact_kept, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    # one doc per near-dup cluster: drop nodes whose component label is
+    # a smaller doc_id; singletons never appear as nodes and survive
+    cc = connected_components(edges)
+    losers = cc.filter(F.col("component") != F.col("node")).select(
+        F.col("node").alias("doc_id")
+    )
+    return exact_kept.join(losers, "doc_id", "left_anti")
+
+
 def documents_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END training-corpus pipeline — the composition the individual
     operators exist for: (1) feature-score and quality-gate the corpus,
@@ -491,37 +532,9 @@ def documents_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH (never O(n^2)), adaptive connected components. The oracle replays
     all four stages in SQL (brute-force Jaccard + recursive-CTE CC), valid
     because banding recall is full on this corpus."""
-    from firebase_etl_spark.operators.graph import connected_components
-
-    d = load_table(spark, "documents", sf_dir)
-    feat = d.select(
-        "doc_id",
-        "lang",
-        "source",
-        "text",
-        TX.token_count("text").alias("n_tokens"),
-        TX.quality_score("text").alias("quality"),
-        TX.fingerprint("text").alias("fp"),
-    ).filter((F.col("quality") >= 0.8) & (F.col("n_tokens") >= 30))
-    exact_kept = (
-        feat.withColumn(
-            "__rn", F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
-        )
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-        .persist()
-    )
+    exact_kept = curated_exact_kept(spark, sf_dir)
     try:
-        edges = DA.minhash_near_dups(exact_kept, threshold=0.5).select(
-            "id_a", "id_b"
-        )
-        # one doc per near-dup cluster: drop nodes whose component label is
-        # a smaller doc_id; singletons never appear as nodes and survive
-        cc = connected_components(edges)
-        losers = cc.filter(F.col("component") != F.col("node")).select(
-            F.col("node").alias("doc_id")
-        )
-        survivors = exact_kept.join(losers, "doc_id", "left_anti")
+        survivors = curated_survivors(exact_kept)
         out = (
             survivors.groupBy("lang", "source")
             .agg(

@@ -546,3 +546,31 @@ def test_incremental_minhash_dedup_across_batches(spark, tmp_path):
     # the ledger now carries exactly the survivors' signatures
     ids = {r["doc_id"] for r in spark.read.parquet(ledger).collect()}
     assert ids == {0, 3}
+
+
+def test_curate_and_write_manifest_matches_output(spark, tmp_path, sf_dir):
+    """The written corpus, its partition layout, and the manifest must
+    agree: per-lang dirs exist, parquet counts equal manifest counts, and
+    the content checksum reproduces from what landed on disk."""
+    import hashlib
+
+    from firebase_etl_spark.pipeline_corpus import curate_and_write
+
+    out = str(tmp_path / "corpus_out")
+    manifest = curate_and_write(spark, sf_dir, out)
+    written = spark.read.parquet(manifest["corpus_path"])
+    assert written.count() == manifest["n_docs"] > 0
+    per_lang = {
+        r["lang"]: (r["n"], r["toks"])
+        for r in written.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("toks"))
+        .collect()
+    }
+    for entry in manifest["languages"]:
+        assert per_lang[entry["lang"]] == (entry["n_docs"], entry["total_tokens"])
+        ids = sorted(
+            r["doc_id"]
+            for r in written.filter(F.col("lang") == entry["lang"]).collect()
+        )
+        md5 = hashlib.md5(",".join(str(i) for i in ids).encode()).hexdigest()
+        assert md5 == entry["content_md5"]
