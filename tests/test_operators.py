@@ -574,3 +574,47 @@ def test_curate_and_write_manifest_matches_output(spark, tmp_path, sf_dir):
         )
         md5 = hashlib.md5(",".join(str(i) for i in ids).encode()).hexdigest()
         assert md5 == entry["content_md5"]
+
+
+def test_zorder_clusters_both_dimensions(spark):
+    """Chunks of the Z-order-sorted sequence must span a far smaller range
+    of the SECOND column than the same chunks under a single-column sort
+    (the property that makes row-group skipping work on every interleaved
+    column), while a first-column sort leaves the second column unsorted."""
+    from firebase_etl_spark.operators.layout import zorder_key
+
+    rows = [(x, y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    d, key = zorder_key(df, ["x", "y"], bits=6)
+    ordered = [
+        (r["x"], r["y"])
+        for r in d.withColumn("k", key).orderBy("k", "x", "y").collect()
+    ]
+
+    def avg_chunk_span(seq, dim, chunk=64):
+        spans = []
+        for i in range(0, len(seq), chunk):
+            vals = [t[dim] for t in seq[i : i + chunk]]
+            spans.append(max(vals) - min(vals))
+        return sum(spans) / len(spans)
+
+    by_x = sorted(ordered, key=lambda t: (t[0], t[1]))
+    # x-sorted chunks cover the full y range (span ~63); z-order chunks
+    # stay inside an 8x8 tile (span 7) on BOTH dimensions
+    assert avg_chunk_span(ordered, 1) <= 10
+    assert avg_chunk_span(ordered, 0) <= 10
+    assert avg_chunk_span(by_x, 1) > 50
+
+
+def test_write_zordered_round_trip(spark, tmp_path):
+    from firebase_etl_spark.operators.layout import write_zordered
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 101, f"r{i}") for i in range(500)],
+        "a int, b int, payload string",
+    )
+    path = str(tmp_path / "zt")
+    write_zordered(df, ["a", "b"], path, n_files=4, bits=8)
+    back = spark.read.parquet(path)
+    assert back.count() == 500
+    assert sorted(back.columns) == ["a", "b", "payload"]
