@@ -42,16 +42,29 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     queries = entrymod.queries()
 
-    # warmup: JVM/codegen/Python-worker spinup on the tiny SF. Measured
-    # trade: warming every query costs only ~15s of extra wall (the tiny-SF
-    # runs are cheap) and keeps BOTH timed passes steady-state, so min-of-2
-    # never reports a compile-inflated number when host noise lands on the
-    # warm pass.
-    for name, fn in queries.items():
+    # warmup: JVM/codegen/Python-worker spinup on the tiny SF keeps BOTH
+    # timed passes steady-state, so min-of-2 never reports a
+    # compile-inflated number. The tiny-SF warmups are latency-bound
+    # (planning + codegen, not data), so batch queries warm CONCURRENTLY
+    # from a thread pool — Spark's scheduler interleaves jobs from
+    # multiple submitter threads — cutting warmup wall several-fold;
+    # streaming queries keep a sequential pass (named memory-sink queries
+    # must not race).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _warm(item):
+        name, fn = item
         try:
             fn(spark, WARMUP_DIR).collect()
         except Exception:
             pass
+
+    batch_q = [(n, f) for n, f in queries.items() if not n.startswith("stream_")]
+    stream_q = [(n, f) for n, f in queries.items() if n.startswith("stream_")]
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        list(pool.map(_warm, batch_q))
+    for item in stream_q:
+        _warm(item)
 
     _release_session_state(spark)
 
@@ -60,6 +73,22 @@ def main() -> None:
     # was observed at 62s once); min-of-passes measures the engine, not the
     # stall lottery, while staying honest per query.
     timings: dict[str, float] = {}
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+    def _emit() -> None:
+        print(
+            json.dumps(
+                {
+                    "metric": "total_query_wall_time",
+                    "value": round(sum(timings.values()), 4),
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": float(sf),
+                }
+            ),
+            flush=True,
+        )
+
     for _ in range(2):
         for name, fn in queries.items():
             t0 = time.perf_counter()
@@ -74,20 +103,10 @@ def main() -> None:
             # (measured on simhash_near_dups: 2.8s steady vs 4-14s when
             # sharing a gc-debt window). Costs ~wall only, not timings.
             _release_session_state(spark)
-    total = round(sum(timings.values()), 4)
-
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-            }
-        )
-    )
+        # one complete JSON line per finished pass: if an external timeout
+        # kills the process mid-pass-2, the last stdout line is still a
+        # full, valid result (pass-1 timings) instead of nothing
+        _emit()
     spark.stop()
 
 
