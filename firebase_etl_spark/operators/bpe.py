@@ -86,6 +86,7 @@ def bpe_train(
     Ties break lexicographically on (left, right) — deterministic."""
     words = _word_freq(df, text_col).persist()
     words.count()  # materialize before looping
+    base = words  # the persisted/checkpointed ancestor to release
     merges: list[tuple[int, str, str, int]] = []
     try:
         for rank in range(n_merges):
@@ -112,12 +113,17 @@ def bpe_train(
                     seq, F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
                 )
             nxt = words.select(seq.alias("seq"), "cnt")
-            # cut the growing replace-expression lineage and swap tables
-            nxt = nxt.localCheckpoint(eager=True)
-            words.unpersist()
+            # cut the replace-expression lineage every few rounds: an
+            # eager checkpoint is a whole extra job, and a stack of
+            # 3 x REPLACE_PASSES nested replaces plans fine — per-round
+            # checkpointing spent ~half the training wall on it
+            if rank % 3 == 2:
+                nxt = nxt.localCheckpoint(eager=True)
+                base.unpersist()
+                base = nxt
             words = nxt
     finally:
-        words.unpersist()
+        base.unpersist()
     return spark.createDataFrame(
         merges, "merge_rank int, left_sym string, right_sym string, pair_count long"
     )
