@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_retention_cohorts": QX.user_retention_cohorts,
         "customer_rfm_segments": QX.customer_rfm_segments,
         "events_rate_anomalies": QX.events_rate_anomalies,
+        "doc_entropy_report": QX.doc_entropy_report,
         "supplier_nation_stats": QX.supplier_nation_stats,
         "customer_name_functions": QX.customer_name_functions,
         "events_distinct_users_approx": QX.events_distinct_users_approx,

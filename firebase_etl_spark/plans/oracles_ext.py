@@ -1824,3 +1824,28 @@ ORACLES_EXT["events_rate_anomalies"] = """
                AS worst_hour_count
     FROM j GROUP BY event_type ORDER BY event_type
 """
+
+
+ORACLES_EXT["doc_entropy_report"] = r"""
+    WITH ch AS (
+        SELECT doc_id, lang, unnest(string_split(text, '')) AS ch
+        FROM documents
+    ),
+    counts AS (
+        SELECT doc_id, lang, ch, count(*) AS c
+        FROM ch GROUP BY doc_id, lang, ch
+    ),
+    per_doc AS (
+        SELECT doc_id, lang,
+               round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS entropy
+        FROM counts GROUP BY doc_id, lang
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           round(avg(entropy), 4) AS avg_entropy,
+           round(min(entropy), 6) AS min_entropy,
+           round(max(entropy), 6) AS max_entropy,
+           CAST(sum(CASE WHEN entropy < 2.5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_low_entropy
+    FROM per_doc GROUP BY lang ORDER BY lang
+"""

@@ -1971,3 +1971,41 @@ def events_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def doc_entropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality screen: per language, the distribution of
+    per-doc Shannon entropy over characters (low entropy = repetitive /
+    degenerate text, very high = mojibake-ish noise) and the count under
+    a 2.5-bit floor. Single-pass formula H = log2(N) - sum(c*log2(c))/N,
+    so one char explode + two doc-keyed aggregates (doc rows repartition
+    first — no shuffle after the explode, same shape as the gram
+    pipelines). Replayed exactly by the DuckDB oracle."""
+    d = load_table(spark, "documents", sf_dir)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    chars = (
+        d.select("doc_id", "lang", "text")
+        .repartition(n_parts, F.col("doc_id"))
+        .select("doc_id", "lang", F.explode(F.split("text", "")).alias("ch"))
+    )
+    counts = chars.groupBy("doc_id", "lang", "ch").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_doc = counts.groupBy("doc_id", "lang").agg(
+        F.round(
+            F.log2(F.sum("c"))
+            - F.sum(F.col("c") * F.log2("c")) / F.sum("c"),
+            6,
+        ).alias("entropy")
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("entropy"), 4).alias("avg_entropy"),
+            F.round(F.min("entropy"), 6).alias("min_entropy"),
+            F.round(F.max("entropy"), 6).alias("max_entropy"),
+            F.sum((F.col("entropy") < 2.5).cast("long")).alias("n_low_entropy"),
+        )
+        .orderBy("lang")
+    )
