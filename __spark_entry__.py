@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_rfm_segments": QX.customer_rfm_segments,
         "events_rate_anomalies": QX.events_rate_anomalies,
         "doc_entropy_report": QX.doc_entropy_report,
+        "embedding_filtered_topk": QX.embedding_filtered_topk,
         "supplier_nation_stats": QX.supplier_nation_stats,
         "customer_name_functions": QX.customer_name_functions,
         "events_distinct_users_approx": QX.events_distinct_users_approx,

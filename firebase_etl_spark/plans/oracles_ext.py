@@ -1849,3 +1849,35 @@ ORACLES_EXT["doc_entropy_report"] = r"""
                AS n_low_entropy
     FROM per_doc GROUP BY lang ORDER BY lang
 """
+
+
+ORACLES_EXT["embedding_filtered_topk"] = """
+    WITH nv AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> x / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                                               CAST(embedding AS DOUBLE[])))) AS v
+        FROM embeddings
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, v AS q FROM nv WHERE vec_id IN (0, 1, 2, 3, 4)
+    ),
+    eligible AS (
+        SELECT nv.vec_id, nv.v FROM nv
+        JOIN documents d ON nv.vec_id = d.doc_id AND d.lang = 'en'
+    ),
+    sims AS (
+        SELECT p.query_id, e.vec_id,
+               round(list_inner_product(e.v, p.q), 6) AS cosine_sim
+        FROM eligible e CROSS JOIN probes p
+        WHERE e.vec_id <> p.query_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id
+        ) AS rank
+        FROM sims
+    )
+    SELECT query_id, vec_id, cosine_sim, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""

@@ -2009,3 +2009,53 @@ def doc_entropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def embedding_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search — the retrieval staple: top-5 most similar
+    vectors per probe among only the documents matching a metadata
+    predicate (lang = 'en'). Pre-filtering (predicate BEFORE the
+    similarity scan) is the correct small-selectivity plan: the corpus
+    scan shrinks to the qualifying subset and recall is exact by
+    construction, unlike post-filtering a fixed-k ANN result which can
+    return < k matches. The metadata join is broadcast (dim-table
+    shaped); at IVF scale the same predicate prunes cells per partition.
+    Oracle replays filter + exact cosine ranking."""
+    from firebase_etl_spark.operators.similarity import (
+        _to_double,
+        dot,
+        normalized,
+    )
+
+    e = load_table(spark, "embeddings", sf_dir)
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
+    vecs = e.select("vec_id", normalized(_to_double(F.col("embedding"))).alias("v"))
+    # probes come from the unfiltered corpus (cross-language retrieval);
+    # ranking happens ONLY among the filtered candidates, so top-5 is
+    # exact over the predicate's subset — never a post-filtered ANN list
+    probes = vecs.filter(F.col("vec_id").isin(QUERY_VEC_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q")
+    )
+    eligible = vecs.join(
+        F.broadcast(
+            d.filter(F.col("lang") == "en").select(
+                F.col("doc_id").alias("vec_id")
+            )
+        ),
+        "vec_id",
+    )
+    sims = (
+        eligible.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(dot(F.col("v"), F.col("q")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id")
+    )
+    return sims.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 5
+    )
