@@ -60,22 +60,25 @@ def packed_spans(
             t.groupBy("__pid").agg(F.sum("n_toks").alias("s")).collect(),
             key=lambda r: r["__pid"],
         )
-        offsets, acc = {}, 0
+        offsets, acc = [], 0
         for r in totals:
-            offsets[r["__pid"]] = acc
+            offsets.append((r["__pid"], acc))
             acc += r["s"]
-        off_expr = F.element_at(
-            F.create_map(
-                *[F.lit(x) for kv in offsets.items() for x in kv]
-            ),
-            F.col("__pid"),
+        # broadcast-join the exclusive offsets back rather than inlining a
+        # create_map literal: a literal grows with the partition count and
+        # bloats the plan at thousands of partitions, while the join stays
+        # a constant-size broadcast of (#partitions) rows
+        off_df = t.sparkSession.createDataFrame(
+            offsets or [(0, 0)], "__pid int, __off long"
         )
         w = Window.partitionBy("__pid").orderBy(id_col)
         running = F.sum("n_toks").over(w)  # inclusive, within partition
-        start = (off_expr + running - F.col("n_toks")).alias("start_off")
+        start = (F.col("__off") + running - F.col("n_toks")).alias("start_off")
         # integer DIV, not float division: token offsets are longs and must
         # stay exact past 2^53 at real corpus sizes
-        out = t.select(F.col(id_col), "n_toks", start).select(
+        out = t.join(F.broadcast(off_df), "__pid").select(
+            F.col(id_col), "n_toks", start
+        ).select(
             F.col(id_col),
             "n_toks",
             "start_off",
