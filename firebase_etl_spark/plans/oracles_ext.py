@@ -1340,7 +1340,9 @@ ORACLES_EXT["doc_quality_deciles"] = f"""
         FROM base
     ),
     cuts AS (
-        SELECT quantile_cont(q, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])
+        SELECT list_transform(
+                   quantile_cont(q, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+                   x -> round(x, 6))
                AS cuts
         FROM feat
     ),
@@ -1361,8 +1363,8 @@ ORACLES_EXT["doc_quality_deciles"] = f"""
 ORACLES_EXT["events_value_outliers"] = r"""
     WITH fences AS (
         SELECT event_type,
-               quantile_cont(value, 0.25) AS q1,
-               quantile_cont(value, 0.75) AS q3,
+               round(quantile_cont(value, 0.25), 6) AS q1,
+               round(quantile_cont(value, 0.75), 6) AS q3,
                CAST(count(*) AS BIGINT) AS n_events
         FROM events GROUP BY event_type
     ),
@@ -1784,9 +1786,12 @@ ORACLES_EXT["customer_rfm_segments"] = """
         FROM orders GROUP BY o_custkey
     ),
     cuts AS (
-        SELECT quantile_cont(recency_days, [0.25, 0.5, 0.75]) AS rc,
-               quantile_cont(frequency, [0.25, 0.5, 0.75]) AS fc,
-               quantile_cont(monetary, [0.25, 0.5, 0.75]) AS mc
+        SELECT list_transform(quantile_cont(recency_days, [0.25, 0.5, 0.75]),
+                              x -> round(x, 6)) AS rc,
+               list_transform(quantile_cont(frequency, [0.25, 0.5, 0.75]),
+                              x -> round(x, 6)) AS fc,
+               list_transform(quantile_cont(monetary, [0.25, 0.5, 0.75]),
+                              x -> round(x, 6)) AS mc
         FROM per_c
     ),
     seg AS (

@@ -1574,9 +1574,15 @@ def doc_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(TX.quality_score("text"), 6).alias("q"),
         TX.token_count("text").alias("toks"),
     )
+    # cut points rounded to 6dp on BOTH engines: interpolated quantiles
+    # can differ by 1 ulp across engines, and when a cut lands exactly on
+    # a (heavily tied) data value that ulp flips the whole tie group's
+    # bucket — surfaced at sf0.1, where a decile boundary hit a dup-text
+    # quality value
     cuts = scored.agg(
         F.expr(
-            "percentile(q, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
+            "transform(percentile(q, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9)),"
+            " c -> round(c, 6))"
         ).alias("cuts")
     )
     bucketed = scored.crossJoin(F.broadcast(cuts)).select(
@@ -1614,8 +1620,10 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
     ).select(
         "event_type",
-        F.element_at("__q", 1).alias("q1"),
-        F.element_at("__q", 2).alias("q3"),
+        # 6dp-rounded quartiles: a 1-ulp cross-engine difference in the
+        # interpolated quantile flips any value sitting exactly on a fence
+        F.round(F.element_at("__q", 1), 6).alias("q1"),
+        F.round(F.element_at("__q", 2), 6).alias("q3"),
         "n_events",
     )
     j = e.join(F.broadcast(fences), "event_type")
@@ -1923,10 +1931,21 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
+    # 6dp-rounded cuts: same cross-engine ulp-tie guard as
+    # doc_quality_deciles
     cuts = per_c.agg(
-        F.expr("percentile(recency_days, array(0.25,0.5,0.75))").alias("rc"),
-        F.expr("percentile(frequency, array(0.25,0.5,0.75))").alias("fc"),
-        F.expr("percentile(monetary, array(0.25,0.5,0.75))").alias("mc"),
+        F.expr(
+            "transform(percentile(recency_days, array(0.25,0.5,0.75)),"
+            " c -> round(c, 6))"
+        ).alias("rc"),
+        F.expr(
+            "transform(percentile(frequency, array(0.25,0.5,0.75)),"
+            " c -> round(c, 6))"
+        ).alias("fc"),
+        F.expr(
+            "transform(percentile(monetary, array(0.25,0.5,0.75)),"
+            " c -> round(c, 6))"
+        ).alias("mc"),
     )
     def bucket(col, cuts_col):
         return (F.size(F.filter(cuts_col, lambda c: F.col(col) > c)) + 1)
