@@ -880,7 +880,7 @@ ORACLES_EXT["embedding_dedup_clusters"] = """
 ORACLES_EXT["orders_moving_avg"] = """
     SELECT o_custkey, o_orderkey, o_orderdate,
            round(o_totalprice, 2) AS o_totalprice,
-           round(avg(o_totalprice) OVER w, 2) AS avg_30d,
+           round(sum(o_totalprice) OVER w, 2) AS sum_30d,
            count(*) OVER w AS n_30d
     FROM orders WHERE o_custkey <= 10
     WINDOW w AS (

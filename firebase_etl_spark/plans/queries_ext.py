@@ -1119,9 +1119,14 @@ def events_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def orders_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-based RANGE window frame: per-customer 30-day trailing average
-    order value — frame bounded by event-time interval, not row count, so
+    order SUM — frame bounded by event-time interval, not row count, so
     sparse and dense histories get the same semantics. One shuffle on
-    custkey; frame evaluation is sort-local within the partition."""
+    custkey; frame evaluation is sort-local within the partition. The
+    windowed statistic is the SUM (with the count alongside), not the
+    average: money inputs are exact 0.01 multiples, so the sum never
+    lands on a 2dp rounding half, whereas avg = sum/n produces exact
+    halves for many n and a 1-ulp cross-engine difference then flips the
+    rounded digit (observed at sf0.1)."""
     o = load_table(spark, "orders", sf_dir).filter(F.col("o_custkey") <= 10)
     # NTZ -> TZ timestamp -> epoch seconds (direct NTZ->long cast is
     # rejected under ANSI; session TZ is pinned UTC so this is exact)
@@ -1136,7 +1141,7 @@ def orders_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_orderdate",
         F.round("o_totalprice", 2).alias("o_totalprice"),
-        F.round(F.avg("o_totalprice").over(w), 2).alias("avg_30d"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("sum_30d"),
         F.count(F.lit(1)).over(w).alias("n_30d"),
     ).orderBy("o_custkey", "o_orderdate", "o_orderkey")
 
