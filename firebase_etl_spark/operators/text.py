@@ -66,7 +66,18 @@ def quality_score(col: Column | str) -> Column:
         (token_count(c) >= 20) & (token_count(c) <= 1000), F.lit(1.0)
     ).otherwise(F.lit(0.5))
     stop_ok = F.lit(1.0) - F.abs(stop - F.lit(0.3))
-    return F.round(F.lit(0.4) * lex + F.lit(0.3) * length_ok + F.lit(0.3) * stop_ok, 6)
+    # + 1e-9 before rounding, mirrored in every oracle: the weighted sum of
+    # small-denominator ratios lands EXACTLY on 6dp rounding halves (e.g.
+    # k/640 for 64-token docs => ...X5), and the binary double for such a
+    # value falls on a different side of the half depending on evaluation
+    # order — so two engines computing the same formula round differently.
+    # The nudge (far above ulp noise, far below the half step) puts both
+    # engines deterministically above the half.
+    return F.round(
+        F.lit(0.4) * lex + F.lit(0.3) * length_ok + F.lit(0.3) * stop_ok
+        + F.lit(1e-9),
+        6,
+    )
 
 
 def language_id(col: Column | str, default: str = "en") -> Column:

@@ -57,7 +57,7 @@ ORACLES_EXT: dict[str, str] = {
                round(stop_ratio_raw, 6) AS stop_ratio,
                round(0.4 * distinct_ratio_raw
                      + 0.3 * (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.5 END)
-                     + 0.3 * (1.0 - abs(stop_ratio_raw - 0.3)), 6) AS quality,
+                     + 0.3 * (1.0 - abs(stop_ratio_raw - 0.3)) + 1e-9, 6) AS quality,
                {_LANG_SQL} AS lang_pred,
                md5(norm) AS fp
         FROM feat
@@ -268,7 +268,7 @@ ORACLES_EXT: dict[str, str] = {
                          + 0.3 * (CASE WHEN len({_TOKS}) BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.5 END)
                          + 0.3 * (1.0 - abs(len(list_filter({_TOKS}, t -> list_contains(
                                ['the','a','an','and','or','of','to','in','is','it'], t)))
-                               * 1.0 / len({_TOKS}) - 0.3)), 6) AS quality,
+                               * 1.0 / len({_TOKS}) - 0.3)) + 1e-9, 6) AS quality,
                    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
             FROM documents
         ), kept AS (
@@ -294,7 +294,7 @@ ORACLES_EXT: dict[str, str] = {
                          + 0.3 * (CASE WHEN len({_TOKS}) BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.5 END)
                          + 0.3 * (1.0 - abs(len(list_filter({_TOKS}, t -> list_contains(
                                ['the','a','an','and','or','of','to','in','is','it'], t)))
-                               * 1.0 / len({_TOKS}) - 0.3)), 6) AS quality,
+                               * 1.0 / len({_TOKS}) - 0.3)) + 1e-9, 6) AS quality,
                    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
             FROM documents
         ), kept AS (
@@ -1336,7 +1336,7 @@ ORACLES_EXT["doc_quality_deciles"] = f"""
                      + 0.3 * (1.0 - abs(len(list_filter(toks,
                            t -> list_contains(['the','a','an','and','or',
                            'of','to','in','is','it'], t))) * 1.0
-                           / len(toks) - 0.3)), 6) AS q
+                           / len(toks) - 0.3)) + 1e-9, 6) AS q
         FROM base
     ),
     cuts AS (
@@ -1667,7 +1667,7 @@ ORACLES_EXT["documents_semantic_keep_best"] = f"""
                      + 0.3 * (1.0 - abs(len(list_filter(toks,
                            t -> list_contains(['the','a','an','and','or',
                            'of','to','in','is','it'], t))) * 1.0
-                           / len(toks) - 0.3)), 6) AS q
+                           / len(toks) - 0.3)) + 1e-9, 6) AS q
         FROM base
     ), comp AS (
         SELECT f.doc_id, f.q, f.n_tokens,
