@@ -88,6 +88,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_packing_plan": QX.documents_packing_plan,
         # ---- outside the 50-query window ----
         # never-evidenced spillover (rotate into round 4's window):
+        "customer_fuzzy_matches": QX.customer_fuzzy_matches,
+        "nation_trade_pagerank": QX.nation_trade_pagerank,
+        "documents_split_assignment": QX.documents_split_assignment,
+        "documents_bpe_encoded_stats": QX.documents_bpe_encoded_stats,
         "documents_semantic_keep_best": QX.documents_semantic_keep_best,
         "documents_bpe_merges": QX.documents_bpe_merges,
         "events_funnel_report": QX.events_funnel_report,

@@ -47,7 +47,7 @@ REPLACE_PASSES = 6
 END = "</w>"
 
 
-def _word_freq(df: DataFrame, text_col: str) -> DataFrame:
+def _word_freq(df: DataFrame, text_col: str, keep_word: bool = False) -> DataFrame:
     """(seq, cnt): distinct words as sentinel-spaced symbol strings."""
     w = df.select(F.explode(tokenize(text_col)).alias("w")).groupBy("w").agg(
         F.count(F.lit(1)).alias("cnt")
@@ -57,7 +57,8 @@ def _word_freq(df: DataFrame, text_col: str) -> DataFrame:
         F.array_join(F.split("w", ""), " "),
         F.lit(f" {END} "),
     )
-    return w.select(seq.alias("seq"), "cnt")
+    cols = (["w"] if keep_word else []) + [seq.alias("seq"), "cnt"]
+    return w.select(*cols)
 
 
 def _pair_counts(words: DataFrame) -> DataFrame:
@@ -126,4 +127,49 @@ def bpe_train(
         base.unpersist()
     return spark.createDataFrame(
         merges, "merge_rank int, left_sym string, right_sym string, pair_count long"
+    )
+
+
+def bpe_vocab(
+    df: DataFrame,
+    spark: SparkSession,
+    n_merges: int = 10,
+    text_col: str = "text",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Train ``n_merges`` merges, then ENCODE the vocabulary with them:
+    returns (w, cnt, n_tok) — each distinct corpus word with its
+    occurrence count and its token count under the learned tokenizer
+    (symbols remaining after all merges, ``</w>`` included).
+
+    Tokenizer APPLICATION is the per-batch step of a pipeline (training
+    happens once): only the word-frequency table is rewritten — documents
+    then pick up token counts through a broadcast vocabulary join, so the
+    per-document cost after training is one explode + one map-side join,
+    never a per-document merge loop. Merge application itself is the same
+    bounded-pass ``replace`` chain as training, batched
+    ``checkpoint_every`` merges per projection to keep the expression
+    tree (passes x merges nested replaces) shallow."""
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_train(df, spark, n_merges, text_col)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    words = _word_freq(df, text_col, keep_word=True)
+    seq = F.col("seq")
+    pending = 0
+    for a, b in merges:
+        for _ in range(REPLACE_PASSES):
+            seq = F.replace(seq, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+        pending += 1
+        if pending == checkpoint_every:
+            words = words.select("w", seq.alias("seq"), "cnt")
+            seq = F.col("seq")
+            pending = 0
+    words = words.select("w", seq.alias("seq"), "cnt")
+    return words.select(
+        "w",
+        "cnt",
+        F.size(F.split(F.trim("seq"), " ")).alias("n_tok"),
     )

@@ -176,6 +176,82 @@ def _cc_loop(sym: DataFrame, max_iter: int, check_every: int) -> DataFrame:
     return labels
 
 
+#: fixed-point scale for integer PageRank (1.0 == 10^12)
+PR_SCALE = 10**12
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    n_iter: int = 10,
+    damping_pct: int = 85,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Weighted PageRank over a directed edge list, in FIXED-POINT INTEGER
+    arithmetic so the result is bit-identical across engines and across
+    partitionings (extension beyond the reference; complements the
+    connected-components clustering above).
+
+    Ranks are BIGINTs scaled by ``PR_SCALE``; every step is integer
+    multiply / truncating-div / sum — integer addition is associative, so
+    the usual float-PageRank nondeterminism (partial-sum order varying
+    with partitioning) cannot occur, the same trick as the fixed-point
+    weights in documents_temperature_mixture. With all values positive,
+    Spark's ``div`` and DuckDB's ``//`` agree (truncation == floor).
+
+    Per iteration (the Pregel pattern as two keyed one-shuffle jobs):
+        contrib_uv = rank_u * w_uv div W_u        (edge join on src)
+        rank_v'    = teleport + 85% * sum(contrib) (agg on dst + node join)
+    Dangling nodes (no out-edges) contribute nothing — the standard
+    mass-leak formulation; ranks are a fixed point, not a distribution.
+    Overflow headroom: rank_u * w_uv <= PR_SCALE * total_edge_weight must
+    stay under 2^63 — for heavier graphs, pre-normalize weights or move
+    the same plan to DECIMAL(38,0).
+
+    Returns (node, rank_e12) with rank_e12 = rank * 10^12 as BIGINT.
+    """
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
+    )
+    out_tot = e.groupBy("src").agg(F.sum("w").alias("w_out"))
+    e = e.join(out_tot, "src").localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            F.col("node"), F.lit(None).cast("long").alias("rank_e12")
+        )
+    teleport = (PR_SCALE // n) * (100 - damping_pct) // 100
+    ranks = nodes.withColumn("rank", F.lit(PR_SCALE // n).cast("long"))
+    for it in range(n_iter):
+        contrib = (
+            e.join(ranks, e.src == ranks.node)
+            .select(
+                F.col("dst"),
+                F.expr("rank * w div w_out").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("incoming"))
+        )
+        ranks = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+            "node",
+            (
+                F.lit(teleport)
+                + F.expr(f"{damping_pct} * coalesce(incoming, 0L) div 100")
+            ).alias("rank"),
+        )
+        if (it + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("node", F.col("rank").alias("rank_e12"))
+
+
 def dedup_clusters(
     edges: DataFrame,
     src: str = "id_a",

@@ -1886,3 +1886,201 @@ ORACLES_EXT["embedding_filtered_topk"] = """
     SELECT query_id, vec_id, cosine_sim, CAST(rank AS BIGINT) AS rank
     FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 """
+
+
+# --- round-3 additions: linkage, pagerank, splits, BPE encode --------------
+
+ORACLES_EXT["customer_fuzzy_matches"] = r"""
+    WITH probes AS (
+        SELECT c_custkey AS probe_id,
+               substr(c_name, 1, CAST(10 + c_custkey % 8 AS INT) - 1) ||
+               substr(c_name, CAST(10 + c_custkey % 8 AS INT) + 1) AS probe_name
+        FROM customer WHERE c_custkey % 40 = 7
+    ),
+    targets AS (
+        SELECT c_custkey AS target_id, c_name AS target_name FROM customer
+    ),
+    pz AS (SELECT probe_id, substr(probe_name, 10, 9) AS zone FROM probes),
+    tz AS (SELECT target_id, substr(target_name, 10, 9) AS zone FROM targets),
+    pg AS (
+        SELECT probe_id, substr(zone, CAST(i AS INT), 3) AS gram, i AS ppos
+        FROM pz, unnest(generate_series(1, greatest(length(zone) - 2, 1))) AS t(i)
+    ),
+    tg AS (
+        SELECT target_id, substr(zone, CAST(i AS INT), 3) AS gram, i AS tpos
+        FROM tz, unnest(generate_series(1, greatest(length(zone) - 2, 1))) AS t(i)
+    ),
+    cand AS (
+        SELECT DISTINCT probe_id, target_id
+        FROM pg JOIN tg USING (gram)
+        WHERE abs(ppos - tpos) <= 1
+    ),
+    verified AS (
+        SELECT c.probe_id, p.probe_name, c.target_id, t.target_name,
+               levenshtein(p.probe_name, t.target_name) AS distance
+        FROM cand c
+        JOIN probes p USING (probe_id)
+        JOIN targets t USING (target_id)
+    ),
+    elected AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY probe_id ORDER BY distance, target_id
+        ) AS rn
+        FROM verified WHERE distance <= 1
+    )
+    SELECT probe_id, probe_name, target_id AS matched_id,
+           CAST(distance AS BIGINT) AS distance,
+           (target_id = probe_id) AS matched_self
+    FROM elected WHERE rn = 1 ORDER BY probe_id
+"""
+
+
+def _pagerank_oracle(n_iter: int = 10, damping_pct: int = 85) -> str:
+    """Generated replay of operators/graph.py:pagerank on the nation trade
+    graph: one CTE layer per iteration, all fixed-point BIGINT arithmetic
+    (DuckDB's ``//`` == Spark's ``div`` for positive operands), so the
+    trajectory is bit-exact across engines."""
+    layers = [
+        """edges AS MATERIALIZED (
+        SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+               CAST(s.s_nationkey AS BIGINT) AS dst,
+               count(*) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2
+    ),
+    ew AS MATERIALIZED (
+        SELECT e.src, e.dst, e.w, t.w_out
+        FROM edges e
+        JOIN (SELECT src, CAST(sum(w) AS BIGINT) AS w_out
+              FROM edges GROUP BY src) t USING (src)
+    ),
+    nodes AS MATERIALIZED (
+        SELECT src AS node FROM edges
+        UNION
+        SELECT dst AS node FROM edges
+    ),
+    const AS (
+        SELECT CAST(1000000000000 // count(*) AS BIGINT) AS r0,
+               CAST((1000000000000 // count(*)) * %d // 100 AS BIGINT) AS tp
+        FROM nodes
+    ),
+    pr0 AS (SELECT node, (SELECT r0 FROM const) AS rank FROM nodes)"""
+        % (100 - damping_pct)
+    ]
+    for i in range(n_iter):
+        layers.append(
+            f"""pr{i + 1} AS (
+        SELECT n.node,
+               (SELECT tp FROM const)
+                   + CAST({damping_pct} * coalesce(s.incoming, 0) // 100 AS BIGINT)
+                   AS rank
+        FROM nodes n
+        LEFT JOIN (
+            SELECT e.dst, CAST(sum(p.rank * e.w // e.w_out) AS BIGINT) AS incoming
+            FROM pr{i} p JOIN ew e ON p.node = e.src
+            GROUP BY e.dst
+        ) s ON n.node = s.dst
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(layers)
+        + f"""
+    SELECT nn.n_name AS nation, CAST(p.rank AS BIGINT) AS rank_e12
+    FROM pr{n_iter} p JOIN nation nn ON p.node = nn.n_nationkey
+    ORDER BY rank_e12 DESC, nation"""
+    )
+
+
+ORACLES_EXT["nation_trade_pagerank"] = _pagerank_oracle()
+
+# thresholds mirror queries_ext.SPLIT_T_TRAIN/SPLIT_T_VAL (integer 90% / 95%
+# of 2^60 — exact literals on both engines)
+_SPLIT_T_TRAIN = (1 << 60) * 90 // 100
+_SPLIT_T_VAL = (1 << 60) * 95 // 100
+
+ORACLES_EXT["documents_split_assignment"] = f"""
+    WITH u AS (
+        SELECT doc_id, lang, n_chars,
+               ('0x' || substr(md5(text), 1, 15))::BIGINT AS u
+        FROM documents
+    )
+    SELECT lang,
+           CASE WHEN u < {_SPLIT_T_TRAIN} THEN 'train'
+                WHEN u < {_SPLIT_T_VAL} THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+           CAST(sum(n_chars) AS BIGINT) AS chars_total
+    FROM u GROUP BY lang, split ORDER BY lang, split
+"""
+
+
+def _bpe_encode_oracle(n_merges: int = 10, passes: int = 6) -> str:
+    """Generated replay of bpe_vocab + the per-document token-stats join:
+    the _bpe_oracle training layers (with the word column carried through
+    and the replace layer applied after EVERY merge, including the last),
+    then vocabulary token counts and the document join."""
+    layers = [
+        r"""w0 AS MATERIALIZED (
+        SELECT w,
+               ' ' || array_to_string(string_split(w, ''), ' ') || ' </w> ' AS seq,
+               cnt
+        FROM (SELECT w, count(*) AS cnt
+              FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+                    FROM documents)
+              GROUP BY w)
+    )"""
+    ]
+    for i in range(n_merges):
+        layers.append(
+            f"""p{i} AS MATERIALIZED (
+        SELECT z[1] AS a, z[2] AS b, sum(cnt) AS n
+        FROM (SELECT unnest(list_zip(arr[1:len(arr)-1], arr[2:len(arr)])) AS z, cnt
+              FROM (SELECT string_split(trim(seq), ' ') AS arr, cnt FROM w{i}))
+        GROUP BY a, b
+    ),
+    t{i} AS (SELECT a, b FROM p{i} ORDER BY n DESC, a, b LIMIT 1)"""
+        )
+        rep = "seq"
+        for _ in range(passes):
+            rep = (
+                f"replace({rep}, ' '||(SELECT a FROM t{i})||' '||"
+                f"(SELECT b FROM t{i})||' ', ' '||(SELECT a FROM t{i})||"
+                f"(SELECT b FROM t{i})||' ')"
+            )
+        layers.append(
+            f"w{i + 1} AS MATERIALIZED (SELECT w, {rep} AS seq, cnt FROM w{i})"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(layers)
+        + f""",
+    vocab AS (
+        SELECT w, len(string_split(trim(seq), ' ')) AS n_tok FROM w{n_merges}
+    ),
+    dw AS (
+        SELECT doc_id, lang, n_chars,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+        FROM documents
+    ),
+    pd AS (
+        SELECT doc_id, lang, n_chars,
+               count(*) AS ws_tokens, sum(n_tok) AS bpe_tokens
+        FROM dw JOIN vocab USING (w)
+        GROUP BY doc_id, lang, n_chars
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(ws_tokens) AS BIGINT) AS ws_tokens,
+           CAST(sum(bpe_tokens) AS BIGINT) AS bpe_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS chars_total
+    FROM pd GROUP BY lang ORDER BY lang
+"""
+    )
+
+
+ORACLES_EXT["documents_bpe_encoded_stats"] = _bpe_encode_oracle()

@@ -2083,3 +2083,148 @@ def embedding_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sims.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= 5
     )
+
+
+# --- round-3 additions: linkage, graph centrality, splits, BPE encode ------
+
+#: content-addressed split thresholds over the 60-bit md5 prefix —
+#: exact integer literals (90% / 95% of 2^60) so both engines compare
+#: the same constants (see stats.stratified_sample_hash on why)
+SPLIT_T_TRAIN = (1 << 60) * 90 // 100
+SPLIT_T_VAL = (1 << 60) * 95 // 100
+
+
+def customer_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy record linkage (operators/linkage.py): link a deterministic
+    'dirty CRM file' — every 40th customer name with one digit deleted at
+    a key-dependent position — back to the customer dimension by
+    gram-blocked candidate generation + bounded-Levenshtein verify +
+    (distance, key) best-match election. ``matched_self`` reports ground
+    truth agreement (a deletion can be legitimately ambiguous between
+    near-identical keys, so the election, not the ground truth, defines
+    the output). The DuckDB oracle replays blocking, verify, and
+    election exactly."""
+    from firebase_etl_spark.operators.linkage import fuzzy_link
+
+    c = load_table(spark, "customer", sf_dir)
+    pos = (F.lit(10) + F.col("c_custkey") % 8).cast("int")
+    probes = c.filter(F.col("c_custkey") % 40 == 7).select(
+        F.col("c_custkey").alias("probe_id"),
+        F.concat(
+            F.col("c_name").substr(F.lit(1), pos - 1),
+            F.col("c_name").substr(pos + 1, F.length("c_name")),
+        ).alias("probe_name"),
+    )
+    targets = c.select(
+        F.col("c_custkey").alias("target_id"), F.col("c_name").alias("target_name")
+    )
+    linked = fuzzy_link(
+        probes,
+        targets,
+        zone_expr=lambda col: F.substring(F.col(col), 10, 9),
+        max_distance=1,
+        q=3,
+    )
+    return linked.select(
+        "probe_id",
+        "probe_name",
+        F.col("target_id").alias("matched_id"),
+        F.col("distance").cast("long").alias("distance"),
+        (F.col("target_id") == F.col("probe_id")).alias("matched_self"),
+    ).orderBy("probe_id")
+
+
+def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the customer-nation -> supplier-nation trade
+    graph (operators/graph.py:pagerank): edge weight = lineitem count
+    between the two nations. The edge aggregation is the distributed
+    stage (fact-sized joins with broadcast dims); the 10-iteration rank
+    loop runs on the aggregated graph in fixed-point integer arithmetic,
+    so the DuckDB replay (one generated CTE layer per iteration) is
+    bit-exact — no float partial-sum nondeterminism."""
+    from firebase_etl_spark.operators.graph import pagerank
+
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    c = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    s = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    n = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").cast("long").alias("src"),
+            F.col("s_nationkey").cast("long").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    ranks = pagerank(edges, n_iter=10)
+    return (
+        ranks.join(F.broadcast(n), ranks.node == n.n_nationkey)
+        .select(F.col("n_name").alias("nation"), "rank_e12")
+        .orderBy(F.col("rank_e12").desc(), "nation")
+    )
+
+
+def documents_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed train/val/test split (90/5/5): assignment by the
+    60-bit md5 prefix OF THE TEXT, so (a) it is reproducible across
+    engines/partitionings/runs with no RNG state, and (b) byte-identical
+    documents land in the same split even across corpus versions — the
+    property that prevents train/test leakage when a later crawl re-adds
+    a near-identical page. Scan-only until the final small aggregate;
+    id_checksum pins the assignment itself, not just the counts."""
+    d = load_table(spark, "documents", sf_dir)
+    u = F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10).cast("bigint")
+    split = (
+        F.when(u < F.lit(SPLIT_T_TRAIN), "train")
+        .when(u < F.lit(SPLIT_T_VAL), "val")
+        .otherwise("test")
+    )
+    return (
+        d.select("doc_id", "lang", "n_chars", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_checksum"),
+            F.sum("n_chars").alias("chars_total"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+def documents_bpe_encoded_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer train + APPLY (operators/bpe.py:bpe_vocab): learn 10 BPE
+    merges, encode the word vocabulary with them, then report per-language
+    corpus token statistics — the sizing numbers (token totals, tokens vs
+    whitespace words) an LLM data pipeline publishes per corpus snapshot.
+    Documents pick up token counts via a broadcast vocabulary join after
+    one tokenize-explode — the per-document cost of tokenizer application
+    is independent of merge count. All-integer output; the oracle replays
+    training AND encoding as generated CTE layers."""
+    from firebase_etl_spark.operators.bpe import bpe_vocab
+
+    d = load_table(spark, "documents", sf_dir)
+    vocab = bpe_vocab(d, spark, n_merges=10)
+    doc_words = d.select(
+        "doc_id", "lang", "n_chars", F.explode(TX.tokenize("text")).alias("w")
+    )
+    per_doc = (
+        doc_words.join(F.broadcast(vocab.select("w", "n_tok")), "w")
+        .groupBy("doc_id", "lang", "n_chars")
+        .agg(
+            F.count(F.lit(1)).alias("ws_tokens"),
+            F.sum("n_tok").alias("bpe_tokens"),
+        )
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws_tokens").alias("ws_tokens"),
+            F.sum("bpe_tokens").alias("bpe_tokens"),
+            F.sum("n_chars").alias("chars_total"),
+        )
+        .orderBy("lang")
+    )

@@ -88,3 +88,30 @@ def test_empty_sessions_and_funnel_shapes(spark, empty_events, tmp_path):
     assert QX.user_retention_cohorts(spark, sf).count() == 0
     r = QX.events_funnel_report(spark, sf).collect()[0]
     assert r["n_view"] == 0
+
+
+def test_empty_pagerank(spark):
+    from firebase_etl_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([], "src long, dst long, w long")
+    assert pagerank(edges, n_iter=3).count() == 0
+
+
+def test_empty_fuzzy_link(spark):
+    from firebase_etl_spark.operators.linkage import fuzzy_link
+
+    probes = spark.createDataFrame([], "probe_id long, probe_name string")
+    targets = spark.createDataFrame([(1, "Customer#000000001")],
+                                    "target_id long, target_name string")
+    assert fuzzy_link(probes, targets).count() == 0
+    # and the mirror case: no targets
+    p2 = spark.createDataFrame([(1, "Customer#00000001")],
+                               "probe_id long, probe_name string")
+    t2 = spark.createDataFrame([], "target_id long, target_name string")
+    assert fuzzy_link(p2, t2).count() == 0
+
+
+def test_empty_bpe_vocab(spark, empty_docs):
+    from firebase_etl_spark.operators.bpe import bpe_vocab
+
+    assert bpe_vocab(empty_docs, spark, n_merges=3).count() == 0

@@ -618,3 +618,125 @@ def test_write_zordered_round_trip(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 500
     assert sorted(back.columns) == ["a", "b", "payload"]
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_link_matches_bruteforce(spark):
+    """Gram-blocked linkage must elect exactly the same best match per
+    probe as an all-pairs Levenshtein scan — blocking is complete for
+    distance-1 deletions and verification is exact."""
+    from firebase_etl_spark.operators.linkage import fuzzy_link
+
+    names = [f"Customer#{i:09d}" for i in range(0, 240, 3)]
+    targets = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], "target_id long, target_name string"
+    )
+    probes_py = []
+    for i, n in enumerate(names):
+        if i % 4 == 1:
+            pos = 9 + (i % 9)  # 0-based deletion inside the digit zone
+            probes_py.append((i, n[:pos] + n[pos + 1 :]))
+    probes = spark.createDataFrame(probes_py, "probe_id long, probe_name string")
+
+    got = {
+        r["probe_id"]: (r["target_id"], r["distance"])
+        for r in fuzzy_link(
+            probes,
+            targets,
+            zone_expr=lambda col: F.substring(F.col(col), 10, 9),
+        ).collect()
+    }
+    expected = {}
+    for pid, pname in probes_py:
+        best = min(
+            (
+                (d, tid)
+                for tid, tname in enumerate(names)
+                if (d := _lev(pname, tname)) <= 1
+            ),
+            default=None,
+        )
+        if best:
+            expected[pid] = (best[1], best[0])
+    assert got == expected and len(got) == len(probes_py)
+
+
+def test_pagerank_matches_integer_reference(spark):
+    """The distributed fixed-point PageRank must reproduce a pure-Python
+    integer reference EXACTLY (same truncations, same trajectory) — the
+    property that makes the cross-engine oracle bit-exact."""
+    from firebase_etl_spark.operators.graph import PR_SCALE, pagerank
+
+    edges_py = [(0, 1, 5), (0, 2, 3), (1, 2, 2), (2, 0, 7), (3, 2, 1)]
+    edges = spark.createDataFrame(edges_py, "src long, dst long, w long")
+
+    nodes = sorted({u for u, _, _ in edges_py} | {v for _, v, _ in edges_py})
+    n = len(nodes)
+    w_out = {}
+    for u, _, w in edges_py:
+        w_out[u] = w_out.get(u, 0) + w
+    tp = (PR_SCALE // n) * 15 // 100
+    r = {v: PR_SCALE // n for v in nodes}
+    for _ in range(10):
+        inc = {v: 0 for v in nodes}
+        for u, v, w in edges_py:
+            inc[v] += r[u] * w // w_out[u]
+        r = {v: tp + 85 * inc[v] // 100 for v in nodes}
+
+    got = {row["node"]: row["rank_e12"] for row in pagerank(edges, n_iter=10).collect()}
+    assert got == r
+    # node 2 receives from everyone — it must be the top-ranked node
+    assert max(got, key=got.get) == 2
+
+
+def test_bpe_vocab_matches_reference_encoder(spark):
+    """bpe_vocab's token counts must equal encoding with an exact
+    pure-Python BPE (train + apply on the same corpus)."""
+    from collections import Counter
+
+    from firebase_etl_spark.operators.bpe import END, bpe_vocab
+
+    texts = [
+        "low low low lower lowest",
+        "new newer newest wide wider",
+        "aaaa aaaa aa banana bandana",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    words = Counter(w for t in texts for w in t.lower().split())
+    seqs = {w: tuple(w) + (END,) for w in words}
+    for _ in range(8):
+        pc: Counter = Counter()
+        for w, cnt in words.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += cnt
+        if not pc:
+            break
+        (a, b), _n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        for w in seqs:
+            s, merged, i = seqs[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(s[i])
+                    i += 1
+            seqs[w] = tuple(merged)
+    expected = {w: (words[w], len(seqs[w])) for w in words}
+    got = {
+        r["w"]: (r["cnt"], r["n_tok"])
+        for r in bpe_vocab(df, spark, n_merges=8).collect()
+    }
+    assert got == expected
