@@ -89,6 +89,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- outside the 50-query window ----
         # never-evidenced spillover (rotate into round 4's window):
         "customer_fuzzy_matches": QX.customer_fuzzy_matches,
+        "referential_integrity_audit": QX.referential_integrity_audit,
+        "segment_priority_chisq": QX.segment_priority_chisq,
+        "orders_priority_unpivot": QX.orders_priority_unpivot,
         "nation_trade_pagerank": QX.nation_trade_pagerank,
         "documents_split_assignment": QX.documents_split_assignment,
         "documents_bpe_encoded_stats": QX.documents_bpe_encoded_stats,

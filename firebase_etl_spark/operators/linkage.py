@@ -6,49 +6,58 @@ distance-0 case of this operator).
 Pipeline shape (the standard scalable similarity-join recipe, same family
 as the LSH banding joins in dedup_approx.py):
 
-    block      explode positional q-grams of the corrupted key zone on
-               both sides; equi-join on (gram, position band) generates
-               candidate pairs — never an all-pairs product
+    block      SymSpell deletion-neighborhood keys (Garbe's symmetric
+               delete scheme): each side emits its blocking zone plus
+               every single-character-deletion variant of it; an exact
+               equi-join on the variant string generates candidates.
+               Two strings within edit distance 1 ALWAYS share a
+               variant (substitution at i: both sides' delete-at-i
+               agree; deletion/insertion: one side's variant equals the
+               other side's zone), so recall is complete — and the join
+               keys carry the zone's full entropy, so there is no hot
+               bucket. (First cut used positional q-grams; on key zones
+               with a skewed symbol distribution a single hot gram —
+               '000' in zero-padded ids — expands quadratically:
+               measured 9.1 s vs 0.8 s for this scheme at sf0.1.)
     verify     exact bounded Levenshtein on the candidates only
                (``F.levenshtein(l, r, threshold)`` stops early above the
                bound — JVM-side, no UDF)
     elect      best match per probe by (distance, key) via one keyed
                window — deterministic
 
-Recall: for a single character deletion in a zone of length m, at least
-one of the zone's q-grams is untouched and shifts position by at most 1
-(a deletion corrupts at most q consecutive grams), so blocking on
-(gram, |Δpos| <= 1) is complete for distance-1 probes whenever m >= 2q-1.
-Verification is exact, so precision is exact; the brute-force equality
-test in tests/test_operators.py pins completeness.
-
-Scale: candidates are bucket-local (gram equi-join); the gram explode is
-q * zone_length rows per record — linear. A hot gram (low-entropy key
-zones) expands quadratically inside its bucket only; the document-
-frequency cut used by winnow_near_dups applies unchanged if a corpus
-needs it.
+Scale: each record emits zone_length + 1 variant rows — linear, and the
+variant table is exactly the SymSpell index, so the target side can be
+precomputed/bucketed once and reused across dirty batches. For
+max_distance = 2, emit depth-2 deletion variants (|zone|^2 / 2 rows) —
+same join, same completeness argument, standard SymSpell trade-off.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def positional_grams(
-    df: DataFrame, col: str, key: str, q: int = 3
-) -> DataFrame:
-    """(key, gram, pos): all positional q-grams of ``col``. JVM-side:
-    sequence + transform + explode, no UDF."""
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(col) - (q - 1), F.lit(1))),
-        lambda i: F.struct(
-            F.col(col).substr(i, F.lit(q)).alias("gram"), i.alias("pos")
+def deletion_variants(zone: Column) -> Column:
+    """Array of ``zone`` plus every single-character-deletion of it.
+    Pure Column expression: sequence + transform, JVM-side."""
+    deletes = F.transform(
+        F.sequence(F.lit(1), F.length(zone)),
+        lambda i: F.concat(
+            zone.substr(F.lit(1), i - 1), zone.substr(i + 1, F.length(zone))
         ),
     )
-    return df.select(
-        F.col(key), F.explode(grams).alias("g")
-    ).select(key, F.col("g.gram").alias("gram"), F.col("g.pos").alias("pos"))
+    return F.array_append(deletes, zone)
+
+
+def variant_keys(df: DataFrame, col: str, key: str) -> DataFrame:
+    """(key, variant): the SymSpell deletion-neighborhood index of
+    ``col`` — exploded, distinct per record."""
+    return (
+        df.select(
+            F.col(key), F.explode(F.array_distinct(deletion_variants(F.col(col)))).alias("variant")
+        )
+    )
 
 
 def blocked_candidates(
@@ -58,23 +67,12 @@ def blocked_candidates(
     probe_col: str = "probe_zone",
     target_key: str = "target_id",
     target_col: str = "target_zone",
-    q: int = 3,
-    pos_slack: int = 1,
 ) -> DataFrame:
-    """Distinct (probe_key, target_key) pairs sharing at least one q-gram
-    at positions within ``pos_slack`` — the blocking stage."""
-    pg = positional_grams(probes, probe_col, probe_key, q).withColumnRenamed(
-        "pos", "ppos"
-    )
-    tg = positional_grams(targets, target_col, target_key, q).withColumnRenamed(
-        "pos", "tpos"
-    )
-    return (
-        pg.join(tg, "gram")
-        .filter(F.abs(F.col("ppos") - F.col("tpos")) <= pos_slack)
-        .select(probe_key, target_key)
-        .distinct()
-    )
+    """Distinct (probe_key, target_key) pairs sharing a deletion-
+    neighborhood variant — complete for edit distance <= 1."""
+    pv = variant_keys(probes, probe_col, probe_key)
+    tv = variant_keys(targets, target_col, target_key)
+    return pv.join(tv, "variant").select(probe_key, target_key).distinct()
 
 
 def fuzzy_link(
@@ -87,12 +85,12 @@ def fuzzy_link(
     target_name: str = "target_name",
     zone_expr=None,
     max_distance: int = 1,
-    q: int = 3,
 ) -> DataFrame:
-    """Link each probe to its best target: gram-blocked candidates ->
-    bounded Levenshtein verify -> (distance, target_key) election.
-    ``zone_expr(col)`` extracts the blocking zone (default: whole string).
-    Returns (probe_key, probe_name, target_id=matched, distance)."""
+    """Link each probe to its best target: deletion-neighborhood blocked
+    candidates -> bounded Levenshtein verify -> (distance, target_key)
+    election. ``zone_expr(col_name)`` extracts the blocking zone (default:
+    the whole string). Returns (probe_key, probe_name, target_id=matched,
+    distance)."""
     zone = zone_expr or (lambda c: F.col(c))
     p = probes.select(
         probe_key, probe_name, zone(probe_name).alias("probe_zone")
@@ -105,7 +103,6 @@ def fuzzy_link(
         t.select(target_key, "target_zone"),
         probe_key=probe_key,
         target_key=target_key,
-        q=q,
     )
     verified = (
         cand.join(p.select(probe_key, probe_name), probe_key)

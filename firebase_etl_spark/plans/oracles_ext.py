@@ -1902,18 +1902,27 @@ ORACLES_EXT["customer_fuzzy_matches"] = r"""
     ),
     pz AS (SELECT probe_id, substr(probe_name, 10, 9) AS zone FROM probes),
     tz AS (SELECT target_id, substr(target_name, 10, 9) AS zone FROM targets),
-    pg AS (
-        SELECT probe_id, substr(zone, CAST(i AS INT), 3) AS gram, i AS ppos
-        FROM pz, unnest(generate_series(1, greatest(length(zone) - 2, 1))) AS t(i)
+    pv AS (
+        SELECT probe_id,
+               unnest(list_distinct(list_append(
+                   list_transform(generate_series(1, length(zone)),
+                       i -> substr(zone, 1, CAST(i AS INT) - 1)
+                            || substr(zone, CAST(i AS INT) + 1)),
+                   zone))) AS variant
+        FROM pz
     ),
-    tg AS (
-        SELECT target_id, substr(zone, CAST(i AS INT), 3) AS gram, i AS tpos
-        FROM tz, unnest(generate_series(1, greatest(length(zone) - 2, 1))) AS t(i)
+    tv AS (
+        SELECT target_id,
+               unnest(list_distinct(list_append(
+                   list_transform(generate_series(1, length(zone)),
+                       i -> substr(zone, 1, CAST(i AS INT) - 1)
+                            || substr(zone, CAST(i AS INT) + 1)),
+                   zone))) AS variant
+        FROM tz
     ),
     cand AS (
         SELECT DISTINCT probe_id, target_id
-        FROM pg JOIN tg USING (gram)
-        WHERE abs(ppos - tpos) <= 1
+        FROM pv JOIN tv USING (variant)
     ),
     verified AS (
         SELECT c.probe_id, p.probe_name, c.target_id, t.target_name,
@@ -2084,3 +2093,97 @@ def _bpe_encode_oracle(n_merges: int = 10, passes: int = 6) -> str:
 
 
 ORACLES_EXT["documents_bpe_encoded_stats"] = _bpe_encode_oracle()
+
+
+ORACLES_EXT["referential_integrity_audit"] = """
+    SELECT check_name,
+           CAST(violations AS BIGINT) AS violations,
+           CAST(n_checked AS BIGINT) AS n_checked
+    FROM (
+        SELECT 'pk_customer_duplicate_keys' AS check_name,
+               (SELECT count(*) FROM (
+                   SELECT c_custkey FROM customer
+                   GROUP BY c_custkey HAVING count(*) > 1)) AS violations,
+               (SELECT count(*) FROM customer) AS n_checked
+        UNION ALL
+        SELECT 'pk_orders_duplicate_keys',
+               (SELECT count(*) FROM (
+                   SELECT o_orderkey FROM orders
+                   GROUP BY o_orderkey HAVING count(*) > 1)),
+               (SELECT count(*) FROM orders)
+        UNION ALL
+        SELECT 'fk_orders_custkey_orphans',
+               (SELECT count(*) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey)),
+               (SELECT count(*) FROM orders)
+        UNION ALL
+        SELECT 'fk_lineitem_orderkey_orphans',
+               (SELECT count(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey)),
+               (SELECT count(*) FROM lineitem)
+        UNION ALL
+        SELECT 'fk_lineitem_suppkey_orphans',
+               (SELECT count(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                  WHERE s.s_suppkey = l.l_suppkey)),
+               (SELECT count(*) FROM lineitem)
+        UNION ALL
+        SELECT 'nn_orders_custkey_nulls',
+               (SELECT coalesce(sum(CASE WHEN o_custkey IS NULL THEN 1
+                                         ELSE 0 END), 0) FROM orders),
+               (SELECT count(*) FROM orders)
+    ) ORDER BY check_name
+"""
+
+
+ORACLES_EXT["segment_priority_chisq"] = """
+    WITH cells AS (
+        SELECT c_mktsegment, o_orderpriority, count(*) AS obs
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    rt AS (SELECT c_mktsegment, CAST(sum(obs) AS BIGINT) AS rt
+           FROM cells GROUP BY 1),
+    ct AS (SELECT o_orderpriority, CAST(sum(obs) AS BIGINT) AS ct
+           FROM cells GROUP BY 1),
+    nt AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM cells),
+    contrib AS (
+        SELECT cells.obs,
+               cells.c_mktsegment,
+               cells.o_orderpriority,
+               nt.n,
+               CAST(round(
+                   (CAST(obs AS DOUBLE)
+                        - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                          / CAST(n AS DOUBLE))
+                   * (CAST(obs AS DOUBLE)
+                        - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                          / CAST(n AS DOUBLE))
+                   / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                          / CAST(n AS DOUBLE))
+                   * 1000000.0 + 1e-9,
+                   0) AS BIGINT) AS contrib_e6
+        FROM cells
+        JOIN rt USING (c_mktsegment)
+        JOIN ct USING (o_orderpriority)
+        CROSS JOIN nt
+    )
+    SELECT count(*) AS n_cells,
+           CAST((count(DISTINCT c_mktsegment) - 1)
+                * (count(DISTINCT o_orderpriority) - 1) AS BIGINT) AS dof,
+           CAST(sum(contrib_e6) AS BIGINT) AS chi2_e6,
+           CAST(max(n) AS BIGINT) AS n_orders
+    FROM contrib
+"""
+
+
+ORACLES_EXT["orders_priority_unpivot"] = """
+    SELECT year(o_orderdate) AS order_year,
+           o_orderpriority AS priority,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""

@@ -2098,11 +2098,11 @@ def customer_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy record linkage (operators/linkage.py): link a deterministic
     'dirty CRM file' — every 40th customer name with one digit deleted at
     a key-dependent position — back to the customer dimension by
-    gram-blocked candidate generation + bounded-Levenshtein verify +
-    (distance, key) best-match election. ``matched_self`` reports ground
-    truth agreement (a deletion can be legitimately ambiguous between
-    near-identical keys, so the election, not the ground truth, defines
-    the output). The DuckDB oracle replays blocking, verify, and
+    SymSpell deletion-neighborhood blocking + bounded-Levenshtein verify
+    + (distance, key) best-match election. ``matched_self`` reports
+    ground truth agreement (a deletion can be legitimately ambiguous
+    between near-identical keys, so the election, not the ground truth,
+    defines the output). The DuckDB oracle replays blocking, verify, and
     election exactly."""
     from firebase_etl_spark.operators.linkage import fuzzy_link
 
@@ -2123,7 +2123,6 @@ def customer_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         targets,
         zone_expr=lambda col: F.substring(F.col(col), 10, 9),
         max_distance=1,
-        q=3,
     )
     return linked.select(
         "probe_id",
@@ -2228,3 +2227,165 @@ def documents_bpe_encoded_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint audit over the warehouse — the relational extension of
+    the reference's validation layer (SURVEY.md §2.9: required-field /
+    null checks, user_transformer.py:491-519): primary-key uniqueness and
+    foreign-key orphan counts as one long-format report. Each check is a
+    partial-aggregable count or a LEFT ANTI join (the J2/J3 shape);
+    the per-check rows are 1-row aggregates unioned after aggregation,
+    so the union costs nothing at scale."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        # every check also reports how many rows it audited, so the
+        # oracle pins real counts (an all-zero violations column alone
+        # would pass trivially on clean data)
+        return df.select(
+            F.lit(name).alias("check_name"),
+            F.coalesce(F.col("violations"), F.lit(0)).cast("long").alias(
+                "violations"
+            ),
+            F.col("n_checked").cast("long").alias("n_checked"),
+        )
+
+    def pk(df: DataFrame, key: str) -> DataFrame:
+        return (
+            df.groupBy(key)
+            .count()
+            .agg(
+                F.count(F.when(F.col("count") > 1, 1)).alias("violations"),
+                F.sum("count").alias("n_checked"),
+            )
+        )
+
+    def fk(fact: DataFrame, fk_col, dim: DataFrame, pk_col) -> DataFrame:
+        # single-pass left join + conditional count (the anti-join count
+        # and the audited-row count from one scan); dim keys deduped so
+        # a dirty dimension can't multiply fact rows. No broadcast hint:
+        # the key-side size varies per check (customer keys broadcast,
+        # orders keys at 100 TB would not) — AQE picks per instance
+        return (
+            fact.join(
+                dim.select(pk_col.alias("__dim_key")).distinct(),
+                fk_col == F.col("__dim_key"),
+                "left",
+            )
+            .agg(
+                F.count(F.when(F.col("__dim_key").isNull(), 1)).alias(
+                    "violations"
+                ),
+                F.count(F.lit(1)).alias("n_checked"),
+            )
+        )
+
+    nn_o = o.agg(
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("violations"),
+        F.count(F.lit(1)).alias("n_checked"),
+    )
+    report = (
+        one("pk_customer_duplicate_keys", pk(c, "c_custkey"))
+        .unionByName(one("pk_orders_duplicate_keys", pk(o, "o_orderkey")))
+        .unionByName(
+            one(
+                "fk_orders_custkey_orphans",
+                fk(o, F.col("o_custkey"), c, F.col("c_custkey")),
+            )
+        )
+        .unionByName(
+            one(
+                "fk_lineitem_orderkey_orphans",
+                fk(li, F.col("l_orderkey"), o, F.col("o_orderkey")),
+            )
+        )
+        .unionByName(
+            one(
+                "fk_lineitem_suppkey_orphans",
+                fk(li, F.col("l_suppkey"), s, F.col("s_suppkey")),
+            )
+        )
+        .unionByName(one("nn_orders_custkey_nulls", nn_o))
+    )
+    return report.orderBy("check_name")
+
+
+def segment_priority_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test between customer market segment and
+    order priority — the analytics-engine hypothesis-test shape. The
+    statistic is reported as a FIXED-POINT sum: each cell's contribution
+    (obs - exp)^2 / exp is computed identically on both engines from
+    exact integer marginals, nudged +1e-9 and rounded to 6dp as a scaled
+    BIGINT, then SUMMED AS INTEGERS — integer addition is associative,
+    so the cross-engine / cross-partitioning float-sum-order problem
+    (the r3 determinism bug class) cannot occur. The contingency counts
+    come from one fact-side aggregate; marginals are broadcast-joined
+    1-per-group rows."""
+    o = load_table(spark, "orders", sf_dir).select("o_custkey", "o_orderpriority")
+    c = load_table(spark, "customer", sf_dir).select("c_custkey", "c_mktsegment")
+    cells = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    row_tot = cells.groupBy("c_mktsegment").agg(F.sum("obs").alias("rt"))
+    col_tot = cells.groupBy("o_orderpriority").agg(F.sum("obs").alias("ct"))
+    n_tot = cells.agg(F.sum("obs").alias("n"))
+    exp = (
+        F.col("rt").cast("double")
+        * F.col("ct").cast("double")
+        / F.col("n").cast("double")
+    )
+    contrib_e6 = F.round(
+        (F.col("obs").cast("double") - exp) * (F.col("obs").cast("double") - exp)
+        / exp
+        * 1000000.0
+        + 1e-9,
+        0,
+    ).cast("long")
+    enriched = (
+        cells.join(F.broadcast(row_tot), "c_mktsegment")
+        .join(F.broadcast(col_tot), "o_orderpriority")
+        .crossJoin(F.broadcast(n_tot))
+    )
+    return enriched.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        (
+            (F.count_distinct("c_mktsegment") - 1)
+            * (F.count_distinct("o_orderpriority") - 1)
+        ).alias("dof"),
+        F.sum(contrib_e6).alias("chi2_e6"),
+        F.max("n").alias("n_orders"),
+    )
+
+
+def orders_priority_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot/unpivot round trip: order counts per year pivoted wide by
+    priority, then melted back to long with ``DataFrame.unpivot`` —
+    the reshaping pair (§2.5 extension). The unpivot is zero-shuffle
+    (a generate over the wide rows); null cells from the pivot (year
+    with no orders of a priority) are dropped to match the direct
+    group-by. Oracle checks the round trip against the direct
+    aggregation."""
+    o = load_table(spark, "orders", sf_dir)
+    wide = (
+        o.select(
+            F.year("o_orderdate").alias("order_year"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .groupBy("order_year")
+        .pivot("pri")
+        .count()
+    )
+    value_cols = [c for c in wide.columns if c != "order_year"]
+    long = wide.unpivot(
+        ids=["order_year"],
+        values=value_cols,
+        variableColumnName="priority",
+        valueColumnName="n_orders",
+    ).filter(F.col("n_orders").isNotNull())
+    return long.orderBy("order_year", "priority")

@@ -37,6 +37,19 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     """
     sf_dir = sf_dir or DEFAULT_SF_DIR
     path = os.path.join(sf_dir, f"{name}.parquet")
+    # memoize the analyzed frame per (session, path): schema inference
+    # reads the parquet footer on the driver EVERY call (~0.1 s), and a
+    # query touching 5 tables pays ~0.5 s before the first job — pure
+    # fixed overhead across a 120-query run. The cache lives ON the
+    # session object, so it can never outlive its session or leak across
+    # sessions (the testdata files are immutable for a session's life;
+    # DataFrames are immutable plan handles, safe to share).
+    cache = getattr(spark, "_graft_table_cache", None)
+    if cache is None:
+        cache = {}
+        spark._graft_table_cache = cache
+    if path in cache:
+        return cache[path]
     try:
         df = spark.read.parquet(path)
     except Exception:
@@ -68,6 +81,7 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
                     "hour(ts), minute(ts), extract(SECOND FROM ts), 'UTC')"
                 ),
             )
+    cache[path] = df
     return df
 
 

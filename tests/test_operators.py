@@ -692,10 +692,20 @@ def test_pagerank_matches_integer_reference(spark):
             inc[v] += r[u] * w // w_out[u]
         r = {v: tp + 85 * inc[v] // 100 for v in nodes}
 
-    got = {row["node"]: row["rank_e12"] for row in pagerank(edges, n_iter=10).collect()}
-    assert got == r
+    # BOTH adaptive paths must reproduce the reference exactly: the
+    # driver-side loop (default threshold) and the distributed join loop
+    # (threshold forced to 0), so the adaptive switch is invisible
+    got_local = {
+        row["node"]: row["rank_e12"] for row in pagerank(edges, n_iter=10).collect()
+    }
+    got_dist = {
+        row["node"]: row["rank_e12"]
+        for row in pagerank(edges, n_iter=10, local_edge_threshold=0).collect()
+    }
+    assert got_local == r
+    assert got_dist == r
     # node 2 receives from everyone — it must be the top-ranked node
-    assert max(got, key=got.get) == 2
+    assert max(got_local, key=got_local.get) == 2
 
 
 def test_bpe_vocab_matches_reference_encoder(spark):
