@@ -42,6 +42,15 @@ from firebase_etl_spark.operators.text import tokenize
 #: replace passes per merge round (exact for words up to ~2x this many
 #: chained same-symbol merges; corpus words here are far shorter)
 REPLACE_PASSES = 6
+#: distinct-word count at or below which training runs on the collected
+#: word-frequency table instead of a per-round Spark job loop. The state
+#: is (seq, cnt) rows at ~100 bytes each — 64k words is a few MB, the
+#: same order as a broadcast-join build side, and the merge loop over it
+#: is milliseconds vs ~2 Spark jobs per round. Web-scale vocabularies
+#: (tens of millions of distinct words) exceed it and take the
+#: distributed loop. Same adaptive-threshold shape as graph.py's
+#: union-find cutover.
+LOCAL_VOCAB_THRESHOLD = 1 << 16
 #: word-end marker symbol (standard BPE so 'low'/'lower' share prefixes
 #: but not suffix-crossing merges)
 END = "</w>"
@@ -76,17 +85,67 @@ def _pair_counts(words: DataFrame) -> DataFrame:
     )
 
 
+def _apply_merge_local(s: str, a: str, b: str) -> str:
+    """The bounded replace chain on one seq string. ``str.replace`` is
+    leftmost-nonoverlapping consume-the-match, the exact semantics of
+    Spark's ``F.replace`` and DuckDB's ``replace`` — so local, distributed
+    and oracle merge application agree byte-for-byte on any input."""
+    pat, rep = f" {a} {b} ", f" {a}{b} "
+    for _ in range(REPLACE_PASSES):
+        s = s.replace(pat, rep)
+    return s
+
+
+def _train_local(
+    rows: list[list], n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """Merge loop over collected (seq, cnt) rows — mutates ``rows`` in
+    place so a caller can reuse the final sequences (bpe_vocab's encode).
+    Pair argmax mirrors the distributed min(struct(-n, a, b))."""
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        pc: dict[tuple[str, str], int] = {}
+        for row in rows:
+            syms = row[0].split()
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                pc[k] = pc.get(k, 0) + row[1]
+        if not pc:
+            break
+        (a, b), n = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, a, b, n))
+        for row in rows:
+            row[0] = _apply_merge_local(row[0], a, b)
+    return merges
+
+
 def bpe_train(
     df: DataFrame,
     spark: SparkSession,
     n_merges: int = 10,
     text_col: str = "text",
+    local_vocab_threshold: int = LOCAL_VOCAB_THRESHOLD,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges; returns a DataFrame
     (merge_rank, left_sym, right_sym, pair_count) in learning order.
-    Ties break lexicographically on (left, right) — deterministic."""
+    Ties break lexicographically on (left, right) — deterministic.
+
+    Adaptive: the word-frequency state is tiny relative to the corpus;
+    at or below ``local_vocab_threshold`` distinct words it is collected
+    once and the merge loop runs on the driver (identical replace
+    semantics, see _apply_merge_local) instead of paying ~2 Spark jobs
+    per merge round. Above it, the per-round distributed loop runs."""
     words = _word_freq(df, text_col).persist()
-    words.count()  # materialize before looping
+    n_words = words.count()  # materialize before looping
+    if n_words <= local_vocab_threshold:
+        rows = [[r["seq"], r["cnt"]] for r in words.collect()]
+        words.unpersist()
+        return spark.createDataFrame(
+            _train_local(rows, n_merges),
+            "merge_rank int, left_sym string, right_sym string, pair_count long",
+        )
     base = words  # the persisted/checkpointed ancestor to release
     merges: list[tuple[int, str, str, int]] = []
     try:
@@ -136,6 +195,7 @@ def bpe_vocab(
     n_merges: int = 10,
     text_col: str = "text",
     checkpoint_every: int = 4,
+    local_vocab_threshold: int = LOCAL_VOCAB_THRESHOLD,
 ) -> DataFrame:
     """Train ``n_merges`` merges, then ENCODE the vocabulary with them:
     returns (w, cnt, n_tok) — each distinct corpus word with its
@@ -150,9 +210,24 @@ def bpe_vocab(
     bounded-pass ``replace`` chain as training, batched
     ``checkpoint_every`` merges per projection to keep the expression
     tree (passes x merges nested replaces) shallow."""
+    words_df = _word_freq(df, text_col, keep_word=True).persist()
+    n_words = words_df.count()
+    if n_words <= local_vocab_threshold:
+        # one collect covers train AND encode: _train_local leaves the
+        # rows holding their fully-merged sequences
+        rows = [[r["seq"], r["cnt"], r["w"]] for r in words_df.collect()]
+        words_df.unpersist()
+        _train_local(rows, n_merges)
+        return spark.createDataFrame(
+            [(w, cnt, len(seq.split())) for seq, cnt, w in rows],
+            "w string, cnt long, n_tok int",
+        )
+    words_df.unpersist()
     merges = [
         (r["left_sym"], r["right_sym"])
-        for r in bpe_train(df, spark, n_merges, text_col)
+        for r in bpe_train(
+            df, spark, n_merges, text_col, local_vocab_threshold
+        )
         .orderBy("merge_rank")
         .collect()
     ]

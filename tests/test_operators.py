@@ -527,6 +527,39 @@ def test_bpe_train_matches_reference_trainer(spark):
     assert got == expected
 
 
+def test_bpe_distributed_path_equals_local(spark):
+    """The adaptive cutover must be invisible: forcing the distributed
+    per-round job loop (local_vocab_threshold=0) learns the same merge
+    table and encodes the same token counts as the collected-vocab local
+    path (the default for this corpus size)."""
+    from firebase_etl_spark.operators.bpe import bpe_train, bpe_vocab
+
+    texts = [
+        "low low low lower lowest",
+        "new newer newest wide wider",
+        "aaaa aaaa aa banana bandana",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    m_local = [tuple(r) for r in bpe_train(df, spark, n_merges=8).collect()]
+    m_dist = [
+        tuple(r)
+        for r in bpe_train(
+            df, spark, n_merges=8, local_vocab_threshold=0
+        ).collect()
+    ]
+    assert sorted(m_dist) == sorted(m_local) and len(m_local) > 0
+    v_local = {r["w"]: (r["cnt"], r["n_tok"]) for r in bpe_vocab(df, spark, n_merges=8).collect()}
+    v_dist = {
+        r["w"]: (r["cnt"], r["n_tok"])
+        for r in bpe_vocab(
+            df, spark, n_merges=8, local_vocab_threshold=0
+        ).collect()
+    }
+    assert v_dist == v_local
+
+
 def test_incremental_minhash_dedup_across_batches(spark, tmp_path):
     """Near-dups are dropped within a batch (earlier id survives) AND
     against prior batches via the signature ledger; unique docs pass."""
