@@ -164,6 +164,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_bruteforce": QX.embedding_topk_bruteforce,
         "embedding_topk_ivf": QX.embedding_topk_ivf,
         "events_json_stats": QX.events_json_stats,
+        "documents_decontamination": QX.documents_decontamination,
+        "events_gapfill_hourly": QX.events_gapfill_hourly,
+        "doc_boilerplate_ngrams": QX.doc_boilerplate_ngrams,
     }
 
 

@@ -2187,3 +2187,97 @@ ORACLES_EXT["orders_priority_unpivot"] = """
     GROUP BY 1, 2
     ORDER BY 1, 2
 """
+
+
+# 3-gram twin of word_shingles(3): range(1, len-1) drops partial trailing
+# shingles exactly like the zip_with null-propagation; per-doc
+# list_distinct matches array_distinct.
+ORACLES_EXT["documents_decontamination"] = r"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        FROM documents
+    ), g AS (
+        SELECT doc_id, source,
+               unnest(list_distinct(list_transform(range(1, len(tk) - 1),
+                   i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))) AS gram
+        FROM toks
+    ), probe AS (
+        SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+    ), ov AS (
+        SELECT doc_id, count(*) AS overlap
+        FROM g JOIN probe USING (gram)
+        WHERE doc_id % 97 <> 0
+        GROUP BY doc_id
+    ), docs AS (
+        SELECT d.source, coalesce(ov.overlap, 0) AS overlap
+        FROM documents d LEFT JOIN ov USING (doc_id)
+        WHERE d.doc_id % 97 <> 0
+    )
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN overlap >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated,
+           CAST(max(overlap) AS BIGINT) AS max_overlap,
+           CAST(sum(overlap) AS BIGINT) AS total_overlap,
+           round(avg(CAST(overlap >= 1 AS INT)), 6) AS contamination_rate
+    FROM docs GROUP BY source ORDER BY source
+"""
+
+
+ORACLES_EXT["events_gapfill_hourly"] = """
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               count(*) AS n_events, avg(value) AS avg_value
+        FROM events GROUP BY 1, 2
+    ), bounds AS (
+        SELECT event_type, min(hour) AS h0, max(hour) AS h1
+        FROM hourly GROUP BY 1
+    ), spine AS (
+        SELECT event_type,
+               unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        FROM bounds
+    ), dense AS (
+        SELECT s.event_type, s.hour,
+               coalesce(h.n_events, 0) AS n_events,
+               h.n_events IS NULL AS is_gap,
+               last_value(h.avg_value IGNORE NULLS) OVER (
+                   PARTITION BY s.event_type ORDER BY s.hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS value_locf
+        FROM spine s LEFT JOIN hourly h USING (event_type, hour)
+    )
+    SELECT event_type, count(*) AS n_hours,
+           CAST(sum(CASE WHEN is_gap THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_gap_hours,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           round(coalesce(sum(CASE WHEN is_gap THEN value_locf END), 0.0), 2)
+               AS locf_checksum,
+           round(avg(CAST(is_gap AS INT)), 6) AS gap_rate
+    FROM dense GROUP BY event_type ORDER BY event_type
+"""
+
+
+# 8-gram twin of word_shingles(8): range(1, len-6) == positions with a
+# full 8-token window.
+ORACLES_EXT["doc_boilerplate_ngrams"] = r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        FROM documents
+    ), g AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, len(tk) - 6),
+                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+                        tk[i+3] || ' ' || tk[i+4] || ' ' || tk[i+5] || ' ' ||
+                        tk[i+6] || ' ' || tk[i+7]))) AS gram
+        FROM toks
+    ), dfc AS (
+        SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY gram
+    )
+    SELECT (SELECT count(*) FROM dfc) AS n_grams_total,
+           (SELECT CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM dfc) AS n_boilerplate_grams,
+           (SELECT CAST(max(df) AS BIGINT) FROM dfc) AS max_doc_frequency,
+           (SELECT count(DISTINCT doc_id) FROM g
+            WHERE gram IN (SELECT gram FROM dfc WHERE df >= 2))
+               AS n_docs_affected
+"""

@@ -2389,3 +2389,82 @@ def orders_priority_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         valueColumnName="n_orders",
     ).filter(F.col("n_orders").isNotNull())
     return long.orderBy("order_year", "priority")
+
+
+def documents_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination audit (operators/contamination.py): docs
+    sharing word n-grams with a held-out probe set, reported per source.
+    The probe set is the deterministic doc_id % 97 == 0 slice standing in
+    for an eval benchmark; n=3 because the synthetic corpus draws from a
+    ~30-word vocabulary (real pipelines use 8-13 grams — the operator
+    default is 8). Probe grams broadcast; one shuffle total."""
+    from firebase_etl_spark.operators.contamination import (
+        decontamination_report,
+    )
+
+    d = load_table(spark, "documents", sf_dir)
+    probes = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return decontamination_report(corpus, probes, n=3, threshold=1)
+
+
+def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill + LOCF audit (operators/timeseries.py): densify the hourly
+    per-type event series onto each type's own hour spine, forward-fill
+    the hourly mean across gaps, and report per type how much was filled.
+    locf_checksum sums the carried-forward value over EXACTLY the gap
+    hours (2dp; each addend is an hourly mean, so the sum is far from
+    rounding boundaries) — it pins the fill values, not just the counts."""
+    from firebase_etl_spark.operators.timeseries import gapfill_hourly
+
+    e = load_table(spark, "events", sf_dir)
+    dense = gapfill_hourly(e, "event_type", "ts", "value")
+    return (
+        dense.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum(F.col("is_gap").cast("long")).alias("n_gap_hours"),
+            F.sum("n_events").alias("n_events"),
+            F.round(
+                F.coalesce(
+                    F.sum(F.when(F.col("is_gap"), F.col("value_locf"))),
+                    F.lit(0.0),
+                ),
+                2,
+            ).alias("locf_checksum"),
+            F.round(
+                F.avg(F.col("is_gap").cast("double")), 6
+            ).alias("gap_rate"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def doc_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide repeated-content detection: word 8-grams occurring in
+    more than one document are boilerplate (headers, licence blocks,
+    navigation chrome in real crawls). Per-doc distinct grams explode once
+    (array_distinct bounds the fan-out at doc length); the document-
+    frequency aggregate is one shuffle keyed by gram; affected docs come
+    back via a semi join against the (small) boilerplate gram set. At
+    100 TB the DF aggregate keys on xxhash64(gram) — strings kept here for
+    oracle parity. One summary row: gram counts, affected docs, worst DF."""
+    d = load_table(spark, "documents", sf_dir)
+    grams = d.select(
+        "doc_id", F.explode(TX.word_shingles("text", 8)).alias("gram")
+    )
+    df_counts = grams.groupBy("gram").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    boiler = df_counts.filter(F.col("df") >= 2)
+    affected = grams.join(
+        F.broadcast(boiler.select("gram")), "gram", "left_semi"
+    ).select("doc_id").distinct()
+    totals = df_counts.agg(
+        F.count(F.lit(1)).alias("n_grams_total"),
+        F.sum((F.col("df") >= 2).cast("long")).alias("n_boilerplate_grams"),
+        F.max("df").alias("max_doc_frequency"),
+    )
+    return totals.crossJoin(
+        affected.agg(F.count(F.lit(1)).alias("n_docs_affected"))
+    )

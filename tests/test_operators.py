@@ -783,3 +783,66 @@ def test_bpe_vocab_matches_reference_encoder(spark):
         for r in bpe_vocab(df, spark, n_merges=8).collect()
     }
     assert got == expected
+
+
+def test_gapfill_hourly_locf_semantics(spark):
+    """Dense spine covers exactly min..max hour per key; gap hours carry
+    the LAST observed hourly mean forward; leading gaps stay NULL."""
+    from datetime import datetime as dt
+
+    from firebase_etl_spark.operators.timeseries import gapfill_hourly
+
+    rows = [
+        # key 'a': hours 0, 3 observed -> spine 0..3, gaps 1,2 locf=10.0
+        ("a", dt(2024, 1, 1, 0, 15), 10.0),
+        ("a", dt(2024, 1, 1, 0, 45), 10.0),
+        ("a", dt(2024, 1, 1, 3, 5), 99.0),
+        # key 'b': single hour -> spine of 1, no gaps
+        ("b", dt(2024, 1, 1, 7, 0), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = {
+        (r["event_type"], r["hour"].hour): (
+            r["n_events"], r["is_gap"], r["value_locf"]
+        )
+        for r in gapfill_hourly(df).collect()
+    }
+    assert len(out) == 5
+    assert out[("a", 0)] == (2, False, 10.0)
+    assert out[("a", 1)] == (0, True, 10.0)
+    assert out[("a", 2)] == (0, True, 10.0)
+    assert out[("a", 3)] == (1, False, 99.0)
+    assert out[("b", 7)] == (1, False, 5.0)
+
+
+def test_ngram_overlap_counts_distinct_shared_grams(spark):
+    """Overlap counts DISTINCT n-grams shared with the probe set: repeats
+    inside a doc count once; zero-overlap docs are absent."""
+    from firebase_etl_spark.operators.contamination import (
+        decontamination_report,
+        ngram_overlap,
+    )
+
+    probes = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            # shares 'the quick brown' and 'quick brown fox'; the repeat
+            # of the first trigram must not double-count
+            (1, "the quick brown fox the quick brown cat", "s1"),
+            (2, "completely unrelated words here", "s1"),
+            (3, "the quick brown", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    ov = {
+        r["doc_id"]: r["overlap"]
+        for r in ngram_overlap(corpus, probes, n=3).collect()
+    }
+    assert ov == {1: 2, 3: 1}
+    rep = {
+        r["source"]: (r["n_docs"], r["n_contaminated"], r["max_overlap"])
+        for r in decontamination_report(corpus, probes, n=3).collect()
+    }
+    assert rep == {"s1": (2, 1, 2), "s2": (1, 1, 1)}
