@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_decontamination": QX.documents_decontamination,
         "events_gapfill_hourly": QX.events_gapfill_hourly,
         "doc_boilerplate_ngrams": QX.doc_boilerplate_ngrams,
+        "embedding_topk_rp": QX.embedding_topk_rp,
     }
 
 

@@ -615,3 +615,107 @@ def kmeans_centroids(
     finally:
         vecs.unpersist()
     return cents
+
+
+def random_projection(
+    df: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalize_first: bool = True,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: (id, rp) with rp the
+    out_dim-dimensional image of each vector under a FIXED Gaussian plane
+    matrix (literals in the plan, so the projection is reproducible across
+    runs, partitions and engines). Projecting the UNIT-normalized vector
+    (default) makes projected dot products estimate full-space cosine.
+
+    Scale shape: one scan, out_dim array aggregates per row, no shuffle —
+    the projected table is out_dim/in_dim the size of the corpus and is
+    what a 100 TB pipeline materializes as its coarse search index."""
+    v = _to_double(F.col(vec_col))
+    if normalize_first:
+        v = normalized(v)
+    comps = [
+        dot(v, F.array(*[F.lit(float(x)) for x in row])) for row in planes
+    ]
+    return df.select(F.col(id_col), F.array(*comps).alias("rp"))
+
+
+def rp_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    planes: list[list[float]],
+    k: int = 10,
+    oversample: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN via random projection: shortlist k*oversample candidates per
+    probe by PROJECTED cosine (out_dim/in_dim the scoring cost of brute
+    force), then exact re-rank the shortlist in full space. Same
+    shortlist-then-verify contract as ann_topk_lsh / quantized_topk;
+    returns (query_id, vec_id, cosine_sim, rank).
+
+    The shortlist pass carries only (id, rp) — the full vectors rejoin by
+    id afterwards, so the candidate scan reads the small projected index,
+    not the corpus. Recall is corpus-dependent: measured 100% at the gate
+    SFs for the fixed planes in plans/queries_ext.py (pinned in pytest);
+    tune oversample per corpus at scale."""
+    # not persisted: the projected index is one scan-plus-projection here;
+    # a real deployment materializes it once as a table (see docstring)
+    proj = random_projection(df, planes, id_col, vec_col)
+    probes_p = proj.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("rp").alias("qp")
+    )
+    scored = (
+        proj.crossJoin(F.broadcast(probes_p))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.round(dot(F.col("rp"), F.col("qp")), 6).alias("proj_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("proj_sim").desc(), F.col(id_col)
+    )
+    shortlist = (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k * oversample)
+        .select("query_id", id_col)
+    )
+    vecs = df.select(
+        F.col(id_col), normalized(_to_double(F.col(vec_col))).alias("v")
+    )
+    probes_v = vecs.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("q")
+    )
+    exact = (
+        shortlist.join(vecs, id_col)
+        .join(F.broadcast(probes_v), "query_id")
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.round(dot(F.col("v"), F.col("q")), 6).alias("cosine_sim"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col)
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def rp_planes(
+    out_dim: int = 16, in_dim: int = 64, seed: int = 13
+) -> list[list[float]]:
+    """Fixed-seed Gaussian projection matrix, shared by the Spark plan and
+    the DuckDB oracle replay (repr(float) round-trips exactly into both
+    engines' double literals)."""
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0, 1) for _ in range(in_dim)] for _ in range(out_dim)]

@@ -2468,3 +2468,21 @@ def doc_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return totals.crossJoin(
         affected.agg(F.count(F.lit(1)).alias("n_docs_affected"))
     )
+
+
+# Fixed 16x64 Gaussian projection matrix (seed 13) shared with the oracle
+# replay — see operators/similarity.py:rp_planes.
+RP_PLANES = SIM.rp_planes(out_dim=16, in_dim=64, seed=13)
+
+
+def embedding_topk_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via Johnson-Lindenstrauss random projection (similarity.py:
+    rp_topk): shortlist 4x k per probe by 16-dim PROJECTED cosine (1/4 the
+    scoring bytes+flops of brute force; the projected index is what a
+    100 TB deployment materializes), exact full-space re-rank on the
+    shortlist. Unlike the LSH/quantized twins this corpus's packed cosine
+    range makes 16-dim recall < 100%, so the oracle replays the entire
+    projection -> shortlist -> re-rank pipeline instead of equating to
+    brute force — recall itself is pinned separately in pytest."""
+    e = load_table(spark, "embeddings", sf_dir)
+    return SIM.rp_topk(e, QUERY_VEC_IDS, RP_PLANES, k=10, oversample=4)

@@ -227,3 +227,48 @@ def test_simhash_banding_has_full_recall(spark, docs):
         for r in DA.simhash_near_dups(docs, max_hamming=4).collect()
     }
     assert banded == brute and brute
+
+
+def test_rp_topk_recall_and_rerank_exactness(spark, embeddings):
+    """Random-projection ANN: (1) every reported cosine equals the exact
+    full-space cosine for that pair (re-rank is exact, only the shortlist
+    approximates); (2) recall@10 vs brute force clears a floor — 16-dim JL
+    on this packed-cosine corpus is lossy by design, but must stay useful."""
+    from firebase_etl_spark.plans.queries_ext import RP_PLANES
+
+    bf = SIM.cosine_topk(embeddings, QUERY_VEC_IDS, k=10)
+    rp = SIM.rp_topk(embeddings, QUERY_VEC_IDS, RP_PLANES, k=10, oversample=4)
+    bf_rows = {(r["query_id"], r["vec_id"]): r["cosine_sim"] for r in bf.collect()}
+    rp_rows = {(r["query_id"], r["vec_id"]): r["cosine_sim"] for r in rp.collect()}
+    # exact re-rank: any pair present in both must have the same cosine
+    for key, sim in rp_rows.items():
+        if key in bf_rows:
+            assert sim == bf_rows[key]
+    recall = len(set(rp_rows) & set(bf_rows)) / len(bf_rows)
+    assert recall >= 0.5, f"recall@10 {recall}"
+
+
+def test_random_projection_preserves_cosine_on_average(spark, embeddings):
+    """JL sanity: projected dot of unit-normalized vectors estimates the
+    true cosine — mean absolute error over probe pairs well under the
+    spread of the similarity range."""
+    from firebase_etl_spark.plans.queries_ext import RP_PLANES
+
+    proj = SIM.random_projection(embeddings, RP_PLANES)
+    vecs = embeddings.select(
+        F.col("vec_id"), SIM.normalized(SIM._to_double(F.col("embedding"))).alias("v")
+    )
+    both = proj.join(vecs, "vec_id").limit(100)
+    a = both.select(
+        F.col("vec_id").alias("ia"), F.col("rp").alias("pa"), F.col("v").alias("va")
+    )
+    b = both.select(
+        F.col("vec_id").alias("ib"), F.col("rp").alias("pb"), F.col("v").alias("vb")
+    )
+    pairs = a.crossJoin(b).filter(F.col("ia") < F.col("ib"))
+    err = pairs.select(
+        F.abs(
+            SIM.dot(F.col("pa"), F.col("pb")) - SIM.dot(F.col("va"), F.col("vb"))
+        ).alias("e")
+    ).agg(F.avg("e").alias("mae"), F.max("e").alias("worst")).collect()[0]
+    assert err["mae"] < 0.25, err
