@@ -627,19 +627,46 @@ def random_projection(
     """Johnson-Lindenstrauss random projection: (id, rp) with rp the
     out_dim-dimensional image of each vector under a FIXED Gaussian plane
     matrix (literals in the plan, so the projection is reproducible across
-    runs, partitions and engines). Projecting the UNIT-normalized vector
-    (default) makes projected dot products estimate full-space cosine.
+    runs, partitions and engines). The planes carry the JL 1/sqrt(out_dim)
+    scaling (applied in rp_planes), so projecting the UNIT-normalized
+    vector (default) makes projected dot products an unbiased estimate of
+    full-space cosine: E[<Pa, Pb>] = <a, b> when P has i.i.d. N(0, 1/out_dim)
+    entries.
 
-    Scale shape: one scan, out_dim array aggregates per row, no shuffle —
-    the projected table is out_dim/in_dim the size of the corpus and is
-    what a 100 TB pipeline materializes as its coarse search index."""
-    v = _to_double(F.col(vec_col))
-    if normalize_first:
-        v = normalized(v)
-    comps = [
-        dot(v, F.array(*[F.lit(float(x)) for x in row])) for row in planes
-    ]
-    return df.select(F.col(id_col), F.array(*comps).alias("rp"))
+    Scale shape: one scan, one Arrow-batched vectorized projection per
+    batch (an out_dim x in_dim expression tree blows the JVM's 64 KB
+    codegen method limit and falls back to interpreted eval — measured
+    ~8x slower than this pandas_udf at sf0.1), no shuffle — the projected
+    table is out_dim/in_dim the size of the corpus and is what a 100 TB
+    pipeline materializes as its coarse search index.
+
+    Float parity contract: the accumulation below runs column-by-column
+    left-to-right (multiply rounds once, add rounds once per step) — the
+    SAME IEEE-754 op sequence as F.aggregate/zip_with and DuckDB's
+    list_inner_product — so the projected values are bit-identical to the
+    oracle replay. Do NOT replace the loop with BLAS matmul (pairwise
+    summation) without re-deriving the oracle."""
+    import numpy as np
+
+    P = np.array(planes, dtype=np.float64)  # out_dim x in_dim
+    nrm = bool(normalize_first)
+
+    @F.pandas_udf("array<double>")
+    def _proj(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        M = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        if nrm:
+            sq = np.zeros(len(M))
+            for i in range(M.shape[1]):
+                sq += M[:, i] * M[:, i]
+            M = M / np.sqrt(sq)[:, None]
+        acc = np.zeros((len(M), P.shape[0]))
+        for i in range(P.shape[1]):
+            acc += M[:, i, None] * P[None, :, i]
+        return pd.Series(list(acc))
+
+    return df.select(F.col(id_col), _proj(F.col(vec_col)).alias("rp"))
 
 
 def rp_topk(
@@ -659,12 +686,18 @@ def rp_topk(
 
     The shortlist pass carries only (id, rp) — the full vectors rejoin by
     id afterwards, so the candidate scan reads the small projected index,
-    not the corpus. Recall is corpus-dependent: measured 100% at the gate
-    SFs for the fixed planes in plans/queries_ext.py (pinned in pytest);
-    tune oversample per corpus at scale."""
-    # not persisted: the projected index is one scan-plus-projection here;
-    # a real deployment materializes it once as a table (see docstring)
-    proj = random_projection(df, planes, id_col, vec_col)
+    not the corpus. Recall is corpus-dependent and LOSSY on a packed-cosine
+    corpus: with the seed-13 32x64 JL planes in plans/queries_ext.py and
+    oversample=8, measured recall@10 vs brute force is 0.70 at sf0.001 and
+    0.74 at sf0.01 (floor 0.5 pinned in tests/test_approx.py); tune
+    out_dim/oversample per corpus at scale. Note the flop crossover: with
+    p probes the projection costs out_dim dots/row vs brute force's p
+    dots/row, so the scheme only pays when probes outnumber out_dim (or
+    the projected index is materialized once and amortized)."""
+    # the projected index is referenced by both the shortlist build and
+    # the probe extraction — persist so the corpus projection runs once;
+    # a real deployment materializes it as a table instead
+    proj = random_projection(df, planes, id_col, vec_col).persist()
     probes_p = proj.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col("rp").alias("qp")
     )
@@ -712,10 +745,16 @@ def rp_topk(
 def rp_planes(
     out_dim: int = 16, in_dim: int = 64, seed: int = 13
 ) -> list[list[float]]:
-    """Fixed-seed Gaussian projection matrix, shared by the Spark plan and
-    the DuckDB oracle replay (repr(float) round-trips exactly into both
-    engines' double literals)."""
+    """Fixed-seed Gaussian projection matrix with the Johnson-Lindenstrauss
+    1/sqrt(out_dim) scaling baked into the entries (i.i.d. N(0, 1/out_dim)),
+    so projected dot products of unit vectors estimate cosine directly.
+    Shared by the Spark plan and the DuckDB oracle replay (repr(float)
+    round-trips exactly into both engines' double literals)."""
+    import math
     import random
 
     rng = random.Random(seed)
-    return [[rng.gauss(0, 1) for _ in range(in_dim)] for _ in range(out_dim)]
+    s = 1.0 / math.sqrt(out_dim)
+    return [
+        [rng.gauss(0, 1) * s for _ in range(in_dim)] for _ in range(out_dim)
+    ]

@@ -2285,34 +2285,26 @@ ORACLES_EXT["doc_boilerplate_ngrams"] = r"""
 
 def _rp_topk_oracle() -> str:
     """Generated replay of similarity.py:rp_topk with the fixed seed-13
-    16x64 plane matrix: normalize, project (list_inner_product per plane,
-    double literals repr-round-trip exactly), shortlist 40 by 6dp-rounded
-    projected cosine with vec_id tiebreak, exact re-rank top 10."""
-    return ORACLE_RP_SQL
+    JL-scaled 32x64 plane matrix (entries N(0, 1/32); double literals
+    repr-round-trip exactly, and list_inner_product sums left-to-right like
+    the plan's dot_unrolled): normalize, project, shortlist 80 by
+    6dp-rounded projected cosine with vec_id tiebreak, exact re-rank
+    top 10. The plane literals are emitted from the SAME rp_planes() call
+    the Spark plan uses, so the two sides can never drift."""
+    from firebase_etl_spark.operators.similarity import rp_planes
 
-
-ORACLE_RP_SQL = """
+    planes = rp_planes(out_dim=32, in_dim=64, seed=13)
+    proj_cols = ",\n                  ".join(
+        "list_inner_product(nv, [%s])" % ", ".join(repr(x) for x in row)
+        for row in planes
+    )
+    return f"""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     nv_t AS (SELECT vec_id,
                     list_transform(e, x -> x / sqrt(list_inner_product(e, e))) AS nv
              FROM v),
     rp AS (SELECT vec_id,
-                  [list_inner_product(nv, [-0.08601898621952832, 1.5180924662418203, -0.7829831870725287, -1.7811079824997693, 0.2845101140905049, 0.665758952010962, 0.43009155164495855, 0.5702861383007624, -0.052934892506630686, -0.5255585593244262, -0.6804160037996685, -0.13563096014168685, -0.2943420911246775, 1.0213487566098922, 0.7166159935520641, -1.1668338460136134, 0.8001148940694301, 0.07275507216302111, 1.2238229830913236, 1.6132459020253946, 0.6639741063926567, -1.685056542227161, 0.762860209543587, -1.4659703755005031, 1.687625090072029, -0.5562853161555986, -0.08206513188653362, 1.9459425187409325, -1.6714297859280407, 0.13909725674384033, -0.9747180171969421, -0.41554930973475385, -0.6970026561763116, 0.7986248304276311, -0.19487026241927108, 0.46011022644738414, 0.75821319486328, -1.6206943940401561, 1.5262276458221626, -0.13768296745720743, -1.5658031101409051, -0.5551409527248363, 0.995007574957551, 1.1265262013342447, -0.5844532136292622, 0.21707775895085646, 0.35669281647535034, 1.1627391264337952, -0.023079408362429023, 1.1089801650843782, -0.7912038094754473, -0.6177017411022423, 0.7912218132083816, 0.8508944081249898, 0.06694679911854498, 0.7301035630872326, 0.3266298971693469, 0.8978383868254166, 1.3003105075071604, 0.6448937402227718, 0.9519506974006529, -0.2852408013744157, -0.45168696772168365, -2.280667036599972]),
-                  list_inner_product(nv, [0.5326585380655647, 0.14827082266034972, 0.6588000173712438, -1.7911158610081985, -0.37878632401002166, -0.4523809635972512, -1.7231775184149498, 1.041263034910122, 1.3613543881413204, -1.1821867540043816, 0.5698898284559267, 1.875844278680513, -1.1210356574580607, 1.1244748142537409, 1.7370074130980049, 2.0210766437173207, -1.2747799602619527, -0.969716433613208, 0.33016704979194883, 1.3459890596246626, -1.168591479392272, -0.6508261421340185, -1.0230669343995094, 1.2469918324337348, -0.4542216875177669, 0.702652128605508, 0.7769447734525861, 1.304063226987509, 0.5443885617938343, 0.46353488459933107, 1.3028846967559575, 0.6045526662285937, -1.174887490698811, -0.4326254679431927, 1.044318618056219, 0.2599500188528618, -0.24341186888874922, 0.36773766058773477, 3.5129025568673833, 0.06566236070763624, 0.6119872959416672, 0.5857650259340337, -0.16015481214662505, 1.3391315050527797, 0.9959365795337869, 0.5267388076481284, -1.269439654023875, 1.4093019592061722, 0.9022981969786653, 0.03241956181223673, -2.644941523096441, 0.057191760570003115, -1.1276842813248764, -0.11866672753699295, -0.40637816519951864, -0.7337513478130296, 1.1563671406063134, 0.2337172812200345, 1.384865753259521, -0.8739682631014699, -0.07927036094663058, 1.5159300658109096, 0.4511746982163574, -0.6282752400905885]),
-                  list_inner_product(nv, [-0.7977049558986133, -0.4923703505647063, 0.029689517720194278, 0.8225930113575793, 0.2657977226217339, 0.8907524957943374, 0.9781439745522235, 0.23878080096184312, 1.440696719674318, 0.8736350213769137, -0.07336064641943527, -0.05316523830679758, 0.09704661696384198, -0.6427154333084965, -1.2625786682273898, 0.15358507704904245, -0.41123454822517197, 0.7171314624492853, -0.49812376811559733, 0.2157014866697944, 0.31892014058124935, -0.36838765837597703, 0.31271260208902335, -0.6282636662502254, -0.32620452396513094, 0.9363538414746126, 0.512505834408463, 0.10907571023523677, -0.6937460054378359, 0.8276730876732167, 2.161902090244594, -2.1230591848210327, 1.1915051198214563, 0.33462926227435574, 1.2405207166679098, 1.3103533124053033, -0.9324731386892019, 1.8969538750115884, -0.49724312902170664, -0.14582837194130438, 0.7548592457683583, 0.02343218934045242, 0.3848168531028663, -0.41995756443103055, -0.9555740716001838, 0.12728721409658858, -1.010996902809413, 1.4881844164205924, 0.3594157247104869, 1.5508628409708853, -1.1712013137373956, -2.0262516719026853, -2.2324715818182597, -0.2805427458769014, -1.2150347083762916, 0.4763630003267042, -1.3897962734529963, -1.3150395869359945, 0.39610472735966307, -0.2971058625560567, 0.8043988521397869, 0.937784969934013, 0.47208558989205324, -1.1412890849484425]),
-                  list_inner_product(nv, [-0.7823917896508957, 2.433265999311614, -0.1262690438001047, 0.4072372691906505, 0.23531721921927695, 0.0798825191412716, -0.06875862848621826, -0.47112135850768133, -0.42364682322396147, -1.960986293991117, 1.8197828800731106, -0.004258295927200716, -1.2404799550314876, 0.6384603811796193, 0.7918842445223867, -1.3749989918661054, -0.4258253847810206, 1.640030147469425, 0.6637865163131472, 0.545028486834017, 1.1285598949552338, -0.027370051837308364, -0.1952104071725085, 1.7419866192628632, -0.08160828541322414, 0.02641107809382774, 0.7612682288493523, 0.14157809580047745, -1.1588558717100397, 2.048029868720874, 0.033028938187099725, 1.947906398076057, 0.6282274913511062, -0.8255512584008736, 1.6924734806373356, -0.07188155022421042, -0.7746435869490962, 0.07790522369588915, -2.091435301672897, 0.5219777644340645, -0.6392210529833623, -0.15001927294417694, -0.8069072019136854, 0.8011411913911097, 0.47472778454677605, 1.2150214588867254, 1.8129673292788169, 0.3955949709709132, 0.20179581302597974, 0.4200057289706446, -0.7267290350286286, -0.45399119170117486, 0.8801517137881151, -0.7742089895564676, -1.8796953299851071, -0.25413318985498035, 0.3678980005370718, 1.6125620336680695, -0.6268678302392914, -0.8519447028804331, 0.2042149104323766, -0.05334670745779648, 0.3607622954142027, -0.4236145438397224]),
-                  list_inner_product(nv, [0.3087957317774785, -0.4883761471924115, 1.1124065223974644, 0.3893365684015746, 0.6892877789402561, -0.34656287395179314, -1.3637205361844076, 0.11611402148289535, 0.0489036979528561, 1.2284830710255865, 1.0904669270091814, 0.06578938347982399, 0.05591919879535239, -0.9097686681529328, 0.059639774295323404, 0.3174441549680312, -0.32242288102795924, -1.0052049801231928, 1.4089732590032646, -0.8444722264409623, 1.7895609350017343, 1.3069305199705368, 1.676618467954304, -0.7650920604578128, 0.7393662834884963, -1.319353710003448, -0.2702808639739474, -1.458523369887952, -0.649242954960767, -0.41609451833264594, 1.0755477990209856, 1.1974669625181065, -0.28012214233793403, -0.19432174139513148, -0.863469810350719, -1.066736420851653, -1.722750101940798, -0.12530583225720562, 0.698474841485073, -0.686857526590785, 0.4652052416785462, -1.080249476569241, -0.9299529646166427, -0.4512359239149084, 0.9896064035405266, -0.4430429350158087, 0.8683665478918234, -0.26775256332597347, -1.0355153113200457, -1.9502400142520793, -0.3928516613136235, -0.8869304160362214, 1.0075153929863137, 0.5352800271139904, -1.574706023710636, 0.9406769058385456, 0.6266877710026018, -2.857996992309258, -0.9731263647820529, 0.33169601425293593, -1.5309027973512883, -0.6531911961050242, 0.6106870791288205, 0.33534400341942155]),
-                  list_inner_product(nv, [0.5395007107878613, 0.7027632309410565, -0.8101268511896524, 2.4988298571069416, 0.6109215592141778, 2.2466315478911234, -0.18674653540181604, 0.6488749339022803, 0.4264445479309597, -0.06934184998180494, 0.39817286830982224, 0.3416938872847496, 0.9026429868198291, 0.4035702787167702, 0.13784352204507225, 0.5723420305464458, 1.5404615668883144, 0.15223056241879193, 0.6910511524557094, 0.22109592653729299, -1.900718736577014, -0.8288599966208076, -0.8463306648998689, -1.3233770241273308, -0.5460664855817992, -1.7006997820820842, 0.3501039035534524, -0.4629649365588116, 1.313348150601937, 0.46384075437024314, -1.2047970574593367, -0.14313849129191897, 0.12302676983840741, -0.6064276689108081, -0.2872108786372129, -1.0146089305263366, -0.6601652443501524, 0.35419890669398457, -0.2591821119338584, 1.2895124584424245, -2.0541952324718897, -0.7247143381825918, -0.29890367630917286, 1.5574337991974516, 1.1915183788581543, 0.8314779439455421, 1.0507949649293824, 1.671561298824631, 0.7480203685429683, -0.16608146494399192, 0.2518726407128626, -0.6576855960828678, -0.1592006953044014, 0.43876558566560975, -0.4381146034899371, 0.16865197562684384, -0.3700803197457682, -1.2556929868685263, -1.3790875154131397, 0.7570305493531129, 0.09377656996058016, 0.8928615888388045, -0.04175635495746777, 0.04824589569315161]),
-                  list_inner_product(nv, [0.325769950050401, -0.2804319368150721, 1.4391739846255522, 1.0612949925828319, 0.4539662261098903, -0.9902414301482616, -0.4821295713029529, 0.25958117212102544, 1.212392084894579, 0.009263106773377725, 0.02226168590622551, 0.5718088812636563, 0.163623896657368, -0.11021759198438799, -1.0822643809143722, 1.2703759912541752, -0.009765482036325311, -0.475509900123469, -0.06375524338369329, -1.2859108262773442, -1.640591993343066, -1.746227336098286, 0.4068802404255589, -1.2897737098224427, 0.14493731580262553, -1.1544845607601983, -1.7479591614839978, -0.5881173923046998, -0.710858441856578, -0.6628930022968975, 1.7513362190916804, 0.22558260239901068, -0.5683176962424965, 0.8932373878618447, -0.29749830735560046, 1.2379121600138498, -1.5398700900360593, 1.1047482679884395, -1.06140822889417, -0.7127220707486762, 0.22193133692782596, -1.0545273348782855, -1.6225009676728344, -0.37773906062077556, -0.28357620873052763, -1.6254213071202859, 0.9892010813210359, -0.8089487221481992, -0.6077480574463915, -0.21954421846119515, 0.05900510394809661, 1.066119478354023, -2.1425578217958097, 0.01608975837911717, 0.8945308725892003, 0.2454584770389005, -0.06857013085640246, -1.106262928942939, 0.34202755050970096, -0.4809651653059336, 0.14036558475084182, -1.0530497214663423, -0.31207351913061626, -0.14101459417593892]),
-                  list_inner_product(nv, [-1.476581499025065, 1.0329168381999194, -0.11998874827720907, -1.2828897411637505, -0.2496569924381911, 0.13131560732895017, -0.34126885447502003, -1.0324743917925536, -0.2232790683450614, -1.357739087031914, -1.6640808388713297, 1.1760457309193433, 1.7058058978213646, 1.8660014613720806, 2.2614721910976496, 1.3575297694475983, -0.9315115435902909, -0.5654776636705046, 1.1021394472165988, -0.4704410575447618, -0.35102859063407277, -0.01860237825927788, 0.4210191635354753, -1.3644193731594532, 0.03206752953112319, 0.49022156299397823, -2.0504104163886163, 1.1261784246868867, 0.7689431800523772, -0.813256971800189, 1.8319262049116731, 0.4189832621948054, 0.47991966840257433, 1.547667272966612, -2.5748800804388168, 0.00931316929259957, 1.0654742626517115, 1.4217889277901927, -0.03466112759965417, -0.18330370347285752, -0.7662881591389561, -0.3337855402499713, -0.8590342387723122, -2.4017091206057595, -0.5871099380335205, -1.008846042571363, -0.601021329635947, -0.45868192539650954, -0.487326628769565, 0.10047476494269827, -0.06772599074895677, -0.3625374995613125, -0.6200755496349872, -0.10616305771832038, -0.31477481187731776, -0.13195783211530862, 1.3795956208496172, 0.24035319974479258, -0.39896904080733564, -2.055251559264948, -1.4553951646450363, -2.960648047443519, 0.8789339067594762, 1.099886908349306]),
-                  list_inner_product(nv, [-0.4068556303126256, -0.46914991699057856, 0.47323858769004373, 0.5710431734409906, -1.7402720699291632, -0.2570048252269609, -0.3160631976592818, -1.2636128585330917, 1.413774591592566, 0.7486397337298691, -0.6077880603907986, -0.047445632866706285, -0.5529824354957648, -0.5079342040202388, -0.39575824130634546, 1.021620208855314, 0.003774053020338938, -0.47534974457594015, -0.6848002955823855, 0.2591110654116905, -0.8759596542375072, -1.6174110531696018, -0.14138355808232894, 1.5887746454145897, -0.6827741776366056, 0.15717057558651007, -0.19919082208846825, 1.2266058673804352, 0.47400189067676984, -1.2716240644613928, 1.7439633555445102, 0.0058450685784722295, -0.9178042214796722, -0.5058721913097498, 0.060190327696821276, 1.076529945339385, -0.2830871836805255, -0.7432002689699638, 1.3252892477572942, 1.5695265844335808, -0.3576373613846563, 0.1361951350968378, 0.3724660000670087, -0.30509881312821124, -0.9178762402165009, 1.0430534468959987, -1.098330061825229, -1.8381022708718913, 0.5823758330243568, 1.1602336200865004, 0.8153001330259988, -0.7716714491970221, -0.24726144317116822, -1.0934727936460102, -0.5270075043916602, -2.4620827862647277, -0.8742370714993712, 1.3810790010269498, -1.173866911415455, 1.7302741815041907, 0.17349587954358833, -1.967492841345403, 0.9440360453772692, -0.9582051885728459]),
-                  list_inner_product(nv, [0.5533932372585705, -0.17804002985305692, -0.35143958577965373, -0.17587992603466374, -1.3208673133522897, -0.7608532553399548, -0.4010598250465422, 1.783921469310652, -0.5758414174377101, 0.329052154996763, 0.4577004280663546, 1.231410514271652, -0.2313036149469004, 0.2059401547000372, -0.9308974749326694, 2.545300104606699, -1.4933259992401424, 0.2620026164497398, -0.3438525225476935, 0.17125820679010167, -0.5232510328418791, -0.44493379420740997, 0.9971384121377689, 0.9619686626981718, -0.06604156410104782, -0.1308683556685519, 0.19305960948958098, -0.06796496012270468, 0.44964020157975826, 0.7713490399434972, 0.4831448917536381, -1.574958799773279, -0.0449625280014102, -1.05894082909734, 0.4556166250193224, -0.2813184307254919, 0.3113235961939698, -0.07810096171544208, 0.9493551578819757, 1.3706841248099746, 0.18525965591419893, -1.4838588721711723, 0.018336043162157763, 2.0077688376560676, -0.6767058111172591, -0.06434472134232909, 2.4678275166599497, 1.710462643111658, 0.6615761780632904, 0.24200814660998565, -1.3105979549053959, 1.6606769436344224, 0.9325657781874473, -1.6782551259230902, -0.1037450087772207, -0.1117739939501447, -0.04875811615469159, -0.6482560344118459, 2.5080796542361754, -0.8621007978136015, 1.4839082687412124, 0.6526620560204375, 0.02455844014056291, 0.46906519692546883]),
-                  list_inner_product(nv, [0.7636202607468409, -0.7650042764351629, -0.35435330452133684, 1.2316585963893, 0.9650442084538896, 0.41376403354970925, -1.1802487265546961, -1.6134072055812572, 1.5201854223367575, 1.4740549503593552, 0.5363668223388806, 0.4180728865829028, -0.30538737963475515, 0.5260997441014282, 1.22725510749717, 0.7903695858652027, -0.521799322672082, 0.3852946473414155, -0.512180019301693, -0.047457305052759136, -1.0796949130939753, -2.3439995955695636, -1.0242656369090637, 0.21476819557624452, -0.7682952083440755, 0.5683347204309261, -0.5365878967177387, 0.32413435168746935, -0.4384588018316416, 1.4675877291527375, -0.37218452562550236, 0.04798490745469786, 1.1728735771062684, 1.5170840207605993, -1.1361981848664373, 1.5011418510561376, -1.038927766234038, -0.9406819534927238, -0.8113155866675847, 1.0369656675502992, -1.0373402052315985, 0.6144294188332501, 0.4484004687283173, -0.16208548142873752, 0.4898489839964558, 2.105329614399008, 1.6420172923205678, -0.8091863544941076, 0.2994742579680761, -0.35981639220723405, -0.10146055097105136, -0.5052541763887928, 0.5796336055221277, -0.8199771947083478, -1.2088026768405271, 0.08230260808033421, 0.35452766310159917, 1.2431732405702747, 0.707739552871508, -0.8309952358575676, -0.8860920079041537, 0.3580289946158654, 0.2985432933067719, 0.7620045973086509]),
-                  list_inner_product(nv, [1.3575896381761414, -2.2045840583998926, -0.5806602180762784, 0.5832926916042047, -1.0395207495183711, 1.7045571619403137, -0.04944286096594266, 0.632979967715067, -0.16971064251821202, 0.3900585612351736, 0.43822774292029865, 0.579646244647665, -1.3366986348682945, -1.8720264171777696, -0.04611608962920937, 0.8316407671029722, -0.21007603015707255, -0.12769574892130947, 1.1065276388494094, 0.693050267379247, -0.9076797874425073, 0.20462195874585992, -0.1716524099722116, 0.1010814469570723, -0.03840452805052617, 0.6234513643863719, 0.02691868987698912, 0.37965585501124227, 0.07272834817225728, -0.16584223002074674, -0.5276188499758867, 0.31449806457822027, 0.48694516024737305, 1.616527687370441, 2.517127728291122, -0.6275031309299327, -0.6095027819227175, 1.0902775265900824, -0.37146672736643416, 0.1699286716034856, -1.2167736237037292, 0.6401601210573752, -1.4103636042463275, 1.041225200313828, -0.7871983823016453, 0.27619274016549566, 1.0286212243797017, -0.79433013863143, -0.07111570155759711, 2.1651797590948223, -1.3482921265443033, 0.17242502535793167, -1.9399467535027246, 0.3907661834539596, -0.12420806389681517, -1.0736393486332494, -1.14005899940432, 1.2880260150114606, 0.7086235069141181, -1.158471803086612, 0.854326323048651, -0.8778924630454102, -0.7513367435038938, 0.4442559215955277]),
-                  list_inner_product(nv, [-0.06929690661472075, 0.5723130689081781, 1.1230733751658357, -0.5890979104337165, 0.5922962536135297, 0.34265189749876485, -1.6092016510622742, 0.8313154073541688, 1.0433465417984626, -1.3271894105353341, -0.2800326102030101, 1.0176641424131843, 0.936796559571863, -0.32124527212284865, -0.1895812347178266, -0.2593579652763748, -1.178840145830959, 0.14991108773058953, 2.1434258013289256, -1.370805204800373, 0.013469041724489811, -0.8980916710619534, 1.5453012910362849, -1.5986629998284865, 0.9332230543030987, 0.4846605490418479, -0.8094515060207431, -0.2694753305634275, 0.10227728387692317, 1.7500086047336503, 0.31993986667028707, 1.2289285575870452, 1.1043814936188874, 0.13912698005456778, 0.08450456421293713, -0.01924790323838815, 1.676382358148644, 1.3449712768046056, 1.0200120775640298, -0.608027337333588, -0.2348363803682685, 0.808019277757958, -0.1355192420777669, -1.3109671873458715, -1.4469266167296826, 0.5060688541868422, 0.8058946267001167, 0.5794796732697918, 1.5919513962659695, -1.5268714926479063, -1.7391775286693796, 0.15576229857011162, 0.9085884555048457, -0.8054765264523702, 0.29249016422426577, 0.36681277310955346, -0.4343880425036379, -0.8040387353607362, -0.2896340657614686, -0.048617139088975435, 0.76340852436224, -0.2609014751339087, -0.9280392150307051, -1.0425337725647013]),
-                  list_inner_product(nv, [-0.4231593743178104, 0.5389652816908248, -0.8230266657756927, -0.3372697834989528, 0.5512061907926037, 0.28892253252178124, 2.072554246563657, 0.5205410754511076, 0.6572882032216978, 2.146142404551002, -1.8393842134174008, -1.7006237700861453, -0.7535446480996338, 0.14574307939317427, 1.2024121830147187, 0.7045553555610891, -0.5091422591254228, -1.4194751913114083, 0.3841971835682975, -0.24432387968411565, -0.9531084478277045, -1.2342905566017253, 0.7086139947508953, -0.27345918645606043, 0.2069485359495131, -0.09558991265186653, -0.7558763966895106, -0.47315677145802526, -0.6144225937714957, -0.0728927971251518, -0.6934889646219452, 0.6141032292583648, -0.9931622880170864, 0.23181552547503706, 0.12026810395257101, 0.595834367997509, -3.018709545035533, 0.6238030373542378, 0.33012943824421614, -0.46433747992644, -0.37432854258996906, -0.41991888039866293, -1.5056010215236395, 2.9365164234915073, -0.24649592108232704, 0.39413741543504094, -1.2321474364403366, -0.5008893510170557, -2.421696524851128, -0.162751369703179, -0.948599019968129, -0.07585588344568868, 0.3403637882852044, 1.274947234137199, -0.04374511356084696, -1.1824357819945333, -0.5880447429057336, 0.48259883596248704, 1.7434190768337685, -2.5576773099117927, -1.3549636475250986, -0.8033866497288632, -0.26496430898200074, 0.5226478249943549]),
-                  list_inner_product(nv, [1.2984741390916128, 0.4836090726864409, 1.328725916371818, -0.7613384737608215, -0.9217088295312665, -1.7530476300853848, -0.9010882386131371, 0.5547260367989895, -0.12337288447028262, 1.882084562866389, -0.44687362048279905, -1.133436354076672, 0.40101868179886524, -2.1706631314478417, 0.675290954975037, 0.2002330371392672, -1.5503141657628785, 0.3197007190463658, 0.05579182778963685, 1.0800511798362933, -0.43147359686988623, -0.7143866710667485, -0.17104984743299567, -0.30868156774193095, -1.2164309220051073, 0.7459444586210631, 0.7831299374746291, -0.9044352601244914, -0.7526669192591103, -1.2702258391984407, -0.6568139373143453, -0.8771266585915803, -0.2133478836668466, 0.47734992969013584, 1.3106680447575578, -1.1260205237483312, -0.972420194947899, -1.3607668577744343, -0.24564305187747718, 0.5731823161580376, -1.0996842929919468, -0.22624928837739092, -1.2076051144718383, -1.6348271729118375, -0.7543539629917565, 0.6055598261168017, -0.5806500504296521, -1.9877387397938746, -1.228504435145449, -0.5421667215220305, 1.7493485409756109, -1.4152567340387074, 2.5933238446228075, 0.7518258647111296, 1.047446935480427, 0.7119224354628567, -2.7788756286091507, 0.0009680053203528271, 0.031014381214023407, 0.29929697331467364, 1.0680791517526418, -0.2830919752394876, -1.0189971661250725, 0.2734583312119402]),
-                  list_inner_product(nv, [-0.04149619941020625, 0.24050349749469913, -0.6543253445606844, -0.24232611927191025, -3.299056031949538, 0.0116671184249699, 0.8539256857273091, -0.08938712074491094, -0.25805968180548905, 0.44021034726406766, -0.4908564563356278, -0.3927973310804687, 1.5575027343457768, 1.583716497989698, -1.9589675167830873, -0.7566045066465522, 0.13696938224035268, 0.6083045158130682, -1.353995137392949, -0.7206314478295573, 0.5143995857393334, 1.0631048915345895, -1.0886042821541666, -0.4463456821472997, -0.4273238813198998, 1.0005808020246265, 0.35017912789734973, 0.29061825645399253, 1.765475527540931, 0.6860546076430711, 0.005220383534774302, 1.4982851884837922, 1.5568414594989737, 1.372171345424305, 1.7808535829071828, 0.3222799100702198, -2.141391494794036, -0.42910554544635987, 0.12128727014528663, -0.10048305861930219, 0.7189610521539931, 0.2373144099495122, 1.9250581155098165, 0.5473398822015465, 0.9273022648714989, 1.1809684043826267, 1.4654807519994517, -0.5235802104960667, 1.4446502601396956, -0.04228282373926574, -2.0609313190914387, 1.7353162719652837, 0.26336982839490203, 1.243635286743668, -1.0797287983875148, 0.6399636316375357, -0.7523566475739801, 2.4233876744625364, 1.5465928040554804, -0.08568990088331817, -2.454518785113398, 0.04559778432990428, 0.2982926512764587, -0.10230222289626])] AS p
+                  [{proj_cols}] AS p
            FROM nv_t),
     probes AS (SELECT vec_id AS query_id, p AS qp FROM rp WHERE vec_id IN (0,1,2,3,4)),
     scored AS (
@@ -2323,7 +2315,7 @@ ORACLE_RP_SQL = """
         SELECT query_id, vec_id FROM (
             SELECT *, row_number() OVER (
                 PARTITION BY query_id ORDER BY proj_sim DESC, vec_id) AS r
-            FROM scored) WHERE r <= 40
+            FROM scored) WHERE r <= 80
     ),
     pv AS (SELECT vec_id AS query_id, nv AS q FROM nv_t WHERE vec_id IN (0,1,2,3,4)),
     exact AS (

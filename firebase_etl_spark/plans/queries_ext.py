@@ -2470,19 +2470,20 @@ def doc_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Fixed 16x64 Gaussian projection matrix (seed 13) shared with the oracle
-# replay — see operators/similarity.py:rp_planes.
-RP_PLANES = SIM.rp_planes(out_dim=16, in_dim=64, seed=13)
+# Fixed 32x64 JL-scaled Gaussian projection matrix (seed 13, entries
+# N(0, 1/32)) shared with the oracle replay — see similarity.py:rp_planes.
+RP_PLANES = SIM.rp_planes(out_dim=32, in_dim=64, seed=13)
 
 
 def embedding_topk_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via Johnson-Lindenstrauss random projection (similarity.py:
-    rp_topk): shortlist 4x k per probe by 16-dim PROJECTED cosine (1/4 the
-    scoring bytes+flops of brute force; the projected index is what a
-    100 TB deployment materializes), exact full-space re-rank on the
-    shortlist. Unlike the LSH/quantized twins this corpus's packed cosine
-    range makes 16-dim recall < 100%, so the oracle replays the entire
+    rp_topk): shortlist 8x k per probe by 32-dim PROJECTED cosine (half the
+    scoring bytes+flops of brute force per candidate; the projected index
+    is what a 100 TB deployment materializes and amortizes), exact
+    full-space re-rank on the shortlist. Unlike the LSH/quantized twins
+    this corpus's packed cosine range makes 32-dim recall < 100% (measured
+    0.70-0.74 at the gate SFs), so the oracle replays the entire
     projection -> shortlist -> re-rank pipeline instead of equating to
     brute force — recall itself is pinned separately in pytest."""
     e = load_table(spark, "embeddings", sf_dir)
-    return SIM.rp_topk(e, QUERY_VEC_IDS, RP_PLANES, k=10, oversample=4)
+    return SIM.rp_topk(e, QUERY_VEC_IDS, RP_PLANES, k=10, oversample=8)
