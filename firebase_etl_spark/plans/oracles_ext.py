@@ -2331,3 +2331,98 @@ def _rp_topk_oracle() -> str:
 
 
 ORACLES_EXT["embedding_topk_rp"] = _rp_topk_oracle()
+
+
+# Shared synthetic-PARTSUPP CTE: replays plans/queries.py:synth_partsupp
+# exactly — observed (l_partkey, l_suppkey) pairs UNION a 4-per-part
+# catalog baseline, value columns pure integer arithmetic on the key pair.
+_PARTSUPP_CTE = """
+    s_cnt AS (SELECT count(*) AS c FROM supplier),
+    ps_base AS (
+        SELECT p_partkey AS ps_partkey,
+               (p_partkey + j * CAST(floor(c / 4) AS BIGINT)) % c AS ps_suppkey
+        FROM part CROSS JOIN s_cnt CROSS JOIN (SELECT unnest([0,1,2,3]) AS j)),
+    ps_pairs AS (
+        SELECT DISTINCT ps_partkey, ps_suppkey FROM (
+            SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey FROM lineitem
+            UNION ALL SELECT ps_partkey, ps_suppkey FROM ps_base)),
+    partsupp AS (
+        SELECT ps_partkey, ps_suppkey,
+               CAST((ps_partkey * 13 + ps_suppkey * 7) % 9999 + 1 AS INTEGER) AS ps_availqty,
+               ((ps_partkey * 29 + ps_suppkey * 17) % 80000 + 10000) / 100.0 AS ps_supplycost
+        FROM ps_pairs)
+"""
+
+ORACLES_EXT["q2_min_cost_supplier"] = f"""
+    WITH {_PARTSUPP_CTE},
+    eu AS (
+        SELECT ps.ps_partkey, ps.ps_supplycost, s.s_acctbal, s.s_name, n.n_name
+        FROM partsupp ps
+        JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'),
+    mc AS (SELECT ps_partkey, min(ps_supplycost) AS min_cost FROM eu GROUP BY 1)
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+           ps_supplycost AS supplycost
+    FROM part JOIN eu ON p_partkey = eu.ps_partkey JOIN mc USING (ps_partkey)
+    WHERE p_size = 15 AND p_type LIKE 'ECO%' AND ps_supplycost = min_cost
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+"""
+
+ORACLES_EXT["q9_product_type_profit"] = f"""
+    WITH {_PARTSUPP_CTE}
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount)
+                     - ps_supplycost * l_quantity), 2) AS sum_profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey AND p_name LIKE 'red%'
+    JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN nation ON n_nationkey = s_nationkey
+    GROUP BY 1, 2 ORDER BY nation, o_year DESC
+"""
+
+ORACLES_EXT["q11_important_stock"] = f"""
+    WITH {_PARTSUPP_CTE},
+    nat AS (
+        SELECT s_suppkey FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_7'),
+    pv AS (
+        SELECT ps_partkey,
+               round(sum(ps_supplycost * ps_availqty), 2) AS part_value
+        FROM partsupp JOIN nat ON ps_suppkey = s_suppkey GROUP BY 1),
+    tot AS (SELECT round(sum(part_value) * 0.001, 2) AS thr FROM pv)
+    SELECT ps_partkey, part_value FROM pv CROSS JOIN tot
+    WHERE part_value > thr ORDER BY part_value DESC, ps_partkey
+"""
+
+ORACLES_EXT["q16_supplier_part_counts"] = f"""
+    WITH {_PARTSUPP_CTE}
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT ps_suppkey) AS supplier_cnt
+    FROM partsupp JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#5' AND p_type NOT LIKE 'SMALL%'
+      AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+      AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+ORACLES_EXT["q20_excess_stock_suppliers"] = f"""
+    WITH {_PARTSUPP_CTE},
+    shipped AS (
+        SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2),
+    excess AS (
+        SELECT DISTINCT ps_suppkey FROM partsupp
+        JOIN part ON p_partkey = ps_partkey AND p_name LIKE 'blue%'
+        JOIN shipped ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        WHERE ps_availqty > 0.5 * qty)
+    SELECT s_name FROM supplier
+    JOIN excess ON s_suppkey = ps_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3' ORDER BY s_name
+"""

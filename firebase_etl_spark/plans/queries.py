@@ -751,3 +751,250 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+
+def synth_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic PARTSUPP (the driver's star schema ships
+    none): supply relationships = the DISTINCT (l_partkey, l_suppkey)
+    pairs actually observed in lineitem, unioned with a 4-suppliers-per-
+    part catalog baseline (offset j*floor(S/4) mod S for j in 0..3) so
+    never-ordered parts still have suppliers. ps_availqty / ps_supplycost
+    are pure integer-arithmetic functions of the key pair, so Spark and
+    the DuckDB oracle derive bit-identical values with zero fixture I/O.
+
+    Scale shape: one distinct-shuffle on the (partkey, suppkey) pair —
+    partial-aggregable, no skew (pairs are near-unique already); the
+    supplier count is a broadcast scalar; the baseline is |part| x 4 rows
+    built without a shuffle."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    )
+    s_cnt = (
+        load_table(spark, "supplier", sf_dir)
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    baseline = (
+        load_table(spark, "part", sf_dir)
+        .select("p_partkey")
+        .crossJoin(F.broadcast(s_cnt))
+        .select(
+            "p_partkey",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("j"),
+            "c",
+        )
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            (
+                (F.col("p_partkey") + F.col("j") * F.floor(F.col("c") / 4))
+                % F.col("c")
+            ).cast("long").alias("ps_suppkey"),
+        )
+    )
+    pairs = li.union(baseline).distinct()
+    return pairs.select(
+        "ps_partkey",
+        "ps_suppkey",
+        (
+            (F.col("ps_partkey") * 13 + F.col("ps_suppkey") * 7) % 9999 + 1
+        ).cast("int").alias("ps_availqty"),
+        (
+            ((F.col("ps_partkey") * 29 + F.col("ps_suppkey") * 17) % 80000
+             + 10000) / 100.0
+        ).alias("ps_supplycost"),
+    )
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: no p_mfgr/s_address columns, p_type
+    prefix-match instead of '%BRASS'): for EUROPE suppliers, the minimum-
+    cost supplier per size-15 ECONOMY part — the classic correlated
+    MIN-subquery, decorrelated as a per-part min aggregate broadcast back
+    onto the supply rows. Region/nation dims broadcast; the only shuffle
+    is the per-part min over the EUROPE slice of partsupp."""
+    # explicit aliases: synth_partsupp's supplier-count scan shares lineage
+    # with this supplier join, tripping the ambiguous-self-join check
+    ps = synth_partsupp(spark, sf_dir).alias("ps")
+    s = load_table(spark, "supplier", sf_dir).alias("s")
+    n = load_table(spark, "nation", sf_dir).alias("n")
+    r = (
+        load_table(spark, "region", sf_dir)
+        .filter(F.col("r_name") == "EUROPE")
+        .alias("r")
+    )
+    p = load_table(spark, "part", sf_dir).filter(
+        (F.col("p_size") == 15) & F.col("p_type").like("ECO%")
+    )
+    eu = (
+        ps.join(s, F.col("ps.ps_suppkey") == F.col("s.s_suppkey"))
+        .join(F.broadcast(n), F.col("s.s_nationkey") == F.col("n.n_nationkey"))
+        .join(F.broadcast(r), F.col("n.n_regionkey") == F.col("r.r_regionkey"))
+        .select("ps_partkey", "ps_supplycost", "s_acctbal", "s_name", "n_name")
+    )
+    mc = (
+        eu.groupBy("ps_partkey")
+        .agg(F.min("ps_supplycost").alias("min_cost"))
+        .withColumnRenamed("ps_partkey", "mc_partkey")
+    )
+    return (
+        p.join(eu, p.p_partkey == eu.ps_partkey)
+        .join(
+            F.broadcast(mc),
+            (F.col("ps_partkey") == F.col("mc_partkey"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            F.col("ps_supplycost").alias("supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit (revenue minus supply cost) per nation and
+    order year for 'red%' parts — the 6-way join. part filter prunes the
+    lineitem side early (broadcast under AQE at small SF, shuffle join at
+    scale); partsupp joins on the composite (partkey, suppkey) key;
+    nation broadcast onto the supplier side."""
+    # aliases break the synth_partsupp/supplier lineage ambiguity (see q2)
+    ps = synth_partsupp(spark, sf_dir).alias("ps")
+    li = load_table(spark, "lineitem", sf_dir).alias("li")
+    p = load_table(spark, "part", sf_dir).filter(F.col("p_name").like("red%"))
+    s = load_table(spark, "supplier", sf_dir).alias("s")
+    o = load_table(spark, "orders", sf_dir)
+    n = load_table(spark, "nation", sf_dir).alias("n")
+    return (
+        li.join(p, F.col("li.l_partkey") == F.col("p_partkey"))
+        .join(
+            ps,
+            (F.col("li.l_partkey") == F.col("ps.ps_partkey"))
+            & (F.col("li.l_suppkey") == F.col("ps.ps_suppkey")),
+        )
+        .join(s, F.col("li.l_suppkey") == F.col("s.s_suppkey"))
+        .join(o, F.col("li.l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("s.s_nationkey") == F.col("n.n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    - F.col("ps_supplycost") * F.col("l_quantity")
+                ),
+                2,
+            ).alias("sum_profit")
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part inventory value held by NATION_7
+    suppliers, kept where it exceeds 0.1% of the nation's total — scalar
+    aggregate broadcast as the HAVING threshold. Values are rounded to
+    2dp BEFORE the comparison so Spark and the oracle agree on the
+    float boundary (q15 pattern)."""
+    ps = synth_partsupp(spark, sf_dir)
+    sn = (
+        load_table(spark, "supplier", sf_dir)
+        .join(
+            F.broadcast(
+                load_table(spark, "nation", sf_dir).filter(
+                    F.col("n_name") == "NATION_7"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    pv = (
+        ps.join(sn, ps.ps_suppkey == sn.s_suppkey)
+        .groupBy("ps_partkey")
+        .agg(
+            F.round(
+                F.sum(F.col("ps_supplycost") * F.col("ps_availqty")), 2
+            ).alias("part_value")
+        )
+    )
+    thr = pv.agg(F.round(F.sum("part_value") * 0.001, 2).alias("thr"))
+    return (
+        pv.join(F.broadcast(thr), F.col("part_value") > F.col("thr"))
+        .select("ps_partkey", "part_value")
+        .orderBy(F.desc("part_value"), "ps_partkey")
+    )
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (adapted: no s_comment, so 'complaint' suppliers
+    are modeled as s_acctbal < 0): distinct supplier count per
+    (brand, type, size) for a size IN-list, excluding one brand, a type
+    prefix, and the complaint suppliers via NOT IN -> left-anti join.
+    count(DISTINCT) shuffles on the grouping key; part dim broadcast."""
+    ps = synth_partsupp(spark, sf_dir)
+    p = load_table(spark, "part", sf_dir).filter(
+        (F.col("p_brand") != "Brand#5")
+        & ~F.col("p_type").like("SMALL%")
+        & F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)
+    )
+    complaints = load_table(spark, "supplier", sf_dir).filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .join(
+            F.broadcast(complaints),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: NATION_3 suppliers holding excess stock of
+    'blue%' parts — availqty above half the 1997 shipped quantity for
+    that exact (part, supplier) pair. The nested correlated subquery
+    decorrelates to a grouped lineitem aggregate joined on the composite
+    key; l_quantity is integral so the 0.5x comparison is float-exact in
+    both engines. Semi-join keeps one row per supplier before the dim
+    join."""
+    ps = synth_partsupp(spark, sf_dir)
+    p = load_table(spark, "part", sf_dir).filter(F.col("p_name").like("blue%"))
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("qty")
+    )
+    excess = (
+        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey, "left_semi")
+        .join(
+            shipped,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .filter(F.col("ps_availqty") > 0.5 * F.col("qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir).filter(
+        F.col("n_name") == "NATION_3"
+    )
+    return (
+        s.join(excess, s.s_suppkey == F.col("ps_suppkey"), "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .select("s_name")
+        .orderBy("s_name")
+    )
