@@ -138,20 +138,34 @@ def bpe_train(
     semantics, see _apply_merge_local) instead of paying ~2 Spark jobs
     per merge round. Above it, the per-round distributed loop runs."""
     words = _word_freq(df, text_col).persist()
-    n_words = words.count()  # materialize before looping
-    if n_words <= local_vocab_threshold:
-        rows = [[r["seq"], r["cnt"]] for r in words.collect()]
+    try:
+        n_words = words.count()  # materialize before looping
+        if n_words <= local_vocab_threshold:
+            rows = [[r["seq"], r["cnt"]] for r in words.collect()]
+            return spark.createDataFrame(
+                _train_local(rows, n_merges),
+                "merge_rank int, left_sym string, right_sym string, "
+                "pair_count long",
+            )
+        return _train_distributed(words, spark, n_merges)
+    finally:
         words.unpersist()
-        return spark.createDataFrame(
-            _train_local(rows, n_merges),
-            "merge_rank int, left_sym string, right_sym string, pair_count long",
-        )
-    base = words  # the persisted/checkpointed ancestor to release
+
+
+def _train_distributed(
+    words: DataFrame, spark: SparkSession, n_merges: int
+) -> DataFrame:
+    """Per-round distributed merge loop over an ALREADY-MATERIALIZED
+    (seq, cnt) word-frequency table (extra columns tolerated, dropped).
+    The caller owns ``words``' persistence; intermediates checkpointed
+    here are released before returning."""
+    cur = words.select("seq", "cnt")
+    base = None  # the checkpointed intermediate this loop owns
     merges: list[tuple[int, str, str, int]] = []
     try:
         for rank in range(n_merges):
             top = (
-                _pair_counts(words)
+                _pair_counts(cur)
                 .agg(
                     F.min(
                         F.struct(
@@ -172,18 +186,20 @@ def bpe_train(
                 seq = F.replace(
                     seq, F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
                 )
-            nxt = words.select(seq.alias("seq"), "cnt")
+            nxt = cur.select(seq.alias("seq"), "cnt")
             # cut the replace-expression lineage every few rounds: an
             # eager checkpoint is a whole extra job, and a stack of
             # 3 x REPLACE_PASSES nested replaces plans fine — per-round
             # checkpointing spent ~half the training wall on it
             if rank % 3 == 2:
                 nxt = nxt.localCheckpoint(eager=True)
-                base.unpersist()
+                if base is not None:
+                    base.unpersist()
                 base = nxt
-            words = nxt
+            cur = nxt
     finally:
-        base.unpersist()
+        if base is not None:
+            base.unpersist()
     return spark.createDataFrame(
         merges, "merge_rank int, left_sym string, right_sym string, pair_count long"
     )
@@ -222,16 +238,18 @@ def bpe_vocab(
             [(w, cnt, len(seq.split())) for seq, cnt, w in rows],
             "w string, cnt long, n_tok int",
         )
-    words_df.unpersist()
+    # distributed path: train AND encode off the ONE materialized
+    # word-frequency table (it used to be recomputed twice more — once by
+    # bpe_train's own _word_freq, once by the encode scan). words_df stays
+    # persisted because the returned encode plan reads it; the few-MB-per-
+    # 64k-words cache is released by the session's next clearCache.
     merges = [
         (r["left_sym"], r["right_sym"])
-        for r in bpe_train(
-            df, spark, n_merges, text_col, local_vocab_threshold
-        )
+        for r in _train_distributed(words_df, spark, n_merges)
         .orderBy("merge_rank")
         .collect()
     ]
-    words = _word_freq(df, text_col, keep_word=True)
+    words = words_df
     seq = F.col("seq")
     pending = 0
     for a, b in merges:

@@ -110,23 +110,34 @@ def token_set(col: Column | str) -> Column:
     return F.array_sort(F.array_distinct(tokenize(col)))
 
 
-def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (the MinHash input unit).
+def word_shingles_of_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from an ALREADY-TOKENIZED array
+    column. Built as a zip_with chain of shifted copies: each zip_with
+    evaluates its two input arrays ONCE and maps lambda-bound elements, so
+    the whole thing is O(n x tokens). The transform-over-sequence
+    formulation with slice(toks, i, n) in the lambda re-evaluates the
+    tokenizer per position (outer-array references in HOF lambdas are
+    re-evaluated per element — no hoisting, no CSE). zip_with pads the
+    shorter (shifted) array with nulls and concat null-propagates, so
+    partial trailing shingles drop out in the final filter.
 
-    Built as a zip_with chain of shifted copies: each zip_with evaluates its
-    two input arrays ONCE and maps lambda-bound elements, so the whole thing
-    is O(n x tokens). The transform-over-sequence formulation with
-    slice(toks, i, n) in the lambda re-evaluates the tokenizer per position
-    (outer-array references in HOF lambdas are re-evaluated per element —
-    no hoisting, no CSE). zip_with pads the shorter (shifted) array with
-    nulls and concat null-propagates, so partial trailing shingles drop out
-    in the final filter."""
-    toks = tokenize(col)
+    The toks expression is referenced n+1 times in this tree, so pass a
+    plain attribute (materialize the tokenizer in its own projection
+    below): CollapseProject keeps the split because the reference is
+    multi-use and non-cheap, and the tokenizer then runs once per row
+    instead of n+1 times (~40% off the explode pass at sf0.1)."""
     acc = toks
     for i in range(1, n):
         shifted = F.slice(toks, i + 1, F.greatest(F.size(toks) - i, F.lit(1)))
         acc = F.zip_with(acc, shifted, lambda x, y: F.concat(x, F.lit(" "), y))
     return F.array_distinct(F.filter(acc, lambda x: x.isNotNull()))
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """word_shingles_of_tokens over the whitespace tokenizer, as one
+    expression. Prefer the two-projection form (tokenize().alias(...) then
+    word_shingles_of_tokens) in hot scans — see that docstring."""
+    return word_shingles_of_tokens(tokenize(col), n)
 
 
 def text_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -2443,30 +2443,41 @@ def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide repeated-content detection: word 8-grams occurring in
     more than one document are boilerplate (headers, licence blocks,
-    navigation chrome in real crawls). Per-doc distinct grams explode once
-    (array_distinct bounds the fan-out at doc length); the document-
-    frequency aggregate is one shuffle keyed by gram; affected docs come
-    back via a semi join against the (small) boilerplate gram set. At
-    100 TB the DF aggregate keys on xxhash64(gram) — strings kept here for
-    oracle parity. One summary row: gram counts, affected docs, worst DF."""
+    navigation chrome in real crawls). ONE corpus scan: per-doc distinct
+    grams explode once (word_shingles dedups within a doc, so (gram, doc)
+    rows arrive unique and df = count over the gram partition), the
+    document frequency attaches via a gram-keyed window, and every summary
+    figure — gram counts, boilerplate grams, affected docs, worst DF —
+    falls out of a single global aggregate over that annotated pass. No
+    broadcast of the boilerplate gram set: on a real crawl it is NOT
+    small, and no second explode of the corpus to find affected docs. At
+    100 TB the window keys on xxhash64(gram) — strings kept here for
+    oracle parity. Per-gram partitions are bounded by corpus doc count
+    (no empty PARTITION BY)."""
     d = load_table(spark, "documents", sf_dir)
-    grams = d.select(
-        "doc_id", F.explode(TX.word_shingles("text", 8)).alias("gram")
+    grams = d.select("doc_id", TX.tokenize("text").alias("toks")).select(
+        "doc_id",
+        F.explode(TX.word_shingles_of_tokens(F.col("toks"), 8)).alias("gram"),
     )
-    df_counts = grams.groupBy("gram").agg(
-        F.countDistinct("doc_id").alias("df")
+    w = Window.partitionBy("gram")
+    wo = w.orderBy("doc_id")
+    # df + a per-gram marker row from ONE window shuffle; the marker turns
+    # the three would-be countDistinct(gram) aggregates into plain sums,
+    # leaving a single distinct (affected docs) in the global aggregate
+    dfc = grams.select(
+        "doc_id",
+        F.count(F.lit(1)).over(w).alias("df"),
+        (F.row_number().over(wo) == 1).cast("long").alias("first_of_gram"),
     )
-    boiler = df_counts.filter(F.col("df") >= 2)
-    affected = grams.join(
-        F.broadcast(boiler.select("gram")), "gram", "left_semi"
-    ).select("doc_id").distinct()
-    totals = df_counts.agg(
-        F.count(F.lit(1)).alias("n_grams_total"),
-        F.sum((F.col("df") >= 2).cast("long")).alias("n_boilerplate_grams"),
+    return dfc.agg(
+        F.sum("first_of_gram").alias("n_grams_total"),
+        F.sum(
+            F.when(F.col("df") >= 2, F.col("first_of_gram")).otherwise(0)
+        ).alias("n_boilerplate_grams"),
         F.max("df").alias("max_doc_frequency"),
-    )
-    return totals.crossJoin(
-        affected.agg(F.count(F.lit(1)).alias("n_docs_affected"))
+        F.countDistinct(F.when(F.col("df") >= 2, F.col("doc_id"))).alias(
+            "n_docs_affected"
+        ),
     )
 
 
