@@ -87,8 +87,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_quantized": QX.embedding_topk_quantized,
         "doc_gopher_quality_report": QX.doc_gopher_quality_report,
         "users_pipeline_report": QX.users_pipeline_report,
-        "events_asof_orders": QX.events_asof_orders,
+        "documents_dsir_weights": QX.documents_dsir_weights,
         # ---- outside the 50-query window (all previously driver-green) ----
+        "events_asof_orders": QX.events_asof_orders,
         "lineitem_set_ops": QX.lineitem_set_ops,
         "documents_clean_corpus": QX.documents_clean_corpus,
         "documents_training_corpus": QX.documents_training_corpus,

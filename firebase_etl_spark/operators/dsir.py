@@ -1,0 +1,87 @@
+"""DSIR-style importance weights for data selection — score every source
+document by how target-like its token distribution is (the importance-
+resampling curation step of an LLM data pipeline; extension beyond the
+reference, after Xie et al. 2023, "Data Selection for Language Models via
+Importance Resampling", public arXiv:2302.03169).
+
+The published recipe fits two bag-of-(hashed-)n-gram unigram models — one
+on the target distribution (Wikipedia/books), one on the raw source — and
+weights each raw document by its log likelihood ratio; resampling by
+those weights shifts the corpus toward the target. Re-expressed
+relationally, the whole thing is two count aggregates and one scoring
+join over a single token explode:
+
+    toks      = (doc, w [, in_target]) rows       [one explode]
+    c_src     = count per w over ALL docs         [source unigram LM]
+    c_tgt     = count per w over target docs      [target unigram LM]
+    log-ratio = ln((c_tgt+1)/(T+V)) - ln((c_src+1)/(S+V))   [add-1]
+    weight    = sum over doc tokens of log-ratio  [per-doc log weight]
+
+Scale shape: identical to the bigram trainer in lm.py — count tables are
+vocabulary-sized (orders of magnitude smaller than the corpus) so the
+scoring join broadcasts below a row threshold and falls back to a
+token-keyed shuffle join above it; per-doc reduction is one map-side-
+combinable sum. At web scale the feature key is a 10k-bucket hash of the
+n-gram (the paper's formulation) — raw unigrams kept here so the DuckDB
+oracle replays training and scoring exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from firebase_etl_spark.operators.text import tokenize
+
+#: broadcast the unigram count tables while they stay vocabulary-sized
+BROADCAST_MAX_ROWS = 3_000_000
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc (id, n_tokens, log_weight): the add-1-smoothed unigram
+    log likelihood ratio of ``target`` rows vs the full corpus, summed
+    over the document's tokens (6-dp rounded). Positive = more target-
+    like than the corpus average; resample ∝ exp(weight) to shift the
+    mixture toward the target. ``target`` is any boolean Column over
+    ``df``'s rows (e.g. a quality flag or language id)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokenize(text_col)).alias("w"),
+        target.cast("boolean").alias("__tgt"),
+    ).persist()
+    try:
+        counts = toks.groupBy("w").agg(
+            F.count(F.lit(1)).alias("c_src"),
+            F.sum(F.col("__tgt").cast("long")).alias("c_tgt"),
+        )
+        totals = counts.agg(
+            F.sum("c_src").alias("s_tot"),
+            F.sum("c_tgt").alias("t_tot"),
+            F.count(F.lit(1)).alias("v"),
+        )
+        ratio = counts.crossJoin(F.broadcast(totals)).select(
+            "w",
+            (
+                F.log((F.col("c_tgt") + 1) / (F.col("t_tot") + F.col("v")))
+                - F.log((F.col("c_src") + 1) / (F.col("s_tot") + F.col("v")))
+            ).alias("log_ratio"),
+        )
+        if counts.count() <= BROADCAST_MAX_ROWS:
+            ratio = F.broadcast(ratio)
+        out = (
+            toks.join(ratio, "w")
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_tokens"),
+                F.round(F.sum("log_ratio"), 6).alias("log_weight"),
+            )
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        toks.unpersist()
+    return out

@@ -2426,3 +2426,33 @@ ORACLES_EXT["q20_excess_stock_suppliers"] = f"""
     JOIN nation ON s_nationkey = n_nationkey
     WHERE n_name = 'NATION_3' ORDER BY s_name
 """
+
+
+ORACLES_EXT["documents_dsir_weights"] = """
+    WITH toks AS (
+        SELECT doc_id, lang = 'en' AS tgt,
+               unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+        FROM documents),
+    counts AS (
+        SELECT w, count(*) AS c_src,
+               sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS c_tgt
+        FROM toks GROUP BY w),
+    tot AS (SELECT sum(c_src) AS s_tot, sum(c_tgt) AS t_tot,
+                   count(*) AS v FROM counts),
+    ratio AS (
+        SELECT w, ln((c_tgt + 1) / (t_tot + v))
+                  - ln((c_src + 1) / (s_tot + v)) AS log_ratio
+        FROM counts CROSS JOIN tot),
+    scores AS (
+        SELECT doc_id, count(*) AS n_tokens,
+               round(sum(log_ratio), 6) AS log_weight
+        FROM toks JOIN ratio USING (w) GROUP BY doc_id)
+    SELECT lang, count(*) AS n_docs,
+           round(avg(log_weight), 4) AS mean_weight,
+           round(min(log_weight), 6) AS min_weight,
+           round(max(log_weight), 6) AS max_weight,
+           sum(CASE WHEN log_weight > 0 THEN 1 ELSE 0 END) AS n_target_like,
+           sum(n_tokens) AS total_tokens
+    FROM documents JOIN scores USING (doc_id)
+    GROUP BY lang ORDER BY lang
+"""

@@ -2498,3 +2498,33 @@ def embedding_topk_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute force — recall itself is pinned separately in pytest."""
     e = load_table(spark, "embeddings", sf_dir)
     return SIM.rp_topk(e, QUERY_VEC_IDS, RP_PLANES, k=10, oversample=8)
+
+
+def documents_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-resampling report (operators/dsir.py, after Xie
+    et al. 2023): score every document by the unigram log likelihood
+    ratio of the English slice (the stand-in target distribution) vs the
+    whole corpus, then summarize per language — English docs should sit
+    at the positive end, and ``n_target_like`` counts the docs that
+    importance resampling would favor. Training and scoring are both
+    relational; the DuckDB oracle replays the full model."""
+    from firebase_etl_spark.operators.dsir import dsir_log_weights
+
+    d = load_table(spark, "documents", sf_dir)
+    scores = dsir_log_weights(d, target=F.col("lang") == "en")
+    return (
+        d.select("doc_id", "lang")
+        .join(scores, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("log_weight"), 4).alias("mean_weight"),
+            F.round(F.min("log_weight"), 6).alias("min_weight"),
+            F.round(F.max("log_weight"), 6).alias("max_weight"),
+            F.sum((F.col("log_weight") > 0).cast("long")).alias(
+                "n_target_like"
+            ),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("lang")
+    )

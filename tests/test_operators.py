@@ -846,3 +846,31 @@ def test_ngram_overlap_counts_distinct_shared_grams(spark):
         for r in decontamination_report(corpus, probes, n=3).collect()
     }
     assert rep == {"s1": (2, 1, 2), "s2": (1, 1, 1)}
+
+
+def test_dsir_log_weights_favor_target_vocabulary(spark):
+    """DSIR log weights (Xie et al. 2023 shape): docs written in the
+    target slice's vocabulary must outweigh docs in disjoint vocabulary,
+    a doc mixing both lands between, and weights are finite even for
+    words absent from the target (add-1 smoothing)."""
+    from firebase_etl_spark.operators.dsir import dsir_log_weights
+    from pyspark.sql import functions as F
+
+    docs = [
+        (1, "alpha beta alpha beta gamma", True),
+        (2, "alpha beta gamma alpha beta", True),
+        (3, "zork quux blarg zork quux", False),
+        (4, "alpha beta zork quux gamma", False),  # mixed
+        (5, "alpha beta alpha beta gamma", False),  # target-like text
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, tgt boolean")
+    w = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_log_weights(df, target=F.col("tgt")).collect()
+    }
+    assert set(w) == {1, 2, 3, 4, 5}
+    assert all(v == v and abs(v) < 1e6 for v in w.values())  # finite
+    # same text scores the same regardless of the doc's own target flag
+    assert w[1] == w[5]
+    # target-vocab docs > mixed > disjoint-vocab doc
+    assert w[1] > w[4] > w[3]
