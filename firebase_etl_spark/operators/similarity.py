@@ -67,10 +67,17 @@ def cosine_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k by cosine for each probe id. Probe side broadcast; ranking
     via window with (similarity desc, id asc) — fully deterministic given
-    6-dp rounding. Returns (query_id, vec_id, cosine_sim, rank)."""
+    6-dp rounding. Returns (query_id, vec_id, cosine_sim, rank).
+
+    Pass ``dim`` when the embedding width is statically known: the pairwise
+    dot then unrolls into a flat codegen'd sum (dot_unrolled — identical
+    left-to-right IEEE order, so results are bit-equal to the aggregate
+    form and the oracle) instead of an interpreted higher-order aggregate
+    in the probes x corpus hot join."""
     vecs = df.select(
         F.col(id_col), normalized(_to_double(F.col(vec_col))).alias("v")
     )
@@ -80,10 +87,15 @@ def cosine_topk(
     pairs = vecs.crossJoin(F.broadcast(probes)).filter(
         F.col(id_col) != F.col("query_id")
     )
+    pair_dot = (
+        dot_unrolled(F.col("v"), F.col("q"), dim)
+        if dim
+        else dot(F.col("v"), F.col("q"))
+    )
     sims = pairs.select(
         "query_id",
         F.col(id_col),
-        F.round(dot(F.col("v"), F.col("q")), 6).alias("cosine_sim"),
+        F.round(pair_dot, 6).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col(id_col)
