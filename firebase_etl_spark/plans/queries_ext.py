@@ -1068,10 +1068,14 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def lineitem_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate percentiles (Greenwald-Khanna sketch) next to exact —
-    the 100 TB quantile plan: mergeable per-partition sketches, no sort.
-    Sketches are engine-specific, so rows-only; the accuracy bound vs the
-    exact percentile is pinned in pytest."""
+    """Approximate percentiles (Greenwald-Khanna sketch) — the 100 TB
+    quantile plan: mergeable per-partition sketches, no sort. The sketch
+    is the whole point, so the plan is SKETCH-ONLY (an exact percentile
+    alongside would reintroduce the per-group sorted materialization the
+    sketch exists to avoid — same reasoning as the HLL query). Sketches
+    are engine-specific, so rows-only; the <1% error bound vs the exact
+    percentile is pinned in pytest (tests/test_catalog_stats.py, which
+    computes the exact side itself)."""
     li = load_table(spark, "lineitem", sf_dir)
     return (
         li.groupBy("l_returnflag")
@@ -1079,14 +1083,11 @@ def lineitem_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "approx_percentile(l_extendedprice, array(0.5, 0.9), 1000)"
             ).alias("__ap"),
-            F.expr("percentile(l_extendedprice, array(0.5, 0.9))").alias("__ep"),
         )
         .select(
             "l_returnflag",
             F.round(F.element_at("__ap", 1), 2).alias("approx_p50"),
             F.round(F.element_at("__ap", 2), 2).alias("approx_p90"),
-            F.round(F.element_at("__ep", 1), 2).alias("exact_p50"),
-            F.round(F.element_at("__ep", 2), 2).alias("exact_p90"),
         )
         .orderBy("l_returnflag")
     )
