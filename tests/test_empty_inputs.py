@@ -115,3 +115,53 @@ def test_empty_bpe_vocab(spark, empty_docs):
     from firebase_etl_spark.operators.bpe import bpe_vocab
 
     assert bpe_vocab(empty_docs, spark, n_merges=3).count() == 0
+
+
+def test_empty_dsir_log_weights(spark, empty_docs):
+    from pyspark.sql import functions as F
+
+    from firebase_etl_spark.operators.dsir import dsir_log_weights
+
+    out = dsir_log_weights(empty_docs, target=F.col("lang") == "en")
+    assert out.count() == 0
+    assert set(out.columns) == {"doc_id", "n_tokens", "log_weight"}
+
+
+def test_empty_random_projection_and_rp_topk(spark):
+    from firebase_etl_spark.operators import similarity as SIM
+
+    empty_emb = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    )
+    planes = SIM.rp_planes(out_dim=4, in_dim=3, seed=1)
+    assert SIM.random_projection(empty_emb, planes).count() == 0
+    assert SIM.rp_topk(empty_emb, [0, 1], planes, k=5).count() == 0
+
+
+def test_synth_partsupp_covers_catalog_on_empty_lineitem(spark, tmp_path):
+    """With no lineitem rows the synthetic PARTSUPP must still produce the
+    4-per-part catalog baseline (never-ordered parts keep suppliers)."""
+    import pyspark.sql.functions as F
+
+    from firebase_etl_spark.plans.queries import synth_partsupp
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [], "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double"
+    ).write.parquet(f"{d}/lineitem.parquet")
+    spark.createDataFrame(
+        [(i,) for i in range(6)], "p_partkey long"
+    ).write.parquet(f"{d}/part.parquet")
+    spark.createDataFrame(
+        [(i,) for i in range(8)], "s_suppkey long"
+    ).write.parquet(f"{d}/supplier.parquet")
+    ps = synth_partsupp(spark, d)
+    rows = ps.collect()
+    assert len(rows) == 24  # 6 parts x 4 suppliers, all distinct
+    per_part = ps.groupBy("ps_partkey").count().collect()
+    assert all(r["count"] == 4 for r in per_part)
+    assert all(
+        0 <= r["ps_suppkey"] < 8 and r["ps_availqty"] >= 1
+        and r["ps_supplycost"] >= 100.0
+        for r in rows
+    )
