@@ -86,9 +86,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_lsh": QX.embedding_topk_lsh,
         "embedding_topk_quantized": QX.embedding_topk_quantized,
         "doc_gopher_quality_report": QX.doc_gopher_quality_report,
-        "users_pipeline_report": QX.users_pipeline_report,
+        "orders_sqlstore_partitioned_scan": QX.orders_sqlstore_partitioned_scan,
         "documents_dsir_weights": QX.documents_dsir_weights,
         # ---- outside the 50-query window (all previously driver-green) ----
+        "users_pipeline_report": QX.users_pipeline_report,
         "events_asof_orders": QX.events_asof_orders,
         "lineitem_set_ops": QX.lineitem_set_ops,
         "documents_clean_corpus": QX.documents_clean_corpus,

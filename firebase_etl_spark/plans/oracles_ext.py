@@ -2456,3 +2456,12 @@ ORACLES_EXT["documents_dsir_weights"] = """
     FROM documents JOIN scores USING (doc_id)
     GROUP BY lang ORDER BY lang
 """
+
+
+ORACLES_EXT["orders_sqlstore_partitioned_scan"] = """
+    SELECT o_orderpriority, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price,
+           count(DISTINCT o_custkey) AS n_customers
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""

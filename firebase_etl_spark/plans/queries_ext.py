@@ -2529,3 +2529,58 @@ def documents_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def orders_sqlstore_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8-S10 LIVE (the JDBC read contract against a real database —
+    sources/sqlstore_datasource.py; the jar-less container keeps
+    sources/jdbc.py mock-tested): materialize the orders table into a
+    DuckDB warehouse file once per sf_dir (INPUT fixture, same pattern as
+    the RTDB export), scan it back as an 8-way partitionColumn range scan
+    with the status filter COMPILED INTO the database WHERE clause
+    (pushFilters), aggregate per priority. The oracle computes the
+    identical aggregate straight from the parquet table, so a green row
+    proves partition striping loses/duplicates nothing and in-database
+    filtering matches Spark-side semantics (reference
+    sql_extraction.py:38-105,205-250)."""
+    import os
+
+    from firebase_etl_spark.sources.sqlstore_datasource import (
+        SqlStoreDataSource,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/spark_graft_sqlstore_{tag}.duckdb"
+    if not os.path.exists(path):
+        import duckdb
+
+        tmp = f"{path}.tmp.{os.getpid()}"
+        con = duckdb.connect(tmp)
+        try:
+            con.execute(
+                "CREATE TABLE orders AS SELECT * FROM read_parquet(?)",
+                [f"{sf_dir}/orders.parquet"],
+            )
+        finally:
+            con.close()
+        os.replace(tmp, path)  # atomic: concurrent callers see old or new
+    spark.dataSource.register(SqlStoreDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    o = (
+        spark.read.format("sqlstore")
+        .option("path", path)
+        .option("table", "orders")
+        .option("partitionColumn", "o_orderkey")
+        .option("numPartitions", "8")
+        .load()
+    )
+    return (
+        o.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -1,0 +1,249 @@
+"""Custom Python DataSource (Spark 4 API): live partitioned scan of an
+embedded SQL database — the JDBC S8-S10 semantics, demonstrable in an
+environment that ships no JDBC driver jar.
+
+``sources/jdbc.py`` builds the real ``spark.read.jdbc`` config (reference
+sql_extraction.py:38-105, 205-250) but can only be mock-tested here. This
+source executes the SAME read contract against a DuckDB database file, so
+partitioned range scans, schema introspection, and predicate pushdown into
+the database are all exercised LIVE and oracle-checked:
+
+- ``schema()``: one driver-side ``LIMIT 0`` probe (the reference's
+  schema-introspection pattern, sql_extraction.py:306-307) — no rows move.
+- ``partitions()``: splits a numeric ``partitionColumn`` into
+  ``numPartitions`` contiguous ranges, exactly like Spark's JDBC
+  ``lowerBound/upperBound`` striding; bounds come from the options or from
+  one driver-side MIN/MAX probe. First/last stripes are unbounded (plus an
+  IS NULL catch-all on the first), so no row outside the bounds is lost —
+  the same safety rule as Spark's JDBC source.
+- ``pushFilters()``: comparison/IN/null/prefix predicates compile into the
+  WHERE clause of the per-partition SELECT — filtering happens inside the
+  database (S9), not after transfer. Unsupported filters stay with Spark.
+- ``read()``: each task opens its own read-only connection and yields
+  Arrow record batches straight from the database's result stream — no
+  per-row Python materialization on the transfer path.
+
+Usage::
+
+    spark.dataSource.register(SqlStoreDataSource)
+    df = (spark.read.format("sqlstore")
+          .option("path", "/data/warehouse.duckdb")
+          .option("table", "orders")
+          .option("partitionColumn", "o_orderkey")
+          .option("numPartitions", "8").load())
+
+At 100 TB the same reader shape points at a sharded OLTP fleet or a REST
+range API: partitions() stays O(1) planning, read() fetches one shard.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+    StringStartsWith,
+)
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+#: DuckDB type name -> Spark type (the star-schema surface; extend as needed)
+_TYPE_MAP = {
+    "BIGINT": LongType(),
+    "INTEGER": IntegerType(),
+    "DOUBLE": DoubleType(),
+    "DECIMAL": DoubleType(),  # read-side CAST keeps the Arrow type aligned
+    "FLOAT": DoubleType(),
+    "VARCHAR": StringType(),
+    "TIMESTAMP": TimestampType(),
+}
+
+#: Spark type -> database CAST target used in the per-partition SELECT, so
+#: the Arrow batches coming off the cursor always match the declared schema
+#: (a DECIMAL column would otherwise arrive as arrow decimal128 and be
+#: rejected against the DoubleType field)
+_CAST_MAP = {
+    LongType(): "BIGINT",
+    IntegerType(): "INTEGER",
+    DoubleType(): "DOUBLE",
+    StringType(): "VARCHAR",
+    TimestampType(): "TIMESTAMP",
+}
+
+
+def _sql_literal(v) -> str:
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    return repr(v)
+
+
+def _quote_ident(name: str) -> str:
+    return '"' + name.replace('"', '""') + '"'
+
+
+class SqlRangePartition(InputPartition):
+    def __init__(self, where: str):
+        self.where = where  # the range predicate owned by this split
+
+
+class SqlStoreReader(DataSourceReader):
+    def __init__(self, options: dict, schema: StructType):
+        self.path = options.get("path")
+        self.table = options.get("table")
+        if not self.path or not self.table:
+            raise ValueError("sqlstore requires options 'path' and 'table'")
+        self.schema = schema
+        self.partition_column = options.get("partitioncolumn")
+        self.num_partitions = int(options.get("numpartitions", 1))
+        self.lower = options.get("lowerbound")
+        self.upper = options.get("upperbound")
+        self.pushed: list[str] = []  # WHERE fragments compiled from filters
+
+    # -- predicate pushdown (S9): compile into the database WHERE clause --
+    def pushFilters(self, filters):  # noqa: N802 (API name)
+        ops = {
+            EqualTo: "=",
+            GreaterThan: ">",
+            GreaterThanOrEqual: ">=",
+            LessThan: "<",
+            LessThanOrEqual: "<=",
+        }
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if not attr or len(attr) != 1:  # nested columns stay with Spark
+                yield f
+                continue
+            col = _quote_ident(attr[0])
+            t = type(f)
+            if t in ops:
+                self.pushed.append(f"{col} {ops[t]} {_sql_literal(f.value)}")
+            elif t is In:
+                vals = ", ".join(_sql_literal(v) for v in f.value)
+                self.pushed.append(f"{col} IN ({vals})")
+            elif t is IsNull:
+                self.pushed.append(f"{col} IS NULL")
+            elif t is IsNotNull:
+                self.pushed.append(f"{col} IS NOT NULL")
+            elif t is StringStartsWith:
+                pat = f.value.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+                self.pushed.append(
+                    f"{col} LIKE {_sql_literal(pat + '%')} ESCAPE '\\'"
+                )
+            else:
+                yield f  # unsupported -> Spark evaluates it post-scan
+
+    def _connect(self):
+        import duckdb
+
+        return duckdb.connect(self.path, read_only=True)
+
+    def partitions(self) -> Sequence[InputPartition]:
+        if not self.partition_column or self.num_partitions <= 1:
+            return [SqlRangePartition("TRUE")]
+        pc = _quote_ident(self.partition_column)
+        if self.lower is None or self.upper is None:
+            # one driver-side MIN/MAX probe (JDBC makes you pass bounds;
+            # an embedded database can afford to ask)
+            con = self._connect()
+            try:
+                lo, hi = con.execute(
+                    f"SELECT min({pc}), max({pc}) FROM {_quote_ident(self.table)}"
+                ).fetchone()
+            finally:
+                con.close()
+            if lo is None:  # empty table
+                return [SqlRangePartition("TRUE")]
+        else:
+            lo, hi = int(self.lower), int(self.upper)
+        lo, hi = int(lo), int(hi)
+        n = max(1, min(self.num_partitions, hi - lo + 1))
+        step = max(1, (hi - lo) // n)
+        cuts = [lo + i * step for i in range(1, n)]
+        parts: list[SqlRangePartition] = []
+        prev: int | None = None
+        for c in cuts + [None]:
+            if prev is None and c is not None:
+                # first stripe unbounded below + NULL catch-all (JDBC rule)
+                parts.append(
+                    SqlRangePartition(f"({pc} < {c} OR {pc} IS NULL)")
+                )
+            elif prev is None and c is None:
+                parts.append(SqlRangePartition("TRUE"))
+            elif c is None:
+                parts.append(SqlRangePartition(f"{pc} >= {prev}"))
+            else:
+                parts.append(SqlRangePartition(f"{pc} >= {prev} AND {pc} < {c}"))
+            prev = c
+        return parts
+
+    def read(self, partition: SqlRangePartition) -> Iterator:
+        con = self._connect()
+        try:
+            cols = ", ".join(
+                f"CAST({_quote_ident(f.name)} AS {_CAST_MAP[f.dataType]})"
+                f" AS {_quote_ident(f.name)}"
+                for f in self.schema.fields
+            )
+            where = " AND ".join([partition.where] + self.pushed)
+            cur = con.execute(
+                f"SELECT {cols} FROM {_quote_ident(self.table)} WHERE {where}"
+            )
+            # Arrow batches straight off the database cursor: the transfer
+            # path never materializes Python row objects
+            reader = cur.fetch_record_batch(rows_per_batch=16384)
+            while True:
+                try:
+                    yield reader.read_next_batch()
+                except StopIteration:
+                    break
+        finally:
+            con.close()
+
+
+class SqlStoreDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "sqlstore"
+
+    def schema(self) -> StructType:
+        import duckdb
+
+        opts = {k.lower(): v for k, v in self.options.items()}
+        con = duckdb.connect(opts["path"], read_only=True)
+        try:
+            desc = con.execute(
+                f"DESCRIBE SELECT * FROM {_quote_ident(opts['table'])} LIMIT 0"
+            ).fetchall()
+        finally:
+            con.close()
+        fields = []
+        for name, typ, *_ in desc:
+            base = typ.split("(")[0].upper()
+            if base not in _TYPE_MAP:
+                raise ValueError(f"sqlstore: unmapped database type {typ!r}")
+            fields.append(StructField(name, _TYPE_MAP[base], True))
+        return StructType(fields)
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return SqlStoreReader(
+            {k.lower(): v for k, v in self.options.items()}, schema
+        )

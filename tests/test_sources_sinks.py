@@ -356,3 +356,66 @@ def test_rtdb_datasource_conjoined_key_filters_intersect(tmp_path):
     )
     assert leftover2 == []
     assert r2.key_filter == set()  # contradictory conjunction => no rows
+
+
+def test_sqlstore_partitioned_scan_complete_and_pushed(spark, tmp_path):
+    """Live partitioned scan of a DuckDB file: (1) 8-way range striping
+    loses and duplicates nothing vs the source table; (2) a filter on a
+    non-partition column is CONSUMED into the database WHERE clause;
+    (3) schema introspection maps the database types."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from firebase_etl_spark.sources.sqlstore_datasource import (
+        SqlStoreDataSource,
+        SqlStoreReader,
+    )
+
+    db = str(tmp_path / "w.duckdb")
+    con = duckdb.connect(db)
+    con.execute(
+        "CREATE TABLE t AS SELECT range AS id, "
+        "CASE WHEN range % 3 = 0 THEN 'a' ELSE 'b' END AS grp, "
+        "range * 1.5 AS val FROM range(1000)"
+    )
+    con.close()
+
+    spark.dataSource.register(SqlStoreDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    df = (
+        spark.read.format("sqlstore")
+        .option("path", db)
+        .option("table", "t")
+        .option("partitionColumn", "id")
+        .option("numPartitions", "8")
+        .load()
+    )
+    assert [f.name for f in df.schema.fields] == ["id", "grp", "val"]
+    assert df.count() == 1000
+    assert df.select(F.sum("id")).collect()[0][0] == 999 * 1000 // 2
+    assert df.select("id").distinct().count() == 1000  # no dup stripes
+    got = df.filter(F.col("grp") == "a").count()
+    assert got == 334  # 0,3,...,999
+
+    # pushFilters consumes supported predicates (unit-level)
+    from pyspark.sql.datasource import EqualTo, GreaterThan, StringStartsWith
+
+    r = SqlStoreReader(
+        {"path": db, "table": "t", "partitioncolumn": "id",
+         "numpartitions": "4"},
+        df.schema,
+    )
+    leftover = list(
+        r.pushFilters(
+            [EqualTo(("grp",), "a"), GreaterThan(("id",), 10),
+             StringStartsWith(("grp",), "a%c")]
+        )
+    )
+    assert leftover == []  # all three compiled into SQL
+    assert any("\"grp\" = 'a'" in p for p in r.pushed)
+    assert any('"id" > 10' in p for p in r.pushed)
+    assert any("LIKE" in p and "ESCAPE" in p for p in r.pushed)
+    # partition stripes: unbounded first (with NULL catch-all) and last
+    parts = r.partitions()
+    assert len(parts) == 4
+    assert "IS NULL" in parts[0].where and parts[-1].where.startswith('"id" >=')
