@@ -42,6 +42,7 @@ from collections.abc import Iterator, Sequence
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualTo,
     GreaterThan,
@@ -53,6 +54,7 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     StringStartsWith,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import (
     DoubleType,
@@ -247,3 +249,123 @@ class SqlStoreDataSource(DataSource):
         return SqlStoreReader(
             {k.lower(): v for k, v in self.options.items()}, schema
         )
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return SqlStoreWriter(
+            {k.lower(): v for k, v in self.options.items()}, overwrite
+        )
+
+
+class SqlStageCommit(WriterCommitMessage):
+    def __init__(self, staged_path: str, num_rows: int):
+        self.staged_path = staged_path
+        self.num_rows = num_rows
+
+
+class SqlStoreWriter(DataSourceArrowWriter):
+    """Two-phase batched load into the database — the K3 (batched append)
+    and K5 (delete-then-insert upsert) sink semantics, live (reference
+    postgres_loader.py:293-326 commits per batch; sinks/merge.py holds
+    the Spark-side MERGE shapes):
+
+    1. ``write`` (per task, parallel): stream the task's Arrow batches
+       into ONE staged parquet file — no database connection, no lock
+       contention, scales with the cluster.
+    2. ``commit`` (driver, once): a SINGLE transaction applies every
+       staged file — optional key-delete first (upsert), then
+       INSERT BY NAME from all files. All-or-nothing: a mid-load failure
+       rolls back and the table never shows a partial job (exactly the
+       reference's execute_batch contract, one transaction per JOB
+       instead of its per-row commits).
+    3. ``abort``: staged files are deleted; the table is untouched.
+
+    An embedded database is single-writer, so funneling the final apply
+    through the driver is REQUIRED here — and it is also the correct
+    shape for a real warehouse (Snowflake/Redshift COPY from staged
+    files; JDBC MERGE from a temp table): executors produce files,
+    one coordinator runs one transactional statement."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        import uuid
+
+        self.path = options.get("path")
+        self.table = options.get("table")
+        if not self.path or not self.table:
+            raise ValueError("sqlstore requires options 'path' and 'table'")
+        self.overwrite = overwrite
+        # comma-separated key columns switch commit to upsert semantics
+        keys = options.get("upsertkeys", "")
+        self.upsert_keys = [k.strip() for k in keys.split(",") if k.strip()]
+        self.staging = f"{self.path}.staging-{uuid.uuid4().hex}"
+
+    def write(self, iterator) -> SqlStageCommit:
+        import os
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(self.staging, exist_ok=True)
+        staged = os.path.join(self.staging, f"part-{uuid.uuid4().hex}.parquet")
+        writer = None
+        n = 0
+        try:
+            for batch in iterator:
+                if writer is None:
+                    writer = pq.ParquetWriter(staged, batch.schema)
+                writer.write_table(pa.Table.from_batches([batch]))
+                n += len(batch)
+        finally:
+            if writer is not None:
+                writer.close()
+        if writer is None:
+            return SqlStageCommit("", 0)  # empty task: nothing staged
+        return SqlStageCommit(staged, n)
+
+    def _apply_sql(self, files: list[str]) -> list[str]:
+        import duckdb  # noqa: F401  (driver-side dependency check)
+
+        t = _quote_ident(self.table)
+        files_sql = "[" + ", ".join(_sql_literal(f) for f in files) + "]"
+        src = f"read_parquet({files_sql})"
+        stmts = ["BEGIN"]
+        if self.overwrite:
+            stmts.append(f"DELETE FROM {t}")
+        elif self.upsert_keys:
+            on = " AND ".join(
+                f"{t}.{_quote_ident(k)} = s.{_quote_ident(k)}"
+                for k in self.upsert_keys
+            )
+            stmts.append(
+                f"DELETE FROM {t} WHERE EXISTS "
+                f"(SELECT 1 FROM {src} s WHERE {on})"
+            )
+        stmts.append(f"INSERT INTO {t} BY NAME SELECT * FROM {src}")
+        stmts.append("COMMIT")
+        return stmts
+
+    def commit(self, messages) -> None:
+        import shutil
+
+        import duckdb
+
+        files = [
+            m.staged_path
+            for m in messages
+            if m is not None and m.staged_path
+        ]
+        try:
+            if files:
+                con = duckdb.connect(self.path)
+                try:
+                    for stmt in self._apply_sql(files):
+                        con.execute(stmt)
+                finally:
+                    con.close()
+        finally:
+            shutil.rmtree(self.staging, ignore_errors=True)
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(self.staging, ignore_errors=True)

@@ -419,3 +419,62 @@ def test_sqlstore_partitioned_scan_complete_and_pushed(spark, tmp_path):
     parts = r.partitions()
     assert len(parts) == 4
     assert "IS NULL" in parts[0].where and parts[-1].where.startswith('"id" >=')
+
+
+def test_sqlstore_writer_two_phase_append_upsert_overwrite(spark, tmp_path):
+    """K3/K5 live through the sqlstore writer: staged-parquet tasks, one
+    driver transaction. Append adds rows; upsert (delete-then-insert on
+    the key) replaces matches and inserts the rest; overwrite truncates
+    first; the staging directory is gone after every job."""
+    import glob
+
+    import duckdb
+
+    from firebase_etl_spark.sources.sqlstore_datasource import (
+        SqlStoreDataSource,
+    )
+
+    db = str(tmp_path / "w.duckdb")
+    con = duckdb.connect(db)
+    con.execute(
+        "CREATE TABLE kv (id BIGINT, val VARCHAR)"
+    )
+    con.execute("INSERT INTO kv VALUES (1, 'one'), (2, 'two')")
+    con.close()
+    spark.dataSource.register(SqlStoreDataSource)
+
+    def table_rows():
+        c = duckdb.connect(db, read_only=True)
+        try:
+            return sorted(c.execute("SELECT * FROM kv").fetchall())
+        finally:
+            c.close()
+
+    def w(df):
+        return df.write.format("sqlstore").option("path", db).option(
+            "table", "kv"
+        )
+
+    # append (K3): batched, one transaction
+    w(spark.createDataFrame([(3, "three")], "id long, val string")).mode(
+        "append"
+    ).save()
+    assert table_rows() == [(1, "one"), (2, "two"), (3, "three")]
+
+    # upsert (K5): key match replaced, new key inserted
+    up = spark.createDataFrame(
+        [(2, "TWO"), (4, "four")], "id long, val string"
+    )
+    w(up).option("upsertKeys", "id").mode("append").save()
+    assert table_rows() == [
+        (1, "one"), (2, "TWO"), (3, "three"), (4, "four"),
+    ]
+
+    # overwrite: truncate-then-load in the same transaction
+    w(spark.createDataFrame([(9, "nine")], "id long, val string")).mode(
+        "overwrite"
+    ).save()
+    assert table_rows() == [(9, "nine")]
+
+    # no staging litter left behind
+    assert glob.glob(f"{db}.staging-*") == []
