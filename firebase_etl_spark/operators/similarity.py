@@ -36,8 +36,18 @@ def dot(a, b) -> Column:
 def dot_unrolled(a, b, dim: int) -> Column:
     """Dot product unrolled at plan-build time for a known dimension: a flat
     sum of element_at products — no intermediate array allocation per row
-    (zip_with materializes one), ~2× faster inside hot pairwise joins.
-    Left-to-right addition matches sequential summation order."""
+    (zip_with materializes one). Left-to-right addition matches sequential
+    summation order, so results are bit-equal to ``dot``.
+
+    Measured caveat: per-expression evaluation is faster, but the 2*dim-
+    term tree costs real codegen COMPILE time in every stage it appears in
+    — at the gate corpus (10^4-10^5 pairs) the compile overhead exceeds
+    the interpreted savings (A/B: cosine_topk 1.8-2.3s unrolled vs
+    1.3-1.6s aggregate at sf0.1), and a dim of 32+ referenced many times
+    risks the 64KB method limit entirely (see random_projection, which
+    uses an Arrow pandas_udf instead). Unrolling pays only when the pair
+    count per compiled stage is large enough to amortize — measure before
+    wiring it into a query."""
     expr = None
     for i in range(1, dim + 1):
         term = F.element_at(a, i) * F.element_at(b, i)
@@ -73,11 +83,10 @@ def cosine_topk(
     via window with (similarity desc, id asc) — fully deterministic given
     6-dp rounding. Returns (query_id, vec_id, cosine_sim, rank).
 
-    Pass ``dim`` when the embedding width is statically known: the pairwise
-    dot then unrolls into a flat codegen'd sum (dot_unrolled — identical
-    left-to-right IEEE order, so results are bit-equal to the aggregate
-    form and the oracle) instead of an interpreted higher-order aggregate
-    in the probes x corpus hot join."""
+    Pass ``dim`` to unroll the pairwise dot (dot_unrolled — bit-equal
+    results) when the pair count amortizes the larger codegen; at the gate
+    corpus sizes the aggregate form measures FASTER (see dot_unrolled's
+    caveat), so the shipped queries leave dim unset."""
     vecs = df.select(
         F.col(id_col), normalized(_to_double(F.col(vec_col))).alias("v")
     )
@@ -491,6 +500,7 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF-Flat ANN: coarse-quantize every vector to its nearest centroid
     cell, probe only the ``n_probe`` cells closest to each query, exact
@@ -508,7 +518,12 @@ def ivf_topk(
 
     Cosines are rounded to 6dp BEFORE the argmin/rank so Spark and the
     DuckDB oracle pick identical winners; ties break on lower cell/vec id.
+    Pass ``dim`` to unroll both hot dots (bit-identical) when the pair
+    count amortizes the larger codegen — see dot_unrolled's caveat.
     """
+    def _dot(a, b):
+        return dot_unrolled(a, b, dim) if dim else dot(a, b)
+
     seeds = seed_ids if seed_ids is not None else [i * 31 for i in range(16)]
     vecs = df.select(
         F.col(id_col), normalized(_to_double(F.col(vec_col))).alias("v")
@@ -521,7 +536,7 @@ def ivf_topk(
     sims = vecs.crossJoin(cents).select(
         id_col,
         "cell",
-        F.round(dot(F.col("v"), F.col("cv")), 6).alias("cos"),
+        F.round(_dot(F.col("v"), F.col("cv")), 6).alias("cos"),
     )
     # nearest cell per vector: partial-aggregable argmax, ties -> lower cell
     assign = sims.groupBy(id_col).agg(
@@ -545,7 +560,7 @@ def ivf_topk(
         .select(
             "query_id",
             id_col,
-            F.round(dot(F.col("v"), F.col("q")), 6).alias("cosine_sim"),
+            F.round(_dot(F.col("v"), F.col("q")), 6).alias("cosine_sim"),
         )
     )
     wr = Window.partitionBy("query_id").orderBy(

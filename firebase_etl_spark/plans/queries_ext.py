@@ -161,7 +161,7 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "embeddings", sf_dir)
-    return SIM.cosine_topk(e, QUERY_VEC_IDS, k=10, dim=64)
+    return SIM.cosine_topk(e, QUERY_VEC_IDS, k=10)
 
 
 def embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
