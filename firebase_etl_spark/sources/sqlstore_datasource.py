@@ -44,6 +44,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -255,6 +256,11 @@ class SqlStoreDataSource(DataSource):
             {k.lower(): v for k, v in self.options.items()}, overwrite
         )
 
+    def streamWriter(self, schema: StructType, overwrite: bool):  # noqa: N802
+        return SqlStoreStreamWriter(
+            {k.lower(): v for k, v in self.options.items()}, overwrite
+        )
+
 
 class SqlStageCommit(WriterCommitMessage):
     def __init__(self, staged_path: str, num_rows: int):
@@ -369,3 +375,121 @@ class SqlStoreWriter(DataSourceArrowWriter):
         import shutil
 
         shutil.rmtree(self.staging, ignore_errors=True)
+
+
+class SqlStoreStreamWriter(DataSourceStreamArrowWriter):
+    """Streaming loads into the database, one TRANSACTION per microbatch
+    with an exactly-once batch ledger (the streaming face of
+    SqlStoreWriter's two-phase pattern):
+
+    - ``write`` (per task): stage the task's Arrow batches as one parquet
+      file — identical to the batch writer; no database connection.
+    - ``commit(messages, batchId)`` (driver, per microbatch): ONE
+      transaction that (a) skips the batch entirely if ``batchId`` is
+      already in the ``__sqlstore_batches`` ledger for this sink — a
+      replayed microbatch after a crash applies ZERO rows twice —
+      (b) otherwise applies the optional key-delete (upsert) + INSERT BY
+      NAME from every staged file AND records the batch id. Ledger row
+      and data rows commit atomically, which is the textbook
+      transactional-sink exactly-once recipe (the same idempotent-commit
+      contract Structured Streaming's foreachBatch documentation asks
+      sinks to implement).
+    - staged files are deleted after commit/abort; the writer instance is
+      recreated by Spark for every microbatch, so all state lives in the
+      database and the commit messages, never on the instance."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options.get("path")
+        self.table = options.get("table")
+        if not self.path or not self.table:
+            raise ValueError("sqlstore requires options 'path' and 'table'")
+        # ledger key: one logical sink per (table) unless overridden, so
+        # independent queries writing the same table declare themselves
+        self.sink_id = options.get("sinkid", f"sink:{self.table}")
+        keys = options.get("upsertkeys", "")
+        self.upsert_keys = [k.strip() for k in keys.split(",") if k.strip()]
+        self.staging = f"{self.path}.stream-staging"
+
+    # staging identical to the batch writer, minus instance-shared state
+    def write(self, iterator) -> SqlStageCommit:
+        import os
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(self.staging, exist_ok=True)
+        staged = os.path.join(self.staging, f"part-{uuid.uuid4().hex}.parquet")
+        writer = None
+        n = 0
+        try:
+            for batch in iterator:
+                if writer is None:
+                    writer = pq.ParquetWriter(staged, batch.schema)
+                writer.write_table(pa.Table.from_batches([batch]))
+                n += len(batch)
+        finally:
+            if writer is not None:
+                writer.close()
+        if writer is None:
+            return SqlStageCommit("", 0)
+        return SqlStageCommit(staged, n)
+
+    def _cleanup(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and m.staged_path:
+                try:
+                    os.remove(m.staged_path)
+                except OSError:
+                    pass
+
+    def commit(self, messages, batchId) -> None:  # noqa: N803 (API name)
+        import duckdb
+
+        files = [
+            m.staged_path for m in messages if m is not None and m.staged_path
+        ]
+        try:
+            con = duckdb.connect(self.path)
+            try:
+                t = _quote_ident(self.table)
+                con.execute(
+                    "CREATE TABLE IF NOT EXISTS __sqlstore_batches "
+                    "(sink_id VARCHAR, batch_id BIGINT)"
+                )
+                con.execute("BEGIN")
+                applied = con.execute(
+                    "SELECT count(*) FROM __sqlstore_batches "
+                    "WHERE sink_id = ? AND batch_id = ?",
+                    [self.sink_id, batchId],
+                ).fetchone()[0]
+                if applied == 0 and files:
+                    files_sql = (
+                        "[" + ", ".join(_sql_literal(f) for f in files) + "]"
+                    )
+                    src = f"read_parquet({files_sql})"
+                    if self.upsert_keys:
+                        on = " AND ".join(
+                            f"{t}.{_quote_ident(k)} = s.{_quote_ident(k)}"
+                            for k in self.upsert_keys
+                        )
+                        con.execute(
+                            f"DELETE FROM {t} WHERE EXISTS "
+                            f"(SELECT 1 FROM {src} s WHERE {on})"
+                        )
+                    con.execute(f"INSERT INTO {t} BY NAME SELECT * FROM {src}")
+                if applied == 0:
+                    con.execute(
+                        "INSERT INTO __sqlstore_batches VALUES (?, ?)",
+                        [self.sink_id, batchId],
+                    )
+                con.execute("COMMIT")
+            finally:
+                con.close()
+        finally:
+            self._cleanup(messages)
+
+    def abort(self, messages, batchId) -> None:  # noqa: N803 (API name)
+        self._cleanup(messages)

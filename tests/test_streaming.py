@@ -210,3 +210,73 @@ def test_stream_static_enrichment_segments_are_closed_windows(spark):
     wm = max_ts - dt.timedelta(minutes=10)
     assert all(r["window_start"] + dt.timedelta(hours=1) <= wm for r in rows)
     assert sum(r["n_events"] for r in rows) <= n_events
+
+
+def test_sqlstore_stream_writer_exactly_once(spark, tmp_path):
+    """Streaming loads into the database: one transaction per microbatch,
+    and a replayed batchId (crash-recovery replay) applies ZERO rows twice
+    — the ledger row and the data rows commit atomically."""
+    import duckdb
+
+    from firebase_etl_spark.sources.sqlstore_datasource import (
+        SqlStoreDataSource,
+    )
+
+    db = str(tmp_path / "w.duckdb")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE ev (id BIGINT, v VARCHAR)")
+    con.close()
+    spark.dataSource.register(SqlStoreDataSource)
+
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    ).repartition(2).write.parquet(src)
+
+    def run_stream():
+        q = (
+            spark.readStream.schema("id long, v string")
+            .parquet(src)
+            .writeStream.format("sqlstore")
+            .option("path", db)
+            .option("table", "ev")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_stream()
+
+    def rows():
+        c = duckdb.connect(db, read_only=True)
+        try:
+            return sorted(c.execute("SELECT * FROM ev").fetchall())
+        finally:
+            c.close()
+
+    assert rows() == [(1, "a"), (2, "b"), (3, "c")]
+
+    # same checkpoint, no new input: nothing new is applied
+    run_stream()
+    assert rows() == [(1, "a"), (2, "b"), (3, "c")]
+
+    # direct replay of an ALREADY-COMMITTED batch id (the crash-recovery
+    # path): the ledger makes the second commit a no-op
+    from firebase_etl_spark.sources.sqlstore_datasource import (
+        SqlStageCommit,
+        SqlStoreStreamWriter,
+    )
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    w = SqlStoreStreamWriter({"path": db, "table": "ev"}, overwrite=False)
+    staged = str(tmp_path / "replay.parquet")
+    pq.write_table(
+        pa.table({"id": [99], "v": ["dup"]}), staged
+    )
+    w.commit([SqlStageCommit(staged, 1)], batchId=777)
+    assert (99, "dup") in rows()
+    pq.write_table(pa.table({"id": [99], "v": ["dup"]}), staged)
+    w.commit([SqlStageCommit(staged, 1)], batchId=777)  # replay
+    assert rows().count((99, "dup")) == 1
