@@ -92,10 +92,21 @@ _CAST_MAP = {
 
 
 def _sql_literal(v) -> str:
+    """Render a TRUSTED internal value (staged file paths, fixture SQL) as
+    a SQL literal. Pushed-down FILTER values never go through here — they
+    bind as ? parameters (see SqlStoreReader.pushFilters), because literal
+    rendering of arbitrary user values is an injection/truncation hazard
+    (NUL bytes end the statement early) and bare decimal literals parse as
+    DECIMAL, changing comparison semantics against DOUBLE columns."""
     if isinstance(v, str):
         return "'" + v.replace("'", "''") + "'"
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
+    if isinstance(v, float):
+        # a bare decimal literal parses as DECIMAL, silently changing
+        # comparison semantics against a DOUBLE column (hypothesis-caught);
+        # repr(float) round-trips exactly through the DOUBLE cast
+        return f"CAST({v!r} AS DOUBLE)"
     return repr(v)
 
 
@@ -119,7 +130,13 @@ class SqlStoreReader(DataSourceReader):
         self.num_partitions = int(options.get("numpartitions", 1))
         self.lower = options.get("lowerbound")
         self.upper = options.get("upperbound")
-        self.pushed: list[str] = []  # WHERE fragments compiled from filters
+        # WHERE fragments (with ? placeholders) + their bind values:
+        # pushed values travel as PARAMETERS, never inlined into the SQL
+        # text — literal rendering of arbitrary user values is an
+        # injection/truncation hazard (hypothesis found NUL bytes cutting
+        # the statement short and bare decimals changing float semantics)
+        self.pushed: list[str] = []
+        self.pushed_params: list = []
 
     # -- predicate pushdown (S9): compile into the database WHERE clause --
     def pushFilters(self, filters):  # noqa: N802 (API name)
@@ -138,19 +155,20 @@ class SqlStoreReader(DataSourceReader):
             col = _quote_ident(attr[0])
             t = type(f)
             if t in ops:
-                self.pushed.append(f"{col} {ops[t]} {_sql_literal(f.value)}")
+                self.pushed.append(f"{col} {ops[t]} ?")
+                self.pushed_params.append(f.value)
             elif t is In:
-                vals = ", ".join(_sql_literal(v) for v in f.value)
-                self.pushed.append(f"{col} IN ({vals})")
+                marks = ", ".join("?" for _ in f.value)
+                self.pushed.append(f"{col} IN ({marks})")
+                self.pushed_params.extend(f.value)
             elif t is IsNull:
                 self.pushed.append(f"{col} IS NULL")
             elif t is IsNotNull:
                 self.pushed.append(f"{col} IS NOT NULL")
             elif t is StringStartsWith:
                 pat = f.value.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
-                self.pushed.append(
-                    f"{col} LIKE {_sql_literal(pat + '%')} ESCAPE '\\'"
-                )
+                self.pushed.append(f"{col} LIKE ? ESCAPE '\\'")
+                self.pushed_params.append(pat + "%")
             else:
                 yield f  # unsupported -> Spark evaluates it post-scan
 
@@ -208,7 +226,8 @@ class SqlStoreReader(DataSourceReader):
             )
             where = " AND ".join([partition.where] + self.pushed)
             cur = con.execute(
-                f"SELECT {cols} FROM {_quote_ident(self.table)} WHERE {where}"
+                f"SELECT {cols} FROM {_quote_ident(self.table)} WHERE {where}",
+                self.pushed_params or None,
             )
             # Arrow batches straight off the database cursor: the transfer
             # path never materializes Python row objects

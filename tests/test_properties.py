@@ -97,3 +97,50 @@ def test_clean_string_null_domain(spark, values):
             assert g is None, f"{v!r} should clean to NULL, got {g!r}"
         else:
             assert g == v.strip()
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.text(max_size=40),
+            st.integers(-(10**12), 10**12),
+            st.floats(allow_nan=False, allow_infinity=False, width=64),
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_sqlstore_pushdown_binds_any_value_safely(values):
+    """Pushed filter values travel as bind PARAMETERS, so ANY string or
+    number — quotes, backslashes, NUL bytes, unicode, floats that would
+    parse as DECIMAL literals — must round-trip through the database
+    comparison and match exactly the stored value. (Literal inlining
+    failed this: NUL truncated the statement, bare decimals changed
+    float comparison semantics.)"""
+    import duckdb
+
+    from pyspark.sql.datasource import EqualTo
+
+    from firebase_etl_spark.sources.sqlstore_datasource import SqlStoreReader
+
+    for v in values:
+        r = SqlStoreReader({"path": "unused", "table": "t"}, None)
+        leftover = list(r.pushFilters([EqualTo(("c",), v)]))
+        assert leftover == []
+        typ = (
+            "DOUBLE"
+            if isinstance(v, float)
+            else ("BIGINT" if isinstance(v, int) else "VARCHAR")
+        )
+        con = duckdb.connect()
+        try:
+            con.execute(f"CREATE TABLE t (c {typ})")
+            con.execute("INSERT INTO t VALUES (?)", [v])
+            n = con.execute(
+                f"SELECT count(*) FROM t WHERE {' AND '.join(r.pushed)}",
+                r.pushed_params,
+            ).fetchone()[0]
+        finally:
+            con.close()
+        assert n == 1, (v, r.pushed, r.pushed_params)

@@ -412,9 +412,10 @@ def test_sqlstore_partitioned_scan_complete_and_pushed(spark, tmp_path):
         )
     )
     assert leftover == []  # all three compiled into SQL
-    assert any("\"grp\" = 'a'" in p for p in r.pushed)
-    assert any('"id" > 10' in p for p in r.pushed)
-    assert any("LIKE" in p and "ESCAPE" in p for p in r.pushed)
+    assert any('"grp" = ?' in p for p in r.pushed)
+    assert any('"id" > ?' in p for p in r.pushed)
+    assert any("LIKE ? ESCAPE" in p for p in r.pushed)
+    assert r.pushed_params == ["a", 10, "a\\%c%"]  # bound, never inlined
     # partition stripes: unbounded first (with NULL catch-all) and last
     parts = r.partitions()
     assert len(parts) == 4
