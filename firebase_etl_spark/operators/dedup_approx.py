@@ -24,7 +24,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from firebase_etl_spark.operators.text import fingerprint, token_set, word_shingles
+from firebase_etl_spark.operators.text import (
+    fingerprint,
+    token_set,
+    tokenize,
+    word_shingles,
+    word_shingles_of_tokens,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -168,10 +174,13 @@ def minhash_signatures(
             out.append((mixed.min(axis=1) >> np.uint64(1)).astype(np.int64))
         return pd.Series(out)
 
-    staged = df.select(
+    # two-projection tokenizer split (see word_shingles_of_tokens): the
+    # shingle tree references the token array shingle_n+1 times
+    staged = df.select(F.col(id_col), tokenize(text_col).alias("__t")).select(
         F.col(id_col),
         F.transform(
-            word_shingles(text_col, shingle_n), lambda s: F.xxhash64(s)
+            word_shingles_of_tokens(F.col("__t"), shingle_n),
+            lambda s: F.xxhash64(s),
         ).alias("__h"),
     )
     return staged.select(F.col(id_col), sig(F.col("__h")).alias("signature"))
@@ -242,7 +251,14 @@ def minhash_near_dups(
     same applies — materialize signatures (persist or a table) and join the
     cheap side back."""
     sigs = minhash_signatures(df, num_hashes, shingle_n, text_col, id_col).persist()
-    sh = df.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("sh")).persist()
+    sh = (
+        df.select(F.col(id_col), tokenize(text_col).alias("__t"))
+        .select(
+            F.col(id_col),
+            word_shingles_of_tokens(F.col("__t"), shingle_n).alias("sh"),
+        )
+        .persist()
+    )
     try:
         # count() materializes the persist and sizes the banded self-join:
         # bands x n_docs build rows at ~16 B broadcast comfortably up to
