@@ -75,20 +75,6 @@ def main() -> None:
     timings: dict[str, float] = {}
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
 
-    def _emit() -> None:
-        print(
-            json.dumps(
-                {
-                    "metric": "total_query_wall_time",
-                    "value": round(sum(timings.values()), 4),
-                    "unit": "sec",
-                    "queries": timings,
-                    "sf": float(sf),
-                }
-            ),
-            flush=True,
-        )
-
     def _emit_compact() -> None:
         """The driver archives only a 2000-char stdout tail, and a full
         per-query line for 130 queries is ~3 KB — so BENCH_r0N.json ended
@@ -145,11 +131,12 @@ def main() -> None:
             # (measured on simhash_near_dups: 2.8s steady vs 4-14s when
             # sharing a gc-debt window). Costs ~wall only, not timings.
             _release_session_state(spark)
-        # one complete JSON line per finished pass: if an external timeout
+        # one complete record per finished pass: if an external timeout
         # kills the process mid-pass-2, the last stdout line is still a
-        # full, valid result (pass-1 timings) instead of nothing
-        _emit()
-    _emit_compact()
+        # valid COMPACT result (pass-1 timings) that fits the driver's
+        # 2000-char tail — the full line only goes to BENCH_FULL.json,
+        # never stdout, so the tail can't end in a truncated record
+        _emit_compact()
     spark.stop()
 
 

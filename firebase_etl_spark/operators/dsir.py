@@ -59,19 +59,27 @@ def dsir_log_weights(
             F.count(F.lit(1)).alias("c_src"),
             F.sum(F.col("__tgt").cast("long")).alias("c_tgt"),
         )
-        totals = counts.agg(
+        # ONE aggregation job yields the exact-integer totals AND the
+        # vocabulary size for the broadcast decision (a separate
+        # counts.count() would re-run the token aggregate just for the
+        # hint); the scalars re-enter the plan as literals
+        tot = counts.agg(
             F.sum("c_src").alias("s_tot"),
             F.sum("c_tgt").alias("t_tot"),
             F.count(F.lit(1)).alias("v"),
-        )
-        ratio = counts.crossJoin(F.broadcast(totals)).select(
+        ).collect()[0]
+        # sums are NULL on an empty corpus (counts has no rows); the ratio
+        # plan is empty then too, so the zero denominators never evaluate
+        denom_t = F.lit(int(tot["t_tot"] or 0) + int(tot["v"]))
+        denom_s = F.lit(int(tot["s_tot"] or 0) + int(tot["v"]))
+        ratio = counts.select(
             "w",
             (
-                F.log((F.col("c_tgt") + 1) / (F.col("t_tot") + F.col("v")))
-                - F.log((F.col("c_src") + 1) / (F.col("s_tot") + F.col("v")))
+                F.log((F.col("c_tgt") + 1) / denom_t)
+                - F.log((F.col("c_src") + 1) / denom_s)
             ).alias("log_ratio"),
         )
-        if counts.count() <= BROADCAST_MAX_ROWS:
+        if int(tot["v"]) <= BROADCAST_MAX_ROWS:
             ratio = F.broadcast(ratio)
         out = (
             toks.join(ratio, "w")

@@ -678,11 +678,25 @@ def random_projection(
     P = np.array(planes, dtype=np.float64)  # out_dim x in_dim
     nrm = bool(normalize_first)
 
+    in_dim = P.shape[1]
+
     @F.pandas_udf("array<double>")
     def _proj(v: pd.Series) -> pd.Series:
         if len(v) == 0:
             return pd.Series([], dtype=object)
-        M = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        # NULL or wrong-width embeddings project to NULL (the Column-
+        # expression formulation null-propagates the same way) instead of
+        # crashing np.stack on a ragged batch
+        vals = [
+            np.asarray(x, dtype=np.float64)
+            if x is not None and len(x) == in_dim
+            else None
+            for x in v
+        ]
+        ok = [x for x in vals if x is not None]
+        if not ok:
+            return pd.Series([None] * len(vals), dtype=object)
+        M = np.stack(ok)
         if nrm:
             sq = np.zeros(len(M))
             for i in range(M.shape[1]):
@@ -691,7 +705,11 @@ def random_projection(
         acc = np.zeros((len(M), P.shape[0]))
         for i in range(P.shape[1]):
             acc += M[:, i, None] * P[None, :, i]
-        return pd.Series(list(acc))
+        rows = iter(acc)
+        return pd.Series(
+            [next(rows) if x is not None else None for x in vals],
+            dtype=object,
+        )
 
     return df.select(F.col(id_col), _proj(F.col(vec_col)).alias("rp"))
 
@@ -722,8 +740,9 @@ def rp_topk(
     dots/row, so the scheme only pays when probes outnumber out_dim (or
     the projected index is materialized once and amortized)."""
     # the projected index is referenced by both the shortlist build and
-    # the probe extraction — persist so the corpus projection runs once;
-    # a real deployment materializes it as a table instead
+    # the probe extraction — persist so the corpus projection runs once
+    # (released in the finally below; a real deployment materializes it
+    # as a table instead)
     proj = random_projection(df, planes, id_col, vec_col).persist()
     probes_p = proj.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col("rp").alias("qp")
@@ -763,10 +782,16 @@ def rp_topk(
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col(id_col)
     )
-    return (
-        exact.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-    )
+    try:
+        # materialize the (k x probes)-sized result while proj is cached,
+        # then release the cache — the ann_topk_lsh persist pattern
+        return (
+            exact.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        proj.unpersist()
 
 
 def rp_planes(

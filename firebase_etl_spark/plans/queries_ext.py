@@ -1271,7 +1271,12 @@ def rtdb_export_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from firebase_etl_spark.sources.rtdb_datasource import RtdbDataSource
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    st = os.stat(f"{sf_dir}/customer.parquet")
+    # fixture keyed on source (mtime, size) — see the sqlstore fixture note
+    tag = (
+        f"{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{st.st_mtime_ns}_{st.st_size}"
+    )
     path = f"/tmp/spark_graft_rtdb_customer_{tag}.json"
     if not os.path.exists(path):
         c = load_table(spark, "customer", sf_dir).select(
@@ -2470,10 +2475,17 @@ def doc_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("df"),
         (F.row_number().over(wo) == 1).cast("long").alias("first_of_gram"),
     )
+    # coalesce the sums: on a corpus with no 8-grams at all the oracle's
+    # count(*) forms yield 0 while sum-over-zero-rows yields NULL
     return dfc.agg(
-        F.sum("first_of_gram").alias("n_grams_total"),
-        F.sum(
-            F.when(F.col("df") >= 2, F.col("first_of_gram")).otherwise(0)
+        F.coalesce(F.sum("first_of_gram"), F.lit(0).cast("long")).alias(
+            "n_grams_total"
+        ),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("df") >= 2, F.col("first_of_gram")).otherwise(0)
+            ),
+            F.lit(0).cast("long"),
         ).alias("n_boilerplate_grams"),
         F.max("df").alias("max_doc_frequency"),
         F.countDistinct(F.when(F.col("df") >= 2, F.col("doc_id"))).alias(
@@ -2549,7 +2561,14 @@ def orders_sqlstore_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFr
         SqlStoreDataSource,
     )
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    src = f"{sf_dir}/orders.parquet"
+    st = os.stat(src)
+    # fixture name keyed on source (mtime, size): regenerated testdata
+    # invalidates the cache instead of silently serving stale rows
+    tag = (
+        f"{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{st.st_mtime_ns}_{st.st_size}"
+    )
     path = f"/tmp/spark_graft_sqlstore_{tag}.duckdb"
     if not os.path.exists(path):
         import duckdb

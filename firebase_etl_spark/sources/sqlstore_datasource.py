@@ -158,9 +158,12 @@ class SqlStoreReader(DataSourceReader):
                 self.pushed.append(f"{col} {ops[t]} ?")
                 self.pushed_params.append(f.value)
             elif t is In:
-                marks = ", ".join("?" for _ in f.value)
-                self.pushed.append(f"{col} IN ({marks})")
-                self.pushed_params.extend(f.value)
+                if not f.value:  # empty IN matches nothing; () is a
+                    self.pushed.append("FALSE")  # parse error in SQL
+                else:
+                    marks = ", ".join("?" for _ in f.value)
+                    self.pushed.append(f"{col} IN ({marks})")
+                    self.pushed_params.extend(f.value)
             elif t is IsNull:
                 self.pushed.append(f"{col} IS NULL")
             elif t is IsNotNull:

@@ -165,3 +165,18 @@ def test_synth_partsupp_covers_catalog_on_empty_lineitem(spark, tmp_path):
         and r["ps_supplycost"] >= 100.0
         for r in rows
     )
+
+
+def test_random_projection_null_and_ragged_rows_project_to_null(spark):
+    """NULL or wrong-width embeddings must yield a NULL projection (the
+    Column-expression null-propagation contract), not crash the batch."""
+    from firebase_etl_spark.operators import similarity as SIM
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, None), (2, [1.0, 2.0]), (3, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    planes = SIM.rp_planes(out_dim=2, in_dim=3, seed=7)
+    rows = {r["vec_id"]: r["rp"] for r in SIM.random_projection(df, planes).collect()}
+    assert rows[1] is None and rows[2] is None
+    assert rows[0] is not None and rows[3] is not None and len(rows[0]) == 2
