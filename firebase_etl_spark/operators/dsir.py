@@ -17,13 +17,27 @@ join over a single token explode:
     log-ratio = ln((c_tgt+1)/(T+V)) - ln((c_src+1)/(S+V))   [add-1]
     weight    = sum over doc tokens of log-ratio  [per-doc log weight]
 
+DETERMINISM: the per-doc reduction is a FIXED-POINT integer sum. Each
+vocabulary row's log-ratio is scaled by 1e6, nudged +1e-9 and rounded to
+a BIGINT once, and per-doc weights are integer sums of those BIGINTs —
+integer addition is associative, so the result is bit-identical across
+partitionings, schedulers, and engines (the segment_priority_chisq
+pattern; a raw double sum here flaked on a 6-dp rounding boundary in
+round 4's driver snapshot). The float ``log_weight`` column is derived
+from the integer by one division, never the other way around.
+
 Scale shape: identical to the bigram trainer in lm.py — count tables are
 vocabulary-sized (orders of magnitude smaller than the corpus) so the
 scoring join broadcasts below a row threshold and falls back to a
 token-keyed shuffle join above it; per-doc reduction is one map-side-
-combinable sum. At web scale the feature key is a 10k-bucket hash of the
-n-gram (the paper's formulation) — raw unigrams kept here so the DuckDB
-oracle replays training and scoring exactly.
+combinable integer sum. The returned plan is LAZY: only the vocab-sized
+ratio table is materialized (localCheckpoint) at build time; the corpus
+explode re-runs inside the caller's single action — two corpus passes
+total (train, score), exactly the DSIR-at-scale I/O shape, and the
+upstream plan stays visible to plan audits. At web scale the feature key
+is a 10k-bucket hash of the n-gram (the paper's formulation) — raw
+unigrams kept here so the DuckDB oracle replays training and scoring
+exactly.
 """
 
 from __future__ import annotations
@@ -43,17 +57,26 @@ def dsir_log_weights(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Per-doc (id, n_tokens, log_weight): the add-1-smoothed unigram
-    log likelihood ratio of ``target`` rows vs the full corpus, summed
-    over the document's tokens (6-dp rounded). Positive = more target-
-    like than the corpus average; resample ∝ exp(weight) to shift the
-    mixture toward the target. ``target`` is any boolean Column over
-    ``df``'s rows (e.g. a quality flag or language id)."""
-    toks = df.select(
-        F.col(id_col),
-        F.explode(tokenize(text_col)).alias("w"),
-        target.cast("boolean").alias("__tgt"),
-    ).persist()
+    """Per-doc (id, n_tokens, log_weight_e6, log_weight): the add-1-
+    smoothed unigram log likelihood ratio of ``target`` rows vs the full
+    corpus, summed over the document's tokens. ``log_weight_e6`` is the
+    exact fixed-point BIGINT (1e-6 units; sum of per-vocabulary-row
+    rounded contributions — associative, partition-order-deterministic);
+    ``log_weight`` is the display double ``log_weight_e6 / 1e6``.
+    Positive = more target-like than the corpus average; resample
+    ∝ exp(weight) to shift the mixture toward the target. ``target`` is
+    any boolean Column over ``df``'s rows (e.g. a quality flag or
+    language id); NULL target values count as not-in-target on both
+    engines."""
+
+    def toks_plan() -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.explode(tokenize(text_col)).alias("w"),
+            F.coalesce(target.cast("boolean"), F.lit(False)).alias("__tgt"),
+        )
+
+    toks = toks_plan().persist()
     try:
         counts = toks.groupBy("w").agg(
             F.count(F.lit(1)).alias("c_src"),
@@ -72,24 +95,28 @@ def dsir_log_weights(
         # plan is empty then too, so the zero denominators never evaluate
         denom_t = F.lit(int(tot["t_tot"] or 0) + int(tot["v"]))
         denom_s = F.lit(int(tot["s_tot"] or 0) + int(tot["v"]))
+        lr = F.log((F.col("c_tgt") + 1) / denom_t) - F.log(
+            (F.col("c_src") + 1) / denom_s
+        )
         ratio = counts.select(
             "w",
-            (
-                F.log((F.col("c_tgt") + 1) / denom_t)
-                - F.log((F.col("c_src") + 1) / denom_s)
-            ).alias("log_ratio"),
+            F.round(lr * 1000000.0 + 1e-9, 0).cast("long").alias("lr_e6"),
         )
+        # materialize ONLY the vocab-sized model (computed from the
+        # still-cached toks); the returned per-doc plan stays lazy so the
+        # caller's action — not this builder — pays the scoring pass
+        ratio = ratio.localCheckpoint(eager=True)
         if int(tot["v"]) <= BROADCAST_MAX_ROWS:
             ratio = F.broadcast(ratio)
-        out = (
-            toks.join(ratio, "w")
-            .groupBy(id_col)
-            .agg(
-                F.count(F.lit(1)).alias("n_tokens"),
-                F.round(F.sum("log_ratio"), 6).alias("log_weight"),
-            )
-        )
-        out = out.localCheckpoint(eager=True)
     finally:
         toks.unpersist()
-    return out
+    return (
+        toks_plan()
+        .join(ratio, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lr_e6").alias("log_weight_e6"),
+        )
+        .withColumn("log_weight", F.col("log_weight_e6") / F.lit(1000000.0))
+    )

@@ -2440,21 +2440,58 @@ ORACLES_EXT["documents_dsir_weights"] = """
     tot AS (SELECT sum(c_src) AS s_tot, sum(c_tgt) AS t_tot,
                    count(*) AS v FROM counts),
     ratio AS (
-        SELECT w, ln((c_tgt + 1) / (t_tot + v))
-                  - ln((c_src + 1) / (s_tot + v)) AS log_ratio
+        -- per-vocab-row FIXED-POINT log-ratio: rounded to a 1e-6-unit
+        -- BIGINT once, so per-doc weights are associative integer sums
+        -- (bit-identical across engines/partitionings — the chisq
+        -- pattern; a raw double sum flaked in the r4 driver snapshot)
+        SELECT w, CAST(round((ln((c_tgt + 1) / (t_tot + v))
+                              - ln((c_src + 1) / (s_tot + v)))
+                             * 1000000.0 + 1e-9, 0) AS BIGINT) AS lr_e6
         FROM counts CROSS JOIN tot),
     scores AS (
         SELECT doc_id, count(*) AS n_tokens,
-               round(sum(log_ratio), 6) AS log_weight
+               CAST(sum(lr_e6) AS BIGINT) AS lw_e6
         FROM toks JOIN ratio USING (w) GROUP BY doc_id)
     SELECT lang, count(*) AS n_docs,
-           round(avg(log_weight), 4) AS mean_weight,
-           round(min(log_weight), 6) AS min_weight,
-           round(max(log_weight), 6) AS max_weight,
-           sum(CASE WHEN log_weight > 0 THEN 1 ELSE 0 END) AS n_target_like,
+           round(sum(lw_e6) / (count(*) * 1000000.0), 4) AS mean_weight,
+           min(lw_e6) / 1000000.0 AS min_weight,
+           max(lw_e6) / 1000000.0 AS max_weight,
+           sum(CASE WHEN lw_e6 > 0 THEN 1 ELSE 0 END) AS n_target_like,
            sum(n_tokens) AS total_tokens
     FROM documents JOIN scores USING (doc_id)
     GROUP BY lang ORDER BY lang
+"""
+
+
+ORACLES_EXT["events_distinct_users_approx"] = """
+    -- exact side replayed; within_bound is the sketch's contribution:
+    -- Spark's HLL++ is order/partitioning-independent and holds a 5x
+    -- margin on its 1% rsd, so the literal TRUE is a real, stable check
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users_exact,
+           TRUE AS within_bound
+    FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+ORACLES_EXT["lineitem_percentiles_approx"] = """
+    -- exact DISCRETE percentile (an actual data value; zero float
+    -- arithmetic) via cumulative counts over distinct values — the
+    -- same plan shape the Spark side runs; within_bound replays as
+    -- literal TRUE (GK rank error <=0.1% vs the 2% threshold)
+    WITH vals AS (
+        SELECT l_returnflag, l_extendedprice AS v, count(*) AS c
+        FROM lineitem GROUP BY 1, 2),
+    cum AS (
+        SELECT l_returnflag, v,
+               sum(c) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+               sum(c) OVER (PARTITION BY l_returnflag) AS n
+        FROM vals)
+    SELECT l_returnflag,
+           min(CASE WHEN cum >= ceil(n * 0.5) THEN v END) AS p50_exact,
+           min(CASE WHEN cum >= ceil(n * 0.9) THEN v END) AS p90_exact,
+           TRUE AS within_bound
+    FROM cum GROUP BY 1 ORDER BY 1
 """
 
 

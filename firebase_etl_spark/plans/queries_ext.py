@@ -1036,18 +1036,32 @@ def events_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def events_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate distinct (HyperLogLog++) per event_type — the 100 TB
-    cardinality plan (mergeable partials, no distinct shuffle). The sketch
-    is the whole point, so the plan is sketch-only: an exact count_distinct
-    alongside would reintroduce the full distinct shuffle the sketch
-    avoids. Engine sketches differ, so this is a rows-only driver check;
-    the <2% relative-error bound vs exact is pinned in pytest
+    """Approximate distinct (HyperLogLog++) per event_type, made DRIVER-
+    VERIFIABLE (the r4 verdict's ask — no more permanent `no_oracle`
+    rows): the sketch value is engine-specific, so the query emits the
+    EXACT distinct count plus a ``within_bound`` boolean asserting the
+    sketch landed within 5x its configured 1% rsd; the oracle replays
+    the exact side and literal TRUE. The boolean is stable because
+    Spark's HLL++ merge (max over registers) is order/partitioning-
+    independent, and 5x rsd gives the bound enormous margin. The
+    PRODUCTION plan at 100 TB is sketch-only (mergeable partials, no
+    distinct shuffle) — the exact count here exists to verify the
+    sketch, and the tight <2% pin stays in pytest
     (tests/test_catalog_stats.py)."""
     e = load_table(spark, "events", sf_dir)
     return (
         e.groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+            F.count_distinct("user_id").alias("n_users_exact"),
+            F.approx_count_distinct("user_id", rsd=0.01).alias("__approx"),
+        )
+        .select(
+            "event_type",
+            "n_users_exact",
+            (
+                F.abs(F.col("__approx") - F.col("n_users_exact"))
+                <= F.col("n_users_exact") * 0.05
+            ).alias("within_bound"),
         )
         .orderBy("event_type")
     )
@@ -1068,26 +1082,64 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def lineitem_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate percentiles (Greenwald-Khanna sketch) — the 100 TB
-    quantile plan: mergeable per-partition sketches, no sort. The sketch
-    is the whole point, so the plan is SKETCH-ONLY (an exact percentile
-    alongside would reintroduce the per-group sorted materialization the
-    sketch exists to avoid — same reasoning as the HLL query). Sketches
-    are engine-specific, so rows-only; the <1% error bound vs the exact
-    percentile is pinned in pytest (tests/test_catalog_stats.py, which
-    computes the exact side itself)."""
+    """Approximate percentiles (Greenwald-Khanna sketch) made DRIVER-
+    VERIFIABLE (the r4 verdict's ask): sketch internals are engine-
+    specific, so the query emits the EXACT discrete percentile (an
+    actual data value — no interpolation arithmetic to diverge between
+    engines) plus a ``within_bound`` boolean asserting the GK estimate
+    landed within 2% of it; the oracle replays the exact side and
+    literal TRUE. Exact side is the SCALABLE exact-quantile plan, not a
+    per-group row sort: counts per (flag, value) first — the distinct-
+    value table is orders of magnitude smaller than the fact table —
+    then a cumulative sum over distinct values picks the first value
+    whose cumulative count reaches ceil(p*n). The boolean is stable:
+    GK at accuracy 1000 guarantees <=0.1% rank error vs the 2%
+    threshold. The tight <1% pin vs exact stays in pytest
+    (tests/test_catalog_stats.py). The 100 TB production plan remains
+    sketch-only (mergeable partials, no sort)."""
+    from pyspark.sql import Window
+
     li = load_table(spark, "lineitem", sf_dir)
+    vals = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wcum = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    wall = Window.partitionBy("l_returnflag")
+    cum = vals.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    exact = cum.groupBy("l_returnflag").agg(
+        F.min(F.when(F.col("cum") >= F.ceil(F.col("n") * 0.5), F.col("v"))).alias(
+            "p50_exact"
+        ),
+        F.min(F.when(F.col("cum") >= F.ceil(F.col("n") * 0.9), F.col("v"))).alias(
+            "p90_exact"
+        ),
+    )
+    approx = li.groupBy("l_returnflag").agg(
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.9), 1000)"
+        ).alias("__ap"),
+    )
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.expr(
-                "approx_percentile(l_extendedprice, array(0.5, 0.9), 1000)"
-            ).alias("__ap"),
-        )
+        exact.join(approx, "l_returnflag")
         .select(
             "l_returnflag",
-            F.round(F.element_at("__ap", 1), 2).alias("approx_p50"),
-            F.round(F.element_at("__ap", 2), 2).alias("approx_p90"),
+            "p50_exact",
+            "p90_exact",
+            (
+                (
+                    F.abs(F.element_at("__ap", 1) - F.col("p50_exact"))
+                    <= F.col("p50_exact") * 0.02
+                )
+                & (
+                    F.abs(F.element_at("__ap", 2) - F.col("p90_exact"))
+                    <= F.col("p90_exact") * 0.02
+                )
+            ).alias("within_bound"),
         )
         .orderBy("l_returnflag")
     )
@@ -2520,7 +2572,11 @@ def documents_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole corpus, then summarize per language — English docs should sit
     at the positive end, and ``n_target_like`` counts the docs that
     importance resampling would favor. Training and scoring are both
-    relational; the DuckDB oracle replays the full model."""
+    relational; the DuckDB oracle replays the full model. Every summary
+    figure derives from the per-doc fixed-point BIGINT weight (integer
+    sums/min/max, one division at the end) — no double is ever summed,
+    so the row is bit-identical across partitionings (the r4 flake
+    class)."""
     from firebase_etl_spark.operators.dsir import dsir_log_weights
 
     d = load_table(spark, "documents", sf_dir)
@@ -2531,10 +2587,14 @@ def documents_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("log_weight"), 4).alias("mean_weight"),
-            F.round(F.min("log_weight"), 6).alias("min_weight"),
-            F.round(F.max("log_weight"), 6).alias("max_weight"),
-            F.sum((F.col("log_weight") > 0).cast("long")).alias(
+            F.round(
+                F.sum("log_weight_e6")
+                / (F.count(F.lit(1)) * F.lit(1000000.0)),
+                4,
+            ).alias("mean_weight"),
+            (F.min("log_weight_e6") / F.lit(1000000.0)).alias("min_weight"),
+            (F.max("log_weight_e6") / F.lit(1000000.0)).alias("max_weight"),
+            F.sum((F.col("log_weight_e6") > 0).cast("long")).alias(
                 "n_target_like"
             ),
             F.sum("n_tokens").alias("total_tokens"),

@@ -124,7 +124,12 @@ def test_empty_dsir_log_weights(spark, empty_docs):
 
     out = dsir_log_weights(empty_docs, target=F.col("lang") == "en")
     assert out.count() == 0
-    assert set(out.columns) == {"doc_id", "n_tokens", "log_weight"}
+    assert set(out.columns) == {
+        "doc_id",
+        "n_tokens",
+        "log_weight_e6",
+        "log_weight",
+    }
 
 
 def test_empty_random_projection_and_rp_topk(spark):

@@ -874,3 +874,25 @@ def test_dsir_log_weights_favor_target_vocabulary(spark):
     assert w[1] == w[5]
     # target-vocab docs > mixed > disjoint-vocab doc
     assert w[1] > w[4] > w[3]
+
+
+def test_dsir_weights_partition_invariant(spark, sf_dir):
+    """The r4 driver snapshot caught documents_dsir_weights flipping its
+    value hash between runs — a double sum accumulating in task-schedule
+    order at a 6-dp rounding boundary. The fix is the fixed-point BIGINT
+    pattern (integer sums are associative); pin it by running the full
+    driver query under different shuffle-partition settings and
+    requiring BIT-IDENTICAL rows, doubles included."""
+    from firebase_etl_spark.plans.queries_ext import documents_dsir_weights
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    results = []
+    for n in ("3", "29"):
+        spark.conf.set("spark.sql.shuffle.partitions", n)
+        try:
+            rows = documents_dsir_weights(spark, sf_dir).collect()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+        results.append([tuple(r) for r in rows])
+    assert results[0] == results[1]
+    assert len(results[0]) > 0
