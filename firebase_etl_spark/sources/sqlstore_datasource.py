@@ -126,6 +126,20 @@ class SqlStoreReader(DataSourceReader):
         if not self.path or not self.table:
             raise ValueError("sqlstore requires options 'path' and 'table'")
         self.schema = schema
+        # planning-time schema validation: read() builds per-partition
+        # CASTs from _CAST_MAP, so an unmapped field type must fail HERE
+        # with a named error, not as a bare KeyError inside a task
+        unsupported = [
+            f"{f.name}: {f.dataType.simpleString()}"
+            for f in schema.fields
+            if f.dataType not in _CAST_MAP
+        ]
+        if unsupported:
+            raise ValueError(
+                "sqlstore: unsupported field type(s) in schema — "
+                + ", ".join(unsupported)
+                + f" (supported: {sorted(t.simpleString() for t in _CAST_MAP)})"
+            )
         self.partition_column = options.get("partitioncolumn")
         self.num_partitions = int(options.get("numpartitions", 1))
         self.lower = options.get("lowerbound")
@@ -354,21 +368,22 @@ class SqlStoreWriter(DataSourceArrowWriter):
         import duckdb  # noqa: F401  (driver-side dependency check)
 
         t = _quote_ident(self.table)
-        files_sql = "[" + ", ".join(_sql_literal(f) for f in files) + "]"
-        src = f"read_parquet({files_sql})"
         stmts = ["BEGIN"]
         if self.overwrite:
             stmts.append(f"DELETE FROM {t}")
-        elif self.upsert_keys:
-            on = " AND ".join(
-                f"{t}.{_quote_ident(k)} = s.{_quote_ident(k)}"
-                for k in self.upsert_keys
-            )
-            stmts.append(
-                f"DELETE FROM {t} WHERE EXISTS "
-                f"(SELECT 1 FROM {src} s WHERE {on})"
-            )
-        stmts.append(f"INSERT INTO {t} BY NAME SELECT * FROM {src}")
+        if files:
+            files_sql = "[" + ", ".join(_sql_literal(f) for f in files) + "]"
+            src = f"read_parquet({files_sql})"
+            if not self.overwrite and self.upsert_keys:
+                on = " AND ".join(
+                    f"{t}.{_quote_ident(k)} = s.{_quote_ident(k)}"
+                    for k in self.upsert_keys
+                )
+                stmts.append(
+                    f"DELETE FROM {t} WHERE EXISTS "
+                    f"(SELECT 1 FROM {src} s WHERE {on})"
+                )
+            stmts.append(f"INSERT INTO {t} BY NAME SELECT * FROM {src}")
         stmts.append("COMMIT")
         return stmts
 
@@ -383,7 +398,11 @@ class SqlStoreWriter(DataSourceArrowWriter):
             if m is not None and m.staged_path
         ]
         try:
-            if files:
+            # overwrite must run its DELETE even when zero tasks staged
+            # rows: Spark/JDBC overwrite semantics truncate regardless of
+            # the incoming row count (an empty-DataFrame overwrite that
+            # silently keeps old contents was a review finding)
+            if files or self.overwrite:
                 con = duckdb.connect(self.path)
                 try:
                     for stmt in self._apply_sql(files):
@@ -416,11 +435,25 @@ class SqlStoreStreamWriter(DataSourceStreamArrowWriter):
       transactional-sink exactly-once recipe (the same idempotent-commit
       contract Structured Streaming's foreachBatch documentation asks
       sinks to implement).
+    - ``overwrite`` (Spark passes it for outputMode('complete')) DELETEs
+      the table inside the same per-batch transaction before the insert,
+      so each microbatch REPLACES the table contents — previously the
+      flag was accepted and ignored, silently appending (review finding).
     - staged files are deleted after commit/abort; the writer instance is
       recreated by Spark for every microbatch, so all state lives in the
-      database and the commit messages, never on the instance."""
+      database and the commit messages, never on the instance. Staging
+      goes to a PER-WRITER-INSTANCE subdirectory that is rmtree'd whole
+      on commit/abort — files from crashed or retried tasks inside the
+      batch can't accumulate — and each commit sweeps stale sibling
+      batch dirs (left by a driver crash between COMMIT and cleanup)."""
+
+    #: sibling staging dirs older than this are orphans of a crashed run
+    _ORPHAN_SWEEP_SECONDS = 3600.0
 
     def __init__(self, options: dict, overwrite: bool):
+        import os
+        import uuid
+
         self.path = options.get("path")
         self.table = options.get("table")
         if not self.path or not self.table:
@@ -430,7 +463,9 @@ class SqlStoreStreamWriter(DataSourceStreamArrowWriter):
         self.sink_id = options.get("sinkid", f"sink:{self.table}")
         keys = options.get("upsertkeys", "")
         self.upsert_keys = [k.strip() for k in keys.split(",") if k.strip()]
-        self.staging = f"{self.path}.stream-staging"
+        self.overwrite = overwrite
+        self.staging_root = f"{self.path}.stream-staging"
+        self.staging = os.path.join(self.staging_root, uuid.uuid4().hex)
 
     # staging identical to the batch writer, minus instance-shared state
     def write(self, iterator) -> SqlStageCommit:
@@ -459,13 +494,28 @@ class SqlStoreStreamWriter(DataSourceStreamArrowWriter):
 
     def _cleanup(self, messages) -> None:
         import os
+        import shutil
+        import time
 
-        for m in messages:
-            if m is not None and m.staged_path:
+        # remove the WHOLE per-batch staging dir (not just files named in
+        # commit messages): crashed/retried tasks staged files that never
+        # made it into a message, and they must not accumulate
+        shutil.rmtree(self.staging, ignore_errors=True)
+        # sweep orphaned sibling batch dirs (driver crashed between its
+        # COMMIT and cleanup); age-gated so a concurrent writer's live
+        # staging is never touched
+        try:
+            now = time.time()
+            for name in os.listdir(self.staging_root):
+                p = os.path.join(self.staging_root, name)
                 try:
-                    os.remove(m.staged_path)
+                    if now - os.path.getmtime(p) > self._ORPHAN_SWEEP_SECONDS:
+                        shutil.rmtree(p, ignore_errors=True)
                 except OSError:
                     pass
+            os.rmdir(self.staging_root)  # succeeds only when empty
+        except OSError:
+            pass
 
     def commit(self, messages, batchId) -> None:  # noqa: N803 (API name)
         import duckdb
@@ -487,12 +537,16 @@ class SqlStoreStreamWriter(DataSourceStreamArrowWriter):
                     "WHERE sink_id = ? AND batch_id = ?",
                     [self.sink_id, batchId],
                 ).fetchone()[0]
+                if applied == 0 and self.overwrite:
+                    # outputMode('complete'): each batch REPLACES the
+                    # table, atomically with the insert + ledger row
+                    con.execute(f"DELETE FROM {t}")
                 if applied == 0 and files:
                     files_sql = (
                         "[" + ", ".join(_sql_literal(f) for f in files) + "]"
                     )
                     src = f"read_parquet({files_sql})"
-                    if self.upsert_keys:
+                    if self.upsert_keys and not self.overwrite:
                         on = " AND ".join(
                             f"{t}.{_quote_ident(k)} = s.{_quote_ident(k)}"
                             for k in self.upsert_keys

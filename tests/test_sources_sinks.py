@@ -479,3 +479,35 @@ def test_sqlstore_writer_two_phase_append_upsert_overwrite(spark, tmp_path):
 
     # no staging litter left behind
     assert glob.glob(f"{db}.staging-*") == []
+
+    # overwrite with an EMPTY DataFrame still truncates (Spark/JDBC
+    # overwrite semantics are row-count-independent; silently keeping
+    # old contents was a review finding)
+    w(spark.createDataFrame([], "id long, val string")).mode(
+        "overwrite"
+    ).save()
+    assert table_rows() == []
+
+
+def test_sqlstore_reader_rejects_unmapped_schema_type(tmp_path):
+    """A user-supplied .schema() with a type outside the CAST map must
+    fail at PLANNING time with a named error, not as a bare KeyError
+    inside a task at runtime (review finding)."""
+    import pytest
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from firebase_etl_spark.sources.sqlstore_datasource import SqlStoreReader
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("flag", BooleanType()),
+        ]
+    )
+    with pytest.raises(ValueError, match="flag.*boolean"):
+        SqlStoreReader({"path": "x.db", "table": "t"}, schema)

@@ -280,3 +280,64 @@ def test_sqlstore_stream_writer_exactly_once(spark, tmp_path):
     pq.write_table(pa.table({"id": [99], "v": ["dup"]}), staged)
     w.commit([SqlStageCommit(staged, 1)], batchId=777)  # replay
     assert rows().count((99, "dup")) == 1
+
+
+def test_sqlstore_stream_writer_complete_mode_overwrite(tmp_path):
+    """outputMode('complete') passes overwrite=True: every microbatch
+    must REPLACE the table contents inside its transaction (previously
+    the flag was accepted and silently ignored — review finding), the
+    ledger still dedups replays, and the per-batch staging dirs vanish."""
+    import glob
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from firebase_etl_spark.sources.sqlstore_datasource import (
+        SqlStageCommit,
+        SqlStoreStreamWriter,
+    )
+
+    db = str(tmp_path / "w.duckdb")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE agg (k VARCHAR, n BIGINT)")
+    con.close()
+
+    def rows():
+        c = duckdb.connect(db, read_only=True)
+        try:
+            return sorted(c.execute("SELECT * FROM agg").fetchall())
+        finally:
+            c.close()
+
+    def commit_batch(w, batch_id, table):
+        staged = f"{w.staging}/part-test.parquet"
+        import os
+
+        os.makedirs(w.staging, exist_ok=True)
+        pq.write_table(table, staged)
+        w.commit([SqlStageCommit(staged, len(table))], batchId=batch_id)
+
+    # batch 0: initial complete-mode result
+    w0 = SqlStoreStreamWriter({"path": db, "table": "agg"}, overwrite=True)
+    commit_batch(w0, 0, pa.table({"k": ["a", "b"], "n": [1, 2]}))
+    assert rows() == [("a", 1), ("b", 2)]
+
+    # batch 1: updated aggregate REPLACES, never appends
+    w1 = SqlStoreStreamWriter({"path": db, "table": "agg"}, overwrite=True)
+    commit_batch(w1, 1, pa.table({"k": ["a", "b"], "n": [5, 7]}))
+    assert rows() == [("a", 5), ("b", 7)]
+
+    # replayed batch 1 (crash recovery): ledger short-circuits — the
+    # table is NOT wiped-and-rewritten a second time, contents unchanged
+    w1r = SqlStoreStreamWriter({"path": db, "table": "agg"}, overwrite=True)
+    commit_batch(w1r, 1, pa.table({"k": ["a"], "n": [999]}))
+    assert rows() == [("a", 5), ("b", 7)]
+
+    # empty complete-mode batch truncates (zero staged rows)
+    w2 = SqlStoreStreamWriter({"path": db, "table": "agg"}, overwrite=True)
+    w2.commit([], batchId=2)
+    assert rows() == []
+
+    # per-batch staging subdirectories all cleaned up
+    assert glob.glob(f"{db}.stream-staging*") == []
