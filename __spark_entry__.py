@@ -32,111 +32,18 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Entry order is deliberate: the driver's correctness snapshot
-        # checks the FIRST 50 entries. Round-4 window = the 23 queries
-        # never driver-evidenced through r3 (BPE pair first: costliest
-        # oracle replays), embedding_topk_rp (re-evidence after the JL
-        # fix), the 5 new partsupp TPC-H queries, padded with
-        # previously-green sentinels. Every non-window query stays
-        # pinned by the local gate replica tests/test_oracle.py.
-        "documents_bpe_merges": QX.documents_bpe_merges,
-        "documents_bpe_encoded_stats": QX.documents_bpe_encoded_stats,
-        "customer_fuzzy_matches": QX.customer_fuzzy_matches,
-        "referential_integrity_audit": QX.referential_integrity_audit,
-        "segment_priority_chisq": QX.segment_priority_chisq,
-        "orders_priority_unpivot": QX.orders_priority_unpivot,
-        "nation_trade_pagerank": QX.nation_trade_pagerank,
-        "documents_split_assignment": QX.documents_split_assignment,
-        "documents_semantic_keep_best": QX.documents_semantic_keep_best,
-        "events_funnel_report": QX.events_funnel_report,
-        "user_retention_cohorts": QX.user_retention_cohorts,
-        "customer_rfm_segments": QX.customer_rfm_segments,
-        "events_rate_anomalies": QX.events_rate_anomalies,
-        "doc_entropy_report": QX.doc_entropy_report,
-        "embedding_filtered_topk": QX.embedding_filtered_topk,
-        "supplier_nation_stats": QX.supplier_nation_stats,
-        "customer_name_functions": QX.customer_name_functions,
+        # checks the FIRST 50 entries. Round-5 window = the three r4
+        # non-green rows first (the DSIR determinism fix and the two
+        # sketch queries made self-verifying/oracle-backed), then every
+        # query whose last driver evidence is r1/r2 (36), then 11 r3-
+        # evidenced picks (all 7 streaming twins, the full curation
+        # pipeline, the RTDB source, the users pipeline, the as-of
+        # join). After this round no query's evidence is older than two
+        # rounds. Every non-window query stays pinned by the local gate
+        # replica tests/test_oracle.py.
+        "documents_dsir_weights": QX.documents_dsir_weights,
         "events_distinct_users_approx": QX.events_distinct_users_approx,
         "lineitem_percentiles_approx": QX.lineitem_percentiles_approx,
-        "documents_decontamination": QX.documents_decontamination,
-        "events_gapfill_hourly": QX.events_gapfill_hourly,
-        "doc_boilerplate_ngrams": QX.doc_boilerplate_ngrams,
-        "embedding_topk_rp": QX.embedding_topk_rp,
-        "q2_min_cost_supplier": Q.q2_min_cost_supplier,
-        "q9_product_type_profit": Q.q9_product_type_profit,
-        "q11_important_stock": Q.q11_important_stock,
-        "q16_supplier_part_counts": Q.q16_supplier_part_counts,
-        "q20_excess_stock_suppliers": Q.q20_excess_stock_suppliers,
-        "q1_pricing_summary": Q.q1_pricing_summary,
-        "q3_shipping_priority": Q.q3_shipping_priority,
-        "q6_forecast_revenue": Q.q6_forecast_revenue,
-        "latest_order_per_customer": Q.latest_order_per_customer,
-        "customers_without_orders": Q.customers_without_orders,
-        "top3_orders_per_customer": Q.top3_orders_per_customer,
-        "global_top100_orders": Q.global_top100_orders,
-        "dup_order_members": Q.dup_order_members,
-        "conditional_counts": Q.conditional_counts,
-        "order_status_distribution": Q.order_status_distribution,
-        "null_counts_events": Q.null_counts_events,
-        "lineitem_summary_stats": QX.lineitem_summary_stats,
-        "part_type_pattern": QX.part_type_pattern,
-        "orders_deterministic_sample": QX.orders_deterministic_sample,
-        "doc_minhash_near_dups": QX.doc_minhash_near_dups,
-        "doc_exact_dedup_summary": QX.doc_exact_dedup_summary,
-        "embedding_topk_bruteforce": QX.embedding_topk_bruteforce,
-        "embedding_topk_lsh": QX.embedding_topk_lsh,
-        "embedding_topk_quantized": QX.embedding_topk_quantized,
-        "doc_gopher_quality_report": QX.doc_gopher_quality_report,
-        "orders_sqlstore_partitioned_scan": QX.orders_sqlstore_partitioned_scan,
-        "documents_dsir_weights": QX.documents_dsir_weights,
-        # ---- outside the 50-query window (all previously driver-green) ----
-        "users_pipeline_report": QX.users_pipeline_report,
-        "events_asof_orders": QX.events_asof_orders,
-        "lineitem_set_ops": QX.lineitem_set_ops,
-        "documents_clean_corpus": QX.documents_clean_corpus,
-        "documents_training_corpus": QX.documents_training_corpus,
-        "documents_mixture_sample": QX.documents_mixture_sample,
-        "events_near_pairs": QX.events_near_pairs,
-        "events_salted_type_stats": QX.events_salted_type_stats,
-        "events_stratified_sample": QX.events_stratified_sample,
-        "events_daily_from_hourly": QX.events_daily_from_hourly,
-        "events_sliding_counts": QX.events_sliding_counts,
-        "lineitem_cube": QX.lineitem_cube,
-        "orders_by_year_month": QX.orders_by_year_month,
-        "lineitem_percentiles": QX.lineitem_percentiles,
-        "top20_tokens": QX.top20_tokens,
-        "top_bigrams_udtf": QX.top_bigrams_udtf,
-        "orders_moving_avg": QX.orders_moving_avg,
-        "embedding_near_dup_pairs": QX.embedding_near_dup_pairs,
-        "embedding_dedup_clusters": QX.embedding_dedup_clusters,
-        "users_pipeline_quarantine": QX.users_pipeline_quarantine,
-        "media_feature_stats": QX.media_feature_stats,
-        "media_dedup_survivors": QX.media_dedup_survivors,
-        "media_thumbnail_stats": QX.media_thumbnail_stats,
-        "media_frame_counts": QX.media_frame_counts,
-        "stream_hourly_event_counts": QX.stream_hourly_event_counts,
-        "stream_user_sessions": QX.stream_user_sessions,
-        "stream_keep_latest_per_user": QX.stream_keep_latest_per_user,
-        "stream_sliding_counts": QX.stream_sliding_counts,
-        "stream_dedup_events": QX.stream_dedup_events,
-        "stream_enriched_segments": QX.stream_enriched_segments,
-        "stream_near_pairs": QX.stream_near_pairs,
-        "events_props_key_stats": QX.events_props_key_stats,
-        "user_sessions": QX.user_sessions,
-        "rtdb_export_segment_stats": QX.rtdb_export_segment_stats,
-        "doc_simhash_portable_near_dups": QX.doc_simhash_portable_near_dups,
-        "doc_winnow_portable_summary": QX.doc_winnow_portable_summary,
-        "doc_contamination_screen": QX.doc_contamination_screen,
-        "doc_winnow_near_dups": QX.doc_winnow_near_dups,
-        "doc_segment_dedup_report": QX.doc_segment_dedup_report,
-        "customer_status_scd2": QX.customer_status_scd2,
-        "events_key_skew_profile": QX.events_key_skew_profile,
-        "documents_temperature_mixture": QX.documents_temperature_mixture,
-        "events_value_outliers": QX.events_value_outliers,
-        "orders_price_histogram": QX.orders_price_histogram,
-        "doc_quality_deciles": QX.doc_quality_deciles,
-        "doc_pii_screen": QX.doc_pii_screen,
-        "doc_lm_perplexity_report": QX.doc_lm_perplexity_report,
-        "documents_packing_plan": QX.documents_packing_plan,
         "orders_rollup": QX.orders_rollup,
         "top_customer_revenue": QX.top_customer_revenue,
         "mktsegment_order_priority_pivot": QX.mktsegment_order_priority_pivot,
@@ -173,6 +80,102 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": QX.embedding_norms,
         "embedding_topk_ivf": QX.embedding_topk_ivf,
         "events_json_stats": QX.events_json_stats,
+        "stream_hourly_event_counts": QX.stream_hourly_event_counts,
+        "stream_user_sessions": QX.stream_user_sessions,
+        "stream_keep_latest_per_user": QX.stream_keep_latest_per_user,
+        "stream_sliding_counts": QX.stream_sliding_counts,
+        "stream_dedup_events": QX.stream_dedup_events,
+        "stream_enriched_segments": QX.stream_enriched_segments,
+        "stream_near_pairs": QX.stream_near_pairs,
+        "users_pipeline_report": QX.users_pipeline_report,
+        "documents_training_corpus": QX.documents_training_corpus,
+        "rtdb_export_segment_stats": QX.rtdb_export_segment_stats,
+        "events_asof_orders": QX.events_asof_orders,
+        # ---- outside the 50-query window (all driver-green in r3/r4) ----
+        "documents_bpe_merges": QX.documents_bpe_merges,
+        "documents_bpe_encoded_stats": QX.documents_bpe_encoded_stats,
+        "customer_fuzzy_matches": QX.customer_fuzzy_matches,
+        "referential_integrity_audit": QX.referential_integrity_audit,
+        "segment_priority_chisq": QX.segment_priority_chisq,
+        "orders_priority_unpivot": QX.orders_priority_unpivot,
+        "nation_trade_pagerank": QX.nation_trade_pagerank,
+        "documents_split_assignment": QX.documents_split_assignment,
+        "documents_semantic_keep_best": QX.documents_semantic_keep_best,
+        "events_funnel_report": QX.events_funnel_report,
+        "user_retention_cohorts": QX.user_retention_cohorts,
+        "customer_rfm_segments": QX.customer_rfm_segments,
+        "events_rate_anomalies": QX.events_rate_anomalies,
+        "doc_entropy_report": QX.doc_entropy_report,
+        "embedding_filtered_topk": QX.embedding_filtered_topk,
+        "supplier_nation_stats": QX.supplier_nation_stats,
+        "customer_name_functions": QX.customer_name_functions,
+        "documents_decontamination": QX.documents_decontamination,
+        "events_gapfill_hourly": QX.events_gapfill_hourly,
+        "doc_boilerplate_ngrams": QX.doc_boilerplate_ngrams,
+        "embedding_topk_rp": QX.embedding_topk_rp,
+        "q2_min_cost_supplier": Q.q2_min_cost_supplier,
+        "q9_product_type_profit": Q.q9_product_type_profit,
+        "q11_important_stock": Q.q11_important_stock,
+        "q16_supplier_part_counts": Q.q16_supplier_part_counts,
+        "q20_excess_stock_suppliers": Q.q20_excess_stock_suppliers,
+        "q1_pricing_summary": Q.q1_pricing_summary,
+        "q3_shipping_priority": Q.q3_shipping_priority,
+        "q6_forecast_revenue": Q.q6_forecast_revenue,
+        "latest_order_per_customer": Q.latest_order_per_customer,
+        "customers_without_orders": Q.customers_without_orders,
+        "top3_orders_per_customer": Q.top3_orders_per_customer,
+        "global_top100_orders": Q.global_top100_orders,
+        "dup_order_members": Q.dup_order_members,
+        "conditional_counts": Q.conditional_counts,
+        "order_status_distribution": Q.order_status_distribution,
+        "null_counts_events": Q.null_counts_events,
+        "lineitem_summary_stats": QX.lineitem_summary_stats,
+        "part_type_pattern": QX.part_type_pattern,
+        "orders_deterministic_sample": QX.orders_deterministic_sample,
+        "doc_minhash_near_dups": QX.doc_minhash_near_dups,
+        "doc_exact_dedup_summary": QX.doc_exact_dedup_summary,
+        "embedding_topk_bruteforce": QX.embedding_topk_bruteforce,
+        "embedding_topk_lsh": QX.embedding_topk_lsh,
+        "embedding_topk_quantized": QX.embedding_topk_quantized,
+        "doc_gopher_quality_report": QX.doc_gopher_quality_report,
+        "orders_sqlstore_partitioned_scan": QX.orders_sqlstore_partitioned_scan,
+        "lineitem_set_ops": QX.lineitem_set_ops,
+        "documents_clean_corpus": QX.documents_clean_corpus,
+        "documents_mixture_sample": QX.documents_mixture_sample,
+        "events_near_pairs": QX.events_near_pairs,
+        "events_salted_type_stats": QX.events_salted_type_stats,
+        "events_stratified_sample": QX.events_stratified_sample,
+        "events_daily_from_hourly": QX.events_daily_from_hourly,
+        "events_sliding_counts": QX.events_sliding_counts,
+        "lineitem_cube": QX.lineitem_cube,
+        "orders_by_year_month": QX.orders_by_year_month,
+        "lineitem_percentiles": QX.lineitem_percentiles,
+        "top20_tokens": QX.top20_tokens,
+        "top_bigrams_udtf": QX.top_bigrams_udtf,
+        "orders_moving_avg": QX.orders_moving_avg,
+        "embedding_near_dup_pairs": QX.embedding_near_dup_pairs,
+        "embedding_dedup_clusters": QX.embedding_dedup_clusters,
+        "users_pipeline_quarantine": QX.users_pipeline_quarantine,
+        "media_feature_stats": QX.media_feature_stats,
+        "media_dedup_survivors": QX.media_dedup_survivors,
+        "media_thumbnail_stats": QX.media_thumbnail_stats,
+        "media_frame_counts": QX.media_frame_counts,
+        "events_props_key_stats": QX.events_props_key_stats,
+        "user_sessions": QX.user_sessions,
+        "doc_simhash_portable_near_dups": QX.doc_simhash_portable_near_dups,
+        "doc_winnow_portable_summary": QX.doc_winnow_portable_summary,
+        "doc_contamination_screen": QX.doc_contamination_screen,
+        "doc_winnow_near_dups": QX.doc_winnow_near_dups,
+        "doc_segment_dedup_report": QX.doc_segment_dedup_report,
+        "customer_status_scd2": QX.customer_status_scd2,
+        "events_key_skew_profile": QX.events_key_skew_profile,
+        "documents_temperature_mixture": QX.documents_temperature_mixture,
+        "events_value_outliers": QX.events_value_outliers,
+        "orders_price_histogram": QX.orders_price_histogram,
+        "doc_quality_deciles": QX.doc_quality_deciles,
+        "doc_pii_screen": QX.doc_pii_screen,
+        "doc_lm_perplexity_report": QX.doc_lm_perplexity_report,
+        "documents_packing_plan": QX.documents_packing_plan,
     }
 
 

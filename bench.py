@@ -23,6 +23,18 @@ from firebase_etl_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WARMUP_DIR = "/root/testdata/sf0.001"
 
+#: Drift canaries: trivial, plan-identical queries whose only round-to-
+#: round variation is HOST speed (this shared host drifts ~2x between
+#: runs — README "Benchmark environment variance"). Reference values are
+#: the committed round-4 BENCH_FULL.json times at sf0.1. The emitted
+#: ``drift_factor`` = median(now/ref) over these; divide any cross-round
+#: per-query ratio by it before judging an engine change.
+CANARY_REF_SF01 = {
+    "customers_without_orders": 0.2645,
+    "global_top100_orders": 0.2004,
+    "order_point_lookup": 0.1374,
+}
+
 
 def _release_session_state(spark) -> None:
     """Drain accumulated session state between measurement blocks.
@@ -87,12 +99,24 @@ def main() -> None:
         top = dict(
             sorted(timings.items(), key=lambda kv: -kv[1])[:30]
         )
+        # host-drift factor from the canary queries (sf0.1 refs only
+        # apply at sf0.1; other SFs report null rather than a bogus one)
+        drift = None
+        if abs(float(sf) - 0.1) < 1e-9:
+            ratios = sorted(
+                timings[q] / ref
+                for q, ref in CANARY_REF_SF01.items()
+                if q in timings
+            )
+            if ratios:
+                drift = round(ratios[len(ratios) // 2], 3)
         full = {
             "metric": "total_query_wall_time",
             "value": round(sum(timings.values()), 4),
             "unit": "sec",
             "queries": dict(sorted(timings.items())),
             "sf": float(sf),
+            "drift_factor": drift,
         }
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -110,6 +134,7 @@ def main() -> None:
                     "sf": float(sf),
                     "n_queries": len(timings),
                     "median_sec": round(med, 4),
+                    "drift_factor": drift,
                     "queries": {k: round(v, 3) for k, v in top.items()},
                     "full_record": "BENCH_FULL.json",
                 }
