@@ -75,11 +75,18 @@ def dedup_keep_latest_two_phase(
     order_col: str = "createdAt",
     tiebreaker: str = "id",
 ) -> DataFrame:
-    """Skew-resistant keep-latest: aggregate the (order, tiebreaker) max per
-    key with a struct-max (partial agg combines map-side, so a hot key sends
-    one row per input partition, not every row, to the reducer), then
-    semi-join the survivors back. Equivalent to keep='last' with the same
-    tiebreaker."""
+    """Keep-latest via struct-max partial agg + join-back. Equivalent to
+    keep='last' with the same tiebreaker.
+
+    MEASURED (tools/skew_dedup_bench.py, ROUND5_NOTES.md §6): on Spark >=3.5
+    this twin is REDUNDANT as a skew defense and ~1.5x slower at every
+    amplification (2M/10M/30M rows, 30% of rows on one hot key) — the
+    optimizer plans ``row_number()==1`` as WindowGroupLimit with a Partial
+    stage BEFORE the shuffle, so each map partition already prunes every key
+    to <=1 row and the hot key reaches the reduce-side sort with at most one
+    row per upstream partition. Prefer :func:`dedup_keep_latest`; this
+    fallback exists for engines without WindowGroupLimit and as executable
+    documentation of the manual pattern."""
     best = df.groupBy(key).agg(
         F.max(F.struct(F.col(order_col), F.col(tiebreaker))).alias("__best")
     )
