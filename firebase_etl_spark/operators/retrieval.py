@@ -1,0 +1,139 @@
+"""BM25 lexical retrieval over a document corpus (extension beyond the
+reference — the sparse-retrieval half of a training-data curation stack,
+next to the dense ANN operators in similarity.py; Robertson & Zaragoza
+2009, "The Probabilistic Relevance Framework: BM25 and Beyond").
+
+The whole scorer is relational — one token explode feeding three
+aggregates and one broadcast-pruned scoring join:
+
+    tf      = term frequency per (doc, term)       [one corpus shuffle]
+    df      = document frequency per term          [term-keyed agg of tf]
+    N, avgdl = corpus scalars                      [one tiny agg]
+    score(q, d) = sum over shared terms of
+        idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))  [Lucene's BM25 idf;
+                                                    always >= 0]
+
+Scale shape: the probe-query term set is tiny and broadcast, and a
+broadcast SEMI join drops every non-query-term token BEFORE the one
+corpus-wide exchange — the full corpus is tokenized exactly once and
+only matched postings ever shuffle. df then comes from a term-keyed
+window over the already-filtered postings (a linear chain; a
+groupBy+join-back would recompute the explode — column pruning makes
+the two exchanges differ, so ReusedExchange never fires). Document
+length rides through the tf groupBy as a grouping key (constant per
+doc), so no per-doc join is needed. Corpus scalars (N, avgdl) are one
+sizes-only aggregate that never explodes.
+
+DETERMINISM: per-(query, doc, term) contributions are doubles built
+from exact integers and two literal scalars, rounded ONCE to a
+1e-6-unit BIGINT, and per-pair scores are integer sums of those —
+associative, so bit-identical across partitionings and engines (the
+dsir.py / segment_priority_chisq fixed-point pattern). BM25
+contributions are strictly positive, so the +1e-9 nudge never
+straddles zero.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from firebase_etl_spark.operators.text import tokenize
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` BM25 matches per probe document: (query_id, doc_id,
+    n_terms, score, rank). Probe queries are the DISTINCT term sets of
+    the ``query_ids`` documents (query-side term frequency ignored — the
+    standard short-query convention, applied uniformly); a document
+    never matches itself. ``score`` is the display double of the exact
+    fixed-point BIGINT sum; rank ties break to the lower doc id."""
+    base = df.select(
+        F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks")
+    )
+    toks = base.select(
+        "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
+    )
+    # corpus scalars in ONE aggregation job (no corpus explode — sizes
+    # only; the text column never leaves the scan projection); exact
+    # BIGINTs divided once, the same IEEE double division the oracle does
+    tot = base.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.size("toks")).alias("tdl")
+    ).collect()[0]
+    n_docs = int(tot["n"])
+    avgdl = F.lit(int(tot["tdl"] or 0) / n_docs) if n_docs else F.lit(1.0)
+
+    # probe term sets: the isin filter pushes to the scan, so this branch
+    # explodes only the probe docs — tiny, broadcast
+    qt = (
+        toks.filter(F.col("doc_id").isin(query_ids))
+        .select(F.col("doc_id").alias("query_id"), "term")
+        .distinct()
+    )
+
+    # THE one corpus explode: a broadcast semi join on the probe term set
+    # drops every non-query-term token BEFORE the tf shuffle, so the only
+    # corpus-wide exchange carries just the matched postings. dl rides
+    # the groupBy as a key (constant per doc) — no per-doc length join.
+    tf = (
+        toks.join(
+            F.broadcast(qt.select("term").distinct()), "term", "semi"
+        )
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # df (docs containing the term) only matters for query terms, and tf
+    # is already restricted to them. A count over a term-partitioned
+    # window keeps the plan a LINEAR chain — a groupBy+join-back would
+    # make tf a two-consumer subplan and recompute the corpus explode
+    # (column pruning de-duplicates the exchanges, so ReusedExchange
+    # never fires). One small term-keyed exchange of the filtered
+    # postings instead of a second corpus pass.
+    tf = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
+
+    idf = F.log(
+        1.0 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tfc = (
+        F.col("tf")
+        * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl))
+    )
+    scored = (
+        tf.join(F.broadcast(qt), "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(idf * tfc * 1000000.0 + 1e-9, 0)
+            .cast("long")
+            .alias("c_e6"),
+        )
+    )
+    pair = scored.groupBy("query_id", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("c_e6").alias("score_e6"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_e6"), "doc_id")
+    return (
+        pair.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            "n_terms",
+            (F.col("score_e6") / 1000000.0).alias("score"),
+            "rank",
+        )
+    )

@@ -2502,3 +2502,51 @@ ORACLES_EXT["orders_sqlstore_partitioned_scan"] = """
     FROM orders WHERE o_orderstatus = 'F'
     GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
+
+
+ORACLES_EXT["documents_bm25_topk"] = """
+    WITH base AS (
+        SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+        FROM documents),
+    toks AS (
+        SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM base),
+    tf AS (
+        SELECT doc_id, dl, term, count(*) AS tf
+        FROM toks GROUP BY doc_id, dl, term),
+    tot AS (
+        SELECT count(*) AS n, sum(len(toks)) AS tdl FROM base),
+    qt AS (
+        SELECT DISTINCT doc_id AS query_id, term FROM tf
+        WHERE doc_id IN (0, 1, 2, 3, 4)),
+    df AS (
+        SELECT term, count(*) AS df FROM tf
+        WHERE term IN (SELECT term FROM qt) GROUP BY term),
+    -- per-(query, doc, term) contribution rounded ONCE to a 1e-6-unit
+    -- BIGINT; per-pair scores are associative integer sums (the dsir /
+    -- chisq fixed-point pattern). avgdl is one exact-BIGINT division.
+    scored AS (
+        SELECT qt.query_id, tf.doc_id,
+               CAST(round(
+                   ln(1.0 + (tot.n - df.df + 0.5) / (df.df + 0.5))
+                   * (tf.tf * (1.2 + 1.0)
+                      / (tf.tf + 1.2 * (1.0 - 0.75
+                            + 0.75 * tf.dl / (tot.tdl * 1.0 / tot.n))))
+                   * 1000000.0 + 1e-9, 0) AS BIGINT) AS c_e6
+        FROM tf
+        JOIN qt USING (term)
+        JOIN df USING (term)
+        CROSS JOIN tot
+        WHERE tf.doc_id <> qt.query_id),
+    pair AS (
+        SELECT query_id, doc_id, count(*) AS n_terms,
+               CAST(sum(c_e6) AS BIGINT) AS score_e6
+        FROM scored GROUP BY query_id, doc_id)
+    SELECT query_id, doc_id, n_terms,
+           score_e6 / 1000000.0 AS score, rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY score_e6 DESC, doc_id
+        ) AS rank FROM pair
+    ) WHERE rank <= 10
+"""

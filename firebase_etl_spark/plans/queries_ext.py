@@ -2663,3 +2663,17 @@ def orders_sqlstore_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("o_orderpriority")
     )
+
+
+def documents_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (operators/retrieval.py, Robertson &
+    Zaragoza 2009): top-10 corpus matches for each of the five probe
+    documents' distinct term sets, k1=1.2 / b=0.75, Lucene idf. The
+    sparse twin of embedding_topk_bruteforce — same probe convention,
+    same (query_id, rank) output shape. Scores are fixed-point BIGINT
+    sums (dsir.py pattern), so the row set is bit-identical across
+    partitionings and the DuckDB oracle replays it exactly."""
+    from firebase_etl_spark.operators.retrieval import bm25_topk
+
+    d = load_table(spark, "documents", sf_dir)
+    return bm25_topk(d, QUERY_DOC_IDS, k=10)

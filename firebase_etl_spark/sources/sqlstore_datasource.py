@@ -128,10 +128,12 @@ class SqlStoreReader(DataSourceReader):
         self.schema = schema
         # planning-time schema validation: read() builds per-partition
         # CASTs from _CAST_MAP, so an unmapped field type must fail HERE
-        # with a named error, not as a bare KeyError inside a task
+        # with a named error, not as a bare KeyError inside a task.
+        # (schema is None only when a test drives pushFilters directly;
+        # Spark always hands the reader a resolved StructType)
         unsupported = [
             f"{f.name}: {f.dataType.simpleString()}"
-            for f in schema.fields
+            for f in (schema.fields if schema is not None else [])
             if f.dataType not in _CAST_MAP
         ]
         if unsupported:

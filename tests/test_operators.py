@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from firebase_etl_spark.operators.conflict import resolve_id_conflicts, skip_conflicts
@@ -896,3 +897,67 @@ def test_dsir_weights_partition_invariant(spark, sf_dir):
         results.append([tuple(r) for r in rows])
     assert results[0] == results[1]
     assert len(results[0]) > 0
+
+
+def test_bm25_topk_hand_computed(spark):
+    """BM25 on a 4-doc corpus, checked against hand math. Query = doc 0's
+    distinct terms {alpha, beta}. k1=1.2, b=0.75, Lucene idf
+    ln(1 + (N - df + 0.5)/(df + 0.5))."""
+    import math
+
+    from firebase_etl_spark.operators.retrieval import bm25_topk
+
+    docs = [
+        (0, "alpha beta"),
+        (1, "alpha alpha alpha gamma"),
+        (2, "beta gamma delta epsilon"),
+        (3, "gamma delta"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {
+        (r["query_id"], r["doc_id"]): r
+        for r in bm25_topk(df, [0], k=10).collect()
+    }
+    # docs 1 (alpha) and 2 (beta) match; doc 3 shares no term; doc 0 is
+    # the query itself and excluded
+    assert set(rows) == {(0, 1), (0, 2)}
+
+    n, avgdl, k1, b = 4, 12 / 4, 1.2, 0.75
+
+    def contrib(tf, dfreq, dl):
+        idf = math.log(1 + (n - dfreq + 0.5) / (dfreq + 0.5))
+        tfc = tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+        return round(idf * tfc * 1e6 + 1e-9) / 1e6
+
+    assert rows[(0, 1)]["n_terms"] == 1
+    assert rows[(0, 1)]["score"] == pytest.approx(contrib(3, 2, 4), abs=2e-6)
+    assert rows[(0, 2)]["n_terms"] == 1
+    assert rows[(0, 2)]["score"] == pytest.approx(contrib(1, 2, 4), abs=2e-6)
+    # alpha-heavy doc 1 outranks single-beta doc 2
+    assert rows[(0, 1)]["rank"] == 1 and rows[(0, 2)]["rank"] == 2
+
+
+def test_bm25_topk_partition_invariant(spark, sf_dir):
+    """Scores are fixed-point BIGINT sums (the dsir pattern), so the full
+    driver query must produce BIT-IDENTICAL rows, doubles included, under
+    different shuffle-partition settings."""
+    from firebase_etl_spark.plans.queries_ext import documents_bm25_topk
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    results = []
+    for n in ("3", "29"):
+        spark.conf.set("spark.sql.shuffle.partitions", n)
+        try:
+            rows = documents_bm25_topk(spark, sf_dir).collect()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+        results.append(sorted(tuple(r) for r in rows))
+    assert results[0] == results[1]
+    # 5 probes x up to 10 ranks, every probe matched something at sf0.001
+    assert len(results[0]) > 0
+    by_q = {}
+    for q, d, n_terms, score, rank in results[0]:
+        assert d != q and n_terms >= 1 and score > 0
+        by_q.setdefault(q, []).append(rank)
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
