@@ -44,8 +44,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_dsir_weights": QX.documents_dsir_weights,
         "events_distinct_users_approx": QX.events_distinct_users_approx,
         "lineitem_percentiles_approx": QX.lineitem_percentiles_approx,
-        # new this round (BM25 lexical retrieval) — needs first evidence
+        # new this round — need first evidence
         "documents_bm25_topk": QX.documents_bm25_topk,
+        "doc_duplicate_windows": QX.doc_duplicate_windows,
         "orders_rollup": QX.orders_rollup,
         "top_customer_revenue": QX.top_customer_revenue,
         "mktsegment_order_priority_pivot": QX.mktsegment_order_priority_pivot,

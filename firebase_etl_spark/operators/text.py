@@ -8,7 +8,7 @@ it exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Tiny per-language marker-word sets for the n-gram/stopword language-ID
@@ -392,3 +392,92 @@ def bpeish_token_count(col: Column | str) -> Column:
     """Approximate LLM token count — the budgeting statistic for training
     pipelines (tokens-per-doc distributions, corpus token totals)."""
     return F.size(bpeish_tokens(col))
+
+
+def duplicate_window_report(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exhaustive duplicate-substring screen (after Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499): hash EVERY positional k-token window — winnowing
+    samples fingerprints, this counts all of them — and report, per
+    document, how much of it is duplicated text:
+
+        n_windows             total k-token windows
+        n_dup_windows         windows whose content occurs >1 time
+                              corpus-wide (the paper's ExactSubstr unit)
+        n_cross_doc_windows   windows whose content appears in >=2 docs
+                              (cross-document duplication specifically)
+        dup_fraction          n_dup_windows / n_windows, 6dp
+
+    The paper suffix-arrays 50-token windows; the parameterized k here
+    defaults low for short synthetic docs. Window keys are full md5 hex
+    of the window text — portable across engines for the oracle; a
+    production corpus would swap in a 128-bit binary hash, same plan.
+
+    Scale shape — a LINEAR chain, one corpus tokenize pass: the shifted-
+    slice arrays_zip explode (the winnow_fingerprints trick — zip_with/
+    slice instead of per-position lambdas, so the tokenizer runs once per
+    row) feeds one (doc, gram) aggregate; corpus-wide occurrence totals
+    come from a gram-keyed WINDOW over that aggregate (no join-back, no
+    second pass); the per-doc rollup is one more keyed aggregate. Docs
+    shorter than k keep a zero-window row via the final left join, which
+    broadcasts nothing and joins doc-to-doc on the id."""
+    toks = df.select(F.col(id_col), tokenize(text_col).alias("__toks"))
+    shifts = [
+        F.slice(
+            "__toks", i + 1, F.greatest(F.size("__toks") - i, F.lit(0))
+        ).alias(f"__s{i}")
+        for i in range(k)
+    ]
+    z = toks.select(
+        F.col(id_col), F.posexplode(F.arrays_zip(*shifts)).alias("pos", "z")
+    )
+    gram = F.md5(
+        F.concat_ws(" ", *[F.col(f"z.__s{i}") for i in range(k)]).cast(
+            "binary"
+        )
+    )
+    # full windows only: the k-th shifted slice is null past the end
+    per = (
+        z.filter(F.col(f"z.__s{k - 1}").isNotNull())
+        .select(F.col(id_col), gram.alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wg = Window.partitionBy("gram")
+    per = per.select(
+        F.col(id_col),
+        "c",
+        F.sum("c").over(wg).alias("tot"),
+        F.count(F.lit(1)).over(wg).alias("nd"),
+    )
+    agg = per.groupBy(id_col).agg(
+        F.sum("c").alias("n_windows"),
+        F.sum(F.when(F.col("tot") > 1, F.col("c")).otherwise(0)).alias(
+            "n_dup_windows"
+        ),
+        F.sum(F.when(F.col("nd") > 1, F.col("c")).otherwise(0)).alias(
+            "n_cross_doc_windows"
+        ),
+    )
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.coalesce("n_cross_doc_windows", F.lit(0)).alias(
+                "n_cross_doc_windows"
+            ),
+            F.when(F.coalesce("n_windows", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                F.round(F.col("n_dup_windows") / F.col("n_windows"), 6)
+            )
+            .alias("dup_fraction"),
+        )
+    )

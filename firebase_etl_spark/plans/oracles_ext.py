@@ -2550,3 +2550,39 @@ ORACLES_EXT["documents_bm25_topk"] = """
         ) AS rank FROM pair
     ) WHERE rank <= 10
 """
+
+
+ORACLES_EXT["doc_duplicate_windows"] = r"""
+    WITH base AS (
+        SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents),
+    g AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) - 6),
+                   i -> md5(array_to_string(toks[i:i+7], ' ')))) AS gram
+        FROM base WHERE len(toks) >= 8),
+    per AS (
+        SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+    w AS (
+        SELECT doc_id, c,
+               sum(c) OVER (PARTITION BY gram) AS tot,
+               count(*) OVER (PARTITION BY gram) AS nd
+        FROM per),
+    agg AS (
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_windows,
+               CAST(sum(CASE WHEN tot > 1 THEN c ELSE 0 END) AS BIGINT)
+                   AS n_dup_windows,
+               CAST(sum(CASE WHEN nd > 1 THEN c ELSE 0 END) AS BIGINT)
+                   AS n_cross_doc_windows
+        FROM w GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(n_windows, 0) AS n_windows,
+           coalesce(n_dup_windows, 0) AS n_dup_windows,
+           coalesce(n_cross_doc_windows, 0) AS n_cross_doc_windows,
+           CASE WHEN coalesce(n_windows, 0) = 0 THEN 0.0
+                ELSE round(n_dup_windows * 1.0 / n_windows, 6)
+           END AS dup_fraction
+    FROM documents d LEFT JOIN agg USING (doc_id)
+"""

@@ -2677,3 +2677,13 @@ def documents_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, "documents", sf_dir)
     return bm25_topk(d, QUERY_DOC_IDS, k=10)
+
+
+def doc_duplicate_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exhaustive duplicate-substring screen (operators/text.py:
+    duplicate_window_report, after Lee et al. 2022): every positional
+    8-token window hashed and counted corpus-wide; per-doc duplicated-
+    window totals and fraction. The exact complement of the SAMPLED
+    winnowing fingerprints — same explode machinery, zero sampling."""
+    d = load_table(spark, "documents", sf_dir)
+    return TX.duplicate_window_report(d, k=8)

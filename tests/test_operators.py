@@ -961,3 +961,41 @@ def test_bm25_topk_partition_invariant(spark, sf_dir):
         by_q.setdefault(q, []).append(rank)
     for q, ranks in by_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_duplicate_window_report_hand_computed(spark):
+    """k=3 windows on a corpus with a cross-doc duplicated phrase, a
+    within-doc repeat, and a too-short doc."""
+    from firebase_etl_spark.operators.text import duplicate_window_report
+
+    docs = [
+        # doc 0 and 1 share the window "the quick fox" (cross-doc dup)
+        (0, "the quick fox ran away"),
+        (1, "see the quick fox"),
+        # doc 2 repeats "a b c" twice WITHIN itself (dup, not cross-doc)
+        (2, "a b c a b c"),
+        # doc 3: 2 tokens -> zero windows
+        (3, "too short"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {
+        r["doc_id"]: r for r in duplicate_window_report(df, k=3).collect()
+    }
+    assert set(rows) == {0, 1, 2, 3}
+    # doc 0: windows = [the quick fox, quick fox ran, fox ran away]
+    r0 = rows[0]
+    assert r0["n_windows"] == 3
+    assert r0["n_dup_windows"] == 1 and r0["n_cross_doc_windows"] == 1
+    assert r0["dup_fraction"] == pytest.approx(round(1 / 3, 6))
+    # doc 1: windows = [see the quick, the quick fox]
+    assert rows[1]["n_windows"] == 2
+    assert rows[1]["n_dup_windows"] == 1
+    # doc 2: windows = [a b c, b c a, c a b, a b c] -> "a b c" occurs
+    # twice corpus-wide but only in ONE doc
+    r2 = rows[2]
+    assert r2["n_windows"] == 4
+    assert r2["n_dup_windows"] == 2  # both instances of "a b c"
+    assert r2["n_cross_doc_windows"] == 0
+    assert r2["dup_fraction"] == pytest.approx(0.5)
+    # doc 3: no full window
+    assert tuple(rows[3])[1:] == (0, 0, 0, 0.0)
