@@ -47,6 +47,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new this round — need first evidence
         "documents_bm25_topk": QX.documents_bm25_topk,
         "doc_duplicate_windows": QX.doc_duplicate_windows,
+        "embedding_knn_label_agreement": QX.embedding_knn_label_agreement,
+        "embedding_label_centroids": QX.embedding_label_centroids,
         "orders_rollup": QX.orders_rollup,
         "top_customer_revenue": QX.top_customer_revenue,
         "mktsegment_order_priority_pivot": QX.mktsegment_order_priority_pivot,

@@ -2586,3 +2586,67 @@ ORACLES_EXT["doc_duplicate_windows"] = r"""
            END AS dup_fraction
     FROM documents d LEFT JOIN agg USING (doc_id)
 """
+
+
+ORACLES_EXT["embedding_knn_label_agreement"] = """
+    WITH v AS (SELECT vec_id, label,
+                      CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    probes AS (SELECT vec_id AS query_id, label AS q_label, e AS q
+               FROM v WHERE vec_id IN (0,1,2,3,4)),
+    sims AS (
+        SELECT query_id, q_label, vec_id, label,
+               round(list_inner_product(e, q)
+                     / (sqrt(list_inner_product(e, e))
+                        * sqrt(list_inner_product(q, q))), 6) AS cosine_sim
+        FROM v CROSS JOIN probes WHERE vec_id <> query_id),
+    topk AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id
+            ) AS rank FROM sims
+        ) WHERE rank <= 10)
+    SELECT query_id, q_label,
+           count(*) AS n_neighbors,
+           CAST(sum(CASE WHEN label = q_label THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_same_label,
+           round(sum(CASE WHEN label = q_label THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS agreement
+    FROM topk GROUP BY query_id, q_label ORDER BY query_id
+"""
+
+
+ORACLES_EXT["embedding_label_centroids"] = """
+    WITH v AS (SELECT vec_id, label,
+                      CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    ex AS (SELECT label, pos, e[pos] AS x
+           FROM v, unnest(range(1, len(e) + 1)) AS t(pos)),
+    -- fixed-point per-dim sums: float32 components cast to double
+    -- multiply by 1e6 EXACTLY the same on every engine, so the rounded
+    -- BIGINT is identical and the sum associative (classify.py twin)
+    cs AS (SELECT label, pos,
+                  CAST(sum(CAST(round(x * 1000000.0, 0) AS BIGINT))
+                       AS BIGINT) AS s_e6,
+                  count(*) AS n
+           FROM ex GROUP BY label, pos),
+    cent AS (SELECT label AS clabel,
+                    list(s_e6 * 1.0 / (1000000.0 * n) ORDER BY pos) AS c
+             FROM cs GROUP BY label),
+    scored AS (
+        SELECT v.vec_id, v.label, cent.clabel,
+               round(list_inner_product(v.e, cent.c)
+                     / (sqrt(list_inner_product(v.e, v.e))
+                        * sqrt(list_inner_product(cent.c, cent.c))),
+                     6) AS cos_r
+        FROM v CROSS JOIN cent),
+    best AS (
+        SELECT vec_id, label, clabel AS pred_label,
+               CAST(round(cos_r * 1000000.0, 0) AS BIGINT) AS cos_e6
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY cos_r DESC, clabel
+            ) AS rn FROM scored
+        ) WHERE rn = 1)
+    SELECT label, pred_label, count(*) AS n_vecs,
+           round(sum(cos_e6) / (count(*) * 1000000.0), 4) AS avg_cos
+    FROM best GROUP BY label, pred_label ORDER BY label, pred_label
+"""

@@ -2687,3 +2687,48 @@ def doc_duplicate_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     winnowing fingerprints — same explode machinery, zero sampling."""
     d = load_table(spark, "documents", sf_dir)
     return TX.duplicate_window_report(d, k=8)
+
+
+def embedding_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label-noise screen (the Confident-Learning-style QA pass):
+    for each probe vector, how many of its exact top-10 cosine neighbors
+    share its label. Reuses the brute-force top-k (operators/
+    similarity.py:cosine_topk); the 50-row neighbor table is broadcast
+    into the corpus-sized label join, and the agreement fraction is an
+    exact integer division n_same/k."""
+    e = load_table(spark, "embeddings", sf_dir)
+    topk = SIM.cosine_topk(e, QUERY_VEC_IDS, k=10)
+    labels = e.select("vec_id", "label")
+    qlab = labels.filter(F.col("vec_id").isin(QUERY_VEC_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    )
+    return (
+        labels.join(F.broadcast(topk), "vec_id")
+        .join(F.broadcast(qlab), "query_id")
+        .groupBy("query_id", "q_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_neighbors"),
+            F.sum(
+                (F.col("label") == F.col("q_label")).cast("long")
+            ).alias("n_same_label"),
+            F.round(
+                F.sum((F.col("label") == F.col("q_label")).cast("long"))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("agreement"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-class-mean classification audit (operators/classify.py):
+    per-label fixed-point centroids, every vector assigned to its
+    max-cosine centroid, confusion matrix out. The diagonal dominating
+    == embedding geometry agrees with the labels."""
+    from firebase_etl_spark.operators.classify import (
+        label_centroid_confusion,
+    )
+
+    e = load_table(spark, "embeddings", sf_dir)
+    return label_centroid_confusion(e)

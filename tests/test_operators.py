@@ -999,3 +999,66 @@ def test_duplicate_window_report_hand_computed(spark):
     assert r2["dup_fraction"] == pytest.approx(0.5)
     # doc 3: no full window
     assert tuple(rows[3])[1:] == (0, 0, 0, 0.0)
+
+
+def test_label_centroid_confusion_separable(spark):
+    """Two orthogonal clusters classify perfectly; one mislabeled vector
+    lands off-diagonal."""
+    from firebase_etl_spark.operators.classify import (
+        label_centroid_confusion,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.1], 0),
+        (1, [0.9, 0.1, 0.0], 0),
+        (2, [1.0, 0.1, 0.1], 0),
+        (3, [0.0, 1.0, 0.1], 1),
+        (4, [0.1, 0.9, 0.0], 1),
+        # labeled 1 but sits in cluster 0 -> predicted 0
+        (5, [1.0, 0.0, 0.0], 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {
+        (r["label"], r["pred_label"]): r["n_vecs"]
+        for r in label_centroid_confusion(df).collect()
+    }
+    # centroid 1 is dragged toward cluster 0 by the mislabeled vector,
+    # but vectors 0-2 still sit closer to centroid 0 and 3-4 to 1
+    assert got[(0, 0)] == 3 and got[(1, 1)] == 2
+    assert got[(1, 0)] == 1 and (0, 1) not in got
+
+
+def test_label_centroid_confusion_partition_invariant(spark, sf_dir):
+    """Centroid sums and avg_cos are fixed-point BIGINT sums — the full
+    driver query must be bit-identical across partitionings."""
+    from firebase_etl_spark.plans.queries_ext import (
+        embedding_label_centroids,
+    )
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    results = []
+    for n in ("3", "29"):
+        spark.conf.set("spark.sql.shuffle.partitions", n)
+        try:
+            rows = embedding_label_centroids(spark, sf_dir).collect()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+        results.append([tuple(r) for r in rows])
+    assert results[0] == results[1]
+    assert len(results[0]) > 0
+    assert all(r[2] > 0 for r in results[0])
+
+
+def test_knn_label_agreement_contract(spark, sf_dir):
+    from firebase_etl_spark.plans.queries_ext import (
+        embedding_knn_label_agreement,
+    )
+
+    rows = embedding_knn_label_agreement(spark, sf_dir).collect()
+    assert [r["query_id"] for r in rows] == [0, 1, 2, 3, 4]
+    for r in rows:
+        assert r["n_neighbors"] == 10
+        assert 0 <= r["n_same_label"] <= 10
+        assert r["agreement"] == round(r["n_same_label"] / 10, 4)
