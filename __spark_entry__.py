@@ -34,13 +34,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Entry order is deliberate: the driver's correctness snapshot
         # checks the FIRST 50 entries. Round-5 window = the three r4
         # non-green rows first (the DSIR determinism fix and the two
-        # sketch queries made self-verifying/oracle-backed), then every
-        # query whose last driver evidence is r1/r2 (36), then 11 r3-
-        # evidenced picks (all 7 streaming twins, the full curation
-        # pipeline, the RTDB source, the users pipeline, the as-of
-        # join). After this round no query's evidence is older than two
-        # rounds. Every non-window query stays pinned by the local gate
-        # replica tests/test_oracle.py.
+        # sketch queries made self-verifying/oracle-backed), then the
+        # four operators NEW this round (BM25, duplicate windows, the
+        # two embedding label audits), then every query whose last
+        # driver evidence is r1/r2 (36), then 7 r3-evidenced picks (all
+        # streaming twins). The four r3 rows this displaced past slot 50
+        # (users pipeline, curation pipeline, RTDB source, as-of join)
+        # stay pinned by the local gate replica tests/test_oracle.py and
+        # rotate back in r6.
         "documents_dsir_weights": QX.documents_dsir_weights,
         "events_distinct_users_approx": QX.events_distinct_users_approx,
         "lineitem_percentiles_approx": QX.lineitem_percentiles_approx,
@@ -49,6 +50,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_duplicate_windows": QX.doc_duplicate_windows,
         "embedding_knn_label_agreement": QX.embedding_knn_label_agreement,
         "embedding_label_centroids": QX.embedding_label_centroids,
+        "documents_hybrid_rrf": QX.documents_hybrid_rrf,
         "orders_rollup": QX.orders_rollup,
         "top_customer_revenue": QX.top_customer_revenue,
         "mktsegment_order_priority_pivot": QX.mktsegment_order_priority_pivot,

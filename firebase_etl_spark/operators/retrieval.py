@@ -137,3 +137,64 @@ def bm25_topk(
             "rank",
         )
     )
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    k_cand: int = 20,
+    k_rrf: int = 60,
+) -> DataFrame:
+    """Hybrid sparse+dense retrieval via Reciprocal Rank Fusion
+    (Cormack, Clarke & Buettcher 2009): fuse the BM25 top-``k_cand``
+    and the exact-cosine top-``k_cand`` per probe with
+
+        rrf(q, d) = sum over rankings of 1 / (k_rrf + rank(q, d))
+
+    missing-from-one-ranking docs contribute only their present term
+    (the standard convention). The corpus links the two modalities by
+    id: ``doc_id`` in ``docs`` and ``vec_id`` in ``embeddings`` name the
+    same item (the testdata fixture's shared id space).
+
+    DETERMINISM: each fused score is ONE fixed-order expression over two
+    integer ranks — 1/(k_rrf+r) is the identical IEEE division on every
+    engine and no float is ever aggregated, so no fixed-point machinery
+    is needed. Ties break to the lower doc id.
+
+    Scale shape: both candidate generators are bounded at k_cand rows
+    per probe, so the fusion join, window, and output are all
+    (n_probes x k_cand)-sized — driver-scale, never corpus-scale; the
+    corpus-scale work lives inside the two generators (see bm25_topk and
+    cosine_topk docstrings)."""
+    from firebase_etl_spark.operators.similarity import cosine_topk
+
+    sparse = bm25_topk(docs, query_ids, k=k_cand).select(
+        "query_id", "doc_id", F.col("rank").alias("sparse_rank")
+    )
+    dense = cosine_topk(embeddings, query_ids, k=k_cand).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        F.col("rank").alias("dense_rank"),
+    )
+    fused = sparse.join(dense, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        "sparse_rank",
+        "dense_rank",
+        F.round(
+            F.coalesce(
+                1.0 / (F.lit(k_rrf) + F.col("sparse_rank")), F.lit(0.0)
+            )
+            + F.coalesce(
+                1.0 / (F.lit(k_rrf) + F.col("dense_rank")), F.lit(0.0)
+            ),
+            6,
+        ).alias("rrf_score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_score"), "doc_id")
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -2650,3 +2650,71 @@ ORACLES_EXT["embedding_label_centroids"] = """
            round(sum(cos_e6) / (count(*) * 1000000.0), 4) AS avg_cos
     FROM best GROUP BY label, pred_label ORDER BY label, pred_label
 """
+
+
+ORACLES_EXT["documents_hybrid_rrf"] = r"""
+    WITH base AS (
+        SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents),
+    toksx AS (
+        SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM base),
+    tfx AS (
+        SELECT doc_id, dl, term, count(*) AS tf
+        FROM toksx GROUP BY doc_id, dl, term),
+    totx AS (SELECT count(*) AS n, sum(len(toks)) AS tdl FROM base),
+    qtx AS (
+        SELECT DISTINCT doc_id AS query_id, term FROM tfx
+        WHERE doc_id IN (0, 1, 2, 3, 4)),
+    dfx AS (
+        SELECT term, count(*) AS df FROM tfx
+        WHERE term IN (SELECT term FROM qtx) GROUP BY term),
+    sc AS (
+        SELECT qtx.query_id, tfx.doc_id,
+               CAST(round(
+                   ln(1.0 + (totx.n - dfx.df + 0.5) / (dfx.df + 0.5))
+                   * (tfx.tf * (1.2 + 1.0)
+                      / (tfx.tf + 1.2 * (1.0 - 0.75
+                            + 0.75 * tfx.dl / (totx.tdl * 1.0 / totx.n))))
+                   * 1000000.0 + 1e-9, 0) AS BIGINT) AS c_e6
+        FROM tfx JOIN qtx USING (term) JOIN dfx USING (term)
+        CROSS JOIN totx
+        WHERE tfx.doc_id <> qtx.query_id),
+    sparse AS (
+        SELECT query_id, doc_id, rank AS sparse_rank FROM (
+            SELECT query_id, doc_id,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY sum(c_e6) DESC, doc_id) AS rank
+            FROM sc GROUP BY query_id, doc_id
+        ) WHERE rank <= 20),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    probes AS (SELECT vec_id AS query_id, e AS q FROM v
+               WHERE vec_id IN (0, 1, 2, 3, 4)),
+    dense AS (
+        SELECT query_id, vec_id AS doc_id, rank AS dense_rank FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY round(list_inner_product(e, q)
+                           / (sqrt(list_inner_product(e, e))
+                              * sqrt(list_inner_product(q, q))), 6) DESC,
+                           vec_id) AS rank
+            FROM v CROSS JOIN probes WHERE vec_id <> query_id
+        ) WHERE rank <= 20),
+    fused AS (
+        SELECT coalesce(s.query_id, d.query_id) AS query_id,
+               coalesce(s.doc_id, d.doc_id) AS doc_id,
+               s.sparse_rank, d.dense_rank,
+               round(coalesce(1.0 / (60 + s.sparse_rank), 0.0)
+                     + coalesce(1.0 / (60 + d.dense_rank), 0.0),
+                     6) AS rrf_score
+        FROM sparse s FULL OUTER JOIN dense d
+          ON s.query_id = d.query_id AND s.doc_id = d.doc_id)
+    SELECT query_id, doc_id, sparse_rank, dense_rank, rrf_score, rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY rrf_score DESC, doc_id
+        ) AS rank FROM fused
+    ) WHERE rank <= 10
+"""

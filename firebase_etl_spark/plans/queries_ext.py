@@ -2732,3 +2732,15 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, "embeddings", sf_dir)
     return label_centroid_confusion(e)
+
+
+def documents_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-20 fused with exact-cosine top-20 by
+    reciprocal rank (operators/retrieval.py:hybrid_rrf_topk), top-10
+    fused results per probe. The doc_id/vec_id shared id space links the
+    two modalities."""
+    from firebase_etl_spark.operators.retrieval import hybrid_rrf_topk
+
+    d = load_table(spark, "documents", sf_dir)
+    e = load_table(spark, "embeddings", sf_dir)
+    return hybrid_rrf_topk(d, e, QUERY_DOC_IDS, k=10)

