@@ -91,7 +91,7 @@ def label_centroid_confusion(
     ).select(
         id_col,
         "label",
-        ltab.getItem(F.col("ci")).alias("pred_label"),
+        F.get(ltab, F.col("ci")).alias("pred_label"),
         "cos_r",
     )
     best = scored.groupBy(id_col, "label").agg(
