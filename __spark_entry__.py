@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_knn_label_agreement": QX.embedding_knn_label_agreement,
         "embedding_label_centroids": QX.embedding_label_centroids,
         "documents_hybrid_rrf": QX.documents_hybrid_rrf,
+        "doc_langid_confusion": QX.doc_langid_confusion,
         "orders_rollup": QX.orders_rollup,
         "top_customer_revenue": QX.top_customer_revenue,
         "mktsegment_order_priority_pivot": QX.mktsegment_order_priority_pivot,

@@ -2718,3 +2718,27 @@ ORACLES_EXT["documents_hybrid_rrf"] = r"""
         ) AS rank FROM fused
     ) WHERE rank <= 10
 """
+
+
+ORACLES_EXT["doc_langid_confusion"] = f"""
+    WITH hits AS (
+        SELECT lang,
+               len(list_filter(list_distinct({_TOKS}), t -> list_contains(
+                   ['the','a','and','of','to'], t))) AS en_hits,
+               len(list_filter(list_distinct({_TOKS}), t -> list_contains(
+                   ['le','la','et','les','des'], t))) AS fr_hits,
+               len(list_filter(list_distinct({_TOKS}), t -> list_contains(
+                   ['der','die','und','das','ist'], t))) AS de_hits,
+               len(list_filter(list_distinct({_TOKS}), t -> list_contains(
+                   ['el','la','y','los','de'], t))) AS es_hits
+        FROM documents),
+    pred AS (
+        SELECT lang, {_LANG_SQL} AS lang_pred FROM hits),
+    cells AS (
+        SELECT lang, lang_pred, count(*) AS n_docs
+        FROM pred GROUP BY lang, lang_pred)
+    SELECT lang, lang_pred, n_docs,
+           round(n_docs * 1.0 / sum(n_docs) OVER (PARTITION BY lang), 4)
+               AS share
+    FROM cells ORDER BY lang, lang_pred
+"""

@@ -2744,3 +2744,21 @@ def documents_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
     e = load_table(spark, "embeddings", sf_dir)
     return hybrid_rrf_topk(d, e, QUERY_DOC_IDS, k=10)
+
+
+def doc_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID accuracy audit: confusion matrix of the declared
+    ``lang`` column vs the marker-word heuristic (operators/text.py:
+    language_id), with per-cell share of the declared language's docs.
+    Integer counts + one exact division — scan-plus-one-aggregate."""
+    d = load_table(spark, "documents", sf_dir)
+    w = Window.partitionBy("lang")
+    return (
+        d.select("lang", TX.language_id("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn(
+            "share", F.round(F.col("n_docs") / F.sum("n_docs").over(w), 4)
+        )
+        .orderBy("lang", "lang_pred")
+    )
