@@ -35,13 +35,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # checks the FIRST 50 entries. Round-5 window = the three r4
         # non-green rows first (the DSIR determinism fix and the two
         # sketch queries made self-verifying/oracle-backed), then the
-        # four operators NEW this round (BM25, duplicate windows, the
-        # two embedding label audits), then every query whose last
-        # driver evidence is r1/r2 (36), then 7 r3-evidenced picks (all
-        # streaming twins). The four r3 rows this displaced past slot 50
-        # (users pipeline, curation pipeline, RTDB source, as-of join)
-        # stay pinned by the local gate replica tests/test_oracle.py and
-        # rotate back in r6.
+        # six operators NEW this round (BM25, duplicate windows, the two
+        # embedding label audits, hybrid RRF, langid confusion), then
+        # every query whose last driver evidence is r1/r2 (36), then 5
+        # r3-evidenced streaming twins. The six r3 rows this displaced
+        # past slot 50 (2 streams, users pipeline, curation pipeline,
+        # RTDB source, as-of join) stay pinned by the local gate replica
+        # tests/test_oracle.py and rotate back in r6.
         "documents_dsir_weights": QX.documents_dsir_weights,
         "events_distinct_users_approx": QX.events_distinct_users_approx,
         "lineitem_percentiles_approx": QX.lineitem_percentiles_approx,
