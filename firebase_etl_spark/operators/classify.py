@@ -63,6 +63,14 @@ def label_centroid_confusion(
         .orderBy("label")
         .collect()
     )
+    if not cent_rows:
+        # empty corpus: no centroids to classify against — empty result
+        # with the output schema (an empty F.array() literal types VOID
+        # and would fail analysis inside the lambdas below)
+        return df.sparkSession.createDataFrame(
+            [],
+            "label int, pred_label int, n_vecs bigint, avg_cos double",
+        )
     labels = [int(r["label"]) for r in cent_rows]
     cents = [
         [

@@ -185,3 +185,31 @@ def test_random_projection_null_and_ragged_rows_project_to_null(spark):
     rows = {r["vec_id"]: r["rp"] for r in SIM.random_projection(df, planes).collect()}
     assert rows[1] is None and rows[2] is None
     assert rows[0] is not None and rows[3] is not None and len(rows[0]) == 2
+
+
+def test_empty_bm25_and_duplicate_windows(spark, empty_docs):
+    from firebase_etl_spark.operators.retrieval import bm25_topk
+    from firebase_etl_spark.operators.text import duplicate_window_report
+
+    assert bm25_topk(empty_docs, [0, 1], k=5).count() == 0
+    assert duplicate_window_report(empty_docs, k=3).count() == 0
+
+
+def test_empty_label_centroids(spark):
+    from firebase_etl_spark.operators.classify import (
+        label_centroid_confusion,
+    )
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    )
+    assert label_centroid_confusion(empty).count() == 0
+
+
+def test_empty_hybrid_rrf(spark, empty_docs):
+    from firebase_etl_spark.operators.retrieval import hybrid_rrf_topk
+
+    empty_emb = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    )
+    assert hybrid_rrf_topk(empty_docs, empty_emb, [0, 1], k=5).count() == 0
