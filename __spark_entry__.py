@@ -35,13 +35,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # checks the FIRST 50 entries. Round-5 window = the three r4
         # non-green rows first (the DSIR determinism fix and the two
         # sketch queries made self-verifying/oracle-backed), then the
-        # six operators NEW this round (BM25, duplicate windows, the two
-        # embedding label audits, hybrid RRF, langid confusion), then
-        # every query whose last driver evidence is r1/r2 (36), then 5
-        # r3-evidenced streaming twins. The six r3 rows this displaced
-        # past slot 50 (2 streams, users pipeline, curation pipeline,
-        # RTDB source, as-of join) stay pinned by the local gate replica
-        # tests/test_oracle.py and rotate back in r6.
+        # seven operators NEW this round (BM25, duplicate windows, the
+        # two embedding label audits, hybrid RRF, langid confusion, PMI
+        # collocations), then every query whose last driver evidence is
+        # r1/r2 (36), then 4 r3-evidenced streaming twins. The seven r3
+        # rows this displaced past slot 50 (3 streams, users pipeline,
+        # curation pipeline, RTDB source, as-of join) stay pinned by the
+        # local gate replica tests/test_oracle.py and rotate back in r6.
         "documents_dsir_weights": QX.documents_dsir_weights,
         "events_distinct_users_approx": QX.events_distinct_users_approx,
         "lineitem_percentiles_approx": QX.lineitem_percentiles_approx,
@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_label_centroids": QX.embedding_label_centroids,
         "documents_hybrid_rrf": QX.documents_hybrid_rrf,
         "doc_langid_confusion": QX.doc_langid_confusion,
+        "doc_pmi_collocations": QX.doc_pmi_collocations,
         "orders_rollup": QX.orders_rollup,
         "top_customer_revenue": QX.top_customer_revenue,
         "mktsegment_order_priority_pivot": QX.mktsegment_order_priority_pivot,

@@ -90,3 +90,80 @@ def bigram_lm_scores(
     finally:
         bg.unpersist()
     return out
+
+
+def pmi_collocations(
+    df: DataFrame,
+    min_count: int = 5,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` collocations by pointwise mutual information — the
+    phrase-detection step of a training pipeline (Mikolov et al. 2013
+    use the same counts-ratio score to merge "new york"-style phrases
+    before word2vec training):
+
+        pmi(a, b) = ln( (c12/B) / ((ca/T) * (cb/T)) )
+
+    with c12 the bigram count, ca/cb unigram counts, B/T the corpus
+    bigram/token totals. Rare pairs are dropped FIRST (``min_count``),
+    both to kill PMI's low-frequency pathology and to shrink the bigram
+    table before any join. Returns (w1, w2, c12, pmi), the top-k rows
+    by (6dp pmi desc, w1, w2) — no rank column, so the global top-k
+    stays a TakeOrderedAndProject with no global-order window.
+
+    DETERMINISM: pmi is ONE fixed-order expression per surviving bigram
+    row over exact integer counts and two literal scalars — no float is
+    ever aggregated, so no fixed-point machinery is needed.
+
+    Scale shape: one token explode feeds the unigram aggregate, one
+    slice+zip explode feeds the bigram aggregate (both map-side
+    combinable token-keyed shuffles); the unigram table is
+    vocabulary-sized and broadcasts below the usual row threshold
+    (shuffle-join fallback above it); the min_count filter runs before
+    the joins; the global top-k is a TakeOrderedAndProject, never a
+    full sort."""
+    toks = df.select(F.col(id_col), tokenize(text_col).alias("__toks"))
+    uni = (
+        toks.select(F.explode("__toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    big = (
+        doc_bigrams(df, text_col=text_col, id_col=id_col)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= min_count)
+    )
+    tot = toks.agg(
+        F.sum(F.size("__toks")).alias("t"),
+        F.sum(
+            F.when(F.size("__toks") >= 2, F.size("__toks") - 1).otherwise(0)
+        ).alias("b"),
+    ).collect()[0]
+    t_tot = F.lit(int(tot["t"] or 0))
+    b_tot = F.lit(int(tot["b"] or 0))
+
+    n_vocab = uni.count()
+    ua = uni.select(F.col("w").alias("w1"), F.col("cu").alias("ca"))
+    ub = uni.select(F.col("w").alias("w2"), F.col("cu").alias("cb"))
+    if n_vocab <= BROADCAST_MAX_ROWS:
+        ua, ub = F.broadcast(ua), F.broadcast(ub)
+    scored = (
+        big.join(ua, "w1")
+        .join(ub, "w2")
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                F.log(
+                    (F.col("c12") / b_tot)
+                    / ((F.col("ca") / t_tot) * (F.col("cb") / t_tot))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(k)

@@ -2742,3 +2742,35 @@ ORACLES_EXT["doc_langid_confusion"] = f"""
                AS share
     FROM cells ORDER BY lang, lang_pred
 """
+
+
+ORACLES_EXT["doc_pmi_collocations"] = r"""
+    WITH base AS (
+        SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents),
+    uni AS (
+        SELECT unnest(toks) AS w FROM base),
+    cu AS (SELECT w, count(*) AS cu FROM uni GROUP BY w),
+    bg AS (
+        SELECT unnest(toks[1:len(toks)-1]) AS w1,
+               unnest(toks[2:len(toks)]) AS w2
+        FROM base WHERE len(toks) >= 2),
+    c12 AS (
+        SELECT w1, w2, count(*) AS c12 FROM bg
+        GROUP BY w1, w2 HAVING count(*) >= 5),
+    tot AS (
+        SELECT sum(len(toks)) AS t,
+               sum(CASE WHEN len(toks) >= 2 THEN len(toks) - 1
+                        ELSE 0 END) AS b
+        FROM base)
+    SELECT w1, w2, c12,
+           round(ln((c12 / b) / ((ca / t) * (cb / t))), 6) AS pmi
+    FROM (
+        SELECT c12.w1, c12.w2, c12.c12, ua.cu AS ca, ub.cu AS cb, t, b
+        FROM c12
+        JOIN cu ua ON c12.w1 = ua.w
+        JOIN cu ub ON c12.w2 = ub.w
+        CROSS JOIN tot)
+    ORDER BY pmi DESC, w1, w2 LIMIT 20
+"""

@@ -2762,3 +2762,13 @@ def doc_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "lang_pred")
     )
+
+
+def doc_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase detection: top-20 collocations by PMI over the corpus
+    (operators/lm.py:pmi_collocations, the Mikolov et al. 2013 phrase
+    merge score), min bigram count 5."""
+    from firebase_etl_spark.operators.lm import pmi_collocations
+
+    d = load_table(spark, "documents", sf_dir)
+    return pmi_collocations(d, min_count=5, k=20)

@@ -1090,3 +1090,29 @@ def test_hybrid_rrf_fuses_both_rankings(spark, sf_dir):
         only = [r for r in rs if (r["sparse_rank"] is None) != (r["dense_rank"] is None)]
         if both and only:
             assert min(r["rrf_score"] for r in both) >= 0  # sanity
+
+
+def test_pmi_collocations_hand_computed(spark):
+    """PMI on a corpus where one bigram is a true collocation."""
+    import math
+
+    from firebase_etl_spark.operators.lm import pmi_collocations
+
+    # "new york" always adjacent (5x); "the cat"/"the dog" dilute "the"
+    docs = [
+        (0, "new york new york new york"),
+        (1, "new york new york the cat"),
+        (2, "the dog saw the cat"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = pmi_collocations(df, min_count=2, k=5).collect()
+    got = {(r["w1"], r["w2"]): r for r in rows}
+    assert ("new", "york") in got
+    r = got[("new", "york")]
+    # counts: corpus T=6+6+5=17 tokens, B=5+5+4=14 bigrams;
+    # c12(new,york)=5, c(new)=5, c(york)=5
+    assert r["c12"] == 5
+    expected = round(math.log((5 / 14) / ((5 / 17) * (5 / 17))), 6)
+    assert r["pmi"] == pytest.approx(expected, abs=2e-6)
+    # ordering: top row has the max pmi
+    assert rows[0]["pmi"] == max(x["pmi"] for x in rows)
