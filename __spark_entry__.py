@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_hybrid_rrf": QX.documents_hybrid_rrf,
         "doc_langid_confusion": QX.doc_langid_confusion,
         "doc_pmi_collocations": QX.doc_pmi_collocations,
+        "doc_prefix_filter_near_dups": QX.doc_prefix_filter_near_dups,
         "orders_rollup": QX.orders_rollup,
         "top_customer_revenue": QX.top_customer_revenue,
         "mktsegment_order_priority_pivot": QX.mktsegment_order_priority_pivot,

@@ -598,3 +598,107 @@ def incremental_minhash_dedup(
     finally:
         sigs.unpersist()
     return survivors
+
+
+def prefix_filter_near_dups(
+    df: DataFrame,
+    threshold: float = 0.5,
+    shingle_n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (the
+    PPJoin/AllPairs family — Xiao et al. 2008, Bayardo et al. 2007):
+    sub-quadratic like MinHash-LSH but with ZERO false negatives — the
+    deterministic exact path when the dedup policy can't tolerate
+    probabilistic recall. Returns (id_a, id_b, jaccard >= threshold),
+    identical to brute force by construction (pinned in pytest, and it
+    shares minhash's brute-force DuckDB oracle).
+
+    Why it's sound: order every document's shingles by a global
+    rarest-first total order; if |A ∩ B| / |A ∪ B| >= t, the two sets
+    must collide inside their first (n - ceil(t*n) + 1) shingles under
+    ANY shared total order — so candidates = docs sharing a PREFIX
+    shingle, a fraction of docs sharing any shingle. A length filter
+    (t*|A| <= |B| <= |A|/t) prunes further before verification.
+
+    Scale shape: one shingle explode, one shingle-keyed df aggregate
+    (vocabulary-sized — broadcast back under the usual threshold), one
+    per-doc sort-aggregate, then a prefix-keyed self-join whose buckets
+    hold the docs sharing a RARE shingle (rarest-first ordering is what
+    bounds the hot buckets), and an exact verify on the candidate pairs
+    only. The same shape as the LSH banding path with prefixes instead
+    of bands."""
+    sh = (
+        df.select(F.col(id_col), tokenize(text_col).alias("__t"))
+        .select(
+            F.col(id_col),
+            word_shingles_of_tokens(F.col("__t"), shingle_n).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+        .persist()
+    )
+    try:
+        ex = sh.select(
+            F.col(id_col), F.size("sh").alias("n"), F.explode("sh").alias("s")
+        )
+        dfc = ex.groupBy("s").agg(F.count(F.lit(1)).alias("dfs"))
+        if dfc.count() * 3 <= 3_000_000:  # struct rows ~3x a bare band key
+            dfc = F.broadcast(dfc)
+        # rarest-first order within each doc; the global order is the
+        # (dfs, s) sort key itself — no global rank window needed
+        pref = (
+            ex.join(dfc, "s")
+            .groupBy(id_col)
+            .agg(
+                F.first("n").alias("n"),
+                F.array_sort(F.collect_list(F.struct("dfs", "s"))).alias(
+                    "sorted"
+                ),
+            )
+            .select(
+                F.col(id_col),
+                "n",
+                F.slice(
+                    "sorted",
+                    1,
+                    (F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1)
+                    .cast("int"),
+                ).alias("prefix"),
+            )
+        )
+        pex = pref.select(
+            F.col(id_col), "n", F.explode("prefix.s").alias("s")
+        )
+        a_side = pex.select(
+            F.col("s"), F.col(id_col).alias("id_a"), F.col("n").alias("n_a")
+        )
+        b_side = pex.select(
+            F.col("s"), F.col(id_col).alias("id_b"), F.col("n").alias("n_b")
+        )
+        cands = (
+            a_side.join(b_side, "s")
+            .filter(
+                (F.col("id_a") < F.col("id_b"))
+                & (F.col("n_b") >= F.lit(threshold) * F.col("n_a"))
+                & (F.col("n_a") >= F.lit(threshold) * F.col("n_b"))
+            )
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+        b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+        jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+            F.array_union("sh_a", "sh_b")
+        )
+        out = (
+            cands.join(a, "id_a")
+            .join(b, "id_b")
+            .withColumn("jaccard", F.round(jac, 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        sh.unpersist()
+    return out

@@ -491,6 +491,10 @@ ORACLES_EXT["doc_minhash_near_dups"] = r"""
     ) WHERE jaccard >= 0.5
 """
 
+ORACLES_EXT["doc_prefix_filter_near_dups"] = ORACLES_EXT[
+    "doc_minhash_near_dups"
+]  # lossless prefix filter == exact brute force == the minhash oracle
+
 ORACLES_EXT["media_feature_stats"] = """
     WITH media AS (
         SELECT doc_id AS media_id,

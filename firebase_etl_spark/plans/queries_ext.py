@@ -2772,3 +2772,13 @@ def doc_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, "documents", sf_dir)
     return pmi_collocations(d, min_count=5, k=20)
+
+
+def doc_prefix_filter_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT sub-quadratic near-dup pairs via PPJoin-style prefix
+    filtering (operators/dedup_approx.py:prefix_filter_near_dups) —
+    zero-false-negative twin of doc_minhash_near_dups, same shingles,
+    same threshold, same output contract (and the same brute-force
+    oracle, because the prefix filter is lossless)."""
+    d = load_table(spark, "documents", sf_dir)
+    return DA.prefix_filter_near_dups(d, threshold=0.5, shingle_n=2)

@@ -1116,3 +1116,46 @@ def test_pmi_collocations_hand_computed(spark):
     assert r["pmi"] == pytest.approx(expected, abs=2e-6)
     # ordering: top row has the max pmi
     assert rows[0]["pmi"] == max(x["pmi"] for x in rows)
+
+
+def test_prefix_filter_equals_brute_force(spark, sf_dir):
+    """The prefix filter is LOSSLESS: its output must equal the O(n^2)
+    exact join exactly — pairs, values, everything."""
+    from firebase_etl_spark.operators.dedup_approx import (
+        brute_force_near_dups,
+        prefix_filter_near_dups,
+    )
+    from firebase_etl_spark.sources.tables import load_table
+
+    d = load_table(spark, "documents", sf_dir)
+    pf = sorted(
+        map(tuple, prefix_filter_near_dups(d, 0.5, 2).collect())
+    )
+    bf = sorted(
+        map(
+            tuple,
+            brute_force_near_dups(d, 0.5, 2)
+            .select("id_a", "id_b", "jaccard")
+            .collect(),
+        )
+    )
+    assert pf == bf
+
+
+def test_prefix_filter_hand_case(spark):
+    from firebase_etl_spark.operators.dedup_approx import (
+        prefix_filter_near_dups,
+    )
+
+    docs = [
+        (0, "a b c d e"),           # shingles {ab,bc,cd,de}
+        (1, "a b c d x"),           # {ab,bc,cd,dx}: inter 3, union 5
+        (2, "p q r s t"),           # disjoint
+        (3, "a b c d e"),           # duplicate of 0: jaccard 1.0
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in prefix_filter_near_dups(df, 0.5, 2).collect()
+    }
+    assert got == {(0, 1): 0.6, (0, 3): 1.0, (1, 3): 0.6}
