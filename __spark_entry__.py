@@ -35,13 +35,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # checks the FIRST 50 entries. Round-5 window = the three r4
         # non-green rows first (the DSIR determinism fix and the two
         # sketch queries made self-verifying/oracle-backed), then the
-        # seven operators NEW this round (BM25, duplicate windows, the
+        # eight operators NEW this round (BM25, duplicate windows, the
         # two embedding label audits, hybrid RRF, langid confusion, PMI
-        # collocations), then every query whose last driver evidence is
-        # r1/r2 (36), then 4 r3-evidenced streaming twins. The seven r3
-        # rows this displaced past slot 50 (3 streams, users pipeline,
-        # curation pipeline, RTDB source, as-of join) stay pinned by the
-        # local gate replica tests/test_oracle.py and rotate back in r6.
+        # collocations, the exact prefix-filter join), then every query
+        # whose last driver evidence is r1/r2 (36), then 3 r3-evidenced
+        # streaming twins. The eight r3 rows this displaced past slot 50
+        # (4 streams, users pipeline, curation pipeline, RTDB source,
+        # as-of join) stay pinned by the local gate replica
+        # tests/test_oracle.py and rotate back in r6.
         "documents_dsir_weights": QX.documents_dsir_weights,
         "events_distinct_users_approx": QX.events_distinct_users_approx,
         "lineitem_percentiles_approx": QX.lineitem_percentiles_approx,

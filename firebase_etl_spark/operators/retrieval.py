@@ -25,6 +25,17 @@ length rides through the tf groupBy as a grouping key (constant per
 doc), so no per-doc join is needed. Corpus scalars (N, avgdl) are one
 sizes-only aggregate that never explodes.
 
+MEASURED caveat (tools/bm25_pruning_bench.py, sf0.1, min-of-3): the
+pruned plan TIES the naive three-consumer formulation on the gate
+fixture (1.08x at 5 probes, 1.00x at 64) — because this synthetic
+corpus has a 31-token vocabulary and the probes cover 30 of it, the
+semi join keeps 99.9% of tokens (measured), i.e. the prune is
+structurally a no-op HERE. The pruned shape is kept because its win is
+selectivity-times-scale: on a real corpus (vocabulary in the millions,
+query terms in the hundreds) the semi join turns the only corpus-wide
+exchange from all postings into a sliver, while costing one broadcast
+build when selectivity saturates.
+
 DETERMINISM: per-(query, doc, term) contributions are doubles built
 from exact integers and two literal scalars, rounded ONCE to a
 1e-6-unit BIGINT, and per-pair scores are integer sums of those —
