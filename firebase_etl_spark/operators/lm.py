@@ -124,46 +124,70 @@ def pmi_collocations(
     (shuffle-join fallback above it); the min_count filter runs before
     the joins; the global top-k is a TakeOrderedAndProject, never a
     full sort."""
-    toks = df.select(F.col(id_col), tokenize(text_col).alias("__toks"))
-    uni = (
-        toks.select(F.explode("__toks").alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("cu"))
-    )
-    big = (
-        doc_bigrams(df, text_col=text_col, id_col=id_col)
-        .groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("c12"))
-        .filter(F.col("c12") >= min_count)
-    )
-    tot = toks.agg(
-        F.sum(F.size("__toks")).alias("t"),
-        F.sum(
-            F.when(F.size("__toks") >= 2, F.size("__toks") - 1).otherwise(0)
-        ).alias("b"),
-    ).collect()[0]
-    t_tot = F.lit(int(tot["t"] or 0))
-    b_tot = F.lit(int(tot["b"] or 0))
+    toks = df.select(
+        F.col(id_col), tokenize(text_col).alias("__toks")
+    ).persist()
+    try:
+        uni = (
+            toks.select(F.explode("__toks").alias("w"))
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("cu"))
+        ).persist()
+        try:
+            big = (
+                toks.select(
+                    F.slice("__toks", 1, F.size("__toks") - 1).alias("a1"),
+                    F.slice("__toks", 2, F.size("__toks") - 1).alias("a2"),
+                )
+                .filter(F.size("__toks") >= 2)
+                .select(F.explode(F.arrays_zip("a1", "a2")).alias("bg"))
+                .select(
+                    F.col("bg.a1").alias("w1"), F.col("bg.a2").alias("w2")
+                )
+                .groupBy("w1", "w2")
+                .agg(F.count(F.lit(1)).alias("c12"))
+                .filter(F.col("c12") >= min_count)
+            )
+            tot = toks.agg(
+                F.sum(F.size("__toks")).alias("t"),
+                F.sum(
+                    F.when(
+                        F.size("__toks") >= 2, F.size("__toks") - 1
+                    ).otherwise(0)
+                ).alias("b"),
+            ).collect()[0]
+            t_tot = F.lit(int(tot["t"] or 0))
+            b_tot = F.lit(int(tot["b"] or 0))
 
-    n_vocab = uni.count()
-    ua = uni.select(F.col("w").alias("w1"), F.col("cu").alias("ca"))
-    ub = uni.select(F.col("w").alias("w2"), F.col("cu").alias("cb"))
-    if n_vocab <= BROADCAST_MAX_ROWS:
-        ua, ub = F.broadcast(ua), F.broadcast(ub)
-    scored = (
-        big.join(ua, "w1")
-        .join(ub, "w2")
-        .select(
-            "w1",
-            "w2",
-            "c12",
-            F.round(
-                F.log(
-                    (F.col("c12") / b_tot)
-                    / ((F.col("ca") / t_tot) * (F.col("cb") / t_tot))
-                ),
-                6,
-            ).alias("pmi"),
-        )
-    )
-    return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(k)
+            # one count() sizes the broadcast decision AND materializes
+            # the cached vocabulary table both scoring joins reuse
+            n_vocab = uni.count()
+            ua = uni.select(F.col("w").alias("w1"), F.col("cu").alias("ca"))
+            ub = uni.select(F.col("w").alias("w2"), F.col("cu").alias("cb"))
+            if n_vocab <= BROADCAST_MAX_ROWS:
+                ua, ub = F.broadcast(ua), F.broadcast(ub)
+            scored = (
+                big.join(ua, "w1")
+                .join(ub, "w2")
+                .select(
+                    "w1",
+                    "w2",
+                    "c12",
+                    F.round(
+                        F.log(
+                            (F.col("c12") / b_tot)
+                            / ((F.col("ca") / t_tot) * (F.col("cb") / t_tot))
+                        ),
+                        6,
+                    ).alias("pmi"),
+                )
+            )
+            # the top-k result is <= k rows: checkpoint through the
+            # TakeOrdered so the caches can be released (lm.py pattern)
+            out = scored.orderBy(F.desc("pmi"), "w1", "w2").limit(k)
+            out = out.localCheckpoint(eager=True)
+        finally:
+            uni.unpersist()
+    finally:
+        toks.unpersist()
+    return out
