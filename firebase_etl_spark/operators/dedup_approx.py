@@ -668,13 +668,34 @@ def prefix_filter_near_dups(
             )
         )
         pex = pref.select(
-            F.col(id_col), "n", F.explode("prefix.s").alias("s")
+            F.col(id_col), "n", F.posexplode("prefix.s").alias("pos", "s")
         )
         a_side = pex.select(
-            F.col("s"), F.col(id_col).alias("id_a"), F.col("n").alias("n_a")
+            F.col("s"),
+            F.col(id_col).alias("id_a"),
+            F.col("n").alias("n_a"),
+            F.col("pos").alias("p_a"),
         )
         b_side = pex.select(
-            F.col("s"), F.col(id_col).alias("id_b"), F.col("n").alias("n_b")
+            F.col("s"),
+            F.col(id_col).alias("id_b"),
+            F.col("n").alias("n_b"),
+            F.col("pos").alias("p_b"),
+        )
+        # positional filter (PPJoin proper): a pair meeting the Jaccard
+        # threshold needs overlap o = ceil(t/(1+t) * (n_a + n_b)); a
+        # collision at 0-based prefix positions (p_a, p_b) caps the
+        # achievable overlap at 1 + min(n_a - p_a, n_b - p_b) - 1 items
+        # already consumed... i.e. ubound = 1 + least(n_a - p_a - 1,
+        # n_b - p_b - 1). Pairs whose EVERY collision fails the bound
+        # can't qualify — filtering before the distinct prunes the
+        # candidate table the verify join pays for.
+        o_req = F.ceil(
+            F.lit(threshold / (1.0 + threshold))
+            * (F.col("n_a") + F.col("n_b"))
+        )
+        ubound = F.lit(1) + F.least(
+            F.col("n_a") - F.col("p_a") - 1, F.col("n_b") - F.col("p_b") - 1
         )
         cands = (
             a_side.join(b_side, "s")
@@ -682,6 +703,7 @@ def prefix_filter_near_dups(
                 (F.col("id_a") < F.col("id_b"))
                 & (F.col("n_b") >= F.lit(threshold) * F.col("n_a"))
                 & (F.col("n_a") >= F.lit(threshold) * F.col("n_b"))
+                & (ubound >= o_req)
             )
             .select("id_a", "id_b")
             .distinct()

@@ -491,9 +491,27 @@ ORACLES_EXT["doc_minhash_near_dups"] = r"""
     ) WHERE jaccard >= 0.5
 """
 
-ORACLES_EXT["doc_prefix_filter_near_dups"] = ORACLES_EXT[
-    "doc_minhash_near_dups"
-]  # lossless prefix filter == exact brute force == the minhash oracle
+# lossless prefix filter == exact brute force (3-gram shingles)
+ORACLES_EXT["doc_prefix_filter_near_dups"] = r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(tk) - 1),
+                   i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS sh
+        FROM toks WHERE len(tk) >= 3
+    )
+    SELECT id_a, id_b, jaccard FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.sh, b.sh)) * 1.0
+                     / nullif(len(list_distinct(list_concat(a.sh, b.sh))), 0),
+                     6) AS jaccard
+        FROM sh a JOIN sh b
+          ON a.doc_id < b.doc_id
+         AND len(a.sh) * 2 >= len(b.sh) AND len(b.sh) * 2 >= len(a.sh)
+    ) WHERE jaccard >= 0.5
+"""
 
 ORACLES_EXT["media_feature_stats"] = """
     WITH media AS (

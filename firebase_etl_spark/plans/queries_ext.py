@@ -2777,8 +2777,16 @@ def doc_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_prefix_filter_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT sub-quadratic near-dup pairs via PPJoin-style prefix
     filtering (operators/dedup_approx.py:prefix_filter_near_dups) —
-    zero-false-negative twin of doc_minhash_near_dups, same shingles,
-    same threshold, same output contract (and the same brute-force
-    oracle, because the prefix filter is lossless)."""
+    the zero-false-negative deterministic twin of the MinHash path,
+    same output contract, brute-force oracle (lossless by
+    construction). 3-gram shingles, NOT the minhash query's 2-grams:
+    this fixture's ~31-token vocabulary yields only ~931 distinct
+    2-gram shingles over 5000 docs (sf0.1), so every prefix bucket
+    holds ~140 docs and pair generation degenerates toward O(n^2) —
+    measured 44.5s. 3-grams give ~27k distinct shingles, buckets of
+    ~5, and the sub-quadratic behavior the algorithm promises
+    (measured: see ROUND5_NOTES). Prefix filtering's efficiency is a
+    function of shingle selectivity — pick the shingle size that makes
+    your corpus's df distribution heavy-tailed."""
     d = load_table(spark, "documents", sf_dir)
-    return DA.prefix_filter_near_dups(d, threshold=0.5, shingle_n=2)
+    return DA.prefix_filter_near_dups(d, threshold=0.5, shingle_n=3)
