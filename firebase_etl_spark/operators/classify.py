@@ -42,7 +42,7 @@ def label_centroid_confusion(
         F.col(id_col),
         F.col(label_col).alias("label"),
         _to_double(F.col(vec_col)).alias("v"),
-    )
+    ).filter(F.col("label").isNotNull())  # unlabeled rows train nothing
     # fixed-point per-dimension sums -> exact (n_labels x dim) centroid
     # table on the driver; one explode, one map-side-combinable agg
     cent_rows = (
