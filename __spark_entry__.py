@@ -35,14 +35,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # checks the FIRST 50 entries. Round-5 window = the three r4
         # non-green rows first (the DSIR determinism fix and the two
         # sketch queries made self-verifying/oracle-backed), then the
-        # eight operators NEW this round (BM25, duplicate windows, the
+        # nine operators NEW this round (BM25, duplicate windows, the
         # two embedding label audits, hybrid RRF, langid confusion, PMI
-        # collocations, the exact prefix-filter join), then every query
-        # whose last driver evidence is r1/r2 (36), then 3 r3-evidenced
-        # streaming twins. The eight r3 rows this displaced past slot 50
-        # (4 streams, users pipeline, curation pipeline, RTDB source,
-        # as-of join) stay pinned by the local gate replica
-        # tests/test_oracle.py and rotate back in r6.
+        # collocations, the exact prefix-filter join, source drift),
+        # then every query whose last driver evidence is r1/r2 (36),
+        # then 2 r3-evidenced streaming twins. The nine r3 rows this
+        # displaced past slot 50 (5 streams, users pipeline, curation
+        # pipeline, RTDB source, as-of join) stay pinned by the local
+        # gate replica tests/test_oracle.py and rotate back in r6.
         "documents_dsir_weights": QX.documents_dsir_weights,
         "events_distinct_users_approx": QX.events_distinct_users_approx,
         "lineitem_percentiles_approx": QX.lineitem_percentiles_approx,
@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_langid_confusion": QX.doc_langid_confusion,
         "doc_pmi_collocations": QX.doc_pmi_collocations,
         "doc_prefix_filter_near_dups": QX.doc_prefix_filter_near_dups,
+        "doc_source_drift": QX.doc_source_drift,
         "orders_rollup": QX.orders_rollup,
         "top_customer_revenue": QX.top_customer_revenue,
         "mktsegment_order_priority_pivot": QX.mktsegment_order_priority_pivot,

@@ -9,7 +9,7 @@ distributions as DataFrames.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -121,3 +121,100 @@ def stratified_sample_hash(
         F.lit(0),
     )
     return df.filter(u < thresh)
+
+
+def source_drift_report(
+    df: DataFrame,
+    value_col: str = "n_chars",
+    group_col: str = "source",
+    n_bins: int = 20,
+) -> DataFrame:
+    """Distribution-drift screen across corpus slices (the
+    snapshot/ingest QA step of a training pipeline): total-variation
+    distance between each group's ``value_col`` histogram and the whole
+    corpus's, over ``n_bins`` equal-width bins. Returns (group, n_docs,
+    tv_distance, max_bin_gap) — tv_distance in [0, 1], 0 = identical
+    shape; a source whose length profile suddenly shifts (truncation,
+    boilerplate injection, encoding breakage) stands out without any
+    reference snapshot to diff against.
+
+    Each group is compared to the CORPUS, not pairwise — linear in the
+    number of groups, so a million-source web crawl costs the same two
+    aggregates as twenty sources.
+
+    DETERMINISM: per-bin |p - q| terms are rounded ONCE to 1e-6-unit
+    BIGINTs and integer-summed per group (the fixed-point house
+    pattern); bin edges are one exact-integer min/max divided once, so
+    bin assignment is the identical IEEE floor on every engine.
+
+    Scale shape: one (group, bin) aggregate [the only corpus-wide
+    shuffle], densified against a literal bin spine per group (missing
+    bins count as 0 — skipping them understates drift), corpus bin
+    totals via a bin-keyed window over the group histogram (linear
+    chain, no join-back), then a group-keyed rollup."""
+    scal = df.agg(
+        F.min(value_col).alias("lo"),
+        F.max(value_col).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    if not scal["n"]:
+        return df.sparkSession.createDataFrame(
+            [],
+            f"{group_col} string, n_docs bigint, tv_distance double,"
+            " max_bin_gap double",
+        )
+    lo = int(scal["lo"])
+    width = (int(scal["hi"]) - lo) / float(n_bins)
+    n_total = int(scal["n"])
+    if width > 0:
+        bin_expr = F.least(
+            F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)),
+            F.lit(n_bins - 1),
+        ).cast("int")
+    else:
+        bin_expr = F.lit(0)  # degenerate: every value identical
+    hist = (
+        df.select(F.col(group_col).alias("grp"), bin_expr.alias("bin"))
+        .groupBy("grp", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # dense (group x bin) spine: a group missing a bin still contributes
+    # |0 - q_bin| to its distance
+    spine = (
+        hist.select("grp")
+        .distinct()
+        .select(
+            "grp", F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin")
+        )
+    )
+    dense = spine.join(hist, ["grp", "bin"], "left").select(
+        "grp", "bin", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    dense = dense.withColumn(
+        "corpus_bin", F.sum("c").over(Window.partitionBy("bin"))
+    ).withColumn("n_grp", F.sum("c").over(Window.partitionBy("grp")))
+    gap_e6 = F.round(
+        F.abs(
+            F.col("c") / F.col("n_grp")
+            - F.col("corpus_bin") / F.lit(n_total)
+        )
+        * 1000000.0,
+        0,
+    ).cast("long")
+    return (
+        dense.select("grp", "n_grp", gap_e6.alias("gap_e6"))
+        .groupBy("grp", "n_grp")
+        .agg(
+            F.round(
+                F.sum("gap_e6") / F.lit(2000000.0), 6
+            ).alias("tv_distance"),
+            (F.max("gap_e6") / F.lit(1000000.0)).alias("max_bin_gap"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("n_grp").alias("n_docs"),
+            "tv_distance",
+            "max_bin_gap",
+        )
+        .orderBy(group_col)
+    )

@@ -2790,3 +2790,13 @@ def doc_prefix_filter_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     your corpus's df distribution heavy-tailed."""
     d = load_table(spark, "documents", sf_dir)
     return DA.prefix_filter_near_dups(d, threshold=0.5, shingle_n=3)
+
+
+def doc_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution-drift screen (operators/stats.py:
+    source_drift_report): total-variation distance of each source's
+    n_chars histogram vs the corpus over 20 equal-width bins."""
+    from firebase_etl_spark.operators.stats import source_drift_report
+
+    d = load_table(spark, "documents", sf_dir)
+    return source_drift_report(d, value_col="n_chars", group_col="source")

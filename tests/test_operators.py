@@ -1159,3 +1159,30 @@ def test_prefix_filter_hand_case(spark):
         for r in prefix_filter_near_dups(df, 0.5, 2).collect()
     }
     assert got == {(0, 1): 0.6, (0, 3): 1.0, (1, 3): 0.6}
+
+
+def test_source_drift_identical_and_shifted(spark):
+    """A group drawn from the corpus shape scores near 0; a disjoint
+    range scores near 1."""
+    from firebase_etl_spark.operators.stats import source_drift_report
+
+    rows = (
+        # srcA and srcB: same values -> identical histograms
+        [(i, "srcA", 100 + (i % 10) * 10) for i in range(50)]
+        + [(i + 50, "srcB", 100 + (i % 10) * 10) for i in range(50)]
+        # srcC: values in a disjoint band
+        + [(i + 100, "srcC", 900 + (i % 5)) for i in range(50)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    got = {
+        r["source"]: r for r in source_drift_report(df).collect()
+    }
+    assert set(got) == {"srcA", "srcB", "srcC"}
+    assert got["srcA"]["tv_distance"] == got["srcB"]["tv_distance"]
+    # A/B match each other but NOT the corpus (C pulls the mix): their
+    # distance equals |2/3 - 1| * ... bounded well below C's
+    assert got["srcC"]["tv_distance"] > 0.6
+    assert got["srcA"]["tv_distance"] < got["srcC"]["tv_distance"]
+    for r in got.values():
+        assert 0.0 <= r["tv_distance"] <= 1.0
+        assert r["n_docs"] == 50
