@@ -163,8 +163,11 @@ def source_drift_report(
             f"{group_col} string, n_docs bigint, tv_distance double,"
             " max_bin_gap double",
         )
-    lo = int(scal["lo"])
-    width = (int(scal["hi"]) - lo) / float(n_bins)
+    # float() handles integer and double value columns alike; for
+    # integer columns the conversion is exact, so bin edges match an
+    # all-integer oracle bit-for-bit
+    lo = float(scal["lo"])
+    width = (float(scal["hi"]) - lo) / float(n_bins)
     n_total = int(scal["n"])
     if width > 0:
         bin_expr = F.least(

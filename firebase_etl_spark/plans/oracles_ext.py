@@ -2834,3 +2834,41 @@ ORACLES_EXT["doc_source_drift"] = """
            max(gap_e6) / 1000000.0 AS max_bin_gap
     FROM gaps GROUP BY grp, n_grp ORDER BY source
 """
+
+
+ORACLES_EXT["events_value_drift"] = """
+    WITH scal AS (
+        SELECT min(value) AS lo, max(value) AS hi,
+               count(*) AS n FROM events),
+    binned AS (
+        SELECT event_type AS grp,
+               CASE WHEN hi = lo THEN 0
+                    ELSE least(CAST(floor((value - lo)
+                               / ((hi - lo) / 20.0)) AS INT), 19)
+               END AS bin
+        FROM events CROSS JOIN scal),
+    hist AS (
+        SELECT grp, bin, count(*) AS c FROM binned GROUP BY grp, bin),
+    spine AS (
+        SELECT grp, t.bin
+        FROM (SELECT DISTINCT grp FROM hist)
+        CROSS JOIN (SELECT unnest(range(0, 20)) AS bin) t),
+    dense AS (
+        SELECT spine.grp, spine.bin, coalesce(hist.c, 0) AS c
+        FROM spine LEFT JOIN hist USING (grp, bin)),
+    win AS (
+        SELECT grp, c,
+               sum(c) OVER (PARTITION BY bin) AS corpus_bin,
+               sum(c) OVER (PARTITION BY grp) AS n_grp
+        FROM dense),
+    gaps AS (
+        SELECT grp, n_grp,
+               CAST(round(abs(c * 1.0 / n_grp
+                              - corpus_bin * 1.0 / (SELECT n FROM scal))
+                          * 1000000.0, 0) AS BIGINT) AS gap_e6
+        FROM win)
+    SELECT grp AS event_type, CAST(n_grp AS BIGINT) AS n_docs,
+           round(sum(gap_e6) / 2000000.0, 6) AS tv_distance,
+           max(gap_e6) / 1000000.0 AS max_bin_gap
+    FROM gaps GROUP BY grp, n_grp ORDER BY event_type
+"""

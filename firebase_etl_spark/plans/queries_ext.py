@@ -2800,3 +2800,14 @@ def doc_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, "documents", sf_dir)
     return source_drift_report(d, value_col="n_chars", group_col="source")
+
+
+def events_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The source-drift screen on a second table/axis: per-event-type
+    total-variation distance of the value distribution vs all events
+    (operators/stats.py:source_drift_report generalizes over any
+    group/value pair)."""
+    from firebase_etl_spark.operators.stats import source_drift_report
+
+    e = load_table(spark, "events", sf_dir)
+    return source_drift_report(e, value_col="value", group_col="event_type")
