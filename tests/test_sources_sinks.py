@@ -511,3 +511,54 @@ def test_sqlstore_reader_rejects_unmapped_schema_type(tmp_path):
     )
     with pytest.raises(ValueError, match="flag.*boolean"):
         SqlStoreReader({"path": "x.db", "table": "t"}, schema)
+
+
+def test_sqlstore_stream_reader_incremental_exactly_once(spark, tmp_path):
+    """S8-S10 streaming complement: high-watermark tailing by an
+    incrementing cursor. Three availableNow runs over one checkpoint:
+    initial load, delta-only after inserts, empty when idle — the
+    checkpointed offset survives query restarts."""
+    import duckdb
+
+    from firebase_etl_spark.sources.sqlstore_datasource import (
+        SqlStoreDataSource,
+    )
+
+    db = str(tmp_path / "s.duckdb")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE t (k BIGINT, v VARCHAR)")
+    con.execute("INSERT INTO t VALUES (1, 'a'), (2, 'b')")
+    con.close()
+    spark.dataSource.register(SqlStoreDataSource)
+    ckpt = str(tmp_path / "ckpt")
+    got: list = []
+
+    def run_once():
+        q = (
+            spark.readStream.format("sqlstore")
+            .option("path", db)
+            .option("table", "t")
+            .option("streamkey", "k")
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, bid: got.append(sorted(map(tuple, df.collect())))
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert [r for b in got for r in b] == [(1, "a"), (2, "b")]
+
+    con = duckdb.connect(db)
+    con.execute("INSERT INTO t VALUES (3, 'c'), (4, 'd')")
+    con.close()
+    got.clear()
+    run_once()
+    assert [r for b in got for r in b] == [(3, "c"), (4, "d")]
+
+    got.clear()
+    run_once()
+    assert [r for b in got for r in b] == []
