@@ -35,15 +35,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # checks the FIRST 50 entries. Round-5 window = the three r4
         # non-green rows first (the DSIR determinism fix and the two
         # sketch queries made self-verifying/oracle-backed), then the
-        # ten operators NEW this round (BM25, duplicate windows, the
+        # eleven operators NEW this round (BM25, duplicate windows, the
         # two embedding label audits, hybrid RRF, langid confusion, PMI
         # collocations, the exact prefix-filter join, the two drift
-        # screens), then every query whose last driver evidence is
-        # r1/r2 (36), then 1 r3-evidenced streaming twin. The ten r3
-        # rows this displaced past slot 50 (6 streams, users pipeline,
-        # curation pipeline, RTDB source, as-of join) stay pinned by
-        # the local gate replica tests/test_oracle.py and rotate back
-        # in r6.
+        # screens, the sqlstore streaming tail), then every query whose
+        # last driver evidence is r1/r2 (36) — exactly filling the 50.
+        # The eleven r3 rows this displaced past slot 50 (all 7
+        # streams, users pipeline, curation pipeline, RTDB source,
+        # as-of join) stay pinned by the local gate replica
+        # tests/test_oracle.py and rotate back in r6.
         "documents_dsir_weights": QX.documents_dsir_weights,
         "events_distinct_users_approx": QX.events_distinct_users_approx,
         "lineitem_percentiles_approx": QX.lineitem_percentiles_approx,
@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_prefix_filter_near_dups": QX.doc_prefix_filter_near_dups,
         "doc_source_drift": QX.doc_source_drift,
         "events_value_drift": QX.events_value_drift,
+        "stream_orders_sqlstore_tail": QX.stream_orders_sqlstore_tail,
         "orders_rollup": QX.orders_rollup,
         "top_customer_revenue": QX.top_customer_revenue,
         "mktsegment_order_priority_pivot": QX.mktsegment_order_priority_pivot,

@@ -2872,3 +2872,10 @@ ORACLES_EXT["events_value_drift"] = """
            max(gap_e6) / 1000000.0 AS max_bin_gap
     FROM gaps GROUP BY grp, n_grp ORDER BY event_type
 """
+
+
+ORACLES_EXT["stream_orders_sqlstore_tail"] = """
+    SELECT o_orderpriority, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""

@@ -2603,28 +2603,19 @@ def documents_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def orders_sqlstore_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S8-S10 LIVE (the JDBC read contract against a real database —
-    sources/sqlstore_datasource.py; the jar-less container keeps
-    sources/jdbc.py mock-tested): materialize the orders table into a
-    DuckDB warehouse file once per sf_dir (INPUT fixture, same pattern as
-    the RTDB export), scan it back as an 8-way partitionColumn range scan
-    with the status filter COMPILED INTO the database WHERE clause
-    (pushFilters), aggregate per priority. The oracle computes the
-    identical aggregate straight from the parquet table, so a green row
-    proves partition striping loses/duplicates nothing and in-database
-    filtering matches Spark-side semantics (reference
-    sql_extraction.py:38-105,205-250)."""
+def _sqlstore_orders_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize orders into a DuckDB warehouse file once per sf_dir
+    (INPUT fixture, same pattern as the RTDB export), register the
+    sqlstore DataSource, and return the file path. Fixture name keyed on
+    source (mtime, size): regenerated testdata invalidates the cache
+    instead of silently serving stale rows."""
     import os
 
     from firebase_etl_spark.sources.sqlstore_datasource import (
         SqlStoreDataSource,
     )
 
-    src = f"{sf_dir}/orders.parquet"
-    st = os.stat(src)
-    # fixture name keyed on source (mtime, size): regenerated testdata
-    # invalidates the cache instead of silently serving stale rows
+    st = os.stat(f"{sf_dir}/orders.parquet")
     tag = (
         f"{os.path.basename(os.path.normpath(sf_dir))}"
         f"_{st.st_mtime_ns}_{st.st_size}"
@@ -2645,6 +2636,22 @@ def orders_sqlstore_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFr
         os.replace(tmp, path)  # atomic: concurrent callers see old or new
     spark.dataSource.register(SqlStoreDataSource)
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    return path
+
+
+def orders_sqlstore_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8-S10 LIVE (the JDBC read contract against a real database —
+    sources/sqlstore_datasource.py; the jar-less container keeps
+    sources/jdbc.py mock-tested): materialize the orders table into a
+    DuckDB warehouse file once per sf_dir (INPUT fixture, same pattern as
+    the RTDB export), scan it back as an 8-way partitionColumn range scan
+    with the status filter COMPILED INTO the database WHERE clause
+    (pushFilters), aggregate per priority. The oracle computes the
+    identical aggregate straight from the parquet table, so a green row
+    proves partition striping loses/duplicates nothing and in-database
+    filtering matches Spark-side semantics (reference
+    sql_extraction.py:38-105,205-250)."""
+    path = _sqlstore_orders_fixture(spark, sf_dir)
     o = (
         spark.read.format("sqlstore")
         .option("path", path)
@@ -2811,3 +2818,32 @@ def events_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, "events", sf_dir)
     return source_drift_report(e, value_col="value", group_col="event_type")
+
+
+def stream_orders_sqlstore_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the live SQL scan: tail the warehouse table
+    through the incremental stream reader (sources/sqlstore_datasource.py:
+    SqlStoreSimpleStreamReader — high-watermark cursor on o_orderkey),
+    one bounded drive, per-priority aggregate in complete mode. The
+    oracle computes the same aggregate from the parquet table, so a
+    green row proves the cursor tail covers every row exactly once."""
+    import uuid as _uuid
+
+    from firebase_etl_spark.streaming.events import run_stream_to_memory
+
+    path = _sqlstore_orders_fixture(spark, sf_dir)
+    plan = (
+        spark.readStream.format("sqlstore")
+        .option("path", path)
+        .option("table", "orders")
+        .option("streamkey", "o_orderkey")
+        .load()
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+    name = f"sqlstore_tail_{_uuid.uuid4().hex[:8]}"
+    out = run_stream_to_memory(spark, plan, name, output_mode="complete")
+    return out.orderBy("o_orderpriority")
