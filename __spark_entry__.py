@@ -35,14 +35,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # checks the FIRST 50 entries. Round-5 window = the three r4
         # non-green rows first (the DSIR determinism fix and the two
         # sketch queries made self-verifying/oracle-backed), then the
-        # eleven operators NEW this round (BM25, duplicate windows, the
+        # twelve operators NEW this round (BM25, duplicate windows, the
         # two embedding label audits, hybrid RRF, langid confusion, PMI
         # collocations, the exact prefix-filter join, the two drift
-        # screens, the sqlstore streaming tail), then every query whose
-        # last driver evidence is r1/r2 (36) — exactly filling the 50.
-        # The eleven r3 rows this displaced past slot 50 (all 7
-        # streams, users pipeline, curation pipeline, RTDB source,
-        # as-of join) stay pinned by the local gate replica
+        # screens, the sqlstore streaming tail, the snapshot diff),
+        # then queries whose last driver evidence is r1/r2 (35 fit the
+        # remaining slots). The twelve r3-or-r1/r2 rows this displaced
+        # past slot 50 (all 7 streams, users pipeline, curation
+        # pipeline, RTDB source, as-of join, events_json_stats'
+        # overflow) stay pinned by the local gate replica
         # tests/test_oracle.py and rotate back in r6.
         "documents_dsir_weights": QX.documents_dsir_weights,
         "events_distinct_users_approx": QX.events_distinct_users_approx,
@@ -59,6 +60,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_source_drift": QX.doc_source_drift,
         "events_value_drift": QX.events_value_drift,
         "stream_orders_sqlstore_tail": QX.stream_orders_sqlstore_tail,
+        "documents_snapshot_diff": QX.documents_snapshot_diff,
         "orders_rollup": QX.orders_rollup,
         "top_customer_revenue": QX.top_customer_revenue,
         "mktsegment_order_priority_pivot": QX.mktsegment_order_priority_pivot,

@@ -2879,3 +2879,33 @@ ORACLES_EXT["stream_orders_sqlstore_tail"] = """
            round(sum(o_totalprice), 2) AS total_price
     FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
+
+
+ORACLES_EXT["documents_snapshot_diff"] = r"""
+    WITH v1 AS (
+        SELECT doc_id, lang,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        FROM documents),
+    v2 AS (
+        SELECT doc_id, lang,
+               md5(regexp_replace(lower(trim(
+                   CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]'
+                        ELSE text END)), '\s+', ' ', 'g')) AS fp
+        FROM documents
+        WHERE substr(md5(text), 32, 1) NOT IN ('0', '1', '2', '3')),
+    j AS (
+        SELECT coalesce(v1.lang, v2.lang) AS lang,
+               v1.fp AS fp1, v2.fp AS fp2
+        FROM v1 FULL OUTER JOIN v2 USING (doc_id))
+    SELECT lang,
+           CAST(sum(CASE WHEN fp1 IS NOT NULL AND fp2 IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           CAST(sum(CASE WHEN fp1 IS NULL AND fp2 IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+           CAST(sum(CASE WHEN fp1 IS NOT NULL AND fp2 IS NOT NULL
+                         AND fp1 <> fp2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_changed,
+           CAST(sum(CASE WHEN fp1 = fp2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unchanged
+    FROM j GROUP BY lang ORDER BY lang
+"""

@@ -2847,3 +2847,79 @@ def stream_orders_sqlstore_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"sqlstore_tail_{_uuid.uuid4().hex[:8]}"
     out = run_stream_to_memory(spark, plan, name, output_mode="complete")
     return out.orderBy("o_orderpriority")
+
+
+def documents_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-versioning QA: diff two snapshots by content fingerprint
+    (operators/text.py:fingerprint), reporting per-lang added / removed
+    / changed-text counts — the audit a training-data pipeline runs
+    before promoting a new crawl. v2 is DERIVED deterministically from
+    v1 (docs whose md5(text) hex ends in '0'..'3' are dropped;
+    doc_id % 7 == 0 docs get a marker suffix), the same
+    derived-fixture pattern as the messy-users pipeline; both engines
+    derive it identically so the oracle replays the whole diff.
+
+    Shape: one doc_id-keyed full outer join of the two snapshots'
+    (id, fp) projections — at 100 TB both sides are fingerprint scans
+    (no text moves past the projection) and the join co-partitions on
+    the id."""
+    d = load_table(spark, "documents", sf_dir)
+    v1 = d.select(
+        "doc_id", "lang", TX.fingerprint("text").alias("fp")
+    )
+    v2_src = d.filter(
+        ~F.substring(F.md5(F.col("text").cast("binary")), 32, 1).isin(
+            "0", "1", "2", "3"
+        )
+    )
+    v2 = v2_src.select(
+        "doc_id",
+        "lang",
+        TX.fingerprint(
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.col("text"), F.lit(" [rev2]")),
+            ).otherwise(F.col("text"))
+        ).alias("fp"),
+    )
+    j = (
+        v1.select(
+            "doc_id", F.col("lang").alias("l1"), F.col("fp").alias("fp1")
+        )
+        .join(
+            v2.select(
+                "doc_id", F.col("lang").alias("l2"), F.col("fp").alias("fp2")
+            ),
+            "doc_id",
+            "full_outer",
+        )
+        .select(
+            F.coalesce("l1", "l2").alias("lang"), "fp1", "fp2"
+        )
+    )
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.sum(
+                (F.col("fp1").isNotNull() & F.col("fp2").isNull()).cast(
+                    "long"
+                )
+            ).alias("n_removed"),
+            F.sum(
+                (F.col("fp1").isNull() & F.col("fp2").isNotNull()).cast(
+                    "long"
+                )
+            ).alias("n_added"),
+            F.sum(
+                (
+                    F.col("fp1").isNotNull()
+                    & F.col("fp2").isNotNull()
+                    & (F.col("fp1") != F.col("fp2"))
+                ).cast("long")
+            ).alias("n_changed"),
+            F.sum(
+                (F.col("fp1") == F.col("fp2")).cast("long")
+            ).alias("n_unchanged"),
+        )
+        .orderBy("lang")
+    )
