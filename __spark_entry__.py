@@ -35,16 +35,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # checks the FIRST 50 entries. Round-5 window = the three r4
         # non-green rows first (the DSIR determinism fix and the two
         # sketch queries made self-verifying/oracle-backed), then the
-        # twelve operators NEW this round (BM25, duplicate windows, the
-        # two embedding label audits, hybrid RRF, langid confusion, PMI
-        # collocations, the exact prefix-filter join, the two drift
-        # screens, the sqlstore streaming tail, the snapshot diff),
-        # then queries whose last driver evidence is r1/r2 (35 fit the
-        # remaining slots). The twelve r3-or-r1/r2 rows this displaced
-        # past slot 50 (all 7 streams, users pipeline, curation
-        # pipeline, RTDB source, as-of join, events_json_stats'
-        # overflow) stay pinned by the local gate replica
-        # tests/test_oracle.py and rotate back in r6.
+        # thirteen operators NEW this round (BM25, duplicate windows,
+        # the two embedding label audits, hybrid RRF, langid confusion,
+        # PMI collocations, the exact prefix-filter join, the two drift
+        # screens, the sqlstore streaming tail, the snapshot diff, the
+        # Misra-Gries heavy hitters), then queries whose last driver
+        # evidence is r1/r2 (34 fit the remaining slots). The thirteen
+        # rows this displaced past slot 50 (all 7 streams, users
+        # pipeline, curation pipeline, RTDB source, as-of join, and two
+        # r1/r2 overflow rows — all r3-or-newer pinned by the local
+        # gate replica tests/test_oracle.py) rotate back in r6.
         "documents_dsir_weights": QX.documents_dsir_weights,
         "events_distinct_users_approx": QX.events_distinct_users_approx,
         "lineitem_percentiles_approx": QX.lineitem_percentiles_approx,
@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_drift": QX.events_value_drift,
         "stream_orders_sqlstore_tail": QX.stream_orders_sqlstore_tail,
         "documents_snapshot_diff": QX.documents_snapshot_diff,
+        "events_heavy_hitters": QX.events_heavy_hitters,
         "orders_rollup": QX.orders_rollup,
         "top_customer_revenue": QX.top_customer_revenue,
         "mktsegment_order_priority_pivot": QX.mktsegment_order_priority_pivot,

@@ -1,0 +1,95 @@
+"""Misra-Gries heavy hitters — a hand-built mergeable sketch (Misra &
+Gries 1982; mergeability per Agarwal et al. 2012, "Mergeable
+Summaries"), complementing the built-in HLL++/KLL sketches used by the
+approx-distinct and approx-percentile queries.
+
+Per-partition summaries of at most ``k_counters`` (value, est) pairs are
+computed in one Arrow-batched pass (mapInPandas — the loop is over
+DISTINCT values per record batch via value_counts, never per row), then
+merged by plain counter addition. The merged estimate obeys the
+standard deterministic bound
+
+    exact(v) - n/k  <=  est(v)  <=  exact(v)
+
+(each partition's undercount is at most n_p/k and the undercounts sum),
+which is what makes the operator DRIVER-VERIFIABLE despite the sketch
+itself being partitioning-dependent: the emitted columns are the exact
+top counts plus a ``within_bound`` boolean derived from the (varying)
+estimate — the boolean is mathematically guaranteed TRUE, so the DuckDB
+oracle replays the exact side and the literal, the same self-verifying
+treatment as the HLL/KLL queries.
+
+Scale shape: one corpus pass (mapInPandas), a k-sized-per-partition
+merge aggregate, and the exact top-k aggregate it is checked against;
+at 100 TB you would keep ONLY the sketch pass — the exact twin here is
+the verification harness, not the production path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def heavy_hitters_report(
+    df: DataFrame,
+    value_col: str,
+    k_counters: int = 64,
+    top: int = 5,
+) -> DataFrame:
+    """(value, n_exact, rank, within_bound) for the ``top`` most frequent
+    ``value_col`` values; within_bound pins the merged Misra-Gries
+    estimate inside [n_exact - n_total/k, n_exact]."""
+    import pandas as pd
+
+    src = df.select(F.col(value_col).cast("string").alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    n_total = src.count()
+    if not n_total:
+        return df.sparkSession.createDataFrame(
+            [], "value string, n_exact bigint, rank int, within_bound boolean"
+        )
+
+    def mg(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            # distinct-values loop per Arrow batch, not per row
+            for v, c in pdf["v"].value_counts().items():
+                counters[v] = counters.get(v, 0) + int(c)
+                if len(counters) > k_counters:
+                    dec = min(counters.values())
+                    counters = {
+                        x: n - dec for x, n in counters.items() if n > dec
+                    }
+        yield pd.DataFrame(
+            {"v": list(counters), "est": list(counters.values())}
+        )
+
+    sketch = src.mapInPandas(mg, "v string, est long").groupBy("v").agg(
+        F.sum("est").alias("est")
+    )
+    exact = src.groupBy("v").agg(F.count(F.lit(1)).alias("n_exact"))
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("n_exact"), "v")
+    topk = (
+        exact.orderBy(F.desc("n_exact"), "v")
+        .limit(top)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+    )
+    bound = F.lit(int(n_total)) / F.lit(float(k_counters))
+    return (
+        topk.join(sketch, "v", "left")
+        .select(
+            F.col("v").alias("value"),
+            "n_exact",
+            "rank",
+            (
+                (F.coalesce("est", F.lit(0)) <= F.col("n_exact"))
+                & (
+                    F.coalesce("est", F.lit(0))
+                    >= F.col("n_exact") - bound
+                )
+            ).alias("within_bound"),
+        )
+        .orderBy("rank")
+    )

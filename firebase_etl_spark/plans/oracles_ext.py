@@ -2909,3 +2909,18 @@ ORACLES_EXT["documents_snapshot_diff"] = r"""
                AS n_unchanged
     FROM j GROUP BY lang ORDER BY lang
 """
+
+
+ORACLES_EXT["events_heavy_hitters"] = """
+    -- exact side replayed; within_bound is the sketch's contribution:
+    -- the merged Misra-Gries estimate provably sits in
+    -- [exact - n/k, exact], so the literal TRUE is a real, stable check
+    SELECT event_type AS value,
+           count(*) AS n_exact,
+           CAST(row_number() OVER (
+               ORDER BY count(*) DESC, event_type) AS INT) AS rank,
+           TRUE AS within_bound
+    FROM events WHERE event_type IS NOT NULL
+    GROUP BY event_type
+    ORDER BY n_exact DESC, value LIMIT 5
+"""

@@ -2923,3 +2923,18 @@ def documents_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hand-built mergeable Misra-Gries sketch (operators/
+    heavy_hitters.py), self-verified against the exact top-5 event
+    types: within_bound pins the merged estimate inside the
+    deterministic n/k error band, so the row is hash-checkable even
+    though the sketch internals vary with partitioning (the HLL/KLL
+    treatment, applied to a sketch Spark doesn't ship)."""
+    from firebase_etl_spark.operators.heavy_hitters import (
+        heavy_hitters_report,
+    )
+
+    e = load_table(spark, "events", sf_dir)
+    return heavy_hitters_report(e, "event_type", k_counters=64, top=5)

@@ -1186,3 +1186,30 @@ def test_source_drift_identical_and_shifted(spark):
     for r in got.values():
         assert 0.0 <= r["tv_distance"] <= 1.0
         assert r["n_docs"] == 50
+
+
+def test_heavy_hitters_mg_skewed_fixture(spark):
+    """MG on a skewed stream: the dominant values surface with the exact
+    counts and the bound holds; output is partitioning-invariant because
+    only exact counts + the guaranteed boolean are emitted."""
+    from firebase_etl_spark.operators.heavy_hitters import (
+        heavy_hitters_report,
+    )
+
+    rows = (
+        [("hot",)] * 500
+        + [("warm",)] * 200
+        + [(f"cold{i % 40}",) for i in range(300)]
+    )
+    df = spark.createDataFrame(rows, "v string").repartition(7)
+    out = heavy_hitters_report(df, "v", k_counters=8, top=3).collect()
+    assert [(r["value"], r["n_exact"], r["rank"]) for r in out[:2]] == [
+        ("hot", 500, 1),
+        ("warm", 200, 2),
+    ]
+    assert all(r["within_bound"] for r in out)
+    # invariance across partitionings (exact side + guaranteed boolean)
+    out13 = heavy_hitters_report(
+        df.repartition(13), "v", k_counters=8, top=3
+    ).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in out13]
