@@ -27,7 +27,7 @@ the verification harness, not the production path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -37,9 +37,11 @@ def heavy_hitters_report(
     k_counters: int = 64,
     top: int = 5,
 ) -> DataFrame:
-    """(value, n_exact, rank, within_bound) for the ``top`` most frequent
-    ``value_col`` values; within_bound pins the merged Misra-Gries
-    estimate inside [n_exact - n_total/k, n_exact]."""
+    """(value, n_exact, within_bound) for the ``top`` most frequent
+    ``value_col`` values (ties to the lower value; rank is derivable
+    from n_exact, and emitting it would cost a global-order window the
+    scale lint rightly rejects); within_bound pins the merged
+    Misra-Gries estimate inside [n_exact - n_total/k, n_exact]."""
     import pandas as pd
 
     src = df.select(F.col(value_col).cast("string").alias("v")).filter(
@@ -48,7 +50,7 @@ def heavy_hitters_report(
     n_total = src.count()
     if not n_total:
         return df.sparkSession.createDataFrame(
-            [], "value string, n_exact bigint, rank int, within_bound boolean"
+            [], "value string, n_exact bigint, within_bound boolean"
         )
 
     def mg(batches):
@@ -70,19 +72,13 @@ def heavy_hitters_report(
         F.sum("est").alias("est")
     )
     exact = src.groupBy("v").agg(F.count(F.lit(1)).alias("n_exact"))
-    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("n_exact"), "v")
-    topk = (
-        exact.orderBy(F.desc("n_exact"), "v")
-        .limit(top)
-        .withColumn("rank", F.row_number().over(w).cast("int"))
-    )
+    topk = exact.orderBy(F.desc("n_exact"), "v").limit(top)
     bound = F.lit(int(n_total)) / F.lit(float(k_counters))
     return (
         topk.join(sketch, "v", "left")
         .select(
             F.col("v").alias("value"),
             "n_exact",
-            "rank",
             (
                 (F.coalesce("est", F.lit(0)) <= F.col("n_exact"))
                 & (
@@ -91,5 +87,5 @@ def heavy_hitters_report(
                 )
             ).alias("within_bound"),
         )
-        .orderBy("rank")
+        .orderBy(F.desc("n_exact"), "value")
     )

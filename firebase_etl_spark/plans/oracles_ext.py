@@ -2917,8 +2917,6 @@ ORACLES_EXT["events_heavy_hitters"] = """
     -- [exact - n/k, exact], so the literal TRUE is a real, stable check
     SELECT event_type AS value,
            count(*) AS n_exact,
-           CAST(row_number() OVER (
-               ORDER BY count(*) DESC, event_type) AS INT) AS rank,
            TRUE AS within_bound
     FROM events WHERE event_type IS NOT NULL
     GROUP BY event_type

@@ -1203,9 +1203,9 @@ def test_heavy_hitters_mg_skewed_fixture(spark):
     )
     df = spark.createDataFrame(rows, "v string").repartition(7)
     out = heavy_hitters_report(df, "v", k_counters=8, top=3).collect()
-    assert [(r["value"], r["n_exact"], r["rank"]) for r in out[:2]] == [
-        ("hot", 500, 1),
-        ("warm", 200, 2),
+    assert [(r["value"], r["n_exact"]) for r in out[:2]] == [
+        ("hot", 500),
+        ("warm", 200),
     ]
     assert all(r["within_bound"] for r in out)
     # invariance across partitionings (exact side + guaranteed boolean)
