@@ -144,3 +144,75 @@ def test_sqlstore_pushdown_binds_any_value_safely(values):
         finally:
             con.close()
         assert n == 1, (v, r.pushed, r.pushed_params)
+
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=3, max_size=12),
+        min_size=4,
+        max_size=12,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_prefix_filter_equals_brute_force_random(spark, corpora):
+    """Losslessness of the prefix filter on RANDOM corpora — any false
+    negative (a pair the prefix blocking skips) or false positive shows
+    up as a set difference vs the O(n^2) exact join."""
+    from firebase_etl_spark.operators.dedup_approx import (
+        brute_force_near_dups,
+        prefix_filter_near_dups,
+    )
+
+    docs = [(i, " ".join(toks)) for i, toks in enumerate(corpora)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pf = sorted(map(tuple, prefix_filter_near_dups(df, 0.5, 2).collect()))
+    bf = sorted(
+        map(
+            tuple,
+            brute_force_near_dups(df, 0.5, 2)
+            .select("id_a", "id_b", "jaccard")
+            .collect(),
+        )
+    )
+    assert pf == bf
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=1, max_size=10),
+        min_size=2,
+        max_size=8,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_duplicate_windows_match_python_recount(spark, corpora):
+    """duplicate_window_report vs a direct Python recount of every
+    k-token window on random corpora."""
+    from collections import Counter
+
+    from firebase_etl_spark.operators.text import duplicate_window_report
+
+    k = 3
+    docs = [(i, " ".join(toks)) for i, toks in enumerate(corpora)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_windows"],
+            r["n_dup_windows"],
+            r["n_cross_doc_windows"],
+        )
+        for r in duplicate_window_report(df, k=k).collect()
+    }
+    wins = {
+        i: [tuple(t[j : j + k]) for j in range(len(t) - k + 1)]
+        for i, t in ((i, toks) for i, toks in enumerate(corpora))
+    }
+    total = Counter(w for ws in wins.values() for w in ws)
+    docs_per = Counter(w for ws in wins.values() for w in set(ws))
+    for i, ws in wins.items():
+        n_dup = sum(1 for w in ws if total[w] > 1)
+        n_cross = sum(1 for w in ws if docs_per[w] > 1)
+        assert got[i] == (len(ws), n_dup, n_cross), (i, corpora)
