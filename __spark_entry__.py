@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_orders_sqlstore_tail": QX.stream_orders_sqlstore_tail,
         "documents_snapshot_diff": QX.documents_snapshot_diff,
         "events_heavy_hitters": QX.events_heavy_hitters,
+        "embedding_kmeans_clusters": QX.embedding_kmeans_clusters,
         "orders_rollup": QX.orders_rollup,
         "top_customer_revenue": QX.top_customer_revenue,
         "mktsegment_order_priority_pivot": QX.mktsegment_order_priority_pivot,

@@ -1,0 +1,248 @@
+"""Spherical k-means (Lloyd) over an embedding column — the trainer the
+IVF index anticipates (similarity.py:ivf_topk: "Swap the seed centroids
+for k-means output and nothing downstream changes"), and the clustering
+step of SemDeDup-style semantic curation (Abbas et al. 2023).
+
+Extension beyond the reference (its pandas surface has no vector ops);
+the distributed shape per Lloyd iteration is:
+
+- **assignment**: one Arrow-batched ``pandas_udf`` scoring each vector
+  against the k x dim centroid matrix (a Column-expression formulation
+  with k*dim literals evaluates interpreted and cost ~4.7 s/iteration
+  at sf0.01 — measured before this rewrite; the same lesson as
+  random_projection's 64 KB-codegen fallback). Zero shuffle; rounding
+  and the argmax stay JVM-side.
+- **update**: one map-side-combinable aggregate of cardinality k x dim
+  (fixed-point per-dimension BIGINT sums), pulled to the driver exactly
+  like IVF's bounded k x dim centroid pull.
+
+Driver state is k x dim floats per iteration; the corpus is scanned
+once per iteration (the parsed unit vectors are persisted across
+iterations). Nothing here is quadratic and nothing collects O(n) to
+the driver.
+
+DETERMINISM (the repo's fixed-point convention — classify.py):
+vectors are unit-normalized up front (zero-norm rows excluded — their
+cosine is NULL and NULL-ordering differs across engines); per-dimension
+centroid sums are BIGINTs of round(x * 1e6) over the unit components
+(identical doubles on every engine, so the rounded integer is
+engine-invariant and the sum associative); mean centroids renormalize
+to unit length via one sequential sum-of-squares + one division per
+component, mirrored in the DuckDB oracle's ``list_transform``;
+cosines are rounded to 6dp JVM-side BEFORE the argmax, ties break to
+the lower cell id (first-max position in-row == ``ORDER BY cos_r DESC,
+cid`` in the oracle). Cells that capture no vectors (or whose mean
+cancels to zero) carry the previous centroid forward.
+
+Float parity contract (random_projection's): the UDF accumulates dot
+products and squared norms column-by-column left-to-right — the same
+IEEE-754 op sequence as F.aggregate/zip_with and DuckDB's
+``list_inner_product`` — so the raw cosines are bit-identical to the
+oracle replay. Do NOT replace the loops with BLAS matmul (pairwise
+summation) without re-deriving the oracle.
+
+Initialization is the k lowest-id vectors — deterministic and
+oracle-expressible, the same reasoning as IVF's seed centroids.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from firebase_etl_spark.operators.similarity import (
+    _to_double,
+    dot,
+    normalized,
+)
+
+_SCALE = 1000000.0
+
+
+def _cosine_scores_udf(cents: list[list[float]]):
+    """Arrow-batched scorer: unit vector -> array of k RAW cosines vs the
+    captured centroid matrix, accumulated in oracle-identical order."""
+    import numpy as np
+
+    C = np.array(cents, dtype=np.float64)  # k x dim
+    # sequential sum-of-squares per centroid (matches list_inner_product)
+    cnorm = []
+    for c in cents:
+        ss = 0.0
+        for x in c:
+            ss += x * x
+        cnorm.append(math.sqrt(ss))
+    cn = np.array(cnorm, dtype=np.float64)
+    in_dim = C.shape[1]
+
+    @F.pandas_udf("array<double>")
+    def _score(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        vals = [
+            np.asarray(x, dtype=np.float64)
+            if x is not None and len(x) == in_dim
+            else None
+            for x in v
+        ]
+        ok = [x for x in vals if x is not None]
+        if not ok:
+            return pd.Series([None] * len(vals), dtype=object)
+        M = np.stack(ok)
+        acc = np.zeros((len(M), C.shape[0]))
+        sq = np.zeros(len(M))
+        for i in range(in_dim):  # column-by-column == sequential IEEE order
+            acc += M[:, i, None] * C[None, :, i]
+            sq += M[:, i] * M[:, i]
+        cos = acc / (np.sqrt(sq)[:, None] * cn[None, :])
+        rows = iter(cos)
+        return pd.Series(
+            [next(rows) if x is not None else None for x in vals],
+            dtype=object,
+        )
+
+    return _score
+
+
+def _cell_cols(raw: Column) -> tuple[Column, Column]:
+    """(cell, cos_e6) from the raw score array: 6dp rounding and the
+    first-max argmax run JVM-side so round-half behavior matches F.round
+    / DuckDB exactly (numpy rounds half-to-even — never let it round)."""
+    scores = F.transform(raw, lambda x: F.round(x, 6))
+    cell = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+    cos_e6 = F.round(F.array_max(scores) * _SCALE, 0).cast("long")
+    return cell, cos_e6
+
+
+def _unit_vecs(
+    df: DataFrame, id_col: str, vec_col: str, extra: list[Column] | None = None
+) -> DataFrame:
+    v = _to_double(F.col(vec_col))
+    return df.filter(dot(v, v) > 0).select(
+        F.col(id_col).alias("vid"),
+        normalized(v).alias("v"),
+        *(extra or []),
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Run ``n_iter`` Lloyd rounds; return the k unit-norm centroids
+    (list of dim-length float lists, indexed by cell id)."""
+    vecs = _unit_vecs(df, id_col, vec_col).persist()
+    try:
+        seed_rows = vecs.orderBy("vid").limit(k).collect()
+        cents = [list(r["v"]) for r in seed_rows]
+        if not cents:  # empty corpus: nothing to fit
+            return []
+        for _ in range(n_iter):
+            raw = _cosine_scores_udf(cents)(F.col("v"))
+            cell, _ = _cell_cols(raw)
+            # one shuffle per iteration; the k*dim (cell, pos) rows are a
+            # bounded driver pull (IVF's k x dim contract)
+            sums = (
+                vecs.select(
+                    cell.alias("cell"),
+                    F.posexplode("v").alias("pos", "x"),
+                )
+                .groupBy("cell", "pos")
+                .agg(
+                    F.sum(
+                        F.round(F.col("x") * _SCALE, 0).cast("long")
+                    ).alias("s_e6"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .collect()
+            )
+            acc: dict[int, list] = {}
+            for r in sums:
+                acc.setdefault(int(r["cell"]), []).append(
+                    (int(r["pos"]), int(r["s_e6"]), int(r["n"]))
+                )
+            nxt = list(cents)
+            for ci, rows in acc.items():
+                rows.sort()
+                m = [s / (_SCALE * n) for _, s, n in rows]
+                ss = 0.0
+                for x in m:  # sequential == list_inner_product(m, m)
+                    ss += x * x
+                if ss > 0:
+                    nrm = math.sqrt(ss)
+                    nxt[ci] = [x / nrm for x in m]
+            cents = nxt
+    finally:
+        vecs.unpersist()
+    return cents
+
+
+def kmeans_label_report(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Fit k-means, then audit the final clustering against the label
+    column: per cluster (cluster, n_vecs, avg_cos, majority_label,
+    purity). avg_cos is the mean assigned cosine via fixed-point integer
+    sums; majority_label is the modal label (ties to the lower label,
+    NULL labels counted as -1); purity = modal count / cluster size (one
+    fixed-order integer-ratio expression — no float is ever summed).
+
+    The returned plan is LAZY over the source: the fitted centroids are
+    closure state of one scoring UDF, so the driver's action replays one
+    scan."""
+    cents = kmeans_fit(df, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
+    if not cents:
+        # empty corpus: nothing to assign (and an empty centroid matrix
+        # has no defined scorer shape)
+        return df.sparkSession.createDataFrame(
+            [],
+            "cluster int, n_vecs bigint, avg_cos double, "
+            "majority_label int, purity double",
+        )
+    base = _unit_vecs(
+        df,
+        id_col,
+        vec_col,
+        extra=[F.coalesce(F.col(label_col), F.lit(-1)).alias("lbl")],
+    )
+    raw = _cosine_scores_udf(cents)(F.col("v"))
+    cell, cos_e6 = _cell_cols(raw)
+    assigned = base.select(
+        "vid", "lbl", cell.alias("cluster"), cos_e6.alias("cos_e6")
+    )
+    per_label = assigned.groupBy("cluster", "lbl").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("cos_e6").alias("cos_e6"),
+    )
+    return (
+        per_label.groupBy("cluster")
+        .agg(
+            F.sum("cnt").alias("n_vecs"),
+            F.round(
+                F.sum("cos_e6") / (F.sum("cnt") * F.lit(_SCALE)), 4
+            ).alias("avg_cos"),
+            F.max_by(
+                F.struct(F.col("lbl").alias("l"), F.col("cnt").alias("c")),
+                F.struct(F.col("cnt"), -F.col("lbl")),
+            ).alias("mj"),
+        )
+        .select(
+            "cluster",
+            "n_vecs",
+            "avg_cos",
+            F.col("mj.l").alias("majority_label"),
+            F.round(F.col("mj.c") / F.col("n_vecs"), 4).alias("purity"),
+        )
+        .orderBy("cluster")
+    )

@@ -514,7 +514,8 @@ def ivf_topk(
     aggregate), and a cell-bucketed candidate join instead of a full scan.
     At scale the assignment pass writes once (partitionBy(cell)) and every
     query touches n_probe/M of the data. Swap the seed centroids for
-    k-means output and nothing downstream changes.
+    k-means output (operators/clustering.py:kmeans_fit — the oracle-
+    checkable spherical Lloyd trainer) and nothing downstream changes.
 
     Cosines are rounded to 6dp BEFORE the argmin/rank so Spark and the
     DuckDB oracle pick identical winners; ties break on lower cell/vec id.
@@ -571,77 +572,6 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
-
-
-def kmeans_centroids(
-    df: DataFrame,
-    k: int = 16,
-    iters: int = 5,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    seed_ids: list[int] | None = None,
-) -> list[list[float]]:
-    """Lloyd's k-means over the embedding column — the centroid-training
-    step for IVF (ivf_topk takes seed vectors today; feed it these instead
-    and nothing downstream changes).
-
-    Each iteration is fully relational: broadcast the current centroids as
-    a literal table, assign every vector to its argmax-cosine cell
-    (max_by — map-side partial aggregate), then recompute means by
-    exploding vector positions and averaging per (cell, pos) — one shuffle
-    per iteration, no Python in the loop. Only the k x dim centroid matrix
-    ever reaches the driver. Deterministic: seeded starts, cosine ties
-    break to the lower cell id."""
-    import numpy as np
-
-    seeds = seed_ids if seed_ids is not None else [i * 31 for i in range(k)]
-    vecs = df.select(
-        F.col(id_col), normalized(_to_double(F.col(vec_col))).alias("v")
-    ).persist()
-    try:
-        cents = [
-            list(r["v"])
-            for r in vecs.filter(F.col(id_col).isin(seeds))
-            .orderBy(id_col)
-            .collect()
-        ]
-        for _ in range(iters):
-            ctab = F.array(
-                *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
-            )
-            # nearest centroid per vector: scores materialized per row, then
-            # argmax over (score, -cell) — no outer-array re-evaluation
-            scored = vecs.select(
-                "v",
-                F.posexplode(
-                    F.transform(ctab, lambda c: dot(F.col("v"), c))
-                ).alias("cell", "score"),
-            )
-            assign = scored.groupBy("v").agg(
-                F.max_by("cell", F.struct(F.col("score"), -F.col("cell"))).alias(
-                    "cell"
-                )
-            )
-            means = (
-                assign.select("cell", F.posexplode("v").alias("pos", "x"))
-                .groupBy("cell", "pos")
-                .agg(F.avg("x").alias("m"))
-                .groupBy("cell")
-                .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-                .select("cell", F.col("pm.m").alias("mean"))
-                .collect()
-            )
-            new = {r["cell"]: list(r["mean"]) for r in means}
-            # empty cells keep their previous centroid; re-normalize means
-            nxt = []
-            for ci in range(len(cents)):
-                m = np.array(new.get(ci, cents[ci]), dtype=np.float64)
-                n = np.linalg.norm(m)
-                nxt.append(list(m / n if n > 0 else m))
-            cents = nxt
-    finally:
-        vecs.unpersist()
-    return cents
 
 
 def random_projection(

@@ -2922,3 +2922,95 @@ ORACLES_EXT["events_heavy_hitters"] = """
     GROUP BY event_type
     ORDER BY n_exact DESC, value LIMIT 5
 """
+
+
+def _kmeans_oracle(k: int = 8, n_iter: int = 3) -> str:
+    """Chained-CTE replay of every Lloyd round (the BPE-oracle pattern:
+    iteration count is a build-time constant, so the whole fit unrolls
+    into ONE static SQL string). Each round = argmax assignment
+    (row_number over 6dp cosines, ties to the lower cell id) + fixed-
+    point BIGINT per-dimension sums -> new centroid lists; empty cells
+    carry the previous centroid forward (clustering.py twin)."""
+    cos = (
+        "round(list_inner_product(v.e, p.c)"
+        " / (sqrt(list_inner_product(v.e, v.e))"
+        " * sqrt(list_inner_product(p.c, p.c))), 6)"
+    )
+    parts = [
+        f"""WITH ve AS (
+    SELECT vec_id, COALESCE(label, -1) AS lbl,
+           CAST(embedding AS DOUBLE[]) AS e0
+    FROM embeddings
+    WHERE list_inner_product(CAST(embedding AS DOUBLE[]),
+                             CAST(embedding AS DOUBLE[])) > 0),
+v AS (
+    SELECT vec_id, lbl,
+           list_transform(
+               e0, x -> x / sqrt(list_inner_product(e0, e0))) AS e
+    FROM ve),
+c0 AS (
+    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+           e AS c
+    FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {k}))"""
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(f"""x{i} AS (
+    SELECT v.vec_id, p.cid, {cos} AS cos_r
+    FROM v CROSS JOIN c{i - 1} p),
+a{i} AS (
+    SELECT vec_id, cid FROM (
+        SELECT vec_id, cid, row_number() OVER (
+            PARTITION BY vec_id ORDER BY cos_r DESC, cid) AS rn
+        FROM x{i}) WHERE rn = 1),
+s{i} AS (
+    SELECT a.cid, t.pos,
+           CAST(sum(CAST(round(v.e[t.pos] * 1000000.0, 0) AS BIGINT))
+                AS BIGINT) AS s_e6,
+           count(*) AS n
+    FROM a{i} a JOIN v ON a.vec_id = v.vec_id,
+         unnest(range(1, len(v.e) + 1)) AS t(pos)
+    GROUP BY a.cid, t.pos),
+n{i} AS (
+    SELECT cid, list(s_e6 * 1.0 / (1000000.0 * n) ORDER BY pos) AS m
+    FROM s{i} GROUP BY cid),
+r{i} AS (
+    SELECT cid,
+           list_transform(m, x -> x / sqrt(list_inner_product(m, m))) AS c
+    FROM n{i} WHERE list_inner_product(m, m) > 0),
+c{i} AS (
+    SELECT cid, c FROM r{i}
+    UNION ALL
+    SELECT cid, c FROM c{i - 1}
+    WHERE cid NOT IN (SELECT cid FROM r{i}))""")
+    parts.append(f"""fx AS (
+    SELECT v.vec_id, v.lbl, p.cid, {cos} AS cos_r
+    FROM v CROSS JOIN c{n_iter} p),
+fa AS (
+    SELECT vec_id, lbl, cid, cos_r FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY cos_r DESC, cid) AS rn
+        FROM fx) WHERE rn = 1),
+pl AS (
+    SELECT cid, lbl, count(*) AS cnt,
+           CAST(sum(CAST(round(cos_r * 1000000.0, 0) AS BIGINT))
+                AS BIGINT) AS cos_e6
+    FROM fa GROUP BY cid, lbl),
+mj AS (
+    SELECT cid, lbl AS majority_label, cnt AS mj_cnt FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY cid ORDER BY cnt DESC, lbl) AS rn
+        FROM pl) WHERE rn = 1),
+ag AS (
+    SELECT cid, CAST(sum(cnt) AS BIGINT) AS n_vecs,
+           CAST(sum(cos_e6) AS BIGINT) AS cos_e6
+    FROM pl GROUP BY cid)
+SELECT ag.cid AS cluster, ag.n_vecs,
+       round(ag.cos_e6 / (ag.n_vecs * 1000000.0), 4) AS avg_cos,
+       mj.majority_label,
+       round(mj.mj_cnt * 1.0 / ag.n_vecs, 4) AS purity
+FROM ag JOIN mj ON ag.cid = mj.cid
+ORDER BY cluster""")
+    return ",\n".join(parts)
+
+
+ORACLES_EXT["embedding_kmeans_clusters"] = _kmeans_oracle()

@@ -2938,3 +2938,19 @@ def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, "events", sf_dir)
     return heavy_hitters_report(e, "event_type", k_counters=64, top=5)
+
+
+def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical k-means (operators/clustering.py): 3 Lloyd rounds from
+    the 8 lowest-id seed vectors, then a label audit of the final
+    clustering — per cluster size, mean assigned cosine, modal label and
+    purity. The trainer behind the IVF index (similarity.py:ivf_topk
+    seeds swap for these centroids with nothing downstream changing) and
+    the clustering step of SemDeDup-style semantic curation. The oracle
+    unrolls every round into one chained-CTE SQL string (the BPE
+    pattern); all cross-engine-summed quantities are fixed-point
+    BIGINTs."""
+    from firebase_etl_spark.operators.clustering import kmeans_label_report
+
+    e = load_table(spark, "embeddings", sf_dir)
+    return kmeans_label_report(e, k=8, n_iter=3)

@@ -1213,3 +1213,75 @@ def test_heavy_hitters_mg_skewed_fixture(spark):
         df.repartition(13), "v", k_counters=8, top=3
     ).collect()
     assert [tuple(r) for r in out] == [tuple(r) for r in out13]
+
+
+def test_kmeans_label_report_separates_obvious_clusters(spark):
+    """Two orthogonal bundles with distinct labels: k=2 Lloyd from the
+    two lowest-id seeds (one per bundle) must land one pure cluster on
+    each, and NULL labels count as -1 without breaking the mode."""
+    from firebase_etl_spark.operators.clustering import kmeans_label_report
+
+    rows = [
+        (0, [1.0, 0.0, 0.1], 7),
+        (1, [0.0, 1.0, 0.1], 9),
+        (2, [0.9, 0.1, 0.0], 7),
+        (3, [0.1, 1.1, 0.0], 9),
+        (4, [1.1, 0.0, 0.2], 7),
+        (5, [0.0, 0.9, 0.2], None),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {
+        r["cluster"]: r for r in kmeans_label_report(df, k=2, n_iter=2).collect()
+    }
+    assert set(got) == {0, 1}
+    assert got[0]["n_vecs"] == 3 and got[0]["majority_label"] == 7
+    assert got[0]["purity"] == 1.0
+    assert got[1]["n_vecs"] == 3 and got[1]["majority_label"] == 9
+    # the NULL label counts as -1: purity is 2/3, not 1
+    assert abs(got[1]["purity"] - 0.6667) < 1e-9
+    assert all(r["avg_cos"] > 0.9 for r in got.values())
+
+
+def test_kmeans_label_report_empty_and_zero_norm(spark):
+    """Empty corpus returns the empty schema; zero-norm vectors are
+    excluded from both fit and assignment (their cosine is undefined)."""
+    from firebase_etl_spark.operators.clustering import kmeans_label_report
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    )
+    assert kmeans_label_report(empty, k=2, n_iter=1).collect() == []
+
+    rows = [
+        (0, [0.0, 0.0], 1),  # zero-norm: must vanish, not crash or skew
+        (1, [1.0, 0.0], 1),
+        (2, [0.0, 1.0], 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = kmeans_label_report(df, k=2, n_iter=1).collect()
+    assert sum(r["n_vecs"] for r in got) == 2
+
+
+def test_kmeans_clusters_partition_invariant(spark, sf_dir):
+    """Centroid sums, avg_cos and purity are fixed-point/integer — the
+    full driver query must be bit-identical across partitionings."""
+    from firebase_etl_spark.plans.queries_ext import (
+        embedding_kmeans_clusters,
+    )
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    results = []
+    for n in ("3", "29"):
+        spark.conf.set("spark.sql.shuffle.partitions", n)
+        try:
+            rows = embedding_kmeans_clusters(spark, sf_dir).collect()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+        results.append([tuple(r) for r in rows])
+    assert results[0] == results[1]
+    assert len(results[0]) > 0
+    assert sum(r[1] for r in results[0]) > 0
