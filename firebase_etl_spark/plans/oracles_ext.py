@@ -3014,3 +3014,27 @@ ORDER BY cluster""")
 
 
 ORACLES_EXT["embedding_kmeans_clusters"] = _kmeans_oracle()
+
+
+ORACLES_EXT["part_copurchase_pairs"] = """
+    WITH b AS (
+        SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+    nb AS (SELECT count(DISTINCT bk) AS n_baskets FROM b),
+    ic AS (SELECT it, count(*) AS ic FROM b GROUP BY it),
+    fr AS (SELECT it, ic FROM ic WHERE ic >= 2),
+    bf AS (SELECT b.bk, b.it FROM b JOIN fr ON b.it = fr.it),
+    pr AS (
+        SELECT a.it AS p1, z.it AS p2, count(*) AS pair_count
+        FROM bf a JOIN bf z ON a.bk = z.bk AND a.it < z.it
+        GROUP BY a.it, z.it HAVING count(*) >= 2)
+    SELECT pr.p1, pr.p2, CAST(pr.pair_count AS BIGINT) AS pair_count,
+           round(pr.pair_count * 1.0 / nb.n_baskets, 4) AS support,
+           round((pr.pair_count * nb.n_baskets * 1.0)
+                 / (c1.ic * c2.ic), 4) AS lift
+    FROM pr
+    JOIN fr c1 ON pr.p1 = c1.it
+    JOIN fr c2 ON pr.p2 = c2.it
+    CROSS JOIN nb
+    ORDER BY pair_count DESC, p1, p2 LIMIT 20
+"""

@@ -2954,3 +2954,16 @@ def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, "embeddings", sf_dir)
     return kmeans_label_report(e, k=8, n_iter=3)
+
+
+def part_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining (operators/basket.py): parts that ship
+    together in the same order more often than independence predicts —
+    a-priori item prune before the per-order self-join, integer counts
+    only, top-20 by (pair_count, p1, p2) via TakeOrderedAndProject."""
+    from firebase_etl_spark.operators.basket import frequent_pairs
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return frequent_pairs(
+        li, "l_orderkey", "l_partkey", min_support=2, top=20
+    )

@@ -1285,3 +1285,52 @@ def test_kmeans_clusters_partition_invariant(spark, sf_dir):
     assert results[0] == results[1]
     assert len(results[0]) > 0
     assert sum(r[1] for r in results[0]) > 0
+
+
+def test_frequent_pairs_counts_support_lift(spark):
+    """Hand fixture: pair (1,2) in 3 of 4 baskets, (1,3) in 2; duplicate
+    lines inside a basket count once; singleton item 9 is a-priori
+    pruned; lift reflects independence (item support products)."""
+    from firebase_etl_spark.operators.basket import frequent_pairs
+
+    rows = [
+        (10, 1), (10, 1), (10, 2),          # dup line: counts once
+        (11, 1), (11, 2), (11, 3),
+        (12, 1), (12, 2), (12, 3),
+        (13, 9),                            # singleton item: pruned
+    ]
+    df = spark.createDataFrame(rows, "ok long, pk long")
+    got = frequent_pairs(df, "ok", "pk", min_support=2, top=10).collect()
+    as_map = {(r["p1"], r["p2"]): r for r in got}
+    assert set(as_map) == {(1, 2), (1, 3), (2, 3)}
+    r12 = as_map[(1, 2)]
+    assert r12["pair_count"] == 3 and r12["support"] == 0.75
+    # lift(1,2) = (3 * 4) / (3 * 3)
+    assert abs(r12["lift"] - round(12 / 9, 4)) < 1e-12
+    r13 = as_map[(1, 3)]
+    assert r13["pair_count"] == 2
+    # ordering: count desc then keys
+    assert [(r["p1"], r["p2"]) for r in got] == [(1, 2), (1, 3), (2, 3)]
+
+
+def test_frequent_pairs_max_basket_size_guard(spark):
+    """Oversized baskets are dropped wholesale before pair generation."""
+    from firebase_etl_spark.operators.basket import frequent_pairs
+
+    rows = (
+        [(1, i) for i in range(10)]       # mega-basket: dropped at cap 5
+        + [(2, 1), (2, 2), (3, 1), (3, 2)]
+    )
+    df = spark.createDataFrame(rows, "ok long, pk long")
+    got = frequent_pairs(
+        df, "ok", "pk", min_support=2, top=10, max_basket_size=5
+    ).collect()
+    assert [(r["p1"], r["p2"], r["pair_count"]) for r in got] == [(1, 2, 2)]
+    # without the cap the mega-basket contributes its pairs
+    got2 = frequent_pairs(df, "ok", "pk", min_support=2, top=100).collect()
+    assert {(r["p1"], r["p2"]) for r in got2} >= {(1, 2)}
+    assert as_pair_count(got2, 1, 2) == 3
+
+
+def as_pair_count(rows, p1, p2):
+    return next(r["pair_count"] for r in rows if r["p1"] == p1 and r["p2"] == p2)
