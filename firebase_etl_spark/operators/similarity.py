@@ -501,6 +501,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-Flat ANN: coarse-quantize every vector to its nearest centroid
     cell, probe only the ``n_probe`` cells closest to each query, exact
@@ -521,6 +522,12 @@ def ivf_topk(
     DuckDB oracle pick identical winners; ties break on lower cell/vec id.
     Pass ``dim`` to unroll both hot dots (bit-identical) when the pair
     count amortizes the larger codegen — see dot_unrolled's caveat.
+
+    ``centroids`` takes TRAINED cell centers (e.g. clustering.kmeans_fit
+    output — must be unit-norm, since the assignment argmaxes the raw
+    dot against unit vectors) and overrides ``seed_ids``; cells are then
+    numbered 0..len-1. Everything downstream of the centroid table is
+    identical, as the seed-centroid docstring promises.
     """
     def _dot(a, b):
         return dot_unrolled(a, b, dim) if dim else dot(a, b)
@@ -529,11 +536,19 @@ def ivf_topk(
     vecs = df.select(
         F.col(id_col), normalized(_to_double(F.col(vec_col))).alias("v")
     )
-    cents = F.broadcast(
-        vecs.filter(F.col(id_col).isin(seeds)).select(
-            F.col(id_col).alias("cell"), F.col("v").alias("cv")
+    if centroids is not None:
+        cents = F.broadcast(
+            df.sparkSession.createDataFrame(
+                [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+                "cell long, cv array<double>",
+            )
         )
-    )
+    else:
+        cents = F.broadcast(
+            vecs.filter(F.col(id_col).isin(seeds)).select(
+                F.col(id_col).alias("cell"), F.col("v").alias("cv")
+            )
+        )
     sims = vecs.crossJoin(cents).select(
         id_col,
         "cell",

@@ -269,3 +269,33 @@ def test_random_projection_preserves_cosine_on_average(spark, embeddings):
         ).alias("e")
     ).agg(F.avg("e").alias("mae"), F.max("e").alias("worst")).collect()[0]
     assert err["mae"] < 0.25, err
+
+
+def test_ivf_kmeans_centroids_beat_seed_centroids(spark, embeddings):
+    """The trained path must justify its existence: k-means cell centers
+    fed to ivf_topk (same k cells, same n_probe) must not lose recall@10
+    vs the default seed centroids, and must clear an absolute floor.
+    Measured when pinned: seeds 0.62, k-means 0.86 at sf0.001 (0.54 vs
+    0.86 at sf0.01)."""
+    from firebase_etl_spark.operators.clustering import kmeans_fit
+
+    exact = SIM.cosine_topk(embeddings, QUERY_VEC_IDS, k=10).collect()
+    truth = {}
+    for r in exact:
+        truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    def recall(res):
+        got = {}
+        for r in res:
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return sum(
+            len(got.get(q, set()) & truth[q]) / len(truth[q]) for q in truth
+        ) / len(truth)
+
+    seed = SIM.ivf_topk(embeddings, QUERY_VEC_IDS, k=10, n_probe=4).collect()
+    cents = kmeans_fit(embeddings, k=16, n_iter=3)
+    km = SIM.ivf_topk(
+        embeddings, QUERY_VEC_IDS, k=10, n_probe=4, centroids=cents
+    ).collect()
+    assert recall(km) >= recall(seed) - 1e-9
+    assert recall(km) >= 0.8
