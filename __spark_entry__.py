@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_heavy_hitters": QX.events_heavy_hitters,
         "embedding_kmeans_clusters": QX.embedding_kmeans_clusters,
         "part_copurchase_pairs": QX.part_copurchase_pairs,
+        "part_copurchase_triangles": QX.part_copurchase_triangles,
         "orders_rollup": QX.orders_rollup,
         "top_customer_revenue": QX.top_customer_revenue,
         "mktsegment_order_priority_pivot": QX.mktsegment_order_priority_pivot,

@@ -114,3 +114,43 @@ def frequent_pairs(
         )
     finally:
         b.unpersist()
+
+
+def cooccurrence_edges(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Undirected co-occurrence graph: one (p1, p2) row per item pair
+    (p1 < p2) sharing at least ``min_pair_count`` baskets — the edge-set
+    view of ``frequent_pairs`` for graph consumers (triangle census,
+    connected components). The a-priori item prune applies here too: an
+    edge endpoint needs item support >= min_pair_count, so infrequent
+    items drop before the self-join without changing the output."""
+    b = (
+        df.select(
+            F.col(basket_col).alias("bk"), F.col(item_col).alias("it")
+        )
+        .filter(F.col(basket_col).isNotNull() & F.col(item_col).isNotNull())
+        .distinct()
+    )
+    item_cnt = b.groupBy("it").agg(F.count(F.lit(1)).alias("ic"))
+    bf = b.join(
+        item_cnt.filter(F.col("ic") >= min_pair_count).select("it"),
+        "it",
+        "left_semi",
+    )
+    return (
+        bf.alias("a")
+        .join(
+            bf.alias("z"),
+            (F.col("a.bk") == F.col("z.bk"))
+            & (F.col("a.it") < F.col("z.it")),
+        )
+        .select(F.col("a.it").alias("p1"), F.col("z.it").alias("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("pc"))
+        .filter(F.col("pc") >= min_pair_count)
+        .select("p1", "p2")
+    )

@@ -330,3 +330,100 @@ def dedup_clusters(
             "n_members",
         )
     )
+
+
+def triangle_stats(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """One-row triangle census of an undirected graph: (n_nodes, n_edges,
+    n_wedges, n_triangles, clustering) with clustering the global
+    coefficient 3*triangles / wedges (0.0 on a wedge-free graph).
+
+    Degree-ordered orientation (the standard O(m^1.5) node-iterator
+    bound, e.g. Suri & Vassilvitskii 2011's MapReduce formulation): each
+    edge points from its (degree, id)-smaller endpoint to the larger, so
+    every wedge is generated at its LOWEST-degree vertex — per-key
+    fanout is bounded by ~sqrt(m) regardless of hub skew, which is what
+    makes the self-join survive a power-law degree distribution at
+    100 TB. The closing-edge check is one hash join against the
+    canonical edge set; every aggregate is an integer count (wedges from
+    d*(d-1)/2 — exact, the product of consecutive integers is even), so
+    the row is engine- and partitioning-invariant.
+
+    Self-loops are dropped; edges deduplicate regardless of input
+    orientation."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("p1"),
+            F.greatest(F.col(src), F.col(dst)).alias("p2"),
+        )
+        .filter(F.col("p1") < F.col("p2"))
+        .distinct()
+        .persist()
+    )
+    try:
+        deg = (
+            e.select(F.col("p1").alias("n"))
+            .unionAll(e.select(F.col("p2").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        d1 = deg.select(F.col("n").alias("p1"), F.col("d").alias("da"))
+        d2 = deg.select(F.col("n").alias("p2"), F.col("d").alias("db"))
+        lower_first = (F.col("da") < F.col("db")) | (
+            (F.col("da") == F.col("db")) & (F.col("p1") < F.col("p2"))
+        )
+        o = (
+            e.join(d1, "p1")
+            .join(d2, "p2")
+            .select(
+                F.when(lower_first, F.col("p1")).otherwise(F.col("p2")).alias("u"),
+                F.when(lower_first, F.col("p2")).otherwise(F.col("p1")).alias("v"),
+            )
+        )
+        w = (
+            o.alias("x")
+            .join(o.alias("y"), (F.col("x.u") == F.col("y.u")) & (F.col("x.v") < F.col("y.v")))
+            .select(F.col("x.v").alias("a"), F.col("y.v").alias("b"))
+        )
+        tri = w.join(
+            e,
+            (F.least(F.col("a"), F.col("b")) == F.col("p1"))
+            & (F.greatest(F.col("a"), F.col("b")) == F.col("p2")),
+            "left_semi",
+        ).agg(F.count(F.lit(1)).alias("n_triangles"))
+        # sum d*(d-1) as pure BIGINT, halve with a shift — the double
+        # route loses exactness past 2^53, which hub degrees can reach
+        nodes = deg.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.coalesce(  # empty graph: sum is NULL, report 0 wedges
+                F.shiftright(
+                    F.sum(F.col("d") * (F.col("d") - F.lit(1))), 1
+                ),
+                F.lit(0).cast("long"),
+            ).alias("n_wedges"),
+        )
+        n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+        return (
+            nodes.crossJoin(F.broadcast(n_edges))
+            .crossJoin(F.broadcast(tri))
+            .select(
+                "n_nodes",
+                "n_edges",
+                "n_wedges",
+                "n_triangles",
+                F.when(
+                    F.col("n_wedges") > 0,
+                    F.round(
+                        3 * F.col("n_triangles") / F.col("n_wedges"), 4
+                    ),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("clustering"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        e.unpersist()

@@ -3038,3 +3038,38 @@ ORACLES_EXT["part_copurchase_pairs"] = """
     CROSS JOIN nb
     ORDER BY pair_count DESC, p1, p2 LIMIT 20
 """
+
+
+ORACLES_EXT["part_copurchase_triangles"] = """
+    -- canonical a<b<c three-way join counts each triangle exactly once;
+    -- the Spark side's degree-ordered orientation is a cost device, not
+    -- a semantic one
+    WITH b AS (
+        SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+    e AS (
+        SELECT a.it AS p1, z.it AS p2
+        FROM b a JOIN b z ON a.bk = z.bk AND a.it < z.it
+        GROUP BY a.it, z.it HAVING count(*) >= 2),
+    deg AS (
+        SELECT n, count(*) AS d FROM (
+            SELECT p1 AS n FROM e UNION ALL SELECT p2 AS n FROM e)
+        GROUP BY n),
+    tri AS (
+        SELECT count(*) AS c
+        FROM e e1
+        JOIN e e2 ON e2.p1 = e1.p2
+        JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(CAST(sum(d * (d - 1)) AS BIGINT) // 2 AS BIGINT)
+                   AS n_wedges
+        FROM deg),
+    ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+    SELECT agg.n_nodes, ne.n_edges, agg.n_wedges,
+           CAST(tri.c AS BIGINT) AS n_triangles,
+           CASE WHEN agg.n_wedges > 0
+                THEN round((3 * tri.c) / agg.n_wedges, 4)
+                ELSE 0.0 END AS clustering
+    FROM agg CROSS JOIN ne CROSS JOIN tri
+"""

@@ -2967,3 +2967,17 @@ def part_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequent_pairs(
         li, "l_orderkey", "l_partkey", min_support=2, top=20
     )
+
+
+def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the co-purchase graph (operators/graph.py:
+    triangle_stats over basket.cooccurrence_edges): parts that pairwise
+    co-ship in >= 2 orders form the edges; degree-ordered orientation
+    bounds the wedge join at O(m^1.5); one integer-count summary row
+    with the global clustering coefficient."""
+    from firebase_etl_spark.operators.basket import cooccurrence_edges
+    from firebase_etl_spark.operators.graph import triangle_stats
+
+    li = load_table(spark, "lineitem", sf_dir)
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", 2)
+    return triangle_stats(edges, "p1", "p2")
