@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_kmeans_clusters": QX.embedding_kmeans_clusters,
         "part_copurchase_pairs": QX.part_copurchase_pairs,
         "part_copurchase_triangles": QX.part_copurchase_triangles,
+        "documents_passage_chunks": QX.documents_passage_chunks,
         "orders_rollup": QX.orders_rollup,
         "top_customer_revenue": QX.top_customer_revenue,
         "mktsegment_order_priority_pivot": QX.mktsegment_order_priority_pivot,

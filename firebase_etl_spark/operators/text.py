@@ -481,3 +481,55 @@ def duplicate_window_report(
             .alias("dup_fraction"),
         )
     )
+
+
+def passage_chunks(
+    df,
+    chunk_tokens: int = 128,
+    stride: int = 96,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Sliding-window passage chunking — the retrieval-ingestion step
+    (split every document into overlapping ``chunk_tokens``-token
+    passages advancing by ``stride``): (id, chunk_idx, start_tok,
+    n_toks, chunk_text). stride < chunk_tokens overlaps consecutive
+    chunks (RAG convention); the final chunk is short rather than
+    padded. Whitespace tokenization matches the corpus-wide _TOKS
+    convention.
+
+    Scale shape: one projection + one explode — no shuffle, no UDF; the
+    chunk count per row is data-derived (1 + ceil(max(0, n-chunk)/
+    stride)), so a document never emits an unbounded sequence. Column
+    expressions only (split once per row; Catalyst collapses the
+    n/toks references into one projection)."""
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.size(toks).alias("__n"),
+    )
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(F.col("__n") - chunk_tokens, F.lit(0)) / float(stride)
+    )
+    chunked = base.select(
+        id_col,
+        "__toks",
+        "__n",
+        F.explode(
+            F.sequence(F.lit(0), (n_chunks - 1).cast("int"))
+        ).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * stride
+    ntk = F.least(F.lit(chunk_tokens), F.col("__n") - start)
+    return chunked.select(
+        id_col,
+        "chunk_idx",
+        start.cast("long").alias("start_tok"),
+        ntk.cast("long").alias("n_toks"),
+        F.concat_ws(
+            " ", F.slice(F.col("__toks"), start + 1, ntk)
+        ).alias("chunk_text"),
+    )

@@ -3073,3 +3073,33 @@ ORACLES_EXT["part_copurchase_triangles"] = """
                 ELSE 0.0 END AS clustering
     FROM agg CROSS JOIN ne CROSS JOIN tri
 """
+
+
+ORACLES_EXT["documents_passage_chunks"] = r"""
+    WITH base AS (
+        SELECT doc_id, COALESCE(lang, '??') AS lang,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents),
+    c AS (
+        SELECT doc_id, lang, toks, len(toks) AS n,
+               1 + CAST(ceil(greatest(len(toks) - 32, 0) / 24.0) AS BIGINT)
+                   AS nch
+        FROM base),
+    ch AS (
+        SELECT doc_id, lang,
+               least(32, n - t.ci * 24) AS ntk,
+               array_to_string(
+                   list_slice(toks, t.ci * 24 + 1,
+                              t.ci * 24 + least(32, n - t.ci * 24)),
+                   ' ') AS ctext
+        FROM c, unnest(range(0, nch)) AS t(ci))
+    SELECT lang,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           count(*) AS n_chunks,
+           CAST(sum(ntk) AS BIGINT) AS total_chunk_tokens,
+           CAST(sum(CASE WHEN ntk < 32 THEN 1 ELSE 0 END) AS BIGINT)
+               AS short_chunks,
+           bit_xor(('0x' || substr(md5(ctext), 1, 15))::BIGINT)
+               AS content_checksum
+    FROM ch GROUP BY lang ORDER BY lang
+"""

@@ -2981,3 +2981,37 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
     edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", 2)
     return triangle_stats(edges, "p1", "p2")
+
+
+def documents_passage_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-ingestion chunking audit (operators/text.py:
+    passage_chunks, 32-token windows advancing by 24): per-language
+    chunk counts, token totals, short-tail fraction inputs, and an
+    order-free content checksum (bit_xor of an md5-derived BIGINT per
+    chunk text) that pins every emitted passage byte-for-byte without
+    hashing order."""
+    from firebase_etl_spark.operators.text import passage_chunks
+
+    d = load_table(spark, "documents", sf_dir)
+    ch = passage_chunks(d, chunk_tokens=32, stride=24)
+    h = F.conv(F.substring(F.md5("chunk_text"), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    return (
+        ch.join(
+            d.select("doc_id", F.coalesce("lang", F.lit("??")).alias("lang")),
+            "doc_id",
+        )
+        .withColumn("__h", h)
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_toks").alias("total_chunk_tokens"),
+            F.sum(
+                (F.col("n_toks") < 32).cast("long")
+            ).alias("short_chunks"),
+            F.expr("bit_xor(__h)").alias("content_checksum"),
+        )
+        .orderBy("lang")
+    )

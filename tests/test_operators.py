@@ -1395,3 +1395,40 @@ def test_triangle_stats_matches_bruteforce_random(spark):
     assert tri > 0  # non-vacuous at this density
     assert row["n_triangles"] == tri
     assert row["n_edges"] == len(edges)
+
+
+def test_passage_chunks_boundaries_and_overlap(spark):
+    """Window/stride arithmetic: full windows except a short tail, the
+    overlap region repeats verbatim, stride == chunk reconstructs the
+    document exactly, and a short doc yields one whole-doc chunk."""
+    import pytest as _pytest
+
+    from firebase_etl_spark.operators.text import passage_chunks
+
+    words = " ".join(f"w{i}" for i in range(10))  # 10 tokens
+    df = spark.createDataFrame(
+        [(1, words), (2, "tiny doc")], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["chunk_idx"]): r
+        for r in passage_chunks(df, chunk_tokens=4, stride=3).collect()
+    }
+    # doc 1: starts 0,3,6 full, then tail at 9 -> 1+ceil(6/3)=3? no:
+    # 1 + ceil((10-4)/3) = 3 chunks, starts 0/3/6, last covers w6..w9
+    d1 = [got[(1, i)] for i in range(3)]
+    assert [r["start_tok"] for r in d1] == [0, 3, 6]
+    assert [r["n_toks"] for r in d1] == [4, 4, 4]
+    assert d1[0]["chunk_text"] == "w0 w1 w2 w3"
+    assert d1[1]["chunk_text"] == "w3 w4 w5 w6"  # overlap repeats w3
+    assert d1[2]["chunk_text"] == "w6 w7 w8 w9"
+    assert (1, 3) not in got
+    # short doc: single chunk, whole text
+    assert got[(2, 0)]["n_toks"] == 2
+    assert got[(2, 0)]["chunk_text"] == "tiny doc"
+    # stride == chunk: disjoint cover reconstructs the doc
+    cover = passage_chunks(
+        df.filter("doc_id = 1"), chunk_tokens=5, stride=5
+    ).orderBy("chunk_idx").collect()
+    assert " ".join(r["chunk_text"] for r in cover) == words
+    with _pytest.raises(ValueError):
+        passage_chunks(df, chunk_tokens=0, stride=3)
