@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_copurchase_pairs": QX.part_copurchase_pairs,
         "part_copurchase_triangles": QX.part_copurchase_triangles,
         "documents_passage_chunks": QX.documents_passage_chunks,
+        "embedding_topk_ivf_trained": QX.embedding_topk_ivf_trained,
         "orders_rollup": QX.orders_rollup,
         "top_customer_revenue": QX.top_customer_revenue,
         "mktsegment_order_priority_pivot": QX.mktsegment_order_priority_pivot,

@@ -2924,13 +2924,16 @@ ORACLES_EXT["events_heavy_hitters"] = """
 """
 
 
-def _kmeans_oracle(k: int = 8, n_iter: int = 3) -> str:
-    """Chained-CTE replay of every Lloyd round (the BPE-oracle pattern:
-    iteration count is a build-time constant, so the whole fit unrolls
-    into ONE static SQL string). Each round = argmax assignment
+def _kmeans_centroid_ctes(k: int = 8, n_iter: int = 3) -> str:
+    """Shared chained-CTE prefix replaying every Lloyd round (the
+    BPE-oracle pattern: iteration count is a build-time constant, so
+    the whole fit unrolls into ONE static SQL string) — ends at
+    ``c{n_iter}`` (cid, unit-norm centroid list) plus the unit-vector
+    corpus ``v`` (vec_id, lbl, e). Each round = argmax assignment
     (row_number over 6dp cosines, ties to the lower cell id) + fixed-
     point BIGINT per-dimension sums -> new centroid lists; empty cells
-    carry the previous centroid forward (clustering.py twin)."""
+    carry the previous centroid forward (clustering.py twin). Consumed
+    by both the k-means label report and the trained-IVF replay."""
     cos = (
         "round(list_inner_product(v.e, p.c)"
         " / (sqrt(list_inner_product(v.e, v.e))"
@@ -2982,7 +2985,17 @@ c{i} AS (
     UNION ALL
     SELECT cid, c FROM c{i - 1}
     WHERE cid NOT IN (SELECT cid FROM r{i}))""")
-    parts.append(f"""fx AS (
+    return ",\n".join(parts)
+
+
+def _kmeans_oracle(k: int = 8, n_iter: int = 3) -> str:
+    """Label-report tail over the shared Lloyd prefix."""
+    cos = (
+        "round(list_inner_product(v.e, p.c)"
+        " / (sqrt(list_inner_product(v.e, v.e))"
+        " * sqrt(list_inner_product(p.c, p.c))), 6)"
+    )
+    tail = f"""fx AS (
     SELECT v.vec_id, v.lbl, p.cid, {cos} AS cos_r
     FROM v CROSS JOIN c{n_iter} p),
 fa AS (
@@ -3009,8 +3022,8 @@ SELECT ag.cid AS cluster, ag.n_vecs,
        mj.majority_label,
        round(mj.mj_cnt * 1.0 / ag.n_vecs, 4) AS purity
 FROM ag JOIN mj ON ag.cid = mj.cid
-ORDER BY cluster""")
-    return ",\n".join(parts)
+ORDER BY cluster"""
+    return _kmeans_centroid_ctes(k, n_iter) + ",\n" + tail
 
 
 ORACLES_EXT["embedding_kmeans_clusters"] = _kmeans_oracle()
@@ -3103,3 +3116,43 @@ ORACLES_EXT["documents_passage_chunks"] = r"""
                AS content_checksum
     FROM ch GROUP BY lang ORDER BY lang
 """
+
+
+def _ivf_trained_oracle(k: int = 16, n_iter: int = 3, n_probe: int = 4) -> str:
+    """Trained-IVF replay: the shared Lloyd prefix produces c{n_iter}
+    (unit centroids), then the standard IVF tail (assignment / probe /
+    candidate / exact re-rank — embedding_topk_ivf's oracle shape, dot
+    without norm division since both sides are unit, mirroring
+    ivf_topk's expressions op-for-op)."""
+    tail = f"""sims AS (
+    SELECT v.vec_id, p.cid,
+           round(list_inner_product(v.e, p.c), 6) AS cos
+    FROM v CROSS JOIN c{n_iter} p),
+assign AS (
+    SELECT vec_id, cid FROM (
+        SELECT vec_id, cid, row_number() OVER (
+            PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+        FROM sims) WHERE rn = 1),
+probes AS (
+    SELECT vec_id AS query_id, cid FROM (
+        SELECT vec_id, cid, row_number() OVER (
+            PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+        FROM sims WHERE vec_id IN (0, 1, 2, 3, 4)
+    ) WHERE rn <= {n_probe}),
+cand AS (
+    SELECT p.query_id, a.vec_id FROM probes p JOIN assign a USING (cid)),
+scored AS (
+    SELECT cd.query_id, cd.vec_id,
+           round(list_inner_product(q.e, t.e), 6) AS cosine_sim
+    FROM cand cd
+    JOIN v q ON q.vec_id = cd.query_id
+    JOIN v t ON t.vec_id = cd.vec_id)
+SELECT query_id, vec_id, cosine_sim, rank FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rank
+    FROM scored) WHERE rank <= 10
+ORDER BY query_id, rank"""
+    return _kmeans_centroid_ctes(k, n_iter) + ",\n" + tail
+
+
+ORACLES_EXT["embedding_topk_ivf_trained"] = _ivf_trained_oracle()

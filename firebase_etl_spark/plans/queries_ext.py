@@ -3015,3 +3015,18 @@ def documents_passage_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def embedding_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full train -> index -> search loop, driver-checked end to
+    end: spherical k-means (16 cells, 3 Lloyd rounds —
+    operators/clustering.py) trains the IVF centroids, then ivf_topk
+    probes 4 cells per query with exact re-rank. The oracle chains the
+    Lloyd-round replay into the IVF replay. Measured vs the seed-
+    centroid twin at the same probe budget: recall@10 0.86 vs 0.54 at
+    sf0.01 (pinned in tests/test_approx.py)."""
+    from firebase_etl_spark.operators.clustering import kmeans_fit
+
+    e = load_table(spark, "embeddings", sf_dir)
+    cents = kmeans_fit(e, k=16, n_iter=3)
+    return SIM.ivf_topk(e, QUERY_VEC_IDS, k=10, n_probe=4, centroids=cents)
