@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_copurchase_triangles": QX.part_copurchase_triangles,
         "documents_passage_chunks": QX.documents_passage_chunks,
         "embedding_topk_ivf_trained": QX.embedding_topk_ivf_trained,
+        "doc_neardup_ensemble": QX.doc_neardup_ensemble,
         "orders_rollup": QX.orders_rollup,
         "top_customer_revenue": QX.top_customer_revenue,
         "mktsegment_order_priority_pivot": QX.mktsegment_order_priority_pivot,

@@ -3156,3 +3156,25 @@ ORDER BY query_id, rank"""
 
 
 ORACLES_EXT["embedding_topk_ivf_trained"] = _ivf_trained_oracle()
+
+
+# composed verbatim from the three registered single-signal oracles —
+# the ensemble IS their composition, so the twin must be too
+ORACLES_EXT["doc_neardup_ensemble"] = f"""
+    WITH mh AS ({ORACLES_EXT["doc_minhash_near_dups"]}),
+         wn AS ({ORACLES_EXT["doc_winnow_near_dups"]}),
+         em AS ({ORACLES_EXT["embedding_near_dup_pairs"]}),
+         allp AS (
+            SELECT id_a, id_b,
+                   max(lex) AS lex, max(fp) AS fp, max(sem) AS sem
+            FROM (
+                SELECT id_a, id_b, 1 AS lex, 0 AS fp, 0 AS sem FROM mh
+                UNION ALL
+                SELECT id_a, id_b, 0, 1, 0 FROM wn
+                UNION ALL
+                SELECT id_a, id_b, 0, 0, 1 FROM em)
+            GROUP BY id_a, id_b)
+    SELECT id_a, id_b, lex + fp + sem AS votes, lex, fp, sem
+    FROM allp
+    ORDER BY votes DESC, id_a, id_b
+"""

@@ -3030,3 +3030,41 @@ def embedding_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "embeddings", sf_dir)
     cents = kmeans_fit(e, k=16, n_iter=3)
     return SIM.ivf_topk(e, QUERY_VEC_IDS, k=10, n_probe=4, centroids=cents)
+
+
+def doc_neardup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-modality near-duplicate consensus: the lexical (MinHash-LSH
+    exact-verified Jaccard), fingerprint (winnowing shared prints) and
+    semantic (embedding-cosine grid join) pair sets vote per pair —
+    agreement across INDEPENDENT signals is the standard precision
+    boost before destructive dedup (a pair flagged by 2+ modalities is
+    near-certainly a true dup; a single-signal pair goes to review).
+    Pure composition: the three operators run unchanged and the votes
+    are one grouped max per flag; the oracle composes the three
+    registered oracle strings the same way. doc_id/vec_id share an id
+    space by fixture design (the hybrid-RRF contract)."""
+    mh = doc_minhash_near_dups(spark, sf_dir).select(
+        "id_a", "id_b",
+        F.lit(1).alias("lex"), F.lit(0).alias("fp"), F.lit(0).alias("sem"),
+    )
+    wn = doc_winnow_near_dups(spark, sf_dir).select(
+        "id_a", "id_b",
+        F.lit(0).alias("lex"), F.lit(1).alias("fp"), F.lit(0).alias("sem"),
+    )
+    em = embedding_near_dup_pairs(spark, sf_dir).select(
+        "id_a", "id_b",
+        F.lit(0).alias("lex"), F.lit(0).alias("fp"), F.lit(1).alias("sem"),
+    )
+    return (
+        mh.unionAll(wn)
+        .unionAll(em)
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.max("lex").alias("lex"),
+            F.max("fp").alias("fp"),
+            F.max("sem").alias("sem"),
+        )
+        .withColumn("votes", F.col("lex") + F.col("fp") + F.col("sem"))
+        .select("id_a", "id_b", "votes", "lex", "fp", "sem")
+        .orderBy(F.col("votes").desc(), "id_a", "id_b")
+    )

@@ -1432,3 +1432,21 @@ def test_passage_chunks_boundaries_and_overlap(spark):
     assert " ".join(r["chunk_text"] for r in cover) == words
     with _pytest.raises(ValueError):
         passage_chunks(df, chunk_tokens=0, stride=3)
+
+
+def test_neardup_ensemble_votes_consistent(spark, sf_dir):
+    """Vote arithmetic and pair canonicalization: votes is the flag sum,
+    flags are 0/1, pairs are id_a < id_b, the strongest consensus sorts
+    first, and every consensus pair is also a single-signal pair."""
+    from firebase_etl_spark.plans.queries_ext import doc_neardup_ensemble
+
+    rows = doc_neardup_ensemble(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["votes"] == r["lex"] + r["fp"] + r["sem"]
+        assert 1 <= r["votes"] <= 3
+        assert r["id_a"] < r["id_b"]
+        for f in ("lex", "fp", "sem"):
+            assert r[f] in (0, 1)
+    votes = [r["votes"] for r in rows]
+    assert votes == sorted(votes, reverse=True)
