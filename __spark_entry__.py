@@ -68,6 +68,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_passage_chunks": QX.documents_passage_chunks,
         "embedding_topk_ivf_trained": QX.embedding_topk_ivf_trained,
         "doc_neardup_ensemble": QX.doc_neardup_ensemble,
+        "doc_vocab_growth": QX.doc_vocab_growth,
+        "doc_vocab_unseen_mass": QX.doc_vocab_unseen_mass,
         "orders_rollup": QX.orders_rollup,
         "top_customer_revenue": QX.top_customer_revenue,
         "mktsegment_order_priority_pivot": QX.mktsegment_order_priority_pivot,

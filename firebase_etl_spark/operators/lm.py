@@ -191,3 +191,110 @@ def pmi_collocations(
     finally:
         toks.unpersist()
     return out
+
+
+def vocab_growth_report(
+    df: DataFrame,
+    n_buckets: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Heaps-law vocabulary-growth audit: the corpus is cut into
+    ``n_buckets`` equal-width id ranges (corpus prefixes under the
+    ingest ordering) and each bucket reports its document/token volume
+    and how many NEVER-SEEN-BEFORE terms it contributes, plus running
+    totals — the V(n) vs n curve whose flattening (or failure to
+    flatten) is the standard crawl-health signal: a vocabulary that
+    keeps growing linearly means encoding breakage or spam, one that
+    flattens too fast means a stalled crawl frontier.
+
+    Scale shape: one token explode; term first-appearance is a
+    vocabulary-sized min-aggregate (map-side combinable); everything
+    after operates on ``n_buckets`` rows, including the running totals
+    (a bounded b2 <= b1 self-join — no global-order window). A dense
+    bucket spine keeps empty prefixes present. All-integer output."""
+    base = df.select(
+        F.col(id_col).alias("did"), tokenize(text_col).alias("__toks")
+    )
+    bounds = F.broadcast(
+        base.agg(
+            F.min("did").alias("lo"),
+            (F.max("did") - F.min("did") + 1).alias("width"),
+        )
+    )
+    bucket = F.floor(
+        (F.col("did") - F.col("lo")) * n_buckets / F.col("width")
+    ).cast("int")
+    docs = base.crossJoin(bounds).select(bucket.alias("b"), "__toks")
+    toks = docs.select("b", F.explode("__toks").alias("term"))
+    bdoc = docs.groupBy("b").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    btok = toks.groupBy("b").agg(F.count(F.lit(1)).alias("n_tokens"))
+    new_terms = (
+        toks.groupBy("term")
+        .agg(F.min("b").alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("new_terms"))
+    )
+    spine = (
+        df.sparkSession.range(n_buckets)
+        .select(F.col("id").cast("int").alias("bucket"))
+    )
+    per = (
+        spine.join(bdoc.withColumnRenamed("b", "bucket"), "bucket", "left")
+        .join(btok.withColumnRenamed("b", "bucket"), "bucket", "left")
+        .join(new_terms.withColumnRenamed("b", "bucket"), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("new_terms", F.lit(0)).alias("new_terms"),
+        )
+    )
+    cum = (
+        per.alias("x")
+        .join(per.alias("y"), F.col("y.bucket") <= F.col("x.bucket"))
+        .groupBy(F.col("x.bucket").alias("bucket"))
+        .agg(
+            F.sum("y.n_tokens").alias("cum_tokens"),
+            F.sum("y.new_terms").alias("cum_vocab"),
+        )
+    )
+    return (
+        per.join(cum, "bucket")
+        .select(
+            "bucket", "n_docs", "n_tokens", "new_terms",
+            "cum_tokens", "cum_vocab",
+        )
+        .orderBy("bucket")
+    )
+
+
+def unseen_mass_report(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Simple Good-Turing headline numbers: the probability mass an LM
+    should reserve for tokens it has never seen, estimated from the
+    frequency-of-frequencies (P_unseen = N1/N, Good 1953). One row:
+    (n_tokens, vocab_size, n_singletons, n_doubletons, p_unseen,
+    singleton_frac). A high singleton fraction is the practical 'this
+    corpus slice is mostly noise/OOV' screen. Integer aggregates; the
+    two ratios each leave the integers by one rounded division."""
+    tf = (
+        df.select(F.explode(tokenize(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return tf.agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum((F.col("c") == 1).cast("long")).alias("n_singletons"),
+        F.sum((F.col("c") == 2).cast("long")).alias("n_doubletons"),
+        F.round(
+            F.sum((F.col("c") == 1).cast("long")) / F.sum("c"), 6
+        ).alias("p_unseen"),
+        F.round(
+            F.sum((F.col("c") == 1).cast("long")) / F.count(F.lit(1)), 4
+        ).alias("singleton_frac"),
+    )

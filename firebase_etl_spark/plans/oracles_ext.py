@@ -3178,3 +3178,64 @@ ORACLES_EXT["doc_neardup_ensemble"] = f"""
     FROM allp
     ORDER BY votes DESC, id_a, id_b
 """
+
+
+ORACLES_EXT["doc_vocab_growth"] = r"""
+    WITH base AS (
+        SELECT doc_id AS did,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents),
+    bounds AS (
+        SELECT min(did) AS lo, max(did) - min(did) + 1 AS width FROM base),
+    docs AS (
+        SELECT CAST(floor(((did - lo) * 10) / width) AS INT) AS b, toks
+        FROM base, bounds),
+    tok AS (SELECT b, unnest(toks) AS term FROM docs),
+    bdoc AS (SELECT b, count(*) AS n_docs FROM docs GROUP BY b),
+    btok AS (SELECT b, count(*) AS n_tokens FROM tok GROUP BY b),
+    nt AS (
+        SELECT b, count(*) AS new_terms FROM (
+            SELECT term, min(b) AS b FROM tok GROUP BY term)
+        GROUP BY b),
+    spine AS (SELECT CAST(r AS INT) AS bucket FROM range(0, 10) t(r)),
+    per AS (
+        SELECT bucket,
+               CAST(COALESCE(bdoc.n_docs, 0) AS BIGINT) AS n_docs,
+               CAST(COALESCE(btok.n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(nt.new_terms, 0) AS BIGINT) AS new_terms
+        FROM spine
+        LEFT JOIN bdoc ON bdoc.b = spine.bucket
+        LEFT JOIN btok ON btok.b = spine.bucket
+        LEFT JOIN nt ON nt.b = spine.bucket),
+    cum AS (
+        SELECT x.bucket,
+               CAST(sum(y.n_tokens) AS BIGINT) AS cum_tokens,
+               CAST(sum(y.new_terms) AS BIGINT) AS cum_vocab
+        FROM per x JOIN per y ON y.bucket <= x.bucket
+        GROUP BY x.bucket)
+    SELECT per.bucket, per.n_docs, per.n_tokens, per.new_terms,
+           cum.cum_tokens, cum.cum_vocab
+    FROM per JOIN cum USING (bucket)
+    ORDER BY bucket
+"""
+
+
+ORACLES_EXT["doc_vocab_unseen_mass"] = r"""
+    WITH tf AS (
+        SELECT term, count(*) AS c FROM (
+            SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+                   AS term
+            FROM documents)
+        GROUP BY term)
+    SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS vocab_size,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_singletons,
+           CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_doubletons,
+           round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0 / sum(c), 6)
+               AS p_unseen,
+           round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+               AS singleton_frac
+    FROM tf
+"""

@@ -3068,3 +3068,25 @@ def doc_neardup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "votes", "lex", "fp", "sem")
         .orderBy(F.col("votes").desc(), "id_a", "id_b")
     )
+
+
+def doc_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth over 10 corpus prefixes
+    (operators/lm.py:vocab_growth_report): per id-range bucket the
+    document/token volume and first-appearance term counts with running
+    totals — the crawl-health curve."""
+    from firebase_etl_spark.operators.lm import vocab_growth_report
+
+    d = load_table(spark, "documents", sf_dir)
+    return vocab_growth_report(d, n_buckets=10)
+
+
+def doc_vocab_unseen_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple Good-Turing unseen-mass estimate
+    (operators/lm.py:unseen_mass_report): frequency-of-frequencies
+    headline numbers — P_unseen = N1/N and the singleton fraction, the
+    'mostly-noise slice' screen."""
+    from firebase_etl_spark.operators.lm import unseen_mass_report
+
+    d = load_table(spark, "documents", sf_dir)
+    return unseen_mass_report(d)

@@ -1450,3 +1450,37 @@ def test_neardup_ensemble_votes_consistent(spark, sf_dir):
             assert r[f] in (0, 1)
     votes = [r["votes"] for r in rows]
     assert votes == sorted(votes, reverse=True)
+
+
+def test_vocab_growth_first_appearance_accounting(spark):
+    """New terms are credited to the bucket of their FIRST appearance
+    only; cumulative vocab ends at the true distinct-term count; empty
+    buckets appear as zero rows on the dense spine."""
+    from firebase_etl_spark.operators.lm import vocab_growth_report
+
+    rows = [
+        (0, "a b c"),       # bucket 0 of 2 (ids 0..3 -> width 4)
+        (1, "a b"),         # bucket 0: no new terms
+        (3, "a d"),         # bucket 1: only d is new
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = vocab_growth_report(df, n_buckets=2).collect()
+    assert [r["bucket"] for r in got] == [0, 1]
+    assert [r["n_docs"] for r in got] == [2, 1]
+    assert [r["new_terms"] for r in got] == [3, 1]
+    assert [r["cum_vocab"] for r in got] == [3, 4]
+    assert [r["cum_tokens"] for r in got] == [5, 7]
+
+
+def test_unseen_mass_good_turing_numbers(spark):
+    from firebase_etl_spark.operators.lm import unseen_mass_report
+
+    df = spark.createDataFrame(
+        [(1, "a a b c"), (2, "a d d")], "doc_id long, text string"
+    )
+    r = unseen_mass_report(df).collect()[0]
+    # counts: a=3, b=1, c=1, d=2 -> N=7, V=4, N1=2, N2=1
+    assert (r["n_tokens"], r["vocab_size"]) == (7, 4)
+    assert (r["n_singletons"], r["n_doubletons"]) == (2, 1)
+    assert r["p_unseen"] == round(2 / 7, 6)
+    assert r["singleton_frac"] == 0.5
