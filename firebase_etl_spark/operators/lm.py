@@ -213,45 +213,59 @@ def vocab_growth_report(
     after operates on ``n_buckets`` rows, including the running totals
     (a bounded b2 <= b1 self-join — no global-order window). A dense
     bucket spine keeps empty prefixes present. All-integer output."""
+    # the tokenized corpus feeds the bounds agg plus THREE bucket
+    # aggregates, and the n_buckets-row `per` table is referenced three
+    # more times by the running-total self-join — without persist +
+    # eager checkpoint Catalyst inlines every reference and the corpus
+    # is scanned ~10x (measured: 10 FileScans, 0 ReusedExchange); with
+    # them it is scanned once and `cum` operates on 10 cached rows
     base = df.select(
         F.col(id_col).alias("did"), tokenize(text_col).alias("__toks")
-    )
-    bounds = F.broadcast(
-        base.agg(
-            F.min("did").alias("lo"),
-            (F.max("did") - F.min("did") + 1).alias("width"),
+    ).persist()
+    try:
+        bounds = F.broadcast(
+            base.agg(
+                F.min("did").alias("lo"),
+                (F.max("did") - F.min("did") + 1).alias("width"),
+            )
         )
-    )
-    bucket = F.floor(
-        (F.col("did") - F.col("lo")) * n_buckets / F.col("width")
-    ).cast("int")
-    docs = base.crossJoin(bounds).select(bucket.alias("b"), "__toks")
-    toks = docs.select("b", F.explode("__toks").alias("term"))
-    bdoc = docs.groupBy("b").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-    )
-    btok = toks.groupBy("b").agg(F.count(F.lit(1)).alias("n_tokens"))
-    new_terms = (
-        toks.groupBy("term")
-        .agg(F.min("b").alias("b"))
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("new_terms"))
-    )
-    spine = (
-        df.sparkSession.range(n_buckets)
-        .select(F.col("id").cast("int").alias("bucket"))
-    )
-    per = (
-        spine.join(bdoc.withColumnRenamed("b", "bucket"), "bucket", "left")
-        .join(btok.withColumnRenamed("b", "bucket"), "bucket", "left")
-        .join(new_terms.withColumnRenamed("b", "bucket"), "bucket", "left")
-        .select(
-            "bucket",
-            F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
-            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
-            F.coalesce("new_terms", F.lit(0)).alias("new_terms"),
+        bucket = F.floor(
+            (F.col("did") - F.col("lo")) * n_buckets / F.col("width")
+        ).cast("int")
+        docs = base.crossJoin(bounds).select(bucket.alias("b"), "__toks")
+        toks = docs.select("b", F.explode("__toks").alias("term"))
+        bdoc = docs.groupBy("b").agg(
+            F.count(F.lit(1)).alias("n_docs"),
         )
-    )
+        btok = toks.groupBy("b").agg(F.count(F.lit(1)).alias("n_tokens"))
+        new_terms = (
+            toks.groupBy("term")
+            .agg(F.min("b").alias("b"))
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).alias("new_terms"))
+        )
+        spine = (
+            df.sparkSession.range(n_buckets)
+            .select(F.col("id").cast("int").alias("bucket"))
+        )
+        per = (
+            spine.join(
+                bdoc.withColumnRenamed("b", "bucket"), "bucket", "left"
+            )
+            .join(btok.withColumnRenamed("b", "bucket"), "bucket", "left")
+            .join(
+                new_terms.withColumnRenamed("b", "bucket"), "bucket", "left"
+            )
+            .select(
+                "bucket",
+                F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+                F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+                F.coalesce("new_terms", F.lit(0)).alias("new_terms"),
+            )
+            .localCheckpoint(eager=True)  # n_buckets rows
+        )
+    finally:
+        base.unpersist()
     cum = (
         per.alias("x")
         .join(per.alias("y"), F.col("y.bucket") <= F.col("x.bucket"))
