@@ -221,3 +221,53 @@ def source_drift_report(
         )
         .orderBy(group_col)
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key_col: str,
+    salt: str = "ws1",
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis & Spirakis
+    2006): keep the k rows with the largest priority u^(1/w), u a
+    CONTENT-addressed uniform — the quality-weighted mixture draw of a
+    training pipeline (sample documents proportional to a quality or
+    length weight), with the same auditability contract as
+    ``stratified_sample_hash``: identical across engines,
+    partitionings, retries and runs, and replayable by any engine with
+    md5.
+
+    u is the 60-bit md5 prefix of (salt || key) mapped to (0, 1]; the
+    emitted priority is the equivalent log-key ln(u)/w (monotone in
+    u^(1/w) for w > 0, but spread over a numeric range that survives
+    rounding — u^(1/w) itself collapses onto 1 - epsilon for large
+    weights). It is rounded to 9dp before the rank so both engines pick
+    identical winners despite libm's ulp differences in ln; ties break
+    to the lower key. Rows with NULL or non-positive weight are
+    excluded (they have zero inclusion probability).
+
+    One scan, no shuffle, global top-k via orderBy+limit
+    (TakeOrderedAndProject — no global-order window). Changing ``salt``
+    redraws the sample; fixing it freezes the draw forever."""
+    w = F.col(weight_col).cast("double")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + F.lit(1)
+    ) / F.lit(float(1 << 60))
+    pr = F.round(F.log(u) / w, 9)
+    return (
+        df.filter(w > 0)
+        .withColumn("priority", pr)
+        .orderBy(F.col("priority").desc(), F.col(key_col))
+        .limit(k)
+    )

@@ -3239,3 +3239,19 @@ ORACLES_EXT["doc_vocab_unseen_mass"] = r"""
                AS singleton_frac
     FROM tf
 """
+
+
+ORACLES_EXT["documents_weighted_sample"] = """
+    WITH b AS (
+        SELECT doc_id, lang, n_chars,
+               (('0x' || substr(md5('ws1' || CAST(doc_id AS VARCHAR)),
+                                1, 15))::BIGINT + 1)
+               / 1152921504606846976.0 AS u
+        FROM documents
+        WHERE CAST(n_chars AS DOUBLE) > 0)
+    SELECT doc_id, lang, n_chars,
+           round(ln(u) / CAST(n_chars AS DOUBLE), 9) AS priority
+    FROM b
+    ORDER BY priority DESC, doc_id
+    LIMIT 50
+"""

@@ -3090,3 +3090,17 @@ def doc_vocab_unseen_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, "documents", sf_dir)
     return unseen_mass_report(d)
+
+
+def documents_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample (operators/stats.py:
+    weighted_sample): 50 documents drawn without replacement with
+    probability proportional to length (n_chars as the weight stand-in
+    for a quality score), content-addressed so the draw is frozen
+    across engines and runs."""
+    from firebase_etl_spark.operators.stats import weighted_sample
+
+    d = load_table(spark, "documents", sf_dir)
+    return weighted_sample(
+        d.select("doc_id", "lang", "n_chars"), "n_chars", 50, "doc_id"
+    )

@@ -1484,3 +1484,34 @@ def test_unseen_mass_good_turing_numbers(spark):
     assert (r["n_singletons"], r["n_doubletons"]) == (2, 1)
     assert r["p_unseen"] == round(2 / 7, 6)
     assert r["singleton_frac"] == 0.5
+
+
+def test_weighted_sample_proportionality_and_formula(spark):
+    """A 10000x-weight item must win nearly every k=1 redraw across
+    salts; priorities match the Python md5/log replay exactly; zero,
+    negative and NULL weights are excluded from the draw."""
+    import hashlib
+    import math
+
+    from firebase_etl_spark.operators.stats import weighted_sample
+
+    rows = [(i, 10000 if i == 0 else 1) for i in range(20)]
+    df = spark.createDataFrame(rows, "k long, w long")
+    wins = sum(
+        weighted_sample(df, "w", 1, "k", salt=s).collect()[0]["k"] == 0
+        for s in ("a", "b", "c", "d", "e")
+    )
+    assert wins >= 4
+
+    got = weighted_sample(df, "w", 20, "k").collect()
+    assert len(got) == 20
+    for r in got:
+        h = int(hashlib.md5(f"ws1{r['k']}".encode()).hexdigest()[:15], 16)
+        u = (h + 1) / float(1 << 60)
+        assert r["priority"] == round(math.log(u) / r["w"], 9)
+
+    bad = spark.createDataFrame(
+        [(1, 0), (2, -5), (3, None), (4, 7)], "k long, w long"
+    )
+    kept = weighted_sample(bad, "w", 10, "k").collect()
+    assert [r["k"] for r in kept] == [4]
