@@ -216,3 +216,44 @@ def test_duplicate_windows_match_python_recount(spark, corpora):
         n_dup = sum(1 for w in ws if total[w] > 1)
         n_cross = sum(1 for w in ws if docs_per[w] > 1)
         assert got[i] == (len(ws), n_dup, n_cross), (i, corpora)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=40), min_size=1, max_size=12
+    ),
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=12, deadline=None)
+def test_passage_chunks_cover_every_token(doc_lens, chunk, stride):
+    """For stride <= chunk, every token position of every document is
+    covered by at least one chunk, chunk texts reassemble from the
+    original tokens at their claimed offsets, and the chunk count obeys
+    1 + ceil(max(0, n-chunk)/stride). One Spark action per example."""
+    import math
+
+    from firebase_etl_spark.operators.text import passage_chunks
+    from firebase_etl_spark.session import get_spark
+
+    stride = min(stride, chunk)  # coverage only promised for overlap mode
+    spark = get_spark(app_name="tests", shuffle_partitions=8)
+    rows = [
+        (i, " ".join(f"t{i}x{j}" for j in range(n)))
+        for i, n in enumerate(doc_lens)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = passage_chunks(df, chunk_tokens=chunk, stride=stride).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, n in enumerate(doc_lens):
+        chunks = sorted(by_doc[i], key=lambda r: r["chunk_idx"])
+        assert len(chunks) == 1 + math.ceil(max(0, n - chunk) / stride)
+        covered = set()
+        toks = rows[i][1].split(" ")
+        for r in chunks:
+            s, ln = r["start_tok"], r["n_toks"]
+            assert r["chunk_text"] == " ".join(toks[s : s + ln])
+            covered |= set(range(s, s + ln))
+        assert covered == set(range(n))
