@@ -1515,3 +1515,44 @@ def test_weighted_sample_proportionality_and_formula(spark):
     )
     kept = weighted_sample(bad, "w", 10, "k").collect()
     assert [r["k"] for r in kept] == [4]
+
+
+def test_frequent_pairs_matches_bruteforce_random(spark):
+    """Pair counts, support and lift must equal a driver-side
+    brute-force recount on a random basket fixture (A-Priori pruning
+    and the self-join are cost devices, not semantic ones)."""
+    import itertools
+    import random
+
+    from firebase_etl_spark.operators.basket import frequent_pairs
+
+    rnd = random.Random(11)
+    baskets = {
+        bk: set(rnd.sample(range(12), rnd.randint(1, 5)))
+        for bk in range(40)
+    }
+    rows = [(bk, it) for bk, its in baskets.items() for it in its]
+    df = spark.createDataFrame(rows, "ok long, pk long")
+    got = {
+        (r["p1"], r["p2"]): (r["pair_count"], r["support"], r["lift"])
+        for r in frequent_pairs(df, "ok", "pk", min_support=2, top=1000).collect()
+    }
+    from collections import Counter
+
+    pc = Counter()
+    ic = Counter()
+    for its in baskets.values():
+        for it in its:
+            ic[it] += 1
+        for a, b in itertools.combinations(sorted(its), 2):
+            pc[(a, b)] += 1
+    want = {
+        p: (
+            c,
+            round(c / len(baskets), 4),
+            round((c * len(baskets)) / (ic[p[0]] * ic[p[1]]), 4),
+        )
+        for p, c in pc.items()
+        if c >= 2
+    }
+    assert got == want and len(want) > 5
