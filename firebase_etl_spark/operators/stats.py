@@ -271,3 +271,37 @@ def weighted_sample(
         .orderBy(F.col("priority").desc(), F.col(key_col))
         .limit(k)
     )
+
+
+def grouped_split(
+    df: DataFrame,
+    group_col: str,
+    salt: str = "gs1",
+    pct_train: int = 70,
+    pct_val: int = 85,
+) -> DataFrame:
+    """GROUP-leakage-safe train/val/test assignment: the split is a
+    function of the GROUP key (source/site/author), so every document
+    of a group lands in the same split — the guard against same-site
+    near-duplicates straddling train and test, which content-addressed
+    splitting (documents_split_assignment) cannot give by itself (two
+    near-identical pages hash to different splits). The standard
+    GroupShuffleSplit semantic, content-addressed like every sampler
+    here: md5(salt || group) against integer thresholds, identical
+    across engines/partitionings/runs. ``pct_val`` is the CUMULATIVE
+    train+val percentage. One scan, no shuffle, no RNG state."""
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(group_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    split = (
+        F.when(u < F.lit((1 << 60) * pct_train // 100), "train")
+        .when(u < F.lit((1 << 60) * pct_val // 100), "val")
+        .otherwise("test")
+    )
+    return df.withColumn("split", split)

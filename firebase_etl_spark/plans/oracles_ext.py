@@ -3255,3 +3255,20 @@ ORACLES_EXT["documents_weighted_sample"] = """
     ORDER BY priority DESC, doc_id
     LIMIT 50
 """
+
+
+ORACLES_EXT["documents_grouped_split"] = f"""
+    WITH u AS (
+        SELECT doc_id, lang, n_chars, source,
+               ('0x' || substr(md5('gs1' || source), 1, 15))::BIGINT AS u
+        FROM documents)
+    SELECT lang,
+           CASE WHEN u < {(1 << 60) * 70 // 100} THEN 'train'
+                WHEN u < {(1 << 60) * 85 // 100} THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+           CAST(sum(n_chars) AS BIGINT) AS chars_total
+    FROM u GROUP BY lang, split ORDER BY lang, split
+"""

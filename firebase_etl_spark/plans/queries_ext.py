@@ -3104,3 +3104,26 @@ def documents_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(
         d.select("doc_id", "lang", "n_chars"), "n_chars", 50, "doc_id"
     )
+
+
+def documents_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-leakage-safe splits (operators/stats.py:grouped_split):
+    assignment is a function of the SOURCE, so same-site near-dups can
+    never straddle train/test — the complement of the content-addressed
+    documents_split_assignment. 70/15/15 by source hash; per lang x
+    split counts with source counts and id checksum pinning the
+    assignment itself."""
+    from firebase_etl_spark.operators.stats import grouped_split
+
+    d = load_table(spark, "documents", sf_dir)
+    return (
+        grouped_split(d, "source")
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("doc_id").alias("id_checksum"),
+            F.sum("n_chars").alias("chars_total"),
+        )
+        .orderBy("lang", "split")
+    )

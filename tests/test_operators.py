@@ -1556,3 +1556,27 @@ def test_frequent_pairs_matches_bruteforce_random(spark):
         if c >= 2
     }
     assert got == want and len(want) > 5
+
+
+def test_grouped_split_no_group_straddles(spark, sf_dir):
+    """The anti-leakage invariant itself: every source maps to exactly
+    one split (at the real corpus), all three splits materialize, and
+    the assignment is identical across partitionings."""
+    from firebase_etl_spark.operators.stats import grouped_split
+    from firebase_etl_spark.sources.tables import load_table
+
+    d = load_table(spark, "documents", sf_dir)
+    s = grouped_split(d, "source")
+    from pyspark.sql import functions as FF
+
+    per_source = (
+        s.groupBy("source")
+        .agg(FF.countDistinct("split").alias("k"))
+        .collect()
+    )
+    assert per_source and all(r["k"] == 1 for r in per_source)
+    splits = {r["split"] for r in s.select("split").distinct().collect()}
+    assert splits == {"train", "val", "test"}
+    a = sorted(map(tuple, s.select("doc_id", "split").collect()))
+    b = sorted(map(tuple, s.repartition(13).select("doc_id", "split").collect()))
+    assert a == b
