@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_vocab_unseen_mass": QX.doc_vocab_unseen_mass,
         "documents_weighted_sample": QX.documents_weighted_sample,
         "documents_grouped_split": QX.documents_grouped_split,
+        "events_transition_matrix": QX.events_transition_matrix,
         "orders_rollup": QX.orders_rollup,
         "top_customer_revenue": QX.top_customer_revenue,
         "mktsegment_order_priority_pivot": QX.mktsegment_order_priority_pivot,

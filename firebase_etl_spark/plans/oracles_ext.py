@@ -3272,3 +3272,25 @@ ORACLES_EXT["documents_grouped_split"] = f"""
            CAST(sum(n_chars) AS BIGINT) AS chars_total
     FROM u GROUP BY lang, split ORDER BY lang, split
 """
+
+
+ORACLES_EXT["events_transition_matrix"] = """
+    WITH t AS (
+        SELECT event_type AS cur_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+        WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+    c AS (
+        SELECT cur_type, next_type, count(*) AS n_transitions
+        FROM t WHERE next_type IS NOT NULL
+        GROUP BY cur_type, next_type),
+    tot AS (
+        SELECT cur_type, CAST(sum(n_transitions) AS BIGINT) AS n_out
+        FROM c GROUP BY cur_type)
+    SELECT c.cur_type, c.next_type, c.n_transitions,
+           round(c.n_transitions * 1.0 / tot.n_out, 4) AS p_next
+    FROM c JOIN tot USING (cur_type)
+    ORDER BY cur_type, next_type
+"""

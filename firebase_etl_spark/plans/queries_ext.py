@@ -3127,3 +3127,48 @@ def documents_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "split")
     )
+
+
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the event stream: for
+    each (current, next) event-type pair over per-user time-ordered
+    histories, the transition count and conditional probability — the
+    generalization of the fixed-step funnel (events_funnel_report) to
+    ALL paths, the standard input to behavioral anomaly and next-action
+    models. The lead() window partitions by user (bounded partitions —
+    no global order); ties at equal timestamps break on event_id
+    identically in both engines; probabilities are integer-count ratios
+    rounded once."""
+    e = (
+        load_table(spark, "events", sf_dir)
+        .filter(
+            F.col("event_type").isNotNull() & F.col("user_id").isNotNull()
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        e.select(
+            "user_id",
+            F.col("event_type").alias("cur_type"),
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+    )
+    counts = t.groupBy("cur_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    totals = counts.groupBy("cur_type").agg(
+        F.sum("n_transitions").alias("n_out")
+    )
+    return (
+        counts.join(totals, "cur_type")
+        .select(
+            "cur_type",
+            "next_type",
+            "n_transitions",
+            F.round(F.col("n_transitions") / F.col("n_out"), 4).alias(
+                "p_next"
+            ),
+        )
+        .orderBy("cur_type", "next_type")
+    )

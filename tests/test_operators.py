@@ -1580,3 +1580,37 @@ def test_grouped_split_no_group_straddles(spark, sf_dir):
     a = sorted(map(tuple, s.select("doc_id", "split").collect()))
     b = sorted(map(tuple, s.repartition(13).select("doc_id", "split").collect()))
     assert a == b
+
+
+def test_transition_matrix_hand_fixture(spark, tmp_path):
+    """Known history: A->B->A->C for one user plus a single-event user
+    (emits nothing). Rows sum to 1 per current type; ties at equal ts
+    order by event_id."""
+    import datetime as dt
+
+    from firebase_etl_spark.plans.queries_ext import (
+        events_transition_matrix,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "A", 0.0),
+        (1, t0, 2, "B", 0.0),          # same ts: event_id orders it 2nd
+        (1, dt.datetime(2024, 1, 2), 3, "A", 0.0),
+        (1, dt.datetime(2024, 1, 3), 4, "C", 0.0),
+        (2, t0, 5, "Z", 0.0),          # lone event: no transition
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string, value double"
+    )
+    p = str(tmp_path / "events.parquet")
+    df.write.parquet(p)
+    got = {
+        (r["cur_type"], r["next_type"]): (r["n_transitions"], r["p_next"])
+        for r in events_transition_matrix(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        ("A", "B"): (1, 0.5),
+        ("A", "C"): (1, 0.5),
+        ("B", "A"): (1, 1.0),
+    }
