@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_weighted_sample": QX.documents_weighted_sample,
         "documents_grouped_split": QX.documents_grouped_split,
         "events_transition_matrix": QX.events_transition_matrix,
+        "documents_bloom_decontamination": QX.documents_bloom_decontamination,
         "orders_rollup": QX.orders_rollup,
         "top_customer_revenue": QX.top_customer_revenue,
         "mktsegment_order_priority_pivot": QX.mktsegment_order_priority_pivot,

@@ -54,19 +54,15 @@ def ngram_overlap(
     )
 
 
-def decontamination_report(
+def _contamination_summary(
     corpus: DataFrame,
-    probes: DataFrame,
-    n: int = 8,
-    threshold: int = 1,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    group_col: str = "source",
+    ov: DataFrame,
+    threshold: int,
+    id_col: str,
+    group_col: str,
 ) -> DataFrame:
-    """Per-``group_col`` contamination audit: how many documents would be
-    dropped at ``overlap >= threshold``, the worst single-document overlap,
-    and the contamination rate. One broadcast join + two keyed aggregates."""
-    ov = ngram_overlap(corpus, probes, n, text_col, id_col)
+    """Shared tail of both report variants: join per-doc overlaps back to
+    the corpus and aggregate per ``group_col``."""
     flagged = corpus.join(ov, id_col, "left").select(
         F.col(group_col),
         F.coalesce(F.col("overlap"), F.lit(0)).alias("overlap"),
@@ -86,3 +82,115 @@ def decontamination_report(
         )
         .orderBy(group_col)
     )
+
+
+def decontamination_report(
+    corpus: DataFrame,
+    probes: DataFrame,
+    n: int = 8,
+    threshold: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-``group_col`` contamination audit: how many documents would be
+    dropped at ``overlap >= threshold``, the worst single-document overlap,
+    and the contamination rate. One broadcast join + two keyed aggregates."""
+    ov = ngram_overlap(corpus, probes, n, text_col, id_col)
+    return _contamination_summary(corpus, ov, threshold, id_col, group_col)
+
+
+def bloom_ngram_overlap(
+    corpus: DataFrame,
+    probes: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fpp: float = 0.01,
+) -> DataFrame:
+    """``ngram_overlap`` behind a Bloom-filter prefilter — the variant for
+    probe sets too large to broadcast-hash-join as raw strings (a combined
+    eval-benchmark suite can hold tens of millions of distinct n-grams;
+    its Bloom bitmap at 1% fpp is ~1.2 bytes per gram).
+
+    Plan shape: the probe grams are hashed JVM-side (``xxhash64`` with k
+    seed salts) and their bit positions pulled to the driver ONCE (two
+    tiny jobs over the probe side — the same "probe side is small next to
+    the corpus" contract the broadcast variant documents); the packed
+    numpy bitmap ships to executors via ``SparkContext.broadcast``. The
+    corpus explode is then filtered MAP-SIDE by one Arrow-batched
+    ``pandas_udf`` doing k vectorized bitmap lookups per gram — zero
+    shuffle and zero string exchange until only candidate grams survive.
+    Candidates are exactly verified against the true probe-gram set
+    (broadcast string join), so Bloom false positives never reach the
+    output and the result is BIT-IDENTICAL to ``ngram_overlap`` — which is
+    how the DuckDB oracle verifies it: the oracle replays the exact path,
+    so a false negative (impossible by construction: every inserted
+    gram's bits are set) would surface as a driver hash mismatch.
+    Equality with the exact operator is additionally pytest-pinned."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    probe_grams = (
+        probes.select(F.explode(word_shingles(text_col, n)).alias("gram"))
+        .distinct()
+    )
+    n_grams = probe_grams.count()
+    # standard Bloom sizing: m = -G ln(p) / ln(2)^2, k = (m/G) ln 2
+    m = max(64, int(math.ceil(-max(n_grams, 1) * math.log(fpp) / (math.log(2) ** 2))))
+    k = max(1, int(round(m / max(n_grams, 1) * math.log(2))))
+
+    def positions(gram):
+        return [F.pmod(F.xxhash64(F.lit(i), gram), F.lit(m)) for i in range(k)]
+
+    bits = (
+        probe_grams.select(
+            F.explode(F.array(*positions(F.col("gram")))).alias("pos")
+        )
+        .distinct()
+        .collect()
+    )
+    bitmap = np.zeros(m, dtype=bool)
+    bitmap[[r["pos"] for r in bits]] = True
+    bc = corpus.sparkSession.sparkContext.broadcast(bitmap)
+
+    # no type hints: star-args signatures only infer under the classic
+    # SCALAR pandas_udf path (each arg arrives as a pandas Series)
+    def _bf_contains(*pos_cols):
+        bm = bc.value
+        out = np.ones(len(pos_cols[0]), dtype=bool)
+        for s in pos_cols:
+            out &= bm[s.to_numpy()]
+        return pd.Series(out)
+
+    bf_contains = pandas_udf(_bf_contains, "boolean")
+
+    doc_grams = corpus.select(
+        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("gram")
+    )
+    candidates = doc_grams.filter(bf_contains(*positions(F.col("gram"))))
+    return (
+        candidates.join(F.broadcast(probe_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+
+
+def bloom_decontamination_report(
+    corpus: DataFrame,
+    probes: DataFrame,
+    n: int = 8,
+    threshold: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    fpp: float = 0.01,
+) -> DataFrame:
+    """``decontamination_report`` over the Bloom-prefiltered overlap path —
+    same output, same oracle, different scale envelope (see
+    ``bloom_ngram_overlap``)."""
+    ov = bloom_ngram_overlap(corpus, probes, n, text_col, id_col, fpp)
+    return _contamination_summary(corpus, ov, threshold, id_col, group_col)

@@ -3294,3 +3294,35 @@ ORACLES_EXT["events_transition_matrix"] = """
     FROM c JOIN tot USING (cur_type)
     ORDER BY cur_type, next_type
 """
+
+
+ORACLES_EXT["documents_bloom_decontamination"] = r"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        FROM documents
+    ), g AS (
+        SELECT doc_id, source,
+               unnest(list_distinct(list_transform(range(1, len(tk) - 1),
+                   i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))) AS gram
+        FROM toks
+    ), probe AS (
+        SELECT DISTINCT gram FROM g WHERE doc_id % 89 = 0
+    ), ov AS (
+        SELECT doc_id, count(*) AS overlap
+        FROM g JOIN probe USING (gram)
+        WHERE doc_id % 89 <> 0
+        GROUP BY doc_id
+    ), docs AS (
+        SELECT d.source, coalesce(ov.overlap, 0) AS overlap
+        FROM documents d LEFT JOIN ov USING (doc_id)
+        WHERE d.doc_id % 89 <> 0
+    )
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN overlap >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated,
+           CAST(max(overlap) AS BIGINT) AS max_overlap,
+           CAST(sum(overlap) AS BIGINT) AS total_overlap,
+           round(avg(CAST(overlap >= 2 AS INT)), 6) AS contamination_rate
+    FROM docs GROUP BY source ORDER BY source
+"""

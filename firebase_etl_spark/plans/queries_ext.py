@@ -3172,3 +3172,29 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cur_type", "next_type")
     )
+
+
+def documents_bloom_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bloom-prefiltered decontamination (operators/contamination.py:
+    bloom_ngram_overlap) — the scale path for probe sets too large to
+    broadcast as raw strings: probe grams become a driver-built bitmap
+    (xxhash64 positions computed JVM-side), the corpus explode is
+    filtered map-side by one Arrow-batched bitmap lookup, and only
+    candidates are exactly verified. Output is bit-identical to the
+    exact operator, so the DuckDB oracle replays the EXACT path — a
+    Bloom false negative would surface as a hash mismatch here. Probe
+    slice doc_id % 89, threshold 2 (distinct from the broadcast-variant
+    query's % 97 / threshold 1 so the two rows evidence different
+    parameterizations)."""
+    from firebase_etl_spark.operators.contamination import (
+        bloom_decontamination_report,
+    )
+
+    d = load_table(spark, "documents", sf_dir)
+    probes = d.filter(F.col("doc_id") % 89 == 0)
+    corpus = d.filter(F.col("doc_id") % 89 != 0)
+    return bloom_decontamination_report(
+        corpus, probes, n=3, threshold=2, fpp=0.01
+    )

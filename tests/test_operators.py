@@ -849,6 +849,45 @@ def test_ngram_overlap_counts_distinct_shared_grams(spark):
     assert rep == {"s1": (2, 1, 2), "s2": (1, 1, 1)}
 
 
+def test_bloom_overlap_equals_exact_overlap(spark):
+    """The Bloom-prefiltered overlap path is bit-identical to the exact
+    broadcast-join path: false positives are removed by the exact verify
+    join, false negatives are impossible (every inserted gram's bits are
+    set). Pinned on a corpus large enough that the bitmap actually
+    prunes, plus a pathological fpp to force false positives through the
+    prefilter."""
+    from firebase_etl_spark.operators.contamination import (
+        bloom_ngram_overlap,
+        ngram_overlap,
+    )
+
+    rows = [
+        (i, " ".join(f"w{(i * 7 + j) % 43}" for j in range(12)), f"s{i % 3}")
+        for i in range(120)
+    ]
+    corpus = spark.createDataFrame(
+        [r for r in rows if r[0] % 5 != 0],
+        "doc_id long, text string, source string",
+    )
+    probes = spark.createDataFrame(
+        [r for r in rows if r[0] % 5 == 0],
+        "doc_id long, text string, source string",
+    )
+    exact = {
+        r["doc_id"]: r["overlap"]
+        for r in ngram_overlap(corpus, probes, n=3).collect()
+    }
+    assert exact, "fixture must produce non-trivial overlap"
+    for fpp in (0.01, 0.5):  # 0.5 => tiny bitmap, many false positives
+        got = {
+            r["doc_id"]: r["overlap"]
+            for r in bloom_ngram_overlap(
+                corpus, probes, n=3, fpp=fpp
+            ).collect()
+        }
+        assert got == exact
+
+
 def test_dsir_log_weights_favor_target_vocabulary(spark):
     """DSIR log weights (Xie et al. 2023 shape): docs written in the
     target slice's vocabulary must outweigh docs in disjoint vocabulary,
