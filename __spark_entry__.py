@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_grouped_split": QX.documents_grouped_split,
         "events_transition_matrix": QX.events_transition_matrix,
         "documents_bloom_decontamination": QX.documents_bloom_decontamination,
+        "doc_zipf_slope": QX.doc_zipf_slope,
         "orders_rollup": QX.orders_rollup,
         "top_customer_revenue": QX.top_customer_revenue,
         "mktsegment_order_priority_pivot": QX.mktsegment_order_priority_pivot,

@@ -312,3 +312,96 @@ def unseen_mass_report(
             F.sum((F.col("c") == 1).cast("long")) / F.count(F.lit(1)), 4
         ).alias("singleton_frac"),
     )
+
+
+def zipf_slope_report(
+    df: DataFrame, top_n: int = 100, text_col: str = "text"
+) -> DataFrame:
+    """Zipf rank-frequency audit: the least-squares slope of
+    log(frequency) vs log(rank) over the ``top_n`` most frequent terms —
+    natural text sits near -1; a flat slope means templated/boilerplate
+    vocabulary, a cliff means spam flooding a few tokens. Completes the
+    vocabulary-health triptych with Heaps growth (vocab_growth_report)
+    and Good-Turing unseen mass (unseen_mass_report).
+
+    One row: (n_tokens, vocab_size, n_top_terms, zipf_slope,
+    zipf_intercept, zipf_r2).
+
+    Scale + determinism shape: ONE corpus explode into a vocabulary-sized
+    term-frequency aggregate (persisted so the totals row and the top-N
+    cut don't rescan the corpus; both results are tiny and eagerly
+    checkpointed). Ranks come from a bounded top_n x top_n self-join
+    (count of (freq, term)-lexicographically-greater rows — ties break on
+    the term string, so ranks are engine-invariant; no global-order
+    window, which the scale lint would rightly flag). The regression
+    sums are FIXED-POINT: each log is rounded once to a 1e-6-unit BIGINT
+    (the DSIR/chisq pattern, +1e-9 nudge against representation ties)
+    and all five sums are associative integer aggregates; slope,
+    intercept and r2 leave the integers in ONE fixed-order double
+    expression on the single aggregate row, mirrored verbatim in the
+    DuckDB oracle. Integer xy products stay under 2^63 for any corpus
+    (log(freq) <= log(2^63) => |x*y| < 2.1e15 per term; summed over
+    top_n=100 => ~2e17)."""
+    tf = (
+        df.select(F.explode(tokenize(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .persist()
+    )
+    try:
+        totals = tf.agg(
+            F.sum("freq").alias("n_tokens"),
+            F.count(F.lit(1)).alias("vocab_size"),
+        ).localCheckpoint(eager=True)  # 1 row
+        top = (
+            tf.orderBy(F.desc("freq"), F.asc("term"))
+            .limit(top_n)
+            .localCheckpoint(eager=True)  # top_n rows
+        )
+    finally:
+        tf.unpersist()
+    ranked = (
+        top.alias("a")
+        .join(
+            top.alias("b"),
+            (F.col("b.freq") > F.col("a.freq"))
+            | (
+                (F.col("b.freq") == F.col("a.freq"))
+                & (F.col("b.term") <= F.col("a.term"))
+            ),
+        )
+        .groupBy(F.col("a.term").alias("term"), F.col("a.freq").alias("freq"))
+        .agg(F.count(F.lit(1)).alias("rank"))
+    )
+    pts = ranked.select(
+        F.round(F.log("rank") * 1000000.0 + 1e-9, 0).cast("long").alias("x"),
+        F.round(F.log("freq") * 1000000.0 + 1e-9, 0).cast("long").alias("y"),
+    )
+    sums = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    slope = cov / varx
+    return totals.crossJoin(F.broadcast(sums)).select(
+        "n_tokens",
+        "vocab_size",
+        F.col("n").alias("n_top_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sy - slope * sx) / n / 1000000.0, 6).alias(
+            "zipf_intercept"
+        ),
+        F.round(cov * cov / (varx * vary), 6).alias("zipf_r2"),
+    )

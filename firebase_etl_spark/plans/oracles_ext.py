@@ -3326,3 +3326,47 @@ ORACLES_EXT["documents_bloom_decontamination"] = r"""
            round(avg(CAST(overlap >= 2 AS INT)), 6) AS contamination_rate
     FROM docs GROUP BY source ORDER BY source
 """
+
+
+ORACLES_EXT["doc_zipf_slope"] = r"""
+    WITH toks AS (
+        SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+               AS term
+        FROM documents
+    ), tf AS (
+        SELECT term, count(*) AS freq FROM toks GROUP BY term
+    ), totals AS (
+        SELECT CAST(sum(freq) AS BIGINT) AS n_tokens,
+               count(*) AS vocab_size
+        FROM tf
+    ), top AS (
+        SELECT term, freq FROM tf ORDER BY freq DESC, term ASC LIMIT 100
+    ), ranked AS (
+        SELECT a.term, a.freq, count(*) AS rank
+        FROM top a JOIN top b
+          ON b.freq > a.freq OR (b.freq = a.freq AND b.term <= a.term)
+        GROUP BY a.term, a.freq
+    ), pts AS (
+        SELECT CAST(round(ln(rank) * 1000000.0 + 1e-9, 0) AS BIGINT) AS x,
+               CAST(round(ln(freq) * 1000000.0 + 1e-9, 0) AS BIGINT) AS y
+        FROM ranked
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_int,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(x) AS DOUBLE) AS sx,
+               CAST(sum(y) AS DOUBLE) AS sy,
+               CAST(sum(x * y) AS DOUBLE) AS sxy,
+               CAST(sum(x * x) AS DOUBLE) AS sxx,
+               CAST(sum(y * y) AS DOUBLE) AS syy
+        FROM pts
+    )
+    SELECT t.n_tokens, t.vocab_size, s.n_int AS n_top_terms,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+               AS zipf_slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                     / n / 1000000.0, 6) AS zipf_intercept,
+           round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                     / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+               AS zipf_r2
+    FROM totals t, s
+"""

@@ -3198,3 +3198,16 @@ def documents_bloom_decontamination(
     return bloom_decontamination_report(
         corpus, probes, n=3, threshold=2, fpp=0.01
     )
+
+
+def doc_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency slope audit (operators/lm.py:
+    zipf_slope_report): least-squares log(freq)-vs-log(rank) slope over
+    the top-100 terms — the third vocabulary-health signal next to the
+    Heaps growth curve and Good-Turing unseen mass. Fixed-point integer
+    regression sums; ranks from a bounded top-N self-join, no global
+    window."""
+    from firebase_etl_spark.operators.lm import zipf_slope_report
+
+    d = load_table(spark, "documents", sf_dir)
+    return zipf_slope_report(d, top_n=100)

@@ -1525,6 +1525,29 @@ def test_unseen_mass_good_turing_numbers(spark):
     assert r["singleton_frac"] == 0.5
 
 
+def test_zipf_slope_recovers_power_law(spark):
+    """A synthetic corpus with term i repeated floor(1200/i) times is
+    Zipfian with exponent -1: the regression must recover slope ~ -1
+    with near-perfect fit, and the totals must be exact."""
+    from firebase_etl_spark.operators.lm import zipf_slope_report
+
+    words = []
+    for i in range(1, 31):
+        words += [f"t{i:02d}"] * (1200 // i)
+    # split into docs of 40 tokens so the explode spans many rows
+    docs = [
+        (j, " ".join(words[j * 40 : (j + 1) * 40]))
+        for j in range((len(words) + 39) // 40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    r = zipf_slope_report(df, top_n=30).collect()[0]
+    assert r["n_tokens"] == len(words)
+    assert r["vocab_size"] == 30
+    assert r["n_top_terms"] == 30
+    assert abs(r["zipf_slope"] + 1.0) < 0.05
+    assert r["zipf_r2"] > 0.99
+
+
 def test_weighted_sample_proportionality_and_formula(spark):
     """A 10000x-weight item must win nearly every k=1 redraw across
     salts; priorities match the Python md5/log replay exactly; zero,
