@@ -79,6 +79,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_transition_matrix": QX.events_transition_matrix,
         "documents_bloom_decontamination": QX.documents_bloom_decontamination,
         "doc_zipf_slope": QX.doc_zipf_slope,
+        "embedding_mutual_knn": QX.embedding_mutual_knn,
+        "embedding_knn_outliers": QX.embedding_knn_outliers,
         "orders_rollup": QX.orders_rollup,
         "top_customer_revenue": QX.top_customer_revenue,
         "mktsegment_order_priority_pivot": QX.mktsegment_order_priority_pivot,

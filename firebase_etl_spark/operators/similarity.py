@@ -755,3 +755,120 @@ def rp_planes(
     return [
         [rng.gauss(0, 1) * s for _ in range(in_dim)] for _ in range(out_dim)
     ]
+
+
+def _topk_from_probes(
+    vecs: DataFrame, probes: DataFrame, k: int, id_col: str
+) -> DataFrame:
+    """cosine_topk's core with a DataFrame probe side (for probe sets
+    defined by a predicate rather than an id list): broadcast probes,
+    one pairwise dot over pre-normalized vectors, per-probe rank window.
+    ``vecs``/``probes`` carry (id, v) / (query_id, q) unit vectors."""
+    pairs = vecs.crossJoin(F.broadcast(probes)).filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    sims = pairs.select(
+        "query_id",
+        F.col(id_col),
+        F.round(dot(F.col("v"), F.col("q")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col)
+    )
+    return sims.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def mutual_knn_pairs(
+    df: DataFrame,
+    probe_filter: Column,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Mutual-kNN pairs within a probe sample: (a, b) where each vector
+    ranks inside the other's top-k — the reciprocal-neighbor criterion
+    that near-dup and clustering pipelines use as a high-precision edge
+    (one-directional kNN is asymmetric: a hub can be in everyone's top-k
+    without reciprocating). Returns (id_a, id_b, rank_ab, rank_ba,
+    cosine_sim) with id_a < id_b.
+
+    The sample-and-audit shape: the probe slice is bounded (a QA sample,
+    like the other screens), so the kNN graph is sample x sample with
+    the sample broadcast — at 100 TB the same reciprocal test runs on
+    LSH/IVF candidate pairs instead of an all-pairs base. The cosine is
+    symmetric bit-for-bit (one sequential zip_with dot over identically
+    ordered arrays), so both directions agree at 6 dp by construction."""
+    sub = df.filter(probe_filter).select(
+        F.col(id_col), normalized(_to_double(F.col(vec_col))).alias("v")
+    )
+    knn = _topk_from_probes(
+        sub,
+        sub.select(F.col(id_col).alias("query_id"), F.col("v").alias("q")),
+        k,
+        id_col,
+    )
+    n1 = knn.select(
+        F.col("query_id").alias("id_a"),
+        F.col(id_col).alias("id_b"),
+        F.col("rank").alias("rank_ab"),
+        "cosine_sim",
+    )
+    n2 = knn.select(
+        F.col("query_id").alias("id_b"),
+        F.col(id_col).alias("id_a"),
+        F.col("rank").alias("rank_ba"),
+    )
+    return (
+        n1.join(n2, ["id_a", "id_b"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "rank_ab", "rank_ba", "cosine_sim")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def knn_distance_report(
+    df: DataFrame,
+    probe_filter: Column,
+    k: int = 10,
+    isolation_threshold: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """kth-NN-distance outlier screen: per probe, the cosine of its
+    1st/mean/kth nearest neighbor over the FULL corpus — a vector whose
+    kth neighbor is still far from it sits in empty space (mislabeled,
+    corrupted, or out-of-domain embedding; the classic kNN-distance
+    outlier score, Ramaswamy et al. 2000). Probes bounded + broadcast;
+    one corpus pass. ``mean_topk_sim`` is a FIXED-POINT integer mean
+    (each 6-dp cosine scaled to BIGINT once, integer-summed, divided
+    back in one fixed-order expression) so the report is
+    partition-order-deterministic."""
+    vecs = df.select(
+        F.col(id_col), normalized(_to_double(F.col(vec_col))).alias("v")
+    )
+    probes = df.filter(probe_filter).select(
+        F.col(id_col).alias("query_id"),
+        normalized(_to_double(F.col(vec_col))).alias("q"),
+    )
+    top = _topk_from_probes(vecs, probes, k, id_col)
+    return (
+        top.groupBy("query_id")
+        .agg(
+            F.max("cosine_sim").alias("top1_sim"),
+            F.round(
+                F.sum(
+                    F.round(F.col("cosine_sim") * 1000000.0, 0).cast("long")
+                ).cast("double")
+                / F.count(F.lit(1))
+                / 1000000.0,
+                6,
+            ).alias("mean_topk_sim"),
+            F.min("cosine_sim").alias("kth_sim"),
+        )
+        .withColumn(
+            "is_isolated", F.col("kth_sim") < F.lit(isolation_threshold)
+        )
+        .orderBy("kth_sim", "query_id")
+    )

@@ -3370,3 +3370,60 @@ ORACLES_EXT["doc_zipf_slope"] = r"""
                AS zipf_r2
     FROM totals t, s
 """
+
+
+ORACLES_EXT["embedding_mutual_knn"] = """
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings WHERE vec_id % 37 = 0
+    ), sims AS (
+        SELECT a.vec_id AS qa, b.vec_id AS qb,
+               round(list_inner_product(a.e, b.e)
+                     / (sqrt(list_inner_product(a.e, a.e))
+                        * sqrt(list_inner_product(b.e, b.e))),
+                     6) AS cosine_sim
+        FROM v a JOIN v b ON a.vec_id <> b.vec_id
+    ), knn AS (
+        SELECT * FROM (
+            SELECT qa, qb, cosine_sim, row_number() OVER (
+                PARTITION BY qa ORDER BY cosine_sim DESC, qb
+            ) AS r FROM sims
+        ) WHERE r <= 5
+    )
+    SELECT n1.qa AS id_a, n1.qb AS id_b,
+           CAST(n1.r AS INT) AS rank_ab, CAST(n2.r AS INT) AS rank_ba,
+           n1.cosine_sim
+    FROM knn n1 JOIN knn n2 ON n1.qa = n2.qb AND n1.qb = n2.qa
+    WHERE n1.qa < n1.qb
+    ORDER BY id_a, id_b
+"""
+
+
+ORACLES_EXT["embedding_knn_outliers"] = """
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), probes AS (
+        SELECT vec_id AS query_id, e AS q FROM v WHERE vec_id % 23 = 0
+    ), sims AS (
+        SELECT query_id, vec_id,
+               round(list_inner_product(e, q)
+                     / (sqrt(list_inner_product(e, e))
+                        * sqrt(list_inner_product(q, q))),
+                     6) AS cosine_sim
+        FROM v CROSS JOIN probes WHERE vec_id <> query_id
+    ), top AS (
+        SELECT * FROM (
+            SELECT query_id, vec_id, cosine_sim, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id
+            ) AS r FROM sims
+        ) WHERE r <= 10
+    )
+    SELECT query_id, max(cosine_sim) AS top1_sim,
+           round(CAST(sum(CAST(round(cosine_sim * 1000000.0, 0) AS BIGINT))
+                          AS DOUBLE)
+                     / count(*) / 1000000.0, 6) AS mean_topk_sim,
+           min(cosine_sim) AS kth_sim,
+           min(cosine_sim) < 0.25 AS is_isolated
+    FROM top GROUP BY query_id
+    ORDER BY kth_sim, query_id
+"""

@@ -3211,3 +3211,29 @@ def doc_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, "documents", sf_dir)
     return zipf_slope_report(d, top_n=100)
+
+
+def embedding_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-kNN pairs within a QA sample (operators/similarity.py:
+    mutual_knn_pairs): vec_id % 37 slice, k=5 — the high-precision edge
+    criterion (both endpoints rank each other) that one-directional kNN
+    hub artifacts break. Sample broadcast; at scale the same test runs
+    on LSH/IVF candidate pairs."""
+    from firebase_etl_spark.operators import similarity as SIM
+
+    e = load_table(spark, "embeddings", sf_dir)
+    return SIM.mutual_knn_pairs(e, F.col("vec_id") % 37 == 0, k=5)
+
+
+def embedding_knn_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kth-NN-distance outlier screen (operators/similarity.py:
+    knn_distance_report): vec_id % 23 probes vs the full corpus, k=10,
+    isolation at kth cosine < 0.25 (the gate corpus's kth sims span
+    ~0.23-0.29, so the flag splits). Fixed-point integer mean keeps the
+    report partition-order-deterministic."""
+    from firebase_etl_spark.operators import similarity as SIM
+
+    e = load_table(spark, "embeddings", sf_dir)
+    return SIM.knn_distance_report(
+        e, F.col("vec_id") % 23 == 0, k=10, isolation_threshold=0.25
+    )

@@ -1103,6 +1103,58 @@ def test_knn_label_agreement_contract(spark, sf_dir):
         assert r["agreement"] == round(r["n_same_label"] / 10, 4)
 
 
+def test_mutual_knn_reciprocity_on_planted_clusters(spark):
+    """Two tight clusters + one isolate: with k=2 every within-cluster
+    pair is mutual, no cross-cluster pair appears, and the isolate (in
+    others' lists only as filler, never reciprocated at rank<=2 both
+    ways... ) — assert the planted structure exactly."""
+    from pyspark.sql import functions as F
+
+    from firebase_etl_spark.operators.similarity import mutual_knn_pairs
+
+    rows = [
+        (1, [1.0, 0.01, 0.0]),
+        (2, [1.0, 0.02, 0.0]),
+        (3, [1.0, 0.00, 0.02]),
+        (10, [0.0, 1.0, 0.01]),
+        (11, [0.01, 1.0, 0.0]),
+        (12, [0.0, 1.0, 0.02]),
+        (99, [0.0, 0.0, -1.0]),  # isolate: anti-aligned to everything
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["id_a"], r["id_b"]): (r["rank_ab"], r["rank_ba"])
+        for r in mutual_knn_pairs(df, F.lit(True), k=2).collect()
+    }
+    for a, b in got:
+        assert (a < 99 and b < 99), "isolate must not appear"
+        assert (a < 10) == (b < 10), "no cross-cluster mutual pairs"
+    # every within-cluster pair is mutual at k=2 (cluster size 3)
+    assert set(got) == {(1, 2), (1, 3), (2, 3), (10, 11), (10, 12), (11, 12)}
+    for rab, rba in got.values():
+        assert 1 <= rab <= 2 and 1 <= rba <= 2
+
+
+def test_knn_distance_report_flags_planted_outlier(spark):
+    from pyspark.sql import functions as F
+
+    from firebase_etl_spark.operators.similarity import knn_distance_report
+
+    rows = [(i, [1.0, i * 0.001, 0.0]) for i in range(8)]
+    rows.append((99, [0.0, 0.0, 1.0]))  # orthogonal outlier
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    rep = {
+        r["query_id"]: r
+        for r in knn_distance_report(
+            df, F.lit(True), k=3, isolation_threshold=0.5
+        ).collect()
+    }
+    assert rep[99]["is_isolated"] and not rep[0]["is_isolated"]
+    assert rep[99]["kth_sim"] < 0.1 < 0.9 < rep[0]["kth_sim"]
+    for r in rep.values():
+        assert r["top1_sim"] >= r["mean_topk_sim"] >= r["kth_sim"]
+
+
 def test_hybrid_rrf_fuses_both_rankings(spark, sf_dir):
     from firebase_etl_spark.plans.queries_ext import documents_hybrid_rrf
 
