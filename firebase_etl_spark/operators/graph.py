@@ -427,3 +427,96 @@ def triangle_stats(
         )
     finally:
         e.unpersist()
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "p1",
+    dst: str = "p2",
+    n_iter: int = 5,
+    checkpoint_every: int = 2,
+    local_edge_threshold: int = 2_000_000,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007, arXiv:0709.2938) made fully deterministic: every vertex
+    starts labeled with its own id and, for exactly ``n_iter`` rounds,
+    simultaneously adopts the label most frequent among its NEIGHBORS,
+    ties broken by the smallest label. Classic LPA randomizes update
+    order and tie-breaks (and synchronous variants can oscillate on
+    bipartite structures) — the fixed round count plus the (count desc,
+    label asc) tie-break makes the trajectory a pure function of the
+    edge set, bit-identical across engines and partitionings: every
+    quantity is an integer and the per-vertex election is one
+    ``min(struct(-count, label))`` — a commutative, associative
+    aggregate. Complements connected_components (communities are finer:
+    CC merges anything touching, LPA respects density boundaries).
+
+    Per round (the Pregel shape, two keyed shuffles): neighbor labels
+    attach by one equi-join on the symmetrized edge list, then the
+    election is a map-side-combinable min-struct per vertex.
+    ``localCheckpoint`` every ``checkpoint_every`` rounds truncates the
+    iterative lineage. Below ``local_edge_threshold`` symmetrized edges
+    the identical recurrence runs driver-side (the adaptive cutover of
+    connected_components/pagerank — round-scheduling overhead dominates
+    tiny graphs); equality of the two paths is pytest-pinned.
+
+    Expects a deduplicated undirected edge list (one row per pair, as
+    ``basket.cooccurrence_edges`` emits); multi-edges would weight the
+    vote. Returns (node, community)."""
+    sym = (
+        edges.select(F.col(src).alias("nbr"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("nbr"), F.col(src).alias("v")))
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    if sym.count() <= local_edge_threshold:
+        return _lpa_local(spark, sym, n_iter)
+    labels = sym.select(F.col("v").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for it in range(n_iter):
+        votes = (
+            sym.join(labels, sym.nbr == labels.node)
+            .groupBy("v", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .groupBy("v")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("neg_cnt"),
+                        F.col("label").alias("l"),
+                    )
+                ).alias("best")
+            )
+        )
+        labels = votes.select(
+            F.col("v").alias("node"), F.col("best.l").alias("label")
+        )
+        if (it + 1) % checkpoint_every == 0:
+            labels = labels.localCheckpoint(eager=True)
+    return labels.select("node", F.col("label").alias("community"))
+
+
+def _lpa_local(spark, sym: DataFrame, n_iter: int) -> DataFrame:
+    """Driver-side twin of the distributed vote loop — identical integer
+    election over the collected symmetrized edges."""
+    from collections import Counter
+
+    rows = [(r["nbr"], r["v"]) for r in sym.collect()]
+    labels = {n: n for pair in rows for n in pair}
+    for _ in range(n_iter):
+        votes: dict = {}
+        for nbr, v in rows:
+            votes.setdefault(v, Counter())[labels[nbr]] += 1
+        labels = {
+            v: min(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            for v, c in votes.items()
+        }
+    node_type = sym.schema["v"].dataType
+    schema = StructType(
+        [
+            StructField("node", node_type, False),
+            StructField("community", node_type, False),
+        ]
+    )
+    return spark.createDataFrame(sorted(labels.items()), schema)

@@ -3427,3 +3427,46 @@ ORACLES_EXT["embedding_knn_outliers"] = """
     FROM top GROUP BY query_id
     ORDER BY kth_sim, query_id
 """
+
+
+def _lpa_oracle(n_iter: int = 5) -> str:
+    """Generated replay of operators/graph.py:label_propagation on the
+    co-purchase graph: one CTE layer per synchronous round; the
+    (count desc, label asc) election is a row_number pick — identical to
+    the Spark side's min(struct(-count, label)) on integer inputs."""
+    layers = [
+        """b AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+    e AS MATERIALIZED (
+        SELECT a.it AS p1, z.it AS p2
+        FROM b a JOIN b z ON a.bk = z.bk AND a.it < z.it
+        GROUP BY a.it, z.it HAVING count(*) >= 2),
+    sym AS MATERIALIZED (
+        SELECT p1 AS nbr, p2 AS v FROM e
+        UNION ALL
+        SELECT p2 AS nbr, p1 AS v FROM e),
+    l0 AS (SELECT DISTINCT v AS node, v AS label FROM sym)"""
+    ]
+    for i in range(n_iter):
+        layers.append(
+            f"""l{i + 1} AS (
+        SELECT v AS node, label FROM (
+            SELECT v, label, row_number() OVER (
+                PARTITION BY v ORDER BY cnt DESC, label) AS rn
+            FROM (SELECT s.v, p.label, count(*) AS cnt
+                  FROM sym s JOIN l{i} p ON s.nbr = p.node
+                  GROUP BY s.v, p.label))
+        WHERE rn = 1)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(layers)
+        + f"""
+    SELECT label AS community, count(*) AS n_members
+    FROM l{n_iter} GROUP BY label
+    ORDER BY n_members DESC, community"""
+    )
+
+
+ORACLES_EXT["part_copurchase_communities"] = _lpa_oracle()

@@ -3237,3 +3237,24 @@ def embedding_knn_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.knn_distance_report(
         e, F.col("vec_id") % 23 == 0, k=10, isolation_threshold=0.25
     )
+
+
+def part_copurchase_communities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Community sizes of the co-purchase graph (operators/graph.py:
+    label_propagation over basket.cooccurrence_edges): 5 deterministic
+    synchronous LPA rounds — density-respecting groups where connected
+    components would merge everything touching. All-integer Pregel-shape
+    loop; oracle unrolls the identical five rounds."""
+    from firebase_etl_spark.operators.basket import cooccurrence_edges
+    from firebase_etl_spark.operators.graph import label_propagation
+
+    li = load_table(spark, "lineitem", sf_dir)
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", 2)
+    comm = label_propagation(edges, "p1", "p2", n_iter=5)
+    return (
+        comm.groupBy("community")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy(F.desc("n_members"), "community")
+    )

@@ -704,6 +704,32 @@ def test_fuzzy_link_matches_bruteforce(spark):
     assert got == expected and len(got) == len(probes_py)
 
 
+def test_label_propagation_planted_communities_and_path_parity(spark):
+    """Two dense 4-cliques joined by one bridge edge: LPA must keep them
+    as two communities (CC would merge them), every member of a clique
+    must share its community, and the distributed loop must equal the
+    driver-local twin bit-for-bit."""
+    from firebase_etl_spark.operators.graph import label_propagation
+
+    cliq1 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    cliq2 = [(a, b) for a in range(11, 15) for b in range(a + 1, 15)]
+    edges = spark.createDataFrame(
+        cliq1 + cliq2 + [(4, 11)], "p1 long, p2 long"
+    )
+    local = {
+        r["node"]: r["community"]
+        for r in label_propagation(edges).collect()
+    }
+    dist = {
+        r["node"]: r["community"]
+        for r in label_propagation(edges, local_edge_threshold=0).collect()
+    }
+    assert local == dist
+    assert len({local[n] for n in (1, 2, 3, 4)}) == 1
+    assert len({local[n] for n in (11, 12, 13, 14)}) == 1
+    assert local[1] != local[12], "bridge must not merge the cliques"
+
+
 def test_pagerank_matches_integer_reference(spark):
     """The distributed fixed-point PageRank must reproduce a pure-Python
     integer reference EXACTLY (same truncations, same trajectory) — the
