@@ -305,3 +305,58 @@ def grouped_split(
         .otherwise("test")
     )
     return df.withColumn("split", split)
+
+
+def decay_engagement_scores(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    half_life_days: float = 7.0,
+    k: int = 50,
+) -> DataFrame:
+    """Recency-weighted engagement: each event contributes
+    2^(-age / half_life) and the per-key sum ranks who is active NOW —
+    the exponential-decay score behind churn/engagement dashboards and
+    freshness-weighted sampling (an old burst and a steady trickle count
+    very differently at the same raw event count).
+
+    Determinism: the anchor is the table's own max timestamp (data-
+    derived — never wall-clock), ages are exact BIGINT microsecond
+    differences, and each contribution is rounded ONCE to a 1e-6-unit
+    BIGINT (pow + the 1e-9 nudge, the DSIR pattern) so the per-key
+    reduction is an associative integer sum. Top-k leaves by
+    (exact integer score desc, key) as TakeOrderedAndProject — no global
+    window. One scan + one keyed shuffle; the anchor row broadcasts."""
+    us = F.unix_micros(F.col(ts_col))
+    anchor = F.broadcast(
+        df.filter(F.col(key_col).isNotNull()).agg(F.max(us).alias("__a"))
+    )
+    hl_us = float(half_life_days) * 86400.0 * 1e6
+    contrib = F.round(
+        F.pow(F.lit(0.5), (F.col("__a") - us) / F.lit(hl_us)) * 1000000.0
+        + 1e-9,
+        0,
+    ).cast("long")
+    scored = (
+        df.filter(F.col(key_col).isNotNull())
+        .crossJoin(anchor)
+        .select(F.col(key_col), F.col(ts_col), contrib.alias("c_e6"))
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(ts_col).alias("last_seen"),
+            F.sum("c_e6").alias("score_e6"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("score_e6"), key_col)
+        .limit(k)
+        .select(
+            key_col,
+            "n_events",
+            "last_seen",
+            F.round(F.col("score_e6").cast("double") / 1000000.0, 6).alias(
+                "decay_score"
+            ),
+        )
+    )

@@ -3470,3 +3470,20 @@ def _lpa_oracle(n_iter: int = 5) -> str:
 
 
 ORACLES_EXT["part_copurchase_communities"] = _lpa_oracle()
+
+
+ORACLES_EXT["events_decay_engagement"] = """
+    WITH anchor AS (
+        SELECT max(epoch_us(ts)) AS a FROM events WHERE user_id IS NOT NULL
+    ), c AS (
+        SELECT user_id, ts,
+               CAST(round(pow(0.5, (a - epoch_us(ts)) / 604800000000.0)
+                              * 1000000.0 + 1e-9, 0) AS BIGINT) AS c_e6
+        FROM events, anchor WHERE user_id IS NOT NULL
+    )
+    SELECT user_id, count(*) AS n_events, max(ts) AS last_seen,
+           round(CAST(sum(c_e6) AS DOUBLE) / 1000000.0, 6) AS decay_score
+    FROM c GROUP BY user_id
+    ORDER BY sum(c_e6) DESC, user_id
+    LIMIT 50
+"""

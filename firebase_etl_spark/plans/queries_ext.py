@@ -3258,3 +3258,14 @@ def part_copurchase_communities(
         .agg(F.count(F.lit(1)).alias("n_members"))
         .orderBy(F.desc("n_members"), "community")
     )
+
+
+def events_decay_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 users by exponential time-decay engagement
+    (operators/stats.py:decay_engagement_scores, half-life 7 days,
+    anchored at the table's max timestamp). Fixed-point per-event
+    contributions, associative integer sums, TakeOrdered top-k."""
+    from firebase_etl_spark.operators.stats import decay_engagement_scores
+
+    e = load_table(spark, "events", sf_dir)
+    return decay_engagement_scores(e, "ts", "user_id", 7.0, 50)

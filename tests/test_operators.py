@@ -1603,6 +1603,29 @@ def test_unseen_mass_good_turing_numbers(spark):
     assert r["singleton_frac"] == 0.5
 
 
+def test_decay_engagement_recency_beats_volume(spark):
+    """Half-life weighting: 3 events today must outscore 10 events three
+    half-lives ago (10 * 2^-3 = 1.25 < 3); the anchor is the table max,
+    so an event AT the anchor contributes exactly 1.0."""
+    from datetime import datetime
+
+    from firebase_etl_spark.operators.stats import decay_engagement_scores
+
+    t0 = datetime(2024, 3, 22)
+    old = datetime(2024, 3, 1)  # 21 days = 3 half-lives earlier
+    rows = [(i, t0, 1) for i in range(3)]
+    rows += [(10 + i, old, 2) for i in range(10)]
+    rows.append((99, t0, None))  # null key excluded
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id int")
+    out = decay_engagement_scores(df, "ts", "user_id", 7.0, 10).collect()
+    assert [r["user_id"] for r in out] == [1, 2]
+    by_user = {r["user_id"]: r for r in out}
+    assert by_user[1]["decay_score"] == 3.0
+    assert by_user[2]["decay_score"] == round(10 * 0.5 ** 3, 6)
+    assert by_user[2]["n_events"] == 10
+    assert by_user[2]["last_seen"] == old
+
+
 def test_zipf_slope_recovers_power_law(spark):
     """A synthetic corpus with term i repeated floor(1200/i) times is
     Zipfian with exponent -1: the regression must recover slope ~ -1
