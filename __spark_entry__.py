@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_knn_outliers": QX.embedding_knn_outliers,
         "part_copurchase_communities": QX.part_copurchase_communities,
         "events_decay_engagement": QX.events_decay_engagement,
+        "customer_kanonymity": QX.customer_kanonymity,
         "orders_rollup": QX.orders_rollup,
         "top_customer_revenue": QX.top_customer_revenue,
         "mktsegment_order_priority_pivot": QX.mktsegment_order_priority_pivot,

@@ -52,3 +52,49 @@ def scrub_pii(
         *pii_counts(text_col),
         scrubbed.alias(out_col),
     )
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    levels: list[tuple[str, list[Column]]],
+    k: int = 10,
+) -> DataFrame:
+    """k-anonymity audit across a generalization ladder (Sweeney 2002):
+    for each candidate quasi-identifier combination, how many equivalence
+    classes fall below ``k`` members and how many rows those classes
+    expose — the re-identification screen a dataset passes before its
+    metadata ships (complements the content-side scrub_pii). Feeding a
+    LADDER of levels (finest first) shows the generalization/utility
+    tradeoff in one table: the level where risky_row_rate hits zero is
+    the release granularity.
+
+    One keyed aggregate per level over bounded group-stat rows; all
+    quantities integers (the rate is one rounded division). Returns one
+    row per level: (level, n_rows, n_groups, min_group_size,
+    n_risky_groups, n_risky_rows, risky_row_rate)."""
+    outs = []
+    for name, cols in levels:
+        g = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("n"))
+        risky_rows = F.sum(F.when(F.col("n") < k, F.col("n")).otherwise(0))
+        outs.append(
+            g.agg(
+                F.sum("n").alias("n_rows"),
+                F.count(F.lit(1)).alias("n_groups"),
+                F.min("n").alias("min_group_size"),
+                F.sum((F.col("n") < k).cast("long")).alias("n_risky_groups"),
+                risky_rows.alias("n_risky_rows"),
+                F.round(risky_rows / F.sum("n"), 6).alias("risky_row_rate"),
+            ).select(
+                F.lit(name).alias("level"),
+                "n_rows",
+                "n_groups",
+                "min_group_size",
+                "n_risky_groups",
+                "n_risky_rows",
+                "risky_row_rate",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("level")

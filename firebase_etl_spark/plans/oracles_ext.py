@@ -3487,3 +3487,32 @@ ORACLES_EXT["events_decay_engagement"] = """
     ORDER BY sum(c_e6) DESC, user_id
     LIMIT 50
 """
+
+
+ORACLES_EXT["customer_kanonymity"] = """
+    WITH l0 AS (
+        SELECT count(*) AS n FROM customer
+        GROUP BY c_nationkey, c_mktsegment,
+                 CAST(floor(c_acctbal / 1000.0) AS BIGINT)
+    ), l1 AS (
+        SELECT count(*) AS n FROM customer
+        GROUP BY c_nationkey, c_mktsegment
+    ), l2 AS (
+        SELECT count(*) AS n FROM customer GROUP BY c_mktsegment
+    ), u AS (
+        SELECT 'l0_nation_segment_balband' AS level, * FROM l0
+        UNION ALL SELECT 'l1_nation_segment', * FROM l1
+        UNION ALL SELECT 'l2_segment', * FROM l2
+    )
+    SELECT level,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           count(*) AS n_groups,
+           CAST(min(n) AS BIGINT) AS min_group_size,
+           CAST(sum(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_risky_groups,
+           CAST(sum(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT)
+               AS n_risky_rows,
+           round(sum(CASE WHEN n < 10 THEN n ELSE 0 END) * 1.0 / sum(n), 6)
+               AS risky_row_rate
+    FROM u GROUP BY level ORDER BY level
+"""

@@ -3269,3 +3269,26 @@ def events_decay_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, "events", sf_dir)
     return decay_engagement_scores(e, "ts", "user_id", 7.0, 50)
+
+
+def customer_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity generalization ladder over customer quasi-identifiers
+    (operators/pii.py:k_anonymity_report, k=10): nation x segment x
+    $1000-balance-band is heavily re-identifying, nation x segment is
+    borderline, segment alone is safe — the release-granularity audit."""
+    from firebase_etl_spark.operators.pii import k_anonymity_report
+
+    c = load_table(spark, "customer", sf_dir)
+    bal_band = F.floor(F.col("c_acctbal") / 1000.0).cast("long")
+    return k_anonymity_report(
+        c,
+        [
+            (
+                "l0_nation_segment_balband",
+                [F.col("c_nationkey"), F.col("c_mktsegment"), bal_band],
+            ),
+            ("l1_nation_segment", [F.col("c_nationkey"), F.col("c_mktsegment")]),
+            ("l2_segment", [F.col("c_mktsegment")]),
+        ],
+        k=10,
+    )

@@ -1603,6 +1603,39 @@ def test_unseen_mass_good_turing_numbers(spark):
     assert r["singleton_frac"] == 0.5
 
 
+def test_k_anonymity_ladder_counts(spark):
+    """Hand-computed ladder: at k=3, the fine level exposes the two
+    1-member classes; the coarse level is safe."""
+    from pyspark.sql import functions as F
+
+    from firebase_etl_spark.operators.pii import k_anonymity_report
+
+    rows = [
+        ("US", "A"), ("US", "A"), ("US", "A"),
+        ("US", "B"),                      # 1-member class at fine level
+        ("FR", "A"),                      # 1-member class at fine level
+        ("FR", "B"), ("FR", "B"), ("FR", "B"),
+    ]
+    df = spark.createDataFrame(rows, "country string, seg string")
+    out = {
+        r["level"]: r
+        for r in k_anonymity_report(
+            df,
+            [
+                ("fine", [F.col("country"), F.col("seg")]),
+                ("coarse", [F.col("country")]),
+            ],
+            k=3,
+        ).collect()
+    }
+    fine, coarse = out["fine"], out["coarse"]
+    assert (fine["n_rows"], fine["n_groups"], fine["min_group_size"]) == (8, 4, 1)
+    assert (fine["n_risky_groups"], fine["n_risky_rows"]) == (2, 2)
+    assert fine["risky_row_rate"] == 0.25
+    assert (coarse["n_groups"], coarse["n_risky_groups"]) == (2, 0)
+    assert coarse["risky_row_rate"] == 0.0
+
+
 def test_decay_engagement_recency_beats_volume(spark):
     """Half-life weighting: 3 events today must outscore 10 events three
     half-lives ago (10 * 2^-3 = 1.25 < 3); the anchor is the table max,
