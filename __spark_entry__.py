@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_copurchase_communities": QX.part_copurchase_communities,
         "events_decay_engagement": QX.events_decay_engagement,
         "customer_kanonymity": QX.customer_kanonymity,
+        "part_copurchase_kcore": QX.part_copurchase_kcore,
         "orders_rollup": QX.orders_rollup,
         "top_customer_revenue": QX.top_customer_revenue,
         "mktsegment_order_priority_pivot": QX.mktsegment_order_priority_pivot,

@@ -520,3 +520,103 @@ def _lpa_local(spark, sym: DataFrame, n_iter: int) -> DataFrame:
         ]
     )
     return spark.createDataFrame(sorted(labels.items()), schema)
+
+
+def kcore_summary(
+    edges: DataFrame,
+    src: str = "p1",
+    dst: str = "p2",
+    ks: tuple = (2, 3, 4),
+    max_iter: int = 60,
+    local_edge_threshold: int = 2_000_000,
+) -> DataFrame:
+    """k-core decomposition summary: for each k, the maximal subgraph
+    where every vertex keeps degree >= k (Seidman 1983) — the density
+    skeleton that separates structurally-embedded nodes from tendrils,
+    and the standard prefilter before expensive community/embedding work
+    on web-scale graphs. One row per k: (k, n_core_nodes, n_core_edges,
+    converged).
+
+    The prune loop (drop sub-k-degree vertices, repeat to fixpoint) runs
+    ascending k and starts each core from the PREVIOUS core's edges —
+    sound because the (k+1)-core is a subgraph of the k-core — so the
+    fact-sized edge set is pruned once, not per k. Per round: one degree
+    aggregate + two semi-joins, lineage checkpointed; the convergence
+    test is the repo's standard driver-side count check (CC's
+    ``changed == 0`` pattern). All quantities are integers; the result
+    is a pure function of the edge set. ``converged`` reports that the
+    fixpoint was reached within ``max_iter`` — the DuckDB oracle unrolls
+    a fixed round budget and replays TRUE, so a graph that somehow
+    needed more rounds than the oracle's budget fails the driver gate
+    loudly instead of silently diverging.
+
+    Expects a deduplicated undirected edge list (one row per pair).
+    Below ``local_edge_threshold`` edges the identical integer prune runs
+    driver-side (the CC/pagerank/LPA adaptive cutover: ~20 fixpoint
+    rounds of cluster scheduling dwarf a small graph's actual work —
+    measured 17.5 s distributed vs sub-second local on the 3k-edge gate
+    graph); path parity is pytest-pinned."""
+    spark = edges.sparkSession
+    cur = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).localCheckpoint(eager=True)
+    if cur.count() <= local_edge_threshold:
+        return _kcore_local(spark, cur, ks, max_iter)
+    out = []
+    for k in sorted(ks):
+        prev = cur.count()
+        converged = False
+        for _ in range(max_iter):
+            deg = (
+                cur.select(F.col("a").alias("n"))
+                .union(cur.select(F.col("b").alias("n")))
+                .groupBy("n")
+                .agg(F.count(F.lit(1)).alias("d"))
+            )
+            keep = deg.filter(F.col("d") >= k).select("n")
+            cur = (
+                cur.join(
+                    keep.withColumnRenamed("n", "a"), "a", "left_semi"
+                ).join(keep.withColumnRenamed("n", "b"), "b", "left_semi")
+            ).localCheckpoint(eager=True)
+            cnt = cur.count()
+            if cnt == prev:
+                converged = True
+                break
+            prev = cnt
+        n_nodes = (
+            cur.select(F.col("a").alias("n"))
+            .union(cur.select(F.col("b").alias("n")))
+            .distinct()
+            .count()
+        )
+        out.append((int(k), n_nodes, prev, converged))
+    return spark.createDataFrame(
+        out, "k int, n_core_nodes long, n_core_edges long, converged boolean"
+    )
+
+
+def _kcore_local(spark, cur: DataFrame, ks, max_iter: int) -> DataFrame:
+    """Driver-side twin of the distributed prune loop — identical
+    integer recurrence over the collected edge list."""
+    from collections import Counter
+
+    edges_py = [(r["a"], r["b"]) for r in cur.collect()]
+    out = []
+    for k in sorted(ks):
+        converged = False
+        for _ in range(max_iter):
+            deg = Counter()
+            for a, b in edges_py:
+                deg[a] += 1
+                deg[b] += 1
+            nxt = [(a, b) for a, b in edges_py if deg[a] >= k and deg[b] >= k]
+            if len(nxt) == len(edges_py):
+                converged = True
+                break
+            edges_py = nxt
+        nodes = {n for pair in edges_py for n in pair}
+        out.append((int(k), len(nodes), len(edges_py), converged))
+    return spark.createDataFrame(
+        out, "k int, n_core_nodes long, n_core_edges long, converged boolean"
+    )

@@ -3516,3 +3516,53 @@ ORACLES_EXT["customer_kanonymity"] = """
                AS risky_row_rate
     FROM u GROUP BY level ORDER BY level
 """
+
+
+def _kcore_oracle(ks: tuple = (2, 3, 4), rounds: int = 16) -> str:
+    """Generated replay of operators/graph.py:kcore_summary on the
+    co-purchase graph: ``rounds`` unrolled prune layers per k (fixed
+    budget; the Spark side's converged flag certifies the fixpoint fell
+    inside it), each k chained from the previous k's final core."""
+    layers = [
+        """b AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+    e AS MATERIALIZED (
+        SELECT a.it AS p1, z.it AS p2
+        FROM b a JOIN b z ON a.bk = z.bk AND a.it < z.it
+        GROUP BY a.it, z.it HAVING count(*) >= 2)"""
+    ]
+    prev = "e"
+    finals = []
+    for k in sorted(ks):
+        layers.append(f"k{k}_r0 AS MATERIALIZED (SELECT * FROM {prev})")
+        for r in range(1, rounds + 1):
+            layers.append(
+                f"""k{k}_r{r} AS MATERIALIZED (
+        SELECT c.p1, c.p2 FROM k{k}_r{r - 1} c
+        JOIN (SELECT n FROM (SELECT p1 AS n FROM k{k}_r{r - 1}
+                             UNION ALL SELECT p2 FROM k{k}_r{r - 1})
+              GROUP BY n HAVING count(*) >= {k}) k1 ON c.p1 = k1.n
+        JOIN (SELECT n FROM (SELECT p1 AS n FROM k{k}_r{r - 1}
+                             UNION ALL SELECT p2 FROM k{k}_r{r - 1})
+              GROUP BY n HAVING count(*) >= {k}) k2 ON c.p2 = k2.n)"""
+            )
+        prev = f"k{k}_r{rounds}"
+        finals.append(
+            f"""SELECT CAST({k} AS INT) AS k,
+               (SELECT count(DISTINCT n) FROM
+                   (SELECT p1 AS n FROM {prev}
+                    UNION ALL SELECT p2 FROM {prev})) AS n_core_nodes,
+               (SELECT count(*) FROM {prev}) AS n_core_edges,
+               TRUE AS converged"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(layers)
+        + "\n    "
+        + "\n    UNION ALL ".join(finals)
+        + "\n    ORDER BY k"
+    )
+
+
+ORACLES_EXT["part_copurchase_kcore"] = _kcore_oracle()

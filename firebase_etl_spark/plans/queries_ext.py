@@ -3292,3 +3292,17 @@ def customer_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         k=10,
     )
+
+
+def part_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core skeleton of the co-purchase graph (operators/graph.py:
+    kcore_summary, k=2..4): how much of the graph survives each density
+    floor. Ascending-k incremental pruning; the oracle unrolls a fixed
+    16-round budget per k (measured fixpoints here: <= 11 rounds) and
+    the converged flag guards the budget."""
+    from firebase_etl_spark.operators.basket import cooccurrence_edges
+    from firebase_etl_spark.operators.graph import kcore_summary
+
+    li = load_table(spark, "lineitem", sf_dir)
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", 2)
+    return kcore_summary(edges, "p1", "p2", ks=(2, 3, 4)).orderBy("k")

@@ -730,6 +730,26 @@ def test_label_propagation_planted_communities_and_path_parity(spark):
     assert local[1] != local[12], "bridge must not merge the cliques"
 
 
+def test_kcore_ladder_and_path_parity(spark):
+    """A 4-clique with two pendant tendrils: the 2-core strips the
+    tendrils, the 3-core keeps the clique intact, the 4-core is empty;
+    distributed and driver-local prunes agree exactly."""
+    from firebase_etl_spark.operators.graph import kcore_summary
+
+    cliq = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    tendrils = [(4, 50), (50, 51), (1, 60)]
+    edges = spark.createDataFrame(cliq + tendrils, "p1 long, p2 long")
+    expect = {2: (4, 6, True), 3: (4, 6, True), 4: (0, 0, True)}
+    for thresh in (0, 2_000_000):
+        got = {
+            r["k"]: (r["n_core_nodes"], r["n_core_edges"], r["converged"])
+            for r in kcore_summary(
+                edges, ks=(2, 3, 4), local_edge_threshold=thresh
+            ).collect()
+        }
+        assert got == expect, f"threshold={thresh}"
+
+
 def test_pagerank_matches_integer_reference(spark):
     """The distributed fixed-point PageRank must reproduce a pure-Python
     integer reference EXACTLY (same truncations, same trajectory) — the
