@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_decay_engagement": QX.events_decay_engagement,
         "customer_kanonymity": QX.customer_kanonymity,
         "part_copurchase_kcore": QX.part_copurchase_kcore,
+        "customer_purge_cascade": QX.customer_purge_cascade,
         "orders_rollup": QX.orders_rollup,
         "top_customer_revenue": QX.top_customer_revenue,
         "mktsegment_order_priority_pivot": QX.mktsegment_order_priority_pivot,

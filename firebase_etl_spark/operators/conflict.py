@@ -56,3 +56,55 @@ def resolve_id_conflicts(
         )
         colliding = still
     return clean
+
+
+def cascade_purge_audit(
+    roots: DataFrame,
+    root_key: str,
+    chain: list,
+) -> DataFrame:
+    """Right-to-be-forgotten impact analysis: given a deletion list of
+    root keys, walk the foreign-key chain and report per table how many
+    rows a cascading purge would remove — the dry-run every GDPR/CCPA
+    deletion pipeline executes before issuing destructive deletes (the
+    destructive half is the reference's delete-by-key sink,
+    postgres_loader.py:405-424; this operator is its audit twin).
+
+    ``chain`` is a list of (table_name, df, fk_col, pk_col) hops: rows of
+    each hop matching the previous level's surviving keys are purged, and
+    that hop's ``pk_col`` values become the next level's key set (pass
+    pk_col=None for a leaf). Each hop is ONE left-semi join against the
+    (typically tiny, broadcastable) purged-key set plus one count
+    aggregate — keys flow down the chain, fact tables are never joined to
+    each other. Returns one row per table: (table, n_rows, n_purged,
+    purge_rate), deletion list first."""
+    keys = roots.select(F.col(root_key).alias("__k")).distinct()
+    out = []
+    level_keys = keys
+    for name, df, fk_col, pk_col in chain:
+        hit = df.join(
+            F.broadcast(level_keys.withColumnRenamed("__k", fk_col)),
+            fk_col,
+            "left_semi",
+        )
+        stats = (
+            df.agg(F.count(F.lit(1)).alias("n_rows"))
+            .crossJoin(
+                F.broadcast(hit.agg(F.count(F.lit(1)).alias("n_purged")))
+            )
+            .select(
+                F.lit(name).alias("table"),
+                "n_rows",
+                "n_purged",
+                F.round(F.col("n_purged") / F.col("n_rows"), 6).alias(
+                    "purge_rate"
+                ),
+            )
+        )
+        out.append(stats)
+        if pk_col is not None:
+            level_keys = hit.select(F.col(pk_col).alias("__k")).distinct()
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("table")

@@ -3566,3 +3566,32 @@ def _kcore_oracle(ks: tuple = (2, 3, 4), rounds: int = 16) -> str:
 
 
 ORACLES_EXT["part_copurchase_kcore"] = _kcore_oracle()
+
+
+ORACLES_EXT["customer_purge_cascade"] = """
+    WITH roots AS (
+        SELECT DISTINCT c_custkey AS k FROM customer WHERE c_custkey % 101 = 0
+    ), ord_hit AS (
+        SELECT o_orderkey, o_custkey FROM orders
+        WHERE o_custkey IN (SELECT k FROM roots)
+    ), li_hit AS (
+        SELECT l_orderkey FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM ord_hit)
+    ), u AS (
+        SELECT '1_customer' AS tbl,
+               (SELECT count(*) FROM customer) AS n_rows,
+               (SELECT count(*) FROM customer
+                WHERE c_custkey IN (SELECT k FROM roots)) AS n_purged
+        UNION ALL
+        SELECT '2_orders',
+               (SELECT count(*) FROM orders),
+               (SELECT count(*) FROM ord_hit)
+        UNION ALL
+        SELECT '3_lineitem',
+               (SELECT count(*) FROM lineitem),
+               (SELECT count(*) FROM li_hit)
+    )
+    SELECT tbl AS "table", n_rows, n_purged,
+           round(n_purged / n_rows, 6) AS purge_rate
+    FROM u ORDER BY "table"
+"""

@@ -3306,3 +3306,26 @@ def part_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
     edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", 2)
     return kcore_summary(edges, "p1", "p2", ks=(2, 3, 4)).orderBy("k")
+
+
+def customer_purge_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR deletion dry-run (operators/conflict.py:cascade_purge_audit):
+    customers with c_custkey % 101 == 0 ask to be forgotten; the audit
+    walks customer -> orders -> lineitem and reports the blast radius
+    per table before any destructive delete ships. Keys flow down the
+    chain as broadcast semi-joins; fact tables never join each other."""
+    from firebase_etl_spark.operators.conflict import cascade_purge_audit
+
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    roots = c.filter(F.col("c_custkey") % 101 == 0)
+    return cascade_purge_audit(
+        roots,
+        "c_custkey",
+        [
+            ("1_customer", c, "c_custkey", "c_custkey"),
+            ("2_orders", o, "o_custkey", "o_orderkey"),
+            ("3_lineitem", li, "l_orderkey", None),
+        ],
+    )

@@ -1623,6 +1623,38 @@ def test_unseen_mass_good_turing_numbers(spark):
     assert r["singleton_frac"] == 0.5
 
 
+def test_cascade_purge_audit_walks_fk_chain(spark):
+    """Hand-computed cascade: deleting user 1 purges their 2 orders and
+    the 3 line items under those orders, but nothing of user 2's."""
+    from firebase_etl_spark.operators.conflict import cascade_purge_audit
+
+    users = spark.createDataFrame([(1,), (2,)], "uid long")
+    orders = spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 2)], "oid long, uid long"
+    )
+    items = spark.createDataFrame(
+        [(10, "a"), (10, "b"), (11, "c"), (12, "d")], "oid long, sku string"
+    )
+    roots = users.filter("uid = 1")
+    got = {
+        r["table"]: (r["n_rows"], r["n_purged"], r["purge_rate"])
+        for r in cascade_purge_audit(
+            roots,
+            "uid",
+            [
+                ("users", users, "uid", "uid"),
+                ("orders", orders, "uid", "oid"),
+                ("items", items, "oid", None),
+            ],
+        ).collect()
+    }
+    assert got == {
+        "users": (2, 1, 0.5),
+        "orders": (3, 2, round(2 / 3, 6)),
+        "items": (4, 3, 0.75),
+    }
+
+
 def test_k_anonymity_ladder_counts(spark):
     """Hand-computed ladder: at k=3, the fine level exposes the two
     1-member classes; the coarse level is safe."""
