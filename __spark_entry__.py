@@ -35,20 +35,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # checks the FIRST 50 entries. Round-5 window = the three r4
         # non-green rows first (the DSIR determinism fix and the two
         # sketch queries made self-verifying/oracle-backed), then the
-        # TWENTY-THREE operators new this round (thirteen from the
-        # first half: BM25, duplicate windows, the two embedding label
-        # audits, hybrid RRF, langid confusion, PMI collocations, the
-        # exact prefix-filter join, the two drift screens, the sqlstore
-        # streaming tail, the snapshot diff, the Misra-Gries heavy
-        # hitters; ten from the continuation: k-means, co-purchase
-        # pairs + triangles, passage chunks, trained IVF, the near-dup
-        # ensemble, the two vocab audits, the weighted sample), then
-        # queries whose last driver evidence is r1/r2 (24 fit the
-        # remaining slots). Everything displaced past slot 50 is
-        # r3-or-newer evidenced or pinned by the local gate replica
-        # tests/test_oracle.py and rotates back in r6; a full local
-        # driver-sim sweep of ALL queries ran ALL OK this round
-        # regardless of the 50-slot cap.
+        # THIRTY-THREE operators new this round needing first evidence
+        # (BM25, duplicate windows, the embedding label audits, hybrid
+        # RRF, langid confusion, PMI, the prefix-filter join, the drift
+        # screens, the sqlstore streaming tail, snapshot diff, heavy
+        # hitters, k-means, co-purchase pairs/triangles, passage chunks,
+        # trained IVF, the near-dup ensemble, vocab audits, weighted
+        # sample, grouped split, transition matrix, Bloom
+        # decontamination, Zipf slope, mutual-kNN, kNN outliers, LPA
+        # communities, decay engagement, k-anonymity, k-core, purge
+        # cascade), then queries whose last driver evidence is r1/r2 in
+        # the remaining 14 slots. Everything displaced past slot 50 is
+        # pinned by the local gate replica tests/test_oracle.py and
+        # rotates back in r6; a full local driver-sim sweep of ALL
+        # queries ran ALL OK this round regardless of the 50-slot cap.
         "documents_dsir_weights": QX.documents_dsir_weights,
         "events_distinct_users_approx": QX.events_distinct_users_approx,
         "lineitem_percentiles_approx": QX.lineitem_percentiles_approx,
@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_kanonymity": QX.customer_kanonymity,
         "part_copurchase_kcore": QX.part_copurchase_kcore,
         "customer_purge_cascade": QX.customer_purge_cascade,
+        "doc_containment_near_dups": QX.doc_containment_near_dups,
         "orders_rollup": QX.orders_rollup,
         "top_customer_revenue": QX.top_customer_revenue,
         "mktsegment_order_priority_pivot": QX.mktsegment_order_priority_pivot,

@@ -724,3 +724,108 @@ def prefix_filter_near_dups(
     finally:
         sh.unpersist()
     return out
+
+
+def containment_near_dups(
+    df: DataFrame,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT asymmetric-containment join: pairs where |A ∩ B| / |A| >=
+    ``threshold`` — document A substantially contained in B. Jaccard
+    misses this mode entirely (a page quoted inside a much longer page
+    has high containment but low Jaccard because the union is dominated
+    by B), yet subsumed quotes and mirrored fragments are exactly what a
+    corpus dedup wants to drop — keep B, drop A. Returns (id_a, id_b,
+    n_a, n_b, containment) with A the contained side; identical to the
+    brute-force definition by construction (pytest-pinned; the DuckDB
+    oracle replays brute force).
+
+    Prefix filtering adapts to containment with ONE asymmetry: the
+    required overlap is o = ceil(t * |A|), so A's rarest-first prefix of
+    length |A| - o + 1 must collide with B's FULL posting list (not B's
+    prefix — B may be arbitrarily large). Candidates therefore come from
+    an A-prefix x B-postings join; a collision at A-prefix position p_a
+    caps achievable overlap at |A| - p_a, so pairs with every collision
+    below o are pruned positionally before the distinct + verify joins
+    (the PPJoin positional filter, containment form). The B side being
+    full postings makes shingle-df selectivity matter even more than for
+    the Jaccard join — same 3-gram choice as prefix_filter_near_dups."""
+    sh = (
+        df.select(F.col(id_col), tokenize(text_col).alias("__t"))
+        .select(
+            F.col(id_col),
+            word_shingles_of_tokens(F.col("__t"), shingle_n).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+        .persist()
+    )
+    try:
+        ex = sh.select(
+            F.col(id_col), F.size("sh").alias("n"), F.explode("sh").alias("s")
+        )
+        dfc = ex.groupBy("s").agg(F.count(F.lit(1)).alias("dfs"))
+        if dfc.count() * 3 <= 3_000_000:
+            dfc = F.broadcast(dfc)
+        pref = (
+            ex.join(dfc, "s")
+            .groupBy(id_col)
+            .agg(
+                F.first("n").alias("n"),
+                F.array_sort(F.collect_list(F.struct("dfs", "s"))).alias(
+                    "sorted"
+                ),
+            )
+            .select(
+                F.col(id_col),
+                "n",
+                F.slice(
+                    "sorted",
+                    1,
+                    (F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1)
+                    .cast("int"),
+                ).alias("prefix"),
+            )
+        )
+        a_side = pref.select(
+            F.col(id_col).alias("id_a"),
+            F.col("n").alias("n_a"),
+            F.posexplode("prefix.s").alias("p_a", "s"),
+        )
+        b_side = ex.select(
+            F.col("s"), F.col(id_col).alias("id_b"), F.col("n").alias("n_b")
+        )
+        o_req = F.ceil(F.lit(threshold) * F.col("n_a"))
+        cands = (
+            a_side.join(b_side, "s")
+            .filter(
+                (F.col("id_a") != F.col("id_b"))
+                & (F.col("n_b") >= F.lit(threshold) * F.col("n_a"))
+                & (F.col("n_a") - F.col("p_a") >= o_req)
+            )
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+        b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+        cont = F.size(F.array_intersect("sh_a", "sh_b")) / F.size("sh_a")
+        out = (
+            cands.join(a, "id_a")
+            .join(b, "id_b")
+            .withColumn("containment", F.round(cont, 6))
+            .filter(F.col("containment") >= threshold)
+            .select(
+                "id_a",
+                "id_b",
+                F.size("sh_a").alias("n_a"),
+                F.size("sh_b").alias("n_b"),
+                "containment",
+            )
+            .orderBy("id_a", "id_b")
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        sh.unpersist()
+    return out

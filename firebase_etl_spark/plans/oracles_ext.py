@@ -3595,3 +3595,27 @@ ORACLES_EXT["customer_purge_cascade"] = """
            round(n_purged / n_rows, 6) AS purge_rate
     FROM u ORDER BY "table"
 """
+
+
+ORACLES_EXT["doc_containment_near_dups"] = r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(tk) - 1),
+                   i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS sh
+        FROM toks
+    ), nz AS (SELECT * FROM sh WHERE len(sh) > 0)
+    SELECT id_a, id_b, n_a, n_b, containment FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(a.sh) AS INT) AS n_a, CAST(len(b.sh) AS INT) AS n_b,
+               round(len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh), 6)
+                   AS containment
+        FROM nz a JOIN nz b
+          ON a.doc_id <> b.doc_id
+         -- necessary condition: |A∩B| <= |B|, so |B| >= t|A|
+         AND len(b.sh) >= 0.8 * len(a.sh)
+    ) WHERE containment >= 0.8
+    ORDER BY id_a, id_b
+"""

@@ -3329,3 +3329,17 @@ def customer_purge_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("3_lineitem", li, "l_orderkey", None),
         ],
     )
+
+
+def doc_containment_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup (operators/dedup_approx.py:
+    containment_near_dups, t=0.8, 3-gram shingles): document A whose
+    shingles are >= 80% inside B — the subsumed-quote/mirror-fragment
+    mode Jaccard misses. Exact by construction; the oracle replays brute
+    force."""
+    from firebase_etl_spark.operators.dedup_approx import (
+        containment_near_dups,
+    )
+
+    d = load_table(spark, "documents", sf_dir)
+    return containment_near_dups(d, threshold=0.8, shingle_n=3)

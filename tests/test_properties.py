@@ -257,3 +257,42 @@ def test_passage_chunks_cover_every_token(doc_lens, chunk, stride):
             assert r["chunk_text"] == " ".join(toks[s : s + ln])
             covered |= set(range(s, s + ln))
         assert covered == set(range(n))
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=2, max_size=12),
+        min_size=3,
+        max_size=10,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_containment_equals_python_brute_force_random(spark, corpora):
+    """Losslessness of the containment prefix filter on RANDOM corpora
+    vs a direct Python recount of |A∩B|/|A| over all ordered pairs — a
+    false negative from the asymmetric prefix/positional pruning would
+    show as a missing pair."""
+    from firebase_etl_spark.operators.dedup_approx import (
+        containment_near_dups,
+    )
+
+    t, n = 0.6, 2
+    docs = [(i, " ".join(toks)) for i, toks in enumerate(corpora)]
+
+    def shingles(toks):
+        return {
+            " ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)
+        }
+
+    sh = {i: shingles(toks) for i, toks in enumerate(corpora)}
+    expect = sorted(
+        (a, b, len(sa), len(sb), round(len(sa & sb) / len(sa), 6))
+        for a, sa in sh.items()
+        for b, sb in sh.items()
+        if a != b and sa and sb and len(sa & sb) / len(sa) >= t
+    )
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        map(tuple, containment_near_dups(df, t, n).collect())
+    )
+    assert got == expect
