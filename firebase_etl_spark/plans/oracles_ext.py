@@ -3619,3 +3619,53 @@ ORACLES_EXT["doc_containment_near_dups"] = r"""
     ) WHERE containment >= 0.8
     ORDER BY id_a, id_b
 """
+
+
+ORACLES_EXT["events_path_trigrams"] = """
+    WITH t AS (
+        SELECT event_type AS e1,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM events
+        WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), c AS (
+        SELECT e1, e2, e3, count(*) AS n_paths
+        FROM t WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        GROUP BY e1, e2, e3
+    ), tot AS (SELECT CAST(sum(n_paths) AS BIGINT) AS tt FROM c)
+    SELECT e1, e2, e3, n_paths,
+           round(n_paths * 1.0 / tt, 6) AS share
+    FROM c, tot
+    ORDER BY n_paths DESC, e1, e2, e3
+    LIMIT 25
+"""
+
+
+ORACLES_EXT["events_robust_anomalies"] = """
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS dd, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ), med AS (
+        SELECT event_type, round(quantile_cont(n, 0.5), 6) AS med,
+               count(*) AS n_days
+        FROM daily GROUP BY event_type
+    ), j AS (
+        SELECT d.event_type, d.n, m.med, m.n_days,
+               abs(d.n - m.med) AS dev
+        FROM daily d JOIN med m USING (event_type)
+    ), mad AS (
+        SELECT event_type, round(quantile_cont(dev, 0.5), 6) AS mad
+        FROM j GROUP BY event_type
+    )
+    SELECT j.event_type,
+           CAST(min(j.n_days) AS BIGINT) AS n_days,
+           min(j.med) AS median_daily,
+           min(mad.mad) AS mad_daily,
+           CAST(sum(CASE WHEN j.dev > 3 * mad.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_anomalous_days,
+           max(CASE WHEN j.dev > 3 * mad.mad THEN j.n END)
+               AS worst_day_count
+    FROM j JOIN mad USING (event_type)
+    GROUP BY j.event_type ORDER BY j.event_type
+"""

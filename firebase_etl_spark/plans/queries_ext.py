@@ -3343,3 +3343,81 @@ def doc_containment_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, "documents", sf_dir)
     return containment_near_dups(d, threshold=0.8, shingle_n=3)
+
+
+def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-2 sequential pattern mining: the top-25 (e1 -> e2 -> e3)
+    event-type trigrams over per-user histories with their share of all
+    trigram slots — the next step up from the order-1 transition matrix
+    (paths, not edges; the input to journey mining and prefetch
+    heuristics). Per-user lead() windows (bounded partitions), integer
+    counts, global top-k as TakeOrderedAndProject, share from one
+    broadcast total."""
+    e = load_table(spark, "events", sf_dir).filter(
+        F.col("event_type").isNotNull() & F.col("user_id").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        e.select(
+            F.col("event_type").alias("e1"),
+            F.lead("event_type", 1).over(w).alias("e2"),
+            F.lead("event_type", 2).over(w).alias("e3"),
+        )
+        .filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    )
+    counts = t.groupBy("e1", "e2", "e3").agg(
+        F.count(F.lit(1)).alias("n_paths")
+    )
+    total = counts.agg(F.sum("n_paths").alias("__tot"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "e1",
+            "e2",
+            "e3",
+            "n_paths",
+            F.round(F.col("n_paths") / F.col("__tot"), 6).alias("share"),
+        )
+        .orderBy(F.desc("n_paths"), "e1", "e2", "e3")
+        .limit(25)
+    )
+
+
+def events_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD anomaly screen over daily per-type event counts — the
+    robust twin of events_rate_anomalies: one extreme day inflates a
+    mean/stddev gate enough to mask itself, but cannot move the median
+    or the MAD. Exact interpolated medians (never a global ntile),
+    rounded to 6dp on both engines before the comparison (the
+    doc_quality_deciles ulp lesson); daily counts are integers, so sums
+    and deviations are exact."""
+    e = load_table(spark, "events", sf_dir)
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("dd")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    med = daily.groupBy("event_type").agg(
+        F.round(F.expr("percentile(n, 0.5)"), 6).alias("med"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    j = daily.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("n") - F.col("med"))
+    )
+    mad = j.groupBy("event_type").agg(
+        F.round(F.expr("percentile(dev, 0.5)"), 6).alias("mad")
+    )
+    flagged = j.join(F.broadcast(mad), "event_type").withColumn(
+        "is_anom", F.col("dev") > 3 * F.col("mad")
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.first("n_days").alias("n_days"),
+            F.first("med").alias("median_daily"),
+            F.first("mad").alias("mad_daily"),
+            F.sum(F.col("is_anom").cast("long")).alias("n_anomalous_days"),
+            F.max(F.when(F.col("is_anom"), F.col("n"))).alias(
+                "worst_day_count"
+            ),
+        )
+        .orderBy("event_type")
+    )
