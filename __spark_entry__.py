@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_containment_near_dups": QX.doc_containment_near_dups,
         "events_path_trigrams": QX.events_path_trigrams,
         "events_robust_anomalies": QX.events_robust_anomalies,
+        "orders_incremental_agg": QX.orders_incremental_agg,
         "orders_rollup": QX.orders_rollup,
         "top_customer_revenue": QX.top_customer_revenue,
         "mktsegment_order_priority_pivot": QX.mktsegment_order_priority_pivot,

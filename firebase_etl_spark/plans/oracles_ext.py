@@ -3669,3 +3669,19 @@ ORACLES_EXT["events_robust_anomalies"] = """
     FROM j JOIN mad USING (event_type)
     GROUP BY j.event_type ORDER BY j.event_type
 """
+
+
+ORACLES_EXT["orders_incremental_agg"] = """
+    -- from-scratch recompute: a hash match proves the Spark side's
+    -- base+delta partial merge is lossless
+    SELECT o_orderpriority,
+           count(*) AS n_rows,
+           round(CAST(sum(CAST(round(o_totalprice * 100.0, 0) AS BIGINT))
+                      AS DOUBLE) / 100.0, 2) AS total_amount,
+           round(CAST(sum(CAST(round(o_totalprice * 100.0, 0) AS BIGINT))
+                      AS DOUBLE) / count(*) / 100.0, 6) AS avg_amount,
+           min(o_orderdate) AS first_ts,
+           max(o_orderdate) AS last_ts
+    FROM orders
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""

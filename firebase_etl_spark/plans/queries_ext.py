@@ -3421,3 +3421,32 @@ def events_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def orders_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (operators/incremental.py):
+    the standing per-priority revenue rollup is refreshed by MERGING the
+    pre-1997 base partials with two later delta batches — the facts are
+    never rescanned together. Fixed-point cent sums make the merged
+    result bit-identical to the from-scratch recompute the oracle runs:
+    a green row IS the proof that the merge algebra loses nothing."""
+    from firebase_etl_spark.operators import incremental as INC
+
+    o = load_table(spark, "orders", sf_dir)
+    keys = ["o_orderpriority"]
+    base = INC.partial_aggs(
+        o.filter(F.col("o_orderdate") < "1997-01-01"),
+        keys, "o_totalprice", "o_orderdate",
+    )
+    d1 = INC.partial_aggs(
+        o.filter(
+            (F.col("o_orderdate") >= "1997-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        ),
+        keys, "o_totalprice", "o_orderdate",
+    )
+    d2 = INC.partial_aggs(
+        o.filter(F.col("o_orderdate") >= "1998-01-01"),
+        keys, "o_totalprice", "o_orderdate",
+    )
+    return INC.report(INC.merge_partials([base, d1, d2], keys), keys)

@@ -1623,6 +1623,45 @@ def test_unseen_mass_good_turing_numbers(spark):
     assert r["singleton_frac"] == 0.5
 
 
+def test_incremental_merge_equals_recompute_any_split(spark):
+    """Merging base+delta partials equals from-scratch partials for an
+    arbitrary split, and the report derives the average from merged
+    exact sums (NOT an average of averages — the planted skewed split
+    would expose that bug)."""
+    from datetime import date
+
+    from firebase_etl_spark.operators import incremental as INC
+
+    rows = [
+        ("a", 10.10, date(2024, 1, 1)),
+        ("a", 0.02, date(2024, 1, 5)),
+        ("a", 99.99, date(2024, 2, 1)),
+        ("b", 5.55, date(2024, 1, 2)),
+    ]
+    df = spark.createDataFrame(rows, "g string, amt double, d date")
+    whole = INC.report(INC.partial_aggs(df, ["g"], "amt", "d"), ["g"])
+    # skewed split: delta holds a single large 'a' row
+    base = df.filter("d < '2024-02-01'")
+    delta = df.filter("d >= '2024-02-01'")
+    merged = INC.report(
+        INC.merge_partials(
+            [
+                INC.partial_aggs(base, ["g"], "amt", "d"),
+                INC.partial_aggs(delta, ["g"], "amt", "d"),
+            ],
+            ["g"],
+        ),
+        ["g"],
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+    a = {r["g"]: r for r in merged.collect()}["a"]
+    assert a["total_amount"] == 110.11
+    assert a["avg_amount"] == round(11011 / 3 / 100.0, 6)
+    assert (a["first_ts"], a["last_ts"]) == (date(2024, 1, 1), date(2024, 2, 1))
+
+
 def test_cascade_purge_audit_walks_fk_chain(spark):
     """Hand-computed cascade: deleting user 1 purges their 2 orders and
     the 3 line items under those orders, but nothing of user 2's."""
