@@ -360,3 +360,51 @@ def decay_engagement_scores(
             ),
         )
     )
+
+
+def negative_samples(
+    df: DataFrame,
+    anchor_filter,
+    id_col: str,
+    label_col: str,
+    k: int = 5,
+    salt: str = "neg",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for each
+    anchor row, ``k`` candidates with a DIFFERENT label, drawn by ranking
+    md5(salt:anchor:candidate) — content-addressed like the split/sample
+    operators, so the drawn pairs are identical across engines, runs and
+    partitionings with no RNG state, and re-salting gives a fresh
+    independent draw (epoch re-sampling). NULL-labeled candidates are
+    excluded against every anchor (null-safe inequality).
+
+    Shape: anchors are a bounded sample (broadcast); candidates stream
+    once past them; per-anchor rank window (non-empty partition spec).
+    Returns (anchor_id, anchor_label, neg_id, neg_label, rank)."""
+    anchors = df.filter(anchor_filter).select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("anchor_label"),
+    )
+    cands = df.select(
+        F.col(id_col).alias("neg_id"), F.col(label_col).alias("neg_label")
+    )
+    pairs = cands.crossJoin(F.broadcast(anchors)).filter(
+        (F.col("neg_id") != F.col("anchor_id"))
+        & F.col("neg_label").isNotNull()
+        & ~F.col("neg_label").eqNullSafe(F.col("anchor_label"))
+    )
+    key = F.md5(
+        F.concat_ws(
+            ":",
+            F.lit(salt),
+            F.col("anchor_id").cast("string"),
+            F.col("neg_id").cast("string"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(key, "neg_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("anchor_id", "anchor_label", "neg_id", "neg_label", "rank")
+        .orderBy("anchor_id", "rank")
+    )

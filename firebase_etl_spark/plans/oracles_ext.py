@@ -3685,3 +3685,27 @@ ORACLES_EXT["orders_incremental_agg"] = """
     FROM orders
     GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
+
+
+ORACLES_EXT["embedding_negative_samples"] = """
+    WITH anchors AS (
+        SELECT vec_id AS anchor_id, label AS anchor_label
+        FROM embeddings WHERE vec_id % 41 = 0
+    ), pairs AS (
+        SELECT a.anchor_id, a.anchor_label,
+               c.vec_id AS neg_id, c.label AS neg_label,
+               md5('neg:' || CAST(a.anchor_id AS VARCHAR) || ':'
+                          || CAST(c.vec_id AS VARCHAR)) AS pick
+        FROM embeddings c CROSS JOIN anchors a
+        WHERE c.vec_id <> a.anchor_id
+          AND c.label IS NOT NULL
+          AND c.label IS DISTINCT FROM a.anchor_label
+    )
+    SELECT anchor_id, anchor_label, neg_id, neg_label, CAST(rank AS INT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY anchor_id ORDER BY pick, neg_id
+        ) AS rank FROM pairs
+    ) WHERE rank <= 5
+    ORDER BY anchor_id, rank
+"""

@@ -3450,3 +3450,16 @@ def orders_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys, "o_totalprice", "o_orderdate",
     )
     return INC.report(INC.merge_partials([base, d1, d2], keys), keys)
+
+
+def embedding_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive negatives (operators/stats.py:negative_samples):
+    5 different-label negatives per vec_id % 41 anchor, drawn by the
+    content-addressed md5(salt:anchor:candidate) order — reproducible
+    across engines with no RNG; re-salt for a fresh epoch draw."""
+    from firebase_etl_spark.operators.stats import negative_samples
+
+    e = load_table(spark, "embeddings", sf_dir)
+    return negative_samples(
+        e, F.col("vec_id") % 41 == 0, "vec_id", "label", k=5
+    )

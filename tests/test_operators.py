@@ -1623,6 +1623,33 @@ def test_unseen_mass_good_turing_numbers(spark):
     assert r["singleton_frac"] == 0.5
 
 
+def test_negative_samples_label_exclusion_and_salting(spark):
+    """Negatives never share the anchor's label (null-safe: NULL-label
+    candidates excluded), exactly k are drawn when available, the draw
+    is repeatable, and a different salt yields a different draw."""
+    from pyspark.sql import functions as F
+
+    from firebase_etl_spark.operators.stats import negative_samples
+
+    rows = [(i, i % 3 if i % 7 else None) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, label int")
+    draw = lambda salt: [  # noqa: E731
+        (r["anchor_id"], r["neg_id"], r["anchor_label"], r["neg_label"])
+        for r in negative_samples(
+            df, F.col("vec_id") % 10 == 1, "vec_id", "label", k=4, salt=salt
+        ).collect()
+    ]
+    d1 = draw("neg")
+    assert d1 == draw("neg"), "content-addressed draw must be repeatable"
+    anchors = {a for a, *_ in d1}
+    assert anchors == {1, 11, 21, 31}
+    for a, n, al, nl in d1:
+        assert nl is not None and nl != al and n != a
+    per_anchor = {a: sum(1 for x in d1 if x[0] == a) for a in anchors}
+    assert all(v == 4 for v in per_anchor.values())
+    assert d1 != draw("epoch2"), "re-salting must give a fresh draw"
+
+
 def test_incremental_merge_equals_recompute_any_split(spark):
     """Merging base+delta partials equals from-scratch partials for an
     arbitrary split, and the report derives the average from merged
