@@ -3709,3 +3709,27 @@ ORACLES_EXT["embedding_negative_samples"] = """
     ) WHERE rank <= 5
     ORDER BY anchor_id, rank
 """
+
+
+ORACLES_EXT["events_trend_slopes"] = """
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS dd, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ), pairs AS (
+        SELECT a.event_type,
+               (b.n - a.n) * 1.0 / datediff('day', a.dd, b.dd) AS slope
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.dd < b.dd
+    ), nd AS (
+        SELECT event_type, count(*) AS n_days FROM daily GROUP BY event_type
+    )
+    SELECT p.event_type, nd.n_days,
+           count(*) AS n_pairs,
+           round(quantile_cont(slope, 0.5), 6) AS trend_slope_per_day,
+           CASE WHEN round(quantile_cont(slope, 0.5), 6) > 0 THEN 'rising'
+                WHEN round(quantile_cont(slope, 0.5), 6) < 0 THEN 'falling'
+                ELSE 'flat' END AS direction
+    FROM pairs p JOIN nd USING (event_type)
+    GROUP BY p.event_type, nd.n_days
+    ORDER BY p.event_type
+"""

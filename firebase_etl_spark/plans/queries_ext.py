@@ -3463,3 +3463,59 @@ def embedding_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_samples(
         e, F.col("vec_id") % 41 == 0, "vec_id", "label", k=5
     )
+
+
+def events_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type activity trend: the Theil-Sen estimator (median of
+    all pairwise day-over-day slopes) over daily event counts — immune
+    to the outlier days that drag an OLS trend line (the robust
+    complement to events_robust_anomalies' level screen). Daily counts
+    are a bounded per-type table, so the pairwise self-join is ~n_days^2
+    per type, never corpus-scale; slopes are exact integer ratios and
+    the median is an exact interpolated percentile rounded to 6dp on
+    both engines (the deciles ulp discipline)."""
+    e = load_table(spark, "events", sf_dir)
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("dd")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    a = daily.select(
+        "event_type", F.col("dd").alias("d1"), F.col("n").alias("n1")
+    )
+    b = daily.select(
+        "event_type", F.col("dd").alias("d2"), F.col("n").alias("n2")
+    )
+    pairs = (
+        a.join(b, "event_type")
+        .filter(F.col("d1") < F.col("d2"))
+        .select(
+            "event_type",
+            (
+                (F.col("n2") - F.col("n1"))
+                / F.datediff(F.col("d2"), F.col("d1"))
+            ).alias("slope"),
+        )
+    )
+    n_days = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days")
+    )
+    return (
+        pairs.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.expr("percentile(slope, 0.5)"), 6).alias(
+                "trend_slope_per_day"
+            ),
+        )
+        .join(F.broadcast(n_days), "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "n_pairs",
+            "trend_slope_per_day",
+            F.when(F.col("trend_slope_per_day") > 0, "rising")
+            .when(F.col("trend_slope_per_day") < 0, "falling")
+            .otherwise("flat")
+            .alias("direction"),
+        )
+        .orderBy("event_type")
+    )
