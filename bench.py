@@ -53,6 +53,14 @@ def _release_session_state(spark) -> None:
 def main() -> None:
     spark = get_spark(app_name="bench")
     queries = entrymod.queries()
+    # optional subset mode for in-session A/B (comma-separated names in
+    # $SPARK_GRAFT_BENCH_ONLY): times only those queries and does NOT
+    # touch BENCH_FULL.json, which stays the committed full-run record
+    only = {
+        s for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if s
+    }
+    if only:
+        queries = {n: f for n, f in queries.items() if n in only}
 
     # warmup: JVM/codegen/Python-worker spinup on the tiny SF keeps BOTH
     # timed passes steady-state, so min-of-2 never reports a
@@ -110,21 +118,22 @@ def main() -> None:
             )
             if ratios:
                 drift = round(ratios[len(ratios) // 2], 3)
-        full = {
-            "metric": "total_query_wall_time",
-            "value": round(sum(timings.values()), 4),
-            "unit": "sec",
-            "queries": dict(sorted(timings.items())),
-            "sf": float(sf),
-            "drift_factor": drift,
-        }
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BENCH_FULL.json"),
-            "w",
-            encoding="utf-8",
-        ) as fh:
-            json.dump(full, fh, indent=1, sort_keys=True)
+        if not only:
+            full = {
+                "metric": "total_query_wall_time",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": dict(sorted(timings.items())),
+                "sf": float(sf),
+                "drift_factor": drift,
+            }
+            with open(
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_FULL.json"),
+                "w",
+                encoding="utf-8",
+            ) as fh:
+                json.dump(full, fh, indent=1, sort_keys=True)
         print(
             json.dumps(
                 {
@@ -136,7 +145,8 @@ def main() -> None:
                     "median_sec": round(med, 4),
                     "drift_factor": drift,
                     "queries": {k: round(v, 3) for k, v in top.items()},
-                    "full_record": "BENCH_FULL.json",
+                    "subset": bool(only) or None,
+                    "full_record": None if only else "BENCH_FULL.json",
                 }
             ),
             flush=True,
