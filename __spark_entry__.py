@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_incremental_agg": QX.orders_incremental_agg,
         "embedding_negative_samples": QX.embedding_negative_samples,
         "events_trend_slopes": QX.events_trend_slopes,
+        "customer_revenue_pareto": QX.customer_revenue_pareto,
         "orders_rollup": QX.orders_rollup,
         "top_customer_revenue": QX.top_customer_revenue,
         "mktsegment_order_priority_pivot": QX.mktsegment_order_priority_pivot,

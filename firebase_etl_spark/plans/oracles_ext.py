@@ -3733,3 +3733,44 @@ ORACLES_EXT["events_trend_slopes"] = """
     GROUP BY p.event_type, nd.n_days
     ORDER BY p.event_type
 """
+
+
+ORACLES_EXT["customer_revenue_pareto"] = """
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100.0, 0) AS BIGINT))
+                    AS BIGINT) AS rc
+        FROM orders GROUP BY o_custkey
+    ), cuts AS (
+        SELECT list_transform(
+                   quantile_cont(rc, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+                   c -> round(c, 6)) AS cuts
+        FROM rev
+    ), b AS (
+        SELECT rc,
+               CAST(1 + len(list_filter(cuts, c -> c < rc)) AS BIGINT)
+                   AS decile
+        FROM rev, cuts
+    ), per0 AS (
+        SELECT decile, count(*) AS n_customers, CAST(sum(rc) AS BIGINT)
+                   AS cents
+        FROM b GROUP BY decile
+    ), spine AS (SELECT unnest(range(1, 11)) AS decile),
+    per AS (
+        SELECT s.decile,
+               coalesce(n_customers, 0) AS n_customers,
+               coalesce(cents, 0) AS cents
+        FROM spine s LEFT JOIN per0 USING (decile)
+    ), tot AS (SELECT CAST(sum(cents) AS BIGINT) AS t FROM per),
+    cum AS (
+        SELECT x.decile, CAST(sum(y.cents) AS BIGINT) AS cum_cents
+        FROM per x JOIN per y ON y.decile >= x.decile
+        GROUP BY x.decile
+    )
+    SELECT p.decile, p.n_customers,
+           round(CAST(p.cents AS DOUBLE) / 100.0, 2) AS revenue,
+           round(p.cents / tot.t, 6) AS share,
+           round(c.cum_cents / tot.t, 6) AS cum_share_from_top
+    FROM per p JOIN cum c USING (decile), tot
+    ORDER BY p.decile DESC
+"""

@@ -3519,3 +3519,67 @@ def events_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def customer_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Pareto) analysis: customers bucketed into
+    value deciles of lifetime revenue, each decile's share and the
+    cumulative share FROM THE TOP — 'which fraction of customers carries
+    80% of revenue'. Scale-safe decile assignment exactly as
+    doc_quality_deciles (broadcast interpolated cut points rounded 6dp
+    on both engines, bucket = 1 + #cuts below — never a global ntile);
+    revenue in fixed-point BIGINT cents; the cumulative curve is a
+    bounded 10x10 self-join over the checkpointed decile table, not a
+    global-order window."""
+    o = load_table(spark, "orders", sf_dir)
+    cents = F.round(F.col("o_totalprice") * 100.0, 0).cast("long")
+    rev = o.groupBy("o_custkey").agg(F.sum(cents).alias("rc"))
+    cuts = rev.agg(
+        F.expr(
+            "transform(percentile(rc, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9)),"
+            " c -> round(c, 6))"
+        ).alias("cuts")
+    )
+    b = rev.crossJoin(F.broadcast(cuts)).select(
+        "rc",
+        (F.lit(1) + F.expr("size(filter(cuts, c -> c < rc))"))
+        .cast("long")
+        .alias("decile"),
+    )
+    per0 = b.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("rc").alias("cents"),
+    )
+    spine = spark.range(1, 11).select(F.col("id").alias("decile"))
+    per = (
+        spine.join(per0, "decile", "left")
+        .select(
+            "decile",
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("cents", F.lit(0)).alias("cents"),
+        )
+        .localCheckpoint(eager=True)  # 10 rows
+    )
+    tot = per.agg(F.sum("cents").alias("t"))
+    cum = (
+        per.alias("x")
+        .join(per.alias("y"), F.col("y.decile") >= F.col("x.decile"))
+        .groupBy(F.col("x.decile").alias("decile"))
+        .agg(F.sum("y.cents").alias("cum_cents"))
+    )
+    return (
+        per.join(cum, "decile")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_customers",
+            F.round(F.col("cents").cast("double") / 100.0, 2).alias(
+                "revenue"
+            ),
+            F.round(F.col("cents") / F.col("t"), 6).alias("share"),
+            F.round(F.col("cum_cents") / F.col("t"), 6).alias(
+                "cum_share_from_top"
+            ),
+        )
+        .orderBy(F.desc("decile"))
+    )
