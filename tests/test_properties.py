@@ -296,3 +296,83 @@ def test_containment_equals_python_brute_force_random(spark, corpora):
         map(tuple, containment_near_dups(df, t, n).collect())
     )
     assert got == expect
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=6, deadline=None)
+def test_label_propagation_distributed_equals_local_random(spark, raw_edges):
+    """LPA path parity on random graphs: the distributed vote loop and
+    the driver-local twin must agree bit-for-bit (same fixed rounds,
+    same min-label tie-break)."""
+    from firebase_etl_spark.operators.graph import label_propagation
+
+    edges = sorted({(a, b) for a, b in raw_edges if a < b})
+    if not edges:
+        edges = [(0, 1)]
+    df = spark.createDataFrame(edges, "p1 long, p2 long")
+    local = sorted(
+        map(tuple, label_propagation(df, n_iter=4).collect())
+    )
+    dist = sorted(
+        map(
+            tuple,
+            label_propagation(df, n_iter=4, local_edge_threshold=0).collect(),
+        )
+    )
+    assert local == dist
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=6, deadline=None)
+def test_kcore_matches_python_fixpoint_random(spark, raw_edges):
+    """k-core vs a direct Python fixpoint on random graphs, both paths:
+    the summary (nodes, edges, converged) must equal the true k-core."""
+    from collections import Counter
+
+    from firebase_etl_spark.operators.graph import kcore_summary
+
+    edges = sorted({(a, b) for a, b in raw_edges if a < b})
+    if not edges:
+        edges = [(0, 1)]
+
+    def true_core(k):
+        cur = list(edges)
+        while True:
+            deg = Counter()
+            for a, b in cur:
+                deg[a] += 1
+                deg[b] += 1
+            nxt = [(a, b) for a, b in cur if deg[a] >= k and deg[b] >= k]
+            if len(nxt) == len(cur):
+                nodes = {n for p in cur for n in p}
+                return (len(nodes), len(cur), True)
+            cur = nxt
+
+    expect = {k: true_core(k) for k in (2, 3)}
+    df = spark.createDataFrame(edges, "p1 long, p2 long")
+    for thresh in (0, 2_000_000):
+        got = {
+            r["k"]: (r["n_core_nodes"], r["n_core_edges"], r["converged"])
+            for r in kcore_summary(
+                df, ks=(2, 3), local_edge_threshold=thresh
+            ).collect()
+        }
+        assert got == expect, f"threshold={thresh}"
