@@ -189,6 +189,7 @@ def pagerank(
     damping_pct: int = 85,
     checkpoint_every: int = 4,
     local_edge_threshold: int = 2_000_000,
+    seeds: list | None = None,
 ) -> DataFrame:
     """Weighted PageRank over a directed edge list, in FIXED-POINT INTEGER
     arithmetic so the result is bit-identical across engines and across
@@ -211,6 +212,14 @@ def pagerank(
     stay under 2^63 — for heavier graphs, pre-normalize weights or move
     the same plan to DECIMAL(38,0).
 
+    ``seeds`` switches to PERSONALIZED PageRank (topic-sensitive;
+    Haveliwala 2002): the teleport mass lands only on the seed nodes
+    (PR_SCALE/len(seeds) each, damped), so ranks measure weighted-walk
+    proximity TO THE SEEDS — the graph-recommendation primitive. Ranks
+    still initialize uniformly (part of the fixed-round spec); the
+    arithmetic stays all-integer, so the personalized trajectory is as
+    engine-exact as the uniform one.
+
     Returns (node, rank_e12) with rank_e12 = rank * 10^12 as BIGINT.
     """
     # checkpoint the aggregated edge list BEFORE deriving w_out: the
@@ -232,7 +241,7 @@ def pagerank(
         # the collected edges — no extra distinct/count jobs). Arithmetic
         # is exactly the distributed loop's (pinned by tests), so the
         # adaptive switch is invisible in the output.
-        return _pr_local(spark, e, n_iter, damping_pct)
+        return _pr_local(spark, e, n_iter, damping_pct, seeds)
     out_tot = e.groupBy("src").agg(F.sum("w").alias("w_out"))
     e = e.join(out_tot, "src").localCheckpoint(eager=True)
     nodes = (
@@ -246,7 +255,16 @@ def pagerank(
         return nodes.select(
             F.col("node"), F.lit(None).cast("long").alias("rank_e12")
         )
-    teleport = (PR_SCALE // n) * (100 - damping_pct) // 100
+    if seeds:
+        t_seed = (PR_SCALE // len(seeds)) * (100 - damping_pct) // 100
+        tele_col = (
+            F.when(F.col("node").isin(list(seeds)), F.lit(t_seed))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+    else:
+        teleport = (PR_SCALE // n) * (100 - damping_pct) // 100
+        tele_col = F.lit(teleport).cast("long")
     # size the loop's shuffles from the aggregated graph, not the session
     # default: iterative localCheckpoint plans don't get AQE coalescing,
     # and 10 rounds x 32 near-empty partitions is pure scheduling
@@ -269,7 +287,7 @@ def pagerank(
             ranks = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
                 "node",
                 (
-                    F.lit(teleport)
+                    tele_col
                     + F.expr(f"{damping_pct} * coalesce(incoming, 0L) div 100")
                 ).alias("rank"),
             )
@@ -281,7 +299,7 @@ def pagerank(
     return ranks.select("node", F.col("rank").alias("rank_e12"))
 
 
-def _pr_local(spark, e: DataFrame, n_iter, damping_pct) -> DataFrame:
+def _pr_local(spark, e: DataFrame, n_iter, damping_pct, seeds=None) -> DataFrame:
     """Driver-side twin of the distributed rank loop — identical integer
     recurrence over the collected aggregated graph (w_out derived here,
     not as a distributed self-join)."""
@@ -296,13 +314,19 @@ def _pr_local(spark, e: DataFrame, n_iter, damping_pct) -> DataFrame:
         return e.select(
             F.col("src").alias("node"), F.lit(None).cast("long").alias("rank_e12")
         )
-    teleport = (PR_SCALE // n) * (100 - damping_pct) // 100
+    if seeds:
+        t_seed = (PR_SCALE // len(seeds)) * (100 - damping_pct) // 100
+        seed_set = set(seeds)
+        tele = {v: (t_seed if v in seed_set else 0) for v in node_ids}
+    else:
+        teleport = (PR_SCALE // n) * (100 - damping_pct) // 100
+        tele = dict.fromkeys(node_ids, teleport)
     r = {v: PR_SCALE // n for v in node_ids}
     for _ in range(n_iter):
         inc = dict.fromkeys(node_ids, 0)
         for u, v, w, w_out in edges_py:
             inc[v] += r[u] * w // w_out
-        r = {v: teleport + damping_pct * inc[v] // 100 for v in node_ids}
+        r = {v: tele[v] + damping_pct * inc[v] // 100 for v in node_ids}
     node_type = e.schema["src"].dataType
     schema = StructType(
         [

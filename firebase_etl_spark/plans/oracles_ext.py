@@ -1966,7 +1966,7 @@ ORACLES_EXT["customer_fuzzy_matches"] = r"""
 """
 
 
-def _pagerank_oracle(n_iter: int = 10, damping_pct: int = 85) -> str:
+def _pagerank_oracle(n_iter: int = 10, damping_pct: int = 85, seeds=None) -> str:
     """Generated replay of operators/graph.py:pagerank on the nation trade
     graph: one CTE layer per iteration, all fixed-point BIGINT arithmetic
     (DuckDB's ``//`` == Spark's ``div`` for positive operands), so the
@@ -2002,10 +2002,19 @@ def _pagerank_oracle(n_iter: int = 10, damping_pct: int = 85) -> str:
         % (100 - damping_pct)
     ]
     for i in range(n_iter):
+        if seeds:
+            t_seed = (10**12 // len(seeds)) * (100 - damping_pct) // 100
+            seed_list = ", ".join(str(s) for s in sorted(seeds))
+            tp_expr = (
+                f"CASE WHEN n.node IN ({seed_list}) "
+                f"THEN CAST({t_seed} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+            )
+        else:
+            tp_expr = "(SELECT tp FROM const)"
         layers.append(
             f"""pr{i + 1} AS (
         SELECT n.node,
-               (SELECT tp FROM const)
+               {tp_expr}
                    + CAST({damping_pct} * coalesce(s.incoming, 0) // 100 AS BIGINT)
                    AS rank
         FROM nodes n
@@ -2027,6 +2036,9 @@ def _pagerank_oracle(n_iter: int = 10, damping_pct: int = 85) -> str:
 
 
 ORACLES_EXT["nation_trade_pagerank"] = _pagerank_oracle()
+# personalized variant: teleport mass restricted to the four seed nations
+# (keys 0, 7, 14, 21 — the query's literal seed set)
+ORACLES_EXT["nation_trade_ppr"] = _pagerank_oracle(seeds=(0, 7, 14, 21))
 
 # thresholds mirror queries_ext.SPLIT_T_TRAIN/SPLIT_T_VAL (integer 90% / 95%
 # of 2^60 — exact literals on both engines)

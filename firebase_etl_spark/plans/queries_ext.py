@@ -3583,3 +3583,35 @@ def customer_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("decile"))
     )
+
+
+def nation_trade_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank on the nation trade graph (operators/
+    graph.py:pagerank with seeds): teleport mass restricted to four seed
+    nations (keys 0, 7, 14, 21), so ranks measure weighted-walk
+    proximity TO the seed markets — the graph-recommendation primitive
+    (Haveliwala 2002). Same all-integer loop as the uniform query; the
+    oracle unrolls ten rounds with the seeded teleport CASE."""
+    from firebase_etl_spark.operators.graph import pagerank
+
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    c = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    s = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    n = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").cast("long").alias("src"),
+            F.col("s_nationkey").cast("long").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    ranks = pagerank(edges, n_iter=10, seeds=[0, 7, 14, 21])
+    return (
+        ranks.join(F.broadcast(n), ranks.node == n.n_nationkey)
+        .select(F.col("n_name").alias("nation"), "rank_e12")
+        .orderBy(F.col("rank_e12").desc(), "nation")
+    )

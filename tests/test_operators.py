@@ -750,6 +750,38 @@ def test_kcore_ladder_and_path_parity(spark):
         assert got == expect, f"threshold={thresh}"
 
 
+def test_personalized_pagerank_concentrates_on_seeds(spark):
+    """PPR on a two-hub graph: seeding hub A must rank A's neighborhood
+    above B's (uniform PageRank ranks them identically by symmetry);
+    both execution paths agree."""
+    from firebase_etl_spark.operators.graph import pagerank
+
+    # two symmetric stars: hub 1 <-> {2,3}, hub 11 <-> {12,13}
+    edges = []
+    for hub, leaves in ((1, (2, 3)), (11, (12, 13))):
+        for leaf in leaves:
+            edges += [(hub, leaf, 1), (leaf, hub, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    uni = {r["node"]: r["rank_e12"] for r in pagerank(df, n_iter=8).collect()}
+    assert uni[1] == uni[11], "uniform PR must respect the symmetry"
+    for thresh in (0, 2_000_000):
+        ppr = {
+            r["node"]: r["rank_e12"]
+            for r in pagerank(
+                df, n_iter=8, seeds=[1], local_edge_threshold=thresh
+            ).collect()
+        }
+        assert ppr[1] > ppr[11]
+        assert ppr[2] > ppr[12]
+        if thresh == 0:
+            dist = ppr
+    local = {
+        r["node"]: r["rank_e12"]
+        for r in pagerank(df, n_iter=8, seeds=[1]).collect()
+    }
+    assert local == dist, "seeded paths must agree bit-for-bit"
+
+
 def test_pagerank_matches_integer_reference(spark):
     """The distributed fixed-point PageRank must reproduce a pure-Python
     integer reference EXACTLY (same truncations, same trajectory) — the
