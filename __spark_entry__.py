@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_trend_slopes": QX.events_trend_slopes,
         "customer_revenue_pareto": QX.customer_revenue_pareto,
         "nation_trade_ppr": QX.nation_trade_ppr,
+        "part_similar_items": QX.part_similar_items,
         "orders_rollup": QX.orders_rollup,
         "top_customer_revenue": QX.top_customer_revenue,
         "mktsegment_order_priority_pivot": QX.mktsegment_order_priority_pivot,

@@ -154,3 +154,84 @@ def cooccurrence_edges(
         .filter(F.col("pc") >= min_pair_count)
         .select("p1", "p2")
     )
+
+
+def item_similarity(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """Item-item collaborative-filtering similarity (Sarwar et al. 2001,
+    the amazon.com 'customers who bought X' primitive): cosine over
+    binary basket-membership vectors, which reduces to
+    c_ij / sqrt(c_i * c_j) — all three counts integers from the same
+    basket table, so the score is one fixed-order expression per
+    SURVIVING pair and fully engine-exact at 6 dp. Top-k partners per
+    item via a per-item rank window.
+
+    Scale shape: identical to frequent_pairs — a-priori item prune
+    before the per-basket self-join bounds the pair explosion; the
+    symmetrized pair table (2 rows per pair) is output-sized;
+    denominators come from the UNPRUNED item counts (an item's basket
+    frequency, not its post-prune frequency). Returns (item, partner,
+    n_co, cosine_sim, rank)."""
+    from pyspark.sql import Window
+
+    b = (
+        df.select(
+            F.col(basket_col).alias("bk"), F.col(item_col).alias("it")
+        )
+        .filter(F.col(basket_col).isNotNull() & F.col(item_col).isNotNull())
+        .distinct()
+    )
+    item_cnt = b.groupBy("it").agg(F.count(F.lit(1)).alias("c"))
+    bf = b.join(
+        item_cnt.filter(F.col("c") >= min_pair_count).select("it"),
+        "it",
+        "left_semi",
+    )
+    pairs = (
+        bf.alias("a")
+        .join(
+            bf.alias("z"),
+            (F.col("a.bk") == F.col("z.bk"))
+            & (F.col("a.it") < F.col("z.it")),
+        )
+        .select(F.col("a.it").alias("p1"), F.col("z.it").alias("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("pc"))
+        .filter(F.col("pc") >= min_pair_count)
+    )
+    sym = pairs.select(
+        F.col("p1").alias("item"), F.col("p2").alias("partner"), "pc"
+    ).union(
+        pairs.select(
+            F.col("p2").alias("item"), F.col("p1").alias("partner"), "pc"
+        )
+    )
+    ca = item_cnt.select(F.col("it").alias("item"), F.col("c").alias("ci"))
+    cb = item_cnt.select(
+        F.col("it").alias("partner"), F.col("c").alias("cj")
+    )
+    j = (
+        sym.join(ca, "item")
+        .join(cb, "partner")
+        .select(
+            "item",
+            "partner",
+            F.col("pc").alias("n_co"),
+            F.round(
+                F.col("pc") / F.sqrt(F.col("ci") * F.col("cj")), 6
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.col("cosine_sim").desc(), "partner"
+    )
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("item", "rank")
+    )

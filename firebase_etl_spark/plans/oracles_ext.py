@@ -3786,3 +3786,36 @@ ORACLES_EXT["customer_revenue_pareto"] = """
     FROM per p JOIN cum c USING (decile), tot
     ORDER BY p.decile DESC
 """
+
+
+ORACLES_EXT["part_similar_items"] = """
+    WITH b AS (
+        SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+    ), ic AS (
+        SELECT it, count(*) AS c FROM b GROUP BY it
+    ), bf AS (
+        SELECT b.bk, b.it FROM b JOIN ic ON b.it = ic.it AND ic.c >= 2
+    ), e AS (
+        SELECT a.it AS p1, z.it AS p2, count(*) AS pc
+        FROM bf a JOIN bf z ON a.bk = z.bk AND a.it < z.it
+        GROUP BY a.it, z.it HAVING count(*) >= 2
+    ), sym AS (
+        SELECT p1 AS item, p2 AS partner, pc FROM e
+        UNION ALL
+        SELECT p2, p1, pc FROM e
+    ), j AS (
+        SELECT s.item, s.partner, s.pc AS n_co,
+               round(s.pc / sqrt(ca.c * cb.c), 6) AS cosine_sim
+        FROM sym s
+        JOIN ic ca ON s.item = ca.it
+        JOIN ic cb ON s.partner = cb.it
+    )
+    SELECT item, partner, n_co, cosine_sim, CAST(rank AS INT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY item ORDER BY cosine_sim DESC, partner
+        ) AS rank FROM j
+    ) WHERE rank <= 3
+    ORDER BY item, rank
+"""

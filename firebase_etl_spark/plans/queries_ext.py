@@ -3615,3 +3615,15 @@ def nation_trade_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("n_name").alias("nation"), "rank_e12")
         .orderBy(F.col("rank_e12").desc(), "nation")
     )
+
+
+def part_similar_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering (operators/basket.py:
+    item_similarity): top-3 'bought together' partners per part by
+    binary-cosine c_ij/sqrt(c_i*c_j) over order baskets — the classic
+    recsys primitive on the same pruned pair machinery as
+    part_copurchase_pairs."""
+    from firebase_etl_spark.operators.basket import item_similarity
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return item_similarity(li, "l_orderkey", "l_partkey", 2, 3)

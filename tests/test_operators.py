@@ -750,6 +750,30 @@ def test_kcore_ladder_and_path_parity(spark):
         assert got == expect, f"threshold={thresh}"
 
 
+def test_item_similarity_binary_cosine(spark):
+    """Hand-computed binary cosine: items A,B share 2 of their baskets
+    (c_A=3, c_B=2 => cos = 2/sqrt(6)); the pair (A,C) below
+    min_pair_count is absent; both directions are emitted."""
+    from firebase_etl_spark.operators.basket import item_similarity
+
+    rows = [
+        (1, "A"), (1, "B"),
+        (2, "A"), (2, "B"),
+        (3, "A"), (3, "C"),
+        (4, "C"),
+    ]
+    df = spark.createDataFrame(rows, "bk long, it string")
+    out = {
+        (r["item"], r["partner"]): (r["n_co"], r["cosine_sim"], r["rank"])
+        for r in item_similarity(df, "bk", "it", 2, 3).collect()
+    }
+    expect_cos = round(2 / (3 * 2) ** 0.5, 6)
+    assert out == {
+        ("A", "B"): (2, expect_cos, 1),
+        ("B", "A"): (2, expect_cos, 1),
+    }
+
+
 def test_personalized_pagerank_concentrates_on_seeds(spark):
     """PPR on a two-hub graph: seeding hub A must rank A's neighborhood
     above B's (uniform PageRank ranks them identically by symmetry);
