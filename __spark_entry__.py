@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_revenue_pareto": QX.customer_revenue_pareto,
         "nation_trade_ppr": QX.nation_trade_ppr,
         "part_similar_items": QX.part_similar_items,
+        "events_growth_accounting": QX.events_growth_accounting,
         "orders_rollup": QX.orders_rollup,
         "top_customer_revenue": QX.top_customer_revenue,
         "mktsegment_order_priority_pivot": QX.mktsegment_order_priority_pivot,

@@ -3819,3 +3819,37 @@ ORACLES_EXT["part_similar_items"] = """
     ) WHERE rank <= 3
     ORDER BY item, rank
 """
+
+
+ORACLES_EXT["events_growth_accounting"] = """
+    WITH ud AS (
+        -- CAST: DuckDB's date_trunc('day') yields DATE, Spark's a
+        -- timestamp — the day column is part of the hashed output
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
+        FROM events WHERE user_id IS NOT NULL
+    ), first_seen AS (
+        SELECT user_id, min(d) AS f FROM ud GROUP BY user_id
+    ), base AS (
+        SELECT d, count(*) AS dau,
+               CAST(sum(CASE WHEN f = d THEN 1 ELSE 0 END) AS BIGINT)
+                   AS new_users
+        FROM ud JOIN first_seen USING (user_id) GROUP BY d
+    ), y AS (
+        SELECT user_id, d + INTERVAL 1 DAY AS d FROM ud
+    ), ret AS (
+        SELECT d, count(*) AS retained
+        FROM ud JOIN y USING (user_id, d) GROUP BY d
+    ), prev AS (
+        SELECT d, count(*) AS prev_dau FROM y GROUP BY d
+    )
+    SELECT b.d AS day, b.dau, b.new_users,
+           coalesce(r.retained, 0) AS retained,
+           b.dau - b.new_users - coalesce(r.retained, 0) AS resurrected,
+           coalesce(p.prev_dau, 0) - coalesce(r.retained, 0)
+               AS churned_from_prev
+    FROM base b
+    LEFT JOIN ret r ON b.d = r.d
+    LEFT JOIN prev p ON b.d = p.d
+    ORDER BY day
+"""

@@ -3627,3 +3627,60 @@ def part_similar_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, "lineitem", sf_dir)
     return item_similarity(li, "l_orderkey", "l_partkey", 2, 3)
+
+
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting: DAU decomposed into new (first ever
+    seen), retained (also active the previous day) and resurrected
+    (returning after a gap), plus churned_from_prev (active yesterday,
+    gone today) — the standard product-analytics identity
+    dau = new + retained + resurrected, checked per day by the oracle.
+    One distinct (user, day) pass; yesterday's actives join via a
+    day-shifted copy — all-integer set arithmetic, reported over the
+    days observed in the data."""
+    e = load_table(spark, "events", sf_dir).filter(
+        F.col("user_id").isNotNull()
+    )
+    ud = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    ).distinct()
+    first = ud.groupBy("user_id").agg(F.min("d").alias("f"))
+    base = (
+        ud.join(first, "user_id")
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).alias("dau"),
+            F.sum((F.col("f") == F.col("d")).cast("long")).alias(
+                "new_users"
+            ),
+        )
+    )
+    y = ud.select(
+        "user_id", (F.col("d") + F.expr("INTERVAL 1 DAY")).alias("d")
+    )
+    retained = (
+        ud.join(y, ["user_id", "d"])
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("retained"))
+    )
+    prev = y.groupBy("d").agg(F.count(F.lit(1)).alias("prev_dau"))
+    return (
+        base.join(retained, "d", "left")
+        .join(prev, "d", "left")
+        .select(
+            F.col("d").alias("day"),
+            "dau",
+            "new_users",
+            F.coalesce("retained", F.lit(0)).alias("retained"),
+            (
+                F.col("dau")
+                - F.col("new_users")
+                - F.coalesce("retained", F.lit(0))
+            ).alias("resurrected"),
+            (
+                F.coalesce("prev_dau", F.lit(0))
+                - F.coalesce("retained", F.lit(0))
+            ).alias("churned_from_prev"),
+        )
+        .orderBy("day")
+    )
