@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_trade_ppr": QX.nation_trade_ppr,
         "part_similar_items": QX.part_similar_items,
         "events_growth_accounting": QX.events_growth_accounting,
+        "nation_trade_hits": QX.nation_trade_hits,
         "orders_rollup": QX.orders_rollup,
         "top_customer_revenue": QX.top_customer_revenue,
         "mktsegment_order_priority_pivot": QX.mktsegment_order_priority_pivot,

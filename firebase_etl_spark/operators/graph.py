@@ -644,3 +644,121 @@ def _kcore_local(spark, cur: DataFrame, ks, max_iter: int) -> DataFrame:
     return spark.createDataFrame(
         out, "k int, n_core_nodes long, n_core_edges long, converged boolean"
     )
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    n_iter: int = 8,
+    checkpoint_every: int = 2,
+    local_edge_threshold: int = 2_000_000,
+) -> DataFrame:
+    """Weighted HITS (Kleinberg 1999) in fixed-point integer arithmetic:
+    authority(v) = sum of incoming hub*weight, hub(u) = sum of outgoing
+    authority*weight, each L1-renormalized per round — completing the
+    link-analysis trio next to (personalized) PageRank. On a trade
+    graph hubs are the big buyers, authorities the big suppliers; the
+    two sides need not coincide (PageRank conflates them).
+
+    Determinism: the renormalization is ``raw div (tot div SCALE, min
+    1)`` — divisor-first so every intermediate stays inside int64 on
+    BOTH engines (raw * SCALE would need int128, which DuckDB's HUGEINT
+    sums would silently provide and Spark's longs would not — the
+    asymmetry this formulation avoids). All sums are integer and
+    associative; fixed ``n_iter`` rounds. Overflow headroom: like
+    pagerank, SCALE * total_edge_weight must stay under 2^63 — heavier
+    graphs pre-normalize weights.
+
+    Returns (node, hub_e12, auth_e12); scores sum to ~PR_SCALE per
+    side. Below ``local_edge_threshold`` edges the identical recurrence
+    runs driver-side (parity pytest-pinned)."""
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"),
+        F.col(weight).alias("w"),
+    ).localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    n_edges = e.count()
+    if n_edges <= local_edge_threshold:
+        return _hits_local(spark, e, n_iter)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    h = nodes.withColumn("s", F.lit(PR_SCALE // n).cast("long"))
+    a = nodes.withColumn("s", F.lit(0).cast("long"))
+
+    def _step(scores, key_join, key_group):
+        raw = (
+            e.join(scores, e[key_join] == scores.node)
+            .select(F.col(key_group).alias("node"), F.expr("s * w").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("raw"))
+        )
+        tot = raw.agg(
+            F.greatest(
+                F.expr(f"sum(raw) div {PR_SCALE}"), F.lit(1)
+            ).alias("t")
+        )
+        return (
+            nodes.join(raw, "node", "left")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "node",
+                F.expr("coalesce(raw, 0L) div t").alias("s"),
+            )
+        )
+
+    for it in range(n_iter):
+        a = _step(h, "src", "dst")
+        h = _step(a, "dst", "src")
+        if (it + 1) % checkpoint_every == 0:
+            a = a.localCheckpoint(eager=True)
+            h = h.localCheckpoint(eager=True)
+    return (
+        h.select("node", F.col("s").alias("hub_e12"))
+        .join(a.select("node", F.col("s").alias("auth_e12")), "node")
+    )
+
+
+def _hits_local(spark, e: DataFrame, n_iter: int) -> DataFrame:
+    """Driver-side twin of the distributed HITS loop — identical integer
+    recurrence (divisor-first renormalization)."""
+    rows = [(r["src"], r["dst"], r["w"]) for r in e.collect()]
+    node_ids = sorted({u for u, _, _ in rows} | {v for _, v, _ in rows})
+    n = len(node_ids)
+    if n == 0:
+        return spark.createDataFrame(
+            [], "node long, hub_e12 long, auth_e12 long"
+        )
+    h = dict.fromkeys(node_ids, PR_SCALE // n)
+    a = dict.fromkeys(node_ids, 0)
+
+    def _norm(raw):
+        t = max(sum(raw.values()) // PR_SCALE, 1)
+        return {v: raw.get(v, 0) // t for v in node_ids}
+
+    for _ in range(n_iter):
+        ar: dict = {}
+        for u, v, w in rows:
+            ar[v] = ar.get(v, 0) + h[u] * w
+        a = _norm(ar)
+        hr: dict = {}
+        for u, v, w in rows:
+            hr[u] = hr.get(u, 0) + a[v] * w
+        h = _norm(hr)
+    node_type = e.schema["src"].dataType
+    schema = StructType(
+        [
+            StructField("node", node_type, False),
+            StructField("hub_e12", LongType(), False),
+            StructField("auth_e12", LongType(), False),
+        ]
+    )
+    return spark.createDataFrame(
+        [(v, h[v], a[v]) for v in node_ids], schema
+    )

@@ -3853,3 +3853,64 @@ ORACLES_EXT["events_growth_accounting"] = """
     LEFT JOIN prev p ON b.d = p.d
     ORDER BY day
 """
+
+
+def _hits_oracle(n_iter: int = 8) -> str:
+    """Generated replay of operators/graph.py:hits on the nation trade
+    graph — two CTE layers (authority, hub) per round, divisor-first
+    integer renormalization identical to the Spark loop."""
+    layers = [
+        """edges AS MATERIALIZED (
+        SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+               CAST(s.s_nationkey AS BIGINT) AS dst,
+               count(*) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2
+    ),
+    nodes AS MATERIALIZED (
+        SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges
+    ),
+    h0 AS (
+        SELECT node,
+               CAST(1000000000000 // (SELECT count(*) FROM nodes) AS BIGINT)
+                   AS s
+        FROM nodes
+    )"""
+    ]
+    for i in range(n_iter):
+        layers.append(
+            f"""a{i}_raw AS MATERIALIZED (
+        SELECT e.dst AS node, CAST(sum(h.s * e.w) AS BIGINT) AS raw
+        FROM h{i} h JOIN edges e ON h.node = e.src GROUP BY e.dst),
+    a{i} AS MATERIALIZED (
+        SELECT n.node,
+               CAST(coalesce(r.raw, 0)
+                    // greatest((SELECT sum(raw) FROM a{i}_raw)
+                                // 1000000000000, 1) AS BIGINT) AS s
+        FROM nodes n LEFT JOIN a{i}_raw r USING (node)),
+    h{i + 1}_raw AS MATERIALIZED (
+        SELECT e.src AS node, CAST(sum(a.s * e.w) AS BIGINT) AS raw
+        FROM a{i} a JOIN edges e ON a.node = e.dst GROUP BY e.src),
+    h{i + 1} AS MATERIALIZED (
+        SELECT n.node,
+               CAST(coalesce(r.raw, 0)
+                    // greatest((SELECT sum(raw) FROM h{i + 1}_raw)
+                                // 1000000000000, 1) AS BIGINT) AS s
+        FROM nodes n LEFT JOIN h{i + 1}_raw r USING (node))"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(layers)
+        + f"""
+    SELECT nn.n_name AS nation, h.s AS hub_e12, a.s AS auth_e12
+    FROM h{n_iter} h
+    JOIN a{n_iter - 1} a USING (node)
+    JOIN nation nn ON h.node = nn.n_nationkey
+    ORDER BY auth_e12 DESC, nation"""
+    )
+
+
+ORACLES_EXT["nation_trade_hits"] = _hits_oracle()

@@ -3684,3 +3684,34 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+def nation_trade_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities on the nation trade graph (operators/
+    graph.py:hits, 8 rounds): hubs = the big buying markets, authorities
+    = the big supplying markets — the two sides PageRank conflates.
+    All-integer divisor-first renormalization; the oracle unrolls every
+    round."""
+    from firebase_etl_spark.operators.graph import hits
+
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    c = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    s = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    n = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").cast("long").alias("src"),
+            F.col("s_nationkey").cast("long").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    scores = hits(edges, n_iter=8)
+    return (
+        scores.join(F.broadcast(n), scores.node == n.n_nationkey)
+        .select(F.col("n_name").alias("nation"), "hub_e12", "auth_e12")
+        .orderBy(F.col("auth_e12").desc(), "nation")
+    )

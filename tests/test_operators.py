@@ -750,6 +750,31 @@ def test_kcore_ladder_and_path_parity(spark):
         assert got == expect, f"threshold={thresh}"
 
 
+def test_hits_separates_hubs_from_authorities(spark):
+    """A pure-hub/pure-authority bipartite graph: node 1 points at
+    {10,11,12}, node 2 at {10}. Node 1 must out-hub node 2, node 10
+    must out-authority 11/12, sources have zero authority and sinks
+    zero hub; both execution paths agree bit-for-bit."""
+    from firebase_etl_spark.operators.graph import hits
+
+    edges = [(1, 10, 1), (1, 11, 1), (1, 12, 1), (2, 10, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    local = {
+        r["node"]: (r["hub_e12"], r["auth_e12"])
+        for r in hits(df, n_iter=6).collect()
+    }
+    dist = {
+        r["node"]: (r["hub_e12"], r["auth_e12"])
+        for r in hits(df, n_iter=6, local_edge_threshold=0).collect()
+    }
+    assert local == dist
+    assert local[1][0] > local[2][0] > 0
+    assert local[10][1] > local[11][1] > 0
+    assert local[11] == local[12]
+    assert local[1][1] == local[2][1] == 0, "pure sources: no authority"
+    assert local[10][0] == 0, "pure sinks: no hub score"
+
+
 def test_item_similarity_binary_cosine(spark):
     """Hand-computed binary cosine: items A,B share 2 of their baskets
     (c_A=3, c_B=2 => cos = 2/sqrt(6)); the pair (A,C) below
