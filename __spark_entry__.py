@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_similar_items": QX.part_similar_items,
         "events_growth_accounting": QX.events_growth_accounting,
         "nation_trade_hits": QX.nation_trade_hits,
+        "orders_contract_report": QX.orders_contract_report,
         "orders_rollup": QX.orders_rollup,
         "top_customer_revenue": QX.top_customer_revenue,
         "mktsegment_order_priority_pivot": QX.mktsegment_order_priority_pivot,

@@ -81,3 +81,104 @@ def required_columns_report(df: DataFrame, required: tuple[str, ...] = ("id", "e
         "null_counts": counts,
         "total_rows": total,
     }
+
+
+def table_contract_report(df: DataFrame, rules: list) -> DataFrame:
+    """Declarative table-contract audit (the dbt-test / expectation-suite
+    capability): evaluate a list of rules in ONE scan plus one tiny
+    aggregate per uniqueness rule, returning one row per rule —
+    (rule, column, n_rows, n_violations, violation_rate, passed).
+    Generalizes the user-pipeline validation split (split_valid) from
+    the fixed User schema to any table; violations are COUNTED here,
+    not quarantined — contracts gate publication, the split gates rows.
+
+    ``rules`` entries are tuples:
+      ("not_null",  col, max_null_rate)        — null share <= cap
+      ("in_set",    col, [allowed, ...])        — non-null values in set
+      ("range",     col, lo, hi)                — non-null values in [lo, hi]
+      ("unique",    col, None)                  — no duplicate non-null keys
+
+    Row-level rules compile to conditional sums in a single aggregate
+    (one scan regardless of rule count); each ``unique`` rule is one
+    keyed aggregate counting rows in key groups of size > 1. All counts
+    integer; the rate is one rounded division."""
+    row_exprs = []
+    meta = []
+    uniques = []
+    n_rows = F.count(F.lit(1))
+    for rule in rules:
+        kind, col = rule[0], rule[1]
+        if kind == "not_null":
+            row_exprs.append(
+                F.sum(F.col(col).isNull().cast("long")).alias(
+                    f"__v{len(meta)}"
+                )
+            )
+            meta.append((kind, col, float(rule[2])))
+        elif kind == "in_set":
+            row_exprs.append(
+                F.sum(
+                    (
+                        F.col(col).isNotNull()
+                        & ~F.col(col).isin(list(rule[2]))
+                    ).cast("long")
+                ).alias(f"__v{len(meta)}")
+            )
+            meta.append((kind, col, 0.0))
+        elif kind == "range":
+            lo, hi = rule[2], rule[3]
+            row_exprs.append(
+                F.sum(
+                    (
+                        F.col(col).isNotNull()
+                        & ((F.col(col) < lo) | (F.col(col) > hi))
+                    ).cast("long")
+                ).alias(f"__v{len(meta)}")
+            )
+            meta.append((kind, col, 0.0))
+        elif kind == "unique":
+            uniques.append(col)
+        else:  # pragma: no cover - caller error
+            raise ValueError(f"unknown contract rule kind: {kind}")
+    agg = df.agg(n_rows.alias("__n"), *row_exprs)
+    outs = []
+    for i, (kind, col, cap) in enumerate(meta):
+        outs.append(
+            agg.select(
+                F.lit(f"{kind}:{col}").alias("rule"),
+                F.lit(col).alias("column"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__v{i}").alias("n_violations"),
+                F.round(F.col(f"__v{i}") / F.col("__n"), 6).alias(
+                    "violation_rate"
+                ),
+                (F.col(f"__v{i}") / F.col("__n") <= cap).alias("passed"),
+            )
+        )
+    for col in uniques:
+        dup = (
+            df.filter(F.col(col).isNotNull())
+            .groupBy(col)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0)
+                ).alias("__v")
+            )
+        )
+        outs.append(
+            agg.crossJoin(F.broadcast(dup)).select(
+                F.lit(f"unique:{col}").alias("rule"),
+                F.lit(col).alias("column"),
+                F.col("__n").alias("n_rows"),
+                F.col("__v").alias("n_violations"),
+                F.round(F.col("__v") / F.col("__n"), 6).alias(
+                    "violation_rate"
+                ),
+                (F.col("__v") == 0).alias("passed"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("rule")

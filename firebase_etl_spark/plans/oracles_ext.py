@@ -3914,3 +3914,47 @@ def _hits_oracle(n_iter: int = 8) -> str:
 
 
 ORACLES_EXT["nation_trade_hits"] = _hits_oracle()
+
+
+ORACLES_EXT["orders_contract_report"] = """
+    WITH base AS (
+        SELECT count(*) AS n,
+               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS v_custkey,
+               CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS v_comment,
+               CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+                              AND o_orderstatus NOT IN ('F', 'O', 'P')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS v_status,
+               CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+                              AND (o_totalprice < 0.0
+                                   OR o_totalprice > 10000000.0)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS v_price
+        FROM orders
+    ), dup AS (
+        SELECT CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT)
+                   AS v
+        FROM (SELECT count(*) AS c FROM orders
+              WHERE o_orderkey IS NOT NULL GROUP BY o_orderkey)
+    )
+    SELECT rule, "column", n_rows, n_violations,
+           round(n_violations / n_rows, 6) AS violation_rate, passed
+    FROM (
+        SELECT 'not_null:o_custkey' AS rule, 'o_custkey' AS "column",
+               n AS n_rows, v_custkey AS n_violations,
+               v_custkey / n <= 0.0 AS passed FROM base
+        UNION ALL
+        SELECT 'not_null:o_orderpriority', 'o_orderpriority', n, v_comment,
+               v_comment / n <= 0.5 FROM base
+        UNION ALL
+        SELECT 'in_set:o_orderstatus', 'o_orderstatus', n, v_status,
+               v_status / n <= 0.0 FROM base
+        UNION ALL
+        SELECT 'range:o_totalprice', 'o_totalprice', n, v_price,
+               v_price / n <= 0.0 FROM base
+        UNION ALL
+        SELECT 'unique:o_orderkey', 'o_orderkey', base.n, dup.v,
+               dup.v = 0 FROM base, dup
+    )
+    ORDER BY rule
+"""

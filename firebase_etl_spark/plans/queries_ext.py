@@ -3715,3 +3715,24 @@ def nation_trade_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("n_name").alias("nation"), "hub_e12", "auth_e12")
         .orderBy(F.col("auth_e12").desc(), "nation")
     )
+
+
+def orders_contract_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-contract audit over orders (operators/
+    validate.py:table_contract_report): key uniqueness, enum domain,
+    positive totals, non-null customer — one scan for all row-level
+    rules + one keyed aggregate for the uniqueness rule. The
+    publication gate a warehouse table passes before it ships."""
+    from firebase_etl_spark.operators.validate import table_contract_report
+
+    o = load_table(spark, "orders", sf_dir)
+    return table_contract_report(
+        o,
+        [
+            ("unique", "o_orderkey", None),
+            ("not_null", "o_custkey", 0.0),
+            ("in_set", "o_orderstatus", ["F", "O", "P"]),
+            ("range", "o_totalprice", 0.0, 1e7),
+            ("not_null", "o_orderpriority", 0.5),
+        ],
+    )

@@ -750,6 +750,40 @@ def test_kcore_ladder_and_path_parity(spark):
         assert got == expect, f"threshold={thresh}"
 
 
+def test_table_contract_rules_hand_computed(spark):
+    """Every rule kind against a planted table: null caps (one passing
+    under its cap, one failing), enum domain, numeric range, and key
+    uniqueness with the duplicated rows counted (not the keys)."""
+    from firebase_etl_spark.operators.validate import table_contract_report
+
+    rows = [
+        (1, "A", 10.0),
+        (1, "A", 20.0),  # duplicate key 1 => 2 violating rows
+        (2, "B", -5.0),  # below range lo
+        (3, "X", 30.0),  # outside enum
+        (4, None, None),  # null status + null amount
+    ]
+    df = spark.createDataFrame(rows, "k int, status string, amt double")
+    out = {
+        r["rule"]: (r["n_violations"], r["violation_rate"], r["passed"])
+        for r in table_contract_report(
+            df,
+            [
+                ("unique", "k", None),
+                ("not_null", "status", 0.5),
+                ("not_null", "amt", 0.0),
+                ("in_set", "status", ["A", "B"]),
+                ("range", "amt", 0.0, 100.0),
+            ],
+        ).collect()
+    }
+    assert out["unique:k"] == (2, 0.4, False)
+    assert out["not_null:status"] == (1, 0.2, True)  # under the 0.5 cap
+    assert out["not_null:amt"] == (1, 0.2, False)
+    assert out["in_set:status"] == (1, 0.2, False)
+    assert out["range:amt"] == (1, 0.2, False)
+
+
 def test_hits_separates_hubs_from_authorities(spark):
     """A pure-hub/pure-authority bipartite graph: node 1 points at
     {10,11,12}, node 2 at {10}. Node 1 must out-hub node 2, node 10
