@@ -3958,3 +3958,41 @@ ORACLES_EXT["orders_contract_report"] = """
     )
     ORDER BY rule
 """
+
+
+ORACLES_EXT["orders_column_profile"] = """
+    WITH long AS (
+        SELECT 'o_orderkey' AS col_name, CAST(o_orderkey AS VARCHAR) AS value FROM orders
+        UNION ALL
+        SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', CAST(o_orderstatus AS VARCHAR) FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', CAST(o_totalprice AS VARCHAR) FROM orders
+        UNION ALL
+        SELECT 'o_orderdate', CAST(o_orderdate AS VARCHAR) FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR) FROM orders
+    ), counts AS (
+        SELECT col_name, value, count(*) AS c
+        FROM long GROUP BY col_name, value
+    )
+    SELECT col_name AS "column",
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(coalesce(sum(CASE WHEN value IS NULL THEN c END), 0)
+                AS BIGINT) AS n_nulls,
+           CAST(sum(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_distinct,
+           CAST(max(CASE WHEN value IS NOT NULL THEN c END) AS BIGINT)
+               AS top_count,
+           round(max(CASE WHEN value IS NOT NULL THEN c END)
+                 / sum(CASE WHEN value IS NOT NULL THEN c ELSE 0 END), 6)
+               AS top_share,
+           round(ln(sum(CASE WHEN value IS NOT NULL THEN c ELSE 0 END))
+                 - (CAST(sum(CASE WHEN value IS NOT NULL THEN
+                        CAST(round(c * ln(c) * 1000000.0 + 1e-9, 0)
+                             AS BIGINT) ELSE 0 END) AS DOUBLE) / 1000000.0)
+                   / sum(CASE WHEN value IS NOT NULL THEN c ELSE 0 END),
+                 6) AS entropy_nats
+    FROM counts GROUP BY col_name ORDER BY col_name
+"""

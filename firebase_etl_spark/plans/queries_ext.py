@@ -3736,3 +3736,75 @@ def orders_contract_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("not_null", "o_orderpriority", 0.5),
         ],
     )
+
+
+def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profiling report over orders — the data-profiling
+    staple feeding catalog UIs and anomaly baselines: null count,
+    distinct cardinality, top-value concentration, and Shannon entropy
+    per column. ONE scan: every column unpivots (stack) to
+    (column, value-as-string) rows, one grouped count, then a per-column
+    aggregate. Values are grouping keys only and never output, so
+    engine-specific float->string formatting cannot flip the hash (cast
+    is injective; only the count multiset matters). Entropy uses the
+    fixed-point pattern: per-value c*ln(c) rounded once to 1e-6 BIGINTs,
+    integer-summed, and H = ln(n) - sum/n in one mirrored expression.
+    top_count is max(c) — an integer, no tie-break needed."""
+    o = load_table(spark, "orders", sf_dir)
+    cols = [
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority",
+    ]
+    stack_args = ", ".join(
+        f"'{c}', cast({c} as string)" for c in cols
+    )
+    long = o.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) as (col_name, value)"
+        )
+    )
+    counts = long.groupBy("col_name", "value").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    nn = F.sum(F.when(F.col("value").isNotNull(), F.col("c")).otherwise(0))
+    sum_e6 = F.sum(
+        F.when(
+            F.col("value").isNotNull(),
+            F.round(
+                F.col("c") * F.log("c") * 1000000.0 + 1e-9, 0
+            ).cast("long"),
+        ).otherwise(F.lit(0))
+    )
+    return (
+        counts.groupBy("col_name")
+        .agg(
+            F.sum("c").alias("n_rows"),
+            F.coalesce(
+                F.sum(F.when(F.col("value").isNull(), F.col("c"))), F.lit(0)
+            ).alias("n_nulls"),
+            F.sum(F.col("value").isNotNull().cast("long")).alias(
+                "n_distinct"
+            ),
+            F.max(
+                F.when(F.col("value").isNotNull(), F.col("c"))
+            ).alias("top_count"),
+            nn.alias("__nn"),
+            sum_e6.alias("__s"),
+        )
+        .select(
+            F.col("col_name").alias("column"),
+            "n_rows",
+            "n_nulls",
+            "n_distinct",
+            "top_count",
+            F.round(F.col("top_count") / F.col("__nn"), 6).alias(
+                "top_share"
+            ),
+            F.round(
+                F.log("__nn")
+                - (F.col("__s").cast("double") / 1000000.0) / F.col("__nn"),
+                6,
+            ).alias("entropy_nats"),
+        )
+        .orderBy("column")
+    )
