@@ -3996,3 +3996,36 @@ ORACLES_EXT["orders_column_profile"] = """
                  6) AS entropy_nats
     FROM counts GROUP BY col_name ORDER BY col_name
 """
+
+
+ORACLES_EXT["events_autocorrelation"] = """
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    ), pairs AS (
+        SELECT a.event_type, lag.lag, a.n AS x, b.n AS y
+        FROM daily a
+        CROSS JOIN (SELECT unnest([1, 2, 3]) AS lag) lag
+        JOIN daily b
+          ON b.event_type = a.event_type
+         AND b.d = a.d + lag.lag * INTERVAL 1 DAY
+    ), s AS (
+        SELECT event_type, lag,
+               CAST(count(*) AS BIGINT) AS m_int,
+               CAST(count(*) AS DOUBLE) AS m,
+               CAST(sum(x) AS DOUBLE) AS sx,
+               CAST(sum(y) AS DOUBLE) AS sy,
+               CAST(sum(x * y) AS DOUBLE) AS sxy,
+               CAST(sum(x * x) AS DOUBLE) AS sxx,
+               CAST(sum(y * y) AS DOUBLE) AS syy
+        FROM pairs GROUP BY event_type, lag
+    )
+    SELECT event_type, CAST(lag AS INT) AS lag, m_int AS n_pairs,
+           CASE WHEN (m * sxx - sx * sx) * (m * syy - sy * sy) > 0
+                THEN round((m * sxy - sx * sy)
+                           / sqrt((m * sxx - sx * sx)
+                                  * (m * syy - sy * sy)), 6)
+           END AS acf
+    FROM s ORDER BY event_type, lag
+"""

@@ -3808,3 +3808,57 @@ def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("column")
     )
+
+
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of daily per-type event counts at lags 1-3 — the
+    seasonality/momentum screen next to the level (median/MAD) and trend
+    (Theil-Sen) screens: high lag-1 r means momentum, a lag-7 spike
+    would mean weekly seasonality. Defined over OBSERVED day pairs
+    (both d and d+lag present), so gaps shrink the pair count instead of
+    injecting synthetic zeros. Daily counts are integers, so all five
+    regression sums are exact and Pearson r leaves them in one mirrored
+    fixed-order expression (NULL when a side is constant)."""
+    e = load_table(spark, "events", sf_dir)
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    a = daily.select(
+        "event_type",
+        "d",
+        F.col("n").alias("x"),
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("lag"),
+    )
+    b = daily.select(
+        "event_type", F.col("d").alias("d2"), F.col("n").alias("y")
+    )
+    pairs = a.join(
+        b,
+        (a.event_type == b.event_type)
+        & (
+            F.col("d2")
+            == F.col("d") + F.expr("make_interval(0, 0, 0, lag)")
+        ),
+    ).select(a.event_type, "lag", "x", "y")
+    s = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    m = F.col("m").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    cov = m * F.col("sxy").cast("double") - sx * sy
+    varx = m * F.col("sxx").cast("double") - sx * sx
+    vary = m * F.col("syy").cast("double") - sy * sy
+    return s.select(
+        "event_type",
+        "lag",
+        F.col("m").alias("n_pairs"),
+        F.when(
+            (varx * vary) > 0, F.round(cov / F.sqrt(varx * vary), 6)
+        ).alias("acf"),
+    ).orderBy("event_type", "lag")
