@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_contract_report": QX.orders_contract_report,
         "orders_column_profile": QX.orders_column_profile,
         "events_autocorrelation": QX.events_autocorrelation,
+        "orders_target_encoding": QX.orders_target_encoding,
         "orders_rollup": QX.orders_rollup,
         "top_customer_revenue": QX.top_customer_revenue,
         "mktsegment_order_priority_pivot": QX.mktsegment_order_priority_pivot,

@@ -4029,3 +4029,28 @@ ORACLES_EXT["events_autocorrelation"] = """
            END AS acf
     FROM s ORDER BY event_type, lag
 """
+
+
+ORACLES_EXT["orders_target_encoding"] = """
+    WITH w AS (
+        SELECT o_orderkey, o_orderpriority AS cat,
+               CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS y
+        FROM orders
+    ), cat AS (
+        SELECT cat, count(*) AS cn, CAST(sum(y) AS BIGINT) AS cs
+        FROM w GROUP BY cat
+    ), gstats AS (
+        SELECT count(*) AS gn, CAST(sum(y) AS BIGINT) AS gs FROM w
+    )
+    SELECT s.o_orderkey, s.cat AS priority,
+           round(CAST(s.y AS DOUBLE) / 100.0, 2) AS target,
+           CASE WHEN c.cn > 1 THEN
+               round(CAST(c.cs - s.y AS DOUBLE) / (c.cn - 1) / 100.0, 6)
+           END AS loo_enc,
+           round((CAST(c.cs AS DOUBLE)
+                  + 100.0 * (CAST(g.gs AS DOUBLE) / g.gn))
+                 / (c.cn + 100.0) / 100.0, 6) AS smoothed_enc
+    FROM w s JOIN cat c USING (cat), gstats g
+    WHERE s.o_orderkey % 293 = 0
+    ORDER BY s.o_orderkey
+"""

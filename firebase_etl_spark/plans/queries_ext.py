@@ -3862,3 +3862,56 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             (varx * vary) > 0, F.round(cov / F.sqrt(varx * vary), 6)
         ).alias("acf"),
     ).orderBy("event_type", "lag")
+
+
+def orders_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe categorical target encoding — the ML-prep staple:
+    for a deterministic row sample (o_orderkey % 293 == 0), encode
+    o_orderpriority against o_totalprice as (a) LEAVE-ONE-OUT mean
+    ((cat_sum - own_y) / (cat_n - 1) — the row's own target never leaks
+    into its feature) and (b) the m=100 smoothed mean
+    ((cat_sum + m * global_mean) / (cat_n + m) — shrinks rare categories
+    toward the prior). Category and global stats are one aggregate each
+    (broadcast back); targets stay fixed-point BIGINT cents so every
+    encoding is one exact-integer-fed mirrored expression. NULL LOO for
+    singleton categories."""
+    o = load_table(spark, "orders", sf_dir)
+    cents = F.round(F.col("o_totalprice") * 100.0, 0).cast("long")
+    w = o.select(
+        "o_orderkey", F.col("o_orderpriority").alias("cat"),
+        cents.alias("y"),
+    )
+    cat = w.groupBy("cat").agg(
+        F.count(F.lit(1)).alias("cn"), F.sum("y").alias("cs")
+    )
+    glob = w.agg(
+        F.count(F.lit(1)).alias("gn"), F.sum("y").alias("gs")
+    )
+    m = 100.0
+    sample = w.filter(F.col("o_orderkey") % 293 == 0)
+    gmean = F.col("gs").cast("double") / F.col("gn")
+    return (
+        sample.join(F.broadcast(cat), "cat")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "o_orderkey",
+            F.col("cat").alias("priority"),
+            F.round(F.col("y").cast("double") / 100.0, 2).alias("target"),
+            F.when(
+                F.col("cn") > 1,
+                F.round(
+                    (F.col("cs") - F.col("y")).cast("double")
+                    / (F.col("cn") - 1)
+                    / 100.0,
+                    6,
+                ),
+            ).alias("loo_enc"),
+            F.round(
+                (F.col("cs").cast("double") + F.lit(m) * gmean)
+                / (F.col("cn") + F.lit(m))
+                / 100.0,
+                6,
+            ).alias("smoothed_enc"),
+        )
+        .orderBy("o_orderkey")
+    )
