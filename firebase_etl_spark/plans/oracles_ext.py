@@ -4054,3 +4054,27 @@ ORACLES_EXT["orders_target_encoding"] = """
     WHERE s.o_orderkey % 293 = 0
     ORDER BY s.o_orderkey
 """
+
+
+ORACLES_EXT["orders_benford_audit"] = """
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                           1, 1) AS INT) AS digit,
+               count(*) AS n
+        FROM orders WHERE o_totalprice > 0
+        GROUP BY 1
+    ), spine AS (SELECT CAST(unnest(range(1, 10)) AS INT) AS digit),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM d),
+    j AS (
+        SELECT s.digit, coalesce(d.n, 0) AS n, tot.t
+        FROM spine s LEFT JOIN d USING (digit), tot
+    )
+    SELECT digit, n,
+           round(n / t, 6) AS observed_share,
+           round(log10(1.0 + 1.0 / digit) + 1e-9, 6) AS benford_share,
+           round((n - t * log10(1.0 + 1.0 / digit))
+                 * (n - t * log10(1.0 + 1.0 / digit))
+                 / (t * log10(1.0 + 1.0 / digit)) + 1e-9, 6)
+               AS chisq_term
+    FROM j ORDER BY digit
+"""

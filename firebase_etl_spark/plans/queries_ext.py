@@ -3915,3 +3915,50 @@ def orders_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    fabricated-numbers screen (naturally occurring multi-magnitude
+    amounts follow P(d) = log10(1 + 1/d); fabricated or truncated feeds
+    don't). Per digit: observed count/share, expected share, and a
+    fixed-point chi-square contribution; one corpus aggregate plus a
+    broadcast 9-row digit spine so absent digits still report. The
+    verdict stays with the reader — the query emits the distance, not a
+    threshold."""
+    o = load_table(spark, "orders", sf_dir)
+    d = (
+        o.filter(F.col("o_totalprice") > 0)
+        .select(
+            F.substring(
+                F.floor(F.col("o_totalprice")).cast("long").cast("string"),
+                1, 1,
+            )
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spine = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    tot = d.agg(F.sum("n").alias("t"))
+    j = (
+        spine.join(d, "digit", "left")
+        .select("digit", F.coalesce("n", F.lit(0)).alias("n"))
+        .crossJoin(F.broadcast(tot))
+    )
+    expected = F.log10(1.0 + 1.0 / F.col("digit"))
+    # chi-square contribution in 1e-6 units: (obs - exp_n)^2 / exp_n,
+    # exp_n = t * expected — one fixed-order expression per digit row
+    chi = (
+        (F.col("n") - F.col("t") * expected)
+        * (F.col("n") - F.col("t") * expected)
+        / (F.col("t") * expected)
+    )
+    return j.select(
+        "digit",
+        "n",
+        F.round(F.col("n") / F.col("t"), 6).alias("observed_share"),
+        F.round(expected + 1e-9, 6).alias("benford_share"),
+        F.round(chi + 1e-9, 6).alias("chisq_term"),
+    ).orderBy("digit")
