@@ -4078,3 +4078,41 @@ ORACLES_EXT["orders_benford_audit"] = """
                AS chisq_term
     FROM j ORDER BY digit
 """
+
+
+ORACLES_EXT["events_interarrival_stats"] = """
+    WITH g AS (
+        SELECT event_type,
+               (epoch_us(ts) - lag(epoch_us(ts)) OVER w) // 1000000
+                   AS gap_s
+        FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+    ), s AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_gaps,
+               CAST(sum(gap_s) AS BIGINT) AS sg,
+               CAST(sum(gap_s * gap_s) AS BIGINT) AS sqq,
+               round(quantile_cont(gap_s, 0.5), 6) AS median_gap_s
+        FROM g WHERE gap_s IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, n_gaps, median_gap_s,
+           round(CAST(sg AS DOUBLE) / n_gaps, 4) AS mean_gap_s,
+           round(sqrt(n_gaps * CAST(sqq AS DOUBLE)
+                      - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+                 / n_gaps, 4) AS sd_gap_s,
+           CASE WHEN (sqrt(n_gaps * CAST(sqq AS DOUBLE)
+                           - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+                      / n_gaps
+                      + CAST(sg AS DOUBLE) / n_gaps) > 0
+                THEN round((sqrt(n_gaps * CAST(sqq AS DOUBLE)
+                                 - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+                            / n_gaps
+                            - CAST(sg AS DOUBLE) / n_gaps)
+                           / (sqrt(n_gaps * CAST(sqq AS DOUBLE)
+                                   - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+                              / n_gaps
+                              + CAST(sg AS DOUBLE) / n_gaps), 6)
+           END AS burstiness
+    FROM s ORDER BY event_type
+"""

@@ -3962,3 +3962,55 @@ def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(expected + 1e-9, 6).alias("benford_share"),
         F.round(chi + 1e-9, 6).alias("chisq_term"),
     ).orderBy("digit")
+
+
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap statistics per event type: median/mean gap and
+    the burstiness coefficient B = (sigma - mu) / (sigma + mu)
+    (Goh & Barabasi 2008; B -> -1 periodic, 0 Poisson, +1 bursty) over
+    consecutive same-user same-type gaps — the temporal texture screen
+    that rates and trends miss. Gaps are exact integer SECONDS (micros
+    div 1e6) from per-(user, type) lag windows; mean/std/burstiness
+    leave the integer sums in one mirrored expression (squares stay
+    under 2^63 by the seconds unit), the median is an exact interpolated
+    percentile rounded 6dp."""
+    e = load_table(spark, "events", sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    gaps = (
+        e.select(
+            "event_type",
+            F.expr(
+                "(unix_micros(ts) - lag(unix_micros(ts)) OVER "
+                "(PARTITION BY user_id, event_type ORDER BY ts, event_id))"
+                " div 1000000"
+            ).alias("gap_s"),
+        )
+        .filter(F.col("gap_s").isNotNull())
+    )
+    s = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap_s").alias("sg"),
+        F.sum(F.col("gap_s") * F.col("gap_s")).alias("sqq"),
+        F.round(F.expr("percentile(gap_s, 0.5)"), 6).alias("median_gap_s"),
+    )
+    n = F.col("n_gaps").cast("double")
+    mu = F.col("sg").cast("double") / n
+    sigma = F.sqrt(
+        n * F.col("sqq").cast("double")
+        - F.col("sg").cast("double") * F.col("sg").cast("double")
+    ) / n
+    return s.select(
+        "event_type",
+        "n_gaps",
+        "median_gap_s",
+        F.round(mu, 4).alias("mean_gap_s"),
+        F.round(sigma, 4).alias("sd_gap_s"),
+        F.when(
+            (sigma + mu) > 0,
+            F.round((sigma - mu) / (sigma + mu), 6),
+        ).alias("burstiness"),
+    ).orderBy("event_type")
