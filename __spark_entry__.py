@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_target_encoding": QX.orders_target_encoding,
         "orders_benford_audit": QX.orders_benford_audit,
         "events_interarrival_stats": QX.events_interarrival_stats,
+        "customer_ldiversity": QX.customer_ldiversity,
         "orders_rollup": QX.orders_rollup,
         "top_customer_revenue": QX.top_customer_revenue,
         "mktsegment_order_priority_pivot": QX.mktsegment_order_priority_pivot,

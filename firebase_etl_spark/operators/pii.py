@@ -98,3 +98,34 @@ def k_anonymity_report(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("level")
+
+
+def l_diversity_report(
+    df: DataFrame,
+    quasi_cols: list,
+    sensitive_col: str,
+    l: int = 3,
+) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2006) — k-anonymity's
+    complement: an equivalence class can be large (k-anonymous) yet
+    expose everyone in it if they all share one SENSITIVE value
+    (homogeneity attack). Per quasi-identifier class: size, distinct
+    sensitive values, the dominant sensitive value's share, and the
+    l-diversity verdict. One grouped aggregate over (quasi, sensitive)
+    counts; max share is max(count) — an integer, no tie-break."""
+    g = (
+        df.filter(F.col(sensitive_col).isNotNull())
+        .groupBy(*quasi_cols, F.col(sensitive_col).alias("__s"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        g.groupBy(*quasi_cols)
+        .agg(
+            F.sum("c").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_sensitive_values"),
+            F.max("c").alias("dominant_count"),
+            F.round(F.max("c") / F.sum("c"), 6).alias("dominant_share"),
+            (F.count(F.lit(1)) >= l).alias("l_diverse"),
+        )
+        .orderBy(*quasi_cols)
+    )

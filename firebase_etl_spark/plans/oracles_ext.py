@@ -4116,3 +4116,19 @@ ORACLES_EXT["events_interarrival_stats"] = """
            END AS burstiness
     FROM s ORDER BY event_type
 """
+
+
+ORACLES_EXT["customer_ldiversity"] = """
+    WITH g AS (
+        SELECT c_nationkey, c_mktsegment, count(*) AS c
+        FROM customer WHERE c_mktsegment IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT c_nationkey,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           count(*) AS n_sensitive_values,
+           CAST(max(c) AS BIGINT) AS dominant_count,
+           round(max(c) / sum(c), 6) AS dominant_share,
+           count(*) >= 3 AS l_diverse
+    FROM g GROUP BY c_nationkey ORDER BY c_nationkey
+"""

@@ -4014,3 +4014,15 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((sigma - mu) / (sigma + mu), 6),
         ).alias("burstiness"),
     ).orderBy("event_type")
+
+
+def customer_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (operators/pii.py:l_diversity_report, l=3):
+    per nation equivalence class, how concentrated the sensitive market
+    segment is — the homogeneity-attack complement to the k-anonymity
+    ladder (a big class whose members all share one segment still leaks
+    it)."""
+    from firebase_etl_spark.operators.pii import l_diversity_report
+
+    c = load_table(spark, "customer", sf_dir)
+    return l_diversity_report(c, ["c_nationkey"], "c_mktsegment", 3)

@@ -750,6 +750,31 @@ def test_kcore_ladder_and_path_parity(spark):
         assert got == expect, f"threshold={thresh}"
 
 
+def test_l_diversity_flags_homogeneous_class(spark):
+    """A class of 4 rows all sharing one sensitive value fails l=2 with
+    dominant_share 1.0; a mixed class passes; NULL sensitive rows are
+    excluded before grouping."""
+    from firebase_etl_spark.operators.pii import l_diversity_report
+
+    rows = [
+        ("US", "A"), ("US", "A"), ("US", "A"), ("US", "A"),
+        ("FR", "A"), ("FR", "B"), ("FR", "B"),
+        ("DE", None),  # NULL sensitive: excluded entirely
+        ("DE", "C"),
+    ]
+    df = spark.createDataFrame(rows, "country string, seg string")
+    out = {
+        r["country"]: (
+            r["n_rows"], r["n_sensitive_values"],
+            r["dominant_share"], r["l_diverse"],
+        )
+        for r in l_diversity_report(df, ["country"], "seg", 2).collect()
+    }
+    assert out["US"] == (4, 1, 1.0, False)
+    assert out["FR"] == (3, 2, round(2 / 3, 6), True)
+    assert out["DE"] == (1, 1, 1.0, False)
+
+
 def test_table_contract_rules_hand_computed(spark):
     """Every rule kind against a planted table: null caps (one passing
     under its cap, one failing), enum domain, numeric range, and key
