@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_benford_audit": QX.orders_benford_audit,
         "events_interarrival_stats": QX.events_interarrival_stats,
         "customer_ldiversity": QX.customer_ldiversity,
+        "events_last_touch_attribution": QX.events_last_touch_attribution,
         "orders_rollup": QX.orders_rollup,
         "top_customer_revenue": QX.top_customer_revenue,
         "mktsegment_order_priority_pivot": QX.mktsegment_order_priority_pivot,

@@ -4132,3 +4132,40 @@ ORACLES_EXT["customer_ldiversity"] = """
            count(*) >= 3 AS l_diverse
     FROM g GROUP BY c_nationkey ORDER BY c_nationkey
 """
+
+
+ORACLES_EXT["events_last_touch_attribution"] = """
+    WITH p AS (
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'purchase' AND user_id IS NOT NULL
+    ), t AS (
+        SELECT user_id, ts, event_type, event_id FROM events
+        WHERE event_type <> 'purchase' AND user_id IS NOT NULL
+    ), cand AS (
+        SELECT p.event_id AS pid, p.ts AS pts,
+               t.event_type AS touch_type, t.ts AS tts, t.event_id AS teid
+        FROM p JOIN t
+          ON p.user_id = t.user_id
+         AND t.ts <= p.ts
+         AND t.ts >= p.ts - INTERVAL 1 HOUR
+    ), best AS (
+        SELECT pid, touch_type, tts FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY pid ORDER BY tts DESC, teid DESC
+            ) AS rn FROM cand
+        ) WHERE rn = 1
+    ), j AS (
+        SELECT coalesce(b.touch_type, 'unattributed') AS attributed_to,
+               (epoch_us(p.ts) - epoch_us(b.tts)) // 1000000 AS lat
+        FROM p LEFT JOIN best b ON p.event_id = b.pid
+    ), r AS (
+        SELECT attributed_to, count(*) AS n_purchases,
+               round(quantile_cont(lat, 0.5), 6) AS median_latency_s,
+               CAST(max(lat) AS BIGINT) AS max_latency_s
+        FROM j GROUP BY attributed_to
+    ), tot AS (SELECT CAST(sum(n_purchases) AS BIGINT) AS t FROM r)
+    SELECT attributed_to, n_purchases,
+           round(n_purchases / t, 6) AS share,
+           median_latency_s, max_latency_s
+    FROM r, tot ORDER BY attributed_to
+"""

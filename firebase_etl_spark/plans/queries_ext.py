@@ -4026,3 +4026,69 @@ def customer_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = load_table(spark, "customer", sf_dir)
     return l_diversity_report(c, ["c_nationkey"], "c_mktsegment", 3)
+
+
+def events_last_touch_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Last-touch attribution (operators/asof.py:asof_join, backward,
+    1h tolerance): every purchase is credited to the same user's most
+    recent non-purchase event within the hour — the marketing staple
+    built directly on the as-of machinery (one union + one keyed window,
+    no range explosion). Per attributed type: purchase count, share,
+    and median/max click-to-purchase latency in exact integer seconds;
+    purchases with no qualifying touch report as 'unattributed'."""
+    from firebase_etl_spark.operators.asof import asof_join
+
+    e = load_table(spark, "events", sf_dir).filter(
+        F.col("user_id").isNotNull()
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    t = e.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_type").alias("touch_type"),
+        F.col("ts").alias("touch_ts"),
+        F.col("event_id").alias("touch_eid"),
+    )
+    j = asof_join(
+        p,
+        t,
+        "user_id",
+        "user_id",
+        "ts",
+        "ts",
+        ["touch_type", "touch_ts", "touch_eid"],
+        right_tiebreak="touch_eid",
+        direction="backward",
+        tolerance_seconds=3600,
+    )
+    scored = j.select(
+        F.coalesce(F.col("touch_type"), F.lit("unattributed")).alias(
+            "attributed_to"
+        ),
+        F.expr(
+            "(unix_micros(ts) - unix_micros(touch_ts)) div 1000000"
+        ).alias("lat"),
+    )
+    r = scored.groupBy("attributed_to").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.round(F.expr("percentile(lat, 0.5)"), 6).alias(
+            "median_latency_s"
+        ),
+        F.max("lat").alias("max_latency_s"),
+    )
+    tot = r.agg(F.sum("n_purchases").alias("t"))
+    return (
+        r.crossJoin(F.broadcast(tot))
+        .select(
+            "attributed_to",
+            "n_purchases",
+            F.round(F.col("n_purchases") / F.col("t"), 6).alias("share"),
+            "median_latency_s",
+            "max_latency_s",
+        )
+        .orderBy("attributed_to")
+    )
