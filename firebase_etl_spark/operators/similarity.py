@@ -872,3 +872,67 @@ def knn_distance_report(
         )
         .orderBy("kth_sim", "query_id")
     )
+
+
+def anisotropy_report(
+    df: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label embedding anisotropy WITHOUT a pairwise join: for unit
+    vectors, sum-of-pairwise-dots == ||sum-vector||^2 - sum-of-norms, so
+    the mean pairwise cosine (Ethayarajh 2019's anisotropy measure — how
+    far the space is from isotropic; also the intra-class tightness
+    signal per label) falls out of per-dimension SUMS: one explode, one
+    (label, dim) aggregate, zero O(n^2) anywhere — the identity IS the
+    scale path.
+
+    Determinism: components of the (identically computed) unit vectors
+    are rounded once to 1e-4-unit BIGINTs, making every downstream sum
+    an associative integer sum; the 1e4 scale (not 1e6) keeps
+    sum-of-squared-dim-sums inside int64 for corpora to ~200M unit
+    vectors x 1k dims. The report is therefore the EXACT anisotropy of
+    the quantized vectors (~4 correct digits of the unquantized value
+    at these corpus sizes) and bit-identical across engines. Returns
+    (label, n_vectors, mean_norm_sq, mean_pairwise_cos)."""
+    v = df.filter(F.col(label_col).isNotNull()).select(
+        F.col(label_col).alias("label"),
+        normalized(_to_double(F.col(vec_col))).alias("u"),
+    )
+    ex = v.select(
+        "label",
+        F.posexplode("u").alias("dim", "x"),
+    ).select(
+        "label",
+        "dim",
+        F.round(F.col("x") * 10000.0, 0).cast("long").alias("c"),
+    )
+    n_l = v.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    dim_sums = ex.groupBy("label", "dim").agg(F.sum("c").alias("s"))
+    ssq = dim_sums.groupBy("label").agg(
+        F.sum(F.col("s") * F.col("s")).alias("ssq")
+    )
+    q = ex.groupBy("label").agg(F.sum(F.col("c") * F.col("c")).alias("q"))
+    n = F.col("n").cast("double")
+    return (
+        n_l.join(ssq, "label")
+        .join(q, "label")
+        .select(
+            "label",
+            F.col("n").alias("n_vectors"),
+            F.round(F.col("q").cast("double") / 100000000.0 / n, 6).alias(
+                "mean_norm_sq"
+            ),
+            F.when(
+                F.col("n") > 1,
+                F.round(
+                    (F.col("ssq") - F.col("q")).cast("double")
+                    / 100000000.0
+                    / (n * (n - F.lit(1.0))),
+                    6,
+                ),
+            ).alias("mean_pairwise_cos"),
+        )
+        .orderBy("label")
+    )

@@ -4169,3 +4169,39 @@ ORACLES_EXT["events_last_touch_attribution"] = """
            median_latency_s, max_latency_s
     FROM r, tot ORDER BY attributed_to
 """
+
+
+ORACLES_EXT["embedding_anisotropy"] = """
+    WITH v AS (
+        SELECT label,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> x / sqrt(list_inner_product(
+                       CAST(embedding AS DOUBLE[]),
+                       CAST(embedding AS DOUBLE[])))) AS u
+        FROM embeddings WHERE label IS NOT NULL
+    ), ex AS (
+        SELECT label, pos,
+               CAST(round(u[pos] * 10000.0, 0) AS BIGINT) AS c
+        FROM v, unnest(range(1, len(u) + 1)) AS t(pos)
+    ), n_l AS (
+        SELECT label, count(*) AS n FROM v GROUP BY label
+    ), ds AS (
+        SELECT label, pos, CAST(sum(c) AS BIGINT) AS s
+        FROM ex GROUP BY label, pos
+    ), ssq AS (
+        SELECT label, CAST(sum(s * s) AS BIGINT) AS ssq
+        FROM ds GROUP BY label
+    ), q AS (
+        SELECT label, CAST(sum(c * c) AS BIGINT) AS q
+        FROM ex GROUP BY label
+    )
+    SELECT n_l.label, n_l.n AS n_vectors,
+           round(CAST(q.q AS DOUBLE) / 100000000.0 / n_l.n, 6)
+               AS mean_norm_sq,
+           CASE WHEN n_l.n > 1 THEN
+               round(CAST(ssq.ssq - q.q AS DOUBLE) / 100000000.0
+                     / (n_l.n * (n_l.n - 1.0)), 6)
+           END AS mean_pairwise_cos
+    FROM n_l JOIN ssq USING (label) JOIN q USING (label)
+    ORDER BY label
+"""

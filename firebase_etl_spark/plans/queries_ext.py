@@ -4092,3 +4092,14 @@ def events_last_touch_attribution(
         )
         .orderBy("attributed_to")
     )
+
+
+def embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-free anisotropy audit (operators/similarity.py:
+    anisotropy_report): per-label mean pairwise cosine via the
+    sum-vector identity — intra-class tightness and isotropy health
+    with one explode and zero pairwise work."""
+    from firebase_etl_spark.operators import similarity as SIM
+
+    e = load_table(spark, "embeddings", sf_dir)
+    return SIM.anisotropy_report(e)

@@ -750,6 +750,60 @@ def test_kcore_ladder_and_path_parity(spark):
         assert got == expect, f"threshold={thresh}"
 
 
+def test_anisotropy_matches_pairwise_brute_force(spark):
+    """The sum-vector identity against a direct Python mean over all
+    ordered pairs of the same 1e-4-quantized unit vectors: exact
+    equality at 6dp, and the tight label's anisotropy exceeds the
+    spread label's."""
+    from firebase_etl_spark.operators.similarity import anisotropy_report
+
+    rows = [
+        (1, [1.0, 0.02, 0.0], 0),
+        (2, [1.0, 0.00, 0.03], 0),
+        (3, [0.9, 0.10, 0.0], 0),
+        (4, [1.0, 0.0, 0.0], 1),
+        (5, [0.0, 1.0, 0.0], 1),
+        (6, [0.0, 0.0, 1.0], 1),
+        (7, [1.0, 1.0, 1.0], None),  # null label excluded
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {
+        r["label"]: (r["n_vectors"], r["mean_pairwise_cos"])
+        for r in anisotropy_report(df).collect()
+    }
+
+    import math
+
+    def quant(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [round(x / n * 10000.0) for x in v]
+
+    def brute(vs):
+        qs = [quant(v) for v in vs]
+        n = len(qs)
+        tot = sum(
+            sum(a * b for a, b in zip(qs[i], qs[j]))
+            for i in range(n)
+            for j in range(n)
+            if i != j
+        )
+        return round(tot / 1e8 / (n * (n - 1)), 6)
+
+    import numpy as np  # float32 storage parity with the parquet column
+
+    def f32(v):
+        return [float(np.float32(x)) for x in v]
+
+    lab0 = [f32(r[1]) for r in rows if r[2] == 0]
+    lab1 = [f32(r[1]) for r in rows if r[2] == 1]
+    assert set(got) == {0, 1}
+    assert got[0] == (3, brute(lab0))
+    assert got[1] == (3, brute(lab1))
+    assert got[0][1] > 0.9 > got[1][1]
+
+
 def test_l_diversity_flags_homogeneous_class(spark):
     """A class of 4 rows all sharing one sensitive value fails l=2 with
     dominant_share 1.0; a mixed class passes; NULL sensitive rows are
