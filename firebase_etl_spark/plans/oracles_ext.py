@@ -4205,3 +4205,32 @@ ORACLES_EXT["embedding_anisotropy"] = """
     FROM n_l JOIN ssq USING (label) JOIN q USING (label)
     ORDER BY label
 """
+
+
+ORACLES_EXT["customer_order_rate_wilson"] = """
+    WITH n AS (
+        SELECT c_nationkey, count(*) AS n FROM customer GROUP BY 1
+    ), k AS (
+        SELECT c_nationkey, count(*) AS k FROM customer
+        WHERE c_custkey IN (SELECT DISTINCT o_custkey FROM orders)
+        GROUP BY 1
+    ), j AS (
+        SELECT n.c_nationkey, n.n, coalesce(k.k, 0) AS k
+        FROM n LEFT JOIN k USING (c_nationkey)
+    )
+    SELECT c_nationkey, n, k,
+           round(CAST(k AS DOUBLE) / n, 6) AS rate,
+           round((CAST(k AS DOUBLE) / n + 3.8416 / (2.0 * n))
+                     / (1.0 + 3.8416 / n)
+                 - 1.96 * sqrt(CAST(k AS DOUBLE) / n
+                               * (1.0 - CAST(k AS DOUBLE) / n) / n
+                               + 3.8416 / (4.0 * n * n))
+                   / (1.0 + 3.8416 / n), 6) AS wilson_lo,
+           round((CAST(k AS DOUBLE) / n + 3.8416 / (2.0 * n))
+                     / (1.0 + 3.8416 / n)
+                 + 1.96 * sqrt(CAST(k AS DOUBLE) / n
+                               * (1.0 - CAST(k AS DOUBLE) / n) / n
+                               + 3.8416 / (4.0 * n * n))
+                   / (1.0 + 3.8416 / n), 6) AS wilson_hi
+    FROM j ORDER BY c_nationkey
+"""
