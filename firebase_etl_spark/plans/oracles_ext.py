@@ -4234,3 +4234,25 @@ ORACLES_EXT["customer_order_rate_wilson"] = """
                    / (1.0 + 3.8416 / n), 6) AS wilson_hi
     FROM j ORDER BY c_nationkey
 """
+
+
+ORACLES_EXT["lineitem_neyman_allocation"] = """
+    WITH s AS (
+        SELECT l_returnflag, count(*) AS n,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sg,
+               CAST(sum(CAST(l_quantity AS BIGINT)
+                        * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sqq
+        FROM lineitem GROUP BY l_returnflag
+    ), w AS (
+        SELECT l_returnflag, n,
+               CAST(round(sqrt(CAST(n * sqq - sg * sg AS DOUBLE))
+                          * 1000000.0 + 1e-9, 0) AS BIGINT) AS w_e6
+        FROM s
+    ), tot AS (SELECT CAST(sum(w_e6) AS BIGINT) AS tw FROM w)
+    SELECT l_returnflag, n AS n_rows,
+           round(CAST(w_e6 AS DOUBLE) / 1000000.0 / n, 6) AS sigma,
+           round(CAST(w_e6 AS DOUBLE) / tw, 6) AS weight_share,
+           CAST(round(1000.0 * CAST(w_e6 AS DOUBLE) / tw, 0) AS BIGINT)
+               AS allocation
+    FROM w, tot ORDER BY l_returnflag
+"""

@@ -4148,3 +4148,58 @@ def customer_order_rate_wilson(
         F.round(center - half, 6).alias("wilson_lo"),
         F.round(center + half, 6).alias("wilson_hi"),
     ).orderBy("c_nationkey")
+
+
+def lineitem_neyman_allocation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Neyman optimal allocation of a 1000-row sample across the
+    l_returnflag strata: n_h proportional to N_h * sigma_h — the survey-
+    design answer to 'where should my QA sample go' (high-variance
+    strata earn more rows than proportional allocation gives them).
+    Quantities are integers, so N*sqq - s^2 is an exact BIGINT and each
+    stratum weight sqrt(N*sqq - s^2) = N_h*sigma_h rounds ONCE to a
+    1e-6 BIGINT (log-nudge pattern) — the cross-strata total is then an
+    associative integer sum and every allocation one mirrored division.
+    Rounded allocations may sum to 1000±1 by design (the audit shows
+    the weights; largest-remainder apportionment is a sink concern)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sg"),
+        F.sum(
+            F.col("l_quantity").cast("long")
+            * F.col("l_quantity").cast("long")
+        ).alias("sqq"),
+    )
+    w_e6 = F.round(
+        F.sqrt(
+            (
+                F.col("n") * F.col("sqq") - F.col("sg") * F.col("sg")
+            ).cast("double")
+        )
+        * 1000000.0
+        + 1e-9,
+        0,
+    ).cast("long")
+    sw = s.withColumn("w_e6", w_e6)
+    tot = sw.agg(F.sum("w_e6").alias("tw"))
+    return (
+        sw.crossJoin(F.broadcast(tot))
+        .select(
+            "l_returnflag",
+            F.col("n").alias("n_rows"),
+            F.round(
+                F.col("w_e6").cast("double") / 1000000.0 / F.col("n"), 6
+            ).alias("sigma"),
+            F.round(
+                F.col("w_e6").cast("double") / F.col("tw"), 6
+            ).alias("weight_share"),
+            F.round(
+                1000.0 * F.col("w_e6").cast("double") / F.col("tw"), 0
+            )
+            .cast("long")
+            .alias("allocation"),
+        )
+        .orderBy("l_returnflag")
+    )
