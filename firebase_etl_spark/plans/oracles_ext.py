@@ -4256,3 +4256,47 @@ ORACLES_EXT["lineitem_neyman_allocation"] = """
                AS allocation
     FROM w, tot ORDER BY l_returnflag
 """
+
+
+ORACLES_EXT["documents_split_leakage_audit"] = r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(tk)),
+                                            i -> tk[i] || ' ' || tk[i + 1])) AS sh
+        FROM toks
+    ), pairs AS (
+        SELECT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.sh, b.sh)) * 1.0
+                         / nullif(len(list_distinct(list_concat(a.sh, b.sh))), 0),
+                         6) AS jaccard
+            FROM sh a JOIN sh b
+              ON a.doc_id < b.doc_id
+             AND len(a.sh) * 2 >= len(b.sh) AND len(b.sh) * 2 >= len(a.sh)
+        ) WHERE jaccard >= 0.5
+    ), assign AS (
+        SELECT doc_id,
+               CASE WHEN ('0x' || substr(md5(text), 1, 15))::BIGINT < 1037629354146162278
+                    THEN 'train'
+                    WHEN ('0x' || substr(md5(text), 1, 15))::BIGINT < 1095275429376504627
+                    THEN 'val' ELSE 'test' END AS split
+        FROM documents
+    ), j AS (
+        SELECT sa.split AS sa, sb.split AS sb
+        FROM pairs
+        JOIN assign sa ON pairs.id_a = sa.doc_id
+        JOIN assign sb ON pairs.id_b = sb.doc_id
+    )
+    SELECT count(*) AS n_neardup_pairs,
+           CAST(sum(CASE WHEN sa <> sb THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_straddling,
+           round(coalesce(sum(CASE WHEN sa <> sb THEN 1 ELSE 0 END) * 1.0
+                          / count(*), 0.0), 6) AS straddle_rate,
+           CAST(sum(CASE WHEN (sa = 'train' AND sb = 'test')
+                           OR (sa = 'test' AND sb = 'train')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_train_test
+    FROM j
+"""

@@ -4203,3 +4203,56 @@ def lineitem_neyman_allocation(
         )
         .orderBy("l_returnflag")
     )
+
+
+def documents_split_leakage_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Train/test leakage audit: how many verified near-duplicate pairs
+    STRADDLE the content-addressed split — the measurement behind the
+    grouped-split operator's motivation (a near-dup of a test doc inside
+    train silently inflates eval). Composes two already-oracle-backed
+    pieces: the exact-verified MinHash pair set (== brute force on this
+    corpus) and the md5-content split; one summary row with the overall
+    straddle rate and the train<->test count specifically. The oracle is
+    the same composition of the two registered CTE shapes."""
+    from firebase_etl_spark.operators import dedup_approx as DA
+
+    d = load_table(spark, "documents", sf_dir)
+    pairs = DA.minhash_near_dups(d, threshold=0.5).select("id_a", "id_b")
+    u = F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    split = (
+        F.when(u < F.lit(SPLIT_T_TRAIN), "train")
+        .when(u < F.lit(SPLIT_T_VAL), "val")
+        .otherwise("test")
+    )
+    assign = d.select(F.col("doc_id"), split.alias("split"))
+    j = (
+        pairs.join(
+            assign.select(
+                F.col("doc_id").alias("id_a"), F.col("split").alias("sa")
+            ),
+            "id_a",
+        )
+        .join(
+            assign.select(
+                F.col("doc_id").alias("id_b"), F.col("split").alias("sb")
+            ),
+            "id_b",
+        )
+    )
+    cross = (F.col("sa") != F.col("sb")).cast("long")
+    tt = (
+        ((F.col("sa") == "train") & (F.col("sb") == "test"))
+        | ((F.col("sa") == "test") & (F.col("sb") == "train"))
+    ).cast("long")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_neardup_pairs"),
+        F.sum(cross).alias("n_straddling"),
+        F.round(
+            F.coalesce(F.sum(cross) / F.count(F.lit(1)), F.lit(0.0)), 6
+        ).alias("straddle_rate"),
+        F.sum(tt).alias("n_train_test"),
+    )
