@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_order_rate_wilson": QX.customer_order_rate_wilson,
         "lineitem_neyman_allocation": QX.lineitem_neyman_allocation,
         "documents_split_leakage_audit": QX.documents_split_leakage_audit,
+        "user_ltv_cohorts": QX.user_ltv_cohorts,
         "orders_rollup": QX.orders_rollup,
         "top_customer_revenue": QX.top_customer_revenue,
         "mktsegment_order_priority_pivot": QX.mktsegment_order_priority_pivot,

@@ -4300,3 +4300,33 @@ ORACLES_EXT["documents_split_leakage_audit"] = r"""
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_train_test
     FROM j
 """
+
+
+ORACLES_EXT["user_ltv_cohorts"] = """
+    WITH ev AS (
+        SELECT user_id,
+               CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk,
+               coalesce(CAST(round(value * 100.0, 0) AS BIGINT), 0) AS v_c
+        FROM events WHERE user_id IS NOT NULL
+    ), first_seen AS (
+        SELECT user_id, min(wk) AS cohort FROM ev GROUP BY user_id
+    ), sizes AS (
+        SELECT cohort, count(*) AS n_users FROM first_seen GROUP BY cohort
+    ), inc AS (
+        SELECT cohort,
+               CAST(datediff('day', cohort, wk) // 7 AS INT) AS age_weeks,
+               CAST(sum(v_c) AS BIGINT) AS v
+        FROM ev JOIN first_seen USING (user_id)
+        GROUP BY 1, 2
+    ), cum AS (
+        SELECT x.cohort, x.age_weeks, CAST(sum(y.v) AS BIGINT) AS cum_c
+        FROM inc x JOIN inc y
+          ON y.cohort = x.cohort AND y.age_weeks <= x.age_weeks
+        GROUP BY x.cohort, x.age_weeks
+    )
+    SELECT cum.cohort AS cohort_week, cum.age_weeks, sizes.n_users,
+           round(CAST(cum.cum_c AS DOUBLE) / 100.0 / sizes.n_users, 6)
+               AS ltv_per_user
+    FROM cum JOIN sizes USING (cohort)
+    ORDER BY cohort_week, age_weeks
+"""

@@ -4256,3 +4256,65 @@ def documents_split_leakage_audit(
         ).alias("straddle_rate"),
         F.sum(tt).alias("n_train_test"),
     )
+
+
+def user_ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: users cohorted by first-seen week, cumulative
+    event value per cohort member by week-age — the revenue companion to
+    the retention matrix (retention says who comes back; this says what
+    they're worth by age). Values fix-point to 1e-2 BIGINTs per event
+    (associative sums); the cumulative curve is a bounded self-join over
+    the checkpointed (cohort, age) table — no global-order window; week
+    truncation is ISO-Monday on both engines."""
+    e = load_table(spark, "events", sf_dir).filter(
+        F.col("user_id").isNotNull()
+    )
+    ev = e.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).alias("wk"),
+        F.coalesce(
+            F.round(F.col("value") * 100.0, 0).cast("long"), F.lit(0)
+        ).alias("v_c"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    sizes = first.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    inc = (
+        ev.join(first, "user_id")
+        .select(
+            "cohort",
+            (F.datediff(F.col("wk"), F.col("cohort")) / 7)
+            .cast("int")
+            .alias("age_weeks"),
+            "v_c",
+        )
+        .groupBy("cohort", "age_weeks")
+        .agg(F.sum("v_c").alias("v"))
+        .localCheckpoint(eager=True)  # cohorts x ages rows
+    )
+    cum = (
+        inc.alias("x")
+        .join(
+            inc.alias("y"),
+            (F.col("y.cohort") == F.col("x.cohort"))
+            & (F.col("y.age_weeks") <= F.col("x.age_weeks")),
+        )
+        .groupBy(
+            F.col("x.cohort").alias("cohort"),
+            F.col("x.age_weeks").alias("age_weeks"),
+        )
+        .agg(F.sum("y.v").alias("cum_c"))
+    )
+    return (
+        cum.join(F.broadcast(sizes), "cohort")
+        .select(
+            F.col("cohort").alias("cohort_week"),
+            "age_weeks",
+            "n_users",
+            F.round(
+                F.col("cum_c").cast("double") / 100.0 / F.col("n_users"), 6
+            ).alias("ltv_per_user"),
+        )
+        .orderBy("cohort_week", "age_weeks")
+    )
