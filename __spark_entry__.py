@@ -96,6 +96,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_column_profile": QX.orders_column_profile,
         "events_last_touch_attribution": QX.events_last_touch_attribution,
         "embedding_anisotropy": QX.embedding_anisotropy,
+        # queries below slot 50 take driver evidence in r6 (see the
+        # deferred block further down); newcomers from here on join them
+        "categorical_association_audit": QX.categorical_association_audit,
         "q8_market_share": Q.q8_market_share,
         "q13_customer_distribution": Q.q13_customer_distribution,
         "q15_top_supplier": Q.q15_top_supplier,

@@ -408,3 +408,58 @@ def negative_samples(
         .select("anchor_id", "anchor_label", "neg_id", "neg_label", "rank")
         .orderBy("anchor_id", "rank")
     )
+
+
+def cramers_v(
+    df: DataFrame, col_a: str, col_b: str, label: str | None = None
+) -> DataFrame:
+    """Cramer's V association between two categorical columns — the
+    profiling answer to 'are these columns redundant / correlated'
+    that Pearson can't give for categories. One row: (pair, n, dof,
+    chi2, cramers_v).
+
+    Exactness: every contingency quantity is an integer (cell o, row
+    total r, column total c, grand total n), so each cell's chi-square
+    term (o*n - r*c)^2 / (n*r*c) is one fixed-order double expression
+    over exact integers, rounded once to a 1e-6 BIGINT and integer-
+    summed — deterministic across engines and partitionings. The grid
+    is completed with zero-observed cells (they contribute e = r*c/n)
+    by a broadcast cross of the two tiny margin tables. Integer
+    products o*n and r*c cap the method at ~3e9 rows per audit (past
+    that, pre-aggregate or sample — documented headroom, the pagerank
+    convention)."""
+    pair = label or f"{col_a} x {col_b}"
+    base = df.filter(
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    ).select(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+    cells = base.groupBy("a", "b").agg(F.count(F.lit(1)).alias("o"))
+    ra = cells.groupBy("a").agg(F.sum("o").alias("r"))
+    cb = cells.groupBy("b").agg(F.sum("o").alias("c"))
+    tot = F.broadcast(
+        cells.agg(F.sum("o").alias("n")).crossJoin(
+            F.broadcast(ra.agg(F.count(F.lit(1)).alias("ka")))
+        ).crossJoin(F.broadcast(cb.agg(F.count(F.lit(1)).alias("kb"))))
+    )
+    grid = (
+        ra.crossJoin(F.broadcast(cb))
+        .join(cells, ["a", "b"], "left")
+        .select("a", "b", "r", "c", F.coalesce("o", F.lit(0)).alias("o"))
+        .crossJoin(tot)
+    )
+    d = (F.col("o") * F.col("n") - F.col("r") * F.col("c")).cast("double")
+    denom = (F.col("n") * F.col("r")).cast("double") * F.col("c")
+    term_e6 = F.round(d * d / denom * 1000000.0 + 1e-9, 0).cast("long")
+    s = grid.select(
+        term_e6.alias("t"), "n", "ka", "kb"
+    ).groupBy("n", "ka", "kb").agg(F.sum("t").alias("chi2_e6"))
+    chi2 = F.col("chi2_e6").cast("double") / 1000000.0
+    mindim = F.least(F.col("ka"), F.col("kb")) - 1
+    return s.select(
+        F.lit(pair).alias("pair"),
+        F.col("n").alias("n_rows"),
+        ((F.col("ka") - 1) * (F.col("kb") - 1)).alias("dof"),
+        F.round(chi2, 4).alias("chi2"),
+        F.round(
+            F.sqrt(chi2 / (F.col("n").cast("double") * mindim)), 6
+        ).alias("cramers_v"),
+    )

@@ -4330,3 +4330,69 @@ ORACLES_EXT["user_ltv_cohorts"] = """
     FROM cum JOIN sizes USING (cohort)
     ORDER BY cohort_week, age_weeks
 """
+
+
+def _cramers_oracle(table: str, ca: str, cb: str, label: str) -> str:
+    return f"""
+        SELECT '{label}' AS pair, n AS n_rows,
+               CAST((ka - 1) * (kb - 1) AS BIGINT) AS dof,
+               round(CAST(chi2_e6 AS DOUBLE) / 1000000.0, 4) AS chi2,
+               round(sqrt((CAST(chi2_e6 AS DOUBLE) / 1000000.0)
+                          / (CAST(n AS DOUBLE) * (least(ka, kb) - 1))), 6)
+                   AS cramers_v
+        FROM (
+            SELECT CAST(sum(t) AS BIGINT) AS chi2_e6,
+                   min(n) AS n, min(ka) AS ka, min(kb) AS kb
+            FROM (
+                SELECT CAST(round(
+                           CAST(g.o * tot.n - g.r * g.c AS DOUBLE)
+                           * CAST(g.o * tot.n - g.r * g.c AS DOUBLE)
+                           / (CAST(tot.n * g.r AS DOUBLE) * g.c)
+                           * 1000000.0 + 1e-9, 0) AS BIGINT) AS t,
+                       tot.n, tot.ka, tot.kb
+                FROM (
+                    SELECT ra.a, cb2.b, ra.r, cb2.c, coalesce(ce.o, 0) AS o
+                    FROM (SELECT {ca} AS a, CAST(sum(cnt) AS BIGINT) AS r
+                          FROM (SELECT {ca}, {cb}, count(*) AS cnt
+                                FROM {table}
+                                WHERE {ca} IS NOT NULL AND {cb} IS NOT NULL
+                                GROUP BY 1, 2)
+                          GROUP BY 1) ra
+                    CROSS JOIN
+                         (SELECT {cb} AS b, CAST(sum(cnt) AS BIGINT) AS c
+                          FROM (SELECT {ca}, {cb}, count(*) AS cnt
+                                FROM {table}
+                                WHERE {ca} IS NOT NULL AND {cb} IS NOT NULL
+                                GROUP BY 1, 2)
+                          GROUP BY 1) cb2
+                    LEFT JOIN
+                         (SELECT {ca} AS a, {cb} AS b, count(*) AS o
+                          FROM {table}
+                          WHERE {ca} IS NOT NULL AND {cb} IS NOT NULL
+                          GROUP BY 1, 2) ce
+                      ON ra.a = ce.a AND cb2.b = ce.b
+                ) g
+                CROSS JOIN
+                     (SELECT CAST(count(*) AS BIGINT) AS n,
+                             CAST(count(DISTINCT {ca}) AS BIGINT) AS ka,
+                             CAST(count(DISTINCT {cb}) AS BIGINT) AS kb
+                      FROM {table}
+                      WHERE {ca} IS NOT NULL AND {cb} IS NOT NULL) tot
+            )
+        )
+    """
+
+
+ORACLES_EXT["categorical_association_audit"] = (
+    "SELECT * FROM ("
+    + _cramers_oracle(
+        "orders", "o_orderpriority", "o_orderstatus",
+        "orders: priority x status",
+    )
+    + ") UNION ALL SELECT * FROM ("
+    + _cramers_oracle(
+        "lineitem", "l_returnflag", "l_linestatus",
+        "lineitem: returnflag x linestatus",
+    )
+    + ") ORDER BY pair"
+)

@@ -4318,3 +4318,20 @@ def user_ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "age_weeks")
     )
+
+
+def categorical_association_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cramer's V between categorical column pairs (operators/stats.py:
+    cramers_v) — the redundancy/correlation screen for categories:
+    orders priority x status and lineitem returnflag x linestatus. Full
+    contingency grid including zero-observed cells; exact-integer-fed
+    fixed-point chi-square."""
+    from firebase_etl_spark.operators.stats import cramers_v
+
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    a = cramers_v(o, "o_orderpriority", "o_orderstatus", "orders: priority x status")
+    b = cramers_v(li, "l_returnflag", "l_linestatus", "lineitem: returnflag x linestatus")
+    return a.unionByName(b).orderBy("pair")

@@ -750,6 +750,25 @@ def test_kcore_ladder_and_path_parity(spark):
         assert got == expect, f"threshold={thresh}"
 
 
+def test_cramers_v_extremes(spark):
+    """V = 1 for a perfectly dependent pair, ~0 for an independent one;
+    zero-observed grid cells contribute their expected counts (the
+    dependent fixture has them)."""
+    from firebase_etl_spark.operators.stats import cramers_v
+
+    dep_rows = [("x", "1")] * 10 + [("y", "2")] * 10
+    dep = spark.createDataFrame(dep_rows, "a string, b string")
+    r = cramers_v(dep, "a", "b").collect()[0]
+    assert (r["n_rows"], r["dof"]) == (20, 1)
+    assert r["cramers_v"] == 1.0
+    ind_rows = [
+        (a, b) for a in ("x", "y") for b in ("1", "2") for _ in range(5)
+    ]
+    ind = spark.createDataFrame(ind_rows, "a string, b string")
+    r2 = cramers_v(ind, "a", "b").collect()[0]
+    assert r2["chi2"] == 0.0 and r2["cramers_v"] == 0.0
+
+
 def test_anisotropy_matches_pairwise_brute_force(spark):
     """The sum-vector identity against a direct Python mean over all
     ordered pairs of the same 1e-4-quantized unit vectors: exact
