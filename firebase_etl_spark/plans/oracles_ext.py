@@ -4396,3 +4396,42 @@ ORACLES_EXT["categorical_association_audit"] = (
     )
     + ") ORDER BY pair"
 )
+
+
+ORACLES_EXT["part_copurchase_assortativity"] = """
+    WITH b AS (
+        SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+    e AS (
+        SELECT a.it AS p1, z.it AS p2
+        FROM b a JOIN b z ON a.bk = z.bk AND a.it < z.it
+        GROUP BY a.it, z.it HAVING count(*) >= 2),
+    sym AS (
+        SELECT p1 AS u, p2 AS v FROM e
+        UNION ALL SELECT p2, p1 FROM e),
+    deg AS (SELECT u, count(*) AS d FROM sym GROUP BY u),
+    pairs AS (
+        SELECT da.d AS dx, db.d AS dy
+        FROM sym
+        JOIN deg da ON sym.u = da.u
+        JOIN deg db ON sym.v = db.u),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS m_int,
+               CAST(count(*) AS DOUBLE) AS m,
+               CAST(sum(dx) AS DOUBLE) AS sx,
+               CAST(sum(dy) AS DOUBLE) AS sy,
+               CAST(sum(dx * dy) AS DOUBLE) AS sxy,
+               CAST(sum(dx * dx) AS DOUBLE) AS sxx,
+               CAST(sum(dy * dy) AS DOUBLE) AS syy,
+               CAST(max(dx) AS BIGINT) AS max_degree
+        FROM pairs)
+    SELECT CAST(m_int // 2 AS BIGINT) AS n_edges,
+           round(sx / m, 4) AS mean_endpoint_degree,
+           max_degree,
+           CASE WHEN (m * sxx - sx * sx) * (m * syy - sy * sy) > 0
+                THEN round((m * sxy - sx * sy)
+                           / sqrt((m * sxx - sx * sx)
+                                  * (m * syy - sy * sy)), 6)
+           END AS assortativity
+    FROM s
+"""

@@ -4335,3 +4335,56 @@ def categorical_association_audit(
     a = cramers_v(o, "o_orderpriority", "o_orderstatus", "orders: priority x status")
     b = cramers_v(li, "l_returnflag", "l_linestatus", "lineitem: returnflag x linestatus")
     return a.unionByName(b).orderBy("pair")
+
+
+def part_copurchase_assortativity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Degree assortativity of the co-purchase graph (Newman 2002):
+    Pearson correlation of endpoint degrees over all directed edge
+    orientations — positive r means hubs attach to hubs (social-network
+    texture), negative means hub-and-spoke (catalog texture); the
+    missing graph-profile number next to the triangle census and
+    k-core skeleton. Degrees are integers and the correlation is over
+    2m bounded edge rows, so all five sums are exact and r leaves them
+    in one mirrored expression."""
+    from firebase_etl_spark.operators.basket import cooccurrence_edges
+
+    li = load_table(spark, "lineitem", sf_dir)
+    e = cooccurrence_edges(li, "l_orderkey", "l_partkey", 2)
+    sym = e.select(
+        F.col("p1").alias("u"), F.col("p2").alias("v")
+    ).union(e.select(F.col("p2").alias("u"), F.col("p1").alias("v")))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    pairs = (
+        sym.join(deg.withColumnRenamed("u", "u").alias("da"), "u")
+        .select("v", F.col("d").alias("dx"))
+        .join(
+            deg.select(F.col("u").alias("v"), F.col("d").alias("dy")), "v"
+        )
+        .select("dx", "dy")
+    )
+    s = pairs.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+        F.max("dx").alias("max_degree"),
+    )
+    m = F.col("m").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    cov = m * F.col("sxy").cast("double") - sx * sy
+    varx = m * F.col("sxx").cast("double") - sx * sx
+    vary = m * F.col("syy").cast("double") - sy * sy
+    return s.select(
+        (F.col("m") / 2).cast("long").alias("n_edges"),
+        F.round(sx / m, 4).alias("mean_endpoint_degree"),
+        F.col("max_degree"),
+        F.when(
+            (varx * vary) > 0,
+            F.round(cov / F.sqrt(varx * vary), 6),
+        ).alias("assortativity"),
+    )
