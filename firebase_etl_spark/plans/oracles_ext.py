@@ -4435,3 +4435,36 @@ ORACLES_EXT["part_copurchase_assortativity"] = """
            END AS assortativity
     FROM s
 """
+
+
+ORACLES_EXT["session_conversion_report"] = """
+    WITH tagged AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events WHERE user_id IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessioned AS (
+        SELECT user_id, event_type,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM tagged
+    ), per_session AS (
+        SELECT user_id, session_id, count(*) AS n_events,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM sessioned GROUP BY user_id, session_id
+    )
+    SELECT CASE WHEN n_events = 1 THEN '1_single'
+                WHEN n_events <= 3 THEN '2_short'
+                WHEN n_events <= 7 THEN '3_medium'
+                ELSE '4_long' END AS depth_bucket,
+           count(*) AS n_sessions,
+           CAST(sum(converted) AS BIGINT) AS n_converted,
+           round(sum(converted) / count(*), 6) AS conversion_rate,
+           round(avg(n_events), 4) AS avg_events
+    FROM per_session GROUP BY depth_bucket ORDER BY depth_bucket
+"""

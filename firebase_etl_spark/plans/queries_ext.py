@@ -4388,3 +4388,56 @@ def part_copurchase_assortativity(
             F.round(cov / F.sqrt(varx * vary), 6),
         ).alias("assortativity"),
     )
+
+
+def session_conversion_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Session-level conversion by engagement depth: sessions (30-min
+    gap rule, the user_sessions machinery) bucketed by event count, per
+    bucket the share containing a purchase — the 'do longer sessions
+    convert better' curve that row-level conversion rates can't answer.
+    All-integer session aggregates; fixed bucket edges (1, 2-3, 4-7,
+    8+); one mirrored division per bucket."""
+    e = load_table(spark, "events", sf_dir).filter(
+        F.col("user_id").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(
+        F.unix_micros(F.col("ts"))
+    ).over(w)
+    sessioned = e.withColumn(
+        "new_session",
+        F.when(
+            gap.isNull() | (gap > 1800 * 1_000_000), F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_session = sessioned.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(
+            (F.col("event_type") == "purchase").cast("long")
+        ).alias("converted"),
+    )
+    bucket = (
+        F.when(F.col("n_events") == 1, "1_single")
+        .when(F.col("n_events") <= 3, "2_short")
+        .when(F.col("n_events") <= 7, "3_medium")
+        .otherwise("4_long")
+    )
+    return (
+        per_session.groupBy(bucket.alias("depth_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("converted").alias("n_converted"),
+            F.round(F.sum("converted") / F.count(F.lit(1)), 6).alias(
+                "conversion_rate"
+            ),
+            F.round(F.avg("n_events"), 4).alias("avg_events"),
+        )
+        .orderBy("depth_bucket")
+    )
