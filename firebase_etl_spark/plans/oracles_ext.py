@@ -4468,3 +4468,34 @@ ORACLES_EXT["session_conversion_report"] = """
            round(avg(n_events), 4) AS avg_events
     FROM per_session GROUP BY depth_bucket ORDER BY depth_bucket
 """
+
+
+ORACLES_EXT["doc_novelty_curve"] = r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, len(tk) - 1),
+                   i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))) AS s
+        FROM toks
+    ), intro AS (
+        SELECT s, min(doc_id) AS intro FROM sh GROUP BY s
+    ), per_doc AS (
+        SELECT sh.doc_id,
+               CAST(round(sum(CASE WHEN intro = sh.doc_id THEN 1 ELSE 0 END)
+                          * 1000000.0 / count(*), 0) AS BIGINT) AS nov_e6
+        FROM sh JOIN intro USING (s)
+        GROUP BY sh.doc_id
+    ), bounds AS (
+        SELECT min(doc_id) AS lo,
+               max(doc_id) - min(doc_id) + 1 AS width
+        FROM per_doc
+    )
+    SELECT CAST(floor((doc_id - lo) * 10 / width) AS INT) AS decile,
+           count(*) AS n_docs,
+           round(CAST(sum(nov_e6) AS DOUBLE) / count(*) / 1000000.0, 6)
+               AS avg_novelty
+    FROM per_doc, bounds
+    GROUP BY decile ORDER BY decile
+"""

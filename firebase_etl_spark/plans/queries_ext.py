@@ -4441,3 +4441,66 @@ def session_conversion_report(
         )
         .orderBy("depth_bucket")
     )
+
+
+def doc_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novelty curve for curriculum/dedup policy: per id-order decile,
+    the average fraction of a document's distinct 3-gram shingles that
+    appear for the FIRST time in the corpus at that document (min
+    doc_id per shingle = its introduction point). Early buckets are
+    ~all-novel by construction; how fast the curve decays separates
+    fresh corpora from recrawls. One explode, one vocabulary-sized
+    min-aggregate joined back, per-doc novelty fixed-pointed to 1e-6
+    BIGINTs so bucket averages are integer sums."""
+    d = load_table(spark, "documents", sf_dir)
+    sh = (
+        d.select("doc_id", TX.tokenize("text").alias("__t"))
+        .select(
+            "doc_id",
+            F.explode(
+                TX.word_shingles_of_tokens(F.col("__t"), 3)
+            ).alias("s"),
+        )
+    )
+    intro = sh.groupBy("s").agg(F.min("doc_id").alias("intro"))
+    per_doc = (
+        sh.join(intro, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(
+                (F.col("intro") == F.col("doc_id")).cast("long")
+            ).alias("n_new"),
+        )
+        .select(
+            "doc_id",
+            F.round(
+                F.col("n_new") * 1000000.0 / F.col("n_sh"), 0
+            )
+            .cast("long")
+            .alias("nov_e6"),
+        )
+    )
+    bounds = F.broadcast(
+        per_doc.agg(
+            F.min("doc_id").alias("lo"),
+            (F.max("doc_id") - F.min("doc_id") + 1).alias("width"),
+        )
+    )
+    bucket = F.floor(
+        (F.col("doc_id") - F.col("lo")) * 10 / F.col("width")
+    ).cast("int")
+    return (
+        per_doc.crossJoin(bounds)
+        .groupBy(bucket.alias("decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum("nov_e6").cast("double")
+                / F.count(F.lit(1))
+                / 1000000.0,
+                6,
+            ).alias("avg_novelty"),
+        )
+        .orderBy("decile")
+    )
