@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_copurchase_assortativity": QX.part_copurchase_assortativity,
         "session_conversion_report": QX.session_conversion_report,
         "doc_novelty_curve": QX.doc_novelty_curve,
+        "retention_halflife_fit": QX.retention_halflife_fit,
         "q8_market_share": Q.q8_market_share,
         "q13_customer_distribution": Q.q13_customer_distribution,
         "q15_top_supplier": Q.q15_top_supplier,

@@ -4499,3 +4499,58 @@ ORACLES_EXT["doc_novelty_curve"] = r"""
     FROM per_doc, bounds
     GROUP BY decile ORDER BY decile
 """
+
+
+ORACLES_EXT["retention_halflife_fit"] = """
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk
+        FROM events WHERE user_id IS NOT NULL
+    ), first_seen AS (
+        SELECT user_id, min(wk) AS cohort FROM ud GROUP BY user_id
+    ), sizes AS (
+        SELECT cohort, count(*) AS sz FROM first_seen GROUP BY cohort
+    ), mx AS (SELECT max(wk) AS mx FROM ud),
+    actives AS (
+        SELECT cohort,
+               CAST(datediff('day', cohort, wk) // 7 AS INT) AS age,
+               count(*) AS act
+        FROM ud JOIN first_seen USING (user_id)
+        WHERE datediff('day', cohort, wk) // 7 >= 1
+        GROUP BY 1, 2
+    ), spine AS (
+        SELECT s.cohort, s.sz, a.age
+        FROM sizes s, (SELECT CAST(unnest(range(1, 27)) AS INT) AS age) a,
+             mx
+        WHERE s.cohort + to_weeks(a.age) <= mx.mx
+    ), pooled AS (
+        SELECT age,
+               CAST(sum(coalesce(act, 0)) AS BIGINT) AS sa,
+               CAST(sum(sz) AS BIGINT) AS ss
+        FROM spine LEFT JOIN actives USING (cohort, age)
+        GROUP BY age HAVING sum(coalesce(act, 0)) > 0
+    ), pts AS (
+        SELECT CAST(age AS BIGINT) AS x,
+               CAST(round(ln(sa / ss) * 1000000.0 + 1e-9, 0) AS BIGINT)
+                   AS y
+        FROM pooled
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_int,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(x) AS DOUBLE) AS sx,
+               CAST(sum(y) AS DOUBLE) AS sy,
+               CAST(sum(x * y) AS DOUBLE) AS sxy,
+               CAST(sum(x * x) AS DOUBLE) AS sxx
+        FROM pts
+    )
+    SELECT n_int AS n_ages,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx) / 1000000.0, 6)
+               AS weekly_log_decay,
+           CASE WHEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                     / 1000000.0 < 0
+                THEN round(-ln(2.0) / ((n * sxy - sx * sy)
+                                       / (n * sxx - sx * sx)
+                                       / 1000000.0) + 1e-9, 4)
+           END AS halflife_weeks
+    FROM s WHERE n_int >= 2
+"""

@@ -4504,3 +4504,86 @@ def doc_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+def retention_halflife_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention decay fit: pooled weekly retention rates (actives at
+    week-age a over the sizes of cohorts OBSERVABLE at that age —
+    including zero-active cohorts via the spine left-join) regressed as
+    ln(rate) ~ age — slope is the weekly log-decay, half-life =
+    -ln(2)/slope, the single number a growth team quotes from the whole
+    retention matrix. Rates are exact integer ratios; ln values take
+    the 1e-6 fixed-point nudge; the OLS runs over a bounded age spine
+    exactly like the Zipf fit."""
+    e = load_table(spark, "events", sf_dir).filter(
+        F.col("user_id").isNotNull()
+    )
+    ud = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    first = ud.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    sizes = first.groupBy("cohort").agg(F.count(F.lit(1)).alias("sz"))
+    maxwk = F.broadcast(ud.agg(F.max("wk").alias("mx")))
+    actives = (
+        ud.join(first, "user_id")
+        .select(
+            "cohort",
+            (F.datediff(F.col("wk"), F.col("cohort")) / 7)
+            .cast("int")
+            .alias("age"),
+        )
+        .filter(F.col("age") >= 1)
+        .groupBy("cohort", "age")
+        .agg(F.count(F.lit(1)).alias("act"))
+    )
+    spine = (
+        sizes.crossJoin(
+            F.broadcast(
+                spark.range(1, 27).select(F.col("id").cast("int").alias("age"))
+            )
+        )
+        .crossJoin(maxwk)
+        .filter(
+            F.col("cohort") + F.expr("make_interval(0, 0, age, 0)")
+            <= F.col("mx")
+        )
+    )
+    pooled = (
+        spine.join(actives, ["cohort", "age"], "left")
+        .groupBy("age")
+        .agg(
+            F.sum(F.coalesce("act", F.lit(0))).alias("sa"),
+            F.sum("sz").alias("ss"),
+        )
+        .filter(F.col("sa") > 0)
+    )
+    pts = pooled.select(
+        F.col("age").cast("long").alias("x"),
+        F.round(
+            F.log(F.col("sa") / F.col("ss")) * 1000000.0 + 1e-9, 0
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    slope = (
+        (n * F.col("sxy").cast("double") - sx * sy)
+        / (n * F.col("sxx").cast("double") - sx * sx)
+        / 1000000.0
+    )
+    return s.filter(F.col("n") >= 2).select(
+        F.col("n").alias("n_ages"),
+        F.round(slope, 6).alias("weekly_log_decay"),
+        F.when(
+            slope < 0, F.round(-F.log(F.lit(2.0)) / slope + 1e-9, 4)
+        ).alias("halflife_weeks"),
+    )
