@@ -111,3 +111,26 @@ def compact_parquet(
     return sum(
         1 for _, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")
     )
+
+
+def append_evolved(df: DataFrame, path: str) -> None:
+    """Append a batch whose schema may have DRIFTED from what's already
+    at ``path`` — the raw-stage reality the reference's messy inputs
+    exhibit (alternate spellings appearing, new fields arriving,
+    SURVEY.md §1.2): parquet appends are per-file self-describing, so
+    new columns simply land in the new files and resolution happens at
+    READ time (read_evolved). Column REMOVALS need no action either —
+    old files keep them, new files omit them. Renames are a transform
+    concern (functions.identity coalesce), not a storage one."""
+    df.write.mode("append").parquet(path)
+
+
+def read_evolved(spark, path: str) -> DataFrame:
+    """Read a parquet directory written by multiple schema generations:
+    ``mergeSchema`` unions every file footer's schema (by NAME), missing
+    columns surface as NULLs — schema-on-read over an evolving landing
+    zone without a migration rewrite. At 100 TB prefer declaring the
+    CURRENT superset schema explicitly (spark.read.schema(...)) so the
+    footer sweep doesn't touch every file; mergeSchema is the
+    discovery/backfill path."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

@@ -562,3 +562,31 @@ def test_sqlstore_stream_reader_incremental_exactly_once(spark, tmp_path):
     got.clear()
     run_once()
     assert [r for b in got for r in b] == []
+
+
+def test_parquet_schema_evolution_roundtrip(spark, tmp_path):
+    """Three schema generations appended to one landing zone: mergeSchema
+    unions columns by name, missing fields are NULL per generation, and
+    a type-stable shared column aggregates across all generations."""
+    from firebase_etl_spark.sinks.files import append_evolved, read_evolved
+
+    path = str(tmp_path / "landing")
+    g1 = spark.createDataFrame(
+        [(1, "a@x.com"), (2, "b@x.com")], "id long, email string"
+    )
+    g2 = spark.createDataFrame(
+        [(3, "c@x.com", "555-1")], "id long, email string, phoneNumber string"
+    )
+    g3 = spark.createDataFrame(  # column dropped + new column
+        [(4, True)], "id long, emailVerified boolean"
+    )
+    for g in (g1, g2, g3):
+        append_evolved(g, path)
+    out = read_evolved(spark, path)
+    assert set(out.columns) == {"id", "email", "phoneNumber", "emailVerified"}
+    rows = {r["id"]: r for r in out.collect()}
+    assert len(rows) == 4
+    assert rows[1]["phoneNumber"] is None and rows[1]["emailVerified"] is None
+    assert rows[3]["phoneNumber"] == "555-1"
+    assert rows[4]["email"] is None and rows[4]["emailVerified"] is True
+    assert out.filter("email IS NOT NULL").count() == 3
