@@ -127,7 +127,18 @@ def bloom_ngram_overlap(
     how the DuckDB oracle verifies it: the oracle replays the exact path,
     so a false negative (impossible by construction: every inserted
     gram's bits are set) would surface as a driver hash mismatch.
-    Equality with the exact operator is additionally pytest-pinned."""
+    Equality with the exact operator is additionally pytest-pinned.
+
+    Measured A/B (tools/bloom_decontam_bench.py, sf0.1, min-of-3,
+    probe slices up to 1/3 of the corpus): a TIE at gate scale —
+    0.04-0.07s both paths, bloom 1.05-1.15x — because the ~30-word
+    synthetic vocabulary caps the probe-gram set at ~27k strings, so
+    the string broadcast is already tiny. The bitmap's case is the
+    documented memory ratio (~1.2 bytes/gram vs ~30+ bytes/gram
+    broadcast-hashed string): it starts paying when probe gram sets
+    reach tens of millions (combined eval suites), where the string
+    broadcast costs GBs per executor. Same honest-tie discipline as
+    the BM25 prune A/B (ROUND5_NOTES)."""
     import math
 
     import numpy as np
