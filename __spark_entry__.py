@@ -103,6 +103,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_conversion_report": QX.session_conversion_report,
         "doc_novelty_curve": QX.doc_novelty_curve,
         "retention_halflife_fit": QX.retention_halflife_fit,
+        "documents_lang_source_association": (
+            QX.documents_lang_source_association
+        ),
         "q8_market_share": Q.q8_market_share,
         "q13_customer_distribution": Q.q13_customer_distribution,
         "q15_top_supplier": Q.q15_top_supplier,

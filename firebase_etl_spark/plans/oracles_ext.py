@@ -4554,3 +4554,8 @@ ORACLES_EXT["retention_halflife_fit"] = """
            END AS halflife_weeks
     FROM s WHERE n_int >= 2
 """
+
+
+ORACLES_EXT["documents_lang_source_association"] = _cramers_oracle(
+    "documents", "lang", "source", "documents: lang x source"
+)

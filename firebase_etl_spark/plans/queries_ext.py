@@ -4587,3 +4587,17 @@ def retention_halflife_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             slope < 0, F.round(-F.log(F.lit(2.0)) / slope + 1e-9, 4)
         ).alias("halflife_weeks"),
     )
+
+
+def documents_lang_source_association(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Corpus composition dependence: Cramer's V between language and
+    source (operators/stats.py:cramers_v) — V near 1 means sources are
+    language-siloed (dedup/mixing can treat them per-language), near 0
+    means languages spread evenly across sources. Demonstrates the
+    association operator's generality beyond the warehouse tables."""
+    from firebase_etl_spark.operators.stats import cramers_v
+
+    d = load_table(spark, "documents", sf_dir)
+    return cramers_v(d, "lang", "source", "documents: lang x source")
