@@ -4559,3 +4559,28 @@ ORACLES_EXT["retention_halflife_fit"] = """
 ORACLES_EXT["documents_lang_source_association"] = _cramers_oracle(
     "documents", "lang", "source", "documents: lang x source"
 )
+
+
+ORACLES_EXT["documents_curriculum_schedule"] = """
+    WITH counts AS (
+        SELECT lang, count(*) AS n_l FROM documents GROUP BY lang
+    ), epochs AS (SELECT CAST(unnest(range(1, 5)) AS INT) AS epoch),
+    w AS (
+        SELECT e.epoch, c.lang, c.n_l,
+               round(1.0 - (e.epoch - 1) * 0.2, 2) AS alpha,
+               CAST(round(pow(c.n_l, 1.0 - (e.epoch - 1) * 0.2)
+                          * 1000000.0 + 1e-9, 0) AS BIGINT) AS w_fx
+        FROM counts c CROSS JOIN epochs e
+    ), tot AS (
+        SELECT epoch, CAST(sum(w_fx) AS BIGINT) AS w_total
+        FROM w GROUP BY epoch
+    ), nt AS (SELECT CAST(sum(n_l) AS BIGINT) AS n_total FROM counts)
+    SELECT w.epoch, w.lang, w.alpha, w.n_l,
+           CAST(ceil(round(ceil(0.25 * nt.n_total) * w.w_fx
+                           / tot.w_total, 6)) AS BIGINT) AS quota,
+           round(CAST(ceil(round(ceil(0.25 * nt.n_total) * w.w_fx
+                                 / tot.w_total, 6)) AS BIGINT)
+                 / w.n_l, 4) AS repeat_factor
+    FROM w JOIN tot USING (epoch), nt
+    ORDER BY epoch, lang
+"""

@@ -4601,3 +4601,56 @@ def documents_lang_source_association(
 
     d = load_table(spark, "documents", sf_dir)
     return cramers_v(d, "lang", "source", "documents: lang x source")
+
+
+def documents_curriculum_schedule(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multi-epoch curriculum mixing schedule: per training epoch the
+    language-rebalancing temperature anneals from natural sampling
+    (alpha=1.0) toward strong upsampling (alpha=0.4), and each
+    (epoch, lang) row carries its n^alpha quota against a 25%-of-corpus
+    epoch budget plus the implied repeat factor — the schedule table an
+    epoch-aware data loader consumes (quotas may exceed n_l for rare
+    languages: that IS the upsampling). Same fixed-point hygiene as the
+    single-temperature query: per-(epoch, lang) weights round once to
+    1e-6 BIGINTs (pow + nudge), epoch totals are integer sums, each
+    quota one mirrored expression."""
+    d = load_table(spark, "documents", sf_dir)
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    epochs = spark.range(1, 5).select(F.col("id").cast("int").alias("epoch"))
+    alpha = 1.0 - (F.col("epoch") - 1) * 0.2
+    w = counts.crossJoin(F.broadcast(epochs)).select(
+        "epoch",
+        "lang",
+        "n_l",
+        F.round(alpha, 2).alias("alpha"),
+        F.round(F.pow(F.col("n_l"), alpha) * 1000000.0 + 1e-9, 0)
+        .cast("long")
+        .alias("w_fx"),
+    )
+    tot = w.groupBy("epoch").agg(F.sum("w_fx").alias("w_total"))
+    n_total = F.broadcast(counts.agg(F.sum("n_l").alias("n_total")))
+    return (
+        w.join(F.broadcast(tot), "epoch")
+        .crossJoin(n_total)
+        .select(
+            "epoch",
+            "lang",
+            "alpha",
+            "n_l",
+            F.ceil(
+                F.round(
+                    F.ceil(F.lit(0.25) * F.col("n_total"))
+                    * F.col("w_fx")
+                    / F.col("w_total"),
+                    6,
+                )
+            ).alias("quota"),
+        )
+        .withColumn(
+            "repeat_factor",
+            F.round(F.col("quota") / F.col("n_l"), 4),
+        )
+        .orderBy("epoch", "lang")
+    )
