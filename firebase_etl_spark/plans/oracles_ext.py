@@ -4584,3 +4584,7 @@ ORACLES_EXT["documents_curriculum_schedule"] = """
     FROM w JOIN tot USING (epoch), nt
     ORDER BY epoch, lang
 """
+
+
+# the streaming twin aggregates to exactly the batch matrix
+ORACLES_EXT["stream_transition_matrix"] = ORACLES_EXT["events_transition_matrix"]

@@ -4654,3 +4654,53 @@ def documents_curriculum_schedule(
         )
         .orderBy("epoch", "lang")
     )
+
+
+def stream_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_transition_matrix (streaming/events.py:
+    streaming_transition_counts): per-user sequence STATE carries the
+    last event across micro-batches, so cross-batch transitions are
+    counted exactly; the bounded drive's emitted increments aggregate to
+    the batch matrix and share its DuckDB oracle — order-sensitive
+    stateful streaming under the driver gate, not just order-insensitive
+    upserts."""
+    import uuid as _uuid
+
+    from firebase_etl_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+        streaming_transition_counts,
+    )
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    name = f"transitions_{_uuid.uuid4().hex[:8]}"
+    inc = run_stream_to_memory(
+        spark,
+        streaming_transition_counts(stream),
+        name,
+        output_mode="append",
+    )
+    # checkpoint the (cur, next) count table (bounded by type-pair
+    # cardinality) before the totals self-join: both sides would
+    # otherwise reference the SAME memory-sink plan and Spark rejects
+    # the ambiguous attributes
+    counts = (
+        inc.groupBy("cur_type", "next_type")
+        .agg(F.sum("n").alias("n_transitions"))
+        .localCheckpoint(eager=True)
+    )
+    totals = counts.groupBy("cur_type").agg(
+        F.sum("n_transitions").alias("n_out")
+    )
+    return (
+        counts.join(totals, "cur_type")
+        .select(
+            "cur_type",
+            "next_type",
+            "n_transitions",
+            F.round(F.col("n_transitions") / F.col("n_out"), 4).alias(
+                "p_next"
+            ),
+        )
+        .orderBy("cur_type", "next_type")
+    )

@@ -405,3 +405,71 @@ def streaming_self_join_near_pairs(
         & (F.col("ts_b") >= F.col("ts_a") - F.expr(f"INTERVAL {within_seconds} SECONDS"))
         & (F.col("ts_b") <= F.col("ts_a") + F.expr(f"INTERVAL {within_seconds} SECONDS")),
     ).select("user_id", "id_a", "id_b")
+
+
+def streaming_transition_counts(
+    events: DataFrame, key: str = "user_id", watermark: str = "2 hours"
+):
+    """Stateful SEQUENCE operator (applyInPandasWithState): first-order
+    transition counts over each user's event stream — the streaming twin
+    of the batch Markov transition matrix (plans/queries_ext.py:
+    events_transition_matrix). Unlike keep-latest (order-insensitive
+    max), transitions are order-SENSITIVE, so per-key state carries the
+    LAST event (ts, id, type): each micro-batch sorts its rows by
+    (ts, event_id), walks the chain (state -> first row -> ... -> last
+    row), emits one increment row per observed (cur, next) pair, and
+    advances state — cross-batch transitions are never lost.
+
+    Ordering contract: the source must feed event-time-ordered batches
+    per key (true for the time-sorted fixture file and for any
+    log-structured source; a fully out-of-order source needs a
+    watermark-delayed sort buffer first — the general solution, noted
+    rather than built). State is one tuple per key."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, cur_type string, next_type string, n long"
+    state_schema = "ts_micros long, event_id long, event_type string"
+
+    def update(key_tuple, pdfs, state: GroupState):
+        from collections import Counter
+
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+        micros = pdf["ts"].astype("datetime64[us]").astype("int64")
+        pdf = pdf.assign(__us=micros).sort_values(["__us", "event_id"])
+        types = [str(t) for t in pdf["event_type"]]
+        prev = tuple(state.get) if state.exists else None
+        seq = ([prev[2]] if prev is not None else []) + types
+        counts = Counter(zip(seq, seq[1:]))
+        last = pdf.iloc[-1]
+        state.update(
+            (int(last["__us"]), int(last["event_id"]), str(last["event_type"]))
+        )
+        if counts:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key_tuple[0]] * len(counts),
+                    "cur_type": [a for a, _ in counts],
+                    "next_type": [b for _, b in counts],
+                    "n": [int(v) for v in counts.values()],
+                }
+            )
+
+    from pyspark.sql import functions as F
+
+    return (
+        events.withWatermark("ts", watermark)
+        .filter(F.col(key).isNotNull() & F.col("event_type").isNotNull())
+        .select(F.col(key).alias("user_id"), "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

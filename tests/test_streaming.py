@@ -341,3 +341,71 @@ def test_sqlstore_stream_writer_complete_mode_overwrite(tmp_path):
 
     # per-batch staging subdirectories all cleaned up
     assert glob.glob(f"{db}.stream-staging*") == []
+
+
+def test_streaming_transitions_survive_batch_boundaries(spark, tmp_path):
+    """Cross-batch sequence state: events split into three time-ordered
+    files (one micro-batch each under maxFilesPerTrigger=1) must yield
+    EXACTLY the batch transition counts — including the transitions
+    whose two events straddle a batch boundary, which only the carried
+    per-user state can see."""
+    import time as _time
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from firebase_etl_spark.sources.tables import load_table
+    from firebase_etl_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+        streaming_transition_counts,
+    )
+
+    e = (
+        load_table(spark, "events", "/root/testdata/sf0.001")
+        .filter(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+        .select("user_id", "ts", "event_id", "event_type", "value", "props")
+    )
+    lo, hi = e.agg(F.min("ts"), F.max("ts")).collect()[0]
+    span = (hi - lo) / 3
+    path = str(tmp_path / "staged")
+    for i in range(3):  # sequential writes => discovery order == time order
+        part = e.filter(
+            (F.col("ts") >= lo + i * span)
+            & (F.col("ts") < (lo + (i + 1) * span if i < 2 else hi))
+            | (F.lit(i == 2) & (F.col("ts") == hi))
+        )
+        # the stream reader's forced-long raw schema expects epoch longs
+        # (the TIMESTAMP(NANOS) fixture convention) — stage micros
+        part.withColumn("ts", F.unix_micros("ts")).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+        _time.sleep(1.1)  # distinct mtimes for deterministic batch order
+    stream = read_events_stream(spark, path)
+    inc = run_stream_to_memory(
+        spark,
+        streaming_transition_counts(stream),
+        f"trans_{_uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+    got = {
+        (r["cur_type"], r["next_type"]): r["n"]
+        for r in inc.groupBy("cur_type", "next_type")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    }
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    batch = (
+        e.select(
+            F.col("event_type").alias("cur"),
+            F.lead("event_type").over(w).alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .count()
+    )
+    expect = {(r["cur"], r["nxt"]): r["count"] for r in batch.collect()}
+    assert got == expect
+    assert sum(got.values()) == sum(expect.values()) > 0
