@@ -4588,3 +4588,53 @@ ORACLES_EXT["documents_curriculum_schedule"] = """
 
 # the streaming twin aggregates to exactly the batch matrix
 ORACLES_EXT["stream_transition_matrix"] = ORACLES_EXT["events_transition_matrix"]
+
+
+ORACLES_EXT["documents_curation_v2"] = r"""
+    WITH corpus AS (
+        SELECT * FROM documents WHERE doc_id % 89 <> 0
+    ), toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(tk) - 1),
+                   i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS sh
+        FROM toks
+    ), nz AS (
+        SELECT g.doc_id, g.sh FROM grams g
+        JOIN corpus USING (doc_id) WHERE len(g.sh) > 0
+    ), contained AS (
+        SELECT DISTINCT a.doc_id
+        FROM nz a JOIN nz b
+          ON a.doc_id <> b.doc_id
+         AND len(b.sh) >= 0.8 * len(a.sh)
+        WHERE round(len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh), 6)
+              >= 0.8
+    ), probe_grams AS (
+        SELECT DISTINCT unnest(sh) AS gram FROM grams
+        WHERE doc_id % 89 = 0
+    ), contaminated AS (
+        SELECT e.doc_id
+        FROM (SELECT doc_id, unnest(sh) AS gram FROM grams
+              WHERE doc_id % 89 <> 0) e
+        JOIN probe_grams USING (gram)
+        GROUP BY e.doc_id HAVING count(*) >= 2
+    )
+    SELECT c.lang,
+           count(*) AS n_in,
+           CAST(sum(CASE WHEN cd.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contained,
+           CAST(sum(CASE WHEN cm.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
+           CAST(sum(CASE WHEN cd.doc_id IS NULL AND cm.doc_id IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN cd.doc_id IS NULL AND cm.doc_id IS NULL
+                         THEN len(regexp_split_to_array(
+                                  lower(trim(c.text)), '\s+'))
+                         ELSE 0 END) AS BIGINT) AS tokens_kept
+    FROM corpus c
+    LEFT JOIN contained cd ON c.doc_id = cd.doc_id
+    LEFT JOIN contaminated cm ON c.doc_id = cm.doc_id
+    GROUP BY c.lang ORDER BY c.lang
+"""

@@ -4704,3 +4704,58 @@ def stream_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cur_type", "next_type")
     )
+
+
+def documents_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-generation curation pipeline composing this round's dedup
+    + hygiene operators (the v1 pipeline documents_training_corpus uses
+    exact dedup + MinHash-LSH + CC): drop documents SUBSTANTIALLY
+    CONTAINED in another (containment_near_dups, t=0.8 — the
+    subsumed-quote mode Jaccard dedup misses) and documents sharing >= 2
+    trigrams with the held-out probe slice (bloom_ngram_overlap — the
+    Bloom path whose output is bit-identical to exact). Per-language
+    accounting of every drop reason plus kept tokens; the oracle is the
+    same composition of the two registered fragment shapes."""
+    from firebase_etl_spark.operators.contamination import (
+        bloom_ngram_overlap,
+    )
+    from firebase_etl_spark.operators.dedup_approx import (
+        containment_near_dups,
+    )
+
+    d = load_table(spark, "documents", sf_dir)
+    probes = d.filter(F.col("doc_id") % 89 == 0)
+    corpus = d.filter(F.col("doc_id") % 89 != 0)
+    contained = (
+        containment_near_dups(corpus, threshold=0.8, shingle_n=3)
+        .select(F.col("id_a").alias("doc_id"))
+        .distinct()
+    )
+    contaminated = (
+        bloom_ngram_overlap(corpus, probes, n=3, fpp=0.01)
+        .filter(F.col("overlap") >= 2)
+        .select("doc_id")
+    )
+    flagged = corpus.join(
+        contained.withColumn("__contained", F.lit(1)), "doc_id", "left"
+    ).join(
+        contaminated.withColumn("__contam", F.lit(1)), "doc_id", "left"
+    )
+    kept = F.col("__contained").isNull() & F.col("__contam").isNull()
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_in"),
+            F.sum(
+                F.coalesce(F.col("__contained"), F.lit(0)).cast("long")
+            ).alias("n_contained"),
+            F.sum(
+                F.coalesce(F.col("__contam"), F.lit(0)).cast("long")
+            ).alias("n_contaminated"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.sum(
+                F.when(kept, F.size(TX.tokenize("text"))).otherwise(0)
+            ).alias("tokens_kept"),
+        )
+        .orderBy("lang")
+    )
