@@ -4638,3 +4638,51 @@ ORACLES_EXT["documents_curation_v2"] = r"""
     LEFT JOIN contaminated cm ON c.doc_id = cm.doc_id
     GROUP BY c.lang ORDER BY c.lang
 """
+
+
+ORACLES_EXT["customer_revenue_gini"] = """
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100.0, 0) AS BIGINT))
+                    AS BIGINT) AS rc
+        FROM orders GROUP BY o_custkey
+    ), cuts AS (
+        SELECT list_transform(
+                   quantile_cont(rc, list_transform(range(1, 100),
+                                                    i -> i / 100.0)),
+                   c -> round(c, 6)) AS cuts
+        FROM rev
+    ), b AS (
+        SELECT rc,
+               CAST(1 + len(list_filter(cuts, c -> c < rc)) AS BIGINT)
+                   AS bkt
+        FROM rev, cuts
+    ), per0 AS (
+        SELECT bkt, count(*) AS n, CAST(sum(rc) AS BIGINT) AS cents
+        FROM b GROUP BY bkt
+    ), spine AS (SELECT unnest(range(1, 101)) AS bkt),
+    per AS (
+        SELECT s.bkt, coalesce(n, 0) AS n, coalesce(cents, 0) AS cents
+        FROM spine s LEFT JOIN per0 USING (bkt)
+    ), cum AS (
+        SELECT x.bkt, CAST(sum(y.n) AS BIGINT) AS cn,
+               CAST(sum(y.cents) AS BIGINT) AS cc
+        FROM per x JOIN per y ON y.bkt <= x.bkt GROUP BY x.bkt
+    ), tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS tn,
+               CAST(sum(cents) AS BIGINT) AS tc
+        FROM per
+    ), terms AS (
+        SELECT CAST(round(
+                   (CAST(p.n AS DOUBLE) / tot.tn)
+                   * (CAST(c.cc - p.cents AS DOUBLE) / tot.tc
+                      + CAST(c.cc AS DOUBLE) / tot.tc)
+                   * 1000000000.0 + 1e-9, 0) AS BIGINT) AS t,
+               p.n
+        FROM per p JOIN cum c USING (bkt), tot
+    )
+    SELECT CAST(sum(n) AS BIGINT) AS n_customers,
+           round(1.0 - CAST(sum(t) AS DOUBLE) / 1000000000.0, 6)
+               AS gini_bucketed
+    FROM terms
+"""

@@ -4759,3 +4759,85 @@ def documents_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue at PERCENTILE-BUCKET
+    resolution — the single inequality number behind the Pareto decile
+    table. Scale-safe by construction: customers bucket against 99
+    broadcast interpolated cut points (never a global rank window), the
+    Lorenz curve is a trapezoid sum over the 100 bounded bucket rows
+    (checkpointed; bounded self-join for the cumulative), and revenue
+    stays in BIGINT cents. Value-ties share a bucket, so the number is
+    the Gini of the bucket-resolution Lorenz curve — a documented,
+    deterministic spec (exact per-row Gini needs a global sort, which
+    is the lint's single-partition trap)."""
+    o = load_table(spark, "orders", sf_dir)
+    cents = F.round(F.col("o_totalprice") * 100.0, 0).cast("long")
+    rev = o.groupBy("o_custkey").agg(F.sum(cents).alias("rc"))
+    pcts = [round(i / 100.0, 2) for i in range(1, 100)]
+    cuts = rev.agg(
+        F.expr(
+            "transform(percentile(rc, array("
+            + ",".join(str(p) for p in pcts)
+            + ")), c -> round(c, 6))"
+        ).alias("cuts")
+    )
+    b = rev.crossJoin(F.broadcast(cuts)).select(
+        "rc",
+        (F.lit(1) + F.expr("size(filter(cuts, c -> c < rc))"))
+        .cast("long")
+        .alias("bkt"),
+    )
+    per0 = b.groupBy("bkt").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("rc").alias("cents")
+    )
+    spine = spark.range(1, 101).select(F.col("id").alias("bkt"))
+    per = (
+        spine.join(per0, "bkt", "left")
+        .select(
+            "bkt",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("cents", F.lit(0)).alias("cents"),
+        )
+        .localCheckpoint(eager=True)  # 100 rows
+    )
+    cum = (
+        per.alias("x")
+        .join(per.alias("y"), F.col("y.bkt") <= F.col("x.bkt"))
+        .groupBy(F.col("x.bkt").alias("bkt"))
+        .agg(
+            F.sum("y.n").alias("cn"),
+            F.sum("y.cents").alias("cc"),
+        )
+    )
+    j = (
+        per.select("bkt", "n", "cents")
+        .join(cum, "bkt")
+        .crossJoin(
+            F.broadcast(
+                per.agg(
+                    F.sum("n").alias("tn"), F.sum("cents").alias("tc")
+                )
+            )
+        )
+    )
+    # trapezoid: sum over buckets of pop_share * (L(prev) + L(cur)),
+    # with L(prev) = (cc - cents)/tc — all ratios of exact integers in
+    # one fixed-order expression per bucket, then a fixed-point sum
+    area2_e9 = F.round(
+        (F.col("n").cast("double") / F.col("tn"))
+        * (
+            (F.col("cc") - F.col("cents")).cast("double") / F.col("tc")
+            + F.col("cc").cast("double") / F.col("tc")
+        )
+        * 1000000000.0
+        + 1e-9,
+        0,
+    ).cast("long")
+    return j.agg(
+        F.sum("n").alias("n_customers"),
+        F.round(
+            1.0 - F.sum(area2_e9).cast("double") / 1000000000.0, 6
+        ).alias("gini_bucketed"),
+    )
