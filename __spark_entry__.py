@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_transition_matrix": QX.stream_transition_matrix,
         "documents_curation_v2": QX.documents_curation_v2,
         "customer_revenue_gini": QX.customer_revenue_gini,
+        "session_event_pairs": QX.session_event_pairs,
         "q8_market_share": Q.q8_market_share,
         "q13_customer_distribution": Q.q13_customer_distribution,
         "q15_top_supplier": Q.q15_top_supplier,

@@ -4686,3 +4686,41 @@ ORACLES_EXT["customer_revenue_gini"] = """
                AS gini_bucketed
     FROM terms
 """
+
+
+ORACLES_EXT["session_event_pairs"] = """
+    WITH tagged AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessioned AS (
+        SELECT CAST(user_id AS VARCHAR) || ':' ||
+               CAST(sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS bk,
+               event_type AS it
+        FROM tagged
+    ), b AS (SELECT DISTINCT bk, it FROM sessioned),
+    nb AS (SELECT count(DISTINCT bk) AS n_baskets FROM b),
+    ic AS (SELECT it, count(*) AS ic FROM b GROUP BY it),
+    fr AS (SELECT it, ic FROM ic WHERE ic >= 2),
+    bf AS (SELECT b.bk, b.it FROM b JOIN fr ON b.it = fr.it),
+    pr AS (
+        SELECT a.it AS p1, z.it AS p2, count(*) AS pair_count
+        FROM bf a JOIN bf z ON a.bk = z.bk AND a.it < z.it
+        GROUP BY a.it, z.it HAVING count(*) >= 2)
+    SELECT pr.p1, pr.p2, CAST(pr.pair_count AS BIGINT) AS pair_count,
+           round(pr.pair_count * 1.0 / nb.n_baskets, 4) AS support,
+           round((pr.pair_count * nb.n_baskets * 1.0)
+                 / (c1.ic * c2.ic), 4) AS lift
+    FROM pr
+    JOIN fr c1 ON pr.p1 = c1.it
+    JOIN fr c2 ON pr.p2 = c2.it
+    CROSS JOIN nb
+    ORDER BY pair_count DESC, p1, p2 LIMIT 10
+"""

@@ -4841,3 +4841,40 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.sum(area2_e9).cast("double") / 1000000000.0, 6
         ).alias("gini_bucketed"),
     )
+
+
+def session_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket mining over SESSIONS (operators/basket.py:
+    frequent_pairs with (user, session) baskets): which event types
+    co-occur within one sitting and whether more than independence
+    predicts (lift) — 'users who search in a session also purchase in
+    it'. Demonstrates the basket operator's generality beyond order
+    baskets; the oracle chains the sessionization CTE into the pair
+    SQL."""
+    from firebase_etl_spark.operators.basket import frequent_pairs
+
+    e = load_table(spark, "events", sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(
+        F.unix_micros(F.col("ts"))
+    ).over(w)
+    sessioned = e.withColumn(
+        "new_session",
+        F.when(
+            gap.isNull() | (gap > 1800 * 1_000_000), F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "basket",
+        F.concat_ws(
+            ":",
+            F.col("user_id"),
+            F.sum("new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        ),
+    )
+    return frequent_pairs(
+        sessioned, "basket", "event_type", min_support=2, top=10
+    )
