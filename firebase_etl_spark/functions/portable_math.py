@@ -1,0 +1,147 @@
+"""Cross-engine bit-identical ``ln`` — transcendentals without libm.
+
+WHY. IEEE 754 requires the basic operations (+, -, *, /, comparisons,
+int->double and correctly-parsed string->double conversions) to be
+CORRECTLY ROUNDED: given the same inputs and the same expression tree,
+every conforming engine — the JVM executing Spark's codegen and the
+C++ runtime under DuckDB alike — produces the same 64 bits. It does
+NOT require that of transcendental functions: ``java.lang.Math.log``
+and DuckDB's libm ``ln`` may legitimately disagree by one ulp on the
+same rational input. Round 4/5 driver snapshots showed exactly that
+failure mode on ``documents_dsir_weights``: a vocab row's log-ratio sat
+within one ulp of a 1e-6 rounding boundary, the two engines landed on
+opposite sides, and the fixed-point BIGINT flipped by 1 (VERDICT r5
+"What's wrong" #1).
+
+HOW. This module therefore computes ``ln(x)`` for integer-valued
+``x >= 1`` using ONLY the correctly-rounded basic ops, as a generated
+SQL expression chain that BOTH engines parse into the same tree:
+
+    e  = floor(log2(x))          -- 62-branch CASE on exact 2^k doubles
+    m  = x / 2^e                 -- exact (division by a power of two)
+    z  = (m - 1) / (m + 1)       -- z in [0, 1/3] for m in [1, 2)
+    ln(m) = 2z * (1 + z^2/3 + z^4/5 + ...)     -- atanh series, Horner
+    ln(x) = e * LN2 + ln(m)      -- LN2 a parsed string literal
+
+Every constant is emitted as ``CAST('<python repr>' AS DOUBLE)`` —
+string->double parsing is correctly rounded on both engines, whereas a
+bare ``0.333...`` literal is DECIMAL-typed by both Spark and DuckDB
+and would take an engine-chosen promotion path. The result is NOT the
+correctly-rounded true ``ln`` (the 13-term series carries ~5e-15
+absolute error) — it does not need to be. It needs to be THE SAME
+double on both engines, and it is, by construction: identical parse
+tree, identical IEEE basic ops, no libm anywhere.
+
+Accuracy: z <= 1/3 so the first dropped term is bounded by
+z^27/27 <= (1/3)^27 / 27 ~ 4.9e-15; with e <= 62 the additional
+representation error of ``e * LN2`` stays below 1e-14 absolute. All
+consumers quantize at 1e-6 (or 1e-9 for sampling log-keys), so the
+shared value is well inside every boundary the true ln would satisfy.
+
+Scale: the chain is a per-row projection (two 62-branch CASEs + ~30
+fused multiply/adds) inside whole-stage codegen — no shuffle, no UDF,
+no state; cost is noise next to the hash/explode work of its callers.
+
+Used by ``operators/dsir.py`` (log likelihood ratios),
+``operators/stats.py:weighted_sample`` (Efraimidis-Spirakis log-keys)
+and the ``retention_halflife_fit`` decay fit — every driver-gated
+query whose output quantizes a logarithm.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: series terms; first dropped term <= (1/3)^(2*N_TERMS+1) ~ 4.9e-15
+_N_TERMS = 13
+
+#: max exponent handled; BIGINT inputs are < 2^63
+_MAX_EXP = 62
+
+
+def dlit(v: float) -> str:
+    """A double literal both engines parse to the same 64 bits.
+
+    ``repr`` round-trips doubles exactly and string->double parsing is
+    correctly rounded (IEEE 754 §5.12.2) on the JVM and in DuckDB; a
+    bare decimal literal would be DECIMAL-typed by both parsers and
+    reach DOUBLE via an engine-chosen cast instead."""
+    return f"CAST('{v!r}' AS DOUBLE)"
+
+
+#: ln(2) as a shared parsed literal (never engine libm)
+LN2_LIT = dlit(math.log(2.0))
+
+
+def ln_steps(arg: str, out: str) -> list[tuple[str, str]]:
+    """The (column, expression) chain computing ``out`` = portable
+    ln(``arg``) for an integer-valued SQL expression ``arg`` >= 1.
+    Apply the steps IN ORDER on either engine; every expression uses
+    only correctly-rounded IEEE ops, so the final double is
+    bit-identical across Spark and DuckDB. Intermediates are prefixed
+    ``__{out}_`` and safe to drop afterwards."""
+    x, e, p, m, z, t = (f"__{out}_{s}" for s in ("x", "e", "p", "m", "z", "t"))
+    e_case = " ".join(
+        f"WHEN {x} >= {dlit(float(2 ** k))} THEN {dlit(float(k))}"
+        for k in range(_MAX_EXP, 0, -1)
+    )
+    p_case = " ".join(
+        f"WHEN {x} >= {dlit(float(2 ** k))} THEN {dlit(float(2 ** k))}"
+        for k in range(_MAX_EXP, 0, -1)
+    )
+    one, two = dlit(1.0), dlit(2.0)
+    poly = dlit(1.0 / (2 * _N_TERMS - 1))
+    for i in range(_N_TERMS - 2, -1, -1):
+        poly = f"({dlit(1.0 / (2 * i + 1))} + {t} * {poly})"
+    return [
+        (x, f"CAST({arg} AS DOUBLE)"),
+        (e, f"CASE {e_case} ELSE {dlit(0.0)} END"),
+        (p, f"CASE {p_case} ELSE {dlit(1.0)} END"),
+        (m, f"{x} / {p}"),
+        (z, f"({m} - {one}) / ({m} + {one})"),
+        (t, f"{z} * {z}"),
+        (out, f"{e} * {LN2_LIT} + ({two} * {z}) * {poly}"),
+    ]
+
+
+def with_ln(df: DataFrame, arg: str, out: str) -> DataFrame:
+    """Spark side: append column ``out`` = portable ln(``arg``),
+    dropping the intermediates. One codegen projection, no shuffle."""
+    steps = ln_steps(arg, out)
+    for name, expr in steps:
+        df = df.withColumn(name, F.expr(expr))
+    return df.drop(*[name for name, _ in steps[:-1]])
+
+
+def fixed_e6_expr(x: str) -> str:
+    """``round(1e6 * x)`` as a BIGINT — the shared quantization tail
+    every portable-ln consumer applies ONCE per row before integer
+    aggregation (identical string on both engines; round-half-away and
+    the truncating/rounding BIGINT casts agree on integral doubles)."""
+    return f"CAST(round(({x}) * 1000000.0 + 1e-9, 0) AS BIGINT)"
+
+
+def lr_e6_expr(lnct: str, lndt: str, lncs: str, lnds: str) -> str:
+    """The DSIR per-vocab-row fixed-point log-ratio
+    ``round(1e6 * (ln(c_tgt+1)/denom_t ratio - ln(c_src+1)/denom_s
+    ratio))`` as ONE shared expression string over four portable-ln
+    columns — the combination arithmetic must also be the identical
+    tree on both engines, so it lives here next to the lns it
+    consumes."""
+    return fixed_e6_expr(f"({lnct} - {lndt}) - ({lncs} - {lnds})")
+
+
+def ln_select_sql(inner: str, pairs: list[tuple[str, str]]) -> str:
+    """Oracle side: wrap ``inner`` (a SQL query string) in the select
+    chain that appends each ``out`` = portable ln(``arg``) — the SAME
+    step expressions :func:`with_ln` runs on Spark, so both engines
+    evaluate the identical tree. Intermediates remain in scope (the
+    consuming outer SELECT simply doesn't project them)."""
+    q = inner
+    for arg, out in pairs:
+        for name, expr in ln_steps(arg, out):
+            q = f"SELECT *, {expr} AS {name} FROM ({q})"
+    return q

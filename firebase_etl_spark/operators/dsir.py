@@ -26,6 +26,16 @@ pattern; a raw double sum here flaked on a 6-dp rounding boundary in
 round 4's driver snapshot). The float ``log_weight`` column is derived
 from the integer by one division, never the other way around.
 
+CROSS-ENGINE DETERMINISM: the logarithms themselves use the portable
+libm-free ``ln`` (functions/portable_math.py) — JVM ``Math.log`` and
+DuckDB's ``ln`` are each correctly rounded only for the BASIC IEEE ops,
+and may differ by one ulp on the same rational, which the 1e-6 rounding
+turned into a ±1 BIGINT flip in the round-4/5 driver snapshots. The
+log-ratio is decomposed as ln(c_tgt+1) - ln(T+V) - ln(c_src+1) + ln(S+V)
+(four integer-argument lns), each evaluated by the shared generated
+expression chain, so both engines produce the same 64-bit double before
+the single rounding.
+
 Scale shape: identical to the bigram trainer in lm.py — count tables are
 vocabulary-sized (orders of magnitude smaller than the corpus) so the
 scoring join broadcasts below a row threshold and falls back to a
@@ -45,6 +55,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from firebase_etl_spark.functions.portable_math import lr_e6_expr, with_ln
 from firebase_etl_spark.operators.text import tokenize
 
 #: broadcast the unigram count tables while they stay vocabulary-sized
@@ -91,16 +102,23 @@ def dsir_log_weights(
             F.sum("c_tgt").alias("t_tot"),
             F.count(F.lit(1)).alias("v"),
         ).collect()[0]
-        # sums are NULL on an empty corpus (counts has no rows); the ratio
-        # plan is empty then too, so the zero denominators never evaluate
-        denom_t = F.lit(int(tot["t_tot"] or 0) + int(tot["v"]))
-        denom_s = F.lit(int(tot["s_tot"] or 0) + int(tot["v"]))
-        lr = F.log((F.col("c_tgt") + 1) / denom_t) - F.log(
-            (F.col("c_src") + 1) / denom_s
-        )
-        ratio = counts.select(
+        # sums are NULL on an empty corpus (counts has no rows); the
+        # ratio plan is empty then too, so the degenerate ln(0) chains
+        # below fold to finite garbage that never reaches a row
+        denom_t = int(tot["t_tot"] or 0) + int(tot["v"])
+        denom_s = int(tot["s_tot"] or 0) + int(tot["v"])
+        # four portable (libm-free) lns: two per-row integer args, two
+        # scalar literals Catalyst constant-folds with the same IEEE
+        # ops DuckDB applies to its (t_tot + v)/(s_tot + v) columns
+        rt = with_ln(counts, "(c_tgt + 1)", "__lnct")
+        rt = with_ln(rt, "(c_src + 1)", "__lncs")
+        rt = with_ln(rt, str(denom_t), "__lndt")
+        rt = with_ln(rt, str(denom_s), "__lnds")
+        ratio = rt.select(
             "w",
-            F.round(lr * 1000000.0 + 1e-9, 0).cast("long").alias("lr_e6"),
+            F.expr(
+                lr_e6_expr("__lnct", "__lndt", "__lncs", "__lnds")
+            ).alias("lr_e6"),
         )
         # materialize ONLY the vocab-sized model (computed from the
         # still-cached toks); the returned per-doc plan stays lazy so the

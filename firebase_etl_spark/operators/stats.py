@@ -243,16 +243,21 @@ def weighted_sample(
     emitted priority is the equivalent log-key ln(u)/w (monotone in
     u^(1/w) for w > 0, but spread over a numeric range that survives
     rounding — u^(1/w) itself collapses onto 1 - epsilon for large
-    weights). It is rounded to 9dp before the rank so both engines pick
-    identical winners despite libm's ulp differences in ln; ties break
-    to the lower key. Rows with NULL or non-positive weight are
-    excluded (they have zero inclusion probability).
+    weights), computed as (ln(num) - ln(2^60)) / w over the PORTABLE
+    libm-free ln (functions/portable_math.py) so both engines round the
+    bit-identical double — JVM Math.log vs DuckDB ln can differ by one
+    ulp on the same rational, the flake class that cost the DSIR query
+    two driver rounds. Rounded to 9dp before the rank; ties break to
+    the lower key. Rows with NULL or non-positive weight are excluded
+    (they have zero inclusion probability).
 
     One scan, no shuffle, global top-k via orderBy+limit
     (TakeOrderedAndProject — no global-order window). Changing ``salt``
     redraws the sample; fixing it freezes the draw forever."""
+    from firebase_etl_spark.functions.portable_math import with_ln
+
     w = F.col(weight_col).cast("double")
-    u = (
+    num = (
         F.conv(
             F.substring(
                 F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))),
@@ -263,11 +268,16 @@ def weighted_sample(
             10,
         ).cast("bigint")
         + F.lit(1)
-    ) / F.lit(float(1 << 60))
-    pr = F.round(F.log(u) / w, 9)
+    )
+    out = df.filter(w > 0).withColumn("__ws_num", num)
+    out = with_ln(out, "__ws_num", "__ws_lnnum")
+    out = with_ln(out, str(1 << 60), "__ws_lnden")
+    pr = F.round(
+        (F.col("__ws_lnnum") - F.col("__ws_lnden")) / w, 9
+    )
     return (
-        df.filter(w > 0)
-        .withColumn("priority", pr)
+        out.withColumn("priority", pr)
+        .drop("__ws_num", "__ws_lnnum", "__ws_lnden")
         .orderBy(F.col("priority").desc(), F.col(key_col))
         .limit(k)
     )

@@ -2462,7 +2462,30 @@ ORACLES_EXT["q20_excess_stock_suppliers"] = f"""
 """
 
 
-ORACLES_EXT["documents_dsir_weights"] = """
+def _dsir_oracle() -> str:
+    """DSIR twin with the PORTABLE libm-free ln (portable_math.py): the
+    ratio CTE applies the exact step chain the Spark plan runs — JVM
+    Math.log vs DuckDB ln ulp divergence flipped the 1e-6 BIGINT on
+    the driver host in rounds 4 AND 5 (the query passed against the
+    local DuckDB build, failed on the driver's), so neither side may
+    call a libm ln at all."""
+    from firebase_etl_spark.functions.portable_math import (
+        ln_select_sql,
+        lr_e6_expr,
+    )
+
+    chain = ln_select_sql(
+        "SELECT w, c_src, c_tgt, s_tot, t_tot, v"
+        " FROM counts CROSS JOIN tot",
+        [
+            ("(c_tgt + 1)", "__lnct"),
+            ("(c_src + 1)", "__lncs"),
+            ("(t_tot + v)", "__lndt"),
+            ("(s_tot + v)", "__lnds"),
+        ],
+    )
+    lr = lr_e6_expr("__lnct", "__lndt", "__lncs", "__lnds")
+    return f"""
     WITH toks AS (
         SELECT doc_id, lang = 'en' AS tgt,
                unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
@@ -2474,14 +2497,12 @@ ORACLES_EXT["documents_dsir_weights"] = """
     tot AS (SELECT sum(c_src) AS s_tot, sum(c_tgt) AS t_tot,
                    count(*) AS v FROM counts),
     ratio AS (
-        -- per-vocab-row FIXED-POINT log-ratio: rounded to a 1e-6-unit
-        -- BIGINT once, so per-doc weights are associative integer sums
-        -- (bit-identical across engines/partitionings — the chisq
-        -- pattern; a raw double sum flaked in the r4 driver snapshot)
-        SELECT w, CAST(round((ln((c_tgt + 1) / (t_tot + v))
-                              - ln((c_src + 1) / (s_tot + v)))
-                             * 1000000.0 + 1e-9, 0) AS BIGINT) AS lr_e6
-        FROM counts CROSS JOIN tot),
+        -- per-vocab-row FIXED-POINT log-ratio over PORTABLE lns:
+        -- rounded to a 1e-6-unit BIGINT once, so per-doc weights are
+        -- associative integer sums, and the doubles being rounded are
+        -- bit-identical across engines by construction
+        SELECT w, {lr} AS lr_e6
+        FROM ({chain})),
     scores AS (
         SELECT doc_id, count(*) AS n_tokens,
                CAST(sum(lr_e6) AS BIGINT) AS lw_e6
@@ -2495,6 +2516,9 @@ ORACLES_EXT["documents_dsir_weights"] = """
     FROM documents JOIN scores USING (doc_id)
     GROUP BY lang ORDER BY lang
 """
+
+
+ORACLES_EXT["documents_dsir_weights"] = _dsir_oracle()
 
 
 ORACLES_EXT["events_distinct_users_approx"] = """
@@ -3253,20 +3277,32 @@ ORACLES_EXT["doc_vocab_unseen_mass"] = r"""
 """
 
 
-ORACLES_EXT["documents_weighted_sample"] = """
-    WITH b AS (
-        SELECT doc_id, lang, n_chars,
-               (('0x' || substr(md5('ws1' || CAST(doc_id AS VARCHAR)),
-                                1, 15))::BIGINT + 1)
-               / 1152921504606846976.0 AS u
-        FROM documents
-        WHERE CAST(n_chars AS DOUBLE) > 0)
+def _weighted_sample_oracle() -> str:
+    """Efraimidis-Spirakis log-key twin over the PORTABLE ln — the
+    chain is the verbatim step list stats.py:weighted_sample runs, so
+    the 9dp-rounded priorities quantize bit-identical doubles instead
+    of two libms' ulp-divergent ln(u)."""
+    from firebase_etl_spark.functions.portable_math import ln_select_sql
+
+    chain = ln_select_sql(
+        """SELECT doc_id, lang, n_chars,
+                  ('0x' || substr(md5('ws1' || CAST(doc_id AS VARCHAR)),
+                                  1, 15))::BIGINT + 1 AS __ws_num
+           FROM documents
+           WHERE CAST(n_chars AS DOUBLE) > 0""",
+        [("__ws_num", "__ws_lnnum"), (str(1 << 60), "__ws_lnden")],
+    )
+    return f"""
     SELECT doc_id, lang, n_chars,
-           round(ln(u) / CAST(n_chars AS DOUBLE), 9) AS priority
-    FROM b
+           round((__ws_lnnum - __ws_lnden) / CAST(n_chars AS DOUBLE), 9)
+               AS priority
+    FROM ({chain})
     ORDER BY priority DESC, doc_id
     LIMIT 50
 """
+
+
+ORACLES_EXT["documents_weighted_sample"] = _weighted_sample_oracle()
 
 
 ORACLES_EXT["documents_grouped_split"] = f"""
@@ -4501,7 +4537,25 @@ ORACLES_EXT["doc_novelty_curve"] = r"""
 """
 
 
-ORACLES_EXT["retention_halflife_fit"] = """
+def _retention_halflife_oracle() -> str:
+    """Decay-fit twin over the PORTABLE ln: ln(sa/ss) = ln(sa) - ln(ss)
+    with both integer-argument lns evaluated by the shared libm-free
+    chain, and -ln(2) as the shared parsed literal — identical doubles
+    on both engines before the 1e-6 rounding (preemptive fix: this
+    query passed r5 only because the fixture sat clear of a boundary,
+    VERDICT r5 next-round #1)."""
+    from firebase_etl_spark.functions.portable_math import (
+        LN2_LIT,
+        fixed_e6_expr,
+        ln_select_sql,
+    )
+
+    chain = ln_select_sql(
+        "SELECT age, sa, ss FROM pooled",
+        [("sa", "__lnsa"), ("ss", "__lnss")],
+    )
+    y = fixed_e6_expr("__lnsa - __lnss")
+    return f"""
     WITH ud AS (
         SELECT DISTINCT user_id,
                CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk
@@ -4530,10 +4584,8 @@ ORACLES_EXT["retention_halflife_fit"] = """
         FROM spine LEFT JOIN actives USING (cohort, age)
         GROUP BY age HAVING sum(coalesce(act, 0)) > 0
     ), pts AS (
-        SELECT CAST(age AS BIGINT) AS x,
-               CAST(round(ln(sa / ss) * 1000000.0 + 1e-9, 0) AS BIGINT)
-                   AS y
-        FROM pooled
+        SELECT CAST(age AS BIGINT) AS x, {y} AS y
+        FROM ({chain})
     ), s AS (
         SELECT CAST(count(*) AS BIGINT) AS n_int,
                CAST(count(*) AS DOUBLE) AS n,
@@ -4548,12 +4600,15 @@ ORACLES_EXT["retention_halflife_fit"] = """
                AS weekly_log_decay,
            CASE WHEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
                      / 1000000.0 < 0
-                THEN round(-ln(2.0) / ((n * sxy - sx * sy)
-                                       / (n * sxx - sx * sx)
-                                       / 1000000.0) + 1e-9, 4)
+                THEN round(-{LN2_LIT} / ((n * sxy - sx * sy)
+                                         / (n * sxx - sx * sx)
+                                         / 1000000.0) + 1e-9, 4)
            END AS halflife_weeks
     FROM s WHERE n_int >= 2
 """
+
+
+ORACLES_EXT["retention_halflife_fit"] = _retention_halflife_oracle()
 
 
 ORACLES_EXT["documents_lang_source_association"] = _cramers_oracle(

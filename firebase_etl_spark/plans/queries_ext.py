@@ -4512,9 +4512,18 @@ def retention_halflife_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     including zero-active cohorts via the spine left-join) regressed as
     ln(rate) ~ age — slope is the weekly log-decay, half-life =
     -ln(2)/slope, the single number a growth team quotes from the whole
-    retention matrix. Rates are exact integer ratios; ln values take
-    the 1e-6 fixed-point nudge; the OLS runs over a bounded age spine
-    exactly like the Zipf fit."""
+    retention matrix. Rates are exact integer ratios; ln(sa/ss) is
+    decomposed into two integer-argument PORTABLE libm-free lns
+    (functions/portable_math.py — both engines produce the same 64-bit
+    double before the 1e-6 fixed-point rounding, eliminating the ulp
+    boundary class that cost the DSIR query two driver rounds); the
+    OLS runs over a bounded age spine exactly like the Zipf fit."""
+    from firebase_etl_spark.functions.portable_math import (
+        LN2_LIT,
+        fixed_e6_expr,
+        with_ln,
+    )
+
     e = load_table(spark, "events", sf_dir).filter(
         F.col("user_id").isNotNull()
     )
@@ -4557,13 +4566,10 @@ def retention_halflife_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("sa") > 0)
     )
-    pts = pooled.select(
+    lp = with_ln(with_ln(pooled, "sa", "__lnsa"), "ss", "__lnss")
+    pts = lp.select(
         F.col("age").cast("long").alias("x"),
-        F.round(
-            F.log(F.col("sa") / F.col("ss")) * 1000000.0 + 1e-9, 0
-        )
-        .cast("long")
-        .alias("y"),
+        F.expr(fixed_e6_expr("__lnsa - __lnss")).alias("y"),
     )
     s = pts.agg(
         F.count(F.lit(1)).alias("n"),
@@ -4584,7 +4590,7 @@ def retention_halflife_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_ages"),
         F.round(slope, 6).alias("weekly_log_decay"),
         F.when(
-            slope < 0, F.round(-F.log(F.lit(2.0)) / slope + 1e-9, 4)
+            slope < 0, F.round(-F.expr(LN2_LIT) / slope + 1e-9, 4)
         ).alias("halflife_weeks"),
     )
 
