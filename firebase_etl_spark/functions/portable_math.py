@@ -134,6 +134,19 @@ def lr_e6_expr(lnct: str, lndt: str, lncs: str, lnds: str) -> str:
     return fixed_e6_expr(f"({lnct} - {lndt}) - ({lncs} - {lnds})")
 
 
+def pmi_expr() -> str:
+    """Pointwise mutual information ln((c12/B)/((ca/T)(cb/T))) as the
+    overflow-free five-ln decomposition ln(c12)+2·ln(T)-ln(B)-ln(ca)
+    -ln(cb) over portable-ln columns ``__lnc12 __lnca __lncb __lnt
+    __lnb``, rounded at 6dp — one shared tree for both engines (a
+    product-argument form would overflow BIGINT once T² · c12 passes
+    2^63, which a web corpus does)."""
+    return (
+        "round(((__lnc12 - __lnb) + (__lnt - __lnca))"
+        " + (__lnt - __lncb), 6)"
+    )
+
+
 def ln_select_sql(inner: str, pairs: list[tuple[str, str]]) -> str:
     """Oracle side: wrap ``inner`` (a SQL query string) in the select
     chain that appends each ``out`` = portable ln(``arg``) — the SAME

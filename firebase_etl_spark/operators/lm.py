@@ -29,6 +29,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from firebase_etl_spark.functions.portable_math import (
+    LN2_LIT,
+    fixed_e6_expr,
+    pmi_expr,
+    with_ln,
+)
 from firebase_etl_spark.operators.text import tokenize
 
 #: broadcast the count tables while they stay vocabulary-sized
@@ -60,10 +66,22 @@ def bigram_lm_scores(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Per-doc (id, n_bigrams, avg_log2_prob) under the corpus-trained
-    add-k bigram model. Higher = more predictable under corpus statistics;
-    the junk tail is the low end. Docs with <2 tokens are absent (no
-    bigram evidence)."""
+    """Per-doc (id, n_bigrams, avg_lg2_e6, avg_log2_prob) under the
+    corpus-trained add-k bigram model. Higher = more predictable under
+    corpus statistics; the junk tail is the low end. Docs with <2
+    tokens are absent (no bigram evidence).
+
+    DETERMINISM: when 2k is an integer (the default k=0.5), the add-k
+    probability rewrites to the integer ratio (2·c12 + 2k)/(2·c1 + 2k·V)
+    and log2(prob) = (ln(num) - ln(den)) / ln 2 over the PORTABLE
+    libm-free ln (functions/portable_math.py). Each bigram contribution
+    is rounded ONCE to a 1e-6-unit BIGINT and per-doc scores are
+    associative integer sums — bit-identical across partitionings AND
+    engines (the raw avg(log2(...)) it replaces was a float sum whose
+    order Spark does not pin). ``avg_lg2_e6`` is the exact per-doc
+    fixed-point mean; ``avg_log2_prob`` its display double. Non-integer
+    2k falls back to the libm log2 float path (no driver query uses
+    it)."""
     bg = doc_bigrams(df, text_col, id_col).persist()
     try:
         # training: counts over the SAME corpus being scored (standard for
@@ -75,15 +93,42 @@ def bigram_lm_scores(
         small = c12.count() <= BROADCAST_MAX_ROWS
         if small:
             c12, c1 = F.broadcast(c12), F.broadcast(c1)
-        prob = (F.col("c12") + F.lit(k)) / (F.col("c1") + F.lit(k) * F.col("v"))
-        out = (
+        joined = (
             bg.join(c12, ["w1", "w2"])
             .join(c1, "w1")
             .crossJoin(F.broadcast(vocab))
+        )
+        if float(2 * k).is_integer():
+            kk = int(2 * k)
+            joined = with_ln(joined, f"(2 * c12 + {kk})", "__lnnum")
+            joined = with_ln(joined, f"(2 * c1 + {kk} * v)", "__lnden")
+            lg2_e6 = F.expr(
+                fixed_e6_expr(f"(__lnnum - __lnden) / {LN2_LIT}")
+            )
+        else:  # pragma: no cover - float fallback, unused by queries
+            prob = (F.col("c12") + F.lit(k)) / (
+                F.col("c1") + F.lit(k) * F.col("v")
+            )
+            lg2_e6 = (
+                F.round(F.log2(prob) * 1000000.0 + 1e-9, 0).cast("long")
+            )
+        out = (
+            joined.select(F.col(id_col), lg2_e6.alias("__lg2_e6"))
             .groupBy(id_col)
             .agg(
                 F.count(F.lit(1)).alias("n_bigrams"),
-                F.round(F.avg(F.log2(prob)), 6).alias("avg_log2_prob"),
+                F.sum("__lg2_e6").alias("__s"),
+            )
+            .select(
+                id_col,
+                "n_bigrams",
+                F.expr(
+                    "CAST(round(CAST(__s AS DOUBLE) / n_bigrams"
+                    " + 1e-9, 0) AS BIGINT)"
+                ).alias("avg_lg2_e6"),
+            )
+            .withColumn(
+                "avg_log2_prob", F.col("avg_lg2_e6") / F.lit(1000000.0)
             )
         )
         out = out.localCheckpoint(eager=True)
@@ -113,9 +158,12 @@ def pmi_collocations(
     by (6dp pmi desc, w1, w2) — no rank column, so the global top-k
     stays a TakeOrderedAndProject with no global-order window.
 
-    DETERMINISM: pmi is ONE fixed-order expression per surviving bigram
-    row over exact integer counts and two literal scalars — no float is
-    ever aggregated, so no fixed-point machinery is needed.
+    DETERMINISM: pmi decomposes to ln(c12) + 2·ln(T) - ln(B) - ln(ca)
+    - ln(cb) — five single-INTEGER-argument PORTABLE libm-free lns
+    (functions/portable_math.py; single integers, never products, so no
+    BIGINT overflow at any corpus size) combined in ONE fixed-order
+    expression per surviving bigram row. No float is ever aggregated,
+    and both engines quantize the identical double at 6dp.
 
     Scale shape: one token explode feeds the unigram aggregate, one
     slice+zip explode feeds the bigram aggregate (both map-side
@@ -156,8 +204,8 @@ def pmi_collocations(
                     ).otherwise(0)
                 ).alias("b"),
             ).collect()[0]
-            t_tot = F.lit(int(tot["t"] or 0))
-            b_tot = F.lit(int(tot["b"] or 0))
+            t_tot = int(tot["t"] or 0)
+            b_tot = int(tot["b"] or 0)
 
             # one count() sizes the broadcast decision AND materializes
             # the cached vocabulary table both scoring joins reuse
@@ -166,21 +214,17 @@ def pmi_collocations(
             ub = uni.select(F.col("w").alias("w2"), F.col("cu").alias("cb"))
             if n_vocab <= BROADCAST_MAX_ROWS:
                 ua, ub = F.broadcast(ua), F.broadcast(ub)
-            scored = (
-                big.join(ua, "w1")
-                .join(ub, "w2")
-                .select(
-                    "w1",
-                    "w2",
-                    "c12",
-                    F.round(
-                        F.log(
-                            (F.col("c12") / b_tot)
-                            / ((F.col("ca") / t_tot) * (F.col("cb") / t_tot))
-                        ),
-                        6,
-                    ).alias("pmi"),
-                )
+            sc = big.join(ua, "w1").join(ub, "w2")
+            sc = with_ln(sc, "c12", "__lnc12")
+            sc = with_ln(sc, "ca", "__lnca")
+            sc = with_ln(sc, "cb", "__lncb")
+            sc = with_ln(sc, str(t_tot), "__lnt")
+            sc = with_ln(sc, str(b_tot), "__lnb")
+            scored = sc.select(
+                "w1",
+                "w2",
+                "c12",
+                F.expr(pmi_expr()).alias("pmi"),
             )
             # the top-k result is <= k rows: checkpoint through the
             # TakeOrdered so the caches can be released (lm.py pattern)
@@ -334,7 +378,9 @@ def zipf_slope_report(
     (count of (freq, term)-lexicographically-greater rows — ties break on
     the term string, so ranks are engine-invariant; no global-order
     window, which the scale lint would rightly flag). The regression
-    sums are FIXED-POINT: each log is rounded once to a 1e-6-unit BIGINT
+    sums are FIXED-POINT: each log is the PORTABLE libm-free ln of an
+    integer (functions/portable_math.py — bit-identical across engines)
+    rounded once to a 1e-6-unit BIGINT
     (the DSIR/chisq pattern, +1e-9 nudge against representation ties)
     and all five sums are associative integer aggregates; slope,
     intercept and r2 leave the integers in ONE fixed-order double
@@ -373,9 +419,12 @@ def zipf_slope_report(
         .groupBy(F.col("a.term").alias("term"), F.col("a.freq").alias("freq"))
         .agg(F.count(F.lit(1)).alias("rank"))
     )
-    pts = ranked.select(
-        F.round(F.log("rank") * 1000000.0 + 1e-9, 0).cast("long").alias("x"),
-        F.round(F.log("freq") * 1000000.0 + 1e-9, 0).cast("long").alias("y"),
+    # PORTABLE libm-free lns (functions/portable_math.py): rank and
+    # freq are integers, so both engines quantize the identical double
+    lr = with_ln(with_ln(ranked, "rank", "__lnr"), "freq", "__lnf")
+    pts = lr.select(
+        F.expr(fixed_e6_expr("__lnr")).alias("x"),
+        F.expr(fixed_e6_expr("__lnf")).alias("y"),
     )
     sums = pts.agg(
         F.count(F.lit(1)).alias("n"),

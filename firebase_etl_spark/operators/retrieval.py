@@ -50,6 +50,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from firebase_etl_spark.functions.portable_math import with_ln
 from firebase_etl_spark.operators.text import tokenize
 
 
@@ -113,9 +114,13 @@ def bm25_topk(
         "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
     )
 
-    idf = F.log(
-        1.0 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
+    # Robertson-Sparck-Jones idf ln(1 + (N - df + 0.5)/(df + 0.5)) =
+    # ln(2N + 2) - ln(2df + 1): two integer-argument PORTABLE libm-free
+    # lns (functions/portable_math.py), so both engines quantize the
+    # identical double (DSIR-class hardening)
+    tf = with_ln(tf, str(2 * n_docs + 2), "__lnidfn")
+    tf = with_ln(tf, "(2 * df + 1)", "__lnidfd")
+    idf = F.col("__lnidfn") - F.col("__lnidfd")
     tfc = (
         F.col("tf")
         * (k1 + 1.0)

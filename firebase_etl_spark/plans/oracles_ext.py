@@ -94,27 +94,10 @@ ORACLES_EXT: dict[str, str] = {
                round(n_chars_text * 1.0 / bpe_tokens, 4) AS chars_per_bpe_token
         FROM b
     """,
-    "doc_tfidf_top_terms": r"""
-        WITH toks AS (
-            SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
-            FROM documents
-        ), tf AS (
-            SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
-        ), df AS (
-            SELECT term, count(*) AS df FROM tf GROUP BY term
-        ), n AS (SELECT count(*) AS n_docs FROM documents),
-        scored AS (
-            SELECT tf.doc_id, tf.term, tf.tf, df.df,
-                   round(tf.tf * (ln((n.n_docs + 1) * 1.0 / (df.df + 1)) + 1.0),
-                         6) AS tfidf
-            FROM tf JOIN df USING (term), n
-        )
-        SELECT doc_id, term, tf, df, tfidf, rank FROM (
-            SELECT *, row_number() OVER (
-                PARTITION BY doc_id ORDER BY tfidf DESC, term
-            ) AS rank FROM scored
-        ) WHERE rank <= 3
-    """,
+    # tfidf twin: PORTABLE libm-free lns (the 6dp score feeds the rank
+    # tiebreak, so a libm ulp could flip the emitted rows); chain
+    # generated below after the dict literal
+    "doc_tfidf_top_terms": "__SET_BELOW__",
     "doc_jaccard_vs_queries": f"""
         WITH toks AS (
             SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents
@@ -457,6 +440,43 @@ ORACLES_EXT: dict[str, str] = {
         ORDER BY segment
     """,
 }
+
+
+def _tfidf_oracle() -> str:
+    """TF-IDF twin over the PORTABLE libm-free ln: smoothed idf
+    decomposes to (ln(N+1) - ln(df+1)) + 1, both integer-argument —
+    the 6dp-rounded score is a row_number tiebreak input, where a
+    one-ulp libm divergence flips the emitted row set (DSIR-class)."""
+    from firebase_etl_spark.functions.portable_math import ln_select_sql
+
+    chain = ln_select_sql(
+        "SELECT tf.doc_id, tf.term, tf.tf, df.df, n.n_docs"
+        " FROM tf JOIN df USING (term), n",
+        [("(n_docs + 1)", "__lnn"), ("(df + 1)", "__lndf")],
+    )
+    return rf"""
+        WITH toks AS (
+            SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+        ), df AS (
+            SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT doc_id, term, tf, df,
+                   round(tf * ((__lnn - __lndf) + 1.0), 6) AS tfidf
+            FROM ({chain})
+        )
+        SELECT doc_id, term, tf, df, tfidf, rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, term
+            ) AS rank FROM scored
+        ) WHERE rank <= 3
+    """
+
+
+ORACLES_EXT["doc_tfidf_top_terms"] = _tfidf_oracle()
 
 # ann_topk_lsh's exact re-rank equals brute-force top-k because LSH_TABLES
 # is OR-amplified to 100% candidate recall on this corpus (measured at
@@ -1584,8 +1604,22 @@ ORACLES_EXT["doc_pii_screen"] = r"""
 """
 
 # full replay of the bigram-LM perplexity filter: list-slice zip builds
-# the bigrams, the same add-k model is trained and scored in SQL.
-ORACLES_EXT["doc_lm_perplexity_report"] = r"""
+# the bigrams, the same add-k model is trained and scored in SQL with
+# the PORTABLE libm-free log2 fixed-point pipeline (lm.py twin).
+def _lm_perplexity_oracle() -> str:
+    from firebase_etl_spark.functions.portable_math import (
+        LN2_LIT,
+        fixed_e6_expr,
+        ln_select_sql,
+    )
+
+    chain = ln_select_sql(
+        "SELECT doc_id, c12, c1, v FROM bg2"
+        " JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v",
+        [("(2 * c12 + 1)", "__lnnum"), ("(2 * c1 + 1 * v)", "__lnden")],
+    )
+    lg2 = fixed_e6_expr(f"(__lnnum - __lnden) / {LN2_LIT}")
+    return rf"""
     WITH tk AS (
         SELECT doc_id,
                string_split_regex(lower(trim(text)), '\s+') AS t
@@ -1602,24 +1636,35 @@ ORACLES_EXT["doc_lm_perplexity_report"] = r"""
     c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg2 GROUP BY w1, w2),
     c1 AS (SELECT w1, count(*) AS c1 FROM bg2 GROUP BY w1),
     v AS (SELECT count(DISTINCT w2) AS v FROM bg2),
+    perbg AS (
+        SELECT doc_id, {lg2} AS lg2_e6 FROM ({chain})
+    ),
     scored AS (
-        SELECT doc_id,
-               count(*) AS n_bigrams,
-               round(avg(log2((c12 + 0.5) / (c1 + 0.5 * v))), 6) AS avg_log2_prob
-        FROM bg2 JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
-        GROUP BY doc_id
+        SELECT doc_id, count(*) AS n_bigrams,
+               CAST(sum(lg2_e6) AS BIGINT) AS __s
+        FROM perbg GROUP BY doc_id
+    ),
+    scored2 AS (
+        SELECT doc_id, n_bigrams,
+               CAST(round(CAST(__s AS DOUBLE) / n_bigrams + 1e-9, 0)
+                    AS BIGINT) AS avg_lg2_e6
+        FROM scored
     )
     SELECT d.lang,
            count(*) AS n_docs,
-           round(avg(avg_log2_prob), 4) AS mean_score,
-           round(min(avg_log2_prob), 6) AS min_score,
-           round(max(avg_log2_prob), 6) AS max_score,
-           CAST(sum(CASE WHEN avg_log2_prob < -12.0 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_below_floor,
+           round(sum(avg_lg2_e6) / (count(*) * 1000000.0), 4)
+               AS mean_score,
+           min(avg_lg2_e6) / 1000000.0 AS min_score,
+           max(avg_lg2_e6) / 1000000.0 AS max_score,
+           CAST(sum(CASE WHEN avg_lg2_e6 < -12000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_below_floor,
            CAST(sum(n_bigrams) AS BIGINT) AS total_bigrams
-    FROM documents d JOIN scored USING (doc_id)
+    FROM documents d JOIN scored2 USING (doc_id)
     GROUP BY d.lang ORDER BY d.lang
 """
+
+
+ORACLES_EXT["doc_lm_perplexity_report"] = _lm_perplexity_oracle()
 
 
 # replays the packing plan with the textbook single-window global cumsum
@@ -1853,7 +1898,26 @@ ORACLES_EXT["events_rate_anomalies"] = """
 """
 
 
-ORACLES_EXT["doc_entropy_report"] = r"""
+def _entropy_oracle() -> str:
+    """Char-entropy twin over the PORTABLE libm-free log2 fixed-point
+    pipeline (queries_ext.doc_entropy_report twin)."""
+    from firebase_etl_spark.functions.portable_math import (
+        LN2_LIT,
+        fixed_e6_expr,
+        ln_select_sql,
+    )
+
+    c_chain = ln_select_sql(
+        "SELECT doc_id, lang, ch, c FROM counts", [("c", "__lnc")]
+    )
+    n_chain = ln_select_sql(
+        "SELECT * FROM agg", [("__n", "__lnn")]
+    )
+    clg2 = fixed_e6_expr(f"(c * __lnc) / {LN2_LIT}")
+    ent = fixed_e6_expr(
+        f"__lnn / {LN2_LIT} - (CAST(__s AS DOUBLE) / 1000000.0) / __n"
+    )
+    return f"""
     WITH ch AS (
         SELECT doc_id, lang, unnest(string_split(text, '')) AS ch
         FROM documents
@@ -1862,20 +1926,28 @@ ORACLES_EXT["doc_entropy_report"] = r"""
         SELECT doc_id, lang, ch, count(*) AS c
         FROM ch GROUP BY doc_id, lang, ch
     ),
-    per_doc AS (
+    agg AS (
         SELECT doc_id, lang,
-               round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS entropy
-        FROM counts GROUP BY doc_id, lang
+               CAST(sum(c) AS BIGINT) AS __n,
+               CAST(sum({clg2}) AS BIGINT) AS __s
+        FROM ({c_chain}) GROUP BY doc_id, lang
+    ),
+    per_doc AS (
+        SELECT doc_id, lang, {ent} AS ent_e6
+        FROM ({n_chain})
     )
     SELECT lang,
            count(*) AS n_docs,
-           round(avg(entropy), 4) AS avg_entropy,
-           round(min(entropy), 6) AS min_entropy,
-           round(max(entropy), 6) AS max_entropy,
-           CAST(sum(CASE WHEN entropy < 2.5 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_low_entropy
+           round(sum(ent_e6) / (count(*) * 1000000.0), 4) AS avg_entropy,
+           min(ent_e6) / 1000000.0 AS min_entropy,
+           max(ent_e6) / 1000000.0 AS max_entropy,
+           CAST(sum(CASE WHEN ent_e6 < 2500000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_low_entropy
     FROM per_doc GROUP BY lang ORDER BY lang
 """
+
+
+ORACLES_EXT["doc_entropy_report"] = _entropy_oracle()
 
 
 ORACLES_EXT["embedding_filtered_topk"] = """
@@ -2562,7 +2634,24 @@ ORACLES_EXT["orders_sqlstore_partitioned_scan"] = """
 """
 
 
-ORACLES_EXT["documents_bm25_topk"] = """
+def _bm25_oracle() -> str:
+    """BM25 twin over the PORTABLE libm-free ln: the RSJ idf
+    decomposes to ln(2N+2) - ln(2df+1), both integer-argument, so the
+    per-(query, doc, term) contribution quantizes the identical double
+    on both engines (DSIR-class hardening)."""
+    from firebase_etl_spark.functions.portable_math import ln_select_sql
+
+    chain = ln_select_sql(
+        "SELECT qt.query_id, tf.doc_id, tf.tf, tf.dl, df.df,"
+        " tot.n, tot.tdl"
+        " FROM tf"
+        " JOIN qt USING (term)"
+        " JOIN df USING (term)"
+        " CROSS JOIN tot"
+        " WHERE tf.doc_id <> qt.query_id",
+        [("(2 * n + 2)", "__lnidfn"), ("(2 * df + 1)", "__lnidfd")],
+    )
+    return f"""
     WITH base AS (
         SELECT doc_id,
                regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
@@ -2584,18 +2673,14 @@ ORACLES_EXT["documents_bm25_topk"] = """
     -- BIGINT; per-pair scores are associative integer sums (the dsir /
     -- chisq fixed-point pattern). avgdl is one exact-BIGINT division.
     scored AS (
-        SELECT qt.query_id, tf.doc_id,
+        SELECT query_id, doc_id,
                CAST(round(
-                   ln(1.0 + (tot.n - df.df + 0.5) / (df.df + 0.5))
-                   * (tf.tf * (1.2 + 1.0)
-                      / (tf.tf + 1.2 * (1.0 - 0.75
-                            + 0.75 * tf.dl / (tot.tdl * 1.0 / tot.n))))
+                   (__lnidfn - __lnidfd)
+                   * (tf * (1.2 + 1.0)
+                      / (tf + 1.2 * (1.0 - 0.75
+                            + 0.75 * dl / (tdl * 1.0 / n))))
                    * 1000000.0 + 1e-9, 0) AS BIGINT) AS c_e6
-        FROM tf
-        JOIN qt USING (term)
-        JOIN df USING (term)
-        CROSS JOIN tot
-        WHERE tf.doc_id <> qt.query_id),
+        FROM ({chain})),
     pair AS (
         SELECT query_id, doc_id, count(*) AS n_terms,
                CAST(sum(c_e6) AS BIGINT) AS score_e6
@@ -2608,6 +2693,9 @@ ORACLES_EXT["documents_bm25_topk"] = """
         ) AS rank FROM pair
     ) WHERE rank <= 10
 """
+
+
+ORACLES_EXT["documents_bm25_topk"] = _bm25_oracle()
 
 
 ORACLES_EXT["doc_duplicate_windows"] = r"""
@@ -2710,7 +2798,20 @@ ORACLES_EXT["embedding_label_centroids"] = """
 """
 
 
-ORACLES_EXT["documents_hybrid_rrf"] = r"""
+def _hybrid_rrf_oracle() -> str:
+    """Hybrid RRF twin: the sparse leg replays BM25 with the PORTABLE
+    libm-free idf lns (see _bm25_oracle)."""
+    from firebase_etl_spark.functions.portable_math import ln_select_sql
+
+    chain = ln_select_sql(
+        "SELECT qtx.query_id, tfx.doc_id, tfx.tf, tfx.dl, dfx.df,"
+        " totx.n, totx.tdl"
+        " FROM tfx JOIN qtx USING (term) JOIN dfx USING (term)"
+        " CROSS JOIN totx"
+        " WHERE tfx.doc_id <> qtx.query_id",
+        [("(2 * n + 2)", "__lnidfn"), ("(2 * df + 1)", "__lnidfd")],
+    )
+    return rf"""
     WITH base AS (
         SELECT doc_id,
                regexp_split_to_array(lower(trim(text)), '\s+') AS toks
@@ -2728,16 +2829,14 @@ ORACLES_EXT["documents_hybrid_rrf"] = r"""
         SELECT term, count(*) AS df FROM tfx
         WHERE term IN (SELECT term FROM qtx) GROUP BY term),
     sc AS (
-        SELECT qtx.query_id, tfx.doc_id,
+        SELECT query_id, doc_id,
                CAST(round(
-                   ln(1.0 + (totx.n - dfx.df + 0.5) / (dfx.df + 0.5))
-                   * (tfx.tf * (1.2 + 1.0)
-                      / (tfx.tf + 1.2 * (1.0 - 0.75
-                            + 0.75 * tfx.dl / (totx.tdl * 1.0 / totx.n))))
+                   (__lnidfn - __lnidfd)
+                   * (tf * (1.2 + 1.0)
+                      / (tf + 1.2 * (1.0 - 0.75
+                            + 0.75 * dl / (tdl * 1.0 / n))))
                    * 1000000.0 + 1e-9, 0) AS BIGINT) AS c_e6
-        FROM tfx JOIN qtx USING (term) JOIN dfx USING (term)
-        CROSS JOIN totx
-        WHERE tfx.doc_id <> qtx.query_id),
+        FROM ({chain})),
     sparse AS (
         SELECT query_id, doc_id, rank AS sparse_rank FROM (
             SELECT query_id, doc_id,
@@ -2778,6 +2877,9 @@ ORACLES_EXT["documents_hybrid_rrf"] = r"""
 """
 
 
+ORACLES_EXT["documents_hybrid_rrf"] = _hybrid_rrf_oracle()
+
+
 ORACLES_EXT["doc_langid_confusion"] = f"""
     WITH hits AS (
         SELECT lang,
@@ -2802,7 +2904,30 @@ ORACLES_EXT["doc_langid_confusion"] = f"""
 """
 
 
-ORACLES_EXT["doc_pmi_collocations"] = r"""
+def _pmi_oracle() -> str:
+    """PMI twin over the five-ln PORTABLE decomposition (see
+    lm.py:pmi_collocations — overflow-free single-integer arguments,
+    identical 6dp doubles on both engines)."""
+    from firebase_etl_spark.functions.portable_math import (
+        ln_select_sql,
+        pmi_expr,
+    )
+
+    chain = ln_select_sql(
+        "SELECT c12.w1, c12.w2, c12.c12, ua.cu AS ca, ub.cu AS cb, t, b"
+        " FROM c12"
+        " JOIN cu ua ON c12.w1 = ua.w"
+        " JOIN cu ub ON c12.w2 = ub.w"
+        " CROSS JOIN tot",
+        [
+            ("c12", "__lnc12"),
+            ("ca", "__lnca"),
+            ("cb", "__lncb"),
+            ("t", "__lnt"),
+            ("b", "__lnb"),
+        ],
+    )
+    return rf"""
     WITH base AS (
         SELECT doc_id,
                regexp_split_to_array(lower(trim(text)), '\s+') AS toks
@@ -2822,16 +2947,13 @@ ORACLES_EXT["doc_pmi_collocations"] = r"""
                sum(CASE WHEN len(toks) >= 2 THEN len(toks) - 1
                         ELSE 0 END) AS b
         FROM base)
-    SELECT w1, w2, c12,
-           round(ln((c12 / b) / ((ca / t) * (cb / t))), 6) AS pmi
-    FROM (
-        SELECT c12.w1, c12.w2, c12.c12, ua.cu AS ca, ub.cu AS cb, t, b
-        FROM c12
-        JOIN cu ua ON c12.w1 = ua.w
-        JOIN cu ub ON c12.w2 = ub.w
-        CROSS JOIN tot)
+    SELECT w1, w2, c12, {pmi_expr()} AS pmi
+    FROM ({chain})
     ORDER BY pmi DESC, w1, w2 LIMIT 20
 """
+
+
+ORACLES_EXT["doc_pmi_collocations"] = _pmi_oracle()
 
 
 ORACLES_EXT["doc_source_drift"] = """
@@ -3376,7 +3498,21 @@ ORACLES_EXT["documents_bloom_decontamination"] = r"""
 """
 
 
-ORACLES_EXT["doc_zipf_slope"] = r"""
+def _zipf_oracle() -> str:
+    """Zipf twin over the PORTABLE libm-free ln (rank and freq are
+    integers; both engines quantize the identical double — preemptive
+    DSIR-class hardening, VERDICT r5 next-round #1)."""
+    from firebase_etl_spark.functions.portable_math import (
+        fixed_e6_expr,
+        ln_select_sql,
+    )
+
+    chain = ln_select_sql(
+        "SELECT rank, freq FROM ranked",
+        [("rank", "__lnr"), ("freq", "__lnf")],
+    )
+    x, y = fixed_e6_expr("__lnr"), fixed_e6_expr("__lnf")
+    return rf"""
     WITH toks AS (
         SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
                AS term
@@ -3395,9 +3531,8 @@ ORACLES_EXT["doc_zipf_slope"] = r"""
           ON b.freq > a.freq OR (b.freq = a.freq AND b.term <= a.term)
         GROUP BY a.term, a.freq
     ), pts AS (
-        SELECT CAST(round(ln(rank) * 1000000.0 + 1e-9, 0) AS BIGINT) AS x,
-               CAST(round(ln(freq) * 1000000.0 + 1e-9, 0) AS BIGINT) AS y
-        FROM ranked
+        SELECT {x} AS x, {y} AS y
+        FROM ({chain})
     ), s AS (
         SELECT CAST(count(*) AS BIGINT) AS n_int,
                CAST(count(*) AS DOUBLE) AS n,
@@ -3418,6 +3553,9 @@ ORACLES_EXT["doc_zipf_slope"] = r"""
                AS zipf_r2
     FROM totals t, s
 """
+
+
+ORACLES_EXT["doc_zipf_slope"] = _zipf_oracle()
 
 
 ORACLES_EXT["embedding_mutual_knn"] = """
@@ -3996,7 +4134,23 @@ ORACLES_EXT["orders_contract_report"] = """
 """
 
 
-ORACLES_EXT["orders_column_profile"] = """
+def _column_profile_oracle() -> str:
+    """Profiling twin with PORTABLE lns for the entropy terms (c and
+    the non-null total are integers; both engines quantize identical
+    doubles — DSIR-class hardening)."""
+    from firebase_etl_spark.functions.portable_math import (
+        fixed_e6_expr,
+        ln_select_sql,
+    )
+
+    c_chain = ln_select_sql(
+        "SELECT col_name, value, c FROM counts", [("c", "__lnc")]
+    )
+    nn_chain = ln_select_sql(
+        "SELECT * FROM agg", [("__nn", "__lnnn")]
+    )
+    ce6 = fixed_e6_expr("c * __lnc")
+    return f"""
     WITH long AS (
         SELECT 'o_orderkey' AS col_name, CAST(o_orderkey AS VARCHAR) AS value FROM orders
         UNION ALL
@@ -4012,26 +4166,30 @@ ORACLES_EXT["orders_column_profile"] = """
     ), counts AS (
         SELECT col_name, value, count(*) AS c
         FROM long GROUP BY col_name, value
+    ), agg AS (
+        SELECT col_name,
+               CAST(sum(c) AS BIGINT) AS n_rows,
+               CAST(coalesce(sum(CASE WHEN value IS NULL THEN c END), 0)
+                    AS BIGINT) AS n_nulls,
+               CAST(sum(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_distinct,
+               CAST(max(CASE WHEN value IS NOT NULL THEN c END) AS BIGINT)
+                   AS top_count,
+               CAST(sum(CASE WHEN value IS NOT NULL THEN c ELSE 0 END)
+                    AS BIGINT) AS __nn,
+               CAST(sum(CASE WHEN value IS NOT NULL THEN {ce6}
+                        ELSE 0 END) AS BIGINT) AS __s
+        FROM ({c_chain}) GROUP BY col_name
     )
-    SELECT col_name AS "column",
-           CAST(sum(c) AS BIGINT) AS n_rows,
-           CAST(coalesce(sum(CASE WHEN value IS NULL THEN c END), 0)
-                AS BIGINT) AS n_nulls,
-           CAST(sum(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_distinct,
-           CAST(max(CASE WHEN value IS NOT NULL THEN c END) AS BIGINT)
-               AS top_count,
-           round(max(CASE WHEN value IS NOT NULL THEN c END)
-                 / sum(CASE WHEN value IS NOT NULL THEN c ELSE 0 END), 6)
-               AS top_share,
-           round(ln(sum(CASE WHEN value IS NOT NULL THEN c ELSE 0 END))
-                 - (CAST(sum(CASE WHEN value IS NOT NULL THEN
-                        CAST(round(c * ln(c) * 1000000.0 + 1e-9, 0)
-                             AS BIGINT) ELSE 0 END) AS DOUBLE) / 1000000.0)
-                   / sum(CASE WHEN value IS NOT NULL THEN c ELSE 0 END),
+    SELECT col_name AS "column", n_rows, n_nulls, n_distinct, top_count,
+           round(top_count / __nn, 6) AS top_share,
+           round(__lnnn - (CAST(__s AS DOUBLE) / 1000000.0) / __nn,
                  6) AS entropy_nats
-    FROM counts GROUP BY col_name ORDER BY col_name
+    FROM ({nn_chain}) ORDER BY col_name
 """
+
+
+ORACLES_EXT["orders_column_profile"] = _column_profile_oracle()
 
 
 ORACLES_EXT["events_autocorrelation"] = """

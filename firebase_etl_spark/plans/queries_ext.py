@@ -73,28 +73,32 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF relevance scoring, fully relational: explode tokens once,
     term frequency per (doc, term), document frequency from the SAME
     aggregate (no second corpus scan), smoothed idf = ln((N+1)/(df+1)) + 1
-    with the corpus size N as a broadcast scalar, top-3 terms per doc by
-    (rounded score desc, term asc). Two shuffles (tf agg, df agg) + one
-    broadcast join back — the shape that holds at corpus scale."""
+    = (ln(N+1) - ln(df+1)) + 1 over the PORTABLE libm-free ln
+    (functions/portable_math.py — the 6dp-rounded score feeds the rank
+    tiebreak, so a one-ulp libm divergence could flip the emitted row
+    set), with the corpus size N as a broadcast scalar, top-3 terms per
+    doc by (rounded score desc, term asc). Two shuffles (tf agg, df agg)
+    + one broadcast join back — the shape that holds at corpus scale."""
+    from firebase_etl_spark.functions.portable_math import with_ln
+
     d = load_table(spark, "documents", sf_dir)
     toks = d.select("doc_id", F.explode(TX.tokenize("text")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
-    scored = (
-        tf.join(df_, "term")
-        .crossJoin(F.broadcast(n_docs))
-        .withColumn(
-            "tfidf",
-            F.round(
-                F.col("tf")
-                * (
-                    F.log((F.col("n_docs") + 1) / (F.col("df") + 1))
-                    + F.lit(1.0)
-                ),
-                6,
+    base = tf.join(df_, "term").crossJoin(F.broadcast(n_docs))
+    base = with_ln(base, "(n_docs + 1)", "__lnn")
+    base = with_ln(base, "(df + 1)", "__lndf")
+    scored = base.withColumn(
+        "tfidf",
+        F.round(
+            F.col("tf")
+            * (
+                (F.col("__lnn") - F.col("__lndf"))
+                + F.lit(1.0)
             ),
-        )
+            6,
+        ),
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
     return (
@@ -1787,17 +1791,21 @@ def doc_lm_perplexity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, "documents", sf_dir)
     scores = bigram_lm_scores(d, k=0.5)
-    floor = -12.0
+    floor_e6 = -12000000  # -12.0 in 1e-6 units (integer compare)
     return (
         d.select("doc_id", "lang")
         .join(scores, "doc_id")
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("avg_log2_prob"), 4).alias("mean_score"),
-            F.round(F.min("avg_log2_prob"), 6).alias("min_score"),
-            F.round(F.max("avg_log2_prob"), 6).alias("max_score"),
-            F.sum((F.col("avg_log2_prob") < floor).cast("long")).alias(
+            F.round(
+                F.sum("avg_lg2_e6")
+                / (F.count(F.lit(1)) * F.lit(1000000.0)),
+                4,
+            ).alias("mean_score"),
+            (F.min("avg_lg2_e6") / F.lit(1000000.0)).alias("min_score"),
+            (F.max("avg_lg2_e6") / F.lit(1000000.0)).alias("max_score"),
+            F.sum((F.col("avg_lg2_e6") < floor_e6).cast("long")).alias(
                 "n_below_floor"
             ),
             F.sum("n_bigrams").alias("total_bigrams"),
@@ -2062,7 +2070,17 @@ def doc_entropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 2.5-bit floor. Single-pass formula H = log2(N) - sum(c*log2(c))/N,
     so one char explode + two doc-keyed aggregates (doc rows repartition
     first — no shuffle after the explode, same shape as the gram
-    pipelines). Replayed exactly by the DuckDB oracle."""
+    pipelines). All logs are PORTABLE libm-free lns divided by the
+    shared ln(2) literal, each contribution fixed-point-rounded ONCE to
+    a 1e-6 BIGINT and integer-summed — bit-identical across engines AND
+    partitionings (the raw float sum it replaces was order-dependent).
+    Replayed exactly by the DuckDB oracle."""
+    from firebase_etl_spark.functions.portable_math import (
+        LN2_LIT,
+        fixed_e6_expr,
+        with_ln,
+    )
+
     d = load_table(spark, "documents", sf_dir)
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     chars = (
@@ -2070,24 +2088,42 @@ def doc_entropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(n_parts, F.col("doc_id"))
         .select("doc_id", "lang", F.explode(F.split("text", "")).alias("ch"))
     )
-    counts = chars.groupBy("doc_id", "lang", "ch").agg(
-        F.count(F.lit(1)).alias("c")
+    counts = with_ln(
+        chars.groupBy("doc_id", "lang", "ch").agg(
+            F.count(F.lit(1)).alias("c")
+        ),
+        "c",
+        "__lnc",
     )
-    per_doc = counts.groupBy("doc_id", "lang").agg(
-        F.round(
-            F.log2(F.sum("c"))
-            - F.sum(F.col("c") * F.log2("c")) / F.sum("c"),
-            6,
-        ).alias("entropy")
+    agg = counts.groupBy("doc_id", "lang").agg(
+        F.sum("c").alias("__n"),
+        F.sum(
+            F.expr(fixed_e6_expr(f"(c * __lnc) / {LN2_LIT}"))
+        ).alias("__s"),
+    )
+    per_doc = with_ln(agg, "__n", "__lnn").select(
+        "doc_id",
+        "lang",
+        F.expr(
+            fixed_e6_expr(
+                f"__lnn / {LN2_LIT}"
+                " - (CAST(__s AS DOUBLE) / 1000000.0) / __n"
+            )
+        ).alias("ent_e6"),
     )
     return (
         per_doc.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("entropy"), 4).alias("avg_entropy"),
-            F.round(F.min("entropy"), 6).alias("min_entropy"),
-            F.round(F.max("entropy"), 6).alias("max_entropy"),
-            F.sum((F.col("entropy") < 2.5).cast("long")).alias("n_low_entropy"),
+            F.round(
+                F.sum("ent_e6") / (F.count(F.lit(1)) * F.lit(1000000.0)),
+                4,
+            ).alias("avg_entropy"),
+            (F.min("ent_e6") / F.lit(1000000.0)).alias("min_entropy"),
+            (F.max("ent_e6") / F.lit(1000000.0)).alias("max_entropy"),
+            F.sum((F.col("ent_e6") < 2500000).cast("long")).alias(
+                "n_low_entropy"
+            ),
         )
         .orderBy("lang")
     )
@@ -3748,8 +3784,15 @@ def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-specific float->string formatting cannot flip the hash (cast
     is injective; only the count multiset matters). Entropy uses the
     fixed-point pattern: per-value c*ln(c) rounded once to 1e-6 BIGINTs,
-    integer-summed, and H = ln(n) - sum/n in one mirrored expression.
+    integer-summed, and H = ln(n) - sum/n in one mirrored expression,
+    with both lns PORTABLE libm-free (functions/portable_math.py) so
+    the engines quantize identical doubles.
     top_count is max(c) — an integer, no tie-break needed."""
+    from firebase_etl_spark.functions.portable_math import (
+        fixed_e6_expr,
+        with_ln,
+    )
+
     o = load_table(spark, "orders", sf_dir)
     cols = [
         "o_orderkey", "o_custkey", "o_orderstatus",
@@ -3763,19 +3806,21 @@ def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"stack({len(cols)}, {stack_args}) as (col_name, value)"
         )
     )
-    counts = long.groupBy("col_name", "value").agg(
-        F.count(F.lit(1)).alias("c")
+    counts = with_ln(
+        long.groupBy("col_name", "value").agg(
+            F.count(F.lit(1)).alias("c")
+        ),
+        "c",
+        "__lnc",
     )
     nn = F.sum(F.when(F.col("value").isNotNull(), F.col("c")).otherwise(0))
     sum_e6 = F.sum(
         F.when(
             F.col("value").isNotNull(),
-            F.round(
-                F.col("c") * F.log("c") * 1000000.0 + 1e-9, 0
-            ).cast("long"),
+            F.expr(fixed_e6_expr("c * __lnc")),
         ).otherwise(F.lit(0))
     )
-    return (
+    agg = (
         counts.groupBy("col_name")
         .agg(
             F.sum("c").alias("n_rows"),
@@ -3791,6 +3836,9 @@ def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             nn.alias("__nn"),
             sum_e6.alias("__s"),
         )
+    )
+    return (
+        with_ln(agg, "__nn", "__lnnn")
         .select(
             F.col("col_name").alias("column"),
             "n_rows",
@@ -3801,7 +3849,7 @@ def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "top_share"
             ),
             F.round(
-                F.log("__nn")
+                F.col("__lnnn")
                 - (F.col("__s").cast("double") / 1000000.0) / F.col("__nn"),
                 6,
             ).alias("entropy_nats"),
