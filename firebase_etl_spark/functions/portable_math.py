@@ -134,6 +134,66 @@ def lr_e6_expr(lnct: str, lndt: str, lncs: str, lnds: str) -> str:
     return fixed_e6_expr(f"({lnct} - {lndt}) - ({lncs} - {lnds})")
 
 
+#: exp series terms; |t| < ln2 so the first dropped term is
+#: < 0.694^18/18! ~ 2.2e-19
+_EXP_TERMS = 18
+
+#: 2^x underflow cut: below this the e6-quantized consumers see exactly 0
+_EXP2_MIN = -64
+
+
+def exp2_steps(arg: str, out: str) -> list[tuple[str, str]]:
+    """The (column, expression) chain computing ``out`` = portable
+    2**``arg`` for a DOUBLE-valued expression with ``arg`` < 64
+    (``arg`` <= -64 yields exactly 0.0 — its consumers quantize at 1e-6
+    where true 2^-64 ~ 5.4e-20 rounds to 0 anyway). Same contract as
+    :func:`ln_steps`: only correctly-rounded IEEE basic ops (floor is
+    exact by IEEE 754 §5.9), so the result is bit-identical across
+    Spark and DuckDB — unlike libm ``pow``, which the two engines may
+    round differently by one ulp. Decomposition: x = i + f with
+    i = floor(x), 2^x = 2^i * exp(f·ln2) with the exponential by a
+    Python-literal-coefficient Taylor-Horner over f·ln2 in [0, ln 2)."""
+    x, i, p, t = (f"__{out}_{s}" for s in ("x", "i", "p", "t"))
+    p_case = " ".join(
+        f"WHEN {i} = {dlit(float(k))} THEN {dlit(2.0 ** k)}"
+        for k in range(63, _EXP2_MIN - 1, -1)
+    )
+    poly = dlit(1.0 / math.factorial(_EXP_TERMS - 1))
+    for n in range(_EXP_TERMS - 2, -1, -1):
+        poly = f"({dlit(1.0 / math.factorial(n))} + {t} * {poly})"
+    return [
+        (x, f"CAST({arg} AS DOUBLE)"),
+        (i, f"floor({x})"),
+        (p, f"CASE {p_case} ELSE {dlit(0.0)} END"),
+        (t, f"({x} - {i}) * {LN2_LIT}"),
+        (
+            out,
+            f"CASE WHEN {x} <= {dlit(float(_EXP2_MIN))} THEN {dlit(0.0)}"
+            f" ELSE {p} * {poly} END",
+        ),
+    ]
+
+
+def with_exp2(df: DataFrame, arg: str, out: str) -> DataFrame:
+    """Spark side: append column ``out`` = portable 2**``arg``,
+    dropping the intermediates. One codegen projection, no shuffle."""
+    steps = exp2_steps(arg, out)
+    for name, expr in steps:
+        df = df.withColumn(name, F.expr(expr))
+    return df.drop(*[name for name, _ in steps[:-1]])
+
+
+def exp2_select_sql(inner: str, pairs: list[tuple[str, str]]) -> str:
+    """Oracle side: wrap ``inner`` in the select chain appending each
+    ``out`` = portable 2**``arg`` (the verbatim :func:`with_exp2`
+    steps)."""
+    q = inner
+    for arg, out in pairs:
+        for name, expr in exp2_steps(arg, out):
+            q = f"SELECT *, {expr} AS {name} FROM ({q})"
+    return q
+
+
 def pmi_expr() -> str:
     """Pointwise mutual information ln((c12/B)/((ca/T)(cb/T))) as the
     overflow-free five-ln decomposition ln(c12)+2·ln(T)-ln(B)-ln(ca)

@@ -332,25 +332,36 @@ def decay_engagement_scores(
 
     Determinism: the anchor is the table's own max timestamp (data-
     derived — never wall-clock), ages are exact BIGINT microsecond
-    differences, and each contribution is rounded ONCE to a 1e-6-unit
-    BIGINT (pow + the 1e-9 nudge, the DSIR pattern) so the per-key
-    reduction is an associative integer sum. Top-k leaves by
-    (exact integer score desc, key) as TakeOrderedAndProject — no global
-    window. One scan + one keyed shuffle; the anchor row broadcasts."""
+    differences, 2^(-age/half_life) is the PORTABLE libm-free exp2
+    (functions/portable_math.py — libm ``pow`` may differ by one ulp
+    between the JVM and DuckDB, the DSIR flake class), and each
+    contribution is rounded ONCE to a 1e-6-unit BIGINT (+1e-9 nudge)
+    so the per-key reduction is an associative integer sum. Top-k
+    leaves by (exact integer score desc, key) as TakeOrderedAndProject
+    — no global window. One scan + one keyed shuffle; the anchor row
+    broadcasts."""
+    from firebase_etl_spark.functions.portable_math import with_exp2
+
     us = F.unix_micros(F.col(ts_col))
     anchor = F.broadcast(
         df.filter(F.col(key_col).isNotNull()).agg(F.max(us).alias("__a"))
     )
     hl_us = float(half_life_days) * 86400.0 * 1e6
-    contrib = F.round(
-        F.pow(F.lit(0.5), (F.col("__a") - us) / F.lit(hl_us)) * 1000000.0
-        + 1e-9,
-        0,
-    ).cast("long")
-    scored = (
+    base = (
         df.filter(F.col(key_col).isNotNull())
         .crossJoin(anchor)
-        .select(F.col(key_col), F.col(ts_col), contrib.alias("c_e6"))
+        .select(
+            F.col(key_col),
+            F.col(ts_col),
+            ((F.col("__a") - us) / F.lit(hl_us)).alias("__age"),
+        )
+    )
+    base = with_exp2(base, "(- __age)", "__decay")
+    contrib = F.round(
+        F.col("__decay") * 1000000.0 + 1e-9, 0
+    ).cast("long")
+    scored = (
+        base.select(F.col(key_col), F.col(ts_col), contrib.alias("c_e6"))
         .groupBy(key_col)
         .agg(
             F.count(F.lit(1)).alias("n_events"),

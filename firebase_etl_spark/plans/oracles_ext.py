@@ -3658,14 +3658,25 @@ def _lpa_oracle(n_iter: int = 5) -> str:
 ORACLES_EXT["part_copurchase_communities"] = _lpa_oracle()
 
 
-ORACLES_EXT["events_decay_engagement"] = """
+def _decay_engagement_oracle() -> str:
+    """Decay-score twin over the PORTABLE libm-free exp2 (stats.py:
+    decay_engagement_scores twin — libm pow is ulp-divergent across
+    engines, the DSIR flake class)."""
+    from firebase_etl_spark.functions.portable_math import exp2_select_sql
+
+    chain = exp2_select_sql(
+        "SELECT user_id, ts,"
+        " (a - epoch_us(ts)) / 604800000000.0 AS __age"
+        " FROM events, anchor WHERE user_id IS NOT NULL",
+        [("(- __age)", "__decay")],
+    )
+    return f"""
     WITH anchor AS (
         SELECT max(epoch_us(ts)) AS a FROM events WHERE user_id IS NOT NULL
     ), c AS (
         SELECT user_id, ts,
-               CAST(round(pow(0.5, (a - epoch_us(ts)) / 604800000000.0)
-                              * 1000000.0 + 1e-9, 0) AS BIGINT) AS c_e6
-        FROM events, anchor WHERE user_id IS NOT NULL
+               CAST(round(__decay * 1000000.0 + 1e-9, 0) AS BIGINT) AS c_e6
+        FROM ({chain})
     )
     SELECT user_id, count(*) AS n_events, max(ts) AS last_seen,
            round(CAST(sum(c_e6) AS DOUBLE) / 1000000.0, 6) AS decay_score
@@ -3673,6 +3684,9 @@ ORACLES_EXT["events_decay_engagement"] = """
     ORDER BY sum(c_e6) DESC, user_id
     LIMIT 50
 """
+
+
+ORACLES_EXT["events_decay_engagement"] = _decay_engagement_oracle()
 
 
 ORACLES_EXT["customer_kanonymity"] = """
@@ -4774,16 +4788,35 @@ ORACLES_EXT["documents_lang_source_association"] = _cramers_oracle(
 )
 
 
-ORACLES_EXT["documents_curriculum_schedule"] = """
+def _curriculum_oracle() -> str:
+    """Curriculum twin: n^alpha via the PORTABLE libm-free
+    2^(alpha·log2 n) with the shared alpha literal CASE (see
+    queries_ext.documents_curriculum_schedule)."""
+    from firebase_etl_spark.functions.portable_math import (
+        LN2_LIT,
+        exp2_select_sql,
+        ln_select_sql,
+    )
+    from firebase_etl_spark.plans.queries_ext import curriculum_alpha_case
+
+    a_case = curriculum_alpha_case()
+    chain = exp2_select_sql(
+        ln_select_sql(
+            "SELECT e.epoch, c.lang, c.n_l"
+            " FROM counts c CROSS JOIN epochs e",
+            [("n_l", "__lnn")],
+        ),
+        [(f"({a_case}) * (__lnn / {LN2_LIT})", "__w")],
+    )
+    return f"""
     WITH counts AS (
         SELECT lang, count(*) AS n_l FROM documents GROUP BY lang
     ), epochs AS (SELECT CAST(unnest(range(1, 5)) AS INT) AS epoch),
     w AS (
-        SELECT e.epoch, c.lang, c.n_l,
-               round(1.0 - (e.epoch - 1) * 0.2, 2) AS alpha,
-               CAST(round(pow(c.n_l, 1.0 - (e.epoch - 1) * 0.2)
-                          * 1000000.0 + 1e-9, 0) AS BIGINT) AS w_fx
-        FROM counts c CROSS JOIN epochs e
+        SELECT epoch, lang, n_l,
+               round({a_case}, 2) AS alpha,
+               CAST(round(__w * 1000000.0 + 1e-9, 0) AS BIGINT) AS w_fx
+        FROM ({chain})
     ), tot AS (
         SELECT epoch, CAST(sum(w_fx) AS BIGINT) AS w_total
         FROM w GROUP BY epoch
@@ -4797,6 +4830,9 @@ ORACLES_EXT["documents_curriculum_schedule"] = """
     FROM w JOIN tot USING (epoch), nt
     ORDER BY epoch, lang
 """
+
+
+ORACLES_EXT["documents_curriculum_schedule"] = _curriculum_oracle()
 
 
 # the streaming twin aggregates to exactly the batch matrix

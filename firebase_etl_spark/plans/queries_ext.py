@@ -4657,6 +4657,20 @@ def documents_lang_source_association(
     return cramers_v(d, "lang", "source", "documents: lang x source")
 
 
+def curriculum_alpha_case(n_epochs: int = 4) -> str:
+    """The annealing temperature alpha(epoch) = 1 - (epoch-1)/5 as a
+    CASE over Python-computed double literals — shared verbatim by the
+    Spark plan and the DuckDB oracle so neither engine's DECIMAL
+    promotion rules enter the value (portable_math contract)."""
+    from firebase_etl_spark.functions.portable_math import dlit
+
+    whens = " ".join(
+        f"WHEN epoch = {e} THEN {dlit(1.0 - (e - 1) * 0.2)}"
+        for e in range(1, n_epochs + 1)
+    )
+    return f"CASE {whens} ELSE {dlit(0.0)} END"
+
+
 def documents_curriculum_schedule(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4668,18 +4682,32 @@ def documents_curriculum_schedule(
     epoch-aware data loader consumes (quotas may exceed n_l for rare
     languages: that IS the upsampling). Same fixed-point hygiene as the
     single-temperature query: per-(epoch, lang) weights round once to
-    1e-6 BIGINTs (pow + nudge), epoch totals are integer sums, each
-    quota one mirrored expression."""
+    1e-6 BIGINTs (+ nudge), epoch totals are integer sums, each
+    quota one mirrored expression. n^alpha is the PORTABLE libm-free
+    2^(alpha·log2 n) (functions/portable_math.py — libm pow is
+    ulp-divergent across engines, the DSIR flake class) with alpha
+    itself a shared double-literal CASE."""
+    from firebase_etl_spark.functions.portable_math import (
+        LN2_LIT,
+        with_exp2,
+        with_ln,
+    )
+
     d = load_table(spark, "documents", sf_dir)
     counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
     epochs = spark.range(1, 5).select(F.col("id").cast("int").alias("epoch"))
-    alpha = 1.0 - (F.col("epoch") - 1) * 0.2
-    w = counts.crossJoin(F.broadcast(epochs)).select(
+    a_case = curriculum_alpha_case()
+    base = counts.crossJoin(F.broadcast(epochs))
+    base = with_ln(base, "n_l", "__lnn")
+    base = with_exp2(
+        base, f"({a_case}) * (__lnn / {LN2_LIT})", "__w"
+    )
+    w = base.select(
         "epoch",
         "lang",
         "n_l",
-        F.round(alpha, 2).alias("alpha"),
-        F.round(F.pow(F.col("n_l"), alpha) * 1000000.0 + 1e-9, 0)
+        F.round(F.expr(a_case), 2).alias("alpha"),
+        F.round(F.col("__w") * 1000000.0 + 1e-9, 0)
         .cast("long")
         .alias("w_fx"),
     )

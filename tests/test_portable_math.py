@@ -20,9 +20,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from firebase_etl_spark.functions.portable_math import (
+    exp2_select_sql,
     ln_select_sql,
     ln_steps,
     lr_e6_expr,
+    with_exp2,
     with_ln,
 )
 
@@ -148,6 +150,54 @@ def test_partition_invariance(spark):
         ).collect()
     }
     assert all(_bits(a[k]) == _bits(b[k]) for k in a)
+
+
+EXP2_CASES = (
+    [0.0, 1.0, -1.0, 0.5, -0.5, 63.0, -63.9, -64.0, -70.0]
+    + [k / 7.0 for k in range(-300, 301, 11)]
+    + [-(d / 604800000000.0) for d in (0, 1, 999983, 86400000000,
+                                       604800000000, 2**40 + 12345)]
+)
+
+
+def test_exp2_bit_identical_across_engines(spark):
+    df = spark.createDataFrame([(float(v),) for v in EXP2_CASES],
+                               "x double")
+    srows = {
+        round(r["x"], 12): r["y"]
+        for r in with_exp2(df, "x", "y").collect()
+    }
+    con = duckdb.connect()
+    # feed doubles, not bare literals — DuckDB types a 17-digit bare
+    # literal DECIMAL(17,16), which is NOT the same value as the double
+    # Spark holds (real oracles only ever feed DOUBLE columns here)
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ",".join(f"(CAST('{v!r}' AS DOUBLE))" for v in EXP2_CASES)
+        + ") AS t(x)"
+    )
+    q = exp2_select_sql("SELECT x FROM t", [("x", "y")])
+    drows = {
+        round(k, 12): v
+        for k, v in con.execute(f"SELECT x, y FROM ({q})").fetchall()
+    }
+    diffs = [
+        v
+        for v in EXP2_CASES
+        if _bits(srows[round(v, 12)]) != _bits(drows[round(v, 12)])
+    ]
+    assert diffs == [], f"cross-engine bit mismatch at {diffs[:5]}"
+
+
+def test_exp2_accuracy_and_underflow(spark):
+    df = spark.createDataFrame([(float(v),) for v in EXP2_CASES],
+                               "x double")
+    for r in with_exp2(df, "x", "y").collect():
+        if r["x"] <= -64.0:
+            assert r["y"] == 0.0
+        else:
+            true = 2.0 ** r["x"]
+            assert abs(r["y"] - true) <= 5e-14 * true, (r["x"], r["y"])
 
 
 def test_ln_rejects_nothing_but_documents_edge(spark):
