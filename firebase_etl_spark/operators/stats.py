@@ -453,7 +453,16 @@ def cramers_v(
     base = df.filter(
         F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
     ).select(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
-    cells = base.groupBy("a", "b").agg(F.count(F.lit(1)).alias("o"))
+    # the contingency table is KB-sized (k_a x k_b cells) but feeds
+    # FOUR consumers (row margins, column margins, totals, the grid
+    # join) — materialize it once so the fact-table scan+groupBy runs
+    # once, not ~5x (VERDICT r5 measured 50 exchanges on the audit
+    # query without this)
+    cells = (
+        base.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint(eager=True)
+    )
     ra = cells.groupBy("a").agg(F.sum("o").alias("r"))
     cb = cells.groupBy("b").agg(F.sum("o").alias("c"))
     tot = F.broadcast(
