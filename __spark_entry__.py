@@ -32,123 +32,33 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Entry order is deliberate: the driver's correctness snapshot
-        # checks the FIRST 50 entries. Round 5 declared 59 NEW queries —
-        # more first-evidence candidates than slots — so the window is:
-        # the three r4 non-green rows first (the DSIR determinism fix
-        # and the two sketch queries made self-verifying), then 47 of
-        # the 59 new operators. The TEN new queries deliberately
-        # deferred below slot 50 are compositions or statistical
-        # variants of machinery evidenced inside the window (growth
-        # accounting, Benford, Wilson, Neyman, ACF, interarrival,
-        # target encoding, l-diversity, split-leakage audit, LTV
-        # curves); they are locally pinned by tests/test_oracle.py and
-        # the full driver-sim sweep (ALL OK this round over every
-        # declared query) and take first driver evidence in r6, along
-        # with the displaced r1/r2 backfill.
+        # checks the FIRST 50 entries. The round-6 window, in order:
+        # (1) the 15 queries whose Spark plan AND oracle changed this
+        # round - documents_dsir_weights first (red in r4 AND r5; now
+        # libm-free via functions/portable_math.py) plus the 13 other
+        # portable-ln/exp2 conversions and the two persist fixes;
+        # (2) the 10 queries round 5 deliberately deferred below slot
+        # 50; (3) the r1/r2 backfill block those deferrals displaced;
+        # (4) the rows with the OLDEST driver evidence (r1/r3) so
+        # after r6 no declared query's evidence is older than two
+        # rounds. Everything outside the window keeps r4/r5 driver
+        # evidence and stays pinned by tests/test_oracle.py plus the
+        # full driver-sim sweep (ALL OK this round).
         "documents_dsir_weights": QX.documents_dsir_weights,
-        "events_distinct_users_approx": QX.events_distinct_users_approx,
-        "lineitem_percentiles_approx": QX.lineitem_percentiles_approx,
-        # new this round — need first evidence
-        "documents_bm25_topk": QX.documents_bm25_topk,
-        "doc_duplicate_windows": QX.doc_duplicate_windows,
-        "embedding_knn_label_agreement": QX.embedding_knn_label_agreement,
-        "embedding_label_centroids": QX.embedding_label_centroids,
-        "documents_hybrid_rrf": QX.documents_hybrid_rrf,
-        "doc_langid_confusion": QX.doc_langid_confusion,
-        "doc_pmi_collocations": QX.doc_pmi_collocations,
-        "doc_prefix_filter_near_dups": QX.doc_prefix_filter_near_dups,
-        "doc_source_drift": QX.doc_source_drift,
-        "events_value_drift": QX.events_value_drift,
-        "stream_orders_sqlstore_tail": QX.stream_orders_sqlstore_tail,
-        "documents_snapshot_diff": QX.documents_snapshot_diff,
-        "events_heavy_hitters": QX.events_heavy_hitters,
-        "embedding_kmeans_clusters": QX.embedding_kmeans_clusters,
-        "part_copurchase_pairs": QX.part_copurchase_pairs,
-        "part_copurchase_triangles": QX.part_copurchase_triangles,
-        "documents_passage_chunks": QX.documents_passage_chunks,
-        "embedding_topk_ivf_trained": QX.embedding_topk_ivf_trained,
-        "doc_neardup_ensemble": QX.doc_neardup_ensemble,
-        "doc_vocab_growth": QX.doc_vocab_growth,
-        "doc_vocab_unseen_mass": QX.doc_vocab_unseen_mass,
         "documents_weighted_sample": QX.documents_weighted_sample,
-        "documents_grouped_split": QX.documents_grouped_split,
-        "events_transition_matrix": QX.events_transition_matrix,
-        "documents_bloom_decontamination": QX.documents_bloom_decontamination,
-        "doc_zipf_slope": QX.doc_zipf_slope,
-        "embedding_mutual_knn": QX.embedding_mutual_knn,
-        "embedding_knn_outliers": QX.embedding_knn_outliers,
-        "part_copurchase_communities": QX.part_copurchase_communities,
-        "events_decay_engagement": QX.events_decay_engagement,
-        "customer_kanonymity": QX.customer_kanonymity,
-        "part_copurchase_kcore": QX.part_copurchase_kcore,
-        "customer_purge_cascade": QX.customer_purge_cascade,
-        "doc_containment_near_dups": QX.doc_containment_near_dups,
-        "events_path_trigrams": QX.events_path_trigrams,
-        "events_robust_anomalies": QX.events_robust_anomalies,
-        "orders_incremental_agg": QX.orders_incremental_agg,
-        "embedding_negative_samples": QX.embedding_negative_samples,
-        "events_trend_slopes": QX.events_trend_slopes,
-        "customer_revenue_pareto": QX.customer_revenue_pareto,
-        "nation_trade_ppr": QX.nation_trade_ppr,
-        "part_similar_items": QX.part_similar_items,
-        "nation_trade_hits": QX.nation_trade_hits,
-        "orders_contract_report": QX.orders_contract_report,
-        "orders_column_profile": QX.orders_column_profile,
-        "events_last_touch_attribution": QX.events_last_touch_attribution,
-        "embedding_anisotropy": QX.embedding_anisotropy,
-        # queries below slot 50 take driver evidence in r6 (see the
-        # deferred block further down); newcomers from here on join them
-        "categorical_association_audit": QX.categorical_association_audit,
-        "part_copurchase_assortativity": QX.part_copurchase_assortativity,
-        "session_conversion_report": QX.session_conversion_report,
-        "doc_novelty_curve": QX.doc_novelty_curve,
         "retention_halflife_fit": QX.retention_halflife_fit,
-        "documents_lang_source_association": (
-            QX.documents_lang_source_association
-        ),
-        "documents_curriculum_schedule": QX.documents_curriculum_schedule,
-        "stream_transition_matrix": QX.stream_transition_matrix,
-        "documents_curation_v2": QX.documents_curation_v2,
-        "customer_revenue_gini": QX.customer_revenue_gini,
-        "session_event_pairs": QX.session_event_pairs,
-        "q8_market_share": Q.q8_market_share,
-        "q13_customer_distribution": Q.q13_customer_distribution,
-        "q15_top_supplier": Q.q15_top_supplier,
-        "q21_waiting_suppliers": Q.q21_waiting_suppliers,
-        "q22_global_sales_opportunity": Q.q22_global_sales_opportunity,
-        "customer_order_arrays": Q.customer_order_arrays,
-        "customer_running_revenue": Q.customer_running_revenue,
-        "order_rank_stats": Q.order_rank_stats,
-        "lineitem_grouping_sets": Q.lineitem_grouping_sets,
-        "customer_order_counts_having": Q.customer_order_counts_having,
-        "revenue_by_region": Q.revenue_by_region,
-        "customers_with_orders_semi": Q.customers_with_orders_semi,
-        "events_hourly_stats": Q.events_hourly_stats,
-        "order_point_lookup": Q.order_point_lookup,
-        "doc_text_features": QX.doc_text_features,
-        "doc_token_counts": QX.doc_token_counts,
+        "doc_zipf_slope": QX.doc_zipf_slope,
+        "orders_column_profile": QX.orders_column_profile,
         "doc_tfidf_top_terms": QX.doc_tfidf_top_terms,
-        "doc_lang_stats": QX.doc_lang_stats,
-        "doc_jaccard_vs_queries": QX.doc_jaccard_vs_queries,
-        "embedding_norms": QX.embedding_norms,
-        "embedding_topk_ivf": QX.embedding_topk_ivf,
-        "events_json_stats": QX.events_json_stats,
-        "stream_hourly_event_counts": QX.stream_hourly_event_counts,
-        "stream_user_sessions": QX.stream_user_sessions,
-        "stream_keep_latest_per_user": QX.stream_keep_latest_per_user,
-        "stream_sliding_counts": QX.stream_sliding_counts,
-        "stream_dedup_events": QX.stream_dedup_events,
-        "stream_enriched_segments": QX.stream_enriched_segments,
-        "stream_near_pairs": QX.stream_near_pairs,
-        "users_pipeline_report": QX.users_pipeline_report,
-        "documents_training_corpus": QX.documents_training_corpus,
-        "rtdb_export_segment_stats": QX.rtdb_export_segment_stats,
-        "events_asof_orders": QX.events_asof_orders,
-        # ---- outside the 50-query window: six deliberately deferred
-        # session-3 queries (compositions/variants of machinery already
-        # evidenced above; locally pinned by tests/test_oracle.py and
-        # the full sweep, first driver evidence in r6) plus the r1/r2
-        # backfill they displaced ----
+        "documents_bm25_topk": QX.documents_bm25_topk,
+        "documents_hybrid_rrf": QX.documents_hybrid_rrf,
+        "doc_pmi_collocations": QX.doc_pmi_collocations,
+        "doc_lm_perplexity_report": QX.doc_lm_perplexity_report,
+        "doc_entropy_report": QX.doc_entropy_report,
+        "events_decay_engagement": QX.events_decay_engagement,
+        "documents_curriculum_schedule": QX.documents_curriculum_schedule,
+        "part_copurchase_assortativity": QX.part_copurchase_assortativity,
+        "categorical_association_audit": QX.categorical_association_audit,
         "events_autocorrelation": QX.events_autocorrelation,
         "orders_target_encoding": QX.orders_target_encoding,
         "events_interarrival_stats": QX.events_interarrival_stats,
@@ -173,11 +83,96 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": Q.q10_returned_items,
         "q19_disjunctive_revenue": Q.q19_disjunctive_revenue,
         "q7_nation_volume": Q.q7_nation_volume,
-        # ---- outside the 50-query window (all driver-green in r3/r4) ----
+        "order_point_lookup": Q.order_point_lookup,
+        "rtdb_export_segment_stats": QX.rtdb_export_segment_stats,
+        "users_pipeline_report": QX.users_pipeline_report,
+        "users_pipeline_quarantine": QX.users_pipeline_quarantine,
+        "lineitem_set_ops": QX.lineitem_set_ops,
+        "events_asof_orders": QX.events_asof_orders,
+        "documents_training_corpus": QX.documents_training_corpus,
         "documents_bpe_merges": QX.documents_bpe_merges,
         "documents_bpe_encoded_stats": QX.documents_bpe_encoded_stats,
         "customer_fuzzy_matches": QX.customer_fuzzy_matches,
         "referential_integrity_audit": QX.referential_integrity_audit,
+        # ---- outside the 50-query window: r4/r5 driver evidence ----
+        "events_distinct_users_approx": QX.events_distinct_users_approx,
+        "lineitem_percentiles_approx": QX.lineitem_percentiles_approx,
+        "doc_duplicate_windows": QX.doc_duplicate_windows,
+        "embedding_knn_label_agreement": QX.embedding_knn_label_agreement,
+        "embedding_label_centroids": QX.embedding_label_centroids,
+        "doc_langid_confusion": QX.doc_langid_confusion,
+        "doc_prefix_filter_near_dups": QX.doc_prefix_filter_near_dups,
+        "doc_source_drift": QX.doc_source_drift,
+        "events_value_drift": QX.events_value_drift,
+        "stream_orders_sqlstore_tail": QX.stream_orders_sqlstore_tail,
+        "documents_snapshot_diff": QX.documents_snapshot_diff,
+        "events_heavy_hitters": QX.events_heavy_hitters,
+        "embedding_kmeans_clusters": QX.embedding_kmeans_clusters,
+        "part_copurchase_pairs": QX.part_copurchase_pairs,
+        "part_copurchase_triangles": QX.part_copurchase_triangles,
+        "documents_passage_chunks": QX.documents_passage_chunks,
+        "embedding_topk_ivf_trained": QX.embedding_topk_ivf_trained,
+        "doc_neardup_ensemble": QX.doc_neardup_ensemble,
+        "doc_vocab_growth": QX.doc_vocab_growth,
+        "doc_vocab_unseen_mass": QX.doc_vocab_unseen_mass,
+        "documents_grouped_split": QX.documents_grouped_split,
+        "events_transition_matrix": QX.events_transition_matrix,
+        "documents_bloom_decontamination": QX.documents_bloom_decontamination,
+        "embedding_mutual_knn": QX.embedding_mutual_knn,
+        "embedding_knn_outliers": QX.embedding_knn_outliers,
+        "part_copurchase_communities": QX.part_copurchase_communities,
+        "customer_kanonymity": QX.customer_kanonymity,
+        "part_copurchase_kcore": QX.part_copurchase_kcore,
+        "customer_purge_cascade": QX.customer_purge_cascade,
+        "doc_containment_near_dups": QX.doc_containment_near_dups,
+        "events_path_trigrams": QX.events_path_trigrams,
+        "events_robust_anomalies": QX.events_robust_anomalies,
+        "orders_incremental_agg": QX.orders_incremental_agg,
+        "embedding_negative_samples": QX.embedding_negative_samples,
+        "events_trend_slopes": QX.events_trend_slopes,
+        "customer_revenue_pareto": QX.customer_revenue_pareto,
+        "nation_trade_ppr": QX.nation_trade_ppr,
+        "part_similar_items": QX.part_similar_items,
+        "nation_trade_hits": QX.nation_trade_hits,
+        "orders_contract_report": QX.orders_contract_report,
+        "events_last_touch_attribution": QX.events_last_touch_attribution,
+        "embedding_anisotropy": QX.embedding_anisotropy,
+        "session_conversion_report": QX.session_conversion_report,
+        "doc_novelty_curve": QX.doc_novelty_curve,
+        "documents_lang_source_association": (
+            QX.documents_lang_source_association
+        ),
+        "stream_transition_matrix": QX.stream_transition_matrix,
+        "documents_curation_v2": QX.documents_curation_v2,
+        "customer_revenue_gini": QX.customer_revenue_gini,
+        "session_event_pairs": QX.session_event_pairs,
+        "q8_market_share": Q.q8_market_share,
+        "q13_customer_distribution": Q.q13_customer_distribution,
+        "q15_top_supplier": Q.q15_top_supplier,
+        "q21_waiting_suppliers": Q.q21_waiting_suppliers,
+        "q22_global_sales_opportunity": Q.q22_global_sales_opportunity,
+        "customer_order_arrays": Q.customer_order_arrays,
+        "customer_running_revenue": Q.customer_running_revenue,
+        "order_rank_stats": Q.order_rank_stats,
+        "lineitem_grouping_sets": Q.lineitem_grouping_sets,
+        "customer_order_counts_having": Q.customer_order_counts_having,
+        "revenue_by_region": Q.revenue_by_region,
+        "customers_with_orders_semi": Q.customers_with_orders_semi,
+        "events_hourly_stats": Q.events_hourly_stats,
+        "doc_text_features": QX.doc_text_features,
+        "doc_token_counts": QX.doc_token_counts,
+        "doc_lang_stats": QX.doc_lang_stats,
+        "doc_jaccard_vs_queries": QX.doc_jaccard_vs_queries,
+        "embedding_norms": QX.embedding_norms,
+        "embedding_topk_ivf": QX.embedding_topk_ivf,
+        "events_json_stats": QX.events_json_stats,
+        "stream_hourly_event_counts": QX.stream_hourly_event_counts,
+        "stream_user_sessions": QX.stream_user_sessions,
+        "stream_keep_latest_per_user": QX.stream_keep_latest_per_user,
+        "stream_sliding_counts": QX.stream_sliding_counts,
+        "stream_dedup_events": QX.stream_dedup_events,
+        "stream_enriched_segments": QX.stream_enriched_segments,
+        "stream_near_pairs": QX.stream_near_pairs,
         "segment_priority_chisq": QX.segment_priority_chisq,
         "orders_priority_unpivot": QX.orders_priority_unpivot,
         "nation_trade_pagerank": QX.nation_trade_pagerank,
@@ -187,7 +182,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_retention_cohorts": QX.user_retention_cohorts,
         "customer_rfm_segments": QX.customer_rfm_segments,
         "events_rate_anomalies": QX.events_rate_anomalies,
-        "doc_entropy_report": QX.doc_entropy_report,
         "embedding_filtered_topk": QX.embedding_filtered_topk,
         "supplier_nation_stats": QX.supplier_nation_stats,
         "customer_name_functions": QX.customer_name_functions,
@@ -220,8 +214,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_lsh": QX.embedding_topk_lsh,
         "embedding_topk_quantized": QX.embedding_topk_quantized,
         "doc_gopher_quality_report": QX.doc_gopher_quality_report,
-        "orders_sqlstore_partitioned_scan": QX.orders_sqlstore_partitioned_scan,
-        "lineitem_set_ops": QX.lineitem_set_ops,
+        "orders_sqlstore_partitioned_scan": (
+            QX.orders_sqlstore_partitioned_scan
+        ),
         "documents_clean_corpus": QX.documents_clean_corpus,
         "documents_mixture_sample": QX.documents_mixture_sample,
         "events_near_pairs": QX.events_near_pairs,
@@ -237,7 +232,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_moving_avg": QX.orders_moving_avg,
         "embedding_near_dup_pairs": QX.embedding_near_dup_pairs,
         "embedding_dedup_clusters": QX.embedding_dedup_clusters,
-        "users_pipeline_quarantine": QX.users_pipeline_quarantine,
         "media_feature_stats": QX.media_feature_stats,
         "media_dedup_survivors": QX.media_dedup_survivors,
         "media_thumbnail_stats": QX.media_thumbnail_stats,
@@ -256,7 +250,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_price_histogram": QX.orders_price_histogram,
         "doc_quality_deciles": QX.doc_quality_deciles,
         "doc_pii_screen": QX.doc_pii_screen,
-        "doc_lm_perplexity_report": QX.doc_lm_perplexity_report,
         "documents_packing_plan": QX.documents_packing_plan,
     }
 

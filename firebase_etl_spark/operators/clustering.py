@@ -164,6 +164,12 @@ def kmeans_fit(
             )
             acc: dict[int, list] = {}
             for r in sums:
+                if r["cell"] is None:
+                    # the scoring UDF returns NULL for vectors whose
+                    # dimension differs from the seed centroids; such
+                    # rows carry no assignment and must not reach the
+                    # int() below (ADVICE r5 #2)
+                    continue
                 acc.setdefault(int(r["cell"]), []).append(
                     (int(r["pos"]), int(r["s_e6"]), int(r["n"]))
                 )

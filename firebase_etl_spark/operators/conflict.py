@@ -78,6 +78,8 @@ def cascade_purge_audit(
     aggregate — keys flow down the chain, fact tables are never joined to
     each other. Returns one row per table: (table, n_rows, n_purged,
     purge_rate), deletion list first."""
+    if not chain:
+        raise ValueError("chain must be non-empty")
     keys = roots.select(F.col(root_key).alias("__k")).distinct()
     out = []
     level_keys = keys

@@ -72,6 +72,8 @@ def k_anonymity_report(
     quantities integers (the rate is one rounded division). Returns one
     row per level: (level, n_rows, n_groups, min_group_size,
     n_risky_groups, n_risky_rows, risky_row_rate)."""
+    if not levels:
+        raise ValueError("levels must be non-empty")
     outs = []
     for name, cols in levels:
         g = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("n"))

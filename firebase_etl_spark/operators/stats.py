@@ -151,7 +151,14 @@ def source_drift_report(
     shuffle], densified against a literal bin spine per group (missing
     bins count as 0 — skipping them understates drift), corpus bin
     totals via a bin-keyed window over the group histogram (linear
-    chain, no join-back), then a group-keyed rollup."""
+    chain, no join-back), then a group-keyed rollup.
+
+    NULL ``value_col`` rows are excluded UP FRONT (ADVICE r5 #1: they
+    previously inflated the corpus count(*) normalizer while silently
+    falling off the 0..n_bins-1 bin spine, biasing tv_distance for
+    every group whenever NULLs exist; both oracles mirror the
+    filter)."""
+    df = df.filter(F.col(value_col).isNotNull())
     scal = df.agg(
         F.min(value_col).alias("lo"),
         F.max(value_col).alias("hi"),

@@ -523,7 +523,12 @@ def passage_chunks(
         ).alias("chunk_idx"),
     )
     start = F.col("chunk_idx") * stride
-    ntk = F.least(F.lit(chunk_tokens), F.col("__n") - start)
+    # clamp at 0: with stride > chunk_tokens (gapped chunking) the last
+    # chunk's remaining-token count can go negative, and F.slice raises
+    # on a negative length (ADVICE r5 #3)
+    ntk = F.greatest(
+        F.least(F.lit(chunk_tokens), F.col("__n") - start), F.lit(0)
+    )
     return chunked.select(
         id_col,
         "chunk_idx",

@@ -102,6 +102,8 @@ def table_contract_report(df: DataFrame, rules: list) -> DataFrame:
     (one scan regardless of rule count); each ``unique`` rule is one
     keyed aggregate counting rows in key groups of size > 1. All counts
     integer; the rate is one rounded division."""
+    if not rules:
+        raise ValueError("rules must be non-empty")
     row_exprs = []
     meta = []
     uniques = []

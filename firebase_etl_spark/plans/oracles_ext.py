@@ -2957,16 +2957,19 @@ ORACLES_EXT["doc_pmi_collocations"] = _pmi_oracle()
 
 
 ORACLES_EXT["doc_source_drift"] = """
-    WITH scal AS (
+    -- NULL value rows excluded up front (stats.py mirror, ADVICE r5 #1)
+    WITH nn AS (
+        SELECT source, n_chars FROM documents WHERE n_chars IS NOT NULL),
+    scal AS (
         SELECT min(n_chars) AS lo, max(n_chars) AS hi,
-               count(*) AS n FROM documents),
+               count(*) AS n FROM nn),
     binned AS (
         SELECT source AS grp,
                CASE WHEN hi = lo THEN 0
                     ELSE least(CAST(floor((n_chars - lo)
                                / ((hi - lo) / 20.0)) AS INT), 19)
                END AS bin
-        FROM documents CROSS JOIN scal),
+        FROM nn CROSS JOIN scal),
     hist AS (
         SELECT grp, bin, count(*) AS c FROM binned GROUP BY grp, bin),
     spine AS (
@@ -2995,16 +2998,19 @@ ORACLES_EXT["doc_source_drift"] = """
 
 
 ORACLES_EXT["events_value_drift"] = """
-    WITH scal AS (
+    -- NULL value rows excluded up front (stats.py mirror, ADVICE r5 #1)
+    WITH nn AS (
+        SELECT event_type, value FROM events WHERE value IS NOT NULL),
+    scal AS (
         SELECT min(value) AS lo, max(value) AS hi,
-               count(*) AS n FROM events),
+               count(*) AS n FROM nn),
     binned AS (
         SELECT event_type AS grp,
                CASE WHEN hi = lo THEN 0
                     ELSE least(CAST(floor((value - lo)
                                / ((hi - lo) / 20.0)) AS INT), 19)
                END AS bin
-        FROM events CROSS JOIN scal),
+        FROM nn CROSS JOIN scal),
     hist AS (
         SELECT grp, bin, count(*) AS c FROM binned GROUP BY grp, bin),
     spine AS (

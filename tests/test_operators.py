@@ -2141,3 +2141,85 @@ def test_transition_matrix_hand_fixture(spark, tmp_path):
         ("A", "C"): (1, 0.5),
         ("B", "A"): (1, 1.0),
     }
+
+
+def test_passage_chunks_gapped_stride_clamps(spark):
+    """ADVICE r5 #3: stride > chunk_tokens (gapped chunking) used to
+    compute a negative slice length on the last chunk and crash
+    F.slice; the clamp emits an empty final chunk instead."""
+    from firebase_etl_spark.operators.text import passage_chunks
+
+    df = spark.createDataFrame(
+        [(1, "a b c")], "doc_id long, text string"
+    )
+    rows = {
+        r["chunk_idx"]: r
+        for r in passage_chunks(
+            df, chunk_tokens=2, stride=5
+        ).collect()
+    }
+    assert rows[0]["n_toks"] == 2 and rows[0]["chunk_text"] == "a b"
+    assert all(r["n_toks"] >= 0 for r in rows.values())
+
+
+def test_empty_spec_lists_raise_named_errors(spark):
+    """ADVICE r5 #4: empty levels/chain/rules lists raise ValueError,
+    not a bare IndexError from outs[0]."""
+    import pytest as _pytest
+
+    from firebase_etl_spark.operators.conflict import cascade_purge_audit
+    from firebase_etl_spark.operators.pii import k_anonymity_report
+    from firebase_etl_spark.operators.validate import table_contract_report
+
+    df = spark.createDataFrame([(1,)], "a long")
+    with _pytest.raises(ValueError, match="levels"):
+        k_anonymity_report(df, [], k=2)
+    with _pytest.raises(ValueError, match="chain"):
+        cascade_purge_audit(df, "a", [])
+    with _pytest.raises(ValueError, match="rules"):
+        table_contract_report(df, [])
+
+
+def test_kmeans_fit_skips_mixed_dimension_vectors(spark):
+    """ADVICE r5 #2: vectors whose dimension differs from the seed
+    centroids score NULL cells; the driver update loop must skip them
+    instead of crashing on int(None)."""
+    from firebase_etl_spark.operators.clustering import kmeans_fit
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 1.0]),
+        (3, [0.1, 0.9]),
+        (4, [1.0, 0.0, 0.0]),  # stray 3-dim vector
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_fit(df, k=2, n_iter=2)
+    assert len(cents) == 2 and all(len(c) == 2 for c in cents)
+
+
+def test_source_drift_ignores_null_values(spark):
+    """ADVICE r5 #1: NULL value rows previously inflated the corpus
+    normalizer while falling off the bin spine; they are now excluded
+    up front, so adding NULL rows must not change any distance."""
+    from firebase_etl_spark.operators.stats import source_drift_report
+
+    base = [("s1", float(i)) for i in range(40)] + [
+        ("s2", float(i % 10)) for i in range(40)
+    ]
+    clean = spark.createDataFrame(base, "source string, n_chars double")
+    noisy = clean.unionByName(
+        spark.createDataFrame(
+            [("s1", None), ("s2", None), ("s2", None)],
+            "source string, n_chars double",
+        )
+    )
+    a = {
+        r["source"]: (r["n_docs"], r["tv_distance"])
+        for r in source_drift_report(clean).collect()
+    }
+    b = {
+        r["source"]: (r["n_docs"], r["tv_distance"])
+        for r in source_drift_report(noisy).collect()
+    }
+    assert a == b
