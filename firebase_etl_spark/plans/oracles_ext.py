@@ -2956,6 +2956,68 @@ def _pmi_oracle() -> str:
 ORACLES_EXT["doc_pmi_collocations"] = _pmi_oracle()
 
 
+# REAL-codec verification: recompute the BMP pixel statistics from the
+# closed-form generator (queries_ext.BMP_DIMS) — no decoder here, so any
+# header/stride/row-order bug in the Python codec fails the hash
+ORACLES_EXT["media_bmp_decode_stats"] = """
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(4 + doc_id % 5 AS INT) AS width,
+               CAST(3 + doc_id % 4 AS INT) AS height
+        FROM documents),
+    px AS (
+        SELECT doc_id, width, height, t.x, u.y
+        FROM dims,
+             unnest(range(0, width)) AS t(x),
+             unnest(range(0, height)) AS u(y)),
+    per AS (
+        SELECT doc_id, width, height, count(*) AS n_px,
+               sum((doc_id * 31 + x * 7 + y * 13) % 256) AS sum_b,
+               sum((doc_id * 31 + x * 7 + y * 13 + 101) % 256) AS sum_g,
+               sum((doc_id * 31 + x * 7 + y * 13 + 202) % 256) AS sum_r
+        FROM px GROUP BY doc_id, width, height)
+    SELECT width, height, count(*) AS n_images,
+           CAST(sum(n_px) AS BIGINT) AS total_px,
+           CAST(sum(sum_b) AS BIGINT) AS total_b,
+           CAST(sum(sum_g) AS BIGINT) AS total_g,
+           CAST(sum(sum_r) AS BIGINT) AS total_r,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM per GROUP BY width, height ORDER BY width, height
+"""
+
+
+# thumbnail twin: replays the nearest-neighbor index math
+# src = (dst * src_dim) // dst_dim on the closed-form pixels
+ORACLES_EXT["media_bmp_thumbnail_stats"] = """
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(4 + doc_id % 5 AS INT) AS w,
+               CAST(3 + doc_id % 4 AS INT) AS h
+        FROM documents),
+    px AS (
+        SELECT doc_id,
+               (t.x * w) // 3 AS sx,
+               (u.y * h) // 2 AS sy
+        FROM dims,
+             unnest(range(0, 3)) AS t(x),
+             unnest(range(0, 2)) AS u(y)),
+    per AS (
+        SELECT doc_id, count(*) AS n_px,
+               sum((doc_id * 31 + sx * 7 + sy * 13) % 256) AS sum_b,
+               sum((doc_id * 31 + sx * 7 + sy * 13 + 101) % 256) AS sum_g,
+               sum((doc_id * 31 + sx * 7 + sy * 13 + 202) % 256) AS sum_r
+        FROM px GROUP BY doc_id)
+    SELECT CAST(3 AS INT) AS width, CAST(2 AS INT) AS height,
+           count(*) AS n_images,
+           CAST(sum(n_px) AS BIGINT) AS total_px,
+           CAST(sum(sum_b) AS BIGINT) AS total_b,
+           CAST(sum(sum_g) AS BIGINT) AS total_g,
+           CAST(sum(sum_r) AS BIGINT) AS total_r,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM per GROUP BY width, height ORDER BY width, height
+"""
+
+
 ORACLES_EXT["doc_source_drift"] = """
     -- NULL value rows excluded up front (stats.py mirror, ADVICE r5 #1)
     WITH nn AS (

@@ -784,6 +784,114 @@ def _documents_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: BMP fixture generator constants — pixel (x, y) of image doc_id has
+#: channel c value (doc_id*31 + x*7 + y*13 + c*101) % 256 with c in
+#: (0=b, 1=g, 2=r), dimensions (4 + id%5) x (3 + id%4). Closed form, so
+#: the DuckDB oracle recomputes every statistic WITHOUT a decoder — the
+#: driver gate then verifies the REAL Python BMP codec end to end.
+BMP_DIMS = ("4 + doc_id % 5", "3 + doc_id % 4")
+
+
+def _documents_as_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One REAL uncompressed 24-bit BMP per document, encoded
+    distributed (mapInPandas over Arrow batches) from the closed-form
+    pixel function above. Payloads are genuine bitmaps — header, bottom-
+    up rows, 4-byte padding — not hash stubs."""
+    import pandas as pd
+
+    from firebase_etl_spark.operators.multimodal import encode_bmp24
+
+    d = load_table(spark, "documents", sf_dir).select("doc_id")
+
+    def run(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 4 + i % 5, 3 + i % 4
+                rows = [
+                    [
+                        (
+                            (i * 31 + x * 7 + y * 13) % 256,
+                            (i * 31 + x * 7 + y * 13 + 101) % 256,
+                            (i * 31 + x * 7 + y * 13 + 202) % 256,
+                        )
+                        for x in range(w)
+                    ]
+                    for y in range(h)
+                ]
+                ids.append(i)
+                payloads.append(encode_bmp24(w, h, rows))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "kind": pd.Series(["image"] * len(ids), dtype=object),
+                    "payload": pd.Series(payloads, dtype=object),
+                }
+            )
+
+    return d.mapInPandas(
+        run, schema="media_id long, kind string, payload binary"
+    )
+
+
+def media_bmp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode under the driver gate: every document becomes
+    an actual 24-bit BMP (encoded distributed), the pure-Python codec
+    (operators/multimodal.py:decode_bmp24) decodes it back — header,
+    bottom-up row order, row padding and all — and exact integer pixel
+    statistics roll up per dimension class. The oracle recomputes the
+    same statistics from the closed-form pixel function without any
+    decoder, so a single mis-read byte anywhere in the codec fails the
+    hash. All-integer output."""
+    from firebase_etl_spark.operators.multimodal import extract_bmp_stats
+
+    feats = extract_bmp_stats(_documents_as_bmp(spark, sf_dir))
+    return (
+        feats.groupBy("width", "height")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.sum("n_px").alias("total_px"),
+            F.sum("sum_b").alias("total_b"),
+            F.sum("sum_g").alias("total_g"),
+            F.sum("sum_r").alias("total_r"),
+            F.sum("media_id").alias("id_checksum"),
+        )
+        .orderBy("width", "height")
+    )
+
+
+def media_bmp_thumbnail_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL image resize under the driver gate: decode each fixture
+    BMP, nearest-neighbor-resample to 3x2 (src = (dst*src_dim) //
+    dst_dim), re-encode, decode AGAIN, and report exact channel sums
+    of the thumbnails. The oracle replays the same floor index math on
+    the closed-form pixels — pinning decoder, resampler and encoder in
+    one row."""
+    from firebase_etl_spark.operators.multimodal import (
+        extract_bmp_stats,
+        resize_images,
+    )
+
+    m = _documents_as_bmp(spark, sf_dir)
+    thumbs = resize_images(m, width=3, height=2)
+    feats = extract_bmp_stats(thumbs.select("media_id", "payload"))
+    return (
+        feats.groupBy("width", "height")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.sum("n_px").alias("total_px"),
+            F.sum("sum_b").alias("total_b"),
+            F.sum("sum_g").alias("total_g"),
+            F.sum("sum_r").alias("total_r"),
+            F.sum("media_id").alias("id_checksum"),
+        )
+        .orderBy("width", "height")
+    )
+
+
 def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: binary payloads -> mapInPandas feature
     extraction (Arrow batches; stub codec is sha256-derived, so the whole

@@ -590,3 +590,101 @@ def test_parquet_schema_evolution_roundtrip(spark, tmp_path):
     assert rows[3]["phoneNumber"] == "555-1"
     assert rows[4]["email"] is None and rows[4]["emailVerified"] is True
     assert out.filter("email IS NOT NULL").count() == 3
+
+
+def test_bmp_roundtrip_all_padding_widths():
+    """encode->decode is identity for every row-padding case (width%4
+    in 0..3) and several heights."""
+    from firebase_etl_spark.operators.multimodal import (
+        decode_bmp24,
+        encode_bmp24,
+    )
+
+    for w in (1, 2, 3, 4, 5, 7, 8):
+        for h in (1, 2, 3):
+            rows = [
+                [((x * 7 + y * 13) % 256, (x + y) % 256, (x * y) % 256)
+                 for x in range(w)]
+                for y in range(h)
+            ]
+            payload = encode_bmp24(w, h, rows)
+            # stride padded to 4-byte multiple, headers 54 bytes
+            stride = w * 3 + ((-(w * 3)) % 4)
+            assert len(payload) == 54 + stride * h
+            assert payload[:2] == b"BM"
+            assert decode_bmp24(payload) == (w, h, rows)
+
+
+def test_bmp_golden_bytes():
+    """Byte-exact golden: a 2x2 image with known pixels produces the
+    exact BMP layout (bottom-up rows, BGR order, 2-byte padding)."""
+    from firebase_etl_spark.operators.multimodal import encode_bmp24
+
+    rows = [
+        [(1, 2, 3), (4, 5, 6)],      # top row
+        [(7, 8, 9), (10, 11, 12)],   # bottom row
+    ]
+    p = encode_bmp24(2, 2, rows)
+    assert p[:2] == b"BM"
+    assert int.from_bytes(p[10:14], "little") == 54      # pixel offset
+    assert int.from_bytes(p[18:22], "little") == 2       # width
+    assert int.from_bytes(p[22:26], "little") == 2       # height
+    assert int.from_bytes(p[28:30], "little") == 24      # bpp
+    assert int.from_bytes(p[30:34], "little") == 0       # BI_RGB
+    # bottom row first, BGR, then 2 pad bytes per row
+    assert p[54:62] == bytes([7, 8, 9, 10, 11, 12, 0, 0])
+    assert p[62:70] == bytes([1, 2, 3, 4, 5, 6, 0, 0])
+
+
+def test_bmp_decode_rejects_non_bmp():
+    import pytest as _pytest
+
+    from firebase_etl_spark.operators.multimodal import decode_bmp24
+
+    with _pytest.raises(ValueError):
+        decode_bmp24(b"not a bitmap at all........................")
+    with _pytest.raises(ValueError):
+        decode_bmp24(b"")
+
+
+def test_bmp_nearest_resize_matches_floor_math():
+    from firebase_etl_spark.operators.multimodal import (
+        decode_bmp24,
+        encode_bmp24,
+        resize_bmp24_nearest,
+    )
+
+    w, h = 5, 4
+    rows = [
+        [((x * 50 + y) % 256, (y * 60 + x) % 256, (x + y * 3) % 256)
+         for x in range(w)]
+        for y in range(h)
+    ]
+    thumb = resize_bmp24_nearest(encode_bmp24(w, h, rows), 3, 2)
+    tw, th, trows = decode_bmp24(thumb)
+    assert (tw, th) == (3, 2)
+    for y in range(2):
+        for x in range(3):
+            assert trows[y][x] == rows[(y * h) // 2][(x * w) // 3]
+
+
+def test_feature_dispatch_takes_real_path_for_bmp(spark):
+    """extract_media_features routes BMP image payloads through the
+    REAL decoder (marker 1.0 in feat[7], mean channels from pixels)."""
+    from firebase_etl_spark.operators.multimodal import (
+        encode_bmp24,
+        extract_media_features,
+    )
+
+    rows = [[(255, 0, 0), (255, 0, 0)]]  # 2x1 pure blue
+    bmp = encode_bmp24(2, 1, rows)
+    df = spark.createDataFrame(
+        [(1, "image", None, bmp, None), (2, "audio", None, b"xx", None)],
+        "media_id long, kind string, mime string, payload binary,"
+        " meta struct<width:int,height:int,duration_ms:int>",
+    )
+    got = {r["media_id"]: r for r in extract_media_features(df).collect()}
+    f = got[1]["feat"]
+    assert f[7] == 1.0 and f[0] == 2.0 and f[1] == 1.0
+    assert abs(f[2] - 1.0) < 1e-6 and f[3] == 0.0 and f[4] == 0.0
+    assert got[2]["feat"][0] != 1.0 or len(got[2]["feat"]) == 8  # stub path
