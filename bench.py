@@ -107,6 +107,14 @@ def main() -> None:
         top = dict(
             sorted(timings.items(), key=lambda kv: -kv[1])[:30]
         )
+        batch_total = round(
+            sum(v for k, v in timings.items()
+                if not k.startswith("stream_")), 4
+        )
+        stream_total = round(
+            sum(v for k, v in timings.items()
+                if k.startswith("stream_")), 4
+        )
         # host-drift factor from the canary queries (sf0.1 refs only
         # apply at sf0.1; other SFs report null rather than a bogus one)
         drift = None
@@ -126,6 +134,16 @@ def main() -> None:
                 "queries": dict(sorted(timings.items())),
                 "sf": float(sf),
                 "drift_factor": drift,
+                # streaming twins are BOUNDED restart-per-drive runs:
+                # each timed number includes the stream start +
+                # state-store + no-data-flush microbatch floor (~1-10s)
+                # that a long-running production stream pays ONCE, not
+                # per window — they are timed once-warm (a full untimed
+                # drive at the bench SF precedes the timed one) and
+                # reported apart from the batch total so the floor
+                # can't be read as marginal cost (VERDICT r5 #6)
+                "batch_total_sec": batch_total,
+                "stream_total_sec": stream_total,
             }
             with open(
                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -143,6 +161,8 @@ def main() -> None:
                     "sf": float(sf),
                     "n_queries": len(timings),
                     "median_sec": round(med, 4),
+                    "batch_total_sec": batch_total,
+                    "stream_total_sec": stream_total,
                     "drift_factor": drift,
                     "queries": {k: round(v, 3) for k, v in top.items()},
                     "subset": bool(only) or None,
@@ -152,8 +172,30 @@ def main() -> None:
             flush=True,
         )
 
+    # streaming twins: the bounded drive restarts the stream per run, so
+    # a second timed pass re-pays the start/state-store/no-data-flush
+    # floor instead of measuring anything new (r5's BENCH had
+    # stream_transition_matrix at 12.7s of which ~all was floor x2).
+    # Instead: ONE untimed full drive at the bench SF (true warm-up:
+    # checkpoint dirs, state-store code paths, sink tables), then ONE
+    # timed drive — same total wall as two timed passes, honest number.
+    for name, fn in queries.items():
+        if not name.startswith("stream_"):
+            continue
+        try:
+            fn(spark, SF_DIR).collect()
+        except Exception:
+            pass
+        _release_session_state(spark)
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        _release_session_state(spark)
+
     for _ in range(2):
         for name, fn in queries.items():
+            if name.startswith("stream_"):
+                continue
             t0 = time.perf_counter()
             fn(spark, SF_DIR).collect()
             dt = round(time.perf_counter() - t0, 4)
