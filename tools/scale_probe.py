@@ -1,0 +1,120 @@
+"""Scale spot-check ABOVE the gate SF (VERDICT r5 #7): replicate the
+sf0.1 tables 10x into a scratch dir ("sf1-ish": 10x the orders/events/
+documents over the SAME part/customer catalog — the realistic growth
+axis) and time the heaviest batch queries at both scales, printing the
+wall-time ratio per query. A query scaling far above ~10x for 10x data
+has a super-linear plan and gets a written explanation in the round
+notes.
+
+Replication semantics (why these, explicitly):
+- lineitem/orders: keys offset per replica (new orders), PART and
+  CUSTOMER keys unchanged — the co-purchase graph gets 10x baskets over
+  a fixed catalog, so degrees grow ~10x (the hard direction for the
+  graph queries; new-parts-per-replica would just shard the graph).
+- documents: new doc_ids, text gains one per-replica trailing token —
+  replicas are DISTINCT documents but mutual near-duplicates (clusters
+  of ~10), which stresses the near-dup pipelines the way a real crawl
+  with mirrored pages does.
+- embeddings: new vec_ids, vectors copied (ANN cost depends on corpus
+  size, not vector values; exact ties break on id).
+
+Usage: python tools/scale_probe.py [n_copies] (default 10)
+Writes nothing outside /root/repo/tmp_sfbig (gitignored).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from firebase_etl_spark.session import get_spark  # noqa: E402
+from firebase_etl_spark.sources.tables import load_table  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+DEST = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tmp_sfbig"
+)
+
+HEAVY = [
+    "embedding_topk_ivf_trained",
+    "embedding_kmeans_clusters",
+    "documents_curation_v2",
+    "doc_neardup_ensemble",
+    "part_copurchase_triangles",
+    "part_similar_items",
+    "doc_containment_near_dups",
+    "doc_prefix_filter_near_dups",
+    "part_copurchase_kcore",
+    "part_copurchase_assortativity",
+]
+
+#: tables the HEAVY set reads, with their replica transforms
+ID_COLS = {
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey"],
+    "events": ["event_id"],
+}
+
+
+def build(spark, n_copies: int) -> None:
+    shutil.rmtree(DEST, ignore_errors=True)
+    os.makedirs(DEST, exist_ok=True)
+    for table, id_cols in ID_COLS.items():
+        df = load_table(spark, table, BASE)
+        offs = {
+            c: int(df.agg(F.max(c)).collect()[0][0] or 0) + 1
+            for c in id_cols
+        }
+        parts = []
+        for i in range(n_copies):
+            rep = df
+            for c, off in offs.items():
+                rep = rep.withColumn(c, F.col(c) + F.lit(i * off))
+            if table == "documents":
+                rep = rep.withColumn(
+                    "text", F.concat(F.col("text"), F.lit(f" r{i}"))
+                )
+            parts.append(rep)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(f"{DEST}/{table}.parquet")
+        print(f"built {table} x{n_copies}", flush=True)
+
+
+def main() -> None:
+    n_copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark(app_name="scale_probe")
+    build(spark, n_copies)
+    qs = entrymod.queries()
+    print(f"| query | sf0.1 s | x{n_copies} s | ratio |")
+    print("|---|---|---|---|")
+    for name in HEAVY:
+        fn = qs[name]
+        fn(spark, "/root/testdata/sf0.01").collect()  # codegen warm
+        t0 = time.perf_counter()
+        fn(spark, BASE).collect()
+        small = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        fn(spark, DEST).collect()
+        big = time.perf_counter() - t0
+        print(
+            f"| {name} | {small:.2f} | {big:.2f} |"
+            f" {big / small:.2f}x |",
+            flush=True,
+        )
+        spark.catalog.clearCache()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
