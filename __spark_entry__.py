@@ -91,16 +91,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_orders": QX.events_asof_orders,
         "documents_training_corpus": QX.documents_training_corpus,
         "documents_bpe_merges": QX.documents_bpe_merges,
-        "documents_bpe_encoded_stats": QX.documents_bpe_encoded_stats,
-        # NEW this round: the REAL BMP codec under the gate (closed-form
-        # pixel oracles verify decode + resample + re-encode end to end)
+        # NEW this round: the REAL codecs under the gate (closed-form
+        # pixel/sample oracles verify decode + resample + re-encode
+        # end to end, no decoder on the oracle side)
         "media_bmp_decode_stats": QX.media_bmp_decode_stats,
         "media_bmp_thumbnail_stats": QX.media_bmp_thumbnail_stats,
+        "media_wav_decode_stats": QX.media_wav_decode_stats,
         # ---- outside the 50-query window: r4/r5 driver evidence; the
-        # first two rows re-evidence in r7 (displaced by the two new
-        # media queries above, still r3/r4-green + local sweep) ----
+        # first three rows re-evidence in r7 (displaced by the three
+        # new media queries above, still r3/r4-green + local sweep) ----
         "customer_fuzzy_matches": QX.customer_fuzzy_matches,
         "referential_integrity_audit": QX.referential_integrity_audit,
+        "documents_bpe_encoded_stats": QX.documents_bpe_encoded_stats,
         "events_distinct_users_approx": QX.events_distinct_users_approx,
         "lineitem_percentiles_approx": QX.lineitem_percentiles_approx,
         "doc_duplicate_windows": QX.doc_duplicate_windows,

@@ -148,6 +148,72 @@ def resize_bmp24_nearest(
     return encode_bmp24(out_w, out_h, out)
 
 
+# ---------------------------------------------------------------------
+# REAL codec #2: WAV / PCM-16 (RIFF). Pure Python over the public
+# container layout — "RIFF"+size+"WAVE", then chunks; "fmt " carries
+# (audio_format=1, channels, sample_rate, byte_rate, block_align,
+# bits=16), "data" carries little-endian signed 16-bit samples.
+# Unknown chunks are skipped per the spec (word-aligned).
+# ---------------------------------------------------------------------
+
+
+def encode_wav16(
+    sample_rate: int, channels: int, samples: list[int]
+) -> bytes:
+    """Encode interleaved signed 16-bit samples as a PCM WAV file."""
+    if channels <= 0 or sample_rate <= 0 or len(samples) % channels:
+        raise ValueError("bad channel/sample layout")
+    body = b"".join(
+        int(s).to_bytes(2, "little", signed=True) for s in samples
+    )
+    block_align = channels * 2
+    fmt = (
+        (1).to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * block_align).to_bytes(4, "little")
+        + block_align.to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    chunks = (
+        b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + len(body).to_bytes(4, "little") + body
+        + (b"\x00" if len(body) % 2 else b"")
+    )
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def decode_wav16(payload: bytes) -> tuple[int, int, list[int]]:
+    """Decode a PCM-16 WAV into (sample_rate, channels, interleaved
+    samples). Walks the chunk list (skipping unknown chunks with word
+    alignment); raises ValueError on non-RIFF/WAVE or non-PCM-16."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, rate, channels, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            if int.from_bytes(body[0:2], "little") != 1:
+                raise ValueError("only PCM supported")
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if rate is None or data is None or bits != 16 or not channels:
+        raise ValueError("missing fmt/data or not 16-bit PCM")
+    if len(data) % 2:
+        raise ValueError("odd data chunk for 16-bit samples")
+    samples = [
+        int.from_bytes(data[i:i + 2], "little", signed=True)
+        for i in range(0, len(data), 2)
+    ]
+    return rate, channels, samples
+
+
 def _decode_stub(payload: bytes, kind: str) -> list[float]:
     """Feature dispatch: image payloads that ARE bitmaps take the real
     BMP path — (width, height, mean b/g/r scaled to [0,1], fill) from
@@ -170,6 +236,19 @@ def _decode_stub(payload: bytes, kind: str) -> list[float]:
             sg / (255.0 * n),
             sr / (255.0 * n),
             float(n),
+            0.0,
+            1.0,  # real-decode marker
+        ]
+    if kind == "audio" and payload[:4] == b"RIFF":
+        rate, channels, samples = decode_wav16(payload)
+        n = max(1, len(samples))
+        return [
+            float(channels),
+            float(rate),
+            float(len(samples)),
+            sum(abs(s) for s in samples) / (32768.0 * n),  # mean |amp|
+            max((abs(s) for s in samples), default=0) / 32768.0,  # peak
+            float(len(samples) // channels * 1000 // rate),  # ms
             0.0,
             1.0,  # real-decode marker
         ]
@@ -252,6 +331,61 @@ def extract_bmp_stats(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=BMP_STATS_SCHEMA)
+
+
+WAV_STATS_SCHEMA = (
+    "media_id long, sample_rate int, channels int, n_samples long, "
+    "sum_amp long, sum_abs long, sum_sq long, peak int"
+)
+
+
+def extract_wav_stats(df: DataFrame) -> DataFrame:
+    """REAL audio feature extraction: decode every PCM-16 WAV payload
+    and emit exact integer sample statistics (count, amplitude sum,
+    |amplitude| sum, energy sum, peak) — all recomputable by a
+    closed-form sample oracle, so the decoder itself sits under the
+    driver gate. sum_sq stays in int64 for any clip under ~8.6e9
+    samples at full scale. Arrow batches via mapInPandas; rows that
+    fail to decode are dropped."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "sample_rate", "channels", "n_samples",
+                "sum_amp", "sum_abs", "sum_sq", "peak",
+            )}
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    rate, channels, samples = decode_wav16(raw)
+                except ValueError:
+                    continue
+                out["media_id"].append(media_id)
+                out["sample_rate"].append(rate)
+                out["channels"].append(channels)
+                out["n_samples"].append(len(samples))
+                out["sum_amp"].append(sum(samples))
+                out["sum_abs"].append(sum(abs(s) for s in samples))
+                out["sum_sq"].append(sum(s * s for s in samples))
+                out["peak"].append(
+                    max((abs(s) for s in samples), default=0)
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out["media_id"], dtype="int64"),
+                    "sample_rate": pd.Series(
+                        out["sample_rate"], dtype="int32"
+                    ),
+                    "channels": pd.Series(out["channels"], dtype="int32"),
+                    "n_samples": pd.Series(out["n_samples"], dtype="int64"),
+                    "sum_amp": pd.Series(out["sum_amp"], dtype="int64"),
+                    "sum_abs": pd.Series(out["sum_abs"], dtype="int64"),
+                    "sum_sq": pd.Series(out["sum_sq"], dtype="int64"),
+                    "peak": pd.Series(out["peak"], dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(run, schema=WAV_STATS_SCHEMA)
 
 
 def media_dedup_exact(df: DataFrame) -> DataFrame:

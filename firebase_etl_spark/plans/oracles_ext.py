@@ -2986,6 +2986,35 @@ ORACLES_EXT["media_bmp_decode_stats"] = """
 """
 
 
+# REAL audio-codec verification: recompute the PCM sample statistics
+# from the closed-form generator — no RIFF parser here, so any chunk/
+# byte-order/sign bug in the Python codec fails the hash
+ORACLES_EXT["media_wav_decode_stats"] = """
+    WITH clips AS (
+        SELECT doc_id, CAST(50 + doc_id % 50 AS BIGINT) AS n
+        FROM documents),
+    smp AS (
+        SELECT doc_id, n,
+               ((doc_id * 37 + t.t * 17) % 2048) - 1024 AS v
+        FROM clips, unnest(range(0, n)) AS t(t)),
+    per AS (
+        SELECT doc_id, n,
+               CAST(sum(v) AS BIGINT) AS sum_amp,
+               CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+               CAST(sum(v * v) AS BIGINT) AS sum_sq,
+               CAST(max(abs(v)) AS INT) AS peak
+        FROM smp GROUP BY doc_id, n)
+    SELECT n AS n_samples, count(*) AS n_clips,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(sum(sum_amp) AS BIGINT) AS total_amp,
+           CAST(sum(sum_abs) AS BIGINT) AS total_abs,
+           CAST(sum(sum_sq) AS BIGINT) AS total_energy,
+           CAST(max(peak) AS INT) AS max_peak,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM per GROUP BY n ORDER BY n
+"""
+
+
 # thumbnail twin: replays the nearest-neighbor index math
 # src = (dst * src_dim) // dst_dim on the closed-form pixels
 ORACLES_EXT["media_bmp_thumbnail_stats"] = """

@@ -892,6 +892,68 @@ def media_bmp_thumbnail_stats(
     )
 
 
+def _documents_as_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One REAL PCM-16 WAV per document, encoded distributed from the
+    closed-form sample function sample[t] = ((doc_id·37 + t·17) % 2048)
+    − 1024 (mono, 8 kHz, 50 + doc_id % 50 samples). Genuine RIFF/WAVE
+    bytes — fmt and data chunks, word alignment — not hash stubs."""
+    import pandas as pd
+
+    from firebase_etl_spark.operators.multimodal import encode_wav16
+
+    d = load_table(spark, "documents", sf_dir).select("doc_id")
+
+    def run(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                n = 50 + i % 50
+                samples = [
+                    ((i * 37 + t * 17) % 2048) - 1024 for t in range(n)
+                ]
+                ids.append(i)
+                payloads.append(encode_wav16(8000, 1, samples))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "kind": pd.Series(["audio"] * len(ids), dtype=object),
+                    "payload": pd.Series(payloads, dtype=object),
+                }
+            )
+
+    return d.mapInPandas(
+        run, schema="media_id long, kind string, payload binary"
+    )
+
+
+def media_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode under the driver gate: every document becomes
+    an actual PCM-16 WAV (encoded distributed), the pure-Python RIFF
+    parser (operators/multimodal.py:decode_wav16) decodes it back, and
+    exact integer sample statistics (amplitude/|amplitude|/energy sums,
+    peak) roll up per clip-length class. The oracle recomputes all of
+    it from the closed-form sample function with no decoder — a
+    mis-read chunk boundary, byte order, or sign anywhere in the codec
+    fails the hash. All-integer output."""
+    from firebase_etl_spark.operators.multimodal import extract_wav_stats
+
+    feats = extract_wav_stats(_documents_as_wav(spark, sf_dir))
+    return (
+        feats.groupBy("n_samples")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.min("sample_rate").alias("sample_rate"),
+            F.sum("sum_amp").alias("total_amp"),
+            F.sum("sum_abs").alias("total_abs"),
+            F.sum("sum_sq").alias("total_energy"),
+            F.max("peak").alias("max_peak"),
+            F.sum("media_id").alias("id_checksum"),
+        )
+        .orderBy("n_samples")
+    )
+
+
 def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: binary payloads -> mapInPandas feature
     extraction (Arrow batches; stub codec is sha256-derived, so the whole

@@ -688,3 +688,67 @@ def test_feature_dispatch_takes_real_path_for_bmp(spark):
     assert f[7] == 1.0 and f[0] == 2.0 and f[1] == 1.0
     assert abs(f[2] - 1.0) < 1e-6 and f[3] == 0.0 and f[4] == 0.0
     assert got[2]["feat"][0] != 1.0 or len(got[2]["feat"]) == 8  # stub path
+
+
+def test_wav_roundtrip_and_golden_bytes():
+    from firebase_etl_spark.operators.multimodal import (
+        decode_wav16,
+        encode_wav16,
+    )
+
+    samples = [0, 1, -1, 32767, -32768, 1234]
+    p = encode_wav16(8000, 2, samples)
+    assert p[:4] == b"RIFF" and p[8:12] == b"WAVE"
+    assert decode_wav16(p) == (8000, 2, samples)
+    # golden layout: fmt chunk at 12, PCM=1, 2ch, rate, block align 4
+    assert p[12:16] == b"fmt " and int.from_bytes(p[16:20], "little") == 16
+    assert int.from_bytes(p[20:22], "little") == 1
+    assert int.from_bytes(p[22:24], "little") == 2
+    assert int.from_bytes(p[24:28], "little") == 8000
+    assert int.from_bytes(p[32:34], "little") == 4
+    assert p[36:40] == b"data"
+    assert p[44:46] == b"\x00\x00"            # sample 0
+    assert p[46:48] == b"\x01\x00"            # sample 1
+    assert p[48:50] == b"\xff\xff"            # sample -1
+
+
+def test_wav_decode_skips_unknown_chunks_and_rejects_junk():
+    import pytest as _pytest
+
+    from firebase_etl_spark.operators.multimodal import (
+        decode_wav16,
+        encode_wav16,
+    )
+
+    p = encode_wav16(44100, 1, [7, -7, 300])
+    # splice an unknown odd-sized chunk between WAVE and fmt: a
+    # conforming reader skips it with word alignment
+    extra = b"LIST" + (3).to_bytes(4, "little") + b"abc" + b"\x00"
+    spliced = p[:12] + extra + p[12:]
+    spliced = (
+        spliced[:4]
+        + (len(spliced) - 8).to_bytes(4, "little")
+        + spliced[8:]
+    )
+    assert decode_wav16(spliced) == (44100, 1, [7, -7, 300])
+    with _pytest.raises(ValueError):
+        decode_wav16(b"RIFFxxxxJUNK")
+    with _pytest.raises(ValueError):
+        decode_wav16(b"")
+
+
+def test_feature_dispatch_takes_real_path_for_wav(spark):
+    from firebase_etl_spark.operators.multimodal import (
+        encode_wav16,
+        extract_media_features,
+    )
+
+    wav = encode_wav16(8000, 1, [16384, -16384])  # |amp| = 0.5 mean
+    df = spark.createDataFrame(
+        [(1, "audio", None, wav, None)],
+        "media_id long, kind string, mime string, payload binary,"
+        " meta struct<width:int,height:int,duration_ms:int>",
+    )
+    f = extract_media_features(df).collect()[0]["feat"]
+    assert f[7] == 1.0 and f[0] == 1.0 and f[1] == 8000.0 and f[2] == 2.0
+    assert abs(f[3] - 0.5) < 1e-6 and abs(f[4] - 0.5) < 1e-6
