@@ -936,3 +936,124 @@ def anisotropy_report(
         )
         .orderBy("label")
     )
+
+
+def hashed_tf_sparse(
+    df: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Feature-hashed SPARSE document embeddings (Weinberger et al.
+    2009, the HashingTF representation): each token hashes to one of
+    ``dim`` buckets with a +-1 sign hash, and a document becomes the
+    integer rows (id, bucket, s) with s = sum(sign * count) — the
+    model-free text->vector bridge into the similarity stack.
+
+    Representation choices, deliberately:
+    - SPARSE (bucket rows, never a dense array): at web scale dim is
+      2^18-2^20 and a dense array per doc is exactly the thing that
+      stops fitting; every consumer below is a join on bucket.
+    - INTEGER components: counts and signs are exact, so cosines derive
+      from integer sums via IEEE sqrt/divide — cross-engine
+      deterministic with zero fixed-point machinery (the DuckDB twin
+      replays md5 bucket/sign hashes verbatim).
+    - md5-based bucket and sign hashes (not xxhash64) keep the whole
+      construction engine-portable, the house convention for
+      oracle-checkable hashing.
+
+    One explode + one (doc, token) count + one (doc, bucket) sum —
+    two map-side-combinable shuffles, no UDF."""
+    from firebase_etl_spark.operators.text import tokenize
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokenize(text_col)).alias("w")
+    )
+    counts = toks.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("c"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10)
+        .cast("bigint") % dim
+    ).alias("bucket")
+    sign = (
+        F.lit(1)
+        - F.lit(2)
+        * (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("sgn"), F.col("w"))), 1, 1
+                ),
+                16,
+                10,
+            ).cast("int")
+            % 2
+        )
+    )
+    return (
+        counts.select(
+            F.col(id_col), bucket, (sign * F.col("c")).alias("sc")
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.sum("sc").alias("s"))
+        .filter(F.col("s") != 0)
+    )
+
+
+def hashed_tf_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    dim: int = 64,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` cosine neighbors per probe over the hashed-TF sparse
+    embeddings: (query_id, doc_id, cos_sim, rank). The dot product is a
+    bucket-keyed join of the probes' rows (tiny, broadcast) against the
+    corpus rows — work proportional to the probes' nonzero buckets, one
+    corpus pass; norms are one aggregate. Cosine = exact-integer dot /
+    (sqrt . sqrt) rounded once at 6dp; ties break to the lower doc id.
+    NULL-text documents have no rows and drop out; an empty string
+    still carries the single '' token of the house tokenizer (mirrored
+    by the oracle's regexp_split_to_array)."""
+    vecs = hashed_tf_sparse(df, dim, text_col, id_col)
+    norms = vecs.groupBy(id_col).agg(
+        F.sum(F.col("s") * F.col("s")).alias("nn")
+    )
+    probes = vecs.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        "bucket",
+        F.col("s").alias("qs"),
+    )
+    dots = (
+        vecs.join(F.broadcast(probes), "bucket")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", id_col)
+        .agg(F.sum(F.col("qs") * F.col("s")).alias("dot"))
+    )
+    qn = norms.select(
+        F.col(id_col).alias("query_id"), F.col("nn").alias("qnn")
+    )
+    scored = (
+        dots.join(norms, id_col)
+        .join(F.broadcast(qn), "query_id")
+        .select(
+            "query_id",
+            id_col,
+            F.round(
+                F.col("dot")
+                / (
+                    F.sqrt(F.col("qnn").cast("double"))
+                    * F.sqrt(F.col("nn").cast("double"))
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cos_sim", "rank")
+    )

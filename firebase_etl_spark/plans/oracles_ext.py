@@ -2986,6 +2986,52 @@ ORACLES_EXT["media_bmp_decode_stats"] = """
 """
 
 
+# feature-hashed sparse embedding retrieval: replays the md5 bucket and
+# sign hashes verbatim; cosines derive from exact integer sums via IEEE
+# sqrt/divide, so no fixed-point machinery is needed
+ORACLES_EXT["doc_hashed_embedding_topk"] = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        FROM documents),
+    counts AS (
+        SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w),
+    rows_ AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(w), 1, 15))::BIGINT % 64 AS bucket,
+               (1 - 2 * (('0x' || substr(md5('sgn' || w), 1, 1))::BIGINT
+                         % 2)) * c AS sc
+        FROM counts),
+    vecs AS (
+        SELECT doc_id, bucket, CAST(sum(sc) AS BIGINT) AS s
+        FROM rows_ GROUP BY doc_id, bucket HAVING sum(sc) <> 0),
+    norms AS (
+        SELECT doc_id, CAST(sum(s * s) AS BIGINT) AS nn
+        FROM vecs GROUP BY doc_id),
+    probes AS (
+        SELECT doc_id AS query_id, bucket, s AS qs
+        FROM vecs WHERE doc_id IN (0, 1, 2, 3, 4)),
+    dots AS (
+        SELECT p.query_id, v.doc_id,
+               CAST(sum(p.qs * v.s) AS BIGINT) AS dot
+        FROM vecs v JOIN probes p USING (bucket)
+        WHERE v.doc_id <> p.query_id
+        GROUP BY p.query_id, v.doc_id),
+    scored AS (
+        SELECT d.query_id, d.doc_id,
+               round(d.dot / (sqrt(CAST(qn.nn AS DOUBLE))
+                              * sqrt(CAST(n.nn AS DOUBLE))), 6) AS cos_sim
+        FROM dots d
+        JOIN norms n ON n.doc_id = d.doc_id
+        JOIN norms qn ON qn.doc_id = d.query_id)
+    SELECT query_id, doc_id, cos_sim, rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, doc_id
+        ) AS rank FROM scored
+    ) WHERE rank <= 10
+"""
+
+
 # REAL audio-codec verification: recompute the PCM sample statistics
 # from the closed-form generator — no RIFF parser here, so any chunk/
 # byte-order/sign bug in the Python codec fails the hash

@@ -954,6 +954,22 @@ def media_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_hashed_embedding_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Model-free text retrieval via feature-hashed sparse embeddings
+    (operators/similarity.py:hashed_tf_topk — Weinberger et al. 2009
+    signed feature hashing, dim=64): top-10 cosine neighbors for the
+    five probe documents. The text->vector bridge when no embedding
+    model is available; integer components make the cosines
+    cross-engine exact, and the sparse bucket-row representation is
+    the one that survives dim=2^20 at corpus scale."""
+    from firebase_etl_spark.operators.similarity import hashed_tf_topk
+
+    d = load_table(spark, "documents", sf_dir)
+    return hashed_tf_topk(d, [0, 1, 2, 3, 4], dim=64, k=10)
+
+
 def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: binary payloads -> mapInPandas feature
     extraction (Arrow batches; stub codec is sha256-derived, so the whole

@@ -2223,3 +2223,29 @@ def test_source_drift_ignores_null_values(spark):
         for r in source_drift_report(noisy).collect()
     }
     assert a == b
+
+
+def test_hashed_tf_topk_identical_docs_rank_first(spark):
+    """Feature-hashed retrieval: an exact copy scores cosine 1.0 and
+    ranks first; an unrelated doc scores lower; empty docs drop out."""
+    from firebase_etl_spark.operators.similarity import (
+        hashed_tf_sparse,
+        hashed_tf_topk,
+    )
+
+    rows = [
+        (0, "alpha beta gamma delta"),
+        (1, "alpha beta gamma delta"),          # exact copy of 0
+        (2, "epsilon zeta eta theta"),          # disjoint vocab
+        (3, "alpha beta something else here"),  # partial overlap
+        (4, None),                               # NULL text -> no vector
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["cos_sim"])
+        for r in hashed_tf_topk(df, [0], dim=32, k=3).collect()
+    }
+    assert got[(0, 1)][0] == 1 and abs(got[(0, 1)][1] - 1.0) < 1e-9
+    assert got[(0, 2)][1] < 1.0
+    ids = {r["doc_id"] for r in hashed_tf_sparse(df, 32).collect()}
+    assert 4 not in ids
