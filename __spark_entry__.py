@@ -105,7 +105,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_bpe_encoded_stats": QX.documents_bpe_encoded_stats,
         # NEW this round, first driver evidence in r7 (locally pinned by
         # the oracle sweep): feature-hashed sparse embedding retrieval
+        # and the categorical mutual-information audit
         "doc_hashed_embedding_topk": QX.doc_hashed_embedding_topk,
+        "orders_mutual_information": QX.orders_mutual_information,
         "events_distinct_users_approx": QX.events_distinct_users_approx,
         "lineitem_percentiles_approx": QX.lineitem_percentiles_approx,
         "doc_duplicate_windows": QX.doc_duplicate_windows,

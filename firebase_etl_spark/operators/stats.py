@@ -438,6 +438,77 @@ def negative_samples(
     )
 
 
+def mutual_information(
+    df: DataFrame, col_a: str, col_b: str, label: str | None = None
+) -> DataFrame:
+    """Mutual information I(A;B) in nats between two categorical
+    columns — the information-theoretic complement to cramers_v: V
+    answers "how far from independent", MI answers "how many nats of A
+    do you learn from B", the quantity feature selectors rank by.
+    One row: (pair, n_rows, ka, kb, mi_nats, mi_ratio) with mi_ratio =
+    MI / ln(min(ka, kb)) in [0, 1] (NULL when either column is
+    constant — the bound is 0 nats and the ratio undefined).
+
+    Exactness: I = (1/n) * sum over OBSERVED cells of
+    o * (ln o + ln n - ln r - ln c) — every argument is an exact
+    integer count, all four logs are the PORTABLE libm-free ln
+    (functions/portable_math.py), each cell's term is rounded ONCE to
+    a 1e-6 BIGINT and integer-summed. Zero cells contribute 0·ln 0 = 0
+    and are simply absent (no grid completion needed, unlike the
+    chi-square). Same scale shape as cramers_v: one corpus pass into a
+    KB-sized contingency table, materialized once for its consumers."""
+    from firebase_etl_spark.functions.portable_math import (
+        fixed_e6_expr,
+        with_ln,
+    )
+
+    pair = label or f"{col_a} x {col_b}"
+    base = df.filter(
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    ).select(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+    cells = (
+        base.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint(eager=True)
+    )
+    ra = cells.groupBy("a").agg(F.sum("o").alias("r"))
+    cb = cells.groupBy("b").agg(F.sum("o").alias("c"))
+    tot = F.broadcast(
+        cells.agg(
+            F.sum("o").alias("n"), F.count(F.lit(1)).alias("ncells")
+        )
+        .crossJoin(F.broadcast(ra.agg(F.count(F.lit(1)).alias("ka"))))
+        .crossJoin(F.broadcast(cb.agg(F.count(F.lit(1)).alias("kb"))))
+    )
+    grid = (
+        cells.join(F.broadcast(ra), "a")
+        .join(F.broadcast(cb), "b")
+        .crossJoin(tot)
+    )
+    grid = with_ln(grid, "o", "__lno")
+    grid = with_ln(grid, "r", "__lnr")
+    grid = with_ln(grid, "c", "__lnc")
+    grid = with_ln(grid, "n", "__lnn")
+    term = F.expr(
+        fixed_e6_expr("o * ((__lno + __lnn) - (__lnr + __lnc))")
+    )
+    s = grid.select(
+        term.alias("t"), "n", "ka", "kb"
+    ).groupBy("n", "ka", "kb").agg(F.sum("t").alias("mi_e6"))
+    s = with_ln(s, "least(ka, kb)", "__lnk")
+    mi = F.col("mi_e6").cast("double") / 1000000.0 / F.col("n")
+    return s.select(
+        F.lit(pair).alias("pair"),
+        F.col("n").alias("n_rows"),
+        "ka",
+        "kb",
+        F.round(mi, 6).alias("mi_nats"),
+        F.when(
+            F.least("ka", "kb") > 1, F.round(mi / F.col("__lnk"), 6)
+        ).alias("mi_ratio"),
+    )
+
+
 def cramers_v(
     df: DataFrame, col_a: str, col_b: str, label: str | None = None
 ) -> DataFrame:

@@ -2986,6 +2986,58 @@ ORACLES_EXT["media_bmp_decode_stats"] = """
 """
 
 
+def _mutual_info_oracle() -> str:
+    """MI twin: observed-cell o·(ln o + ln n − ln r − ln c) terms over
+    the PORTABLE ln chain, 1e-6 fixed-point, integer-summed (stats.py:
+    mutual_information twin)."""
+    from firebase_etl_spark.functions.portable_math import (
+        fixed_e6_expr,
+        ln_select_sql,
+    )
+
+    chain = ln_select_sql(
+        "SELECT cells.o, ra.r, cb.c, tot.n, tot.ka, tot.kb"
+        " FROM cells JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN tot",
+        [
+            ("o", "__lno"),
+            ("r", "__lnr"),
+            ("c", "__lnc"),
+            ("n", "__lnn"),
+        ],
+    )
+    k_chain = ln_select_sql(
+        "SELECT * FROM s", [("least(ka, kb)", "__lnk")]
+    )
+    term = fixed_e6_expr("o * ((__lno + __lnn) - (__lnr + __lnc))")
+    return f"""
+    WITH base AS (
+        SELECT o_orderpriority AS a, o_orderstatus AS b FROM orders
+        WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL),
+    cells AS (SELECT a, b, count(*) AS o FROM base GROUP BY a, b),
+    ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY a),
+    cb AS (SELECT b, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY b),
+    tot AS (
+        SELECT CAST(sum(o) AS BIGINT) AS n,
+               (SELECT count(*) FROM ra) AS ka,
+               (SELECT count(*) FROM cb) AS kb
+        FROM cells),
+    s AS (
+        SELECT n, ka, kb, CAST(sum({term}) AS BIGINT) AS mi_e6
+        FROM ({chain}) GROUP BY n, ka, kb)
+    SELECT 'o_orderpriority x o_orderstatus' AS pair,
+           n AS n_rows, ka, kb,
+           round(CAST(mi_e6 AS DOUBLE) / 1000000.0 / n, 6) AS mi_nats,
+           CASE WHEN least(ka, kb) > 1
+                THEN round(CAST(mi_e6 AS DOUBLE) / 1000000.0 / n
+                           / __lnk, 6)
+           END AS mi_ratio
+    FROM ({k_chain})
+"""
+
+
+ORACLES_EXT["orders_mutual_information"] = _mutual_info_oracle()
+
+
 # feature-hashed sparse embedding retrieval: replays the md5 bucket and
 # sign hashes verbatim; cosines derive from exact integer sums via IEEE
 # sqrt/divide, so no fixed-point machinery is needed

@@ -954,6 +954,20 @@ def media_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_mutual_information(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mutual information between order priority and order status
+    (operators/stats.py:mutual_information) — the nats-of-shared-
+    information complement to the Cramer's-V association audit, the
+    ranking criterion of categorical feature selection. All-integer
+    counts through portable lns; one corpus pass."""
+    from firebase_etl_spark.operators.stats import mutual_information
+
+    o = load_table(spark, "orders", sf_dir)
+    return mutual_information(o, "o_orderpriority", "o_orderstatus")
+
+
 def doc_hashed_embedding_topk(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

@@ -2249,3 +2249,33 @@ def test_hashed_tf_topk_identical_docs_rank_first(spark):
     assert got[(0, 2)][1] < 1.0
     ids = {r["doc_id"] for r in hashed_tf_sparse(df, 32).collect()}
     assert 4 not in ids
+
+
+def test_mutual_information_independent_and_dependent(spark):
+    """MI is ~0 for independent columns and ln(k) (ratio 1.0) for a
+    bijection; constant columns yield NULL ratio."""
+    from firebase_etl_spark.operators.stats import mutual_information
+
+    dep = spark.createDataFrame(
+        [(str(i % 4), chr(65 + i % 4)) for i in range(64)],
+        "a string, b string",
+    )
+    r = mutual_information(dep, "a", "b").collect()[0]
+    assert r["ka"] == 4 and r["kb"] == 4
+    assert abs(r["mi_ratio"] - 1.0) < 1e-4
+    import math as _math
+
+    assert abs(r["mi_nats"] - _math.log(4)) < 1e-4
+
+    ind = spark.createDataFrame(
+        [(str(i % 2), str((i // 2) % 2)) for i in range(64)],
+        "a string, b string",
+    )
+    r2 = mutual_information(ind, "a", "b").collect()[0]
+    assert abs(r2["mi_nats"]) < 1e-6
+
+    const = spark.createDataFrame(
+        [("x", str(i % 3)) for i in range(9)], "a string, b string"
+    )
+    r3 = mutual_information(const, "a", "b").collect()[0]
+    assert r3["mi_ratio"] is None and abs(r3["mi_nats"]) < 1e-6
