@@ -223,35 +223,46 @@ def _decode_stub(payload: bytes, kind: str) -> list[float]:
     NotImplementedError for kinds you don't support."""
     if kind not in ("image", "audio", "video"):
         raise NotImplementedError(f"unsupported media kind: {kind}")
+    # a magic-number match that fails to decode falls through to the
+    # opaque-payload stub (corrupt blobs must not kill the batch; route
+    # them to quarantine upstream when they matter)
     if kind == "image" and payload[:2] == b"BM":
-        w, h, rows = decode_bmp24(payload)
-        n = w * h
-        sb = sum(px[0] for row in rows for px in row)
-        sg = sum(px[1] for row in rows for px in row)
-        sr = sum(px[2] for row in rows for px in row)
-        return [
-            float(w),
-            float(h),
-            sb / (255.0 * n),
-            sg / (255.0 * n),
-            sr / (255.0 * n),
-            float(n),
-            0.0,
-            1.0,  # real-decode marker
-        ]
+        try:
+            w, h, rows = decode_bmp24(payload)
+        except ValueError:
+            pass
+        else:
+            n = w * h
+            sb = sum(px[0] for row in rows for px in row)
+            sg = sum(px[1] for row in rows for px in row)
+            sr = sum(px[2] for row in rows for px in row)
+            return [
+                float(w),
+                float(h),
+                sb / (255.0 * n),
+                sg / (255.0 * n),
+                sr / (255.0 * n),
+                float(n),
+                0.0,
+                1.0,  # real-decode marker
+            ]
     if kind == "audio" and payload[:4] == b"RIFF":
-        rate, channels, samples = decode_wav16(payload)
-        n = max(1, len(samples))
-        return [
-            float(channels),
-            float(rate),
-            float(len(samples)),
-            sum(abs(s) for s in samples) / (32768.0 * n),  # mean |amp|
-            max((abs(s) for s in samples), default=0) / 32768.0,  # peak
-            float(len(samples) // channels * 1000 // rate),  # ms
-            0.0,
-            1.0,  # real-decode marker
-        ]
+        try:
+            rate, channels, samples = decode_wav16(payload)
+        except ValueError:
+            pass
+        else:
+            n = max(1, len(samples))
+            return [
+                float(channels),
+                float(rate),
+                float(len(samples)),
+                sum(abs(s) for s in samples) / (32768.0 * n),
+                max((abs(s) for s in samples), default=0) / 32768.0,
+                float(len(samples) // channels * 1000 // rate),  # ms
+                0.0,
+                1.0,  # real-decode marker
+            ]
     h = hashlib.sha256(payload or b"").digest()
     return [b / 255.0 for b in h[:8]]
 
@@ -436,14 +447,17 @@ def resize_images(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame
             out_payload, out_ok = [], []
             for payload, kind in zip(payloads, kinds):
                 raw = bytes(payload) if payload is not None else b""
-                if kind == "image" and raw[:2] == b"BM":
-                    # REAL path: decode + nearest-neighbor + re-encode
-                    out_payload.append(
-                        resize_bmp24_nearest(raw, width, height)
-                    )
-                    out_ok.append(True)
-                elif kind == "image":
-                    out_payload.append(_resize_stub(raw, width, height))
+                if kind == "image":
+                    try:
+                        # REAL path: decode + nearest-neighbor + re-encode
+                        out_payload.append(
+                            resize_bmp24_nearest(raw, width, height)
+                        )
+                    except ValueError:
+                        # non-BMP (or corrupt) image payload: stub path
+                        out_payload.append(
+                            _resize_stub(raw, width, height)
+                        )
                     out_ok.append(True)
                 else:
                     out_payload.append(raw)
