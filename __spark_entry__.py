@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and the categorical mutual-information audit
         "doc_hashed_embedding_topk": QX.doc_hashed_embedding_topk,
         "orders_mutual_information": QX.orders_mutual_information,
+        "user_conversion_survival": QX.user_conversion_survival,
         "events_distinct_users_approx": QX.events_distinct_users_approx,
         "lineitem_percentiles_approx": QX.lineitem_percentiles_approx,
         "doc_duplicate_windows": QX.doc_duplicate_windows,

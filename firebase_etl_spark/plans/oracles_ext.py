@@ -2986,6 +2986,82 @@ ORACLES_EXT["media_bmp_decode_stats"] = """
 """
 
 
+def _km_survival_oracle() -> str:
+    """Kaplan-Meier twin: log-space product via the portable ln chain,
+    fixed-point cumulative sums over the bounded week spine, survival
+    back through the portable exp2 (timeseries.py:km_curve twin)."""
+    from firebase_etl_spark.functions.portable_math import (
+        LN2_LIT,
+        exp2_select_sql,
+        fixed_e6_expr,
+        ln_select_sql,
+    )
+
+    risk_chain = ln_select_sql(
+        "SELECT d.t, d.d, d.c, d.n_total - p.gone AS n"
+        " FROM dense d JOIN prior p USING (t)",
+        [("(n - d)", "__lnnd"), ("n", "__lnn")],
+    )
+    term = fixed_e6_expr("__lnnd - __lnn")
+    surv_chain = exp2_select_sql(
+        "SELECT * FROM cum",
+        [(f"(CAST(__lns_e6 AS DOUBLE) / 1000000.0) / {LN2_LIT}",
+          "__surv")],
+    )
+    return f"""
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) AS us, event_type
+        FROM events WHERE user_id IS NOT NULL),
+    pu AS (
+        SELECT user_id, min(us) AS t0,
+               min(CASE WHEN event_type = 'purchase' THEN us END) AS conv
+        FROM e GROUP BY user_id),
+    mx AS (SELECT max(us) AS tmax FROM e),
+    dur AS (
+        SELECT (coalesce(conv, tmax) - t0) // 604800000000 AS dur,
+               conv IS NOT NULL AS is_event
+        FROM pu, mx),
+    per_t AS (
+        SELECT dur AS t,
+               CAST(sum(CASE WHEN is_event THEN 1 ELSE 0 END)
+                    AS BIGINT) AS d,
+               CAST(sum(CASE WHEN is_event THEN 0 ELSE 1 END)
+                    AS BIGINT) AS c
+        FROM dur GROUP BY dur),
+    tot AS (SELECT max(t) AS wmax,
+                   CAST(sum(d + c) AS BIGINT) AS n_total FROM per_t),
+    spine AS (
+        SELECT n_total, t.t FROM tot,
+               unnest(range(0, wmax + 1)) AS t(t)),
+    dense AS (
+        SELECT s.t, s.n_total,
+               coalesce(p.d, 0) AS d, coalesce(p.c, 0) AS c
+        FROM spine s LEFT JOIN per_t p USING (t)),
+    prior AS (
+        SELECT w.t, coalesce(sum(v.d + v.c), 0) AS gone
+        FROM dense w LEFT JOIN dense v ON v.t < w.t GROUP BY w.t),
+    terms AS (
+        SELECT t, d, c, n,
+               CASE WHEN n > d THEN {term} ELSE 0 END AS term_e6,
+               CASE WHEN n > 0 AND n = d THEN 1 ELSE 0 END AS dies
+        FROM ({risk_chain})),
+    cum AS (
+        SELECT w.t, w.n AS n_at_risk, w.d AS n_events,
+               w.c AS n_censored,
+               CAST(sum(v.term_e6) AS BIGINT) AS __lns_e6,
+               max(v.dies) AS __dead
+        FROM terms w JOIN terms v ON v.t <= w.t
+        GROUP BY w.t, w.n, w.d, w.c)
+    SELECT t, n_at_risk, n_events, n_censored,
+           CASE WHEN __dead = 1 THEN 0.0
+                ELSE round(__surv, 6) END AS survival
+    FROM ({surv_chain}) ORDER BY t
+"""
+
+
+ORACLES_EXT["user_conversion_survival"] = _km_survival_oracle()
+
+
 def _mutual_info_oracle() -> str:
     """MI twin: observed-cell o·(ln o + ln n − ln r − ln c) terms over
     the PORTABLE ln chain, 1e-6 fixed-point, integer-summed (stats.py:

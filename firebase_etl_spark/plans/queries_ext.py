@@ -954,6 +954,38 @@ def media_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_conversion_survival(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kaplan-Meier time-to-first-purchase curve (operators/
+    timeseries.py:km_curve): per user, weeks from first event to first
+    'purchase' event, right-censored at the table's max timestamp for
+    users who never purchase — the churn/conversion-latency analysis a
+    retention table can't express (censoring is the whole point).
+    Log-space product over portable ln/exp2; per-week output on the
+    dense week spine."""
+    from firebase_etl_spark.operators.timeseries import km_curve
+
+    e = load_table(spark, "events", sf_dir).filter(
+        F.col("user_id").isNotNull()
+    )
+    us = F.unix_micros(F.col("ts"))
+    pu = e.groupBy("user_id").agg(
+        F.min(us).alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", us)
+        ).alias("conv"),
+    )
+    mx = F.broadcast(e.agg(F.max(us).alias("tmax")))
+    dur = pu.crossJoin(mx).select(
+        F.expr("(coalesce(conv, tmax) - t0) div 604800000000").alias(
+            "dur"
+        ),
+        F.col("conv").isNotNull().alias("is_event"),
+    )
+    return km_curve(dur)
+
+
 def orders_mutual_information(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

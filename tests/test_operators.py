@@ -2279,3 +2279,22 @@ def test_mutual_information_independent_and_dependent(spark):
     )
     r3 = mutual_information(const, "a", "b").collect()[0]
     assert r3["mi_ratio"] is None and abs(r3["mi_nats"]) < 1e-6
+
+
+def test_km_curve_hand_computed(spark):
+    """Textbook Kaplan-Meier: events at 1, 3, 3, 5; censored at 2, 4.
+    S = 1, 5/6, 5/6, 5/12, 5/12, 0."""
+    from firebase_etl_spark.operators.timeseries import km_curve
+
+    rows = [
+        (1, True), (2, False), (3, True),
+        (3, True), (4, False), (5, True),
+    ]
+    df = spark.createDataFrame(rows, "dur long, is_event boolean")
+    got = {r["t"]: r for r in km_curve(df).collect()}
+    assert [got[t]["n_at_risk"] for t in range(6)] == [6, 6, 5, 4, 2, 1]
+    assert [got[t]["n_events"] for t in range(6)] == [0, 1, 0, 2, 0, 1]
+    assert [got[t]["n_censored"] for t in range(6)] == [0, 0, 1, 0, 1, 0]
+    exp = [1.0, 5 / 6, 5 / 6, 5 / 12, 5 / 12, 0.0]
+    for t in range(6):
+        assert abs(got[t]["survival"] - exp[t]) < 2e-6, (t, got[t])
