@@ -89,3 +89,119 @@ def heavy_hitters_report(
         )
         .orderBy(F.desc("n_exact"), "value")
     )
+
+
+def count_min_report(
+    df: DataFrame,
+    value_col: str,
+    probe_values: list[str],
+    width: int = 256,
+    depth: int = 4,
+) -> DataFrame:
+    """Count-Min sketch point queries (Cormode & Muthukrishnan 2005) —
+    the frequency-estimation sketch completing the family next to HLL
+    (distinct), KLL/GK (quantiles) and Misra-Gries (heavy hitters):
+    ``depth`` hash rows of ``width`` counters, point estimate = min
+    over rows, guaranteed est >= exact with E[overestimate] <= N/width
+    per row. Returns per probe value: (value, n_exact, cms_estimate,
+    overestimate) — overestimate >= 0 always, and the DuckDB oracle
+    replays the ENTIRE sketch (md5 row hashes are engine-portable), so
+    every column is hash-checked exactly, not bounded.
+
+    Scale shape: the corpus collapses to the (distinct value, count)
+    table FIRST (one map-side-combinable pass); the depth-way explode
+    runs over that vocabulary-sized table, never the corpus; the sketch
+    itself is (depth x width) counters — mergeable across batches by
+    addition, the property that makes CMS the streaming-frequency
+    workhorse. Probes join the counter table on (row, col), a
+    broadcast-sized lookup."""
+    src = df.select(F.col(value_col).cast("string").alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    counts = src.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    rows = counts.select(
+        "v",
+        "c",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(depth - 1))
+        ).alias("r"),
+    ).select(
+        "c",
+        "r",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("cms"),
+                            F.col("r").cast("string"),
+                            F.lit("|"),
+                            F.col("v"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % width
+        ).alias("col"),
+    )
+    sketch = rows.groupBy("r", "col").agg(F.sum("c").alias("cnt"))
+    probes = (
+        df.sparkSession.createDataFrame(
+            [(str(p),) for p in probe_values], "value string"
+        )
+        .select(
+            "value",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(depth - 1))
+            ).alias("r"),
+        )
+        .select(
+            "value",
+            "r",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("cms"),
+                                F.col("r").cast("string"),
+                                F.lit("|"),
+                                F.col("value"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % width
+            ).alias("col"),
+        )
+    )
+    est = (
+        F.broadcast(probes)
+        .join(sketch, ["r", "col"], "left")
+        .groupBy("value")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_estimate"))
+    )
+    exact = counts.filter(
+        F.col("v").isin([str(p) for p in probe_values])
+    ).select(F.col("v").alias("value"), F.col("c").alias("n_exact"))
+    return (
+        est.join(exact, "value", "left")
+        .select(
+            "value",
+            F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
+            "cms_estimate",
+            (
+                F.col("cms_estimate")
+                - F.coalesce("n_exact", F.lit(0))
+            ).alias("overestimate"),
+        )
+        .orderBy("value")
+    )

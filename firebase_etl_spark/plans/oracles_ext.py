@@ -2986,6 +2986,43 @@ ORACLES_EXT["media_bmp_decode_stats"] = """
 """
 
 
+# Count-Min sketch replay: md5 row hashes are engine-portable, so the
+# oracle rebuilds the identical 4x256 sketch and the estimates (and
+# overestimates) are exact-checked, not bounded
+ORACLES_EXT["doc_token_count_min"] = r"""
+    WITH toks AS (
+        SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+               AS v
+        FROM documents),
+    counts AS (SELECT v, count(*) AS c FROM toks GROUP BY v),
+    rows_ AS (
+        SELECT c, r.r,
+               ('0x' || substr(md5('cms' || CAST(r.r AS VARCHAR) || '|'
+                                   || v), 1, 15))::BIGINT % 256 AS col
+        FROM counts, unnest(range(0, 4)) AS r(r)),
+    sketch AS (
+        SELECT r, col, CAST(sum(c) AS BIGINT) AS cnt
+        FROM rows_ GROUP BY r, col),
+    probes AS (
+        SELECT p.value, r.r,
+               ('0x' || substr(md5('cms' || CAST(r.r AS VARCHAR) || '|'
+                                   || p.value), 1, 15))::BIGINT % 256
+                   AS col
+        FROM (SELECT unnest(['the', 'a', 'and', 'of', 'to']) AS value) p,
+             unnest(range(0, 4)) AS r(r)),
+    est AS (
+        SELECT value,
+               CAST(min(coalesce(cnt, 0)) AS BIGINT) AS cms_estimate
+        FROM probes LEFT JOIN sketch USING (r, col) GROUP BY value),
+    exact AS (
+        SELECT v AS value, CAST(c AS BIGINT) AS n_exact FROM counts
+        WHERE v IN ('the', 'a', 'and', 'of', 'to'))
+    SELECT value, coalesce(n_exact, 0) AS n_exact, cms_estimate,
+           cms_estimate - coalesce(n_exact, 0) AS overestimate
+    FROM est LEFT JOIN exact USING (value) ORDER BY value
+"""
+
+
 def _km_survival_oracle() -> str:
     """Kaplan-Meier twin: log-space product via the portable ln chain,
     fixed-point cumulative sums over the bounded week spine, survival

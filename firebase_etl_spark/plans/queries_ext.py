@@ -954,6 +954,25 @@ def media_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_token_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimates for five probe tokens over
+    the document corpus (operators/heavy_hitters.py:count_min_report,
+    4x256 counters) — the sketch family's frequency member next to
+    HLL/KLL/Misra-Gries. md5 row hashes make the WHOLE sketch
+    engine-portable: the oracle replays build + point queries exactly,
+    so estimate and overestimate are hash-checked, not bounded."""
+    from firebase_etl_spark.operators.heavy_hitters import (
+        count_min_report,
+    )
+
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select(F.explode(TX.tokenize("text")).alias("token"))
+    return count_min_report(
+        toks, "token", ["the", "a", "and", "of", "to"],
+        width=256, depth=4,
+    )
+
+
 def user_conversion_survival(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

@@ -195,3 +195,28 @@ def test_stratified_sample_proportions_and_determinism(spark):
             else:
                 sigma = math.sqrt(want * (1 - want) / r["n_total"])
                 assert abs(got - want) < 4 * sigma, (r["event_type"], got, want)
+
+
+def test_count_min_overestimates_never_undercount(spark):
+    """CMS guarantee: estimate >= exact for every probe, equality when
+    a value's counters see no collisions (forced by a wide sketch)."""
+    from firebase_etl_spark.operators.heavy_hitters import (
+        count_min_report,
+    )
+
+    rows = [(v,) for v in ["x"] * 50 + ["y"] * 30 + ["z"] * 20]
+    df = spark.createDataFrame(rows, "token string")
+    got = {
+        r["value"]: r
+        for r in count_min_report(
+            df, "token", ["x", "y", "missing"], width=1024, depth=4
+        ).collect()
+    }
+    assert got["x"]["n_exact"] == 50 and got["y"]["n_exact"] == 30
+    assert got["missing"]["n_exact"] == 0
+    for r in got.values():
+        assert r["overestimate"] >= 0
+        assert r["cms_estimate"] >= r["n_exact"]
+    # 3 distinct values in 1024*4 counters: no collisions possible to
+    # survive the min, so the estimates are exact
+    assert all(r["overestimate"] == 0 for r in got.values())
