@@ -176,7 +176,13 @@ def item_similarity(
     symmetrized pair table (2 rows per pair) is output-sized;
     denominators come from the UNPRUNED item counts (an item's basket
     frequency, not its post-prune frequency). Returns (item, partner,
-    n_co, cosine_sim, rank)."""
+    n_co, cosine_sim, rank).
+
+    The three shared subplans are MATERIALIZED once (item counts:
+    vocabulary-sized, consumed 3x; the pruned basket table: both sides
+    of the self-join; the pair table: symmetrized 2x) — without this
+    the fact table is scanned ~10x (plan-audit repeated-scans flag,
+    the vocab-growth disease)."""
     from pyspark.sql import Window
 
     b = (
@@ -186,12 +192,16 @@ def item_similarity(
         .filter(F.col(basket_col).isNotNull() & F.col(item_col).isNotNull())
         .distinct()
     )
-    item_cnt = b.groupBy("it").agg(F.count(F.lit(1)).alias("c"))
+    item_cnt = (
+        b.groupBy("it")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     bf = b.join(
         item_cnt.filter(F.col("c") >= min_pair_count).select("it"),
         "it",
         "left_semi",
-    )
+    ).localCheckpoint(eager=True)
     pairs = (
         bf.alias("a")
         .join(
@@ -203,6 +213,7 @@ def item_similarity(
         .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).alias("pc"))
         .filter(F.col("pc") >= min_pair_count)
+        .localCheckpoint(eager=True)
     )
     sym = pairs.select(
         F.col("p1").alias("item"), F.col("p2").alias("partner"), "pc"

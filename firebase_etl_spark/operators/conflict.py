@@ -80,7 +80,15 @@ def cascade_purge_audit(
     purge_rate), deletion list first."""
     if not chain:
         raise ValueError("chain must be non-empty")
-    keys = roots.select(F.col(root_key).alias("__k")).distinct()
+    # materialize the (tiny) deletion-key set at every hop: each level's
+    # keys are consumed by the semi join AND the next hop's derivation,
+    # and without truncation hop N re-plans every earlier hop's joins
+    # (the plan-audit repeated-scans flag showed the root dim scanned 7x)
+    keys = (
+        roots.select(F.col(root_key).alias("__k"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     out = []
     level_keys = keys
     for name, df, fk_col, pk_col in chain:
@@ -105,7 +113,11 @@ def cascade_purge_audit(
         )
         out.append(stats)
         if pk_col is not None:
-            level_keys = hit.select(F.col(pk_col).alias("__k")).distinct()
+            level_keys = (
+                hit.select(F.col(pk_col).alias("__k"))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
     res = out[0]
     for o in out[1:]:
         res = res.unionByName(o)

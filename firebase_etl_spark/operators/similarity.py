@@ -1014,8 +1014,15 @@ def hashed_tf_topk(
     (sqrt . sqrt) rounded once at 6dp; ties break to the lower doc id.
     NULL-text documents have no rows and drop out; an empty string
     still carries the single '' token of the house tokenizer (mirrored
-    by the oracle's regexp_split_to_array)."""
-    vecs = hashed_tf_sparse(df, dim, text_col, id_col)
+    by the oracle's regexp_split_to_array).
+
+    The sparse vector table is MATERIALIZED once (it feeds norms,
+    probes and the dot join — without this the token explode re-runs
+    4x); at corpus scale this is the 'build the index once' step every
+    retrieval system performs anyway."""
+    vecs = hashed_tf_sparse(df, dim, text_col, id_col).localCheckpoint(
+        eager=True
+    )
     norms = vecs.groupBy(id_col).agg(
         F.sum(F.col("s") * F.col("s")).alias("nn")
     )

@@ -3928,9 +3928,14 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "events", sf_dir).filter(
         F.col("user_id").isNotNull()
     )
-    ud = e.select(
-        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
-    ).distinct()
+    # (user, day) actives feed FIVE consumers (first-seen, base, the
+    # day-shifted copy twice, prev) — materialize once so the event
+    # corpus is scanned once, not 5x (plan-audit repeated-scans flag)
+    ud = (
+        e.select("user_id", F.date_trunc("day", F.col("ts")).alias("d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     first = ud.groupBy("user_id").agg(F.min("d").alias("f"))
     base = (
         ud.join(first, "user_id")
@@ -4839,9 +4844,14 @@ def retention_halflife_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "events", sf_dir).filter(
         F.col("user_id").isNotNull()
     )
-    ud = e.select(
-        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
-    ).distinct()
+    # (user, week) actives feed first-seen, actives and the max-week
+    # scalar — materialize once (one event scan instead of 4; the
+    # plan-audit repeated-scans flag)
+    ud = (
+        e.select("user_id", F.date_trunc("week", F.col("ts")).alias("wk"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     first = ud.groupBy("user_id").agg(F.min("wk").alias("cohort"))
     sizes = first.groupBy("cohort").agg(F.count(F.lit(1)).alias("sz"))
     maxwk = F.broadcast(ud.agg(F.max("wk").alias("mx")))
