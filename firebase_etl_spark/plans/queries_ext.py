@@ -2669,13 +2669,16 @@ def segment_priority_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the cross-engine / cross-partitioning float-sum-order problem
     (the r3 determinism bug class) cannot occur. The contingency counts
     come from one fact-side aggregate; marginals are broadcast-joined
-    1-per-group rows."""
+    1-per-group rows. The KB-sized contingency table is materialized
+    once for its four consumers (margins, total, grid) — the cramers_v
+    pattern; without it the fact join re-ran 4x."""
     o = load_table(spark, "orders", sf_dir).select("o_custkey", "o_orderpriority")
     c = load_table(spark, "customer", sf_dir).select("c_custkey", "c_mktsegment")
     cells = (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment", "o_orderpriority")
         .agg(F.count(F.lit(1)).alias("obs"))
+        .localCheckpoint(eager=True)
     )
     row_tot = cells.groupBy("c_mktsegment").agg(F.sum("obs").alias("rt"))
     col_tot = cells.groupBy("o_orderpriority").agg(F.sum("obs").alias("ct"))
