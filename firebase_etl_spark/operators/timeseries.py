@@ -118,8 +118,8 @@ def km_curve(durations: DataFrame) -> DataFrame:
     prior = (
         dense.alias("w")
         .join(
-            dense.alias("v"),
-            F.col("v.t") < F.col("w.t"),
+            F.broadcast(dense.alias("v")),  # spine-sized: BNLJ, never
+            F.col("v.t") < F.col("w.t"),    # an un-broadcast cartesian
             "left",
         )
         .groupBy(F.col("w.t").alias("t"))
@@ -154,7 +154,9 @@ def km_curve(durations: DataFrame) -> DataFrame:
     terms = terms.localCheckpoint(eager=True)  # spine-sized, self-joined
     cum = (
         terms.alias("w")
-        .join(terms.alias("v"), F.col("v.t") <= F.col("w.t"))
+        .join(
+            F.broadcast(terms.alias("v")), F.col("v.t") <= F.col("w.t")
+        )
         .groupBy(
             F.col("w.t").alias("t"),
             F.col("w.n").alias("n_at_risk"),
