@@ -2252,6 +2252,10 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frequency",
             "monetary",
         )
+        # the per-customer RFM table feeds the quartile aggregate AND
+        # the bucketing pass — materialize once (one orders scan; it is
+        # the table an RFM pipeline persists anyway)
+        .localCheckpoint(eager=True)
     )
     # 6dp-rounded cuts: same cross-engine ulp-tie guard as
     # doc_quality_deciles
@@ -3682,16 +3686,23 @@ def events_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_quality_deciles ulp lesson); daily counts are integers, so sums
     and deviations are exact."""
     e = load_table(spark, "events", sf_dir)
-    daily = e.groupBy(
-        "event_type", F.date_trunc("day", F.col("ts")).alias("dd")
-    ).agg(F.count(F.lit(1)).alias("n"))
+    # the (type, day) count table is tiny and feeds median, deviations
+    # AND the flag pass — materialize once (one event scan, not 4;
+    # plan-audit repeated-scans flag)
+    daily = (
+        e.groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("dd")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
     med = daily.groupBy("event_type").agg(
         F.round(F.expr("percentile(n, 0.5)"), 6).alias("med"),
         F.count(F.lit(1)).alias("n_days"),
     )
     j = daily.join(F.broadcast(med), "event_type").withColumn(
         "dev", F.abs(F.col("n") - F.col("med"))
-    )
+    ).localCheckpoint(eager=True)
     mad = j.groupBy("event_type").agg(
         F.round(F.expr("percentile(dev, 0.5)"), 6).alias("mad")
     )
@@ -4380,13 +4391,16 @@ def events_last_touch_attribution(
             "(unix_micros(ts) - unix_micros(touch_ts)) div 1000000"
         ).alias("lat"),
     )
+    # the per-type report is rows-per-event-type tiny but feeds both
+    # the share total and the final select — materialize it so the
+    # as-of join (the heavy subplan) runs once, not twice
     r = scored.groupBy("attributed_to").agg(
         F.count(F.lit(1)).alias("n_purchases"),
         F.round(F.expr("percentile(lat, 0.5)"), 6).alias(
             "median_latency_s"
         ),
         F.max("lat").alias("max_latency_s"),
-    )
+    ).localCheckpoint(eager=True)
     tot = r.agg(F.sum("n_purchases").alias("t"))
     return (
         r.crossJoin(F.broadcast(tot))
@@ -4800,6 +4814,10 @@ def doc_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("nov_e6"),
         )
+        # doc-count-sized per-doc novelty scores feed the id-bounds
+        # scalar AND the decile rollup — materialize once so the
+        # shingle explode runs once, not twice per consumer
+        .localCheckpoint(eager=True)
     )
     bounds = F.broadcast(
         per_doc.agg(
