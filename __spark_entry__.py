@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_mutual_information": QX.orders_mutual_information,
         "user_conversion_survival": QX.user_conversion_survival,
         "doc_token_count_min": QX.doc_token_count_min,
+        "conversion_ab_logrank": QX.conversion_ab_logrank,
         "events_distinct_users_approx": QX.events_distinct_users_approx,
         "lineitem_percentiles_approx": QX.lineitem_percentiles_approx,
         "doc_duplicate_windows": QX.doc_duplicate_windows,

@@ -182,3 +182,130 @@ def km_curve(durations: DataFrame) -> DataFrame:
         .otherwise(F.round(F.col("__surv"), 6))
         .alias("survival"),
     ).orderBy("t")
+
+
+def logrank_test(durations: DataFrame) -> DataFrame:
+    """Two-sample log-rank test (Mantel 1966) over right-censored
+    durations — "do these two cohorts convert/churn at different
+    rates?", the hypothesis test READ-OUT for a pair of Kaplan-Meier
+    curves and the standard A/B analysis when the outcome is a
+    time-to-event. Input: (dur, is_event, grp) with exactly two grp
+    values; output one row: (grp_a, grp_b, n_a, n_b, events_a,
+    events_b, observed_minus_expected, chi2) with chi2 ~ chi-square(1)
+    under the null (same hazard).
+
+    Determinism + scale shape (the km_curve conventions): per-time O-E
+    and variance terms are pure rational functions of exact integer
+    counts evaluated by IEEE basic ops only (no transcendentals at
+    all), each rounded ONCE to a 1e-6 BIGINT and integer-summed over
+    the bounded time spine; at-risk counts come from a broadcast
+    bounded spine self-join. d_j = 0 times contribute exact zero; the
+    variance term guards n_j > 1. Nothing windows over subjects."""
+    from firebase_etl_spark.functions.portable_math import fixed_e6_expr
+
+    grps = [
+        r["grp"]
+        for r in durations.select("grp").distinct().orderBy("grp").collect()
+    ]
+    if len(grps) != 2:
+        raise ValueError("logrank_test needs exactly two grp values")
+    g0, g1 = grps
+    is0 = F.col("grp") == F.lit(g0)
+    pt = durations.groupBy(F.col("dur").alias("t")).agg(
+        F.sum((F.col("is_event") & is0).cast("long")).alias("d0"),
+        F.sum((~F.col("is_event") & is0).cast("long")).alias("c0"),
+        F.sum((F.col("is_event") & ~is0).cast("long")).alias("d1"),
+        F.sum((~F.col("is_event") & ~is0).cast("long")).alias("c1"),
+    )
+    mx = F.broadcast(
+        pt.agg(
+            F.max("t").alias("tmax"),
+            F.sum(F.col("d0") + F.col("c0")).alias("t0"),
+            F.sum(F.col("d1") + F.col("c1")).alias("t1"),
+        )
+    )
+    spine = mx.select(
+        "t0",
+        "t1",
+        F.explode(F.sequence(F.lit(0), F.col("tmax"))).alias("t"),
+    )
+    dense = (
+        spine.join(pt, "t", "left")
+        .select(
+            "t",
+            "t0",
+            "t1",
+            F.coalesce("d0", F.lit(0)).alias("d0"),
+            F.coalesce("c0", F.lit(0)).alias("c0"),
+            F.coalesce("d1", F.lit(0)).alias("d1"),
+            F.coalesce("c1", F.lit(0)).alias("c1"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    prior = (
+        dense.alias("w")
+        .join(F.broadcast(dense.alias("v")), F.col("v.t") < F.col("w.t"), "left")
+        .groupBy(F.col("w.t").alias("t"))
+        .agg(
+            F.coalesce(F.sum(F.col("v.d0") + F.col("v.c0")), F.lit(0)).alias(
+                "gone0"
+            ),
+            F.coalesce(F.sum(F.col("v.d1") + F.col("v.c1")), F.lit(0)).alias(
+                "gone1"
+            ),
+        )
+    )
+    risk = dense.join(prior, "t").select(
+        "t",
+        "d0",
+        "d1",
+        (F.col("t0") - F.col("gone0")).alias("n0"),
+        (F.col("t1") - F.col("gone1")).alias("n1"),
+        (F.col("d0") + F.col("d1")).alias("d"),
+        (F.col("t0") - F.col("gone0") + F.col("t1") - F.col("gone1")).alias(
+            "n"
+        ),
+    )
+    oe = fixed_e6_expr("CAST(d0 AS DOUBLE) - (CAST(d AS DOUBLE) * n0 / n)")
+    vv = fixed_e6_expr(
+        "((CAST(d AS DOUBLE) * n0 / n) * (CAST(n1 AS DOUBLE) / n))"
+        " * ((CAST(n AS DOUBLE) - d) / (CAST(n AS DOUBLE) - 1))"
+    )
+    terms = risk.select(
+        F.expr(f"CASE WHEN d > 0 AND n > 0 THEN {oe} ELSE 0 END").alias(
+            "oe_e6"
+        ),
+        F.expr(f"CASE WHEN d > 0 AND n > 1 THEN {vv} ELSE 0 END").alias(
+            "v_e6"
+        ),
+        "d0",
+        "d1",
+    )
+    s = terms.agg(
+        F.sum("oe_e6").alias("oe_e6"),
+        F.sum("v_e6").alias("v_e6"),
+        F.sum("d0").alias("events_a"),
+        F.sum("d1").alias("events_b"),
+    ).crossJoin(mx.select("t0", "t1"))
+    return s.select(
+        F.lit(str(g0)).alias("grp_a"),
+        F.lit(str(g1)).alias("grp_b"),
+        F.col("t0").alias("n_a"),
+        F.col("t1").alias("n_b"),
+        "events_a",
+        "events_b",
+        F.round(F.col("oe_e6").cast("double") / 1000000.0, 4).alias(
+            "observed_minus_expected"
+        ),
+        F.when(
+            F.col("v_e6") > 0,
+            F.round(
+                (
+                    (F.col("oe_e6").cast("double") / 1000000.0)
+                    * (F.col("oe_e6").cast("double") / 1000000.0)
+                )
+                / (F.col("v_e6").cast("double") / 1000000.0),
+                4,
+            ),
+        ).alias("chi2"),
+    )

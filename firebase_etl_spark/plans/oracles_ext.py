@@ -3099,6 +3099,97 @@ def _km_survival_oracle() -> str:
 ORACLES_EXT["user_conversion_survival"] = _km_survival_oracle()
 
 
+def _logrank_oracle() -> str:
+    """Log-rank twin: per-time O-E and variance terms from exact
+    integer counts via IEEE basic ops (no transcendentals), 1e-6
+    fixed-point, integer-summed over the bounded spine
+    (timeseries.py:logrank_test twin)."""
+    from firebase_etl_spark.functions.portable_math import fixed_e6_expr
+
+    oe = fixed_e6_expr(
+        "CAST(d0 AS DOUBLE) - (CAST(d AS DOUBLE) * n0 / n)"
+    )
+    vv = fixed_e6_expr(
+        "((CAST(d AS DOUBLE) * n0 / n) * (CAST(n1 AS DOUBLE) / n))"
+        " * ((CAST(n AS DOUBLE) - d) / (CAST(n AS DOUBLE) - 1))"
+    )
+    return f"""
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) AS us, event_type
+        FROM events WHERE user_id IS NOT NULL),
+    pu AS (
+        SELECT user_id, min(us) AS t0,
+               min(CASE WHEN event_type = 'purchase' THEN us END) AS conv
+        FROM e GROUP BY user_id),
+    mx0 AS (SELECT max(us) AS tmax_us FROM e),
+    dur AS (
+        SELECT (coalesce(conv, tmax_us) - t0) // 604800000000 AS dur,
+               conv IS NOT NULL AS is_event,
+               user_id % 2 AS grp
+        FROM pu, mx0),
+    pt AS (
+        SELECT dur AS t,
+               CAST(sum(CASE WHEN is_event AND grp = 0 THEN 1 ELSE 0
+                        END) AS BIGINT) AS d0,
+               CAST(sum(CASE WHEN NOT is_event AND grp = 0 THEN 1
+                        ELSE 0 END) AS BIGINT) AS c0,
+               CAST(sum(CASE WHEN is_event AND grp = 1 THEN 1 ELSE 0
+                        END) AS BIGINT) AS d1,
+               CAST(sum(CASE WHEN NOT is_event AND grp = 1 THEN 1
+                        ELSE 0 END) AS BIGINT) AS c1
+        FROM dur GROUP BY dur),
+    tot AS (
+        SELECT max(t) AS wmax,
+               CAST(sum(d0 + c0) AS BIGINT) AS t0g,
+               CAST(sum(d1 + c1) AS BIGINT) AS t1g
+        FROM pt),
+    spine AS (
+        SELECT t0g, t1g, t.t FROM tot,
+               unnest(range(0, wmax + 1)) AS t(t)),
+    dense AS (
+        SELECT s.t, s.t0g, s.t1g,
+               coalesce(p.d0, 0) AS d0, coalesce(p.c0, 0) AS c0,
+               coalesce(p.d1, 0) AS d1, coalesce(p.c1, 0) AS c1
+        FROM spine s LEFT JOIN pt p USING (t)),
+    prior AS (
+        SELECT w.t,
+               coalesce(sum(v.d0 + v.c0), 0) AS gone0,
+               coalesce(sum(v.d1 + v.c1), 0) AS gone1
+        FROM dense w LEFT JOIN dense v ON v.t < w.t GROUP BY w.t),
+    risk AS (
+        SELECT d.t, d.d0, d.d1,
+               d.t0g - p.gone0 AS n0,
+               d.t1g - p.gone1 AS n1,
+               d.d0 + d.d1 AS d,
+               d.t0g - p.gone0 + d.t1g - p.gone1 AS n
+        FROM dense d JOIN prior p USING (t)),
+    terms AS (
+        SELECT CASE WHEN d > 0 AND n > 0 THEN {oe} ELSE 0 END AS oe_e6,
+               CASE WHEN d > 0 AND n > 1 THEN {vv} ELSE 0 END AS v_e6,
+               d0, d1
+        FROM risk),
+    s AS (
+        SELECT CAST(sum(oe_e6) AS BIGINT) AS oe_e6,
+               CAST(sum(v_e6) AS BIGINT) AS v_e6,
+               CAST(sum(d0) AS BIGINT) AS events_a,
+               CAST(sum(d1) AS BIGINT) AS events_b
+        FROM terms)
+    SELECT '0' AS grp_a, '1' AS grp_b,
+           tot.t0g AS n_a, tot.t1g AS n_b, events_a, events_b,
+           round(CAST(oe_e6 AS DOUBLE) / 1000000.0, 4)
+               AS observed_minus_expected,
+           CASE WHEN v_e6 > 0
+                THEN round(((CAST(oe_e6 AS DOUBLE) / 1000000.0)
+                            * (CAST(oe_e6 AS DOUBLE) / 1000000.0))
+                           / (CAST(v_e6 AS DOUBLE) / 1000000.0), 4)
+           END AS chi2
+    FROM s, tot
+"""
+
+
+ORACLES_EXT["conversion_ab_logrank"] = _logrank_oracle()
+
+
 def _mutual_info_oracle() -> str:
     """MI twin: observed-cell o·(ln o + ln n − ln r − ln c) terms over
     the PORTABLE ln chain, 1e-6 fixed-point, integer-summed (stats.py:

@@ -1005,6 +1005,38 @@ def user_conversion_survival(
     return km_curve(dur)
 
 
+def conversion_ab_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment read-out for a time-to-event outcome
+    (operators/timeseries.py:logrank_test): split users into two arms
+    by id parity (the deterministic stand-in for an assignment hash)
+    and log-rank-test whether time-to-first-purchase differs — the
+    hypothesis test a pair of Kaplan-Meier curves needs before anyone
+    acts on them. Censoring handled exactly as in
+    user_conversion_survival; all terms integer-exact, no
+    transcendentals anywhere."""
+    from firebase_etl_spark.operators.timeseries import logrank_test
+
+    e = load_table(spark, "events", sf_dir).filter(
+        F.col("user_id").isNotNull()
+    )
+    us = F.unix_micros(F.col("ts"))
+    pu = e.groupBy("user_id").agg(
+        F.min(us).alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", us)
+        ).alias("conv"),
+    )
+    mx = F.broadcast(e.agg(F.max(us).alias("tmax")))
+    dur = pu.crossJoin(mx).select(
+        F.expr("(coalesce(conv, tmax) - t0) div 604800000000").alias(
+            "dur"
+        ),
+        F.col("conv").isNotNull().alias("is_event"),
+        (F.col("user_id") % 2).alias("grp"),
+    )
+    return logrank_test(dur)
+
+
 def orders_mutual_information(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

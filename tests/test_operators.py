@@ -2298,3 +2298,36 @@ def test_km_curve_hand_computed(spark):
     exp = [1.0, 5 / 6, 5 / 6, 5 / 12, 5 / 12, 0.0]
     for t in range(6):
         assert abs(got[t]["survival"] - exp[t]) < 2e-6, (t, got[t])
+
+
+def test_logrank_null_and_separated_cohorts(spark):
+    """Log-rank: identical cohorts give chi2 ~ 0; completely separated
+    hazards give a large chi2; O-E signs are coherent."""
+    from firebase_etl_spark.operators.timeseries import logrank_test
+
+    same = [(d, True, g) for g in (0, 1) for d in (1, 2, 3, 4, 5)]
+    df = spark.createDataFrame(
+        same, "dur long, is_event boolean, grp long"
+    )
+    r = logrank_test(df).collect()[0]
+    assert abs(r["observed_minus_expected"]) < 1e-6
+    assert r["chi2"] is not None and r["chi2"] < 1e-6
+    assert (r["n_a"], r["n_b"]) == (5, 5)
+
+    sep = [(d, True, 0) for d in (1, 1, 2, 2)] + [
+        (d, True, 1) for d in (8, 8, 9, 9)
+    ]
+    df2 = spark.createDataFrame(
+        sep, "dur long, is_event boolean, grp long"
+    )
+    r2 = logrank_test(df2).collect()[0]
+    assert r2["chi2"] > 3.84  # beyond the 5% chi-square(1) critical value
+    assert r2["observed_minus_expected"] > 0  # arm 0 dies early
+
+    import pytest as _pytest
+
+    one = spark.createDataFrame(
+        [(1, True, 0)], "dur long, is_event boolean, grp long"
+    )
+    with _pytest.raises(ValueError, match="two grp"):
+        logrank_test(one)
