@@ -32,19 +32,71 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Entry order is deliberate: the driver's correctness snapshot
-        # checks the FIRST 50 entries. The round-6 window, in order:
-        # (1) the 15 queries whose Spark plan AND oracle changed this
-        # round - documents_dsir_weights first (red in r4 AND r5; now
-        # libm-free via functions/portable_math.py) plus the 13 other
-        # portable-ln/exp2 conversions and the two persist fixes;
-        # (2) the 10 queries round 5 deliberately deferred below slot
-        # 50; (3) the r1/r2 backfill block those deferrals displaced;
-        # (4) the rows with the OLDEST driver evidence (r1/r3) so
-        # after r6 no declared query's evidence is older than two
-        # rounds. Everything outside the window keeps r4/r5 driver
-        # evidence and stays pinned by tests/test_oracle.py plus the
-        # full driver-sim sweep (ALL OK this round).
+        # checks the FIRST 50 entries. The round-7 window, in order:
+        # (1) the DSIR block - documents_dsir_weights (red r4/r5/r6 on
+        # its float columns despite local bit-identity; now INTEGERS
+        # ONLY in every hashed column) plus the two integer-only
+        # diagnostics that localize any residual divergence to the
+        # tokenizer (dsir_diag_tokens) vs the portable-ln model
+        # (dsir_diag_model); (2) the three rows the r6 media queries
+        # displaced; (3) the r6-new operators with no driver evidence
+        # yet; (4) the remaining never-driver-evidenced queries;
+        # (5) the rows with the OLDEST driver evidence (r2, then r3).
+        # Everything outside the window keeps r4-r6 driver evidence and
+        # stays pinned by tests/test_oracle.py plus the full driver-sim
+        # sweep.
         "documents_dsir_weights": QX.documents_dsir_weights,
+        "dsir_diag_tokens": QX.dsir_diag_tokens,
+        "dsir_diag_model": QX.dsir_diag_model,
+        "customer_fuzzy_matches": QX.customer_fuzzy_matches,
+        "referential_integrity_audit": QX.referential_integrity_audit,
+        "documents_bpe_encoded_stats": QX.documents_bpe_encoded_stats,
+        "doc_hashed_embedding_topk": QX.doc_hashed_embedding_topk,
+        "orders_mutual_information": QX.orders_mutual_information,
+        "user_conversion_survival": QX.user_conversion_survival,
+        "doc_token_count_min": QX.doc_token_count_min,
+        "conversion_ab_logrank": QX.conversion_ab_logrank,
+        "session_conversion_report": QX.session_conversion_report,
+        "doc_novelty_curve": QX.doc_novelty_curve,
+        "documents_lang_source_association": (
+            ( QX.documents_lang_source_association )
+        ),
+        "stream_transition_matrix": QX.stream_transition_matrix,
+        "documents_curation_v2": QX.documents_curation_v2,
+        "customer_revenue_gini": QX.customer_revenue_gini,
+        "session_event_pairs": QX.session_event_pairs,
+        "q8_market_share": Q.q8_market_share,
+        "q13_customer_distribution": Q.q13_customer_distribution,
+        "q15_top_supplier": Q.q15_top_supplier,
+        "q21_waiting_suppliers": Q.q21_waiting_suppliers,
+        "q22_global_sales_opportunity": Q.q22_global_sales_opportunity,
+        "customer_order_arrays": Q.customer_order_arrays,
+        "customer_running_revenue": Q.customer_running_revenue,
+        "order_rank_stats": Q.order_rank_stats,
+        "lineitem_grouping_sets": Q.lineitem_grouping_sets,
+        "customer_order_counts_having": Q.customer_order_counts_having,
+        "revenue_by_region": Q.revenue_by_region,
+        "customers_with_orders_semi": Q.customers_with_orders_semi,
+        "events_hourly_stats": Q.events_hourly_stats,
+        "doc_text_features": QX.doc_text_features,
+        "doc_token_counts": QX.doc_token_counts,
+        "doc_lang_stats": QX.doc_lang_stats,
+        "doc_jaccard_vs_queries": QX.doc_jaccard_vs_queries,
+        "embedding_norms": QX.embedding_norms,
+        "embedding_topk_ivf": QX.embedding_topk_ivf,
+        "events_json_stats": QX.events_json_stats,
+        "stream_hourly_event_counts": QX.stream_hourly_event_counts,
+        "stream_user_sessions": QX.stream_user_sessions,
+        "stream_keep_latest_per_user": QX.stream_keep_latest_per_user,
+        "stream_sliding_counts": QX.stream_sliding_counts,
+        "stream_dedup_events": QX.stream_dedup_events,
+        "stream_enriched_segments": QX.stream_enriched_segments,
+        "stream_near_pairs": QX.stream_near_pairs,
+        "documents_clean_corpus": QX.documents_clean_corpus,
+        "documents_mixture_sample": QX.documents_mixture_sample,
+        "events_near_pairs": QX.events_near_pairs,
+        "events_salted_type_stats": QX.events_salted_type_stats,
+        "events_stratified_sample": QX.events_stratified_sample,
         "documents_weighted_sample": QX.documents_weighted_sample,
         "retention_halflife_fit": QX.retention_halflife_fit,
         "doc_zipf_slope": QX.doc_zipf_slope,
@@ -91,26 +143,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_orders": QX.events_asof_orders,
         "documents_training_corpus": QX.documents_training_corpus,
         "documents_bpe_merges": QX.documents_bpe_merges,
-        # NEW this round: the REAL codecs under the gate (closed-form
-        # pixel/sample oracles verify decode + resample + re-encode
-        # end to end, no decoder on the oracle side)
         "media_bmp_decode_stats": QX.media_bmp_decode_stats,
         "media_bmp_thumbnail_stats": QX.media_bmp_thumbnail_stats,
         "media_wav_decode_stats": QX.media_wav_decode_stats,
-        # ---- outside the 50-query window: r4/r5 driver evidence; the
-        # first three rows re-evidence in r7 (displaced by the three
-        # new media queries above, still r3/r4-green + local sweep) ----
-        "customer_fuzzy_matches": QX.customer_fuzzy_matches,
-        "referential_integrity_audit": QX.referential_integrity_audit,
-        "documents_bpe_encoded_stats": QX.documents_bpe_encoded_stats,
-        # NEW this round, first driver evidence in r7 (locally pinned by
-        # the oracle sweep): feature-hashed sparse embedding retrieval
-        # and the categorical mutual-information audit
-        "doc_hashed_embedding_topk": QX.doc_hashed_embedding_topk,
-        "orders_mutual_information": QX.orders_mutual_information,
-        "user_conversion_survival": QX.user_conversion_survival,
-        "doc_token_count_min": QX.doc_token_count_min,
-        "conversion_ab_logrank": QX.conversion_ab_logrank,
         "events_distinct_users_approx": QX.events_distinct_users_approx,
         "lineitem_percentiles_approx": QX.lineitem_percentiles_approx,
         "doc_duplicate_windows": QX.doc_duplicate_windows,
@@ -153,42 +188,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_contract_report": QX.orders_contract_report,
         "events_last_touch_attribution": QX.events_last_touch_attribution,
         "embedding_anisotropy": QX.embedding_anisotropy,
-        "session_conversion_report": QX.session_conversion_report,
-        "doc_novelty_curve": QX.doc_novelty_curve,
-        "documents_lang_source_association": (
-            QX.documents_lang_source_association
-        ),
-        "stream_transition_matrix": QX.stream_transition_matrix,
-        "documents_curation_v2": QX.documents_curation_v2,
-        "customer_revenue_gini": QX.customer_revenue_gini,
-        "session_event_pairs": QX.session_event_pairs,
-        "q8_market_share": Q.q8_market_share,
-        "q13_customer_distribution": Q.q13_customer_distribution,
-        "q15_top_supplier": Q.q15_top_supplier,
-        "q21_waiting_suppliers": Q.q21_waiting_suppliers,
-        "q22_global_sales_opportunity": Q.q22_global_sales_opportunity,
-        "customer_order_arrays": Q.customer_order_arrays,
-        "customer_running_revenue": Q.customer_running_revenue,
-        "order_rank_stats": Q.order_rank_stats,
-        "lineitem_grouping_sets": Q.lineitem_grouping_sets,
-        "customer_order_counts_having": Q.customer_order_counts_having,
-        "revenue_by_region": Q.revenue_by_region,
-        "customers_with_orders_semi": Q.customers_with_orders_semi,
-        "events_hourly_stats": Q.events_hourly_stats,
-        "doc_text_features": QX.doc_text_features,
-        "doc_token_counts": QX.doc_token_counts,
-        "doc_lang_stats": QX.doc_lang_stats,
-        "doc_jaccard_vs_queries": QX.doc_jaccard_vs_queries,
-        "embedding_norms": QX.embedding_norms,
-        "embedding_topk_ivf": QX.embedding_topk_ivf,
-        "events_json_stats": QX.events_json_stats,
-        "stream_hourly_event_counts": QX.stream_hourly_event_counts,
-        "stream_user_sessions": QX.stream_user_sessions,
-        "stream_keep_latest_per_user": QX.stream_keep_latest_per_user,
-        "stream_sliding_counts": QX.stream_sliding_counts,
-        "stream_dedup_events": QX.stream_dedup_events,
-        "stream_enriched_segments": QX.stream_enriched_segments,
-        "stream_near_pairs": QX.stream_near_pairs,
         "segment_priority_chisq": QX.segment_priority_chisq,
         "orders_priority_unpivot": QX.orders_priority_unpivot,
         "nation_trade_pagerank": QX.nation_trade_pagerank,
@@ -231,13 +230,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_quantized": QX.embedding_topk_quantized,
         "doc_gopher_quality_report": QX.doc_gopher_quality_report,
         "orders_sqlstore_partitioned_scan": (
-            QX.orders_sqlstore_partitioned_scan
+            ( QX.orders_sqlstore_partitioned_scan )
         ),
-        "documents_clean_corpus": QX.documents_clean_corpus,
-        "documents_mixture_sample": QX.documents_mixture_sample,
-        "events_near_pairs": QX.events_near_pairs,
-        "events_salted_type_stats": QX.events_salted_type_stats,
-        "events_stratified_sample": QX.events_stratified_sample,
         "events_daily_from_hourly": QX.events_daily_from_hourly,
         "events_sliding_counts": QX.events_sliding_counts,
         "lineitem_cube": QX.lineitem_cube,

@@ -146,7 +146,8 @@ def exp2_steps(arg: str, out: str) -> list[tuple[str, str]]:
     """The (column, expression) chain computing ``out`` = portable
     2**``arg`` for a DOUBLE-valued expression with ``arg`` < 64
     (``arg`` <= -64 yields exactly 0.0 — its consumers quantize at 1e-6
-    where true 2^-64 ~ 5.4e-20 rounds to 0 anyway). Same contract as
+    where true 2^-64 ~ 5.4e-20 rounds to 0 anyway; ``arg`` >= 64 yields
+    +Infinity so an out-of-contract overflow is loud, never a silent 0). Same contract as
     :func:`ln_steps`: only correctly-rounded IEEE basic ops (floor is
     exact by IEEE 754 §5.9), so the result is bit-identical across
     Spark and DuckDB — unlike libm ``pow``, which the two engines may
@@ -168,7 +169,12 @@ def exp2_steps(arg: str, out: str) -> list[tuple[str, str]]:
         (t, f"({x} - {i}) * {LN2_LIT}"),
         (
             out,
+            # arg >= 64 is out of contract: return Infinity (both
+            # engines parse the literal) so an overflow-side violation
+            # is LOUD downstream instead of a silent 0.0 — the
+            # maximally wrong value for an overflow (ADVICE r6)
             f"CASE WHEN {x} <= {dlit(float(_EXP2_MIN))} THEN {dlit(0.0)}"
+            f" WHEN {x} >= {dlit(64.0)} THEN CAST('Infinity' AS DOUBLE)"
             f" ELSE {p} * {poly} END",
         ),
     ]

@@ -62,6 +62,58 @@ from firebase_etl_spark.operators.text import tokenize
 BROADCAST_MAX_ROWS = 3_000_000
 
 
+def _with_ratio(counts: DataFrame, denom_t: int, denom_s: int) -> DataFrame:
+    """Append the fixed-point log-ratio column ``lr_e6`` to a
+    (w, c_src, c_tgt) count table via the four portable lns — the ONE
+    expression tree both dsir entry points (and the DuckDB oracles)
+    share, so the model is bit-identical wherever it is rebuilt."""
+    rt = with_ln(counts, "(c_tgt + 1)", "__lnct")
+    rt = with_ln(rt, "(c_src + 1)", "__lncs")
+    rt = with_ln(rt, str(denom_t), "__lndt")
+    rt = with_ln(rt, str(denom_s), "__lnds")
+    return rt.withColumn(
+        "lr_e6",
+        F.expr(lr_e6_expr("__lnct", "__lndt", "__lncs", "__lnds")),
+    ).drop("__lnct", "__lncs", "__lndt", "__lnds")
+
+
+def dsir_vocab_ratios(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The vocabulary-sized DSIR model table itself:
+    (w, c_src, c_tgt, lr_e6). This is the diagnostic surface for the
+    driver gate — grouping it by an md5 bucket of ``w`` yields a pure
+    integer fingerprint of (tokenizer output × portable-ln model) with
+    no per-document scoring in the way, so a cross-engine divergence
+    localizes to the model-build stage. One corpus pass (counts are
+    checkpointed before the scalar-totals action so the explode is not
+    re-run for the ratio plan)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokenize(text_col)).alias("w"),
+        F.coalesce(target.cast("boolean"), F.lit(False)).alias("__tgt"),
+    )
+    counts = (
+        toks.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("c_src"),
+            F.sum(F.col("__tgt").cast("long")).alias("c_tgt"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = counts.agg(
+        F.sum("c_src").alias("s_tot"),
+        F.sum("c_tgt").alias("t_tot"),
+        F.count(F.lit(1)).alias("v"),
+    ).collect()[0]
+    denom_t = int(tot["t_tot"] or 0) + int(tot["v"])
+    denom_s = int(tot["s_tot"] or 0) + int(tot["v"])
+    return _with_ratio(counts, denom_t, denom_s)
+
+
 def dsir_log_weights(
     df: DataFrame,
     target: Column,
@@ -110,16 +162,7 @@ def dsir_log_weights(
         # four portable (libm-free) lns: two per-row integer args, two
         # scalar literals Catalyst constant-folds with the same IEEE
         # ops DuckDB applies to its (t_tot + v)/(s_tot + v) columns
-        rt = with_ln(counts, "(c_tgt + 1)", "__lnct")
-        rt = with_ln(rt, "(c_src + 1)", "__lncs")
-        rt = with_ln(rt, str(denom_t), "__lndt")
-        rt = with_ln(rt, str(denom_s), "__lnds")
-        ratio = rt.select(
-            "w",
-            F.expr(
-                lr_e6_expr("__lnct", "__lndt", "__lncs", "__lnds")
-            ).alias("lr_e6"),
-        )
+        ratio = _with_ratio(counts, denom_t, denom_s).select("w", "lr_e6")
         # materialize ONLY the vocab-sized model (computed from the
         # still-cached toks); the returned per-doc plan stays lazy so the
         # caller's action — not this builder — pays the scoring pass

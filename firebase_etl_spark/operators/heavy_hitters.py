@@ -183,17 +183,22 @@ def count_min_report(
             ).alias("col"),
         )
     )
+    # broadcast the SKETCH side: Spark cannot broadcast the preserved
+    # (left) side of a LEFT OUTER join, so hinting the probes was a
+    # silent shuffle-join fallback; the sketch is depth*width rows —
+    # the actual broadcast-sized lookup table (ADVICE r6)
     est = (
-        F.broadcast(probes)
-        .join(sketch, ["r", "col"], "left")
+        probes.join(F.broadcast(sketch), ["r", "col"], "left")
         .groupBy("value")
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_estimate"))
     )
     exact = counts.filter(
         F.col("v").isin([str(p) for p in probe_values])
     ).select(F.col("v").alias("value"), F.col("c").alias("n_exact"))
+    # exact is probe-sized (a filtered slice of the count table): also
+    # a broadcast lookup, never a shuffle
     return (
-        est.join(exact, "value", "left")
+        est.join(F.broadcast(exact), "value", "left")
         .select(
             "value",
             F.coalesce("n_exact", F.lit(0)).alias("n_exact"),

@@ -116,6 +116,10 @@ def decode_bmp24(payload: bytes) -> tuple[int, int, list]:
         raise ValueError("only uncompressed 24-bit BI_RGB supported")
     if width <= 0 or height <= 0:
         raise ValueError("only positive bottom-up dimensions supported")
+    if offset < _BMP_HEADER_SIZE or offset > len(payload):
+        # an offset pointing INTO the header passes the length check but
+        # reads header bytes as pixels — wrong stats, no error (ADVICE r6)
+        raise ValueError("pixel-array offset inside header or past payload")
     stride = width * 3 + ((-(width * 3)) % 4)
     if len(payload) < offset + stride * height:
         raise ValueError("truncated BMP body")
@@ -193,6 +197,11 @@ def decode_wav16(payload: bytes) -> tuple[int, int, list[int]]:
     while pos + 8 <= len(payload):
         cid = payload[pos:pos + 4]
         size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        if pos + 8 + size > len(payload):
+            # a declared size past the end would silently slice short
+            # and yield plausible-but-wrong stats (ADVICE r6): truncated
+            # clips must be rejected like other malformed payloads
+            raise ValueError("truncated chunk: declared size past payload")
         body = payload[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
             if int.from_bytes(body[0:2], "little") != 1:

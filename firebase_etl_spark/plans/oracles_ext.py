@@ -2578,19 +2578,95 @@ def _dsir_oracle() -> str:
     scores AS (
         SELECT doc_id, count(*) AS n_tokens,
                CAST(sum(lr_e6) AS BIGINT) AS lw_e6
-        FROM toks JOIN ratio USING (w) GROUP BY doc_id)
-    SELECT lang, count(*) AS n_docs,
-           round(sum(lw_e6) / (count(*) * 1000000.0), 4) AS mean_weight,
-           min(lw_e6) / 1000000.0 AS min_weight,
-           max(lw_e6) / 1000000.0 AS max_weight,
-           sum(CASE WHEN lw_e6 > 0 THEN 1 ELSE 0 END) AS n_target_like,
-           sum(n_tokens) AS total_tokens
-    FROM documents JOIN scores USING (doc_id)
-    GROUP BY lang ORDER BY lang
+        FROM toks JOIN ratio USING (w) GROUP BY doc_id),
+    agg AS (
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(lw_e6) AS BIGINT) AS sum_weight_e6,
+               min(lw_e6) AS min_weight_e6,
+               max(lw_e6) AS max_weight_e6,
+               sum(CASE WHEN lw_e6 > 0 THEN 1 ELSE 0 END) AS n_target_like,
+               sum(n_tokens) AS total_tokens
+        FROM documents JOIN scores USING (doc_id)
+        GROUP BY lang)
+    -- INTEGERS ONLY in the hashed row (r7): the mean is an e4
+    -- fixed-point BIGINT by half-away-from-zero integer division on
+    -- the magnitude (non-negative dividend: DuckDB's flooring // and
+    -- Spark's truncating DIV agree exactly); no double arithmetic
+    -- anywhere in the output
+    SELECT lang, n_docs, sum_weight_e6,
+           CAST(CASE WHEN sum_weight_e6 < 0
+                THEN -((2 * (-sum_weight_e6) + n_docs * 100)
+                       // (2 * n_docs * 100))
+                ELSE (2 * sum_weight_e6 + n_docs * 100)
+                     // (2 * n_docs * 100) END AS BIGINT) AS mean_weight_e4,
+           min_weight_e6, max_weight_e6, n_target_like, total_tokens
+    FROM agg ORDER BY lang
 """
 
 
 ORACLES_EXT["documents_dsir_weights"] = _dsir_oracle()
+
+
+ORACLES_EXT["dsir_diag_tokens"] = """
+    WITH toks AS (
+        SELECT lang,
+               unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+        FROM documents)
+    SELECT lang, substr(md5(w), 1, 1) AS bucket,
+           count(*) AS n_tokens,
+           count(DISTINCT w) AS n_distinct_tokens,
+           CAST(sum(length(w)) AS BIGINT) AS sum_token_len
+    FROM toks GROUP BY lang, bucket ORDER BY lang, bucket
+"""
+
+
+def _dsir_diag_model_oracle() -> str:
+    """Vocab-model diagnostic twin: the exact _dsir_oracle CTE chain up
+    through the ratio table, fingerprinted per md5 bucket — pure
+    portable-ln parity with no per-doc scoring stage."""
+    from firebase_etl_spark.functions.portable_math import (
+        ln_select_sql,
+        lr_e6_expr,
+    )
+
+    chain = ln_select_sql(
+        "SELECT w, c_src, c_tgt, s_tot, t_tot, v"
+        " FROM counts CROSS JOIN tot",
+        [
+            ("(c_tgt + 1)", "__lnct"),
+            ("(c_src + 1)", "__lncs"),
+            ("(t_tot + v)", "__lndt"),
+            ("(s_tot + v)", "__lnds"),
+        ],
+    )
+    lr = lr_e6_expr("__lnct", "__lndt", "__lncs", "__lnds")
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, lang = 'en' AS tgt,
+               unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+        FROM documents),
+    counts AS (
+        SELECT w, count(*) AS c_src,
+               sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS c_tgt
+        FROM toks GROUP BY w),
+    tot AS (SELECT sum(c_src) AS s_tot, sum(c_tgt) AS t_tot,
+                   count(*) AS v FROM counts),
+    ratio AS (
+        SELECT w, CAST(c_src AS BIGINT) AS c_src,
+               CAST(c_tgt AS BIGINT) AS c_tgt, {lr} AS lr_e6
+        FROM ({chain}))
+    SELECT substr(md5(w), 1, 1) AS bucket,
+           count(*) AS n_vocab,
+           CAST(sum(c_src) AS BIGINT) AS sum_c_src,
+           CAST(sum(c_tgt) AS BIGINT) AS sum_c_tgt,
+           CAST(sum(lr_e6) AS BIGINT) AS sum_lr_e6,
+           min(lr_e6) AS min_lr_e6,
+           max(lr_e6) AS max_lr_e6
+    FROM ratio GROUP BY bucket ORDER BY bucket
+"""
+
+
+ORACLES_EXT["dsir_diag_model"] = _dsir_diag_model_oracle()
 
 
 ORACLES_EXT["events_distinct_users_approx"] = """

@@ -2898,34 +2898,104 @@ def documents_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole corpus, then summarize per language — English docs should sit
     at the positive end, and ``n_target_like`` counts the docs that
     importance resampling would favor. Training and scoring are both
-    relational; the DuckDB oracle replays the full model. Every summary
-    figure derives from the per-doc fixed-point BIGINT weight (integer
-    sums/min/max, one division at the end) — no double is ever summed,
-    so the row is bit-identical across partitionings (the r4 flake
-    class)."""
+    relational; the DuckDB oracle replays the full model. The output
+    row is INTEGERS ONLY (r7, after three driver-hash reds on the same
+    float columns that were bit-identical locally): the per-doc
+    fixed-point BIGINT weights are integer-summed, min/maxed and
+    counted, and the mean is an e4 fixed-point BIGINT computed by
+    half-away-from-zero INTEGER division mirrored exactly in the oracle
+    — no double arithmetic of any kind survives into the hashed row, so
+    no engine-version float surface (round(double) semantics, division
+    ulps) can flip it."""
     from firebase_etl_spark.operators.dsir import dsir_log_weights
 
     d = load_table(spark, "documents", sf_dir)
     scores = dsir_log_weights(d, target=F.col("lang") == "en")
+    # mean_weight_e4 = round_half_away(sum_e6 / (n*100)) in PURE integer
+    # arithmetic: magnitude form keeps the dividend non-negative, where
+    # Spark's truncating DIV and DuckDB's flooring // agree exactly
+    mean_e4 = (
+        "CASE WHEN sum_weight_e6 < 0"
+        " THEN -((2 * (-sum_weight_e6) + n_docs * 100)"
+        " DIV (2 * n_docs * 100))"
+        " ELSE (2 * sum_weight_e6 + n_docs * 100)"
+        " DIV (2 * n_docs * 100) END"
+    )
     return (
         d.select("doc_id", "lang")
         .join(scores, "doc_id")
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(
-                F.sum("log_weight_e6")
-                / (F.count(F.lit(1)) * F.lit(1000000.0)),
-                4,
-            ).alias("mean_weight"),
-            (F.min("log_weight_e6") / F.lit(1000000.0)).alias("min_weight"),
-            (F.max("log_weight_e6") / F.lit(1000000.0)).alias("max_weight"),
+            F.sum("log_weight_e6").alias("sum_weight_e6"),
+            F.min("log_weight_e6").alias("min_weight_e6"),
+            F.max("log_weight_e6").alias("max_weight_e6"),
             F.sum((F.col("log_weight_e6") > 0).cast("long")).alias(
                 "n_target_like"
             ),
             F.sum("n_tokens").alias("total_tokens"),
         )
+        .select(
+            "lang",
+            "n_docs",
+            "sum_weight_e6",
+            F.expr(mean_e4).alias("mean_weight_e4"),
+            "min_weight_e6",
+            "max_weight_e6",
+            "n_target_like",
+            "total_tokens",
+        )
         .orderBy("lang")
+    )
+
+
+def dsir_diag_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR driver diagnostic #1 — TOKENIZER parity, integers only. The
+    exact token stream the DSIR model trains on (operators/text.py:
+    tokenize vs the oracle's regexp_split_to_array), fingerprinted per
+    (lang, md5-first-hex-char bucket): token count, distinct-token
+    count, total character length. Any cross-engine regexp/lowercase/
+    trim divergence lands in a specific bucket row; if this query is
+    green while the model diag is red, the tokenizer is exonerated."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select(
+        "lang", F.explode(TX.tokenize("text")).alias("w")
+    ).withColumn("bucket", F.substring(F.md5("w"), 1, 1))
+    return (
+        toks.groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("w").alias("n_distinct_tokens"),
+            F.sum(F.length("w")).alias("sum_token_len"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+def dsir_diag_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR driver diagnostic #2 — PORTABLE-LN MODEL parity, integers
+    only. The vocabulary-sized (w, c_src, c_tgt, lr_e6) model table
+    itself, fingerprinted per md5 bucket of w: vocab rows, count sums,
+    and the sum/min/max of the fixed-point log-ratio. A red row here
+    with a green dsir_diag_tokens means the portable-ln premise fails
+    on the driver host (and min/max localize it to single vocab rows);
+    green here + green tokens + red documents_dsir_weights would leave
+    only the per-doc scoring join."""
+    from firebase_etl_spark.operators.dsir import dsir_vocab_ratios
+
+    d = load_table(spark, "documents", sf_dir)
+    ratio = dsir_vocab_ratios(d, target=F.col("lang") == "en")
+    return (
+        ratio.groupBy(F.substring(F.md5("w"), 1, 1).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vocab"),
+            F.sum("c_src").alias("sum_c_src"),
+            F.sum("c_tgt").alias("sum_c_tgt"),
+            F.sum("lr_e6").alias("sum_lr_e6"),
+            F.min("lr_e6").alias("min_lr_e6"),
+            F.max("lr_e6").alias("max_lr_e6"),
+        )
+        .orderBy("bucket")
     )
 
 

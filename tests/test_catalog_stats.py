@@ -220,3 +220,21 @@ def test_count_min_overestimates_never_undercount(spark):
     # 3 distinct values in 1024*4 counters: no collisions possible to
     # survive the min, so the estimates are exact
     assert all(r["overestimate"] == 0 for r in got.values())
+
+
+def test_count_min_probe_join_broadcasts_sketch_side(spark):
+    """ADVICE r6: Spark ignores a broadcast hint on the PRESERVED side
+    of a LEFT OUTER join, so hinting the probes fell back to a shuffle
+    join. The depth*width sketch is the build side — the plan must show
+    a broadcast join, not a SortMergeJoin."""
+    from firebase_etl_spark.operators.heavy_hitters import (
+        count_min_report,
+    )
+
+    df = spark.createDataFrame(
+        [(v,) for v in ["x"] * 9 + ["y"] * 6], "token string"
+    )
+    out = count_min_report(df, "token", ["x", "y"], width=64, depth=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -200,6 +200,24 @@ def test_exp2_accuracy_and_underflow(spark):
             assert abs(r["y"] - true) <= 5e-14 * true, (r["x"], r["y"])
 
 
+def test_exp2_overflow_side_is_loud(spark):
+    """ADVICE r6: arg >= 64 is out of contract — it must surface as
+    +Infinity (loud downstream), never a silent 0.0. Both engines."""
+    cases = [64.0, 64.5, 100.0, 1e6]
+    df = spark.createDataFrame([(v,) for v in cases], "x double")
+    for r in with_exp2(df, "x", "y").collect():
+        assert math.isinf(r["y"]) and r["y"] > 0, (r["x"], r["y"])
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ",".join(f"(CAST('{v!r}' AS DOUBLE))" for v in cases)
+        + ") AS t(x)"
+    )
+    q = exp2_select_sql("SELECT x FROM t", [("x", "y")])
+    for _, y in con.execute(f"SELECT x, y FROM ({q})").fetchall():
+        assert math.isinf(y) and y > 0
+
+
 def test_ln_rejects_nothing_but_documents_edge(spark):
     # degenerate arg 0 (empty-corpus constant fold) must not raise —
     # the consuming plan is empty so the value itself is unused

@@ -737,6 +737,47 @@ def test_wav_decode_skips_unknown_chunks_and_rejects_junk():
         decode_wav16(b"")
 
 
+def test_bmp_decode_rejects_offset_into_header():
+    """ADVICE r6: an offset pointing into the 54-byte header passed the
+    length check and read header bytes as pixels — must raise now."""
+    import pytest as _pytest
+
+    from firebase_etl_spark.operators.multimodal import (
+        decode_bmp24,
+        encode_bmp24,
+    )
+
+    p = bytearray(encode_bmp24(2, 2, [[(1, 2, 3), (4, 5, 6)]] * 2))
+    p[10:14] = (20).to_bytes(4, "little")  # offset inside the header
+    with _pytest.raises(ValueError, match="offset"):
+        decode_bmp24(bytes(p))
+    p[10:14] = (10_000).to_bytes(4, "little")  # offset past payload
+    with _pytest.raises(ValueError):
+        decode_bmp24(bytes(p))
+
+
+def test_wav_decode_rejects_truncated_data_chunk():
+    """ADVICE r6: a data chunk whose declared size runs past the end of
+    the payload was silently sliced short (plausible-but-wrong stats);
+    truncated clips must be rejected."""
+    import pytest as _pytest
+
+    from firebase_etl_spark.operators.multimodal import (
+        decode_wav16,
+        encode_wav16,
+    )
+
+    p = encode_wav16(8000, 1, [7, -7, 300, -300])
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_wav16(p[:-3])  # cut mid-sample: declared size > payload
+    # declared size inflated without adding bytes: also truncated
+    q = bytearray(p)
+    data_at = p.index(b"data")
+    q[data_at + 4:data_at + 8] = (1 << 20).to_bytes(4, "little")
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_wav16(bytes(q))
+
+
 def test_feature_dispatch_takes_real_path_for_wav(spark):
     from firebase_etl_spark.operators.multimodal import (
         encode_wav16,

@@ -10,6 +10,7 @@ Exit code 1 if any oracle-backed query mismatches.
 
 from __future__ import annotations
 
+import struct
 import sys
 import time
 
@@ -23,10 +24,23 @@ import __spark_entry__ as m  # noqa: E402
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = set(sys.argv[2:])
 
+#: queries allowed the legacy 6dp float comparison instead of the strict
+#: bit-exact one. Empty by design: the r6 driver gate proved that ANY
+#: float looser than the driver's own hash lets environment-dependent
+#: reds (the documents_dsir_weights class) pass locally. Add a name here
+#: ONLY with a comment saying which column is intentionally
+#: engine-specific and why the driver gate still passes it.
+LOOSE_FLOAT_QUERIES: set[str] = set()
 
-def norm(v):
+
+def norm(v, loose: bool = False):
     if isinstance(v, float):
-        return str(round(v, 6))
+        # STRICT: the exact 64 bits, like the driver's value hash — a
+        # 6dp round here is what let three rounds of local green
+        # over-predict the driver on documents_dsir_weights
+        if loose:
+            return str(round(v, 6))
+        return struct.pack("<d", v).hex()
     if v is None:
         return "\x00NULL"
     return str(v)
@@ -82,8 +96,9 @@ def main() -> int:
         o_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
         cols_ok = sorted(scols) == sorted(dcols)
         rows_ok = len(srows) == len(drows)
-        s_set = sorted(tuple(norm(r[i]) for i in o_s) for r in srows)
-        d_set = sorted(tuple(norm(r[i]) for i in o_d) for r in drows)
+        loose = name in LOOSE_FLOAT_QUERIES
+        s_set = sorted(tuple(norm(r[i], loose) for i in o_s) for r in srows)
+        d_set = sorted(tuple(norm(r[i], loose) for i in o_d) for r in drows)
         match = cols_ok and rows_ok and s_set == d_set
         status = "OK" if match else "MISMATCH"
         print(f"{name}: rows={len(srows)} {status} ({time.time() - t0:.1f}s)")
