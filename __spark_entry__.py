@@ -38,16 +38,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ONLY in every hashed column) plus the two integer-only
         # diagnostics that localize any residual divergence to the
         # tokenizer (dsir_diag_tokens) vs the portable-ln model
-        # (dsir_diag_model); (2) the three rows the r6 media queries
-        # displaced; (3) the r6-new operators with no driver evidence
-        # yet; (4) the remaining never-driver-evidenced queries;
-        # (5) the rows with the OLDEST driver evidence (r2, then r3).
-        # Everything outside the window keeps r4-r6 driver evidence and
-        # stays pinned by tests/test_oracle.py plus the full driver-sim
-        # sweep.
+        # (dsir_diag_model); (2) the nine queries whose outputs changed
+        # in the round(double) boundary sweep (tools/round_audit.py
+        # proved each had a value sitting EXACTLY on a .5 boundary -
+        # now nudged off it on both engines); (3) the three rows the r6
+        # media queries displaced; (4) the r6-new operators with no
+        # driver evidence yet; (5) the remaining never-driver-evidenced
+        # queries; (6) the rows with the OLDEST driver evidence (r2,
+        # then r3). Everything outside the window keeps r4-r6 driver
+        # evidence and stays pinned by tests/test_oracle.py plus the
+        # full strict-norm driver-sim sweep.
         "documents_dsir_weights": QX.documents_dsir_weights,
         "dsir_diag_tokens": QX.dsir_diag_tokens,
         "dsir_diag_model": QX.dsir_diag_model,
+        "doc_token_counts": QX.doc_token_counts,
+        "lineitem_summary_stats": QX.lineitem_summary_stats,
+        "part_copurchase_pairs": QX.part_copurchase_pairs,
+        "session_event_pairs": QX.session_event_pairs,
+        "q5_local_supplier_volume": Q.q5_local_supplier_volume,
+        "top_customer_revenue": QX.top_customer_revenue,
+        "embedding_knn_outliers": QX.embedding_knn_outliers,
+        "embedding_kmeans_clusters": QX.embedding_kmeans_clusters,
+        "documents_curriculum_schedule": QX.documents_curriculum_schedule,
+        # NEW this round: REAL video codec under the gate
+        "media_avi_frame_stats": QX.media_avi_frame_stats,
         "customer_fuzzy_matches": QX.customer_fuzzy_matches,
         "referential_integrity_audit": QX.referential_integrity_audit,
         "documents_bpe_encoded_stats": QX.documents_bpe_encoded_stats,
@@ -64,7 +78,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_transition_matrix": QX.stream_transition_matrix,
         "documents_curation_v2": QX.documents_curation_v2,
         "customer_revenue_gini": QX.customer_revenue_gini,
-        "session_event_pairs": QX.session_event_pairs,
         "q8_market_share": Q.q8_market_share,
         "q13_customer_distribution": Q.q13_customer_distribution,
         "q15_top_supplier": Q.q15_top_supplier,
@@ -79,7 +92,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_with_orders_semi": Q.customers_with_orders_semi,
         "events_hourly_stats": Q.events_hourly_stats,
         "doc_text_features": QX.doc_text_features,
-        "doc_token_counts": QX.doc_token_counts,
         "doc_lang_stats": QX.doc_lang_stats,
         "doc_jaccard_vs_queries": QX.doc_jaccard_vs_queries,
         "embedding_norms": QX.embedding_norms,
@@ -90,13 +102,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_keep_latest_per_user": QX.stream_keep_latest_per_user,
         "stream_sliding_counts": QX.stream_sliding_counts,
         "stream_dedup_events": QX.stream_dedup_events,
-        "stream_enriched_segments": QX.stream_enriched_segments,
-        "stream_near_pairs": QX.stream_near_pairs,
-        "documents_clean_corpus": QX.documents_clean_corpus,
-        "documents_mixture_sample": QX.documents_mixture_sample,
-        "events_near_pairs": QX.events_near_pairs,
-        "events_salted_type_stats": QX.events_salted_type_stats,
-        "events_stratified_sample": QX.events_stratified_sample,
         "documents_weighted_sample": QX.documents_weighted_sample,
         "retention_halflife_fit": QX.retention_halflife_fit,
         "doc_zipf_slope": QX.doc_zipf_slope,
@@ -108,7 +113,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lm_perplexity_report": QX.doc_lm_perplexity_report,
         "doc_entropy_report": QX.doc_entropy_report,
         "events_decay_engagement": QX.events_decay_engagement,
-        "documents_curriculum_schedule": QX.documents_curriculum_schedule,
         "part_copurchase_assortativity": QX.part_copurchase_assortativity,
         "categorical_association_audit": QX.categorical_association_audit,
         "events_autocorrelation": QX.events_autocorrelation,
@@ -122,7 +126,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_split_leakage_audit": QX.documents_split_leakage_audit,
         "user_ltv_cohorts": QX.user_ltv_cohorts,
         "orders_rollup": QX.orders_rollup,
-        "top_customer_revenue": QX.top_customer_revenue,
         "mktsegment_order_priority_pivot": QX.mktsegment_order_priority_pivot,
         "events_variant_stats": QX.events_variant_stats,
         "masked_customer_emails": Q.masked_customer_emails,
@@ -131,7 +134,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_shipmode_priority": Q.q12_shipmode_priority,
         "q14_promo_revenue": Q.q14_promo_revenue,
         "q17_small_quantity_revenue": Q.q17_small_quantity_revenue,
-        "q5_local_supplier_volume": Q.q5_local_supplier_volume,
         "q10_returned_items": Q.q10_returned_items,
         "q19_disjunctive_revenue": Q.q19_disjunctive_revenue,
         "q7_nation_volume": Q.q7_nation_volume,
@@ -158,8 +160,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_orders_sqlstore_tail": QX.stream_orders_sqlstore_tail,
         "documents_snapshot_diff": QX.documents_snapshot_diff,
         "events_heavy_hitters": QX.events_heavy_hitters,
-        "embedding_kmeans_clusters": QX.embedding_kmeans_clusters,
-        "part_copurchase_pairs": QX.part_copurchase_pairs,
         "part_copurchase_triangles": QX.part_copurchase_triangles,
         "documents_passage_chunks": QX.documents_passage_chunks,
         "embedding_topk_ivf_trained": QX.embedding_topk_ivf_trained,
@@ -170,7 +170,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_transition_matrix": QX.events_transition_matrix,
         "documents_bloom_decontamination": QX.documents_bloom_decontamination,
         "embedding_mutual_knn": QX.embedding_mutual_knn,
-        "embedding_knn_outliers": QX.embedding_knn_outliers,
         "part_copurchase_communities": QX.part_copurchase_communities,
         "customer_kanonymity": QX.customer_kanonymity,
         "part_copurchase_kcore": QX.part_copurchase_kcore,
@@ -188,6 +187,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_contract_report": QX.orders_contract_report,
         "events_last_touch_attribution": QX.events_last_touch_attribution,
         "embedding_anisotropy": QX.embedding_anisotropy,
+        "stream_enriched_segments": QX.stream_enriched_segments,
+        "stream_near_pairs": QX.stream_near_pairs,
         "segment_priority_chisq": QX.segment_priority_chisq,
         "orders_priority_unpivot": QX.orders_priority_unpivot,
         "nation_trade_pagerank": QX.nation_trade_pagerank,
@@ -220,7 +221,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conditional_counts": Q.conditional_counts,
         "order_status_distribution": Q.order_status_distribution,
         "null_counts_events": Q.null_counts_events,
-        "lineitem_summary_stats": QX.lineitem_summary_stats,
         "part_type_pattern": QX.part_type_pattern,
         "orders_deterministic_sample": QX.orders_deterministic_sample,
         "doc_minhash_near_dups": QX.doc_minhash_near_dups,
@@ -232,6 +232,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_sqlstore_partitioned_scan": (
             ( QX.orders_sqlstore_partitioned_scan )
         ),
+        "documents_clean_corpus": QX.documents_clean_corpus,
+        "documents_mixture_sample": QX.documents_mixture_sample,
+        "events_near_pairs": QX.events_near_pairs,
+        "events_salted_type_stats": QX.events_salted_type_stats,
+        "events_stratified_sample": QX.events_stratified_sample,
         "events_daily_from_hourly": QX.events_daily_from_hourly,
         "events_sliding_counts": QX.events_sliding_counts,
         "lineitem_cube": QX.lineitem_cube,

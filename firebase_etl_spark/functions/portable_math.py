@@ -116,6 +116,25 @@ def with_ln(df: DataFrame, arg: str, out: str) -> DataFrame:
     return df.drop(*[name for name, _ in steps[:-1]])
 
 
+def round_nudged(col, k: int):
+    """CONVENTION (round-semantics immunity, tools/round_audit.py): a
+    hashed double produced by ``round(x, k)`` where x can land EXACTLY
+    on a .5 boundary at the rounding precision (integer ratios with
+    power-of-two denominators, e.g. n/64 -> .40625) is environment-
+    dependent — Spark rounds HALF_UP on the exact decimal while
+    DuckDB's round(DOUBLE) semantics changed across versions
+    (multiply-and-nearbyint = half-to-EVEN historically). Nudging by
+    +1e-9 BEFORE the round moves exact boundaries strictly upward on
+    BOTH engines (the identical correctly-rounded IEEE addition), so
+    either semantics then agrees. Mirror in the oracle as
+    ``round(x + 1e-9, k)``. Valid while |x| < ~1e5 at k=4 / ~1e7 at
+    k=2 (the nudge must exceed one ulp of x); report aggregates here
+    are orders of magnitude inside that."""
+    from pyspark.sql import functions as _F
+
+    return _F.round(col + _F.lit(1e-9), k)
+
+
 def fixed_e6_expr(x: str) -> str:
     """``round(1e6 * x)`` as a BIGINT — the shared quantization tail
     every portable-ln consumer applies ONCE per row before integer

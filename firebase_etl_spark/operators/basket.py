@@ -99,12 +99,17 @@ def frequent_pairs(
                 "p1",
                 "p2",
                 "pair_count",
-                F.round(F.col("pair_count") / F.col("n_baskets"), 4).alias(
-                    "support"
-                ),
+                # +1e-9 nudge: these integer ratios land EXACTLY on .5
+                # rounding boundaries, where round(double) is engine-
+                # version-dependent (portable_math.round_nudged)
+                F.round(
+                    F.col("pair_count") / F.col("n_baskets") + F.lit(1e-9),
+                    4,
+                ).alias("support"),
                 F.round(
                     (F.col("pair_count") * F.col("n_baskets"))
-                    / (F.col("c1") * F.col("c2")),
+                    / (F.col("c1") * F.col("c2"))
+                    + F.lit(1e-9),
                     4,
                 ).alias("lift"),
             )

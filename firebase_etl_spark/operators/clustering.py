@@ -235,8 +235,14 @@ def kmeans_label_report(
         per_label.groupBy("cluster")
         .agg(
             F.sum("cnt").alias("n_vecs"),
+            # +1e-9 nudge: integer-ratio outputs land EXACTLY on .5
+            # rounding boundaries (10/64 = .15625), where round(double)
+            # semantics differ across engine versions — see
+            # portable_math.round_nudged / tools/round_audit.py
             F.round(
-                F.sum("cos_e6") / (F.sum("cnt") * F.lit(_SCALE)), 4
+                F.sum("cos_e6") / (F.sum("cnt") * F.lit(_SCALE))
+                + F.lit(1e-9),
+                4,
             ).alias("avg_cos"),
             F.max_by(
                 F.struct(F.col("lbl").alias("l"), F.col("cnt").alias("c")),
@@ -248,7 +254,9 @@ def kmeans_label_report(
             "n_vecs",
             "avg_cos",
             F.col("mj.l").alias("majority_label"),
-            F.round(F.col("mj.c") / F.col("n_vecs"), 4).alias("purity"),
+            F.round(
+                F.col("mj.c") / F.col("n_vecs") + F.lit(1e-9), 4
+            ).alias("purity"),
         )
         .orderBy("cluster")
     )

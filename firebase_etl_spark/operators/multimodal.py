@@ -4,16 +4,21 @@ Media travels as an opaque ``binary`` column plus a typed metadata struct —
 the schema/partitioning/batching layer is real Spark. The codec layer has
 TWO tiers:
 
-- a REAL pure-Python codec for uncompressed 24-bit BMP (BI_RGB): header
-  parse, bottom-up row order, 4-byte row padding, nearest-neighbor
-  resample, and re-encode — actual pixel data flows through decode /
-  feature-extract / resize, byte-exactly pinned in tests and verified by
-  the driver gate against a closed-form pixel oracle
-  (media_bmp_decode_stats / media_bmp_thumbnail_stats);
-- a deterministic STUB for every other format (this container has no
-  image/audio libraries). Swap ``_decode_stub`` for a PIL/ffmpeg call and
-  nothing else changes: the mapInPandas batch shape, Arrow transfer, and
-  output schema stay identical.
+- REAL pure-Python codecs for all three kinds: uncompressed 24-bit BMP
+  (BI_RGB — header parse, bottom-up row order, 4-byte row padding,
+  nearest-neighbor resample, re-encode), PCM-16 WAV (RIFF chunk walk,
+  little-endian signed samples), and uncompressed-RGB AVI (RIFF lists
+  around DIB frames — real frame decode, frame sampling, per-frame
+  stats). Actual pixel/sample bytes flow through decode /
+  feature-extract / resize / frame-sample, byte-exactly pinned in tests
+  and verified by the driver gate against closed-form oracles
+  (media_bmp_decode_stats / media_wav_decode_stats /
+  media_avi_frame_stats);
+- a deterministic STUB for every format that genuinely needs external
+  libraries (JPEG/PNG/MP3/MP4 — this container has none). Swap
+  ``_decode_stub`` for a PIL/ffmpeg call and nothing else changes: the
+  mapInPandas batch shape, Arrow transfer, and output schema stay
+  identical.
 
 Scale design:
 - decode/feature-extract runs per-partition via ``mapInPandas`` (Arrow
@@ -71,17 +76,46 @@ FEATURE_SCHEMA = (
 _BMP_HEADER_SIZE = 14 + 40
 
 
+def _encode_dib_body(width: int, height: int, rows: list) -> bytes:
+    """The shared DIB pixel array: TOP-down (b, g, r) rows written
+    bottom-up with 4-byte stride padding — the layout inside both a BMP
+    file and an uncompressed-RGB AVI '00db' frame chunk."""
+    if width <= 0 or height <= 0 or len(rows) != height:
+        raise ValueError("rows must be a height x width pixel grid")
+    pad = (-(width * 3)) % 4
+    return b"".join(
+        bytes(c for px in row for c in px) + b"\x00" * pad
+        for row in reversed(rows)
+    )
+
+
+def _decode_dib_body(body: bytes, width: int, height: int) -> list:
+    """Inverse of :func:`_encode_dib_body`: bottom-up padded BGR bytes
+    back to TOP-down rows of (b, g, r) triples."""
+    stride = width * 3 + ((-(width * 3)) % 4)
+    if len(body) < stride * height:
+        raise ValueError("truncated DIB pixel array")
+    rows = []
+    for y in range(height):  # stored bottom-up; emit top-down
+        base = (height - 1 - y) * stride
+        rows.append(
+            [
+                (
+                    body[base + 3 * x],
+                    body[base + 3 * x + 1],
+                    body[base + 3 * x + 2],
+                )
+                for x in range(width)
+            ]
+        )
+    return rows
+
+
 def encode_bmp24(width: int, height: int, rows: list) -> bytes:
     """Encode ``rows`` — ``height`` rows (TOP-down) of ``width``
     (b, g, r) byte triples — as an uncompressed 24-bit BMP. Rows are
     written bottom-up with 4-byte padding, per the format."""
-    if width <= 0 or height <= 0 or len(rows) != height:
-        raise ValueError("rows must be a height x width pixel grid")
-    pad = (-(width * 3)) % 4
-    body = b"".join(
-        bytes(c for px in row for c in px) + b"\x00" * pad
-        for row in reversed(rows)
-    )
+    body = _encode_dib_body(width, height, rows)
     size = _BMP_HEADER_SIZE + len(body)
     header = (
         b"BM"
@@ -120,22 +154,7 @@ def decode_bmp24(payload: bytes) -> tuple[int, int, list]:
         # an offset pointing INTO the header passes the length check but
         # reads header bytes as pixels — wrong stats, no error (ADVICE r6)
         raise ValueError("pixel-array offset inside header or past payload")
-    stride = width * 3 + ((-(width * 3)) % 4)
-    if len(payload) < offset + stride * height:
-        raise ValueError("truncated BMP body")
-    rows = []
-    for y in range(height):  # stored bottom-up; emit top-down
-        base = offset + (height - 1 - y) * stride
-        row = [
-            (
-                payload[base + 3 * x],
-                payload[base + 3 * x + 1],
-                payload[base + 3 * x + 2],
-            )
-            for x in range(width)
-        ]
-        rows.append(row)
-    return width, height, rows
+    return width, height, _decode_dib_body(payload[offset:], width, height)
 
 
 def resize_bmp24_nearest(
@@ -223,6 +242,225 @@ def decode_wav16(payload: bytes) -> tuple[int, int, list[int]]:
     return rate, channels, samples
 
 
+# ---------------------------------------------------------------------
+# REAL codec #3: uncompressed-RGB AVI (RIFF 'AVI '). Both halves were
+# already in this file — the RIFF chunk walk (WAV, above) and the DIB
+# row codec (BMP, above) — an AVI is RIFF plumbing around DIB frames:
+#   RIFF 'AVI '
+#     LIST 'hdrl'  avih (main header: frame period, counts, dims)
+#                  LIST 'strl'  strh ('vids'/'DIB ') + strf (BITMAPINFO)
+#     LIST 'movi'  '00db' <DIB frame> per frame (bottom-up BGR, padded)
+# Pure Python, deterministic, real pixel bytes end to end.
+# ---------------------------------------------------------------------
+
+_AVI_FPS_SCALE = 1_000_000  # avih stores the frame period in microseconds
+
+
+def _chunk(cid: bytes, body: bytes) -> bytes:
+    return cid + len(body).to_bytes(4, "little") + body + (
+        b"\x00" if len(body) % 2 else b""
+    )
+
+
+def encode_avi_rgb(
+    width: int, height: int, frames: list, fps: int = 10
+) -> bytes:
+    """Encode ``frames`` — each a TOP-down grid of (b, g, r) triples —
+    as an uncompressed 24-bit RGB AVI ('DIB ' stream, BI_RGB frames)."""
+    if not frames:
+        raise ValueError("an AVI needs at least one frame")
+    if fps <= 0:
+        raise ValueError("fps must be positive")
+    bodies = [_encode_dib_body(width, height, rows) for rows in frames]
+    frame_size = len(bodies[0])
+    avih = b"".join(
+        v.to_bytes(4, "little")
+        for v in (
+            _AVI_FPS_SCALE // fps,  # dwMicroSecPerFrame
+            frame_size * fps,       # dwMaxBytesPerSec
+            0,                      # dwPaddingGranularity
+            0,                      # dwFlags
+            len(frames),            # dwTotalFrames
+            0,                      # dwInitialFrames
+            1,                      # dwStreams
+            frame_size,             # dwSuggestedBufferSize
+            width,
+            height,
+            0, 0, 0, 0,             # dwReserved[4]
+        )
+    )
+    strh = (
+        b"vids"
+        + b"DIB "
+        + b"".join(
+            v.to_bytes(4, "little")
+            for v in (
+                0,            # dwFlags
+                0,            # wPriority + wLanguage
+                0,            # dwInitialFrames
+                1,            # dwScale
+                fps,          # dwRate (rate/scale = fps)
+                0,            # dwStart
+                len(frames),  # dwLength
+                frame_size,   # dwSuggestedBufferSize
+                0xFFFFFFFF,   # dwQuality (-1 = default)
+                0,            # dwSampleSize
+            )
+        )
+        + (0).to_bytes(4, "little")           # rcFrame left/top
+        + width.to_bytes(2, "little")         # rcFrame right
+        + height.to_bytes(2, "little")        # rcFrame bottom
+    )
+    strf = (
+        (40).to_bytes(4, "little")
+        + width.to_bytes(4, "little", signed=True)
+        + height.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")           # planes
+        + (24).to_bytes(2, "little")          # bpp
+        + (0).to_bytes(4, "little")           # BI_RGB
+        + frame_size.to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    strl = _chunk(
+        b"LIST", b"strl" + _chunk(b"strh", strh) + _chunk(b"strf", strf)
+    )
+    hdrl = _chunk(b"LIST", b"hdrl" + _chunk(b"avih", avih) + strl)
+    movi = _chunk(
+        b"LIST", b"movi" + b"".join(_chunk(b"00db", b) for b in bodies)
+    )
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + len(riff_body).to_bytes(4, "little") + riff_body
+
+
+def _walk_chunks(payload: bytes, pos: int, end: int):
+    """Yield (cid, body) over a RIFF chunk run, enforcing declared
+    sizes against the payload end (truncation is LOUD, per the WAV
+    contract) and word alignment."""
+    while pos + 8 <= end:
+        cid = payload[pos:pos + 4]
+        size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        if pos + 8 + size > end:
+            raise ValueError("truncated chunk: declared size past payload")
+        yield cid, payload[pos + 8:pos + 8 + size]
+        pos += 8 + size + (size % 2)
+
+
+def decode_avi_rgb(payload: bytes) -> tuple[int, int, int, list]:
+    """Decode an uncompressed-RGB AVI into (width, height, fps, frames)
+    with each frame a TOP-down grid of (b, g, r) triples. Walks the
+    RIFF lists (hdrl for dimensions/count/rate, movi for '00db'/'00dc'
+    frame chunks); raises ValueError on non-AVI payloads, non-24bpp
+    BI_RGB streams, truncated chunks, or a frame count that contradicts
+    the header."""
+    if (
+        len(payload) < 12
+        or payload[:4] != b"RIFF"
+        or payload[8:12] != b"AVI "
+    ):
+        raise ValueError("not an AVI payload")
+    width = height = n_frames = fps = None
+    frames = []
+    for cid, body in _walk_chunks(payload, 12, len(payload)):
+        if cid != b"LIST" or len(body) < 4:
+            continue
+        ltype = body[:4]
+        if ltype == b"hdrl":
+            for sid, sbody in _walk_chunks(body, 4, len(body)):
+                if sid == b"avih":
+                    if len(sbody) < 40:
+                        raise ValueError("short avih header")
+                    usec = int.from_bytes(sbody[0:4], "little")
+                    fps = _AVI_FPS_SCALE // usec if usec else 0
+                    n_frames = int.from_bytes(sbody[16:20], "little")
+                    width = int.from_bytes(sbody[32:36], "little")
+                    height = int.from_bytes(sbody[36:40], "little")
+                elif sid == b"LIST" and sbody[:4] == b"strl":
+                    for tid, tbody in _walk_chunks(sbody, 4, len(sbody)):
+                        if tid == b"strf":
+                            bpp = int.from_bytes(tbody[14:16], "little")
+                            comp = int.from_bytes(tbody[16:20], "little")
+                            if bpp != 24 or comp != 0:
+                                raise ValueError(
+                                    "only uncompressed 24-bit RGB streams"
+                                    " supported"
+                                )
+        elif ltype == b"movi":
+            if width is None:
+                raise ValueError("movi list before hdrl")
+            for sid, sbody in _walk_chunks(body, 4, len(body)):
+                if sid in (b"00db", b"00dc"):
+                    frames.append(_decode_dib_body(sbody, width, height))
+    if width is None or not width or not height or n_frames is None:
+        raise ValueError("missing or empty avih header")
+    if len(frames) != n_frames:
+        raise ValueError(
+            f"frame count mismatch: header {n_frames}, movi {len(frames)}"
+        )
+    return width, height, fps, frames
+
+
+AVI_FRAME_STATS_SCHEMA = (
+    "media_id long, frame_idx int, frame_ts_ms long, width int, "
+    "height int, sum_b long, sum_g long, sum_r long"
+)
+
+
+def extract_avi_frame_stats(df: DataFrame) -> DataFrame:
+    """REAL video decode, UDTF-shaped: each AVI payload fans out to one
+    row PER DECODED FRAME with exact integer channel sums — the
+    quantities a closed-form pixel oracle recomputes with no decoder,
+    so the whole container walk + frame decode sits under the driver
+    gate. Fan-out happens inside mapInPandas (partition-local, no
+    shuffle until someone aggregates the frames); rows that fail to
+    decode are dropped (quarantine upstream when they matter)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "frame_idx", "frame_ts_ms", "width",
+                "height", "sum_b", "sum_g", "sum_r",
+            )}
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    w, h, fps, frames = decode_avi_rgb(raw)
+                except ValueError:
+                    continue
+                for i, rows in enumerate(frames):
+                    out["media_id"].append(media_id)
+                    out["frame_idx"].append(i)
+                    out["frame_ts_ms"].append(
+                        i * 1000 // fps if fps else 0
+                    )
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["sum_b"].append(
+                        sum(px[0] for r in rows for px in r)
+                    )
+                    out["sum_g"].append(
+                        sum(px[1] for r in rows for px in r)
+                    )
+                    out["sum_r"].append(
+                        sum(px[2] for r in rows for px in r)
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out["media_id"], dtype="int64"),
+                    "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
+                    "frame_ts_ms": pd.Series(
+                        out["frame_ts_ms"], dtype="int64"
+                    ),
+                    "width": pd.Series(out["width"], dtype="int32"),
+                    "height": pd.Series(out["height"], dtype="int32"),
+                    "sum_b": pd.Series(out["sum_b"], dtype="int64"),
+                    "sum_g": pd.Series(out["sum_g"], dtype="int64"),
+                    "sum_r": pd.Series(out["sum_r"], dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(run, schema=AVI_FRAME_STATS_SCHEMA)
+
+
 def _decode_stub(payload: bytes, kind: str) -> list[float]:
     """Feature dispatch: image payloads that ARE bitmaps take the real
     BMP path — (width, height, mean b/g/r scaled to [0,1], fill) from
@@ -269,6 +507,24 @@ def _decode_stub(payload: bytes, kind: str) -> list[float]:
                 sum(abs(s) for s in samples) / (32768.0 * n),
                 max((abs(s) for s in samples), default=0) / 32768.0,
                 float(len(samples) // channels * 1000 // rate),  # ms
+                0.0,
+                1.0,  # real-decode marker
+            ]
+    if kind == "video" and payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        try:
+            w, h, fps, frames = decode_avi_rgb(payload)
+        except ValueError:
+            pass
+        else:
+            n = w * h * len(frames)
+            sb = sum(px[0] for fr in frames for row in fr for px in row)
+            return [
+                float(w),
+                float(h),
+                float(len(frames)),
+                float(fps),
+                sb / (255.0 * n),  # mean blue across all frames
+                float(len(frames) * 1000 // fps) if fps else 0.0,  # ms
                 0.0,
                 1.0,  # real-decode marker
             ]
@@ -487,12 +743,16 @@ def resize_images(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame
 
 def sample_frames(df: DataFrame, every_ms: int = 1000, max_frames: int = 4) -> DataFrame:
     """Frame sampling for video rows — the UDTF-shaped multimodal op: one
-    input row fans out to N frame rows. A real implementation seeks with
-    ffmpeg; the stub emits one deterministic frame hash per sample point
-    (sha256 chain over the payload), duration taken from ``meta.duration_ms``
-    (NULL duration -> single frame at t=0). Fan-out happens inside
-    mapInPandas, so the expansion is partition-local — no shuffle until
-    someone aggregates the frames."""
+    input row fans out to N frame rows. REAL path: an uncompressed-RGB
+    AVI payload is actually decoded (decode_avi_rgb) and the sample
+    points are real frames — frame_hash is the sha256 of the frame's
+    decoded pixel bytes, timestamps from the container's own frame
+    rate. Other containers (anything needing ffmpeg) keep the stub: one
+    deterministic hash per sample point (sha256 chain over the
+    payload), duration from ``meta.duration_ms`` (NULL duration ->
+    single frame at t=0). Fan-out happens inside mapInPandas, so the
+    expansion is partition-local — no shuffle until someone aggregates
+    the frames."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -503,6 +763,34 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, max_frames: int = 4) -> D
                 if kind != "video":
                     continue
                 raw = bytes(payload) if payload is not None else b""
+                if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
+                    try:
+                        w, h, fps, frames = decode_avi_rgb(raw)
+                    except ValueError:
+                        frames = None
+                    if frames is not None:
+                        # REAL frames: sample every ``every_ms`` from
+                        # the stream's own timeline, hash actual pixels
+                        step = max(
+                            1, (every_ms * fps) // 1000
+                        ) if fps else 1
+                        picked = list(range(0, len(frames), step))[
+                            :max_frames
+                        ]
+                        for out_i, fi in enumerate(picked):
+                            fb = bytes(
+                                c
+                                for row in frames[fi]
+                                for px in row
+                                for c in px
+                            )
+                            ids.append(media_id)
+                            idxs.append(out_i)
+                            tss.append(fi * 1000 // fps if fps else 0)
+                            hashes.append(
+                                hashlib.sha256(fb).hexdigest()
+                            )
+                        continue
                 duration = None
                 if meta is not None:
                     duration = meta.get("duration_ms") if isinstance(meta, dict) else meta["duration_ms"]

@@ -91,7 +91,7 @@ ORACLES_EXT: dict[str, str] = {
             FROM documents
         )
         SELECT doc_id, ws_tokens, bpe_tokens, n_chars_text,
-               round(n_chars_text * 1.0 / bpe_tokens, 4) AS chars_per_bpe_token
+               round(n_chars_text * 1.0 / bpe_tokens + 1e-9, 4) AS chars_per_bpe_token
         FROM b
     """,
     # tfidf twin: PORTABLE libm-free lns (the 6dp score feeds the rank
@@ -188,13 +188,13 @@ ORACLES_EXT: dict[str, str] = {
     """,
     "lineitem_summary_stats": """
         SELECT count(*) AS n,
-               round(avg(l_quantity), 4) AS qty_mean,
-               round(stddev_samp(l_quantity), 4) AS qty_std,
-               round(min(l_quantity), 2) AS qty_min,
-               round(max(l_quantity), 2) AS qty_max,
-               round(avg(l_extendedprice), 4) AS price_mean,
-               round(min(l_extendedprice), 2) AS price_min,
-               round(max(l_extendedprice), 2) AS price_max
+               round(avg(l_quantity) + 1e-9, 4) AS qty_mean,
+               round(stddev_samp(l_quantity) + 1e-9, 4) AS qty_std,
+               round(min(l_quantity) + 1e-9, 2) AS qty_min,
+               round(max(l_quantity) + 1e-9, 2) AS qty_max,
+               round(avg(l_extendedprice) + 1e-9, 4) AS price_mean,
+               round(min(l_extendedprice) + 1e-9, 2) AS price_min,
+               round(max(l_extendedprice) + 1e-9, 2) AS price_max
         FROM lineitem
     """,
     "orders_deterministic_sample": """
@@ -222,7 +222,8 @@ ORACLES_EXT: dict[str, str] = {
     """,
     "top_customer_revenue": """
         SELECT c_custkey, c_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2)
+                   AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -963,7 +964,12 @@ ORACLES_EXT["events_props_key_stats"] = """
 """
 
 ORACLES_EXT["q5_local_supplier_volume"] = """
-    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    -- +1e-9 nudge: this sum lands on an exact half-cent at sf0.01
+    -- (tools/round_audit.py), where round(double) is engine-version-
+    -- dependent; mirrored in queries.q5_local_supplier_volume
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2)
+               AS revenue
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -3062,6 +3068,44 @@ ORACLES_EXT["media_bmp_decode_stats"] = """
 """
 
 
+# AVI frame-stats replay: the closed-form pixel function of
+# queries_ext._documents_as_avi, with NO decoder anywhere — frame
+# timestamps replayed as f*1000//fps (integer), so the container's
+# rate math is pinned too
+ORACLES_EXT["media_avi_frame_stats"] = """
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(3 + doc_id % 4 AS INT) AS w,
+               CAST(2 + doc_id % 3 AS INT) AS h,
+               CAST(2 + doc_id % 3 AS INT) AS nf
+        FROM documents),
+    fr AS (
+        SELECT doc_id, w, h, CAST(f.f AS INT) AS f
+        FROM dims, unnest(range(0, nf)) AS f(f)),
+    px AS (
+        SELECT doc_id, w, h, f, t.x, u.y
+        FROM fr,
+             unnest(range(0, w)) AS t(x),
+             unnest(range(0, h)) AS u(y)),
+    per AS (
+        SELECT doc_id, f, w, h,
+               sum((doc_id * 29 + f * 17 + x * 7 + y * 13) % 256) AS sum_b,
+               sum((doc_id * 29 + f * 17 + x * 7 + y * 13 + 101) % 256)
+                   AS sum_g,
+               sum((doc_id * 29 + f * 17 + x * 7 + y * 13 + 202) % 256)
+                   AS sum_r
+        FROM px GROUP BY doc_id, f, w, h)
+    SELECT f AS frame_idx, count(*) AS n_frames,
+           CAST(sum(w * h) AS BIGINT) AS total_px,
+           CAST(sum(sum_b) AS BIGINT) AS total_b,
+           CAST(sum(sum_g) AS BIGINT) AS total_g,
+           CAST(sum(sum_r) AS BIGINT) AS total_r,
+           CAST(sum(f * 1000 // 10) AS BIGINT) AS ts_checksum,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM per GROUP BY f ORDER BY frame_idx
+"""
+
+
 # Count-Min sketch replay: md5 row hashes are engine-portable, so the
 # oracle rebuilds the identical 4x256 sketch and the estimates (and
 # overestimates) are exact-checked, not bounded
@@ -3651,9 +3695,9 @@ ag AS (
            CAST(sum(cos_e6) AS BIGINT) AS cos_e6
     FROM pl GROUP BY cid)
 SELECT ag.cid AS cluster, ag.n_vecs,
-       round(ag.cos_e6 / (ag.n_vecs * 1000000.0), 4) AS avg_cos,
+       round(ag.cos_e6 / (ag.n_vecs * 1000000.0) + 1e-9, 4) AS avg_cos,
        mj.majority_label,
-       round(mj.mj_cnt * 1.0 / ag.n_vecs, 4) AS purity
+       round(mj.mj_cnt * 1.0 / ag.n_vecs + 1e-9, 4) AS purity
 FROM ag JOIN mj ON ag.cid = mj.cid
 ORDER BY cluster"""
     return _kmeans_centroid_ctes(k, n_iter) + ",\n" + tail
@@ -3675,9 +3719,9 @@ ORACLES_EXT["part_copurchase_pairs"] = """
         FROM bf a JOIN bf z ON a.bk = z.bk AND a.it < z.it
         GROUP BY a.it, z.it HAVING count(*) >= 2)
     SELECT pr.p1, pr.p2, CAST(pr.pair_count AS BIGINT) AS pair_count,
-           round(pr.pair_count * 1.0 / nb.n_baskets, 4) AS support,
+           round(pr.pair_count * 1.0 / nb.n_baskets + 1e-9, 4) AS support,
            round((pr.pair_count * nb.n_baskets * 1.0)
-                 / (c1.ic * c2.ic), 4) AS lift
+                 / (c1.ic * c2.ic) + 1e-9, 4) AS lift
     FROM pr
     JOIN fr c1 ON pr.p1 = c1.it
     JOIN fr c2 ON pr.p2 = c2.it
@@ -4082,7 +4126,7 @@ ORACLES_EXT["embedding_knn_outliers"] = """
     SELECT query_id, max(cosine_sim) AS top1_sim,
            round(CAST(sum(CAST(round(cosine_sim * 1000000.0, 0) AS BIGINT))
                           AS DOUBLE)
-                     / count(*) / 1000000.0, 6) AS mean_topk_sim,
+                     / count(*) / 1000000.0 + 1e-9, 6) AS mean_topk_sim,
            min(cosine_sim) AS kth_sim,
            min(cosine_sim) < 0.25 AS is_isolated
     FROM top GROUP BY query_id
@@ -5298,10 +5342,10 @@ def _curriculum_oracle() -> str:
     ), nt AS (SELECT CAST(sum(n_l) AS BIGINT) AS n_total FROM counts)
     SELECT w.epoch, w.lang, w.alpha, w.n_l,
            CAST(ceil(round(ceil(0.25 * nt.n_total) * w.w_fx
-                           / tot.w_total, 6)) AS BIGINT) AS quota,
+                           / tot.w_total + 1e-9, 6)) AS BIGINT) AS quota,
            round(CAST(ceil(round(ceil(0.25 * nt.n_total) * w.w_fx
-                                 / tot.w_total, 6)) AS BIGINT)
-                 / w.n_l, 4) AS repeat_factor
+                                 / tot.w_total + 1e-9, 6)) AS BIGINT)
+                 / w.n_l + 1e-9, 4) AS repeat_factor
     FROM w JOIN tot USING (epoch), nt
     ORDER BY epoch, lang
 """
@@ -5439,9 +5483,9 @@ ORACLES_EXT["session_event_pairs"] = """
         FROM bf a JOIN bf z ON a.bk = z.bk AND a.it < z.it
         GROUP BY a.it, z.it HAVING count(*) >= 2)
     SELECT pr.p1, pr.p2, CAST(pr.pair_count AS BIGINT) AS pair_count,
-           round(pr.pair_count * 1.0 / nb.n_baskets, 4) AS support,
+           round(pr.pair_count * 1.0 / nb.n_baskets + 1e-9, 4) AS support,
            round((pr.pair_count * nb.n_baskets * 1.0)
-                 / (c1.ic * c2.ic), 4) AS lift
+                 / (c1.ic * c2.ic) + 1e-9, 4) AS lift
     FROM pr
     JOIN fr c1 ON pr.p1 = c1.it
     JOIN fr c2 ON pr.p2 = c2.it

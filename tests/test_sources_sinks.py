@@ -778,6 +778,130 @@ def test_wav_decode_rejects_truncated_data_chunk():
         decode_wav16(bytes(q))
 
 
+def _avi_frames(w, h, nf):
+    return [
+        [[((f * 31 + x * 7 + y * 13) % 256, (f + x + y) % 256,
+           (f * x * y) % 256) for x in range(w)] for y in range(h)]
+        for f in range(nf)
+    ]
+
+
+def test_avi_roundtrip_all_paddings_and_frame_counts():
+    """encode->decode is identity for every row-padding case and
+    several frame counts; the container layout is genuine RIFF."""
+    from firebase_etl_spark.operators.multimodal import (
+        decode_avi_rgb,
+        encode_avi_rgb,
+    )
+
+    for w in (1, 2, 3, 4, 5):
+        for h in (1, 3):
+            for nf in (1, 2, 4):
+                frames = _avi_frames(w, h, nf)
+                p = encode_avi_rgb(w, h, frames, fps=10)
+                assert p[:4] == b"RIFF" and p[8:12] == b"AVI "
+                assert decode_avi_rgb(p) == (w, h, 10, frames)
+
+
+def test_avi_golden_layout():
+    """The header fields land where the public spec puts them: avih
+    frame period/count/dims, strh 'vids'/'DIB ', strf 24bpp BI_RGB,
+    movi '00db' frames carrying the exact DIB bytes."""
+    from firebase_etl_spark.operators.multimodal import encode_avi_rgb
+
+    frames = [[[(1, 2, 3), (4, 5, 6)]], [[(7, 8, 9), (10, 11, 12)]]]
+    p = encode_avi_rgb(2, 1, frames, fps=25)
+    a = p.index(b"avih") + 8
+    assert int.from_bytes(p[a:a + 4], "little") == 40000   # usec/frame
+    assert int.from_bytes(p[a + 16:a + 20], "little") == 2  # frames
+    assert int.from_bytes(p[a + 32:a + 36], "little") == 2  # width
+    assert int.from_bytes(p[a + 36:a + 40], "little") == 1  # height
+    s = p.index(b"strh") + 8
+    assert p[s:s + 4] == b"vids" and p[s + 4:s + 8] == b"DIB "
+    f = p.index(b"strf") + 8
+    assert int.from_bytes(p[f + 14:f + 16], "little") == 24  # bpp
+    assert int.from_bytes(p[f + 16:f + 20], "little") == 0   # BI_RGB
+    m = p.index(b"movi")
+    # first frame chunk: BGR + 2 pad bytes (stride 8 for width 2)
+    assert p[m + 4:m + 8] == b"00db"
+    assert p[m + 12:m + 20] == bytes([1, 2, 3, 4, 5, 6, 0, 0])
+
+
+def test_avi_decode_rejects_junk_truncation_and_count_mismatch():
+    import pytest as _pytest
+
+    from firebase_etl_spark.operators.multimodal import (
+        decode_avi_rgb,
+        encode_avi_rgb,
+    )
+
+    with _pytest.raises(ValueError):
+        decode_avi_rgb(b"RIFFxxxxWAVE")  # a WAV is not an AVI
+    with _pytest.raises(ValueError):
+        decode_avi_rgb(b"")
+    p = encode_avi_rgb(2, 2, _avi_frames(2, 2, 2), fps=10)
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_avi_rgb(p[:-5])
+    bad = bytearray(p)
+    i = bad.index(b"avih") + 8 + 16
+    bad[i:i + 4] = (9).to_bytes(4, "little")  # header lies about count
+    with _pytest.raises(ValueError, match="frame count"):
+        decode_avi_rgb(bytes(bad))
+
+
+def test_sample_frames_decodes_real_avi_frames(spark):
+    """sample_frames takes the REAL path for AVI payloads: one row per
+    sampled REAL frame, frame_hash = sha256 of the decoded pixel
+    bytes, timestamps from the container's own frame rate."""
+    import hashlib as _hl
+
+    from firebase_etl_spark.operators.multimodal import (
+        encode_avi_rgb,
+        sample_frames,
+    )
+
+    frames = _avi_frames(2, 2, 3)
+    avi = encode_avi_rgb(2, 2, frames, fps=1)  # 1 fps -> all 3 sampled
+    df = spark.createDataFrame(
+        [(1, "video", None, avi, None), (2, "video", None, b"junk", None)],
+        "media_id long, kind string, mime string, payload binary,"
+        " meta struct<width:int,height:int,duration_ms:int>",
+    )
+    rows = sample_frames(df, every_ms=1000, max_frames=4).collect()
+    real = sorted(
+        (r for r in rows if r["media_id"] == 1),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [r["frame_ts_ms"] for r in real] == [0, 1000, 2000]
+    for i, r in enumerate(real):
+        fb = bytes(c for row in frames[i] for px in row for c in px)
+        assert r["frame_hash"] == _hl.sha256(fb).hexdigest()
+    # non-AVI video rows keep the deterministic stub (single frame,
+    # NULL duration)
+    stub = [r for r in rows if r["media_id"] == 2]
+    assert len(stub) == 1 and stub[0]["frame_ts_ms"] == 0
+
+
+def test_feature_dispatch_takes_real_path_for_avi(spark):
+    from firebase_etl_spark.operators.multimodal import (
+        encode_avi_rgb,
+        extract_media_features,
+    )
+
+    frames = [[[(255, 0, 0)]], [[(255, 0, 0)]]]  # 2 frames of pure blue
+    avi = encode_avi_rgb(1, 1, frames, fps=10)
+    df = spark.createDataFrame(
+        [(1, "video", None, avi, None)],
+        "media_id long, kind string, mime string, payload binary,"
+        " meta struct<width:int,height:int,duration_ms:int>",
+    )
+    f = extract_media_features(df).collect()[0]["feat"]
+    assert f[7] == 1.0  # real-decode marker
+    assert f[0] == 1.0 and f[1] == 1.0 and f[2] == 2.0 and f[3] == 10.0
+    assert abs(f[4] - 1.0) < 1e-6  # mean blue
+    assert f[5] == 200.0  # 2 frames at 10 fps = 200 ms
+
+
 def test_feature_dispatch_takes_real_path_for_wav(spark):
     from firebase_etl_spark.operators.multimodal import (
         encode_wav16,

@@ -1,0 +1,104 @@
+"""round(double) exposure audit (VERDICT r6 #3).
+
+Spark's ``F.round`` rounds HALF_UP on the exact decimal expansion of the
+double; DuckDB's ``round(DOUBLE, k)`` changed semantics across versions
+(decimal-exact HALF_UP in recent builds vs multiply-and-nearbyint —
+half-to-EVEN on the scaled value — in older ones). A query whose hashed
+output contains a rounded double that lands exactly on a .5 boundary at
+the gate SF is therefore a latent environment-dependent red of the
+documents_dsir_weights class: green against the local DuckDB, red
+against a driver whose DuckDB rounds the other way.
+
+This tool measures that exposure DIRECTLY instead of guessing: every
+oracle is executed twice on the same DuckDB — once verbatim, once with
+every ``round(`` textually swapped to ``round_even(`` (banker's
+rounding, the other historical semantics). Any value difference means
+the query's output depends on WHICH round semantics the engine ships —
+i.e. some value sits exactly on a boundary — and that query must stop
+emitting round(double) into its hashed row (fixed-point integer column,
+or the +1e-9 nudge idiom of portable_math.fixed_e6_expr which moves
+exact boundaries off the knife edge consistently on both engines).
+
+Queries that agree under BOTH semantics are immune to round-semantics
+drift at this SF by measurement, not argument.
+
+Usage: python tools/round_audit.py [sf_dir]
+Exit 1 if any query's output differs between the two round semantics.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as m  # noqa: E402
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def swap_round(sql: str) -> str:
+    """Replace every round( call with round_even( — word-boundary match
+    so round_even itself (none today) or column names containing
+    'round' are untouched."""
+    return re.sub(r"\bround\s*\(", "round_even(", sql)
+
+
+def main() -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    at_risk, errors, immune, no_round = [], [], 0, 0
+    for name, sql in sorted(m.oracle_sql().items()):
+        if not re.search(r"\bround\s*\(", sql):
+            no_round += 1
+            continue
+        try:
+            base = con.execute(sql).fetchall()
+            alt = con.execute(swap_round(sql)).fetchall()
+        except Exception as exc:  # noqa: BLE001
+            errors.append(name)
+            print(f"{name}: ERROR {type(exc).__name__}: {exc}")
+            continue
+        # value-level compare (types may widen through the macro swap)
+        def norm(rows):
+            return sorted(
+                tuple(
+                    float(v) if isinstance(v, (int, float)) else str(v)
+                    for v in r
+                )
+                for r in rows
+            )
+
+        if norm(base) != norm(alt):
+            at_risk.append(name)
+            sb, sa = norm(base), norm(alt)
+            diff = [(b, a) for b, a in zip(sb, sa) if b != a][:2]
+            print(f"{name}: AT RISK (half-boundary value in output)")
+            for b, a in diff:
+                print(f"  half_up={b}")
+                print(f"  half_even={a}")
+        else:
+            immune += 1
+    print(
+        f"\n{immune} immune by measurement, {no_round} no round() at all,"
+        f" {len(at_risk)} at risk, {len(errors)} errors"
+    )
+    if at_risk:
+        print("AT RISK:", ", ".join(at_risk))
+    return 1 if at_risk or errors else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
