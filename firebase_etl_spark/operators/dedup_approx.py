@@ -21,7 +21,7 @@ rather than value-equality oracles.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from firebase_etl_spark.operators.text import (
@@ -600,12 +600,69 @@ def incremental_minhash_dedup(
     return survivors
 
 
+def _cap_bucket_postings(
+    postings: DataFrame,
+    key: str,
+    order_col: str,
+    max_bucket_docs: int,
+    truncation: dict | None,
+    op_name: str,
+) -> DataFrame:
+    """The banded-subset mode the x10 probe says 100 TB needs (VERDICT
+    r6 #6): keep at most ``max_bucket_docs`` postings per bucket
+    ``key`` (deterministic — the ``order_col``-lowest survive), so
+    per-bucket pair emission is bounded by cap² instead of m². This is
+    an EXPLICIT recall trade for pathological buckets (a cluster of m
+    mutual near-dups emits O(m²) true pairs; no algorithm that
+    enumerates verified pairs beats its own output size) — and it is
+    never silent: the exact truncation counts are computed eagerly and
+    written into ``truncation`` (or logged at WARNING if no dict was
+    passed). Docs dropped from one bucket still pair through any OTHER
+    shared bucket, so the loss is per-bucket, not per-doc."""
+    sizes = postings.groupBy(key).agg(F.count(F.lit(1)).alias("m"))
+    row = sizes.agg(
+        F.coalesce(
+            F.sum((F.col("m") > max_bucket_docs).cast("long")), F.lit(0)
+        ).alias("buckets_truncated"),
+        F.coalesce(
+            F.sum(F.greatest(F.col("m") - max_bucket_docs, F.lit(0))),
+            F.lit(0),
+        ).alias("postings_dropped"),
+    ).collect()[0]
+    stats = {
+        "buckets_truncated": int(row["buckets_truncated"]),
+        "postings_dropped": int(row["postings_dropped"]),
+    }
+    if truncation is not None:
+        truncation.update(stats)
+    elif stats["postings_dropped"]:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "%s: max_bucket_docs=%d dropped %d postings across %d "
+            "buckets (bounded-recall mode; pass truncation={} to "
+            "collect these counts)",
+            op_name,
+            max_bucket_docs,
+            stats["postings_dropped"],
+            stats["buckets_truncated"],
+        )
+    w = Window.partitionBy(key).orderBy(order_col)
+    return (
+        postings.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_bucket_docs)
+        .drop("__rn")
+    )
+
+
 def prefix_filter_near_dups(
     df: DataFrame,
     threshold: float = 0.5,
     shingle_n: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket_docs: int | None = None,
+    truncation: dict | None = None,
 ) -> DataFrame:
     """EXACT set-similarity self-join via prefix filtering (the
     PPJoin/AllPairs family — Xiao et al. 2008, Bayardo et al. 2007):
@@ -628,7 +685,14 @@ def prefix_filter_near_dups(
     hold the docs sharing a RARE shingle (rarest-first ordering is what
     bounds the hot buckets), and an exact verify on the candidate pairs
     only. The same shape as the LSH banding path with prefixes instead
-    of bands."""
+    of bands.
+
+    ``max_bucket_docs`` switches on the banded-subset mode for corpora
+    whose true near-dup clusters are large (mirror crawls): per-prefix-
+    bucket postings are capped (deterministic, id-lowest survive) so
+    pair emission is bounded by cap² per bucket — an EXPLICIT recall
+    trade whose exact truncation counts land in ``truncation`` (see
+    :func:`_cap_bucket_postings`; never silent)."""
     sh = (
         df.select(F.col(id_col), tokenize(text_col).alias("__t"))
         .select(
@@ -670,6 +734,15 @@ def prefix_filter_near_dups(
         pex = pref.select(
             F.col(id_col), "n", F.posexplode("prefix.s").alias("pos", "s")
         )
+        if max_bucket_docs is not None:
+            pex = _cap_bucket_postings(
+                pex,
+                "s",
+                id_col,
+                max_bucket_docs,
+                truncation,
+                "prefix_filter_near_dups",
+            )
         a_side = pex.select(
             F.col("s"),
             F.col(id_col).alias("id_a"),
@@ -732,6 +805,8 @@ def containment_near_dups(
     shingle_n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket_docs: int | None = None,
+    truncation: dict | None = None,
 ) -> DataFrame:
     """EXACT asymmetric-containment join: pairs where |A ∩ B| / |A| >=
     ``threshold`` — document A substantially contained in B. Jaccard
@@ -752,7 +827,10 @@ def containment_near_dups(
     below o are pruned positionally before the distinct + verify joins
     (the PPJoin positional filter, containment form). The B side being
     full postings makes shingle-df selectivity matter even more than for
-    the Jaccard join — same 3-gram choice as prefix_filter_near_dups."""
+    the Jaccard join — same 3-gram choice as prefix_filter_near_dups.
+    ``max_bucket_docs`` caps the B-side postings per shingle (the hot
+    side) — the explicit bounded-recall mode for mirror-heavy corpora,
+    with exact truncation accounting (:func:`_cap_bucket_postings`)."""
     sh = (
         df.select(F.col(id_col), tokenize(text_col).alias("__t"))
         .select(
@@ -797,6 +875,17 @@ def containment_near_dups(
         b_side = ex.select(
             F.col("s"), F.col(id_col).alias("id_b"), F.col("n").alias("n_b")
         )
+        if max_bucket_docs is not None:
+            # the hot side of the A-prefix x B-postings join is the FULL
+            # B posting list (A prefixes are rare by construction)
+            b_side = _cap_bucket_postings(
+                b_side,
+                "s",
+                "id_b",
+                max_bucket_docs,
+                truncation,
+                "containment_near_dups",
+            )
         o_req = F.ceil(F.lit(threshold) * F.col("n_a"))
         cands = (
             a_side.join(b_side, "s")

@@ -5400,7 +5400,10 @@ ORACLES_EXT["documents_curation_v2"] = r"""
            CAST(sum(CASE WHEN cd.doc_id IS NULL AND cm.doc_id IS NULL
                          THEN len(regexp_split_to_array(
                                   lower(trim(c.text)), '\s+'))
-                         ELSE 0 END) AS BIGINT) AS tokens_kept
+                         ELSE 0 END) AS BIGINT) AS tokens_kept,
+           -- gated query runs UNCAPPED (max_bucket_docs=None): the
+           -- no-silent-caps column is exactly 0 there by construction
+           CAST(0 AS BIGINT) AS trunc_postings_dropped
     FROM corpus c
     LEFT JOIN contained cd ON c.doc_id = cd.doc_id
     LEFT JOIN contaminated cm ON c.doc_id = cm.doc_id

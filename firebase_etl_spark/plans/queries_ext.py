@@ -5278,7 +5278,11 @@ def stream_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def documents_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+def documents_curation_v2(
+    spark: SparkSession,
+    sf_dir: str,
+    max_bucket_docs: int | None = None,
+) -> DataFrame:
     """Second-generation curation pipeline composing this round's dedup
     + hygiene operators (the v1 pipeline documents_training_corpus uses
     exact dedup + MinHash-LSH + CC): drop documents SUBSTANTIALLY
@@ -5287,7 +5291,16 @@ def documents_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     trigrams with the held-out probe slice (bloom_ngram_overlap — the
     Bloom path whose output is bit-identical to exact). Per-language
     accounting of every drop reason plus kept tokens; the oracle is the
-    same composition of the two registered fragment shapes."""
+    same composition of the two registered fragment shapes.
+
+    ``max_bucket_docs`` is the 100 TB mode (VERDICT r6 #6): caps the
+    containment join's per-shingle postings (bounded-recall banding for
+    mirror-heavy corpora) — the exact number of postings the cap
+    dropped is SURFACED in the report as ``trunc_postings_dropped``
+    (identical on every row; 0 when uncapped or nothing truncated), so
+    a capped run can never masquerade as an exhaustive one. The gated
+    driver query runs uncapped; the capped path is pytest-pinned and
+    measured in the x10 scale probe."""
     from firebase_etl_spark.operators.contamination import (
         bloom_ngram_overlap,
     )
@@ -5298,11 +5311,19 @@ def documents_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
     probes = d.filter(F.col("doc_id") % 89 == 0)
     corpus = d.filter(F.col("doc_id") % 89 != 0)
+    trunc: dict = {}
     contained = (
-        containment_near_dups(corpus, threshold=0.8, shingle_n=3)
+        containment_near_dups(
+            corpus,
+            threshold=0.8,
+            shingle_n=3,
+            max_bucket_docs=max_bucket_docs,
+            truncation=trunc,
+        )
         .select(F.col("id_a").alias("doc_id"))
         .distinct()
     )
+    trunc_dropped = int(trunc.get("postings_dropped", 0))
     contaminated = (
         bloom_ngram_overlap(corpus, probes, n=3, fpp=0.01)
         .filter(F.col("overlap") >= 2)
@@ -5328,6 +5349,9 @@ def documents_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 F.when(kept, F.size(TX.tokenize("text"))).otherwise(0)
             ).alias("tokens_kept"),
+        )
+        .withColumn(
+            "trunc_postings_dropped", F.lit(trunc_dropped).cast("long")
         )
         .orderBy("lang")
     )

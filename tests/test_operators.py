@@ -1511,6 +1511,76 @@ def test_prefix_filter_hand_case(spark):
     assert got == {(0, 1): 0.6, (0, 3): 1.0, (1, 3): 0.6}
 
 
+def test_near_dup_bucket_cap_bounds_emission_and_reports(spark):
+    """The banded-subset mode (VERDICT r6 #6): an adversarial cluster of
+    m mutual dups emits O(m²) pairs uncapped; with max_bucket_docs=k
+    the emission is bounded, the surviving pairs are EXACTLY the ones
+    among each bucket's k id-lowest members (a subset of the uncapped
+    result — never a fabricated pair), and the exact truncation counts
+    are reported, never silent."""
+    from firebase_etl_spark.operators.dedup_approx import (
+        containment_near_dups,
+        prefix_filter_near_dups,
+    )
+
+    m = 12
+    docs = [(i, "a b c d e f") for i in range(m)] + [
+        (100, "p q r s t u"),
+        (101, "p q r s t x"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in prefix_filter_near_dups(df, 0.5, 2).collect()
+    }
+    assert len([p for p in full if p[0] < m and p[1] < m]) == m * (m - 1) / 2
+
+    trunc: dict = {}
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in prefix_filter_near_dups(
+            df, 0.5, 2, max_bucket_docs=4, truncation=trunc
+        ).collect()
+    }
+    assert capped <= full  # bounded-recall, no fabricated pairs
+    # the cluster's 4 id-lowest members still pair among themselves
+    # (every shared bucket keeps the same id-lowest postings)
+    assert {(a, b) for a in range(4) for b in range(a + 1, 4)} <= capped
+    # members beyond the cap emit no cluster pairs
+    assert not [p for p in capped if p[1] >= 4 and p[1] < m]
+    # the small healthy cluster is untouched
+    assert (100, 101) in capped
+    assert trunc["postings_dropped"] > 0
+    assert trunc["buckets_truncated"] > 0
+
+    tc: dict = {}
+    got = containment_near_dups(
+        df, 0.8, 2, max_bucket_docs=4, truncation=tc
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    # contained-side capping: pairs only among the 4 id-lowest postings
+    assert {(a, b) for a in range(4) for b in range(4) if a != b} <= pairs
+    assert not [p for p in pairs if p[0] < m and p[1] in range(4, m)]
+    assert tc["postings_dropped"] > 0
+
+
+def test_curation_v2_surfaces_truncation_count(spark):
+    """documents_curation_v2's report schema carries the no-silent-caps
+    column: 0 uncapped, > 0 when the cap actually dropped postings."""
+    from firebase_etl_spark.plans.queries_ext import documents_curation_v2
+
+    sf = "/root/testdata/sf0.001"
+    un = documents_curation_v2(spark, sf).collect()
+    assert all(r["trunc_postings_dropped"] == 0 for r in un)
+    capped = documents_curation_v2(spark, sf, max_bucket_docs=1).collect()
+    assert all(
+        r["trunc_postings_dropped"] == capped[0]["trunc_postings_dropped"]
+        for r in capped
+    )
+    assert capped[0]["trunc_postings_dropped"] > 0
+
+
 def test_source_drift_identical_and_shifted(spark):
     """A group drawn from the corpus shape scores near 0; a disjoint
     range scores near 1."""

@@ -18,7 +18,15 @@ Replication semantics (why these, explicitly):
 - embeddings: new vec_ids, vectors copied (ANN cost depends on corpus
   size, not vector values; exact ties break on id).
 
-Usage: python tools/scale_probe.py [n_copies] (default 10)
+The CAPPED section re-times the near-dup trio with the banded-subset
+mode on (max_bucket_docs — VERDICT r6 #6): pair emission inside each
+shingle bucket is bounded by the cap, so the 13-45x output-bound growth
+of the uncapped runs must collapse toward linear; the exact truncation
+counts are printed next to the ratios (the no-silent-caps rule).
+
+Usage: python tools/scale_probe.py [n_copies] [--capped-only]
+(default 10 copies; --capped-only skips the uncapped HEAVY sweep and
+reuses an existing tmp_sfbig build when present).
 Writes nothing outside /root/repo/tmp_sfbig (gitignored).
 """
 
@@ -91,28 +99,105 @@ def build(spark, n_copies: int) -> None:
         print(f"built {table} x{n_copies}", flush=True)
 
 
-def main() -> None:
-    n_copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    spark = get_spark(app_name="scale_probe")
-    build(spark, n_copies)
-    qs = entrymod.queries()
-    print(f"| query | sf0.1 s | x{n_copies} s | ratio |")
+#: banded-subset cap used in the capped probe rows: the replica fixture
+#: builds mutual-dup clusters of ~n_copies, so a cap below that forces
+#: real truncation while healthy buckets pass through untouched
+PROBE_CAP = 8
+
+
+def capped_variants():
+    from firebase_etl_spark.operators.dedup_approx import (
+        containment_near_dups,
+        prefix_filter_near_dups,
+    )
+    from firebase_etl_spark.plans import queries_ext as QX
+
+    def contain(spark, sf, trunc):
+        d = load_table(spark, "documents", sf)
+        return containment_near_dups(
+            d, 0.8, 3, max_bucket_docs=PROBE_CAP, truncation=trunc
+        )
+
+    def prefix(spark, sf, trunc):
+        d = load_table(spark, "documents", sf)
+        return prefix_filter_near_dups(
+            d, 0.5, 3, max_bucket_docs=PROBE_CAP, truncation=trunc
+        )
+
+    def curation(spark, sf, trunc):
+        out = QX.documents_curation_v2(
+            spark, sf, max_bucket_docs=PROBE_CAP
+        )
+        return out
+
+    return [
+        ("doc_containment_near_dups[cap]", contain),
+        ("doc_prefix_filter_near_dups[cap]", prefix),
+        ("documents_curation_v2[cap]", curation),
+    ]
+
+
+def run_capped(spark, n_copies: int) -> None:
+    print(
+        f"\nCAPPED (max_bucket_docs={PROBE_CAP}):"
+        f" per-bucket pair emission bounded, truncation reported"
+    )
+    print(f"| query | sf0.1 s (trunc) | x{n_copies} s (trunc) | ratio |")
     print("|---|---|---|---|")
-    for name in HEAVY:
-        fn = qs[name]
-        fn(spark, "/root/testdata/sf0.01").collect()  # codegen warm
-        t0 = time.perf_counter()
-        fn(spark, BASE).collect()
-        small = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        fn(spark, DEST).collect()
-        big = time.perf_counter() - t0
+    for name, fn in capped_variants():
+        def timed(sf):
+            trunc: dict = {}
+            t0 = time.perf_counter()
+            rows = fn(spark, sf, trunc).collect()
+            wall = time.perf_counter() - t0
+            if rows and "trunc_postings_dropped" in rows[0].asDict():
+                # curation surfaces the count as a report column
+                trunc["postings_dropped"] = rows[0][
+                    "trunc_postings_dropped"
+                ]
+            return wall, len(rows), trunc
+
+        fn(spark, "/root/testdata/sf0.01", {}).collect()  # codegen warm
+        small, n_small, t_small = timed(BASE)
+        big, n_big, t_big = timed(DEST)
         print(
-            f"| {name} | {small:.2f} | {big:.2f} |"
-            f" {big / small:.2f}x |",
+            f"| {name} | {small:.2f}"
+            f" (drop {t_small.get('postings_dropped', 0)},"
+            f" rows {n_small}) | {big:.2f}"
+            f" (drop {t_big.get('postings_dropped', 0)},"
+            f" rows {n_big}) | {big / small:.2f}x |",
             flush=True,
         )
         spark.catalog.clearCache()
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_copies = int(args[0]) if args else 10
+    capped_only = "--capped-only" in sys.argv
+    spark = get_spark(app_name="scale_probe")
+    if not (capped_only and os.path.exists(f"{DEST}/documents.parquet")):
+        build(spark, n_copies)
+    if not capped_only:
+        qs = entrymod.queries()
+        print(f"| query | sf0.1 s | x{n_copies} s | ratio |")
+        print("|---|---|---|---|")
+        for name in HEAVY:
+            fn = qs[name]
+            fn(spark, "/root/testdata/sf0.01").collect()  # codegen warm
+            t0 = time.perf_counter()
+            fn(spark, BASE).collect()
+            small = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            fn(spark, DEST).collect()
+            big = time.perf_counter() - t0
+            print(
+                f"| {name} | {small:.2f} | {big:.2f} |"
+                f" {big / small:.2f}x |",
+                flush=True,
+            )
+            spark.catalog.clearCache()
+    run_capped(spark, n_copies)
     spark.stop()
 
 
