@@ -62,6 +62,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_curriculum_schedule": QX.documents_curriculum_schedule,
         # NEW this round: REAL video codec under the gate
         "media_avi_frame_stats": QX.media_avi_frame_stats,
+        # NEW this round: KMV bottom-k sketch with set operations
+        "events_kmv_user_overlap": QX.events_kmv_user_overlap,
+        # NEW this round: greedy maximin k-center diversity seeds
+        "embedding_kcenter_seeds": QX.embedding_kcenter_seeds,
         "customer_fuzzy_matches": QX.customer_fuzzy_matches,
         "referential_integrity_audit": QX.referential_integrity_audit,
         "documents_bpe_encoded_stats": QX.documents_bpe_encoded_stats,

@@ -260,3 +260,87 @@ def kmeans_label_report(
         )
         .orderBy("cluster")
     )
+
+
+def kcenter_seeds(
+    df: DataFrame,
+    k: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy maximin k-center selection (Gonzalez 1985, the classic
+    2-approximation) over cosine distance — the DIVERSITY-coverage
+    complement to k-means' density clustering: each round adds the
+    point FARTHEST from every seed picked so far. For a training-data
+    pipeline this is coreset/probe selection: k documents or prompts
+    that maximally span the embedding space (k-means centers collapse
+    into dense modes; maximin guarantees every corpus point is within
+    the reported radius of some seed).
+
+    Returns one row per selected seed: (seed_rank, vec_id, sel_dist_e6
+    — the maximin distance at selection, monotonically non-increasing;
+    2_000_000 sentinel for the rank-0 seed which no prior seed covers)
+    plus the final coverage audit on every row (cover_radius_e6 = the
+    k-center objective max-min-distance, cover_mean_e6 = integer mean
+    min-distance). All fixed-point 1e-6 integers: per-point distance is
+    1e6 - round(max 6dp seed cosine * 1e6), so the row is cross-engine
+    exact and the DuckDB oracle unrolls the identical greedy rounds.
+
+    Scale shape: k-1 corpus passes (one Arrow-batched scoring pass per
+    round against a broadcast <= k x dim seed matrix, then a
+    TakeOrdered(1) argmax — never a global sort), one final coverage
+    pass; driver state is k ids + k vectors. Initialization: lowest id
+    (deterministic, oracle-expressible)."""
+    vecs = _unit_vecs(df, id_col, vec_col).persist()
+    try:
+        first = vecs.orderBy("vid").limit(1).collect()
+        if not first:
+            return df.sparkSession.createDataFrame(
+                [],
+                "seed_rank int, vec_id long, sel_dist_e6 long,"
+                " cover_radius_e6 long, cover_mean_e6 long",
+            )
+        seeds = [(int(first[0]["vid"]), list(first[0]["v"]), 2_000_000)]
+
+        def dist_col():
+            raw = _cosine_scores_udf([s[1] for s in seeds])(F.col("v"))
+            scores = F.transform(raw, lambda x: F.round(x, 6))
+            cos_e6 = F.round(F.array_max(scores) * _SCALE, 0).cast("long")
+            return (F.lit(1_000_000) - cos_e6).alias("dist_e6")
+
+        for _ in range(1, k):
+            picked = [s[0] for s in seeds]
+            nxt = (
+                vecs.filter(~F.col("vid").isin(picked))
+                .select("vid", "v", dist_col())
+                .orderBy(F.desc("dist_e6"), "vid")
+                .limit(1)
+                .collect()
+            )
+            if not nxt:  # corpus smaller than k
+                break
+            seeds.append(
+                (int(nxt[0]["vid"]), list(nxt[0]["v"]), int(nxt[0]["dist_e6"]))
+            )
+        cover = (
+            vecs.select(dist_col())
+            .agg(
+                F.max("dist_e6").alias("radius"),
+                F.sum("dist_e6").alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()[0]
+        )
+        radius = int(cover["radius"])
+        mean = int(cover["s"]) // int(cover["n"])
+    finally:
+        vecs.unpersist()
+    rows = [
+        (rank, vid, sel, radius, mean)
+        for rank, (vid, _, sel) in enumerate(seeds)
+    ]
+    return df.sparkSession.createDataFrame(
+        rows,
+        "seed_rank int, vec_id long, sel_dist_e6 long,"
+        " cover_radius_e6 long, cover_mean_e6 long",
+    ).orderBy("seed_rank")

@@ -210,3 +210,155 @@ def count_min_report(
         )
         .orderBy("value")
     )
+
+
+KMV_SCALE = 1 << 52  # 13 md5 hex chars: hashes uniform in [0, 2^52)
+
+
+def kmv_set_ops_report(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """KMV / bottom-k distinct sketch WITH SET OPERATIONS (Bar-Yossef et
+    al. 2002; Beyer et al. 2007) — the sketch-family member HLL can't
+    provide: mergeable distinct estimates for UNIONS and INTERSECTIONS
+    of keyed sets. Per key, keep the k smallest md5 hashes of the ids;
+    for every key pair report the estimated distinct ids per side, of
+    the union (the merged sketch's kth smallest: (k-1)*SCALE // h_k),
+    and of the intersection (Jaccard estimator: c/k of the merged-k
+    present in BOTH sketches, scaled by the union estimate) — next to
+    the EXACT intersection as the verification column. Sets smaller
+    than k degrade to exact counting by construction.
+
+    Engine-portable: md5 hashes and pure integer arithmetic (the
+    overflow-free split (u DIV k)*c + ((u % k)*c) DIV k keeps every
+    intermediate under 2^62), so the DuckDB oracle rebuilds the
+    IDENTICAL sketch and the estimates are hash-checked, not bounded.
+
+    Scale shape: one distinct aggregate, one per-key bottom-k window
+    (WindowGroupLimit computes partial limits map-side), then all set
+    arithmetic runs on k-sized sketch rows — the pair stage touches
+    n_keys² * 2k rows, never the corpus. The exact-intersection column
+    is the verification harness; at 100 TB you would keep only the
+    sketch path."""
+    from pyspark.sql import Window
+
+    d = (
+        df.filter(F.col(key_col).isNotNull() & F.col(id_col).isNotNull())
+        .select(
+            F.col(key_col).alias("g"),
+            F.col(id_col).cast("string").alias("u"),
+        )
+        .distinct()
+    )
+    hashed = d.withColumn(
+        "h",
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("kmv|"), F.col("u"))), 1, 13),
+            16,
+            10,
+        ).cast("long"),
+    )
+    w = Window.partitionBy("g").orderBy("h", "u")
+    sk = (
+        hashed.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k)
+        .localCheckpoint(eager=True)  # k-sized per key; consumed 3x below
+    )
+    per_g = sk.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_sk"), F.max("h").alias("h_k")
+    )
+    types = sk.select("g").distinct()
+    pairs = (
+        types.select(F.col("g").alias("ga"))
+        .join(
+            types.select(F.col("g").alias("gb")),
+            F.col("ga") < F.col("gb"),
+        )
+    )
+    side_a = pairs.join(
+        sk.select(F.col("g").alias("ga"), "h"), "ga"
+    ).withColumn("in_a", F.lit(1)).withColumn("in_b", F.lit(0))
+    side_b = pairs.join(
+        sk.select(F.col("g").alias("gb"), "h"), "gb"
+    ).withColumn("in_a", F.lit(0)).withColumn("in_b", F.lit(1))
+    merged = (
+        side_a.unionByName(side_b)
+        .groupBy("ga", "gb", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    wm = Window.partitionBy("ga", "gb").orderBy("h")
+    wn = Window.partitionBy("ga", "gb")
+    mk = (
+        merged.withColumn("r", F.row_number().over(wm))
+        .withColumn("n_tot", F.count(F.lit(1)).over(wn))
+        .filter(F.col("r") <= k)
+    )
+    agg = mk.groupBy("ga", "gb").agg(
+        F.max("n_tot").alias("n_merged"),
+        F.count(F.lit(1)).alias("n_k"),
+        F.max("h").alias("h_k_u"),
+        F.sum(
+            ((F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("long")
+        ).alias("c"),
+    )
+    est = (
+        f"CASE WHEN n_sk_{{s}} < {k} THEN n_sk_{{s}}"
+        f" ELSE ({k - 1} * CAST({KMV_SCALE} AS BIGINT)) DIV h_k_{{s}} END"
+    )
+    est_union = (
+        f"CASE WHEN n_merged < {k} THEN n_merged"
+        f" ELSE ({k - 1} * CAST({KMV_SCALE} AS BIGINT)) DIV h_k_u END"
+    )
+    # overflow-free (c * est_union) // n_k with c, n_k <= k
+    est_inter = (
+        "CASE WHEN n_merged < n_k_guard THEN c"
+        " ELSE (est_union DIV n_k) * c + ((est_union % n_k) * c) DIV n_k"
+        " END"
+    )
+    exact = (
+        d.select(F.col("g").alias("ga"), "u")
+        .join(d.select(F.col("g").alias("gb"), "u"), "u")
+        .filter(F.col("ga") < F.col("gb"))
+        .groupBy("ga", "gb")
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+    out = (
+        agg.join(
+            per_g.select(
+                F.col("g").alias("ga"),
+                F.col("n_sk").alias("n_sk_a"),
+                F.col("h_k").alias("h_k_a"),
+            ),
+            "ga",
+        )
+        .join(
+            per_g.select(
+                F.col("g").alias("gb"),
+                F.col("n_sk").alias("n_sk_b"),
+                F.col("h_k").alias("h_k_b"),
+            ),
+            "gb",
+        )
+        .withColumn("est_users_a", F.expr(est.format(s="a")))
+        .withColumn("est_users_b", F.expr(est.format(s="b")))
+        .withColumn("est_union", F.expr(est_union))
+        .withColumn("n_k_guard", F.lit(k).cast("long"))
+        .withColumn("est_intersection", F.expr(est_inter))
+        .join(exact, ["ga", "gb"], "left")
+        .select(
+            "ga",
+            "gb",
+            "est_users_a",
+            "est_users_b",
+            "est_union",
+            "est_intersection",
+            F.coalesce("exact_intersection", F.lit(0)).alias(
+                "exact_intersection"
+            ),
+        )
+        .orderBy("ga", "gb")
+    )
+    return out

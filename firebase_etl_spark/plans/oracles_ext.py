@@ -3106,6 +3106,85 @@ ORACLES_EXT["media_avi_frame_stats"] = """
 """
 
 
+# KMV set-ops replay: the oracle rebuilds the identical bottom-64
+# sketch (md5 hashes, 13 hex chars = 2^52 scale) and replays the union
+# / intersection estimators in the same overflow-free integer
+# arithmetic, so every estimate is hash-checked
+ORACLES_EXT["events_kmv_user_overlap"] = """
+    WITH d AS (
+        SELECT DISTINCT event_type AS g, CAST(user_id AS VARCHAR) AS u
+        FROM events
+        WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+    h AS (
+        SELECT g, u,
+               ('0x' || substr(md5('kmv|' || u), 1, 13))::BIGINT AS h
+        FROM d),
+    sk AS (
+        SELECT g, u, h FROM (
+            SELECT g, u, h, row_number() OVER (
+                PARTITION BY g ORDER BY h, u) AS r
+            FROM h) WHERE r <= 64),
+    per_g AS (
+        SELECT g, count(*) AS n_sk, max(h) AS h_k FROM sk GROUP BY g),
+    types AS (SELECT DISTINCT g FROM sk),
+    pairs AS (
+        SELECT a.g AS ga, b.g AS gb FROM types a
+        JOIN types b ON a.g < b.g),
+    mrows AS (
+        SELECT p.ga, p.gb, s.h,
+               CASE WHEN s.g = p.ga THEN 1 ELSE 0 END AS in_a,
+               CASE WHEN s.g = p.gb THEN 1 ELSE 0 END AS in_b
+        FROM pairs p JOIN sk s ON s.g = p.ga OR s.g = p.gb),
+    mh AS (
+        SELECT ga, gb, h, max(in_a) AS in_a, max(in_b) AS in_b
+        FROM mrows GROUP BY ga, gb, h),
+    mk AS (
+        SELECT * FROM (
+            SELECT ga, gb, h, in_a, in_b,
+                   row_number() OVER (
+                       PARTITION BY ga, gb ORDER BY h) AS r,
+                   count(*) OVER (PARTITION BY ga, gb) AS n_tot
+            FROM mh) WHERE r <= 64),
+    agg AS (
+        SELECT ga, gb, max(n_tot) AS n_merged, count(*) AS n_k,
+               max(h) AS h_k_u,
+               CAST(sum(CASE WHEN in_a = 1 AND in_b = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS c
+        FROM mk GROUP BY ga, gb),
+    ex AS (
+        SELECT a.g AS ga, b.g AS gb, count(*) AS exact_common
+        FROM d a JOIN d b ON a.u = b.u AND a.g < b.g
+        GROUP BY a.g, b.g),
+    est AS (
+        SELECT agg.ga, agg.gb,
+               CASE WHEN pa.n_sk < 64 THEN pa.n_sk
+                    ELSE (63 * CAST(4503599627370496 AS BIGINT))
+                         // pa.h_k END AS est_users_a,
+               CASE WHEN pb.n_sk < 64 THEN pb.n_sk
+                    ELSE (63 * CAST(4503599627370496 AS BIGINT))
+                         // pb.h_k END AS est_users_b,
+               CASE WHEN agg.n_merged < 64 THEN agg.n_merged
+                    ELSE (63 * CAST(4503599627370496 AS BIGINT))
+                         // agg.h_k_u END AS est_union,
+               agg.n_merged, agg.n_k, agg.c
+        FROM agg
+        JOIN per_g pa ON agg.ga = pa.g
+        JOIN per_g pb ON agg.gb = pb.g)
+    SELECT est.ga, est.gb,
+           CAST(est_users_a AS BIGINT) AS est_users_a,
+           CAST(est_users_b AS BIGINT) AS est_users_b,
+           CAST(est_union AS BIGINT) AS est_union,
+           CAST(CASE WHEN n_merged < 64 THEN c
+                ELSE (est_union // n_k) * c
+                     + ((est_union % n_k) * c) // n_k
+                END AS BIGINT) AS est_intersection,
+           CAST(coalesce(ex.exact_common, 0) AS BIGINT)
+               AS exact_intersection
+    FROM est LEFT JOIN ex ON est.ga = ex.ga AND est.gb = ex.gb
+    ORDER BY est.ga, est.gb
+"""
+
+
 # Count-Min sketch replay: md5 row hashes are engine-portable, so the
 # oracle rebuilds the identical 4x256 sketch and the estimates (and
 # overestimates) are exact-checked, not bounded
@@ -3704,6 +3783,63 @@ ORDER BY cluster"""
 
 
 ORACLES_EXT["embedding_kmeans_clusters"] = _kmeans_oracle()
+
+
+def _kcenter_oracle(k: int = 6) -> str:
+    """Unrolled greedy maximin replay (clustering.py:kcenter_seeds
+    twin): one CTE layer per selection round — distance = 1e6 - round
+    of the max 6dp seed cosine, argmax ties to the lower vec_id, seed
+    set accumulated by UNION ALL; then the final coverage pass over
+    the complete seed set."""
+    cos = (
+        "round(list_inner_product(v.e, p.e)"
+        " / (sqrt(list_inner_product(v.e, v.e))"
+        " * sqrt(list_inner_product(p.e, p.e))), 6)"
+    )
+    parts = [
+        """WITH ve AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e0
+    FROM embeddings
+    WHERE list_inner_product(CAST(embedding AS DOUBLE[]),
+                             CAST(embedding AS DOUBLE[])) > 0),
+v AS (
+    SELECT vec_id,
+           list_transform(
+               e0, x -> x / sqrt(list_inner_product(e0, e0))) AS e
+    FROM ve),
+s0 AS (
+    SELECT 0 AS seed_rank, vec_id, e, CAST(2000000 AS BIGINT) AS sel
+    FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 1))"""
+    ]
+    for i in range(1, k):
+        parts.append(f"""d{i} AS (
+    SELECT v.vec_id, v.e,
+           1000000 - CAST(round(max({cos}) * 1000000.0, 0) AS BIGINT)
+               AS dist
+    FROM v CROSS JOIN s{i - 1} p
+    WHERE v.vec_id NOT IN (SELECT vec_id FROM s{i - 1})
+    GROUP BY v.vec_id, v.e),
+p{i} AS (
+    SELECT {i} AS seed_rank, vec_id, e, dist AS sel FROM d{i}
+    ORDER BY dist DESC, vec_id LIMIT 1),
+s{i} AS (SELECT * FROM s{i - 1} UNION ALL SELECT * FROM p{i})""")
+    tail = f"""cov AS (
+    SELECT v.vec_id,
+           1000000 - CAST(round(max({cos}) * 1000000.0, 0) AS BIGINT)
+               AS dist
+    FROM v CROSS JOIN s{k - 1} p GROUP BY v.vec_id),
+agg AS (
+    SELECT CAST(max(dist) AS BIGINT) AS cover_radius_e6,
+           CAST(sum(dist) AS BIGINT) // count(*) AS cover_mean_e6
+    FROM cov)
+SELECT s.seed_rank, s.vec_id, s.sel AS sel_dist_e6,
+       agg.cover_radius_e6, CAST(agg.cover_mean_e6 AS BIGINT)
+           AS cover_mean_e6
+FROM s{k - 1} s CROSS JOIN agg ORDER BY s.seed_rank"""
+    return ",\n".join(parts) + ",\n" + tail
+
+
+ORACLES_EXT["embedding_kcenter_seeds"] = _kcenter_oracle()
 
 
 ORACLES_EXT["part_copurchase_pairs"] = """

@@ -1047,6 +1047,23 @@ def media_avi_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k distinct sketch with SET OPERATIONS
+    (operators/heavy_hitters.py:kmv_set_ops_report, k=64): per
+    event-type pair, sketch-estimated distinct users per side, of the
+    union, and of the intersection — the audience-overlap question HLL
+    alone cannot answer (it has no intersection) — next to the exact
+    intersection as the verification column. md5 hashes + pure integer
+    arithmetic make the WHOLE sketch engine-portable: the oracle
+    rebuilds it and the estimates are hash-checked, not bounded."""
+    from firebase_etl_spark.operators.heavy_hitters import (
+        kmv_set_ops_report,
+    )
+
+    e = load_table(spark, "events", sf_dir)
+    return kmv_set_ops_report(e, "event_type", "user_id", k=64)
+
+
 def doc_token_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch frequency estimates for five probe tokens over
     the document corpus (operators/heavy_hitters.py:count_min_report,
@@ -3443,6 +3460,20 @@ def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, "embeddings", sf_dir)
     return kmeans_label_report(e, k=8, n_iter=3)
+
+
+def embedding_kcenter_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximin k-center probe/coreset selection
+    (operators/clustering.py:kcenter_seeds, k=6): the 6 vectors that
+    maximally SPAN the embedding space (diversity coverage — k-means'
+    density-seeking complement), with the selection-time maximin
+    distances and the final coverage radius/mean. All fixed-point 1e-6
+    integers; the oracle unrolls the identical greedy rounds
+    (lowest-id init, ties to the lower id)."""
+    from firebase_etl_spark.operators.clustering import kcenter_seeds
+
+    e = load_table(spark, "embeddings", sf_dir)
+    return kcenter_seeds(e, k=6)
 
 
 def part_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -222,6 +222,56 @@ def test_count_min_overestimates_never_undercount(spark):
     assert all(r["overestimate"] == 0 for r in got.values())
 
 
+def test_kmv_set_ops_small_sets_are_exact(spark):
+    """Sets smaller than k degrade to exact counting by construction:
+    every estimate equals the true distinct count, union and
+    intersection included."""
+    from firebase_etl_spark.operators.heavy_hitters import (
+        kmv_set_ops_report,
+    )
+
+    rows = (
+        [("A", i) for i in range(20)]            # users 0..19
+        + [("B", i) for i in range(10, 40)]      # users 10..39
+        + [("A", i) for i in range(5)]           # repeats don't count
+    )
+    df = spark.createDataFrame(rows, "g string, uid long")
+    out = kmv_set_ops_report(df, "g", "uid", k=64).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["ga"], r["gb"]) == ("A", "B")
+    assert r["est_users_a"] == 20 and r["est_users_b"] == 30
+    assert r["est_union"] == 40
+    assert r["est_intersection"] == 10 == r["exact_intersection"]
+
+
+def test_kmv_set_ops_estimates_within_theory_bound(spark):
+    """Above k the estimates are sketches: relative error of the
+    bottom-k estimator is ~1/sqrt(k-2) per side; assert a generous
+    4-sigma envelope on distinct/union and absolute slack on the
+    intersection (its variance compounds both estimators)."""
+    from firebase_etl_spark.operators.heavy_hitters import (
+        kmv_set_ops_report,
+    )
+
+    na, nb, shared = 800, 600, 200
+    rows = (
+        [("A", i) for i in range(na)]
+        + [("B", i) for i in range(na - shared, na - shared + nb)]
+    )
+    df = spark.createDataFrame(rows, "g string, uid long")
+    r = kmv_set_ops_report(df, "g", "uid", k=64).collect()[0]
+    tol = 4.0 / (62.0 ** 0.5)  # 4 sigma at k=64
+    assert abs(r["est_users_a"] - na) <= tol * na
+    assert abs(r["est_users_b"] - nb) <= tol * nb
+    union = na + nb - shared
+    assert abs(r["est_union"] - union) <= tol * union
+    assert r["exact_intersection"] == shared
+    # intersection: Jaccard-estimator slack (c/k resolution ~ union/k
+    # per count step, plus the union estimator's own error)
+    assert abs(r["est_intersection"] - shared) <= tol * union + union / 64
+
+
 def test_count_min_probe_join_broadcasts_sketch_side(spark):
     """ADVICE r6: Spark ignores a broadcast hint on the PRESERVED side
     of a LEFT OUTER join, so hinting the probes fell back to a shuffle

@@ -1635,6 +1635,49 @@ def test_heavy_hitters_mg_skewed_fixture(spark):
     assert [tuple(r) for r in out] == [tuple(r) for r in out13]
 
 
+def test_kcenter_seeds_hand_case(spark):
+    """Hand-checkable greedy maximin in 2D: unit vectors at 0°, 5°,
+    90°, 180°. Start at lowest id (0°); the farthest point is 180°
+    (cos -1, dist 2e6); next is 90° (dist 1e6 to both); 5° is never
+    picked at k=3 and sets the coverage radius."""
+    import math as m
+
+    from firebase_etl_spark.operators.clustering import kcenter_seeds
+
+    def vec(deg):
+        return [m.cos(m.radians(deg)), m.sin(m.radians(deg))]
+
+    rows = [(0, vec(0)), (1, vec(5)), (2, vec(90)), (3, vec(180))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kcenter_seeds(df, k=3).collect()
+    assert [(r["seed_rank"], r["vec_id"]) for r in out] == [
+        (0, 0), (1, 3), (2, 2)
+    ]
+    assert out[0]["sel_dist_e6"] == 2_000_000
+    assert out[1]["sel_dist_e6"] == 2_000_000  # cos(180°) = -1
+    assert out[2]["sel_dist_e6"] == 1_000_000  # cos(90°) = 0
+    # sel distances are monotonically non-increasing by construction
+    sels = [r["sel_dist_e6"] for r in out]
+    assert sels == sorted(sels, reverse=True)
+    # with seeds {0°, 90°, 180°} the only uncovered point is 5°:
+    # radius = 1e6 * (1 - cos 5°) rounded at 6dp
+    want = 1_000_000 - round(round(m.cos(m.radians(5)), 6) * 1e6)
+    assert out[0]["cover_radius_e6"] == want
+    assert all(r["cover_radius_e6"] == want for r in out)
+
+
+def test_kcenter_seeds_corpus_smaller_than_k(spark):
+    from firebase_etl_spark.operators.clustering import kcenter_seeds
+
+    df = spark.createDataFrame(
+        [(7, [1.0, 0.0]), (9, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = kcenter_seeds(df, k=5).collect()
+    assert [(r["seed_rank"], r["vec_id"]) for r in out] == [(0, 7), (1, 9)]
+    assert out[0]["cover_radius_e6"] == 0  # every point IS a seed
+
+
 def test_kmeans_label_report_separates_obvious_clusters(spark):
     """Two orthogonal bundles with distinct labels: k=2 Lloyd from the
     two lowest-id seeds (one per bundle) must land one pure cluster on
