@@ -64,6 +64,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_avi_frame_stats": QX.media_avi_frame_stats,
         # NEW this round: KMV bottom-k sketch with set operations
         "events_kmv_user_overlap": QX.events_kmv_user_overlap,
+        # NEW this round: binary-segmentation changepoint finder
+        "events_changepoint_scan": QX.events_changepoint_scan,
         # NEW this round: greedy maximin k-center diversity seeds
         "embedding_kcenter_seeds": QX.embedding_kcenter_seeds,
         "customer_fuzzy_matches": QX.customer_fuzzy_matches,

@@ -309,3 +309,79 @@ def logrank_test(durations: DataFrame) -> DataFrame:
             ),
         ).alias("chi2"),
     )
+
+
+def changepoint_scan(
+    df: DataFrame, ts_col: str = "ts"
+) -> DataFrame:
+    """Single most-likely LEVEL-SHIFT changepoint in the daily event
+    count series — the exhaustive binary-segmentation scan (the first
+    split of Scott & Knott 1974 / CUSUM-equivalent ranking): every day
+    boundary t is scored by the between-segment gain
+    G(t) = n1·n2/T · (mean_before − mean_after)², and the argmax is the
+    changepoint a monitoring pipeline alerts on (drift/anomaly
+    operators flag points; this finds the REGIME boundary).
+
+    Determinism: all integer arithmetic — with s1/n1 the prefix
+    sum/count, d = s1·n2 − s2·n1 makes G = d²/(n1·n2·T), emitted as the
+    truncating-integer-division BIGINT ``gain_stat`` (ranking spec:
+    highest gain_stat, ties to the earliest day — mirrored exactly in
+    the oracle); segment means are e2 fixed-point integer divisions.
+    |d| stays under 2^31 for daily sums up to ~2^26, far above any
+    daily count this report meets (documented bound, not a silent cap).
+
+    Scale shape: ONE corpus aggregate to daily rows, then everything
+    runs on the bounded day spine — prefix sums via a broadcast BNLJ
+    self-join (the km_curve pattern; never a global-order window), and
+    a TakeOrdered(1) argmax."""
+    daily = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.to_date(ts_col).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)  # day-spine-sized, 3 consumers
+    )
+    tot = F.broadcast(
+        daily.agg(
+            F.sum("n").alias("s_tot"), F.count(F.lit(1)).alias("t_tot")
+        )
+    )
+    pre = (
+        daily.alias("w")
+        .join(
+            F.broadcast(daily.alias("v")),
+            F.col("v.day") <= F.col("w.day"),
+        )
+        .groupBy(F.col("w.day").alias("day"))
+        .agg(F.sum("v.n").alias("s1"), F.count(F.lit(1)).alias("n1"))
+    )
+    cand = (
+        pre.crossJoin(tot)
+        .filter(F.col("n1") < F.col("t_tot"))
+        .select(
+            "day",
+            "n1",
+            (F.col("t_tot") - F.col("n1")).alias("n2"),
+            "s1",
+            (F.col("s_tot") - F.col("s1")).alias("s2"),
+            F.col("t_tot"),
+        )
+        .withColumn(
+            "d", F.col("s1") * F.col("n2") - F.col("s2") * F.col("n1")
+        )
+        .withColumn(
+            "gain_stat",
+            F.expr("(d * d) DIV (n1 * n2 * t_tot)"),
+        )
+    )
+    return (
+        cand.orderBy(F.desc("gain_stat"), "day")
+        .limit(1)
+        .select(
+            F.col("day").alias("split_day"),
+            F.col("n1").alias("n_days_before"),
+            F.col("n2").alias("n_days_after"),
+            F.expr("(s1 * 100) DIV n1").alias("mean_before_e2"),
+            F.expr("(s2 * 100) DIV n2").alias("mean_after_e2"),
+            "gain_stat",
+        )
+    )

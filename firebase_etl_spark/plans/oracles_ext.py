@@ -3106,6 +3106,37 @@ ORACLES_EXT["media_avi_frame_stats"] = """
 """
 
 
+# changepoint replay: same integer gain ranking (ties to the earliest
+# day), prefix sums over the bounded day spine
+ORACLES_EXT["events_changepoint_scan"] = """
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               count(*) AS n
+        FROM events WHERE ts IS NOT NULL GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS s_tot,
+                   count(*) AS t_tot FROM daily),
+    pre AS (
+        SELECT w.day, CAST(sum(v.n) AS BIGINT) AS s1,
+               count(*) AS n1
+        FROM daily w JOIN daily v ON v.day <= w.day
+        GROUP BY w.day),
+    cand AS (
+        SELECT day, n1, t_tot - n1 AS n2, s1, s_tot - s1 AS s2, t_tot
+        FROM pre CROSS JOIN tot WHERE n1 < t_tot),
+    scored AS (
+        SELECT day, n1, n2, s1, s2,
+               (s1 * n2 - s2 * n1) AS d,
+               CAST(((s1 * n2 - s2 * n1) * (s1 * n2 - s2 * n1))
+                    // (n1 * n2 * t_tot) AS BIGINT) AS gain_stat
+        FROM cand)
+    SELECT day AS split_day, n1 AS n_days_before, n2 AS n_days_after,
+           CAST((s1 * 100) // n1 AS BIGINT) AS mean_before_e2,
+           CAST((s2 * 100) // n2 AS BIGINT) AS mean_after_e2,
+           gain_stat
+    FROM scored ORDER BY gain_stat DESC, day LIMIT 1
+"""
+
+
 # KMV set-ops replay: the oracle rebuilds the identical bottom-64
 # sketch (md5 hashes, 13 hex chars = 2^52 scale) and replays the union
 # / intersection estimators in the same overflow-free integer

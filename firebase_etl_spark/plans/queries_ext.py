@@ -1047,6 +1047,20 @@ def media_avi_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_changepoint_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-likely level-shift changepoint in the daily event-count
+    series (operators/timeseries.py:changepoint_scan): exhaustive
+    binary-segmentation gain scan, all-integer output (segment means as
+    e2 fixed point, the gain statistic as a truncating integer
+    division) — the regime-boundary finder next to the pointwise
+    anomaly screens. One corpus aggregate; everything after runs on the
+    bounded day spine."""
+    from firebase_etl_spark.operators.timeseries import changepoint_scan
+
+    e = load_table(spark, "events", sf_dir)
+    return changepoint_scan(e, "ts")
+
+
 def events_kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV bottom-k distinct sketch with SET OPERATIONS
     (operators/heavy_hitters.py:kmv_set_ops_report, k=64): per

@@ -2394,6 +2394,50 @@ def test_mutual_information_independent_and_dependent(spark):
     assert r3["mi_ratio"] is None and abs(r3["mi_nats"]) < 1e-6
 
 
+def test_changepoint_scan_finds_planted_step(spark):
+    """A planted level shift — 10 events/day for 20 days then 30/day
+    for 20 days — must split exactly at the step boundary, with exact
+    e2 segment means and the hand-computed gain."""
+    from datetime import datetime, timedelta
+
+    from firebase_etl_spark.operators.timeseries import changepoint_scan
+
+    rows = []
+    eid = 0
+    base = datetime(2024, 1, 1, 12)
+    for day in range(40):
+        per = 10 if day < 20 else 30
+        for _ in range(per):
+            rows.append((eid, base + timedelta(days=day)))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    out = changepoint_scan(df, "ts").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert str(r["split_day"]) == "2024-01-20"  # last day of regime 1
+    assert r["n_days_before"] == 20 and r["n_days_after"] == 20
+    assert r["mean_before_e2"] == 1000 and r["mean_after_e2"] == 3000
+    # G = n1*n2/T * (m1-m2)^2 = 20*20/40 * 400 = 4000 exactly
+    assert r["gain_stat"] == 4000
+
+
+def test_changepoint_scan_flat_series_ties_to_earliest(spark):
+    from datetime import datetime, timedelta
+
+    from firebase_etl_spark.operators.timeseries import changepoint_scan
+
+    base = datetime(2024, 3, 1)
+    rows = [
+        (d * 5 + i, base + timedelta(days=d))
+        for d in range(10)
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    r = changepoint_scan(df, "ts").collect()[0]
+    assert r["gain_stat"] == 0  # no shift anywhere
+    assert str(r["split_day"]) == "2024-03-01"  # tie -> earliest day
+
+
 def test_km_curve_hand_computed(spark):
     """Textbook Kaplan-Meier: events at 1, 3, 3, 5; censored at 2, 4.
     S = 1, 5/6, 5/6, 5/12, 5/12, 0."""
