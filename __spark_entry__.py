@@ -66,6 +66,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_kmv_user_overlap": QX.events_kmv_user_overlap,
         # NEW this round: binary-segmentation changepoint finder
         "events_changepoint_scan": QX.events_changepoint_scan,
+        # NEW this round: DoReMi-style domain mixture reweighting
+        "documents_doremi_mixture": QX.documents_doremi_mixture,
         # NEW this round: greedy maximin k-center diversity seeds
         "embedding_kcenter_seeds": QX.embedding_kcenter_seeds,
         "customer_fuzzy_matches": QX.customer_fuzzy_matches,

@@ -33,6 +33,7 @@ from firebase_etl_spark.functions.portable_math import (
     LN2_LIT,
     fixed_e6_expr,
     pmi_expr,
+    with_exp2,
     with_ln,
 )
 from firebase_etl_spark.operators.text import tokenize
@@ -453,4 +454,99 @@ def zipf_slope_report(
             "zipf_intercept"
         ),
         F.round(cov * cov / (varx * vary), 6).alias("zipf_r2"),
+    )
+
+
+def doremi_mixture_weights(
+    df: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    smoothing_e6: int = 300_000,
+) -> DataFrame:
+    """One DoReMi-style domain-reweighting step (after Xie et al. 2023,
+    "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    Pretraining", arXiv:2305.10429, public) with the bigram LM standing
+    in for the proxy model: domains whose text is HARDER than the
+    corpus average under the corpus-trained add-1/2 bigram model (=
+    excess loss) get upweighted multiplicatively, then the exponentiated
+    weights renormalize and smooth toward the baseline share — the
+    published update α ∝ baseline·exp(η·excess), (1-c)·α + c·baseline,
+    with η = 1 and c = ``smoothing_e6``/1e6.
+
+    Relational shape: per-doc LM scores (bigram_lm_scores — two corpus
+    passes: train, score) aggregate to ONE domain-sized table; every
+    step after runs on those few rows. Loss per domain is the exact
+    integer ratio of fixed-point sums; exp(excess) goes through the
+    PORTABLE libm-free exp2 (the same IEEE tree on both engines);
+    weights renormalize by integer division. Output integers only:
+    (domain, n_docs, total_bigrams, loss_e6, excess_e6, baseline_e6,
+    doremi_weight_e6) — cross-engine exact, no round(double) surface."""
+    scores = bigram_lm_scores(df, k=0.5, text_col=text_col, id_col=id_col)
+    per = (
+        df.select(F.col(id_col), F.col(domain_col).alias("domain"))
+        .join(scores, id_col)
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bigrams").alias("total_bigrams"),
+            # exact integer total log2: the per-doc fixed-point mean
+            # re-scaled by its own bigram count (defined spec; keeps
+            # every downstream quantity an integer ratio)
+            F.sum(F.col("avg_lg2_e6") * F.col("n_bigrams")).alias(
+                "tot_lg2"
+            ),
+        )
+        .localCheckpoint(eager=True)  # domain-sized
+    )
+    tot = F.broadcast(
+        per.agg(
+            F.sum("n_docs").alias("n_total"),
+            F.sum("tot_lg2").alias("tot_all"),
+            F.sum("total_bigrams").alias("nb_all"),
+        )
+    )
+    base = (
+        per.crossJoin(tot)
+        # losses are negated log2 sums: numerators non-negative, so
+        # Spark's truncating DIV and DuckDB's flooring // agree
+        .withColumn("loss_e6", F.expr("(-tot_lg2) DIV total_bigrams"))
+        .withColumn("ref_loss_e6", F.expr("(-tot_all) DIV nb_all"))
+        .withColumn(
+            "excess_e6",
+            F.expr("greatest(CAST(0 AS BIGINT), loss_e6 - ref_loss_e6)"),
+        )
+        .withColumn(
+            "baseline_e6", F.expr("(n_docs * 1000000) DIV n_total")
+        )
+    )
+    base = with_exp2(
+        base,
+        f"(CAST(excess_e6 AS DOUBLE) / 1000000.0) / {LN2_LIT}",
+        "__mult",
+    )
+    w = base.withColumn(
+        "w_fx",
+        F.expr(
+            "CAST(round(CAST(baseline_e6 AS DOUBLE) * __mult + 1e-9, 0)"
+            " AS BIGINT)"
+        ),
+    )
+    t2 = F.broadcast(w.agg(F.sum("w_fx").alias("sum_w")))
+    c = int(smoothing_e6)
+    return (
+        w.crossJoin(t2)
+        .select(
+            "domain",
+            "n_docs",
+            "total_bigrams",
+            "loss_e6",
+            "excess_e6",
+            "baseline_e6",
+            F.expr(
+                f"({1_000_000 - c} * ((w_fx * 1000000) DIV sum_w)"
+                f" + {c} * baseline_e6) DIV 1000000"
+            ).alias("doremi_weight_e6"),
+        )
+        .orderBy("domain")
     )

@@ -1673,6 +1673,106 @@ def _lm_perplexity_oracle() -> str:
 ORACLES_EXT["doc_lm_perplexity_report"] = _lm_perplexity_oracle()
 
 
+def _doremi_oracle(smoothing_e6: int = 300_000) -> str:
+    """DoReMi twin: the _lm_perplexity_oracle model chain through
+    scored2, then the domain aggregate, the portable exp2 multiplier
+    and the integer renormalize/smooth — every expression mirrored from
+    lm.py:doremi_mixture_weights."""
+    from firebase_etl_spark.functions.portable_math import (
+        LN2_LIT,
+        exp2_select_sql,
+        fixed_e6_expr,
+        ln_select_sql,
+    )
+
+    chain = ln_select_sql(
+        "SELECT doc_id, c12, c1, v FROM bg2"
+        " JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v",
+        [("(2 * c12 + 1)", "__lnnum"), ("(2 * c1 + 1 * v)", "__lnden")],
+    )
+    lg2 = fixed_e6_expr(f"(__lnnum - __lnden) / {LN2_LIT}")
+    mult_chain = exp2_select_sql(
+        "SELECT * FROM base",
+        [(f"(CAST(excess_e6 AS DOUBLE) / 1000000.0) / {LN2_LIT}",
+          "__mult")],
+    )
+    c = int(smoothing_e6)
+    return rf"""
+    WITH tk AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\s+') AS t
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS z
+        FROM tk WHERE len(t) >= 2
+    ),
+    bg2 AS (
+        SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM bg
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg2 GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM bg2 GROUP BY w1),
+    v AS (SELECT count(DISTINCT w2) AS v FROM bg2),
+    perbg AS (
+        SELECT doc_id, {lg2} AS lg2_e6 FROM ({chain})
+    ),
+    scored AS (
+        SELECT doc_id, count(*) AS n_bigrams,
+               CAST(sum(lg2_e6) AS BIGINT) AS __s
+        FROM perbg GROUP BY doc_id
+    ),
+    scored2 AS (
+        SELECT doc_id, n_bigrams,
+               CAST(round(CAST(__s AS DOUBLE) / n_bigrams + 1e-9, 0)
+                    AS BIGINT) AS avg_lg2_e6
+        FROM scored
+    ),
+    per AS (
+        SELECT d.source AS domain, count(*) AS n_docs,
+               CAST(sum(s.n_bigrams) AS BIGINT) AS total_bigrams,
+               CAST(sum(s.avg_lg2_e6 * s.n_bigrams) AS BIGINT) AS tot_lg2
+        FROM documents d JOIN scored2 s USING (doc_id)
+        GROUP BY d.source
+    ),
+    tot AS (
+        SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+               CAST(sum(tot_lg2) AS BIGINT) AS tot_all,
+               CAST(sum(total_bigrams) AS BIGINT) AS nb_all
+        FROM per
+    ),
+    base AS (
+        SELECT domain, n_docs, total_bigrams,
+               ((-tot_lg2) // total_bigrams) AS loss_e6,
+               ((-tot_all) // nb_all) AS ref_loss_e6,
+               greatest(CAST(0 AS BIGINT),
+                        ((-tot_lg2) // total_bigrams)
+                        - ((-tot_all) // nb_all)) AS excess_e6,
+               (n_docs * 1000000) // n_total AS baseline_e6
+        FROM per CROSS JOIN tot
+    ),
+    w AS (
+        SELECT domain, n_docs, total_bigrams, loss_e6, excess_e6,
+               baseline_e6,
+               CAST(round(CAST(baseline_e6 AS DOUBLE) * __mult + 1e-9, 0)
+                    AS BIGINT) AS w_fx
+        FROM ({mult_chain})
+    ),
+    t2 AS (SELECT CAST(sum(w_fx) AS BIGINT) AS sum_w FROM w)
+    SELECT domain, n_docs, total_bigrams,
+           CAST(loss_e6 AS BIGINT) AS loss_e6,
+           CAST(excess_e6 AS BIGINT) AS excess_e6,
+           CAST(baseline_e6 AS BIGINT) AS baseline_e6,
+           CAST(({1_000_000 - c} * ((w_fx * 1000000) // sum_w)
+                 + {c} * baseline_e6) // 1000000 AS BIGINT)
+               AS doremi_weight_e6
+    FROM w CROSS JOIN t2 ORDER BY domain
+"""
+
+
+ORACLES_EXT["documents_doremi_mixture"] = _doremi_oracle()
+
+
 # replays the packing plan with the textbook single-window global cumsum
 # (the formulation the Spark side deliberately avoids at scale); offsets
 # and sequence indices must agree exactly with the two-phase prefix sum.

@@ -1047,6 +1047,21 @@ def media_avi_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def documents_doremi_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain mixture reweighting
+    (operators/lm.py:doremi_mixture_weights): per source domain, excess
+    bigram-LM loss vs the corpus average drives the published
+    baseline·exp(η·excess) update with smoothing back toward baseline
+    shares — the mixture-OPTIMIZATION step beyond the static temperature
+    / curriculum mixtures already in the suite. Integers-only output;
+    the oracle replays the LM, the portable exp2 and the integer
+    mixing."""
+    from firebase_etl_spark.operators.lm import doremi_mixture_weights
+
+    d = load_table(spark, "documents", sf_dir)
+    return doremi_mixture_weights(d, domain_col="source")
+
+
 def events_changepoint_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Most-likely level-shift changepoint in the daily event-count
     series (operators/timeseries.py:changepoint_scan): exhaustive

@@ -442,6 +442,48 @@ def test_pii_scrub_counts_and_content(spark):
     assert rows[3]["scrubbed"] == rows[3]["text"]
 
 
+def test_doremi_mixture_upweights_hard_domain(spark):
+    """A domain of repetitive (easy, low-loss) text vs a domain of
+    varied (hard) text: the hard domain's excess loss is positive and
+    its DoReMi weight lands ABOVE its baseline share; the easy domain
+    lands below; weights stay a near-partition of 1e6 (integer floors
+    lose at most n_domains units)."""
+    from firebase_etl_spark.operators.lm import doremi_mixture_weights
+
+    rows = [(i, "the cat sat on the mat " * 5, "easy") for i in range(12)]
+    rows += [
+        (100 + i, f"zq{i} wv{i * 7} jx{i * 13} kp{i * 3} fh{i * 11}", "hard")
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["domain"]: r for r in doremi_mixture_weights(df).collect()}
+    assert set(got) == {"easy", "hard"}
+    ez, hd = got["easy"], got["hard"]
+    assert hd["loss_e6"] > ez["loss_e6"]
+    assert hd["excess_e6"] > 0 and ez["excess_e6"] == 0
+    assert hd["doremi_weight_e6"] > hd["baseline_e6"]
+    assert ez["doremi_weight_e6"] < ez["baseline_e6"]
+    total = sum(r["doremi_weight_e6"] for r in got.values())
+    assert 1_000_000 - 4 <= total <= 1_000_000
+
+
+def test_doremi_mixture_uniform_corpus_keeps_baseline(spark):
+    """Identical text in every domain -> zero excess everywhere -> the
+    update is a no-op: weights equal baseline shares (up to the two
+    integer floors)."""
+    from firebase_etl_spark.operators.lm import doremi_mixture_weights
+
+    rows = [
+        (d * 10 + i, "alpha beta gamma delta epsilon", f"s{d}")
+        for d in range(4)
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    for r in doremi_mixture_weights(df).collect():
+        assert r["excess_e6"] == 0
+        assert abs(r["doremi_weight_e6"] - r["baseline_e6"]) <= 2
+
+
 def test_bigram_lm_scores_fluency_ordering(spark):
     """A doc made of the corpus's dominant bigram pattern must outscore a
     doc of corpus-atypical transitions; probabilities stay <= 0 in log2."""
