@@ -68,6 +68,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_changepoint_scan": QX.events_changepoint_scan,
         # NEW this round: DoReMi-style domain mixture reweighting
         "documents_doremi_mixture": QX.documents_doremi_mixture,
+        # NEW this round: streaming KMV distinct sketch (10th stream twin)
+        "stream_kmv_distinct_users": QX.stream_kmv_distinct_users,
         # NEW this round: greedy maximin k-center diversity seeds
         "embedding_kcenter_seeds": QX.embedding_kcenter_seeds,
         "customer_fuzzy_matches": QX.customer_fuzzy_matches,

@@ -3237,6 +3237,33 @@ ORACLES_EXT["events_changepoint_scan"] = """
 """
 
 
+# streaming KMV twin: batch replay of the bottom-64 minima SET (the
+# stream state dedups by hash value, so the replay dedups hashes too)
+ORACLES_EXT["stream_kmv_distinct_users"] = """
+    WITH rows_ AS (
+        SELECT event_type AS g, CAST(user_id AS VARCHAR) AS u
+        FROM events
+        WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+    nseen AS (SELECT g, count(*) AS n_seen FROM rows_ GROUP BY g),
+    d AS (SELECT DISTINCT g, u FROM rows_),
+    h AS (
+        SELECT DISTINCT g,
+               ('0x' || substr(md5('kmv|' || u), 1, 13))::BIGINT AS h
+        FROM d),
+    sk AS (
+        SELECT g, h FROM (
+            SELECT g, h, row_number() OVER (
+                PARTITION BY g ORDER BY h) AS r
+            FROM h) WHERE r <= 64),
+    per AS (SELECT g, count(*) AS n_sk, max(h) AS h_k FROM sk GROUP BY g)
+    SELECT p.g, n.n_seen, p.n_sk, p.h_k,
+           CAST(CASE WHEN p.n_sk < 64 THEN p.n_sk
+                ELSE (63 * CAST(4503599627370496 AS BIGINT)) // p.h_k
+                END AS BIGINT) AS est_distinct
+    FROM per p JOIN nseen n ON p.g = n.g ORDER BY p.g
+"""
+
+
 # KMV set-ops replay: the oracle rebuilds the identical bottom-64
 # sketch (md5 hashes, 13 hex chars = 2^52 scale) and replays the union
 # / intersection estimators in the same overflow-free integer

@@ -1047,6 +1047,47 @@ def media_avi_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the KMV distinct sketch
+    (streaming/events.py:streaming_kmv_distinct): per event type, a
+    stateful bottom-64 minima set over md5 user hashes — count-distinct
+    in a stream with k BIGINTs of state per key instead of an unbounded
+    dedup set. The sketch state is a pure function of the input SET
+    (minima are order/batching-insensitive), so the final emission per
+    key — highest n_seen — is bit-identical to the batch bottom-k the
+    oracle replays. Integers only."""
+    import uuid as _uuid
+
+    from firebase_etl_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+        streaming_kmv_distinct,
+    )
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    name = f"kmv_{_uuid.uuid4().hex[:8]}"
+    inc = run_stream_to_memory(
+        spark, streaming_kmv_distinct(stream), name, output_mode="append"
+    )
+    return (
+        inc.groupBy("g")
+        .agg(
+            F.max("n_seen").alias("n_seen"),
+            F.max_by(
+                F.struct("n_sk", "h_k", "est_distinct"), F.col("n_seen")
+            ).alias("f"),
+        )
+        .select(
+            "g",
+            "n_seen",
+            F.col("f.n_sk").alias("n_sk"),
+            F.col("f.h_k").alias("h_k"),
+            F.col("f.est_distinct").alias("est_distinct"),
+        )
+        .orderBy("g")
+    )
+
+
 def documents_doremi_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DoReMi-style domain mixture reweighting
     (operators/lm.py:doremi_mixture_weights): per source domain, excess

@@ -473,3 +473,93 @@ def streaming_transition_counts(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_kmv_distinct(
+    events: DataFrame, key: str = "event_type", k: int = 64
+):
+    """Stateful KMV / bottom-k DISTINCT sketch per key
+    (applyInPandasWithState) — the streaming twin of the batch
+    heavy_hitters.kmv_set_ops_report estimator: per-key state is the k
+    smallest md5 hashes of the ids seen so far, each micro-batch folds
+    its rows into the minima set and emits the updated (count-seen,
+    sketch-size, kth-hash, distinct-estimate) row.
+
+    Why this is oracle-checkable at all: the state is a pure function
+    of the SET of inputs — minima are order- and batching-insensitive —
+    so the emission with the highest ``n_seen`` per key (the complete
+    drive) is bit-identical to a batch bottom-k over the full table,
+    integers throughout. Per-key state is k BIGINTs, the streaming
+    answer to count-distinct without unbounded dedup state."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from firebase_etl_spark.operators.heavy_hitters import KMV_SCALE
+
+    out_schema = (
+        "g string, n_seen long, n_sk long, h_k long, est_distinct long"
+    )
+    state_schema = "mins array<long>, n_seen long"
+
+    def update(key_tuple, pdfs, state: GroupState):
+        if state.exists:
+            prior_mins, prior_seen = state.get
+            cur = set(int(h) for h in prior_mins)
+            seen = int(prior_seen)
+        else:
+            cur, seen = set(), 0
+        added = 0
+        for pdf in pdfs:
+            if len(pdf):
+                cur.update(int(h) for h in pdf["h"])
+                added += len(pdf)
+        if not added:
+            return
+        seen += added
+        mins = sorted(cur)[:k]
+        state.update((mins, seen))
+        n = len(mins)
+        hk = mins[-1] if mins else 0
+        est = n if n < k else (k - 1) * KMV_SCALE // hk
+        yield pd.DataFrame(
+            {
+                "g": [str(key_tuple[0])],
+                "n_seen": [seen],
+                "n_sk": [n],
+                "h_k": [hk],
+                "est_distinct": [est],
+            }
+        )
+
+    from pyspark.sql import functions as F
+
+    hashed = (
+        events.filter(
+            F.col(key).isNotNull() & F.col("user_id").isNotNull()
+        )
+        .select(
+            F.col(key).alias("g"),
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("kmv|"), F.col("user_id").cast("string")
+                        )
+                    ),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+        )
+    )
+    return hashed.groupBy("g").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -409,3 +409,53 @@ def test_streaming_transitions_survive_batch_boundaries(spark, tmp_path):
     expect = {(r["cur"], r["nxt"]): r["count"] for r in batch.collect()}
     assert got == expect
     assert sum(got.values()) == sum(expect.values()) > 0
+
+
+def test_streaming_kmv_matches_batch_bottom_k(spark, sf_dir, events_stream):
+    """The stateful KMV sketch's final emission per key is bit-identical
+    to a batch bottom-64 over the full table (state is a pure function
+    of the input set), and sub-k keys estimate exactly."""
+    from firebase_etl_spark.plans.queries_ext import (
+        stream_kmv_distinct_users,
+    )
+
+    got = {
+        r["g"]: r for r in stream_kmv_distinct_users(spark, sf_dir).collect()
+    }
+    e = load_table(spark, "events", sf_dir).filter(
+        F.col("event_type").isNotNull() & F.col("user_id").isNotNull()
+    )
+    hashed = e.select(
+        F.col("event_type").alias("g"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("kmv|"), F.col("user_id").cast("string"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("g").orderBy("h")
+    batch = (
+        hashed.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 64)
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_sk"), F.max("h").alias("h_k"))
+        .collect()
+    )
+    assert len(batch) == len(got)
+    for b in batch:
+        r = got[b["g"]]
+        assert r["n_sk"] == b["n_sk"] and r["h_k"] == b["h_k"]
+        if b["n_sk"] < 64:
+            assert r["est_distinct"] == b["n_sk"]
+    # n_seen is the raw (non-distinct) row count per type
+    raw = {r["event_type"]: r["n"] for r in e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert all(got[g]["n_seen"] == raw[g] for g in got)
