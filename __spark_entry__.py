@@ -70,6 +70,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_doremi_mixture": QX.documents_doremi_mixture,
         # NEW this round: streaming KMV distinct sketch (10th stream twin)
         "stream_kmv_distinct_users": QX.stream_kmv_distinct_users,
+        # NEW this round: mojibake / encoding-corruption screen
+        "doc_encoding_artifacts": QX.doc_encoding_artifacts,
         # NEW this round: greedy maximin k-center diversity seeds
         "embedding_kcenter_seeds": QX.embedding_kcenter_seeds,
         "customer_fuzzy_matches": QX.customer_fuzzy_matches,

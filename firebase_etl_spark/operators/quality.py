@@ -228,3 +228,35 @@ def gopher_quality_flags(
     for name in rules:
         pass_all = F.col(name) if pass_all is None else pass_all & F.col(name)
     return j.withColumn("pass_all", pass_all)
+
+
+#: structural encoding-artifact patterns (codepoint escapes — the
+#: \x{hex} syntax is shared by Java regex and DuckDB's RE2):
+#: - U+FFFD replacement characters (decoder already gave up)
+#: - C0/C1 control characters that never belong in text
+#: - UTF-8-read-as-Latin-1 lead bytes (Ã/Â/â U+00C3/00C2/00E2)
+#:   followed by a Latin-1 continuation — the classic mojibake shape
+#:   ("Ã©" for é, "â€™" for ')
+ENCODING_ARTIFACT_PATTERNS = {
+    "replacement": r"\x{FFFD}",
+    "control": r"[\x{0000}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}\x{007F}]",
+    "mojibake": r"[\x{00C3}\x{00C2}\x{00E2}][\x{0080}-\x{00FF}]",
+}
+
+
+def encoding_artifact_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-row encoding-artifact counts — the mojibake/corruption screen
+    a crawl-ingest pipeline runs before any tokenizer sees the text
+    (replacement chars mean the decode already failed; control bytes
+    and UTF-8-as-Latin-1 digraphs mean it failed SILENTLY upstream).
+    One codegen projection of three regexp_count columns, no Python;
+    patterns use the \\x{hex} codepoint syntax both engines' regex
+    dialects share, so the DuckDB twin is the same expression."""
+    c = F.col(text_col)
+    return df.select(
+        "*",
+        *(
+            F.regexp_count(c, F.lit(rx)).cast("long").alias(f"n_{name}")
+            for name, rx in ENCODING_ARTIFACT_PATTERNS.items()
+        ),
+    )

@@ -3237,6 +3237,29 @@ ORACLES_EXT["events_changepoint_scan"] = """
 """
 
 
+ORACLES_EXT["doc_encoding_artifacts"] = r"""
+    WITH f AS (
+        SELECT lang,
+               len(regexp_extract_all(text, '\x{FFFD}'))
+                   AS n_replacement,
+               len(regexp_extract_all(text,
+                   '[\x{0000}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}\x{007F}]'))
+                   AS n_control,
+               len(regexp_extract_all(text,
+                   '[\x{00C3}\x{00C2}\x{00E2}][\x{0080}-\x{00FF}]'))
+                   AS n_mojibake
+        FROM documents)
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(CASE WHEN n_replacement > 0 OR n_control > 0
+                              OR n_mojibake > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged,
+           CAST(sum(n_replacement) AS BIGINT) AS total_replacement,
+           CAST(sum(n_control) AS BIGINT) AS total_control,
+           CAST(sum(n_mojibake) AS BIGINT) AS total_mojibake
+    FROM f GROUP BY lang ORDER BY lang
+"""
+
+
 # streaming KMV twin: batch replay of the bottom-64 minima SET (the
 # stream state dedups by hash value, so the replay dedups hashes too)
 ORACLES_EXT["stream_kmv_distinct_users"] = """

@@ -1047,6 +1047,37 @@ def media_avi_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_encoding_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake / encoding-corruption screen
+    (operators/quality.py:encoding_artifact_counts): per language,
+    documents carrying U+FFFD replacement chars, stray control bytes,
+    or UTF-8-as-Latin-1 digraphs — the decode-health gate that runs
+    before any tokenizer. Pure codegen regexp_count columns; integer
+    output; the oracle runs the same \\x{hex} patterns under RE2."""
+    from firebase_etl_spark.operators.quality import (
+        encoding_artifact_counts,
+    )
+
+    d = load_table(spark, "documents", sf_dir)
+    flagged = encoding_artifact_counts(d)
+    bad = (
+        (F.col("n_replacement") > 0)
+        | (F.col("n_control") > 0)
+        | (F.col("n_mojibake") > 0)
+    )
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(bad.cast("long")).alias("n_flagged"),
+            F.sum("n_replacement").alias("total_replacement"),
+            F.sum("n_control").alias("total_control"),
+            F.sum("n_mojibake").alias("total_mojibake"),
+        )
+        .orderBy("lang")
+    )
+
+
 def stream_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of the KMV distinct sketch
     (streaming/events.py:streaming_kmv_distinct): per event type, a

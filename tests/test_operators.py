@@ -2530,3 +2530,25 @@ def test_logrank_null_and_separated_cohorts(spark):
     )
     with _pytest.raises(ValueError, match="two grp"):
         logrank_test(one)
+
+
+def test_encoding_artifact_counts_detects_planted_mojibake(spark):
+    """Planted corruption is counted exactly; clean text is all zeros."""
+    from firebase_etl_spark.operators.quality import (
+        encoding_artifact_counts,
+    )
+
+    rows = [
+        (0, "perfectly clean ascii text"),
+        (1, "bad decode � here and � there"),
+        (2, "cafÃ© menÃº"),      # 'Ã©' 'Ãº' mojibake
+        (3, "ctrl\x01 bytes\x1f here\x7f"),
+        (4, "tab\tand\nnewline are fine"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in encoding_artifact_counts(df).collect()}
+    assert got[0]["n_replacement"] == got[0]["n_control"] == got[0]["n_mojibake"] == 0
+    assert got[1]["n_replacement"] == 2
+    assert got[2]["n_mojibake"] == 2
+    assert got[3]["n_control"] == 3
+    assert got[4]["n_control"] == 0  # \t and \n are text, not corruption
