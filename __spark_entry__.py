@@ -72,6 +72,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_kmv_distinct_users": QX.stream_kmv_distinct_users,
         # NEW this round: mojibake / encoding-corruption screen
         "doc_encoding_artifacts": QX.doc_encoding_artifacts,
+        # NEW this round: target-domain n-gram coverage (inverse decontam)
+        "documents_target_coverage": QX.documents_target_coverage,
         # NEW this round: greedy maximin k-center diversity seeds
         "embedding_kcenter_seeds": QX.embedding_kcenter_seeds,
         "customer_fuzzy_matches": QX.customer_fuzzy_matches,

@@ -205,3 +205,71 @@ def bloom_decontamination_report(
     ``bloom_ngram_overlap``)."""
     ov = bloom_ngram_overlap(corpus, probes, n, text_col, id_col, fpp)
     return _contamination_summary(corpus, ov, threshold, id_col, group_col)
+
+
+def target_coverage_report(
+    corpus: DataFrame,
+    probes: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Target-domain n-gram COVERAGE — the inverse question of
+    decontamination: instead of "does the corpus leak the benchmark",
+    "does the corpus COVER the target domain?" For every probe (target)
+    document, the fraction of its distinct word n-grams that occur
+    anywhere in the corpus; rolled up per probe group. Low coverage =
+    the mixture under-represents that slice (the measurement DoReMi /
+    temperature reweighting acts on); high coverage with low dedup
+    distance = the slice is already saturated.
+
+    Scale shape: the probe gram set is tiny and BROADCAST against one
+    corpus gram stream (semi-join keeps only matching grams, then a
+    bounded distinct on probe-gram cardinality) — the corpus is
+    touched once, nothing quadratic. Output integers: per-group probe
+    count, gram totals, covered totals, e6 fixed-point min/mean
+    coverage and the fully-covered count."""
+    pg = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(group_col).alias("grp"),
+        F.explode(F.array_distinct(word_shingles(text_col, n))).alias(
+            "gram"
+        ),
+    )
+    probe_grams = pg.select("gram").distinct()
+    covered = (
+        corpus.select(F.explode(word_shingles(text_col, n)).alias("gram"))
+        .join(F.broadcast(probe_grams), "gram", "leftsemi")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    per_probe = (
+        pg.join(F.broadcast(covered), "gram", "left")
+        .groupBy("probe_id", "grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)).cast("long")).alias(
+                "n_covered"
+            ),
+        )
+        .withColumn(
+            "coverage_e6", F.expr("(n_covered * 1000000) DIV n_grams")
+        )
+    )
+    return (
+        per_probe.groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_probes"),
+            F.sum("n_grams").alias("total_grams"),
+            F.sum("n_covered").alias("covered_grams"),
+            F.min("coverage_e6").alias("min_coverage_e6"),
+            F.expr(
+                "(sum(n_covered) * 1000000) DIV sum(n_grams)"
+            ).alias("gram_coverage_e6"),
+            F.sum(
+                (F.col("n_covered") == F.col("n_grams")).cast("long")
+            ).alias("n_fully_covered"),
+        )
+        .orderBy(group_col)
+    )

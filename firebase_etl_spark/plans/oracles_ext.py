@@ -3237,6 +3237,46 @@ ORACLES_EXT["events_changepoint_scan"] = """
 """
 
 
+ORACLES_EXT["documents_target_coverage"] = r"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        FROM documents
+    ), g AS (
+        SELECT doc_id, lang,
+               unnest(list_distinct(list_transform(range(1, len(tk) - 1),
+                   i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])))
+                   AS gram
+        FROM toks
+    ), pg AS (
+        SELECT doc_id AS probe_id, lang AS grp, gram
+        FROM g WHERE doc_id % 89 = 0
+    ), covered AS (
+        SELECT DISTINCT gram FROM g
+        WHERE doc_id % 89 <> 0
+          AND gram IN (SELECT DISTINCT gram FROM pg)
+    ), per_probe AS (
+        SELECT probe_id, grp, count(*) AS n_grams,
+               CAST(sum(CASE WHEN c.gram IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_covered
+        FROM pg LEFT JOIN covered c USING (gram)
+        GROUP BY probe_id, grp
+    ), pp AS (
+        SELECT *, (n_covered * 1000000) // n_grams AS coverage_e6
+        FROM per_probe
+    )
+    SELECT grp AS lang, count(*) AS n_probes,
+           CAST(sum(n_grams) AS BIGINT) AS total_grams,
+           CAST(sum(n_covered) AS BIGINT) AS covered_grams,
+           CAST(min(coverage_e6) AS BIGINT) AS min_coverage_e6,
+           CAST((sum(n_covered) * 1000000) // sum(n_grams) AS BIGINT)
+               AS gram_coverage_e6,
+           CAST(sum(CASE WHEN n_covered = n_grams THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_fully_covered
+    FROM pp GROUP BY grp ORDER BY lang
+"""
+
+
 ORACLES_EXT["doc_encoding_artifacts"] = r"""
     WITH f AS (
         SELECT lang,

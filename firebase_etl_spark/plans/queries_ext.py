@@ -1047,6 +1047,24 @@ def media_avi_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def documents_target_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-domain n-gram coverage
+    (operators/contamination.py:target_coverage_report): the held-out
+    probe slice (doc_id % 89 == 0, the curation pipeline's benchmark
+    stand-in) measured for how completely the remaining corpus covers
+    its distinct trigrams, per language — the inverse of
+    decontamination and the measurement mixture reweighting acts on.
+    Integer output (e6 fixed-point coverages)."""
+    from firebase_etl_spark.operators.contamination import (
+        target_coverage_report,
+    )
+
+    d = load_table(spark, "documents", sf_dir)
+    probes = d.filter(F.col("doc_id") % 89 == 0)
+    corpus = d.filter(F.col("doc_id") % 89 != 0)
+    return target_coverage_report(corpus, probes, n=3)
+
+
 def doc_encoding_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mojibake / encoding-corruption screen
     (operators/quality.py:encoding_artifact_counts): per language,

@@ -2552,3 +2552,34 @@ def test_encoding_artifact_counts_detects_planted_mojibake(spark):
     assert got[2]["n_mojibake"] == 2
     assert got[3]["n_control"] == 3
     assert got[4]["n_control"] == 0  # \t and \n are text, not corruption
+
+
+def test_target_coverage_hand_case(spark):
+    """Probe A's trigrams are fully present in the corpus, probe B's
+    only half: coverage accounting is exact, fully-covered counted."""
+    from firebase_etl_spark.operators.contamination import (
+        target_coverage_report,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d", "en"),          # grams: "a b c", "b c d"
+            (2, "x y z", "en"),            # gram: "x y z"
+        ],
+        "doc_id long, text string, lang string",
+    )
+    probes = spark.createDataFrame(
+        [
+            (10, "a b c d", "en"),         # both grams covered
+            (11, "x y z q r", "en"),       # "x y z" covered; 2 others not
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = target_coverage_report(corpus, probes, n=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["lang"] == "en" and r["n_probes"] == 2
+    assert r["total_grams"] == 5 and r["covered_grams"] == 3
+    assert r["n_fully_covered"] == 1
+    assert r["gram_coverage_e6"] == 600000
+    assert r["min_coverage_e6"] == 333333  # 1/3 floored
