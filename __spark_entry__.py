@@ -111,6 +111,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": QX.embedding_norms,
         "embedding_topk_ivf": QX.embedding_topk_ivf,
         "events_json_stats": QX.events_json_stats,
+        # ---- outside the 50-query window: r8 re-evidence queue starts
+        # HERE (r3-evidenced rows displaced by the 8 new r7 queries,
+        # still pinned by the full strict sweep) ----
         "stream_hourly_event_counts": QX.stream_hourly_event_counts,
         "stream_user_sessions": QX.stream_user_sessions,
         "stream_keep_latest_per_user": QX.stream_keep_latest_per_user,
