@@ -74,6 +74,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_encoding_artifacts": QX.doc_encoding_artifacts,
         # NEW this round: target-domain n-gram coverage (inverse decontam)
         "documents_target_coverage": QX.documents_target_coverage,
+        # NEW this round: Population Stability Index drift
+        "events_psi_drift": QX.events_psi_drift,
         # NEW this round: greedy maximin k-center diversity seeds
         "embedding_kcenter_seeds": QX.embedding_kcenter_seeds,
         "customer_fuzzy_matches": QX.customer_fuzzy_matches,

@@ -571,3 +571,130 @@ def cramers_v(
             F.sqrt(chi2 / (F.col("n").cast("double") * mindim)), 6
         ).alias("cramers_v"),
     )
+
+
+def psi_drift_report(
+    df: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index — THE production ML-monitoring drift
+    metric (credit-scoring lineage; complements source_drift_report's
+    total-variation distance with the likelihood-weighted one): split
+    each group's rows at the midpoint of the table's time range,
+    decile-bucket the LATE half against cut points fitted on the EARLY
+    (reference) half, and report
+    PSI = Σ_bins (q_i − p_i)·ln(q_i / p_i) with the classic
+    stable (< 0.1) / moderate / major (> 0.25) reading.
+
+    Determinism: bucket shares are add-half smoothed exact integer
+    ratios — (2c+1)/(2n+2·bins) — so empty bins are finite and every
+    ln argument is an INTEGER evaluated through the portable libm-free
+    ln; each bin's term rounds ONCE to a 1e-6 BIGINT and PSI is the
+    associative integer sum (the chi-square/MI convention). Cut points
+    are round(percentile, 6) doubles (the gini convention — DuckDB's
+    quantile_cont interpolates identically); the time split is integer
+    microsecond arithmetic.
+
+    Scale shape: one pass to per-(group, half, bucket) counts against
+    broadcast per-group cut points; everything after runs on the
+    groups×bins grid. Groups with NO reference rows are absent (no
+    fitted cuts — flag those with a presence join upstream)."""
+    from firebase_etl_spark.functions.portable_math import (
+        fixed_e6_expr,
+        with_ln,
+    )
+
+    base = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(group_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("double").alias("v"),
+        F.unix_micros(F.col(ts_col)).alias("us"),
+    )
+    span = F.broadcast(
+        base.agg(F.min("us").alias("mn"), F.max("us").alias("mx"))
+    )
+    halves = base.crossJoin(span).select(
+        "g", "v", F.expr("us <= (mn + mx) DIV 2").alias("is_ref")
+    )
+    pcts = [round((i + 1) / n_bins, 2) for i in range(n_bins - 1)]
+    cuts = (
+        halves.filter("is_ref")
+        .groupBy("g")
+        .agg(
+            F.expr(
+                "transform(percentile(v, array("
+                + ",".join(str(p) for p in pcts)
+                + ")), c -> round(c, 6))"
+            ).alias("cuts")
+        )
+    )
+    binned = (
+        halves.join(F.broadcast(cuts), "g")
+        .select(
+            "g",
+            "is_ref",
+            (F.lit(1) + F.expr("size(filter(cuts, c -> c < v))"))
+            .cast("int")
+            .alias("bkt"),
+        )
+        .groupBy("g", "bkt")
+        .agg(
+            F.sum(F.col("is_ref").cast("long")).alias("cp"),
+            F.sum((~F.col("is_ref")).cast("long")).alias("cq"),
+        )
+        .localCheckpoint(eager=True)  # groups x bins, 2 consumers
+    )
+    spine = cuts.select(
+        "g", F.explode(F.sequence(F.lit(1), F.lit(n_bins))).alias("bkt")
+    )
+    tot = binned.groupBy("g").agg(
+        F.sum("cp").alias("np"), F.sum("cq").alias("nq")
+    )
+    grid = (
+        spine.join(binned, ["g", "bkt"], "left")
+        .select(
+            "g",
+            "bkt",
+            F.coalesce("cp", F.lit(0)).alias("cp"),
+            F.coalesce("cq", F.lit(0)).alias("cq"),
+        )
+        .join(F.broadcast(tot), "g")
+    )
+    grid = with_ln(grid, "(2 * cq + 1)", "__lncq")
+    grid = with_ln(grid, f"(2 * nq + {2 * n_bins})", "__lnnq")
+    grid = with_ln(grid, "(2 * cp + 1)", "__lncp")
+    grid = with_ln(grid, f"(2 * np + {2 * n_bins})", "__lnnp")
+    term = (
+        f"(CAST(2 * cq + 1 AS DOUBLE) / CAST(2 * nq + {2 * n_bins} AS DOUBLE)"
+        f" - CAST(2 * cp + 1 AS DOUBLE) / CAST(2 * np + {2 * n_bins} AS DOUBLE))"
+        " * ((__lncq - __lnnq) - (__lncp - __lnnp))"
+    )
+    per_bin = grid.select(
+        "g", "np", "nq", F.expr(fixed_e6_expr(term)).alias("t_e6")
+    )
+    return (
+        per_bin.groupBy("g")
+        .agg(
+            F.max("np").alias("n_ref"),
+            F.max("nq").alias("n_cur"),
+            F.sum("t_e6").alias("psi_e6"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "n_ref",
+            "n_cur",
+            "psi_e6",
+            F.expr(
+                "CASE WHEN psi_e6 >= 250000 THEN 'major'"
+                " WHEN psi_e6 >= 100000 THEN 'moderate'"
+                " ELSE 'stable' END"
+            ).alias("drift_level"),
+        )
+        .orderBy(group_col)
+    )

@@ -3237,6 +3237,87 @@ ORACLES_EXT["events_changepoint_scan"] = """
 """
 
 
+def _psi_oracle(n_bins: int = 10) -> str:
+    """PSI twin: decile cuts via quantile_cont (the gini-established
+    interpolation parity), add-half smoothed shares, portable lns, e6
+    fixed-point bin terms integer-summed."""
+    from firebase_etl_spark.functions.portable_math import (
+        fixed_e6_expr,
+        ln_select_sql,
+    )
+
+    pcts = ",".join(
+        str(round((i + 1) / n_bins, 2)) for i in range(n_bins - 1)
+    )
+    chain = ln_select_sql(
+        "SELECT g, bkt, cp, cq, np, nq FROM grid",
+        [
+            ("(2 * cq + 1)", "__lncq"),
+            (f"(2 * nq + {2 * n_bins})", "__lnnq"),
+            ("(2 * cp + 1)", "__lncp"),
+            (f"(2 * np + {2 * n_bins})", "__lnnp"),
+        ],
+    )
+    term = (
+        f"(CAST(2 * cq + 1 AS DOUBLE) / CAST(2 * nq + {2 * n_bins} AS DOUBLE)"
+        f" - CAST(2 * cp + 1 AS DOUBLE) / CAST(2 * np + {2 * n_bins} AS DOUBLE))"
+        " * ((__lncq - __lnnq) - (__lncp - __lnnp))"
+    )
+    t_e6 = fixed_e6_expr(term)
+    return f"""
+    WITH base AS (
+        SELECT event_type AS g, CAST(value AS DOUBLE) AS v,
+               epoch_us(ts) AS us
+        FROM events
+        WHERE value IS NOT NULL AND event_type IS NOT NULL
+          AND ts IS NOT NULL),
+    span AS (SELECT min(us) AS mn, max(us) AS mx FROM base),
+    halves AS (
+        SELECT g, v, us <= (mn + mx) // 2 AS is_ref
+        FROM base CROSS JOIN span),
+    cuts AS (
+        SELECT g,
+               list_transform(quantile_cont(v, [{pcts}]),
+                              c -> round(c, 6)) AS cuts
+        FROM halves WHERE is_ref GROUP BY g),
+    binned AS (
+        SELECT h.g,
+               CAST(1 + len(list_filter(c.cuts, x -> x < h.v)) AS INT)
+                   AS bkt,
+               CAST(sum(CASE WHEN h.is_ref THEN 1 ELSE 0 END) AS BIGINT)
+                   AS cp,
+               CAST(sum(CASE WHEN h.is_ref THEN 0 ELSE 1 END) AS BIGINT)
+                   AS cq
+        FROM halves h JOIN cuts c ON h.g = c.g
+        GROUP BY 1, 2),
+    spine AS (
+        SELECT g, CAST(b.b AS INT) AS bkt
+        FROM cuts, unnest(range(1, {n_bins + 1})) AS b(b)),
+    tot AS (
+        SELECT g, CAST(sum(cp) AS BIGINT) AS np,
+               CAST(sum(cq) AS BIGINT) AS nq
+        FROM binned GROUP BY g),
+    grid AS (
+        SELECT s.g, s.bkt,
+               coalesce(b.cp, 0) AS cp, coalesce(b.cq, 0) AS cq,
+               t.np, t.nq
+        FROM spine s
+        LEFT JOIN binned b ON s.g = b.g AND s.bkt = b.bkt
+        JOIN tot t ON s.g = t.g),
+    per_bin AS (
+        SELECT g, np, nq, {t_e6} AS t_e6 FROM ({chain}))
+    SELECT g AS event_type, max(np) AS n_ref, max(nq) AS n_cur,
+           CAST(sum(t_e6) AS BIGINT) AS psi_e6,
+           CASE WHEN CAST(sum(t_e6) AS BIGINT) >= 250000 THEN 'major'
+                WHEN CAST(sum(t_e6) AS BIGINT) >= 100000 THEN 'moderate'
+                ELSE 'stable' END AS drift_level
+    FROM per_bin GROUP BY g ORDER BY event_type
+"""
+
+
+ORACLES_EXT["events_psi_drift"] = _psi_oracle()
+
+
 ORACLES_EXT["documents_target_coverage"] = r"""
     WITH toks AS (
         SELECT doc_id, lang,

@@ -1047,6 +1047,20 @@ def media_avi_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type
+    (operators/stats.py:psi_drift_report): late-half value distribution
+    vs early-half decile buckets, the production ML-monitoring drift
+    metric with the classic stable/moderate/major reading — the
+    likelihood-weighted complement to the TV-distance screens. All
+    integer counts through portable lns; PSI is a 1e-6 fixed-point
+    integer sum."""
+    from firebase_etl_spark.operators.stats import psi_drift_report
+
+    e = load_table(spark, "events", sf_dir)
+    return psi_drift_report(e, "value", "event_type", "ts")
+
+
 def documents_target_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Target-domain n-gram coverage
     (operators/contamination.py:target_coverage_report): the held-out

@@ -2583,3 +2583,38 @@ def test_target_coverage_hand_case(spark):
     assert r["n_fully_covered"] == 1
     assert r["gram_coverage_e6"] == 600000
     assert r["min_coverage_e6"] == 333333  # 1/3 floored
+
+
+def test_psi_drift_identical_and_shifted_halves(spark):
+    """Identical early/late value multisets give PSI exactly 0
+    (smoothed shares cancel bin by bin); a late half shifted into a
+    disjoint band is a major drift."""
+    from datetime import datetime, timedelta
+
+    from firebase_etl_spark.operators.stats import psi_drift_report
+
+    base = datetime(2024, 5, 1)
+    rows = []
+    eid = 0
+    # group 'same': values 0..99 early AND late
+    for half, day in ((True, 0), (False, 30)):
+        for v in range(100):
+            rows.append((eid, base + timedelta(days=day), "same", float(v)))
+            eid += 1
+    # group 'shift': 0..99 early, 1000..1099 late
+    for v in range(100):
+        rows.append((eid, base, "shift", float(v))); eid += 1
+    for v in range(100):
+        rows.append(
+            (eid, base + timedelta(days=30), "shift", float(v + 1000))
+        )
+        eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    got = {r["event_type"]: r for r in psi_drift_report(df).collect()}
+    assert got["same"]["psi_e6"] == 0
+    assert got["same"]["drift_level"] == "stable"
+    assert got["same"]["n_ref"] == 100 and got["same"]["n_cur"] == 100
+    assert got["shift"]["drift_level"] == "major"
+    assert got["shift"]["psi_e6"] > 1_000_000  # every row changed bins
