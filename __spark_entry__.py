@@ -76,6 +76,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_target_coverage": QX.documents_target_coverage,
         # NEW this round: Population Stability Index drift
         "events_psi_drift": QX.events_psi_drift,
+        # NEW this round: Kneser-Ney smoothed LM fluency report
+        "doc_lm_kneser_ney_report": QX.doc_lm_kneser_ney_report,
         # NEW this round: greedy maximin k-center diversity seeds
         "embedding_kcenter_seeds": QX.embedding_kcenter_seeds,
         "customer_fuzzy_matches": QX.customer_fuzzy_matches,

@@ -550,3 +550,86 @@ def doremi_mixture_weights(
         )
         .orderBy("domain")
     )
+
+
+def kneser_ney_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc bigram scores under KNESER-NEY smoothing (Kneser & Ney
+    1995; the interpolated form of Chen & Goodman 1998) — the canonical
+    n-gram smoothing next to bigram_lm_scores' add-k: probability mass
+    discounted from observed bigrams is redistributed by CONTINUATION
+    counts (how many contexts a word follows), which is what makes KN
+    the default in every serious n-gram toolkit.
+
+    With discount d = 1/2 the interpolated probability for an OBSERVED
+    bigram (training corpus == scored corpus, so every scored bigram is
+    observed) is the exact integer ratio
+
+        p = (c12 - 1/2)/c1 + (N1+(w1·)/(2·c1)) · (N1+(·w2)/T)
+          = ((2·c12 − 1)·2·T + 2·N1+(w1·)·N1+(·w2)) / (4·c1·T)
+
+    so log2 p = (ln num − ln den)/ln 2 over TWO integer-argument
+    portable lns — the engine-exact fixed-point pipeline of
+    bigram_lm_scores, no new float surface. Integer range: num stays
+    under 2^62 while c12·T < 2^60 — far beyond this report's scale; a
+    web-scale run hashes features first (documented bound, not a
+    silent cap).
+
+    Same scale shape as add-k: one bigram explode, vocabulary-sized
+    count tables (c1 + distinct-successor counts per w1, continuation
+    counts per w2, scalar T) broadcast below the threshold."""
+    bg = doc_bigrams(df, text_col, id_col).persist()
+    try:
+        c12 = (
+            bg.groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).alias("c12"))
+            .localCheckpoint(eager=True)  # feeds c1/n1/nc/T AND the join
+        )
+        c1n1 = c12.groupBy("w1").agg(
+            F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1w1")
+        )
+        nc = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("ncw2"))
+        tt = c12.agg(F.count(F.lit(1)).alias("t"))
+        small = c12.count() <= BROADCAST_MAX_ROWS
+        if small:
+            c12, c1n1, nc = (
+                F.broadcast(c12),
+                F.broadcast(c1n1),
+                F.broadcast(nc),
+            )
+        joined = (
+            bg.join(c12, ["w1", "w2"])
+            .join(c1n1, "w1")
+            .join(nc, "w2")
+            .crossJoin(F.broadcast(tt))
+        )
+        joined = with_ln(
+            joined,
+            "((2 * c12 - 1) * 2 * t + 2 * n1w1 * ncw2)",
+            "__lnnum",
+        )
+        joined = with_ln(joined, "(4 * c1 * t)", "__lnden")
+        lg2_e6 = F.expr(fixed_e6_expr(f"(__lnnum - __lnden) / {LN2_LIT}"))
+        out = (
+            joined.select(F.col(id_col), lg2_e6.alias("__lg2_e6"))
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_bigrams"),
+                F.sum("__lg2_e6").alias("__s"),
+            )
+            .select(
+                id_col,
+                "n_bigrams",
+                F.expr(
+                    "CAST(round(CAST(__s AS DOUBLE) / n_bigrams"
+                    " + 1e-9, 0) AS BIGINT)"
+                ).alias("avg_lg2_e6"),
+            )
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        bg.unpersist()
+    return out

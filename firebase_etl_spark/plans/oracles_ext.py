@@ -3237,6 +3237,73 @@ ORACLES_EXT["events_changepoint_scan"] = """
 """
 
 
+def _kneser_ney_oracle() -> str:
+    """KN twin: the bigram table feeds context counts (c1 + distinct
+    successors per w1), continuation counts per w2 and the bigram-type
+    total; the interpolated d=1/2 probability is the single integer
+    ratio of lm.py:kneser_ney_scores, through the same portable lns."""
+    from firebase_etl_spark.functions.portable_math import (
+        LN2_LIT,
+        fixed_e6_expr,
+        ln_select_sql,
+    )
+
+    chain = ln_select_sql(
+        "SELECT doc_id, c12, c1, n1w1, ncw2, t FROM bg2"
+        " JOIN c12 USING (w1, w2) JOIN c1n1 USING (w1)"
+        " JOIN nc USING (w2) CROSS JOIN tt",
+        [
+            ("((2 * c12 - 1) * 2 * t + 2 * n1w1 * ncw2)", "__lnnum"),
+            ("(4 * c1 * t)", "__lnden"),
+        ],
+    )
+    lg2 = fixed_e6_expr(f"(__lnnum - __lnden) / {LN2_LIT}")
+    return rf"""
+    WITH tk AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\s+') AS t
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS z
+        FROM tk WHERE len(t) >= 2
+    ),
+    bg2 AS (SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM bg),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg2 GROUP BY w1, w2),
+    c1n1 AS (
+        SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+               count(*) AS n1w1
+        FROM c12 GROUP BY w1),
+    nc AS (SELECT w2, count(*) AS ncw2 FROM c12 GROUP BY w2),
+    tt AS (SELECT count(*) AS t FROM c12),
+    perbg AS (SELECT doc_id, {lg2} AS lg2_e6 FROM ({chain})),
+    scored AS (
+        SELECT doc_id, count(*) AS n_bigrams,
+               CAST(sum(lg2_e6) AS BIGINT) AS __s
+        FROM perbg GROUP BY doc_id
+    ),
+    scored2 AS (
+        SELECT doc_id, n_bigrams,
+               CAST(round(CAST(__s AS DOUBLE) / n_bigrams + 1e-9, 0)
+                    AS BIGINT) AS avg_lg2_e6
+        FROM scored
+    )
+    SELECT d.lang, count(*) AS n_docs,
+           CAST(sum(avg_lg2_e6) AS BIGINT) AS sum_avg_e6,
+           min(avg_lg2_e6) AS min_avg_e6,
+           max(avg_lg2_e6) AS max_avg_e6,
+           CAST(sum(CASE WHEN avg_lg2_e6 < -12000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_below_floor,
+           CAST(sum(n_bigrams) AS BIGINT) AS total_bigrams
+    FROM documents d JOIN scored2 USING (doc_id)
+    GROUP BY d.lang ORDER BY d.lang
+"""
+
+
+ORACLES_EXT["doc_lm_kneser_ney_report"] = _kneser_ney_oracle()
+
+
 def _psi_oracle(n_bins: int = 10) -> str:
     """PSI twin: decile cuts via quantile_cont (the gini-established
     interpolation parity), add-half smoothed shares, portable lns, e6

@@ -1047,6 +1047,39 @@ def media_avi_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_lm_kneser_ney_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kneser-Ney bigram fluency report
+    (operators/lm.py:kneser_ney_scores): per language, the distribution
+    of per-doc average log2 probability under the CONTINUATION-count
+    smoothed model — the canonical n-gram smoothing next to the add-k
+    perplexity report, and a direct quality-filter alternative.
+    INTEGERS ONLY in the hashed row (the r7 DSIR convention): integer
+    sum / raw e6 min/max of the per-doc fixed-point means, counts."""
+    from firebase_etl_spark.operators.lm import kneser_ney_scores
+
+    d = load_table(spark, "documents", sf_dir)
+    scores = kneser_ney_scores(d)
+    floor_e6 = -12000000
+    return (
+        d.select("doc_id", "lang")
+        .join(scores, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("avg_lg2_e6").alias("sum_avg_e6"),
+            F.min("avg_lg2_e6").alias("min_avg_e6"),
+            F.max("avg_lg2_e6").alias("max_avg_e6"),
+            F.sum(
+                (F.col("avg_lg2_e6") < floor_e6).cast("long")
+            ).alias("n_below_floor"),
+            F.sum("n_bigrams").alias("total_bigrams"),
+        )
+        .orderBy("lang")
+    )
+
+
 def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index per event type
     (operators/stats.py:psi_drift_report): late-half value distribution

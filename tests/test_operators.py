@@ -2618,3 +2618,35 @@ def test_psi_drift_identical_and_shifted_halves(spark):
     assert got["same"]["n_ref"] == 100 and got["same"]["n_cur"] == 100
     assert got["shift"]["drift_level"] == "major"
     assert got["shift"]["psi_e6"] > 1_000_000  # every row changed bins
+
+
+def test_kneser_ney_hand_computed(spark):
+    """Textbook KN check on 'a b a b a c': d=1/2 interpolated
+    probabilities match the hand-derived integer ratios (22/36, 20/24,
+    10/36) and the per-doc mean log2 matches to fixed-point
+    resolution."""
+    import math as m
+
+    from firebase_etl_spark.operators.lm import kneser_ney_scores
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a c")], "doc_id long, text string"
+    )
+    r = kneser_ney_scores(df).collect()[0]
+    assert r["n_bigrams"] == 5
+    want = (
+        2 * m.log2(22 / 36) + 2 * m.log2(20 / 24) + m.log2(10 / 36)
+    ) / 5
+    assert abs(r["avg_lg2_e6"] / 1e6 - want) < 2e-6
+
+
+def test_kneser_ney_orders_fluency_like_addk(spark):
+    """Repetitive (predictable) text scores higher than a one-off
+    jumble under KN, mirroring the add-k screen's ordering."""
+    from firebase_etl_spark.operators.lm import kneser_ney_scores
+
+    rows = [(i, "the cat sat on the mat " * 4) for i in range(8)]
+    rows.append((99, "qz wv xj pk fh dm bn lr"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["avg_lg2_e6"] for r in kneser_ney_scores(df).collect()}
+    assert got[99] < min(got[i] for i in range(8))
