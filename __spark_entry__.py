@@ -78,6 +78,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_psi_drift": QX.events_psi_drift,
         # NEW this round: Kneser-Ney smoothed LM fluency report
         "doc_lm_kneser_ney_report": QX.doc_lm_kneser_ney_report,
+        # NEW this round: exact Shapley-value channel attribution
+        "events_shapley_attribution": QX.events_shapley_attribution,
         # NEW this round: greedy maximin k-center diversity seeds
         "embedding_kcenter_seeds": QX.embedding_kcenter_seeds,
         "customer_fuzzy_matches": QX.customer_fuzzy_matches,

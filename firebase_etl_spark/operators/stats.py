@@ -698,3 +698,123 @@ def psi_drift_report(
         )
         .orderBy(group_col)
     )
+
+
+def shapley_attribution(
+    df: DataFrame,
+    channels: list[str],
+    conversion_type: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """EXACT Shapley-value conversion attribution (the coalition-game
+    credit split of Shapley 1953, applied to marketing journeys e.g.
+    Zhao et al. 2018, arXiv:1804.05327) — the principled complement to
+    the last-touch heuristic already in the suite: each channel's
+    credit is its average marginal contribution across every coalition
+    ordering.
+
+    Formulation: a user converts at their FIRST ``conversion_type``
+    event; their journey is the SET of listed channels touched strictly
+    before it (empty-journey conversions carry no channel evidence and
+    are excluded — reported via n_attributable vs the caller's own
+    totals). The characteristic function v(S) = conversions whose
+    journey ⊆ S. With n = len(channels) the subset lattice has 2^n
+    rows — channels are a handful, so after ONE corpus pass to
+    journey-set counts the whole game solves relationally on <= 2^n
+    rows: subsets are INTEGER BITMASKS (membership = (s div 2^j) % 2,
+    containment = (m | s) = s), Shapley weights ride the common
+    denominator n! as exact integer literals, and
+    phi_i · n! = Σ_{S∌i} w(|S|) · (v(S∪{i}) − v(S)) is a pure integer
+    sum — cross-engine exact, no float anywhere.
+
+    Output per channel: phi_fact (the integer phi·n!), phi_e6 (phi in
+    1e-6 conversions via integer division), and v_full =
+    v(all channels) = total attributable conversions (Σ phi = v_full
+    exactly — the efficiency axiom doubles as a checksum)."""
+    import math as _m
+
+    n = len(channels)
+    base = df.filter(
+        F.col(user_col).isNotNull() & F.col(type_col).isNotNull()
+    )
+    conv = (
+        base.filter(F.col(type_col) == conversion_type)
+        .groupBy(F.col(user_col).alias("u"))
+        .agg(F.min(F.col(ts_col)).alias("conv_ts"))
+    )
+    touched = (
+        base.filter(F.col(type_col).isin(channels))
+        .select(
+            F.col(user_col).alias("u"),
+            F.col(type_col).alias("ch"),
+            F.col(ts_col).alias("ts"),
+        )
+        .join(conv, "u")
+        .filter(F.col("ts") < F.col("conv_ts"))
+    )
+    # journey bitmask per converted user: bit j = touched channels[j]
+    mask_expr = " + ".join(
+        f"(CASE WHEN max(CASE WHEN ch = '{c}' THEN 1 ELSE 0 END) = 1"
+        f" THEN {1 << j} ELSE 0 END)"
+        for j, c in enumerate(channels)
+    )
+    journeys = (
+        touched.groupBy("u")
+        .agg(F.expr(mask_expr).alias("m"))
+        .filter(F.col("m") > 0)
+        .groupBy("m")
+        .agg(F.count(F.lit(1)).alias("n_conv"))
+        .localCheckpoint(eager=True)  # <= 2^n - 1 rows
+    )
+    spark = df.sparkSession
+    subsets = spark.range(1 << n).select(F.col("id").cast("int").alias("s"))
+    v = (
+        subsets.join(
+            F.broadcast(journeys), F.expr("(m | s) = s"), "left"
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("n_conv"), F.lit(0)).alias("v"))
+        .localCheckpoint(eager=True)  # 2^n rows
+    )
+    w_case = " ".join(
+        f"WHEN bit_count(s) = {p}"
+        f" THEN {_m.factorial(p) * _m.factorial(n - 1 - p)}"
+        for p in range(n)
+    )
+    rows = []
+    for j, c in enumerate(channels):
+        bit = 1 << j
+        wo = v.filter(f"(s DIV {bit}) % 2 = 0").select(
+            F.col("s"), F.col("v").alias("v0")
+        )
+        wi = v.select((F.col("s") - bit).alias("s"), F.col("v").alias("v1"))
+        phi = (
+            wo.join(wi, "s")
+            .select(
+                F.expr(f"(CASE {w_case} END) * (v1 - v0)").alias("t")
+            )
+            .agg(F.coalesce(F.sum("t"), F.lit(0)).alias("phi_fact"))
+            .select(F.lit(c).alias("channel"), "phi_fact")
+        )
+        rows.append(phi)
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    v_full = F.broadcast(
+        v.filter(F.col("s") == (1 << n) - 1).select(
+            F.col("v").alias("v_full")
+        )
+    )
+    fact = _m.factorial(n)
+    return (
+        out.crossJoin(v_full)
+        .select(
+            "channel",
+            "phi_fact",
+            F.expr(f"(phi_fact * 1000000) DIV {fact}").alias("phi_e6"),
+            "v_full",
+        )
+        .orderBy("channel")
+    )

@@ -3237,6 +3237,72 @@ ORACLES_EXT["events_changepoint_scan"] = """
 """
 
 
+def _shapley_oracle(
+    channels=("click", "error", "signup", "view"),
+    conversion: str = "purchase",
+) -> str:
+    """Shapley attribution twin: journey bitmasks (micros-truncated ts
+    comparison mirroring Spark's loader), subset lattice by integer
+    bit algebra, exact factorial weights on the n! denominator."""
+    import math as _m
+
+    n = len(channels)
+    mask = " + ".join(
+        f"(CASE WHEN max(CASE WHEN event_type = '{c}' THEN 1 ELSE 0 END)"
+        f" = 1 THEN {1 << j} ELSE 0 END)"
+        for j, c in enumerate(channels)
+    )
+    in_list = ", ".join(f"'{c}'" for c in channels)
+    w_case = " ".join(
+        f"WHEN bit_count(v0.s) = {p}"
+        f" THEN {_m.factorial(p) * _m.factorial(n - 1 - p)}"
+        for p in range(n)
+    )
+    chan_rows = ", ".join(
+        f"('{c}', {1 << j})" for j, c in enumerate(channels)
+    )
+    return f"""
+    WITH conv AS (
+        SELECT user_id AS u, min(epoch_us(ts)) AS cus
+        FROM events
+        WHERE event_type = '{conversion}' AND user_id IS NOT NULL
+        GROUP BY 1),
+    jm AS (
+        SELECT e.user_id AS u, {mask} AS m
+        FROM events e JOIN conv ON e.user_id = conv.u
+        WHERE e.event_type IN ({in_list})
+          AND epoch_us(e.ts) < conv.cus
+        GROUP BY e.user_id),
+    journeys AS (
+        SELECT m, count(*) AS n_conv FROM jm WHERE m > 0 GROUP BY m),
+    subsets AS (
+        SELECT CAST(s.s AS INT) AS s
+        FROM unnest(range(0, {1 << n})) AS s(s)),
+    v AS (
+        SELECT s, CAST(coalesce(sum(n_conv), 0) AS BIGINT) AS v
+        FROM subsets LEFT JOIN journeys ON (m | s) = s
+        GROUP BY s),
+    chans AS (SELECT * FROM (VALUES {chan_rows}) AS c(name, bit)),
+    phi AS (
+        SELECT c.name AS channel,
+               CAST(sum((CASE {w_case} END) * (v1.v - v0.v))
+                    AS BIGINT) AS phi_fact
+        FROM chans c
+        JOIN v v0 ON (v0.s // c.bit) % 2 = 0
+        JOIN v v1 ON v1.s = v0.s + c.bit
+        GROUP BY c.name),
+    vf AS (SELECT v AS v_full FROM v WHERE s = {(1 << n) - 1})
+    SELECT channel, phi_fact,
+           CAST((phi_fact * 1000000) // {_m.factorial(n)} AS BIGINT)
+               AS phi_e6,
+           v_full
+    FROM phi CROSS JOIN vf ORDER BY channel
+"""
+
+
+ORACLES_EXT["events_shapley_attribution"] = _shapley_oracle()
+
+
 def _kneser_ney_oracle() -> str:
     """KN twin: the bigram table feeds context counts (c1 + distinct
     successors per w1), continuation counts per w2 and the bigram-type

@@ -1047,6 +1047,25 @@ def media_avi_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_shapley_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact Shapley-value conversion attribution
+    (operators/stats.py:shapley_attribution): credit for each user's
+    first purchase split across the four non-purchase channels by
+    average marginal contribution over every coalition — the principled
+    counterpart to events_last_touch_attribution. One corpus pass to
+    journey bitmask counts, then the whole game solves on the 2^4
+    subset lattice in exact integer arithmetic (phi·n! sums; the
+    efficiency axiom Σphi = v(N) doubles as a checksum)."""
+    from firebase_etl_spark.operators.stats import shapley_attribution
+
+    e = load_table(spark, "events", sf_dir)
+    return shapley_attribution(
+        e, ["click", "error", "signup", "view"], "purchase"
+    )
+
+
 def doc_lm_kneser_ney_report(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

@@ -2650,3 +2650,49 @@ def test_kneser_ney_orders_fluency_like_addk(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r["avg_lg2_e6"] for r in kneser_ney_scores(df).collect()}
     assert got[99] < min(got[i] for i in range(8))
+
+
+def test_shapley_attribution_hand_case(spark):
+    """Two channels, hand-solved game: journeys {A}:1 and {A,B}:1 give
+    phi_A = 1.5, phi_B = 0.5 (x2! = 3 and 1), efficiency sums to
+    v_full = 2."""
+    from datetime import datetime, timedelta
+
+    from firebase_etl_spark.operators.stats import shapley_attribution
+
+    t0 = datetime(2024, 6, 1)
+    rows = [
+        (1, 10, "A", t0), (2, 10, "buy", t0 + timedelta(hours=1)),
+        (3, 20, "A", t0), (4, 20, "B", t0 + timedelta(minutes=5)),
+        (5, 20, "buy", t0 + timedelta(hours=2)),
+        (6, 30, "B", t0),                       # touched but never buys
+        (7, 40, "buy", t0),                     # empty journey: excluded
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    got = {
+        r["channel"]: r
+        for r in shapley_attribution(df, ["A", "B"], "buy").collect()
+    }
+    assert got["A"]["phi_fact"] == 3 and got["B"]["phi_fact"] == 1
+    assert got["A"]["phi_e6"] == 1_500_000
+    assert got["B"]["phi_e6"] == 500_000
+    assert all(r["v_full"] == 2 for r in got.values())
+    # efficiency axiom: sum(phi) * n! == v_full * n!
+    assert sum(r["phi_fact"] for r in got.values()) == 2 * 2
+
+
+def test_shapley_attribution_efficiency_on_fixture(spark, sf_dir):
+    from firebase_etl_spark.operators.stats import shapley_attribution
+    from firebase_etl_spark.sources.tables import load_table
+
+    e = load_table(spark, "events", sf_dir)
+    out = shapley_attribution(
+        e, ["click", "error", "signup", "view"], "purchase"
+    ).collect()
+    assert len(out) == 4
+    import math as m
+
+    assert sum(r["phi_fact"] for r in out) == out[0]["v_full"] * m.factorial(4)
+    assert all(r["phi_fact"] >= 0 for r in out)
