@@ -99,6 +99,22 @@ def build(spark, n_copies: int) -> None:
         print(f"built {table} x{n_copies}", flush=True)
 
 
+#: round-7 additions probed with --new-ops (same replica fixture; note
+#: the fixture makes every document a member of a ~10-replica mutual
+#: near-dup cluster, the adversarial direction for pair-enumerating ops)
+NEW_OPS = [
+    "events_kmv_user_overlap",
+    "embedding_kcenter_seeds",
+    "documents_doremi_mixture",
+    "events_psi_drift",
+    "doc_lm_kneser_ney_report",
+    "events_shapley_attribution",
+    "events_changepoint_scan",
+    "media_avi_frame_stats",
+    "doc_similarity_histogram",
+]
+
+
 #: banded-subset cap used in the capped probe rows: the replica fixture
 #: builds mutual-dup clusters of ~n_copies, so a cap below that forces
 #: real truncation while healthy buckets pass through untouched
@@ -171,13 +187,42 @@ def run_capped(spark, n_copies: int) -> None:
         spark.catalog.clearCache()
 
 
+def run_list(spark, names, n_copies: int) -> None:
+    qs = entrymod.queries()
+    print(f"| query | sf0.1 s | x{n_copies} s | ratio |")
+    print("|---|---|---|---|")
+    for name in names:
+        fn = qs[name]
+        fn(spark, "/root/testdata/sf0.01").collect()  # codegen warm
+        t0 = time.perf_counter()
+        fn(spark, BASE).collect()
+        small = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        fn(spark, DEST).collect()
+        big = time.perf_counter() - t0
+        print(
+            f"| {name} | {small:.2f} | {big:.2f} |"
+            f" {big / small:.2f}x |",
+            flush=True,
+        )
+        spark.catalog.clearCache()
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     n_copies = int(args[0]) if args else 10
     capped_only = "--capped-only" in sys.argv
+    new_ops = "--new-ops" in sys.argv
     spark = get_spark(app_name="scale_probe")
-    if not (capped_only and os.path.exists(f"{DEST}/documents.parquet")):
+    reuse = (capped_only or new_ops) and os.path.exists(
+        f"{DEST}/documents.parquet"
+    )
+    if not reuse:
         build(spark, n_copies)
+    if new_ops:
+        run_list(spark, NEW_OPS, n_copies)
+        spark.stop()
+        return
     if not capped_only:
         qs = entrymod.queries()
         print(f"| query | sf0.1 s | x{n_copies} s | ratio |")
