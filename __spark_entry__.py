@@ -112,6 +112,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_order_counts_having": Q.customer_order_counts_having,
         "revenue_by_region": Q.revenue_by_region,
         "customers_with_orders_semi": Q.customers_with_orders_semi,
+        # ---- OUTSIDE the 50-query window from here: the r8
+        # re-evidence queue starts with these rows (displaced by
+        # this round's 14 new queries; still pinned by the full
+        # strict sweep) ----
         "events_hourly_stats": Q.events_hourly_stats,
         "doc_text_features": QX.doc_text_features,
         "doc_lang_stats": QX.doc_lang_stats,
@@ -119,9 +123,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": QX.embedding_norms,
         "embedding_topk_ivf": QX.embedding_topk_ivf,
         "events_json_stats": QX.events_json_stats,
-        # ---- outside the 50-query window: r8 re-evidence queue starts
-        # HERE (r3-evidenced rows displaced by the 8 new r7 queries,
-        # still pinned by the full strict sweep) ----
         "stream_hourly_event_counts": QX.stream_hourly_event_counts,
         "stream_user_sessions": QX.stream_user_sessions,
         "stream_keep_latest_per_user": QX.stream_keep_latest_per_user,

@@ -116,6 +116,19 @@ def with_ln(df: DataFrame, arg: str, out: str) -> DataFrame:
     return df.drop(*[name for name, _ in steps[:-1]])
 
 
+#: the magnitude-proportional half of the round nudge: 2^-40 relative
+#: shift — bigger than 0.5 ulp at EVERY magnitude (so it never gets
+#: absorbed by the IEEE add the way a bare +1e-9 does past |x| ~ 2^24)
+#: yet 10^-12 relative, far below any rounding-precision gap in use
+NUDGE_REL_LIT = dlit(2.0 ** -40)
+
+
+def nudge_sql(x: str) -> str:
+    """The shared nudge expression string for oracle SQL:
+    ``x + 1e-9 + abs(x) * 2^-40`` — see :func:`round_nudged`."""
+    return f"({x}) + 1e-9 + abs({x}) * {NUDGE_REL_LIT}"
+
+
 def round_nudged(col, k: int):
     """CONVENTION (round-semantics immunity, tools/round_audit.py): a
     hashed double produced by ``round(x, k)`` where x can land EXACTLY
@@ -123,16 +136,22 @@ def round_nudged(col, k: int):
     power-of-two denominators, e.g. n/64 -> .40625) is environment-
     dependent — Spark rounds HALF_UP on the exact decimal while
     DuckDB's round(DOUBLE) semantics changed across versions
-    (multiply-and-nearbyint = half-to-EVEN historically). Nudging by
-    +1e-9 BEFORE the round moves exact boundaries strictly upward on
-    BOTH engines (the identical correctly-rounded IEEE addition), so
-    either semantics then agrees. Mirror in the oracle as
-    ``round(x + 1e-9, k)``. Valid while |x| < ~1e5 at k=4 / ~1e7 at
-    k=2 (the nudge must exceed one ulp of x); report aggregates here
-    are orders of magnitude inside that."""
+    (multiply-and-nearbyint = half-to-EVEN historically). Nudging
+    BEFORE the round moves exact boundaries strictly upward (for
+    x >= 0; symmetric-in-expression for x < 0) on BOTH engines — the
+    identical correctly-rounded IEEE ops — so either semantics then
+    agrees. The nudge is ``+ 1e-9 + |x|·2^-40``: the absolute term
+    covers tiny magnitudes, the RELATIVE term keeps the shift above
+    one ulp at every magnitude (a bare +1e-9 is silently absorbed by
+    the add once |x| >= ~2^24 — a cent sum of $17M — reinstating the
+    boundary). Mirror in the oracle via :func:`nudge_sql`. Never use
+    on the fixed_e6_expr integer-target path, which has its own
+    convention."""
     from pyspark.sql import functions as _F
 
-    return _F.round(col + _F.lit(1e-9), k)
+    return _F.round(
+        col + _F.lit(1e-9) + _F.abs(col) * _F.lit(2.0 ** -40), k
+    )
 
 
 def fixed_e6_expr(x: str) -> str:

@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from firebase_etl_spark.functions.portable_math import round_nudged
+
 
 def frequent_pairs(
     df: DataFrame,
@@ -99,17 +101,15 @@ def frequent_pairs(
                 "p1",
                 "p2",
                 "pair_count",
-                # +1e-9 nudge: these integer ratios land EXACTLY on .5
+                # nudged round: these integer ratios land EXACTLY on .5
                 # rounding boundaries, where round(double) is engine-
                 # version-dependent (portable_math.round_nudged)
-                F.round(
-                    F.col("pair_count") / F.col("n_baskets") + F.lit(1e-9),
-                    4,
+                round_nudged(
+                    F.col("pair_count") / F.col("n_baskets"), 4
                 ).alias("support"),
-                F.round(
+                round_nudged(
                     (F.col("pair_count") * F.col("n_baskets"))
-                    / (F.col("c1") * F.col("c2"))
-                    + F.lit(1e-9),
+                    / (F.col("c1") * F.col("c2")),
                     4,
                 ).alias("lift"),
             )

@@ -53,6 +53,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from firebase_etl_spark.functions.portable_math import round_nudged
+
 from firebase_etl_spark.operators.similarity import (
     _to_double,
     dot,
@@ -235,14 +237,12 @@ def kmeans_label_report(
         per_label.groupBy("cluster")
         .agg(
             F.sum("cnt").alias("n_vecs"),
-            # +1e-9 nudge: integer-ratio outputs land EXACTLY on .5
+            # nudged round: integer-ratio outputs land EXACTLY on .5
             # rounding boundaries (10/64 = .15625), where round(double)
             # semantics differ across engine versions — see
             # portable_math.round_nudged / tools/round_audit.py
-            F.round(
-                F.sum("cos_e6") / (F.sum("cnt") * F.lit(_SCALE))
-                + F.lit(1e-9),
-                4,
+            round_nudged(
+                F.sum("cos_e6") / (F.sum("cnt") * F.lit(_SCALE)), 4
             ).alias("avg_cos"),
             F.max_by(
                 F.struct(F.col("lbl").alias("l"), F.col("cnt").alias("c")),
@@ -254,8 +254,8 @@ def kmeans_label_report(
             "n_vecs",
             "avg_cos",
             F.col("mj.l").alias("majority_label"),
-            F.round(
-                F.col("mj.c") / F.col("n_vecs") + F.lit(1e-9), 4
+            round_nudged(
+                F.col("mj.c") / F.col("n_vecs"), 4
             ).alias("purity"),
         )
         .orderBy("cluster")
@@ -291,6 +291,8 @@ def kcenter_seeds(
     TakeOrdered(1) argmax — never a global sort), one final coverage
     pass; driver state is k ids + k vectors. Initialization: lowest id
     (deterministic, oracle-expressible)."""
+    if k < 1:
+        raise ValueError(f"kcenter_seeds needs k >= 1, got {k}")
     vecs = _unit_vecs(df, id_col, vec_col).persist()
     try:
         first = vecs.orderBy("vid").limit(1).collect()

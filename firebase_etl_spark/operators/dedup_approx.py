@@ -618,41 +618,48 @@ def _cap_bucket_postings(
     never silent: the exact truncation counts are computed eagerly and
     written into ``truncation`` (or logged at WARNING if no dict was
     passed). Docs dropped from one bucket still pair through any OTHER
-    shared bucket, so the loss is per-bucket, not per-doc."""
-    sizes = postings.groupBy(key).agg(F.count(F.lit(1)).alias("m"))
-    row = sizes.agg(
-        F.coalesce(
-            F.sum((F.col("m") > max_bucket_docs).cast("long")), F.lit(0)
-        ).alias("buckets_truncated"),
-        F.coalesce(
-            F.sum(F.greatest(F.col("m") - max_bucket_docs, F.lit(0))),
-            F.lit(0),
-        ).alias("postings_dropped"),
-    ).collect()[0]
-    stats = {
-        "buckets_truncated": int(row["buckets_truncated"]),
-        "postings_dropped": int(row["postings_dropped"]),
-    }
-    if truncation is not None:
-        truncation.update(stats)
-    elif stats["postings_dropped"]:
-        import logging
+    shared bucket, so the loss is per-bucket, not per-doc.
 
-        logging.getLogger(__name__).warning(
-            "%s: max_bucket_docs=%d dropped %d postings across %d "
-            "buckets (bounded-recall mode; pass truncation={} to "
-            "collect these counts)",
-            op_name,
-            max_bucket_docs,
-            stats["postings_dropped"],
-            stats["buckets_truncated"],
-        )
+    ONE pass over the postings lineage: the rank-tagged table persists
+    across the truncation-stats action and the capped projection (which
+    is eagerly materialized from it before the persist is released) —
+    the expensive upstream (tokenize + shingle explode + prefix build)
+    never runs twice."""
     w = Window.partitionBy(key).orderBy(order_col)
-    return (
-        postings.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= max_bucket_docs)
-        .drop("__rn")
-    )
+    tagged = postings.withColumn("__rn", F.row_number().over(w)).persist()
+    try:
+        row = tagged.filter(F.col("__rn") > max_bucket_docs).agg(
+            F.coalesce(
+                F.count_distinct(F.col(key)), F.lit(0)
+            ).alias("buckets_truncated"),
+            F.count(F.lit(1)).alias("postings_dropped"),
+        ).collect()[0]
+        stats = {
+            "buckets_truncated": int(row["buckets_truncated"]),
+            "postings_dropped": int(row["postings_dropped"]),
+        }
+        if truncation is not None:
+            truncation.update(stats)
+        elif stats["postings_dropped"]:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "%s: max_bucket_docs=%d dropped %d postings across %d "
+                "buckets (bounded-recall mode; pass truncation={} to "
+                "collect these counts)",
+                op_name,
+                max_bucket_docs,
+                stats["postings_dropped"],
+                stats["buckets_truncated"],
+            )
+        capped = (
+            tagged.filter(F.col("__rn") <= max_bucket_docs)
+            .drop("__rn")
+            .localCheckpoint(eager=True)  # cap-bounded: <= cap rows/bucket
+        )
+    finally:
+        tagged.unpersist()
+    return capped
 
 
 def prefix_filter_near_dups(

@@ -512,9 +512,19 @@ def doremi_mixture_weights(
         # Spark's truncating DIV and DuckDB's flooring // agree
         .withColumn("loss_e6", F.expr("(-tot_lg2) DIV total_bigrams"))
         .withColumn("ref_loss_e6", F.expr("(-tot_all) DIV nb_all"))
+        # DOCUMENTED CLAMP (not silent): excess caps at 15.5 units so
+        # w_fx = baseline_e6 * e^excess stays <= ~5.4e12 and the
+        # renormalizing product w_fx * 1e6 stays inside int64 on BOTH
+        # engines (Spark would wrap silently where DuckDB raises — a
+        # cross-engine divergence). An e^15.5 ~ 5.4e6x upweight is far
+        # past mixture saturation; the clamp binds only on adversarial
+        # corpora and is visible in the emitted excess_e6 column.
         .withColumn(
             "excess_e6",
-            F.expr("greatest(CAST(0 AS BIGINT), loss_e6 - ref_loss_e6)"),
+            F.expr(
+                "least(CAST(15500000 AS BIGINT),"
+                " greatest(CAST(0 AS BIGINT), loss_e6 - ref_loss_e6))"
+            ),
         )
         .withColumn(
             "baseline_e6", F.expr("(n_docs * 1000000) DIV n_total")

@@ -359,6 +359,7 @@ def decode_avi_rgb(payload: bytes) -> tuple[int, int, int, list]:
     ):
         raise ValueError("not an AVI payload")
     width = height = n_frames = fps = None
+    strf_ok = False
     frames = []
     for cid, body in _walk_chunks(payload, 12, len(payload)):
         if cid != b"LIST" or len(body) < 4:
@@ -384,9 +385,16 @@ def decode_avi_rgb(payload: bytes) -> tuple[int, int, int, list]:
                                     "only uncompressed 24-bit RGB streams"
                                     " supported"
                                 )
+                            strf_ok = True
         elif ltype == b"movi":
             if width is None:
                 raise ValueError("movi list before hdrl")
+            if not strf_ok:
+                # without a validated strf the frame format is a guess:
+                # a 32bpp or compressed stream would pass the DIB length
+                # check and decode to plausible-but-wrong pixels — the
+                # silent-wrong-stats class this codec family rejects
+                raise ValueError("missing strf stream format before movi")
             for sid, sbody in _walk_chunks(body, 4, len(body)):
                 if sid in (b"00db", b"00dc"):
                     frames.append(_decode_dib_body(sbody, width, height))

@@ -22,6 +22,10 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from firebase_etl_spark.functions.portable_math import (
+    round_nudged as _round_nudged,
+)
+
 
 def _to_double(col) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -857,17 +861,16 @@ def knn_distance_report(
         top.groupBy("query_id")
         .agg(
             F.max("cosine_sim").alias("top1_sim"),
-            # +1e-9 nudge: sum_e6/k re-rounded at the SAME 1e-6
+            # nudged round: sum_e6/k re-rounded at the SAME 1e-6
             # precision lands exactly on .5 whenever sum_e6 % k != 0 —
             # engine-version-dependent round(double) semantics would
             # flip it (portable_math.round_nudged, tools/round_audit.py)
-            F.round(
+            _round_nudged(
                 F.sum(
                     F.round(F.col("cosine_sim") * 1000000.0, 0).cast("long")
                 ).cast("double")
                 / F.count(F.lit(1))
-                / 1000000.0
-                + F.lit(1e-9),
+                / 1000000.0,
                 6,
             ).alias("mean_topk_sim"),
             F.min("cosine_sim").alias("kth_sim"),

@@ -91,7 +91,7 @@ ORACLES_EXT: dict[str, str] = {
             FROM documents
         )
         SELECT doc_id, ws_tokens, bpe_tokens, n_chars_text,
-               round(n_chars_text * 1.0 / bpe_tokens + 1e-9, 4) AS chars_per_bpe_token
+               round((n_chars_text * 1.0 / bpe_tokens) + 1e-9 + abs(n_chars_text * 1.0 / bpe_tokens) * CAST('9.094947017729282e-13' AS DOUBLE), 4) AS chars_per_bpe_token
         FROM b
     """,
     # tfidf twin: PORTABLE libm-free lns (the 6dp score feeds the rank
@@ -188,13 +188,13 @@ ORACLES_EXT: dict[str, str] = {
     """,
     "lineitem_summary_stats": """
         SELECT count(*) AS n,
-               round(avg(l_quantity) + 1e-9, 4) AS qty_mean,
-               round(stddev_samp(l_quantity) + 1e-9, 4) AS qty_std,
-               round(min(l_quantity) + 1e-9, 2) AS qty_min,
-               round(max(l_quantity) + 1e-9, 2) AS qty_max,
-               round(avg(l_extendedprice) + 1e-9, 4) AS price_mean,
-               round(min(l_extendedprice) + 1e-9, 2) AS price_min,
-               round(max(l_extendedprice) + 1e-9, 2) AS price_max
+               round((avg(l_quantity)) + 1e-9 + abs(avg(l_quantity)) * CAST('9.094947017729282e-13' AS DOUBLE), 4) AS qty_mean,
+               round((stddev_samp(l_quantity)) + 1e-9 + abs(stddev_samp(l_quantity)) * CAST('9.094947017729282e-13' AS DOUBLE), 4) AS qty_std,
+               round((min(l_quantity)) + 1e-9 + abs(min(l_quantity)) * CAST('9.094947017729282e-13' AS DOUBLE), 2) AS qty_min,
+               round((max(l_quantity)) + 1e-9 + abs(max(l_quantity)) * CAST('9.094947017729282e-13' AS DOUBLE), 2) AS qty_max,
+               round((avg(l_extendedprice)) + 1e-9 + abs(avg(l_extendedprice)) * CAST('9.094947017729282e-13' AS DOUBLE), 4) AS price_mean,
+               round((min(l_extendedprice)) + 1e-9 + abs(min(l_extendedprice)) * CAST('9.094947017729282e-13' AS DOUBLE), 2) AS price_min,
+               round((max(l_extendedprice)) + 1e-9 + abs(max(l_extendedprice)) * CAST('9.094947017729282e-13' AS DOUBLE), 2) AS price_max
         FROM lineitem
     """,
     "orders_deterministic_sample": """
@@ -222,7 +222,7 @@ ORACLES_EXT: dict[str, str] = {
     """,
     "top_customer_revenue": """
         SELECT c_custkey, c_name,
-               round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2)
+               round((sum(l_extendedprice * (1 - l_discount))) + 1e-9 + abs(sum(l_extendedprice * (1 - l_discount))) * CAST('9.094947017729282e-13' AS DOUBLE), 2)
                    AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
@@ -996,7 +996,7 @@ ORACLES_EXT["q5_local_supplier_volume"] = """
     -- (tools/round_audit.py), where round(double) is engine-version-
     -- dependent; mirrored in queries.q5_local_supplier_volume
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2)
+           round((sum(l_extendedprice * (1 - l_discount))) + 1e-9 + abs(sum(l_extendedprice * (1 - l_discount))) * CAST('9.094947017729282e-13' AS DOUBLE), 2)
                AS revenue
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
@@ -1770,12 +1770,15 @@ def _doremi_oracle(smoothing_e6: int = 300_000) -> str:
         FROM per
     ),
     base AS (
+        -- excess clamped at 15.5 (documented overflow bound mirrored
+        -- from lm.py:doremi_mixture_weights)
         SELECT domain, n_docs, total_bigrams,
                ((-tot_lg2) // total_bigrams) AS loss_e6,
                ((-tot_all) // nb_all) AS ref_loss_e6,
-               greatest(CAST(0 AS BIGINT),
-                        ((-tot_lg2) // total_bigrams)
-                        - ((-tot_all) // nb_all)) AS excess_e6,
+               least(CAST(15500000 AS BIGINT),
+                     greatest(CAST(0 AS BIGINT),
+                              ((-tot_lg2) // total_bigrams)
+                              - ((-tot_all) // nb_all))) AS excess_e6,
                (n_docs * 1000000) // n_total AS baseline_e6
         FROM per CROSS JOIN tot
     ),
@@ -4237,9 +4240,9 @@ ag AS (
            CAST(sum(cos_e6) AS BIGINT) AS cos_e6
     FROM pl GROUP BY cid)
 SELECT ag.cid AS cluster, ag.n_vecs,
-       round(ag.cos_e6 / (ag.n_vecs * 1000000.0) + 1e-9, 4) AS avg_cos,
+       round((ag.cos_e6 / (ag.n_vecs * 1000000.0)) + 1e-9 + abs(ag.cos_e6 / (ag.n_vecs * 1000000.0)) * CAST('9.094947017729282e-13' AS DOUBLE), 4) AS avg_cos,
        mj.majority_label,
-       round(mj.mj_cnt * 1.0 / ag.n_vecs + 1e-9, 4) AS purity
+       round((mj.mj_cnt * 1.0 / ag.n_vecs) + 1e-9 + abs(mj.mj_cnt * 1.0 / ag.n_vecs) * CAST('9.094947017729282e-13' AS DOUBLE), 4) AS purity
 FROM ag JOIN mj ON ag.cid = mj.cid
 ORDER BY cluster"""
     return _kmeans_centroid_ctes(k, n_iter) + ",\n" + tail
@@ -4318,9 +4321,10 @@ ORACLES_EXT["part_copurchase_pairs"] = """
         FROM bf a JOIN bf z ON a.bk = z.bk AND a.it < z.it
         GROUP BY a.it, z.it HAVING count(*) >= 2)
     SELECT pr.p1, pr.p2, CAST(pr.pair_count AS BIGINT) AS pair_count,
-           round(pr.pair_count * 1.0 / nb.n_baskets + 1e-9, 4) AS support,
-           round((pr.pair_count * nb.n_baskets * 1.0)
-                 / (c1.ic * c2.ic) + 1e-9, 4) AS lift
+           round((pr.pair_count * 1.0 / nb.n_baskets) + 1e-9 + abs(pr.pair_count * 1.0 / nb.n_baskets) * CAST('9.094947017729282e-13' AS DOUBLE), 4) AS support,
+           round(((pr.pair_count * nb.n_baskets * 1.0)
+                 / (c1.ic * c2.ic)) + 1e-9 + abs((pr.pair_count * nb.n_baskets * 1.0)
+                 / (c1.ic * c2.ic)) * CAST('9.094947017729282e-13' AS DOUBLE), 4) AS lift
     FROM pr
     JOIN fr c1 ON pr.p1 = c1.it
     JOIN fr c2 ON pr.p2 = c2.it
@@ -4723,9 +4727,11 @@ ORACLES_EXT["embedding_knn_outliers"] = """
         ) WHERE r <= 10
     )
     SELECT query_id, max(cosine_sim) AS top1_sim,
-           round(CAST(sum(CAST(round(cosine_sim * 1000000.0, 0) AS BIGINT))
+           round((CAST(sum(CAST(round(cosine_sim * 1000000.0, 0) AS BIGINT))
                           AS DOUBLE)
-                     / count(*) / 1000000.0 + 1e-9, 6) AS mean_topk_sim,
+                     / count(*) / 1000000.0) + 1e-9 + abs(CAST(sum(CAST(round(cosine_sim * 1000000.0, 0) AS BIGINT))
+                          AS DOUBLE)
+                     / count(*) / 1000000.0) * CAST('9.094947017729282e-13' AS DOUBLE), 6) AS mean_topk_sim,
            min(cosine_sim) AS kth_sim,
            min(cosine_sim) < 0.25 AS is_isolated
     FROM top GROUP BY query_id
@@ -5940,11 +5946,16 @@ def _curriculum_oracle() -> str:
         FROM w GROUP BY epoch
     ), nt AS (SELECT CAST(sum(n_l) AS BIGINT) AS n_total FROM counts)
     SELECT w.epoch, w.lang, w.alpha, w.n_l,
-           CAST(ceil(round(ceil(0.25 * nt.n_total) * w.w_fx
-                           / tot.w_total + 1e-9, 6)) AS BIGINT) AS quota,
-           round(CAST(ceil(round(ceil(0.25 * nt.n_total) * w.w_fx
-                                 / tot.w_total + 1e-9, 6)) AS BIGINT)
-                 / w.n_l + 1e-9, 4) AS repeat_factor
+           CAST(ceil(round((ceil(0.25 * nt.n_total) * w.w_fx
+                           / tot.w_total) + 1e-9 + abs(ceil(0.25 * nt.n_total) * w.w_fx
+                           / tot.w_total) * CAST('9.094947017729282e-13' AS DOUBLE), 6)) AS BIGINT) AS quota,
+           round((CAST(ceil(round((ceil(0.25 * nt.n_total) * w.w_fx
+                                 / tot.w_total) + 1e-9 + abs(ceil(0.25 * nt.n_total) * w.w_fx
+                                 / tot.w_total) * CAST('9.094947017729282e-13' AS DOUBLE), 6)) AS BIGINT)
+                 / w.n_l) + 1e-9 + abs(CAST(ceil(round((ceil(0.25 * nt.n_total) * w.w_fx
+                                 / tot.w_total) + 1e-9 + abs(ceil(0.25 * nt.n_total) * w.w_fx
+                                 / tot.w_total) * CAST('9.094947017729282e-13' AS DOUBLE), 6)) AS BIGINT)
+                 / w.n_l) * CAST('9.094947017729282e-13' AS DOUBLE), 4) AS repeat_factor
     FROM w JOIN tot USING (epoch), nt
     ORDER BY epoch, lang
 """
@@ -6085,9 +6096,10 @@ ORACLES_EXT["session_event_pairs"] = """
         FROM bf a JOIN bf z ON a.bk = z.bk AND a.it < z.it
         GROUP BY a.it, z.it HAVING count(*) >= 2)
     SELECT pr.p1, pr.p2, CAST(pr.pair_count AS BIGINT) AS pair_count,
-           round(pr.pair_count * 1.0 / nb.n_baskets + 1e-9, 4) AS support,
-           round((pr.pair_count * nb.n_baskets * 1.0)
-                 / (c1.ic * c2.ic) + 1e-9, 4) AS lift
+           round((pr.pair_count * 1.0 / nb.n_baskets) + 1e-9 + abs(pr.pair_count * 1.0 / nb.n_baskets) * CAST('9.094947017729282e-13' AS DOUBLE), 4) AS support,
+           round(((pr.pair_count * nb.n_baskets * 1.0)
+                 / (c1.ic * c2.ic)) + 1e-9 + abs((pr.pair_count * nb.n_baskets * 1.0)
+                 / (c1.ic * c2.ic)) * CAST('9.094947017729282e-13' AS DOUBLE), 4) AS lift
     FROM pr
     JOIN fr c1 ON pr.p1 = c1.it
     JOIN fr c2 ON pr.p2 = c2.it

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from firebase_etl_spark.functions import portable_math as PM
 from firebase_etl_spark.sources.tables import load_table
 
 
@@ -481,12 +482,13 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
-            # +1e-9 nudge: this revenue sum measurably lands on an exact
-            # half-cent at sf0.01 (tools/round_audit.py), where
-            # round(double) is engine-version-dependent
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                + F.lit(1e-9),
+            # nudged round: this revenue sum measurably lands on an
+            # exact half-cent at sf0.01 (tools/round_audit.py), where
+            # round(double) is engine-version-dependent; the RELATIVE
+            # nudge term keeps working past the 2^24-cent magnitude
+            # where a bare +1e-9 would be absorbed
+            PM.round_nudged(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
                 2,
             ).alias("revenue")
         )

@@ -419,12 +419,11 @@ def top_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(
-            # +1e-9 nudge: a per-customer sum lands on an exact
+            # nudged round: a per-customer sum lands on an exact
             # half-cent at sf0.001 (tools/round_audit.py) — see
             # portable_math.round_nudged
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                + F.lit(1e-9),
+            PM.round_nudged(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
                 2,
             ).alias("revenue")
         )

@@ -1709,6 +1709,8 @@ def test_kcenter_seeds_hand_case(spark):
 
 
 def test_kcenter_seeds_corpus_smaller_than_k(spark):
+    import pytest as _pytest
+
     from firebase_etl_spark.operators.clustering import kcenter_seeds
 
     df = spark.createDataFrame(
@@ -1718,6 +1720,8 @@ def test_kcenter_seeds_corpus_smaller_than_k(spark):
     out = kcenter_seeds(df, k=5).collect()
     assert [(r["seed_rank"], r["vec_id"]) for r in out] == [(0, 7), (1, 9)]
     assert out[0]["cover_radius_e6"] == 0  # every point IS a seed
+    with _pytest.raises(ValueError, match="k >= 1"):
+        kcenter_seeds(df, k=0)
 
 
 def test_kmeans_label_report_separates_obvious_clusters(spark):

@@ -842,6 +842,19 @@ def test_avi_decode_rejects_junk_truncation_and_count_mismatch():
     p = encode_avi_rgb(2, 2, _avi_frames(2, 2, 2), fps=10)
     with _pytest.raises(ValueError, match="truncated"):
         decode_avi_rgb(p[:-5])
+    # an AVI whose hdrl lacks strf must NOT silently decode frames as
+    # 24bpp DIB (the frame format would be a guess): excise the strl
+    # LIST and expect a loud rejection
+    strl_at = p.index(b"strl") - 8  # back to the LIST header
+    strl_size = int.from_bytes(p[strl_at + 4:strl_at + 8], "little")
+    no_strl = bytearray(p[:strl_at] + p[strl_at + 8 + strl_size:])
+    # shrink the enclosing hdrl LIST and RIFF sizes accordingly
+    h = no_strl.index(b"hdrl") - 8
+    hs = int.from_bytes(no_strl[h + 4:h + 8], "little")
+    no_strl[h + 4:h + 8] = (hs - 8 - strl_size).to_bytes(4, "little")
+    no_strl[4:8] = (len(no_strl) - 8).to_bytes(4, "little")
+    with _pytest.raises(ValueError, match="strf"):
+        decode_avi_rgb(bytes(no_strl))
     bad = bytearray(p)
     i = bad.index(b"avih") + 8 + 16
     bad[i:i + 4] = (9).to_bytes(4, "little")  # header lies about count

@@ -71,11 +71,17 @@ def main() -> int:
             errors.append(name)
             print(f"{name}: ERROR {type(exc).__name__}: {exc}")
             continue
-        # value-level compare (types may widen through the macro swap)
+        # value-level compare. Ints stay EXACT (coercing them to float
+        # would equate BIGINTs differing beyond 2^53 — exactly the
+        # fixed-point e6 columns this tool guards); only genuine floats
+        # compare as floats (round vs round_even both return DOUBLE, so
+        # the swap never changes a column's type).
         def norm(rows):
             return sorted(
                 tuple(
-                    float(v) if isinstance(v, (int, float)) else str(v)
+                    float(v)
+                    if isinstance(v, float)
+                    else str(v)
                     for v in r
                 )
                 for r in rows

@@ -224,24 +224,7 @@ def main() -> None:
         spark.stop()
         return
     if not capped_only:
-        qs = entrymod.queries()
-        print(f"| query | sf0.1 s | x{n_copies} s | ratio |")
-        print("|---|---|---|---|")
-        for name in HEAVY:
-            fn = qs[name]
-            fn(spark, "/root/testdata/sf0.01").collect()  # codegen warm
-            t0 = time.perf_counter()
-            fn(spark, BASE).collect()
-            small = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            fn(spark, DEST).collect()
-            big = time.perf_counter() - t0
-            print(
-                f"| {name} | {small:.2f} | {big:.2f} |"
-                f" {big / small:.2f}x |",
-                flush=True,
-            )
-            spark.catalog.clearCache()
+        run_list(spark, HEAVY, n_copies)
     run_capped(spark, n_copies)
     spark.stop()
 
