@@ -2721,8 +2721,9 @@ def _dsir_oracle() -> str:
                CAST(sum(lw_e6) AS BIGINT) AS sum_weight_e6,
                min(lw_e6) AS min_weight_e6,
                max(lw_e6) AS max_weight_e6,
-               sum(CASE WHEN lw_e6 > 0 THEN 1 ELSE 0 END) AS n_target_like,
-               sum(n_tokens) AS total_tokens
+               CAST(sum(CASE WHEN lw_e6 > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_target_like,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens
         FROM documents JOIN scores USING (doc_id)
         GROUP BY lang)
     -- INTEGERS ONLY in the hashed row (r7): the mean is an e4
@@ -3740,7 +3741,7 @@ def _km_survival_oracle() -> str:
                coalesce(p.d, 0) AS d, coalesce(p.c, 0) AS c
         FROM spine s LEFT JOIN per_t p USING (t)),
     prior AS (
-        SELECT w.t, coalesce(sum(v.d + v.c), 0) AS gone
+        SELECT w.t, CAST(coalesce(sum(v.d + v.c), 0) AS BIGINT) AS gone
         FROM dense w LEFT JOIN dense v ON v.t < w.t GROUP BY w.t),
     terms AS (
         SELECT t, d, c, n,

@@ -33,6 +33,49 @@ ONLY = set(sys.argv[2:])
 LOOSE_FLOAT_QUERIES: set[str] = set()
 
 
+#: the only DuckDB types an oracle's FINAL output may carry. HUGEINT
+#: (an uncast sum()) hashes as decimal128 on the driver while printing
+#: identically to BIGINT locally — the r4-r7 documents_dsir_weights /
+#: user_conversion_survival red class. Intermediates may be anything;
+#: this lints DESCRIBE of the full statement, i.e. the final SELECT.
+ALLOWED_ORACLE_TYPES = {
+    "BIGINT", "INTEGER", "DOUBLE", "VARCHAR", "BOOLEAN", "DATE",
+    "TIMESTAMP",
+}
+
+#: Spark dtype -> DuckDB types that hash identically on the driver.
+SPARK_TO_DUCK = {
+    "bigint": {"BIGINT"},
+    "int": {"INTEGER"},
+    "double": {"DOUBLE"},
+    "string": {"VARCHAR"},
+    "boolean": {"BOOLEAN"},
+    "date": {"DATE"},
+    "timestamp": {"TIMESTAMP"},
+    "timestamp_ntz": {"TIMESTAMP"},
+}
+
+
+def lint_oracle_types(con, sql: str, spark_dtypes) -> list[str]:
+    """Type-lint one oracle's output vs the allowlist and the Spark
+    schema. Returns a list of problem strings (empty = clean)."""
+    duck = {
+        r[0]: r[1] for r in con.execute(f"DESCRIBE {sql}").fetchall()
+    }
+    probs = []
+    for cn, ct in duck.items():
+        if ct not in ALLOWED_ORACLE_TYPES:
+            probs.append(f"oracle col {cn!r} has forbidden type {ct}")
+    for cn, st in spark_dtypes:
+        want = SPARK_TO_DUCK.get(st)
+        got = duck.get(cn)
+        if want is not None and got is not None and got not in want:
+            probs.append(
+                f"type-parity: col {cn!r} spark={st} duckdb={got}"
+            )
+    return probs
+
+
 def norm(v, loose: bool = False):
     if isinstance(v, float):
         # STRICT: the exact 64 bits, like the driver's value hash — a
@@ -91,6 +134,16 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             bad.append(name)
             print(f"{name}: ORACLE ERROR {type(exc).__name__}: {exc}")
+            continue
+        try:
+            lint = lint_oracle_types(con, sql, sdf.dtypes)
+        except Exception as exc:  # noqa: BLE001
+            lint = [f"DESCRIBE failed: {type(exc).__name__}: {exc}"]
+        if lint:
+            bad.append(name)
+            print(f"{name}: TYPE-LINT FAIL")
+            for p in lint:
+                print(f"  {p}")
             continue
         o_s = sorted(range(len(scols)), key=lambda i: scols[i])
         o_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
