@@ -2671,13 +2671,10 @@ ORACLES_EXT["q20_excess_stock_suppliers"] = f"""
 """
 
 
-def _dsir_oracle() -> str:
-    """DSIR twin with the PORTABLE libm-free ln (portable_math.py): the
-    ratio CTE applies the exact step chain the Spark plan runs — JVM
-    Math.log vs DuckDB ln ulp divergence flipped the 1e-6 BIGINT on
-    the driver host in rounds 4 AND 5 (the query passed against the
-    local DuckDB build, failed on the driver's), so neither side may
-    call a libm ln at all."""
+def _dsir_scores_with() -> str:
+    """Shared WITH prefix (toks → counts → tot → ratio → scores) for
+    the DSIR weights oracle and its per-doc diagnostics — one
+    definition so the report and its fingerprints can never drift."""
     from firebase_etl_spark.functions.portable_math import (
         ln_select_sql,
         lr_e6_expr,
@@ -2715,7 +2712,17 @@ def _dsir_oracle() -> str:
     scores AS (
         SELECT doc_id, count(*) AS n_tokens,
                CAST(sum(lr_e6) AS BIGINT) AS lw_e6
-        FROM toks JOIN ratio USING (w) GROUP BY doc_id),
+        FROM toks JOIN ratio USING (w) GROUP BY doc_id)"""
+
+
+def _dsir_oracle() -> str:
+    """DSIR twin with the PORTABLE libm-free ln (portable_math.py): the
+    ratio CTE applies the exact step chain the Spark plan runs — JVM
+    Math.log vs DuckDB ln ulp divergence flipped the 1e-6 BIGINT on
+    the driver host in rounds 4 AND 5 (the query passed against the
+    local DuckDB build, failed on the driver's), so neither side may
+    call a libm ln at all."""
+    return _dsir_scores_with() + """,
     agg AS (
         SELECT lang, count(*) AS n_docs,
                CAST(sum(lw_e6) AS BIGINT) AS sum_weight_e6,
@@ -2805,6 +2812,54 @@ def _dsir_diag_model_oracle() -> str:
 
 
 ORACLES_EXT["dsir_diag_model"] = _dsir_diag_model_oracle()
+
+
+def _dsir_diag_scores_oracle() -> str:
+    """Per-doc SCORING-stage diagnostic twin: the exact weights-oracle
+    chain through ``scores``, fingerprinted per md5 bucket of doc_id
+    with count/sum/min/max AND sum-of-squares — the plain bucket sums
+    are blind to cancelling ±1 flips across two docs in one bucket;
+    the sum of squares is not. Overflow bound: |lw_e6| < 2^21 and
+    docs-per-bucket < 2^21 keep sum(lw_e6²) < 2^63 (measured sf0.1
+    max |lw_e6| ≈ 4.2e5)."""
+    return _dsir_scores_with() + """
+    SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket,
+           count(*) AS n_docs,
+           CAST(sum(lw_e6) AS BIGINT) AS sum_lw_e6,
+           min(lw_e6) AS min_lw_e6,
+           max(lw_e6) AS max_lw_e6,
+           CAST(sum(lw_e6 * lw_e6) AS BIGINT) AS sumsq_lw_e6,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+    FROM scores GROUP BY bucket ORDER BY bucket
+"""
+
+
+ORACLES_EXT["dsir_diag_scores"] = _dsir_diag_scores_oracle()
+
+
+def _dsir_diag_columns_oracle() -> str:
+    """Column-isolating discriminator: the weights report unpivoted to
+    one (lang, col_name, val) row per output column, every val a
+    BIGINT. If the packed report reds while this greens, the
+    divergence is representation-level (row layout / typing) rather
+    than any value; if both red, the driver's diff is in a specific
+    named row."""
+    cols = [
+        "n_docs", "sum_weight_e6", "mean_weight_e4", "min_weight_e6",
+        "max_weight_e6", "n_target_like", "total_tokens",
+    ]
+    parts = [
+        f"SELECT lang, '{c}' AS col_name, {c} AS val FROM rep"
+        for c in cols
+    ]
+    return (
+        "WITH rep AS (" + _dsir_oracle() + ")\n    "
+        + "\n    UNION ALL ".join(parts)
+        + "\n    ORDER BY lang, col_name"
+    )
+
+
+ORACLES_EXT["dsir_diag_columns"] = _dsir_diag_columns_oracle()
 
 
 ORACLES_EXT["events_distinct_users_approx"] = """
@@ -3763,6 +3818,17 @@ def _km_survival_oracle() -> str:
 
 
 ORACLES_EXT["user_conversion_survival"] = _km_survival_oracle()
+
+
+ORACLES_EXT["km_diag_counts"] = (
+    # integer-spine discriminator for the KM curve: the full survival
+    # oracle minus its one double column — red survival + green counts
+    # localizes any driver divergence to the exp2/round tail
+    "WITH rep AS ("
+    + _km_survival_oracle()
+    + ")\n    SELECT t, n_at_risk, n_events, n_censored FROM rep"
+    " ORDER BY t"
+)
 
 
 def _logrank_oracle() -> str:

@@ -3318,6 +3318,71 @@ def dsir_diag_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dsir_diag_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR driver diagnostic #3 — PER-DOC SCORING parity, integers
+    only. The (doc_id, n_tokens, lw_e6) stage between the (r7-green)
+    model table and the (r4-r7-red) packed report, fingerprinted per
+    md5 bucket of doc_id with count/sum/min/max AND sum-of-squares:
+    the plain bucket sums the other diags use are blind to cancelling
+    ±1 flips on two docs in one bucket; sum(lw_e6²) is not. Overflow
+    bound: |lw_e6| < 2^21 and docs-per-bucket < 2^21 keep the square
+    sum inside int64 (measured sf0.1 max |lw_e6| ≈ 4.2e5)."""
+    from firebase_etl_spark.operators.dsir import dsir_log_weights
+
+    d = load_table(spark, "documents", sf_dir)
+    s = dsir_log_weights(d, target=F.col("lang") == "en")
+    return (
+        s.groupBy(
+            F.substring(
+                F.md5(F.col("doc_id").cast("string")), 1, 1
+            ).alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("log_weight_e6").alias("sum_lw_e6"),
+            F.min("log_weight_e6").alias("min_lw_e6"),
+            F.max("log_weight_e6").alias("max_lw_e6"),
+            F.sum(
+                F.col("log_weight_e6") * F.col("log_weight_e6")
+            ).alias("sumsq_lw_e6"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def dsir_diag_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR driver diagnostic #4 — COLUMN-ISOLATING discriminator: the
+    exact documents_dsir_weights report unpivoted to one
+    (lang, col_name, val) row per output column, every val BIGINT. A
+    red packed report beside a green unpivot means the divergence is
+    representation-level (row layout / column typing), not a value;
+    red here too means a value diff in a specific named row."""
+    rep = documents_dsir_weights(spark, sf_dir)
+    stack = F.expr(
+        "stack(7,"
+        " 'n_docs', n_docs,"
+        " 'sum_weight_e6', sum_weight_e6,"
+        " 'mean_weight_e4', mean_weight_e4,"
+        " 'min_weight_e6', min_weight_e6,"
+        " 'max_weight_e6', max_weight_e6,"
+        " 'n_target_like', n_target_like,"
+        " 'total_tokens', total_tokens) AS (col_name, val)"
+    )
+    return rep.select("lang", stack).orderBy("lang", "col_name")
+
+
+def km_diag_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KM driver diagnostic — the user_conversion_survival curve minus
+    its one double column (survival): the week spine, at-risk,
+    event and censor counts are all exact integers. Red survival +
+    green counts localizes any driver divergence to the portable
+    exp2 / round(…, 6) tail; both red points at the integer spine."""
+    return user_conversion_survival(spark, sf_dir).select(
+        "t", "n_at_risk", "n_events", "n_censored"
+    ).orderBy("t")
+
+
 def _sqlstore_orders_fixture(spark: SparkSession, sf_dir: str) -> str:
     """Materialize orders into a DuckDB warehouse file once per sf_dir
     (INPUT fixture, same pattern as the RTDB export), register the
