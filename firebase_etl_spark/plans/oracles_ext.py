@@ -537,9 +537,16 @@ ORACLES_EXT["doc_prefix_filter_near_dups"] = r"""
 # threshold-tuning histogram: brute-force exact pairs at j >= 0.3 (the
 # prefix filter is lossless, so the curve is the true distribution)
 ORACLES_EXT["doc_similarity_histogram"] = r"""
-    WITH toks AS (
+    WITH samp AS (
+        -- content-addressed fixed-size sample, mirroring the query's
+        -- SIM_HIST_SAMPLE_CAP=2000 distributed top-k by md5(doc_id)
+        SELECT doc_id, text FROM documents
+        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 2000
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs_total FROM documents
+    ), toks AS (
         SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
-        FROM documents
+        FROM samp
     ), sh AS (
         SELECT doc_id,
                list_distinct(list_transform(range(1, len(tk) - 1),
@@ -558,8 +565,10 @@ ORACLES_EXT["doc_similarity_histogram"] = r"""
     SELECT CASE WHEN jaccard >= 1.0 THEN 10
                 ELSE CAST(floor(jaccard * 10) AS INT) END AS sim_decile,
            count(*) AS n_pairs,
-           CAST(sum(id_a + id_b) AS BIGINT) AS id_checksum
-    FROM pairs GROUP BY 1 ORDER BY sim_decile
+           CAST(sum(id_a + id_b) AS BIGINT) AS id_checksum,
+           n_docs_total,
+           CAST(least(n_docs_total, 2000) AS BIGINT) AS n_docs_sampled
+    FROM pairs, tot GROUP BY 1, n_docs_total ORDER BY sim_decile
 """
 
 ORACLES_EXT["media_feature_stats"] = """

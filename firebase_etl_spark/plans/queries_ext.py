@@ -1046,6 +1046,12 @@ def media_avi_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: fixed SAMPLE size for the threshold-tuning histogram: bounds pair
+#: enumeration at cap² regardless of corpus size (mirrored as a literal
+#: in the oracle — change both together)
+SIM_HIST_SAMPLE_CAP = 2000
+
+
 def doc_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup THRESHOLD-TUNING curve: the exact Jaccard distribution
     over all candidate pairs at similarity >= 0.3 (prefix-filtered
@@ -1054,9 +1060,31 @@ def doc_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicates (j = 1.0) split out. This is the curve a dedup operator
     reads to PICK its threshold — where the knee between
     boilerplate-similarity mass and true-duplicate mass sits — before
-    committing a corpus-wide drop policy. Integer output."""
+    committing a corpus-wide drop policy. Integer output.
+
+    Scale shape (VERDICT r7 #4): the curve is computed over a
+    CONTENT-ADDRESSED fixed-size sample — the first
+    ``SIM_HIST_SAMPLE_CAP`` documents by md5(doc_id) (a distributed
+    top-k, never a global sort) — so the pair enumeration is bounded
+    by cap² at ANY corpus size; a threshold-tuning curve needs a
+    representative sample of the pair distribution, not every pair in
+    a 100 TB crawl. The sampling is SURFACED in the hashed row
+    (``n_docs_total`` / ``n_docs_sampled``), per the no-silent-caps
+    rule. Below the cap (sf ≤ 0.01) the sample is the whole corpus
+    and the curve is the exact one."""
     d = load_table(spark, "documents", sf_dir)
-    pairs = DA.prefix_filter_near_dups(d, threshold=0.3, shingle_n=3)
+    samp = (
+        d.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .limit(SIM_HIST_SAMPLE_CAP)
+        # GlobalLimit leaves ONE partition; everything downstream
+        # (shingle explode, prefix self-join) would run single-threaded
+        # without this spread (measured 234s -> ~20s at sf0.1)
+        .repartition("doc_id")
+    )
+    pairs = DA.prefix_filter_near_dups(samp, threshold=0.3, shingle_n=3)
+    tot = F.broadcast(
+        d.agg(F.count(F.lit(1)).alias("n_docs_total"))
+    )
     bucket = F.expr(
         "CASE WHEN jaccard >= 1.0 THEN 10"
         " ELSE CAST(floor(jaccard * 10) AS INT) END"
@@ -1066,6 +1094,17 @@ def doc_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
             F.sum(F.col("id_a") + F.col("id_b")).alias("id_checksum"),
+        )
+        .crossJoin(tot)
+        .select(
+            "sim_decile",
+            "n_pairs",
+            "id_checksum",
+            "n_docs_total",
+            F.least(
+                F.col("n_docs_total"),
+                F.lit(SIM_HIST_SAMPLE_CAP).cast("long"),
+            ).alias("n_docs_sampled"),
         )
         .orderBy("sim_decile")
     )
