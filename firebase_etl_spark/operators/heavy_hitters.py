@@ -304,12 +304,16 @@ def kmv_set_ops_report(
             ((F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("long")
         ).alias("c"),
     )
+    # the h_k = 0 arm (ADVICE r7): k distinct ids whose md5 prefix is
+    # all zeros — probability ~k·2⁻⁵², but the guard makes the
+    # estimator TOTAL (n_sk is exact there: every hash collided to 0)
+    # instead of a NULL/divide-by-zero, at zero cost
     est = (
-        f"CASE WHEN n_sk_{{s}} < {k} THEN n_sk_{{s}}"
+        f"CASE WHEN n_sk_{{s}} < {k} OR h_k_{{s}} = 0 THEN n_sk_{{s}}"
         f" ELSE ({k - 1} * CAST({KMV_SCALE} AS BIGINT)) DIV h_k_{{s}} END"
     )
     est_union = (
-        f"CASE WHEN n_merged < {k} THEN n_merged"
+        f"CASE WHEN n_merged < {k} OR h_k_u = 0 THEN n_merged"
         f" ELSE ({k - 1} * CAST({KMV_SCALE} AS BIGINT)) DIV h_k_u END"
     )
     # overflow-free (c * est_union) // n_k with c, n_k <= k

@@ -322,13 +322,22 @@ def changepoint_scan(
     changepoint a monitoring pipeline alerts on (drift/anomaly
     operators flag points; this finds the REGIME boundary).
 
-    Determinism: all integer arithmetic — with s1/n1 the prefix
-    sum/count, d = s1·n2 − s2·n1 makes G = d²/(n1·n2·T), emitted as the
-    truncating-integer-division BIGINT ``gain_stat`` (ranking spec:
-    highest gain_stat, ties to the earliest day — mirrored exactly in
-    the oracle); segment means are e2 fixed-point integer divisions.
-    |d| stays under 2^31 for daily sums up to ~2^26, far above any
-    daily count this report meets (documented bound, not a silent cap).
+    Determinism: with s1/n1 the prefix sum/count, d = s1·n2 − s2·n1
+    makes G = d²/(n1·n2·T), emitted as the BIGINT ``gain_stat``
+    (ranking spec: highest gain_stat, ties to the earliest day —
+    mirrored exactly in the oracle); segment means are e2 fixed-point
+    integer divisions. Overflow contract (ADVICE r7: the old
+    "|d| < 2^31 for daily sums up to 2^26" bound ignored that d scales
+    with total-events × spine-length): |d| ≤ s_tot·t_tot, so d² is
+    computed on the EXACT integer path only while |d| < 2^31; above
+    that the same value comes from IEEE doubles — cast, multiply,
+    divide, floor are each bit-deterministic given identical integer
+    inputs, so both engines still agree bit-for-bit (and within one
+    dataset the two branches mix freely: each candidate's value is the
+    same mathematical G to <1 either way). The emitted statistic
+    itself needs gain < 2^63, i.e. s_tot² < 2^63·t_tot — an inherent
+    bound on the SCORE's magnitude, not an implementation cap (at
+    ~3·10⁹ events/day × 1000 days, re-bucket the spine coarser).
 
     Scale shape: ONE corpus aggregate to daily rows, then everything
     runs on the bounded day spine — prefix sums via a broadcast BNLJ
@@ -370,7 +379,13 @@ def changepoint_scan(
         )
         .withColumn(
             "gain_stat",
-            F.expr("(d * d) DIV (n1 * n2 * t_tot)"),
+            F.expr(
+                "CASE WHEN abs(d) < 2147483648"
+                " THEN (d * d) DIV (n1 * n2 * t_tot)"
+                " ELSE CAST(floor((CAST(d AS DOUBLE) * CAST(d AS DOUBLE))"
+                " / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)"
+                " * CAST(t_tot AS DOUBLE))) AS BIGINT) END"
+            ),
         )
     )
     return (

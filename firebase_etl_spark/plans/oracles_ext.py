@@ -3319,12 +3319,23 @@ ORACLES_EXT["events_changepoint_scan"] = """
     cand AS (
         SELECT day, n1, t_tot - n1 AS n2, s1, s_tot - s1 AS s2, t_tot
         FROM pre CROSS JOIN tot WHERE n1 < t_tot),
+    dd AS (
+        SELECT day, n1, n2, s1, s2, t_tot,
+               CAST(s1 * n2 - s2 * n1 AS BIGINT) AS d
+        FROM cand),
     scored AS (
+        -- overflow-safe gain (ADVICE r7): exact integer d² path only
+        -- while |d| < 2^31; above it the identical IEEE-double chain
+        -- the Spark plan runs (same parenthesization, floor before
+        -- cast so DuckDB's rounding CAST can't diverge from Spark)
         SELECT day, n1, n2, s1, s2,
-               (s1 * n2 - s2 * n1) AS d,
-               CAST(((s1 * n2 - s2 * n1) * (s1 * n2 - s2 * n1))
-                    // (n1 * n2 * t_tot) AS BIGINT) AS gain_stat
-        FROM cand)
+               CASE WHEN abs(d) < 2147483648
+                    THEN CAST((d * d) // (n1 * n2 * t_tot) AS BIGINT)
+                    ELSE CAST(floor((CAST(d AS DOUBLE) * CAST(d AS DOUBLE))
+                         / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                            * CAST(t_tot AS DOUBLE))) AS BIGINT)
+               END AS gain_stat
+        FROM dd)
     SELECT day AS split_day, n1 AS n_days_before, n2 AS n_days_after,
            CAST((s1 * 100) // n1 AS BIGINT) AS mean_before_e2,
            CAST((s2 * 100) // n2 AS BIGINT) AS mean_after_e2,
@@ -3630,7 +3641,7 @@ ORACLES_EXT["stream_kmv_distinct_users"] = """
             FROM h) WHERE r <= 64),
     per AS (SELECT g, count(*) AS n_sk, max(h) AS h_k FROM sk GROUP BY g)
     SELECT p.g, n.n_seen, p.n_sk, p.h_k,
-           CAST(CASE WHEN p.n_sk < 64 THEN p.n_sk
+           CAST(CASE WHEN p.n_sk < 64 OR p.h_k = 0 THEN p.n_sk
                 ELSE (63 * CAST(4503599627370496 AS BIGINT)) // p.h_k
                 END AS BIGINT) AS est_distinct
     FROM per p JOIN nseen n ON p.g = n.g ORDER BY p.g
@@ -3688,13 +3699,14 @@ ORACLES_EXT["events_kmv_user_overlap"] = """
         GROUP BY a.g, b.g),
     est AS (
         SELECT agg.ga, agg.gb,
-               CASE WHEN pa.n_sk < 64 THEN pa.n_sk
+               CASE WHEN pa.n_sk < 64 OR pa.h_k = 0 THEN pa.n_sk
                     ELSE (63 * CAST(4503599627370496 AS BIGINT))
                          // pa.h_k END AS est_users_a,
-               CASE WHEN pb.n_sk < 64 THEN pb.n_sk
+               CASE WHEN pb.n_sk < 64 OR pb.h_k = 0 THEN pb.n_sk
                     ELSE (63 * CAST(4503599627370496 AS BIGINT))
                          // pb.h_k END AS est_users_b,
-               CASE WHEN agg.n_merged < 64 THEN agg.n_merged
+               CASE WHEN agg.n_merged < 64 OR agg.h_k_u = 0
+                    THEN agg.n_merged
                     ELSE (63 * CAST(4503599627370496 AS BIGINT))
                          // agg.h_k_u END AS est_union,
                agg.n_merged, agg.n_k, agg.c

@@ -520,7 +520,10 @@ def streaming_kmv_distinct(
         state.update((mins, seen))
         n = len(mins)
         hk = mins[-1] if mins else 0
-        est = n if n < k else (k - 1) * KMV_SCALE // hk
+        # hk == 0 (k ids whose md5 prefix is all zeros, ~k*2^-52): the
+        # sketch holds only collided-to-zero hashes, so n IS the best
+        # estimate — and the guard keeps the stream alive (ADVICE r7)
+        est = n if (n < k or hk == 0) else (k - 1) * KMV_SCALE // hk
         yield pd.DataFrame(
             {
                 "g": [str(key_tuple[0])],

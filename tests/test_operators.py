@@ -2467,6 +2467,55 @@ def test_changepoint_scan_finds_planted_step(spark):
     assert r["gain_stat"] == 4000
 
 
+def test_changepoint_gain_big_branch_cross_engine(spark):
+    """The overflow-safe gain expression (ADVICE r7): the |d| >= 2^31
+    double branch must (a) not overflow int64 where the old d*d DIV
+    form wrapped/raised, and (b) produce the identical BIGINT on Spark
+    and DuckDB for the same integer inputs — the inputs are exact
+    integers, so cast/multiply/divide/floor are bit-deterministic IEEE
+    ops on both engines. Cases straddle the branch boundary."""
+    import duckdb
+
+    cases = [
+        # (d, n1, n2, t_tot) — exact branch, boundary, deep double
+        (2147483647, 20, 20, 40),
+        (2147483648, 20, 20, 40),
+        (3_000_000_000, 100, 900, 1000),
+        (-3_000_000_000, 100, 900, 1000),
+        (6_400_000_000_000, 500, 500, 1000),  # s_tot*T scale
+        (123456789, 3, 37, 40),
+    ]
+    expr = (
+        "CASE WHEN abs(d) < 2147483648"
+        " THEN (d * d) {div} (n1 * n2 * t_tot)"
+        " ELSE CAST(floor((CAST(d AS DOUBLE) * CAST(d AS DOUBLE))"
+        " / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)"
+        " * CAST(t_tot AS DOUBLE))) AS BIGINT) END"
+    )
+    df = spark.createDataFrame(
+        cases, "d long, n1 long, n2 long, t_tot long"
+    )
+    got_spark = [
+        r[0]
+        for r in df.select(
+            F.expr(expr.format(div="DIV")).alias("g")
+        ).collect()
+    ]
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(
+            "SELECT "
+            + expr.format(div="//")
+            + f" FROM (SELECT CAST({d} AS BIGINT) d, {n1} n1,"
+            f" {n2} n2, {t} t_tot)"
+        ).fetchone()[0]
+        for d, n1, n2, t in cases
+    ]
+    assert got_spark == got_duck
+    # sanity: the deep-double case is far beyond the old int64 wrap
+    assert got_spark[4] == 163_840_000_000_000_000
+
+
 def test_changepoint_scan_flat_series_ties_to_earliest(spark):
     from datetime import datetime, timedelta
 

@@ -22,7 +22,7 @@ exact boundaries off the knife edge consistently on both engines).
 Queries that agree under BOTH semantics are immune to round-semantics
 drift at this SF by measurement, not argument.
 
-Usage: python tools/round_audit.py [sf_dir]
+Usage: python tools/round_audit.py [sf_dir] [query ...]
 Exit 1 if any query's output differs between the two round semantics.
 """
 
@@ -38,6 +38,7 @@ import duckdb  # noqa: E402
 import __spark_entry__ as m  # noqa: E402
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = set(sys.argv[2:])
 
 TABLES = (
     "region nation customer supplier part orders lineitem events "
@@ -61,6 +62,8 @@ def main() -> int:
         )
     at_risk, errors, immune, no_round = [], [], 0, 0
     for name, sql in sorted(m.oracle_sql().items()):
+        if ONLY and name not in ONLY:
+            continue
         if not re.search(r"\bround\s*\(", sql):
             no_round += 1
             continue
@@ -71,17 +74,18 @@ def main() -> int:
             errors.append(name)
             print(f"{name}: ERROR {type(exc).__name__}: {exc}")
             continue
-        # value-level compare. Ints stay EXACT (coercing them to float
-        # would equate BIGINTs differing beyond 2^53 — exactly the
-        # fixed-point e6 columns this tool guards); only genuine floats
-        # compare as floats (round vs round_even both return DOUBLE, so
-        # the swap never changes a column's type).
+        # value-level compare. Every value normalizes to ONE orderable
+        # type (string): ints stay EXACT (coercing them to float would
+        # equate BIGINTs differing beyond 2^53 — exactly the fixed-point
+        # e6 columns this tool guards), floats go through repr (which
+        # round-trips the exact double, so repr equality == bit-level
+        # value equality), and NULLs/strings via str — a tuple mixing
+        # float and str (any nullable DOUBLE column) used to raise
+        # TypeError in the sort, crashing the audit (ADVICE r7 #1).
         def norm(rows):
             return sorted(
                 tuple(
-                    float(v)
-                    if isinstance(v, float)
-                    else str(v)
+                    repr(v) if isinstance(v, float) else str(v)
                     for v in r
                 )
                 for r in rows
@@ -90,11 +94,15 @@ def main() -> int:
         if norm(base) != norm(alt):
             at_risk.append(name)
             sb, sa = norm(base), norm(alt)
-            diff = [(b, a) for b, a in zip(sb, sa) if b != a][:2]
+            # set-difference diff: the old positional zip paired sorted
+            # rows by index, showing misaligned before/after values
+            only_b = [r for r in sb if r not in sa][:2]
+            only_a = [r for r in sa if r not in sb][:2]
             print(f"{name}: AT RISK (half-boundary value in output)")
-            for b, a in diff:
-                print(f"  half_up={b}")
-                print(f"  half_even={a}")
+            for b in only_b:
+                print(f"  half_up only: {b}")
+            for a in only_a:
+                print(f"  half_even only: {a}")
         else:
             immune += 1
     print(
