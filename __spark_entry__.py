@@ -56,6 +56,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_diag_columns": QX.dsir_diag_columns,
         "km_diag_counts": QX.km_diag_counts,
         "doc_similarity_histogram": QX.doc_similarity_histogram,
+        # NEW this round: day-of-week seasonality profile
+        "events_dow_profile": QX.events_dow_profile,
         "events_hourly_stats": Q.events_hourly_stats,
         "doc_text_features": QX.doc_text_features,
         "doc_lang_stats": QX.doc_lang_stats,
@@ -97,10 +99,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "masked_customer_emails": Q.masked_customer_emails,
         "q18_large_orders": Q.q18_large_orders,
         "q4_order_priority": Q.q4_order_priority,
-        "q12_shipmode_priority": Q.q12_shipmode_priority,
         # ---- OUTSIDE the 50-query window from here: r8
         # re-evidence queue order - oldest driver evidence
         # first, the 45 freshly-r7-evidenced rows last ----
+        "q12_shipmode_priority": Q.q12_shipmode_priority,
         "q14_promo_revenue": Q.q14_promo_revenue,
         "q17_small_quantity_revenue": Q.q17_small_quantity_revenue,
         "q10_returned_items": Q.q10_returned_items,

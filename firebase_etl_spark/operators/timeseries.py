@@ -400,3 +400,70 @@ def changepoint_scan(
             "gain_stat",
         )
     )
+
+
+def dow_profile(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Day-of-week seasonality profile of the daily event-count series
+    — the decomposition a monitoring pipeline subtracts BEFORE calling
+    something an anomaly (a quiet Sunday is not an incident). One row
+    per weekday: day count, totals, the e2 fixed-point weekday mean,
+    and integer residual diagnostics against that mean (sum of
+    absolute e2 residuals, the largest positive/negative residual, and
+    how many days run above their weekday mean).
+
+    Determinism + scale shape: weekday from pure epoch-day arithmetic
+    ((days since 1970-01-01 + 4) % 7, Monday=0 — engine dayofweek()
+    conventions disagree, this never does); ONE corpus aggregate to
+    daily rows, then every statistic is an integer aggregate over the
+    bounded day spine (two passes over spine-sized data: means, then
+    residuals). No floats anywhere."""
+    daily = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.to_date(ts_col).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "dow",
+            # 1970-01-01 was a Thursday; +3 lands Monday on 0
+            (
+                (F.datediff(F.col("day"), F.lit("1970-01-01")) + 3) % 7
+            ).cast("long"),
+        )
+        .localCheckpoint(eager=True)  # day-spine-sized, 2 consumers
+    )
+    means = daily.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n").alias("total_events"),
+    )
+    means = means.withColumn(
+        "mean_per_day_e2",
+        F.expr("(total_events * 100) DIV n_days"),
+    )
+    resid = (
+        daily.join(F.broadcast(means), "dow")
+        .withColumn(
+            "r_e2", F.col("n") * 100 - F.col("mean_per_day_e2")
+        )
+        .groupBy("dow")
+        .agg(
+            F.sum(F.abs(F.col("r_e2"))).alias("sum_abs_resid_e2"),
+            F.max("r_e2").alias("max_resid_e2"),
+            F.min("r_e2").alias("min_resid_e2"),
+            F.sum((F.col("r_e2") > 0).cast("long")).alias(
+                "n_days_above_mean"
+            ),
+        )
+    )
+    return (
+        means.join(resid, "dow")
+        .select(
+            "dow",
+            "n_days",
+            "total_events",
+            "mean_per_day_e2",
+            "sum_abs_resid_e2",
+            "max_resid_e2",
+            "min_resid_e2",
+            "n_days_above_mean",
+        )
+        .orderBy("dow")
+    )

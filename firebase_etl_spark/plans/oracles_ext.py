@@ -3344,6 +3344,44 @@ ORACLES_EXT["events_changepoint_scan"] = """
 """
 
 
+ORACLES_EXT["events_dow_profile"] = """
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               count(*) AS n
+        FROM events WHERE ts IS NOT NULL GROUP BY 1),
+    dowd AS (
+        -- weekday from epoch-day arithmetic, Monday=0 (1970-01-01 was
+        -- a Thursday): engine dayofweek() conventions disagree, this
+        -- never does
+        SELECT (CAST(day - DATE '1970-01-01' AS BIGINT) + 3) % 7
+                   AS dow,
+               day, n
+        FROM daily),
+    means AS (
+        SELECT dow, count(*) AS n_days,
+               CAST(sum(n) AS BIGINT) AS total_events,
+               CAST((CAST(sum(n) AS BIGINT) * 100) // count(*)
+                    AS BIGINT) AS mean_per_day_e2
+        FROM dowd GROUP BY dow),
+    resid AS (
+        SELECT d.dow,
+               CAST(sum(abs(d.n * 100 - m.mean_per_day_e2))
+                    AS BIGINT) AS sum_abs_resid_e2,
+               CAST(max(d.n * 100 - m.mean_per_day_e2)
+                    AS BIGINT) AS max_resid_e2,
+               CAST(min(d.n * 100 - m.mean_per_day_e2)
+                    AS BIGINT) AS min_resid_e2,
+               CAST(sum(CASE WHEN d.n * 100 > m.mean_per_day_e2
+                             THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_days_above_mean
+        FROM dowd d JOIN means m USING (dow) GROUP BY d.dow)
+    SELECT m.dow, m.n_days, m.total_events, m.mean_per_day_e2,
+           r.sum_abs_resid_e2, r.max_resid_e2, r.min_resid_e2,
+           r.n_days_above_mean
+    FROM means m JOIN resid r USING (dow) ORDER BY dow
+"""
+
+
 def _shapley_oracle(
     channels=("click", "error", "signup", "view"),
     conversion: str = "purchase",

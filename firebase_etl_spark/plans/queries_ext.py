@@ -3422,6 +3422,21 @@ def km_diag_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("t")
 
 
+def events_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile of the daily event series
+    (operators/timeseries.py:dow_profile): weekday means and integer
+    residual diagnostics — the decomposition a monitoring pipeline
+    subtracts before calling a quiet Sunday an incident, and the
+    seasonal complement to events_trend_slopes / events_robust_
+    anomalies. Weekday from pure epoch-day arithmetic (engine
+    dayofweek() conventions disagree; (epoch_days + 3) % 7 never
+    does). Integers only."""
+    from firebase_etl_spark.operators.timeseries import dow_profile
+
+    e = load_table(spark, "events", sf_dir)
+    return dow_profile(e, "ts")
+
+
 def _sqlstore_orders_fixture(spark: SparkSession, sf_dir: str) -> str:
     """Materialize orders into a DuckDB warehouse file once per sf_dir
     (INPUT fixture, same pattern as the RTDB export), register the

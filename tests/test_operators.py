@@ -2533,6 +2533,36 @@ def test_changepoint_scan_flat_series_ties_to_earliest(spark):
     assert str(r["split_day"]) == "2024-03-01"  # tie -> earliest day
 
 
+def test_dow_profile_hand_computed(spark):
+    """Two full weeks, 10 events on weekdays and 40 on weekends: each
+    weekday row must carry its exact mean and zero residuals (two
+    identical weeks), with Monday=0 anchoring the epoch arithmetic."""
+    from datetime import datetime, timedelta
+
+    from firebase_etl_spark.operators.timeseries import dow_profile
+
+    base = datetime(2024, 1, 1, 6)  # 2024-01-01 is a Monday
+    rows, eid = [], 0
+    for day in range(14):
+        per = 40 if day % 7 in (5, 6) else 10
+        for _ in range(per):
+            rows.append((eid, base + timedelta(days=day)))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    got = {r["dow"]: r for r in dow_profile(df, "ts").collect()}
+    assert sorted(got) == list(range(7))
+    for dow in range(7):
+        r = got[dow]
+        per = 40 if dow in (5, 6) else 10
+        assert r["n_days"] == 2
+        assert r["total_events"] == 2 * per
+        assert r["mean_per_day_e2"] == per * 100
+        # identical weeks -> zero residual everywhere
+        assert r["sum_abs_resid_e2"] == 0
+        assert r["max_resid_e2"] == 0 and r["min_resid_e2"] == 0
+        assert r["n_days_above_mean"] == 0
+
+
 def test_km_curve_hand_computed(spark):
     """Textbook Kaplan-Meier: events at 1, 3, 3, 5; censored at 2, 4.
     S = 1, 5/6, 5/6, 5/12, 5/12, 0."""
