@@ -3382,6 +3382,89 @@ ORACLES_EXT["events_dow_profile"] = """
 """
 
 
+def _minhash_recall_oracle(
+    num_hashes: int = 16, bands: int = 4
+) -> str:
+    """Recall-audit twin: replays the PORTABLE md5 MinHash signature
+    (52-bit integer prefixes, the simhash_portable convention), the
+    4-band keys, the bucket self-join and the exact-Jaccard verify —
+    then measures them against the brute-force truth, exactly as the
+    Spark plan does against its prefix-filter truth (same pair set by
+    the prefix filter's zero-false-negative construction)."""
+    mins = ",\n               ".join(
+        f"min(('0x' || substr(md5('mh{i}|' || s), 1, 13))::BIGINT)"
+        f" AS m{i}"
+        for i in range(num_hashes)
+    )
+    rows = num_hashes // bands
+    band_rows = "\n        UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({key}) AS bh FROM sig".format(
+            b=b,
+            key=" || ',' || ".join(
+                f"CAST(m{b * rows + r} AS VARCHAR)" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    return rf"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(tk) - 1),
+                   i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS sh
+        FROM toks WHERE len(tk) >= 3
+    ), truth AS (
+        SELECT id_a, id_b, jaccard FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.sh, b.sh)) * 1.0
+                         / nullif(len(list_distinct(
+                               list_concat(a.sh, b.sh))), 0),
+                         6) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        ) WHERE jaccard >= 0.5
+    ), ex AS (
+        SELECT doc_id, unnest(sh) AS s FROM sh
+    ), sig AS (
+        SELECT doc_id,
+               {mins}
+        FROM ex GROUP BY doc_id
+    ), banded AS (
+        {band_rows}
+    ), cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ), found AS (
+        SELECT c.id_a, c.id_b, 1 AS f
+        FROM cands c
+        JOIN sh a ON c.id_a = a.doc_id
+        JOIN sh b ON c.id_b = b.doc_id
+        WHERE round(len(list_intersect(a.sh, b.sh)) * 1.0
+                    / nullif(len(list_distinct(
+                          list_concat(a.sh, b.sh))), 0), 6) >= 0.5
+    ), rep AS (
+        SELECT CASE WHEN t.jaccard >= 1.0 THEN 10
+                    ELSE CAST(floor(t.jaccard * 10) AS INT)
+               END AS sim_decile,
+               count(*) AS n_true_pairs,
+               CAST(coalesce(sum(f.f), 0) AS BIGINT) AS n_lsh_found
+        FROM truth t
+        LEFT JOIN found f ON t.id_a = f.id_a AND t.id_b = f.id_b
+        GROUP BY 1
+    )
+    SELECT sim_decile, n_true_pairs, n_lsh_found,
+           n_true_pairs - n_lsh_found AS n_missed,
+           CAST((n_lsh_found * 10000) // n_true_pairs AS BIGINT)
+               AS recall_e4
+    FROM rep ORDER BY sim_decile
+"""
+
+
+ORACLES_EXT["doc_minhash_recall_audit"] = _minhash_recall_oracle()
+
+
 def _shapley_oracle(
     channels=("click", "error", "signup", "view"),
     conversion: str = "purchase",

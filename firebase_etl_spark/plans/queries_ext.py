@@ -3437,6 +3437,22 @@ def events_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dow_profile(e, "ts")
 
 
+def doc_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured MinHash-LSH recall vs exact truth, per true-similarity
+    decile (operators/dedup_approx.py:minhash_portable_recall_audit):
+    a deliberately lossy 16-hash/4-band portable-md5 banding audited
+    against the lossless prefix-filter ground truth — the S-curve
+    certification a dedup policy owner runs on a sample before
+    trusting probabilistic recall at corpus scale. Integers only in
+    the hashed row."""
+    from firebase_etl_spark.operators.dedup_approx import (
+        minhash_portable_recall_audit,
+    )
+
+    d = load_table(spark, "documents", sf_dir)
+    return minhash_portable_recall_audit(d, threshold=0.5, shingle_n=3)
+
+
 def _sqlstore_orders_fixture(spark: SparkSession, sf_dir: str) -> str:
     """Materialize orders into a DuckDB warehouse file once per sf_dir
     (INPUT fixture, same pattern as the RTDB export), register the

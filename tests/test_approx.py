@@ -299,3 +299,37 @@ def test_ivf_kmeans_centroids_beat_seed_centroids(spark, embeddings):
     ).collect()
     assert recall(km) >= recall(seed) - 1e-9
     assert recall(km) >= 0.8
+
+
+def test_minhash_recall_audit_scurve(spark):
+    """The recall audit on a synthetic corpus spanning the similarity
+    range: invariants are deterministic (md5 hashing) — found <= true
+    per decile, n_missed consistent, recall_e4 the exact integer
+    division, and the lossy 16/4 banding's recall at the top decile at
+    least that of the lowest populated decile (the S-curve reading)."""
+    base = [f"w{i}" for i in range(40)]
+    rows, did = [], 0
+    # clusters at decreasing overlap with a shared 40-token core
+    for keep in (40, 36, 30, 24, 20):
+        for v in range(3):
+            toks = base[:keep] + [f"x{did}_{j}" for j in range(40 - keep)]
+            rows.append((did, " ".join(toks)))
+            did += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = DA.minhash_portable_recall_audit(
+        df, threshold=0.3, shingle_n=3
+    ).collect()
+    assert out, "no true pairs in the synthetic corpus"
+    for r in out:
+        assert 0 <= r["n_lsh_found"] <= r["n_true_pairs"]
+        assert r["n_missed"] == r["n_true_pairs"] - r["n_lsh_found"]
+        assert (
+            r["recall_e4"]
+            == (r["n_lsh_found"] * 10000) // r["n_true_pairs"]
+        )
+    by_decile = {r["sim_decile"]: r for r in out}
+    top = by_decile[max(by_decile)]
+    low = by_decile[min(by_decile)]
+    assert (
+        top["recall_e4"] >= low["recall_e4"]
+    ), f"S-curve inverted: {out}"
