@@ -60,6 +60,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dow_profile": QX.events_dow_profile,
         # NEW this round: measured LSH recall vs exact truth, per decile
         "doc_minhash_recall_audit": QX.doc_minhash_recall_audit,
+        # NEW this round: nDCG/MRR/recall IR eval of the BM25 retriever
+        "doc_retrieval_eval": QX.doc_retrieval_eval,
         "events_hourly_stats": Q.events_hourly_stats,
         "doc_text_features": QX.doc_text_features,
         "doc_lang_stats": QX.doc_lang_stats,
@@ -99,10 +101,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mktsegment_order_priority_pivot": QX.mktsegment_order_priority_pivot,
         "events_variant_stats": QX.events_variant_stats,
         "masked_customer_emails": Q.masked_customer_emails,
-        "q18_large_orders": Q.q18_large_orders,
         # ---- OUTSIDE the 50-query window from here: r8
         # re-evidence queue order - oldest driver evidence
         # first, the 45 freshly-r7-evidenced rows last ----
+        "q18_large_orders": Q.q18_large_orders,
         "q4_order_priority": Q.q4_order_priority,
         "q12_shipmode_priority": Q.q12_shipmode_priority,
         "q14_promo_revenue": Q.q14_promo_revenue,

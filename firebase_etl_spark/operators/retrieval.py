@@ -214,3 +214,171 @@ def hybrid_rrf_topk(
         fused.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+#: nDCG position discounts, 1e6-unit integers: W[r] = round(1e6 /
+#: log2(r + 1)) for rank r = 1..10, HARDCODED (never recomputed via
+#: libm at runtime) so both engines consume byte-identical literals.
+NDCG_W_E6 = [
+    1000000, 630930, 500000, 430677, 386853,
+    356207, 333333, 315465, 301030, 289065,
+]
+#: prefix sums of NDCG_W_E6 (P[0] = 0 .. P[10]) — the ideal-DCG lookup
+NDCG_P_E6 = [
+    0, 1000000, 1630930, 2130930, 2561607, 2948460,
+    3304667, 3638000, 3953465, 4254495, 4543560,
+]
+#: graded-gain table: gain(rel) = 2^rel - 1
+NDCG_GAIN = [0, 1, 3, 7, 15]
+
+
+def _rel_case(j_col: str) -> str:
+    """Graded relevance from the exact 6dp token-set Jaccard — the
+    deterministic ground-truth labeling both engines share."""
+    return (
+        f"CASE WHEN {j_col} >= 0.75 THEN 4"
+        f" WHEN {j_col} >= 0.5 THEN 3"
+        f" WHEN {j_col} >= 0.25 THEN 2"
+        f" WHEN {j_col} >= 0.1 THEN 1 ELSE 0 END"
+    )
+
+
+def retrieval_eval(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """IR-quality read-out for the BM25 retriever: nDCG@k, MRR and
+    recall@k per probe query against a DETERMINISTIC graded ground
+    truth (token-set Jaccard vs the probe: rel 4 at j >= 0.75 down to
+    rel 0 below 0.1; binary-relevant = rel >= 2) — the eval harness a
+    retrieval pipeline runs before anyone trusts its ranking. Output
+    one row per query: (query_id, n_relevant, n_found_rel, mrr_rank,
+    mrr_e6, dcg_e6, idcg_e6, ndcg_e4, recall_e4) — integers only.
+
+    Determinism: position discounts are the HARDCODED integer table
+    NDCG_W_E6 (no runtime log2); gains are 2^rel - 1; every metric is
+    an integer sum/division mirrored verbatim in the oracle.
+
+    Scale shape: relevance labels come from ONE corpus pass against
+    the broadcast probe set (|probes| × corpus rows, linear); the
+    ideal DCG needs only the per-grade COUNTS (25 rows), never a
+    corpus-wide sort — IDCG is reconstructed from prefix sums of the
+    discount table over the grade histogram."""
+    from firebase_etl_spark.operators.text import token_set
+
+    toks = df.select(F.col(id_col), token_set(text_col).alias("toks"))
+    probes = toks.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("toks").alias("q_toks")
+    )
+    jac_expr = F.round(
+        F.size(F.array_intersect("toks", "q_toks"))
+        / F.size(F.array_union("toks", "q_toks")),
+        6,
+    )
+    rel = (
+        toks.crossJoin(F.broadcast(probes))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn("__j", jac_expr)
+        .select(
+            "query_id",
+            F.col(id_col).alias("doc_id"),
+            F.expr(_rel_case("__j")).cast("int").alias("rel"),
+        )
+        .localCheckpoint(eager=True)  # probe-count × corpus; 3 consumers
+    )
+    run = bm25_topk(df, query_ids, k, text_col=text_col, id_col=id_col)
+    hits = run.select("query_id", "doc_id", "rank").join(
+        rel, ["query_id", "doc_id"]
+    )
+    gain_case = (
+        "CASE rel WHEN 4 THEN 15 WHEN 3 THEN 7 WHEN 2 THEN 3"
+        " WHEN 1 THEN 1 ELSE 0 END"
+    )
+    w_case = "CASE rank " + " ".join(
+        f"WHEN {r + 1} THEN {w}" for r, w in enumerate(NDCG_W_E6)
+    ) + " ELSE 0 END"
+    per_run = hits.groupBy("query_id").agg(
+        F.sum(F.expr(f"({gain_case}) * ({w_case})")).alias("dcg_e6"),
+        F.min(
+            F.when(F.col("rel") >= 2, F.col("rank"))
+        ).alias("__first_rel"),
+        F.sum((F.col("rel") >= 2).cast("long")).alias("n_found_rel"),
+    )
+    # ideal DCG from the grade histogram: grade g docs occupy ranks
+    # hi(g)+1 .. min(k, hi(g)+c(g)) in the ideal ranking (hi = docs of
+    # strictly higher grade); sum of discounts via the prefix table
+    p_case_tpl = "CASE WHEN {x} >= 10 THEN 4543560 " + " ".join(
+        f"WHEN {{x}} = {i} THEN {p}" for i, p in enumerate(NDCG_P_E6[:10])
+    ) + " END"
+    hist = rel.filter(F.col("rel") > 0).groupBy("query_id", "rel").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    hist = hist.withColumn(
+        "hi",
+        F.coalesce(
+            F.sum("c").over(
+                Window.partitionBy("query_id")
+                .orderBy(F.desc("rel"))
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    ideal = (
+        hist.withColumn(
+            "contrib",
+            F.expr(
+                "(CASE rel WHEN 4 THEN 15 WHEN 3 THEN 7 WHEN 2 THEN 3"
+                " WHEN 1 THEN 1 ELSE 0 END) * ("
+                + p_case_tpl.format(x="least(hi + c, 10)")
+                + " - "
+                + p_case_tpl.format(x="least(hi, 10)")
+                + ")"
+            ),
+        )
+        .groupBy("query_id")
+        .agg(F.sum("contrib").alias("idcg_e6"))
+    )
+    n_rel = rel.filter(F.col("rel") >= 2).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_relevant")
+    )
+    base = probes.select("query_id")
+    return (
+        base.join(n_rel, "query_id", "left")
+        .join(ideal, "query_id", "left")
+        .join(per_run, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_relevant", F.lit(0))
+            .cast("long")
+            .alias("n_relevant"),
+            F.coalesce("n_found_rel", F.lit(0))
+            .cast("long")
+            .alias("n_found_rel"),
+            F.coalesce("__first_rel", F.lit(0))
+            .cast("long")
+            .alias("mrr_rank"),
+            F.expr(
+                "CASE WHEN coalesce(__first_rel, 0) > 0"
+                " THEN 1000000 DIV __first_rel ELSE 0 END"
+            ).alias("mrr_e6"),
+            F.coalesce("dcg_e6", F.lit(0)).cast("long").alias("dcg_e6"),
+            F.coalesce("idcg_e6", F.lit(0))
+            .cast("long")
+            .alias("idcg_e6"),
+            F.expr(
+                "CASE WHEN coalesce(idcg_e6, 0) > 0"
+                " THEN (coalesce(dcg_e6, 0) * 10000) DIV idcg_e6"
+                " ELSE 0 END"
+            ).alias("ndcg_e4"),
+            F.expr(
+                "CASE WHEN coalesce(n_relevant, 0) > 0"
+                " THEN (coalesce(n_found_rel, 0) * 10000)"
+                " DIV n_relevant ELSE 0 END"
+            ).alias("recall_e4"),
+        )
+        .orderBy("query_id")
+    )

@@ -3382,6 +3382,113 @@ ORACLES_EXT["events_dow_profile"] = """
 """
 
 
+def _retrieval_eval_oracle() -> str:
+    """IR-eval twin: nests the full BM25 oracle as the retrieval run,
+    labels every (probe, doc) pair with the graded token-set-Jaccard
+    relevance, and reconstructs DCG/IDCG/MRR/recall from the SAME
+    hardcoded integer discount tables the Spark plan uses
+    (retrieval.py:NDCG_W_E6/NDCG_P_E6 — no runtime log2 anywhere)."""
+    from firebase_etl_spark.operators.retrieval import (
+        NDCG_P_E6,
+        NDCG_W_E6,
+    )
+
+    w_case = (
+        "CASE rank "
+        + " ".join(f"WHEN {r + 1} THEN {w}" for r, w in enumerate(NDCG_W_E6))
+        + " ELSE 0 END"
+    )
+    p_case = (
+        "CASE WHEN {x} >= 10 THEN " + str(NDCG_P_E6[10]) + " "
+        + " ".join(
+            f"WHEN {{x}} = {i} THEN {p}"
+            for i, p in enumerate(NDCG_P_E6[:10])
+        )
+        + " END"
+    )
+    gain = (
+        "CASE rel WHEN 4 THEN 15 WHEN 3 THEN 7 WHEN 2 THEN 3"
+        " WHEN 1 THEN 1 ELSE 0 END"
+    )
+    return rf"""
+    WITH bm AS ({_bm25_oracle()}),
+    tsets AS (
+        SELECT doc_id,
+               list_distinct(regexp_split_to_array(lower(trim(text)),
+                                                   '\s+')) AS toks
+        FROM documents),
+    probes AS (
+        SELECT doc_id AS query_id, toks AS q_toks FROM tsets
+        WHERE doc_id IN (0, 1, 2, 3, 4)),
+    rel AS (
+        SELECT query_id, doc_id,
+               CASE WHEN j >= 0.75 THEN 4 WHEN j >= 0.5 THEN 3
+                    WHEN j >= 0.25 THEN 2 WHEN j >= 0.1 THEN 1
+                    ELSE 0 END AS rel
+        FROM (
+            SELECT p.query_id, b.doc_id,
+                   round(len(list_intersect(b.toks, p.q_toks)) * 1.0
+                         / len(list_distinct(
+                               list_concat(b.toks, p.q_toks))), 6) AS j
+            FROM tsets b CROSS JOIN probes p
+            WHERE b.doc_id <> p.query_id)),
+    hist AS (
+        SELECT query_id, rel, count(*) AS c
+        FROM rel WHERE rel > 0 GROUP BY query_id, rel),
+    hist2 AS (
+        SELECT query_id, rel, c,
+               coalesce(sum(c) OVER (
+                   PARTITION BY query_id ORDER BY rel DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS hi
+        FROM hist),
+    ideal AS (
+        SELECT query_id,
+               CAST(sum(({gain})
+                    * ({p_case.format(x="least(hi + c, 10)")}
+                       - {p_case.format(x="least(hi, 10)")}))
+                    AS BIGINT) AS idcg_e6
+        FROM hist2 GROUP BY query_id),
+    hits AS (
+        SELECT bm.query_id, bm.rank, r.rel
+        FROM bm JOIN rel r
+          ON bm.query_id = r.query_id AND bm.doc_id = r.doc_id),
+    per_run AS (
+        SELECT query_id,
+               CAST(sum(({gain}) * ({w_case})) AS BIGINT) AS dcg_e6,
+               min(CASE WHEN rel >= 2 THEN rank END) AS first_rel,
+               CAST(sum(CASE WHEN rel >= 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_found_rel
+        FROM hits GROUP BY query_id),
+    nrel AS (
+        SELECT query_id, count(*) AS n_relevant
+        FROM rel WHERE rel >= 2 GROUP BY query_id)
+    SELECT p.query_id,
+           CAST(coalesce(n_relevant, 0) AS BIGINT) AS n_relevant,
+           CAST(coalesce(n_found_rel, 0) AS BIGINT) AS n_found_rel,
+           CAST(coalesce(first_rel, 0) AS BIGINT) AS mrr_rank,
+           CAST(CASE WHEN coalesce(first_rel, 0) > 0
+                THEN 1000000 // first_rel ELSE 0 END
+                AS BIGINT) AS mrr_e6,
+           CAST(coalesce(dcg_e6, 0) AS BIGINT) AS dcg_e6,
+           CAST(coalesce(idcg_e6, 0) AS BIGINT) AS idcg_e6,
+           CAST(CASE WHEN coalesce(idcg_e6, 0) > 0
+                THEN (coalesce(dcg_e6, 0) * 10000) // idcg_e6
+                ELSE 0 END AS BIGINT) AS ndcg_e4,
+           CAST(CASE WHEN coalesce(n_relevant, 0) > 0
+                THEN (coalesce(n_found_rel, 0) * 10000) // n_relevant
+                ELSE 0 END AS BIGINT) AS recall_e4
+    FROM probes p
+    LEFT JOIN nrel USING (query_id)
+    LEFT JOIN ideal USING (query_id)
+    LEFT JOIN per_run USING (query_id)
+    ORDER BY query_id
+"""
+
+
+ORACLES_EXT["doc_retrieval_eval"] = _retrieval_eval_oracle()
+
+
 def _minhash_recall_oracle(
     num_hashes: int = 16, bands: int = 4
 ) -> str:

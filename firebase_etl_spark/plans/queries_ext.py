@@ -3453,6 +3453,20 @@ def doc_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_portable_recall_audit(d, threshold=0.5, shingle_n=3)
 
 
+def doc_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IR evaluation harness for the BM25 retriever
+    (operators/retrieval.py:retrieval_eval): nDCG@10, MRR and
+    recall@10 per probe query against deterministic graded relevance
+    (token-set Jaccard bands) — the read-out that certifies a
+    retrieval stack's ranking quality before RAG/linking pipelines
+    trust it. Hardcoded integer log2 discounts; ideal DCG from the
+    grade histogram (never a corpus-wide sort); integers only."""
+    from firebase_etl_spark.operators.retrieval import retrieval_eval
+
+    d = load_table(spark, "documents", sf_dir)
+    return retrieval_eval(d, QUERY_DOC_IDS, k=10)
+
+
 def _sqlstore_orders_fixture(spark: SparkSession, sf_dir: str) -> str:
     """Materialize orders into a DuckDB warehouse file once per sf_dir
     (INPUT fixture, same pattern as the RTDB export), register the

@@ -333,3 +333,31 @@ def test_minhash_recall_audit_scurve(spark):
     assert (
         top["recall_e4"] >= low["recall_e4"]
     ), f"S-curve inverted: {out}"
+
+
+def test_retrieval_eval_invariants(spark):
+    """BM25 IR eval on a synthetic corpus with one near-duplicate of
+    the probe: DCG can never exceed the ideal DCG (ndcg_e4 <= 10000),
+    found-relevant is bounded by both k and n_relevant, MRR rank must
+    point at a relevant hit, and the near-dup probe twin must make the
+    metrics non-trivial (mrr_rank 1, since it shares 39/41 tokens)."""
+    from firebase_etl_spark.operators.retrieval import retrieval_eval
+
+    base = [f"tok{i}" for i in range(40)]
+    rows = [(0, " ".join(base))]
+    rows.append((1, " ".join(base[:39] + ["zz1", "zz2"])))   # rel 4
+    rows.append((2, " ".join(base[:24] + [f"q{j}" for j in range(16)])))
+    rows.append((3, " ".join(base[:10] + [f"r{j}" for j in range(30)])))
+    for i in range(4, 20):
+        rows.append((i, " ".join(f"n{i}_{j}" for j in range(40))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = retrieval_eval(df, [0], k=10).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["query_id"] == 0
+    assert 0 <= r["dcg_e6"] <= r["idcg_e6"]
+    assert 0 <= r["ndcg_e4"] <= 10000
+    assert r["n_found_rel"] <= min(10, r["n_relevant"])
+    assert r["mrr_rank"] == 1 and r["mrr_e6"] == 1000000
+    assert r["n_relevant"] >= 2  # docs 1 and 2 are rel >= 2
+    assert r["recall_e4"] == (r["n_found_rel"] * 10000) // r["n_relevant"]
