@@ -818,3 +818,138 @@ def shapley_attribution(
         )
         .orderBy("channel")
     )
+
+
+def markov_attribution(
+    df: DataFrame,
+    channels: list[str],
+    conversion_type: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    iters: int = 40,
+) -> DataFrame:
+    """First-order MARKOV removal-effect attribution (Anderl et al.
+    2014) — the third classic next to last-touch and Shapley: model
+    journeys as a start → channels → {conv, null} chain, and credit
+    each channel by how much the conversion probability DROPS when
+    that channel absorbs to null (removal effect), normalized into
+    shares.
+
+    Journey convention mirrors shapley_attribution: a user converts at
+    their FIRST ``conversion_type`` event; channel touches strictly
+    before it (ordered by (ts, id_col) — the id tiebreak makes
+    same-timestamp journeys deterministic); non-converters contribute
+    their full channel sequence ending in null; converters with zero
+    touches contribute start → conv.
+
+    Determinism + scale shape: the CORPUS work is one per-user ordered
+    window (lag) + one (from, to) count aggregate — linear, keyed by
+    user. The chain itself is (channels + 1)² counts, so the
+    absorption solve is DRIVER-LOCAL (the graph-op cutover convention;
+    pulling ~36 integers, not data): ``iters`` fixed-point Jacobi
+    sweeps v_i ← p_conv_i + (Σ_j p_ij · v_j) // 1e9 over e9-unit
+    integer probabilities p_ij = (c_ij · 1e9) // r_i — every op is
+    integer multiply/floor-divide on non-negative values, so the
+    unrolled-CTE DuckDB twin reproduces it bit-for-bit. Overflow
+    contract: exact while per-state out-transitions < ~9.2e9 (the
+    p·SCALE premultiply) and len(channels) <= 8 (the Σ p·v sum) —
+    beyond that, downscale the counts by a common factor first.
+
+    Output per channel: (channel, n_from, p_conv_full_e9,
+    p_conv_removed_e9, removal_effect_e6, attribution_e6) — integers
+    only; removal_effect = 1 − p_removed/p_full in 1e-6 units."""
+    SCALE = 1_000_000_000
+    base = df.filter(
+        F.col(user_col).isNotNull() & F.col(type_col).isNotNull()
+    )
+    conv = (
+        base.filter(F.col(type_col) == conversion_type)
+        .groupBy(F.col(user_col).alias("u"))
+        .agg(F.min(F.col(ts_col)).alias("conv_ts"))
+    )
+    ev = (
+        base.filter(F.col(type_col).isin(channels))
+        .select(
+            F.col(user_col).alias("u"),
+            F.col(type_col).alias("ch"),
+            F.col(ts_col).alias("ts"),
+            F.col(id_col).alias("eid"),
+        )
+        .join(conv, "u", "left")
+        .filter(
+            F.col("conv_ts").isNull() | (F.col("ts") < F.col("conv_ts"))
+        )
+    )
+    w = Window.partitionBy("u").orderBy("ts", "eid")
+    seq = ev.withColumn("prev", F.lag("ch", 1, "start").over(w))
+    pairs = seq.select(F.col("prev").alias("f"), F.col("ch").alias("t"))
+    wd = Window.partitionBy("u").orderBy(F.desc("ts"), F.desc("eid"))
+    term = (
+        seq.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("ch").alias("f"),
+            F.when(F.col("conv_ts").isNotNull(), F.lit("conv"))
+            .otherwise(F.lit("null"))
+            .alias("t"),
+        )
+    )
+    untouched = (
+        conv.join(ev.select("u").distinct(), "u", "left_anti")
+        .select(F.lit("start").alias("f"), F.lit("conv").alias("t"))
+    )
+    trans = (
+        pairs.unionByName(term)
+        .unionByName(untouched)
+        .groupBy("f", "t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # ---- driver-local absorption solve over the tiny chain ----
+    rows = [(r["f"], r["t"], int(r["cnt"])) for r in trans.collect()]
+    rtot: dict[str, int] = {}
+    for f, _, c in rows:
+        rtot[f] = rtot.get(f, 0) + c
+    # e9 transition probabilities, floor-divided exactly like the oracle
+    p = {(f, t): (c * SCALE) // rtot[f] for f, t, c in rows}
+    transient = ["start"] + list(channels)
+
+    def solve(removed: str | None) -> dict[str, int]:
+        v = {s: 0 for s in transient if s != removed}
+        for _ in range(iters):
+            nv = {}
+            for i in v:
+                acc = sum(p.get((i, j), 0) * v[j] for j in v)
+                nv[i] = p.get((i, "conv"), 0) + acc // SCALE
+            v = nv
+        return v
+
+    full = solve(None)
+    p_full = full.get("start", 0)
+    out_rows = []
+    effects = {}
+    for c in channels:
+        p_rm = solve(c).get("start", 0)
+        diff = p_full - p_rm if p_full > p_rm else 0
+        effects[c] = (diff * 1_000_000) // p_full if p_full > 0 else 0
+        out_rows.append((c, rtot.get(c, 0), p_full, p_rm))
+    tot_eff = sum(effects.values())
+    final = [
+        (
+            c,
+            nf,
+            pf,
+            prm,
+            effects[c],
+            (effects[c] * 1_000_000) // tot_eff if tot_eff > 0 else 0,
+        )
+        for (c, nf, pf, prm) in out_rows
+    ]
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        sorted(final),
+        "channel string, n_from long, p_conv_full_e9 long,"
+        " p_conv_removed_e9 long, removal_effect_e6 long,"
+        " attribution_e6 long",
+    ).orderBy("channel")

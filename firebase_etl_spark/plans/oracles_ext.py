@@ -3572,6 +3572,116 @@ def _minhash_recall_oracle(
 ORACLES_EXT["doc_minhash_recall_audit"] = _minhash_recall_oracle()
 
 
+def _markov_attribution_oracle(
+    channels=("click", "error", "signup", "view"),
+    conversion: str = "purchase",
+    iters: int = 40,
+) -> str:
+    """Markov removal-effect twin: identical journey extraction (lag
+    over (epoch_us, event_id)), identical e9 floor-divided transition
+    probabilities, and the SAME fixed number of Jacobi sweeps as the
+    Spark plan's driver-local solve — unrolled to one CTE per
+    iteration over the (variant, state) grid (the pagerank/BPE
+    unrolled-iteration convention), so both engines walk the exact
+    integer sequence."""
+    chan_in = ", ".join(f"'{c}'" for c in channels)
+    chan_arr = ", ".join(f"'{c}'" for c in channels)
+    its = []
+    for n in range(1, iters + 1):
+        prev = f"it{n - 1}"
+        its.append(f"""
+    it{n} AS MATERIALIZED (
+        SELECT s.removed, s.state,
+               CAST(coalesce(d.pc, 0)
+                    + coalesce(sum(pp.p_e9 * pv.v), 0) // 1000000000
+                    AS BIGINT) AS v
+        FROM vstates s
+        LEFT JOIN dconv d ON d.f = s.state
+        LEFT JOIN prob pp ON pp.f = s.state
+        LEFT JOIN {prev} pv
+               ON pv.removed = s.removed AND pv.state = pp.t
+        GROUP BY s.removed, s.state, d.pc)""")
+    iter_sql = ",".join(its)
+    return f"""
+    WITH e AS (
+        SELECT user_id AS u, event_type AS ch, epoch_us(ts) AS us,
+               event_id AS eid
+        FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+    conv AS (
+        SELECT u, min(us) AS conv_us FROM e
+        WHERE ch = '{conversion}' GROUP BY u),
+    ev AS (
+        SELECT e.u, e.ch, e.us, e.eid, c.conv_us
+        FROM e LEFT JOIN conv c USING (u)
+        WHERE e.ch IN ({chan_in})
+          AND (c.conv_us IS NULL OR e.us < c.conv_us)),
+    seq AS (
+        SELECT u, ch, conv_us,
+               coalesce(lag(ch) OVER (PARTITION BY u
+                                      ORDER BY us, eid), 'start') AS f,
+               row_number() OVER (PARTITION BY u
+                                  ORDER BY us DESC, eid DESC) AS rn
+        FROM ev),
+    pairs AS (SELECT f, ch AS t FROM seq),
+    term AS (
+        SELECT ch AS f,
+               CASE WHEN conv_us IS NOT NULL THEN 'conv'
+                    ELSE 'null' END AS t
+        FROM seq WHERE rn = 1),
+    untouched AS (
+        SELECT 'start' AS f, 'conv' AS t FROM conv
+        WHERE u NOT IN (SELECT DISTINCT u FROM ev)),
+    trans AS MATERIALIZED (
+        SELECT f, t, count(*) AS cnt FROM (
+            SELECT * FROM pairs
+            UNION ALL SELECT * FROM term
+            UNION ALL SELECT * FROM untouched)
+        GROUP BY f, t),
+    rtot AS MATERIALIZED (SELECT f, CAST(sum(cnt) AS BIGINT) AS r
+             FROM trans GROUP BY f),
+    prob AS MATERIALIZED (
+        SELECT t.f, t.t,
+               CAST((t.cnt * 1000000000) // r.r AS BIGINT) AS p_e9
+        FROM trans t JOIN rtot r USING (f)),
+    dconv AS MATERIALIZED (SELECT f, p_e9 AS pc FROM prob WHERE t = 'conv'),
+    variants AS (
+        SELECT unnest(['__full__', {chan_arr}]) AS removed),
+    vstates AS MATERIALIZED (
+        SELECT v.removed, s.state
+        FROM variants v, unnest(['start', {chan_arr}]) AS s(state)
+        WHERE s.state <> v.removed),
+    it0 AS MATERIALIZED (SELECT removed, state, CAST(0 AS BIGINT) AS v
+            FROM vstates),{iter_sql},
+    pfull AS (
+        SELECT v AS p_full FROM it{iters}
+        WHERE removed = '__full__' AND state = 'start'),
+    prem AS (
+        SELECT removed AS channel, v AS p_rm FROM it{iters}
+        WHERE removed <> '__full__' AND state = 'start'),
+    eff AS (
+        SELECT channel, p_full, p_rm,
+               CASE WHEN p_full > 0 AND p_full > p_rm
+                    THEN ((p_full - p_rm) * 1000000) // p_full
+                    ELSE 0 END AS re
+        FROM prem, pfull),
+    tot AS (SELECT CAST(sum(re) AS BIGINT) AS te FROM eff),
+    nfrom AS (SELECT f AS channel, r AS n_from FROM rtot)
+    SELECT e.channel,
+           CAST(coalesce(n.n_from, 0) AS BIGINT) AS n_from,
+           CAST(e.p_full AS BIGINT) AS p_conv_full_e9,
+           CAST(e.p_rm AS BIGINT) AS p_conv_removed_e9,
+           CAST(e.re AS BIGINT) AS removal_effect_e6,
+           CAST(CASE WHEN t.te > 0 THEN (e.re * 1000000) // t.te
+                ELSE 0 END AS BIGINT) AS attribution_e6
+    FROM eff e LEFT JOIN nfrom n USING (channel), tot t
+    ORDER BY e.channel
+"""
+
+
+ORACLES_EXT["events_markov_attribution"] = _markov_attribution_oracle()
+
+
 def _shapley_oracle(
     channels=("click", "error", "signup", "view"),
     conversion: str = "purchase",

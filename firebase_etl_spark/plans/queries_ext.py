@@ -3467,6 +3467,26 @@ def doc_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval_eval(d, QUERY_DOC_IDS, k=10)
 
 
+def events_markov_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-order Markov removal-effect attribution
+    (operators/stats.py:markov_attribution) — completes the
+    attribution trio beside events_last_touch_attribution (heuristic)
+    and events_shapley_attribution (coalition game): journeys as a
+    start → channels → {conv, null} chain, each channel credited by
+    the drop in absorption probability when it re-routes to null.
+    Corpus work is one per-user ordered window + a (from, to) count;
+    the 6-state solve is driver-local in exact e9 fixed point,
+    mirrored by the oracle's 40 unrolled Jacobi CTEs. Integers only."""
+    from firebase_etl_spark.operators.stats import markov_attribution
+
+    e = load_table(spark, "events", sf_dir)
+    return markov_attribution(
+        e, ["click", "error", "signup", "view"], "purchase"
+    )
+
+
 def _sqlstore_orders_fixture(spark: SparkSession, sf_dir: str) -> str:
     """Materialize orders into a DuckDB warehouse file once per sf_dir
     (INPUT fixture, same pattern as the RTDB export), register the

@@ -2812,3 +2812,40 @@ def test_similarity_histogram_buckets_hand_case(spark):
     assert got[10] == 1       # the exact dup
     assert got[3] == 2        # (0,2) and (1,2) at j = 0.333333
     assert set(got) == {3, 10}
+
+
+def test_markov_attribution_hand_computed(spark):
+    """Two-user chain solved by hand: user A start->click->conv, user B
+    start->view->null. p(conv) = 0.5 (the start state splits 50/50 and
+    only the click branch absorbs to conv); removing click kills ALL
+    conversion (effect 1.0), removing view changes nothing (effect 0),
+    so click takes the whole attribution share."""
+    from datetime import datetime, timedelta
+
+    from firebase_etl_spark.operators.stats import markov_attribution
+
+    t0 = datetime(2024, 5, 1)
+    rows = [
+        (1, "ua", "click", t0),
+        (2, "ua", "purchase", t0 + timedelta(minutes=5)),
+        (3, "ub", "view", t0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id string, event_type string,"
+        " ts timestamp"
+    )
+    out = {
+        r["channel"]: r
+        for r in markov_attribution(
+            df, ["click", "error", "signup", "view"], "purchase"
+        ).collect()
+    }
+    assert out["click"]["p_conv_full_e9"] == 500_000_000
+    assert out["click"]["p_conv_removed_e9"] == 0
+    assert out["click"]["removal_effect_e6"] == 1_000_000
+    assert out["click"]["attribution_e6"] == 1_000_000
+    assert out["view"]["removal_effect_e6"] == 0
+    assert out["view"]["attribution_e6"] == 0
+    assert out["error"]["n_from"] == 0
+    # efficiency sanity: n_from counts outgoing transitions (full chain)
+    assert out["click"]["n_from"] == 1 and out["view"]["n_from"] == 1
