@@ -1072,3 +1072,106 @@ def hashed_tf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "cos_sim", "rank")
     )
+
+
+def knn_shapley_report(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """EXACT per-training-point data valuation for a K-NN classifier —
+    the closed-form KNN-Shapley of Jia et al. 2019 (VLDB,
+    arXiv:1908.08619): with training points sorted by similarity to a
+    test point, s_N = 1[y_N = y]/N and
+    s_j = s_{j+1} + (1[y_j = y] − 1[y_{j+1} = y]) · min(K, j)/(K·j) —
+    the Shapley value of every training point under the KNN utility,
+    in O(N log N) per test point instead of 2^N. The pipeline read-out
+    for "which training data helps/hurts", summarized per label class:
+    (label, n_train, sum_value_e12, min_value_e12, max_value_e12,
+    n_negative).
+
+    Determinism: neighbor order is (round(cosine, 6) DESC, id) — the
+    suite's ANN ranking convention, identical on both engines; the
+    recursion is evaluated as a SUFFIX SUM of per-rank terms, each a
+    sign × magnitude of non-negative integer divisions in 1e12 fixed
+    point (diff ∈ {−1, 0, 1} multiplies a positively-divided
+    magnitude, so Spark DIV == DuckDB // everywhere). Integers only.
+
+    Scale shape: one corpus × broadcast-probes similarity pass, then
+    per-test-point windows (rank, lead, suffix sum) partitioned by
+    query — exact KNN-Shapley is inherently per-test linear (the
+    paper's bound); parallelism is the probe count × range-partitioned
+    window sort, and the probe set is a handful by design."""
+    E12 = 1_000_000_000_000
+    v = df.select(
+        F.col(id_col),
+        _to_double(F.col(vec_col)).alias("e"),
+        F.col(label_col).alias("lbl"),
+    )
+    probes = v.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("e").alias("q"),
+        F.col("lbl").alias("q_lbl"),
+    )
+    train = v.filter(~F.col(id_col).isin(query_ids))
+    sims = train.crossJoin(F.broadcast(probes)).select(
+        "query_id",
+        F.col(id_col),
+        F.col("lbl"),
+        (F.col("lbl") == F.col("q_lbl")).cast("long").alias("m"),
+        F.round(
+            dot(F.col("e"), F.col("q"))
+            / (F.sqrt(dot(F.col("e"), F.col("e")))
+               * F.sqrt(dot(F.col("q"), F.col("q")))),
+            6,
+        ).alias("sim"),
+    )
+    wq = Window.partitionBy("query_id")
+    w_rank = wq.orderBy(F.desc("sim"), id_col)
+    w_all = wq.orderBy("__j").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = (
+        sims.withColumn("__j", F.row_number().over(w_rank))
+        .withColumn("__n", F.count(F.lit(1)).over(wq))
+        .withColumn("__m_next", F.lead("m").over(wq.orderBy("__j")))
+        .withColumn("__m_last", F.last("m").over(w_all))
+    )
+    # term_j (j < N): (m_j - m_{j+1}) * min(K, j)*E12 // (K*j), as
+    # sign * positive-magnitude so truncating DIV == flooring //
+    term = (
+        "CASE WHEN __m_next IS NULL THEN CAST(0 AS BIGINT)"
+        f" ELSE (m - __m_next)"
+        f" * ((least(CAST({k} AS BIGINT), __j) * {E12})"
+        f" DIV ({k} * __j)) END"
+    )
+    w_suffix = wq.orderBy(F.desc("__j")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    scored = (
+        ranked.withColumn("__term", F.expr(term))
+        .withColumn(
+            "__s_e12",
+            F.expr(f"(__m_last * {E12}) DIV __n")
+            + F.sum("__term").over(w_suffix),
+        )
+    )
+    per_point = scored.groupBy(F.col(id_col), "lbl").agg(
+        F.sum("__s_e12").alias("value_e12")
+    )
+    return (
+        per_point.groupBy(F.col("lbl").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.sum("value_e12").alias("sum_value_e12"),
+            F.min("value_e12").alias("min_value_e12"),
+            F.max("value_e12").alias("max_value_e12"),
+            F.sum((F.col("value_e12") < 0).cast("long")).alias(
+                "n_negative"
+            ),
+        )
+        .orderBy("label")
+    )

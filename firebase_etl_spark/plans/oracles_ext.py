@@ -3572,6 +3572,63 @@ def _minhash_recall_oracle(
 ORACLES_EXT["doc_minhash_recall_audit"] = _minhash_recall_oracle()
 
 
+ORACLES_EXT["embedding_knn_shapley"] = """
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
+        FROM embeddings),
+    probes AS (
+        SELECT vec_id AS query_id, e AS q, label AS q_lbl FROM v
+        WHERE vec_id IN (0, 1, 2, 3, 4)),
+    train AS (
+        SELECT * FROM v WHERE vec_id NOT IN (0, 1, 2, 3, 4)),
+    sims AS (
+        SELECT p.query_id, t.vec_id, t.label AS lbl,
+               CASE WHEN t.label = p.q_lbl THEN 1 ELSE 0 END AS m,
+               round(list_inner_product(t.e, p.q)
+                     / (sqrt(list_inner_product(t.e, t.e))
+                        * sqrt(list_inner_product(p.q, p.q))),
+                     6) AS sim
+        FROM train t CROSS JOIN probes p),
+    ranked AS (
+        SELECT *,
+               row_number() OVER w AS j,
+               count(*) OVER (PARTITION BY query_id) AS n,
+               lead(m) OVER w AS m_next,
+               last_value(m) OVER (
+                   PARTITION BY query_id ORDER BY sim DESC, vec_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING) AS m_last
+        FROM sims
+        WINDOW w AS (PARTITION BY query_id ORDER BY sim DESC, vec_id)),
+    terms AS (
+        SELECT query_id, vec_id, lbl, j, n, m_last,
+               CASE WHEN m_next IS NULL THEN CAST(0 AS BIGINT)
+                    ELSE (m - m_next)
+                         * ((least(CAST(5 AS BIGINT), j)
+                             * 1000000000000) // (5 * j))
+               END AS term
+        FROM ranked),
+    scored AS (
+        SELECT query_id, vec_id, lbl,
+               (m_last * 1000000000000) // n
+               + sum(term) OVER (
+                   PARTITION BY query_id ORDER BY j DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS s_e12
+        FROM terms),
+    per_point AS (
+        SELECT vec_id, lbl, CAST(sum(s_e12) AS BIGINT) AS value_e12
+        FROM scored GROUP BY vec_id, lbl)
+    SELECT lbl AS label, count(*) AS n_train,
+           CAST(sum(value_e12) AS BIGINT) AS sum_value_e12,
+           min(value_e12) AS min_value_e12,
+           max(value_e12) AS max_value_e12,
+           CAST(sum(CASE WHEN value_e12 < 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_negative
+    FROM per_point GROUP BY lbl ORDER BY label
+"""
+
+
 def _markov_attribution_oracle(
     channels=("click", "error", "signup", "view"),
     conversion: str = "purchase",

@@ -3487,6 +3487,20 @@ def events_markov_attribution(
     )
 
 
+def embedding_knn_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact KNN-Shapley data valuation per label class
+    (operators/similarity.py:knn_shapley_report, after Jia et al.
+    2019): the closed-form Shapley value of every training point under
+    the 5-NN utility against the QUERY_VEC_IDS eval set, in one
+    similarity pass + per-test suffix-sum windows — which classes'
+    data helps, which points actively hurt (n_negative). Integers
+    only (1e12 fixed point, sign × positive-magnitude divisions)."""
+    from firebase_etl_spark.operators.similarity import knn_shapley_report
+
+    e = load_table(spark, "embeddings", sf_dir)
+    return knn_shapley_report(e, QUERY_VEC_IDS, k=5)
+
+
 def _sqlstore_orders_fixture(spark: SparkSession, sf_dir: str) -> str:
     """Materialize orders into a DuckDB warehouse file once per sf_dir
     (INPUT fixture, same pattern as the RTDB export), register the

@@ -361,3 +361,39 @@ def test_retrieval_eval_invariants(spark):
     assert r["mrr_rank"] == 1 and r["mrr_e6"] == 1000000
     assert r["n_relevant"] >= 2  # docs 1 and 2 are rel >= 2
     assert r["recall_e4"] == (r["n_found_rel"] * 10000) // r["n_relevant"]
+
+
+def test_knn_shapley_efficiency_axiom(spark):
+    """Jia et al. closed form satisfies Σ_i φ_i = v(N) = (1/K)·Σ_{j<=K}
+    1[y_j = y_t] exactly in rationals; in e12 fixed point the per-rank
+    truncations bound the drift by ~N² units (≪ 1e-6 of a conversion).
+    Build a set where the 3 nearest neighbors of the probe share its
+    label and verify the per-label sums add up to the utility."""
+    import numpy as np
+
+    from firebase_etl_spark.operators.similarity import knn_shapley_report
+
+    rng = np.random.RandomState(7)
+    rows = []
+    # probe 0: label 1, direction +x; 10 train near +x with label 1,
+    # 10 train near -x with label 0
+    rows.append((0, [1.0, 0.0, 0.0, 0.0], 1))
+    for i in range(1, 11):
+        v = [1.0, float(rng.rand() * 0.1), float(rng.rand() * 0.1), 0.0]
+        rows.append((i, v, 1))
+    for i in range(11, 21):
+        v = [-1.0, float(rng.rand() * 0.1), 0.0, float(rng.rand() * 0.1)]
+        rows.append((i, v, 0))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = knn_shapley_report(df, [0], k=5).collect()
+    by_label = {r["label"]: r for r in out}
+    # 5 nearest neighbors of the probe are all label 1 -> v(N) = 1.0
+    total = sum(r["sum_value_e12"] for r in out)
+    assert abs(total - 1_000_000_000_000) <= 20 * 20  # N² truncation
+    # matching-label class carries positive total value, the opposing
+    # class non-positive
+    assert by_label[1]["sum_value_e12"] > 0
+    assert by_label[0]["sum_value_e12"] <= 0
+    assert by_label[0]["n_train"] == 10 and by_label[1]["n_train"] == 10
