@@ -1175,3 +1175,154 @@ def knn_shapley_report(
         )
         .orderBy("label")
     )
+
+
+def pq_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    m: int = 4,
+    ksub: int = 16,
+    n_candidates: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011, TPAMI) — the
+    100 TB-scale compression path: each vector is encoded as ``m``
+    one-byte codes (nearest sub-codebook entry per dim/m-dim subspace)
+    plus ``m`` e6-integer norm fractions, queries score candidates by
+    ASYMMETRIC DISTANCE (a per-query m × ksub lookup table, no vector
+    math per candidate), and the top ``n_candidates`` re-rank by exact
+    cosine. Storage per vector drops from dim × 4 B to m × (1 + 8) B;
+    the scan side of a query is pure integer multiply-adds.
+
+    Variant note (honest accounting): codebooks here are
+    CONTENT-ADDRESSED SAMPLES (the first ``ksub`` ids' sub-vectors,
+    unit-normalized) rather than Lloyd-refined — the trainer loop is
+    already exercised by the IVF-trained family; what PQ adds is the
+    subspace decomposition + table-lookup scoring, and the norm is
+    quantized SEPARATELY (x_m ≈ ||x_m|| · c_code), so
+    cos(q, x) ≈ Σ_m w_m · dot(q̂_m, c_m) with w_m = ||x_m||/||x|| —
+    both factors rounded once to e6 integers, making the whole
+    approximate score an exact integer dot of two small tables.
+
+    Determinism: sub-assignment reuses the k-means scorer (6dp rounded
+    cosines, ties to the lower code id); the ADC sum is integer; the
+    final re-rank is the suite's (round(cosine, 6) DESC, id) order.
+    Scale shape: encoding is one scan; the query side touches the
+    (m · ksub)-row table and the byte codes, never raw vectors, until
+    the bounded re-rank."""
+    from firebase_etl_spark.operators.clustering import (
+        _cell_cols,
+        _cosine_scores_udf,
+    )
+
+    E6 = 1_000_000.0
+    v = df.select(
+        F.col(id_col).alias("vid"), _to_double(F.col(vec_col)).alias("e")
+    ).filter(dot(F.col("e"), F.col("e")) > 0)
+    dim = len(v.orderBy("vid").limit(1).collect()[0]["e"])
+    sd = dim // m
+
+    def _seq_ss(xs):
+        ss = 0.0
+        for x in xs:  # sequential == list_inner_product order
+            ss += x * x
+        return ss
+
+    def _seq_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    import math as _m
+
+    seed_rows = v.orderBy("vid").limit(ksub).collect()
+    cents: list[list[list[float]]] = []  # [m][cid] -> unit sub-vector
+    for mi in range(m):
+        subs = []
+        for r in seed_rows:
+            s = list(r["e"][mi * sd:(mi + 1) * sd])
+            nrm = _m.sqrt(_seq_ss(s))
+            subs.append([x / nrm for x in s] if nrm > 0 else s)
+        cents.append(subs)
+
+    # encode: per subspace, code = argmax rounded cosine (k-means
+    # scorer), w_e6 = round(||x_m|| / ||x|| * 1e6) — JVM-side rounds
+    full_norm = F.sqrt(dot(F.col("e"), F.col("e")))
+    enc_cols = []
+    for mi in range(m):
+        sub = F.slice("e", mi * sd + 1, sd)
+        raw = _cosine_scores_udf(cents[mi])(sub)
+        cell, _ = _cell_cols(raw)
+        w = F.round(
+            F.sqrt(dot(sub, sub)) / full_norm * E6, 0
+        ).cast("long")
+        enc_cols.append(
+            F.struct(
+                F.lit(mi).alias("m"),
+                cell.alias("cid"),
+                w.alias("w_e6"),
+            )
+        )
+    enc = v.select(
+        "vid", F.explode(F.array(*enc_cols)).alias("p")
+    ).select("vid", "p.m", "p.cid", "p.w_e6")
+
+    # per-query ADC tables: doubles computed driver-side in the exact
+    # sequential IEEE order of list_inner_product, rounded JVM-side
+    probe_rows = v.filter(F.col("vid").isin(query_ids)).collect()
+    trows = []
+    for r in probe_rows:
+        q = list(r["e"])
+        qn = _m.sqrt(_seq_ss(q))
+        for mi in range(m):
+            qm = q[mi * sd:(mi + 1) * sd]
+            for cid, c in enumerate(cents[mi]):
+                trows.append(
+                    (int(r["vid"]), mi, cid, _seq_dot(qm, c) / qn)
+                )
+    spark = df.sparkSession
+    tables = spark.createDataFrame(
+        trows, "query_id long, m int, cid int, t_raw double"
+    ).withColumn("t_e6", F.round(F.col("t_raw") * E6, 0).cast("long"))
+
+    appx = (
+        enc.join(F.broadcast(tables), ["m", "cid"])
+        .filter(F.col("vid") != F.col("query_id"))
+        .groupBy("query_id", "vid")
+        .agg(F.sum(F.col("w_e6") * F.col("t_e6")).alias("a_e12"))
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.desc("a_e12"), "vid")
+    cand = (
+        appx.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") <= n_candidates)
+        .select("query_id", "vid")
+    )
+    q_side = v.filter(F.col("vid").isin(query_ids)).select(
+        F.col("vid").alias("query_id"), F.col("e").alias("q")
+    )
+    scored = (
+        cand.join(F.broadcast(q_side), "query_id")
+        .join(v, "vid")
+        .select(
+            "query_id",
+            F.col("vid").alias("vec_id"),
+            F.round(
+                dot(F.col("e"), F.col("q"))
+                / (F.sqrt(dot(F.col("e"), F.col("e")))
+                   * F.sqrt(dot(F.col("q"), F.col("q")))),
+                6,
+            ).alias("cosine_sim"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), "vec_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine_sim", "rank")
+        .orderBy("query_id", "rank")
+    )

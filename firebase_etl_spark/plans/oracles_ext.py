@@ -3572,6 +3572,93 @@ def _minhash_recall_oracle(
 ORACLES_EXT["doc_minhash_recall_audit"] = _minhash_recall_oracle()
 
 
+def _pq_topk_oracle(
+    m: int = 4, ksub: int = 16, n_candidates: int = 50, k: int = 10,
+    dim: int = 64,
+) -> str:
+    """PQ twin: identical sampled sub-codebooks (unit-normalized via
+    the same arithmetic), identical 6dp-rounded-cosine argmax encoding
+    with low-cid ties, identical e6 norm-fraction and ADC-table
+    roundings, integer ADC sum, and the suite's exact re-rank."""
+    sd = dim // m
+    return f"""
+    WITH ve AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        WHERE list_inner_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[])) > 0),
+    subs AS MATERIALIZED (
+        SELECT vec_id, mm.m,
+               e[mm.m * {sd} + 1:(mm.m + 1) * {sd}] AS s, e
+        FROM ve, unnest(range(0, {m})) mm(m)),
+    seedn AS (
+        SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+        FROM (SELECT vec_id FROM ve ORDER BY vec_id LIMIT {ksub})),
+    subcents AS MATERIALIZED (
+        SELECT sn.cid, sub.m,
+               list_transform(
+                   sub.s,
+                   x -> x / sqrt(list_inner_product(sub.s, sub.s))) AS c
+        FROM seedn sn JOIN subs sub ON sub.vec_id = sn.vec_id),
+    cosr AS (
+        SELECT sub.vec_id, sub.m, sc.cid,
+               round(list_inner_product(sub.s, sc.c)
+                     / (sqrt(list_inner_product(sub.s, sub.s))
+                        * sqrt(list_inner_product(sc.c, sc.c))),
+                     6) AS cos
+        FROM subs sub JOIN subcents sc ON sub.m = sc.m),
+    enc AS MATERIALIZED (
+        SELECT vec_id, m, cid FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id, m ORDER BY cos DESC, cid) AS rn
+            FROM cosr) WHERE rn = 1),
+    wsub AS MATERIALIZED (
+        SELECT vec_id, m,
+               CAST(round(sqrt(list_inner_product(s, s))
+                          / sqrt(list_inner_product(e, e))
+                          * 1000000.0, 0) AS BIGINT) AS w_e6
+        FROM subs),
+    qt AS MATERIALIZED (
+        SELECT q.vec_id AS query_id, sub.m, sc.cid,
+               CAST(round(list_inner_product(sub.s, sc.c)
+                          / sqrt(list_inner_product(q.e, q.e))
+                          * 1000000.0, 0) AS BIGINT) AS t_e6
+        FROM ve q
+        JOIN subs sub ON sub.vec_id = q.vec_id
+        JOIN subcents sc ON sc.m = sub.m
+        WHERE q.vec_id IN (0, 1, 2, 3, 4)),
+    appx AS (
+        SELECT qt.query_id, enc.vec_id,
+               CAST(sum(w.w_e6 * qt.t_e6) AS BIGINT) AS a_e12
+        FROM enc
+        JOIN wsub w ON w.vec_id = enc.vec_id AND w.m = enc.m
+        JOIN qt ON qt.m = enc.m AND qt.cid = enc.cid
+        WHERE enc.vec_id <> qt.query_id
+        GROUP BY qt.query_id, enc.vec_id),
+    cand AS (
+        SELECT query_id, vec_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY a_e12 DESC, vec_id) AS rn
+            FROM appx) WHERE rn <= {n_candidates}),
+    scored AS (
+        SELECT c.query_id, c.vec_id,
+               round(list_inner_product(t.e, q.e)
+                     / (sqrt(list_inner_product(t.e, t.e))
+                        * sqrt(list_inner_product(q.e, q.e))),
+                     6) AS cosine_sim
+        FROM cand c
+        JOIN ve q ON q.vec_id = c.query_id
+        JOIN ve t ON t.vec_id = c.vec_id)
+    SELECT query_id, vec_id, cosine_sim, rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id
+        ) AS rank FROM scored) WHERE rank <= {k}
+    ORDER BY query_id, rank
+"""
+
+
+ORACLES_EXT["embedding_topk_pq"] = _pq_topk_oracle()
+
+
 ORACLES_EXT["embedding_knn_shapley"] = """
     WITH v AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label

@@ -3501,6 +3501,19 @@ def embedding_knn_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_shapley_report(e, QUERY_VEC_IDS, k=5)
 
 
+def embedding_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.py:pq_topk,
+    after Jégou et al. 2011): m=4 one-byte codes + e6 norm fractions
+    per vector, per-query ADC lookup tables, integer approximate
+    scoring, exact top-10 re-rank — the compression path that makes a
+    100 TB embedding corpus scannable (9 B/subspace instead of 64 B).
+    Same output contract as the other embedding_topk_* queries."""
+    from firebase_etl_spark.operators.similarity import pq_topk
+
+    e = load_table(spark, "embeddings", sf_dir)
+    return pq_topk(e, QUERY_VEC_IDS, k=10)
+
+
 def _sqlstore_orders_fixture(spark: SparkSession, sf_dir: str) -> str:
     """Materialize orders into a DuckDB warehouse file once per sf_dir
     (INPUT fixture, same pattern as the RTDB export), register the

@@ -397,3 +397,18 @@ def test_knn_shapley_efficiency_axiom(spark):
     assert by_label[1]["sum_value_e12"] > 0
     assert by_label[0]["sum_value_e12"] <= 0
     assert by_label[0]["n_train"] == 10 and by_label[1]["n_train"] == 10
+
+
+def test_pq_topk_recall_vs_bruteforce(spark, embeddings):
+    """PQ candidates re-rank exactly, so every emitted similarity must
+    equal the brute-force value for that pair, and recall@10 of the
+    4x16 sampled-codebook ADC must clear a useful floor at sf0.001."""
+    got = SIM.pq_topk(embeddings, QUERY_VEC_IDS, k=10)
+    brute = SIM.cosine_topk(embeddings, QUERY_VEC_IDS, k=10)
+    g = {(r["query_id"], r["vec_id"]): r["cosine_sim"] for r in got.collect()}
+    b = {(r["query_id"], r["vec_id"]): r["cosine_sim"] for r in brute.collect()}
+    for pair, sim in g.items():
+        if pair in b:
+            assert sim == b[pair]
+    recall = len(set(g) & set(b)) / len(b)
+    assert recall >= 0.5, f"PQ recall@10 {recall:.2f} below floor"

@@ -44,9 +44,15 @@ ALLOWED_ORACLE_TYPES = {
 }
 
 #: Spark dtype -> DuckDB types that hash identically on the driver.
+#: int32 vs int64 is NOT a hash-relevant distinction — rows pairing a
+#: Spark int rank with a DuckDB BIGINT row_number have years of green
+#: driver evidence (embedding_topk_*, r4-r7) — whereas HUGEINT/decimal
+#: demonstrably is (the dsir/survival reds); so the integer family
+#: cross-matches and the forbidden list above stays strict.
+_INTS = {"INTEGER", "BIGINT"}
 SPARK_TO_DUCK = {
-    "bigint": {"BIGINT"},
-    "int": {"INTEGER"},
+    "bigint": _INTS,
+    "int": _INTS,
     "double": {"DOUBLE"},
     "string": {"VARCHAR"},
     "boolean": {"BOOLEAN"},
