@@ -68,6 +68,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_knn_shapley": QX.embedding_knn_shapley,
         # NEW this round: product-quantization ANN (ADC tables)
         "embedding_topk_pq": QX.embedding_topk_pq,
+        # NEW this round: Fellegi-Sunter probabilistic linkage scoring
+        "customer_fs_linkage": QX.customer_fs_linkage,
         "events_hourly_stats": Q.events_hourly_stats,
         "doc_text_features": QX.doc_text_features,
         "doc_lang_stats": QX.doc_lang_stats,
@@ -103,10 +105,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_neyman_allocation": QX.lineitem_neyman_allocation,
         "documents_split_leakage_audit": QX.documents_split_leakage_audit,
         "user_ltv_cohorts": QX.user_ltv_cohorts,
-        "orders_rollup": QX.orders_rollup,
         # ---- OUTSIDE the 50-query window from here: r8
         # re-evidence queue order - oldest driver evidence
         # first, the 45 freshly-r7-evidenced rows last ----
+        "orders_rollup": QX.orders_rollup,
         "mktsegment_order_priority_pivot": QX.mktsegment_order_priority_pivot,
         "events_variant_stats": QX.events_variant_stats,
         "masked_customer_emails": Q.masked_customer_emails,

@@ -119,3 +119,145 @@ def fuzzy_link(
         .filter(F.col("rn") == 1)
         .select(probe_key, probe_name, target_key, "distance")
     )
+
+
+def fellegi_sunter_report(
+    customers: DataFrame,
+    t_hi_e6: int = 10_000_000,
+    t_lo_e6: int = 0,
+) -> DataFrame:
+    """PROBABILISTIC record-linkage scoring (Fellegi & Sunter 1969) on
+    top of the SymSpell blocking stage — the decision layer a pure
+    edit-distance election lacks: every blocked candidate pair gets a
+    log-likelihood-ratio score Σ_f ln(m_f/u_f) over agreeing fields f
+    (ln((1−m_f)/(1−u_f)) when disagreeing), banded into
+    match / possible / non_match by the classic two-threshold rule.
+
+    Parameters the honest way: u-probabilities (chance agreement of a
+    RANDOM pair) are estimated EXACTLY from the data as
+    Σ_v c_v(c_v−1) / N(N−1) per categorical field (nation, market
+    segment, account-balance thousand-band); m is the configured rational 19/20
+    (comparator reliability — a convention, stated, not estimated);
+    the dirty NAME comparator (edit distance ≤ 1) uses configured
+    rationals m = 19/20, u = 1/10000 since a frequency table can't
+    estimate a fuzzy comparator's u. All four weights are
+    ln(integer) − ln(integer) over the PORTABLE ln (rationals make
+    every argument an exact integer product), quantized once to e6 —
+    pair scores are associative integer sums.
+
+    Scale shape: blocking + field joins are the corpus work (the
+    fuzzy_link shape); the u-estimates are three value-frequency
+    aggregates; ln args need N(N−1) < 2^52 — beyond ~6·10⁷ records,
+    estimate u on a bounded content-addressed sample (same statistic,
+    bounded integers). Output: one row per band — (band, n_pairs,
+    n_true_match, sum_score_e6, min_score_e6, max_score_e6)."""
+    from firebase_etl_spark.functions.portable_math import (
+        fixed_e6_expr,
+        with_ln,
+    )
+
+    pos = (F.lit(10) + F.col("c_custkey") % 8).cast("int")
+    probes = customers.filter(F.col("c_custkey") % 40 == 7).select(
+        F.col("c_custkey").alias("probe_id"),
+        F.concat(
+            F.col("c_name").substr(F.lit(1), pos - 1),
+            F.col("c_name").substr(pos + 1, F.length("c_name")),
+        ).alias("probe_name"),
+        F.col("c_nationkey").alias("p_nat"),
+        F.col("c_mktsegment").alias("p_seg"),
+        F.floor(F.col("c_acctbal") / 1000.0).cast("int").alias("p_cc"),
+    )
+    targets = customers.select(
+        F.col("c_custkey").alias("target_id"),
+        F.col("c_name").alias("target_name"),
+        F.col("c_nationkey").alias("t_nat"),
+        F.col("c_mktsegment").alias("t_seg"),
+        F.floor(F.col("c_acctbal") / 1000.0).cast("int").alias("t_cc"),
+    )
+    zone = lambda col: F.substring(F.col(col), 10, 9)  # noqa: E731
+    cand = blocked_candidates(
+        probes.select(
+            "probe_id", zone("probe_name").alias("probe_zone")
+        ),
+        targets.select(
+            "target_id", zone("target_name").alias("target_zone")
+        ),
+    )
+    # exact u per categorical field from the target side: the chance a
+    # random pair agrees = sum_v c_v(c_v-1) / N(N-1), GREATEST-guarded
+    us = []
+    for fld, col in (
+        ("nat", "t_nat"), ("seg", "t_seg"), ("cc", "t_cc"),
+    ):
+        per = targets.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        us.append(
+            per.agg(
+                F.greatest(
+                    F.sum(F.col("c") * (F.col("c") - 1)), F.lit(1)
+                ).alias(f"un_{fld}"),
+                (F.sum("c") * (F.sum("c") - 1)).alias(f"ud_{fld}"),
+            )
+        )
+    w = us[0].crossJoin(us[1]).crossJoin(us[2])
+    ln_args = []
+    for fld in ("nat", "seg", "cc"):
+        ln_args += [
+            (f"(19 * ud_{fld})", f"__ln_a1_{fld}"),
+            (f"(20 * un_{fld})", f"__ln_a2_{fld}"),
+            (f"(1 * ud_{fld})", f"__ln_d1_{fld}"),
+            (f"(20 * (ud_{fld} - un_{fld}))", f"__ln_d2_{fld}"),
+        ]
+    # name comparator: configured rationals m=19/20, u=1/10000
+    ln_args += [
+        ("(19 * 10000)", "__ln_a1_name"),
+        ("(20 * 1)", "__ln_a2_name"),
+        ("(1 * 10000)", "__ln_d1_name"),
+        ("(20 * 9999)", "__ln_d2_name"),
+    ]
+    for arg, out in ln_args:
+        w = with_ln(w, arg, out)
+    weight_cols = []
+    for fld in ("nat", "seg", "cc", "name"):
+        weight_cols += [
+            F.expr(
+                fixed_e6_expr(f"__ln_a1_{fld} - __ln_a2_{fld}")
+            ).alias(f"aw_{fld}"),
+            F.expr(
+                fixed_e6_expr(f"__ln_d1_{fld} - __ln_d2_{fld}")
+            ).alias(f"dw_{fld}"),
+        ]
+    w = w.select(*weight_cols)
+    pairs = (
+        cand.join(probes, "probe_id")
+        .join(targets, "target_id")
+        .crossJoin(F.broadcast(w))
+        .select(
+            "probe_id",
+            "target_id",
+            F.expr(
+                "CASE WHEN levenshtein(probe_name, target_name, 1) >= 0"
+                " THEN aw_name ELSE dw_name END"
+                " + CASE WHEN p_nat = t_nat THEN aw_nat ELSE dw_nat END"
+                " + CASE WHEN p_seg = t_seg THEN aw_seg ELSE dw_seg END"
+                " + CASE WHEN p_cc = t_cc THEN aw_cc ELSE dw_cc END"
+            ).alias("score_e6"),
+        )
+    )
+    band = (
+        f"CASE WHEN score_e6 >= {t_hi_e6} THEN 'match'"
+        f" WHEN score_e6 >= {t_lo_e6} THEN 'possible'"
+        " ELSE 'non_match' END"
+    )
+    return (
+        pairs.groupBy(F.expr(band).alias("band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                (F.col("probe_id") == F.col("target_id")).cast("long")
+            ).alias("n_true_match"),
+            F.sum("score_e6").alias("sum_score_e6"),
+            F.min("score_e6").alias("min_score_e6"),
+            F.max("score_e6").alias("max_score_e6"),
+        )
+        .orderBy("band")
+    )

@@ -2184,6 +2184,118 @@ ORACLES_EXT["customer_fuzzy_matches"] = r"""
 """
 
 
+def _fellegi_sunter_oracle(
+    t_hi_e6: int = 10_000_000, t_lo_e6: int = 0
+) -> str:
+    """F-S twin: the customer_fuzzy_matches blocking replay + exact
+    frequency-table u-estimates + the identical portable-ln rational
+    weights (m = 19/20; name-comparator u = 1/10000), quantized to e6
+    and integer-summed per pair, banded by the same thresholds."""
+    from firebase_etl_spark.functions.portable_math import (
+        fixed_e6_expr,
+        ln_select_sql,
+    )
+
+    ln_pairs = []
+    for fld in ("nat", "seg", "cc"):
+        ln_pairs += [
+            (f"(19 * ud_{fld})", f"__ln_a1_{fld}"),
+            (f"(20 * un_{fld})", f"__ln_a2_{fld}"),
+            (f"(1 * ud_{fld})", f"__ln_d1_{fld}"),
+            (f"(20 * (ud_{fld} - un_{fld}))", f"__ln_d2_{fld}"),
+        ]
+    ln_pairs += [
+        ("(19 * 10000)", "__ln_a1_name"),
+        ("(20 * 1)", "__ln_a2_name"),
+        ("(1 * 10000)", "__ln_d1_name"),
+        ("(20 * 9999)", "__ln_d2_name"),
+    ]
+    chain = ln_select_sql("SELECT * FROM wraw", ln_pairs)
+    wcols = ", ".join(
+        f"{fixed_e6_expr(f'__ln_a1_{fld} - __ln_a2_{fld}')} AS aw_{fld},"
+        f" {fixed_e6_expr(f'__ln_d1_{fld} - __ln_d2_{fld}')} AS dw_{fld}"
+        for fld in ("nat", "seg", "cc", "name")
+    )
+    return f"""
+    WITH probes AS MATERIALIZED (
+        SELECT c_custkey AS probe_id,
+               substr(c_name, 1, CAST(10 + c_custkey % 8 AS INT) - 1) ||
+               substr(c_name, CAST(10 + c_custkey % 8 AS INT) + 1)
+                   AS probe_name,
+               c_nationkey AS p_nat, c_mktsegment AS p_seg,
+               CAST(floor(c_acctbal / 1000.0) AS INTEGER) AS p_cc
+        FROM customer WHERE c_custkey % 40 = 7),
+    targets AS MATERIALIZED (
+        SELECT c_custkey AS target_id, c_name AS target_name,
+               c_nationkey AS t_nat, c_mktsegment AS t_seg,
+               CAST(floor(c_acctbal / 1000.0) AS INTEGER) AS t_cc
+        FROM customer),
+    pz AS (SELECT probe_id, substr(probe_name, 10, 9) AS zone
+           FROM probes),
+    tz AS (SELECT target_id, substr(target_name, 10, 9) AS zone
+           FROM targets),
+    pv AS (
+        SELECT probe_id,
+               unnest(list_distinct(list_append(
+                   list_transform(generate_series(1, length(zone)),
+                       i -> substr(zone, 1, CAST(i AS INT) - 1)
+                            || substr(zone, CAST(i AS INT) + 1)),
+                   zone))) AS variant
+        FROM pz),
+    tv AS (
+        SELECT target_id,
+               unnest(list_distinct(list_append(
+                   list_transform(generate_series(1, length(zone)),
+                       i -> substr(zone, 1, CAST(i AS INT) - 1)
+                            || substr(zone, CAST(i AS INT) + 1)),
+                   zone))) AS variant
+        FROM tz),
+    cand AS (
+        SELECT DISTINCT probe_id, target_id
+        FROM pv JOIN tv USING (variant)),
+    unat AS (
+        SELECT greatest(CAST(sum(c * (c - 1)) AS BIGINT), 1) AS un_nat,
+               CAST(sum(c) * (sum(c) - 1) AS BIGINT) AS ud_nat
+        FROM (SELECT count(*) AS c FROM targets GROUP BY t_nat)),
+    useg AS (
+        SELECT greatest(CAST(sum(c * (c - 1)) AS BIGINT), 1) AS un_seg,
+               CAST(sum(c) * (sum(c) - 1) AS BIGINT) AS ud_seg
+        FROM (SELECT count(*) AS c FROM targets GROUP BY t_seg)),
+    ucc AS (
+        SELECT greatest(CAST(sum(c * (c - 1)) AS BIGINT), 1) AS un_cc,
+               CAST(sum(c) * (sum(c) - 1) AS BIGINT) AS ud_cc
+        FROM (SELECT count(*) AS c FROM targets GROUP BY t_cc)),
+    wraw AS (SELECT * FROM unat, useg, ucc),
+    wts AS MATERIALIZED (SELECT {wcols} FROM ({chain})),
+    pairs AS (
+        SELECT c.probe_id, c.target_id,
+               (CASE WHEN levenshtein(p.probe_name, t.target_name) <= 1
+                     THEN aw_name ELSE dw_name END
+                + CASE WHEN p.p_nat = t.t_nat
+                       THEN aw_nat ELSE dw_nat END
+                + CASE WHEN p.p_seg = t.t_seg
+                       THEN aw_seg ELSE dw_seg END
+                + CASE WHEN p.p_cc = t.t_cc
+                       THEN aw_cc ELSE dw_cc END) AS score_e6
+        FROM cand c
+        JOIN probes p USING (probe_id)
+        JOIN targets t USING (target_id), wts)
+    SELECT CASE WHEN score_e6 >= {t_hi_e6} THEN 'match'
+                WHEN score_e6 >= {t_lo_e6} THEN 'possible'
+                ELSE 'non_match' END AS band,
+           count(*) AS n_pairs,
+           CAST(sum(CASE WHEN probe_id = target_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_true_match,
+           CAST(sum(score_e6) AS BIGINT) AS sum_score_e6,
+           min(score_e6) AS min_score_e6,
+           max(score_e6) AS max_score_e6
+    FROM pairs GROUP BY 1 ORDER BY band
+"""
+
+
+ORACLES_EXT["customer_fs_linkage"] = _fellegi_sunter_oracle()
+
+
 def _pagerank_oracle(n_iter: int = 10, damping_pct: int = 85, seeds=None) -> str:
     """Generated replay of operators/graph.py:pagerank on the nation trade
     graph: one CTE layer per iteration, all fixed-point BIGINT arithmetic

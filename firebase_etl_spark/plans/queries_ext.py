@@ -3514,6 +3514,20 @@ def embedding_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(e, QUERY_VEC_IDS, k=10)
 
 
+def customer_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage
+    (operators/linkage.py:fellegi_sunter_report): the decision layer
+    over the SymSpell-blocked dirty-CRM fixture — log-likelihood-ratio
+    scores over four field comparators (exact-frequency u-estimates
+    for nation/segment/balance-band, configured rationals for the fuzzy
+    name comparator), banded match/possible/non_match by the classic
+    two-threshold rule. Portable-ln rational weights; integer sums."""
+    from firebase_etl_spark.operators.linkage import fellegi_sunter_report
+
+    c = load_table(spark, "customer", sf_dir)
+    return fellegi_sunter_report(c)
+
+
 def _sqlstore_orders_fixture(spark: SparkSession, sf_dir: str) -> str:
     """Materialize orders into a DuckDB warehouse file once per sf_dir
     (INPUT fixture, same pattern as the RTDB export), register the

@@ -2849,3 +2849,28 @@ def test_markov_attribution_hand_computed(spark):
     assert out["error"]["n_from"] == 0
     # efficiency sanity: n_from counts outgoing transitions (full chain)
     assert out["click"]["n_from"] == 1 and out["view"]["n_from"] == 1
+
+
+def test_fellegi_sunter_bands_and_truth(spark):
+    """F-S scoring on the dirty-CRM fixture at sf0.001: true
+    self-matches (all four comparators agree) must land in the 'match'
+    band, every band's score stats must be internally consistent, and
+    the two-threshold rule must be exhaustive over blocked pairs."""
+    from firebase_etl_spark.operators.linkage import fellegi_sunter_report
+    from firebase_etl_spark.sources.tables import load_table
+
+    c = load_table(spark, "customer", "/root/testdata/sf0.001")
+    out = {r["band"]: r for r in fellegi_sunter_report(c).collect()}
+    assert "match" in out, f"no match band: {out}"
+    m = out["match"]
+    assert m["n_true_match"] >= 1
+    assert m["min_score_e6"] >= 10_000_000
+    for band, r in out.items():
+        assert r["min_score_e6"] <= r["max_score_e6"]
+        assert r["n_true_match"] <= r["n_pairs"]
+    # truth lands overwhelmingly in 'match': a self pair agrees on all
+    # four comparators, so its score is the maximal weight sum
+    below = sum(
+        r["n_true_match"] for b, r in out.items() if b != "match"
+    )
+    assert below == 0, f"true matches leaked out of the match band: {out}"
