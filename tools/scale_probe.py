@@ -70,6 +70,11 @@ ID_COLS = {
     "lineitem": ["l_orderkey"],
     "orders": ["o_orderkey"],
     "events": ["event_id"],
+    # r8: the F-S linkage probe reads customer; names are REBUILT from
+    # the offset key (TPC-H convention) so replicas are distinct
+    # records — identical names would be genuinely ambiguous matches
+    # and blow the blocking stage up quadratically by construction
+    "customer": ["c_custkey"],
 }
 
 
@@ -91,6 +96,14 @@ def build(spark, n_copies: int) -> None:
                 rep = rep.withColumn(
                     "text", F.concat(F.col("text"), F.lit(f" r{i}"))
                 )
+            if table == "customer":
+                rep = rep.withColumn(
+                    "c_name",
+                    F.concat(
+                        F.lit("Customer#"),
+                        F.lpad(F.col("c_custkey").cast("string"), 9, "0"),
+                    ),
+                )
             parts.append(rep)
         out = parts[0]
         for p in parts[1:]:
@@ -99,19 +112,18 @@ def build(spark, n_copies: int) -> None:
         print(f"built {table} x{n_copies}", flush=True)
 
 
-#: round-7 additions probed with --new-ops (same replica fixture; note
+#: round-8 additions probed with --new-ops (same replica fixture; note
 #: the fixture makes every document a member of a ~10-replica mutual
 #: near-dup cluster, the adversarial direction for pair-enumerating ops)
 NEW_OPS = [
-    "events_kmv_user_overlap",
-    "embedding_kcenter_seeds",
-    "documents_doremi_mixture",
-    "events_psi_drift",
-    "doc_lm_kneser_ney_report",
-    "events_shapley_attribution",
-    "events_changepoint_scan",
-    "media_avi_frame_stats",
-    "doc_similarity_histogram",
+    "events_dow_profile",
+    "doc_minhash_recall_audit",
+    "doc_retrieval_eval",
+    "events_markov_attribution",
+    "embedding_knn_shapley",
+    "embedding_topk_pq",
+    "customer_fs_linkage",
+    "doc_similarity_histogram",  # re-declared: sampled, was 44.95x
 ]
 
 
