@@ -70,6 +70,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_pq": QX.embedding_topk_pq,
         # NEW this round: Fellegi-Sunter probabilistic linkage scoring
         "customer_fs_linkage": QX.customer_fs_linkage,
+        # NEW this round: MMR diversified retrieval (unrolled greedy)
+        "embedding_topk_mmr": QX.embedding_topk_mmr,
         "events_hourly_stats": Q.events_hourly_stats,
         "doc_text_features": QX.doc_text_features,
         "doc_lang_stats": QX.doc_lang_stats,

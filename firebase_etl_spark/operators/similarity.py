@@ -1326,3 +1326,112 @@ def pq_topk(
         .select("query_id", "vec_id", "cosine_sim", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+def mmr_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 8,
+    pool: int = 40,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k (Carbonell &
+    Goldstein 1998) for one probe vector: greedily pick the candidate
+    maximizing relevance-to-query MINUS max-similarity-to-already-
+    picked (the lambda = 0.5 form, scaled by 2 so it stays integer).
+    The deduplicated complement of cosine_topk: a RAG context builder
+    or eval-set sampler wants the k most relevant NON-REDUNDANT
+    passages, not k near-copies of the best hit.
+
+    Scale shape: ONE distributed relevance scan (probe broadcast, the
+    cosine_topk plan) feeds a TakeOrdered(pool) candidate pull; the
+    pool^2 pairwise similarities are computed ENGINE-side on the
+    pool x pool self-join (<= pool^2 rows) and only then collected, so
+    every float op shares the oracle's expression tree and the driver
+    holds two bounded integer tables (pool rows + pool^2 pairs) —
+    constants independent of corpus size. The greedy itself is pure
+    integer arithmetic replayed verbatim by the oracle's unrolled CTE
+    rounds (ties: lower vec_id; first pick = argmax relevance).
+
+    Returns (mmr_rank, vec_id, rel_e6, red_e6, mmr_e6) — all BIGINT
+    fixed-point 1e-6; red_e6 is 0 for the first pick by convention.
+    """
+    if k < 1:
+        raise ValueError(f"mmr_topk needs k >= 1, got {k}")
+    if pool < k:
+        raise ValueError(f"mmr_topk needs pool >= k, got {pool} < {k}")
+    vecs = df.select(
+        F.col(id_col).alias("vid"),
+        normalized(_to_double(F.col(vec_col))).alias("v"),
+    ).filter(dot(F.col("v"), F.col("v")) > 0)
+    probe = vecs.filter(F.col("vid") == query_id).select(
+        F.col("v").alias("q")
+    )
+    rel_e6 = (
+        F.round(F.round(dot(F.col("v"), F.col("q")), 6) * 1_000_000.0, 0)
+        .cast("long")
+        .alias("rel_e6")
+    )
+    pool_df = (
+        vecs.crossJoin(F.broadcast(probe))
+        .filter(F.col("vid") != query_id)
+        .select("vid", "v", rel_e6)
+        .orderBy(F.desc("rel_e6"), "vid")
+        .limit(pool)
+        .persist()
+    )
+    try:
+        cand = [(int(r["vid"]), int(r["rel_e6"]))
+                for r in pool_df.select("vid", "rel_e6").collect()]
+        a = pool_df.select(
+            F.col("vid").alias("a"), F.col("v").alias("va")
+        )
+        b = pool_df.select(
+            F.col("vid").alias("b"), F.col("v").alias("vb")
+        )
+        sim_e6 = (
+            F.round(
+                F.round(dot(F.col("va"), F.col("vb")), 6) * 1_000_000.0, 0
+            )
+            .cast("long")
+            .alias("sim_e6")
+        )
+        pair_rows = (
+            a.join(b, F.col("a") < F.col("b"))
+            .select("a", "b", sim_e6)
+            .collect()
+        )
+    finally:
+        pool_df.unpersist()
+    sims: dict[tuple[int, int], int] = {}
+    for r in pair_rows:
+        sims[(int(r["a"]), int(r["b"]))] = int(r["sim_e6"])
+
+    def pair(x: int, y: int) -> int:
+        return sims[(x, y) if x < y else (y, x)]
+
+    picked: list[tuple[int, int, int, int]] = []  # vid, rel, red, mmr
+    remaining = dict(cand)
+    for rank in range(min(k, len(cand))):
+        best = None
+        for vid, rel in remaining.items():
+            red = (
+                max(pair(vid, p[0]) for p in picked) if picked else 0
+            )
+            mmr = rel - red
+            key = (-mmr, vid)
+            if best is None or key < best[0]:
+                best = (key, vid, rel, red, mmr)
+        picked.append((best[1], best[2], best[3], best[4]))
+        del remaining[best[1]]
+    spark = df.sparkSession
+    rows = [
+        (rank, vid, rel, red, mmr)
+        for rank, (vid, rel, red, mmr) in enumerate(picked)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "mmr_rank int, vec_id long, rel_e6 long, red_e6 long,"
+        " mmr_e6 long",
+    ).orderBy("mmr_rank")

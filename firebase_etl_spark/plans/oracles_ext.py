@@ -6788,3 +6788,59 @@ ORACLES_EXT["session_event_pairs"] = """
     CROSS JOIN nb
     ORDER BY pair_count DESC, p1, p2 LIMIT 10
 """
+
+
+def _mmr_oracle(qid: int = 0, k: int = 8, pool: int = 40) -> str:
+    """Unrolled greedy MMR replay (similarity.py:mmr_topk twin): the
+    kcenter-oracle pattern — one CTE layer per selection round. Every
+    float op mirrors the Spark tree: per-component normalization by
+    the sqrt of a left-to-right sum of squares, left-to-right inner
+    product, round 6dp, scale to e6 BIGINT. Ties to the lower vec_id;
+    first pick = argmax relevance with red_e6 = 0 by convention."""
+    sim = (
+        "CAST(round(round(list_inner_product({a}, {b}), 6)"
+        " * 1000000.0, 0) AS BIGINT)"
+    )
+    parts = [
+        f"""WITH ve AS MATERIALIZED (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e0
+    FROM embeddings
+    WHERE list_inner_product(CAST(embedding AS DOUBLE[]),
+                             CAST(embedding AS DOUBLE[])) > 0),
+v AS MATERIALIZED (
+    SELECT vec_id,
+           list_transform(
+               e0, x -> x / sqrt(list_inner_product(e0, e0))) AS e
+    FROM ve),
+q AS MATERIALIZED (SELECT e AS qe FROM v WHERE vec_id = {qid}),
+pool AS MATERIALIZED (
+    SELECT v.vec_id, v.e,
+           {sim.format(a='v.e', b='q.qe')} AS rel_e6
+    FROM v CROSS JOIN q
+    WHERE v.vec_id <> {qid}
+    ORDER BY rel_e6 DESC, vec_id LIMIT {pool}),
+s0 AS MATERIALIZED (
+    SELECT 0 AS mmr_rank, vec_id, e, rel_e6,
+           CAST(0 AS BIGINT) AS red_e6, rel_e6 AS mmr_e6
+    FROM (SELECT * FROM pool ORDER BY rel_e6 DESC, vec_id LIMIT 1))"""
+    ]
+    for i in range(1, k):
+        parts.append(f"""d{i} AS MATERIALIZED (
+    SELECT c.vec_id, c.e, c.rel_e6,
+           max({sim.format(a='c.e', b='s.e')}) AS red_e6
+    FROM pool c CROSS JOIN s{i - 1} s
+    WHERE c.vec_id NOT IN (SELECT vec_id FROM s{i - 1})
+    GROUP BY c.vec_id, c.e, c.rel_e6),
+p{i} AS MATERIALIZED (
+    SELECT {i} AS mmr_rank, vec_id, e, rel_e6,
+           CAST(red_e6 AS BIGINT) AS red_e6,
+           rel_e6 - CAST(red_e6 AS BIGINT) AS mmr_e6
+    FROM d{i} ORDER BY (rel_e6 - red_e6) DESC, vec_id LIMIT 1),
+s{i} AS MATERIALIZED (SELECT * FROM s{i - 1} UNION ALL SELECT * FROM p{i})""")
+    tail = f"""
+SELECT mmr_rank, vec_id, rel_e6, red_e6, mmr_e6
+FROM s{k - 1} ORDER BY mmr_rank"""
+    return ",\n".join(parts) + tail
+
+
+ORACLES_EXT["embedding_topk_mmr"] = _mmr_oracle()

@@ -5924,3 +5924,18 @@ def session_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequent_pairs(
         sessioned, "basket", "event_type", min_support=2, top=10
     )
+
+
+def embedding_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance diversified retrieval
+    (operators/similarity.py:mmr_topk, Carbonell & Goldstein 1998):
+    the 8 most relevant NON-REDUNDANT neighbors of probe vector 0 —
+    greedy relevance-minus-max-seed-similarity in exact 1e-6 fixed
+    point over an engine-side top-40 candidate pool. The context
+    builder's complement to embedding_topk_bruteforce: top-k without
+    near-copies of the best hit. Integers only; the oracle unrolls
+    the identical greedy rounds."""
+    from firebase_etl_spark.operators.similarity import mmr_topk
+
+    e = load_table(spark, "embeddings", sf_dir)
+    return mmr_topk(e, query_id=QUERY_VEC_IDS[0], k=8, pool=40)

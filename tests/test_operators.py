@@ -2874,3 +2874,54 @@ def test_fellegi_sunter_bands_and_truth(spark):
         r["n_true_match"] for b, r in out.items() if b != "match"
     )
     assert below == 0, f"true matches leaked out of the match band: {out}"
+
+
+def test_mmr_topk_hand_case(spark):
+    """Hand-checkable MMR in 2D: probe at 0 deg; candidates at 10 deg
+    (rel ~.985), 12 deg (rel ~.978, near-copy of the 10 deg hit) and
+    -60 deg (rel .5, diverse). Plain top-2 would take 10 + 12; MMR's
+    second pick must skip the near-copy: mmr(12 deg) = cos(12)-cos(2)
+    = -.021 < mmr(-60 deg) = cos(60)-cos(70) = +.158."""
+    import math as m
+
+    from firebase_etl_spark.operators.similarity import mmr_topk
+
+    def vec(deg):
+        return [m.cos(m.radians(deg)), m.sin(m.radians(deg))]
+
+    rows = [(0, vec(0)), (1, vec(10)), (2, vec(12)), (3, vec(-60))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = mmr_topk(df, query_id=0, k=3, pool=3).collect()
+    assert [(r["mmr_rank"], r["vec_id"]) for r in out] == [
+        (0, 1), (1, 3), (2, 2)
+    ]
+    # first pick: argmax relevance, zero redundancy by convention
+    assert out[0]["red_e6"] == 0
+    assert out[0]["mmr_e6"] == out[0]["rel_e6"]
+    r1 = round(round(m.cos(m.radians(10)), 6) * 1e6)
+    assert out[0]["rel_e6"] == r1
+    # second pick: -60 deg beats the 12 deg near-copy on marginal gain
+    red3 = round(round(m.cos(m.radians(70)), 6) * 1e6)
+    assert out[1]["red_e6"] == red3
+    assert out[1]["mmr_e6"] == out[1]["rel_e6"] - red3
+    # mmr_e6 == rel_e6 - red_e6 on every row; picked ids distinct
+    assert all(r["mmr_e6"] == r["rel_e6"] - r["red_e6"] for r in out)
+    assert len({r["vec_id"] for r in out}) == 3
+
+
+def test_mmr_topk_validation_and_small_corpus(spark):
+    import pytest as _pytest
+
+    from firebase_etl_spark.operators.similarity import mmr_topk
+
+    df = spark.createDataFrame(
+        [(7, [1.0, 0.0]), (9, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    # corpus smaller than k: returns what exists (probe excluded)
+    out = mmr_topk(df, query_id=7, k=5, pool=5).collect()
+    assert [(r["mmr_rank"], r["vec_id"]) for r in out] == [(0, 9)]
+    with _pytest.raises(ValueError, match="k >= 1"):
+        mmr_topk(df, query_id=7, k=0)
+    with _pytest.raises(ValueError, match="pool >= k"):
+        mmr_topk(df, query_id=7, k=5, pool=3)
