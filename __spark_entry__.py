@@ -72,6 +72,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_fs_linkage": QX.customer_fs_linkage,
         # NEW this round: MMR diversified retrieval (unrolled greedy)
         "embedding_topk_mmr": QX.embedding_topk_mmr,
+        # NEW this round: Newman modularity audit of the LPA partition
+        "part_copurchase_modularity": QX.part_copurchase_modularity,
         "events_hourly_stats": Q.events_hourly_stats,
         "doc_text_features": QX.doc_text_features,
         "doc_lang_stats": QX.doc_lang_stats,

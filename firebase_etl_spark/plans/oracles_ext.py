@@ -5421,11 +5421,13 @@ ORACLES_EXT["embedding_knn_outliers"] = """
 """
 
 
-def _lpa_oracle(n_iter: int = 5) -> str:
-    """Generated replay of operators/graph.py:label_propagation on the
-    co-purchase graph: one CTE layer per synchronous round; the
+def _lpa_layers(n_iter: int = 5) -> list[str]:
+    """Shared CTE layers replaying operators/graph.py:label_propagation
+    on the co-purchase graph: one layer per synchronous round; the
     (count desc, label asc) election is a row_number pick — identical to
-    the Spark side's min(struct(-count, label)) on integer inputs."""
+    the Spark side's min(struct(-count, label)) on integer inputs.
+    Consumed by _lpa_oracle (community sizes) and _modularity_oracle
+    (the Q audit over the same final labels)."""
     layers = [
         """b AS MATERIALIZED (
         SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
@@ -5442,7 +5444,7 @@ def _lpa_oracle(n_iter: int = 5) -> str:
     ]
     for i in range(n_iter):
         layers.append(
-            f"""l{i + 1} AS (
+            f"""l{i + 1} AS MATERIALIZED (
         SELECT v AS node, label FROM (
             SELECT v, label, row_number() OVER (
                 PARTITION BY v ORDER BY cnt DESC, label) AS rn
@@ -5451,6 +5453,11 @@ def _lpa_oracle(n_iter: int = 5) -> str:
                   GROUP BY s.v, p.label))
         WHERE rn = 1)"""
         )
+    return layers
+
+
+def _lpa_oracle(n_iter: int = 5) -> str:
+    layers = _lpa_layers(n_iter)
     return (
         "WITH "
         + ",\n    ".join(layers)
@@ -6844,3 +6851,55 @@ FROM s{k - 1} ORDER BY mmr_rank"""
 
 
 ORACLES_EXT["embedding_topk_mmr"] = _mmr_oracle()
+
+
+def _modularity_oracle(n_iter: int = 5, top: int = 10) -> str:
+    """graph.py:modularity_report twin: the shared LPA layers feed the
+    identical all-integer Q algebra — per-community numerator
+    4*m*m_c - d_c^2, global Q sign-split so DuckDB's flooring //
+    matches Spark's truncating DIV on the positive magnitude."""
+    layers = _lpa_layers(n_iter)
+    tail = f"""intra AS MATERIALIZED (
+        SELECT la.label AS community, count(*) AS mc
+        FROM e
+        JOIN l{n_iter} la ON e.p1 = la.node
+        JOIN l{n_iter} lb ON e.p2 = lb.node
+        WHERE la.label = lb.label
+        GROUP BY la.label),
+    deg AS MATERIALIZED (
+        SELECT v AS node, count(*) AS d FROM sym GROUP BY v),
+    comm AS MATERIALIZED (
+        SELECT l.label AS community,
+               CAST(count(*) AS BIGINT) AS n_members,
+               CAST(sum(deg.d) AS BIGINT) AS degree_sum
+        FROM deg JOIN l{n_iter} l ON deg.node = l.node
+        GROUP BY l.label),
+    mt AS (SELECT CAST(count(*) AS BIGINT) AS m_edges FROM e),
+    per AS MATERIALIZED (
+        SELECT c.community, c.n_members,
+               CAST(coalesce(i.mc, 0) AS BIGINT) AS intra_edges,
+               c.degree_sum,
+               CAST(4 * mt.m_edges * coalesce(i.mc, 0)
+                    - c.degree_sum * c.degree_sum AS BIGINT)
+                   AS contrib_num,
+               mt.m_edges
+        FROM comm c CROSS JOIN mt
+        LEFT JOIN intra i ON c.community = i.community),
+    tot AS (
+        SELECT CAST(sum(contrib_num) AS BIGINT) AS q_num,
+               max(m_edges) AS m2
+        FROM per)
+    SELECT per.community, per.n_members, per.intra_edges,
+           per.degree_sum, per.contrib_num, per.m_edges, tot.q_num,
+           CAST(CASE WHEN tot.q_num >= 0
+                THEN (tot.q_num * 1000000) // (4 * tot.m2 * tot.m2)
+                ELSE -((-tot.q_num * 1000000)
+                       // (4 * tot.m2 * tot.m2)) END AS BIGINT)
+               AS modularity_e6
+    FROM per CROSS JOIN tot
+    ORDER BY per.n_members DESC, per.community
+    LIMIT {top}"""
+    return "WITH " + ",\n    ".join(layers) + ",\n    " + tail
+
+
+ORACLES_EXT["part_copurchase_modularity"] = _modularity_oracle()

@@ -5939,3 +5939,21 @@ def embedding_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, "embeddings", sf_dir)
     return mmr_topk(e, query_id=QUERY_VEC_IDS[0], k=8, pool=40)
+
+
+def part_copurchase_modularity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Newman modularity of the LPA co-purchase communities
+    (operators/graph.py:modularity_report): the acceptance gate on
+    part_copurchase_communities — Q >> 0 means the detector found real
+    density structure worth using for blocking/features, Q ~ 0 means
+    noise. Exact integers: per-community numerator 4*m*m_c - d_c^2 and
+    sign-split e6 global; the oracle chains the identical 5 unrolled
+    LPA rounds into the same aggregate algebra."""
+    from firebase_etl_spark.operators.basket import cooccurrence_edges
+    from firebase_etl_spark.operators.graph import modularity_report
+
+    li = load_table(spark, "lineitem", sf_dir)
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", 2)
+    return modularity_report(edges, "p1", "p2", n_iter=5, top=10)

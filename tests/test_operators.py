@@ -2925,3 +2925,53 @@ def test_mmr_topk_validation_and_small_corpus(spark):
         mmr_topk(df, query_id=7, k=0)
     with _pytest.raises(ValueError, match="pool >= k"):
         mmr_topk(df, query_id=7, k=5, pool=3)
+
+
+def test_modularity_report_two_triangles_bridge(spark):
+    """Hand case: two triangles joined by one bridge edge (m = 7).
+    Good partition (one community per triangle): intra 3 + 3,
+    degree sums 7 + 7, q_num = 2*(4*7*3 - 49) = 70, Q = 70/196 ->
+    357142 e6 (floor). Anti-modular partition (pairs across the
+    bridge, zero intra edges): q_num = -(25+16+25) = -66,
+    Q_e6 = -floor(66e6/196) = -336734 — pins the sign-split DIV."""
+    from firebase_etl_spark.operators.graph import modularity_report
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)],
+        "p1 long, p2 long",
+    )
+    good = spark.createDataFrame(
+        [(n, 1 if n <= 3 else 4) for n in range(1, 7)],
+        "node long, community long",
+    )
+    out = modularity_report(edges, labels=good).collect()
+    assert [(r["community"], r["n_members"], r["intra_edges"],
+             r["degree_sum"], r["contrib_num"]) for r in out] == [
+        (1, 3, 3, 7, 35), (4, 3, 3, 7, 35)
+    ]
+    assert all(r["m_edges"] == 7 for r in out)
+    assert all(r["q_num"] == 70 for r in out)
+    assert all(r["modularity_e6"] == 357142 for r in out)
+
+    bad = spark.createDataFrame(
+        [(1, 100), (4, 100), (2, 200), (5, 200), (3, 300), (6, 300)],
+        "node long, community long",
+    )
+    out2 = modularity_report(edges, labels=bad).collect()
+    assert all(r["intra_edges"] == 0 for r in out2)
+    assert all(r["q_num"] == -66 for r in out2)
+    assert all(r["modularity_e6"] == -336734 for r in out2)
+
+
+def test_modularity_single_community_is_zero(spark):
+    """One community holding every node: m_c = m, d_c = 2m, numerator
+    4m*m - 4m^2 = 0 exactly — the degenerate fixture sf0.001 hits."""
+    from firebase_etl_spark.operators.graph import modularity_report
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "p1 long, p2 long"
+    )
+    out = modularity_report(edges, n_iter=5).collect()
+    assert len(out) == 1
+    assert out[0]["contrib_num"] == 0
+    assert out[0]["modularity_e6"] == 0
