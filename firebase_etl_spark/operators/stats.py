@@ -953,3 +953,66 @@ def markov_attribution(
         " p_conv_removed_e9 long, removal_effect_e6 long,"
         " attribution_e6 long",
     ).orderBy("channel")
+
+
+def binary_auc_report(
+    df: DataFrame,
+    score,
+    label,
+) -> DataFrame:
+    """Exact tie-aware ROC AUC (Mann-Whitney U) of an INTEGER score
+    against a binary label — the standard read-out for any cheap
+    classifier a pipeline gates on (quality filters, langid, dedup
+    confidence) before trusting it corpus-wide. AUC = P(score_pos >
+    score_neg) + P(=)/2, computed exactly from rank sums with tied
+    blocks at their average rank.
+
+    All-integer: scores group into a distinct-score histogram
+    (bounded by the score's codomain, NOT the corpus — a permyriad
+    score has <= 10001 rows), twice-average-rank of a tied block is
+    the integer 2*cum_before + n + 1, twice the U statistic is
+    u2 = sum(n_pos_g * r2) - n_pos*(n_pos+1), and
+    auc_e6 = u2*1e6 DIV (2*n_pos*n_neg) (u2 >= 0 always, so
+    truncating DIV == flooring //). Exact while n_pos*n_neg <=
+    ~4.6e12 (u2*1e6 must fit int64); past ~3e6 balanced rows report
+    u2 raw and divide at higher precision downstream — the histogram
+    side stays fixed-size at any corpus scale.
+
+    Scale shape: one scan -> groupBy(score) map-side-combinable
+    histogram; the cumulative window runs over the bounded histogram
+    (single partition by design — codomain-sized, never corpus-sized).
+    Returns one row: (n_pos, n_neg, n_scored, u2, auc_e6); auc_e6 is
+    NULL when a class is empty (AUC undefined)."""
+    base = df.select(
+        score.cast("long").alias("s"),
+        label.cast("int").alias("y"),
+    ).filter(F.col("s").isNotNull() & F.col("y").isNotNull())
+    g = base.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").cast("long").alias("npos"),
+    )
+    w = Window.orderBy("s").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    g2 = g.withColumn(
+        "cum_before", F.coalesce(F.sum("n").over(w), F.lit(0))
+    )
+    return g2.agg(
+        F.sum("npos").cast("long").alias("n_pos"),
+        (F.sum("n") - F.sum("npos")).cast("long").alias("n_neg"),
+        F.sum("n").cast("long").alias("n_scored"),
+        F.sum(
+            F.col("npos")
+            * (F.lit(2) * F.col("cum_before") + F.col("n") + F.lit(1))
+        ).cast("long").alias("s2"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        "n_scored",
+        F.expr("s2 - n_pos * (n_pos + 1)").cast("long").alias("u2"),
+        F.expr(
+            "CASE WHEN n_pos = 0 OR n_neg = 0 THEN CAST(NULL AS BIGINT)"
+            " ELSE ((s2 - n_pos * (n_pos + 1)) * 1000000)"
+            " DIV (2 * n_pos * n_neg) END"
+        ).cast("long").alias("auc_e6"),
+    )

@@ -6903,3 +6903,73 @@ def _modularity_oracle(n_iter: int = 5, top: int = 10) -> str:
 
 
 ORACLES_EXT["part_copurchase_modularity"] = _modularity_oracle()
+
+
+ORACLES_EXT["doc_langid_auc"] = f"""
+    WITH scored AS (
+        SELECT (SELECT
+                  len(list_filter(td, t -> t IN ('the','a','and','of','to')))
+                - greatest(
+                    len(list_filter(td, t -> t IN ('le','la','et','les','des'))),
+                    len(list_filter(td, t -> t IN ('der','die','und','das','ist'))),
+                    len(list_filter(td, t -> t IN ('el','la','y','los','de'))))
+                FROM (SELECT list_distinct({_TOKS}) AS td)) AS margin,
+               CAST(lang = 'en' AS INT) AS y
+        FROM documents),
+    g AS (
+        SELECT margin AS s, count(*) AS n, CAST(sum(y) AS BIGINT) AS npos
+        FROM scored WHERE margin IS NOT NULL AND y IS NOT NULL
+        GROUP BY margin),
+    g2 AS (
+        SELECT s, n, npos,
+               coalesce(sum(n) OVER (ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cb
+        FROM g),
+    a AS (
+        SELECT CAST(sum(npos) AS BIGINT) AS n_pos,
+               CAST(sum(n) - sum(npos) AS BIGINT) AS n_neg,
+               CAST(sum(n) AS BIGINT) AS n_scored,
+               CAST(sum(npos * (2 * cb + n + 1)) AS BIGINT) AS s2
+        FROM g2)
+    SELECT n_pos, n_neg, n_scored,
+           CAST(s2 - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+           CAST(CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+                ELSE ((s2 - n_pos * (n_pos + 1)) * 1000000)
+                     // (2 * n_pos * n_neg) END AS BIGINT) AS auc_e6
+    FROM a
+"""
+
+
+ORACLES_EXT["orders_price_auc"] = """
+    WITH scored AS (
+        SELECT CAST(round(o.o_totalprice * 100.0 + 1e-9, 0) AS BIGINT)
+               // 10000 AS s,
+               CAST(li.n_items >= 4 AS INT) AS y
+        FROM orders o
+        JOIN (SELECT l_orderkey, count(*) AS n_items
+              FROM lineitem GROUP BY l_orderkey) li
+          ON o.o_orderkey = li.l_orderkey),
+    g AS (
+        SELECT s, count(*) AS n, CAST(sum(y) AS BIGINT) AS npos
+        FROM scored WHERE s IS NOT NULL AND y IS NOT NULL
+        GROUP BY s),
+    g2 AS (
+        SELECT s, n, npos,
+               coalesce(sum(n) OVER (ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cb
+        FROM g),
+    a AS (
+        SELECT CAST(sum(npos) AS BIGINT) AS n_pos,
+               CAST(sum(n) - sum(npos) AS BIGINT) AS n_neg,
+               CAST(sum(n) AS BIGINT) AS n_scored,
+               CAST(sum(npos * (2 * cb + n + 1)) AS BIGINT) AS s2
+        FROM g2)
+    SELECT n_pos, n_neg, n_scored,
+           CAST(s2 - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+           CAST(CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+                ELSE ((s2 - n_pos * (n_pos + 1)) * 1000000)
+                     // (2 * n_pos * n_neg) END AS BIGINT) AS auc_e6
+    FROM a
+"""

@@ -5957,3 +5957,72 @@ def part_copurchase_modularity(
     li = load_table(spark, "lineitem", sf_dir)
     edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", 2)
     return modularity_report(edges, "p1", "p2", n_iter=5, top=10)
+
+
+def doc_langid_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-aware ROC AUC (operators/stats.py:binary_auc_report)
+    of the cheap langid MARGIN — distinct English marker-word hits
+    minus the best competing language's hits (the decision statistic
+    behind text.py:language_id) — against the declared lang == 'en'
+    label: the discriminative-power certification a pipeline runs on
+    labeled data before gating a 100 TB crawl on the cheap score.
+    Completes the classifier-eval family beside doc_langid_confusion
+    (discrete agreement) and doc_retrieval_eval (ranking quality).
+    The tiny integer codomain (-5..5) exercises the tied-block
+    average-rank path hard; the one window runs over the 11-row score
+    histogram, never the corpus. NOTE the certified answer on this
+    fixture is ~0.5: the synthetic text is lang-agnostic by
+    construction (doc_langid_confusion shows the same), and measuring
+    that honestly is the audit's job — orders_price_auc is the
+    signal-positive twin."""
+    from firebase_etl_spark.operators.stats import binary_auc_report
+    from firebase_etl_spark.operators.text import LANG_MARKERS
+
+    d = load_table(spark, "documents", sf_dir)
+    toksd = F.array_distinct(TX.tokenize(F.col("text")))
+
+    def hits(lang):
+        m = LANG_MARKERS[lang]
+        return F.size(F.filter(toksd, lambda t: t.isin(*m)))
+
+    margin = hits("en") - F.greatest(
+        hits("fr"), hits("de"), hits("es")
+    )
+    scored = d.select(
+        margin.cast("long").alias("margin"),
+        (F.col("lang") == "en").alias("is_en"),
+    )
+    return binary_auc_report(scored, F.col("margin"), F.col("is_en"))
+
+
+def orders_price_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AUC eval on a signal-POSITIVE pair (doc_langid_auc's
+    fixture honestly reads ~0.5 because the synthetic text is
+    lang-agnostic; this one must read well above it): can the order
+    total alone flag multi-item (>= 4 lineitem) orders? Score =
+    o_totalprice binned at $100 (AUC needs a bounded-codomain integer
+    score — the histogram the rank algebra runs over is price-range-
+    sized, never corpus-sized; binning is declared, not silent),
+    label from the lineitem-count join. One join + one aggregate +
+    the bounded-histogram window."""
+    from firebase_etl_spark.operators.stats import binary_auc_report
+
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+    )
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_totalprice"
+    )
+    j = o.join(li, o.o_orderkey == li.l_orderkey)
+    scored = j.select(
+        F.expr(
+            "CAST(round(o_totalprice * 100.0 + 1e-9, 0) AS BIGINT)"
+            " DIV 10000"
+        ).alias("price_bin"),
+        (F.col("n_items") >= 4).alias("is_multi"),
+    )
+    return binary_auc_report(
+        scored, F.col("price_bin"), F.col("is_multi")
+    )

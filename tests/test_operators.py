@@ -2975,3 +2975,33 @@ def test_modularity_single_community_is_zero(spark):
     assert len(out) == 1
     assert out[0]["contrib_num"] == 0
     assert out[0]["modularity_e6"] == 0
+
+
+def test_binary_auc_report_hand_cases(spark):
+    """Perfect separation -> AUC 1; anti-separation -> 0; the tied-
+    block path against the scipy-standard hand value: scores
+    [1,1,2,3] labels [0,1,0,1] -> U = 1*0.5 + (1*1 + 1*0.5) = wait —
+    exact: pos ranks avg {1.5, 4}, S = 5.5, U = 5.5 - 3 = 2.5,
+    AUC = 2.5/4 = 0.625."""
+    from firebase_etl_spark.operators.stats import binary_auc_report
+
+    def run(rows):
+        df = spark.createDataFrame(rows, "s long, y boolean")
+        return binary_auc_report(df, F.col("s"), F.col("y")).collect()[0]
+
+    perfect = run([(1, False), (2, False), (3, True), (4, True)])
+    assert perfect["auc_e6"] == 1_000_000
+    assert perfect["u2"] == 2 * 2 * 2  # 2*U, U = n_pos*n_neg
+    inverted = run([(4, False), (3, False), (2, True), (1, True)])
+    assert inverted["auc_e6"] == 0
+    tied = run([(1, False), (1, True), (2, False), (3, True)])
+    # pos avg-ranks {1.5, 4}: S=5.5, U=2.5, AUC=0.625
+    assert tied["u2"] == 5  # 2*U
+    assert tied["auc_e6"] == 625_000
+    assert (tied["n_pos"], tied["n_neg"], tied["n_scored"]) == (2, 2, 4)
+    # one-class input: AUC undefined -> NULL
+    onec = run([(1, True), (2, True)])
+    assert onec["auc_e6"] is None
+    # all-tied scores: AUC exactly 0.5
+    flat = run([(7, True), (7, False), (7, True), (7, False)])
+    assert flat["auc_e6"] == 500_000
