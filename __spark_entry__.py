@@ -76,7 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_copurchase_modularity": QX.part_copurchase_modularity,
         # NEW this round: exact tie-aware Mann-Whitney AUC (two reads)
         "doc_langid_auc": QX.doc_langid_auc,
-        "orders_price_auc": QX.orders_price_auc,
+        "doc_length_auc": QX.doc_length_auc,
         "events_hourly_stats": Q.events_hourly_stats,
         "doc_text_features": QX.doc_text_features,
         "doc_lang_stats": QX.doc_lang_stats,

@@ -6941,15 +6941,11 @@ ORACLES_EXT["doc_langid_auc"] = f"""
 """
 
 
-ORACLES_EXT["orders_price_auc"] = """
+ORACLES_EXT["doc_length_auc"] = f"""
     WITH scored AS (
-        SELECT CAST(round(o.o_totalprice * 100.0 + 1e-9, 0) AS BIGINT)
-               // 10000 AS s,
-               CAST(li.n_items >= 4 AS INT) AS y
-        FROM orders o
-        JOIN (SELECT l_orderkey, count(*) AS n_items
-              FROM lineitem GROUP BY l_orderkey) li
-          ON o.o_orderkey = li.l_orderkey),
+        SELECT len({_TOKS}) AS s,
+               CAST(n_chars >= 450 AS INT) AS y
+        FROM documents),
     g AS (
         SELECT s, count(*) AS n, CAST(sum(y) AS BIGINT) AS npos
         FROM scored WHERE s IS NOT NULL AND y IS NOT NULL

@@ -5995,34 +5995,20 @@ def doc_langid_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_auc_report(scored, F.col("margin"), F.col("is_en"))
 
 
-def orders_price_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_length_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The AUC eval on a signal-POSITIVE pair (doc_langid_auc's
-    fixture honestly reads ~0.5 because the synthetic text is
-    lang-agnostic; this one must read well above it): can the order
-    total alone flag multi-item (>= 4 lineitem) orders? Score =
-    o_totalprice binned at $100 (AUC needs a bounded-codomain integer
-    score — the histogram the rank algebra runs over is price-range-
-    sized, never corpus-sized; binning is declared, not silent),
-    label from the lineitem-count join. One join + one aggregate +
-    the bounded-histogram window."""
+    fixture honestly reads ~0.5 because every synthetic column is
+    independent; this one must read high): whitespace token count
+    scoring the n_chars >= 450 length class — two DIFFERENT
+    measurements of the same latent document length, separated only
+    by word-length variance. The integer score histogram is bounded
+    by max tokens per doc (a few hundred), never the corpus; one scan
+    plus the bounded-histogram window."""
     from firebase_etl_spark.operators.stats import binary_auc_report
 
-    li = (
-        load_table(spark, "lineitem", sf_dir)
-        .groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("n_items"))
+    d = load_table(spark, "documents", sf_dir)
+    scored = d.select(
+        F.size(TX.tokenize(F.col("text"))).cast("long").alias("n_toks"),
+        (F.col("n_chars") >= 450).alias("is_long"),
     )
-    o = load_table(spark, "orders", sf_dir).select(
-        "o_orderkey", "o_totalprice"
-    )
-    j = o.join(li, o.o_orderkey == li.l_orderkey)
-    scored = j.select(
-        F.expr(
-            "CAST(round(o_totalprice * 100.0 + 1e-9, 0) AS BIGINT)"
-            " DIV 10000"
-        ).alias("price_bin"),
-        (F.col("n_items") >= 4).alias("is_multi"),
-    )
-    return binary_auc_report(
-        scored, F.col("price_bin"), F.col("is_multi")
-    )
+    return binary_auc_report(scored, F.col("n_toks"), F.col("is_long"))
