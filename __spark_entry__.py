@@ -77,6 +77,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW this round: exact tie-aware Mann-Whitney AUC (two reads)
         "doc_langid_auc": QX.doc_langid_auc,
         "doc_length_auc": QX.doc_length_auc,
+        # NEW this round: CUPED variance-reduced A/B read-out
+        "events_cuped_adjusted": QX.events_cuped_adjusted,
         "events_hourly_stats": Q.events_hourly_stats,
         "doc_text_features": QX.doc_text_features,
         "doc_lang_stats": QX.doc_lang_stats,

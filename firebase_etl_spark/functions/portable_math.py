@@ -262,3 +262,19 @@ def ln_select_sql(inner: str, pairs: list[tuple[str, str]]) -> str:
         for name, expr in ln_steps(arg, out):
             q = f"SELECT *, {expr} AS {name} FROM ({q})"
     return q
+
+
+def sdiv_scaled_sql(num: str, den: str, scale: int, floordiv: str) -> str:
+    """Sign-split scaled integer division as a SQL string:
+    ``sign(num) * ((|num| * scale) intdiv den)`` for ``den > 0``.
+    Splitting the sign makes Spark's truncating ``DIV`` and DuckDB's
+    flooring ``//`` compute the identical value (they differ only on
+    negative operands), so callers pass ``floordiv='DIV'`` on the
+    Spark side and ``'//'`` in the oracle and hash the same BIGINT.
+    Used by modularity/AUC-style fixed-point ratios wherever the
+    numerator can go negative."""
+    return (
+        f"CASE WHEN ({num}) >= 0"
+        f" THEN (({num}) * {scale}) {floordiv} ({den})"
+        f" ELSE -((-({num}) * {scale}) {floordiv} ({den})) END"
+    )

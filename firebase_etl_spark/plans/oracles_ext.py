@@ -6969,3 +6969,70 @@ ORACLES_EXT["doc_length_auc"] = f"""
                      // (2 * n_pos * n_neg) END AS BIGINT) AS auc_e6
     FROM a
 """
+
+
+def _cuped_oracle() -> str:
+    """stats.py:cuped_report twin on the id-parity split: identical
+    integer moments and the shared sign-split e6 divisions (// here,
+    DIV on the Spark side — equal by the positive-magnitude split)."""
+    from firebase_etl_spark.functions.portable_math import sdiv_scaled_sql
+
+    def sd(num, den, scale=1_000_000):
+        return sdiv_scaled_sql(num, den, scale, "//")
+
+    nn = "CAST(n AS BIGINT) * sxy - sx * sy"
+    dd = "CAST(n AS BIGINT) * sxx - sx * sx"
+    dy = "CAST(n AS BIGINT) * syy - sy * sy"
+    return f"""
+    WITH mid AS (
+        SELECT (CAST(min(epoch_us(ts)) AS BIGINT)
+                + CAST(max(epoch_us(ts)) AS BIGINT)) // 2 AS tmid
+        FROM events WHERE user_id IS NOT NULL),
+    pu AS (
+        SELECT user_id % 2 AS arm,
+               CAST(sum(CASE WHEN epoch_us(ts) < mid.tmid
+                        THEN 1 ELSE 0 END) AS BIGINT) AS x,
+               CAST(sum(CASE WHEN epoch_us(ts) >= mid.tmid
+                        THEN 1 ELSE 0 END) AS BIGINT) AS y
+        FROM events CROSS JOIN mid
+        WHERE user_id IS NOT NULL
+        GROUP BY user_id),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+               CAST(sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS sx0,
+               CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS sy0,
+               CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS sx1,
+               CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS sy1
+        FROM pu),
+    d AS (
+        SELECT m.*,
+               CAST({sd("sy0", "n0")} AS BIGINT) AS mean_y_ctrl_e6,
+               CAST({sd("sy1", "n1")} AS BIGINT) AS mean_y_treat_e6,
+               CAST({sd("sy1 * n0 - sy0 * n1", "n1 * n0")} AS BIGINT)
+                   AS delta_raw_e6,
+               CAST({sd("sx1 * n0 - sx0 * n1", "n1 * n0")} AS BIGINT)
+                   AS delta_x_e6,
+               CAST(CASE WHEN ({dd}) = 0 THEN NULL
+                    ELSE {sd(nn, dd)} END AS BIGINT) AS theta_e6
+        FROM m)
+    SELECT n0 AS n_ctrl, n1 AS n_treat,
+           mean_y_ctrl_e6, mean_y_treat_e6, delta_raw_e6, theta_e6,
+           CAST(CASE WHEN theta_e6 IS NULL THEN NULL
+                ELSE delta_raw_e6 -
+                     ({sd("theta_e6 * delta_x_e6", "1000000", 1)})
+                END AS BIGINT) AS delta_cuped_e6,
+           CAST(CASE WHEN ({dd}) = 0 OR ({dy}) = 0 THEN NULL
+                ELSE {sd(f"({sd(nn, dd, 1000)}) * ({sd(nn, dy, 1000)})",
+                         "1000000")} END AS BIGINT) AS rho2_e6
+    FROM d
+    """
+
+
+ORACLES_EXT["events_cuped_adjusted"] = _cuped_oracle()

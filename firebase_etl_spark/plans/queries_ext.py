@@ -6012,3 +6012,46 @@ def doc_length_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars") >= 450).alias("is_long"),
     )
     return binary_auc_report(scored, F.col("n_toks"), F.col("is_long"))
+
+
+def events_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B read-out (operators/stats.py:
+    cuped_report, Deng et al. WSDM 2013) over the id-parity arms of
+    conversion_ab_logrank: covariate = a user's event count in the
+    FIRST half of the observation window, outcome = their count in
+    the second half. MEASURED fixture truth: rho2_e6 ~ 616 (0.06%) —
+    this generator draws per-user activity homogeneously, so there is
+    no between-user heterogeneity for CUPED to exploit, and reporting
+    that near-zero honestly is the audit (the variance-reduction
+    mechanics are pinned on a heterogeneous hand case in
+    tests/test_operators.py, where rho2 reads large). One corpus
+    aggregate to per-user (x, y), one moment aggregate, single-row
+    integer arithmetic."""
+    from firebase_etl_spark.operators.stats import cuped_report
+
+    e = load_table(spark, "events", sf_dir).filter(
+        F.col("user_id").isNotNull()
+    )
+    us = F.unix_micros(F.col("ts"))
+    mid = F.broadcast(
+        e.agg(
+            F.expr(
+                "(CAST(min(unix_micros(ts)) AS BIGINT)"
+                " + CAST(max(unix_micros(ts)) AS BIGINT)) DIV 2"
+            ).alias("tmid")
+        )
+    )
+    pu = (
+        e.crossJoin(mid)
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(us < F.col("tmid"), 1).otherwise(0))
+            .cast("long").alias("x"),
+            F.sum(F.when(us >= F.col("tmid"), 1).otherwise(0))
+            .cast("long").alias("y"),
+        )
+        .select(
+            (F.col("user_id") % 2).alias("arm"), "x", "y"
+        )
+    )
+    return cuped_report(pu, "arm", "x", "y")

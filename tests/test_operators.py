@@ -3005,3 +3005,39 @@ def test_binary_auc_report_hand_cases(spark):
     # all-tied scores: AUC exactly 0.5
     flat = run([(7, True), (7, False), (7, True), (7, False)])
     assert flat["auc_e6"] == 500_000
+
+
+def test_cuped_report_heterogeneous_hand_case(spark):
+    """Units whose covariate fully explains the outcome (y = x + arm):
+    theta = 1 exactly, raw and CUPED deltas both 1 (equal X means),
+    rho2_e6 = (2400*1000//2400) * (2400*1000//2409) // 1 -> 996000 —
+    ~99.6% variance reduction, the signal the homogeneous events
+    fixture can't show (its measured rho2_e6 is ~616)."""
+    from firebase_etl_spark.operators.stats import cuped_report
+
+    rows = [(0, 0, 0), (0, 10, 10), (0, 20, 20),
+            (1, 0, 1), (1, 10, 11), (1, 20, 21)]
+    df = spark.createDataFrame(rows, "arm long, x long, y long")
+    r = cuped_report(df, "arm", "x", "y").collect()[0]
+    assert (r["n_ctrl"], r["n_treat"]) == (3, 3)
+    assert r["mean_y_ctrl_e6"] == 10_000_000
+    assert r["mean_y_treat_e6"] == 11_000_000
+    assert r["delta_raw_e6"] == 1_000_000
+    assert r["theta_e6"] == 1_000_000
+    assert r["delta_cuped_e6"] == 1_000_000
+    assert r["rho2_e6"] == 996_000
+
+
+def test_cuped_report_degenerate_covariate(spark):
+    """var(X) = 0: theta/rho2/delta_cuped NULL, raw delta intact; and
+    a negative raw delta exercises the sign-split DIV path."""
+    from firebase_etl_spark.operators.stats import cuped_report
+
+    rows = [(0, 5, 10), (0, 5, 14), (1, 5, 3), (1, 5, 5)]
+    df = spark.createDataFrame(rows, "arm long, x long, y long")
+    r = cuped_report(df, "arm", "x", "y").collect()[0]
+    assert r["theta_e6"] is None
+    assert r["rho2_e6"] is None
+    assert r["delta_cuped_e6"] is None
+    # means 12 vs 4: delta = -8
+    assert r["delta_raw_e6"] == -8_000_000
