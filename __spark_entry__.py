@@ -79,6 +79,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_auc": QX.doc_length_auc,
         # NEW this round: CUPED variance-reduced A/B read-out
         "events_cuped_adjusted": QX.events_cuped_adjusted,
+        # NEW this round: Theil-Sen robust daily trend (median of slopes)
+        "events_theil_sen_trend": QX.events_theil_sen_trend,
         "events_hourly_stats": Q.events_hourly_stats,
         "doc_text_features": QX.doc_text_features,
         "doc_lang_stats": QX.doc_lang_stats,

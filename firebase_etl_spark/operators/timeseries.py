@@ -467,3 +467,80 @@ def dow_profile(df: DataFrame, ts_col: str = "ts") -> DataFrame:
         )
         .orderBy("dow")
     )
+
+
+def theil_sen_trend(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Theil-Sen robust trend of the daily event-count series (Theil
+    1950 / Sen 1968): the MEDIAN of all pairwise day-to-day slopes —
+    the estimator that shrugs off the outlier days that drag an OLS
+    fit (events_trend_slopes' regression is the fragile twin; this is
+    what a monitoring pipeline trusts when ~29% of days can be
+    corrupt). Breakdown point 29.3%.
+
+    Determinism: each pairwise slope quantizes ONCE to e6 through the
+    shared sign-split division (slopes can be negative), then the
+    published statistic is the LOWER MEDIAN (k = (cnt+1) div 2 -th
+    smallest, a pure integer selection — never the two-middle average,
+    which would re-divide). The intercept is the lower median of
+    n_i*1e6 - slope_med_e6*day_i over days, same rules.
+
+    Scale shape: ONE corpus aggregate to daily rows; the pair join and
+    both median selections run on the bounded day spine (a T-day
+    window is T(T-1)/2 pairs — calendar-bounded, never corpus-bounded;
+    3 years is ~600k pairs). The rank windows are single-partition BY
+    DESIGN over spine-sized data. Returns one row: (n_days, n_pairs,
+    slope_med_e6 per day, intercept_med_e6 at epoch day 0)."""
+    from firebase_etl_spark.functions.portable_math import sdiv_scaled_sql
+
+    daily = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.to_date(ts_col).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "di",
+            F.datediff(F.col("day"), F.lit("1970-01-01")).cast("long"),
+        )
+        .localCheckpoint(eager=True)  # day-spine-sized, 3 consumers
+    )
+    pairs = (
+        daily.alias("a")
+        .join(F.broadcast(daily.alias("b")), F.col("a.di") < F.col("b.di"))
+        .select(
+            F.expr(
+                sdiv_scaled_sql("b.n - a.n", "b.di - a.di",
+                                1_000_000, "DIV")
+            ).cast("long").alias("slope_e6")
+        )
+    )
+    w = Window.orderBy("slope_e6")
+    med = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .withColumn("cnt", F.count(F.lit(1)).over(
+            Window.partitionBy(F.lit(1))
+        ))
+        .filter(F.col("rn") == F.expr("(cnt + 1) DIV 2"))
+        .select(
+            F.col("slope_e6").alias("slope_med_e6"),
+            F.col("cnt").alias("n_pairs"),
+        )
+    )
+    resid = daily.crossJoin(F.broadcast(med)).select(
+        "slope_med_e6",
+        "n_pairs",
+        (F.col("n") * 1_000_000 - F.col("slope_med_e6") * F.col("di"))
+        .alias("b_e6"),
+    )
+    wb = Window.orderBy("b_e6")
+    return (
+        resid.withColumn("rn", F.row_number().over(wb))
+        .withColumn("nd", F.count(F.lit(1)).over(
+            Window.partitionBy(F.lit(1))
+        ))
+        .filter(F.col("rn") == F.expr("(nd + 1) DIV 2"))
+        .select(
+            F.col("nd").cast("long").alias("n_days"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("slope_med_e6").cast("long").alias("slope_med_e6"),
+            F.col("b_e6").cast("long").alias("intercept_med_e6"),
+        )
+    )

@@ -7036,3 +7036,48 @@ def _cuped_oracle() -> str:
 
 
 ORACLES_EXT["events_cuped_adjusted"] = _cuped_oracle()
+
+
+def _theil_sen_oracle() -> str:
+    """timeseries.py:theil_sen_trend twin: identical e6 pairwise-slope
+    quantization (sign-split //) and the two lower-median integer
+    selections over the bounded day spine."""
+    from firebase_etl_spark.functions.portable_math import sdiv_scaled_sql
+
+    slope = sdiv_scaled_sql("b.n - a.n", "b.di - a.di", 1_000_000, "//")
+    return f"""
+    WITH daily AS MATERIALIZED (
+        SELECT CAST(date_diff('day', DATE '1970-01-01',
+                    CAST(date_trunc('day', ts) AS DATE)) AS BIGINT)
+                   AS di,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events WHERE ts IS NOT NULL
+        GROUP BY date_trunc('day', ts)),
+    pairs AS MATERIALIZED (
+        SELECT CAST({slope} AS BIGINT) AS slope_e6
+        FROM daily a JOIN daily b ON a.di < b.di),
+    med AS (
+        SELECT slope_e6 AS slope_med_e6, cnt AS n_pairs FROM (
+            SELECT slope_e6,
+                   row_number() OVER (ORDER BY slope_e6) AS rn,
+                   count(*) OVER () AS cnt
+            FROM pairs)
+        WHERE rn = (cnt + 1) // 2),
+    resid AS (
+        SELECT d.n * 1000000 - m.slope_med_e6 * d.di AS b_e6,
+               m.slope_med_e6, m.n_pairs
+        FROM daily d CROSS JOIN med m)
+    SELECT CAST(nd AS BIGINT) AS n_days,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(slope_med_e6 AS BIGINT) AS slope_med_e6,
+           CAST(b_e6 AS BIGINT) AS intercept_med_e6
+    FROM (
+        SELECT b_e6, slope_med_e6, n_pairs,
+               row_number() OVER (ORDER BY b_e6) AS rn,
+               count(*) OVER () AS nd
+        FROM resid)
+    WHERE rn = (nd + 1) // 2
+    """
+
+
+ORACLES_EXT["events_theil_sen_trend"] = _theil_sen_oracle()

@@ -6055,3 +6055,16 @@ def events_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return cuped_report(pu, "arm", "x", "y")
+
+
+def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust daily trend (operators/timeseries.py:
+    theil_sen_trend): the 29%-breakdown median-of-slopes complement to
+    events_trend_slopes' OLS — the trend a monitoring pipeline trusts
+    when corrupt days exist. Integer lower-medians over the bounded
+    day spine; the oracle replays the identical e6 quantization and
+    selections."""
+    from firebase_etl_spark.operators.timeseries import theil_sen_trend
+
+    e = load_table(spark, "events", sf_dir)
+    return theil_sen_trend(e, "ts")

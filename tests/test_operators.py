@@ -3041,3 +3041,31 @@ def test_cuped_report_degenerate_covariate(spark):
     assert r["delta_cuped_e6"] is None
     # means 12 vs 4: delta = -8
     assert r["delta_raw_e6"] == -8_000_000
+
+
+def test_theil_sen_trend_robust_to_outlier_day(spark):
+    """Perfect unit slope with one wrecked day: days 0..6 with counts
+    10,11,12,13,14,15,16 except day 3 spikes to 1000. OLS would blow
+    up; the pairwise-slope lower median stays 1e6 (15 of 21 pairs
+    avoid the outlier and all read slope 1). Intercept median over
+    n_i*1e6 - 1e6*d_i = 1e7 except day 3."""
+    import datetime as dt
+
+    from firebase_etl_spark.operators.timeseries import theil_sen_trend
+
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    for d in range(7):
+        n = 1000 if d == 3 else 10 + d
+        for i in range(n):
+            rows.append((base + dt.timedelta(days=d, seconds=i),))
+    df = spark.createDataFrame(rows, "ts timestamp")
+    r = theil_sen_trend(df, "ts").collect()[0]
+    assert r["n_days"] == 7
+    assert r["n_pairs"] == 21
+    assert r["slope_med_e6"] == 1_000_000
+    # b_e6 = n*1e6 - 1e6*di: six days read 10e6 + (epoch-day-of-base)
+    # offset... relative: all non-outlier days share the same b, so the
+    # lower median equals it
+    di0 = (base.date() - dt.date(1970, 1, 1)).days
+    assert r["intercept_med_e6"] == 10_000_000 - 1_000_000 * di0 + 0
