@@ -81,6 +81,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cuped_adjusted": QX.events_cuped_adjusted,
         # NEW this round: Theil-Sen robust daily trend (median of slopes)
         "events_theil_sen_trend": QX.events_theil_sen_trend,
+        # NEW this round: CM-sketch join-size prediction (planner stats)
+        "lineitem_selfjoin_size_estimate": QX.lineitem_selfjoin_size_estimate,
         "events_hourly_stats": Q.events_hourly_stats,
         "doc_text_features": QX.doc_text_features,
         "doc_lang_stats": QX.doc_lang_stats,

@@ -366,3 +366,81 @@ def kmv_set_ops_report(
         .orderBy("ga", "gb")
     )
     return out
+
+
+def cm_selfjoin_size_report(
+    df: DataFrame,
+    key_col: str,
+    width: int = 512,
+    depth: int = 4,
+) -> DataFrame:
+    """Count-Min join-size estimation (the AGMS/CM inner-product
+    estimator, Cormode & Muthukrishnan 2005 §4.2): predict
+    |R join R on key| = sum_v f(v)^2 from sketches ALONE — what a
+    query planner (or a pipeline owner about to run the co-purchase
+    self-join) consults before paying the shuffle: a skewed key column
+    makes the self-join quadratic in the hottest key, and the sketch
+    sees it in depth*width counters without touching pair space.
+    Estimate = min over rows of sum_col sketch[r,c]^2; always >= exact
+    (same-bucket collisions only ADD), E[overestimate] <= N^2/width.
+
+    Scale shape: corpus collapses to the (distinct key, count) table
+    first; the sketch is the count_min_report construction (portable
+    md5 row hashes) so the oracle replays it exactly; the inner
+    product runs over depth*width rows. The exact side is one
+    vocabulary-sized aggregate (sum c^2 — exact while sum c^2 < 2^63).
+    Returns one row: (n_rows, n_keys, exact_pairs, cms_estimate,
+    overestimate)."""
+    src = df.select(F.col(key_col).cast("string").alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    counts = src.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    rows = counts.select(
+        "c",
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r"),
+        F.col("v"),
+    ).select(
+        "c",
+        "r",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("cms"),
+                            F.col("r").cast("string"),
+                            F.lit("|"),
+                            F.col("v"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % width
+        ).alias("col"),
+    )
+    sketch = rows.groupBy("r", "col").agg(
+        F.sum("c").cast("long").alias("cnt")
+    )
+    est = (
+        sketch.groupBy("r")
+        .agg(F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("ip"))
+        .agg(F.min("ip").cast("long").alias("cms_estimate"))
+    )
+    exact = counts.agg(
+        F.sum("c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("exact_pairs"),
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "n_rows",
+        "n_keys",
+        "exact_pairs",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_pairs")).alias(
+            "overestimate"
+        ),
+    )

@@ -7081,3 +7081,30 @@ def _theil_sen_oracle() -> str:
 
 
 ORACLES_EXT["events_theil_sen_trend"] = _theil_sen_oracle()
+
+
+ORACLES_EXT["lineitem_selfjoin_size_estimate"] = """
+    WITH counts AS MATERIALIZED (
+        SELECT CAST(l_partkey AS VARCHAR) AS v, count(*) AS c
+        FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
+    rows_ AS (
+        SELECT c, r.r,
+               ('0x' || substr(md5('cms' || CAST(r.r AS VARCHAR) || '|'
+                                   || v), 1, 15))::BIGINT % 65536 AS col
+        FROM counts, unnest(range(0, 4)) AS r(r)),
+    sketch AS (
+        SELECT r, col, CAST(sum(c) AS BIGINT) AS cnt
+        FROM rows_ GROUP BY r, col),
+    est AS (
+        SELECT CAST(min(ip) AS BIGINT) AS cms_estimate FROM (
+            SELECT r, CAST(sum(cnt * cnt) AS BIGINT) AS ip
+            FROM sketch GROUP BY r)),
+    exact AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(c * c) AS BIGINT) AS exact_pairs
+        FROM counts)
+    SELECT n_rows, n_keys, exact_pairs, cms_estimate,
+           CAST(cms_estimate - exact_pairs AS BIGINT) AS overestimate
+    FROM exact CROSS JOIN est
+"""

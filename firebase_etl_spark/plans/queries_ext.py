@@ -6068,3 +6068,22 @@ def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, "events", sf_dir)
     return theil_sen_trend(e, "ts")
+
+
+def lineitem_selfjoin_size_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Count-Min join-size prediction (operators/heavy_hitters.py:
+    cm_selfjoin_size_report) for the l_partkey self-join — the exact
+    blow-up the co-purchase pipeline pays: would you know it's safe
+    BEFORE the shuffle? The sketch answers from 4x65536 counters
+    (2 MB — the width is chosen for the N^2/width error envelope at
+    the BENCH scale, and stays fixed as the corpus grows);
+    the report carries the exact sum-of-squares beside it so the
+    driver hash pins estimate >= exact and the collision overshoot."""
+    from firebase_etl_spark.operators.heavy_hitters import (
+        cm_selfjoin_size_report,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return cm_selfjoin_size_report(li, "l_partkey", width=65536, depth=4)

@@ -3069,3 +3069,26 @@ def test_theil_sen_trend_robust_to_outlier_day(spark):
     # lower median equals it
     di0 = (base.date() - dt.date(1970, 1, 1)).days
     assert r["intercept_med_e6"] == 10_000_000 - 1_000_000 * di0 + 0
+
+
+def test_cm_selfjoin_size_report_exact_when_no_collisions(spark):
+    """3 distinct keys in a 512-wide sketch: collision probability is
+    negligible per row and min-over-4-rows kills any single unlucky
+    row, so the estimate equals the exact sum of squared counts; and
+    the estimate is provably never BELOW exact (collisions only add)."""
+    from firebase_etl_spark.operators.heavy_hitters import (
+        cm_selfjoin_size_report,
+    )
+
+    rows = [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 2
+    df = spark.createDataFrame(rows, "k string")
+    r = cm_selfjoin_size_report(df, "k", width=512, depth=4).collect()[0]
+    assert (r["n_rows"], r["n_keys"]) == (10, 3)
+    assert r["exact_pairs"] == 25 + 9 + 4
+    assert r["cms_estimate"] >= r["exact_pairs"]
+    assert r["overestimate"] == r["cms_estimate"] - r["exact_pairs"]
+    # partitioning invariance: the sketch is a sum — repartition safe
+    r13 = cm_selfjoin_size_report(
+        df.repartition(13), "k", width=512, depth=4
+    ).collect()[0]
+    assert tuple(r) == tuple(r13)
