@@ -83,6 +83,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_theil_sen_trend": QX.events_theil_sen_trend,
         # NEW this round: CM-sketch join-size prediction (planner stats)
         "lineitem_selfjoin_size_estimate": QX.lineitem_selfjoin_size_estimate,
+        # NEW this round: EWMA forecast backtest vs naive baseline
+        "events_ewma_forecast": QX.events_ewma_forecast,
         "events_hourly_stats": Q.events_hourly_stats,
         "doc_text_features": QX.doc_text_features,
         "doc_lang_stats": QX.doc_lang_stats,

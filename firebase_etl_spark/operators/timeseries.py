@@ -544,3 +544,57 @@ def theil_sen_trend(df: DataFrame, ts_col: str = "ts") -> DataFrame:
             F.col("b_e6").cast("long").alias("intercept_med_e6"),
         )
     )
+
+
+def ewma_forecast_backtest(
+    df: DataFrame, ts_col: str = "ts"
+) -> DataFrame:
+    """EWMA one-step-ahead forecast backtest over the daily event
+    counts (alpha = 1/4, the classic operational smoother): state
+    s_t = (n_t*1e6 + 3*s_{t-1}) div 4 in pure integer fixed point,
+    forecast for day t+1 is s_t, scored against the next OBSERVED day
+    and against the naive carry-forward baseline — the skill ratio
+    that tells a capacity planner whether smoothing beats "same as
+    yesterday" before anyone trusts the forecast.
+
+    Determinism: the recursion is integer-only (positive operands, so
+    truncating div == flooring //) and runs over OBSERVED days in day
+    order (gap days are not imputed; both engines see the identical
+    spine). The Spark side evaluates the recurrence driver-locally on
+    the collected day spine — bounded by the CALENDAR (3 years =
+    ~1100 rows), never the corpus, the markov_attribution cutover
+    pattern — while the corpus-sized work (one aggregate to daily
+    rows) stays distributed; the oracle replays the identical
+    recursion as a recursive CTE.
+
+    Returns one row: (n_days, ewma_abs_err_e6, naive_abs_err_e6,
+    skill_e6 = ewma err * 1e6 div naive err — < 1e6 means the
+    smoother wins, forecast_next_e6 = the current state)."""
+    daily = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.to_date(ts_col).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("day")
+    )
+    rows = daily.collect()
+    spark = df.sparkSession
+    schema = (
+        "n_days long, ewma_abs_err_e6 long, naive_abs_err_e6 long,"
+        " skill_e6 long, forecast_next_e6 long"
+    )
+    if not rows:
+        return spark.createDataFrame([], schema)
+    ns = [int(r["n"]) for r in rows]
+    s = ns[0] * 1_000_000
+    err_ewma = 0
+    err_naive = 0
+    for i in range(1, len(ns)):
+        err_ewma += abs(ns[i] * 1_000_000 - s)
+        err_naive += abs(ns[i] - ns[i - 1]) * 1_000_000
+        s = (ns[i] * 1_000_000 + 3 * s) // 4
+    skill = (
+        (err_ewma * 1_000_000) // err_naive if err_naive > 0 else None
+    )
+    return spark.createDataFrame(
+        [(len(ns), err_ewma, err_naive, skill, s)], schema
+    )

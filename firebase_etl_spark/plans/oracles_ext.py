@@ -7108,3 +7108,32 @@ ORACLES_EXT["lineitem_selfjoin_size_estimate"] = """
            CAST(cms_estimate - exact_pairs AS BIGINT) AS overestimate
     FROM exact CROSS JOIN est
 """
+
+
+ORACLES_EXT["events_ewma_forecast"] = """
+    WITH RECURSIVE daily AS MATERIALIZED (
+        SELECT row_number() OVER (ORDER BY day) AS i, n FROM (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events WHERE ts IS NOT NULL GROUP BY 1)),
+    rec AS (
+        SELECT CAST(1 AS BIGINT) AS i,
+               (SELECT n FROM daily WHERE i = 1) * 1000000 AS s,
+               CAST(0 AS BIGINT) AS ee, CAST(0 AS BIGINT) AS en
+        UNION ALL
+        SELECT r.i + 1,
+               (d.n * 1000000 + 3 * r.s) // 4,
+               r.ee + abs(d.n * 1000000 - r.s),
+               r.en + abs(d.n - dp.n) * 1000000
+        FROM rec r
+        JOIN daily d ON d.i = r.i + 1
+        JOIN daily dp ON dp.i = r.i),
+    lastr AS (SELECT * FROM rec ORDER BY i DESC LIMIT 1)
+    SELECT CAST((SELECT count(*) FROM daily) AS BIGINT) AS n_days,
+           CAST(l.ee AS BIGINT) AS ewma_abs_err_e6,
+           CAST(l.en AS BIGINT) AS naive_abs_err_e6,
+           CAST(CASE WHEN l.en > 0 THEN (l.ee * 1000000) // l.en
+                ELSE NULL END AS BIGINT) AS skill_e6,
+           CAST(l.s AS BIGINT) AS forecast_next_e6
+    FROM lastr l
+"""

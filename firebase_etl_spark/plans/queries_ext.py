@@ -6087,3 +6087,19 @@ def lineitem_selfjoin_size_estimate(
 
     li = load_table(spark, "lineitem", sf_dir)
     return cm_selfjoin_size_report(li, "l_partkey", width=65536, depth=4)
+
+
+def events_ewma_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA forecast backtest (operators/timeseries.py:
+    ewma_forecast_backtest, alpha=1/4): does exponential smoothing
+    beat naive carry-forward on the daily event series? Completes the
+    forecasting corner of the time-series family (trend: theil_sen /
+    OLS; regime: changepoint; seasonality: dow_profile; drift: PSI).
+    Integer recursion over the bounded day spine; the oracle replays
+    it as a recursive CTE."""
+    from firebase_etl_spark.operators.timeseries import (
+        ewma_forecast_backtest,
+    )
+
+    e = load_table(spark, "events", sf_dir)
+    return ewma_forecast_backtest(e, "ts")

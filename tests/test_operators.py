@@ -3092,3 +3092,31 @@ def test_cm_selfjoin_size_report_exact_when_no_collisions(spark):
         df.repartition(13), "k", width=512, depth=4
     ).collect()[0]
     assert tuple(r) == tuple(r13)
+
+
+def test_ewma_forecast_backtest_hand_case(spark):
+    """Three days, counts 4, 8, 4: s0 = 4e6; day1 err |8e6-4e6| = 4e6
+    naive 4e6; s1 = (8e6 + 12e6)//4 = 5e6; day2 err |4e6-5e6| = 1e6,
+    naive 4e6; s2 = (4e6+15e6)//4 = 4_750_000. Skill = 5e6*1e6//8e6 =
+    625000 — the smoother wins on the mean-reverting series."""
+    import datetime as dt
+
+    from firebase_etl_spark.operators.timeseries import (
+        ewma_forecast_backtest,
+    )
+
+    rows = []
+    base = dt.datetime(2024, 3, 1)
+    for d, n in enumerate([4, 8, 4]):
+        for i in range(n):
+            rows.append((base + dt.timedelta(days=d, seconds=i),))
+    df = spark.createDataFrame(rows, "ts timestamp")
+    r = ewma_forecast_backtest(df, "ts").collect()[0]
+    assert r["n_days"] == 3
+    assert r["ewma_abs_err_e6"] == 5_000_000
+    assert r["naive_abs_err_e6"] == 8_000_000
+    assert r["skill_e6"] == 625_000
+    assert r["forecast_next_e6"] == 4_750_000
+    # empty input: empty frame, stable schema
+    empty = spark.createDataFrame([], "ts timestamp")
+    assert ewma_forecast_backtest(empty, "ts").count() == 0
