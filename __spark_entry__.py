@@ -85,6 +85,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_selfjoin_size_estimate": QX.lineitem_selfjoin_size_estimate,
         # NEW this round: EWMA forecast backtest vs naive baseline
         "events_ewma_forecast": QX.events_ewma_forecast,
+        # NEW this round: Cohen's kappa / per-class F1 classifier scoring
+        "doc_langid_agreement": QX.doc_langid_agreement,
         "events_hourly_stats": Q.events_hourly_stats,
         "doc_text_features": QX.doc_text_features,
         "doc_lang_stats": QX.doc_lang_stats,

@@ -1114,3 +1114,113 @@ def cuped_report(
             + " END"
         ).cast("long").alias("rho2_e6"),
     )
+
+
+def classification_agreement_report(
+    df: DataFrame,
+    truth_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Classifier-agreement metrics from a (truth, prediction) pair:
+    per-class precision/recall/F1 plus the global accuracy, MACRO-F1
+    and Cohen's kappa — the chance-corrected agreement that exposes a
+    majority-class predictor the raw accuracy hides. The metric layer
+    a labeling pipeline publishes next to its confusion matrix
+    (doc_langid_confusion shows the cells; this scores them).
+
+    All-integer: counts from ONE corpus groupBy(truth, pred); every
+    published ratio quantizes once through the shared sign-split e6
+    division. kappa = (n*sum_tp - sum_rt_ct) / (n^2 - sum_rt_ct) in
+    exact int64 (n <= ~3e9 rows; past that pre-scale the confusion
+    counts). Per-class ratios are NULL when their denominator is 0
+    (class never seen on that side).
+
+    Scale shape: the corpus collapses to the confusion table first
+    (map-side combinable); everything after runs on class-count-sized
+    rows. Returns one row per class (union of observed truth/pred
+    labels), globals repeated on every row so the driver hash pins
+    them: (label, n_true, n_pred, tp, precision_e6, recall_e6, f1_e6,
+    accuracy_e6, macro_f1_e6, kappa_e6)."""
+    from firebase_etl_spark.functions.portable_math import sdiv_scaled_sql
+
+    conf = (
+        df.select(
+            F.col(truth_col).cast("string").alias("t"),
+            F.col(pred_col).cast("string").alias("p"),
+        )
+        .filter(F.col("t").isNotNull() & F.col("p").isNotNull())
+        .groupBy("t", "p")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    rt = conf.groupBy(F.col("t").alias("label")).agg(
+        F.sum("c").cast("long").alias("n_true")
+    )
+    ct = conf.groupBy(F.col("p").alias("label")).agg(
+        F.sum("c").cast("long").alias("n_pred")
+    )
+    tp = conf.filter(F.col("t") == F.col("p")).select(
+        F.col("t").alias("label"), F.col("c").alias("tp")
+    )
+    cls = (
+        rt.join(ct, "label", "full_outer")
+        .join(tp, "label", "left")
+        .select(
+            "label",
+            F.coalesce("n_true", F.lit(0)).cast("long").alias("n_true"),
+            F.coalesce("n_pred", F.lit(0)).cast("long").alias("n_pred"),
+            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+        )
+    )
+    glob = cls.agg(
+        F.sum("n_true").cast("long").alias("n"),
+        F.sum("tp").cast("long").alias("sum_tp"),
+        F.sum(F.col("n_true") * F.col("n_pred")).cast("long").alias(
+            "sum_rt_ct"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+    )
+    per = cls.select(
+        "*",
+        F.expr(
+            "CASE WHEN n_pred = 0 THEN CAST(NULL AS BIGINT) ELSE "
+            + sdiv_scaled_sql("tp", "n_pred", 1_000_000, "DIV")
+            + " END"
+        ).cast("long").alias("precision_e6"),
+        F.expr(
+            "CASE WHEN n_true = 0 THEN CAST(NULL AS BIGINT) ELSE "
+            + sdiv_scaled_sql("tp", "n_true", 1_000_000, "DIV")
+            + " END"
+        ).cast("long").alias("recall_e6"),
+        F.expr(
+            "CASE WHEN n_true + n_pred = 0 THEN CAST(NULL AS BIGINT)"
+            " ELSE "
+            + sdiv_scaled_sql("2 * tp", "n_true + n_pred",
+                              1_000_000, "DIV")
+            + " END"
+        ).cast("long").alias("f1_e6"),
+    )
+    gl2 = per.agg(
+        F.sum("f1_e6").cast("long").alias("sum_f1"),
+        # macro-F1 averages over classes whose F1 is DEFINED
+        F.count("f1_e6").cast("long").alias("n_f1"),
+    ).crossJoin(F.broadcast(glob)).select(
+        F.expr(sdiv_scaled_sql("sum_tp", "n", 1_000_000, "DIV"))
+        .cast("long").alias("accuracy_e6"),
+        F.expr("sum_f1 DIV n_f1").cast("long").alias("macro_f1_e6"),
+        F.expr(
+            "CASE WHEN n * n - sum_rt_ct = 0 THEN CAST(NULL AS BIGINT)"
+            " ELSE "
+            + sdiv_scaled_sql("n * sum_tp - sum_rt_ct",
+                              "n * n - sum_rt_ct", 1_000_000, "DIV")
+            + " END"
+        ).cast("long").alias("kappa_e6"),
+    )
+    return (
+        per.crossJoin(F.broadcast(gl2))
+        .select(
+            "label", "n_true", "n_pred", "tp", "precision_e6",
+            "recall_e6", "f1_e6", "accuracy_e6", "macro_f1_e6",
+            "kappa_e6",
+        )
+        .orderBy("label")
+    )

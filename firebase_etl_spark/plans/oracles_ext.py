@@ -7137,3 +7137,76 @@ ORACLES_EXT["events_ewma_forecast"] = """
            CAST(l.s AS BIGINT) AS forecast_next_e6
     FROM lastr l
 """
+
+
+def _langid_agreement_oracle() -> str:
+    """stats.py:classification_agreement_report twin over the shared
+    langid SQL: confusion table -> class spine (full outer of truth
+    and pred marginals) -> sign-split e6 ratios; kappa in exact int64."""
+    from firebase_etl_spark.functions.portable_math import sdiv_scaled_sql
+
+    def sd(num, den):
+        return sdiv_scaled_sql(num, den, 1_000_000, "//")
+
+    return f"""
+    WITH hits AS (
+        SELECT lang,
+               len(list_filter(list_distinct({_TOKS}), t -> list_contains(
+                   ['the','a','and','of','to'], t))) AS en_hits,
+               len(list_filter(list_distinct({_TOKS}), t -> list_contains(
+                   ['le','la','et','les','des'], t))) AS fr_hits,
+               len(list_filter(list_distinct({_TOKS}), t -> list_contains(
+                   ['der','die','und','das','ist'], t))) AS de_hits,
+               len(list_filter(list_distinct({_TOKS}), t -> list_contains(
+                   ['el','la','y','los','de'], t))) AS es_hits
+        FROM documents),
+    conf AS MATERIALIZED (
+        SELECT lang AS t, {_LANG_SQL} AS p, count(*) AS c
+        FROM hits WHERE lang IS NOT NULL GROUP BY 1, 2),
+    rt AS (SELECT t AS label, CAST(sum(c) AS BIGINT) AS n_true
+           FROM conf GROUP BY t),
+    ct AS (SELECT p AS label, CAST(sum(c) AS BIGINT) AS n_pred
+           FROM conf GROUP BY p),
+    tp AS (SELECT t AS label, CAST(c AS BIGINT) AS tp
+           FROM conf WHERE t = p),
+    cls AS MATERIALIZED (
+        SELECT coalesce(rt.label, ct.label) AS label,
+               CAST(coalesce(n_true, 0) AS BIGINT) AS n_true,
+               CAST(coalesce(n_pred, 0) AS BIGINT) AS n_pred,
+               CAST(coalesce(tp.tp, 0) AS BIGINT) AS tp
+        FROM rt FULL OUTER JOIN ct ON rt.label = ct.label
+        LEFT JOIN tp ON coalesce(rt.label, ct.label) = tp.label),
+    per AS MATERIALIZED (
+        SELECT *,
+               CAST(CASE WHEN n_pred = 0 THEN NULL
+                    ELSE {sd("tp", "n_pred")} END AS BIGINT)
+                   AS precision_e6,
+               CAST(CASE WHEN n_true = 0 THEN NULL
+                    ELSE {sd("tp", "n_true")} END AS BIGINT)
+                   AS recall_e6,
+               CAST(CASE WHEN n_true + n_pred = 0 THEN NULL
+                    ELSE {sd("2 * tp", "n_true + n_pred")} END
+                    AS BIGINT) AS f1_e6
+        FROM cls),
+    gtot AS (
+        SELECT CAST(sum(n_true) AS BIGINT) AS n,
+               CAST(sum(tp) AS BIGINT) AS sum_tp,
+               CAST(sum(n_true * n_pred) AS BIGINT) AS sum_rt_ct,
+               CAST(sum(f1_e6) AS BIGINT) AS sum_f1,
+               CAST(count(f1_e6) AS BIGINT) AS n_f1
+        FROM per),
+    gl2 AS (
+        SELECT CAST({sd("sum_tp", "n")} AS BIGINT) AS accuracy_e6,
+               CAST(sum_f1 // n_f1 AS BIGINT) AS macro_f1_e6,
+               CAST(CASE WHEN n * n - sum_rt_ct = 0 THEN NULL
+                    ELSE {sd("n * sum_tp - sum_rt_ct",
+                             "n * n - sum_rt_ct")} END AS BIGINT)
+                   AS kappa_e6
+        FROM gtot)
+    SELECT label, n_true, n_pred, tp, precision_e6, recall_e6, f1_e6,
+           accuracy_e6, macro_f1_e6, kappa_e6
+    FROM per CROSS JOIN gl2 ORDER BY label
+    """
+
+
+ORACLES_EXT["doc_langid_agreement"] = _langid_agreement_oracle()

@@ -6103,3 +6103,25 @@ def events_ewma_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, "events", sf_dir)
     return ewma_forecast_backtest(e, "ts")
+
+
+def doc_langid_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chance-corrected scoring of the langid heuristic
+    (operators/stats.py:classification_agreement_report): per-class
+    precision/recall/F1 plus accuracy, macro-F1 and Cohen's kappa over
+    the same (declared lang, predicted lang) pairs doc_langid_confusion
+    tabulates — kappa ~ 0 is the honest read on this lang-agnostic
+    fixture (the en-default heuristic sweeps everything to 'en'), and
+    chance-correction is exactly the metric that says so while raw
+    accuracy flatters. One corpus pass to the confusion table; integer
+    sign-split e6 ratios."""
+    from firebase_etl_spark.operators.stats import (
+        classification_agreement_report,
+    )
+
+    d = load_table(spark, "documents", sf_dir)
+    pairs = d.select(
+        F.col("lang").alias("truth"),
+        TX.language_id("text").alias("pred"),
+    )
+    return classification_agreement_report(pairs, "truth", "pred")

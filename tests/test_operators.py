@@ -3120,3 +3120,38 @@ def test_ewma_forecast_backtest_hand_case(spark):
     # empty input: empty frame, stable schema
     empty = spark.createDataFrame([], "ts timestamp")
     assert ewma_forecast_backtest(empty, "ts").count() == 0
+
+
+def test_classification_agreement_majority_class_kappa_zero(spark):
+    """A predictor that always answers the majority class: accuracy =
+    majority share, kappa = 0 EXACTLY (n*sum_tp == sum_rt_ct when one
+    column holds everything) — the degenerate case chance-correction
+    exists to expose."""
+    from firebase_etl_spark.operators.stats import (
+        classification_agreement_report,
+    )
+
+    rows = [("a", "a")] * 6 + [("b", "a")] * 4
+    df = spark.createDataFrame(rows, "truth string, pred string")
+    out = {r["label"]: r for r in
+           classification_agreement_report(df, "truth", "pred").collect()}
+    assert out["a"]["accuracy_e6"] == 600_000
+    assert out["a"]["kappa_e6"] == 0
+    assert out["a"]["recall_e6"] == 1_000_000
+    assert out["b"]["recall_e6"] == 0
+    assert out["b"]["precision_e6"] is None  # never predicted
+    # macro-F1 averages the DEFINED F1s: a = 2*6/(10+6)=0.75, b = 0
+    assert out["a"]["macro_f1_e6"] == 375_000
+
+
+def test_classification_agreement_perfect_predictor(spark):
+    from firebase_etl_spark.operators.stats import (
+        classification_agreement_report,
+    )
+
+    rows = [("x", "x")] * 3 + [("y", "y")] * 7
+    df = spark.createDataFrame(rows, "truth string, pred string")
+    out = classification_agreement_report(df, "truth", "pred").collect()
+    assert all(r["accuracy_e6"] == 1_000_000 for r in out)
+    assert all(r["kappa_e6"] == 1_000_000 for r in out)
+    assert all(r["f1_e6"] == 1_000_000 for r in out)
