@@ -87,6 +87,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ewma_forecast": QX.events_ewma_forecast,
         # NEW this round: Cohen's kappa / per-class F1 classifier scoring
         "doc_langid_agreement": QX.doc_langid_agreement,
+        # NEW this round: perceptual dHash image near-dup (banded, capped)
+        "media_dhash_near_dups": QX.media_dhash_near_dups,
         "events_hourly_stats": Q.events_hourly_stats,
         "doc_text_features": QX.doc_text_features,
         "doc_lang_stats": QX.doc_lang_stats,

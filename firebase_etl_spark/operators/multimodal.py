@@ -820,3 +820,62 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, max_frames: int = 4) -> D
             )
 
     return df.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+DHASH_SCHEMA = "media_id long, h_hi long, h_lo long"
+
+
+def extract_bmp_dhash(
+    df: DataFrame, grid_w: int = 8, grid_h: int = 8
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) over REAL BMP payloads: the
+    standard near-duplicate-image fingerprint — decode, nearest-
+    neighbor resample to a (grid_w+1) x grid_h grid (the shared
+    (dst*src_dim)//dst_dim index math), integer grayscale
+    (b+g+r) div 3, one bit per cell = gray[x] > gray[x+1]. Visually
+    identical images (recompression, minor edits) agree on most bits;
+    hamming distance ranks candidate pairs.
+
+    The 64-bit hash is emitted as two NON-NEGATIVE 32-bit halves
+    (bit p of the row-major grid: p < 32 -> h_hi, else h_lo) so every
+    downstream band/XOR/popcount runs on positive int64s — no
+    arithmetic-shift or sign-bit semantics to cross engines. Arrow
+    batches via mapInPandas; undecodable rows are dropped (quarantine
+    upstream if they matter)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, his, los = [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    w, h, rows = decode_bmp24(raw)
+                except ValueError:
+                    continue
+                hi = lo = 0
+                for y in range(grid_h):
+                    sy = (y * h) // grid_h
+                    grays = []
+                    for x in range(grid_w + 1):
+                        sx = (x * w) // (grid_w + 1)
+                        b, g, r = rows[sy][sx]
+                        grays.append((b + g + r) // 3)
+                    for x in range(grid_w):
+                        if grays[x] > grays[x + 1]:
+                            p = y * grid_w + x
+                            if p < 32:
+                                hi |= 1 << p
+                            else:
+                                lo |= 1 << (p - 32)
+                ids.append(media_id)
+                his.append(hi)
+                los.append(lo)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "h_hi": pd.Series(his, dtype="int64"),
+                    "h_lo": pd.Series(los, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(run, schema=DHASH_SCHEMA)

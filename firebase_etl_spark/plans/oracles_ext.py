@@ -7210,3 +7210,79 @@ def _langid_agreement_oracle() -> str:
 
 
 ORACLES_EXT["doc_langid_agreement"] = _langid_agreement_oracle()
+
+
+ORACLES_EXT["media_dhash_near_dups"] = """
+    WITH dims AS MATERIALIZED (
+        SELECT doc_id AS mid,
+               CAST(4 + doc_id % 5 AS BIGINT) AS w,
+               CAST(3 + doc_id % 4 AS BIGINT) AS h
+        FROM documents),
+    grid AS MATERIALIZED (
+        SELECT mid, t.x, u.y,
+               (((mid * 31 + ((t.x * w) // 9) * 7
+                  + ((u.y * h) // 8) * 13) % 256
+                 + (mid * 31 + ((t.x * w) // 9) * 7
+                    + ((u.y * h) // 8) * 13 + 101) % 256
+                 + (mid * 31 + ((t.x * w) // 9) * 7
+                    + ((u.y * h) // 8) * 13 + 202) % 256) // 3) AS gray
+        FROM dims,
+             unnest(range(0, 9)) AS t(x),
+             unnest(range(0, 8)) AS u(y)),
+    bits AS (
+        SELECT a.mid, a.y, a.x,
+               CASE WHEN a.gray > b.gray THEN 1 ELSE 0 END AS bit
+        FROM grid a JOIN grid b
+          ON a.mid = b.mid AND a.y = b.y AND b.x = a.x + 1
+        WHERE a.x < 8),
+    hashes AS MATERIALIZED (
+        SELECT mid,
+               CAST(sum(CASE WHEN y * 8 + x < 32
+                    THEN bit * (CAST(1 AS BIGINT) << (y * 8 + x))
+                    ELSE 0 END) AS BIGINT) AS h_hi,
+               CAST(sum(CASE WHEN y * 8 + x >= 32
+                    THEN bit * (CAST(1 AS BIGINT) << (y * 8 + x - 32))
+                    ELSE 0 END) AS BIGINT) AS h_lo
+        FROM bits GROUP BY mid),
+    bands AS MATERIALIZED (
+        SELECT mid, b.bidx,
+               CASE b.bidx WHEN 0 THEN h_hi % 65536
+                           WHEN 1 THEN h_hi // 65536
+                           WHEN 2 THEN h_lo % 65536
+                           ELSE h_lo // 65536 END AS bval
+        FROM hashes, unnest(range(0, 4)) AS b(bidx)),
+    ranked AS MATERIALIZED (
+        SELECT mid, bidx, bval,
+               row_number() OVER (PARTITION BY bidx, bval
+                                  ORDER BY mid) AS rn
+        FROM bands),
+    dropped AS (
+        SELECT CAST(sum(greatest(sz - 40, 0)) AS BIGINT)
+                   AS trunc_postings_dropped
+        FROM (SELECT count(*) AS sz FROM bands GROUP BY bidx, bval)),
+    cand AS MATERIALIZED (
+        SELECT DISTINCT x.mid AS a, y.mid AS b
+        FROM ranked x JOIN ranked y
+          ON x.bidx = y.bidx AND x.bval = y.bval AND x.mid < y.mid
+        WHERE x.rn <= 40 AND y.rn <= 40),
+    pairs AS MATERIALIZED (
+        SELECT CAST(bit_count(xor(ha.h_hi, hb.h_hi))
+                    + bit_count(xor(ha.h_lo, hb.h_lo)) AS BIGINT)
+                   AS hamming
+        FROM cand
+        JOIN hashes ha ON cand.a = ha.mid
+        JOIN hashes hb ON cand.b = hb.mid),
+    tot AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM hashes)
+                   AS n_images,
+               (SELECT CAST(count(*) AS BIGINT) FROM pairs)
+                   AS n_candidate_pairs)
+    SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs,
+           tot.n_images, tot.n_candidate_pairs,
+           dropped.trunc_postings_dropped
+    FROM pairs CROSS JOIN tot CROSS JOIN dropped
+    WHERE hamming <= 16
+    GROUP BY hamming, tot.n_images, tot.n_candidate_pairs,
+             dropped.trunc_postings_dropped
+    ORDER BY hamming
+"""

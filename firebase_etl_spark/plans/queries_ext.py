@@ -18,6 +18,9 @@ from firebase_etl_spark.sources.tables import load_table
 QUERY_DOC_IDS = [0, 1, 2, 3, 4]
 QUERY_VEC_IDS = [0, 1, 2, 3, 4]
 
+#: banded-subset cap for media_dhash_near_dups (truncation surfaced)
+DHASH_BUCKET_CAP = 40
+
 # fixed pseudo-random hyperplanes for sign-LSH (deterministic; generated once
 # with a fixed seed, embedded as literals so plans are reproducible).
 # 24 tables × 3 planes: OR-amplification measured to give 100% top-10 recall
@@ -6125,3 +6128,105 @@ def doc_langid_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.language_id("text").alias("pred"),
     )
     return classification_agreement_report(pairs, "truth", "pred")
+
+
+def media_dhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate IMAGE detection — the multimodal twin
+    of the text near-dup family: dHash every real BMP fixture payload
+    (operators/multimodal.py:extract_bmp_dhash — genuine decode +
+    nearest-neighbor resample + gradient bits), band the 64-bit hash
+    into 4 x 16-bit LSH buckets (positive integer div/mod only — no
+    sign-bit semantics cross engines), and report the hamming-distance
+    histogram of banded candidate pairs at distance <= 16. The oracle
+    recomputes every hash closed-form from the pixel function with NO
+    decoder — one flipped bit anywhere in codec, resample or banding
+    fails the hash.
+
+    100 TB shape: tiny regular fixture images collapse the hash space
+    (measured: UNCAPPED banding kept 70% of all pairs as candidates —
+    worthless pruning), so bucket postings are capped at the lowest
+    DHASH_BUCKET_CAP media_ids per bucket with the dropped-posting
+    count surfaced in every hashed row (the documents_curation_v2
+    truncation-accounting pattern — the cap is visible, never
+    silent)."""
+    from firebase_etl_spark.operators.multimodal import extract_bmp_dhash
+
+    cap = DHASH_BUCKET_CAP
+    hashes = extract_bmp_dhash(
+        _documents_as_bmp(spark, sf_dir)
+    ).localCheckpoint(eager=True)  # decode once; image-count-sized
+    bands = hashes.select(
+        F.col("media_id").alias("mid"),
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("bidx"),
+                         (F.col("h_hi") % 65536).alias("bval")),
+                F.struct(F.lit(1).alias("bidx"),
+                         (F.col("h_hi") / F.lit(65536)).cast("long")
+                         .alias("bval")),
+                F.struct(F.lit(2).alias("bidx"),
+                         (F.col("h_lo") % 65536).alias("bval")),
+                F.struct(F.lit(3).alias("bidx"),
+                         (F.col("h_lo") / F.lit(65536)).cast("long")
+                         .alias("bval")),
+            )
+        ).alias("b"),
+    ).select("mid", F.col("b.bidx").alias("bidx"),
+             F.col("b.bval").alias("bval"))
+    wb = Window.partitionBy("bidx", "bval").orderBy("mid")
+    ranked = bands.withColumn("rn", F.row_number().over(wb))
+    kept = ranked.filter(F.col("rn") <= cap).drop("rn")
+    dropped = F.broadcast(
+        ranked.groupBy("bidx", "bval")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .agg(
+            F.sum(
+                F.greatest(F.col("sz") - F.lit(cap), F.lit(0))
+            ).cast("long").alias("trunc_postings_dropped")
+        )
+    )
+    cand = (
+        kept.alias("x")
+        .join(
+            kept.alias("y"),
+            (F.col("x.bidx") == F.col("y.bidx"))
+            & (F.col("x.bval") == F.col("y.bval"))
+            & (F.col("x.mid") < F.col("y.mid")),
+        )
+        .select(F.col("x.mid").alias("a"), F.col("y.mid").alias("b"))
+        .distinct()
+    )
+    ha = hashes.select(F.col("media_id").alias("a"),
+                       F.col("h_hi").alias("hi_a"),
+                       F.col("h_lo").alias("lo_a"))
+    hb = hashes.select(F.col("media_id").alias("b"),
+                       F.col("h_hi").alias("hi_b"),
+                       F.col("h_lo").alias("lo_b"))
+    pairs = (
+        cand.join(ha, "a")
+        .join(hb, "b")
+        .select(
+            (
+                F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+                + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+            ).cast("long").alias("hamming")
+        )
+    )
+    tot = F.broadcast(
+        hashes.agg(F.count(F.lit(1)).cast("long").alias("n_images"))
+        .crossJoin(
+            pairs.agg(
+                F.count(F.lit(1)).cast("long").alias("n_candidate_pairs")
+            )
+        )
+        .crossJoin(dropped)
+    )
+    return (
+        pairs.filter(F.col("hamming") <= 16)
+        .groupBy("hamming")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .crossJoin(tot)
+        .select("hamming", "n_pairs", "n_images", "n_candidate_pairs",
+                "trunc_postings_dropped")
+        .orderBy("hamming")
+    )

@@ -3155,3 +3155,37 @@ def test_classification_agreement_perfect_predictor(spark):
     assert all(r["accuracy_e6"] == 1_000_000 for r in out)
     assert all(r["kappa_e6"] == 1_000_000 for r in out)
     assert all(r["f1_e6"] == 1_000_000 for r in out)
+
+
+def test_extract_bmp_dhash_identical_and_different(spark):
+    """Two byte-identical images hash identically (hamming 0); a
+    vertically-graded image vs its inverse flip every gradient bit
+    that is strictly ordered. Also: undecodable payloads drop."""
+    from firebase_etl_spark.operators.multimodal import (
+        encode_bmp24,
+        extract_bmp_dhash,
+    )
+
+    w, h = 10, 9
+    ramp = [[(x * 20 % 256,) * 3 for x in range(w)] for _ in range(h)]
+    anti = [[((w - 1 - x) * 20 % 256,) * 3 for x in range(w)]
+            for _ in range(h)]
+    rows = [
+        (1, bytearray(encode_bmp24(w, h, ramp))),
+        (2, bytearray(encode_bmp24(w, h, ramp))),
+        (3, bytearray(encode_bmp24(w, h, anti))),
+        (4, bytearray(b"not a bmp")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: (r["h_hi"], r["h_lo"])
+           for r in extract_bmp_dhash(df).collect()}
+    assert 4 not in out  # undecodable dropped
+    assert out[1] == out[2]  # identical bytes -> identical hash
+    assert out[1] != out[3]  # reversed gradient -> different hash
+    # halves are non-negative 32-bit (the no-sign-semantics contract)
+    for hi, lo in out.values():
+        assert 0 <= hi < (1 << 32) and 0 <= lo < (1 << 32)
+    # monotone ramp: every gray[x] < gray[x+1] -> all bits 0
+    assert out[1] == (0, 0)
+    # anti-ramp: every comparison strictly greater -> all 64 bits set
+    assert out[3] == ((1 << 32) - 1, (1 << 32) - 1)
