@@ -89,6 +89,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_langid_agreement": QX.doc_langid_agreement,
         # NEW this round: perceptual dHash image near-dup (banded, capped)
         "media_dhash_near_dups": QX.media_dhash_near_dups,
+        # NEW this round: Mann-Kendall trend significance test
+        "events_mann_kendall": QX.events_mann_kendall,
         "events_hourly_stats": Q.events_hourly_stats,
         "doc_text_features": QX.doc_text_features,
         "doc_lang_stats": QX.doc_lang_stats,

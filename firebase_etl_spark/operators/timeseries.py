@@ -598,3 +598,79 @@ def ewma_forecast_backtest(
     return spark.createDataFrame(
         [(len(ns), err_ewma, err_naive, skill, s)], schema
     )
+
+
+def mann_kendall_test(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Mann-Kendall monotonic-trend test over the daily event counts
+    (Mann 1945 / Kendall 1975) — the SIGNIFICANCE companion to
+    theil_sen_trend's magnitude: S = sum over day pairs of
+    sign(n_j - n_i), tie-corrected variance
+    var = [T(T-1)(2T+5) - sum_g t_g(t_g-1)(2t_g+5)] / 18, and the
+    continuity-corrected z = (S -/+ 1)/sqrt(var). |z| > 1.96 is the
+    planner's "this series really trends" gate.
+
+    Determinism: S, the tie table and 18*var are EXACT int64 (T-day
+    spine: |S| <= T(T-1)/2; 18var < 2T^3 — a decade-long spine is
+    ~5e10, comfortable); z quantizes ONCE to e6 through
+    sqrt(var) — IEEE-754 requires sqrt be correctly rounded, so the
+    double chain CAST->sqrt->divide->fixed_e6 is bit-identical on
+    both engines (the same basic-ops argument as portable_math).
+
+    Scale shape: one corpus aggregate to daily rows; the pair
+    comparison and tie census run on the calendar-bounded spine.
+    Returns one row: (n_days, s_stat, var18 = 18*var exact,
+    z_e6)."""
+    from firebase_etl_spark.functions.portable_math import fixed_e6_expr
+
+    daily = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.to_date(ts_col).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)  # day-spine-sized, 3 consumers
+    )
+    s_stat = (
+        daily.alias("a")
+        .join(F.broadcast(daily.alias("b")), F.col("a.day") < F.col("b.day"))
+        .agg(
+            F.sum(
+                F.signum(
+                    (F.col("b.n") - F.col("a.n")).cast("double")
+                ).cast("long")
+            ).cast("long").alias("s_stat")
+        )
+    )
+    ties = (
+        daily.groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("tg"))
+        .agg(
+            F.sum(
+                F.col("tg") * (F.col("tg") - 1)
+                * (2 * F.col("tg") + 5)
+            ).cast("long").alias("tie_term"),
+            F.sum("tg").cast("long").alias("t_days"),
+        )
+    )
+    return (
+        s_stat.crossJoin(F.broadcast(ties))
+        .select(
+            F.col("t_days").alias("n_days"),
+            "s_stat",
+            F.expr(
+                "t_days * (t_days - 1) * (2 * t_days + 5) - tie_term"
+            ).cast("long").alias("var18"),
+            F.expr(
+                "CASE WHEN t_days * (t_days - 1) * (2 * t_days + 5)"
+                " - tie_term = 0 THEN CAST(NULL AS BIGINT) ELSE "
+                + fixed_e6_expr(
+                    "(CAST(s_stat AS DOUBLE)"
+                    " - CAST(CASE WHEN s_stat > 0 THEN 1"
+                    "        WHEN s_stat < 0 THEN -1 ELSE 0 END"
+                    "   AS DOUBLE))"
+                    " / sqrt(CAST(t_days * (t_days - 1)"
+                    " * (2 * t_days + 5) - tie_term AS DOUBLE)"
+                    " / CAST(18 AS DOUBLE))"
+                )
+                + " END"
+            ).cast("long").alias("z_e6"),
+        )
+    )

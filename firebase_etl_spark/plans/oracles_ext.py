@@ -7286,3 +7286,44 @@ ORACLES_EXT["media_dhash_near_dups"] = """
              dropped.trunc_postings_dropped
     ORDER BY hamming
 """
+
+
+def _mann_kendall_oracle() -> str:
+    """timeseries.py:mann_kendall_test twin: identical integer S and
+    tie census, identical IEEE chain for z (sqrt is correctly rounded
+    by IEEE-754 on both engines), same single e6 quantization."""
+    from firebase_etl_spark.functions.portable_math import fixed_e6_expr
+
+    z = fixed_e6_expr(
+        "(CAST(s_stat AS DOUBLE)"
+        " - CAST(CASE WHEN s_stat > 0 THEN 1"
+        "        WHEN s_stat < 0 THEN -1 ELSE 0 END AS DOUBLE))"
+        " / sqrt(CAST(t_days * (t_days - 1) * (2 * t_days + 5)"
+        " - tie_term AS DOUBLE) / CAST(18 AS DOUBLE))"
+    )
+    return f"""
+    WITH daily AS MATERIALIZED (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events WHERE ts IS NOT NULL GROUP BY 1),
+    s AS (
+        SELECT CAST(coalesce(sum(CASE WHEN b.n > a.n THEN 1
+                         WHEN b.n < a.n THEN -1 ELSE 0 END), 0)
+                    AS BIGINT) AS s_stat
+        FROM daily a JOIN daily b ON a.day < b.day),
+    ties AS (
+        SELECT CAST(sum(tg * (tg - 1) * (2 * tg + 5)) AS BIGINT)
+                   AS tie_term,
+               CAST(sum(tg) AS BIGINT) AS t_days
+        FROM (SELECT count(*) AS tg FROM daily GROUP BY n))
+    SELECT t_days AS n_days, s_stat,
+           CAST(t_days * (t_days - 1) * (2 * t_days + 5) - tie_term
+                AS BIGINT) AS var18,
+           CAST(CASE WHEN t_days * (t_days - 1) * (2 * t_days + 5)
+                          - tie_term = 0 THEN NULL
+                ELSE {z} END AS BIGINT) AS z_e6
+    FROM s CROSS JOIN ties
+    """
+
+
+ORACLES_EXT["events_mann_kendall"] = _mann_kendall_oracle()

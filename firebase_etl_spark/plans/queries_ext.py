@@ -6230,3 +6230,17 @@ def media_dhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "trunc_postings_dropped")
         .orderBy("hamming")
     )
+
+
+def events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend significance test
+    (operators/timeseries.py:mann_kendall_test): is the daily series'
+    trend real or noise — the hypothesis-test companion to
+    events_theil_sen_trend's slope magnitude, closing the trend
+    corner (estimate + test) of the time-series family. Exact integer
+    S and tie-corrected 18*var; z through one correctly-rounded sqrt
+    chain, quantized once."""
+    from firebase_etl_spark.operators.timeseries import mann_kendall_test
+
+    e = load_table(spark, "events", sf_dir)
+    return mann_kendall_test(e, "ts")

@@ -3189,3 +3189,32 @@ def test_extract_bmp_dhash_identical_and_different(spark):
     assert out[1] == (0, 0)
     # anti-ramp: every comparison strictly greater -> all 64 bits set
     assert out[3] == ((1 << 32) - 1, (1 << 32) - 1)
+
+
+def test_mann_kendall_hand_cases(spark):
+    """Strictly increasing 5-day series: S = 10 (all pairs up), no
+    ties: var18 = 5*4*15 = 300, var = 16.6667, z = 9/sqrt(50/3).
+    Flat series: S = 0 and the tie term cancels var18 to 0 -> z NULL."""
+    import datetime as dt
+    import math as m
+
+    from firebase_etl_spark.operators.timeseries import mann_kendall_test
+
+    def series(counts):
+        rows = []
+        base = dt.datetime(2024, 5, 1)
+        for d, n in enumerate(counts):
+            for i in range(n):
+                rows.append((base + dt.timedelta(days=d, seconds=i),))
+        return spark.createDataFrame(rows, "ts timestamp")
+
+    r = mann_kendall_test(series([1, 2, 3, 4, 5]), "ts").collect()[0]
+    assert r["n_days"] == 5
+    assert r["s_stat"] == 10
+    assert r["var18"] == 300
+    want = round((10 - 1) / m.sqrt(300 / 18) * 1e6 + 1e-9)
+    assert r["z_e6"] == want
+    flat = mann_kendall_test(series([3, 3, 3, 3]), "ts").collect()[0]
+    assert flat["s_stat"] == 0
+    assert flat["var18"] == 0
+    assert flat["z_e6"] is None
