@@ -91,6 +91,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dhash_near_dups": QX.media_dhash_near_dups,
         # NEW this round: Mann-Kendall trend significance test
         "events_mann_kendall": QX.events_mann_kendall,
+        # NEW this round: DBSCAN density clustering (core/border/noise)
+        "embedding_dbscan_clusters": QX.embedding_dbscan_clusters,
         "events_hourly_stats": Q.events_hourly_stats,
         "doc_text_features": QX.doc_text_features,
         "doc_lang_stats": QX.doc_lang_stats,

@@ -346,3 +346,106 @@ def kcenter_seeds(
         "seed_rank int, vec_id long, sel_dist_e6 long,"
         " cover_radius_e6 long, cover_mean_e6 long",
     ).orderBy("seed_rank")
+
+
+def dbscan_report(
+    df: DataFrame,
+    threshold: float = 0.4,
+    min_pts: int = 3,
+    top: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Density-based clustering (DBSCAN, Ester et al. 1996) over
+    cosine similarity — the density complement to k-means (fixed k,
+    convex cells) and k-center (coverage): clusters grow through CORE
+    points (>= min_pts neighbors at cosine >= threshold, counting
+    self), BORDER points attach to an adjacent core's cluster, the
+    rest is NOISE. The curation read-out: how much of the embedding
+    corpus sits in dense semantic clumps vs isolated tail.
+
+    Determinism: the eps-graph comes from the exact grid join
+    (cosine_all_pairs_grid); clusters are labeled by the MIN core
+    vec_id (connected_components); a border adjacent to several
+    clusters joins the lowest label — every choice integer-ordered.
+
+    Scale shape: the pair graph is the irreducible cost and reuses
+    the block-matrix join (no driver corpus materialization); the
+    edge list is OUTPUT-sized and localCheckpointed once (degree
+    census, core-core filter and border attach all read it — not the
+    matmul); components via the adaptive CC operator. Returns the
+    ``top`` largest clusters (ties: lower label) with corpus-level
+    columns repeated per row: (cluster, n_core, n_border,
+    n_clusters, n_clustered, n_noise, n_points)."""
+    from firebase_etl_spark.operators.graph import connected_components
+    from firebase_etl_spark.operators.similarity import (
+        cosine_all_pairs_grid,
+    )
+
+    edges = (
+        cosine_all_pairs_grid(
+            df, threshold, id_col=id_col, vec_col=vec_col
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    pts = _unit_vecs(df, id_col, vec_col).select(
+        F.col("vid").alias("node")
+    )
+    sym = edges.select(
+        F.col("id_a").alias("node"), F.col("id_b").alias("nbr")
+    ).union(
+        edges.select(F.col("id_b").alias("node"), F.col("id_a").alias("nbr"))
+    )
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    core = deg.filter(F.col("d") + 1 >= min_pts).select("node")
+    cc_edges = (
+        edges.join(core.withColumnRenamed("node", "id_a"), "id_a",
+                   "left_semi")
+        .join(core.withColumnRenamed("node", "id_b"), "id_b",
+              "left_semi")
+    )
+    comp = connected_components(cc_edges, "id_a", "id_b")
+    # cores isolated among cores (no core neighbor) self-label
+    core_lbl = core.join(comp, "node", "left").select(
+        "node", F.coalesce("component", F.col("node")).alias("cluster")
+    ).localCheckpoint(eager=True)
+    border = (
+        sym.join(core_lbl.withColumnRenamed("node", "nbr"), "nbr")
+        .join(core_lbl.select("node"), "node", "left_anti")
+        .groupBy("node")
+        .agg(F.min("cluster").alias("cluster"))
+    )
+    members = core_lbl.select(
+        "node", "cluster", F.lit(1).alias("is_core")
+    ).union(border.select("node", "cluster", F.lit(0).alias("is_core")))
+    per = members.groupBy("cluster").agg(
+        F.sum("is_core").cast("long").alias("n_core"),
+        F.sum(1 - F.col("is_core")).cast("long").alias("n_border"),
+    )
+    tot = F.broadcast(
+        per.agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum(F.col("n_core") + F.col("n_border")).cast("long")
+            .alias("n_clustered"),
+        ).crossJoin(
+            pts.agg(F.count(F.lit(1)).cast("long").alias("n_points"))
+        ).select(
+            "n_clusters",
+            F.coalesce("n_clustered", F.lit(0)).alias("n_clustered"),
+            (F.col("n_points")
+             - F.coalesce("n_clustered", F.lit(0))).alias("n_noise"),
+            "n_points",
+        )
+    )
+    return (
+        per.crossJoin(tot)
+        .select(
+            "cluster", "n_core", "n_border", "n_clusters",
+            "n_clustered", "n_noise", "n_points",
+        )
+        .orderBy(
+            F.desc(F.col("n_core") + F.col("n_border")), "cluster"
+        )
+        .limit(top)
+    )

@@ -7327,3 +7327,68 @@ def _mann_kendall_oracle() -> str:
 
 
 ORACLES_EXT["events_mann_kendall"] = _mann_kendall_oracle()
+
+
+ORACLES_EXT["embedding_dbscan_clusters"] = """
+    WITH nv AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> x / sqrt(list_inner_product(
+                       CAST(embedding AS DOUBLE[]),
+                       CAST(embedding AS DOUBLE[])))) AS ve
+        FROM embeddings
+        WHERE list_inner_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[])) > 0),
+    pairs AS MATERIALIZED (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM nv a JOIN nv b ON a.vec_id < b.vec_id
+        WHERE round(list_inner_product(a.ve, b.ve), 6) >= 0.4),
+    sym AS MATERIALIZED (
+        SELECT id_a AS node, id_b AS nbr FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+    deg AS (SELECT node, count(*) AS d FROM sym GROUP BY node),
+    core AS MATERIALIZED (
+        SELECT node FROM deg WHERE d + 1 >= 3),
+    cce AS MATERIALIZED (
+        SELECT id_a, id_b FROM pairs
+        WHERE id_a IN (SELECT node FROM core)
+          AND id_b IN (SELECT node FROM core)),
+    walk AS MATERIALIZED (
+        WITH RECURSIVE r(node, label) AS (
+            SELECT id_a, id_a FROM cce
+            UNION SELECT id_b, id_b FROM cce
+            UNION
+            SELECT e.v, r.label FROM r JOIN (
+                SELECT id_a AS u, id_b AS v FROM cce
+                UNION ALL SELECT id_b, id_a FROM cce) e
+              ON r.node = e.u
+        )
+        SELECT node, min(label) AS component FROM r GROUP BY node),
+    core_lbl AS MATERIALIZED (
+        SELECT c.node, coalesce(w.component, c.node) AS cluster
+        FROM core c LEFT JOIN walk w ON c.node = w.node),
+    border AS MATERIALIZED (
+        SELECT s.node, min(cl.cluster) AS cluster
+        FROM sym s JOIN core_lbl cl ON s.nbr = cl.node
+        WHERE s.node NOT IN (SELECT node FROM core_lbl)
+        GROUP BY s.node),
+    members AS (
+        SELECT node, cluster, 1 AS is_core FROM core_lbl
+        UNION ALL SELECT node, cluster, 0 AS is_core FROM border),
+    per AS MATERIALIZED (
+        SELECT cluster, CAST(sum(is_core) AS BIGINT) AS n_core,
+               CAST(sum(1 - is_core) AS BIGINT) AS n_border
+        FROM members GROUP BY cluster),
+    tot AS (
+        SELECT CAST((SELECT count(*) FROM per) AS BIGINT) AS n_clusters,
+               CAST(coalesce((SELECT sum(n_core + n_border) FROM per),
+                             0) AS BIGINT) AS n_clustered,
+               CAST((SELECT count(*) FROM nv) AS BIGINT) AS n_points)
+    SELECT per.cluster, per.n_core, per.n_border, tot.n_clusters,
+           tot.n_clustered,
+           CAST(tot.n_points - tot.n_clustered AS BIGINT) AS n_noise,
+           tot.n_points
+    FROM per CROSS JOIN tot
+    ORDER BY per.n_core + per.n_border DESC, per.cluster
+    LIMIT 20
+"""

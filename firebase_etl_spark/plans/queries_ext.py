@@ -6244,3 +6244,20 @@ def events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, "events", sf_dir)
     return mann_kendall_test(e, "ts")
+
+
+def embedding_dbscan_clusters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DBSCAN density clustering (operators/clustering.py:
+    dbscan_report, cosine >= 0.4, min_pts = 3): core/border/noise
+    decomposition of the embedding corpus — the density complement to
+    embedding_kmeans_clusters (fixed k) / embedding_kcenter_seeds
+    (coverage) / embedding_dedup_clusters (plain CC: it merges through
+    ANY chance edge; DBSCAN demands min_pts-dense cores). The oracle
+    chains the brute-force eps-graph into the recursive-CTE CC replay
+    over core-core edges."""
+    from firebase_etl_spark.operators.clustering import dbscan_report
+
+    e = load_table(spark, "embeddings", sf_dir)
+    return dbscan_report(e, threshold=0.4, min_pts=3, top=20)

@@ -3218,3 +3218,50 @@ def test_mann_kendall_hand_cases(spark):
     assert flat["s_stat"] == 0
     assert flat["var18"] == 0
     assert flat["z_e6"] is None
+
+
+def test_dbscan_report_hand_case(spark):
+    """2D hand case at cosine >= 0.9, min_pts = 3: a dense fan of four
+    near-parallel vectors (ids 1-4, all pairwise-similar -> all core),
+    a border point (id 5) similar only to one core, and an isolated
+    noise point (id 9). One cluster labeled by the min core id, core
+    count 4, border 1, noise 1."""
+    import math as m
+
+    from firebase_etl_spark.operators.clustering import dbscan_report
+
+    def vec(deg):
+        return [m.cos(m.radians(deg)), m.sin(m.radians(deg))]
+
+    rows = [
+        (1, vec(0)), (2, vec(5)), (3, vec(10)), (4, vec(15)),
+        (5, vec(38)),   # cos to id4 = cos(23 deg) ~ .921 — border
+        (9, vec(180)),  # noise
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = dbscan_report(df, threshold=0.9, min_pts=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["cluster"] == 1
+    assert (r["n_core"], r["n_border"]) == (4, 1)
+    assert (r["n_clusters"], r["n_clustered"]) == (1, 5)
+    assert (r["n_noise"], r["n_points"]) == (1, 6)
+
+
+def test_dbscan_isolated_core_pair_self_labels(spark):
+    """min_pts = 2: two mutually-similar vectors are both core with
+    only each other — the cluster labels by the lower id; everything
+    orthogonal is noise."""
+    from firebase_etl_spark.operators.clustering import dbscan_report
+
+    rows = [
+        (10, [1.0, 0.0, 0.0]),
+        (11, [0.999, 0.04, 0.0]),
+        (12, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = dbscan_report(df, threshold=0.9, min_pts=2).collect()
+    assert [(r["cluster"], r["n_core"], r["n_border"]) for r in out] == [
+        (10, 2, 0)
+    ]
+    assert out[0]["n_noise"] == 1
