@@ -93,6 +93,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_mann_kendall": QX.events_mann_kendall,
         # NEW this round: DBSCAN density clustering (core/border/noise)
         "embedding_dbscan_clusters": QX.embedding_dbscan_clusters,
+        # NEW this round: order-independent snapshot fingerprint (XOR merkle)
+        "documents_dataset_fingerprint": QX.documents_dataset_fingerprint,
         "events_hourly_stats": Q.events_hourly_stats,
         "doc_text_features": QX.doc_text_features,
         "doc_lang_stats": QX.doc_lang_stats,

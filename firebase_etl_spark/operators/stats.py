@@ -1224,3 +1224,69 @@ def classification_agreement_report(
         )
         .orderBy("label")
     )
+
+
+def dataset_fingerprint(
+    df: DataFrame,
+    columns: list[str],
+) -> DataFrame:
+    """Content-addressed dataset fingerprint — the reproducibility /
+    cache-invalidation primitive of a snapshot pipeline: one 60-bit
+    content hash per ROW (md5 over the sentineled, unit-separator-
+    joined column serialization), combined ORDER-INDEPENDENTLY by XOR
+    so the fingerprint is invariant to partitioning, shuffle order and
+    retry — any one changed/added/dropped row flips it. Per-column XOR
+    hashes and null counts localize WHICH column drifted (the
+    column-level merkle leaves); documents_snapshot_diff says which
+    rows — this says, in O(1) storage, whether and where to look.
+
+    Portable by construction: the md5-prefix integer is the house
+    conv(substr(md5, 1, 15)) idiom; the serialization casts every
+    column to string, replaces NULL with an explicit sentinel and
+    joins on the ASCII unit separator (concat_ws SKIPS nulls — two
+    adjacent nullable columns would alias without both); XOR is
+    associative/commutative, so engine, plan and order never matter.
+
+    Scale shape: one scan, one map-side-combinable xor/count
+    aggregate; output is column-count-sized. Returns one row per
+    column: (col_name, n_nulls, col_xor) with (n_rows, dataset_xor)
+    repeated."""
+    sent = "\x00NULL\x00"
+    usep = "\x1f"
+
+    def s(c):
+        return F.coalesce(F.col(c).cast("string"), F.lit(sent))
+
+    def h(col):
+        return F.conv(
+            F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10
+        ).cast("long")
+
+    row_h = h(F.concat_ws(usep, *[s(c) for c in columns]))
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.expr("bit_xor(__row_h)").alias("dataset_xor"),
+    ]
+    for c in columns:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long").alias(f"__nn_{c}")
+        )
+        aggs.append(F.expr(f"bit_xor(__ch_{c})").alias(f"__cx_{c}"))
+    proj = df.select(
+        *[F.col(c) for c in columns],
+        row_h.alias("__row_h"),
+        *[h(s(c)).alias(f"__ch_{c}") for c in columns],
+    )
+    wide = proj.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', __nn_{c}, __cx_{c}" for c in columns
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(columns)}, {stack})"
+            " AS (col_name, n_nulls, col_xor)"
+        ),
+        "n_rows",
+        "dataset_xor",
+    ).orderBy("col_name")

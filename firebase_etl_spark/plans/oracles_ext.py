@@ -7392,3 +7392,46 @@ ORACLES_EXT["embedding_dbscan_clusters"] = """
     ORDER BY per.n_core + per.n_border DESC, per.cluster
     LIMIT 20
 """
+
+
+def _fingerprint_oracle() -> str:
+    """stats.py:dataset_fingerprint twin: identical sentineled
+    serialization (chr(0)||'NULL'||chr(0)), chr(31) unit-separator
+    join, house md5-prefix integers, bit_xor combination."""
+    cols = ["doc_id", "lang", "n_chars", "source", "text"]
+    sent = "chr(0) || 'NULL' || chr(0)"
+
+    def s(c):
+        return f"coalesce(CAST({c} AS VARCHAR), {sent})"
+
+    def h(expr):
+        return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+    row_h = h("concat_ws(chr(31), " + ", ".join(s(c) for c in cols) + ")")
+    aggs = [
+        "CAST(count(*) AS BIGINT) AS n_rows",
+        f"CAST(bit_xor({row_h}) AS BIGINT) AS dataset_xor",
+    ]
+    for c in cols:
+        aggs.append(
+            f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)"
+            f" AS BIGINT) AS nn_{c}"
+        )
+        aggs.append(
+            f"CAST(bit_xor({h(s(c))}) AS BIGINT) AS cx_{c}"
+        )
+    unions = "\n    UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, nn_{c} AS n_nulls, cx_{c} AS col_xor,"
+        f" n_rows, dataset_xor FROM w"
+        for c in cols
+    )
+    return (
+        "WITH w AS MATERIALIZED (SELECT "
+        + ", ".join(aggs)
+        + " FROM documents)\n    "
+        + unions
+        + "\n    ORDER BY col_name"
+    )
+
+
+ORACLES_EXT["documents_dataset_fingerprint"] = _fingerprint_oracle()

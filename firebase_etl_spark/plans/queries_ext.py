@@ -6261,3 +6261,21 @@ def embedding_dbscan_clusters(
 
     e = load_table(spark, "embeddings", sf_dir)
     return dbscan_report(e, threshold=0.4, min_pts=3, top=20)
+
+
+def documents_dataset_fingerprint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Order-independent snapshot fingerprint of the documents table
+    (operators/stats.py:dataset_fingerprint): XOR-combined 60-bit
+    md5 row hashes plus per-column XOR leaves and null counts — the
+    O(1)-storage integrity check a 100 TB snapshot publishes so
+    downstream consumers can verify what they read without diffing
+    rows (documents_snapshot_diff is the row-level tool this gates).
+    Invariant to partitioning and order by construction."""
+    from firebase_etl_spark.operators.stats import dataset_fingerprint
+
+    d = load_table(spark, "documents", sf_dir)
+    return dataset_fingerprint(
+        d, ["doc_id", "lang", "n_chars", "source", "text"]
+    )

@@ -3265,3 +3265,48 @@ def test_dbscan_isolated_core_pair_self_labels(spark):
         (10, 2, 0)
     ]
     assert out[0]["n_noise"] == 1
+
+
+def test_dataset_fingerprint_invariances(spark):
+    """Partitioning/order invariance; single-row sensitivity; NULL vs
+    the string 'NULL' vs empty are three DIFFERENT fingerprints (the
+    sentinel contract); null counts localize the drifted column."""
+    from firebase_etl_spark.operators.stats import dataset_fingerprint
+
+    rows = [(1, "a"), (2, None), (3, "c")]
+    df = spark.createDataFrame(rows, "id long, v string")
+    base = dataset_fingerprint(df, ["id", "v"]).collect()
+    fp = {r["col_name"]: r for r in base}
+    assert base[0]["n_rows"] == 3
+    assert fp["v"]["n_nulls"] == 1 and fp["id"]["n_nulls"] == 0
+    # order/partitioning invariance
+    shuf = dataset_fingerprint(
+        spark.createDataFrame(rows[::-1], "id long, v string")
+        .repartition(7),
+        ["id", "v"],
+    ).collect()
+    assert [tuple(r) for r in base] == [tuple(r) for r in shuf]
+    # NULL != 'NULL' != '' under the sentinel
+    lit = dataset_fingerprint(
+        spark.createDataFrame([(1, "a"), (2, "NULL"), (3, "c")],
+                              "id long, v string"),
+        ["id", "v"],
+    ).collect()
+    emp = dataset_fingerprint(
+        spark.createDataFrame([(1, "a"), (2, ""), (3, "c")],
+                              "id long, v string"),
+        ["id", "v"],
+    ).collect()
+    sigs = {base[0]["dataset_xor"], lit[0]["dataset_xor"],
+            emp[0]["dataset_xor"]}
+    assert len(sigs) == 3
+    # one changed row flips the dataset hash but id column's leaf holds
+    mut = dataset_fingerprint(
+        spark.createDataFrame([(1, "a"), (2, None), (3, "X")],
+                              "id long, v string"),
+        ["id", "v"],
+    ).collect()
+    mfp = {r["col_name"]: r for r in mut}
+    assert mut[0]["dataset_xor"] != base[0]["dataset_xor"]
+    assert mfp["id"]["col_xor"] == fp["id"]["col_xor"]
+    assert mfp["v"]["col_xor"] != fp["v"]["col_xor"]
