@@ -95,6 +95,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dbscan_clusters": QX.embedding_dbscan_clusters,
         # NEW this round: order-independent snapshot fingerprint (XOR merkle)
         "documents_dataset_fingerprint": QX.documents_dataset_fingerprint,
+        # NEW this round: streaming twin #11 — stateful Count-Min sketch
+        "stream_count_min_users": QX.stream_count_min_users,
         "events_hourly_stats": Q.events_hourly_stats,
         "doc_text_features": QX.doc_text_features,
         "doc_lang_stats": QX.doc_lang_stats,

@@ -7435,3 +7435,46 @@ def _fingerprint_oracle() -> str:
 
 
 ORACLES_EXT["documents_dataset_fingerprint"] = _fingerprint_oracle()
+
+
+ORACLES_EXT["stream_count_min_users"] = """
+    WITH src AS MATERIALIZED (
+        SELECT event_type AS g, CAST(user_id AS VARCHAR) AS v
+        FROM events
+        WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+    counts AS (SELECT g, v, count(*) AS c FROM src GROUP BY g, v),
+    rows_ AS (
+        SELECT g, c, r.r,
+               ('0x' || substr(md5('cms' || CAST(r.r AS VARCHAR) || '|'
+                                   || v), 1, 15))::BIGINT % 256 AS col
+        FROM counts, unnest(range(0, 4)) AS r(r)),
+    sketch AS MATERIALIZED (
+        SELECT g, r, col, CAST(sum(c) AS BIGINT) AS cnt
+        FROM rows_ GROUP BY g, r, col),
+    probes AS (
+        SELECT p.u, r.r,
+               ('0x' || substr(md5('cms' || CAST(r.r AS VARCHAR) || '|'
+                                   || CAST(p.u AS VARCHAR)), 1, 15))
+                   ::BIGINT % 256 AS col
+        FROM (SELECT unnest([0, 1, 2, 3, 4]) AS u) p,
+             unnest(range(0, 4)) AS r(r)),
+    pg AS (
+        SELECT grp.g, probes.u, probes.r, probes.col
+        FROM (SELECT DISTINCT g FROM src) grp CROSS JOIN probes),
+    est AS (
+        SELECT pg.g, pg.u, CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS est
+        FROM pg LEFT JOIN sketch s
+          ON pg.g = s.g AND pg.r = s.r AND pg.col = s.col
+        GROUP BY pg.g, pg.u),
+    tot AS (SELECT g, CAST(count(*) AS BIGINT) AS n_seen
+            FROM src GROUP BY g)
+    SELECT tot.g, tot.n_seen,
+           CAST(max(CASE WHEN u = 0 THEN est END) AS BIGINT) AS est_u0,
+           CAST(max(CASE WHEN u = 1 THEN est END) AS BIGINT) AS est_u1,
+           CAST(max(CASE WHEN u = 2 THEN est END) AS BIGINT) AS est_u2,
+           CAST(max(CASE WHEN u = 3 THEN est END) AS BIGINT) AS est_u3,
+           CAST(max(CASE WHEN u = 4 THEN est END) AS BIGINT) AS est_u4
+    FROM tot JOIN est ON tot.g = est.g
+    GROUP BY tot.g, tot.n_seen
+    ORDER BY tot.g
+"""

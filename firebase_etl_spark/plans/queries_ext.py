@@ -6279,3 +6279,43 @@ def documents_dataset_fingerprint(
     return dataset_fingerprint(
         d, ["doc_id", "lang", "n_chars", "source", "text"]
     )
+
+
+def stream_count_min_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin #11 — stateful Count-Min frequency sketch per
+    event type (streaming/events.py:streaming_count_min): per-user
+    event frequencies estimated from 4x256 counters of state per key,
+    probed for users 0-4 — the stream-side "how often" companion to
+    stream_kmv_distinct_users' "how many distinct". Counters are sums
+    (batching-invariant), so the final emission per key is
+    bit-identical to the batch sketch the oracle replays; estimates
+    are integers and provably >= truth."""
+    import uuid as _uuid
+
+    from firebase_etl_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+        streaming_count_min,
+    )
+
+    probe = [0, 1, 2, 3, 4]
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    name = f"cms_{_uuid.uuid4().hex[:8]}"
+    inc = run_stream_to_memory(
+        spark,
+        streaming_count_min(stream, probe),
+        name,
+        output_mode="append",
+    )
+    ests = [F.col(f"f.est_u{u}").alias(f"est_u{u}") for u in probe]
+    return (
+        inc.groupBy("g")
+        .agg(
+            F.max("n_seen").alias("n_seen"),
+            F.max_by(
+                F.struct(*[f"est_u{u}" for u in probe]), F.col("n_seen")
+            ).alias("f"),
+        )
+        .select("g", "n_seen", *ests)
+        .orderBy("g")
+    )

@@ -566,3 +566,84 @@ def streaming_kmv_distinct(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_count_min(
+    events: DataFrame,
+    probe_users: list[int],
+    key: str = "event_type",
+    width: int = 256,
+    depth: int = 4,
+):
+    """Stateful Count-Min frequency sketch per key
+    (applyInPandasWithState) — the streaming twin of the batch
+    heavy_hitters.count_min_report, and the frequency complement to
+    streaming_kmv_distinct (KMV answers "how many distinct", this
+    answers "how often is X") with depth*width BIGINTs of state per
+    key instead of an unbounded per-user count map.
+
+    Counters are SUMS — a pure function of the input multiset,
+    batching- and order-insensitive — so the final emission per key
+    (highest n_seen) is bit-identical to the batch sketch the oracle
+    replays; per-probe estimates (min over rows) are exact integers
+    and always >= the true count. Hash rows reuse the portable
+    'cms{r}|{v}' md5 scheme, so engines and the oracle agree byte for
+    byte."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    probes = [str(int(u)) for u in probe_users]
+    out_cols = ", ".join(
+        f"est_u{u} long" for u in probe_users
+    )
+    out_schema = f"g string, n_seen long, {out_cols}"
+    state_schema = "counters array<long>, n_seen long"
+
+    import hashlib
+
+    def _col(r: int, v: str) -> int:
+        h = hashlib.md5(f"cms{r}|{v}".encode()).hexdigest()
+        return int(h[:15], 16) % width
+
+    probe_cols = [
+        [_col(r, p) for r in range(depth)] for p in probes
+    ]
+
+    def update(key_tuple, pdfs, state: GroupState):
+        if state.exists:
+            counters, seen = state.get
+            counters = list(counters)
+            seen = int(seen)
+        else:
+            counters, seen = [0] * (width * depth), 0
+        added = 0
+        for pdf in pdfs:
+            for v in pdf["v"]:
+                s = str(v)
+                for r in range(depth):
+                    counters[r * width + _col(r, s)] += 1
+                added += 1
+        if not added:
+            return
+        seen += added
+        state.update((counters, seen))
+        row = {"g": [str(key_tuple[0])], "n_seen": [seen]}
+        for u, cols in zip(probe_users, probe_cols):
+            row[f"est_u{u}"] = [
+                min(counters[r * width + c] for r, c in enumerate(cols))
+            ]
+        yield pd.DataFrame(row)
+
+    src = events.filter(
+        F.col(key).isNotNull() & F.col("user_id").isNotNull()
+    ).select(
+        F.col(key).alias("g"), F.col("user_id").cast("string").alias("v")
+    )
+    return src.groupBy("g").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

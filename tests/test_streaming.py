@@ -459,3 +459,34 @@ def test_streaming_kmv_matches_batch_bottom_k(spark, sf_dir, events_stream):
     raw = {r["event_type"]: r["n"] for r in e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n")).collect()}
     assert all(got[g]["n_seen"] == raw[g] for g in got)
+
+
+def test_streaming_count_min_matches_batch_sketch(spark, sf_dir, events_stream):
+    """The stateful CM sketch's final emission per key equals the
+    batch count_min_report estimates for the same probes (counters
+    are sums — batching-invariant), and every estimate >= the true
+    per-user count within the key."""
+    from firebase_etl_spark.operators.heavy_hitters import count_min_report
+    from firebase_etl_spark.plans.queries_ext import stream_count_min_users
+
+    got = {
+        r["g"]: r for r in stream_count_min_users(spark, sf_dir).collect()
+    }
+    e = load_table(spark, "events", sf_dir).filter(
+        F.col("event_type").isNotNull() & F.col("user_id").isNotNull()
+    )
+    for g in got:
+        sub = e.filter(F.col("event_type") == g)
+        batch = {
+            r["value"]: r
+            for r in count_min_report(
+                sub, "user_id", [0, 1, 2, 3, 4]
+            ).collect()
+        }
+        for u in range(5):
+            b = batch[str(u)]
+            assert got[g][f"est_u{u}"] == b["cms_estimate"]
+            assert got[g][f"est_u{u}"] >= b["n_exact"]
+    raw = {r["event_type"]: r["n"] for r in e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert all(got[g]["n_seen"] == raw[g] for g in got)

@@ -124,6 +124,22 @@ NEW_OPS = [
     "embedding_topk_pq",
     "customer_fs_linkage",
     "doc_similarity_histogram",  # re-declared: sampled, was 44.95x
+    # session-2 additions (the replica fixture's ~10-member mutual-dup
+    # clusters are adversarial for the banded dhash pairs; embeddings
+    # replicate to 10x corpus for the ANN/DBSCAN/MMR rows)
+    "embedding_topk_mmr",
+    "part_copurchase_modularity",
+    "doc_langid_auc",
+    "doc_length_auc",
+    "events_cuped_adjusted",
+    "events_theil_sen_trend",
+    "lineitem_selfjoin_size_estimate",
+    "events_ewma_forecast",
+    "doc_langid_agreement",
+    "media_dhash_near_dups",
+    "events_mann_kendall",
+    "embedding_dbscan_clusters",
+    "documents_dataset_fingerprint",
 ]
 
 
