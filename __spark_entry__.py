@@ -97,6 +97,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_dataset_fingerprint": QX.documents_dataset_fingerprint,
         # NEW this round: streaming twin #11 — stateful Count-Min sketch
         "stream_count_min_users": QX.stream_count_min_users,
+        # NEW this round: blocking-quality audit (reduction ratio / recall)
+        "customer_blocking_quality": QX.customer_blocking_quality,
         "events_hourly_stats": Q.events_hourly_stats,
         "doc_text_features": QX.doc_text_features,
         "doc_lang_stats": QX.doc_lang_stats,

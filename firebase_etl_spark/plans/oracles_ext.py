@@ -7478,3 +7478,56 @@ ORACLES_EXT["stream_count_min_users"] = """
     GROUP BY tot.g, tot.n_seen
     ORDER BY tot.g
 """
+
+
+ORACLES_EXT["customer_blocking_quality"] = r"""
+    WITH probes AS (
+        SELECT c_custkey AS probe_id,
+               substr(c_name, 1, CAST(10 + c_custkey % 8 AS INT) - 1) ||
+               substr(c_name, CAST(10 + c_custkey % 8 AS INT) + 1)
+                   AS probe_name
+        FROM customer WHERE c_custkey % 40 = 7),
+    targets AS (
+        SELECT c_custkey AS target_id, c_name AS target_name
+        FROM customer),
+    pz AS (SELECT probe_id, substr(probe_name, 10, 9) AS zone
+           FROM probes),
+    tz AS (SELECT target_id, substr(target_name, 10, 9) AS zone
+           FROM targets),
+    pv AS (
+        SELECT probe_id,
+               unnest(list_distinct(list_append(
+                   list_transform(generate_series(1, length(zone)),
+                       i -> substr(zone, 1, CAST(i AS INT) - 1)
+                            || substr(zone, CAST(i AS INT) + 1)),
+                   zone))) AS variant
+        FROM pz),
+    tv AS (
+        SELECT target_id,
+               unnest(list_distinct(list_append(
+                   list_transform(generate_series(1, length(zone)),
+                       i -> substr(zone, 1, CAST(i AS INT) - 1)
+                            || substr(zone, CAST(i AS INT) + 1)),
+                   zone))) AS variant
+        FROM tz),
+    cand AS MATERIALIZED (
+        SELECT DISTINCT probe_id, target_id
+        FROM pv JOIN tv USING (variant)),
+    agg AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM probes)
+                   AS n_probes,
+               (SELECT CAST(count(*) AS BIGINT) FROM targets)
+                   AS n_targets,
+               (SELECT CAST(count(*) AS BIGINT) FROM cand)
+                   AS n_candidates,
+               (SELECT CAST(count(*) AS BIGINT) FROM cand
+                WHERE probe_id = target_id) AS n_true_in_candidates)
+    SELECT n_probes, n_targets, n_candidates,
+           CAST(1000000 - (n_candidates * 1000000)
+                // (n_probes * n_targets) AS BIGINT)
+               AS reduction_ratio_e6,
+           n_true_in_candidates,
+           CAST((n_true_in_candidates * 1000000) // n_probes AS BIGINT)
+               AS pairs_completeness_e6
+    FROM agg
+"""

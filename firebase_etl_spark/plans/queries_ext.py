@@ -6319,3 +6319,66 @@ def stream_count_min_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("g", "n_seen", *ests)
         .orderBy("g")
     )
+
+
+def customer_blocking_quality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Blocking-quality audit of the SymSpell linkage stage
+    (operators/linkage.py:blocked_candidates) — the two numbers every
+    record-linkage deployment must publish BEFORE trusting a blocking
+    scheme at 100 TB: REDUCTION RATIO (how much of the probe x target
+    pair space the blocks prune — the scalability claim) and PAIRS
+    COMPLETENESS (what fraction of true matches survive blocking —
+    the recall claim; deletion-neighborhood blocking is complete for
+    edit distance <= 1 by construction, so this row certifies 1e6
+    exactly and any regression in the variant index breaks the hash).
+    Same dirty-CRM fixture as customer_fuzzy_matches; integers only."""
+    from firebase_etl_spark.operators.linkage import blocked_candidates
+
+    c = load_table(spark, "customer", sf_dir)
+    pos = (F.lit(10) + F.col("c_custkey") % 8).cast("int")
+    probes = c.filter(F.col("c_custkey") % 40 == 7).select(
+        F.col("c_custkey").alias("probe_id"),
+        F.concat(
+            F.col("c_name").substr(F.lit(1), pos - 1),
+            F.col("c_name").substr(pos + 1, F.length("c_name")),
+        ).alias("probe_name"),
+    )
+    targets = c.select(
+        F.col("c_custkey").alias("target_id"),
+        F.col("c_name").alias("target_name"),
+    )
+    p = probes.select(
+        "probe_id", F.substring("probe_name", 10, 9).alias("probe_zone")
+    )
+    t = targets.select(
+        "target_id", F.substring("target_name", 10, 9).alias("target_zone")
+    )
+    cand = blocked_candidates(p, t).localCheckpoint(eager=True)
+    np_ = probes.agg(F.count(F.lit(1)).cast("long").alias("n_probes"))
+    nt = targets.agg(F.count(F.lit(1)).cast("long").alias("n_targets"))
+    nc = cand.agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates")
+    )
+    hit = cand.filter(F.col("probe_id") == F.col("target_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_true_in_candidates")
+    )
+    return (
+        np_.crossJoin(nt)
+        .crossJoin(nc)
+        .crossJoin(hit)
+        .select(
+            "n_probes",
+            "n_targets",
+            "n_candidates",
+            F.expr(
+                "1000000 - (n_candidates * 1000000)"
+                " DIV (n_probes * n_targets)"
+            ).cast("long").alias("reduction_ratio_e6"),
+            "n_true_in_candidates",
+            F.expr(
+                "(n_true_in_candidates * 1000000) DIV n_probes"
+            ).cast("long").alias("pairs_completeness_e6"),
+        )
+    )
