@@ -470,12 +470,14 @@ def dow_profile(df: DataFrame, ts_col: str = "ts") -> DataFrame:
 
 
 def theil_sen_trend(df: DataFrame, ts_col: str = "ts") -> DataFrame:
-    """Theil-Sen robust trend of the daily event-count series (Theil
-    1950 / Sen 1968): the MEDIAN of all pairwise day-to-day slopes —
-    the estimator that shrugs off the outlier days that drag an OLS
-    fit (events_trend_slopes' regression is the fragile twin; this is
-    what a monitoring pipeline trusts when ~29% of days can be
-    corrupt). Breakdown point 29.3%.
+    """Theil-Sen robust trend of the GLOBAL daily event-count series
+    (Theil 1950 / Sen 1968): the median of all pairwise day-to-day
+    slopes, breakdown point 29.3%. The all-integer single-series
+    variant beside events_trend_slopes' per-type form (which publishes
+    an interpolated 6dp-double median): here BOTH published statistics
+    are integer lower-medians, and the intercept ships too — the
+    estimate half of the pair whose significance half is
+    mann_kendall_test.
 
     Determinism: each pairwise slope quantizes ONCE to e6 through the
     shared sign-split division (slopes can be negative), then the

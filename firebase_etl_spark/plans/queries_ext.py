@@ -6061,11 +6061,14 @@ def events_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Theil-Sen robust daily trend (operators/timeseries.py:
-    theil_sen_trend): the 29%-breakdown median-of-slopes complement to
-    events_trend_slopes' OLS — the trend a monitoring pipeline trusts
-    when corrupt days exist. Integer lower-medians over the bounded
-    day spine; the oracle replays the identical e6 quantization and
+    """Theil-Sen robust trend of the GLOBAL daily series
+    (operators/timeseries.py:theil_sen_trend) in all-integer form:
+    where events_trend_slopes reports per-type slopes through an
+    interpolated 6dp-double median, this is the corpus-level read with
+    LOWER-MEDIAN integer selections (no doubles anywhere in the hashed
+    row) plus the intercept — the form whose z-test companion is
+    events_mann_kendall. Integer lower-medians over the bounded day
+    spine; the oracle replays the identical e6 quantization and
     selections."""
     from firebase_etl_spark.operators.timeseries import theil_sen_trend
 
