@@ -798,6 +798,12 @@ def modularity_report(
     (a k-means cell map, a blocking scheme) instead of running LPA."""
     if labels is None:
         labels = label_propagation(edges, src, dst, n_iter=n_iter)
+    # both inputs are re-referenced 3x below; without an eager cut each
+    # reference RE-INLINES its full lineage (the co-occurrence self-join
+    # and all n_iter LPA rounds — PLAN_AUDIT measured lineitem x32 /
+    # 150 exchanges before this). Both tables are edge/node-sized.
+    edges = edges.localCheckpoint(eager=True)
+    labels = labels.localCheckpoint(eager=True)
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     la = labels.select(
         F.col("node").alias("a"), F.col("community").alias("ca")

@@ -1151,6 +1151,10 @@ def classification_agreement_report(
         .filter(F.col("t").isNotNull() & F.col("p").isNotNull())
         .groupBy("t", "p")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        # class-pair-sized; every marginal below re-references it, and
+        # without an eager cut each one re-runs the corpus pass
+        # (PLAN_AUDIT measured documents x9 before this)
+        .localCheckpoint(eager=True)
     )
     rt = conf.groupBy(F.col("t").alias("label")).agg(
         F.sum("c").cast("long").alias("n_true")
