@@ -979,8 +979,9 @@ def binary_auc_report(
     side stays fixed-size at any corpus scale.
 
     Scale shape: one scan -> groupBy(score) map-side-combinable
-    histogram; the cumulative window runs over the bounded histogram
-    (single partition by design — codomain-sized, never corpus-sized).
+    histogram; prefix counts over the bounded histogram run as a
+    broadcast BNLJ self-join (the house bounded-spine pattern — no
+    global-order window anywhere; the scale-lint suite enforces it).
     Returns one row: (n_pos, n_neg, n_scored, u2, auc_e6); auc_e6 is
     NULL when a class is empty (AUC undefined)."""
     base = df.select(
@@ -990,12 +991,23 @@ def binary_auc_report(
     g = base.groupBy("s").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("y").cast("long").alias("npos"),
-    )
-    w = Window.orderBy("s").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    g2 = g.withColumn(
-        "cum_before", F.coalesce(F.sum("n").over(w), F.lit(0))
+    ).localCheckpoint(eager=True)  # histogram-sized; referenced twice
+    # strictly-smaller prefix counts via the broadcast BNLJ self-join
+    # (the km_curve/changepoint house pattern) — NEVER a global-order
+    # window, which would execute on one partition (scale-lint enforced)
+    g2 = (
+        g.alias("w")
+        .join(
+            F.broadcast(g.alias("v")),
+            F.col("v.s") < F.col("w.s"),
+            "left",
+        )
+        .groupBy(F.col("w.s"), F.col("w.n"), F.col("w.npos"))
+        .agg(F.coalesce(F.sum("v.n"), F.lit(0)).alias("cum_before"))
+        .select(
+            F.col("w.s").alias("s"), F.col("w.n").alias("n"),
+            F.col("w.npos").alias("npos"), "cum_before",
+        )
     )
     return g2.agg(
         F.sum("npos").cast("long").alias("n_pos"),

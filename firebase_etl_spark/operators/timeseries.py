@@ -489,9 +489,11 @@ def theil_sen_trend(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     Scale shape: ONE corpus aggregate to daily rows; the pair join and
     both median selections run on the bounded day spine (a T-day
     window is T(T-1)/2 pairs — calendar-bounded, never corpus-bounded;
-    3 years is ~600k pairs). The rank windows are single-partition BY
-    DESIGN over spine-sized data. Returns one row: (n_days, n_pairs,
-    slope_med_e6 per day, intercept_med_e6 at epoch day 0)."""
+    3 years is ~600k pairs). Medians select via distinct-value prefix
+    counts over broadcast BNLJ self-joins + TakeOrdered(1) — no
+    global-order window anywhere (scale-lint enforced). Returns one
+    row: (n_days, n_pairs, slope_med_e6 per day, intercept_med_e6 at
+    epoch day 0)."""
     from firebase_etl_spark.functions.portable_math import sdiv_scaled_sql
 
     daily = (
@@ -514,17 +516,34 @@ def theil_sen_trend(df: DataFrame, ts_col: str = "ts") -> DataFrame:
             ).cast("long").alias("slope_e6")
         )
     )
-    w = Window.orderBy("slope_e6")
-    med = (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .withColumn("cnt", F.count(F.lit(1)).over(
-            Window.partitionBy(F.lit(1))
-        ))
-        .filter(F.col("rn") == F.expr("(cnt + 1) DIV 2"))
-        .select(
-            F.col("slope_e6").alias("slope_med_e6"),
-            F.col("cnt").alias("n_pairs"),
+
+    def lower_median(vals: DataFrame, col: str) -> DataFrame:
+        """Lower median (k = (cnt+1) div 2 -th smallest) WITHOUT a
+        global-order window: distinct-value counts, strictly-<=
+        prefix counts via the broadcast BNLJ self-join (the house
+        bounded-spine pattern; scale-lint enforced), then the smallest
+        value whose prefix reaches k — a TakeOrdered(1) pull. Returns
+        one row: (med, cnt)."""
+        h = vals.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        h = h.localCheckpoint(eager=True)  # spine-sized, 2 consumers
+        tot = F.broadcast(h.agg(F.sum("c").alias("cnt")))
+        cum = (
+            h.alias("w")
+            .join(F.broadcast(h.alias("v")),
+                  F.col(f"v.{col}") <= F.col(f"w.{col}"))
+            .groupBy(F.col(f"w.{col}").alias("val"))
+            .agg(F.sum("v.c").alias("c_le"))
         )
+        return (
+            cum.crossJoin(tot)
+            .filter(F.col("c_le") >= F.expr("(cnt + 1) DIV 2"))
+            .orderBy("val")
+            .limit(1)
+            .select(F.col("val").alias("med"), "cnt")
+        )
+
+    med = lower_median(pairs, "slope_e6").select(
+        F.col("med").alias("slope_med_e6"), F.col("cnt").alias("n_pairs")
     )
     resid = daily.crossJoin(F.broadcast(med)).select(
         "slope_med_e6",
@@ -532,19 +551,18 @@ def theil_sen_trend(df: DataFrame, ts_col: str = "ts") -> DataFrame:
         (F.col("n") * 1_000_000 - F.col("slope_med_e6") * F.col("di"))
         .alias("b_e6"),
     )
-    wb = Window.orderBy("b_e6")
-    return (
-        resid.withColumn("rn", F.row_number().over(wb))
-        .withColumn("nd", F.count(F.lit(1)).over(
-            Window.partitionBy(F.lit(1))
-        ))
-        .filter(F.col("rn") == F.expr("(nd + 1) DIV 2"))
-        .select(
-            F.col("nd").cast("long").alias("n_days"),
-            F.col("n_pairs").cast("long").alias("n_pairs"),
-            F.col("slope_med_e6").cast("long").alias("slope_med_e6"),
-            F.col("b_e6").cast("long").alias("intercept_med_e6"),
-        )
+    bmed = lower_median(
+        resid.select("b_e6"), "b_e6"
+    ).select(
+        F.col("med").alias("intercept_med_e6"),
+        F.col("cnt").alias("n_days"),
+    )
+    one = med.crossJoin(F.broadcast(bmed))
+    return one.select(
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("slope_med_e6").cast("long").alias("slope_med_e6"),
+        F.col("intercept_med_e6").cast("long").alias("intercept_med_e6"),
     )
 
 
