@@ -119,6 +119,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_bm25_topk": QX.documents_bm25_topk,
         "documents_hybrid_rrf": QX.documents_hybrid_rrf,
         "doc_pmi_collocations": QX.doc_pmi_collocations,
+        # ---- OUTSIDE the 50-query window from here (the 22 session-2
+        # additions above displaced the tail of the planned re-evidence
+        # queue; displaced rows keep their older driver evidence plus
+        # the full strict local sweep + tests/test_oracle.py) ----
         "doc_lm_perplexity_report": QX.doc_lm_perplexity_report,
         "doc_entropy_report": QX.doc_entropy_report,
         "events_decay_engagement": QX.events_decay_engagement,
@@ -134,8 +138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_neyman_allocation": QX.lineitem_neyman_allocation,
         "documents_split_leakage_audit": QX.documents_split_leakage_audit,
         "user_ltv_cohorts": QX.user_ltv_cohorts,
-        # ---- OUTSIDE the 50-query window from here: r8
-        # re-evidence queue order - oldest driver evidence
+        # ---- r8 re-evidence queue continues: oldest driver evidence
         # first, the 45 freshly-r7-evidenced rows last ----
         "orders_rollup": QX.orders_rollup,
         "mktsegment_order_priority_pivot": QX.mktsegment_order_priority_pivot,
