@@ -119,7 +119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_bm25_topk": QX.documents_bm25_topk,
         "documents_hybrid_rrf": QX.documents_hybrid_rrf,
         "doc_pmi_collocations": QX.doc_pmi_collocations,
-        # ---- OUTSIDE the 50-query window from here (the 22 session-2
+        # ---- OUTSIDE the 50-query window from here (the 15 session-2
         # additions above displaced the tail of the planned re-evidence
         # queue; displaced rows keep their older driver evidence plus
         # the full strict local sweep + tests/test_oracle.py) ----
