@@ -324,6 +324,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_order_counts_having": Q.customer_order_counts_having,
         "revenue_by_region": Q.revenue_by_region,
         "customers_with_orders_semi": Q.customers_with_orders_semi,
+        # NEW (r8 session 3): below the 50-slot window - local strict
+        # evidence this round, driver evidence queued for r9.
+        "embedding_pca_top_component": QX.embedding_pca_top_component,
     }
 
 

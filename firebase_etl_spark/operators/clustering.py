@@ -449,3 +449,124 @@ def dbscan_report(
         )
         .limit(top)
     )
+
+
+def _tdiv(num: int, den: int) -> int:
+    """Sign-split truncating integer division — the Python twin of
+    portable_math.sdiv_scaled_sql's CASE (Spark DIV truncates, DuckDB
+    // truncates on integers; Python // floors, so split the sign)."""
+    if den == 0:
+        return 0
+    q = abs(num) // den
+    return q if num >= 0 else -q
+
+
+def pca_power_report(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    iters: int = 30,
+) -> DataFrame:
+    """Top principal component of the (quantized) unit-embedding
+    covariance via integer power iteration — the spectral companion to
+    anisotropy_report (which gives the MEAN cosine; this gives the
+    dominant DIRECTION and its variance share, the classic
+    'rogue dimension' / whitening diagnostic for embedding spaces,
+    Mu & Viswanath 2018).
+
+    Distributed shape (the 100 TB path): unit vectors are quantized to
+    1e-4-unit BIGINTs (the anisotropy_report convention), then ONE
+    mapInPandas pass accumulates the d x d integer Gram matrix
+    per Arrow batch (numpy int64 matmul; per-batch magnitude
+    <= batch_rows * 1e8, far inside int64) and emits d(d+1)/2 + d + 1
+    partial rows — a map-side-combinable aggregate of O(d^2) rows, no
+    shuffle of vector data, nothing O(n^2). The d^2-sized sums are
+    pulled to the driver (bounded, like kmeans_fit's k x dim pull) and
+    the power iteration runs in EXACT Python integers on the scatter
+    matrix M = n*G - s s^T (n^2 x the covariance — scale-free for
+    eigenvectors), so no overflow at any corpus size.
+
+    DETERMINISM: every step after quantization is integer-exact.
+    Each iteration renormalizes v to max|v_i| = 1e6 via sign-split
+    truncating division (_tdiv == the oracle's CASE + //); 'iters' is
+    FIXED (no convergence test — identical work on both engines). Sign
+    convention: the largest-|loading| dimension (lowest index on ties)
+    is made positive. Variance share = Rayleigh(M, v) / trace(M) in
+    e6 fixed point, integer-truncated.
+
+    Returns one row per dimension: (dim, loading_e6, var_share_e6,
+    n_vectors), ordered by dim.
+    """
+    q = df.filter(F.col(vec_col).isNotNull()).select(
+        F.transform(
+            normalized(_to_double(F.col(vec_col))),
+            lambda x: F.round(x * 10000.0, 0).cast("long"),
+        ).alias("c")
+    )
+
+    def gram(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(list(pdf["c"]), dtype="int64")
+            g = mat.T @ mat
+            s = mat.sum(axis=0)
+            d = mat.shape[1]
+            ii, jj = np.triu_indices(d)
+            out = pd.DataFrame(
+                {"i": ii, "j": jj, "v": g[ii, jj]}
+            )
+            dims = pd.DataFrame(
+                {"i": range(d), "j": [-1] * d, "v": s}
+            )
+            cnt = pd.DataFrame({"i": [-1], "j": [-1], "v": [len(pdf)]})
+            yield pd.concat([out, dims, cnt], ignore_index=True)
+
+    parts = (
+        q.mapInPandas(gram, "i int, j int, v long")
+        .groupBy("i", "j")
+        .agg(F.sum("v").alias("v"))
+        .collect()
+    )
+    s: dict[int, int] = {}
+    g: dict[tuple[int, int], int] = {}
+    n = 0
+    for r in parts:
+        if r["i"] == -1:
+            n = int(r["v"])
+        elif r["j"] == -1:
+            s[int(r["i"])] = int(r["v"])
+        else:
+            g[(int(r["i"]), int(r["j"]))] = int(r["v"])
+    d = len(s)
+    spark = df.sparkSession
+    if d == 0 or n == 0:
+        return spark.createDataFrame(
+            [], "dim int, loading_e6 long, var_share_e6 long,"
+            " n_vectors long"
+        )
+    m = [[0] * d for _ in range(d)]
+    for (i, j), val in g.items():
+        mv = n * val - s[i] * s[j]
+        m[i][j] = mv
+        m[j][i] = mv
+    v = [10**6] * d
+    w = [0] * d
+    for _ in range(iters):
+        w = [sum(m[i][j] * v[j] for j in range(d)) for i in range(d)]
+        vmax = max(abs(x) for x in w)
+        v = [_tdiv(x * 10**6, vmax) for x in w] if vmax else [0] * d
+    w = [sum(m[i][j] * v[j] for j in range(d)) for i in range(d)]
+    num = sum(v[i] * w[i] for i in range(d))
+    den = sum(x * x for x in v)
+    trace = sum(m[i][i] for i in range(d))
+    lam = _tdiv(num, den)
+    share = _tdiv(lam * 10**6, trace) if trace > 0 else 0
+    p = max(range(d), key=lambda i: (abs(v[i]), -i))
+    if v[p] < 0:
+        v = [-x for x in v]
+    rows = [(i, v[i], share, n) for i in range(d)]
+    return spark.createDataFrame(
+        rows, "dim int, loading_e6 long, var_share_e6 long, n_vectors long"
+    )

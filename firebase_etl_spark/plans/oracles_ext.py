@@ -7531,3 +7531,84 @@ ORACLES_EXT["customer_blocking_quality"] = r"""
                AS pairs_completeness_e6
     FROM agg
 """
+
+
+def _pca_oracle(iters: int = 30) -> str:
+    """Power-iteration twin of clustering.pca_power_report: the same
+    quantized scatter matrix M = n*G - s s^T (HUGEINT intermediates —
+    fine, the type lint covers FINAL outputs only), the same fixed
+    'iters' renormalized sign-split integer iterations as unrolled
+    MATERIALIZED CTEs (the Markov/pagerank lesson: un-materialized
+    chains re-inline exponentially), the same Rayleigh / trace share."""
+    it = []
+    prev = "v0"
+    for k in range(1, iters + 1):
+        it.append(f"""
+    w{k} AS MATERIALIZED (
+        SELECT mm.i, CAST(sum(mm.m * {prev}.x) AS HUGEINT) AS w
+        FROM mm JOIN {prev} ON mm.j = {prev}.i GROUP BY mm.i),
+    mx{k} AS MATERIALIZED (SELECT max(abs(w)) AS mx FROM w{k}),
+    v{k} AS MATERIALIZED (
+        SELECT i, CASE WHEN mx = 0 THEN CAST(0 AS HUGEINT)
+             WHEN w >= 0 THEN (w * 1000000) // mx
+             ELSE -((-w * 1000000) // mx) END AS x
+        FROM w{k} CROSS JOIN mx{k})""")
+        prev = f"v{k}"
+    steps = ",".join(it)
+    return f"""
+    WITH v AS MATERIALIZED (
+        SELECT list_transform(CAST(embedding AS DOUBLE[]),
+            x -> x / sqrt(list_inner_product(
+                CAST(embedding AS DOUBLE[]),
+                CAST(embedding AS DOUBLE[])))) AS u
+        FROM embeddings WHERE embedding IS NOT NULL
+    ), exv AS MATERIALIZED (
+        SELECT rid, pos - 1 AS i,
+               CAST(round(u[pos] * 10000.0, 0) AS BIGINT) AS c
+        FROM (SELECT row_number() OVER () AS rid, u FROM v),
+             unnest(range(1, len(u) + 1)) AS t(pos)
+    ), gg AS MATERIALIZED (
+        SELECT a.i, b.i AS j, CAST(sum(a.c * b.c) AS HUGEINT) AS g
+        FROM exv a JOIN exv b USING (rid) GROUP BY a.i, b.i
+    ), ss AS MATERIALIZED (
+        SELECT i, CAST(sum(c) AS HUGEINT) AS s FROM exv GROUP BY i
+    ), nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM v),
+    mm AS MATERIALIZED (
+        SELECT gg.i, gg.j, nn.n * gg.g - sa.s * sb.s AS m
+        FROM gg CROSS JOIN nn
+        JOIN ss sa ON gg.i = sa.i JOIN ss sb ON gg.j = sb.i
+    ),
+    v0 AS MATERIALIZED (
+        SELECT i, CAST(1000000 AS HUGEINT) AS x FROM ss),
+    {steps},
+    wf AS MATERIALIZED (
+        SELECT mm.i, CAST(sum(mm.m * {prev}.x) AS HUGEINT) AS w
+        FROM mm JOIN {prev} ON mm.j = {prev}.i GROUP BY mm.i),
+    ray AS (
+        SELECT CAST(sum(x.x * wf.w) AS HUGEINT) AS num,
+               CAST(sum(x.x * x.x) AS HUGEINT) AS den
+        FROM {prev} x JOIN wf ON x.i = wf.i),
+    tr AS (SELECT CAST(sum(m) AS HUGEINT) AS trace FROM mm WHERE i = j),
+    lam AS (
+        SELECT CASE WHEN den = 0 THEN CAST(0 AS HUGEINT)
+             WHEN num >= 0 THEN num // den
+             ELSE -((-num) // den) END AS l FROM ray),
+    sh AS (
+        SELECT CASE WHEN trace > 0 AND l >= 0 THEN (l * 1000000) // trace
+             WHEN trace > 0 THEN -((-l * 1000000) // trace)
+             ELSE CAST(0 AS HUGEINT) END AS share
+        FROM lam CROSS JOIN tr),
+    sgn AS (
+        SELECT CASE WHEN x < 0 THEN -1 ELSE 1 END AS f
+        FROM {prev} ORDER BY abs(x) DESC, i ASC LIMIT 1),
+    nv AS (SELECT CAST(count(*) AS BIGINT) AS nvec FROM v)
+    SELECT CAST(x.i AS INTEGER) AS dim,
+           CAST(x.x * sgn.f AS BIGINT) AS loading_e6,
+           CAST(sh.share AS BIGINT) AS var_share_e6,
+           nv.nvec AS n_vectors
+    FROM {prev} x CROSS JOIN sgn CROSS JOIN sh CROSS JOIN nv
+    ORDER BY dim
+"""
+
+
+ORACLES_EXT["embedding_pca_top_component"] = _pca_oracle()

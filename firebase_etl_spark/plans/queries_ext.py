@@ -6385,3 +6385,21 @@ def customer_blocking_quality(
             ).cast("long").alias("pairs_completeness_e6"),
         )
     )
+
+
+def embedding_pca_top_component(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top principal component + variance share of the embedding space
+    (operators/clustering.py:pca_power_report): the spectral 'rogue
+    dimension' diagnostic (Mu & Viswanath 2018) that tells you WHICH
+    direction anisotropy lives in and how much variance it eats —
+    what you check before whitening or all-but-the-top post-processing
+    of a 100 TB embedding store. One mapInPandas Gram pass (d^2
+    map-side-combinable integer partials, no shuffle of vectors),
+    exact-integer power iteration on the driver; oracle = the same 30
+    sign-split iterations as unrolled MATERIALIZED CTEs."""
+    from firebase_etl_spark.operators.clustering import pca_power_report
+
+    e = load_table(spark, "embeddings", sf_dir)
+    return pca_power_report(e)

@@ -3310,3 +3310,47 @@ def test_dataset_fingerprint_invariances(spark):
     assert mut[0]["dataset_xor"] != base[0]["dataset_xor"]
     assert mfp["id"]["col_xor"] == fp["id"]["col_xor"]
     assert mfp["v"]["col_xor"] != fp["v"]["col_xor"]
+
+
+def test_pca_power_matches_numpy_top_eigvec(spark):
+    import numpy as np
+
+    from firebase_etl_spark.operators.clustering import pca_power_report
+
+    rng = np.random.RandomState(7)
+    # anisotropic cloud: dominant direction along (3, 1, 0, ...) in 8-d
+    base = rng.randn(200, 8)
+    base[:, 0] += 3.0 * rng.randn(200)
+    base[:, 1] += base[:, 0] / 3.0
+    rows = [(i, [float(x) for x in base[i]], 0) for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = pca_power_report(df).collect()
+    assert len(out) == 8
+    v = np.array([r["loading_e6"] for r in sorted(out, key=lambda r: r["dim"])],
+                 dtype=float)
+    v /= np.linalg.norm(v)
+    # numpy truth on the same quantized unit vectors
+    x = base / np.linalg.norm(base, axis=1, keepdims=True)
+    c = np.round(x * 10000.0)
+    cov = np.cov(c.T, bias=True)
+    evals, evecs = np.linalg.eigh(cov)
+    top = evecs[:, -1]
+    assert abs(abs(float(v @ top))) > 0.999
+    share = out[0]["var_share_e6"] / 1e6
+    truth_share = evals[-1] / evals.sum()
+    assert abs(share - truth_share) < 0.01
+    assert out[0]["n_vectors"] == 200
+    # sign convention: largest-|loading| dim is positive
+    big = max(out, key=lambda r: (abs(r["loading_e6"]), -r["dim"]))
+    assert big["loading_e6"] > 0
+
+
+def test_pca_power_empty_input(spark):
+    from firebase_etl_spark.operators.clustering import pca_power_report
+
+    df = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    )
+    assert pca_power_report(df).count() == 0
