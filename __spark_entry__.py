@@ -327,6 +327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW (r8 session 3): below the 50-slot window - local strict
         # evidence this round, driver evidence queued for r9.
         "embedding_pca_top_component": QX.embedding_pca_top_component,
+        "orders_bootstrap_ci": QX.orders_bootstrap_ci,
     }
 
 

@@ -9,6 +9,8 @@ distributions as DataFrames.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1306,3 +1308,123 @@ def dataset_fingerprint(
         "n_rows",
         "dataset_xor",
     ).orderBy("col_name")
+
+
+#: cumulative Poisson(1) CDF thresholds scaled to 2^52 — computed ONCE
+#: here at import and baked into BOTH engines' SQL as integer literals
+#: (zero runtime float math; the md5 hash is uniform in [0, 2^52)).
+#: A replicate's weight for a row = #thresholds <= hash, i.e. the
+#: inverse-CDF Poisson(1) draw; capped at 9 where the tail mass is
+#: ~1.1e-7 of 2^52.
+_POISSON1_THRESH_E52: list[int] = []
+_acc = 0.0
+for _k in range(9):
+    _acc += math.exp(-1.0) / math.factorial(_k)
+    _POISSON1_THRESH_E52.append(min(int(_acc * (1 << 52)), 1 << 52))
+del _acc, _k
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    value_cents: str,
+    key_col: str,
+    reps: int = 64,
+) -> DataFrame:
+    """Poisson-bootstrap 95% CI for a mean — THE distributed bootstrap
+    (each row draws an independent Poisson(1) multiplicity per
+    replicate, so no replicate ever needs a global resample: one
+    projection fans each row out to `reps` (b, w, v) triples and one
+    map-side-combinable groupBy(b) finishes the job; Chamandy et al.
+    2012, "Estimating Uncertainty for Massive Data Streams", describe
+    exactly this shape at Google scale).
+
+    DETERMINISM: the multiplicity is the inverse-CDF Poisson(1) draw
+    from the md5 hash of (replicate id, row key) — uniform in
+    [0, 2^52), compared against the module-level integer thresholds
+    (_POISSON1_THRESH_E52, identical literals in the oracle). Replicate
+    means are truncating integer cent divisions; the CI is the 2nd /
+    63rd order statistic of the (default) 64 replicate means (the
+    nearest-rank 2.5% / 97.5% percentile for B=64), ties broken by
+    replicate id.
+
+    Returns ONE row: (n_rows, point_mean_cents, n_replicates,
+    ci_lo_cents, ci_hi_cents, ci_width_cents, boot_min_cents,
+    boot_max_cents)."""
+    base = df.select(
+        F.col(key_col).cast("string").alias("k"),
+        F.expr(value_cents).alias("v"),
+    ).filter(F.col("v").isNotNull())
+    w_expr = " + ".join(
+        f"(CASE WHEN u >= {t} THEN 1 ELSE 0 END)"
+        for t in _POISSON1_THRESH_E52
+    )
+    rep = (
+        base.select(
+            "k", "v",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(reps - 1))
+            ).alias("b"),
+        )
+        .withColumn(
+            "u",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("boot|"),
+                            F.col("b").cast("string"),
+                            F.lit("|"),
+                            F.col("k"),
+                        )
+                    ),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("long"),
+        )
+        .withColumn("w", F.expr(w_expr).cast("long"))
+    )
+    means = (
+        rep.groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("v")).alias("s"),
+            F.sum("w").alias("n"),
+        )
+        .select(
+            "b",
+            F.when(F.col("n") > 0, F.expr("s DIV n"))
+            .otherwise(F.lit(0))
+            .alias("m"),
+        )
+    )
+    lo_rank = max(1, (25 * reps) // 1000 + 1)
+    hi_rank = min(reps, (975 * reps) // 1000 + 1)
+    win = Window.orderBy("m", "b")
+    ranked = means.withColumn("r", F.row_number().over(win))
+    ci = ranked.agg(
+        F.max(F.when(F.col("r") == lo_rank, F.col("m"))).alias("lo"),
+        F.max(F.when(F.col("r") == hi_rank, F.col("m"))).alias("hi"),
+        F.min("m").alias("bmin"),
+        F.max("m").alias("bmax"),
+    )
+    point = base.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("v").alias("tot"),
+    ).select(
+        "n_rows",
+        F.when(F.col("n_rows") > 0, F.expr("tot DIV n_rows"))
+        .otherwise(F.lit(0))
+        .alias("point_mean_cents"),
+    )
+    return point.crossJoin(ci).select(
+        "n_rows",
+        "point_mean_cents",
+        F.lit(reps).cast("long").alias("n_replicates"),
+        F.col("lo").alias("ci_lo_cents"),
+        F.col("hi").alias("ci_hi_cents"),
+        (F.col("hi") - F.col("lo")).alias("ci_width_cents"),
+        F.col("bmin").alias("boot_min_cents"),
+        F.col("bmax").alias("boot_max_cents"),
+    )

@@ -7612,3 +7612,51 @@ def _pca_oracle(iters: int = 30) -> str:
 
 
 ORACLES_EXT["embedding_pca_top_component"] = _pca_oracle()
+
+
+ORACLES_EXT["orders_bootstrap_ci"] = """
+    WITH base AS (
+        SELECT CAST(o_orderkey AS VARCHAR) AS k,
+               CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS v
+        FROM orders WHERE o_totalprice IS NOT NULL
+    ), rep AS (
+        SELECT k, v, b
+        FROM base, unnest(range(0, 64)) AS t(b)
+    ), hw AS (
+        SELECT b, v,
+               ('0x' || substr(md5('boot|' || b || '|' || k), 1, 13))
+                   ::BIGINT AS u
+        FROM rep
+    ), wt AS (
+        SELECT b, v, (CASE WHEN u >= 1656781714176974 THEN 1 ELSE 0 END) + (CASE WHEN u >= 3313563428353948 THEN 1 ELSE 0 END) + (CASE WHEN u >= 4141954285442435 THEN 1 ELSE 0 END) + (CASE WHEN u >= 4418084571138597 THEN 1 ELSE 0 END) + (CASE WHEN u >= 4487117142562638 THEN 1 ELSE 0 END) + (CASE WHEN u >= 4500923656847446 THEN 1 ELSE 0 END) + (CASE WHEN u >= 4503224742561580 THEN 1 ELSE 0 END) + (CASE WHEN u >= 4503553469092171 THEN 1 ELSE 0 END) + (CASE WHEN u >= 4503594559908495 THEN 1 ELSE 0 END) AS w FROM hw
+    ), means AS (
+        SELECT b,
+               CASE WHEN sum(w) > 0
+                    THEN CAST(sum(w * v) AS HUGEINT)
+                         // CAST(sum(w) AS HUGEINT)
+                    ELSE 0 END AS m
+        FROM wt GROUP BY b
+    ), ranked AS (
+        SELECT m, row_number() OVER (ORDER BY m, b) AS r FROM means
+    ), ci AS (
+        SELECT max(CASE WHEN r = 2 THEN m END) AS lo,
+               max(CASE WHEN r = 63 THEN m END) AS hi,
+               min(m) AS bmin, max(m) AS bmax
+        FROM ranked
+    ), pt AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CASE WHEN count(*) > 0
+                    THEN CAST(sum(v) AS HUGEINT) // count(*)
+                    ELSE 0 END AS pm
+        FROM base
+    )
+    SELECT pt.n_rows,
+           CAST(pt.pm AS BIGINT) AS point_mean_cents,
+           CAST(64 AS BIGINT) AS n_replicates,
+           CAST(ci.lo AS BIGINT) AS ci_lo_cents,
+           CAST(ci.hi AS BIGINT) AS ci_hi_cents,
+           CAST(ci.hi - ci.lo AS BIGINT) AS ci_width_cents,
+           CAST(ci.bmin AS BIGINT) AS boot_min_cents,
+           CAST(ci.bmax AS BIGINT) AS boot_max_cents
+    FROM pt CROSS JOIN ci
+"""

@@ -6403,3 +6403,22 @@ def embedding_pca_top_component(
 
     e = load_table(spark, "embeddings", sf_dir)
     return pca_power_report(e)
+
+
+def orders_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI for mean order value
+    (operators/stats.py:poisson_bootstrap_ci, 64 replicates): the
+    uncertainty quantification a 100 TB pipeline attaches to its
+    headline metrics — no global resampling, each row draws a
+    deterministic hash-seeded Poisson(1) multiplicity per replicate,
+    so the whole bootstrap is one projection + one map-side-combinable
+    aggregate (Chamandy et al. 2012). All-integer output (truncated
+    cent means, nearest-rank CI order statistics)."""
+    from firebase_etl_spark.operators.stats import poisson_bootstrap_ci
+
+    o = load_table(spark, "orders", sf_dir)
+    return poisson_bootstrap_ci(
+        o,
+        "CAST(round(o_totalprice * 100.0, 0) AS BIGINT)",
+        "o_orderkey",
+    )

@@ -3354,3 +3354,29 @@ def test_pca_power_empty_input(spark):
         [], "vec_id long, embedding array<float>, label int"
     )
     assert pca_power_report(df).count() == 0
+
+
+def test_poisson_bootstrap_ci_constant_degenerate(spark):
+    from firebase_etl_spark.operators.stats import poisson_bootstrap_ci
+
+    df = spark.createDataFrame(
+        [(i, 500) for i in range(50)], "id long, c long"
+    )
+    r = poisson_bootstrap_ci(df, "c", "id").collect()[0]
+    assert r["point_mean_cents"] == 500
+    assert r["ci_lo_cents"] == 500 and r["ci_hi_cents"] == 500
+    assert r["ci_width_cents"] == 0
+    assert r["n_rows"] == 50 and r["n_replicates"] == 64
+
+
+def test_poisson_bootstrap_ci_brackets_mean(spark):
+    from firebase_etl_spark.operators.stats import poisson_bootstrap_ci
+
+    df = spark.createDataFrame(
+        [(i, (i % 100) * 10) for i in range(400)], "id long, c long"
+    )
+    r = poisson_bootstrap_ci(df, "c", "id").collect()[0]
+    assert r["ci_lo_cents"] <= r["point_mean_cents"] <= r["ci_hi_cents"]
+    assert 0 < r["ci_width_cents"] < 200  # sd ~289, se ~14.5 -> ~4*se
+    assert r["boot_min_cents"] <= r["ci_lo_cents"]
+    assert r["boot_max_cents"] >= r["ci_hi_cents"]
