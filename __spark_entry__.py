@@ -328,6 +328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # evidence this round, driver evidence queued for r9.
         "embedding_pca_top_component": QX.embedding_pca_top_component,
         "orders_bootstrap_ci": QX.orders_bootstrap_ci,
+        "events_fdr_screen": QX.events_fdr_screen,
     }
 
 

@@ -1428,3 +1428,142 @@ def poisson_bootstrap_ci(
         F.col("bmin").alias("boot_min_cents"),
         F.col("bmax").alias("boot_max_cents"),
     )
+
+
+#: two-sided BH step-up critical values Phi^-1(1 - 0.025 * i / 5) for
+#: m = 5 simultaneous tests at FDR alpha = 0.05, e6 fixed point —
+#: standard-normal quantiles as shared integer literals (the
+#: doc_retrieval_eval hardcoded-log2 convention: no runtime inverse
+#: CDF on either engine). Index = BH rank i (1 = largest |z|).
+BH_CRIT_E6_M5: tuple[int, ...] = (
+    2575829,  # Phi^-1(0.995)  = 2.5758293035489004
+    2326348,  # Phi^-1(0.990)  = 2.3263478740408408
+    2170090,  # Phi^-1(0.985)  = 2.1700903775845606
+    2053749,  # Phi^-1(0.980)  = 2.0537489106318225
+    1959964,  # Phi^-1(0.975)  = 1.9599639845400545
+)
+
+
+def welch_z_sql() -> str:
+    """Welch two-sample z statistic as ONE shared SQL expression string
+    over exact integer moment columns (na, sa, ssa, nb, sb, ssb) —
+    evaluated verbatim by Spark and DuckDB so every double op is the
+    identical correctly-rounded IEEE tree (the changepoint big-branch
+    convention). NULL when either arm has < 2 rows or both variances
+    are zero."""
+    ma = "(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE))"
+    mb = "(CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))"
+    va = (
+        f"((CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * {ma})"
+        " / CAST(na - 1 AS DOUBLE))"
+    )
+    vb = (
+        f"((CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * {mb})"
+        " / CAST(nb - 1 AS DOUBLE))"
+    )
+    se2 = f"({va} / CAST(na AS DOUBLE) + {vb} / CAST(nb AS DOUBLE))"
+    return (
+        f"CASE WHEN na > 1 AND nb > 1 AND {se2} > 0.0"
+        f" THEN ({ma} - {mb}) / sqrt({se2}) END"
+    )
+
+
+def ab_fdr_screen(
+    df: DataFrame,
+    group_col: str,
+    arm_col: str,
+    value_c_expr: str,
+    crit_e6: tuple[int, ...] = BH_CRIT_E6_M5,
+) -> DataFrame:
+    """Benjamini-Hochberg FDR screen over per-group A/B mean
+    differences — the multiple-comparisons gate a metrics platform
+    runs when ONE experiment moves MANY metrics (m simultaneous Welch
+    tests; controlling per-test alpha would fire ~alpha*m false alarms
+    per experiment; BH 1995 bounds the FALSE DISCOVERY RATE instead).
+
+    Exact integer moments per (group, arm) — one map-side-combinable
+    aggregate, m-row everything after (sums of squared centi-units
+    stay in int64 to ~2.9e9 rows at value <= 560). The z statistic is
+    the shared welch_z_sql() double tree quantized ONCE at e6; BH is
+    pure integer/rank logic: rank groups by |z| descending, compare
+    against the hardcoded rank-indexed critical values, reject every
+    rank up to the LARGEST rank that clears its threshold (step-up).
+
+    Returns one row per group: (group, n_a, n_b, mean_a_e6, mean_b_e6,
+    z_e6, bh_rank, crit_e6, rejected), ordered by bh_rank."""
+    from firebase_etl_spark.functions.portable_math import (
+        fixed_e6_expr,
+        sdiv_scaled_sql,
+    )
+
+    arm = F.col(arm_col)
+    v = F.expr(value_c_expr)
+    m = (
+        df.groupBy(F.col(group_col).alias("g"))
+        .agg(
+            F.sum(F.when(arm == 0, 1).otherwise(0)).cast("long")
+            .alias("na"),
+            F.coalesce(
+                F.sum(F.when(arm == 0, v)), F.lit(0)
+            ).cast("long").alias("sa"),
+            F.coalesce(
+                F.sum(F.when(arm == 0, v * v)), F.lit(0)
+            ).cast("long").alias("ssa"),
+            F.sum(F.when(arm == 1, 1).otherwise(0)).cast("long")
+            .alias("nb"),
+            F.coalesce(
+                F.sum(F.when(arm == 1, v)), F.lit(0)
+            ).cast("long").alias("sb"),
+            F.coalesce(
+                F.sum(F.when(arm == 1, v * v)), F.lit(0)
+            ).cast("long").alias("ssb"),
+        )
+    )
+    z = m.withColumn(
+        "z_e6",
+        F.expr(
+            f"CASE WHEN ({welch_z_sql()}) IS NOT NULL"
+            f" THEN {fixed_e6_expr(welch_z_sql())} END"
+        ),
+    )
+    win = Window.orderBy(
+        F.desc(F.abs(F.coalesce(F.col("z_e6"), F.lit(0)))), F.col("g")
+    )
+    crit_case = " ".join(
+        f"WHEN bh_rank = {i + 1} THEN CAST({c} AS BIGINT)"
+        for i, c in enumerate(crit_e6)
+    )
+    ranked = (
+        z.withColumn("bh_rank", F.row_number().over(win))
+        .withColumn("crit_e6", F.expr(f"CASE {crit_case} END"))
+        .withColumn(
+            "sig_raw",
+            (F.col("z_e6").isNotNull())
+            & (F.col("crit_e6").isNotNull())
+            & (F.abs(F.col("z_e6")) >= F.col("crit_e6")),
+        )
+    )
+    kmax = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("sig_raw"), F.col("bh_rank"))), F.lit(0)
+        ).alias("k")
+    )
+    mean_a = sdiv_scaled_sql("sa * 10000", "na", 1, "DIV")
+    mean_b = sdiv_scaled_sql("sb * 10000", "nb", 1, "DIV")
+    return (
+        ranked.crossJoin(F.broadcast(kmax))
+        .select(
+            F.col("g").alias("group_key"),
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            F.expr(f"CASE WHEN na > 0 THEN {mean_a} END")
+            .alias("mean_a_e6"),
+            F.expr(f"CASE WHEN nb > 0 THEN {mean_b} END")
+            .alias("mean_b_e6"),
+            "z_e6",
+            "bh_rank",
+            "crit_e6",
+            (F.col("bh_rank") <= F.col("k")).alias("rejected"),
+        )
+        .orderBy("bh_rank")
+    )

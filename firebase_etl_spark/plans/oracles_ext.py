@@ -7660,3 +7660,80 @@ ORACLES_EXT["orders_bootstrap_ci"] = """
            CAST(ci.bmax AS BIGINT) AS boot_max_cents
     FROM pt CROSS JOIN ci
 """
+
+
+def _fdr_oracle() -> str:
+    """BH-FDR twin: the same exact integer moments, the same shared
+    welch_z_sql() double tree (imported, not re-stated), the same
+    rank-indexed hardcoded critical values and step-up integer logic."""
+    from firebase_etl_spark.functions.portable_math import fixed_e6_expr
+    from firebase_etl_spark.operators.stats import (
+        BH_CRIT_E6_M5,
+        welch_z_sql,
+    )
+
+    wz = welch_z_sql()
+    crit_case = " ".join(
+        f"WHEN bh_rank = {i + 1} THEN CAST({c} AS BIGINT)"
+        for i, c in enumerate(BH_CRIT_E6_M5)
+    )
+    return f"""
+    WITH base AS (
+        SELECT event_type AS g, CAST(user_id % 2 AS INT) AS arm,
+               CAST(round(value * 100.0, 0) AS BIGINT) AS v
+        FROM events
+        WHERE user_id IS NOT NULL AND value IS NOT NULL
+          AND event_type IS NOT NULL
+    ), m AS (
+        SELECT g,
+            CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS na,
+            CAST(coalesce(sum(CASE WHEN arm = 0 THEN v END), 0)
+                AS BIGINT) AS sa,
+            CAST(coalesce(sum(CASE WHEN arm = 0 THEN v * v END), 0)
+                AS BIGINT) AS ssa,
+            CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS nb,
+            CAST(coalesce(sum(CASE WHEN arm = 1 THEN v END), 0)
+                AS BIGINT) AS sb,
+            CAST(coalesce(sum(CASE WHEN arm = 1 THEN v * v END), 0)
+                AS BIGINT) AS ssb
+        FROM base GROUP BY g
+    ), z AS (
+        SELECT *, CASE WHEN ({wz}) IS NOT NULL
+                       THEN {fixed_e6_expr(wz)} END AS z_e6
+        FROM m
+    ), r AS (
+        SELECT *, row_number() OVER (
+            ORDER BY abs(coalesce(z_e6, 0)) DESC, g) AS bh_rank
+        FROM z
+    ), c AS (
+        SELECT *, CASE {crit_case} END AS crit_e6
+        FROM r
+    ), cs AS (
+        SELECT *, (z_e6 IS NOT NULL AND crit_e6 IS NOT NULL
+                   AND abs(z_e6) >= crit_e6) AS sig_raw
+        FROM c
+    ), kk AS (
+        SELECT coalesce(max(CASE WHEN sig_raw THEN bh_rank END), 0)
+            AS k
+        FROM cs
+    )
+    SELECT g AS group_key, na AS n_a, nb AS n_b,
+           CASE WHEN na > 0 THEN
+               CASE WHEN (sa * 10000) >= 0
+                    THEN ((sa * 10000) * 1) // (na)
+                    ELSE -((-(sa * 10000) * 1) // (na)) END
+           END AS mean_a_e6,
+           CASE WHEN nb > 0 THEN
+               CASE WHEN (sb * 10000) >= 0
+                    THEN ((sb * 10000) * 1) // (nb)
+                    ELSE -((-(sb * 10000) * 1) // (nb)) END
+           END AS mean_b_e6,
+           z_e6, CAST(bh_rank AS BIGINT) AS bh_rank, crit_e6,
+           bh_rank <= kk.k AS rejected
+    FROM cs CROSS JOIN kk ORDER BY bh_rank
+"""
+
+
+ORACLES_EXT["events_fdr_screen"] = _fdr_oracle()

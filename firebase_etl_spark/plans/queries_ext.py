@@ -6422,3 +6422,30 @@ def orders_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(round(o_totalprice * 100.0, 0) AS BIGINT)",
         "o_orderkey",
     )
+
+
+def events_fdr_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR screen across the five event-type metric
+    movements of the id-parity A/B split (operators/stats.py:
+    ab_fdr_screen): m = 5 simultaneous Welch tests, BH step-up against
+    hardcoded Phi^-1 critical values — the multiple-comparisons gate
+    that keeps a metrics platform from shipping alpha*m false alarms
+    per experiment. Exact integer moments, shared double z tree
+    quantized once, integer rank logic after."""
+    from firebase_etl_spark.operators.stats import ab_fdr_screen
+
+    e = (
+        load_table(spark, "events", sf_dir)
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("value").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .withColumn("arm", (F.col("user_id") % 2).cast("int"))
+    )
+    return ab_fdr_screen(
+        e,
+        "event_type",
+        "arm",
+        "CAST(round(value * 100.0, 0) AS BIGINT)",
+    )

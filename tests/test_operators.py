@@ -3380,3 +3380,38 @@ def test_poisson_bootstrap_ci_brackets_mean(spark):
     assert 0 < r["ci_width_cents"] < 200  # sd ~289, se ~14.5 -> ~4*se
     assert r["boot_min_cents"] <= r["ci_lo_cents"]
     assert r["boot_max_cents"] >= r["ci_hi_cents"]
+
+
+def test_ab_fdr_screen_step_up_logic(spark):
+    from firebase_etl_spark.operators.stats import ab_fdr_screen
+
+    # group A: huge true shift (z >> 2.58); B: none; C: none.
+    rows = []
+    for i in range(400):
+        rows.append(("A", i % 2, 1000 + (i % 2) * 500 + (i % 7)))
+        rows.append(("B", i % 2, 2000 + (i % 5)))
+        rows.append(("C", i % 2, 3000 + (i % 3)))
+    df = spark.createDataFrame(rows, "g string, arm int, v long")
+    out = ab_fdr_screen(df, "g", "arm", "v").collect()
+    by = {r["group_key"]: r for r in out}
+    assert by["A"]["bh_rank"] == 1 and by["A"]["rejected"]
+    assert not by["B"]["rejected"] and not by["C"]["rejected"]
+    # value_c_expr was passed raw v, so means are v-units * 1e4:
+    # the 500-unit arm shift reads as 5e6, +/- the i%7 parity noise
+    diff = by["A"]["mean_b_e6"] - by["A"]["mean_a_e6"]
+    assert abs(diff - 500 * 10000) < 10000
+    # ranks are a permutation 1..3 and crit is monotone decreasing
+    ranks = sorted(r["bh_rank"] for r in out)
+    assert ranks == [1, 2, 3]
+    crits = [r["crit_e6"] for r in sorted(out, key=lambda r: r["bh_rank"])]
+    assert crits == sorted(crits, reverse=True)
+
+
+def test_ab_fdr_screen_null_z_small_arm(spark):
+    from firebase_etl_spark.operators.stats import ab_fdr_screen
+
+    df = spark.createDataFrame(
+        [("A", 0, 10), ("A", 1, 20)], "g string, arm int, v long"
+    )
+    r = ab_fdr_screen(df, "g", "arm", "v").collect()[0]
+    assert r["z_e6"] is None and not r["rejected"]
