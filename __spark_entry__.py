@@ -329,6 +329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pca_top_component": QX.embedding_pca_top_component,
         "orders_bootstrap_ci": QX.orders_bootstrap_ci,
         "events_fdr_screen": QX.events_fdr_screen,
+        "doc_js_divergence": QX.doc_js_divergence,
     }
 
 

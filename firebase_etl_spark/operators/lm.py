@@ -643,3 +643,120 @@ def kneser_ney_scores(
     finally:
         bg.unpersist()
     return out
+
+
+#: the shared per-type JSD contribution (nats): p*ln(p/m) + q*ln(q/m)
+#: with p = a/ta, q = b/tb, m = (p+q)/2 reduces to all-INTEGER ln args
+#: — ln(2*a*tb) - ln(a*tb + b*ta) for the P side (symmetrically for Q)
+#: — so the only doubles are the two weight ratios and the portable-ln
+#: outputs, multiplied in ONE shared tree on both engines.
+_JSD_ARG_A = "CASE WHEN a > 0 THEN 2 * a * tb ELSE 1 END"
+_JSD_ARG_B = "CASE WHEN b > 0 THEN 2 * b * ta ELSE 1 END"
+_JSD_ARG_D = "a * tb + b * ta"
+
+
+def _jsd_term_sql() -> str:
+    from firebase_etl_spark.functions.portable_math import dlit
+
+    half, zero = dlit(0.5), dlit(0.0)
+    pa = "(CAST(a AS DOUBLE) / CAST(ta AS DOUBLE))"
+    pb = "(CAST(b AS DOUBLE) / CAST(tb AS DOUBLE))"
+    return (
+        f"(CASE WHEN a > 0 THEN {pa} * (__lna - __lnd) ELSE {zero} END"
+        f" + CASE WHEN b > 0 THEN {pb} * (__lnb - __lnd)"
+        f" ELSE {zero} END) * {half}"
+    )
+
+
+def js_divergence_report(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between per-group unigram
+    distributions — the bounded, symmetric corpus-drift distance
+    (0 = identical token mix, ln 2 = disjoint) that mixture curation
+    uses to quantify how far two slices' vocabularies sit apart; the
+    distribution-level complement to events_psi_drift's per-metric
+    screen and doc_source_drift's TV distance.
+
+    Scale shape: one tokenize + (group, token) count, then each
+    vocabulary row joins the g(g-1)/2 group-pair spine via a broadcast
+    non-equi join (a type appears in at most g-1 pairs — vocabulary-
+    sized work, never corpus-sized). All ln arguments are INTEGERS
+    (see _JSD_ARG_*; exact while tokens_a * tokens_b < 2^62 — ~2e9
+    tokens per group; past that run on the curation sample), each
+    per-type term quantizes once at e6 and the pair JSD is an integer
+    sum. Returns (lang_a, lang_b, n_tokens_a, n_tokens_b, n_types_a,
+    n_types_b, n_types_shared, jsd_e6) per pair."""
+    toks = (
+        df.filter(
+            F.col(group_col).isNotNull() & F.col(text_col).isNotNull()
+        )
+        .select(
+            F.col(group_col).alias("g"),
+            F.explode(tokenize(text_col)).alias("w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    tf = toks.groupBy("g", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = tf.groupBy("g").agg(F.sum("c").cast("long").alias("t"))
+    a_t = tot.select(
+        F.col("g").alias("ga"), F.col("t").alias("ta")
+    )
+    b_t = tot.select(
+        F.col("g").alias("gb"), F.col("t").alias("tb")
+    )
+    pr = F.broadcast(
+        a_t.crossJoin(b_t).filter(F.col("ga") < F.col("gb"))
+    )
+    grid = (
+        tf.join(
+            pr,
+            (F.col("g") == F.col("ga")) | (F.col("g") == F.col("gb")),
+        )
+        .groupBy("ga", "gb", "ta", "tb", "w")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("g") == F.col("ga"), F.col("c"))),
+                F.lit(0),
+            ).cast("long").alias("a"),
+            F.coalesce(
+                F.sum(F.when(F.col("g") == F.col("gb"), F.col("c"))),
+                F.lit(0),
+            ).cast("long").alias("b"),
+        )
+        .withColumn("arga", F.expr(_JSD_ARG_A))
+        .withColumn("argb", F.expr(_JSD_ARG_B))
+        .withColumn("argd", F.expr(_JSD_ARG_D))
+    )
+    grid = with_ln(grid, "arga", "__lna")
+    grid = with_ln(grid, "argb", "__lnb")
+    grid = with_ln(grid, "argd", "__lnd")
+    per = grid.withColumn("t_e6", F.expr(fixed_e6_expr(_jsd_term_sql())))
+    return (
+        per.groupBy("ga", "gb")
+        .agg(
+            F.max("ta").alias("n_tokens_a"),
+            F.max("tb").alias("n_tokens_b"),
+            F.sum(F.when(F.col("a") > 0, 1).otherwise(0))
+            .cast("long").alias("n_types_a"),
+            F.sum(F.when(F.col("b") > 0, 1).otherwise(0))
+            .cast("long").alias("n_types_b"),
+            F.sum(
+                F.when((F.col("a") > 0) & (F.col("b") > 0), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_types_shared"),
+            F.sum("t_e6").cast("long").alias("jsd_e6"),
+        )
+        .select(
+            F.col("ga").alias("lang_a"),
+            F.col("gb").alias("lang_b"),
+            "n_tokens_a", "n_tokens_b",
+            "n_types_a", "n_types_b", "n_types_shared",
+            "jsd_e6",
+        )
+        .orderBy("lang_a", "lang_b")
+    )

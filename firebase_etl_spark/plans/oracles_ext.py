@@ -7737,3 +7737,72 @@ def _fdr_oracle() -> str:
 
 
 ORACLES_EXT["events_fdr_screen"] = _fdr_oracle()
+
+
+def _jsd_oracle() -> str:
+    """JSD twin: identical integer ln args (shared _JSD_ARG_*
+    strings), identical per-type double tree (shared _jsd_term_sql),
+    e6-quantized per type, integer-summed per pair."""
+    from firebase_etl_spark.functions.portable_math import (
+        fixed_e6_expr,
+        ln_select_sql,
+    )
+    from firebase_etl_spark.operators.lm import (
+        _JSD_ARG_A,
+        _JSD_ARG_B,
+        _JSD_ARG_D,
+        _jsd_term_sql,
+    )
+
+    chain = ln_select_sql(
+        "SELECT * FROM args",
+        [("arga", "__lna"), ("argb", "__lnb"), ("argd", "__lnd")],
+    )
+    return f"""
+    WITH toks AS (
+        SELECT lang AS g,
+               unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                   AS w
+        FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL
+    ), tf AS (
+        SELECT g, w, CAST(count(*) AS BIGINT) AS c
+        FROM toks WHERE w <> '' GROUP BY g, w
+    ), tot AS (
+        SELECT g, CAST(sum(c) AS BIGINT) AS t FROM tf GROUP BY g
+    ), pr AS (
+        SELECT a.g AS ga, b.g AS gb, a.t AS ta, b.t AS tb
+        FROM tot a, tot b WHERE a.g < b.g
+    ), grid AS (
+        SELECT pr.ga, pr.gb, pr.ta, pr.tb, tf.w,
+               CAST(coalesce(
+                   sum(CASE WHEN tf.g = pr.ga THEN c END), 0)
+                   AS BIGINT) AS a,
+               CAST(coalesce(
+                   sum(CASE WHEN tf.g = pr.gb THEN c END), 0)
+                   AS BIGINT) AS b
+        FROM pr JOIN tf ON tf.g = pr.ga OR tf.g = pr.gb
+        GROUP BY 1, 2, 3, 4, 5
+    ), args AS (
+        SELECT *, {_JSD_ARG_A} AS arga, {_JSD_ARG_B} AS argb,
+               {_JSD_ARG_D} AS argd
+        FROM grid
+    ), per AS (
+        SELECT ga, gb, ta, tb, a, b,
+               {fixed_e6_expr(_jsd_term_sql())} AS t_e6
+        FROM ({chain})
+    )
+    SELECT ga AS lang_a, gb AS lang_b,
+           CAST(max(ta) AS BIGINT) AS n_tokens_a,
+           CAST(max(tb) AS BIGINT) AS n_tokens_b,
+           CAST(sum(CASE WHEN a > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_types_a,
+           CAST(sum(CASE WHEN b > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_types_b,
+           CAST(sum(CASE WHEN a > 0 AND b > 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_types_shared,
+           CAST(sum(t_e6) AS BIGINT) AS jsd_e6
+    FROM per GROUP BY ga, gb ORDER BY lang_a, lang_b
+"""
+
+
+ORACLES_EXT["doc_js_divergence"] = _jsd_oracle()

@@ -6449,3 +6449,17 @@ def events_fdr_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "arm",
         "CAST(round(value * 100.0, 0) AS BIGINT)",
     )
+
+
+def doc_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between language unigram
+    distributions (operators/lm.py:js_divergence_report): the bounded
+    symmetric corpus-distance a mixture curator reads before
+    reweighting slices — 0 = same token mix, ln 2 = disjoint
+    vocabularies. Vocabulary-sized pair work via a broadcast pair
+    spine; all-integer portable-ln arguments; per-type terms quantized
+    once and integer-summed."""
+    from firebase_etl_spark.operators.lm import js_divergence_report
+
+    d = load_table(spark, "documents", sf_dir)
+    return js_divergence_report(d, "lang", "text")

@@ -3415,3 +3415,24 @@ def test_ab_fdr_screen_null_z_small_arm(spark):
     )
     r = ab_fdr_screen(df, "g", "arm", "v").collect()[0]
     assert r["z_e6"] is None and not r["rejected"]
+
+
+def test_js_divergence_identical_and_disjoint(spark):
+    from firebase_etl_spark.operators.lm import js_divergence_report
+
+    df = spark.createDataFrame(
+        [
+            ("a", "x y z x"), ("b", "x y z x"),     # identical mixes
+            ("c", "p q r s p q"),                     # disjoint from a
+        ],
+        "lang string, text string",
+    )
+    out = {(r["lang_a"], r["lang_b"]): r
+           for r in js_divergence_report(df).collect()}
+    assert out[("a", "b")]["jsd_e6"] == 0
+    assert out[("a", "b")]["n_types_shared"] == 3
+    dis = out[("a", "c")]
+    assert dis["n_types_shared"] == 0
+    # disjoint supports: JSD == ln 2 (within per-type e6 quantization)
+    assert abs(dis["jsd_e6"] - 693147) <= len("xyzpqrs")
+    assert out[("b", "c")]["jsd_e6"] == dis["jsd_e6"]
