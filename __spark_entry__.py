@@ -330,6 +330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_bootstrap_ci": QX.orders_bootstrap_ci,
         "events_fdr_screen": QX.events_fdr_screen,
         "doc_js_divergence": QX.doc_js_divergence,
+        "customer_golden_records": QX.customer_golden_records,
     }
 
 

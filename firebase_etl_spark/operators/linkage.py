@@ -261,3 +261,63 @@ def fellegi_sunter_report(
         )
         .orderBy("band")
     )
+
+
+def golden_records(
+    stacked: DataFrame,
+    entity_col: str = "entity_id",
+    min_records: int = 2,
+    top: int = 25,
+) -> DataFrame:
+    """Survivorship (golden-record construction) over a multi-source
+    record stack — the step AFTER linkage in master-data management:
+    once records are grouped by entity, elect one value per FIELD by
+    explicit rules and surface the conflicts the merge papered over.
+
+    Input: one row per source record with columns (entity_col, source
+    STRING, prio BIGINT — source trust rank, unique per entity's
+    records, ts BIGINT — record freshness, name STRING, bal_cents
+    BIGINT NULLABLE, nation BIGINT NULLABLE).
+
+    Rules (each a single max_by over the deterministic ord key
+    ts*10 + prio — unique because prios are distinct within an
+    entity, so no engine-dependent tie exists):
+    - golden_name: freshest record wins (ord).
+    - golden_bal_cents: freshest NON-NULL balance (ord masked NULL
+      when bal is NULL — max_by/arg_max skip NULL keys on both
+      engines).
+    - golden_nation: highest-TRUST non-null (prio masked likewise).
+
+    One map-side-combinable groupBy; no windows, no self-joins. The
+    report keeps merge-audit columns (record/source counts, distinct
+    name count, balance spread) and returns the `top` most conflicted
+    entities (balance spread desc, entity asc) with >= min_records —
+    the review queue a data steward actually reads."""
+    ord_ = (F.col("ts") * 10 + F.col("prio")).alias("ord")
+    base = stacked.select(
+        F.col(entity_col).alias("entity_id"),
+        "source", "prio", "ts", "name", "bal_cents", "nation",
+        ord_,
+    )
+    g = base.groupBy("entity_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_records"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.expr("max_by(name, ord)").alias("golden_name"),
+        F.expr(
+            "max_by(bal_cents,"
+            " CASE WHEN bal_cents IS NOT NULL THEN ord END)"
+        ).alias("golden_bal_cents"),
+        F.expr(
+            "max_by(nation,"
+            " CASE WHEN nation IS NOT NULL THEN prio END)"
+        ).alias("golden_nation"),
+        F.countDistinct("name").cast("long").alias("n_distinct_names"),
+        (F.max("bal_cents") - F.min("bal_cents")).alias(
+            "bal_spread_cents"
+        ),
+    )
+    return (
+        g.filter(F.col("n_records") >= min_records)
+        .orderBy(F.desc("bal_spread_cents"), "entity_id")
+        .limit(top)
+    )

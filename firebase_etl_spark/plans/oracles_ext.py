@@ -7806,3 +7806,47 @@ def _jsd_oracle() -> str:
 
 
 ORACLES_EXT["doc_js_divergence"] = _jsd_oracle()
+
+
+ORACLES_EXT["customer_golden_records"] = """
+    WITH cust AS (
+        SELECT c_custkey AS k, c_name,
+               CAST(round(c_acctbal * 100.0, 0) AS BIGINT) AS bc,
+               CAST(c_nationkey AS BIGINT) AS nk
+        FROM customer
+    ), stack AS (
+        SELECT k AS entity_id, 'crm' AS source, CAST(3 AS BIGINT) AS prio,
+               CAST(1700000000 + k % 97 AS BIGINT) AS ts,
+               c_name AS name, bc AS bal_cents, nk AS nation
+        FROM cust
+        UNION ALL
+        SELECT k, 'web', CAST(2 AS BIGINT),
+               CAST(1700000000 + k % 89 + 50 AS BIGINT),
+               upper(c_name), bc + 1000, nk
+        FROM cust WHERE k % 3 = 0
+        UNION ALL
+        SELECT k, 'legacy', CAST(1 AS BIGINT),
+               CAST(1700000000 - 1000 + k % 7 AS BIGINT),
+               c_name, NULL, NULL
+        FROM cust WHERE k % 5 = 0
+    ), o AS (
+        SELECT *, ts * 10 + prio AS ord FROM stack
+    ), g AS (
+        SELECT entity_id,
+               CAST(count(*) AS BIGINT) AS n_records,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+               arg_max(name, ord) AS golden_name,
+               arg_max(bal_cents,
+                   CASE WHEN bal_cents IS NOT NULL THEN ord END)
+                   AS golden_bal_cents,
+               arg_max(nation,
+                   CASE WHEN nation IS NOT NULL THEN prio END)
+                   AS golden_nation,
+               CAST(count(DISTINCT name) AS BIGINT)
+                   AS n_distinct_names,
+               max(bal_cents) - min(bal_cents) AS bal_spread_cents
+        FROM o GROUP BY entity_id
+    )
+    SELECT * FROM g WHERE n_records >= 2
+    ORDER BY bal_spread_cents DESC, entity_id LIMIT 25
+"""

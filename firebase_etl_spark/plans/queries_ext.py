@@ -6463,3 +6463,54 @@ def doc_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, "documents", sf_dir)
     return js_divergence_report(d, "lang", "text")
+
+
+def customer_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship / golden-record election
+    (operators/linkage.py:golden_records) over a deterministic
+    three-source customer stack (crm = full trust, web = fresher but
+    partial, legacy = stale and field-incomplete): per entity, elect
+    name by freshness, balance by freshest non-null, nation by source
+    trust — the step AFTER record linkage (customer_fuzzy_matches /
+    customer_fs_linkage give the clusters; this merges them) that
+    completes the MDM pipeline. One map-side-combinable aggregate; the
+    deterministic ord key makes every election tie-free on both
+    engines."""
+    from firebase_etl_spark.operators.linkage import golden_records
+
+    c = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("k"),
+        "c_name",
+        F.expr("CAST(round(c_acctbal * 100.0, 0) AS BIGINT)").alias("bc"),
+        F.col("c_nationkey").cast("long").alias("nk"),
+    )
+    crm = c.select(
+        F.col("k").alias("entity_id"),
+        F.lit("crm").alias("source"),
+        F.lit(3).cast("long").alias("prio"),
+        (F.lit(1700000000) + F.col("k") % 97).cast("long").alias("ts"),
+        F.col("c_name").alias("name"),
+        F.col("bc").alias("bal_cents"),
+        F.col("nk").alias("nation"),
+    )
+    web = c.filter(F.col("k") % 3 == 0).select(
+        F.col("k").alias("entity_id"),
+        F.lit("web").alias("source"),
+        F.lit(2).cast("long").alias("prio"),
+        (F.lit(1700000000) + F.col("k") % 89 + 50).cast("long")
+        .alias("ts"),
+        F.upper("c_name").alias("name"),
+        (F.col("bc") + 1000).alias("bal_cents"),
+        F.col("nk").alias("nation"),
+    )
+    legacy = c.filter(F.col("k") % 5 == 0).select(
+        F.col("k").alias("entity_id"),
+        F.lit("legacy").alias("source"),
+        F.lit(1).cast("long").alias("prio"),
+        (F.lit(1700000000) - 1000 + F.col("k") % 7).cast("long")
+        .alias("ts"),
+        F.col("c_name").alias("name"),
+        F.lit(None).cast("long").alias("bal_cents"),
+        F.lit(None).cast("long").alias("nation"),
+    )
+    return golden_records(crm.unionAll(web).unionAll(legacy))

@@ -3436,3 +3436,31 @@ def test_js_divergence_identical_and_disjoint(spark):
     # disjoint supports: JSD == ln 2 (within per-type e6 quantization)
     assert abs(dis["jsd_e6"] - 693147) <= len("xyzpqrs")
     assert out[("b", "c")]["jsd_e6"] == dis["jsd_e6"]
+
+
+def test_golden_records_field_level_survivorship(spark):
+    from firebase_etl_spark.operators.linkage import golden_records
+
+    rows = [
+        # entity 1: web is freshest (ts 200) but has NULL balance;
+        # crm (ts 100, prio 3) has the only balance; legacy has nation
+        (1, "crm", 3, 100, "Alice", 5000, None),
+        (1, "web", 2, 200, "ALICE", None, None),
+        (1, "legacy", 1, 50, "Alyce", None, 7),
+        # entity 2: single record - filtered by min_records
+        (2, "crm", 3, 100, "Bob", 100, 1),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "entity_id long, source string, prio long, ts long,"
+        " name string, bal_cents long, nation long",
+    )
+    out = golden_records(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["entity_id"] == 1
+    assert r["golden_name"] == "ALICE"       # freshest record
+    assert r["golden_bal_cents"] == 5000     # freshest NON-NULL bal
+    assert r["golden_nation"] == 7           # highest-trust non-null
+    assert r["n_records"] == 3 and r["n_sources"] == 3
+    assert r["n_distinct_names"] == 3
