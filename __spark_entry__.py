@@ -331,6 +331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_fdr_screen": QX.events_fdr_screen,
         "doc_js_divergence": QX.doc_js_divergence,
         "customer_golden_records": QX.customer_golden_records,
+        "doc_readability_report": QX.doc_readability_report,
     }
 
 

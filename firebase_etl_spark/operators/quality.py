@@ -260,3 +260,81 @@ def encoding_artifact_counts(df: DataFrame, text_col: str = "text") -> DataFrame
             for name, rx in ENCODING_ARTIFACT_PATTERNS.items()
         ),
     )
+
+
+def readability_report(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Flesch reading-ease / Flesch-Kincaid grade screen per group —
+    the classic curriculum / difficulty-mix signal a pretraining
+    curator bins documents by (alongside the Gopher structural flags;
+    this is the linguistic-complexity axis those rules don't cover).
+
+    Counting is pure regex + integers, one codegen projection:
+    words = whitespace tokens, sentences = runs of [.!?] (min 1),
+    syllables ~= vowel-letter groups ([aeiouy]+ of the lowercased
+    text — the standard cheap estimator; a hyphenation dictionary is
+    a model artifact, not an operator concern). Per-doc scores are e3
+    fixed-point with sign-split divisions (every ratio quantized
+    exactly once); group means divide the e3 SUMS, so nothing ever
+    re-rounds. Zero-word docs are excluded (their ratios are
+    undefined). Returns per group: (group, n_docs, mean_flesch_e3,
+    mean_grade_e3, n_easy, n_hard) where easy/hard use the standard
+    60 / 30 reading-ease cuts."""
+    from firebase_etl_spark.functions.portable_math import (
+        sdiv_scaled_sql,
+    )
+
+    t = F.lower(F.trim(F.col(text_col)))
+    base = (
+        df.filter(
+            F.col(text_col).isNotNull() & F.col(group_col).isNotNull()
+        )
+        .select(
+            F.col(group_col).alias("g"),
+            F.size(F.split(t, r"\s+")).cast("long").alias("w"),
+            F.greatest(
+                F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1)
+            ).cast("long").alias("s"),
+            F.regexp_count(t, F.lit("[aeiouy]+")).cast("long")
+            .alias("y"),
+        )
+        .filter(F.col("w") > 0)
+    )
+    flesch = (
+        f"206835 - ({sdiv_scaled_sql('1015 * w', 's', 1, 'DIV')})"
+        f" - ({sdiv_scaled_sql('84600 * y', 'w', 1, 'DIV')})"
+    )
+    grade = (
+        f"({sdiv_scaled_sql('390 * w', 's', 1, 'DIV')})"
+        f" + ({sdiv_scaled_sql('11800 * y', 'w', 1, 'DIV')}) - 15590"
+    )
+    scored = base.select(
+        "g",
+        F.expr(flesch).alias("f_e3"),
+        F.expr(grade).alias("gr_e3"),
+    )
+    mean_f = sdiv_scaled_sql("sf", "n", 1, "DIV")
+    mean_g = sdiv_scaled_sql("sg", "n", 1, "DIV")
+    return (
+        scored.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("f_e3").cast("long").alias("sf"),
+            F.sum("gr_e3").cast("long").alias("sg"),
+            F.sum((F.col("f_e3") >= 60000).cast("long")).cast("long")
+            .alias("n_easy"),
+            F.sum((F.col("f_e3") < 30000).cast("long")).cast("long")
+            .alias("n_hard"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            F.col("n").alias("n_docs"),
+            F.expr(mean_f).alias("mean_flesch_e3"),
+            F.expr(mean_g).alias("mean_grade_e3"),
+            "n_easy", "n_hard",
+        )
+        .orderBy(group_col)
+    )

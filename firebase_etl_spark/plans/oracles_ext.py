@@ -7850,3 +7850,37 @@ ORACLES_EXT["customer_golden_records"] = """
     SELECT * FROM g WHERE n_records >= 2
     ORDER BY bal_spread_cents DESC, entity_id LIMIT 25
 """
+
+
+ORACLES_EXT["doc_readability_report"] = """
+    WITH base AS (
+        SELECT lang AS g,
+               CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                   AS BIGINT) AS w,
+               CAST(greatest(len(regexp_extract_all(lower(trim(text)),
+                   '[.!?]+')), 1) AS BIGINT) AS s,
+               CAST(len(regexp_extract_all(lower(trim(text)),
+                   '[aeiouy]+')) AS BIGINT) AS y
+        FROM documents
+        WHERE text IS NOT NULL AND lang IS NOT NULL
+    ), scored AS (
+        SELECT g,
+               206835 - (CASE WHEN (1015 * w) >= 0 THEN ((1015 * w) * 1) // (s) ELSE -((-(1015 * w) * 1) // (s)) END) - (CASE WHEN (84600 * y) >= 0 THEN ((84600 * y) * 1) // (w) ELSE -((-(84600 * y) * 1) // (w)) END) AS f_e3,
+               (CASE WHEN (390 * w) >= 0 THEN ((390 * w) * 1) // (s) ELSE -((-(390 * w) * 1) // (s)) END) + (CASE WHEN (11800 * y) >= 0 THEN ((11800 * y) * 1) // (w) ELSE -((-(11800 * y) * 1) // (w)) END) - 15590 AS gr_e3
+        FROM base WHERE w > 0
+    ), agg AS (
+        SELECT g, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(f_e3) AS BIGINT) AS sf,
+               CAST(sum(gr_e3) AS BIGINT) AS sg,
+               CAST(sum(CASE WHEN f_e3 >= 60000 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_easy,
+               CAST(sum(CASE WHEN f_e3 < 30000 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_hard
+        FROM scored GROUP BY g
+    )
+    SELECT g AS lang, n AS n_docs,
+           CAST(CASE WHEN (sf) >= 0 THEN ((sf) * 1) // (n) ELSE -((-(sf) * 1) // (n)) END AS BIGINT) AS mean_flesch_e3,
+           CAST(CASE WHEN (sg) >= 0 THEN ((sg) * 1) // (n) ELSE -((-(sg) * 1) // (n)) END AS BIGINT) AS mean_grade_e3,
+           n_easy, n_hard
+    FROM agg ORDER BY lang
+"""

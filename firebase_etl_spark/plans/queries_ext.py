@@ -6514,3 +6514,16 @@ def customer_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("nation"),
     )
     return golden_records(crm.unionAll(web).unionAll(legacy))
+
+
+def doc_readability_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease / FK-grade readability screen per language
+    (operators/quality.py:readability_report): the linguistic-
+    complexity curation axis beside the Gopher structural flags —
+    what a curriculum scheduler bins on. Pure regex + integer
+    counting in one codegen projection; per-doc e3 fixed-point scores
+    with sign-split divisions; group means divide the e3 sums."""
+    from firebase_etl_spark.operators.quality import readability_report
+
+    d = load_table(spark, "documents", sf_dir)
+    return readability_report(d)

@@ -3464,3 +3464,22 @@ def test_golden_records_field_level_survivorship(spark):
     assert r["golden_nation"] == 7           # highest-trust non-null
     assert r["n_records"] == 3 and r["n_sources"] == 3
     assert r["n_distinct_names"] == 3
+
+
+def test_readability_report_hand_case(spark):
+    from firebase_etl_spark.operators.quality import readability_report
+
+    # "the cat sat." : w=3, s=1, y=3 -> flesch_e3 = 206835 - 1015*3
+    #   - 84600*3//3 = 206835 - 3045 - 84600 = 119190
+    # grade_e3 = 390*3 + 11800*3//3 - 15590 = 1170 + 11800 - 15590 = -2620
+    df = spark.createDataFrame(
+        [(1, "the cat sat.", "en"), (2, None, "en"), (3, "x", None)],
+        "doc_id long, text string, lang string",
+    )
+    out = readability_report(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["lang"] == "en" and r["n_docs"] == 1
+    assert r["mean_flesch_e3"] == 119190
+    assert r["mean_grade_e3"] == -2620
+    assert r["n_easy"] == 1 and r["n_hard"] == 0
