@@ -332,6 +332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_js_divergence": QX.doc_js_divergence,
         "customer_golden_records": QX.customer_golden_records,
         "doc_readability_report": QX.doc_readability_report,
+        "orders_winsorized_stats": QX.orders_winsorized_stats,
     }
 
 

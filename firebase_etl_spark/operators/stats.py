@@ -1567,3 +1567,93 @@ def ab_fdr_screen(
         )
         .orderBy("bh_rank")
     )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    group_col: str,
+    value_c_expr: str,
+    key_col: str,
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+) -> DataFrame:
+    """Winsorized + trimmed means per group — the robust-aggregation
+    pair every metrics pipeline needs once heavy tails appear (a
+    single whale order moves the raw mean; clamping at exact
+    percentile cuts bounds its influence, trimming removes it).
+
+    Exact nearest-rank percentiles: rows rank by (value, key) inside
+    each group (one window sort — the same shuffle any exact
+    percentile costs), the cut VALUES are read at ranks
+    ceil(p*n/100) via one conditional aggregate, and every row clamps
+    against its group's cuts. All integer: cent values, truncating
+    sign-split mean divisions quantized once.
+
+    Returns per group: (group, n_rows, mean_cents,
+    winsorized_mean_cents, trimmed_mean_cents, lo_cut_cents,
+    hi_cut_cents), ordered by group."""
+    from firebase_etl_spark.functions.portable_math import (
+        sdiv_scaled_sql,
+    )
+
+    base = df.select(
+        F.col(group_col).alias("g"),
+        F.expr(value_c_expr).alias("v"),
+        F.col(key_col).alias("k"),
+    ).filter(F.col("v").isNotNull())
+    win = Window.partitionBy("g").orderBy("v", "k")
+    ranked = base.withColumn("r", F.row_number().over(win))
+    cnt = ranked.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    ranked = ranked.join(cnt, "g").withColumn(
+        "r_lo",
+        F.greatest(
+            F.expr(f"({lo_pct} * n + 99) DIV 100"), F.lit(1)
+        ),
+    ).withColumn("r_hi", F.expr(f"({hi_pct} * n + 99) DIV 100"))
+    cuts = ranked.groupBy("g").agg(
+        F.max(F.when(F.col("r") == F.col("r_lo"), F.col("v")))
+        .alias("lo_cut"),
+        F.max(F.when(F.col("r") == F.col("r_hi"), F.col("v")))
+        .alias("hi_cut"),
+    )
+    j = ranked.join(cuts, "g").withColumn(
+        "vw",
+        F.greatest(F.least(F.col("v"), F.col("hi_cut")), F.col("lo_cut")),
+    )
+    mean = sdiv_scaled_sql("sv", "n", 1, "DIV")
+    meanw = sdiv_scaled_sql("svw", "n", 1, "DIV")
+    meant = sdiv_scaled_sql("svt", "nt", 1, "DIV")
+    return (
+        j.groupBy("g")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.sum("v").cast("long").alias("sv"),
+            F.sum("vw").cast("long").alias("svw"),
+            F.sum(
+                F.when(
+                    (F.col("r") >= F.col("r_lo"))
+                    & (F.col("r") <= F.col("r_hi")),
+                    F.col("v"),
+                )
+            ).cast("long").alias("svt"),
+            F.sum(
+                F.when(
+                    (F.col("r") >= F.col("r_lo"))
+                    & (F.col("r") <= F.col("r_hi")),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("nt"),
+            F.max("lo_cut").cast("long").alias("lo_cut_cents"),
+            F.max("hi_cut").cast("long").alias("hi_cut_cents"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            F.col("n").alias("n_rows"),
+            F.expr(mean).alias("mean_cents"),
+            F.expr(meanw).alias("winsorized_mean_cents"),
+            F.expr(f"CASE WHEN nt > 0 THEN {meant} END")
+            .alias("trimmed_mean_cents"),
+            "lo_cut_cents", "hi_cut_cents",
+        )
+        .orderBy(group_col)
+    )

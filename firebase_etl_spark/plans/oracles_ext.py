@@ -7884,3 +7884,48 @@ ORACLES_EXT["doc_readability_report"] = """
            n_easy, n_hard
     FROM agg ORDER BY lang
 """
+
+
+ORACLES_EXT["orders_winsorized_stats"] = """
+    WITH base AS (
+        SELECT o_orderpriority AS g,
+               CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS v,
+               o_orderkey AS k
+        FROM orders WHERE o_totalprice IS NOT NULL
+    ), ranked AS (
+        SELECT g, v, k,
+               row_number() OVER (PARTITION BY g ORDER BY v, k) AS r,
+               count(*) OVER (PARTITION BY g) AS n
+        FROM base
+    ), rr AS (
+        SELECT *, greatest((5 * n + 99) // 100, 1) AS r_lo,
+               (95 * n + 99) // 100 AS r_hi
+        FROM ranked
+    ), cuts AS (
+        SELECT g, max(CASE WHEN r = r_lo THEN v END) AS lo_cut,
+               max(CASE WHEN r = r_hi THEN v END) AS hi_cut
+        FROM rr GROUP BY g
+    ), j AS (
+        SELECT rr.*, cuts.lo_cut, cuts.hi_cut,
+               greatest(least(v, cuts.hi_cut), cuts.lo_cut) AS vw
+        FROM rr JOIN cuts USING (g)
+    ), agg AS (
+        SELECT g, CAST(max(n) AS BIGINT) AS n,
+               CAST(sum(v) AS BIGINT) AS sv,
+               CAST(sum(vw) AS BIGINT) AS svw,
+               CAST(sum(CASE WHEN r >= r_lo AND r <= r_hi THEN v END)
+                   AS BIGINT) AS svt,
+               CAST(sum(CASE WHEN r >= r_lo AND r <= r_hi THEN 1
+                   ELSE 0 END) AS BIGINT) AS nt,
+               CAST(max(lo_cut) AS BIGINT) AS lo_cut_cents,
+               CAST(max(hi_cut) AS BIGINT) AS hi_cut_cents
+        FROM j GROUP BY g
+    )
+    SELECT g AS o_orderpriority, n AS n_rows,
+           CAST(CASE WHEN (sv) >= 0 THEN ((sv) * 1) // (n) ELSE -((-(sv) * 1) // (n)) END AS BIGINT) AS mean_cents,
+           CAST(CASE WHEN (svw) >= 0 THEN ((svw) * 1) // (n) ELSE -((-(svw) * 1) // (n)) END AS BIGINT) AS winsorized_mean_cents,
+           CAST(CASE WHEN nt > 0 THEN CASE WHEN (svt) >= 0 THEN ((svt) * 1) // (nt) ELSE -((-(svt) * 1) // (nt)) END END AS BIGINT)
+               AS trimmed_mean_cents,
+           lo_cut_cents, hi_cut_cents
+    FROM agg ORDER BY o_orderpriority
+"""

@@ -6527,3 +6527,22 @@ def doc_readability_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, "documents", sf_dir)
     return readability_report(d)
+
+
+def orders_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized + trimmed mean order value per priority
+    (operators/stats.py:winsorized_stats, exact nearest-rank p5/p95
+    cuts): the robust aggregates that keep one whale order from
+    moving a heavy-tailed KPI — clamp bounds the tail's influence,
+    trim removes it, and reporting both beside the raw mean shows
+    exactly what the tail was doing. One per-group window sort (the
+    price any exact percentile pays), all-integer cents after."""
+    from firebase_etl_spark.operators.stats import winsorized_stats
+
+    o = load_table(spark, "orders", sf_dir)
+    return winsorized_stats(
+        o,
+        "o_orderpriority",
+        "CAST(round(o_totalprice * 100.0, 0) AS BIGINT)",
+        "o_orderkey",
+    )

@@ -3483,3 +3483,24 @@ def test_readability_report_hand_case(spark):
     assert r["mean_flesch_e3"] == 119190
     assert r["mean_grade_e3"] == -2620
     assert r["n_easy"] == 1 and r["n_hard"] == 0
+
+
+def test_winsorized_stats_hand_case(spark):
+    from firebase_etl_spark.operators.stats import winsorized_stats
+
+    # 20 values 1..19 plus one whale 10000. n=21:
+    # r_lo = ceil(5*21/100) = 2 -> cut = 2nd smallest = 2
+    # r_hi = ceil(95*21/100) = 20 -> cut = 20th = 19
+    vals = list(range(1, 20)) + [10000, 0]
+    rows = [("A", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, k long, v long")
+    r = winsorized_stats(df, "g", "v", "k").collect()[0]
+    assert r["n_rows"] == 21
+    assert r["lo_cut_cents"] == 1 and r["hi_cut_cents"] == 19
+    raw = sum(vals) // 21
+    wins = (sum(range(1, 20)) + 19 + 1) // 21
+    trim = sum(range(1, 20)) // 19
+    assert r["mean_cents"] == raw
+    assert r["winsorized_mean_cents"] == wins
+    assert r["trimmed_mean_cents"] == trim
+    assert r["winsorized_mean_cents"] < r["mean_cents"]
