@@ -333,6 +333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_golden_records": QX.customer_golden_records,
         "doc_readability_report": QX.doc_readability_report,
         "orders_winsorized_stats": QX.orders_winsorized_stats,
+        "orders_conformal_intervals": QX.orders_conformal_intervals,
     }
 
 

@@ -1657,3 +1657,101 @@ def winsorized_stats(
         )
         .orderBy(group_col)
     )
+
+
+def conformal_interval_report(
+    df: DataFrame,
+    group_col: str,
+    value_c_expr: str,
+    key_col: str,
+    alpha_pct: int = 10,
+) -> DataFrame:
+    """Split-conformal prediction intervals (Vovk et al.; the
+    distribution-free coverage guarantee ML eval pipelines attach to
+    ANY point predictor): key-hash three-way split, per-group median
+    predictor fit on TRAIN, nonconformity quantile ceil((n+1)(1-alpha))
+    read on CALIB, coverage audited on TEST — if exchangeability
+    holds, test coverage >= 1 - alpha by construction, and publishing
+    the audit column IS the point of the operator.
+
+    All order statistics are exact nearest-rank reads over (value,
+    key) window sorts; everything else is integer cents and one
+    sign-split e6 share. Returns per group: (group, n_train, n_calib,
+    n_test, pred_cents, q_resid_cents, n_covered, coverage_e6)."""
+    from firebase_etl_spark.functions.portable_math import (
+        sdiv_scaled_sql,
+    )
+
+    base = df.select(
+        F.col(group_col).alias("g"),
+        F.expr(value_c_expr).alias("v"),
+        F.col(key_col).cast("long").alias("k"),
+    ).filter(F.col("v").isNotNull())
+    base = base.withColumn("part", (F.col("k") % 3).cast("int"))
+    train = base.filter(F.col("part") == 0)
+    calib = base.filter(F.col("part") == 1)
+    test = base.filter(F.col("part") == 2)
+
+    wtr = Window.partitionBy("g").orderBy("v", "k")
+    tr = (
+        train.withColumn("r", F.row_number().over(wtr))
+        .withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy("g"))
+        )
+        .groupBy("g")
+        .agg(
+            F.max("n").cast("long").alias("n_train"),
+            F.max(
+                F.when(
+                    F.col("r") == F.expr("(n + 1) DIV 2"), F.col("v")
+                )
+            ).cast("long").alias("pred"),
+        )
+    )
+    ca = calib.join(F.broadcast(tr), "g").withColumn(
+        "resid", F.abs(F.col("v") - F.col("pred"))
+    )
+    wca = Window.partitionBy("g").orderBy("resid", "k")
+    q_rank = f"least((({100 - alpha_pct}) * (n + 1) + 99) DIV 100, n)"
+    qs = (
+        ca.withColumn("r", F.row_number().over(wca))
+        .withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy("g"))
+        )
+        .groupBy("g")
+        .agg(
+            F.max("n").cast("long").alias("n_calib"),
+            F.max(
+                F.when(F.col("r") == F.expr(q_rank), F.col("resid"))
+            ).cast("long").alias("q_resid"),
+        )
+    )
+    cov = sdiv_scaled_sql("n_cov", "n_test", 1000000, "DIV")
+    return (
+        test.join(F.broadcast(tr), "g")
+        .join(F.broadcast(qs), "g")
+        .groupBy("g")
+        .agg(
+            F.max("n_train").alias("n_train"),
+            F.max("n_calib").alias("n_calib"),
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.max("pred").alias("pred_cents"),
+            F.max("q_resid").alias("q_resid_cents"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("v") - F.col("pred"))
+                    <= F.col("q_resid"),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("n_cov"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "n_train", "n_calib", "n_test",
+            "pred_cents", "q_resid_cents",
+            F.col("n_cov").alias("n_covered"),
+            F.expr(f"CASE WHEN n_test > 0 THEN {cov} END")
+            .alias("coverage_e6"),
+        )
+        .orderBy(group_col)
+    )

@@ -7929,3 +7929,53 @@ ORACLES_EXT["orders_winsorized_stats"] = """
            lo_cut_cents, hi_cut_cents
     FROM agg ORDER BY o_orderpriority
 """
+
+
+ORACLES_EXT["orders_conformal_intervals"] = """
+    WITH base AS (
+        SELECT o_orderpriority AS g,
+               CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS v,
+               CAST(o_orderkey AS BIGINT) AS k,
+               CAST(o_orderkey % 3 AS INT) AS part
+        FROM orders WHERE o_totalprice IS NOT NULL
+    ), trr AS (
+        SELECT g, v, k,
+               row_number() OVER (PARTITION BY g ORDER BY v, k) AS r,
+               count(*) OVER (PARTITION BY g) AS n
+        FROM base WHERE part = 0
+    ), tr AS (
+        SELECT g, CAST(max(n) AS BIGINT) AS n_train,
+               CAST(max(CASE WHEN r = (n + 1) // 2 THEN v END)
+                   AS BIGINT) AS pred
+        FROM trr GROUP BY g
+    ), car AS (
+        SELECT b.g, abs(b.v - tr.pred) AS resid, b.k
+        FROM base b JOIN tr ON b.g = tr.g WHERE b.part = 1
+    ), carr AS (
+        SELECT g, resid,
+               row_number() OVER (PARTITION BY g ORDER BY resid, k)
+                   AS r,
+               count(*) OVER (PARTITION BY g) AS n
+        FROM car
+    ), qs AS (
+        SELECT g, CAST(max(n) AS BIGINT) AS n_calib,
+               CAST(max(CASE WHEN r =
+                   least((90 * (n + 1) + 99) // 100, n)
+                   THEN resid END) AS BIGINT) AS q_resid
+        FROM carr GROUP BY g
+    ), te AS (
+        SELECT b.g, tr.n_train, qs.n_calib, tr.pred, qs.q_resid,
+               CAST(count(*) AS BIGINT) AS n_test,
+               CAST(sum(CASE WHEN abs(b.v - tr.pred) <= qs.q_resid
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_cov
+        FROM base b JOIN tr ON b.g = tr.g JOIN qs ON b.g = qs.g
+        WHERE b.part = 2
+        GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT g AS o_orderpriority, n_train, n_calib, n_test,
+           pred AS pred_cents, q_resid AS q_resid_cents,
+           n_cov AS n_covered,
+           CAST(CASE WHEN n_test > 0 THEN CASE WHEN (n_cov) >= 0 THEN ((n_cov) * 1000000) // (n_test) ELSE -((-(n_cov) * 1000000) // (n_test)) END END AS BIGINT)
+               AS coverage_e6
+    FROM te ORDER BY o_orderpriority
+"""

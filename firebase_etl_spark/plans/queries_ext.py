@@ -6546,3 +6546,26 @@ def orders_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(round(o_totalprice * 100.0, 0) AS BIGINT)",
         "o_orderkey",
     )
+
+
+def orders_conformal_intervals(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Split-conformal prediction intervals per order priority
+    (operators/stats.py:conformal_interval_report): key-hash
+    train/calib/test split, median predictor, nonconformity quantile
+    at ceil((n+1)*0.9), and the distribution-free >= 90% coverage
+    guarantee AUDITED on the held-out test split as a hashed column —
+    the uncertainty wrapper ML eval attaches to any point predictor.
+    Exact nearest-rank order statistics; integer cents throughout."""
+    from firebase_etl_spark.operators.stats import (
+        conformal_interval_report,
+    )
+
+    o = load_table(spark, "orders", sf_dir)
+    return conformal_interval_report(
+        o,
+        "o_orderpriority",
+        "CAST(round(o_totalprice * 100.0, 0) AS BIGINT)",
+        "o_orderkey",
+    )

@@ -3504,3 +3504,21 @@ def test_winsorized_stats_hand_case(spark):
     assert r["winsorized_mean_cents"] == wins
     assert r["trimmed_mean_cents"] == trim
     assert r["winsorized_mean_cents"] < r["mean_cents"]
+
+
+def test_conformal_interval_coverage_guarantee(spark):
+    from firebase_etl_spark.operators.stats import (
+        conformal_interval_report,
+    )
+
+    # deterministic pseudo-noise values; exchangeable across k%3 splits
+    rows = [("A", k, 10000 + ((k * 7919) % 997)) for k in range(600)]
+    df = spark.createDataFrame(rows, "g string, k long, v long")
+    r = conformal_interval_report(df, "g", "v", "k").collect()[0]
+    assert r["n_train"] == 200 and r["n_calib"] == 200
+    assert r["n_test"] == 200
+    # marginal coverage >= 1 - alpha (within finite-sample slack)
+    assert r["coverage_e6"] >= 850000
+    assert r["q_resid_cents"] > 0
+    # interval is two-sided around the train median
+    assert 10000 <= r["pred_cents"] <= 11000
