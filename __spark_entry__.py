@@ -334,6 +334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_readability_report": QX.doc_readability_report,
         "orders_winsorized_stats": QX.orders_winsorized_stats,
         "orders_conformal_intervals": QX.orders_conformal_intervals,
+        "customer_gains_table": QX.customer_gains_table,
     }
 
 

@@ -1755,3 +1755,86 @@ def conformal_interval_report(
         )
         .orderBy(group_col)
     )
+
+
+def gains_table(
+    scored: DataFrame,
+    score_col: str,
+    outcome_c_col: str,
+    key_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Cumulative gains / lift table — the targeting-model eval that
+    answers 'if I act on the top k% by score, what share of the
+    outcome do I capture?' (the tabular sibling of the AUC pair:
+    binary_auc_report ranks PAIRS, this reads the CAPTURE CURVE at
+    decile granularity, the form campaign planning consumes).
+
+    Rank by (score desc, key) — deterministic, no ntile (engines
+    disagree on ntile remainder placement; the explicit
+    ((rank-1)*B) DIV n bucket does not). The global sort runs over
+    the UNIT table (a dimension, orders of magnitude below fact
+    scale); everything after is B rows. Integer: cents, e6 shares
+    via sign-split divisions (exact while total outcome < 2^63/1e6
+    ~ $92B — rescale the unit column past that). lift_e6 multiplies
+    the already-quantized cumulative share — one extra e6 rounding,
+    by design, to keep the product in int64.
+
+    Returns per bucket: (bucket, n_units, outcome_cents,
+    cum_outcome_cents, cum_outcome_share_e6, cum_unit_share_e6,
+    lift_e6)."""
+    from firebase_etl_spark.functions.portable_math import (
+        sdiv_scaled_sql,
+    )
+
+    base = scored.select(
+        F.col(score_col).alias("sc"),
+        F.col(outcome_c_col).alias("y"),
+        F.col(key_col).alias("k"),
+    )
+    win = Window.orderBy(F.desc("sc"), "k")
+    ranked = base.withColumn("r", F.row_number().over(win))
+    n_tot = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("tot"),
+    )
+    b = (
+        ranked.crossJoin(F.broadcast(n_tot))
+        .withColumn(
+            "bucket", F.expr(f"((r - 1) * {n_buckets}) DIV n")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_units"),
+            F.sum("y").cast("long").alias("outcome_cents"),
+            F.max("n").alias("n"),
+            F.max("tot").alias("tot"),
+        )
+    )
+    cw = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    share = sdiv_scaled_sql("cum_y", "tot", 1000000, "DIV")
+    cshare = sdiv_scaled_sql("cum_n", "n", 1000000, "DIV")
+    lift = sdiv_scaled_sql("cum_share_e6 * n", "cum_n", 1, "DIV")
+    return (
+        b.withColumn("cum_y", F.sum("outcome_cents").over(cw))
+        .withColumn("cum_n", F.sum("n_units").over(cw))
+        .withColumn(
+            "cum_share_e6",
+            F.expr(f"CASE WHEN tot > 0 THEN {share} END"),
+        )
+        .select(
+            "bucket", "n_units", "outcome_cents",
+            F.col("cum_y").alias("cum_outcome_cents"),
+            F.col("cum_share_e6").alias("cum_outcome_share_e6"),
+            F.expr(f"CASE WHEN n > 0 THEN {cshare} END")
+            .alias("cum_unit_share_e6"),
+            F.expr(
+                f"CASE WHEN cum_n > 0 AND cum_share_e6 IS NOT NULL"
+                f" THEN {lift} END"
+            ).alias("lift_e6"),
+        )
+        .orderBy("bucket")
+    )

@@ -7979,3 +7979,51 @@ ORACLES_EXT["orders_conformal_intervals"] = """
                AS coverage_e6
     FROM te ORDER BY o_orderpriority
 """
+
+
+ORACLES_EXT["customer_gains_table"] = """
+    WITH outc AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100.0, 0) AS BIGINT))
+                   AS BIGINT) AS y
+        FROM orders GROUP BY o_custkey
+    ), base AS (
+        SELECT c.c_acctbal AS sc,
+               coalesce(o.y, 0) AS y,
+               c.c_custkey AS k
+        FROM customer c LEFT JOIN outc o ON c.c_custkey = o.o_custkey
+    ), ranked AS (
+        SELECT *, row_number() OVER (ORDER BY sc DESC, k) AS r
+        FROM base
+    ), nt AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS tot
+        FROM ranked
+    ), b AS (
+        SELECT ((r - 1) * 10) // n AS bucket,
+               CAST(count(*) AS BIGINT) AS n_units,
+               CAST(sum(y) AS BIGINT) AS outcome_cents,
+               CAST(max(n) AS BIGINT) AS n,
+               CAST(max(tot) AS BIGINT) AS tot
+        FROM ranked CROSS JOIN nt
+        GROUP BY 1
+    ), c AS (
+        SELECT *,
+               CAST(sum(outcome_cents) OVER (ORDER BY bucket) AS BIGINT)
+                   AS cum_y,
+               CAST(sum(n_units) OVER (ORDER BY bucket) AS BIGINT)
+                   AS cum_n
+        FROM b
+    ), d AS (
+        SELECT *, CASE WHEN tot > 0 THEN CASE WHEN (cum_y) >= 0 THEN ((cum_y) * 1000000) // (tot) ELSE -((-(cum_y) * 1000000) // (tot)) END END AS cum_share_e6
+        FROM c
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket, n_units, outcome_cents,
+           cum_y AS cum_outcome_cents,
+           CAST(cum_share_e6 AS BIGINT) AS cum_outcome_share_e6,
+           CAST(CASE WHEN n > 0 THEN CASE WHEN (cum_n) >= 0 THEN ((cum_n) * 1000000) // (n) ELSE -((-(cum_n) * 1000000) // (n)) END END AS BIGINT)
+               AS cum_unit_share_e6,
+           CAST(CASE WHEN cum_n > 0 AND cum_share_e6 IS NOT NULL
+               THEN CASE WHEN (cum_share_e6 * n) >= 0 THEN ((cum_share_e6 * n) * 1) // (cum_n) ELSE -((-(cum_share_e6 * n) * 1) // (cum_n)) END END AS BIGINT) AS lift_e6
+    FROM d ORDER BY bucket
+"""

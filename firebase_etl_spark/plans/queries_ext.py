@@ -6569,3 +6569,32 @@ def orders_conformal_intervals(
         "CAST(round(o_totalprice * 100.0, 0) AS BIGINT)",
         "o_orderkey",
     )
+
+
+def customer_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift deciles (operators/stats.py:
+    gains_table): rank customers by account balance as the targeting
+    score, measure what share of total order revenue each cumulative
+    decile captures and its lift over random targeting — the capture-
+    curve eval campaign planning consumes (the decile-table sibling
+    of the AUC pair). Explicit rank-derived buckets (no ntile — the
+    engines disagree on remainder placement); integer cents and e6
+    shares."""
+    from firebase_etl_spark.operators.stats import gains_table
+
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    outc = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.expr("CAST(round(o_totalprice * 100.0, 0) AS BIGINT)")
+        ).cast("long").alias("y")
+    )
+    scored = (
+        c.join(outc, c.c_custkey == outc.o_custkey, "left")
+        .select(
+            F.col("c_acctbal").alias("sc"),
+            F.coalesce(F.col("y"), F.lit(0)).cast("long").alias("y"),
+            F.col("c_custkey").alias("k"),
+        )
+    )
+    return gains_table(scored, "sc", "y", "k")

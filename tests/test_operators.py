@@ -3522,3 +3522,24 @@ def test_conformal_interval_coverage_guarantee(spark):
     assert r["q_resid_cents"] > 0
     # interval is two-sided around the train median
     assert 10000 <= r["pred_cents"] <= 11000
+
+
+def test_gains_table_perfect_and_flat(spark):
+    from firebase_etl_spark.operators.stats import gains_table
+
+    # perfect targeting: outcome == score; top decile holds the
+    # 10 largest of 0..99 -> captures (90+...+99)/4950 of the total
+    rows = [(float(i), i, i) for i in range(100)]
+    df = spark.createDataFrame(rows, "sc double, y long, k long")
+    out = gains_table(df, "sc", "y", "k").collect()
+    assert [r["bucket"] for r in out] == list(range(10))
+    top = out[0]
+    assert top["n_units"] == 10
+    assert top["outcome_cents"] == sum(range(90, 100))
+    exp_share = sum(range(90, 100)) * 1000000 // 4950
+    assert top["cum_outcome_share_e6"] == exp_share
+    assert top["cum_unit_share_e6"] == 100000
+    assert top["lift_e6"] == exp_share * 100 // 10
+    # last row: cumulative share reaches 100%, lift 1.0
+    assert out[-1]["cum_outcome_share_e6"] == 1000000
+    assert out[-1]["lift_e6"] == 1000000
