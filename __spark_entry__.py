@@ -335,6 +335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_winsorized_stats": QX.orders_winsorized_stats,
         "orders_conformal_intervals": QX.orders_conformal_intervals,
         "customer_gains_table": QX.customer_gains_table,
+        "doc_calibration_report": QX.doc_calibration_report,
     }
 
 

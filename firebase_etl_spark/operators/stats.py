@@ -1838,3 +1838,75 @@ def gains_table(
         )
         .orderBy("bucket")
     )
+
+
+def calibration_report(
+    df: DataFrame,
+    p_e6_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Probability-calibration audit — reliability bins + Brier score
+    + expected calibration error, the standard read on whether a
+    scorer's probabilities MEAN anything before anyone thresholds
+    them (the calibration complement to the discrimination-side AUC
+    pair: a scorer can rank perfectly and still claim 90% where 60%
+    happens).
+
+    Input: p_e6_col = predicted probability in e6 fixed point
+    [0, 1e6]; label_col = 0/1. One map-side-combinable aggregate to
+    `n_bins` fixed-width bins. Integer throughout: per-row squared
+    Brier terms pre-divide by 1e6 (a <= 1e-6 deterministic floor on
+    both engines) so the corpus sum stays in int64 to ~9e12 rows;
+    conf/acc/ECE are sign-split e6 divisions of exact sums. Returns
+    one row per non-empty bin: (bin, n_rows, conf_e6, acc_e6, gap_e6)
+    with the corpus-level (brier_e6, ece_e6, n_total) replicated on
+    every row."""
+    from firebase_etl_spark.functions.portable_math import (
+        sdiv_scaled_sql,
+    )
+
+    base = df.select(
+        F.expr(p_e6_col).cast("long").alias("p"),
+        F.expr(label_col).cast("long").alias("y"),
+    ).filter(F.col("p").isNotNull() & F.col("y").isNotNull())
+    binned = base.withColumn(
+        "bin",
+        F.least(
+            F.expr(f"(p * {n_bins}) DIV 1000000"),
+            F.lit(n_bins - 1),
+        ).cast("int"),
+    ).withColumn(
+        "sq_e6",
+        F.expr("((p - y * 1000000) * (p - y * 1000000)) DIV 1000000"),
+    )
+    per = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("p").cast("long").alias("sp"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum("sq_e6").cast("long").alias("ssq"),
+    )
+    tot = per.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("ssq").cast("long").alias("ssqt"),
+        F.sum(F.abs(F.col("sy") * 1000000 - F.col("sp")))
+        .cast("long").alias("gap_sum"),
+    )
+    conf = sdiv_scaled_sql("sp", "n", 1, "DIV")
+    acc = sdiv_scaled_sql("sy * 1000000", "n", 1, "DIV")
+    brier = sdiv_scaled_sql("ssqt", "nt", 1, "DIV")
+    ece = sdiv_scaled_sql("gap_sum", "nt", 1, "DIV")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            F.col("n").alias("n_rows"),
+            F.expr(conf).alias("conf_e6"),
+            F.expr(acc).alias("acc_e6"),
+            (F.expr(acc) - F.expr(conf)).alias("gap_e6"),
+            F.expr(brier).alias("brier_e6"),
+            F.expr(ece).alias("ece_e6"),
+            F.col("nt").alias("n_total"),
+        )
+        .orderBy("bin")
+    )

@@ -8027,3 +8027,52 @@ ORACLES_EXT["customer_gains_table"] = """
                THEN CASE WHEN (cum_share_e6 * n) >= 0 THEN ((cum_share_e6 * n) * 1) // (cum_n) ELSE -((-(cum_share_e6 * n) * 1) // (cum_n)) END END AS BIGINT) AS lift_e6
     FROM d ORDER BY bucket
 """
+
+
+def _calibration_oracle() -> str:
+    from firebase_etl_spark.functions.portable_math import (
+        sdiv_scaled_sql,
+    )
+
+    conf = sdiv_scaled_sql("sp", "n", 1, "//")
+    acc = sdiv_scaled_sql("sy * 1000000", "n", 1, "//")
+    brier = sdiv_scaled_sql("ssqt", "nt", 1, "//")
+    ece = sdiv_scaled_sql("gap_sum", "nt", 1, "//")
+    return f"""
+    WITH base AS (
+        SELECT least(CAST(len(regexp_split_to_array(
+                   lower(trim(text)), '\\s+')) AS BIGINT) * 10000,
+                   1000000) AS p,
+               CAST(list_contains(regexp_split_to_array(
+                   lower(trim(text)), '\\s+'), 'spark') AS BIGINT)
+                   AS y
+        FROM documents WHERE text IS NOT NULL
+    ), binned AS (
+        SELECT least((p * 10) // 1000000, 9) AS bin, p, y,
+               ((p - y * 1000000) * (p - y * 1000000)) // 1000000
+                   AS sq_e6
+        FROM base
+    ), per AS (
+        SELECT bin, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(p) AS BIGINT) AS sp,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(sq_e6) AS BIGINT) AS ssq
+        FROM binned GROUP BY bin
+    ), tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS nt,
+               CAST(sum(ssq) AS BIGINT) AS ssqt,
+               CAST(sum(abs(sy * 1000000 - sp)) AS BIGINT) AS gap_sum
+        FROM per
+    )
+    SELECT CAST(bin AS INT) AS bin, n AS n_rows,
+           CAST({conf} AS BIGINT) AS conf_e6,
+           CAST({acc} AS BIGINT) AS acc_e6,
+           CAST(({acc}) - ({conf}) AS BIGINT) AS gap_e6,
+           CAST({brier} AS BIGINT) AS brier_e6,
+           CAST({ece} AS BIGINT) AS ece_e6,
+           nt AS n_total
+    FROM per CROSS JOIN tot ORDER BY bin
+"""
+
+
+ORACLES_EXT["doc_calibration_report"] = _calibration_oracle()

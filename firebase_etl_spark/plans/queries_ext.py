@@ -6598,3 +6598,30 @@ def customer_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return gains_table(scored, "sc", "y", "k")
+
+
+def doc_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-calibration audit (operators/stats.py:
+    calibration_report) of a deliberately naive length-based scorer —
+    p_hat = min(tokens/100, 1) — predicting whether a document
+    contains the high-frequency token 'spark': reliability bins,
+    Brier score and ECE, the calibration-side read the AUC pair
+    doesn't give. The scorer is real (longer docs do contain any
+    given token more often) and miscalibrated by construction; the
+    report measuring HOW miscalibrated is the point. All-integer e6
+    fixed point."""
+    from firebase_etl_spark.operators.stats import calibration_report
+    from firebase_etl_spark.operators.text import tokenize
+
+    d = load_table(spark, "documents", sf_dir).filter(
+        F.col("text").isNotNull()
+    )
+    scored = d.select(
+        F.least(
+            F.size(tokenize("text")).cast("long") * 10000,
+            F.lit(1000000),
+        ).alias("p_e6"),
+        F.array_contains(tokenize("text"), "spark")
+        .cast("long").alias("y"),
+    )
+    return calibration_report(scored, "p_e6", "y")

@@ -3543,3 +3543,30 @@ def test_gains_table_perfect_and_flat(spark):
     # last row: cumulative share reaches 100%, lift 1.0
     assert out[-1]["cum_outcome_share_e6"] == 1000000
     assert out[-1]["lift_e6"] == 1000000
+
+
+def test_calibration_report_perfect_and_off(spark):
+    from firebase_etl_spark.operators.stats import calibration_report
+
+    # perfectly calibrated at 0.25 / 0.75: bins read acc == conf
+    rows = []
+    for i in range(400):
+        rows.append((250000, 1 if i % 4 == 0 else 0))
+        rows.append((750000, 0 if i % 4 == 0 else 1))
+    df = spark.createDataFrame(rows, "p long, y long")
+    out = calibration_report(df, "p", "y").collect()
+    by = {r["bin"]: r for r in out}
+    assert by[2]["conf_e6"] == 250000 and by[2]["acc_e6"] == 250000
+    assert by[7]["conf_e6"] == 750000 and by[7]["acc_e6"] == 750000
+    assert out[0]["ece_e6"] == 0
+    # Brier of a calibrated binary scorer = mean p(1-p) = 0.1875
+    assert abs(out[0]["brier_e6"] - 187500) <= 2
+
+    # maximally overconfident: claims 0.9, truth 0.0
+    df2 = spark.createDataFrame(
+        [(900000, 0)] * 50, "p long, y long"
+    )
+    r2 = calibration_report(df2, "p", "y").collect()[0]
+    assert r2["gap_e6"] == -900000
+    assert r2["ece_e6"] == 900000
+    assert abs(r2["brier_e6"] - 810000) <= 2
