@@ -336,6 +336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_conformal_intervals": QX.orders_conformal_intervals,
         "customer_gains_table": QX.customer_gains_table,
         "doc_calibration_report": QX.doc_calibration_report,
+        "doc_phrase_search": QX.doc_phrase_search,
     }
 
 

@@ -382,3 +382,78 @@ def retrieval_eval(
         )
         .orderBy("query_id")
     )
+
+
+def phrase_search(
+    df: DataFrame,
+    phrases: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase search over a positional inverted index — the
+    retrieval mode BM25 cannot express (bag-of-words scoring is blind
+    to adjacency; "slow filter" and "filter slow" are different
+    queries here). This is how a search engine verifies phrase
+    matches at scale: posting lists of (term, doc, position), one
+    equi-join per phrase gap with pos_k = pos_0 + k, count surviving
+    anchors.
+
+    Scale shape: the corpus tokenizes ONCE into (doc, pos, term)
+    postings (posexplode — linear, map-only); each phrase joins only
+    its FIRST term's postings against its k-th term's postings keyed
+    on (doc, term, pos+k) — the join fans out by posting-list length
+    of the phrase terms, never corpus size, and the phrase spine is a
+    broadcast literal. Everything is integers and string equality.
+
+    Returns per phrase: (phrase, n_terms, n_matching_docs,
+    n_occurrences, top_doc_id, top_doc_hits) — top doc by (hits desc,
+    doc id asc)."""
+    toks = df.filter(
+        F.col(text_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("did"),
+        F.posexplode(tokenize(text_col)).alias("pos", "term"),
+    ).filter(F.col("term") != "")
+    spark = df.sparkSession
+    spine = []
+    for p in phrases:
+        terms = p.lower().split()
+        for k, t in enumerate(terms):
+            spine.append((p, len(terms), k, t))
+    ph = F.broadcast(
+        spark.createDataFrame(
+            spine, "phrase string, n_terms int, k int, term string"
+        )
+    )
+    # anchor on k = 0, then demand every k-th term at pos + k:
+    # count matched gaps per (phrase, doc, anchor pos) and keep
+    # anchors that matched all n_terms
+    j = (
+        toks.join(ph, "term")
+        .select(
+            "phrase", "n_terms", "did",
+            (F.col("pos") - F.col("k")).alias("anchor"),
+        )
+        .groupBy("phrase", "n_terms", "did", "anchor")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .filter(
+            (F.col("n_hit") == F.col("n_terms"))
+            & (F.col("anchor") >= 0)
+        )
+    )
+    per_doc = j.groupBy("phrase", "n_terms", "did").agg(
+        F.count(F.lit(1)).cast("long").alias("hits")
+    )
+    return (
+        per_doc.groupBy("phrase")
+        .agg(
+            F.max("n_terms").cast("long").alias("n_terms"),
+            F.count(F.lit(1)).cast("long").alias("n_matching_docs"),
+            F.sum("hits").cast("long").alias("n_occurrences"),
+            F.expr("max_by(did, struct(hits, -did))")
+            .cast("long").alias("top_doc_id"),
+            F.max(F.struct("hits", "did")).getField("hits")
+            .cast("long").alias("top_doc_hits"),
+        )
+        .orderBy("phrase")
+    )

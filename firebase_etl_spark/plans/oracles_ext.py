@@ -8076,3 +8076,54 @@ def _calibration_oracle() -> str:
 
 
 ORACLES_EXT["doc_calibration_report"] = _calibration_oracle()
+
+
+ORACLES_EXT["doc_phrase_search"] = """
+    WITH base AS (
+        SELECT doc_id AS did,
+               regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+        FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+    ), toks AS (
+        SELECT did, p.pos - 1 AS pos, tk[p.pos] AS term
+        FROM base, unnest(range(1, len(tk) + 1)) AS p(pos)
+        WHERE tk[p.pos] <> ''
+    ), ph(phrase, n_terms, k, term) AS (
+        VALUES ('group query', 2, 0, 'group'),
+               ('group query', 2, 1, 'query'),
+               ('slow small filter', 3, 0, 'slow'),
+               ('slow small filter', 3, 1, 'small'),
+               ('slow small filter', 3, 2, 'filter'),
+               ('vector table', 2, 0, 'vector'),
+               ('vector table', 2, 1, 'table'),
+               ('the column', 2, 0, 'the'),
+               ('the column', 2, 1, 'column'),
+               ('quantum zebra', 2, 0, 'quantum'),
+               ('quantum zebra', 2, 1, 'zebra')
+    ), j AS (
+        SELECT ph.phrase, ph.n_terms, t.did,
+               t.pos - ph.k AS anchor
+        FROM toks t JOIN ph ON t.term = ph.term
+    ), anchors AS (
+        SELECT phrase, n_terms, did, anchor, count(*) AS n_hit
+        FROM j GROUP BY 1, 2, 3, 4
+    ), ok AS (
+        SELECT phrase, n_terms, did, anchor FROM anchors
+        WHERE n_hit = n_terms AND anchor >= 0
+    ), per_doc AS (
+        SELECT phrase, n_terms, did,
+               CAST(count(*) AS BIGINT) AS hits
+        FROM ok GROUP BY 1, 2, 3
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY phrase ORDER BY hits DESC, did ASC) AS rn
+        FROM per_doc
+    )
+    SELECT phrase, CAST(max(n_terms) AS BIGINT) AS n_terms,
+           CAST(count(*) AS BIGINT) AS n_matching_docs,
+           CAST(sum(hits) AS BIGINT) AS n_occurrences,
+           CAST(max(CASE WHEN rn = 1 THEN did END) AS BIGINT)
+               AS top_doc_id,
+           CAST(max(CASE WHEN rn = 1 THEN hits END) AS BIGINT)
+               AS top_doc_hits
+    FROM ranked GROUP BY phrase ORDER BY phrase
+"""

@@ -6625,3 +6625,21 @@ def doc_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("y"),
     )
     return calibration_report(scored, "p_e6", "y")
+
+
+def doc_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search over a positional inverted index
+    (operators/retrieval.py:phrase_search): adjacency-aware retrieval
+    BM25's bag-of-words scoring cannot express — posting lists of
+    (term, doc, position), one anchor-aligned join per phrase term,
+    anchors surviving all gaps count as occurrences. Phrases with no
+    match emit no row (mirrored in the oracle). Posting-list-sized
+    work; the phrase spine is a broadcast literal."""
+    from firebase_etl_spark.operators.retrieval import phrase_search
+
+    d = load_table(spark, "documents", sf_dir)
+    return phrase_search(
+        d,
+        ["group query", "slow small filter", "vector table",
+         "the column", "quantum zebra"],
+    )

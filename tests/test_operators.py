@@ -3570,3 +3570,28 @@ def test_calibration_report_perfect_and_off(spark):
     assert r2["gap_e6"] == -900000
     assert r2["ece_e6"] == 900000
     assert abs(r2["brier_e6"] - 810000) <= 2
+
+
+def test_phrase_search_adjacency_and_repeats(spark):
+    from firebase_etl_spark.operators.retrieval import phrase_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the cat mat"),
+            (2, "cat the sat"),              # words present, order wrong
+            (3, "the cat the cat the cat"),  # 3 occurrences
+            (4, "go go go"),                 # repeated-term phrase
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["phrase"]: r for r in phrase_search(
+        df, ["the cat", "cat sat", "go go", "zz yy"]
+    ).collect()}
+    tc = out["the cat"]
+    assert tc["n_matching_docs"] == 2
+    assert tc["n_occurrences"] == 5          # 2 in doc1 + 3 in doc3
+    assert tc["top_doc_id"] == 3 and tc["top_doc_hits"] == 3
+    assert out["cat sat"]["n_matching_docs"] == 1   # only doc1
+    gg = out["go go"]
+    assert gg["n_occurrences"] == 2          # overlapping anchors 0,1
+    assert "zz yy" not in out                # no-match phrases emit no row
