@@ -337,6 +337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_gains_table": QX.customer_gains_table,
         "doc_calibration_report": QX.doc_calibration_report,
         "doc_phrase_search": QX.doc_phrase_search,
+        "events_group_sequential": QX.events_group_sequential,
     }
 
 

@@ -1910,3 +1910,121 @@ def calibration_report(
         )
         .orderBy("bin")
     )
+
+
+#: two-sided O'Brien-Fleming z boundaries for K = 4 equally spaced
+#: looks at overall alpha = 0.05 (Jennison & Turnbull Ch.2 values),
+#: e6 literals on both engines — the spec, not a runtime computation.
+OBF_CRIT_E6_K4: tuple[int, ...] = (4048591, 2862786, 2337455, 2024407)
+
+
+def group_sequential_monitor(
+    df: DataFrame,
+    arm_col: str,
+    value_c_expr: str,
+    ts_us_expr: str,
+    crit_e6: tuple[int, ...] = OBF_CRIT_E6_K4,
+) -> DataFrame:
+    """Group-sequential A/B monitoring with O'Brien-Fleming spending —
+    the interim-analysis discipline that lets an experimenter PEEK at
+    K scheduled looks without inflating false positives (naive
+    peeking at alpha=0.05 four times fires ~11% under the null; OBF's
+    early looks demand near-4-sigma, spending almost nothing until
+    the final look reads at ~2.02).
+
+    Looks are the K equal time slices of the observed span (integer
+    microsecond cutoffs); each look's z is the shared welch_z_sql()
+    tree over CUMULATIVE exact integer moments (one corpus aggregate
+    to K slice rows, then K-row window sums — the corpus is touched
+    once regardless of K). Returns one row per look: (look,
+    cutoff_us, n_a, n_b, z_e6, obf_crit_e6, crossed) plus
+    first_crossed_look (0 = never) replicated on every row."""
+    from firebase_etl_spark.functions.portable_math import (
+        fixed_e6_expr,
+    )
+
+    k_looks = len(crit_e6)
+    base = df.select(
+        F.col(arm_col).alias("arm"),
+        F.expr(value_c_expr).alias("v"),
+        F.expr(ts_us_expr).cast("long").alias("us"),
+    ).filter(F.col("v").isNotNull() & F.col("us").isNotNull())
+    span = F.broadcast(
+        base.agg(
+            F.min("us").alias("mn"), F.max("us").alias("mx")
+        )
+    )
+    look_case = " ".join(
+        f"WHEN us <= mn + ((mx - mn) * {k + 1}) DIV {k_looks}"
+        f" THEN {k + 1}"
+        for k in range(k_looks)
+    )
+    sliced = base.crossJoin(span).withColumn(
+        "look", F.expr(f"CASE {look_case} ELSE {k_looks} END")
+    )
+    per = sliced.groupBy("look").agg(
+        F.max(
+            F.expr(f"mn + ((mx - mn) * look) DIV {k_looks}")
+        ).alias("cutoff_us"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long")
+        .alias("ia"),
+        F.coalesce(F.sum(F.when(F.col("arm") == 0, F.col("v"))), F.lit(0))
+        .cast("long").alias("xa"),
+        F.coalesce(
+            F.sum(F.when(F.col("arm") == 0, F.col("v") * F.col("v"))),
+            F.lit(0),
+        ).cast("long").alias("qa"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long")
+        .alias("ib"),
+        F.coalesce(F.sum(F.when(F.col("arm") == 1, F.col("v"))), F.lit(0))
+        .cast("long").alias("xb"),
+        F.coalesce(
+            F.sum(F.when(F.col("arm") == 1, F.col("v") * F.col("v"))),
+            F.lit(0),
+        ).cast("long").alias("qb"),
+    )
+    cw = (
+        Window.orderBy("look")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        per.withColumn("na", F.sum("ia").over(cw))
+        .withColumn("sa", F.sum("xa").over(cw))
+        .withColumn("ssa", F.sum("qa").over(cw))
+        .withColumn("nb", F.sum("ib").over(cw))
+        .withColumn("sb", F.sum("xb").over(cw))
+        .withColumn("ssb", F.sum("qb").over(cw))
+        .withColumn(
+            "z_e6",
+            F.expr(
+                f"CASE WHEN ({welch_z_sql()}) IS NOT NULL"
+                f" THEN {fixed_e6_expr(welch_z_sql())} END"
+            ),
+        )
+    )
+    crit_case = " ".join(
+        f"WHEN look = {k + 1} THEN CAST({c} AS BIGINT)"
+        for k, c in enumerate(crit_e6)
+    )
+    flagged = cum.withColumn(
+        "obf_crit_e6", F.expr(f"CASE {crit_case} END")
+    ).withColumn(
+        "crossed",
+        F.col("z_e6").isNotNull()
+        & (F.abs(F.col("z_e6")) >= F.col("obf_crit_e6")),
+    )
+    first = flagged.agg(
+        F.coalesce(
+            F.min(F.when(F.col("crossed"), F.col("look"))), F.lit(0)
+        ).cast("long").alias("first_crossed_look")
+    )
+    return (
+        flagged.crossJoin(F.broadcast(first))
+        .select(
+            F.col("look").cast("long").alias("look"),
+            "cutoff_us",
+            F.col("na").alias("n_a"), F.col("nb").alias("n_b"),
+            "z_e6", "obf_crit_e6", "crossed", "first_crossed_look",
+        )
+        .orderBy("look")
+    )

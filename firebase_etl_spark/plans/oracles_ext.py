@@ -8127,3 +8127,88 @@ ORACLES_EXT["doc_phrase_search"] = """
                AS top_doc_hits
     FROM ranked GROUP BY phrase ORDER BY phrase
 """
+
+
+def _gsq_oracle() -> str:
+    """Group-sequential twin: shared welch_z_sql() cumulative tree,
+    identical integer look cutoffs, identical OBF literals."""
+    from firebase_etl_spark.functions.portable_math import fixed_e6_expr
+    from firebase_etl_spark.operators.stats import (
+        OBF_CRIT_E6_K4,
+        welch_z_sql,
+    )
+
+    wz = welch_z_sql()
+    look_case = " ".join(
+        f"WHEN us <= mn + ((mx - mn) * {k + 1}) // 4 THEN {k + 1}"
+        for k in range(4)
+    )
+    crit_case = " ".join(
+        f"WHEN look = {k + 1} THEN CAST({c} AS BIGINT)"
+        for k, c in enumerate(OBF_CRIT_E6_K4)
+    )
+    return f"""
+    WITH base AS (
+        SELECT CAST(user_id % 2 AS INT) AS arm,
+               CAST(round(value * 100.0, 0) AS BIGINT) AS v,
+               epoch_us(ts) AS us
+        FROM events
+        WHERE user_id IS NOT NULL AND value IS NOT NULL
+          AND ts IS NOT NULL
+    ), span AS (SELECT min(us) AS mn, max(us) AS mx FROM base),
+    sliced AS (
+        SELECT arm, v, mn, mx,
+               CASE {look_case} ELSE 4 END AS look
+        FROM base CROSS JOIN span
+    ), per AS (
+        SELECT look,
+               CAST(max(mn + ((mx - mn) * look) // 4) AS BIGINT)
+                   AS cutoff_us,
+               CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS ia,
+               CAST(coalesce(sum(CASE WHEN arm = 0 THEN v END), 0)
+                   AS BIGINT) AS xa,
+               CAST(coalesce(sum(CASE WHEN arm = 0 THEN v * v END), 0)
+                   AS BIGINT) AS qa,
+               CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS ib,
+               CAST(coalesce(sum(CASE WHEN arm = 1 THEN v END), 0)
+                   AS BIGINT) AS xb,
+               CAST(coalesce(sum(CASE WHEN arm = 1 THEN v * v END), 0)
+                   AS BIGINT) AS qb
+        FROM sliced GROUP BY look
+    ), cum AS (
+        SELECT look, cutoff_us,
+               CAST(sum(ia) OVER w AS BIGINT) AS na,
+               CAST(sum(xa) OVER w AS BIGINT) AS sa,
+               CAST(sum(qa) OVER w AS BIGINT) AS ssa,
+               CAST(sum(ib) OVER w AS BIGINT) AS nb,
+               CAST(sum(xb) OVER w AS BIGINT) AS sb,
+               CAST(sum(qb) OVER w AS BIGINT) AS ssb
+        FROM per WINDOW w AS (ORDER BY look
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), z AS (
+        SELECT *, CASE WHEN ({wz}) IS NOT NULL
+                       THEN {fixed_e6_expr(wz)} END AS z_e6
+        FROM cum
+    ), fl AS (
+        SELECT *, CASE {crit_case} END AS obf_crit_e6
+        FROM z
+    ), fl2 AS (
+        SELECT *, (z_e6 IS NOT NULL AND abs(z_e6) >= obf_crit_e6)
+            AS crossed
+        FROM fl
+    ), first AS (
+        SELECT CAST(coalesce(
+            min(CASE WHEN crossed THEN look END), 0) AS BIGINT)
+            AS first_crossed_look
+        FROM fl2
+    )
+    SELECT CAST(look AS BIGINT) AS look, cutoff_us,
+           na AS n_a, nb AS n_b, z_e6, obf_crit_e6, crossed,
+           first_crossed_look
+    FROM fl2 CROSS JOIN first ORDER BY look
+"""
+
+
+ORACLES_EXT["events_group_sequential"] = _gsq_oracle()

@@ -6643,3 +6643,29 @@ def doc_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["group query", "slow small filter", "vector table",
          "the column", "quantum zebra"],
     )
+
+
+def events_group_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sequential A/B monitoring with O'Brien-Fleming boundaries
+    (operators/stats.py:group_sequential_monitor): four scheduled
+    interim looks at the id-parity experiment, each Welch z read
+    against the OBF K=4 spending boundaries — the peek-safely
+    discipline that complements events_fdr_screen's many-metrics gate
+    (that one controls across METRICS, this one across TIME). One
+    corpus aggregate to four slice rows; cumulative moments by
+    four-row window sums; shared z tree quantized once."""
+    from firebase_etl_spark.operators.stats import (
+        group_sequential_monitor,
+    )
+
+    e = load_table(spark, "events", sf_dir).filter(
+        F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+    ).withColumn("arm", (F.col("user_id") % 2).cast("int"))
+    return group_sequential_monitor(
+        e,
+        "arm",
+        "CAST(round(value * 100.0, 0) AS BIGINT)",
+        "unix_micros(ts)",
+    )

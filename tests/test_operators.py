@@ -3595,3 +3595,30 @@ def test_phrase_search_adjacency_and_repeats(spark):
     gg = out["go go"]
     assert gg["n_occurrences"] == 2          # overlapping anchors 0,1
     assert "zz yy" not in out                # no-match phrases emit no row
+
+
+def test_group_sequential_crossing_and_cutoffs(spark):
+    from firebase_etl_spark.operators.stats import (
+        group_sequential_monitor,
+    )
+
+    # arm 1 shifts massively in the second half: looks 1-2 read null
+    # effect, looks 3-4 should cross even the OBF early-look bars
+    rows = []
+    for i in range(800):
+        us = i * 1000
+        arm = i % 2
+        v = 1000 + (i % 11)
+        if us > 400_000 and arm == 1:
+            v += 900
+        rows.append((arm, v, us))
+    df = spark.createDataFrame(rows, "arm int, v long, us long")
+    out = group_sequential_monitor(df, "arm", "v", "us").collect()
+    assert [r["look"] for r in out] == [1, 2, 3, 4]
+    assert not out[0]["crossed"] and not out[1]["crossed"]
+    assert out[3]["crossed"]
+    fc = out[0]["first_crossed_look"]
+    assert fc in (3, 4) and all(r["first_crossed_look"] == fc for r in out)
+    # cumulative arms stay balanced and cutoffs are the quartile points
+    assert out[3]["n_a"] == 400 and out[3]["n_b"] == 400
+    assert out[0]["cutoff_us"] == (799000) // 4
