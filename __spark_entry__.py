@@ -338,6 +338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_calibration_report": QX.doc_calibration_report,
         "doc_phrase_search": QX.doc_phrase_search,
         "events_group_sequential": QX.events_group_sequential,
+        "documents_ql_topk": QX.documents_ql_topk,
     }
 
 

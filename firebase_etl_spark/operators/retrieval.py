@@ -457,3 +457,110 @@ def phrase_search(
         )
         .orderBy("phrase")
     )
+
+
+def ql_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    mu: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` query-likelihood retrieval with Dirichlet smoothing
+    (Zhai & Lafferty 2004) — the language-modeling scorer beside
+    bm25_topk's probabilistic one (they disagree exactly where length
+    normalization matters, which is why IR evals run both). Same
+    probe convention and (query_id, rank) shape as bm25_topk.
+
+    Ranking identity (the standard matched-postings decomposition):
+    dropping the query-constant sum of ln(mu*cf_t), score-equivalent
+    rank = sum_matched[ln(tf*C + mu*cf_t) - ln(mu*cf_t)]
+         - |q| * ln((dl + mu) * C).
+    EVERY ln argument is an integer (exact while corpus tokens
+    C * max(tf) < 2^62), so both engines run the shared portable-ln
+    chain; per-term adjustments quantize once at e6 and the score is
+    an integer sum minus an integer multiple of the quantized doc
+    term. Candidates = docs sharing >= 1 term (absent terms
+    contribute only through the doc-length factor, which the
+    decomposition already carries). A doc never matches itself; ties
+    rank to the lower doc id. Returns (query_id, doc_id, n_matched,
+    score_e6, rank)."""
+    from firebase_etl_spark.functions.portable_math import (
+        fixed_e6_expr,
+        with_ln,
+    )
+
+    base = df.filter(
+        F.col(text_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("did"), tokenize(text_col).alias("toks")
+    )
+    toks = base.select(
+        "did", F.size("toks").alias("dl"),
+        F.explode("toks").alias("term"),
+    ).filter(F.col("term") != "")
+    ctot = F.broadcast(
+        toks.agg(F.count(F.lit(1)).cast("long").alias("c_tokens"))
+    )
+    cf = toks.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("cf")
+    )
+    qt = (
+        toks.filter(F.col("did").isin(query_ids))
+        .select(F.col("did").alias("query_id"), "term")
+        .distinct()
+    )
+    qlen = qt.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("qn")
+    )
+    tf = (
+        toks.join(F.broadcast(qt.select("term").distinct()), "term")
+        .groupBy("did", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    m = (
+        tf.join(F.broadcast(qt), "term")
+        .join(F.broadcast(cf.join(
+            F.broadcast(qt.select("term").distinct()), "term"
+        )), "term")
+        .crossJoin(ctot)
+        .filter(F.col("did") != F.col("query_id"))
+        .withColumn("num", F.expr(f"tf * c_tokens + {mu} * cf"))
+        .withColumn("den", F.expr(f"{mu} * cf"))
+    )
+    m = with_ln(m, "num", "__lnn")
+    m = with_ln(m, "den", "__lnd")
+    adj = m.withColumn(
+        "adj_e6", F.expr(fixed_e6_expr("__lnn - __lnd"))
+    )
+    per_doc = adj.groupBy("query_id", "did", "dl").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matched"),
+        F.sum("adj_e6").cast("long").alias("s_adj"),
+    )
+    dterm = per_doc.crossJoin(ctot).withColumn(
+        "dlarg", F.expr(f"(dl + {mu}) * c_tokens")
+    )
+    dterm = with_ln(dterm, "dlarg", "__lndl")
+    scored = (
+        dterm.withColumn("dl_e6", F.expr(fixed_e6_expr("__lndl")))
+        .join(F.broadcast(qlen), "query_id")
+        .withColumn(
+            "score_e6", F.expr("s_adj - qn * dl_e6")
+        )
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.desc("score_e6"), "did"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("did").alias("doc_id"),
+            "n_matched",
+            F.col("score_e6").cast("long").alias("score_e6"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -8212,3 +8212,84 @@ def _gsq_oracle() -> str:
 
 
 ORACLES_EXT["events_group_sequential"] = _gsq_oracle()
+
+
+def _ql_oracle(mu: int = 50, k: int = 10) -> str:
+    """Dirichlet query-likelihood twin: identical integer ln args,
+    identical matched-postings rank decomposition, e6 per-term
+    quantization, integer score algebra."""
+    from firebase_etl_spark.functions.portable_math import (
+        fixed_e6_expr,
+        ln_select_sql,
+    )
+
+    chain_m = ln_select_sql(
+        "SELECT * FROM m",
+        [("num", "__lnn"), ("den", "__lnd")],
+    )
+    chain_d = ln_select_sql(
+        "SELECT * FROM dterm",
+        [("dlarg", "__lndl")],
+    )
+    return f"""
+    WITH base AS (
+        SELECT doc_id AS did,
+               regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+        FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+    ), toks AS (
+        SELECT did, len(tk) AS dl, t.term
+        FROM base, unnest(tk) AS t(term)
+        WHERE t.term <> ''
+    ), ctot AS (
+        SELECT CAST(count(*) AS BIGINT) AS c_tokens FROM toks
+    ), cfx AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS cf
+        FROM toks GROUP BY term
+    ), qt AS (
+        SELECT DISTINCT did AS query_id, term
+        FROM toks WHERE did IN (0, 1, 2, 3, 4)
+    ), qlen AS (
+        SELECT query_id, CAST(count(*) AS BIGINT) AS qn
+        FROM qt GROUP BY query_id
+    ), tf AS (
+        SELECT did, dl, term, CAST(count(*) AS BIGINT) AS tf
+        FROM toks WHERE term IN (SELECT term FROM qt)
+        GROUP BY did, dl, term
+    ), m AS (
+        SELECT q.query_id, t.did, t.dl, t.tf, cfx.cf, ctot.c_tokens,
+               t.tf * ctot.c_tokens + {mu} * cfx.cf AS num,
+               {mu} * cfx.cf AS den
+        FROM tf t JOIN qt q USING (term) JOIN cfx USING (term)
+        CROSS JOIN ctot
+        WHERE t.did <> q.query_id
+    ), adj AS (
+        SELECT query_id, did, dl,
+               {fixed_e6_expr("__lnn - __lnd")} AS adj_e6
+        FROM ({chain_m})
+    ), per_doc AS (
+        SELECT query_id, did, dl,
+               CAST(count(*) AS BIGINT) AS n_matched,
+               CAST(sum(adj_e6) AS BIGINT) AS s_adj
+        FROM adj GROUP BY 1, 2, 3
+    ), dterm AS (
+        SELECT p.*, (dl + {mu}) * ctot.c_tokens AS dlarg
+        FROM per_doc p CROSS JOIN ctot
+    ), scored AS (
+        SELECT query_id, did, n_matched,
+               s_adj - qlen.qn * ({fixed_e6_expr("__lndl")})
+                   AS score_e6
+        FROM ({chain_d}) JOIN qlen USING (query_id)
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY score_e6 DESC, did) AS rank
+        FROM scored
+    )
+    SELECT query_id, did AS doc_id, n_matched,
+           CAST(score_e6 AS BIGINT) AS score_e6,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {k}
+    ORDER BY query_id, rank
+"""
+
+
+ORACLES_EXT["documents_ql_topk"] = _ql_oracle()

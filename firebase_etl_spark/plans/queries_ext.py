@@ -6669,3 +6669,18 @@ def events_group_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(round(value * 100.0, 0) AS BIGINT)",
         "unix_micros(ts)",
     )
+
+
+def documents_ql_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval
+    (operators/retrieval.py:ql_topk, Zhai & Lafferty 2004): the
+    language-modeling scorer beside BM25 — they disagree exactly
+    where length normalization matters, so IR evals run both.
+    Matched-postings rank decomposition keeps every portable-ln
+    argument an integer; one corpus explode pre-filtered by the
+    broadcast query term set, same probe convention as
+    documents_bm25_topk."""
+    from firebase_etl_spark.operators.retrieval import ql_topk
+
+    d = load_table(spark, "documents", sf_dir)
+    return ql_topk(d, QUERY_DOC_IDS, k=10)

@@ -3622,3 +3622,28 @@ def test_group_sequential_crossing_and_cutoffs(spark):
     # cumulative arms stay balanced and cutoffs are the quartile points
     assert out[3]["n_a"] == 400 and out[3]["n_b"] == 400
     assert out[0]["cutoff_us"] == (799000) // 4
+
+
+def test_ql_topk_prefers_matching_doc(spark):
+    from firebase_etl_spark.operators.retrieval import ql_topk
+
+    df = spark.createDataFrame(
+        [
+            (0, "apple banana cherry"),
+            (1, "apple banana cherry apple banana"),  # best match
+            (2, "apple dog egg fig grape"),            # partial match
+            (3, "dog egg fig grape hat"),              # no query terms
+            (4, "apple " * 50),                        # long, one term
+        ],
+        "doc_id long, text string",
+    )
+    out = ql_topk(df, [0], k=4).collect()
+    assert out[0]["doc_id"] == 1 and out[0]["rank"] == 1
+    assert out[0]["n_matched"] == 3
+    ids = [r["doc_id"] for r in out]
+    assert 0 not in ids          # never matches itself
+    assert 3 not in ids          # no shared term -> no candidate
+    # doc 4 matches only 'apple' despite repeating it 50 times;
+    # Dirichlet length normalization keeps it below doc 1
+    r4 = [r for r in out if r["doc_id"] == 4][0]
+    assert r4["rank"] > 1
