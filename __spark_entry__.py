@@ -339,6 +339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_phrase_search": QX.doc_phrase_search,
         "events_group_sequential": QX.events_group_sequential,
         "documents_ql_topk": QX.documents_ql_topk,
+        "nation_revenue_jackknife": QX.nation_revenue_jackknife,
     }
 
 

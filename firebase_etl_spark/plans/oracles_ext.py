@@ -8293,3 +8293,33 @@ def _ql_oracle(mu: int = 50, k: int = 10) -> str:
 
 
 ORACLES_EXT["documents_ql_topk"] = _ql_oracle()
+
+
+ORACLES_EXT["nation_revenue_jackknife"] = """
+    WITH base AS (
+        SELECT n.n_name AS g,
+               CAST(round(o.o_totalprice * 100.0, 0) AS BIGINT) AS v
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_totalprice IS NOT NULL
+    ), per AS (
+        SELECT g, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(v) AS BIGINT) AS s
+        FROM base GROUP BY g
+    ), tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS nt,
+               CAST(sum(s) AS BIGINT) AS st
+        FROM per
+    )
+    SELECT g AS n_name, n AS n_rows, s AS sum_cents,
+           CAST(CASE WHEN (s) >= 0 THEN ((s) * 1) // (n) ELSE -((-(s) * 1) // (n)) END AS BIGINT) AS mean_cents,
+           CAST(CASE WHEN nt - n > 0 THEN CASE WHEN (st - s) >= 0 THEN ((st - s) * 1) // (nt - n) ELSE -((-(st - s) * 1) // (nt - n)) END END AS BIGINT)
+               AS mean_without_cents,
+           CAST(CASE WHEN nt - n > 0 THEN (CASE WHEN (st - s) >= 0 THEN ((st - s) * 1) // (nt - n) ELSE -((-(st - s) * 1) // (nt - n)) END) - (CASE WHEN (st) >= 0 THEN ((st) * 1) // (nt) ELSE -((-(st) * 1) // (nt)) END) END
+               AS BIGINT) AS influence_cents,
+           CAST(CASE WHEN (st) >= 0 THEN ((st) * 1) // (nt) ELSE -((-(st) * 1) // (nt)) END AS BIGINT) AS overall_mean_cents
+    FROM per CROSS JOIN tot
+    ORDER BY abs(coalesce(CASE WHEN nt - n > 0
+        THEN (CASE WHEN (st - s) >= 0 THEN ((st - s) * 1) // (nt - n) ELSE -((-(st - s) * 1) // (nt - n)) END) - (CASE WHEN (st) >= 0 THEN ((st) * 1) // (nt) ELSE -((-(st) * 1) // (nt)) END) END, 0)) DESC, n_name
+"""

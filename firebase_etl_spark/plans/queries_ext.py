@@ -6684,3 +6684,27 @@ def documents_ql_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, "documents", sf_dir)
     return ql_topk(d, QUERY_DOC_IDS, k=10)
+
+
+def nation_revenue_jackknife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-nation-out jackknife on mean order value
+    (operators/stats.py:group_jackknife): delete each nation's
+    customers and report how far the global mean moves — the
+    segment-concentration audit that catches a KPI secretly owned by
+    one market. One corpus aggregate + broadcast total; exact integer
+    cent algebra with each leave-out mean quantized once."""
+    from firebase_etl_spark.operators.stats import group_jackknife
+
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    j = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name"),
+            F.expr("CAST(round(o_totalprice * 100.0, 0) AS BIGINT)")
+            .alias("v_cents"),
+        )
+    )
+    return group_jackknife(j, "n_name", "v_cents")

@@ -3647,3 +3647,22 @@ def test_ql_topk_prefers_matching_doc(spark):
     # Dirichlet length normalization keeps it below doc 1
     r4 = [r for r in out if r["doc_id"] == 4][0]
     assert r4["rank"] > 1
+
+
+def test_group_jackknife_influence_signs(spark):
+    from firebase_etl_spark.operators.stats import group_jackknife
+
+    # group W is the whale: removing it should DROP the global mean
+    rows = [("W", 1000000)] * 5 + [("a", 100)] * 10 + [("b", 200)] * 10
+    df = spark.createDataFrame(
+        [(g, i, v) for i, (g, v) in enumerate(rows)],
+        "g string, i long, v long",
+    )
+    out = group_jackknife(df, "g", "v").collect()
+    by = {r["g"]: r for r in out}
+    assert out[0]["g"] == "W"  # largest |influence| first
+    assert by["W"]["influence_cents"] < 0
+    assert by["a"]["influence_cents"] > 0
+    tot = 5 * 1000000 + 10 * 100 + 10 * 200
+    assert by["W"]["overall_mean_cents"] == tot // 25
+    assert by["W"]["mean_without_cents"] == (10 * 100 + 10 * 200) // 20
