@@ -340,6 +340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_group_sequential": QX.events_group_sequential,
         "documents_ql_topk": QX.documents_ql_topk,
         "nation_revenue_jackknife": QX.nation_revenue_jackknife,
+        "lineitem_partition_advisor": QX.lineitem_partition_advisor,
     }
 
 

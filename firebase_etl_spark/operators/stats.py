@@ -2089,3 +2089,83 @@ def group_jackknife(
             group_col,
         )
     )
+
+
+#: estimator widths for partition_advisor (in-memory-ish bytes):
+#: fixed-width types by dtype, strings as length + 4-byte header
+_ADVISOR_WIDTHS = {
+    "bigint": 8, "double": 8, "timestamp": 8, "date": 4,
+    "int": 4, "smallint": 2, "boolean": 1, "float": 4,
+}
+
+
+def partition_advisor(
+    df: DataFrame,
+    key_col: str,
+    target_partition_bytes: int = 128 * 1024 * 1024,
+) -> DataFrame:
+    """ANALYZE-style partition/bucketing advisor — the design-for-
+    scale numbers a pipeline owner reads before sizing
+    spark.sql.shuffle.partitions or a bucket count for a table: how
+    many bytes is this really, how many ~128 MB partitions does that
+    imply, and is the join key skewed enough to need salting.
+
+    Row width derives from the DataFrame schema (fixed widths by
+    dtype, strings as exact length + 4); total bytes / distinct keys
+    / max key frequency come from TWO aggregates (one over rows, one
+    over the key's count-per-key table — both map-side combinable).
+    skew_ratio_e6 = max_freq * n_distinct / n_rows (1e6 = perfectly
+    uniform; the salting threshold rule of thumb is ~4-10e6). All
+    integer outputs. Returns ONE row: (n_rows, est_total_bytes,
+    avg_row_bytes, n_distinct_keys, max_key_freq, skew_ratio_e6,
+    recommended_partitions, rows_per_partition)."""
+    from firebase_etl_spark.functions.portable_math import (
+        sdiv_scaled_sql,
+    )
+
+    width_terms = []
+    for f in df.schema.fields:
+        t = f.dataType.simpleString()
+        if t == "string":
+            width_terms.append(
+                f"(coalesce(length({f.name}), 0) + 4)"
+            )
+        else:
+            width_terms.append(str(_ADVISOR_WIDTHS.get(t, 8)))
+    row_bytes = " + ".join(width_terms)
+    rows = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.expr(row_bytes)).cast("long").alias("est_total_bytes"),
+    )
+    keys = (
+        df.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct_keys"),
+            F.max("c").cast("long").alias("max_key_freq"),
+        )
+    )
+    skew = sdiv_scaled_sql(
+        "max_key_freq * n_distinct_keys", "n_rows", 1000000, "DIV"
+    )
+    parts = (
+        f"greatest((est_total_bytes + {target_partition_bytes - 1})"
+        f" DIV {target_partition_bytes}, 1)"
+    )
+    return (
+        rows.crossJoin(F.broadcast(keys))
+        .select(
+            "n_rows", "est_total_bytes",
+            F.expr("CASE WHEN n_rows > 0 THEN"
+                   " est_total_bytes DIV n_rows END")
+            .alias("avg_row_bytes"),
+            "n_distinct_keys", "max_key_freq",
+            F.expr(f"CASE WHEN n_rows > 0 THEN {skew} END")
+            .alias("skew_ratio_e6"),
+            F.expr(parts).alias("recommended_partitions"),
+            F.expr(
+                f"CASE WHEN n_rows > 0"
+                f" THEN n_rows DIV ({parts}) END"
+            ).alias("rows_per_partition"),
+        )
+    )

@@ -8323,3 +8323,28 @@ ORACLES_EXT["nation_revenue_jackknife"] = """
     ORDER BY abs(coalesce(CASE WHEN nt - n > 0
         THEN (CASE WHEN (st - s) >= 0 THEN ((st - s) * 1) // (nt - n) ELSE -((-(st - s) * 1) // (nt - n)) END) - (CASE WHEN (st) >= 0 THEN ((st) * 1) // (nt) ELSE -((-(st) * 1) // (nt)) END) END, 0)) DESC, n_name
 """
+
+
+ORACLES_EXT["lineitem_partition_advisor"] = """
+    WITH rows_agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(8 + 8 + 8 + 4 + 8 + 8 + 8 + 8 + (coalesce(length(l_returnflag), 0) + 4) + (coalesce(length(l_linestatus), 0) + 4) + 8) AS BIGINT) AS est_total_bytes
+        FROM lineitem
+    ), keys AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_distinct_keys,
+               CAST(max(c) AS BIGINT) AS max_key_freq
+        FROM (SELECT l_orderkey, count(*) AS c FROM lineitem
+              GROUP BY l_orderkey)
+    )
+    SELECT n_rows, est_total_bytes,
+           CAST(CASE WHEN n_rows > 0
+               THEN est_total_bytes // n_rows END AS BIGINT)
+               AS avg_row_bytes,
+           n_distinct_keys, max_key_freq,
+           CAST(CASE WHEN n_rows > 0 THEN CASE WHEN (max_key_freq * n_distinct_keys) >= 0 THEN ((max_key_freq * n_distinct_keys) * 1000000) // (n_rows) ELSE -((-(max_key_freq * n_distinct_keys) * 1000000) // (n_rows)) END END AS BIGINT)
+               AS skew_ratio_e6,
+           CAST(greatest((est_total_bytes + 134217727) // 134217728, 1) AS BIGINT) AS recommended_partitions,
+           CAST(CASE WHEN n_rows > 0 THEN n_rows // (greatest((est_total_bytes + 134217727) // 134217728, 1)) END
+               AS BIGINT) AS rows_per_partition
+    FROM rows_agg CROSS JOIN keys
+"""

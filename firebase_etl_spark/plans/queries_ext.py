@@ -6708,3 +6708,25 @@ def nation_revenue_jackknife(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return group_jackknife(j, "n_name", "v_cents")
+
+
+def lineitem_partition_advisor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ANALYZE-style partition/bucket advisor over the fact table
+    (operators/stats.py:partition_advisor): schema-derived byte
+    estimate, distinct-key and max-frequency stats on l_orderkey, the
+    skew ratio against uniform, and the implied ~128 MB partition
+    count — the design-for-scale numbers this repo's own tuning notes
+    are built from, packaged as a first-class query. Two map-side-
+    combinable aggregates; all-integer output."""
+    from firebase_etl_spark.operators.stats import partition_advisor
+
+    li = load_table(spark, "lineitem", sf_dir)
+    # column order fixed for the byte estimator's schema walk
+    li = li.select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    )
+    return partition_advisor(li, "l_orderkey")

@@ -3666,3 +3666,21 @@ def test_group_jackknife_influence_signs(spark):
     tot = 5 * 1000000 + 10 * 100 + 10 * 200
     assert by["W"]["overall_mean_cents"] == tot // 25
     assert by["W"]["mean_without_cents"] == (10 * 100 + 10 * 200) // 20
+
+
+def test_partition_advisor_arithmetic(spark):
+    from firebase_etl_spark.operators.stats import partition_advisor
+
+    # 3 rows: long(8) + string(len+4); skewed key: 'a' twice
+    df = spark.createDataFrame(
+        [(1, "xx"), (1, "yyyy"), (2, None)], "k long, s string"
+    )
+    r = partition_advisor(df, "k").collect()[0]
+    # bytes: (8+2+4) + (8+4+4) + (8+0+4) = 14 + 16 + 12 = 42
+    assert r["n_rows"] == 3 and r["est_total_bytes"] == 42
+    assert r["avg_row_bytes"] == 14
+    assert r["n_distinct_keys"] == 2 and r["max_key_freq"] == 2
+    # skew = 2 * 2 / 3 = 1.333x uniform
+    assert r["skew_ratio_e6"] == 1333333
+    assert r["recommended_partitions"] == 1
+    assert r["rows_per_partition"] == 3
