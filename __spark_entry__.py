@@ -341,6 +341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_ql_topk": QX.documents_ql_topk,
         "nation_revenue_jackknife": QX.nation_revenue_jackknife,
         "lineitem_partition_advisor": QX.lineitem_partition_advisor,
+        "doc_rake_keywords": QX.doc_rake_keywords,
     }
 
 

@@ -538,3 +538,106 @@ def passage_chunks(
             " ", F.slice(F.col("__toks"), start + 1, ntk)
         ).alias("chunk_text"),
     )
+
+
+def rake_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top: int = 20,
+    max_len: int = 4,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) — corpus-level
+    candidate keyphrases scored degree/frequency, the unsupervised
+    complement to doc_tfidf_top_terms (tf-idf ranks single TERMS by
+    document discrimination; RAKE ranks stopword-delimited PHRASES by
+    internal cohesion, no idf table needed).
+
+    Pipeline (all DataFrame ops): positional postings -> stopword
+    cuts (the shared STOPWORDS tuple) -> per-doc segment ids by a
+    running stopword count (one window per doc — documents are short;
+    the window never crosses docs) -> candidate phrases truncated to
+    ``max_len`` tokens -> word degree (sum of host-phrase lengths)
+    and frequency over candidate words -> word score e6 =
+    degree*1e6 DIV freq -> phrase score = integer sum of its words'
+    quantized scores. Identical phrases aggregate; ties rank
+    (score desc, n desc, phrase). Vocabulary-sized joins; nothing
+    quadratic. Returns (phrase, n_words, n_occurrences, score_e6)."""
+    toks = (
+        df.filter(
+            F.col(text_col).isNotNull() & F.col(id_col).isNotNull()
+        )
+        .select(
+            F.col(id_col).alias("did"),
+            F.posexplode(tokenize(text_col)).alias("pos", "term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    w = (
+        Window.partitionBy("did")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seg = toks.withColumn(
+        "is_stop", F.col("term").isin(*STOPWORDS).cast("int")
+    ).withColumn("seg", F.sum("is_stop").over(w))
+    cand = (
+        seg.filter(F.col("is_stop") == 0)
+        .groupBy("did", "seg")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(F.struct("pos", "term"))
+                        ),
+                        lambda x: x["term"],
+                    ),
+                    1,
+                    max_len,
+                ),
+            ).alias("phrase")
+        )
+        .filter(F.col("phrase") != "")
+    )
+    words = cand.select(
+        "phrase",
+        F.size(F.split(F.col("phrase"), " ")).alias("plen"),
+        F.explode(F.split(F.col("phrase"), " ")).alias("wd"),
+    )
+    wscore = (
+        words.groupBy("wd")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("plen").cast("long").alias("degree"),
+        )
+        .withColumn(
+            "ws_e6", F.expr("(degree * 1000000) DIV freq")
+        )
+    )
+    # word scores came from ALL occurrences (standard RAKE); the
+    # phrase score sums ONE instance's words, so explode each DISTINCT
+    # phrase exactly once and keep the occurrence count beside it
+    dph = cand.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+    pw = dph.select(
+        "phrase", "n_occurrences",
+        F.size(F.split(F.col("phrase"), " ")).alias("plen"),
+        F.explode(F.split(F.col("phrase"), " ")).alias("wd"),
+    )
+    return (
+        pw.join(wscore, "wd")
+        .groupBy("phrase", "plen", "n_occurrences")
+        .agg(F.sum("ws_e6").cast("long").alias("score_e6"))
+        .select(
+            "phrase",
+            F.col("plen").cast("long").alias("n_words"),
+            "n_occurrences", "score_e6",
+        )
+        .orderBy(
+            F.desc("score_e6"), F.desc("n_occurrences"), "phrase"
+        )
+        .limit(top)
+    )

@@ -8348,3 +8348,57 @@ ORACLES_EXT["lineitem_partition_advisor"] = """
                AS BIGINT) AS rows_per_partition
     FROM rows_agg CROSS JOIN keys
 """
+
+
+ORACLES_EXT["doc_rake_keywords"] = """
+    WITH toks AS (
+        SELECT doc_id AS did, p.pos - 1 AS pos, tk[p.pos] AS term
+        FROM (SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\\s+')
+                         AS tk
+              FROM documents
+              WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+             unnest(range(1, len(tk) + 1)) AS p(pos)
+        WHERE tk[p.pos] <> ''
+    ), st AS (
+        SELECT did, pos, term,
+               CASE WHEN term IN ('the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'is', 'it') THEN 1 ELSE 0 END AS is_stop
+        FROM toks
+    ), seg AS (
+        SELECT *, sum(is_stop) OVER (PARTITION BY did ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+        FROM st
+    ), cand AS (
+        SELECT did, seg,
+               array_to_string(
+                   (array_agg(term ORDER BY pos))[1:4], ' ') AS phrase
+        FROM seg WHERE is_stop = 0
+        GROUP BY did, seg
+        HAVING array_to_string(
+                   (array_agg(term ORDER BY pos))[1:4], ' ') <> ''
+    ), words AS (
+        SELECT phrase,
+               len(string_split(phrase, ' ')) AS plen,
+               w.wd
+        FROM cand, unnest(string_split(phrase, ' ')) AS w(wd)
+    ), wscore AS (
+        SELECT wd, CAST(count(*) AS BIGINT) AS freq,
+               CAST(sum(plen) AS BIGINT) AS degree
+        FROM words GROUP BY wd
+    ), ws AS (
+        SELECT wd, (degree * 1000000) // freq AS ws_e6 FROM wscore
+    ), dph AS (
+        SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM cand GROUP BY phrase
+    ), pw AS (
+        SELECT phrase, n_occurrences,
+               len(string_split(phrase, ' ')) AS plen, w.wd
+        FROM dph, unnest(string_split(phrase, ' ')) AS w(wd)
+    )
+    SELECT phrase, CAST(max(plen) AS BIGINT) AS n_words,
+           n_occurrences,
+           CAST(sum(ws.ws_e6) AS BIGINT) AS score_e6
+    FROM pw JOIN ws USING (wd)
+    GROUP BY phrase, n_occurrences
+    ORDER BY score_e6 DESC, n_occurrences DESC, phrase LIMIT 20
+"""

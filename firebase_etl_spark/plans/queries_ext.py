@@ -6730,3 +6730,16 @@ def lineitem_partition_advisor(
         "l_returnflag", "l_linestatus", "l_shipdate",
     )
     return partition_advisor(li, "l_orderkey")
+
+
+def doc_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (operators/text.py:rake_keywords,
+    Rose et al. 2010): stopword-delimited candidate phrases scored by
+    summed word degree/frequency — the unsupervised phrase
+    counterpart to doc_tfidf_top_terms' single-term ranking. One
+    window per doc for segment ids, vocabulary-sized score joins,
+    integer e6 scores; top 20 by (score, occurrences, phrase)."""
+    from firebase_etl_spark.operators.text import rake_keywords
+
+    d = load_table(spark, "documents", sf_dir)
+    return rake_keywords(d)

@@ -3684,3 +3684,27 @@ def test_partition_advisor_arithmetic(spark):
     assert r["skew_ratio_e6"] == 1333333
     assert r["recommended_partitions"] == 1
     assert r["rows_per_partition"] == 3
+
+
+def test_rake_keywords_degree_freq_scoring(spark):
+    from firebase_etl_spark.operators.text import rake_keywords
+
+    # 'deep learning' cohesive phrase; 'data' appears alone and inside
+    # a longer phrase, diluting its degree/freq less than cohesion
+    df = spark.createDataFrame(
+        [
+            (1, "deep learning and deep learning of data"),
+            (2, "data in deep learning"),
+        ],
+        "doc_id long, text string",
+    )
+    out = rake_keywords(df, top=10).collect()
+    by = {r["phrase"]: r for r in out}
+    assert "deep learning" in by
+    dl = by["deep learning"]
+    assert dl["n_occurrences"] == 3 and dl["n_words"] == 2
+    # deep: freq 3, degree 6 -> 2e6; learning same -> phrase 4e6
+    assert dl["score_e6"] == 4000000
+    # 'data': freq 2, degree 2 -> 1e6
+    assert by["data"]["score_e6"] == 1000000
+    assert out[0]["phrase"] == "deep learning"
