@@ -342,6 +342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_revenue_jackknife": QX.nation_revenue_jackknife,
         "lineitem_partition_advisor": QX.lineitem_partition_advisor,
         "doc_rake_keywords": QX.doc_rake_keywords,
+        "part_type_mix_shift": QX.part_type_mix_shift,
     }
 
 

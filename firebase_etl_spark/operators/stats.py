@@ -2169,3 +2169,104 @@ def partition_advisor(
             ).alias("rows_per_partition"),
         )
     )
+
+
+def mix_shift_decomposition(
+    df: DataFrame,
+    group_col: str,
+    qty_col: str,
+    rev_c_col: str,
+    period_col: str,
+    top: int = 15,
+) -> DataFrame:
+    """Price/volume/mix decomposition of a revenue change between two
+    periods — the finance-analytics identity ('revenue fell 3%: was
+    it prices, quantities, or what we sold?'): per segment,
+    dR = (p1-p0)*q0  [price]  +  p0*(q1-q0)  [volume]
+       + (p1-p0)*(q1-q0)      [mix/cross].
+
+    Input rows carry (group, qty BIGINT, revenue cents BIGINT,
+    period 0/1). One aggregate to (group, period) cells; unit prices
+    quantize ONCE at e4 cents (sign-split; the only rationals in the
+    identity), every effect after is exact integer algebra, and the
+    reconciliation residual — delta_cents*1e4 minus the three effects
+    — is PUBLISHED per row, so the quantization error is visible
+    instead of silent. Segments missing from either period carry NULL
+    effects (their delta still reports). Returns the `top` segments
+    by |delta_cents| desc, group asc: (group, q0, q1, rev0_cents,
+    rev1_cents, delta_cents, price_effect_e4, volume_effect_e4,
+    mix_effect_e4, residual_e4)."""
+    from firebase_etl_spark.functions.portable_math import (
+        sdiv_scaled_sql,
+    )
+
+    cells = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.col(qty_col).alias("q"),
+            F.col(rev_c_col).alias("r"),
+            F.col(period_col).alias("p"),
+        )
+        .groupBy("g")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("p") == 0, F.col("q"))), F.lit(0)
+            ).cast("long").alias("q0"),
+            F.coalesce(
+                F.sum(F.when(F.col("p") == 1, F.col("q"))), F.lit(0)
+            ).cast("long").alias("q1"),
+            F.coalesce(
+                F.sum(F.when(F.col("p") == 0, F.col("r"))), F.lit(0)
+            ).cast("long").alias("r0"),
+            F.coalesce(
+                F.sum(F.when(F.col("p") == 1, F.col("r"))), F.lit(0)
+            ).cast("long").alias("r1"),
+        )
+    )
+    p0 = sdiv_scaled_sql("r0", "q0", 10000, "DIV")
+    p1 = sdiv_scaled_sql("r1", "q1", 10000, "DIV")
+    both = "q0 > 0 AND q1 > 0"
+    priced = (
+        cells.withColumn(
+            "p0_e4", F.expr(f"CASE WHEN q0 > 0 THEN {p0} END")
+        )
+        .withColumn(
+            "p1_e4", F.expr(f"CASE WHEN q1 > 0 THEN {p1} END")
+        )
+        .withColumn("delta_cents", F.col("r1") - F.col("r0"))
+        .withColumn(
+            "price_effect_e4",
+            F.expr(f"CASE WHEN {both}"
+                   " THEN (p1_e4 - p0_e4) * q0 END"),
+        )
+        .withColumn(
+            "volume_effect_e4",
+            F.expr(f"CASE WHEN {both}"
+                   " THEN p0_e4 * (q1 - q0) END"),
+        )
+        .withColumn(
+            "mix_effect_e4",
+            F.expr(f"CASE WHEN {both}"
+                   " THEN (p1_e4 - p0_e4) * (q1 - q0) END"),
+        )
+        .withColumn(
+            "residual_e4",
+            F.expr(
+                f"CASE WHEN {both} THEN delta_cents * 10000"
+                " - (price_effect_e4 + volume_effect_e4"
+                " + mix_effect_e4) END"
+            ),
+        )
+    )
+    return (
+        priced.select(
+            F.col("g").alias(group_col),
+            "q0", "q1",
+            F.col("r0").alias("rev0_cents"),
+            F.col("r1").alias("rev1_cents"),
+            "delta_cents", "price_effect_e4", "volume_effect_e4",
+            "mix_effect_e4", "residual_e4",
+        )
+        .orderBy(F.desc(F.abs("delta_cents")), group_col)
+        .limit(top)
+    )

@@ -8402,3 +8402,57 @@ ORACLES_EXT["doc_rake_keywords"] = """
     GROUP BY phrase, n_occurrences
     ORDER BY score_e6 DESC, n_occurrences DESC, phrase LIMIT 20
 """
+
+
+ORACLES_EXT["part_type_mix_shift"] = """
+    WITH li AS (
+        SELECT p.p_type AS g,
+               CAST(round(l.l_quantity, 0) AS BIGINT) AS q,
+               CAST(round(l.l_extendedprice * 100.0, 0) AS BIGINT)
+                   AS r,
+               date_diff('day', DATE '1970-01-01',
+                   CAST(l.l_shipdate AS DATE)) AS us
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate IS NOT NULL
+          AND l.l_extendedprice IS NOT NULL
+          AND l.l_quantity IS NOT NULL
+    ), span AS (SELECT min(us) AS mn, max(us) AS mx FROM li),
+    cells AS (
+        SELECT g,
+               CAST(coalesce(sum(CASE WHEN us <= (mn + mx) // 2
+                   THEN q END), 0) AS BIGINT) AS q0,
+               CAST(coalesce(sum(CASE WHEN us > (mn + mx) // 2
+                   THEN q END), 0) AS BIGINT) AS q1,
+               CAST(coalesce(sum(CASE WHEN us <= (mn + mx) // 2
+                   THEN r END), 0) AS BIGINT) AS r0,
+               CAST(coalesce(sum(CASE WHEN us > (mn + mx) // 2
+                   THEN r END), 0) AS BIGINT) AS r1
+        FROM li CROSS JOIN span GROUP BY g
+    ), priced AS (
+        SELECT *,
+               CASE WHEN q0 > 0 THEN CASE WHEN (r0) >= 0 THEN ((r0) * 10000) // (q0) ELSE -((-(r0) * 10000) // (q0)) END END AS p0_e4,
+               CASE WHEN q1 > 0 THEN CASE WHEN (r1) >= 0 THEN ((r1) * 10000) // (q1) ELSE -((-(r1) * 10000) // (q1)) END END AS p1_e4,
+               r1 - r0 AS delta_cents
+        FROM cells
+    ), eff AS (
+        SELECT *,
+               CASE WHEN q0 > 0 AND q1 > 0
+                    THEN (p1_e4 - p0_e4) * q0 END AS price_effect_e4,
+               CASE WHEN q0 > 0 AND q1 > 0
+                    THEN p0_e4 * (q1 - q0) END AS volume_effect_e4,
+               CASE WHEN q0 > 0 AND q1 > 0
+                    THEN (p1_e4 - p0_e4) * (q1 - q0) END
+                   AS mix_effect_e4
+        FROM priced
+    )
+    SELECT g AS p_type, q0, q1, r0 AS rev0_cents, r1 AS rev1_cents,
+           delta_cents,
+           CAST(price_effect_e4 AS BIGINT) AS price_effect_e4,
+           CAST(volume_effect_e4 AS BIGINT) AS volume_effect_e4,
+           CAST(mix_effect_e4 AS BIGINT) AS mix_effect_e4,
+           CAST(CASE WHEN q0 > 0 AND q1 > 0
+               THEN delta_cents * 10000 - (price_effect_e4
+                    + volume_effect_e4 + mix_effect_e4) END
+               AS BIGINT) AS residual_e4
+    FROM eff ORDER BY abs(delta_cents) DESC, p_type LIMIT 15
+"""

@@ -6743,3 +6743,53 @@ def doc_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, "documents", sf_dir)
     return rake_keywords(d)
+
+
+def part_type_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price/volume/mix revenue-change decomposition per part type
+    between the two halves of the shipping window
+    (operators/stats.py:mix_shift_decomposition): the finance
+    identity that says WHERE a revenue delta came from, with unit
+    prices quantized once at e4 and the reconciliation residual
+    published per row so the quantization error is visible. One
+    aggregate to (type, period) cells after a broadcast part join."""
+    from firebase_etl_spark.operators.stats import (
+        mix_shift_decomposition,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    base = (
+        li.filter(
+            F.col("l_shipdate").isNotNull()
+            & F.col("l_extendedprice").isNotNull()
+            & F.col("l_quantity").isNotNull()
+        )
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(
+            "p_type",
+            F.expr("CAST(round(l_quantity, 0) AS BIGINT)").alias("q"),
+            F.expr(
+                "CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)"
+            ).alias("r"),
+            F.expr(
+                "datediff(CAST(l_shipdate AS DATE), DATE'1970-01-01')"
+            ).cast("long").alias("us"),
+        )
+    )
+    mid = F.broadcast(
+        base.agg(
+            F.expr(
+                "(CAST(min(us) AS BIGINT) + CAST(max(us) AS BIGINT))"
+                " DIV 2"
+            ).alias("tmid")
+        )
+    )
+    periods = base.crossJoin(mid).select(
+        "p_type", "q", "r",
+        F.when(F.col("us") <= F.col("tmid"), 0).otherwise(1)
+        .alias("period"),
+    )
+    return mix_shift_decomposition(
+        periods, "p_type", "q", "r", "period"
+    )

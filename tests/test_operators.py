@@ -3708,3 +3708,30 @@ def test_rake_keywords_degree_freq_scoring(spark):
     # 'data': freq 2, degree 2 -> 1e6
     assert by["data"]["score_e6"] == 1000000
     assert out[0]["phrase"] == "deep learning"
+
+
+def test_mix_shift_identity_reconciles(spark):
+    from firebase_etl_spark.operators.stats import (
+        mix_shift_decomposition,
+    )
+
+    # type A: price 100 -> 120 cents, qty 10 -> 15
+    # dR = 1800-1000 = 800; price=(20e4)*10=2e6, vol=100e4*5=5e6,
+    # mix=20e4*5=1e6 -> 8e6 == 800*1e4, residual 0
+    rows = [
+        ("A", 10, 1000, 0), ("A", 15, 1800, 1),
+        ("B", 5, 500, 0),                      # vanishes in period 1
+    ]
+    df = spark.createDataFrame(rows, "g string, q long, r long, p int")
+    out = {r["g"]: r for r in mix_shift_decomposition(
+        df, "g", "q", "r", "p"
+    ).collect()}
+    a = out["A"]
+    assert a["delta_cents"] == 800
+    assert a["price_effect_e4"] == 2_000_000
+    assert a["volume_effect_e4"] == 5_000_000
+    assert a["mix_effect_e4"] == 1_000_000
+    assert a["residual_e4"] == 0
+    b = out["B"]
+    assert b["delta_cents"] == -500
+    assert b["price_effect_e4"] is None
