@@ -343,6 +343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_partition_advisor": QX.lineitem_partition_advisor,
         "doc_rake_keywords": QX.doc_rake_keywords,
         "part_type_mix_shift": QX.part_type_mix_shift,
+        "stream_ab_monitor": QX.stream_ab_monitor,
     }
 
 

@@ -8456,3 +8456,48 @@ ORACLES_EXT["part_type_mix_shift"] = """
                AS BIGINT) AS residual_e4
     FROM eff ORDER BY abs(delta_cents) DESC, p_type LIMIT 15
 """
+
+
+def _stream_ab_oracle() -> str:
+    """Batch replay of the streaming A/B monitor's final emission:
+    the state is six batching-invariant integer sums, so one
+    aggregate + the shared welch tree reproduces it exactly."""
+    from firebase_etl_spark.functions.portable_math import fixed_e6_expr
+    from firebase_etl_spark.operators.stats import welch_z_sql
+
+    wz = welch_z_sql()
+    return f"""
+    WITH base AS (
+        SELECT event_type AS g, CAST(user_id % 2 AS INT) AS arm,
+               CAST(round(value * 100.0, 0) AS BIGINT) AS v
+        FROM events
+        WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+          AND value IS NOT NULL
+    ), m AS (
+        SELECT g,
+            CAST(count(*) AS BIGINT) AS n_events,
+            CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS na,
+            CAST(coalesce(sum(CASE WHEN arm = 0 THEN v END), 0)
+                AS BIGINT) AS sa,
+            CAST(coalesce(sum(CASE WHEN arm = 0 THEN v * v END), 0)
+                AS BIGINT) AS ssa,
+            CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS nb,
+            CAST(coalesce(sum(CASE WHEN arm = 1 THEN v END), 0)
+                AS BIGINT) AS sb,
+            CAST(coalesce(sum(CASE WHEN arm = 1 THEN v * v END), 0)
+                AS BIGINT) AS ssb
+        FROM base GROUP BY g
+    )
+    SELECT g AS event_type, n_events, na AS n_a, nb AS n_b,
+           CASE WHEN ({wz}) IS NOT NULL
+                THEN {fixed_e6_expr(wz)} END AS z_e6,
+           CASE WHEN ({wz}) IS NOT NULL
+                THEN abs({fixed_e6_expr(wz)}) >= 1959964
+                ELSE false END AS significant
+    FROM m ORDER BY event_type
+"""
+
+
+ORACLES_EXT["stream_ab_monitor"] = _stream_ab_oracle()

@@ -6793,3 +6793,64 @@ def part_type_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mix_shift_decomposition(
         periods, "p_type", "q", "r", "period"
     )
+
+
+def stream_ab_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin #12 — live A/B monitor
+    (streaming/events.py:streaming_ab_monitor): stateful cumulative
+    integer Welch moments per event type; the z statistic applies
+    ENGINE-side via the shared welch_z_sql() tree on the final
+    emission, so the stateful path carries zero Python float ops and
+    the final row bit-equals the batch moments the oracle
+    aggregates."""
+    import uuid as _uuid
+
+    from firebase_etl_spark.functions.portable_math import (
+        fixed_e6_expr,
+    )
+    from firebase_etl_spark.operators.stats import welch_z_sql
+    from firebase_etl_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+        streaming_ab_monitor,
+    )
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    name = f"abm_{_uuid.uuid4().hex[:8]}"
+    inc = run_stream_to_memory(
+        spark,
+        streaming_ab_monitor(stream),
+        name,
+        output_mode="append",
+    )
+    final = (
+        inc.groupBy("g")
+        .agg(
+            F.max("n_seen").alias("n_events"),
+            F.max_by(
+                F.struct("na", "sa", "ssa", "nb", "sb", "ssb"),
+                F.col("n_seen"),
+            ).alias("m"),
+        )
+        .select(
+            "g", "n_events",
+            F.col("m.na").alias("na"), F.col("m.sa").alias("sa"),
+            F.col("m.ssa").alias("ssa"), F.col("m.nb").alias("nb"),
+            F.col("m.sb").alias("sb"), F.col("m.ssb").alias("ssb"),
+        )
+    )
+    wz = welch_z_sql()
+    return final.select(
+        F.col("g").alias("event_type"),
+        "n_events",
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.expr(
+            f"CASE WHEN ({wz}) IS NOT NULL"
+            f" THEN {fixed_e6_expr(wz)} END"
+        ).alias("z_e6"),
+        F.expr(
+            f"CASE WHEN ({wz}) IS NOT NULL THEN"
+            f" abs({fixed_e6_expr(wz)}) >= 1959964 ELSE false END"
+        ).alias("significant"),
+    ).orderBy("event_type")

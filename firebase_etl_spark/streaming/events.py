@@ -647,3 +647,85 @@ def streaming_count_min(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_ab_monitor(events: DataFrame):
+    """Stateful streaming A/B monitor — twin #12: per event type,
+    cumulative EXACT integer Welch moments of the id-parity
+    experiment (n/sum/sum-of-squares per arm), the state a live
+    experimentation platform keeps so every micro-batch can re-read
+    the z statistic without rescanning history.
+
+    The state is six BIGINT sums + n_seen — pure functions of the
+    input multiset, batching- and order-insensitive — so the final
+    emission per key (highest n_seen) is bit-identical to the batch
+    moments and the oracle replays them with one aggregate. The z
+    statistic itself is NOT computed here: the consumer applies the
+    shared welch_z_sql() tree ENGINE-side on the final rows (zero
+    Python float ops in the stateful path — nothing to drift).
+    Emits (g, n_seen, na, sa, ssa, nb, sb, ssb) per key per batch."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    out_schema = (
+        "g string, n_seen long, na long, sa long, ssa long,"
+        " nb long, sb long, ssb long"
+    )
+    state_schema = (
+        "na long, sa long, ssa long, nb long, sb long, ssb long,"
+        " n_seen long"
+    )
+
+    def update(key_tuple, pdfs, state: GroupState):
+        if state.exists:
+            na, sa, ssa, nb, sb, ssb, seen = (
+                int(x) for x in state.get
+            )
+        else:
+            na = sa = ssa = nb = sb = ssb = seen = 0
+        added = 0
+        for pdf in pdfs:
+            for arm, v in zip(pdf["arm"], pdf["v"]):
+                v = int(v)
+                if int(arm) == 0:
+                    na += 1
+                    sa += v
+                    ssa += v * v
+                else:
+                    nb += 1
+                    sb += v
+                    ssb += v * v
+                added += 1
+        if not added:
+            return
+        seen += added
+        state.update((na, sa, ssa, nb, sb, ssb, seen))
+        yield pd.DataFrame(
+            {
+                "g": [str(key_tuple[0])],
+                "n_seen": [seen],
+                "na": [na], "sa": [sa], "ssa": [ssa],
+                "nb": [nb], "sb": [sb], "ssb": [ssb],
+            }
+        )
+
+    src = events.filter(
+        F.col("event_type").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+    ).select(
+        F.col("event_type").alias("g"),
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+        F.expr("CAST(round(value * 100.0, 0) AS BIGINT)").alias("v"),
+    )
+    return src.groupBy("g").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

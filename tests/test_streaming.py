@@ -490,3 +490,36 @@ def test_streaming_count_min_matches_batch_sketch(spark, sf_dir, events_stream):
     raw = {r["event_type"]: r["n"] for r in e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n")).collect()}
     assert all(got[g]["n_seen"] == raw[g] for g in got)
+
+
+def test_streaming_ab_monitor_matches_batch_moments(spark, sf_dir):
+    """The stateful A/B monitor's final emission per key equals the
+    batch integer moments exactly (the state is six sums), and the
+    engine-side z agrees with ab_fdr_screen's z for the same data."""
+    from firebase_etl_spark.operators.stats import ab_fdr_screen
+    from firebase_etl_spark.plans.queries_ext import stream_ab_monitor
+
+    got = {r["event_type"]: r
+           for r in stream_ab_monitor(spark, sf_dir).collect()}
+    e = (
+        load_table(spark, "events", sf_dir)
+        .filter(
+            F.col("event_type").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("value").isNotNull()
+        )
+        .withColumn("arm", (F.col("user_id") % 2).cast("int"))
+    )
+    batch = {
+        r["group_key"]: r
+        for r in ab_fdr_screen(
+            e, "event_type", "arm",
+            "CAST(round(value * 100.0, 0) AS BIGINT)",
+        ).collect()
+    }
+    assert set(got) == set(batch)
+    for g, s in got.items():
+        b = batch[g]
+        assert s["n_a"] == b["n_a"] and s["n_b"] == b["n_b"]
+        assert s["z_e6"] == b["z_e6"]
+        assert s["n_events"] == b["n_a"] + b["n_b"]
