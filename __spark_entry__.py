@@ -344,6 +344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_rake_keywords": QX.doc_rake_keywords,
         "part_type_mix_shift": QX.part_type_mix_shift,
         "stream_ab_monitor": QX.stream_ab_monitor,
+        "events_ks_drift": QX.events_ks_drift,
     }
 
 

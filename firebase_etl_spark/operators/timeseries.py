@@ -694,3 +694,106 @@ def mann_kendall_test(df: DataFrame, ts_col: str = "ts") -> DataFrame:
             ).cast("long").alias("z_e6"),
         )
     )
+
+
+def ks_drift_report(
+    df: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov drift test per group —
+    early-half vs late-half value distributions, the CDF-distance
+    complement to events_psi_drift (PSI reads binned likelihood
+    ratios; KS reads the single worst CDF gap, catches location
+    shifts PSI's decile bins can smear, and needs no binning at
+    all).
+
+    Exact integer formulation over the DISTINCT-VALUE histogram (the
+    binary_auc_report trick — codomain-sized, never corpus-sized):
+    per distinct value, cumulative per-half counts c1, c2 by one
+    window over sorted values; D's numerator = max|c1*n2 - c2*n1|
+    (exact while n1*n2 < 2^63 — ~3e9 rows per half), ks_e6 its
+    sign-split e6 quotient. The alpha=0.05 two-sample threshold
+    1.3581015... * sqrt((n1+n2)/(n1*n2)) is one shared literal *
+    sqrt * divide chain — correctly rounded IEEE on both engines.
+    Returns per group: (group, n_early, n_late, ks_e6, ks_at_value,
+    crit_e6, drifted)."""
+    from firebase_etl_spark.functions.portable_math import (
+        dlit,
+        fixed_e6_expr,
+        sdiv_scaled_sql,
+    )
+
+    base = df.select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("double").alias("v"),
+        F.unix_micros(F.col(ts_col)).alias("us"),
+    ).filter(
+        F.col("g").isNotNull()
+        & F.col("v").isNotNull()
+        & F.col("us").isNotNull()
+    )
+    span = F.broadcast(
+        base.agg(
+            F.expr(
+                "(CAST(min(us) AS BIGINT) + CAST(max(us) AS BIGINT))"
+                " DIV 2"
+            ).alias("tmid")
+        )
+    )
+    halves = base.crossJoin(span).select(
+        "g", "v",
+        (F.col("us") <= F.col("tmid")).cast("int").alias("early"),
+    )
+    hist = halves.groupBy("g", "v").agg(
+        F.sum("early").cast("long").alias("d1"),
+        F.sum(1 - F.col("early")).cast("long").alias("d2"),
+    )
+    tot = hist.groupBy("g").agg(
+        F.sum("d1").cast("long").alias("n1"),
+        F.sum("d2").cast("long").alias("n2"),
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        hist.withColumn("c1", F.sum("d1").over(w))
+        .withColumn("c2", F.sum("d2").over(w))
+        .join(tot, "g")
+        .withColumn(
+            "gap", F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+        )
+    )
+    mx = cum.groupBy("g").agg(F.max("gap").alias("dnum"))
+    best = (
+        cum.join(mx, "g")
+        .filter(F.col("gap") == F.col("dnum"))
+        .groupBy("g", "n1", "n2", "dnum")
+        .agg(F.min("v").alias("ks_at_value"))
+    )
+    ks = sdiv_scaled_sql("dnum", "n1 * n2", 1000000, "DIV")
+    crit = (
+        f"{dlit(1.3581015157406195)} * sqrt("
+        "(CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))"
+        " / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))"
+    )
+    return best.select(
+        F.col("g").alias(group_col),
+        F.col("n1").alias("n_early"),
+        F.col("n2").alias("n_late"),
+        F.expr(
+            f"CASE WHEN n1 > 0 AND n2 > 0 THEN {ks} END"
+        ).alias("ks_e6"),
+        F.round(F.col("ks_at_value"), 6).alias("ks_at_value"),
+        F.expr(
+            f"CASE WHEN n1 > 0 AND n2 > 0"
+            f" THEN {fixed_e6_expr(crit)} END"
+        ).alias("crit_e6"),
+        F.expr(
+            f"CASE WHEN n1 > 0 AND n2 > 0 THEN"
+            f" ({ks}) >= {fixed_e6_expr(crit)} ELSE false END"
+        ).alias("drifted"),
+    ).orderBy(group_col)

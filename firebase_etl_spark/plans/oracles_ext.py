@@ -8501,3 +8501,56 @@ def _stream_ab_oracle() -> str:
 
 
 ORACLES_EXT["stream_ab_monitor"] = _stream_ab_oracle()
+
+
+ORACLES_EXT["events_ks_drift"] = """
+    WITH base AS (
+        SELECT event_type AS g, CAST(value AS DOUBLE) AS v,
+               epoch_us(ts) AS us
+        FROM events
+        WHERE event_type IS NOT NULL AND value IS NOT NULL
+          AND ts IS NOT NULL
+    ), span AS (
+        SELECT (CAST(min(us) AS BIGINT) + CAST(max(us) AS BIGINT))
+            // 2 AS tmid
+        FROM base
+    ), halves AS (
+        SELECT g, v,
+               CASE WHEN us <= tmid THEN 1 ELSE 0 END AS early
+        FROM base CROSS JOIN span
+    ), hist AS (
+        SELECT g, v, CAST(sum(early) AS BIGINT) AS d1,
+               CAST(sum(1 - early) AS BIGINT) AS d2
+        FROM halves GROUP BY g, v
+    ), tot AS (
+        SELECT g, CAST(sum(d1) AS BIGINT) AS n1,
+               CAST(sum(d2) AS BIGINT) AS n2
+        FROM hist GROUP BY g
+    ), cum AS (
+        SELECT h.g, h.v, t.n1, t.n2,
+               CAST(sum(d1) OVER w AS BIGINT) AS c1,
+               CAST(sum(d2) OVER w AS BIGINT) AS c2
+        FROM hist h JOIN tot t USING (g)
+        WINDOW w AS (PARTITION BY h.g ORDER BY h.v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), gaps AS (
+        SELECT g, v, n1, n2, abs(c1 * n2 - c2 * n1) AS gap
+        FROM cum
+    ), mx AS (
+        SELECT g, CAST(max(gap) AS BIGINT) AS dnum FROM gaps GROUP BY g
+    ), best AS (
+        SELECT gaps.g, n1, n2, dnum, min(v) AS ks_at_value
+        FROM gaps JOIN mx ON gaps.g = mx.g AND gaps.gap = mx.dnum
+        GROUP BY gaps.g, n1, n2, dnum
+    )
+    SELECT g AS event_type, n1 AS n_early, n2 AS n_late,
+           CAST(CASE WHEN n1 > 0 AND n2 > 0 THEN CASE WHEN (dnum) >= 0 THEN ((dnum) * 1000000) // (n1 * n2) ELSE -((-(dnum) * 1000000) // (n1 * n2)) END END AS BIGINT)
+               AS ks_e6,
+           round(ks_at_value, 6) AS ks_at_value,
+           CAST(CASE WHEN n1 > 0 AND n2 > 0
+               THEN CAST(round((CAST('1.3581015157406195' AS DOUBLE) * sqrt((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))) * 1000000.0 + 1e-9, 0) AS BIGINT) END AS BIGINT) AS crit_e6,
+           CASE WHEN n1 > 0 AND n2 > 0
+                THEN (CASE WHEN (dnum) >= 0 THEN ((dnum) * 1000000) // (n1 * n2) ELSE -((-(dnum) * 1000000) // (n1 * n2)) END) >= CAST(round((CAST('1.3581015157406195' AS DOUBLE) * sqrt((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))) * 1000000.0 + 1e-9, 0) AS BIGINT)
+                ELSE false END AS drifted
+    FROM best ORDER BY event_type
+"""

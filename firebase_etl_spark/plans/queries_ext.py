@@ -6854,3 +6854,17 @@ def stream_ab_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" abs({fixed_e6_expr(wz)}) >= 1959964 ELSE false END"
         ).alias("significant"),
     ).orderBy("event_type")
+
+
+def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov drift test per event type
+    (operators/timeseries.py:ks_drift_report): early-half vs
+    late-half value CDFs compared at every distinct value — the
+    binless complement to events_psi_drift that catches location
+    shifts decile bins smear. Integer D numerator over the
+    distinct-value histogram; the alpha=0.05 threshold is one shared
+    literal*sqrt chain."""
+    from firebase_etl_spark.operators.timeseries import ks_drift_report
+
+    e = load_table(spark, "events", sf_dir)
+    return ks_drift_report(e)

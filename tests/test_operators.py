@@ -3735,3 +3735,28 @@ def test_mix_shift_identity_reconciles(spark):
     b = out["B"]
     assert b["delta_cents"] == -500
     assert b["price_effect_e4"] is None
+
+
+def test_ks_drift_exact_statistic(spark):
+    from firebase_etl_spark.operators.timeseries import ks_drift_report
+
+    # early half (us <= mid): values 1..10; late half: values 6..15
+    # shifted by 5 -> D = 0.5 at value 5 (F1=0.5, F2=0.0)
+    rows = []
+    for i in range(10):
+        rows.append(("A", float(i + 1), 0))
+        rows.append(("A", float(i + 6), 1000))
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(g, v, dt.datetime(2024, 1, 1, 0, 0, 0)
+          + dt.timedelta(seconds=s)) for g, v, s in rows],
+        "event_type string, value double, ts timestamp",
+    )
+    r = ks_drift_report(df).collect()[0]
+    assert r["n_early"] == 10 and r["n_late"] == 10
+    assert r["ks_e6"] == 500000
+    assert r["ks_at_value"] == 5.0
+    # crit at n=10/10 ~ 0.6074 -> 0.5 not significant
+    assert 600000 < r["crit_e6"] < 620000
+    assert not r["drifted"]
