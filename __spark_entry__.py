@@ -345,6 +345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_type_mix_shift": QX.part_type_mix_shift,
         "stream_ab_monitor": QX.stream_ab_monitor,
         "events_ks_drift": QX.events_ks_drift,
+        "events_holt_forecast": QX.events_holt_forecast,
     }
 
 

@@ -797,3 +797,63 @@ def ks_drift_report(
             f" ({ks}) >= {fixed_e6_expr(crit)} ELSE false END"
         ).alias("drifted"),
     ).orderBy(group_col)
+
+
+def _tdiv4(x: int) -> int:
+    """Sign-split truncating /4 — Python twin of both engines'
+    truncating integer division on the Holt recursion's signed
+    state."""
+    return (abs(x) // 4) * (1 if x >= 0 else -1)
+
+
+def holt_forecast_backtest(
+    df: DataFrame, ts_col: str = "ts"
+) -> DataFrame:
+    """Holt double-exponential (level + trend) one-step backtest over
+    the daily counts — the forecasting rung above
+    ewma_forecast_backtest: EWMA lags any persistent trend by
+    construction; Holt's second state soaks the trend up, and the
+    published skill ratio vs the same naive carry-forward baseline
+    says whether that second state EARNS anything on this series
+    (alpha = beta = 1/4).
+
+    Same cutover as EWMA: the corpus collapses to a calendar-bounded
+    day spine in one aggregate; the recursion runs driver-locally in
+    exact integers (e6 level/trend, sign-split truncating /4 — the
+    trend state goes negative, so _tdiv4 == both engines' truncating
+    division) and the oracle replays it as a recursive CTE. Init:
+    l = n_1*1e6, b = (n_2 - n_1)*1e6 (needs >= 2 observed days;
+    scoring starts at day 2 like EWMA's).
+
+    Returns one row: (n_days, holt_abs_err_e6, naive_abs_err_e6,
+    skill_e6, level_e6, trend_e6, forecast_next_e6)."""
+    daily = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.to_date(ts_col).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("day")
+    )
+    rows = daily.collect()
+    spark = df.sparkSession
+    schema = (
+        "n_days long, holt_abs_err_e6 long, naive_abs_err_e6 long,"
+        " skill_e6 long, level_e6 long, trend_e6 long,"
+        " forecast_next_e6 long"
+    )
+    ns = [int(r["n"]) for r in rows]
+    if len(ns) < 2:
+        return spark.createDataFrame([], schema)
+    lvl = ns[0] * 1_000_000
+    b = (ns[1] - ns[0]) * 1_000_000
+    errh = errn = 0
+    for i in range(1, len(ns)):
+        f = lvl + b
+        errh += abs(ns[i] * 1_000_000 - f)
+        errn += abs(ns[i] - ns[i - 1]) * 1_000_000
+        lp = lvl
+        lvl = _tdiv4(ns[i] * 1_000_000 + 3 * f)
+        b = _tdiv4((lvl - lp) + 3 * b)
+    skill = (errh * 1_000_000) // errn if errn > 0 else None
+    return spark.createDataFrame(
+        [(len(ns), errh, errn, skill, lvl, b, lvl + b)], schema
+    )

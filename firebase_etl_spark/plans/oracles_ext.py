@@ -8554,3 +8554,48 @@ ORACLES_EXT["events_ks_drift"] = """
                 ELSE false END AS drifted
     FROM best ORDER BY event_type
 """
+
+
+#: sign-split truncating /4 over a possibly negative HUGEINT/BIGINT x
+def _t4(x: str) -> str:
+    return (
+        f"CASE WHEN ({x}) >= 0 THEN ({x}) // 4"
+        f" ELSE -((-({x})) // 4) END"
+    )
+
+
+ORACLES_EXT["events_holt_forecast"] = f"""
+    WITH RECURSIVE daily AS MATERIALIZED (
+        SELECT row_number() OVER (ORDER BY day) AS i, n FROM (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events WHERE ts IS NOT NULL GROUP BY 1)),
+    rec AS (
+        SELECT CAST(1 AS BIGINT) AS i,
+               (SELECT n FROM daily WHERE i = 1) * 1000000 AS l,
+               ((SELECT n FROM daily WHERE i = 2)
+                - (SELECT n FROM daily WHERE i = 1)) * 1000000 AS b,
+               CAST(0 AS BIGINT) AS eh, CAST(0 AS BIGINT) AS en
+        UNION ALL
+        SELECT r.i + 1,
+               {_t4("d.n * 1000000 + 3 * (r.l + r.b)")},
+               {_t4(
+                   "(" + _t4("d.n * 1000000 + 3 * (r.l + r.b)")
+                   + " - r.l) + 3 * r.b"
+               )},
+               r.eh + abs(d.n * 1000000 - (r.l + r.b)),
+               r.en + abs(d.n - dp.n) * 1000000
+        FROM rec r
+        JOIN daily d ON d.i = r.i + 1
+        JOIN daily dp ON dp.i = r.i),
+    lastr AS (SELECT * FROM rec ORDER BY i DESC LIMIT 1)
+    SELECT CAST((SELECT count(*) FROM daily) AS BIGINT) AS n_days,
+           CAST(l.eh AS BIGINT) AS holt_abs_err_e6,
+           CAST(l.en AS BIGINT) AS naive_abs_err_e6,
+           CAST(CASE WHEN l.en > 0 THEN (l.eh * 1000000) // l.en
+                ELSE NULL END AS BIGINT) AS skill_e6,
+           CAST(l.l AS BIGINT) AS level_e6,
+           CAST(l.b AS BIGINT) AS trend_e6,
+           CAST(l.l + l.b AS BIGINT) AS forecast_next_e6
+    FROM lastr l
+"""

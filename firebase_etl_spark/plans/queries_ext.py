@@ -6868,3 +6868,20 @@ def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, "events", sf_dir)
     return ks_drift_report(e)
+
+
+def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt level+trend one-step forecast backtest over daily counts
+    (operators/timeseries.py:holt_forecast_backtest, alpha=beta=1/4):
+    the forecasting rung above events_ewma_forecast — the second
+    state soaks up persistent trend EWMA lags by construction, and
+    the skill ratio vs the same naive baseline says whether it earns
+    anything here. Exact-integer driver-local recursion over the
+    calendar-bounded day spine; recursive-CTE oracle with the same
+    sign-split truncating updates."""
+    from firebase_etl_spark.operators.timeseries import (
+        holt_forecast_backtest,
+    )
+
+    e = load_table(spark, "events", sf_dir)
+    return holt_forecast_backtest(e)

@@ -3760,3 +3760,45 @@ def test_ks_drift_exact_statistic(spark):
     # crit at n=10/10 ~ 0.6074 -> 0.5 not significant
     assert 600000 < r["crit_e6"] < 620000
     assert not r["drifted"]
+
+
+def test_holt_beats_ewma_on_trending_series(spark):
+    import datetime as dt
+
+    from firebase_etl_spark.operators.timeseries import (
+        ewma_forecast_backtest,
+        holt_forecast_backtest,
+    )
+
+    # strictly trending series: 10, 20, 30, ... one event-count per day
+    rows = []
+    for day in range(40):
+        n = 10 + day * 10
+        for j in range(n):
+            rows.append(
+                (dt.datetime(2024, 1, 1) + dt.timedelta(days=day,
+                                                        seconds=j),)
+            )
+    df = spark.createDataFrame(rows, "ts timestamp")
+    h = holt_forecast_backtest(df).collect()[0]
+    e = ewma_forecast_backtest(df).collect()[0]
+    assert h["n_days"] == 40
+    # Holt locks onto the linear trend; EWMA lags it forever
+    assert h["holt_abs_err_e6"] < e["ewma_abs_err_e6"]
+    assert h["skill_e6"] < 1000000  # beats naive too
+    assert h["trend_e6"] > 0
+    # forecast for day 41 should be near 10 + 40*10 = 410
+    assert abs(h["forecast_next_e6"] - 410_000_000) < 30_000_000
+
+
+def test_holt_single_day_empty(spark):
+    import datetime as dt
+
+    from firebase_etl_spark.operators.timeseries import (
+        holt_forecast_backtest,
+    )
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1),)], "ts timestamp"
+    )
+    assert holt_forecast_backtest(df).count() == 0
