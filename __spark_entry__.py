@@ -346,6 +346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_ab_monitor": QX.stream_ab_monitor,
         "events_ks_drift": QX.events_ks_drift,
         "events_holt_forecast": QX.events_holt_forecast,
+        "events_capture_recapture": QX.events_capture_recapture,
     }
 
 

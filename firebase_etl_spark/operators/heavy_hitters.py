@@ -444,3 +444,79 @@ def cm_selfjoin_size_report(
             "overestimate"
         ),
     )
+
+
+def capture_recapture_report(
+    df: DataFrame,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Chapman capture-recapture population estimate — 'how many
+    distinct entities EXIST, counting the ones neither sample saw':
+    treat the two halves of the observation window as two captures;
+    the overlap rate calibrates total population
+    N^ = (n1+1)(n2+1)/(m+1) - 1 (Chapman 1951, the bias-corrected
+    Lincoln-Petersen). The estimator a crawler/telemetry pipeline
+    uses when ANY single window undercounts — distinct-count sketches
+    (KMV/HLL) estimate what was SEEN; this estimates what EXISTS.
+
+    On this closed synthetic population the truth is computable, so
+    the report publishes the estimate AND its exact relative error —
+    the honest-audit convention. All integers: one aggregate per user
+    to (seen_early, seen_late) flags, one count-up, the Chapman
+    formula in exact int64 (truncating division, n1*n2 < 2^63).
+    Returns ONE row: (n_first, n_second, n_overlap, chapman_estimate,
+    actual_distinct, err_e6)."""
+    from firebase_etl_spark.functions.portable_math import (
+        sdiv_scaled_sql,
+    )
+
+    base = df.filter(
+        F.col(id_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("u"),
+        F.unix_micros(F.col(ts_col)).alias("us"),
+    )
+    span = F.broadcast(
+        base.agg(
+            F.expr(
+                "(CAST(min(us) AS BIGINT) + CAST(max(us) AS BIGINT))"
+                " DIV 2"
+            ).alias("tmid")
+        )
+    )
+    per_u = (
+        base.crossJoin(span)
+        .groupBy("u")
+        .agg(
+            F.max((F.col("us") <= F.col("tmid")).cast("int"))
+            .alias("e"),
+            F.max((F.col("us") > F.col("tmid")).cast("int"))
+            .alias("l"),
+        )
+    )
+    agg = per_u.agg(
+        F.sum("e").cast("long").alias("n1"),
+        F.sum("l").cast("long").alias("n2"),
+        F.sum(F.col("e") * F.col("l")).cast("long").alias("m"),
+        F.count(F.lit(1)).cast("long").alias("actual"),
+    )
+    err = sdiv_scaled_sql(
+        "abs(chapman_estimate - actual_distinct)",
+        "actual_distinct", 1000000, "DIV",
+    )
+    named = agg.select(
+        F.col("n1").alias("n_first"),
+        F.col("n2").alias("n_second"),
+        F.col("m").alias("n_overlap"),
+        F.expr(
+            "((n1 + 1) * (n2 + 1)) DIV (m + 1) - 1"
+        ).alias("chapman_estimate"),
+        F.col("actual").alias("actual_distinct"),
+    )
+    return named.withColumn(
+        "err_e6",
+        F.expr(
+            f"CASE WHEN actual_distinct > 0 THEN {err} END"
+        ),
+    )

@@ -8599,3 +8599,38 @@ ORACLES_EXT["events_holt_forecast"] = f"""
            CAST(l.l + l.b AS BIGINT) AS forecast_next_e6
     FROM lastr l
 """
+
+
+ORACLES_EXT["events_capture_recapture"] = """
+    WITH base AS (
+        SELECT user_id AS u, epoch_us(ts) AS us
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), span AS (
+        SELECT (CAST(min(us) AS BIGINT) + CAST(max(us) AS BIGINT))
+            // 2 AS tmid
+        FROM base
+    ), per_u AS (
+        SELECT u,
+               max(CASE WHEN us <= tmid THEN 1 ELSE 0 END) AS e,
+               max(CASE WHEN us > tmid THEN 1 ELSE 0 END) AS l
+        FROM base CROSS JOIN span GROUP BY u
+    ), agg AS (
+        SELECT CAST(sum(e) AS BIGINT) AS n1,
+               CAST(sum(l) AS BIGINT) AS n2,
+               CAST(sum(e * l) AS BIGINT) AS m,
+               CAST(count(*) AS BIGINT) AS actual
+        FROM per_u
+    ), named AS (
+        SELECT n1 AS n_first, n2 AS n_second, m AS n_overlap,
+               ((n1 + 1) * (n2 + 1)) // (m + 1) - 1
+                   AS chapman_estimate,
+               actual AS actual_distinct
+        FROM agg
+    )
+    SELECT n_first, n_second, n_overlap,
+           CAST(chapman_estimate AS BIGINT) AS chapman_estimate,
+           actual_distinct,
+           CAST(CASE WHEN actual_distinct > 0 THEN CASE WHEN (abs(chapman_estimate - actual_distinct)) >= 0 THEN ((abs(chapman_estimate - actual_distinct)) * 1000000) // (actual_distinct) ELSE -((-(abs(chapman_estimate - actual_distinct)) * 1000000) // (actual_distinct)) END END
+               AS BIGINT) AS err_e6
+    FROM named
+"""

@@ -6885,3 +6885,22 @@ def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, "events", sf_dir)
     return holt_forecast_backtest(e)
+
+
+def events_capture_recapture(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Chapman capture-recapture population estimate
+    (operators/heavy_hitters.py:capture_recapture_report): the two
+    window halves act as independent captures and the overlap rate
+    estimates the TOTAL user population including never-seen users —
+    what KMV/HLL can't do (they count the seen). On the closed
+    synthetic population the truth is known, so the exact relative
+    error publishes beside the estimate. Pure integer Chapman
+    formula; one per-user aggregate."""
+    from firebase_etl_spark.operators.heavy_hitters import (
+        capture_recapture_report,
+    )
+
+    e = load_table(spark, "events", sf_dir)
+    return capture_recapture_report(e)

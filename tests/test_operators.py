@@ -3802,3 +3802,27 @@ def test_holt_single_day_empty(spark):
         [(dt.datetime(2024, 1, 1),)], "ts timestamp"
     )
     assert holt_forecast_backtest(df).count() == 0
+
+
+def test_capture_recapture_chapman(spark):
+    import datetime as dt
+
+    from firebase_etl_spark.operators.heavy_hitters import (
+        capture_recapture_report,
+    )
+
+    # population 0..99; early window sees users 0..59, late 40..99:
+    # n1=60, n2=60, m=20 -> Chapman (61*61)//21 - 1 = 176
+    rows = []
+    t0 = dt.datetime(2024, 1, 1)
+    for u in range(60):
+        rows.append((u, t0))
+    for u in range(40, 100):
+        rows.append((u, t0 + dt.timedelta(hours=10)))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    r = capture_recapture_report(df).collect()[0]
+    assert r["n_first"] == 60 and r["n_second"] == 60
+    assert r["n_overlap"] == 20
+    assert r["chapman_estimate"] == (61 * 61) // 21 - 1
+    assert r["actual_distinct"] == 100
+    assert r["err_e6"] == (abs(r["chapman_estimate"] - 100) * 1000000) // 100

@@ -77,6 +77,12 @@ ID_COLS = {
     "customer": ["c_custkey"],
 }
 
+#: dimension tables copied VERBATIM (not replicated): fact replicas
+#: keep their original foreign keys, so a replicated dim would break
+#: join semantics; these exist only so session-3 probe queries that
+#: join part/nation resolve against tmp_sfbig
+PASSTHRU = ["part", "nation"]
+
 
 def build(spark, n_copies: int) -> None:
     shutil.rmtree(DEST, ignore_errors=True)
@@ -110,36 +116,41 @@ def build(spark, n_copies: int) -> None:
             out = out.unionByName(p)
         out.write.mode("overwrite").parquet(f"{DEST}/{table}.parquet")
         print(f"built {table} x{n_copies}", flush=True)
+    for table in PASSTHRU:
+        load_table(spark, table, BASE).write.mode("overwrite").parquet(
+            f"{DEST}/{table}.parquet"
+        )
+        print(f"copied {table} (dim, verbatim)", flush=True)
 
 
 #: round-8 additions probed with --new-ops (same replica fixture; note
 #: the fixture makes every document a member of a ~10-replica mutual
 #: near-dup cluster, the adversarial direction for pair-enumerating ops)
 NEW_OPS = [
-    "events_dow_profile",
-    "doc_minhash_recall_audit",
-    "doc_retrieval_eval",
-    "events_markov_attribution",
-    "embedding_knn_shapley",
-    "embedding_topk_pq",
-    "customer_fs_linkage",
-    "doc_similarity_histogram",  # re-declared: sampled, was 44.95x
-    # session-2 additions (the replica fixture's ~10-member mutual-dup
-    # clusters are adversarial for the banded dhash pairs; embeddings
-    # replicate to 10x corpus for the ANN/DBSCAN/MMR rows)
-    "embedding_topk_mmr",
-    "part_copurchase_modularity",
-    "doc_langid_auc",
-    "doc_length_auc",
-    "events_cuped_adjusted",
-    "events_theil_sen_trend",
-    "lineitem_selfjoin_size_estimate",
-    "events_ewma_forecast",
-    "doc_langid_agreement",
-    "media_dhash_near_dups",
-    "events_mann_kendall",
-    "embedding_dbscan_clusters",
-    "documents_dataset_fingerprint",
+    # session-3 additions (earlier r8 probe tables are recorded in
+    # ROUND8_NOTES; the list rotates to whatever the current session
+    # shipped). The replica fixture's ~10-member mutual-dup clusters
+    # stay the adversarial direction for pair-enumerating ops.
+    "embedding_pca_top_component",
+    "orders_bootstrap_ci",
+    "events_fdr_screen",
+    "doc_js_divergence",
+    "customer_golden_records",
+    "doc_readability_report",
+    "orders_winsorized_stats",
+    "orders_conformal_intervals",
+    "customer_gains_table",
+    "doc_calibration_report",
+    "doc_phrase_search",
+    "events_group_sequential",
+    "documents_ql_topk",
+    "nation_revenue_jackknife",
+    "lineitem_partition_advisor",
+    "doc_rake_keywords",
+    "part_type_mix_shift",
+    "stream_ab_monitor",
+    "events_ks_drift",
+    "events_holt_forecast",
 ]
 
 
