@@ -1774,19 +1774,16 @@ def gains_table(
     disagree on ntile remainder placement; the explicit
     ((rank-1)*B) DIV n bucket does not). The global sort runs over
     the UNIT table (a dimension, orders of magnitude below fact
-    scale); everything after is B rows. Integer: cents, e6 shares
-    via sign-split divisions (exact while total outcome < 2^63/1e6
-    ~ $92B — rescale the unit column past that). lift_e6 multiplies
+    scale); everything after is B rows. Integer: cents; e6 shares
+    use a magnitude-gated 2^20 shift past 2^43 totals (relative
+    error <= 2^-23, below e6 resolution), so no cent-sum overflows
+    at any corpus size. lift_e6 multiplies
     the already-quantized cumulative share — one extra e6 rounding,
     by design, to keep the product in int64.
 
     Returns per bucket: (bucket, n_units, outcome_cents,
     cum_outcome_cents, cum_outcome_share_e6, cum_unit_share_e6,
     lift_e6)."""
-    from firebase_etl_spark.functions.portable_math import (
-        sdiv_scaled_sql,
-    )
-
     base = scored.select(
         F.col(score_col).alias("sc"),
         F.col(outcome_c_col).alias("y"),
@@ -1815,9 +1812,28 @@ def gains_table(
         Window.orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    share = sdiv_scaled_sql("cum_y", "tot", 1000000, "DIV")
-    cshare = sdiv_scaled_sql("cum_n", "n", 1000000, "DIV")
-    lift = sdiv_scaled_sql("cum_share_e6 * n", "cum_n", 1, "DIV")
+
+    # e6 shares of possibly-huge nonnegative totals: (num*1e6) needs
+    # num < 2^43; past that, shift BOTH sides by 2^20 (relative error
+    # <= 2^-23, below e6 resolution; branch chosen by an integer
+    # compare both engines evaluate identically). The x10 scale probe
+    # caught the unshifted version overflowing at ~$220B of cents.
+    def bigshare(num, den, fd="DIV"):
+        return (
+            f"CASE WHEN ({den}) < 8796093022208"
+            f" THEN (({num}) * 1000000) {fd} ({den})"
+            f" ELSE ((({num}) {fd} 1048576) * 1000000)"
+            f" {fd} (({den}) {fd} 1048576) END"
+        )
+
+    share = bigshare("cum_y", "tot")
+    cshare = bigshare("cum_n", "n")
+    lift = (
+        "CASE WHEN n < 8796093022208"
+        " THEN (cum_share_e6 * n) DIV cum_n"
+        " ELSE (cum_share_e6 * (n DIV 1048576))"
+        " DIV (cum_n DIV 1048576) END"
+    )
     return (
         b.withColumn("cum_y", F.sum("outcome_cents").over(cw))
         .withColumn("cum_n", F.sum("n_units").over(cw))
@@ -2269,4 +2285,101 @@ def mix_shift_decomposition(
         )
         .orderBy(F.desc(F.abs("delta_cents")), group_col)
         .limit(top)
+    )
+
+
+def eb_shrinkage_report(
+    counts: DataFrame,
+    group_col: str = "g",
+    n_col: str = "n",
+    k_col: str = "k",
+) -> DataFrame:
+    """Empirical-Bayes beta-binomial shrinkage of per-group rates —
+    the 'don't trust a 3-customer segment's 100% rate' estimator: fit
+    Beta(alpha, beta) to the observed group rates by method of
+    moments, then pull every group toward the prior mean with weight
+    (alpha+beta)/(n+alpha+beta) — small groups shrink hard, big
+    groups keep their data (Robbins 1956; the Wilson interval bounds
+    ONE group's uncertainty, this BORROWS STRENGTH across groups).
+
+    Integer protocol: each group rate quantizes ONCE (r_e6 =
+    k*1e6 div n); the prior moments mu/var and the MoM alpha/beta
+    each quantize once from exact integer sums; the posterior rate is
+    one final sign-split division of int64 products (exact while
+    (n*1000 + prior)*1e6 < 2^63 per group — the e3 prior scale and
+    the 1e9 ratio cap keep that true to ~9e9 members). Degenerate
+    prior (zero variance across groups or overdispersed MoM) falls
+    back to raw rates with NULL alpha/beta — published, not hidden.
+    Returns per group: (group, n_units, k_hits, raw_rate_e6,
+    shrunk_rate_e6, prior_weight_e6, alpha_e3, beta_e3), ordered by
+    group."""
+    from firebase_etl_spark.functions.portable_math import (
+        sdiv_scaled_sql,
+    )
+
+    per = counts.select(
+        F.col(group_col).alias("g"),
+        F.col(n_col).cast("long").alias("n"),
+        F.col(k_col).cast("long").alias("k"),
+    ).filter(F.col("n") > 0)
+    r_e6 = sdiv_scaled_sql("k", "n", 1000000, "DIV")
+    rated = per.withColumn("r_e6", F.expr(r_e6))
+    mom = rated.agg(
+        F.count(F.lit(1)).cast("long").alias("gn"),
+        F.sum("r_e6").cast("long").alias("sr"),
+        F.sum(F.col("r_e6") * F.col("r_e6")).cast("long").alias("srr"),
+    ).select(
+        "gn",
+        F.expr("sr DIV gn").alias("mu_e6"),
+        F.expr(
+            "CASE WHEN gn > 1 THEN"
+            " (srr - (sr DIV gn) * sr) DIV (gn - 1) END"
+        ).alias("var_e12"),
+    ).select(
+        "gn", "mu_e6", "var_e12",
+        # mu(1-mu)/var, dimensionless; capped at 1e9 (a prior worth a
+        # billion-sample equivalent IS full shrinkage — and the cap
+        # keeps every downstream product inside int64)
+        F.expr(
+            "CASE WHEN var_e12 > 0 THEN least("
+            " (mu_e6 * (1000000 - mu_e6)) DIV var_e12,"
+            " 1000000000) END"
+        ).alias("ratio"),
+    ).select(
+        "gn", "mu_e6", "var_e12", "ratio",
+        F.expr(
+            "CASE WHEN ratio IS NOT NULL AND ratio > 1 THEN"
+            " (mu_e6 * (ratio - 1)) DIV 1000 END"
+        ).alias("alpha_e3"),
+        F.expr(
+            "CASE WHEN ratio IS NOT NULL AND ratio > 1 THEN"
+            " ((1000000 - mu_e6) * (ratio - 1)) DIV 1000 END"
+        ).alias("beta_e3"),
+    )
+    shrunk = sdiv_scaled_sql(
+        "k * 1000 + alpha_e3", "n * 1000 + alpha_e3 + beta_e3",
+        1000000, "DIV",
+    )
+    wprior = sdiv_scaled_sql(
+        "alpha_e3 + beta_e3", "n * 1000 + alpha_e3 + beta_e3",
+        1000000, "DIV",
+    )
+    return (
+        rated.crossJoin(F.broadcast(mom))
+        .select(
+            F.col("g").alias(group_col),
+            F.col("n").alias("n_units"),
+            F.col("k").alias("k_hits"),
+            F.col("r_e6").alias("raw_rate_e6"),
+            F.expr(
+                f"CASE WHEN alpha_e3 IS NOT NULL THEN {shrunk}"
+                f" ELSE r_e6 END"
+            ).alias("shrunk_rate_e6"),
+            F.expr(
+                f"CASE WHEN alpha_e3 IS NOT NULL THEN {wprior}"
+                f" ELSE 0 END"
+            ).alias("prior_weight_e6"),
+            "alpha_e3", "beta_e3",
+        )
+        .orderBy(group_col)
     )

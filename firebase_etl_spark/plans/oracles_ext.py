@@ -8015,16 +8015,16 @@ ORACLES_EXT["customer_gains_table"] = """
                    AS cum_n
         FROM b
     ), d AS (
-        SELECT *, CASE WHEN tot > 0 THEN CASE WHEN (cum_y) >= 0 THEN ((cum_y) * 1000000) // (tot) ELSE -((-(cum_y) * 1000000) // (tot)) END END AS cum_share_e6
+        SELECT *, CASE WHEN tot > 0 THEN CASE WHEN (tot) < 8796093022208 THEN ((cum_y) * 1000000) // (tot) ELSE (((cum_y) // 1048576) * 1000000) // ((tot) // 1048576) END END AS cum_share_e6
         FROM c
     )
     SELECT CAST(bucket AS BIGINT) AS bucket, n_units, outcome_cents,
            cum_y AS cum_outcome_cents,
            CAST(cum_share_e6 AS BIGINT) AS cum_outcome_share_e6,
-           CAST(CASE WHEN n > 0 THEN CASE WHEN (cum_n) >= 0 THEN ((cum_n) * 1000000) // (n) ELSE -((-(cum_n) * 1000000) // (n)) END END AS BIGINT)
+           CAST(CASE WHEN n > 0 THEN CASE WHEN (n) < 8796093022208 THEN ((cum_n) * 1000000) // (n) ELSE (((cum_n) // 1048576) * 1000000) // ((n) // 1048576) END END AS BIGINT)
                AS cum_unit_share_e6,
            CAST(CASE WHEN cum_n > 0 AND cum_share_e6 IS NOT NULL
-               THEN CASE WHEN (cum_share_e6 * n) >= 0 THEN ((cum_share_e6 * n) * 1) // (cum_n) ELSE -((-(cum_share_e6 * n) * 1) // (cum_n)) END END AS BIGINT) AS lift_e6
+               THEN CASE WHEN n < 8796093022208 THEN (cum_share_e6 * n) // cum_n ELSE (cum_share_e6 * (n // 1048576)) // (cum_n // 1048576) END END AS BIGINT) AS lift_e6
     FROM d ORDER BY bucket
 """
 
@@ -8633,4 +8633,52 @@ ORACLES_EXT["events_capture_recapture"] = """
            CAST(CASE WHEN actual_distinct > 0 THEN CASE WHEN (abs(chapman_estimate - actual_distinct)) >= 0 THEN ((abs(chapman_estimate - actual_distinct)) * 1000000) // (actual_distinct) ELSE -((-(abs(chapman_estimate - actual_distinct)) * 1000000) // (actual_distinct)) END END
                AS BIGINT) AS err_e6
     FROM named
+"""
+
+
+ORACLES_EXT["nation_conversion_shrinkage"] = """
+    WITH per AS (
+        SELECT c.c_nationkey AS g,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN o.o_custkey IS NOT NULL
+                   THEN 1 ELSE 0 END) AS BIGINT) AS k
+        FROM customer c
+        LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+          ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_nationkey
+    ), rated AS (
+        SELECT g, n, k, CASE WHEN (k) >= 0 THEN ((k) * 1000000) // (n) ELSE -((-(k) * 1000000) // (n)) END AS r_e6 FROM per WHERE n > 0
+    ), momsum AS (
+        SELECT CAST(count(*) AS BIGINT) AS gn,
+               CAST(sum(r_e6) AS BIGINT) AS sr,
+               CAST(sum(r_e6 * r_e6) AS BIGINT) AS srr
+        FROM rated
+    ), mom1 AS (
+        SELECT gn, sr // gn AS mu_e6,
+               CASE WHEN gn > 1 THEN
+                   (srr - (sr // gn) * sr) // (gn - 1) END AS var_e12
+        FROM momsum
+    ), mom2 AS (
+        SELECT *, CASE WHEN var_e12 > 0 THEN least(
+                   (mu_e6 * (1000000 - mu_e6)) // var_e12,
+                   1000000000) END AS ratio
+        FROM mom1
+    ), mom AS (
+        SELECT *,
+               CASE WHEN ratio IS NOT NULL AND ratio > 1 THEN
+                   (mu_e6 * (ratio - 1)) // 1000 END AS alpha_e3,
+               CASE WHEN ratio IS NOT NULL AND ratio > 1 THEN
+                   ((1000000 - mu_e6) * (ratio - 1)) // 1000 END
+                   AS beta_e3
+        FROM mom2
+    )
+    SELECT g AS c_nationkey, n AS n_units, k AS k_hits,
+           r_e6 AS raw_rate_e6,
+           CAST(CASE WHEN alpha_e3 IS NOT NULL THEN CASE WHEN (k * 1000 + alpha_e3) >= 0 THEN ((k * 1000 + alpha_e3) * 1000000) // (n * 1000 + alpha_e3 + beta_e3) ELSE -((-(k * 1000 + alpha_e3) * 1000000) // (n * 1000 + alpha_e3 + beta_e3)) END
+               ELSE r_e6 END AS BIGINT) AS shrunk_rate_e6,
+           CAST(CASE WHEN alpha_e3 IS NOT NULL THEN CASE WHEN (alpha_e3 + beta_e3) >= 0 THEN ((alpha_e3 + beta_e3) * 1000000) // (n * 1000 + alpha_e3 + beta_e3) ELSE -((-(alpha_e3 + beta_e3) * 1000000) // (n * 1000 + alpha_e3 + beta_e3)) END
+               ELSE 0 END AS BIGINT) AS prior_weight_e6,
+           CAST(alpha_e3 AS BIGINT) AS alpha_e3,
+           CAST(beta_e3 AS BIGINT) AS beta_e3
+    FROM rated CROSS JOIN mom ORDER BY c_nationkey
 """

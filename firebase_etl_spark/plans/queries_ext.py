@@ -6904,3 +6904,31 @@ def events_capture_recapture(
 
     e = load_table(spark, "events", sf_dir)
     return capture_recapture_report(e)
+
+
+def nation_conversion_shrinkage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Empirical-Bayes beta-binomial shrinkage of per-nation customer
+    conversion rates (operators/stats.py:eb_shrinkage_report): fit
+    Beta(alpha, beta) across nations by method of moments, pull each
+    nation toward the prior with weight (alpha+beta)/(n+alpha+beta) —
+    borrowing strength across segments where customer_order_rate_wilson
+    bounds one segment alone. Every rational quantizes once; the 1e9
+    ratio cap keeps all products in int64 at any corpus size."""
+    from firebase_etl_spark.operators.stats import eb_shrinkage_report
+
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    buyers = o.select("o_custkey").distinct()
+    per = (
+        c.join(buyers, c.c_custkey == buyers.o_custkey, "left")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("k"),
+        )
+    )
+    return eb_shrinkage_report(per, "c_nationkey", "n", "k")

@@ -3826,3 +3826,37 @@ def test_capture_recapture_chapman(spark):
     assert r["chapman_estimate"] == (61 * 61) // 21 - 1
     assert r["actual_distinct"] == 100
     assert r["err_e6"] == (abs(r["chapman_estimate"] - 100) * 1000000) // 100
+
+
+def test_eb_shrinkage_small_groups_shrink_harder(spark):
+    from firebase_etl_spark.operators.stats import eb_shrinkage_report
+
+    # prior ~0.5; tiny group with extreme rate vs big group same rate
+    rows = [
+        ("tiny", 4, 4),       # raw 100%, n=4
+        ("big", 1000, 1000),  # raw 100%, n=1000
+        ("a", 100, 40), ("b", 100, 50), ("c", 100, 60),
+        ("d", 100, 45), ("e", 100, 55),
+    ]
+    df = spark.createDataFrame(rows, "g string, n long, k long")
+    out = {r["g"]: r for r in eb_shrinkage_report(df).collect()}
+    t, b = out["tiny"], out["big"]
+    assert t["raw_rate_e6"] == 1000000 and b["raw_rate_e6"] == 1000000
+    # both shrink toward the prior mean; the tiny group much harder
+    assert t["shrunk_rate_e6"] < b["shrunk_rate_e6"]
+    assert t["prior_weight_e6"] > b["prior_weight_e6"]
+    # no group crosses the prior from above
+    mu = sum(r["raw_rate_e6"] for r in out.values()) // len(out)
+    assert t["shrunk_rate_e6"] > mu - 5000
+
+
+def test_eb_shrinkage_degenerate_prior_falls_back(spark):
+    from firebase_etl_spark.operators.stats import eb_shrinkage_report
+
+    df = spark.createDataFrame(
+        [("a", 10, 5), ("b", 20, 10)], "g string, n long, k long"
+    )  # identical rates -> zero variance -> raw passthrough
+    out = eb_shrinkage_report(df).collect()
+    for r in out:
+        assert r["shrunk_rate_e6"] == r["raw_rate_e6"]
+        assert r["alpha_e3"] is None and r["prior_weight_e6"] == 0
