@@ -2383,3 +2383,47 @@ def eb_shrinkage_report(
         )
         .orderBy(group_col)
     )
+
+
+def fd_audit(
+    df: DataFrame,
+    pairs: list[tuple[str, str]],
+) -> DataFrame:
+    """Functional-dependency audit — does X determine Y in this data:
+    for each candidate FD X -> Y, count determinant values carrying
+    MORE than one distinct dependent (the violations that break
+    'join on X and trust Y', dimension conformity, and SCD
+    assumptions). The profiling complement to
+    referential_integrity_audit (that one checks keys EXIST; this
+    checks they MEAN one thing).
+
+    One groupBy per candidate (each map-side combinable over (X, Y)
+    distinct pairs); all integer. Returns per candidate:
+    (determinant, dependent, n_keys, n_violating_keys, max_variants,
+    holds)."""
+    spark = df.sparkSession
+    outs = []
+    for x, y in pairs:
+        per = (
+            df.select(F.col(x).alias("xx"), F.col(y).alias("yy"))
+            .filter(F.col("xx").isNotNull())
+            .distinct()
+            .groupBy("xx")
+            .agg(F.count(F.lit(1)).alias("nv"))
+        )
+        outs.append(
+            per.agg(
+                F.lit(x).alias("determinant"),
+                F.lit(y).alias("dependent"),
+                F.count(F.lit(1)).cast("long").alias("n_keys"),
+                F.sum((F.col("nv") > 1).cast("long")).cast("long")
+                .alias("n_violating_keys"),
+                F.max("nv").cast("long").alias("max_variants"),
+            ).withColumn(
+                "holds", F.col("n_violating_keys") == 0
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("determinant", "dependent")

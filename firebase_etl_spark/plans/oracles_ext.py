@@ -8682,3 +8682,30 @@ ORACLES_EXT["nation_conversion_shrinkage"] = """
            CAST(beta_e3 AS BIGINT) AS beta_e3
     FROM rated CROSS JOIN mom ORDER BY c_nationkey
 """
+
+
+def _fd_oracle() -> str:
+    parts = []
+    for x, y in [
+        ("o_orderkey", "o_custkey"),
+        ("o_custkey", "o_orderpriority"),
+        ("o_orderpriority", "o_orderstatus"),
+    ]:
+        parts.append(f"""
+    SELECT '{x}' AS determinant, '{y}' AS dependent,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating_keys,
+           CAST(max(nv) AS BIGINT) AS max_variants,
+           sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) = 0 AS holds
+    FROM (
+        SELECT xx, count(*) AS nv FROM (
+            SELECT DISTINCT {x} AS xx, {y} AS yy FROM orders
+            WHERE {x} IS NOT NULL
+        ) GROUP BY xx
+    )""")
+        u = " UNION ALL ".join(parts)
+    return f"SELECT * FROM ({u}) ORDER BY determinant, dependent"
+
+
+ORACLES_EXT["orders_fd_audit"] = _fd_oracle()

@@ -6932,3 +6932,24 @@ def nation_conversion_shrinkage(
         )
     )
     return eb_shrinkage_report(per, "c_nationkey", "n", "k")
+
+
+def orders_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit over orders
+    (operators/stats.py:fd_audit): does o_orderkey determine
+    o_custkey (it must — key integrity), does a customer imply one
+    priority or one status (they must NOT — variety check catches
+    accidentally-denormalized extracts). The 'one key means one
+    thing' profiling complement to referential_integrity_audit's
+    existence checks."""
+    from firebase_etl_spark.operators.stats import fd_audit
+
+    o = load_table(spark, "orders", sf_dir)
+    return fd_audit(
+        o,
+        [
+            ("o_orderkey", "o_custkey"),
+            ("o_custkey", "o_orderpriority"),
+            ("o_orderpriority", "o_orderstatus"),
+        ],
+    )

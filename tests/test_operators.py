@@ -3860,3 +3860,24 @@ def test_eb_shrinkage_degenerate_prior_falls_back(spark):
     for r in out:
         assert r["shrunk_rate_e6"] == r["raw_rate_e6"]
         assert r["alpha_e3"] is None and r["prior_weight_e6"] == 0
+
+
+def test_fd_audit_holds_and_violations(spark):
+    from firebase_etl_spark.operators.stats import fd_audit
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", "X"), (1, "a", "Y"),  # k->v holds, k->w violated
+            (2, "b", "X"), (3, "b", "X"),
+            (None, "z", "Z"),              # null determinant excluded
+        ],
+        "k long, v string, w string",
+    )
+    out = {(r["determinant"], r["dependent"]): r
+           for r in fd_audit(df, [("k", "v"), ("k", "w")]).collect()}
+    kv = out[("k", "v")]
+    assert kv["holds"] and kv["n_keys"] == 3
+    assert kv["n_violating_keys"] == 0 and kv["max_variants"] == 1
+    kw = out[("k", "w")]
+    assert not kw["holds"]
+    assert kw["n_violating_keys"] == 1 and kw["max_variants"] == 2
