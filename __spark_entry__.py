@@ -349,6 +349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_capture_recapture": QX.events_capture_recapture,
         "nation_conversion_shrinkage": QX.nation_conversion_shrinkage,
         "orders_fd_audit": QX.orders_fd_audit,
+        "events_power_analysis": QX.events_power_analysis,
     }
 
 

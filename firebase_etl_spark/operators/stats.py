@@ -2427,3 +2427,74 @@ def fd_audit(
     for o in outs[1:]:
         out = out.unionAll(o)
     return out.orderBy("determinant", "dependent")
+
+
+#: (z_{alpha/2} + z_{beta})^2 at alpha=0.05 two-sided, power=80%,
+#: squared EXACTLY from the e6 literals (1959964 + 841621)^2 — one
+#: shared integer constant, no runtime normal quantiles.
+_POWER_C_E12 = (1959964 + 841621) ** 2
+
+
+def power_analysis_report(
+    counts: DataFrame,
+    group_col: str = "g",
+    n_col: str = "n",
+    k_col: str = "k",
+    mde_rel_e6: int = 100000,
+) -> DataFrame:
+    """A/B sample-size calculator per metric — the experiment-DESIGN
+    side of the stats family (the FDR screen and OBF monitor read
+    results; this says whether the experiment was big enough to run
+    at all): for each group's baseline rate p, the classic
+    two-proportion approximation n/arm = 2*pbar*(1-pbar)*(z_a+z_b)^2
+    / delta^2 at the configured relative MDE, alpha=0.05, 80% power.
+
+    Integer protocol: p quantizes once at e6; delta and pbar are
+    integer algebra on it; the z-sum constant is squared exactly from
+    its e6 literals at import; the n formula evaluates as two
+    truncating divisions with a 1e3 guard scale (products bounded by
+    ~5e14 — int64-safe at any corpus size since everything after the
+    first aggregate is rate-valued). Returns per group: (group,
+    n_baseline, k_hits, p_e6, delta_e6, n_required_per_arm,
+    powered_now)."""
+    per = counts.select(
+        F.col(group_col).alias("g"),
+        F.col(n_col).cast("long").alias("n"),
+        F.col(k_col).cast("long").alias("k"),
+    ).filter(F.col("n") > 0)
+    p = "((k * 1000000) DIV n)"
+    rated = per.withColumn("p_e6", F.expr(p)).filter(
+        (F.col("p_e6") > 0) & (F.col("p_e6") < 1000000)
+    )
+    d = f"((p_e6 * {mde_rel_e6}) DIV 1000000)"
+    sized = (
+        rated.withColumn("delta_e6", F.expr(d))
+        .filter(F.col("delta_e6") > 0)
+        .withColumn(
+            "pbar_e6",
+            F.expr(f"p_e6 + ((p_e6 * {mde_rel_e6}) DIV 2000000)"),
+        )
+        .withColumn(
+            # capped at 1e6 so t1 * C stays in int64: the cap reads
+            # as n_required ~ 7.8e9/arm — any test needing more is
+            # simply "not powerable", which powered_now reports
+            "t1",
+            F.expr(
+                "least((2 * pbar_e6 * (1000000 - pbar_e6) * 1000)"
+                " DIV (delta_e6 * delta_e6), 1000000)"
+            ),
+        )
+        .withColumn(
+            "n_required_per_arm",
+            F.expr(f"(t1 * {_POWER_C_E12}) DIV 1000000000000000"),
+        )
+    )
+    return sized.select(
+        F.col("g").alias(group_col),
+        F.col("n").alias("n_baseline"),
+        F.col("k").alias("k_hits"),
+        "p_e6", "delta_e6", "n_required_per_arm",
+        (F.col("n") >= F.col("n_required_per_arm")).alias(
+            "powered_now"
+        ),
+    ).orderBy(group_col)

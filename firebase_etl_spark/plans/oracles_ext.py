@@ -8709,3 +8709,36 @@ def _fd_oracle() -> str:
 
 
 ORACLES_EXT["orders_fd_audit"] = _fd_oracle()
+
+
+ORACLES_EXT["events_power_analysis"] = """
+    WITH pu AS (
+        SELECT event_type, user_id, count(*) AS c FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        GROUP BY 1, 2
+    ), per AS (
+        SELECT event_type AS g,
+               CAST(sum(CASE WHEN c >= 15 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS k,
+               CAST(count(*) AS BIGINT) AS n
+        FROM pu GROUP BY event_type
+    ), rated AS (
+        SELECT *, (k * 1000000) // n AS p_e6 FROM per WHERE n > 0
+    ), sized AS (
+        SELECT *,
+               (p_e6 * 100000) // 1000000 AS delta_e6,
+               p_e6 + ((p_e6 * 100000) // 2000000) AS pbar_e6
+        FROM rated WHERE p_e6 > 0 AND p_e6 < 1000000
+    ), t AS (
+        SELECT *, least(
+            (2 * pbar_e6 * (1000000 - pbar_e6) * 1000)
+                // (delta_e6 * delta_e6), 1000000) AS t1
+        FROM sized WHERE delta_e6 > 0
+    )
+    SELECT g AS event_type, n AS n_baseline, k AS k_hits,
+           p_e6, delta_e6,
+           CAST((t1 * 7848878512225) // 1000000000000000 AS BIGINT)
+               AS n_required_per_arm,
+           n >= (t1 * 7848878512225) // 1000000000000000 AS powered_now
+    FROM t ORDER BY event_type
+"""

@@ -6953,3 +6953,31 @@ def orders_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("o_orderpriority", "o_orderstatus"),
         ],
     )
+
+
+def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B sample-size calculator per event type
+    (operators/stats.py:power_analysis_report): from each type's
+    baseline user-conversion rate, the n/arm needed to detect a 10%
+    relative lift at alpha=0.05 / 80% power, and whether the current
+    population is already big enough — the experiment-DESIGN
+    companion to the FDR screen and OBF monitor (they read results;
+    this sizes the test). Baseline = share of HEAVY users (>= 15
+    events of the type — on this generator every user emits every
+    type at least once, so raw incidence is degenerate 100% and the
+    heavy-user rate is the binary metric with real variation);
+    all-integer closed form with the z-sum constant squared exactly
+    at import."""
+    from firebase_etl_spark.operators.stats import power_analysis_report
+
+    e = load_table(spark, "events", sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    per_user = e.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per = per_user.groupBy("event_type").agg(
+        F.sum((F.col("c") >= 15).cast("long")).cast("long").alias("k"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    return power_analysis_report(per, "event_type", "n", "k")

@@ -3881,3 +3881,31 @@ def test_fd_audit_holds_and_violations(spark):
     kw = out[("k", "w")]
     assert not kw["holds"]
     assert kw["n_violating_keys"] == 1 and kw["max_variants"] == 2
+
+
+def test_power_analysis_textbook_value(spark):
+    from firebase_etl_spark.operators.stats import power_analysis_report
+
+    # p=0.5, 10% relative MDE (delta=0.05): textbook n/arm =
+    # 2*pbar(1-pbar)*(1.96+0.8416)^2/0.05^2 ~ 1565 (pbar=0.525)
+    df = spark.createDataFrame(
+        [("m", 10000, 5000)], "g string, n long, k long"
+    )
+    r = power_analysis_report(df).collect()[0]
+    assert r["p_e6"] == 500000 and r["delta_e6"] == 50000
+    assert 1500 <= r["n_required_per_arm"] <= 1620
+    assert r["powered_now"]  # 10000 baseline users > n required
+
+    # tiny baseline: not powered
+    df2 = spark.createDataFrame(
+        [("m", 50, 25)], "g string, n long, k long"
+    )
+    r2 = power_analysis_report(df2).collect()[0]
+    assert not r2["powered_now"]
+
+    # degenerate rates drop out
+    df3 = spark.createDataFrame(
+        [("all", 100, 100), ("none", 100, 0)],
+        "g string, n long, k long",
+    )
+    assert power_analysis_report(df3).count() == 0
