@@ -350,6 +350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_conversion_shrinkage": QX.nation_conversion_shrinkage,
         "orders_fd_audit": QX.orders_fd_audit,
         "events_power_analysis": QX.events_power_analysis,
+        "events_next_event_accuracy": QX.events_next_event_accuracy,
     }
 
 

@@ -857,3 +857,105 @@ def holt_forecast_backtest(
     return spark.createDataFrame(
         [(len(ns), errh, errn, skill, lvl, b, lvl + b)], schema
     )
+
+
+def next_event_accuracy(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Next-event prediction backtest — does the first-order Markov
+    model actually PREDICT: train argmax-transition predictions on
+    the early half of each user's stream, score top-1 accuracy on the
+    late half, and publish the majority-class baseline beside it (a
+    transition matrix that can't beat 'always predict the most common
+    type' is a visualization, not a model). The eval companion to
+    events_transition_matrix / events_markov_attribution.
+
+    Split: a consecutive pair belongs to the half containing its
+    LATER event (integer microsecond midpoint). Prediction ties break
+    to the lexicographically smallest type; unseen test states fall
+    back to the global majority. One lag window per user (the
+    session_event_pairs shuffle), then everything is
+    state-table-sized. Returns per observed test state: (from_state,
+    predicted_to, n_test, n_correct, acc_e6, baseline_to,
+    n_baseline_correct, baseline_acc_e6), ordered by from_state."""
+    from firebase_etl_spark.functions.portable_math import (
+        sdiv_scaled_sql,
+    )
+
+    base = df.filter(
+        F.col(user_col).isNotNull()
+        & F.col(type_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("t"),
+        F.unix_micros(F.col(ts_col)).alias("us"),
+        F.col(id_col).alias("eid"),
+    )
+    w = Window.partitionBy("u").orderBy("us", "eid")
+    pairs = (
+        base.withColumn("nxt", F.lead("t").over(w))
+        .withColumn("nxt_us", F.lead("us").over(w))
+        .filter(F.col("nxt").isNotNull())
+    )
+    span = F.broadcast(
+        base.agg(
+            F.expr(
+                "(CAST(min(us) AS BIGINT) + CAST(max(us) AS BIGINT))"
+                " DIV 2"
+            ).alias("tmid")
+        )
+    )
+    pairs = pairs.crossJoin(span).withColumn(
+        "is_train", F.col("nxt_us") <= F.col("tmid")
+    )
+    train = pairs.filter("is_train").groupBy("t", "nxt").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    pw = Window.partitionBy("t").orderBy(F.desc("c"), "nxt")
+    pred = (
+        train.withColumn("r", F.row_number().over(pw))
+        .filter(F.col("r") == 1)
+        .select(F.col("t").alias("pt"), F.col("nxt").alias("predicted"))
+    )
+    maj = F.broadcast(
+        train.groupBy("nxt").agg(F.sum("c").alias("c"))
+        .orderBy(F.desc("c"), "nxt").limit(1)
+        .select(F.col("nxt").alias("baseline_to"))
+    )
+    test = (
+        pairs.filter(~F.col("is_train"))
+        .join(F.broadcast(pred), F.col("t") == F.col("pt"), "left")
+        .crossJoin(maj)
+        .withColumn(
+            "pfinal", F.coalesce("predicted", "baseline_to")
+        )
+    )
+    acc = sdiv_scaled_sql("n_correct", "n_test", 1000000, "DIV")
+    bacc = sdiv_scaled_sql("n_bcorrect", "n_test", 1000000, "DIV")
+    return (
+        test.groupBy("t")
+        .agg(
+            F.max("pfinal").alias("predicted_to"),
+            F.max("baseline_to").alias("baseline_to"),
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum((F.col("nxt") == F.col("pfinal")).cast("long"))
+            .cast("long").alias("n_correct"),
+            F.sum((F.col("nxt") == F.col("baseline_to")).cast("long"))
+            .cast("long").alias("n_bcorrect"),
+        )
+        .select(
+            F.col("t").alias("from_state"),
+            "predicted_to",
+            "n_test", "n_correct",
+            F.expr(acc).alias("acc_e6"),
+            "baseline_to",
+            F.col("n_bcorrect").alias("n_baseline_correct"),
+            F.expr(bacc).alias("baseline_acc_e6"),
+        )
+        .orderBy("from_state")
+    )

@@ -8742,3 +8742,59 @@ ORACLES_EXT["events_power_analysis"] = """
            n >= (t1 * 7848878512225) // 1000000000000000 AS powered_now
     FROM t ORDER BY event_type
 """
+
+
+ORACLES_EXT["events_next_event_accuracy"] = """
+    WITH base AS (
+        SELECT user_id AS u, event_type AS t, epoch_us(ts) AS us,
+               event_id AS eid
+        FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+          AND ts IS NOT NULL
+    ), pairs AS (
+        SELECT u, t, us, eid,
+               lead(t) OVER w AS nxt, lead(us) OVER w AS nxt_us
+        FROM base WINDOW w AS (PARTITION BY u ORDER BY us, eid)
+    ), span AS (
+        SELECT (CAST(min(us) AS BIGINT) + CAST(max(us) AS BIGINT))
+            // 2 AS tmid
+        FROM base
+    ), lab AS (
+        SELECT p.*, p.nxt_us <= s.tmid AS is_train
+        FROM pairs p CROSS JOIN span s WHERE p.nxt IS NOT NULL
+    ), train AS (
+        SELECT t, nxt, count(*) AS c FROM lab WHERE is_train
+        GROUP BY t, nxt
+    ), pred AS (
+        SELECT t AS pt, nxt AS predicted FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY t ORDER BY c DESC, nxt) AS r
+            FROM train) WHERE r = 1
+    ), maj AS (
+        SELECT nxt AS baseline_to FROM (
+            SELECT nxt, sum(c) AS c FROM train GROUP BY nxt
+            ORDER BY c DESC, nxt LIMIT 1)
+    ), test AS (
+        SELECT l.t, l.nxt,
+               coalesce(p.predicted, m.baseline_to) AS pfinal,
+               m.baseline_to
+        FROM lab l
+        LEFT JOIN pred p ON l.t = p.pt
+        CROSS JOIN maj m
+        WHERE NOT l.is_train
+    ), agg AS (
+        SELECT t, max(pfinal) AS predicted_to,
+               max(baseline_to) AS baseline_to,
+               CAST(count(*) AS BIGINT) AS n_test,
+               CAST(sum(CASE WHEN nxt = pfinal THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_correct,
+               CAST(sum(CASE WHEN nxt = baseline_to THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_bcorrect
+        FROM test GROUP BY t
+    )
+    SELECT t AS from_state, predicted_to, n_test, n_correct,
+           CAST(CASE WHEN (n_correct) >= 0 THEN ((n_correct) * 1000000) // (n_test) ELSE -((-(n_correct) * 1000000) // (n_test)) END AS BIGINT) AS acc_e6,
+           baseline_to, n_bcorrect AS n_baseline_correct,
+           CAST(CASE WHEN (n_bcorrect) >= 0 THEN ((n_bcorrect) * 1000000) // (n_test) ELSE -((-(n_bcorrect) * 1000000) // (n_test)) END AS BIGINT) AS baseline_acc_e6
+    FROM agg ORDER BY from_state
+"""

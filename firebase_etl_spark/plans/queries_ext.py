@@ -6981,3 +6981,21 @@ def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
     )
     return power_analysis_report(per, "event_type", "n", "k")
+
+
+def events_next_event_accuracy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Next-event prediction backtest
+    (operators/timeseries.py:next_event_accuracy): first-order Markov
+    argmax predictions trained on each user's early half, top-1
+    accuracy scored on the late half, with the majority-class
+    baseline published beside it — the eval that says whether the
+    transition matrix PREDICTS anything. One lag window per user;
+    state-table-sized everything after."""
+    from firebase_etl_spark.operators.timeseries import (
+        next_event_accuracy,
+    )
+
+    e = load_table(spark, "events", sf_dir)
+    return next_event_accuracy(e)

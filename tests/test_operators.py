@@ -3909,3 +3909,37 @@ def test_power_analysis_textbook_value(spark):
         "g string, n long, k long",
     )
     assert power_analysis_report(df3).count() == 0
+
+
+def test_next_event_accuracy_learns_deterministic_chain(spark):
+    import datetime as dt
+
+    from firebase_etl_spark.operators.timeseries import (
+        next_event_accuracy,
+    )
+
+    # user streams follow a -> b -> a -> b ... deterministically;
+    # the Markov argmax should hit 100% on the test half while the
+    # majority baseline can't beat ~50%
+    rows = []
+    eid = 0
+    t0 = dt.datetime(2024, 1, 1)
+    for u in range(4):
+        for i in range(40):
+            rows.append(
+                (u, "a" if i % 2 == 0 else "b",
+                 t0 + dt.timedelta(minutes=i), eid)
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp,"
+        " event_id long"
+    )
+    out = {r["from_state"]: r for r in next_event_accuracy(df).collect()}
+    assert out["a"]["predicted_to"] == "b"
+    assert out["b"]["predicted_to"] == "a"
+    assert out["a"]["acc_e6"] == 1000000
+    assert out["b"]["acc_e6"] == 1000000
+    # the single-class baseline is wrong on one of the two states
+    assert min(out["a"]["baseline_acc_e6"],
+               out["b"]["baseline_acc_e6"]) == 0
