@@ -351,6 +351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_fd_audit": QX.orders_fd_audit,
         "events_power_analysis": QX.events_power_analysis,
         "events_next_event_accuracy": QX.events_next_event_accuracy,
+        "events_quantile_normalization": QX.events_quantile_normalization,
     }
 
 

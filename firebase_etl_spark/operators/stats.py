@@ -2498,3 +2498,76 @@ def power_analysis_report(
             "powered_now"
         ),
     ).orderBy(group_col)
+
+
+def quantile_normalization_map(
+    df: DataFrame,
+    group_col: str,
+    value_c_expr: str,
+    key_col: str,
+    n_q: int = 10,
+) -> DataFrame:
+    """Quantile-normalization mapping table — the batch-effect
+    corrector (classic in bioinformatics, same job for heterogeneous
+    telemetry feeds): align every group's value distribution onto the
+    POOLED distribution by rank, published as a per-(group, decile)
+    lookup of source quantile -> pooled quantile -> additive
+    adjustment. Downstream applies it with one broadcast join; this
+    operator IS the fit.
+
+    Exact nearest-rank quantiles on both levels (rank ceil(q*n),
+    (value, key) tie order) from two window sorts — the same price
+    any exact percentile pays; everything else is integer cents.
+    Returns (group, q_idx, src_q_cents, pooled_q_cents,
+    adjust_cents), ordered by (group, q_idx)."""
+    base = df.select(
+        F.col(group_col).alias("g"),
+        F.expr(value_c_expr).alias("v"),
+        F.col(key_col).alias("k"),
+    ).filter(F.col("v").isNotNull() & F.col("g").isNotNull())
+
+    # ONE pass per level: each ranked row computes which decile
+    # targets its rank hits (possibly several in tiny groups) and
+    # explodes them — no per-decile rescans, no self-joins
+    hit = (
+        f"filter(transform(sequence(1, {n_q}), i -> CASE WHEN"
+        f" r = greatest((i * n + {n_q - 1}) DIV {n_q}, 1)"
+        f" THEN i END), x -> x IS NOT NULL)"
+    )
+
+    def quantiles(frame, part_cols):
+        w = (
+            Window.partitionBy(*part_cols).orderBy("v", "k")
+            if part_cols
+            else Window.orderBy("v", "k")
+        )
+        cw = (
+            Window.partitionBy(*part_cols) if part_cols
+            else Window.partitionBy(F.lit(1))
+        )
+        return (
+            frame.withColumn("r", F.row_number().over(w))
+            .withColumn("n", F.count(F.lit(1)).over(cw))
+            .select(
+                *part_cols, F.col("v").alias("qv"),
+                F.explode(F.expr(hit)).alias("q_idx"),
+            )
+        )
+
+    src = quantiles(base, ["g"])
+    pooled = quantiles(base, []).select(
+        "q_idx", F.col("qv").alias("pooled_q_cents")
+    )
+    return (
+        src.join(F.broadcast(pooled), "q_idx")
+        .select(
+            F.col("g").alias(group_col),
+            F.col("q_idx").cast("long").alias("q_idx"),
+            F.col("qv").alias("src_q_cents"),
+            "pooled_q_cents",
+            (F.col("pooled_q_cents") - F.col("qv")).alias(
+                "adjust_cents"
+            ),
+        )
+        .orderBy(group_col, "q_idx")
+    )

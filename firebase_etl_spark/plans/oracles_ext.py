@@ -8798,3 +8798,47 @@ ORACLES_EXT["events_next_event_accuracy"] = """
            CAST(CASE WHEN (n_bcorrect) >= 0 THEN ((n_bcorrect) * 1000000) // (n_test) ELSE -((-(n_bcorrect) * 1000000) // (n_test)) END AS BIGINT) AS baseline_acc_e6
     FROM agg ORDER BY from_state
 """
+
+
+def _qnorm_oracle(n_q: int = 10) -> str:
+    hit = (
+        f"list_filter(list_transform(range(1, {n_q + 1}), i ->"
+        f" CASE WHEN r = greatest((i * n + {n_q - 1}) // {n_q}, 1)"
+        f" THEN i END), x -> x IS NOT NULL)"
+    )
+    return f"""
+    WITH base AS (
+        SELECT event_type AS g,
+               CAST(round(value * 100.0, 0) AS BIGINT) AS v,
+               event_id AS k
+        FROM events
+        WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ), ranked_g AS (
+        SELECT g, v, k,
+               row_number() OVER (PARTITION BY g ORDER BY v, k) AS r,
+               count(*) OVER (PARTITION BY g) AS n
+        FROM base
+    ), hg AS (
+        SELECT g, v, {hit} AS hits FROM ranked_g
+    ), src AS (
+        SELECT g, v AS qv, u.q_idx
+        FROM hg, unnest(hits) AS u(q_idx)
+    ), ranked_p AS (
+        SELECT v, k, row_number() OVER (ORDER BY v, k) AS r,
+               count(*) OVER () AS n
+        FROM base
+    ), hp AS (
+        SELECT v, {hit} AS hits FROM ranked_p
+    ), pooled AS (
+        SELECT u.q_idx, v AS pooled_q_cents
+        FROM hp, unnest(hits) AS u(q_idx)
+    )
+    SELECT s.g AS event_type, CAST(s.q_idx AS BIGINT) AS q_idx,
+           s.qv AS src_q_cents, p.pooled_q_cents,
+           p.pooled_q_cents - s.qv AS adjust_cents
+    FROM src s JOIN pooled p USING (q_idx)
+    ORDER BY event_type, q_idx
+"""
+
+
+ORACLES_EXT["events_quantile_normalization"] = _qnorm_oracle()

@@ -6999,3 +6999,27 @@ def events_next_event_accuracy(
 
     e = load_table(spark, "events", sf_dir)
     return next_event_accuracy(e)
+
+
+def events_quantile_normalization(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantile-normalization mapping table per event type
+    (operators/stats.py:quantile_normalization_map): align each
+    type's value distribution onto the pooled one by exact
+    nearest-rank deciles — the batch-effect corrector for
+    heterogeneous feeds, published as the (source quantile -> pooled
+    quantile -> adjustment) lookup a downstream join applies. One
+    window sort per level; each row computes its own decile hits, no
+    per-decile rescans."""
+    from firebase_etl_spark.operators.stats import (
+        quantile_normalization_map,
+    )
+
+    e = load_table(spark, "events", sf_dir)
+    return quantile_normalization_map(
+        e,
+        "event_type",
+        "CAST(round(value * 100.0, 0) AS BIGINT)",
+        "event_id",
+    )

@@ -3943,3 +3943,25 @@ def test_next_event_accuracy_learns_deterministic_chain(spark):
     # the single-class baseline is wrong on one of the two states
     assert min(out["a"]["baseline_acc_e6"],
                out["b"]["baseline_acc_e6"]) == 0
+
+
+def test_quantile_normalization_map_alignment(spark):
+    from firebase_etl_spark.operators.stats import (
+        quantile_normalization_map,
+    )
+
+    # group A = 1..100, group B = 101..200: pooled = 1..200;
+    # B's deciles sit exactly 100 above A's
+    rows = [("A", v, v) for v in range(1, 101)]
+    rows += [("B", v + 100, v + 100) for v in range(1, 101)]
+    df = spark.createDataFrame(rows, "g string, v long, k long")
+    out = quantile_normalization_map(df, "g", "v", "k").collect()
+    by = {(r["g"], r["q_idx"]): r for r in out}
+    assert len(out) == 20
+    for q in range(1, 11):
+        a, b = by[("A", q)], by[("B", q)]
+        assert b["src_q_cents"] - a["src_q_cents"] == 100
+        assert a["pooled_q_cents"] == b["pooled_q_cents"] == q * 20
+        # adjustments move each group toward the pooled distribution
+        assert a["adjust_cents"] == q * 20 - q * 10
+        assert b["adjust_cents"] == q * 20 - (100 + q * 10)
