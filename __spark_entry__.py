@@ -352,6 +352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_power_analysis": QX.events_power_analysis,
         "events_next_event_accuracy": QX.events_next_event_accuracy,
         "events_quantile_normalization": QX.events_quantile_normalization,
+        "doc_isotonic_calibration": QX.doc_isotonic_calibration,
     }
 
 

@@ -2571,3 +2571,117 @@ def quantile_normalization_map(
         )
         .orderBy(group_col, "q_idx")
     )
+
+
+def isotonic_calibration_report(
+    df: DataFrame,
+    p_e6_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Isotonic recalibration of a binned scorer — the FIX paired
+    with calibration_report's audit: fit the best monotone
+    bin->probability map (weighted isotonic regression of observed
+    accuracy on score bins) and publish it beside the raw
+    reliabilities with before/after calibration error. This is what
+    turns a well-RANKING but mis-CALIBRATED scorer into usable
+    probabilities without refitting the model.
+
+    The fit uses the exact minimax identity fitted_i = max_{j<=i}
+    min_{k>=i} mean(y over bins j..k) instead of sequential
+    pool-adjacent-violators: over B bins that is a B^3/6-row grid of
+    integer prefix-sum differences — corpus work is ONE aggregate to
+    B rows, the lattice is engine-trivial, and there is no recursion
+    to mirror. Interval means are single IEEE divisions of exact
+    integers (deterministic on both engines; max/min only COMPARE
+    doubles, never accumulate), quantized once at e6. Returns one row
+    per non-empty bin: (bin, n_rows, conf_e6, acc_e6, iso_acc_e6)
+    with weighted (ece_raw_e6, ece_iso_e6) replicated."""
+    from firebase_etl_spark.functions.portable_math import (
+        fixed_e6_expr,
+        sdiv_scaled_sql,
+    )
+
+    base = df.select(
+        F.expr(p_e6_col).cast("long").alias("p"),
+        F.expr(label_col).cast("long").alias("y"),
+    ).filter(F.col("p").isNotNull() & F.col("y").isNotNull())
+    per = (
+        base.withColumn(
+            "bin",
+            F.least(
+                F.expr(f"(p * {n_bins}) DIV 1000000"),
+                F.lit(n_bins - 1),
+            ).cast("int"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("p").cast("long").alias("sp"),
+            F.sum("y").cast("long").alias("sy"),
+        )
+    )
+    cw = (
+        Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = per.withColumn("cy", F.sum("sy").over(cw)).withColumn(
+        "cn", F.sum("n").over(cw)
+    )
+    lo = pre.select(
+        F.col("bin").alias("jb"),
+        (F.col("cy") - F.col("sy")).alias("cy0"),
+        (F.col("cn") - F.col("n")).alias("cn0"),
+    )
+    hi = pre.select(
+        F.col("bin").alias("kb"), F.col("cy").alias("cy1"),
+        F.col("cn").alias("cn1"),
+    )
+    ivals = lo.crossJoin(hi).filter(F.col("jb") <= F.col("kb")).select(
+        "jb", "kb",
+        F.expr(
+            "CAST(cy1 - cy0 AS DOUBLE) / CAST(cn1 - cn0 AS DOUBLE)"
+        ).alias("mean"),
+    )
+    bins = per.select(F.col("bin").alias("ib"))
+    inner = (
+        bins.join(
+            ivals,
+            (F.col("jb") <= F.col("ib")) & (F.col("kb") >= F.col("ib")),
+        )
+        .groupBy("ib", "jb")
+        .agg(F.min("mean").alias("mn"))
+    )
+    fitted = inner.groupBy("ib").agg(
+        F.expr(fixed_e6_expr("max(mn)")).alias("iso_acc_e6")
+    )
+    conf = sdiv_scaled_sql("sp", "n", 1, "DIV")
+    acc = sdiv_scaled_sql("sy * 1000000", "n", 1, "DIV")
+    rows = (
+        per.join(fitted, per.bin == fitted.ib)
+        .withColumn("conf_e6", F.expr(conf))
+        .withColumn("acc_e6", F.expr(acc))
+    )
+    tot = rows.agg(
+        F.sum("n").alias("nt"),
+        F.sum(F.abs(F.col("sy") * 1000000 - F.col("sp")))
+        .alias("raw_gap"),
+        F.sum(
+            F.abs(
+                F.col("sy") * 1000000 - F.col("iso_acc_e6") * F.col("n")
+            )
+        ).alias("iso_gap"),
+    )
+    e_raw = sdiv_scaled_sql("raw_gap", "nt", 1, "DIV")
+    e_iso = sdiv_scaled_sql("iso_gap", "nt", 1, "DIV")
+    return (
+        rows.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            F.col("n").alias("n_rows"),
+            "conf_e6", "acc_e6", "iso_acc_e6",
+            F.expr(e_raw).alias("ece_raw_e6"),
+            F.expr(e_iso).alias("ece_iso_e6"),
+        )
+        .orderBy("bin")
+    )

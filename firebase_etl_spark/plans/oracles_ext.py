@@ -8842,3 +8842,57 @@ def _qnorm_oracle(n_q: int = 10) -> str:
 
 
 ORACLES_EXT["events_quantile_normalization"] = _qnorm_oracle()
+
+
+ORACLES_EXT["doc_isotonic_calibration"] = """
+    WITH base AS (
+        SELECT least(CAST(len(regexp_split_to_array(
+                   lower(trim(text)), '\\s+')) AS BIGINT) * 10000,
+                   1000000) AS p,
+               CAST(list_contains(regexp_split_to_array(
+                   lower(trim(text)), '\\s+'), 'spark') AS BIGINT)
+                   AS y
+        FROM documents WHERE text IS NOT NULL
+    ), per AS (
+        SELECT least((p * 10) // 1000000, 9) AS bin,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(p) AS BIGINT) AS sp,
+               CAST(sum(y) AS BIGINT) AS sy
+        FROM base GROUP BY 1
+    ), pre AS (
+        SELECT *, CAST(sum(sy) OVER w AS BIGINT) AS cy,
+               CAST(sum(n) OVER w AS BIGINT) AS cn
+        FROM per WINDOW w AS (ORDER BY bin
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), ivals AS (
+        SELECT lo.bin AS jb, hi.bin AS kb,
+               CAST(hi.cy - (lo.cy - lo.sy) AS DOUBLE)
+                   / CAST(hi.cn - (lo.cn - lo.n) AS DOUBLE) AS mean
+        FROM pre lo, pre hi WHERE lo.bin <= hi.bin
+    ), inner_m AS (
+        SELECT b.bin AS ib, i.jb, min(i.mean) AS mn
+        FROM per b JOIN ivals i
+          ON i.jb <= b.bin AND i.kb >= b.bin
+        GROUP BY 1, 2
+    ), fitted AS (
+        SELECT ib, CAST(round((max(mn)) * 1000000.0 + 1e-9, 0) AS BIGINT) AS iso_acc_e6 FROM inner_m GROUP BY ib
+    ), rws AS (
+        SELECT per.*, f.iso_acc_e6,
+               CASE WHEN (sp) >= 0 THEN ((sp) * 1) // (n) ELSE -((-(sp) * 1) // (n)) END AS conf_e6,
+               CASE WHEN (sy * 1000000) >= 0 THEN ((sy * 1000000) * 1) // (n) ELSE -((-(sy * 1000000) * 1) // (n)) END AS acc_e6
+        FROM per JOIN fitted f ON per.bin = f.ib
+    ), tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS nt,
+               CAST(sum(abs(sy * 1000000 - sp)) AS BIGINT) AS raw_gap,
+               CAST(sum(abs(sy * 1000000 - iso_acc_e6 * n))
+                   AS BIGINT) AS iso_gap
+        FROM rws
+    )
+    SELECT CAST(bin AS INT) AS bin, n AS n_rows,
+           CAST(conf_e6 AS BIGINT) AS conf_e6,
+           CAST(acc_e6 AS BIGINT) AS acc_e6,
+           CAST(iso_acc_e6 AS BIGINT) AS iso_acc_e6,
+           CAST(CASE WHEN (raw_gap) >= 0 THEN ((raw_gap) * 1) // (nt) ELSE -((-(raw_gap) * 1) // (nt)) END AS BIGINT) AS ece_raw_e6,
+           CAST(CASE WHEN (iso_gap) >= 0 THEN ((iso_gap) * 1) // (nt) ELSE -((-(iso_gap) * 1) // (nt)) END AS BIGINT) AS ece_iso_e6
+    FROM rws CROSS JOIN tot ORDER BY bin
+"""

@@ -7023,3 +7023,32 @@ def events_quantile_normalization(
         "CAST(round(value * 100.0, 0) AS BIGINT)",
         "event_id",
     )
+
+
+def doc_isotonic_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Isotonic recalibration of the length-based scorer
+    (operators/stats.py:isotonic_calibration_report): the monotone
+    bin->probability map fitted by the exact minimax identity —
+    fitted_i = max_{j<=i} min_{k>=i} mean(j..k) — over the same bins
+    doc_calibration_report audits, with before/after weighted
+    calibration error published. The FIX beside the audit: ranking
+    survives, probabilities become usable."""
+    from firebase_etl_spark.operators.stats import (
+        isotonic_calibration_report,
+    )
+    from firebase_etl_spark.operators.text import tokenize
+
+    d = load_table(spark, "documents", sf_dir).filter(
+        F.col("text").isNotNull()
+    )
+    scored = d.select(
+        F.least(
+            F.size(tokenize("text")).cast("long") * 10000,
+            F.lit(1000000),
+        ).alias("p_e6"),
+        F.array_contains(tokenize("text"), "spark")
+        .cast("long").alias("y"),
+    )
+    return isotonic_calibration_report(scored, "p_e6", "y")

@@ -3965,3 +3965,30 @@ def test_quantile_normalization_map_alignment(spark):
         # adjustments move each group toward the pooled distribution
         assert a["adjust_cents"] == q * 20 - q * 10
         assert b["adjust_cents"] == q * 20 - (100 + q * 10)
+
+
+def test_isotonic_calibration_minimax_pava(spark):
+    from firebase_etl_spark.operators.stats import (
+        isotonic_calibration_report,
+    )
+
+    # violator pattern: bin accs 0.2, 0.6, 0.4, 0.8 (bins 1,3,5,7);
+    # weighted PAVA pools bins 3&5 (equal n) to 0.5; ends untouched
+    rows = []
+    for acc, p in [(20, 150000), (60, 350000), (40, 550000),
+                   (80, 750000)]:
+        for i in range(100):
+            rows.append((p, 1 if i < acc else 0))
+    df = spark.createDataFrame(rows, "p long, y long")
+    out = {r["bin"]: r for r in isotonic_calibration_report(
+        df, "p", "y"
+    ).collect()}
+    assert out[1]["iso_acc_e6"] == 200000
+    assert out[3]["iso_acc_e6"] == 500000
+    assert out[5]["iso_acc_e6"] == 500000
+    assert out[7]["iso_acc_e6"] == 800000
+    # monotone, and the fit strictly improves weighted ECE-to-fit
+    isos = [out[b]["iso_acc_e6"] for b in sorted(out)]
+    assert isos == sorted(isos)
+    r = out[1]
+    assert r["ece_iso_e6"] < r["ece_raw_e6"]
