@@ -151,6 +151,13 @@ NEW_OPS = [
     "stream_ab_monitor",
     "events_ks_drift",
     "events_holt_forecast",
+    "events_capture_recapture",
+    "nation_conversion_shrinkage",
+    "orders_fd_audit",
+    "events_power_analysis",
+    "events_next_event_accuracy",
+    "events_quantile_normalization",
+    "doc_isotonic_calibration",
 ]
 
 
