@@ -502,6 +502,7 @@ def ql_topk(
     ).filter(F.col("term") != "")
     ctot = F.broadcast(
         toks.agg(F.count(F.lit(1)).cast("long").alias("c_tokens"))
+        .localCheckpoint(eager=True)  # 1 row; cross-joined twice
     )
     cf = toks.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("cf")
@@ -510,6 +511,7 @@ def ql_topk(
         toks.filter(F.col("did").isin(query_ids))
         .select(F.col("did").alias("query_id"), "term")
         .distinct()
+        .localCheckpoint(eager=True)  # probe-term-sized; 4 consumers
     )
     qlen = qt.groupBy("query_id").agg(
         F.count(F.lit(1)).cast("long").alias("qn")

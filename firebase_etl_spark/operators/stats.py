@@ -1998,7 +1998,7 @@ def group_sequential_monitor(
             F.sum(F.when(F.col("arm") == 1, F.col("v") * F.col("v"))),
             F.lit(0),
         ).cast("long").alias("qb"),
-    )
+    ).localCheckpoint(eager=True)  # K rows; 3 consumer chains below
     cw = (
         Window.orderBy("look")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -2620,6 +2620,9 @@ def isotonic_calibration_report(
             F.sum("p").cast("long").alias("sp"),
             F.sum("y").cast("long").alias("sy"),
         )
+        # B rows, consumed by four chains below: checkpoint so the
+        # corpus aggregate runs ONCE (plan audit flagged x8 re-inline)
+        .localCheckpoint(eager=True)
     )
     cw = (
         Window.orderBy("bin")

@@ -749,7 +749,7 @@ def ks_drift_report(
     hist = halves.groupBy("g", "v").agg(
         F.sum("early").cast("long").alias("d1"),
         F.sum(1 - F.col("early")).cast("long").alias("d2"),
-    )
+    ).localCheckpoint(eager=True)  # distinct-value-sized; 3 consumers
     tot = hist.groupBy("g").agg(
         F.sum("d1").cast("long").alias("n1"),
         F.sum("d2").cast("long").alias("n2"),
@@ -915,7 +915,7 @@ def next_event_accuracy(
     )
     train = pairs.filter("is_train").groupBy("t", "nxt").agg(
         F.count(F.lit(1)).alias("c")
-    )
+    ).localCheckpoint(eager=True)  # state-table-sized; 2 consumers
     pw = Window.partitionBy("t").orderBy(F.desc("c"), "nxt")
     pred = (
         train.withColumn("r", F.row_number().over(pw))
