@@ -353,6 +353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_next_event_accuracy": QX.events_next_event_accuracy,
         "events_quantile_normalization": QX.events_quantile_normalization,
         "doc_isotonic_calibration": QX.doc_isotonic_calibration,
+        "events_dau_mau_stickiness": QX.events_dau_mau_stickiness,
     }
 
 

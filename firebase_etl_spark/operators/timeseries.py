@@ -959,3 +959,59 @@ def next_event_accuracy(
         )
         .orderBy("from_state")
     )
+
+
+def dau_mau_stickiness(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """DAU/MAU stickiness per calendar month — the growth metric every
+    product dashboard leads with ('how many of the month's users show
+    up on a given day'): average daily-active count over the month's
+    observed days divided by the month's distinct actives. WAU/MAU
+    variants are the same shape; the month window is the standard
+    published form.
+
+    Exact distincts at both granularities (one aggregate each — at
+    sketch-worthy scale swap the day/month count-distincts for the
+    KMV operator, same join spine); the ratio quantizes once. Returns
+    per month: (month, n_days_observed, total_dau, avg_dau_e2, mau,
+    stickiness_e6), ordered by month."""
+    from firebase_etl_spark.functions.portable_math import (
+        sdiv_scaled_sql,
+    )
+
+    base = df.filter(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("u"),
+        F.to_date(ts_col).alias("day"),
+        F.date_format(ts_col, "yyyy-MM").alias("month"),
+    )
+    dau = base.groupBy("month", "day").agg(
+        F.countDistinct("u").cast("long").alias("dau")
+    )
+    per_m = dau.groupBy("month").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days_observed"),
+        F.sum("dau").cast("long").alias("total_dau"),
+    )
+    mau = base.groupBy("month").agg(
+        F.countDistinct("u").cast("long").alias("mau")
+    )
+    avg_dau = sdiv_scaled_sql("total_dau", "n_days_observed", 100, "DIV")
+    stick = sdiv_scaled_sql(
+        "total_dau", "n_days_observed * mau", 1000000, "DIV"
+    )
+    return (
+        per_m.join(mau, "month")
+        .select(
+            "month", "n_days_observed", "total_dau",
+            F.expr(avg_dau).alias("avg_dau_e2"),
+            "mau",
+            F.expr(
+                f"CASE WHEN mau > 0 THEN {stick} END"
+            ).alias("stickiness_e6"),
+        )
+        .orderBy("month")
+    )

@@ -8896,3 +8896,29 @@ ORACLES_EXT["doc_isotonic_calibration"] = """
            CAST(CASE WHEN (iso_gap) >= 0 THEN ((iso_gap) * 1) // (nt) ELSE -((-(iso_gap) * 1) // (nt)) END AS BIGINT) AS ece_iso_e6
     FROM rws CROSS JOIN tot ORDER BY bin
 """
+
+
+ORACLES_EXT["events_dau_mau_stickiness"] = """
+    WITH base AS (
+        SELECT user_id AS u, CAST(ts AS DATE) AS day,
+               strftime(ts, '%Y-%m') AS month
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), dau AS (
+        SELECT month, day,
+               CAST(count(DISTINCT u) AS BIGINT) AS dau
+        FROM base GROUP BY month, day
+    ), per_m AS (
+        SELECT month, CAST(count(*) AS BIGINT) AS n_days_observed,
+               CAST(sum(dau) AS BIGINT) AS total_dau
+        FROM dau GROUP BY month
+    ), mau AS (
+        SELECT month, CAST(count(DISTINCT u) AS BIGINT) AS mau
+        FROM base GROUP BY month
+    )
+    SELECT month, n_days_observed, total_dau,
+           CAST(CASE WHEN (total_dau) >= 0 THEN ((total_dau) * 100) // (n_days_observed) ELSE -((-(total_dau) * 100) // (n_days_observed)) END AS BIGINT) AS avg_dau_e2,
+           mau,
+           CAST(CASE WHEN mau > 0 THEN CASE WHEN (total_dau) >= 0 THEN ((total_dau) * 1000000) // (n_days_observed * mau) ELSE -((-(total_dau) * 1000000) // (n_days_observed * mau)) END END AS BIGINT)
+               AS stickiness_e6
+    FROM per_m JOIN mau USING (month) ORDER BY month
+"""

@@ -7052,3 +7052,20 @@ def doc_isotonic_calibration(
         .cast("long").alias("y"),
     )
     return isotonic_calibration_report(scored, "p_e6", "y")
+
+
+def events_dau_mau_stickiness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DAU/MAU stickiness per calendar month
+    (operators/timeseries.py:dau_mau_stickiness): the headline
+    product-growth ratio — average daily actives over the month's
+    observed days divided by monthly actives. Exact distincts, one
+    aggregate per granularity (swap in the KMV sketch at
+    beyond-exact scale, same spine); ratios quantize once."""
+    from firebase_etl_spark.operators.timeseries import (
+        dau_mau_stickiness,
+    )
+
+    e = load_table(spark, "events", sf_dir)
+    return dau_mau_stickiness(e)

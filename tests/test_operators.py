@@ -3992,3 +3992,27 @@ def test_isotonic_calibration_minimax_pava(spark):
     assert isos == sorted(isos)
     r = out[1]
     assert r["ece_iso_e6"] < r["ece_raw_e6"]
+
+
+def test_dau_mau_stickiness_hand_case(spark):
+    import datetime as dt
+
+    from firebase_etl_spark.operators.timeseries import (
+        dau_mau_stickiness,
+    )
+
+    rows = []
+    # Jan: users 1,2 active on day 1; user 1 on day 2 -> dau 2,1;
+    # mau 2; stickiness = (3/2)/2 = 0.75
+    rows += [(1, dt.datetime(2024, 1, 1)), (2, dt.datetime(2024, 1, 1)),
+             (1, dt.datetime(2024, 1, 2))]
+    # Feb: one user one day -> stickiness 1.0
+    rows += [(5, dt.datetime(2024, 2, 10))]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {r["month"]: r for r in dau_mau_stickiness(df).collect()}
+    jan = out["2024-01"]
+    assert jan["n_days_observed"] == 2 and jan["total_dau"] == 3
+    assert jan["mau"] == 2
+    assert jan["avg_dau_e2"] == 150
+    assert jan["stickiness_e6"] == 750000
+    assert out["2024-02"]["stickiness_e6"] == 1000000
