@@ -1401,8 +1401,18 @@ def poisson_bootstrap_ci(
     )
     lo_rank = max(1, (25 * reps) // 1000 + 1)
     hi_rank = min(reps, (975 * reps) // 1000 + 1)
-    win = Window.orderBy("m", "b")
-    ranked = means.withColumn("r", F.row_number().over(win))
+    means = means.localCheckpoint(eager=True)  # reps rows; self-joined
+    ranked = (
+        means.alias("a")
+        .join(
+            F.broadcast(means.alias("p")),
+            (F.col("p.m") < F.col("a.m"))
+            | ((F.col("p.m") == F.col("a.m"))
+               & (F.col("p.b") <= F.col("a.b"))),
+        )
+        .groupBy(F.col("a.m").alias("m"), F.col("a.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("r"))
+    )
     ci = ranked.agg(
         F.max(F.when(F.col("r") == lo_rank, F.col("m"))).alias("lo"),
         F.max(F.when(F.col("r") == hi_rank, F.col("m"))).alias("hi"),
@@ -1526,15 +1536,28 @@ def ab_fdr_screen(
             f" THEN {fixed_e6_expr(welch_z_sql())} END"
         ),
     )
-    win = Window.orderBy(
-        F.desc(F.abs(F.coalesce(F.col("z_e6"), F.lit(0)))), F.col("g")
-    )
     crit_case = " ".join(
         f"WHEN bh_rank = {i + 1} THEN CAST({c} AS BIGINT)"
         for i, c in enumerate(crit_e6)
     )
+    z = z.localCheckpoint(eager=True)  # m metric rows; self-joined
+    az = F.abs(F.coalesce(F.col("a.z_e6"), F.lit(0)))
+    pz = F.abs(F.coalesce(F.col("p.z_e6"), F.lit(0)))
+    rank_tbl = (
+        z.alias("a")
+        .join(
+            F.broadcast(z.alias("p")),
+            (pz > az)
+            | ((pz == az) & (F.col("p.g") < F.col("a.g"))),
+            "left",
+        )
+        .groupBy(F.col("a.g").alias("g"))
+        .agg(
+            (F.count(F.col("p.g")) + F.lit(1)).alias("bh_rank")
+        )
+    )
     ranked = (
-        z.withColumn("bh_rank", F.row_number().over(win))
+        z.join(rank_tbl, "g")
         .withColumn("crit_e6", F.expr(f"CASE {crit_case} END"))
         .withColumn(
             "sig_raw",
@@ -1789,8 +1812,9 @@ def gains_table(
         F.col(outcome_c_col).alias("y"),
         F.col(key_col).alias("k"),
     )
-    win = Window.orderBy(F.desc("sc"), "k")
-    ranked = base.withColumn("r", F.row_number().over(win))
+    # scale-safe exact global rank (two-phase; an empty-PARTITION-BY
+    # window would run on one partition and the lint rejects it)
+    ranked = with_global_rank(base, [F.desc("sc"), F.asc("k")], "r")
     n_tot = ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("y").cast("long").alias("tot"),
@@ -1808,9 +1832,24 @@ def gains_table(
             F.max("tot").alias("tot"),
         )
     )
-    cw = (
-        Window.orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b = b.localCheckpoint(eager=True)  # n_buckets rows; self-joined
+    cum = (
+        b.alias("a")
+        .join(
+            F.broadcast(b.alias("p")),
+            F.col("p.bucket") <= F.col("a.bucket"),
+        )
+        .groupBy(
+            F.col("a.bucket").alias("bucket"),
+            F.col("a.n_units").alias("n_units"),
+            F.col("a.outcome_cents").alias("outcome_cents"),
+            F.col("a.n").alias("n"),
+            F.col("a.tot").alias("tot"),
+        )
+        .agg(
+            F.sum("p.outcome_cents").alias("cum_y"),
+            F.sum("p.n_units").alias("cum_n"),
+        )
     )
 
     # e6 shares of possibly-huge nonnegative totals: (num*1e6) needs
@@ -1835,9 +1874,7 @@ def gains_table(
         " DIV (cum_n DIV 1048576) END"
     )
     return (
-        b.withColumn("cum_y", F.sum("outcome_cents").over(cw))
-        .withColumn("cum_n", F.sum("n_units").over(cw))
-        .withColumn(
+        cum.withColumn(
             "cum_share_e6",
             F.expr(f"CASE WHEN tot > 0 THEN {share} END"),
         )
@@ -1999,17 +2036,24 @@ def group_sequential_monitor(
             F.lit(0),
         ).cast("long").alias("qb"),
     ).localCheckpoint(eager=True)  # K rows; 3 consumer chains below
-    cw = (
-        Window.orderBy("look")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     cum = (
-        per.withColumn("na", F.sum("ia").over(cw))
-        .withColumn("sa", F.sum("xa").over(cw))
-        .withColumn("ssa", F.sum("qa").over(cw))
-        .withColumn("nb", F.sum("ib").over(cw))
-        .withColumn("sb", F.sum("xb").over(cw))
-        .withColumn("ssb", F.sum("qb").over(cw))
+        per.alias("a")
+        .join(
+            F.broadcast(per.alias("p")),
+            F.col("p.look") <= F.col("a.look"),
+        )
+        .groupBy(
+            F.col("a.look").alias("look"),
+            F.col("a.cutoff_us").alias("cutoff_us"),
+        )
+        .agg(
+            F.sum("p.ia").alias("na"),
+            F.sum("p.xa").alias("sa"),
+            F.sum("p.qa").alias("ssa"),
+            F.sum("p.ib").alias("nb"),
+            F.sum("p.xb").alias("sb"),
+            F.sum("p.qb").alias("ssb"),
+        )
         .withColumn(
             "z_e6",
             F.expr(
@@ -2536,22 +2580,29 @@ def quantile_normalization_map(
     )
 
     def quantiles(frame, part_cols):
-        w = (
-            Window.partitionBy(*part_cols).orderBy("v", "k")
-            if part_cols
-            else Window.orderBy("v", "k")
-        )
-        cw = (
-            Window.partitionBy(*part_cols) if part_cols
-            else Window.partitionBy(F.lit(1))
-        )
-        return (
-            frame.withColumn("r", F.row_number().over(w))
-            .withColumn("n", F.count(F.lit(1)).over(cw))
-            .select(
-                *part_cols, F.col("v").alias("qv"),
-                F.explode(F.expr(hit)).alias("q_idx"),
+        if part_cols:
+            ranked = frame.withColumn(
+                "r",
+                F.row_number().over(
+                    Window.partitionBy(*part_cols).orderBy("v", "k")
+                ),
+            ).withColumn(
+                "n",
+                F.count(F.lit(1)).over(Window.partitionBy(*part_cols)),
             )
+        else:
+            # pooled level: scale-safe two-phase global rank + one
+            # broadcast total (no empty-PARTITION-BY window)
+            ranked = with_global_rank(
+                frame, [F.asc("v"), F.asc("k")], "r"
+            ).crossJoin(
+                F.broadcast(
+                    frame.agg(F.count(F.lit(1)).alias("n"))
+                )
+            )
+        return ranked.select(
+            *part_cols, F.col("v").alias("qv"),
+            F.explode(F.expr(hit)).alias("q_idx"),
         )
 
     src = quantiles(base, ["g"])
@@ -2624,12 +2675,22 @@ def isotonic_calibration_report(
         # corpus aggregate runs ONCE (plan audit flagged x8 re-inline)
         .localCheckpoint(eager=True)
     )
-    cw = (
-        Window.orderBy("bin")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    pre = per.withColumn("cy", F.sum("sy").over(cw)).withColumn(
-        "cn", F.sum("n").over(cw)
+    pre = (
+        per.alias("a")
+        .join(
+            F.broadcast(per.alias("p")),
+            F.col("p.bin") <= F.col("a.bin"),
+        )
+        .groupBy(
+            F.col("a.bin").alias("bin"),
+            F.col("a.n").alias("n"),
+            F.col("a.sp").alias("sp"),
+            F.col("a.sy").alias("sy"),
+        )
+        .agg(
+            F.sum("p.sy").alias("cy"),
+            F.sum("p.n").alias("cn"),
+        )
     )
     lo = pre.select(
         F.col("bin").alias("jb"),
@@ -2640,7 +2701,10 @@ def isotonic_calibration_report(
         F.col("bin").alias("kb"), F.col("cy").alias("cy1"),
         F.col("cn").alias("cn1"),
     )
-    ivals = lo.crossJoin(hi).filter(F.col("jb") <= F.col("kb")).select(
+    ivals = (
+        lo.crossJoin(F.broadcast(hi))
+        .filter(F.col("jb") <= F.col("kb"))
+    ).select(
         "jb", "kb",
         F.expr(
             "CAST(cy1 - cy0 AS DOUBLE) / CAST(cn1 - cn0 AS DOUBLE)"
@@ -2649,7 +2713,7 @@ def isotonic_calibration_report(
     bins = per.select(F.col("bin").alias("ib"))
     inner = (
         bins.join(
-            ivals,
+            F.broadcast(ivals),
             (F.col("jb") <= F.col("ib")) & (F.col("kb") >= F.col("ib")),
         )
         .groupBy("ib", "jb")
@@ -2687,4 +2751,52 @@ def isotonic_calibration_report(
             F.expr(e_iso).alias("ece_iso_e6"),
         )
         .orderBy("bin")
+    )
+
+
+def with_global_rank(df, order_cols, out: str = "r") -> DataFrame:
+    """Scale-safe EXACT global row numbering — the two-phase shape a
+    distributed engine uses instead of an empty-PARTITION-BY window
+    (which executes on ONE partition and is banned by the scale
+    lint): repartitionByRange on the order, per-partition row_number
+    (a PARTITIONED window), then add per-partition offsets collected
+    as #partitions rows. The sampled range boundaries are
+    plan-nondeterministic, but the produced rank depends only on the
+    total order, so the OUTPUT is deterministic; the frame is
+    localCheckpointed once so the offset counts and the ranked rows
+    come from the same materialized partitioning.
+
+    ``order_cols`` are Column expressions forming a TOTAL order (pass
+    a unique tiebreaker). Cost: one range shuffle + one linear
+    materialization — what a global sort pays anyway."""
+    spark = df.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    d = (
+        df.repartitionByRange(n, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn(
+            "__lr",
+            F.row_number().over(
+                Window.partitionBy("__pid").orderBy(*order_cols)
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cnts = sorted(
+        (int(r["__pid"]), int(r["c"]))
+        for r in d.groupBy("__pid").agg(
+            F.count(F.lit(1)).alias("c")
+        ).collect()
+    )
+    offs, acc = [], 0
+    for pid, c in cnts:
+        offs.append((pid, acc))
+        acc += c
+    om = F.broadcast(
+        spark.createDataFrame(offs, "__pid int, __off long")
+    )
+    return (
+        d.join(om, "__pid")
+        .withColumn(out, F.col("__off") + F.col("__lr"))
+        .drop("__pid", "__lr", "__off")
     )
