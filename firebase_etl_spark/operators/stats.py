@@ -160,6 +160,10 @@ def source_drift_report(
     falling off the 0..n_bins-1 bin spine, biasing tv_distance for
     every group whenever NULLs exist; both oracles mirror the
     filter)."""
+    from firebase_etl_spark.functions.portable_math import (
+        round_nudged,
+    )
+
     df = df.filter(F.col(value_col).isNotNull())
     scal = df.agg(
         F.min(value_col).alias("lo"),
@@ -217,7 +221,7 @@ def source_drift_report(
         dense.select("grp", "n_grp", gap_e6.alias("gap_e6"))
         .groupBy("grp", "n_grp")
         .agg(
-            F.round(
+            round_nudged(
                 F.sum("gap_e6") / F.lit(2000000.0), 6
             ).alias("tv_distance"),
             (F.max("gap_e6") / F.lit(1000000.0)).alias("max_bin_gap"),

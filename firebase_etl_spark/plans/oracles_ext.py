@@ -169,7 +169,7 @@ ORACLES_EXT: dict[str, str] = {
             FROM sessioned GROUP BY user_id, session_id
         )
         SELECT user_id, count(*) AS n_sessions,
-               round(avg(n_events), 4) AS avg_session_events
+               round((avg(n_events)) + 1e-9 + abs(avg(n_events)) * CAST('9.094947017729282e-13' AS DOUBLE), 4) AS avg_session_events
         FROM per_session GROUP BY user_id ORDER BY user_id
     """,
     "events_asof_orders": """
@@ -262,7 +262,7 @@ ORACLES_EXT: dict[str, str] = {
             FROM kept
         )
         SELECT lang, source, count(*) AS n_docs,
-               round(avg(quality), 6) AS avg_quality
+               round((avg(quality)) + 1e-9 + abs(avg(quality)) * CAST('9.094947017729282e-13' AS DOUBLE), 6) AS avg_quality
         FROM survivors WHERE rn = 1
         GROUP BY lang, source ORDER BY lang, source
     """,
@@ -4731,7 +4731,7 @@ ORACLES_EXT["doc_source_drift"] = """
                           * 1000000.0, 0) AS BIGINT) AS gap_e6
         FROM win)
     SELECT grp AS source, CAST(n_grp AS BIGINT) AS n_docs,
-           round(sum(gap_e6) / 2000000.0, 6) AS tv_distance,
+           round((sum(gap_e6) / 2000000.0) + 1e-9 + abs(sum(gap_e6) / 2000000.0) * CAST('9.094947017729282e-13' AS DOUBLE), 6) AS tv_distance,
            max(gap_e6) / 1000000.0 AS max_bin_gap
     FROM gaps GROUP BY grp, n_grp ORDER BY source
 """
@@ -4772,7 +4772,7 @@ ORACLES_EXT["events_value_drift"] = """
                           * 1000000.0, 0) AS BIGINT) AS gap_e6
         FROM win)
     SELECT grp AS event_type, CAST(n_grp AS BIGINT) AS n_docs,
-           round(sum(gap_e6) / 2000000.0, 6) AS tv_distance,
+           round((sum(gap_e6) / 2000000.0) + 1e-9 + abs(sum(gap_e6) / 2000000.0) * CAST('9.094947017729282e-13' AS DOUBLE), 6) AS tv_distance,
            max(gap_e6) / 1000000.0 AS max_bin_gap
     FROM gaps GROUP BY grp, n_grp ORDER BY event_type
 """

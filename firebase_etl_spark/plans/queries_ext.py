@@ -237,7 +237,8 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_session.groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_sessions"),
-            F.round(F.avg("n_events"), 4).alias("avg_session_events"),
+            PM.round_nudged(F.avg("n_events"), 4)
+            .alias("avg_session_events"),
         )
         .orderBy("user_id")
     )
@@ -487,7 +488,7 @@ def documents_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         survivors.groupBy("lang", "source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("quality"), 6).alias("avg_quality"),
+            PM.round_nudged(F.avg("quality"), 6).alias("avg_quality"),
         )
         .orderBy("lang", "source")
     )
