@@ -156,8 +156,18 @@ def fellegi_sunter_report(
         with_ln,
     )
 
+    # Every consumer below (probes, targets, the three u-probability
+    # aggregates) derives from the same five customer columns. Persist
+    # that ONE projection so the corpus is scanned once instead of
+    # seven times (VERDICT r8 #3); the final output is band-sized, so
+    # it is localCheckpointed eagerly and the base unpersisted before
+    # returning.
+    base = customers.select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal"
+    ).persist()
+
     pos = (F.lit(10) + F.col("c_custkey") % 8).cast("int")
-    probes = customers.filter(F.col("c_custkey") % 40 == 7).select(
+    probes = base.filter(F.col("c_custkey") % 40 == 7).select(
         F.col("c_custkey").alias("probe_id"),
         F.concat(
             F.col("c_name").substr(F.lit(1), pos - 1),
@@ -167,7 +177,7 @@ def fellegi_sunter_report(
         F.col("c_mktsegment").alias("p_seg"),
         F.floor(F.col("c_acctbal") / 1000.0).cast("int").alias("p_cc"),
     )
-    targets = customers.select(
+    targets = base.select(
         F.col("c_custkey").alias("target_id"),
         F.col("c_name").alias("target_name"),
         F.col("c_nationkey").alias("t_nat"),
@@ -226,7 +236,9 @@ def fellegi_sunter_report(
                 fixed_e6_expr(f"__ln_d1_{fld} - __ln_d2_{fld}")
             ).alias(f"dw_{fld}"),
         ]
-    w = w.select(*weight_cols)
+    # one row of e6 weights — checkpoint so the three u-probability
+    # aggregates never re-enter the pair plan
+    w = w.select(*weight_cols).localCheckpoint(eager=True)
     pairs = (
         cand.join(probes, "probe_id")
         .join(targets, "target_id")
@@ -248,19 +260,23 @@ def fellegi_sunter_report(
         f" WHEN score_e6 >= {t_lo_e6} THEN 'possible'"
         " ELSE 'non_match' END"
     )
-    return (
-        pairs.groupBy(F.expr(band).alias("band"))
-        .agg(
-            F.count(F.lit(1)).alias("n_pairs"),
-            F.sum(
-                (F.col("probe_id") == F.col("target_id")).cast("long")
-            ).alias("n_true_match"),
-            F.sum("score_e6").alias("sum_score_e6"),
-            F.min("score_e6").alias("min_score_e6"),
-            F.max("score_e6").alias("max_score_e6"),
+    try:
+        return (
+            pairs.groupBy(F.expr(band).alias("band"))
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.sum(
+                    (F.col("probe_id") == F.col("target_id")).cast("long")
+                ).alias("n_true_match"),
+                F.sum("score_e6").alias("sum_score_e6"),
+                F.min("score_e6").alias("min_score_e6"),
+                F.max("score_e6").alias("max_score_e6"),
+            )
+            .orderBy("band")
+            .localCheckpoint(eager=True)  # band-sized (3 rows)
         )
-        .orderBy("band")
-    )
+    finally:
+        base.unpersist()
 
 
 def golden_records(

@@ -62,15 +62,24 @@ def bm25_topk(
     b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    toks_df: DataFrame | None = None,
 ) -> DataFrame:
     """Top-``k`` BM25 matches per probe document: (query_id, doc_id,
     n_terms, score, rank). Probe queries are the DISTINCT term sets of
     the ``query_ids`` documents (query-side term frequency ignored — the
     standard short-query convention, applied uniformly); a document
     never matches itself. ``score`` is the display double of the exact
-    fixed-point BIGINT sum; rank ties break to the lower doc id."""
-    base = df.select(
-        F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks")
+    fixed-point BIGINT sum; rank ties break to the lower doc id.
+
+    ``toks_df`` (optional): a pre-tokenized ``(doc_id, toks)`` frame —
+    pass a persisted one when a caller (retrieval_eval) also needs the
+    tokens, so the corpus is tokenized once instead of per consumer."""
+    base = (
+        toks_df
+        if toks_df is not None
+        else df.select(
+            F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks")
+        )
     )
     toks = base.select(
         "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
@@ -267,9 +276,17 @@ def retrieval_eval(
     ideal DCG needs only the per-grade COUNTS (25 rows), never a
     corpus-wide sort — IDCG is reconstructed from prefix sums of the
     discount table over the grade histogram."""
-    from firebase_etl_spark.operators.text import token_set
-
-    toks = df.select(F.col(id_col), token_set(text_col).alias("toks"))
+    # ONE corpus tokenization, persisted: the relevance-truth side
+    # (token sets), the probe term sets, and the BM25 postings all
+    # derive from it — before this the nested bm25_topk and the truth
+    # side each re-tokenized the corpus (documents×4, VERDICT r8 #3)
+    tokenized = df.select(
+        F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks")
+    ).persist()
+    toks = tokenized.select(
+        F.col("doc_id").alias(id_col),
+        F.array_sort(F.array_distinct("toks")).alias("toks"),
+    )
     probes = toks.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col("toks").alias("q_toks")
     )
@@ -289,7 +306,10 @@ def retrieval_eval(
         )
         .localCheckpoint(eager=True)  # probe-count × corpus; 3 consumers
     )
-    run = bm25_topk(df, query_ids, k, text_col=text_col, id_col=id_col)
+    run = bm25_topk(
+        df, query_ids, k, text_col=text_col, id_col=id_col,
+        toks_df=tokenized,
+    )
     hits = run.select("query_id", "doc_id", "rank").join(
         rel, ["query_id", "doc_id"]
     )
@@ -346,7 +366,7 @@ def retrieval_eval(
         F.count(F.lit(1)).alias("n_relevant")
     )
     base = probes.select("query_id")
-    return (
+    out = (
         base.join(n_rel, "query_id", "left")
         .join(ideal, "query_id", "left")
         .join(per_run, "query_id", "left")
@@ -382,6 +402,10 @@ def retrieval_eval(
         )
         .orderBy("query_id")
     )
+    try:
+        return out.localCheckpoint(eager=True)  # probe-count-sized
+    finally:
+        tokenized.unpersist()
 
 
 def phrase_search(

@@ -1629,28 +1629,40 @@ def winsorized_stats(
         F.col(key_col).alias("k"),
     ).filter(F.col("v").isNotNull())
     win = Window.partitionBy("g").orderBy("v", "k")
-    ranked = base.withColumn("r", F.row_number().over(win))
-    cnt = ranked.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
-    ranked = ranked.join(cnt, "g").withColumn(
+    # ONE window sort, persisted: the count table, the cut-value reads
+    # and the clamp pass all consume `ranked` — without the persist each
+    # consumer re-inlined the base scan + sort (orders×4, VERDICT r8
+    # #3). cnt/cuts are group-count-sized → checkpointed + broadcast.
+    ranked = base.withColumn("r", F.row_number().over(win)).persist()
+    cnt = (
+        ranked.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)  # group-count-sized
+    )
+    ranked2 = ranked.join(F.broadcast(cnt), "g").withColumn(
         "r_lo",
         F.greatest(
             F.expr(f"({lo_pct} * n + 99) DIV 100"), F.lit(1)
         ),
     ).withColumn("r_hi", F.expr(f"({hi_pct} * n + 99) DIV 100"))
-    cuts = ranked.groupBy("g").agg(
-        F.max(F.when(F.col("r") == F.col("r_lo"), F.col("v")))
-        .alias("lo_cut"),
-        F.max(F.when(F.col("r") == F.col("r_hi"), F.col("v")))
-        .alias("hi_cut"),
+    cuts = (
+        ranked2.groupBy("g")
+        .agg(
+            F.max(F.when(F.col("r") == F.col("r_lo"), F.col("v")))
+            .alias("lo_cut"),
+            F.max(F.when(F.col("r") == F.col("r_hi"), F.col("v")))
+            .alias("hi_cut"),
+        )
+        .localCheckpoint(eager=True)  # group-count-sized
     )
-    j = ranked.join(cuts, "g").withColumn(
+    j = ranked2.join(F.broadcast(cuts), "g").withColumn(
         "vw",
         F.greatest(F.least(F.col("v"), F.col("hi_cut")), F.col("lo_cut")),
     )
     mean = sdiv_scaled_sql("sv", "n", 1, "DIV")
     meanw = sdiv_scaled_sql("svw", "n", 1, "DIV")
     meant = sdiv_scaled_sql("svt", "nt", 1, "DIV")
-    return (
+    out = (
         j.groupBy("g")
         .agg(
             F.max("n").cast("long").alias("n"),
@@ -1684,6 +1696,10 @@ def winsorized_stats(
         )
         .orderBy(group_col)
     )
+    try:
+        return out.localCheckpoint(eager=True)  # group-count-sized
+    finally:
+        ranked.unpersist()
 
 
 def conformal_interval_report(
@@ -1714,7 +1730,10 @@ def conformal_interval_report(
         F.expr(value_c_expr).alias("v"),
         F.col(key_col).cast("long").alias("k"),
     ).filter(F.col("v").isNotNull())
-    base = base.withColumn("part", (F.col("k") % 3).cast("int"))
+    # ONE projected corpus pass, persisted: the train/calib/test splits
+    # each re-scanned orders before (orders×4, VERDICT r8 #3); tr/qs
+    # stay group-count-sized broadcasts and the output is group-sized.
+    base = base.withColumn("part", (F.col("k") % 3).cast("int")).persist()
     train = base.filter(F.col("part") == 0)
     calib = base.filter(F.col("part") == 1)
     test = base.filter(F.col("part") == 2)
@@ -1734,6 +1753,7 @@ def conformal_interval_report(
                 )
             ).cast("long").alias("pred"),
         )
+        .localCheckpoint(eager=True)  # group-count-sized; 2 consumers
     )
     ca = calib.join(F.broadcast(tr), "g").withColumn(
         "resid", F.abs(F.col("v") - F.col("pred"))
@@ -1754,7 +1774,7 @@ def conformal_interval_report(
         )
     )
     cov = sdiv_scaled_sql("n_cov", "n_test", 1000000, "DIV")
-    return (
+    out = (
         test.join(F.broadcast(tr), "g")
         .join(F.broadcast(qs), "g")
         .groupBy("g")
@@ -1782,6 +1802,10 @@ def conformal_interval_report(
         )
         .orderBy(group_col)
     )
+    try:
+        return out.localCheckpoint(eager=True)  # group-count-sized
+    finally:
+        base.unpersist()
 
 
 def gains_table(
