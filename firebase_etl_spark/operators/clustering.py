@@ -422,7 +422,10 @@ def dbscan_report(
     per = members.groupBy("cluster").agg(
         F.sum("is_core").cast("long").alias("n_core"),
         F.sum(1 - F.col("is_core")).cast("long").alias("n_border"),
-    )
+    ).localCheckpoint(eager=True)
+    # cluster-count-sized, TWO consumers (corpus totals + final select):
+    # without the cut both re-inline the border-attach join chain
+    # (PLAN_AUDIT: 36 exchanges → expect roughly half)
     tot = F.broadcast(
         per.agg(
             F.count(F.lit(1)).cast("long").alias("n_clusters"),

@@ -837,12 +837,20 @@ def modularity_report(
         )
     )
     m_tot = e.agg(F.count(F.lit(1)).cast("long").alias("m_edges"))
-    per = comm.crossJoin(F.broadcast(m_tot)).withColumn(
-        "contrib_num",
-        (
-            F.lit(4) * F.col("m_edges") * F.col("intra_edges")
-            - F.col("degree_sum") * F.col("degree_sum")
-        ).cast("long"),
+    per = (
+        comm.crossJoin(F.broadcast(m_tot))
+        .withColumn(
+            "contrib_num",
+            (
+                F.lit(4) * F.col("m_edges") * F.col("intra_edges")
+                - F.col("degree_sum") * F.col("degree_sum")
+            ).cast("long"),
+        )
+        # community-count-sized, TWO consumers (the global q_num sum and
+        # the final per-community select): without the cut both re-inline
+        # the whole intra/degree join chain (PLAN_AUDIT: 38 exchanges,
+        # SMJ×16 → expect roughly half)
+        .localCheckpoint(eager=True)
     )
     tot = per.agg(
         F.sum("contrib_num").cast("long").alias("q_num"),
