@@ -1328,6 +1328,39 @@ for _k in range(9):
 del _acc, _k
 
 
+def boot_mix_constants(reps: int) -> list[tuple[int, int, int]]:
+    """Per-replicate multiply-shift mixer constants (a1, a2, c) —
+    derived at call time from md5 of the replicate id alone (pure
+    import-style computation, no runtime randomness), baked into BOTH
+    engines' SQL as integer literals. Replicate ``b``'s uniform draw
+    for a row is ``(h1*a1 + h2*a2 + c) mod 2^52`` where (h1, h2) are
+    the two 26-bit halves of ONE md5 draw per row — the
+    Dietzfelbinger-style universal-hash scrambling that lets the
+    bootstrap hash each row once instead of once per replicate (the
+    64-md5-per-row plan was ~2/3 of the query's wall time)."""
+    import hashlib
+
+    out = []
+    for b in range(reps):
+        d = hashlib.md5(f"bootmix|{b}".encode()).hexdigest()
+        a1 = (int(d[0:7], 16) % (1 << 26)) | 1
+        a2 = (int(d[7:14], 16) % (1 << 26)) | 1
+        c = int(d[14:27], 16) % (1 << 52)
+        out.append((a1, a2, c))
+    return out
+
+
+def boot_weight_sql(b: int, a1: int, a2: int, c: int) -> str:
+    """The Poisson(1) inverse-CDF weight of one replicate as a SQL
+    expression over columns ``h1``/``h2`` — textually identical on
+    Spark and DuckDB (integer multiply-add, %, CASE chain)."""
+    u = f"((h1 * {a1} + h2 * {a2} + {c}) % {1 << 52})"
+    return "(" + " + ".join(
+        f"(CASE WHEN {u} >= {t} THEN 1 ELSE 0 END)"
+        for t in _POISSON1_THRESH_E52
+    ) + ")"
+
+
 def poisson_bootstrap_ci(
     df: DataFrame,
     value_cents: str,
@@ -1336,20 +1369,24 @@ def poisson_bootstrap_ci(
 ) -> DataFrame:
     """Poisson-bootstrap 95% CI for a mean — THE distributed bootstrap
     (each row draws an independent Poisson(1) multiplicity per
-    replicate, so no replicate ever needs a global resample: one
-    projection fans each row out to `reps` (b, w, v) triples and one
-    map-side-combinable groupBy(b) finishes the job; Chamandy et al.
-    2012, "Estimating Uncertainty for Massive Data Streams", describe
-    exactly this shape at Google scale).
+    replicate, so no replicate ever needs a global resample; Chamandy
+    et al. 2012, "Estimating Uncertainty for Massive Data Streams",
+    describe exactly this shape at Google scale). ONE corpus pass: the
+    row hashes once, every replicate's weighted sum/count is its own
+    pair of map-side-combinable aggregate columns (no 64× row
+    fan-out — the exploded form spent ~2/3 of its wall on 64 md5+conv
+    per row), and the resulting single wide row unpivots to the
+    reps-sized replicate table.
 
-    DETERMINISM: the multiplicity is the inverse-CDF Poisson(1) draw
-    from the md5 hash of (replicate id, row key) — uniform in
-    [0, 2^52), compared against the module-level integer thresholds
-    (_POISSON1_THRESH_E52, identical literals in the oracle). Replicate
-    means are truncating integer cent divisions; the CI is the 2nd /
-    63rd order statistic of the (default) 64 replicate means (the
-    nearest-rank 2.5% / 97.5% percentile for B=64), ties broken by
-    replicate id.
+    DETERMINISM: each row draws ONE md5 uniform in [0, 2^52) from its
+    key, split into 26-bit halves (h1, h2); replicate ``b`` scrambles
+    them through the baked multiply-mod mixer (boot_mix_constants) and
+    reads the inverse-CDF Poisson(1) weight against the module-level
+    integer thresholds (_POISSON1_THRESH_E52) — identical literals in
+    the oracle. Replicate means are truncating integer cent divisions;
+    the CI is the 2nd / 63rd order statistic of the (default) 64
+    replicate means (the nearest-rank 2.5% / 97.5% percentile for
+    B=64), ties broken by replicate id.
 
     Returns ONE row: (n_rows, point_mean_cents, n_replicates,
     ci_lo_cents, ci_hi_cents, ci_width_cents, boot_min_cents,
@@ -1358,50 +1395,39 @@ def poisson_bootstrap_ci(
         F.col(key_col).cast("string").alias("k"),
         F.expr(value_cents).alias("v"),
     ).filter(F.col("v").isNotNull())
-    w_expr = " + ".join(
-        f"(CASE WHEN u >= {t} THEN 1 ELSE 0 END)"
-        for t in _POISSON1_THRESH_E52
+    hh = base.select(
+        "v",
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("boot|"), F.col("k"))), 1, 13),
+            16,
+            10,
+        ).cast("long").alias("u0"),
+    ).select(
+        "v",
+        F.expr(f"u0 DIV {1 << 26}").alias("h1"),
+        F.expr(f"u0 % {1 << 26}").alias("h2"),
     )
-    rep = (
-        base.select(
-            "k", "v",
-            F.explode(
-                F.sequence(F.lit(0), F.lit(reps - 1))
-            ).alias("b"),
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("v").cast("long").alias("tot"),
+    ]
+    for b, (a1, a2, c) in enumerate(boot_mix_constants(reps)):
+        w = boot_weight_sql(b, a1, a2, c)
+        aggs.append(
+            F.sum(F.expr(f"CAST({w} AS BIGINT) * v")).alias(f"s_{b}")
         )
-        .withColumn(
-            "u",
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.lit("boot|"),
-                            F.col("b").cast("string"),
-                            F.lit("|"),
-                            F.col("k"),
-                        )
-                    ),
-                    1,
-                    13,
-                ),
-                16,
-                10,
-            ).cast("long"),
-        )
-        .withColumn("w", F.expr(w_expr).cast("long"))
+        aggs.append(F.sum(F.expr(w)).cast("long").alias(f"n_{b}"))
+    wide = hh.agg(*aggs).localCheckpoint(eager=True)  # ONE row
+    stack = ", ".join(
+        f"{b}, s_{b}, n_{b}" for b in range(reps)
     )
-    means = (
-        rep.groupBy("b")
-        .agg(
-            F.sum(F.col("w") * F.col("v")).alias("s"),
-            F.sum("w").alias("n"),
-        )
-        .select(
-            "b",
-            F.when(F.col("n") > 0, F.expr("s DIV n"))
-            .otherwise(F.lit(0))
-            .alias("m"),
-        )
+    means = wide.select(
+        F.expr(f"stack({reps}, {stack}) AS (b, s, n)")
+    ).select(
+        "b",
+        F.when(F.col("n") > 0, F.expr("s DIV n"))
+        .otherwise(F.lit(0))
+        .alias("m"),
     )
     lo_rank = max(1, (25 * reps) // 1000 + 1)
     hi_rank = min(reps, (975 * reps) // 1000 + 1)
@@ -1423,10 +1449,7 @@ def poisson_bootstrap_ci(
         F.min("m").alias("bmin"),
         F.max("m").alias("bmax"),
     )
-    point = base.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum("v").alias("tot"),
-    ).select(
+    point = wide.select(
         "n_rows",
         F.when(F.col("n_rows") > 0, F.expr("tot DIV n_rows"))
         .otherwise(F.lit(0))

@@ -7614,45 +7614,63 @@ def _pca_oracle(iters: int = 30) -> str:
 ORACLES_EXT["embedding_pca_top_component"] = _pca_oracle()
 
 
-ORACLES_EXT["orders_bootstrap_ci"] = """
-    WITH base AS (
+def _bootstrap_oracle(reps: int = 64) -> str:
+    """Poisson-bootstrap twin: ONE md5 per row split into 26-bit
+    halves, per-replicate multiply-mod mixer weights as aggregate
+    column pairs (boot_weight_sql — the IDENTICAL integer SQL text the
+    engine compiles), single wide row unpivoted by UNION ALL."""
+    from firebase_etl_spark.operators.stats import (
+        boot_mix_constants,
+        boot_weight_sql,
+    )
+
+    cols = []
+    for b, (a1, a2, c) in enumerate(boot_mix_constants(reps)):
+        w = boot_weight_sql(b, a1, a2, c)
+        cols.append(
+            f"CAST(sum(CAST({w} AS BIGINT) * v) AS BIGINT) AS s_{b},"
+            f" CAST(sum({w}) AS BIGINT) AS n_{b}"
+        )
+    unpivot = " UNION ALL ".join(
+        f"SELECT {b} AS b, CASE WHEN n_{b} > 0"
+        f" THEN s_{b} // n_{b} ELSE 0 END AS m FROM agg"
+        for b in range(reps)
+    )
+    lo_rank = max(1, (25 * reps) // 1000 + 1)
+    hi_rank = min(reps, (975 * reps) // 1000 + 1)
+    return f"""
+    WITH base AS MATERIALIZED (
         SELECT CAST(o_orderkey AS VARCHAR) AS k,
                CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS v
         FROM orders WHERE o_totalprice IS NOT NULL
-    ), rep AS (
-        SELECT k, v, b
-        FROM base, unnest(range(0, 64)) AS t(b)
-    ), hw AS (
-        SELECT b, v,
-               ('0x' || substr(md5('boot|' || b || '|' || k), 1, 13))
-                   ::BIGINT AS u
-        FROM rep
-    ), wt AS (
-        SELECT b, v, (CASE WHEN u >= 1656781714176974 THEN 1 ELSE 0 END) + (CASE WHEN u >= 3313563428353948 THEN 1 ELSE 0 END) + (CASE WHEN u >= 4141954285442435 THEN 1 ELSE 0 END) + (CASE WHEN u >= 4418084571138597 THEN 1 ELSE 0 END) + (CASE WHEN u >= 4487117142562638 THEN 1 ELSE 0 END) + (CASE WHEN u >= 4500923656847446 THEN 1 ELSE 0 END) + (CASE WHEN u >= 4503224742561580 THEN 1 ELSE 0 END) + (CASE WHEN u >= 4503553469092171 THEN 1 ELSE 0 END) + (CASE WHEN u >= 4503594559908495 THEN 1 ELSE 0 END) AS w FROM hw
-    ), means AS (
-        SELECT b,
-               CASE WHEN sum(w) > 0
-                    THEN CAST(sum(w * v) AS HUGEINT)
-                         // CAST(sum(w) AS HUGEINT)
-                    ELSE 0 END AS m
-        FROM wt GROUP BY b
+    ), hh AS MATERIALIZED (
+        SELECT v,
+               ('0x' || substr(md5('boot|' || k), 1, 13))::BIGINT
+                   // {1 << 26} AS h1,
+               ('0x' || substr(md5('boot|' || k), 1, 13))::BIGINT
+                   % {1 << 26} AS h2
+        FROM base
+    ), agg AS MATERIALIZED (
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(v) AS BIGINT) AS tot,
+               {', '.join(cols)}
+        FROM hh
+    ), means AS ({unpivot}
     ), ranked AS (
         SELECT m, row_number() OVER (ORDER BY m, b) AS r FROM means
     ), ci AS (
-        SELECT max(CASE WHEN r = 2 THEN m END) AS lo,
-               max(CASE WHEN r = 63 THEN m END) AS hi,
+        SELECT max(CASE WHEN r = {lo_rank} THEN m END) AS lo,
+               max(CASE WHEN r = {hi_rank} THEN m END) AS hi,
                min(m) AS bmin, max(m) AS bmax
         FROM ranked
     ), pt AS (
-        SELECT CAST(count(*) AS BIGINT) AS n_rows,
-               CASE WHEN count(*) > 0
-                    THEN CAST(sum(v) AS HUGEINT) // count(*)
-                    ELSE 0 END AS pm
-        FROM base
+        SELECT n_rows,
+               CASE WHEN n_rows > 0 THEN tot // n_rows ELSE 0 END AS pm
+        FROM agg
     )
     SELECT pt.n_rows,
            CAST(pt.pm AS BIGINT) AS point_mean_cents,
-           CAST(64 AS BIGINT) AS n_replicates,
+           CAST({reps} AS BIGINT) AS n_replicates,
            CAST(ci.lo AS BIGINT) AS ci_lo_cents,
            CAST(ci.hi AS BIGINT) AS ci_hi_cents,
            CAST(ci.hi - ci.lo AS BIGINT) AS ci_width_cents,
@@ -7660,6 +7678,9 @@ ORACLES_EXT["orders_bootstrap_ci"] = """
            CAST(ci.bmax AS BIGINT) AS boot_max_cents
     FROM pt CROSS JOIN ci
 """
+
+
+ORACLES_EXT["orders_bootstrap_ci"] = _bootstrap_oracle()
 
 
 def _fdr_oracle() -> str:
