@@ -181,8 +181,20 @@ def run_stream_to_memory(
     ckpt = f"{ckpt_root}/spark-stream-ckpt/{name}"
     conf = spark.conf
     old_parts = conf.get("spark.sql.shuffle.partitions")
+    # _await_no_data_batch exits on the FIRST 0-input progress entry
+    # after a data batch. For plans whose append output needs no
+    # watermark flush, that entry is the engine's IDLE progress event,
+    # which defaults to one per 10 s (noDataProgressEventInterval) —
+    # measured as a flat 10.0 s tax on every such bounded drive. A real
+    # flush batch is scheduled immediately after the last data batch
+    # (ProcessingTime(0) trigger), so 1 s of genuine idleness already
+    # proves completion either way.
+    old_idle = conf.get(
+        "spark.sql.streaming.noDataProgressEventInterval", "10000"
+    )
     if state_partitions is not None:
         conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    conf.set("spark.sql.streaming.noDataProgressEventInterval", "1000")
     try:
         q = (
             plan.writeStream.outputMode(output_mode)
@@ -202,6 +214,9 @@ def run_stream_to_memory(
     finally:
         if state_partitions is not None:
             conf.set("spark.sql.shuffle.partitions", old_parts)
+        conf.set(
+            "spark.sql.streaming.noDataProgressEventInterval", old_idle
+        )
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.sql(f"SELECT * FROM {name}")
 
