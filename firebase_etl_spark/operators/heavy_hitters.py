@@ -520,3 +520,152 @@ def capture_recapture_report(
             f"CASE WHEN actual_distinct > 0 THEN {err} END"
         ),
     )
+
+
+# --- portable HyperLogLog ------------------------------------------------
+
+#: HLL geometry: 64 buckets (top 6 bits of the 52-bit md5 draw) and a
+#: 26-bit register domain (low 26 bits), so ranks live in 1..27 and the
+#: scaled inverse-power sum S = sum_b 2^(27 - M_b) stays under 2^33 —
+#: every estimator intermediate is a BIGINT on both engines. 26-bit
+#: registers saturate around ~10^7 distincts per bucket; the operator
+#: publishes the exact count beside the estimate (the KMV verification
+#: convention), and a 100 TB deployment would widen the register domain
+#: (the same CASE-chain rho, more branches).
+HLL_M = 64
+HLL_REG_BITS = 26
+HLL_RHO_MAX = HLL_REG_BITS + 1
+#: alpha_64 = 0.709 (Flajolet et al. 2007, Fig. 3) at e6, folded with
+#: m^2 * 2^27 into one numerator literal: est_raw = NUM DIV (1e6 * S).
+HLL_ALPHA_E6 = 709000
+HLL_EST_NUM = HLL_ALPHA_E6 * HLL_M * HLL_M * (1 << HLL_RHO_MAX)
+#: small-range cutoff 5m/2 below which linear counting replaces the raw
+#: estimate whenever empty buckets remain (same paper, §4)
+HLL_SMALL_RANGE = (5 * HLL_M) // 2
+
+
+def hll_rho_sql(v: str) -> str:
+    """rank-of-first-one-bit of a 26-bit value as a pure CASE chain —
+    rho = 27 - floor(log2(v)) - ... i.e. 27 - bitlen(v), with the
+    all-zero word taking the conventional max rank 27. Textually
+    identical SQL on Spark and DuckDB (integer comparisons only)."""
+    bitlen = "CASE " + " ".join(
+        f"WHEN ({v}) >= {1 << (b - 1)} THEN {b}"
+        for b in range(HLL_REG_BITS, 0, -1)
+    ) + " ELSE 0 END"
+    return f"({HLL_RHO_MAX} - ({bitlen}))"
+
+
+def hll_report(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Portable HyperLogLog distinct-count report per key (Flajolet,
+    Fusy, Gandouet & Meunier 2007) — the constant-size companion to the
+    KMV bottom-k sketch: 64 max-rank registers per key instead of k
+    hashes, mergeable by element-wise MAX (which also makes it the
+    batching-invariant state of the streaming twin).
+
+    Engine-portable end to end: the register ranks are integer CASE
+    chains over md5 bits (hll_rho_sql), the raw estimate is ONE integer
+    division (HLL_EST_NUM DIV (1e6 * S)), and the small-range linear-
+    counting branch m*ln(m/V) runs through the portable ln with its e6
+    quantization — the DuckDB oracle rebuilds the identical registers
+    and hash-checks the estimates, not bounds them.
+
+    Scale shape: one distinct-projection of the corpus, one
+    (key, bucket) max aggregate (map-side combinable), then all
+    estimator arithmetic on <= 64 rows per key. The exact distinct
+    column is the verification harness; at 100 TB you would keep only
+    the register path. Returns per key: (g, n_exact, n_empty_buckets,
+    inv_power_sum, est_raw, est_distinct, err_e6)."""
+    from firebase_etl_spark.functions.portable_math import (
+        sdiv_scaled_sql,
+    )
+
+    d = (
+        df.filter(F.col(key_col).isNotNull() & F.col(id_col).isNotNull())
+        .select(
+            F.col(key_col).alias("g"),
+            F.col(id_col).cast("string").alias("u"),
+        )
+        .distinct()
+    )
+    hashed = d.select(
+        "g",
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("hll|"), F.col("u"))), 1, 13),
+            16,
+            10,
+        ).cast("long").alias("h"),
+    ).select(
+        "g",
+        F.expr(f"h DIV {1 << (52 - 6)}").alias("b"),
+        F.expr(hll_rho_sql(f"h % {1 << HLL_REG_BITS}")).alias("rho"),
+    )
+    regs = hashed.groupBy("g", "b").agg(F.max("rho").alias("m_b"))
+    per_g = regs.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_present"),
+        F.sum(F.expr(f"CAST(1 AS BIGINT) << ({HLL_RHO_MAX} - m_b)"))
+        .cast("long")
+        .alias("s_present"),
+    )
+    exact = d.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    base = per_g.join(exact, "g").select(
+        "g",
+        "n_exact",
+        (F.lit(HLL_M) - F.col("n_present")).cast("long").alias("v_empty"),
+        (
+            F.col("s_present")
+            + (F.lit(HLL_M) - F.col("n_present"))
+            * F.lit(1 << HLL_RHO_MAX)
+        ).cast("long").alias("inv_power_sum"),
+    )
+    err = sdiv_scaled_sql(
+        "abs(est_distinct - n_exact)", "n_exact", 1000000, "DIV"
+    )
+    return (
+        hll_finalize(base)
+        .select(
+            "g", "n_exact", "v_empty", "inv_power_sum", "est_raw",
+            "est_distinct",
+        )
+        .withColumn(
+            "err_e6",
+            F.expr(f"CASE WHEN n_exact > 0 THEN {err} END"),
+        )
+        .orderBy("g")
+    )
+
+
+def hll_finalize(base: DataFrame) -> DataFrame:
+    """Append ``est_raw`` / ``est_distinct`` to a frame carrying
+    ``v_empty`` and ``inv_power_sum`` — the estimator tail shared by
+    the batch report and the streaming twin's final emission (the
+    sketch state travels as those two integers; the estimate applies
+    ENGINE-side so zero Python float ops touch the hashed row)."""
+    from firebase_etl_spark.functions.portable_math import (
+        fixed_e6_expr,
+        with_ln,
+    )
+
+    out = base.withColumn(
+        "est_raw",
+        F.expr(
+            f"CAST({HLL_EST_NUM} AS BIGINT)"
+            " DIV (1000000 * inv_power_sum)"
+        ),
+    )
+    # linear counting: m * ln(m / V) via the portable ln (both args
+    # integers); V = 0 never reaches the branch
+    out = with_ln(out, str(HLL_M), "__ln_m")
+    out = with_ln(out, "CASE WHEN v_empty > 0 THEN v_empty ELSE 1 END",
+                  "__ln_v")
+    lin_e6 = fixed_e6_expr("__ln_m - __ln_v")
+    est_final = (
+        f"CASE WHEN est_raw <= {HLL_SMALL_RANGE} AND v_empty > 0"
+        f" THEN (CAST({HLL_M} AS BIGINT) * ({lin_e6})) DIV 1000000"
+        " ELSE est_raw END"
+    )
+    return out.withColumn("est_distinct", F.expr(est_final))

@@ -8943,3 +8943,154 @@ ORACLES_EXT["events_dau_mau_stickiness"] = """
                AS stickiness_e6
     FROM per_m JOIN mau USING (month) ORDER BY month
 """
+
+
+def _hll_oracle() -> str:
+    """HLL twin: rebuilds the IDENTICAL 64 registers (same md5 bits,
+    same CASE-chain rho from heavy_hitters.hll_rho_sql), the same
+    one-division raw estimate, and the same portable-ln linear-counting
+    branch — every literal imported from the operator module so the two
+    engines cannot drift."""
+    from firebase_etl_spark.functions.portable_math import (
+        fixed_e6_expr,
+        ln_select_sql,
+        sdiv_scaled_sql,
+    )
+    from firebase_etl_spark.operators.heavy_hitters import (
+        HLL_EST_NUM,
+        HLL_M,
+        HLL_REG_BITS,
+        HLL_RHO_MAX,
+        HLL_SMALL_RANGE,
+        hll_rho_sql,
+    )
+
+    rho = hll_rho_sql(f"(h % {1 << HLL_REG_BITS})")
+    chain = ln_select_sql(
+        "SELECT * FROM base2",
+        [
+            (str(HLL_M), "__ln_m"),
+            ("CASE WHEN v_empty > 0 THEN v_empty ELSE 1 END", "__ln_v"),
+        ],
+    )
+    lin_e6 = fixed_e6_expr("__ln_m - __ln_v")
+    err = sdiv_scaled_sql(
+        "abs(est_distinct - n_exact)", "n_exact", 1000000, "//"
+    )
+    return f"""
+    WITH d AS MATERIALIZED (
+        SELECT DISTINCT event_type AS g, CAST(user_id AS VARCHAR) AS u
+        FROM events
+        WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+    ), hashed AS (
+        SELECT g, ('0x' || substr(md5('hll|' || u), 1, 13))::BIGINT AS h
+        FROM d
+    ), br AS (
+        SELECT g, h // {1 << (52 - 6)} AS b, {rho} AS rho FROM hashed
+    ), regs AS (
+        SELECT g, b, max(rho) AS m_b FROM br GROUP BY g, b
+    ), per_g AS (
+        SELECT g, CAST(count(*) AS BIGINT) AS n_present,
+               CAST(sum(CAST(1 AS BIGINT) << ({HLL_RHO_MAX} - m_b))
+                   AS BIGINT) AS s_present
+        FROM regs GROUP BY g
+    ), exact AS (
+        SELECT g, CAST(count(*) AS BIGINT) AS n_exact FROM d GROUP BY g
+    ), base AS (
+        SELECT per_g.g AS g, n_exact,
+               CAST({HLL_M} - n_present AS BIGINT) AS v_empty,
+               CAST(s_present
+                    + ({HLL_M} - n_present) * {1 << HLL_RHO_MAX}
+                   AS BIGINT) AS inv_power_sum
+        FROM per_g JOIN exact ON per_g.g = exact.g
+    ), base2 AS (
+        SELECT *, CAST({HLL_EST_NUM} AS BIGINT)
+                  // (1000000 * inv_power_sum) AS est_raw
+        FROM base
+    ), est AS (
+        SELECT g, n_exact, v_empty, inv_power_sum, est_raw,
+               CASE WHEN est_raw <= {HLL_SMALL_RANGE} AND v_empty > 0
+                    THEN (CAST({HLL_M} AS BIGINT) * ({lin_e6}))
+                         // 1000000
+                    ELSE est_raw END AS est_distinct
+        FROM ({chain})
+    )
+    SELECT g, n_exact, v_empty, inv_power_sum, est_raw, est_distinct,
+           CASE WHEN n_exact > 0 THEN {err} END AS err_e6
+    FROM est
+    ORDER BY g
+"""
+
+
+ORACLES_EXT["events_hll_distinct_users"] = _hll_oracle()
+
+
+def _stream_hll_oracle() -> str:
+    """Streaming-HLL twin: registers are element-wise maxima — a pure
+    function of the input SET — so the batch replay (same md5 bits,
+    same rho chain, same estimator literals) bit-equals the stream's
+    final emission; n_seen is the plain filtered row count."""
+    from firebase_etl_spark.functions.portable_math import (
+        fixed_e6_expr,
+        ln_select_sql,
+    )
+    from firebase_etl_spark.operators.heavy_hitters import (
+        HLL_EST_NUM,
+        HLL_M,
+        HLL_REG_BITS,
+        HLL_RHO_MAX,
+        HLL_SMALL_RANGE,
+        hll_rho_sql,
+    )
+
+    rho = hll_rho_sql(f"(h % {1 << HLL_REG_BITS})")
+    chain = ln_select_sql(
+        "SELECT * FROM base2",
+        [
+            (str(HLL_M), "__ln_m"),
+            ("CASE WHEN v_empty > 0 THEN v_empty ELSE 1 END", "__ln_v"),
+        ],
+    )
+    lin_e6 = fixed_e6_expr("__ln_m - __ln_v")
+    return f"""
+    WITH src AS MATERIALIZED (
+        SELECT event_type AS g, CAST(user_id AS VARCHAR) AS u
+        FROM events
+        WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+    ), seen AS (
+        SELECT g, CAST(count(*) AS BIGINT) AS n_seen FROM src GROUP BY g
+    ), hashed AS (
+        SELECT DISTINCT g,
+               ('0x' || substr(md5('hll|' || u), 1, 13))::BIGINT AS h
+        FROM src
+    ), br AS (
+        SELECT g, h // {1 << (52 - 6)} AS b, {rho} AS rho FROM hashed
+    ), regs AS (
+        SELECT g, b, max(rho) AS m_b FROM br GROUP BY g, b
+    ), per_g AS (
+        SELECT g, CAST(count(*) AS BIGINT) AS n_present,
+               CAST(sum(CAST(1 AS BIGINT) << ({HLL_RHO_MAX} - m_b))
+                   AS BIGINT) AS s_present
+        FROM regs GROUP BY g
+    ), base AS (
+        SELECT per_g.g AS g, n_seen,
+               CAST({HLL_M} - n_present AS BIGINT) AS v_empty,
+               CAST(s_present
+                    + ({HLL_M} - n_present) * {1 << HLL_RHO_MAX}
+                   AS BIGINT) AS inv_power_sum
+        FROM per_g JOIN seen ON per_g.g = seen.g
+    ), base2 AS (
+        SELECT *, CAST({HLL_EST_NUM} AS BIGINT)
+                  // (1000000 * inv_power_sum) AS est_raw
+        FROM base
+    )
+    SELECT g, n_seen, v_empty, inv_power_sum, est_raw,
+           CASE WHEN est_raw <= {HLL_SMALL_RANGE} AND v_empty > 0
+                THEN (CAST({HLL_M} AS BIGINT) * ({lin_e6})) // 1000000
+                ELSE est_raw END AS est_distinct
+    FROM ({chain})
+    ORDER BY g
+"""
+
+
+ORACLES_EXT["stream_hll_distinct_users"] = _stream_hll_oracle()

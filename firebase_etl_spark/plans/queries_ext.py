@@ -7070,3 +7070,72 @@ def events_dau_mau_stickiness(
 
     e = load_table(spark, "events", sf_dir)
     return dau_mau_stickiness(e)
+
+
+def events_hll_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Portable HyperLogLog distinct-user estimate per event type
+    (operators/heavy_hitters.py:hll_report): 64 max-rank registers per
+    key — constant size where the KMV sketch keeps k hashes, mergeable
+    by element-wise MAX. All-integer estimator (CASE-chain bit ranks,
+    one BIGINT division, portable-ln linear-counting branch); the
+    exact distinct count rides along as the verification column, so
+    the oracle hash-checks the estimate rather than bounding it."""
+    from firebase_etl_spark.operators.heavy_hitters import hll_report
+
+    e = load_table(spark, "events", sf_dir)
+    return hll_report(e, "event_type", "user_id")
+
+
+def stream_hll_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin #13 — stateful HyperLogLog distinct-user sketch
+    per event type (streaming/events.py:streaming_hll_distinct):
+    constant 64-register state per key where the KMV twin keeps k
+    hashes. Registers merge by MAX (batching-invariant), so the final
+    emission's integer sketch summary bit-equals the batch sketch the
+    oracle replays; the estimate applies ENGINE-side on the final
+    emission through the same portable estimator the batch report
+    compiles (heavy_hitters.hll_finalize)."""
+    import uuid as _uuid
+
+    from firebase_etl_spark.operators.heavy_hitters import hll_finalize
+    from firebase_etl_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+        streaming_hll_distinct,
+    )
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    name = f"hll_{_uuid.uuid4().hex[:8]}"
+    inc = run_stream_to_memory(
+        spark,
+        streaming_hll_distinct(stream),
+        name,
+        output_mode="append",
+    )
+    final = (
+        inc.groupBy("g")
+        .agg(
+            F.max("n_seen").alias("n_seen"),
+            F.max_by(
+                F.struct("v_empty", "inv_power_sum"), F.col("n_seen")
+            ).alias("f"),
+        )
+        .select(
+            "g",
+            "n_seen",
+            F.col("f.v_empty").alias("v_empty"),
+            F.col("f.inv_power_sum").alias("inv_power_sum"),
+        )
+    )
+    return (
+        hll_finalize(final)
+        .select(
+            "g", "n_seen", "v_empty", "inv_power_sum", "est_raw",
+            "est_distinct",
+        )
+        .orderBy("g")
+    )

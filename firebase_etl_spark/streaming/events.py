@@ -744,3 +744,99 @@ def streaming_ab_monitor(events: DataFrame):
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_hll_distinct(
+    events: DataFrame, key: str = "event_type"
+):
+    """Stateful HyperLogLog DISTINCT sketch per key
+    (applyInPandasWithState) — the streaming twin of the batch
+    heavy_hitters.hll_report: per-key state is the 64 max-rank
+    registers (mergeable by element-wise MAX — order- and
+    batching-insensitive, the same property that makes the KMV minima
+    checkable), constant 64 BIGINTs against KMV's k hashes.
+
+    The bucket/rank projection runs ENGINE-side before the stateful
+    operator (the identical md5-bit CASE chain the batch operator and
+    the oracle compile); the update folds maxima and emits the
+    integer sketch summary (n_seen, v_empty, inv_power_sum) — the
+    ESTIMATE applies engine-side in the query wrapper via
+    hll_finalize, so no Python float touches the hashed row."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from firebase_etl_spark.operators.heavy_hitters import (
+        HLL_M,
+        HLL_REG_BITS,
+        HLL_RHO_MAX,
+        hll_rho_sql,
+    )
+
+    out_schema = "g string, n_seen long, v_empty long, inv_power_sum long"
+    state_schema = "regs array<long>, n_seen long"
+
+    def update(key_tuple, pdfs, state: GroupState):
+        if state.exists:
+            prior_regs, prior_seen = state.get
+            regs = list(prior_regs)
+            seen = int(prior_seen)
+        else:
+            regs, seen = [0] * HLL_M, 0
+        added = 0
+        for pdf in pdfs:
+            for b, rho in zip(pdf["b"], pdf["rho"]):
+                b, rho = int(b), int(rho)
+                if rho > regs[b]:
+                    regs[b] = rho
+                added += 1
+        if not added:
+            return
+        seen += added
+        state.update((regs, seen))
+        v_empty = sum(1 for m in regs if m == 0)
+        inv_power_sum = sum(1 << (HLL_RHO_MAX - m) for m in regs)
+        yield pd.DataFrame(
+            {
+                "g": [str(key_tuple[0])],
+                "n_seen": [seen],
+                "v_empty": [v_empty],
+                "inv_power_sum": [inv_power_sum],
+            }
+        )
+
+    hashed = (
+        events.filter(
+            F.col(key).isNotNull() & F.col("user_id").isNotNull()
+        )
+        .select(
+            F.col(key).alias("g"),
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("hll|"), F.col("user_id").cast("string")
+                        )
+                    ),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+        )
+        .select(
+            "g",
+            F.expr(f"h DIV {1 << (52 - 6)}").alias("b"),
+            F.expr(hll_rho_sql(f"h % {1 << HLL_REG_BITS}")).alias("rho"),
+        )
+    )
+    return hashed.groupBy("g").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

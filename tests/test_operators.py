@@ -4016,3 +4016,82 @@ def test_dau_mau_stickiness_hand_case(spark):
     assert jan["avg_dau_e2"] == 150
     assert jan["stickiness_e6"] == 750000
     assert out["2024-02"]["stickiness_e6"] == 1000000
+
+
+def test_hll_rho_rank_of_first_one_bit(spark):
+    from firebase_etl_spark.operators.heavy_hitters import (
+        HLL_RHO_MAX,
+        hll_rho_sql,
+    )
+    from pyspark.sql import functions as F
+
+    cases = [(0, 27), (1, 26), (2, 25), (3, 25), (1 << 25, 1),
+             ((1 << 26) - 1, 1), (1 << 12, 14)]
+    df = spark.createDataFrame([(v,) for v, _ in cases], "v long")
+    got = {
+        r["v"]: r["rho"]
+        for r in df.select(
+            "v", F.expr(hll_rho_sql("v")).alias("rho")
+        ).collect()
+    }
+    for v, want in cases:
+        assert got[v] == want, (v, got[v], want)
+    assert HLL_RHO_MAX == 27
+
+
+def test_hll_report_accuracy_and_register_math(spark):
+    from firebase_etl_spark.operators.heavy_hitters import (
+        HLL_M,
+        hll_report,
+    )
+
+    # 500 distinct ids in one key, with every id duplicated (the
+    # distinct projection must collapse them before hashing)
+    rows = [("a", i % 500) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k string, u long")
+    r = hll_report(df, "k", "u").collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row["n_exact"] == 500
+    # registers partition correctly: empty + present = m, and the
+    # inverse-power sum is bounded by the all-empty value
+    assert 0 <= row["v_empty"] < HLL_M
+    assert row["inv_power_sum"] <= HLL_M * (1 << 27)
+    # m=64 standard error is ~1.04/8 = 13%; allow 3 sigma
+    assert abs(row["est_distinct"] - 500) <= 500 * 0.40
+    assert row["err_e6"] == abs(row["est_distinct"] - 500) * 1000000 // 500
+
+
+def test_hll_finalize_matches_report_estimates(spark):
+    """The streaming twin's engine-side estimator (hll_finalize over
+    the two integer state columns) must agree with the batch report on
+    the same registers."""
+    from pyspark.sql import functions as F
+
+    from firebase_etl_spark.operators.heavy_hitters import (
+        hll_finalize,
+        hll_report,
+    )
+
+    rows = [("x", i) for i in range(300)] + [("y", i) for i in range(7)]
+    df = spark.createDataFrame(rows, "k string, u long")
+    rep = {r["g"]: r for r in hll_report(df, "k", "u").collect()}
+    base = df.sparkSession.createDataFrame(
+        [
+            (g, rep[g]["v_empty"], rep[g]["inv_power_sum"])
+            for g in rep
+        ],
+        "g string, v_empty long, inv_power_sum long",
+    )
+    fin = {
+        r["g"]: r
+        for r in hll_finalize(base)
+        .select("g", "est_raw", "est_distinct")
+        .collect()
+    }
+    for g in rep:
+        assert fin[g]["est_raw"] == rep[g]["est_raw"]
+        assert fin[g]["est_distinct"] == rep[g]["est_distinct"]
+    # the 7-distinct key must take the linear-counting branch and land
+    # near-exact (small-range regime)
+    assert abs(fin["y"]["est_distinct"] - 7) <= 2
