@@ -514,23 +514,37 @@ ORACLES_EXT["doc_minhash_near_dups"] = r"""
 
 # lossless prefix filter == exact brute force (3-gram shingles)
 ORACLES_EXT["doc_prefix_filter_near_dups"] = r"""
-    WITH toks AS (
+    -- postings-join form of the brute all-pairs Jaccard: only pairs
+    -- sharing at least one shingle are enumerated (c >= 1; a pair with
+    -- c = 0 cannot reach the 0.5 threshold), and |A u B| = la + lb - c
+    -- gives the IDENTICAL integer ratio the list_intersect form
+    -- computed. The original O(n^2) list-intersect join hung the sf0.1
+    -- round-semantics audit (>20 min); this replays in seconds.
+    WITH toks AS MATERIALIZED (
         SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
         FROM documents
-    ), sh AS (
+    ), sh AS MATERIALIZED (
         SELECT doc_id,
                list_distinct(list_transform(range(1, len(tk) - 1),
                    i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS sh
         FROM toks WHERE len(tk) >= 3
+    ), lens AS MATERIALIZED (
+        SELECT doc_id, len(sh) AS l FROM sh
+    ), post AS MATERIALIZED (
+        SELECT doc_id, unnest(sh) AS s FROM sh
+    ), pairs AS MATERIALIZED (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(count(*) AS BIGINT) AS c
+        FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
     )
     SELECT id_a, id_b, jaccard FROM (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               round(len(list_intersect(a.sh, b.sh)) * 1.0
-                     / nullif(len(list_distinct(list_concat(a.sh, b.sh))), 0),
-                     6) AS jaccard
-        FROM sh a JOIN sh b
-          ON a.doc_id < b.doc_id
-         AND len(a.sh) * 2 >= len(b.sh) AND len(b.sh) * 2 >= len(a.sh)
+        SELECT id_a, id_b,
+               round(c * 1.0 / nullif(la.l + lb.l - c, 0), 6) AS jaccard
+        FROM pairs
+        JOIN lens la ON la.doc_id = id_a
+        JOIN lens lb ON lb.doc_id = id_b
+        WHERE la.l * 2 >= lb.l AND lb.l * 2 >= la.l
     ) WHERE jaccard >= 0.5
 """
 
