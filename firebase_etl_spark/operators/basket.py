@@ -251,3 +251,109 @@ def item_similarity(
         .filter(F.col("rank") <= k)
         .orderBy("item", "rank")
     )
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    min_confidence_e6: int = 100_000,
+    top: int = 30,
+) -> DataFrame:
+    """Directed association rules over the frequent-pair lattice
+    (Agrawal & Srikant 1994, restricted to 2-itemsets — the rule depth
+    co-purchase recommenders actually deploy): every frequent pair
+    {a, b} yields the rules a=>b and b=>a with
+    confidence(a=>b) = P(b | a) = pair_count / count(a) and the shared
+    symmetric lift = P(a,b) / (P(a) P(b)). ``frequent_pairs`` ranks the
+    pairs; this is the DECISION layer — which direction of the
+    co-occurrence is actually predictive (confidence is asymmetric:
+    the niche accessory implies the popular base unit, rarely the
+    reverse).
+
+    All-integer: confidence and lift quantize at e6 via truncating
+    division (Spark DIV == DuckDB // on positive operands), no doubles
+    anywhere. Overflow bound: lift's numerator pair_count * n_baskets
+    * 1e6 needs pair_count * n_baskets < 9.2e12 — a 100 TB basket
+    corpus prunes by min support long before that (the modularity
+    documented-bound convention).
+
+    Scale shape: identical to frequent_pairs (a-priori prune, one
+    basket self-join, map-side-combinable counts); the rule fan-out is
+    2 rows per surviving pair. Returns top rules by (confidence_e6
+    DESC, antecedent, consequent): (antecedent, consequent, pair_count,
+    n_antecedent, n_consequent, n_baskets, confidence_e6, lift_e6)."""
+    b = (
+        df.select(
+            F.col(basket_col).alias("bk"), F.col(item_col).alias("it")
+        )
+        .filter(F.col(basket_col).isNotNull() & F.col(item_col).isNotNull())
+        .distinct()
+    )
+    b = b.persist()
+    try:
+        n_b = b.select(F.countDistinct("bk").alias("n_baskets"))
+        item_cnt = b.groupBy("it").agg(F.count(F.lit(1)).alias("ic"))
+        freq = item_cnt.filter(F.col("ic") >= min_support)
+        bf = b.join(freq.select("it"), "it", "left_semi")
+        pairs = (
+            bf.alias("a")
+            .join(
+                bf.alias("z"),
+                (F.col("a.bk") == F.col("z.bk"))
+                & (F.col("a.it") < F.col("z.it")),
+            )
+            .select(
+                F.col("a.it").alias("p1"),
+                F.col("z.it").alias("p2"),
+            )
+            .groupBy("p1", "p2")
+            .agg(F.count(F.lit(1)).cast("long").alias("pair_count"))
+            .filter(F.col("pair_count") >= min_support)
+        )
+        sided = (
+            pairs.join(
+                freq.select(F.col("it").alias("p1"), F.col("ic").alias("c1")),
+                "p1",
+            )
+            .join(
+                freq.select(F.col("it").alias("p2"), F.col("ic").alias("c2")),
+                "p2",
+            )
+            .crossJoin(F.broadcast(n_b))
+        )
+        rules = sided.selectExpr(
+            "p1 AS antecedent", "p2 AS consequent", "pair_count",
+            "CAST(c1 AS BIGINT) AS n_antecedent",
+            "CAST(c2 AS BIGINT) AS n_consequent",
+            "CAST(n_baskets AS BIGINT) AS n_baskets",
+        ).unionByName(
+            sided.selectExpr(
+                "p2 AS antecedent", "p1 AS consequent", "pair_count",
+                "CAST(c2 AS BIGINT) AS n_antecedent",
+                "CAST(c1 AS BIGINT) AS n_consequent",
+                "CAST(n_baskets AS BIGINT) AS n_baskets",
+            )
+        )
+        return (
+            rules.withColumn(
+                "confidence_e6",
+                F.expr("(pair_count * 1000000) DIV n_antecedent"),
+            )
+            .withColumn(
+                "lift_e6",
+                F.expr(
+                    "(pair_count * n_baskets * 1000000)"
+                    " DIV (n_antecedent * n_consequent)"
+                ),
+            )
+            .filter(F.col("confidence_e6") >= min_confidence_e6)
+            .orderBy(
+                F.desc("confidence_e6"), "antecedent", "consequent"
+            )
+            .limit(top)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        b.unpersist()

@@ -590,3 +590,76 @@ def ql_topk(
         )
         .orderBy("query_id", "rank")
     )
+
+
+def hard_negatives(
+    df: DataFrame,
+    query_ids: list[int],
+    k_pool: int = 50,
+    n_neg: int = 5,
+    rel_threshold: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (the
+    dense-retrieval curation step of Karpukhin et al. 2020 / Xiong et
+    al. 2021: negatives that the lexical retriever RANKS HIGH but the
+    ground truth rejects train far better than random negatives): per
+    probe query, take the BM25 top-``k_pool`` candidate pool, label
+    each candidate with the deterministic token-set-Jaccard relevance
+    (the retrieval_eval bands), keep the candidates BELOW the binary-
+    relevance cut ``rel_threshold`` (default 2 — the same cut
+    retrieval_eval's n_relevant/recall use) in retriever order, and
+    emit the first ``n_neg`` as that query's hard negatives. The
+    emitted ``rel`` column keeps the miner honest: a negative at
+    rel = 3 under a strict cut is visibly different training signal
+    than one at rel = 0.
+
+    Scale shape: the candidate pool bounds all labeling work at
+    |probes| x k_pool rows — the corpus is touched only by the BM25 run
+    (one tokenization, shared with the label side via the persisted
+    toks frame). Returns (query_id, doc_id, bm25_rank, score,
+    neg_rank) ordered by (query_id, neg_rank)."""
+    tokenized = df.select(
+        F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks")
+    ).persist()
+    run = bm25_topk(
+        df, query_ids, k_pool, text_col=text_col, id_col=id_col,
+        toks_df=tokenized,
+    )
+    tsets = tokenized.select(
+        "doc_id", F.array_sort(F.array_distinct("toks")).alias("tset")
+    )
+    probes = tsets.filter(F.col("doc_id").isin(query_ids)).select(
+        F.col("doc_id").alias("query_id"), F.col("tset").alias("q_toks")
+    )
+    jac = F.round(
+        F.size(F.array_intersect("tset", "q_toks"))
+        / F.size(F.array_union("tset", "q_toks")),
+        6,
+    )
+    cand = (
+        run.join(tsets, "doc_id")
+        .join(F.broadcast(probes), "query_id")
+        .withColumn("__j", jac)
+        .withColumn("rel", F.expr(_rel_case("__j")).cast("int"))
+    )
+    w = Window.partitionBy("query_id").orderBy("rank")
+    out = (
+        cand.filter(F.col("rel") < rel_threshold)
+        .withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= n_neg)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("rank").alias("bm25_rank"),
+            "score",
+            "rel",
+            "neg_rank",
+        )
+        .orderBy("query_id", "neg_rank")
+    )
+    try:
+        return out.localCheckpoint(eager=True)  # probes x n_neg rows
+    finally:
+        tokenized.unpersist()

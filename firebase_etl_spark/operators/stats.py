@@ -2851,3 +2851,64 @@ def with_global_rank(df, order_cols, out: str = "r") -> DataFrame:
         .withColumn(out, F.col("__off") + F.col("__lr"))
         .drop("__pid", "__lr", "__off")
     )
+
+
+#: chi-square 95th percentile at 1 dof, e6 — the SRM alarm threshold as
+#: a shared integer literal (the BH_CRIT/NDCG hardcoded-quantile
+#: convention: no runtime inverse CDF on either engine)
+SRM_CHI2_CRIT_E6 = 3_841_459
+
+
+def srm_check(
+    df: DataFrame,
+    group_col: str,
+    unit_col: str,
+) -> DataFrame:
+    """Sample-ratio-mismatch health check per experiment group — the
+    FIRST gate any A/B read-out must pass (Fabijan et al. 2019,
+    "Diagnosing Sample Ratio Mismatch"): if the 50/50 unit split the
+    deterministic arm hash promises is violated, every downstream
+    metric comparison is invalid regardless of its p-value. The chi
+    square statistic for an even two-arm split reduces to
+    (n0 - n1)^2 / (n0 + n1) — exact integers end to end, compared at
+    e6 against the hardcoded 95% critical value.
+
+    Unit = DISTINCT unit_col (assignment is per user, so event-count
+    imbalance must not masquerade as assignment imbalance); arm =
+    unit % 2, the same derivation the CUPED/FDR/variant queries use.
+
+    Scale shape: one distinct projection + one aggregate per group.
+    Returns per group: (group_key, n_arm0, n_arm1, n_units, chi2_e6,
+    srm_detected), ordered by group_key."""
+    d = (
+        df.filter(
+            F.col(group_col).isNotNull() & F.col(unit_col).isNotNull()
+        )
+        .select(
+            F.col(group_col).alias("g"),
+            F.col(unit_col).cast("long").alias("u"),
+        )
+        .distinct()
+    )
+    agg = d.groupBy("g").agg(
+        F.sum((F.col("u") % 2 == 0).cast("long")).alias("n_arm0"),
+        F.sum((F.col("u") % 2 == 1).cast("long")).alias("n_arm1"),
+    )
+    return (
+        agg.select(
+            F.col("g").alias("group_key"),
+            "n_arm0",
+            "n_arm1",
+            (F.col("n_arm0") + F.col("n_arm1")).alias("n_units"),
+            F.expr(
+                "CASE WHEN n_arm0 + n_arm1 > 0 THEN"
+                " ((n_arm0 - n_arm1) * (n_arm0 - n_arm1) * 1000000)"
+                " DIV (n_arm0 + n_arm1) ELSE 0 END"
+            ).alias("chi2_e6"),
+        )
+        .withColumn(
+            "srm_detected",
+            F.col("chi2_e6") > F.lit(SRM_CHI2_CRIT_E6),
+        )
+        .orderBy("group_key")
+    )

@@ -3038,7 +3038,7 @@ ORACLES_EXT["orders_sqlstore_partitioned_scan"] = """
 """
 
 
-def _bm25_oracle() -> str:
+def _bm25_oracle(k: int = 10) -> str:
     """BM25 twin over the PORTABLE libm-free ln: the RSJ idf
     decomposes to ln(2N+2) - ln(2df+1), both integer-argument, so the
     per-(query, doc, term) contribution quantizes the identical double
@@ -3095,7 +3095,7 @@ def _bm25_oracle() -> str:
         SELECT *, row_number() OVER (
             PARTITION BY query_id ORDER BY score_e6 DESC, doc_id
         ) AS rank FROM pair
-    ) WHERE rank <= 10
+    ) WHERE rank <= {k}
 """
 
 
@@ -9108,3 +9108,126 @@ def _stream_hll_oracle() -> str:
 
 
 ORACLES_EXT["stream_hll_distinct_users"] = _stream_hll_oracle()
+
+
+ORACLES_EXT["part_association_rules"] = """
+    WITH b AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+    ), nb AS (
+        SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n_baskets FROM b
+    ), ic AS MATERIALIZED (
+        SELECT it, CAST(count(*) AS BIGINT) AS ic FROM b GROUP BY it
+    ), freq AS MATERIALIZED (
+        SELECT it, ic FROM ic WHERE ic >= 2
+    ), bf AS MATERIALIZED (
+        SELECT b.bk, b.it FROM b JOIN freq ON b.it = freq.it
+    ), pairs AS MATERIALIZED (
+        SELECT a.it AS p1, z.it AS p2, CAST(count(*) AS BIGINT) AS pc
+        FROM bf a JOIN bf z ON a.bk = z.bk AND a.it < z.it
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    ), sided AS (
+        SELECT p1, p2, pc, f1.ic AS c1, f2.ic AS c2, nb.n_baskets
+        FROM pairs
+        JOIN freq f1 ON f1.it = p1
+        JOIN freq f2 ON f2.it = p2
+        CROSS JOIN nb
+    ), rules AS (
+        SELECT p1 AS antecedent, p2 AS consequent, pc AS pair_count,
+               c1 AS n_antecedent, c2 AS n_consequent, n_baskets
+        FROM sided
+        UNION ALL
+        SELECT p2, p1, pc, c2, c1, n_baskets FROM sided
+    )
+    SELECT antecedent, consequent, pair_count, n_antecedent,
+           n_consequent, n_baskets,
+           (pair_count * 1000000) // n_antecedent AS confidence_e6,
+           (pair_count * n_baskets * 1000000)
+               // (n_antecedent * n_consequent) AS lift_e6
+    FROM rules
+    WHERE (pair_count * 1000000) // n_antecedent >= 100000
+    ORDER BY confidence_e6 DESC, antecedent, consequent
+    LIMIT 30
+"""
+
+
+def _srm_oracle() -> str:
+    from firebase_etl_spark.operators.stats import SRM_CHI2_CRIT_E6
+
+    return f"""
+    WITH d AS (
+        SELECT DISTINCT event_type AS g, CAST(user_id AS BIGINT) AS u
+        FROM events
+        WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+    ), agg AS (
+        SELECT g,
+               CAST(sum(CASE WHEN u % 2 = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_arm0,
+               CAST(sum(CASE WHEN u % 2 = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_arm1
+        FROM d GROUP BY g
+    ), s AS (
+        SELECT g AS group_key, n_arm0, n_arm1,
+               n_arm0 + n_arm1 AS n_units,
+               CASE WHEN n_arm0 + n_arm1 > 0 THEN
+                    ((n_arm0 - n_arm1) * (n_arm0 - n_arm1) * 1000000)
+                    // (n_arm0 + n_arm1) ELSE 0 END AS chi2_e6
+        FROM agg
+    )
+    SELECT group_key, n_arm0, n_arm1, n_units, chi2_e6,
+           chi2_e6 > {SRM_CHI2_CRIT_E6} AS srm_detected
+    FROM s ORDER BY group_key
+"""
+
+
+ORACLES_EXT["events_srm_check"] = _srm_oracle()
+
+
+def _hard_negatives_oracle() -> str:
+    """Hard-negatives twin: nests the k=50 BM25 oracle as the candidate
+    pool, labels candidates with the same graded-Jaccard CASE, keeps
+    the below-binary-relevance candidates (rel < 2) in retriever
+    order."""
+    return rf"""
+    WITH bm AS ({_bm25_oracle(k=50)}),
+    tsets AS (
+        SELECT doc_id,
+               list_distinct(regexp_split_to_array(lower(trim(text)),
+                                                   '\s+')) AS toks
+        FROM documents),
+    probes AS (
+        SELECT doc_id AS query_id, toks AS q_toks FROM tsets
+        WHERE doc_id IN (0, 1, 2, 3, 4)),
+    cand AS (
+        SELECT bm.query_id, bm.doc_id, bm.rank, bm.score,
+               CASE WHEN j >= 0.75 THEN 4 WHEN j >= 0.5 THEN 3
+                    WHEN j >= 0.25 THEN 2 WHEN j >= 0.1 THEN 1
+                    ELSE 0 END AS rel
+        FROM (
+            SELECT bm.query_id, bm.doc_id, bm.rank, bm.score,
+                   round(len(list_intersect(t.toks, p.q_toks)) * 1.0
+                         / len(list_distinct(
+                               list_concat(t.toks, p.q_toks))), 6) AS j
+            FROM bm
+            JOIN tsets t ON t.doc_id = bm.doc_id
+            JOIN probes p ON p.query_id = bm.query_id) bm),
+    neg AS (
+        SELECT query_id, doc_id, rank AS bm25_rank, score, rel,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY rank
+               ) AS neg_rank
+        FROM cand WHERE rel < 4)
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(bm25_rank AS BIGINT) AS bm25_rank,
+           score,
+           CAST(rel AS INTEGER) AS rel,
+           CAST(neg_rank AS BIGINT) AS neg_rank
+    FROM neg WHERE neg_rank <= 5
+    ORDER BY query_id, neg_rank
+"""
+
+
+ORACLES_EXT["doc_hard_negatives"] = _hard_negatives_oracle()

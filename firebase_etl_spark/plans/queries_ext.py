@@ -7139,3 +7139,55 @@ def stream_hll_distinct_users(
         )
         .orderBy("g")
     )
+
+
+def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed association rules over the co-purchase baskets
+    (operators/basket.py:association_rules): which direction of each
+    frequent part-pair is predictive — confidence P(consequent |
+    antecedent) and symmetric lift, both exact e6 integers, a-priori
+    pruned before the one basket self-join. The decision layer on top
+    of part_copurchase_pairs' ranking."""
+    from firebase_etl_spark.operators.basket import association_rules
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return association_rules(
+        li, "l_orderkey", "l_partkey", min_support=2,
+        min_confidence_e6=100_000, top=30,
+    )
+
+
+def events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch gate per event type
+    (operators/stats.py:srm_check): is the deterministic user_id % 2
+    arm split actually 50/50 among distinct users — the validity
+    precondition the CUPED / FDR-screen / group-sequential read-outs
+    assume. Exact integer chi-square vs the hardcoded 95% critical
+    value; one distinct projection + one aggregate."""
+    from firebase_etl_spark.operators.stats import srm_check
+
+    e = load_table(spark, "events", sf_dir)
+    return srm_check(e, "event_type", "user_id")
+
+
+def doc_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive retrieval training
+    (operators/retrieval.py:hard_negatives): per probe query, the
+    highest-BM25-ranked candidates the deterministic Jaccard ground
+    truth labels NOT relevant — the negatives that actually teach a
+    dense retriever (DPR/ANCE curation). Candidate pool bounds the
+    labeling at |probes| x 50 rows; one shared corpus tokenization.
+
+    MEASURED fixture read: the synthetic corpus is token-set
+    homogeneous — every BM25 top-50 candidate sits at Jaccard >= 0.54
+    (rel 3-4), so the eval harness's rel < 2 cut yields ZERO negatives
+    by construction. The query therefore mines at the strictest band
+    (rel_threshold = 4: negatives are everything short of
+    j >= 0.75), the only cut that separates on this fixture; the
+    emitted rel column says exactly what each negative is."""
+    from firebase_etl_spark.operators.retrieval import hard_negatives
+
+    d = load_table(spark, "documents", sf_dir)
+    return hard_negatives(
+        d, QUERY_DOC_IDS, k_pool=50, n_neg=5, rel_threshold=4
+    )
