@@ -490,25 +490,37 @@ ORACLES_EXT["embedding_topk_quantized"] = ORACLES_EXT["embedding_topk_bruteforce
 # at sf0.01) — so the verified output is the exact pair set below. Word
 # 2-gram shingles over whitespace tokens, both sides distinct-deduped.
 ORACLES_EXT["doc_minhash_near_dups"] = r"""
-    WITH toks AS (
+    -- postings-join form of the brute all-pairs 2-gram Jaccard (the
+    -- doc_prefix_filter_near_dups rewrite, same reasons): only pairs
+    -- sharing a shingle are enumerated, |A u B| = la + lb - c gives
+    -- the identical integer ratio, and the O(n^2) list-intersect join
+    -- that hung the sf0.1 round-semantics audit is gone.
+    WITH toks AS MATERIALIZED (
         SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
         FROM documents
-    ), sh AS (
+    ), sh AS MATERIALIZED (
         SELECT doc_id,
                list_distinct(list_transform(range(1, len(tk)),
                                             i -> tk[i] || ' ' || tk[i + 1])) AS sh
         FROM toks
+    ), lens AS MATERIALIZED (
+        SELECT doc_id, len(sh) AS l FROM sh
+    ), post AS MATERIALIZED (
+        SELECT doc_id, unnest(sh) AS s FROM sh
+    ), pairs AS MATERIALIZED (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(count(*) AS BIGINT) AS c
+        FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
     )
     SELECT id_a, id_b, jaccard FROM (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               round(len(list_intersect(a.sh, b.sh)) * 1.0
-                     / nullif(len(list_distinct(list_concat(a.sh, b.sh))), 0),
-                     6) AS jaccard
-        FROM sh a JOIN sh b
-          ON a.doc_id < b.doc_id
-         -- sound prune: J(A,B) >= 0.5 forces |A| and |B| within 2x of
-         -- each other, so the list ops run on ~1/3 of the n^2 pairs
-         AND len(a.sh) * 2 >= len(b.sh) AND len(b.sh) * 2 >= len(a.sh)
+        SELECT id_a, id_b,
+               round(c * 1.0 / nullif(la.l + lb.l - c, 0), 6) AS jaccard
+        FROM pairs
+        JOIN lens la ON la.doc_id = id_a
+        JOIN lens lb ON lb.doc_id = id_b
+        -- sound prune: J(A,B) >= 0.5 forces |A| and |B| within 2x
+        WHERE la.l * 2 >= lb.l AND lb.l * 2 >= la.l
     ) WHERE jaccard >= 0.5
 """
 
@@ -3643,22 +3655,33 @@ def _minhash_recall_oracle(
     WITH toks AS (
         SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
         FROM documents
-    ), sh AS (
+    ), sh AS MATERIALIZED (
         SELECT doc_id,
                list_distinct(list_transform(range(1, len(tk) - 1),
                    i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS sh
         FROM toks WHERE len(tk) >= 3
-    ), truth AS (
-        SELECT id_a, id_b, jaccard FROM (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   round(len(list_intersect(a.sh, b.sh)) * 1.0
-                         / nullif(len(list_distinct(
-                               list_concat(a.sh, b.sh))), 0),
-                         6) AS jaccard
-            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        ) WHERE jaccard >= 0.5
-    ), ex AS (
+    ), lens AS MATERIALIZED (
+        SELECT doc_id, len(sh) AS l FROM sh
+    ), ex AS MATERIALIZED (
         SELECT doc_id, unnest(sh) AS s FROM sh
+    ), opairs AS MATERIALIZED (
+        -- postings-join pair overlaps (the doc_prefix_filter rewrite):
+        -- every pair with c >= 1 shared shingles; c = 0 pairs cannot
+        -- reach the 0.5 truth threshold, and the banding can only
+        -- bucket pairs sharing a full signature row, so the verify
+        -- join below never needs them either
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(count(*) AS BIGINT) AS c
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), jac AS MATERIALIZED (
+        SELECT id_a, id_b,
+               round(c * 1.0 / nullif(la.l + lb.l - c, 0), 6) AS jaccard
+        FROM opairs
+        JOIN lens la ON la.doc_id = id_a
+        JOIN lens lb ON lb.doc_id = id_b
+    ), truth AS (
+        SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5
     ), sig AS (
         SELECT doc_id,
                {mins}
@@ -3672,11 +3695,8 @@ def _minhash_recall_oracle(
     ), found AS (
         SELECT c.id_a, c.id_b, 1 AS f
         FROM cands c
-        JOIN sh a ON c.id_a = a.doc_id
-        JOIN sh b ON c.id_b = b.doc_id
-        WHERE round(len(list_intersect(a.sh, b.sh)) * 1.0
-                    / nullif(len(list_distinct(
-                          list_concat(a.sh, b.sh))), 0), 6) >= 0.5
+        JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
+        WHERE j.jaccard >= 0.5
     ), rep AS (
         SELECT CASE WHEN t.jaccard >= 1.0 THEN 10
                     ELSE CAST(floor(t.jaccard * 10) AS INT)
@@ -5625,24 +5645,39 @@ ORACLES_EXT["customer_purge_cascade"] = """
 
 
 ORACLES_EXT["doc_containment_near_dups"] = r"""
-    WITH toks AS (
+    -- postings-join form of the brute directional containment: only
+    -- pairs sharing a shingle are enumerated (c >= 1 — a zero-overlap
+    -- pair cannot reach the 0.8 threshold) and c/|A| is the IDENTICAL
+    -- integer ratio the list_intersect form computed. The O(n^2)
+    -- list-intersect join hung the sf0.1 round-semantics audit.
+    WITH toks AS MATERIALIZED (
         SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
         FROM documents
-    ), sh AS (
+    ), sh AS MATERIALIZED (
         SELECT doc_id,
                list_distinct(list_transform(range(1, len(tk) - 1),
                    i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS sh
         FROM toks
-    ), nz AS (SELECT * FROM sh WHERE len(sh) > 0)
-    SELECT id_a, id_b, n_a, n_b, containment FROM (
+    ), nz AS MATERIALIZED (SELECT * FROM sh WHERE len(sh) > 0),
+    lens AS MATERIALIZED (
+        SELECT doc_id, len(sh) AS l FROM nz
+    ), post AS MATERIALIZED (
+        SELECT doc_id, unnest(sh) AS s FROM nz
+    ), pairs AS MATERIALIZED (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               CAST(len(a.sh) AS INT) AS n_a, CAST(len(b.sh) AS INT) AS n_b,
-               round(len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh), 6)
-                   AS containment
-        FROM nz a JOIN nz b
-          ON a.doc_id <> b.doc_id
-         -- necessary condition: |A∩B| <= |B|, so |B| >= t|A|
-         AND len(b.sh) >= 0.8 * len(a.sh)
+               CAST(count(*) AS BIGINT) AS c
+        FROM post a JOIN post b ON a.s = b.s AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_a, n_b, containment FROM (
+        SELECT id_a, id_b,
+               CAST(la.l AS INT) AS n_a, CAST(lb.l AS INT) AS n_b,
+               round(c * 1.0 / la.l, 6) AS containment
+        FROM pairs
+        JOIN lens la ON la.doc_id = id_a
+        JOIN lens lb ON lb.doc_id = id_b
+        -- necessary condition: |A∩B| <= |B|, so |B| >= t|A|
+        WHERE lb.l >= 0.8 * la.l
     ) WHERE containment >= 0.8
     ORDER BY id_a, id_b
 """
@@ -6682,16 +6717,29 @@ ORACLES_EXT["documents_curation_v2"] = r"""
                list_distinct(list_transform(range(1, len(tk) - 1),
                    i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS sh
         FROM toks
-    ), nz AS (
+    ), nz AS MATERIALIZED (
         SELECT g.doc_id, g.sh FROM grams g
         JOIN corpus USING (doc_id) WHERE len(g.sh) > 0
+    ), nz_lens AS MATERIALIZED (
+        SELECT doc_id, len(sh) AS l FROM nz
+    ), nz_post AS MATERIALIZED (
+        SELECT doc_id, unnest(sh) AS s FROM nz
+    ), nz_pairs AS MATERIALIZED (
+        -- postings-join form of the brute containment (the
+        -- doc_containment_near_dups rewrite): only overlapping pairs
+        -- enumerate; c/|A| is the identical integer ratio
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(count(*) AS BIGINT) AS c
+        FROM nz_post a JOIN nz_post b
+          ON a.s = b.s AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
     ), contained AS (
-        SELECT DISTINCT a.doc_id
-        FROM nz a JOIN nz b
-          ON a.doc_id <> b.doc_id
-         AND len(b.sh) >= 0.8 * len(a.sh)
-        WHERE round(len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh), 6)
-              >= 0.8
+        SELECT DISTINCT id_a AS doc_id
+        FROM nz_pairs
+        JOIN nz_lens la ON la.doc_id = id_a
+        JOIN nz_lens lb ON lb.doc_id = id_b
+        WHERE lb.l >= 0.8 * la.l
+          AND round(c * 1.0 / la.l, 6) >= 0.8
     ), probe_grams AS (
         SELECT DISTINCT unnest(sh) AS gram FROM grams
         WHERE doc_id % 89 = 0
