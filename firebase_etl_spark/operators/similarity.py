@@ -1435,3 +1435,97 @@ def mmr_topk(
         "mmr_rank int, vec_id long, rel_e6 long, red_e6 long,"
         " mmr_e6 long",
     ).orderBy("mmr_rank")
+
+
+def rp_distortion_audit(
+    df: DataFrame,
+    planes: list[list[float]],
+    sample_cap: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss distortion audit of the random-projection
+    index (the certification you run BEFORE trusting rp_topk's
+    shortlist corpus-wide — the doc_minhash_recall_audit of the dense
+    side): on a content-addressed fixed-size sample of vectors,
+    compare every pair's exact full-space cosine against its projected
+    cosine and histogram the signed e6 error into 0.05-wide bands.
+    JL says the projected inner product is an unbiased estimator with
+    stddev ~1/sqrt(out_dim); the audit MEASURES where this corpus
+    actually lands.
+
+    Scale shape: the sample is a distributed top-k by md5 (never a
+    global sort of the corpus); pair work is bounded at cap^2 at ANY
+    corpus size (the doc_similarity_histogram convention), and the
+    sampling is surfaced in the output row (n_vectors_total,
+    n_vectors_sampled). Returns per band: (band, n_pairs,
+    min_delta_e6, max_delta_e6, n_vectors_total, n_vectors_sampled),
+    band = min(4, |delta_e6| / 50000), ordered by band."""
+    from firebase_etl_spark.functions.portable_math import fixed_e6_expr
+
+    keyed = df.select(
+        F.col(id_col).alias("vid"), _to_double(F.col(vec_col)).alias("e")
+    ).filter(F.col("e").isNotNull())
+    tot = keyed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors_total")
+    )
+    sample = (
+        keyed.withColumn(
+            "__h",
+            F.md5(F.concat(F.lit("rpda|"), F.col("vid").cast("string"))),
+        )
+        .orderBy("__h", "vid")
+        .limit(sample_cap)
+        .select("vid", "e")
+        .localCheckpoint(eager=True)  # cap rows
+    )
+    nv = sample.select("vid", normalized(F.col("e")).alias("nv"))
+    rp = random_projection(
+        sample, planes, id_col="vid", vec_col="e"
+    ).select("vid", "rp")
+    side = nv.join(rp, "vid")
+    pairs = (
+        side.select(
+            F.col("vid").alias("id_a"),
+            F.col("nv").alias("nv_a"),
+            F.col("rp").alias("rp_a"),
+        )
+        .crossJoin(
+            F.broadcast(
+                side.select(
+                    F.col("vid").alias("id_b"),
+                    F.col("nv").alias("nv_b"),
+                    F.col("rp").alias("rp_b"),
+                )
+            )
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    # fixed_e6_expr consumes named columns: attach the two dots first
+    scored = (
+        pairs.withColumn("__cos_o", dot(F.col("nv_a"), F.col("nv_b")))
+        .withColumn("__cos_p", dot(F.col("rp_a"), F.col("rp_b")))
+        .select(
+            F.expr(fixed_e6_expr("__cos_o")).alias("cos_orig_e6"),
+            F.expr(fixed_e6_expr("__cos_p")).alias("cos_rp_e6"),
+        )
+        .withColumn("delta_e6", F.col("cos_rp_e6") - F.col("cos_orig_e6"))
+    )
+    n_sampled = sample.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors_sampled")
+    )
+    return (
+        scored.groupBy(
+            F.expr("least(4, abs(delta_e6) DIV 50000)")
+            .cast("int")
+            .alias("band")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.min("delta_e6").alias("min_delta_e6"),
+            F.max("delta_e6").alias("max_delta_e6"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(n_sampled))
+        .orderBy("band")
+    )

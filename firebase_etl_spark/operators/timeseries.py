@@ -1015,3 +1015,59 @@ def dau_mau_stickiness(
         )
         .orderBy("month")
     )
+
+
+def cusum_alarms(
+    df: DataFrame,
+    ts_col: str = "ts",
+    baseline_days: int = 7,
+    k_div: int = 20,
+    h_div: int = 2,
+) -> DataFrame:
+    """Page's CUSUM drift alarm over the daily event counts (Page 1954
+    — the sequential complement to the retrospective changepoint scan:
+    changepoint_scan asks WHERE a completed series split, CUSUM is the
+    monitor you run forward to catch the drift as it happens). Two
+    one-sided cumulative sums against the baseline mean mu0 of the
+    first ``baseline_days`` days:
+
+        s_pos_d = max(0, s_pos_{d-1} + (x_d - mu0 - k))
+        s_neg_d = max(0, s_neg_{d-1} + (mu0 - x_d - k))
+
+    with allowance k = mu0 DIV ``k_div`` and threshold
+    h = mu0 DIV ``h_div`` — configured rationals (the Fellegi-Sunter
+    m-probability convention: parameters are stated conventions, the
+    data supplies mu0), all arithmetic exact integers.
+
+    Same cutover as EWMA/Holt: one corpus aggregate to the
+    calendar-bounded day spine, recursion driver-local, recursive-CTE
+    oracle. Returns one row per scored day (after the baseline
+    window): (day, n_events, mu0, s_pos, s_neg, alarm_up, alarm_down),
+    ordered by day."""
+    daily = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.to_date(ts_col).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("day")
+    )
+    rows = daily.collect()
+    spark = df.sparkSession
+    schema = (
+        "day date, n_events long, mu0 long, s_pos long, s_neg long,"
+        " alarm_up boolean, alarm_down boolean"
+    )
+    if len(rows) <= baseline_days:
+        return spark.createDataFrame([], schema)
+    ns = [int(r["n"]) for r in rows]
+    mu0 = sum(ns[:baseline_days]) // baseline_days
+    k = mu0 // k_div
+    h = mu0 // h_div
+    out = []
+    s_pos = s_neg = 0
+    for r, x in zip(rows[baseline_days:], ns[baseline_days:]):
+        s_pos = max(0, s_pos + (x - mu0 - k))
+        s_neg = max(0, s_neg + (mu0 - x - k))
+        out.append(
+            (r["day"], x, mu0, s_pos, s_neg, s_pos > h, s_neg > h)
+        )
+    return spark.createDataFrame(out, schema)

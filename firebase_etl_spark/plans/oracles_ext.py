@@ -314,7 +314,7 @@ ORACLES_EXT: dict[str, str] = {
         )
         SELECT lang, source, count(*) AS n_docs,
                CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-               round(avg(quality), 6) AS avg_quality
+               round((avg(quality)) + 1e-9 + abs(avg(quality)) * CAST('9.094947017729282e-13' AS DOUBLE), 6) AS avg_quality
         FROM exact_kept
         WHERE doc_id NOT IN (SELECT node FROM walk WHERE component <> node)
         GROUP BY lang, source ORDER BY lang, source
@@ -9279,3 +9279,88 @@ def _hard_negatives_oracle() -> str:
 
 
 ORACLES_EXT["doc_hard_negatives"] = _hard_negatives_oracle()
+
+
+ORACLES_EXT["events_cusum_alarms"] = """
+    WITH RECURSIVE daily AS MATERIALIZED (
+        SELECT row_number() OVER (ORDER BY day) AS i, day, n FROM (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events WHERE ts IS NOT NULL GROUP BY 1)),
+    params AS MATERIALIZED (
+        SELECT CAST(sum(n) AS BIGINT) // 7 AS mu0
+        FROM daily WHERE i <= 7),
+    rec AS (
+        SELECT d.i, d.day, d.n,
+               GREATEST(CAST(0 AS BIGINT),
+                        d.n - p.mu0 - p.mu0 // 20) AS s_pos,
+               GREATEST(CAST(0 AS BIGINT),
+                        p.mu0 - d.n - p.mu0 // 20) AS s_neg
+        FROM daily d, params p WHERE d.i = 8
+        UNION ALL
+        SELECT d.i, d.day, d.n,
+               GREATEST(CAST(0 AS BIGINT),
+                        r.s_pos + (d.n - p.mu0 - p.mu0 // 20)),
+               GREATEST(CAST(0 AS BIGINT),
+                        r.s_neg + (p.mu0 - d.n - p.mu0 // 20))
+        FROM rec r
+        JOIN daily d ON d.i = r.i + 1
+        CROSS JOIN params p)
+    SELECT r.day, r.n AS n_events, p.mu0, r.s_pos, r.s_neg,
+           r.s_pos > p.mu0 // 2 AS alarm_up,
+           r.s_neg > p.mu0 // 2 AS alarm_down
+    FROM rec r CROSS JOIN params p
+    ORDER BY r.day
+"""
+
+
+def _rp_distortion_oracle() -> str:
+    """JL-distortion twin: same md5 content-addressed sample, the same
+    seed-13 plane literals (emitted from the SAME rp_planes call), the
+    same left-to-right inner products and e6 quantization."""
+    from firebase_etl_spark.functions.portable_math import fixed_e6_expr
+    from firebase_etl_spark.operators.similarity import rp_planes
+
+    planes = rp_planes(out_dim=32, in_dim=64, seed=13)
+    proj_cols = ",\n                  ".join(
+        "list_inner_product(nv, [%s])" % ", ".join(repr(x) for x in row)
+        for row in planes
+    )
+    co = fixed_e6_expr("list_inner_product(a.nv, b.nv)")
+    cp = fixed_e6_expr("list_inner_product(a.p, b.p)")
+    return f"""
+    WITH keyed AS MATERIALIZED (
+        SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings WHERE embedding IS NOT NULL
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_vectors_total FROM keyed
+    ), sample AS MATERIALIZED (
+        SELECT vid, e FROM keyed
+        ORDER BY md5('rpda|' || CAST(vid AS VARCHAR)), vid LIMIT 64
+    ), nv_t AS MATERIALIZED (
+        SELECT vid,
+               list_transform(e, x -> x / sqrt(list_inner_product(e, e)))
+                   AS nv
+        FROM sample
+    ), side AS MATERIALIZED (
+        SELECT vid, nv, [{proj_cols}] AS p FROM nv_t
+    ), scored AS (
+        SELECT {co} AS cos_orig_e6, {cp} AS cos_rp_e6
+        FROM side a JOIN side b ON a.vid < b.vid
+    ), d AS (
+        SELECT cos_rp_e6 - cos_orig_e6 AS delta_e6 FROM scored
+    )
+    SELECT CAST(least(4, abs(delta_e6) // 50000) AS INTEGER) AS band,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(min(delta_e6) AS BIGINT) AS min_delta_e6,
+           CAST(max(delta_e6) AS BIGINT) AS max_delta_e6,
+           tot.n_vectors_total,
+           CAST((SELECT count(*) FROM sample) AS BIGINT)
+               AS n_vectors_sampled
+    FROM d CROSS JOIN tot
+    GROUP BY 1, tot.n_vectors_total
+    ORDER BY band
+"""
+
+
+ORACLES_EXT["embedding_rp_distortion_audit"] = _rp_distortion_oracle()

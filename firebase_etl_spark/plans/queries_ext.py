@@ -556,7 +556,11 @@ def documents_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(
                 F.count(F.lit(1)).alias("n_docs"),
                 F.sum("n_tokens").alias("total_tokens"),
-                F.round(F.avg("quality"), 6).alias("avg_quality"),
+                # nudged: sf0.1 lands avg(quality) exactly on a .5
+                # boundary at 6dp (r9 audit catch, the clean_corpus
+                # class) — the shared magnitude-proportional nudge
+                # moves it off the knife edge on both engines
+                PM.round_nudged(F.avg("quality"), 6).alias("avg_quality"),
             )
             .orderBy("lang", "source")
             .localCheckpoint(eager=True)
@@ -7191,3 +7195,34 @@ def doc_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negatives(
         d, QUERY_DOC_IDS, k_pool=50, n_neg=5, rel_threshold=4
     )
+
+
+def events_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's CUSUM drift monitor over the daily event volume
+    (operators/timeseries.py:cusum_alarms): two one-sided cumulative
+    sums vs the first-week baseline mean, allowance mu0/20, threshold
+    mu0/2 — the forward-running complement to events_changepoint_scan.
+    Exact integers; day-spine driver-local recursion with a
+    recursive-CTE oracle twin."""
+    from firebase_etl_spark.operators.timeseries import cusum_alarms
+
+    e = load_table(spark, "events", sf_dir)
+    return cusum_alarms(e)
+
+
+def embedding_rp_distortion_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Johnson-Lindenstrauss distortion audit of the seed-13 32x64
+    random-projection index (operators/similarity.py:
+    rp_distortion_audit): measured signed error histogram of projected
+    vs exact pairwise cosine on a content-addressed 64-vector sample —
+    the certification that says whether embedding_topk_rp's shortlist
+    can be trusted at this out_dim on THIS corpus. Pair work bounded
+    at cap^2 at any corpus size; sampling surfaced in the hashed row."""
+    from firebase_etl_spark.operators.similarity import (
+        rp_distortion_audit,
+    )
+
+    e = load_table(spark, "embeddings", sf_dir)
+    return rp_distortion_audit(e, RP_PLANES, sample_cap=64)
