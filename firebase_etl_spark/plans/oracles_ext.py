@@ -9364,3 +9364,74 @@ def _rp_distortion_oracle() -> str:
 
 
 ORACLES_EXT["embedding_rp_distortion_audit"] = _rp_distortion_oracle()
+
+
+def _textrank_oracle(n_iter: int = 10, damping_pct: int = 85) -> str:
+    """TextRank twin: the nation-pagerank unrolled-Jacobi layers
+    (bit-exact fixed-point BIGINT trajectory) over the word-adjacency
+    edge CTE instead of the trade graph."""
+    layers = [
+        r"""toks AS MATERIALIZED (
+        SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        FROM documents
+    ),
+    adj AS MATERIALIZED (
+        SELECT tk[i] AS a, tk[i + 1] AS b
+        FROM toks, unnest(range(1, len(tk))) AS t(i)
+    ),
+    edges AS MATERIALIZED (
+        SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM (
+            SELECT a AS src, b AS dst FROM adj
+            UNION ALL
+            SELECT b AS src, a AS dst FROM adj
+        ) GROUP BY 1, 2
+    ),
+    ew AS MATERIALIZED (
+        SELECT e.src, e.dst, e.w, t.w_out
+        FROM edges e
+        JOIN (SELECT src, CAST(sum(w) AS BIGINT) AS w_out
+              FROM edges GROUP BY src) t USING (src)
+    ),
+    nodes AS MATERIALIZED (
+        SELECT src AS node FROM edges
+        UNION
+        SELECT dst AS node FROM edges
+    ),
+    const AS (
+        SELECT CAST(1000000000000 // count(*) AS BIGINT) AS r0,
+               CAST((1000000000000 // count(*)) * %d // 100 AS BIGINT)
+                   AS tp
+        FROM nodes
+    ),
+    pr0 AS (SELECT node, (SELECT r0 FROM const) AS rank FROM nodes)"""
+        % (100 - damping_pct)
+    ]
+    for i in range(n_iter):
+        layers.append(
+            f"""pr{i + 1} AS MATERIALIZED (
+        SELECT n.node,
+               (SELECT tp FROM const)
+                   + CAST({damping_pct} * coalesce(s.incoming, 0) // 100
+                       AS BIGINT) AS rank
+        FROM nodes n
+        LEFT JOIN (
+            SELECT e.dst,
+                   CAST(sum(p.rank * e.w // e.w_out) AS BIGINT)
+                       AS incoming
+            FROM pr{i} p JOIN ew e ON p.node = e.src
+            GROUP BY e.dst
+        ) s ON n.node = s.dst
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(layers)
+        + f"""
+    SELECT p.node AS term, CAST(p.rank AS BIGINT) AS rank_e12
+    FROM pr{n_iter} p
+    ORDER BY rank_e12 DESC, term
+    LIMIT 15"""
+    )
+
+
+ORACLES_EXT["doc_textrank_keywords"] = _textrank_oracle()

@@ -7226,3 +7226,39 @@ def embedding_rp_distortion_audit(
 
     e = load_table(spark, "embeddings", sf_dir)
     return rp_distortion_audit(e, RP_PLANES, sample_cap=64)
+
+
+def doc_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004) — PageRank
+    over the word-adjacency graph (operators/graph.py:pagerank, the
+    same fixed-point integer loop the nation trade graph uses):
+    adjacent-token co-occurrence counts as symmetric edge weights,
+    10 Jacobi iterations at e12, top 15 terms by stationary rank.
+    Complements doc_rake_keywords (degree-based phrase scores) with
+    the centrality-based ranking; the word graph is vocabulary-sized,
+    so the rank loop costs nothing next to the one corpus explode."""
+    from firebase_etl_spark.operators.graph import pagerank
+    from firebase_etl_spark.operators.text import tokenize
+
+    d = load_table(spark, "documents", sf_dir)
+    tk = d.select(tokenize("text").alias("t"))
+    adj = tk.select(
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(t, 1, size(t) - 1)"),
+                F.expr("slice(t, 2, size(t) - 1)"),
+            )
+        ).alias("p")
+    ).select(F.col("p.0").alias("a"), F.col("p.1").alias("b"))
+    edges = (
+        adj.select("a", "b")
+        .unionAll(adj.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .groupBy(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    ranks = pagerank(edges, "src", "dst", "w", n_iter=10)
+    return (
+        ranks.select(F.col("node").alias("term"), "rank_e12")
+        .orderBy(F.desc("rank_e12"), "term")
+        .limit(15)
+    )
