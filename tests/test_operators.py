@@ -4095,3 +4095,110 @@ def test_hll_finalize_matches_report_estimates(spark):
     # the 7-distinct key must take the linear-counting branch and land
     # near-exact (small-range regime)
     assert abs(fin["y"]["est_distinct"] - 7) <= 2
+
+
+def test_association_rules_confidence_asymmetry(spark):
+    from firebase_etl_spark.operators.basket import association_rules
+
+    # item 1 appears in 4 baskets, item 2 only with item 1 (2 baskets):
+    # conf(2=>1) = 1.0, conf(1=>2) = 0.5; lift symmetric = 4*2/(4*2)=1? no:
+    # pair_count=2, n=4 baskets, c1=4, c2=2 -> lift = 2*4/(4*2) = 1.0
+    rows = [(1, 1), (2, 1), (3, 1), (4, 1), (1, 2), (2, 2)]
+    df = spark.createDataFrame(rows, "bk long, it long")
+    out = {
+        (r["antecedent"], r["consequent"]): r
+        for r in association_rules(
+            df, "bk", "it", min_support=2, min_confidence_e6=0
+        ).collect()
+    }
+    assert out[(2, 1)]["confidence_e6"] == 1_000_000
+    assert out[(1, 2)]["confidence_e6"] == 500_000
+    assert out[(1, 2)]["lift_e6"] == 1_000_000
+    assert out[(2, 1)]["lift_e6"] == 1_000_000
+    assert out[(1, 2)]["pair_count"] == 2
+
+
+def test_srm_check_textbook_chi_square(spark):
+    from firebase_etl_spark.operators.stats import srm_check
+
+    # group a: 60 even / 40 odd users -> chi2 = 400/100 = 4.0 > 3.841
+    # group b: 50/50 -> chi2 = 0
+    rows = [("a", 2 * i) for i in range(60)]
+    rows += [("a", 2 * i + 1) for i in range(40)]
+    rows += [("b", 2 * i) for i in range(50)]
+    rows += [("b", 2 * i + 1) for i in range(50)]
+    df = spark.createDataFrame(rows, "g string, u long")
+    out = {r["group_key"]: r for r in srm_check(df, "g", "u").collect()}
+    assert out["a"]["chi2_e6"] == 4_000_000 and out["a"]["srm_detected"]
+    assert out["b"]["chi2_e6"] == 0 and not out["b"]["srm_detected"]
+    assert out["a"]["n_units"] == 100
+
+
+def test_cusum_alarms_detects_step_shift(spark):
+    import datetime as dt
+
+    from firebase_etl_spark.operators.timeseries import cusum_alarms
+
+    # 7 baseline days at 100 events/day, then 5 days at 160 (one-sided
+    # up-shift): mu0 = 100, k = 5, h = 50; s_pos after day 8+i is 55(i+1)
+    rows = []
+    day0 = dt.datetime(2024, 3, 1)
+    for d in range(12):
+        n = 100 if d < 7 else 160
+        rows += [(i, day0 + dt.timedelta(days=d)) for i in range(n)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    out = cusum_alarms(df).collect()
+    assert len(out) == 5
+    assert [r["s_pos"] for r in out] == [55, 110, 165, 220, 275]
+    assert all(r["s_neg"] == 0 for r in out)
+    assert [r["alarm_up"] for r in out] == [True] * 5
+    assert out[0]["mu0"] == 100
+
+
+def test_hard_negatives_excludes_relevant(spark):
+    from firebase_etl_spark.operators.retrieval import hard_negatives
+
+    rows = [
+        (0, "alpha beta gamma delta"),
+        (1, "alpha beta gamma delta epsilon"),  # near-dup of probe: rel high
+        (2, "alpha beta zeta eta"),             # partial overlap
+        (3, "theta iota kappa lambda"),         # disjoint
+        (4, "alpha theta iota kappa"),          # one shared term
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = hard_negatives(df, [0], k_pool=10, n_neg=5, rel_threshold=2)
+    got = {r["doc_id"]: r for r in out.collect()}
+    # doc 1 is j = 4/5 = 0.8 -> rel 4, excluded; doc 3 shares no term so
+    # BM25 never retrieves it; docs 2 (j=2/6) is rel 2 -> excluded at
+    # threshold 2; doc 4 (j=1/7 ~ 0.14) is rel 1 -> included
+    assert 1 not in got and 2 not in got and 3 not in got
+    assert 4 in got and got[4]["neg_rank"] == 1 and got[4]["rel"] == 1
+
+
+def test_rp_distortion_audit_bands_and_sample(spark):
+    from firebase_etl_spark.operators.similarity import (
+        rp_distortion_audit,
+        rp_planes,
+    )
+
+    import random
+
+    rnd = random.Random(7)
+    rows = [
+        (i, [rnd.gauss(0, 1) for _ in range(64)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    planes = rp_planes(out_dim=32, in_dim=64, seed=13)
+    out = rp_distortion_audit(df, planes, sample_cap=16).collect()
+    assert sum(r["n_pairs"] for r in out) == 16 * 15 // 2
+    assert all(r["n_vectors_total"] == 40 for r in out)
+    assert all(r["n_vectors_sampled"] == 16 for r in out)
+    # JL stddev at out_dim 32 is ~1/sqrt(32) = 0.177: expect roughly a
+    # quarter of pairs beyond |delta| = 0.2 (measured 37/120 on this
+    # seed) — the audit REPORTING that coarseness is its entire point
+    big = sum(r["n_pairs"] for r in out if r["band"] == 4)
+    assert big <= 60
+    near = sum(r["n_pairs"] for r in out if r["band"] <= 1)
+    assert near >= 30
+    for r in out:
+        assert r["min_delta_e6"] <= r["max_delta_e6"]
