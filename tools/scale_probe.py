@@ -127,37 +127,28 @@ def build(spark, n_copies: int) -> None:
 #: the fixture makes every document a member of a ~10-replica mutual
 #: near-dup cluster, the adversarial direction for pair-enumerating ops)
 NEW_OPS = [
-    # session-3 additions (earlier r8 probe tables are recorded in
-    # ROUND8_NOTES; the list rotates to whatever the current session
+    # round-9 additions (earlier rounds' probe tables are recorded in
+    # ROUND{N}_NOTES; the list rotates to whatever the current session
     # shipped). The replica fixture's ~10-member mutual-dup clusters
-    # stay the adversarial direction for pair-enumerating ops.
-    "embedding_pca_top_component",
-    "orders_bootstrap_ci",
-    "events_fdr_screen",
-    "doc_js_divergence",
-    "customer_golden_records",
-    "doc_readability_report",
+    # stay the adversarial direction for pair-enumerating ops; the
+    # fixed-catalog axis (10x baskets over the same parts) is the hard
+    # direction for the association-rule self-join.
+    "events_hll_distinct_users",
+    "part_association_rules",
+    "events_srm_check",
+    "doc_hard_negatives",
+    "events_cusum_alarms",
+    "embedding_rp_distortion_audit",
+    "doc_textrank_keywords",
+    # perf-fix regression probes: the four repeated-scan fixes + the
+    # restructured bootstrap must still scale linearly after caching
+    "customer_fs_linkage",
+    "doc_retrieval_eval",
     "orders_winsorized_stats",
     "orders_conformal_intervals",
-    "customer_gains_table",
-    "doc_calibration_report",
-    "doc_phrase_search",
-    "events_group_sequential",
-    "documents_ql_topk",
-    "nation_revenue_jackknife",
-    "lineitem_partition_advisor",
-    "doc_rake_keywords",
-    "part_type_mix_shift",
-    "stream_ab_monitor",
-    "events_ks_drift",
-    "events_holt_forecast",
-    "events_capture_recapture",
-    "nation_conversion_shrinkage",
-    "orders_fd_audit",
-    "events_power_analysis",
-    "events_next_event_accuracy",
-    "events_quantile_normalization",
-    "doc_isotonic_calibration",
+    "orders_bootstrap_ci",
+    "part_copurchase_modularity",
+    "embedding_dbscan_clusters",
 ]
 
 
