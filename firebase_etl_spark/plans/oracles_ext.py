@@ -573,19 +573,32 @@ ORACLES_EXT["doc_similarity_histogram"] = r"""
     ), toks AS (
         SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
         FROM samp
-    ), sh AS (
+    ), sh AS MATERIALIZED (
         SELECT doc_id,
                list_distinct(list_transform(range(1, len(tk) - 1),
                    i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS sh
         FROM toks WHERE len(tk) >= 3
+    ), lens AS MATERIALIZED (
+        SELECT doc_id, len(sh) AS l FROM sh
+    ), post AS MATERIALIZED (
+        SELECT doc_id, unnest(sh) AS s FROM sh
+    ), opairs AS MATERIALIZED (
+        -- postings-join form of the sample-pair Jaccard (the
+        -- doc_minhash_near_dups rewrite; c = 0 pairs cannot reach the
+        -- 0.3 histogram floor): the list-intersect form cost the
+        -- sf0.1 audit 972 s, this replays in seconds
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(count(*) AS BIGINT) AS c
+        FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
     ), pairs AS (
         SELECT id_a, id_b, jaccard FROM (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   round(len(list_intersect(a.sh, b.sh)) * 1.0
-                         / nullif(len(list_distinct(
-                               list_concat(a.sh, b.sh))), 0),
-                         6) AS jaccard
-            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            SELECT id_a, id_b,
+                   round(c * 1.0 / nullif(la.l + lb.l - c, 0), 6)
+                       AS jaccard
+            FROM opairs
+            JOIN lens la ON la.doc_id = id_a
+            JOIN lens lb ON lb.doc_id = id_b
         ) WHERE jaccard >= 0.3
     )
     SELECT CASE WHEN jaccard >= 1.0 THEN 10
@@ -6332,20 +6345,31 @@ ORACLES_EXT["documents_split_leakage_audit"] = r"""
     WITH toks AS (
         SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
         FROM documents
-    ), sh AS (
+    ), sh AS MATERIALIZED (
         SELECT doc_id,
                list_distinct(list_transform(range(1, len(tk)),
                                             i -> tk[i] || ' ' || tk[i + 1])) AS sh
         FROM toks
+    ), lens AS MATERIALIZED (
+        SELECT doc_id, len(sh) AS l FROM sh
+    ), post AS MATERIALIZED (
+        SELECT doc_id, unnest(sh) AS s FROM sh
+    ), opairs AS MATERIALIZED (
+        -- postings-join form of the brute pair Jaccard (the
+        -- doc_minhash_near_dups rewrite, same reasons)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(count(*) AS BIGINT) AS c
+        FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
     ), pairs AS (
         SELECT id_a, id_b FROM (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   round(len(list_intersect(a.sh, b.sh)) * 1.0
-                         / nullif(len(list_distinct(list_concat(a.sh, b.sh))), 0),
-                         6) AS jaccard
-            FROM sh a JOIN sh b
-              ON a.doc_id < b.doc_id
-             AND len(a.sh) * 2 >= len(b.sh) AND len(b.sh) * 2 >= len(a.sh)
+            SELECT id_a, id_b,
+                   round(c * 1.0 / nullif(la.l + lb.l - c, 0), 6)
+                       AS jaccard
+            FROM opairs
+            JOIN lens la ON la.doc_id = id_a
+            JOIN lens lb ON lb.doc_id = id_b
+            WHERE la.l * 2 >= lb.l AND lb.l * 2 >= la.l
         ) WHERE jaccard >= 0.5
     ), assign AS (
         SELECT doc_id,
