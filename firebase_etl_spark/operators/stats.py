@@ -2912,3 +2912,86 @@ def srm_check(
         )
         .orderBy("group_key")
     )
+
+
+def simpson_audit(
+    df: DataFrame,
+    stratum_col: str,
+    arm_expr: str,
+    value_c_expr: str,
+) -> DataFrame:
+    """Simpson's-paradox audit (Simpson 1951; the aggregation trap
+    every metrics review eventually steps into): does the sign of the
+    A-vs-B mean difference REVERSE when the comparison is stratified?
+    The overall pooled comparison and every per-stratum comparison are
+    published side by side with an explicit ``reversed`` flag.
+
+    Sign arithmetic is EXACT and overflow-free: compare the truncating
+    quotients first (sum DIV n), and only on a quotient tie compare the
+    cross-multiplied REMAINDERS (r < n, so r_a * n_b < n_a * n_b — in
+    int64 to ~3e9 rows per stratum, vs the naive sum*n cross-product
+    that the ×10 probe fixture already overflows). No float division
+    anywhere near the comparison; display means are truncating cent
+    divisions.
+
+    Scale shape: ONE map-side-combinable aggregate per stratum + a
+    broadcast of the k-row totals. Returns per stratum: (stratum, n_a,
+    n_b, mean_a_cents, mean_b_cents, sign_stratum, sign_overall,
+    reversed), ordered by stratum."""
+    base = df.select(
+        F.col(stratum_col).alias("s"),
+        F.expr(arm_expr).cast("int").alias("arm"),
+        F.expr(value_c_expr).cast("long").alias("v"),
+    ).filter(
+        F.col("s").isNotNull()
+        & F.col("arm").isNotNull()
+        & F.col("v").isNotNull()
+    )
+    per = base.groupBy("s").agg(
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long").alias("n_a"),
+        F.coalesce(
+            F.sum(F.when(F.col("arm") == 1, F.col("v"))), F.lit(0)
+        ).cast("long").alias("sum_a"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long").alias("n_b"),
+        F.coalesce(
+            F.sum(F.when(F.col("arm") == 0, F.col("v"))), F.lit(0)
+        ).cast("long").alias("sum_b"),
+    ).localCheckpoint(eager=True)  # stratum-count-sized
+    tot = per.agg(
+        F.sum("n_a").cast("long").alias("tn_a"),
+        F.sum("sum_a").cast("long").alias("ts_a"),
+        F.sum("n_b").cast("long").alias("tn_b"),
+        F.sum("sum_b").cast("long").alias("ts_b"),
+    )
+    sign = (
+        "CASE WHEN ({sa} DIV {na}) > ({sb} DIV {nb}) THEN 1"
+        " WHEN ({sa} DIV {na}) < ({sb} DIV {nb}) THEN -1"
+        " WHEN ({sa} % {na}) * {nb} > ({sb} % {nb}) * {na} THEN 1"
+        " WHEN ({sa} % {na}) * {nb} < ({sb} % {nb}) * {na} THEN -1"
+        " ELSE 0 END"
+    )
+    s_str = sign.format(sa="sum_a", nb="n_b", sb="sum_b", na="n_a")
+    s_tot = sign.format(sa="ts_a", nb="tn_b", sb="ts_b", na="tn_a")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("s").alias("stratum"),
+            "n_a",
+            "n_b",
+            F.expr("CASE WHEN n_a > 0 THEN sum_a DIV n_a END")
+            .alias("mean_a_cents"),
+            F.expr("CASE WHEN n_b > 0 THEN sum_b DIV n_b END")
+            .alias("mean_b_cents"),
+            F.expr(
+                f"CASE WHEN n_a > 0 AND n_b > 0 THEN {s_str} END"
+            ).cast("int").alias("sign_stratum"),
+            F.expr(s_tot).cast("int").alias("sign_overall"),
+            F.expr(
+                f"CASE WHEN n_a > 0 AND n_b > 0"
+                f" THEN ({s_str}) * ({s_tot}) < 0 ELSE FALSE END"
+            ).alias("reversed"),
+        )
+        .orderBy("stratum")
+    )

@@ -9459,3 +9459,45 @@ def _textrank_oracle(n_iter: int = 10, damping_pct: int = 85) -> str:
 
 
 ORACLES_EXT["doc_textrank_keywords"] = _textrank_oracle()
+
+
+ORACLES_EXT["orders_simpson_audit"] = """
+    WITH base AS (
+        SELECT c_mktsegment AS s,
+               CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS arm,
+               CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS v
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment IS NOT NULL AND o_totalprice IS NOT NULL
+    ), per AS (
+        SELECT s,
+               CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_a,
+               CAST(coalesce(sum(CASE WHEN arm = 1 THEN v END), 0)
+                   AS BIGINT) AS sum_a,
+               CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_b,
+               CAST(coalesce(sum(CASE WHEN arm = 0 THEN v END), 0)
+                   AS BIGINT) AS sum_b
+        FROM base GROUP BY s
+    ), tot AS (
+        SELECT CAST(sum(n_a) AS BIGINT) AS tn_a,
+               CAST(sum(sum_a) AS BIGINT) AS ts_a,
+               CAST(sum(n_b) AS BIGINT) AS tn_b,
+               CAST(sum(sum_b) AS BIGINT) AS ts_b
+        FROM per
+    )
+    SELECT s AS stratum, n_a, n_b,
+           CASE WHEN n_a > 0 THEN sum_a // n_a END AS mean_a_cents,
+           CASE WHEN n_b > 0 THEN sum_b // n_b END AS mean_b_cents,
+           CAST(CASE WHEN n_a > 0 AND n_b > 0 THEN
+                CASE WHEN (sum_a // n_a) > (sum_b // n_b) THEN 1 WHEN (sum_a // n_a) < (sum_b // n_b) THEN -1 WHEN (sum_a % n_a) * n_b > (sum_b % n_b) * n_a THEN 1 WHEN (sum_a % n_a) * n_b < (sum_b % n_b) * n_a THEN -1 ELSE 0 END
+                END AS INTEGER) AS sign_stratum,
+           CAST(CASE WHEN (ts_a // tn_a) > (ts_b // tn_b) THEN 1 WHEN (ts_a // tn_a) < (ts_b // tn_b) THEN -1 WHEN (ts_a % tn_a) * tn_b > (ts_b % tn_b) * tn_a THEN 1 WHEN (ts_a % tn_a) * tn_b < (ts_b % tn_b) * tn_a THEN -1 ELSE 0 END AS INTEGER) AS sign_overall,
+           CASE WHEN n_a > 0 AND n_b > 0 THEN
+                (CASE WHEN (sum_a // n_a) > (sum_b // n_b) THEN 1 WHEN (sum_a // n_a) < (sum_b // n_b) THEN -1 WHEN (sum_a % n_a) * n_b > (sum_b % n_b) * n_a THEN 1 WHEN (sum_a % n_a) * n_b < (sum_b % n_b) * n_a THEN -1 ELSE 0 END)
+                * (CASE WHEN (ts_a // tn_a) > (ts_b // tn_b) THEN 1 WHEN (ts_a // tn_a) < (ts_b // tn_b) THEN -1 WHEN (ts_a % tn_a) * tn_b > (ts_b % tn_b) * tn_a THEN 1 WHEN (ts_a % tn_a) * tn_b < (ts_b % tn_b) * tn_a THEN -1 ELSE 0 END) < 0
+                ELSE FALSE END AS reversed
+    FROM per CROSS JOIN tot
+    ORDER BY stratum
+"""

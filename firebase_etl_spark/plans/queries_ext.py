@@ -7262,3 +7262,28 @@ def doc_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_e12"), "term")
         .limit(15)
     )
+
+
+def orders_simpson_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox audit of the urgent-vs-standard order-value
+    comparison, stratified by customer market segment
+    (operators/stats.py:simpson_audit): exact integer cross-product
+    sign tests — does the pooled 'urgent orders are worth more/less'
+    read survive stratification, and which segments reverse it. One
+    aggregate per stratum after the orders-customer join."""
+    from firebase_etl_spark.operators.stats import simpson_audit
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    c = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_mktsegment"
+    )
+    j = o.join(c, o.o_custkey == c.c_custkey)
+    return simpson_audit(
+        j,
+        "c_mktsegment",
+        "CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')"
+        " THEN 1 ELSE 0 END",
+        "CAST(round(o_totalprice * 100.0, 0) AS BIGINT)",
+    )

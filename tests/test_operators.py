@@ -4202,3 +4202,41 @@ def test_rp_distortion_audit_bands_and_sample(spark):
     assert near >= 30
     for r in out:
         assert r["min_delta_e6"] <= r["max_delta_e6"]
+
+
+def test_simpson_audit_textbook_reversal(spark):
+    from firebase_etl_spark.operators.stats import simpson_audit
+
+    # classic construction: in BOTH strata B beats A, but A concentrates
+    # in the high-value stratum, so pooled A beats B (reversal)
+    rows = []
+    # stratum X (high values): A 80 rows @ 1000, B 20 rows @ 1100
+    rows += [("x", 1, 1000)] * 80 + [("x", 0, 1100)] * 20
+    # stratum Y (low values): A 20 rows @ 100, B 80 rows @ 200
+    rows += [("y", 1, 100)] * 20 + [("y", 0, 200)] * 80
+    df = spark.createDataFrame(rows, "s string, arm int, v long")
+    out = {
+        r["stratum"]: r
+        for r in simpson_audit(df, "s", "arm", "v").collect()
+    }
+    # per stratum B wins (sign -1); pooled A wins (sign +1) -> reversed
+    assert out["x"]["sign_stratum"] == -1
+    assert out["y"]["sign_stratum"] == -1
+    assert out["x"]["sign_overall"] == 1
+    assert out["x"]["reversed"] and out["y"]["reversed"]
+    assert out["x"]["mean_a_cents"] == 1000
+    # pooled means: A = (80*1000+20*100)/100 = 820;
+    # B = (20*1100+80*200)/100 = 380
+
+
+def test_simpson_audit_quotient_tie_remainder_compare(spark):
+    from firebase_etl_spark.operators.stats import simpson_audit
+
+    # means 10.5 vs 10.333..: equal truncating quotients (10), the
+    # remainder cross-compare must decide the sign
+    rows = [("z", 1, 10), ("z", 1, 11), ("z", 0, 10), ("z", 0, 10),
+            ("z", 0, 11)]
+    df = spark.createDataFrame(rows, "s string, arm int, v long")
+    r = simpson_audit(df, "s", "arm", "v").collect()[0]
+    assert r["sign_stratum"] == 1 and r["sign_overall"] == 1
+    assert not r["reversed"]
