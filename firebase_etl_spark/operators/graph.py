@@ -804,6 +804,30 @@ def modularity_report(
     # 150 exchanges before this). Both tables are edge/node-sized.
     edges = edges.localCheckpoint(eager=True)
     labels = labels.localCheckpoint(eager=True)
+    # size the audit's shuffles from the AGGREGATED graph, not the
+    # session default (the pagerank loop_parts convention): the tail is
+    # four tiny joins/aggs over edge/community-sized tables, and 32
+    # near-empty partitions per exchange is pure scheduling overhead
+    # (measured 3.97 s -> see notes; checkpointed plans don't get AQE
+    # coalescing)
+    spark = edges.sparkSession
+    n_edges = edges.count()  # cheap: checkpointed
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    tail_parts = max(1, min(int(old_parts), n_edges // 100_000 + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(tail_parts))
+    try:
+        return _modularity_tail(edges, labels, src, dst, top)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+def _modularity_tail(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str,
+    dst: str,
+    top: int,
+) -> DataFrame:
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     la = labels.select(
         F.col("node").alias("a"), F.col("community").alias("ca")
@@ -871,4 +895,7 @@ def modularity_report(
         )
         .orderBy(F.desc("n_members"), "community")
         .limit(top)
+        # top-sized; materialized HERE so every tail job runs inside
+        # the sized-shuffle window of the caller
+        .localCheckpoint(eager=True)
     )
