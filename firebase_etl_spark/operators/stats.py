@@ -2995,3 +2995,93 @@ def simpson_audit(
         )
         .orderBy("stratum")
     )
+
+
+def cmh_test(
+    df: DataFrame,
+    stratum_col: str,
+    arm_expr: str,
+    outcome_expr: str,
+) -> DataFrame:
+    """Cochran-Mantel-Haenszel test of a binary arm/outcome association
+    POOLED ACROSS STRATA (Mantel & Haenszel 1959) — the inferential
+    companion to simpson_audit: the audit shows WHERE the signs sit,
+    CMH says whether the common association survives stratification at
+    all (each stratum contributes its own 2x2 table; confounding
+    through the stratum is conditioned away).
+
+        CMH = (sum_i (a_i - E_i))^2 / sum_i V_i,
+        E_i = n1_i m1_i / n_i,
+        V_i = n1_i n0_i m1_i m0_i / (n_i^2 (n_i - 1))
+
+    (no continuity correction — stated convention, mirrored exactly).
+    E and V evaluate through IDENTICAL IEEE double trees on both
+    engines (exact integer inputs) and quantize ONCE at e3; the
+    statistic is then pure integer arithmetic — cmh_e6 =
+    1000 * (sum d_e3)^2 DIV (sum v_e3), compared against the hardcoded
+    95% chi-square(1) critical value. Bound: |sum d_e3| < 3e9 keeps
+    the square in int64 (fixture sums are ~1e7; a 100 TB deployment
+    shifts to e0 quantization, same tree).
+
+    Scale shape: ONE aggregate per stratum; everything after is
+    k-row. Returns per stratum: (stratum, n, n_arm1, n_out1, a_count,
+    e_e3, v_e3, d_e3) with the pooled (cmh_e6, significant) repeated
+    per row (the kcenter convention), ordered by stratum."""
+    base = df.select(
+        F.col(stratum_col).alias("s"),
+        F.expr(arm_expr).cast("int").alias("arm"),
+        F.expr(outcome_expr).cast("int").alias("out"),
+    ).filter(
+        F.col("s").isNotNull()
+        & F.col("arm").isNotNull()
+        & F.col("out").isNotNull()
+    )
+    per = base.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("arm").cast("long").alias("n1"),
+        F.sum("out").cast("long").alias("m1"),
+        F.sum(F.col("arm") * F.col("out")).cast("long").alias("a"),
+    )
+    # strata with n <= 1 carry zero information (V undefined) and are
+    # excluded from BOTH the sums and the report — stated, not silent
+    per = per.filter(F.col("n") > 1).localCheckpoint(eager=True)
+    e_e3 = (
+        "CAST(round((CAST(n1 AS DOUBLE) * CAST(m1 AS DOUBLE)"
+        " / CAST(n AS DOUBLE)) * 1000.0 + 1e-9, 0) AS BIGINT)"
+    )
+    v_e3 = (
+        "CAST(round((CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)"
+        " * CAST(m1 AS DOUBLE) * CAST(n - m1 AS DOUBLE)"
+        " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+        " * CAST(n - 1 AS DOUBLE))) * 1000.0 + 1e-9, 0) AS BIGINT)"
+    )
+    scored = per.select(
+        F.col("s").alias("stratum"),
+        "n",
+        F.col("n1").alias("n_arm1"),
+        F.col("m1").alias("n_out1"),
+        F.col("a").alias("a_count"),
+        F.expr(e_e3).alias("e_e3"),
+        F.expr(v_e3).alias("v_e3"),
+        (F.col("a") * 1000 - F.expr(e_e3)).alias("d_e3"),
+    ).localCheckpoint(eager=True)  # stratum-count-sized
+    cmh = (
+        "CASE WHEN sum_v <= 0 THEN 0"
+        " WHEN abs(sum_d) < 3000000"
+        " THEN (1000 * sum_d * sum_d) DIV sum_v"
+        " ELSE ((sum_d DIV 1000) * (sum_d DIV 1000) DIV sum_v)"
+        " * 1000000000"
+        " + (((sum_d DIV 1000) * (sum_d DIV 1000) % sum_v)"
+        " * 1000000000) DIV sum_v END"
+    )
+    tot = scored.agg(
+        F.sum("d_e3").cast("long").alias("sum_d"),
+        F.sum("v_e3").cast("long").alias("sum_v"),
+    ).select(F.expr(cmh).cast("long").alias("cmh_e6"))
+    return (
+        scored.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "significant", F.col("cmh_e6") > F.lit(SRM_CHI2_CRIT_E6)
+        )
+        .orderBy("stratum")
+    )

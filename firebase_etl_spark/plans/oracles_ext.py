@@ -9501,3 +9501,60 @@ ORACLES_EXT["orders_simpson_audit"] = """
     FROM per CROSS JOIN tot
     ORDER BY stratum
 """
+
+
+def _cmh_oracle() -> str:
+    from firebase_etl_spark.operators.stats import SRM_CHI2_CRIT_E6
+
+    e_e3 = (
+        "CAST(round((CAST(n1 AS DOUBLE) * CAST(m1 AS DOUBLE)"
+        " / CAST(n AS DOUBLE)) * 1000.0 + 1e-9, 0) AS BIGINT)"
+    )
+    v_e3 = (
+        "CAST(round((CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)"
+        " * CAST(m1 AS DOUBLE) * CAST(n - m1 AS DOUBLE)"
+        " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+        " * CAST(n - 1 AS DOUBLE))) * 1000.0 + 1e-9, 0) AS BIGINT)"
+    )
+    cmh = (
+        "CASE WHEN sum_v <= 0 THEN 0"
+        " WHEN abs(sum_d) < 3000000"
+        " THEN (1000 * sum_d * sum_d) // sum_v"
+        " ELSE ((sum_d // 1000) * (sum_d // 1000) // sum_v)"
+        " * 1000000000"
+        " + (((sum_d // 1000) * (sum_d // 1000) % sum_v)"
+        " * 1000000000) // sum_v END"
+    )
+    return f"""
+    WITH base AS (
+        SELECT c_mktsegment AS s,
+               CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS arm,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS out
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment IS NOT NULL
+    ), per AS MATERIALIZED (
+        SELECT s, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(arm) AS BIGINT) AS n1,
+               CAST(sum(out) AS BIGINT) AS m1,
+               CAST(sum(arm * out) AS BIGINT) AS a
+        FROM base GROUP BY s HAVING count(*) > 1
+    ), scored AS MATERIALIZED (
+        SELECT s AS stratum, n, n1 AS n_arm1, m1 AS n_out1,
+               a AS a_count, {e_e3} AS e_e3, {v_e3} AS v_e3,
+               a * 1000 - {e_e3} AS d_e3
+        FROM per
+    ), tot AS (
+        SELECT CAST(sum(d_e3) AS BIGINT) AS sum_d,
+               CAST(sum(v_e3) AS BIGINT) AS sum_v
+        FROM scored
+    )
+    SELECT stratum, n, n_arm1, n_out1, a_count, e_e3, v_e3, d_e3,
+           CAST({cmh} AS BIGINT) AS cmh_e6,
+           CAST({cmh} AS BIGINT) > {SRM_CHI2_CRIT_E6} AS significant
+    FROM scored CROSS JOIN tot
+    ORDER BY stratum
+"""
+
+
+ORACLES_EXT["orders_cmh_test"] = _cmh_oracle()

@@ -7287,3 +7287,29 @@ def orders_simpson_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         " THEN 1 ELSE 0 END",
         "CAST(round(o_totalprice * 100.0, 0) AS BIGINT)",
     )
+
+
+def orders_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel pooled association test
+    (operators/stats.py:cmh_test): is urgent order priority associated
+    with order fulfilment (status 'F') once the customer market
+    segment is conditioned away — the inference companion to
+    orders_simpson_audit's sign map. One aggregate per stratum;
+    E/V quantized once at e3 through identical double trees; pooled
+    chi-square vs the hardcoded 95% critical value."""
+    from firebase_etl_spark.operators.stats import cmh_test
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_custkey", "o_orderpriority", "o_orderstatus"
+    )
+    c = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_mktsegment"
+    )
+    j = o.join(c, o.o_custkey == c.c_custkey)
+    return cmh_test(
+        j,
+        "c_mktsegment",
+        "CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')"
+        " THEN 1 ELSE 0 END",
+        "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END",
+    )

@@ -4240,3 +4240,37 @@ def test_simpson_audit_quotient_tie_remainder_compare(spark):
     r = simpson_audit(df, "s", "arm", "v").collect()[0]
     assert r["sign_stratum"] == 1 and r["sign_overall"] == 1
     assert not r["reversed"]
+
+
+def test_cmh_test_textbook_association(spark):
+    from firebase_etl_spark.operators.stats import cmh_test
+
+    # strong identical association in both strata: arm 1 almost always
+    # yields outcome 1, arm 0 almost never
+    rows = []
+    for s, size in (("x", 100), ("y", 80)):
+        half = size // 2
+        rows += [(s, 1, 1)] * (half - 2) + [(s, 1, 0)] * 2
+        rows += [(s, 0, 0)] * (half - 2) + [(s, 0, 1)] * 2
+    df = spark.createDataFrame(rows, "s string, arm int, out int")
+    out = cmh_test(df, "s", "arm", "out").collect()
+    assert len(out) == 2
+    r = out[0]
+    assert r["significant"] and r["cmh_e6"] > 3_841_459
+    # hand check stratum x: n=100, n1=50, m1=50, a=48 -> E=25, d=+23
+    x = {row["stratum"]: row for row in out}["x"]
+    assert x["e_e3"] == 25_000 and x["d_e3"] == 23_000
+
+
+def test_cmh_test_null_when_no_association(spark):
+    from firebase_etl_spark.operators.stats import cmh_test
+
+    # outcome independent of arm in every stratum -> d ~ 0, cmh ~ 0
+    rows = []
+    for s in ("x", "y"):
+        for arm in (0, 1):
+            rows += [(s, arm, 1)] * 10 + [(s, arm, 0)] * 10
+    df = spark.createDataFrame(rows, "s string, arm int, out int")
+    out = cmh_test(df, "s", "arm", "out").collect()
+    assert all(r["d_e3"] == 0 for r in out)
+    assert all(r["cmh_e6"] == 0 and not r["significant"] for r in out)
