@@ -149,6 +149,8 @@ NEW_OPS = [
     "orders_bootstrap_ci",
     "part_copurchase_modularity",
     "embedding_dbscan_clusters",
+    "orders_simpson_audit",
+    "orders_cmh_test",
 ]
 
 
