@@ -3085,3 +3085,158 @@ def cmh_test(
         )
         .orderBy("stratum")
     )
+
+
+#: chi-square 95th percentiles at 1..9 dof, e6 — Kruskal-Wallis crit
+#: values as shared integer literals (textbook table; the BH_CRIT /
+#: SRM convention: no runtime inverse CDF on either engine)
+KW_CHI2_CRIT_E6: dict[int, int] = {
+    1: 3_841_459, 2: 5_991_465, 3: 7_814_728, 4: 9_487_729,
+    5: 11_070_498, 6: 12_591_587, 7: 14_067_140, 8: 15_507_313,
+    9: 16_918_978,
+}
+
+
+def kruskal_wallis_report(
+    df: DataFrame,
+    group_col: str,
+    score,
+) -> DataFrame:
+    """Exact tie-corrected Kruskal-Wallis rank test (Kruskal & Wallis
+    1952) of an INTEGER score across k groups — the k-group extension
+    of binary_auc_report's Mann-Whitney rank algebra, and the
+    nonparametric complement to the Welch-z family: does ANY group's
+    score distribution sit apart, with no normality assumption.
+
+        H   = 3 * sum_g (R2_g - n_g (N+1))^2 / n_g / (N (N+1))
+        H_c = H / C,  C = 1 - sum_s (t_s^3 - t_s) / (N^3 - N)
+
+    where R2_g is TWICE the tied-midrank sum (an exact integer:
+    tied block of size t at cumulative offset c contributes
+    c_{g,s} * (2c + t + 1)).
+
+    All-integer with magnitude gates (the gains-table convention,
+    each mirrored verbatim in the oracle): the per-group square drops
+    to a 2^10-shifted form past |q| = 3e9; the tie ratio drops to a
+    2^20-shifted form past N^3 - N = 9e9; every division that could
+    overflow uses the overflow-free (a DIV m)*b + ((a%m)*b) DIV m
+    split. Exact-int64 domain N < ~2e6 rows (N^3 fits); past that the
+    gated branches bound relative error below the e6 resolution.
+
+    Scale shape: one scan -> (group, score) histogram; prefix counts
+    over the bounded score histogram via the broadcast BNLJ house
+    pattern (never a global window). Returns one row per group:
+    (group_key, n_rows, r2_sum, q) with the pooled (n_total, n_groups,
+    h_e6, tie_t, c_e9, hc_e6, significant) repeated per row, ordered
+    by group_key. significant compares hc_e6 against the hardcoded
+    95% chi-square(k-1) literal (k <= 10)."""
+    base = df.select(
+        F.col(group_col).alias("g"),
+        score.cast("long").alias("s"),
+    ).filter(F.col("g").isNotNull() & F.col("s").isNotNull())
+    hist = base.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("t")
+    ).localCheckpoint(eager=True)  # score-codomain-sized
+    ghist = base.groupBy("g", "s").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    cums = (
+        hist.alias("w")
+        .join(F.broadcast(hist.alias("v")), F.col("v.s") < F.col("w.s"),
+              "left")
+        .groupBy(F.col("w.s"), F.col("w.t"))
+        .agg(F.coalesce(F.sum("v.t"), F.lit(0)).alias("cum_before"))
+        .select(
+            F.col("w.s").alias("s"), F.col("w.t").alias("t"),
+            "cum_before",
+        )
+        .localCheckpoint(eager=True)  # codomain-sized; 2 consumers
+    )
+    per_g = (
+        ghist.join(F.broadcast(cums), "s")
+        .groupBy("g")
+        .agg(
+            F.sum("c").cast("long").alias("n_g"),
+            F.sum(
+                F.col("c")
+                * (F.lit(2) * F.col("cum_before") + F.col("t") + F.lit(1))
+            ).cast("long").alias("r2"),
+        )
+        .localCheckpoint(eager=True)  # k rows
+    )
+    tot = per_g.agg(
+        F.sum("n_g").cast("long").alias("nn"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    ).crossJoin(
+        cums.agg(
+            F.sum(
+                F.col("t") * F.col("t") * F.col("t") - F.col("t")
+            ).cast("long").alias("tie_t")
+        )
+    ).localCheckpoint(eager=True)  # 1 row
+    # per-group w = q^2 / n_g, gated at |q| = 3e9 (2^10 shift past it)
+    w_expr = (
+        "CASE WHEN abs(q) < 3000000000"
+        " THEN (q * q) DIV n_g"
+        " ELSE ((q DIV 1024) * (q DIV 1024) DIV n_g) * 1048576"
+        " + (((q DIV 1024) * (q DIV 1024) % n_g) * 1048576) DIV n_g"
+        " END"
+    )
+    scored = per_g.crossJoin(F.broadcast(tot)).select(
+        F.col("g").alias("group_key"),
+        F.col("n_g").alias("n_rows"),
+        F.col("r2").alias("r2_sum"),
+        (F.col("r2") - F.col("n_g") * (F.col("nn") + 1)).alias("q"),
+        "n_g", "nn", "k", "tie_t",
+    ).withColumn("w", F.expr(w_expr))
+    sums = scored.groupBy("nn", "k", "tie_t").agg(
+        F.sum("w").cast("long").alias("sw")
+    )
+    # H_e6 = 3e6 * SW / (N (N+1)) via the overflow-free split
+    h_e6 = (
+        "(sw DIV (nn * (nn + 1))) * 3000000"
+        " + ((sw % (nn * (nn + 1))) * 3000000) DIV (nn * (nn + 1))"
+    )
+    # C_e9 = 1e9 - 1e9 * T / (N^3 - N): exact while T * 1e9 fits int64
+    # (T < 9e9); past that BOTH sides shift by 2^20 (T >= 9e9 makes the
+    # shifted T >= 8.5e3, so the shift's relative error stays ~2^-20 —
+    # gate on T, not on N^3: gating on the denominator zeroed small-T
+    # corrections, caught by the sf0.01 smoke)
+    c_e9 = (
+        "CASE WHEN nn * nn * nn - nn <= 0 THEN 1000000000"
+        " WHEN tie_t < 9000000000"
+        " THEN 1000000000 - (tie_t * 1000000000)"
+        " DIV (nn * nn * nn - nn)"
+        " ELSE 1000000000 - ((tie_t DIV 1048576) * 1000000000)"
+        " DIV ((nn * nn * nn - nn) DIV 1048576) END"
+    )
+    # Hc_e6 = 1e9 * H_e6 / C_e9 via the split (degenerate all-tied
+    # corpora have C = 0: report NULL, the statistic is undefined)
+    hc_e6 = (
+        "CASE WHEN c_e9 <= 0 THEN CAST(NULL AS BIGINT)"
+        " ELSE (h_e6 DIV c_e9) * 1000000000"
+        " + ((h_e6 % c_e9) * 1000000000) DIV c_e9 END"
+    )
+    crit_case = "CASE " + " ".join(
+        f"WHEN k - 1 = {d} THEN {c}"
+        for d, c in sorted(KW_CHI2_CRIT_E6.items())
+    ) + " ELSE NULL END"
+    pooled = (
+        sums.withColumn("h_e6", F.expr(h_e6).cast("long"))
+        .withColumn("c_e9", F.expr(c_e9).cast("long"))
+        .withColumn("hc_e6", F.expr(hc_e6).cast("long"))
+        .withColumn(
+            "significant",
+            F.expr(f"hc_e6 > ({crit_case})"),
+        )
+        .select(
+            F.col("nn").alias("n_total"),
+            F.col("k").alias("n_groups"),
+            "tie_t", "h_e6", "c_e9", "hc_e6", "significant",
+        )
+    )
+    return (
+        scored.select("group_key", "n_rows", "r2_sum", "q")
+        .crossJoin(F.broadcast(pooled))
+        .orderBy("group_key")
+    )

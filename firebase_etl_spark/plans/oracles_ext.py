@@ -9558,3 +9558,84 @@ def _cmh_oracle() -> str:
 
 
 ORACLES_EXT["orders_cmh_test"] = _cmh_oracle()
+
+
+def _kruskal_wallis_oracle() -> str:
+    from firebase_etl_spark.operators.stats import KW_CHI2_CRIT_E6
+
+    crit_case = "CASE " + " ".join(
+        f"WHEN p.n_groups - 1 = {d} THEN {c}"
+        for d, c in sorted(KW_CHI2_CRIT_E6.items())
+    ) + " ELSE NULL END"
+    return f"""
+    WITH base AS MATERIALIZED (
+        SELECT event_type AS g,
+               CAST(round(value * 100.0, 0) AS BIGINT) AS s
+        FROM events
+        WHERE event_type IS NOT NULL AND value IS NOT NULL
+    ), hist AS MATERIALIZED (
+        SELECT s, CAST(count(*) AS BIGINT) AS t FROM base GROUP BY s
+    ), cums AS MATERIALIZED (
+        SELECT w.s, w.t,
+               CAST(coalesce(sum(v.t), 0) AS BIGINT) AS cum_before
+        FROM hist w LEFT JOIN hist v ON v.s < w.s
+        GROUP BY w.s, w.t
+    ), ghist AS (
+        SELECT g, s, CAST(count(*) AS BIGINT) AS c
+        FROM base GROUP BY g, s
+    ), per_g AS MATERIALIZED (
+        SELECT g, CAST(sum(c) AS BIGINT) AS n_g,
+               CAST(sum(c * (2 * cum_before + t + 1)) AS BIGINT) AS r2
+        FROM ghist JOIN cums USING (s) GROUP BY g
+    ), tot AS MATERIALIZED (
+        SELECT (SELECT CAST(sum(n_g) AS BIGINT) FROM per_g) AS nn,
+               (SELECT CAST(count(*) AS BIGINT) FROM per_g) AS k,
+               (SELECT CAST(sum(t * t * t - t) AS BIGINT) FROM cums)
+                   AS tie_t
+    ), scored AS MATERIALIZED (
+        SELECT g AS group_key, n_g AS n_rows, r2 AS r2_sum,
+               r2 - n_g * (nn + 1) AS q, n_g, nn, k, tie_t,
+               CASE WHEN abs(r2 - n_g * (nn + 1)) < 3000000000
+                    THEN ((r2 - n_g * (nn + 1))
+                          * (r2 - n_g * (nn + 1))) // n_g
+                    ELSE (((r2 - n_g * (nn + 1)) // 1024)
+                          * ((r2 - n_g * (nn + 1)) // 1024) // n_g)
+                         * 1048576
+                       + ((((r2 - n_g * (nn + 1)) // 1024)
+                          * ((r2 - n_g * (nn + 1)) // 1024) % n_g)
+                          * 1048576) // n_g
+               END AS w
+        FROM per_g CROSS JOIN tot
+    ), sums AS MATERIALIZED (
+        SELECT nn, k, tie_t, CAST(sum(w) AS BIGINT) AS sw
+        FROM scored GROUP BY nn, k, tie_t
+    ), pooled AS MATERIALIZED (
+        SELECT nn AS n_total, k AS n_groups, tie_t, h_e6, c_e9,
+               CASE WHEN c_e9 <= 0 THEN CAST(NULL AS BIGINT)
+                    ELSE (h_e6 // c_e9) * 1000000000
+                       + ((h_e6 % c_e9) * 1000000000) // c_e9
+               END AS hc_e6
+        FROM (
+            SELECT nn, k, tie_t,
+                   CAST((sw // (nn * (nn + 1))) * 3000000
+                        + ((sw % (nn * (nn + 1))) * 3000000)
+                          // (nn * (nn + 1)) AS BIGINT) AS h_e6,
+                   CAST(CASE WHEN nn * nn * nn - nn <= 0 THEN 1000000000
+                        WHEN tie_t < 9000000000
+                        THEN 1000000000 - (tie_t * 1000000000)
+                             // (nn * nn * nn - nn)
+                        ELSE 1000000000
+                             - ((tie_t // 1048576) * 1000000000)
+                               // ((nn * nn * nn - nn) // 1048576)
+                        END AS BIGINT) AS c_e9
+            FROM sums)
+    )
+    SELECT s.group_key, s.n_rows, s.r2_sum, s.q,
+           p.n_total, p.n_groups, p.tie_t, p.h_e6, p.c_e9, p.hc_e6,
+           p.hc_e6 > ({crit_case}) AS significant
+    FROM scored s CROSS JOIN pooled p
+    ORDER BY s.group_key
+"""
+
+
+ORACLES_EXT["events_kruskal_wallis"] = _kruskal_wallis_oracle()

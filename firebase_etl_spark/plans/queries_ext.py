@@ -7313,3 +7313,23 @@ def orders_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         " THEN 1 ELSE 0 END",
         "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END",
     )
+
+
+def events_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Kruskal-Wallis rank test of event value (cents)
+    across the five event types (operators/stats.py:
+    kruskal_wallis_report) — the k-group nonparametric complement to
+    the Welch-z/FDR family and the AUC pair: one rank algebra over the
+    bounded distinct-value histogram, exact integers with magnitude
+    gates, pooled H vs the hardcoded chi-square(k-1) literal. The
+    fixture draws value iid across types, so the honest read is
+    NOT-significant — the test certifying a null, like doc_langid_auc's
+    0.478 row."""
+    from firebase_etl_spark.operators.stats import kruskal_wallis_report
+
+    e = load_table(spark, "events", sf_dir).filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    return kruskal_wallis_report(
+        e, "event_type", F.round(F.col("value") * 100).cast("long")
+    )

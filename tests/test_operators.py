@@ -4274,3 +4274,40 @@ def test_cmh_test_null_when_no_association(spark):
     out = cmh_test(df, "s", "arm", "out").collect()
     assert all(r["d_e3"] == 0 for r in out)
     assert all(r["cmh_e6"] == 0 and not r["significant"] for r in out)
+
+
+def test_kruskal_wallis_detects_shifted_group(spark):
+    from pyspark.sql import functions as F
+
+    from firebase_etl_spark.operators.stats import kruskal_wallis_report
+
+    # groups a/b identical uniform 0..19; group c shifted +100:
+    # strongly significant at 2 dof
+    rows = [("a", i % 20) for i in range(200)]
+    rows += [("b", i % 20) for i in range(200)]
+    rows += [("c", 100 + i % 20) for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = kruskal_wallis_report(df, "g", F.col("v")).collect()
+    assert len(out) == 3
+    r = out[0]
+    assert r["n_groups"] == 3 and r["n_total"] == 600
+    assert r["significant"] and r["hc_e6"] > 5_991_465
+    # groups a and b have identical rank sums by construction
+    by = {x["group_key"]: x for x in out}
+    assert by["a"]["r2_sum"] == by["b"]["r2_sum"]
+    assert by["c"]["q"] > 0 > by["a"]["q"]
+
+
+def test_kruskal_wallis_null_when_identical(spark):
+    from pyspark.sql import functions as F
+
+    from firebase_etl_spark.operators.stats import kruskal_wallis_report
+
+    rows = [(g, i % 10) for g in ("x", "y", "z") for i in range(90)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = kruskal_wallis_report(df, "g", F.col("v")).collect()
+    # identical distributions: every q is exactly 0 -> H = 0
+    assert all(r["q"] == 0 for r in out)
+    assert all(r["h_e6"] == 0 and not r["significant"] for r in out)
+    # ties everywhere: the correction engages (c_e9 < 1e9) but H stays 0
+    assert all(r["c_e9"] < 1_000_000_000 for r in out)
