@@ -151,6 +151,7 @@ NEW_OPS = [
     "embedding_dbscan_clusters",
     "orders_simpson_audit",
     "orders_cmh_test",
+    "events_kruskal_wallis",
 ]
 
 
