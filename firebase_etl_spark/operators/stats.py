@@ -985,11 +985,12 @@ def binary_auc_report(
     side stays fixed-size at any corpus scale.
 
     Scale shape: one scan -> groupBy(score) map-side-combinable
-    histogram; prefix counts over the bounded histogram run as a
-    broadcast BNLJ self-join (the house bounded-spine pattern — no
-    global-order window anywhere; the scale-lint suite enforces it).
-    Returns one row: (n_pos, n_neg, n_scored, u2, auc_e6); auc_e6 is
-    NULL when a class is empty (AUC undefined)."""
+    histogram; strictly-smaller prefix counts over the bounded
+    histogram via the two-phase with_prefix_sum (linear in distinct
+    scores — replaced the O(codomain^2) broadcast-BNLJ theta self-join
+    per VERDICT r9 #2; exact integers, so bit-identical). Returns one
+    row: (n_pos, n_neg, n_scored, u2, auc_e6); auc_e6 is NULL when a
+    class is empty (AUC undefined)."""
     base = df.select(
         score.cast("long").alias("s"),
         label.cast("int").alias("y"),
@@ -997,22 +998,13 @@ def binary_auc_report(
     g = base.groupBy("s").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("y").cast("long").alias("npos"),
-    ).localCheckpoint(eager=True)  # histogram-sized; referenced twice
-    # strictly-smaller prefix counts via the broadcast BNLJ self-join
-    # (the km_curve/changepoint house pattern) — NEVER a global-order
-    # window, which would execute on one partition (scale-lint enforced)
+    )
     g2 = (
-        g.alias("w")
-        .join(
-            F.broadcast(g.alias("v")),
-            F.col("v.s") < F.col("w.s"),
-            "left",
-        )
-        .groupBy(F.col("w.s"), F.col("w.n"), F.col("w.npos"))
-        .agg(F.coalesce(F.sum("v.n"), F.lit(0)).alias("cum_before"))
+        with_prefix_sum(g, [F.col("s")], "n", out="cum_incl")
         .select(
-            F.col("w.s").alias("s"), F.col("w.n").alias("n"),
-            F.col("w.npos").alias("npos"), "cum_before",
+            "s", "n", "npos",
+            (F.col("cum_incl") - F.col("n")).cast("long")
+            .alias("cum_before"),
         )
     )
     return g2.agg(
@@ -2853,6 +2845,60 @@ def with_global_rank(df, order_cols, out: str = "r") -> DataFrame:
     )
 
 
+def with_prefix_sum(df, order_cols, value_col: str, out: str = "cum") -> DataFrame:
+    """Scale-safe EXACT inclusive running sum of ``value_col`` in the
+    total order given by ``order_cols`` — the two-phase sibling of
+    with_global_rank, and the replacement for the O(rows^2) broadcast-
+    BNLJ theta self-join (``v.s < w.s``) that prefix counts used to
+    run as: on a ~10k-distinct-value histogram that join evaluates
+    ~10^8 predicates for a result a linear pass produces.
+
+    Shape: repartitionByRange on the order, per-partition running sum
+    (a PARTITIONED window — the empty-PARTITION-BY form is banned by
+    the scale lint), then add per-partition totals collected as
+    #partitions rows and broadcast back. The sampled range boundaries
+    are plan-nondeterministic but the output depends only on the
+    total order. Exact int64 throughout — bit-identical to the theta-
+    join form by construction.
+
+    ``order_cols`` must form a TOTAL order (distinct histogram keys
+    qualify). Cost: one range shuffle over a bounded table + one
+    #partitions-row collect."""
+    spark = df.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    d = (
+        df.repartitionByRange(n, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn(
+            "__ls",
+            F.sum(value_col).over(
+                Window.partitionBy("__pid")
+                .orderBy(*order_cols)
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).cast("long"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sums = sorted(
+        (int(r["__pid"]), int(r["c"]))
+        for r in d.groupBy("__pid").agg(
+            F.sum(value_col).cast("long").alias("c")
+        ).collect()
+    )
+    offs, acc = [], 0
+    for pid, c in sums:
+        offs.append((pid, acc))
+        acc += c
+    om = F.broadcast(
+        spark.createDataFrame(offs, "__pid int, __off long")
+    )
+    return (
+        d.join(om, "__pid")
+        .withColumn(out, (F.col("__off") + F.col("__ls")).cast("long"))
+        .drop("__pid", "__ls", "__off")
+    )
+
+
 #: chi-square 95th percentile at 1 dof, e6 — the SRM alarm threshold as
 #: a shared integer literal (the BH_CRIT/NDCG hardcoded-quantile
 #: convention: no runtime inverse CDF on either engine)
@@ -3120,12 +3166,18 @@ def kruskal_wallis_report(
     to a 2^10-shifted form past |q| = 3e9; the tie ratio drops to a
     2^20-shifted form past N^3 - N = 9e9; every division that could
     overflow uses the overflow-free (a DIV m)*b + ((a%m)*b) DIV m
-    split. Exact-int64 domain N < ~2e6 rows (N^3 fits); past that the
-    gated branches bound relative error below the e6 resolution.
+    split. Exact-int64 domain N <~ 1.7e6 rows — the binding term is
+    H_e6's remainder product (sw % (nn*(nn+1))) * 3e6, which can
+    approach nn^2 * 3e6 and exceeds 2^63 once N > ~1.75e6, slightly
+    before N^3 itself overflows; past that the gated branches bound
+    relative error below the e6 resolution but the remainder multiply
+    would need the same 2^k-shift gate before trusting larger N.
 
     Scale shape: one scan -> (group, score) histogram; prefix counts
-    over the bounded score histogram via the broadcast BNLJ house
-    pattern (never a global window). Returns one row per group:
+    over the bounded score histogram via the two-phase
+    with_prefix_sum (linear in distinct scores — replaced the
+    O(codomain^2) broadcast-BNLJ theta self-join per VERDICT r9 #2;
+    exact integers, so bit-identical). Returns one row per group:
     (group_key, n_rows, r2_sum, q) with the pooled (n_total, n_groups,
     h_e6, tie_t, c_e9, hc_e6, significant) repeated per row, ordered
     by group_key. significant compares hc_e6 against the hardcoded
@@ -3136,19 +3188,16 @@ def kruskal_wallis_report(
     ).filter(F.col("g").isNotNull() & F.col("s").isNotNull())
     hist = base.groupBy("s").agg(
         F.count(F.lit(1)).cast("long").alias("t")
-    ).localCheckpoint(eager=True)  # score-codomain-sized
+    )  # score-codomain-sized
     ghist = base.groupBy("g", "s").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
     cums = (
-        hist.alias("w")
-        .join(F.broadcast(hist.alias("v")), F.col("v.s") < F.col("w.s"),
-              "left")
-        .groupBy(F.col("w.s"), F.col("w.t"))
-        .agg(F.coalesce(F.sum("v.t"), F.lit(0)).alias("cum_before"))
+        with_prefix_sum(hist, [F.col("s")], "t", out="cum_incl")
         .select(
-            F.col("w.s").alias("s"), F.col("w.t").alias("t"),
-            "cum_before",
+            "s", "t",
+            (F.col("cum_incl") - F.col("t")).cast("long")
+            .alias("cum_before"),
         )
         .localCheckpoint(eager=True)  # codomain-sized; 2 consumers
     )
