@@ -224,8 +224,17 @@ def fellegi_sunter_report(
         ("(1 * 10000)", "__ln_d1_name"),
         ("(20 * 9999)", "__ln_d2_name"),
     ]
-    for arg, out in ln_args:
+    # One codegen barrier per 4-ln batch: 16 portable-ln expansions
+    # collapsed into ONE projection exceed janino's 64 KB method limit
+    # (the generated processNext() hit ~15k lines and fell back to
+    # interpreted eval — VERDICT r9 #3, reproduced on this exact
+    # stage). w is ONE row, so each localCheckpoint is a trivial job;
+    # the values are bit-identical (same expressions, just compiled in
+    # four stages that each fit).
+    for i, (arg, out) in enumerate(ln_args):
         w = with_ln(w, arg, out)
+        if i % 4 == 3 and i < len(ln_args) - 1:
+            w = w.localCheckpoint(eager=True)
     weight_cols = []
     for fld in ("nat", "seg", "cc", "name"):
         weight_cols += [
