@@ -267,10 +267,14 @@ def kmv_set_ops_report(
         .filter(F.col("r") <= k)
         .localCheckpoint(eager=True)  # k-sized per key; consumed 3x below
     )
+    # key-count-sized; consumed THREE times (pair spine + both join
+    # sides of the per-key estimates) — materialized so neither
+    # consumer re-runs the groupBy over sk, and the pair spine reuses
+    # it instead of a separate distinct shuffle (VERDICT r9 #4 glance)
     per_g = sk.groupBy("g").agg(
         F.count(F.lit(1)).alias("n_sk"), F.max("h").alias("h_k")
-    )
-    types = sk.select("g").distinct()
+    ).localCheckpoint(eager=True)
+    types = per_g.select("g")
     pairs = (
         types.select(F.col("g").alias("ga"))
         .join(
