@@ -9189,17 +9189,22 @@ ORACLES_EXT["part_association_rules"] = """
         WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
     ), nb AS (
         SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n_baskets FROM b
+    ), thr AS (
+        -- fractional support floor mirroring the engine: GREATEST(
+        -- min_support, n_baskets * support_ppm DIV 1e6) at 100 ppm
+        SELECT GREATEST(CAST(2 AS BIGINT),
+                        (n_baskets * 100) // 1000000) AS thr FROM nb
     ), ic AS MATERIALIZED (
         SELECT it, CAST(count(*) AS BIGINT) AS ic FROM b GROUP BY it
     ), freq AS MATERIALIZED (
-        SELECT it, ic FROM ic WHERE ic >= 2
+        SELECT it, ic FROM ic WHERE ic >= (SELECT thr FROM thr)
     ), bf AS MATERIALIZED (
         SELECT b.bk, b.it FROM b JOIN freq ON b.it = freq.it
     ), pairs AS MATERIALIZED (
         SELECT a.it AS p1, z.it AS p2, CAST(count(*) AS BIGINT) AS pc
         FROM bf a JOIN bf z ON a.bk = z.bk AND a.it < z.it
         GROUP BY 1, 2
-        HAVING count(*) >= 2
+        HAVING count(*) >= (SELECT thr FROM thr)
     ), sided AS (
         SELECT p1, p2, pc, f1.ic AS c1, f2.ic AS c2, nb.n_baskets
         FROM pairs

@@ -83,7 +83,8 @@ def main() -> int:
                 timeout=args.timeout,
             )
             out = proc.stdout + proc.stderr
-            if "at risk" in out and " 0 at risk" not in out:
+            m_risk = re.search(r"(\d+)\s+at risk", out)
+            if m_risk and int(m_risk.group(1)) > 0:
                 verdict = "AT_RISK"
             elif proc.returncode == 0:
                 verdict = "IMMUNE"
@@ -99,6 +100,7 @@ def main() -> int:
                 )
                 + "\n"
             )
+        done[name] = verdict  # keep the closing summary current-run-aware
         print(f"{name}: {verdict} ({wall:.0f}s)", flush=True)
         if verdict in ("AT_RISK", "ERROR"):
             print(out[-2000:], flush=True)
