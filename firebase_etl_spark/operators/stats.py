@@ -1360,10 +1360,12 @@ def boot_mix_constants(reps: int) -> list[tuple[int, int, int]]:
     return out
 
 
-def boot_weight_sql(b: int, a1: int, a2: int, c: int) -> str:
+def boot_weight_sql(a1: int, a2: int, c: int) -> str:
     """The Poisson(1) inverse-CDF weight of one replicate as a SQL
     expression over columns ``h1``/``h2`` — textually identical on
-    Spark and DuckDB (integer multiply-add, %, CASE chain)."""
+    Spark and DuckDB (integer multiply-add, %, CASE chain). The
+    replicate id is already baked into (a1, a2, c) by
+    boot_mix_constants, so it is not a parameter here."""
     u = f"((h1 * {a1} + h2 * {a2} + {c}) % {1 << 52})"
     return "(" + " + ".join(
         f"(CASE WHEN {u} >= {t} THEN 1 ELSE 0 END)"
@@ -1422,7 +1424,7 @@ def poisson_bootstrap_ci(
         F.sum("v").cast("long").alias("tot"),
     ]
     for b, (a1, a2, c) in enumerate(boot_mix_constants(reps)):
-        w = boot_weight_sql(b, a1, a2, c)
+        w = boot_weight_sql(a1, a2, c)
         aggs.append(
             F.sum(F.expr(f"CAST({w} AS BIGINT) * v")).alias(f"s_{b}")
         )

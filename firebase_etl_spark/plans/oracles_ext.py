@@ -7712,7 +7712,7 @@ def _bootstrap_oracle(reps: int = 64) -> str:
 
     cols = []
     for b, (a1, a2, c) in enumerate(boot_mix_constants(reps)):
-        w = boot_weight_sql(b, a1, a2, c)
+        w = boot_weight_sql(a1, a2, c)
         cols.append(
             f"CAST(sum(CAST({w} AS BIGINT) * v) AS BIGINT) AS s_{b},"
             f" CAST(sum({w}) AS BIGINT) AS n_{b}"
@@ -9265,7 +9265,9 @@ ORACLES_EXT["events_srm_check"] = _srm_oracle()
 def _hard_negatives_oracle() -> str:
     """Hard-negatives twin: nests the k=50 BM25 oracle as the candidate
     pool, labels candidates with the same graded-Jaccard CASE, keeps
-    the below-binary-relevance candidates (rel < 2) in retriever
+    the candidates below doc_hard_negatives' fixture-measured
+    rel_threshold=4 (rel < 4; the token-set-homogeneous corpus forces
+    the high threshold) in retriever
     order."""
     return rf"""
     WITH bm AS ({_bm25_oracle(k=50)}),
