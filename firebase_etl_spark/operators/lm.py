@@ -760,3 +760,61 @@ def js_divergence_report(
         )
         .orderBy("lang_a", "lang_b")
     )
+
+
+def chao1_richness_report(
+    df: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Chao1 vocabulary-richness estimate per group (Chao 1984): how
+    many distinct tokens does this slice REALLY have, counting the
+    ones sampling hasn't surfaced yet — chao1 = D + f1^2/(2 f2) from
+    the observed vocabulary D and the singleton/doubleton counts
+    (bias-corrected D + f1(f1-1)/2 when f2 = 0). The coverage
+    companion to unseen_mass_report's Good-Turing P_unseen: that says
+    how much probability mass is unseen, this says how many TYPES —
+    the number that tells you whether scaling a source 10x will keep
+    yielding new vocabulary or just repeat itself.
+
+    All-integer: (group, token) counts are exact; D, f1, f2, n are
+    exact int64; the Chao1 correction quantizes once at e2 via
+    truncating division (f1^2 is vocabulary-sized squared — < 2^63
+    for f1 < 3e9 types). hapax_ratio_e6 = f1*1e6 DIV D. Scale shape:
+    one explode -> map-side-combinable (group, token) counts -> one
+    group-sized aggregate. Returns one row per group: (group_key,
+    n_tokens, vocab_size, f1, f2, chao1_e2, hapax_ratio_e6)."""
+    tf = (
+        df.filter(
+            F.col(group_col).isNotNull() & F.col(text_col).isNotNull()
+        )
+        .select(
+            F.col(group_col).alias("g"),
+            F.explode(tokenize(text_col)).alias("term"),
+        )
+        .groupBy("g", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return (
+        tf.groupBy("g")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("vocab_size"),
+            F.sum((F.col("c") == 1).cast("long")).cast("long").alias("f1"),
+            F.sum((F.col("c") == 2).cast("long")).cast("long").alias("f2"),
+        )
+        .select(
+            F.col("g").alias("group_key"),
+            "n_tokens", "vocab_size", "f1", "f2",
+            F.expr(
+                "CASE WHEN f2 > 0"
+                " THEN vocab_size * 100 + (f1 * f1 * 100) DIV (2 * f2)"
+                " ELSE vocab_size * 100 + (f1 * (f1 - 1) * 100) DIV 2"
+                " END"
+            ).cast("long").alias("chao1_e2"),
+            F.expr(
+                "CASE WHEN vocab_size > 0"
+                " THEN (f1 * 1000000) DIV vocab_size"
+                " ELSE CAST(NULL AS BIGINT) END"
+            ).cast("long").alias("hapax_ratio_e6"),
+        )
+        .orderBy("group_key")
+    )

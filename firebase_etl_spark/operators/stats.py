@@ -3316,3 +3316,453 @@ def kruskal_wallis_report(
         .crossJoin(F.broadcast(pooled))
         .orderBy("group_key")
     )
+
+
+def spearman_rho_sql() -> str:
+    """Spearman rho as ONE shared SQL expression over exact integer
+    rank-moment columns (n, sx, sy, sxx, syy, sxy) — evaluated
+    verbatim by Spark and DuckDB so every double op is the identical
+    correctly-rounded IEEE tree (the welch_z_sql convention).
+    NULL (as BIGINT e6) when either axis is constant."""
+    from firebase_etl_spark.functions.portable_math import fixed_e6_expr
+
+    nd = "CAST(n AS DOUBLE)"
+    num = (
+        f"({nd} * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    )
+    dx = (
+        f"({nd} * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    )
+    dy = (
+        f"({nd} * CAST(syy AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+    )
+    return (
+        f"CASE WHEN ({dx}) <= 0 OR ({dy}) <= 0 THEN CAST(NULL AS BIGINT)"
+        f" ELSE {fixed_e6_expr(f'{num} / sqrt(({dx}) * ({dy}))')} END"
+    )
+
+
+def kendall_tau_sql() -> str:
+    """Kendall tau-b as ONE shared SQL expression over exact integer
+    columns (conc, disc, n, n1d, n2d — tie margins DOUBLED) —
+    identical text on both engines (the welch_z_sql convention)."""
+    from firebase_etl_spark.functions.portable_math import fixed_e6_expr
+
+    num = (
+        "(CAST(2 AS DOUBLE)"
+        " * (CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE)))"
+    )
+    d1 = (
+        "(CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)"
+        " - CAST(n1d AS DOUBLE))"
+    )
+    d2 = (
+        "(CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)"
+        " - CAST(n2d AS DOUBLE))"
+    )
+    return (
+        f"CASE WHEN ({d1}) <= 0 OR ({d2}) <= 0 THEN CAST(NULL AS BIGINT)"
+        f" ELSE {fixed_e6_expr(f'{num} / sqrt(({d1}) * ({d2}))')} END"
+    )
+
+
+def wilcoxon_z_sql() -> str:
+    """Wilcoxon signed-rank normal-approximation z (e6 BIGINT) as ONE
+    shared SQL expression over exact integer columns (n, w2p, tie_t) —
+    identical text on both engines (the welch_z_sql convention)."""
+    from firebase_etl_spark.functions.portable_math import fixed_e6_expr
+
+    num = (
+        "(CAST(w2p AS DOUBLE) - CAST(n AS DOUBLE)"
+        " * CAST(n + 1 AS DOUBLE) / CAST(2 AS DOUBLE))"
+    )
+    var = (
+        "((CAST(2 AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)"
+        " * CAST(2 * n + 1 AS DOUBLE) - CAST(tie_t AS DOUBLE))"
+        " / CAST(12 AS DOUBLE))"
+    )
+    return (
+        f"CASE WHEN n < 2 OR ({var}) <= 0 THEN CAST(NULL AS BIGINT)"
+        f" ELSE {fixed_e6_expr(f'{num} / sqrt({var})')} END"
+    )
+
+
+def dispersion_z_sql() -> str:
+    """One-sided dispersion-test z (e6 BIGINT) as ONE shared SQL
+    expression over (d_e6, n) — identical text on both engines."""
+    from firebase_etl_spark.functions.portable_math import fixed_e6_expr
+
+    return (
+        "CASE WHEN d_e6 IS NULL THEN CAST(NULL AS BIGINT) ELSE "
+        + fixed_e6_expr(
+            "(CAST(d_e6 - 1000000 AS DOUBLE) / CAST(1000000 AS DOUBLE))"
+            " * sqrt(CAST(n - 1 AS DOUBLE) / CAST(2 AS DOUBLE))"
+        )
+        + " END"
+    )
+
+
+def spearman_corr_report(df: DataFrame, x, y) -> DataFrame:
+    """Exact tie-aware Spearman rank correlation between two INTEGER
+    columns — the monotone-association read-out Pearson can't give on
+    heavy-tailed pipeline metrics (rho is Pearson on AVERAGE ranks, so
+    it is outlier-immune and scale-free). Completes the rank-algebra
+    family: binary AUC (2 groups), Kruskal-Wallis (k groups), Spearman
+    (two continuous axes).
+
+    All-integer rank construction: per axis, the distinct-value
+    histogram's strictly-smaller prefix counts come from the two-phase
+    with_prefix_sum (linear, never O(codomain^2)); a tied block of
+    size t at cumulative offset c has twice-average-rank
+    r2 = 2c + t + 1, an exact integer. The joint (x, y) histogram
+    joins both rank tables and the five rank moments (S_x, S_y, S_xx,
+    S_yy, S_xy over the 2x ranks) are exact int64 sums while
+    4*N^3 < 2^63 — N <~ 1.3e6 rows; past that pre-bucket the axis or
+    add the KW 2^k-shift gate. rho = (n*S_xy - S_x*S_y) /
+    sqrt((n*S_xx - S_x^2)(n*S_yy - S_y^2)) leaves the integers through
+    ONE shared double expression (products up to ~4N^4 need doubles;
+    every op is correctly-rounded IEEE on identical trees), quantized
+    once at e6. NULL when either axis is constant.
+
+    Scale shape: one scan -> per-axis histograms (map-side
+    combinable) + joint histogram; rank joins are hash joins on the
+    distinct-value tables (codomain- or corpus-distinct-sized, NOT
+    broadcast — an axis can have millions of distincts). Returns one
+    row: (n_rows, sum_rxy2, rho_e6)."""
+    base = df.select(
+        x.cast("long").alias("x"), y.cast("long").alias("y")
+    ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    hx = base.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("t"))
+    rx = with_prefix_sum(hx, [F.col("x")], "t", out="ci").select(
+        "x",
+        (F.lit(2) * F.col("ci") - F.col("t") + 1).cast("long").alias("rx2"),
+    )
+    hy = base.groupBy("y").agg(F.count(F.lit(1)).cast("long").alias("t"))
+    ry = with_prefix_sum(hy, [F.col("y")], "t", out="ci").select(
+        "y",
+        (F.lit(2) * F.col("ci") - F.col("t") + 1).cast("long").alias("ry2"),
+    )
+    joint = base.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    j = joint.join(rx, "x").join(ry, "y")
+    m = j.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * F.col("rx2")).cast("long").alias("sx"),
+        F.sum(F.col("c") * F.col("ry2")).cast("long").alias("sy"),
+        F.sum(F.col("c") * F.col("rx2") * F.col("rx2"))
+        .cast("long").alias("sxx"),
+        F.sum(F.col("c") * F.col("ry2") * F.col("ry2"))
+        .cast("long").alias("syy"),
+        F.sum(F.col("c") * F.col("rx2") * F.col("ry2"))
+        .cast("long").alias("sxy"),
+    )
+    return m.select(
+        F.col("n").alias("n_rows"),
+        F.col("sxy").alias("sum_rxy2"),
+        F.expr(spearman_rho_sql()).cast("long").alias("rho_e6"),
+    )
+
+
+def kendall_tau_report(df: DataFrame, x, y) -> DataFrame:
+    """Exact Kendall tau-b between two BOUNDED-CODOMAIN integer columns
+    — the concordance companion to Spearman, computed WITHOUT pair
+    enumeration: over the joint (x, y) contingency histogram (|X|*|Y|
+    cells — bounded by the codomains, NOT the corpus), each cell's
+    concordant/discordant mass is its count times the total count in
+    cells strictly smaller/greater on y among strictly-smaller x. The
+    cell-lattice pass is one broadcast theta self-join over the
+    bounded table (the TRUE bounded-spine case — unlike a distinct-
+    value histogram, the cell count here cannot grow past
+    |X codomain| * |Y codomain| at any corpus size), so exact tau on
+    billions of rows costs one corpus scan plus lattice work.
+
+    All-integer: C, D, the tie margins n1 = sum_x t_x(t_x-1) and
+    n2 (kept DOUBLED to avoid /2), and n0 = n(n-1) are exact int64
+    while n < ~3e9 and C <= n^2 < 2^63 (n <~ 3e9 balanced). tau_b =
+    2(C - D) / sqrt((n0 - n1)(n0 - n2)) leaves the integers through
+    one shared double expression, quantized once at e6; NULL when
+    either axis is constant. Returns one row: (n_rows, concordant,
+    discordant, tau_b_e6)."""
+    base = df.select(
+        x.cast("long").alias("x"), y.cast("long").alias("y")
+    ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    cells = (
+        base.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)  # codomain-bounded; 4 consumers
+    )
+    # one bounded BNLJ: for each cell, concordant mass = counts at
+    # (x' < x, y' < y), discordant = (x' < x, y' > y)
+    lat = (
+        cells.alias("w")
+        .join(
+            F.broadcast(cells.alias("v")),
+            F.col("v.x") < F.col("w.x"),
+            "left",
+        )
+        .groupBy(F.col("w.x").alias("x"), F.col("w.y").alias("y"),
+                 F.col("w.c").alias("c"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("v.y") < F.col("w.y"), F.col("v.c"))
+                ), F.lit(0)
+            ).cast("long").alias("pc"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("v.y") > F.col("w.y"), F.col("v.c"))
+                ), F.lit(0)
+            ).cast("long").alias("pd"),
+        )
+    )
+    cd = lat.agg(
+        F.sum(F.col("c") * F.col("pc")).cast("long").alias("conc"),
+        F.sum(F.col("c") * F.col("pd")).cast("long").alias("disc"),
+    )
+    tx = cells.groupBy("x").agg(F.sum("c").cast("long").alias("t"))
+    ty = cells.groupBy("y").agg(F.sum("c").cast("long").alias("t"))
+    margins = (
+        cells.agg(F.sum("c").cast("long").alias("n"))
+        .crossJoin(F.broadcast(tx.agg(
+            F.sum(F.col("t") * (F.col("t") - 1)).cast("long").alias("n1d")
+        )))
+        .crossJoin(F.broadcast(ty.agg(
+            F.sum(F.col("t") * (F.col("t") - 1)).cast("long").alias("n2d")
+        )))
+    )
+    return cd.crossJoin(F.broadcast(margins)).select(
+        F.col("n").alias("n_rows"),
+        F.col("conc").alias("concordant"),
+        F.col("disc").alias("discordant"),
+        F.expr(kendall_tau_sql()).cast("long").alias("tau_b_e6"),
+    )
+
+
+def wilcoxon_signed_rank_report(df: DataFrame, d_col) -> DataFrame:
+    """Exact tie-aware Wilcoxon signed-rank test over INTEGER paired
+    differences — the paired complement to the Mann-Whitney/KW rank
+    family: did the per-unit metric SHIFT between two paired
+    conditions (early vs late half, before vs after a change), with no
+    normality assumption. Zero differences drop (the classic Wilcoxon
+    convention); |d| ranks with tied blocks at average rank.
+
+    All-integer: the |d| histogram's prefix counts come from the
+    two-phase with_prefix_sum; twice-average-rank r2 = 2c + t + 1 is
+    exact; W2+/W2- (twice the signed rank sums) and the tie term
+    T = sum(t^3 - t) are exact int64 while 4n^3 < 2^63 (n <~ 1.3e6
+    nonzero pairs — past that the variance term needs the KW shift
+    gate). The normal approximation z = (W2+ - n(n+1)/2) /
+    sqrt((2n(n+1)(2n+1) - T) / 12) is one shared double expression
+    over exact integers, quantized once at e6; significance compares
+    |z_e6| against the hardcoded two-sided 5% literal 1959964.
+    Returns one row: (n_nonzero, w2_plus, w2_minus, tie_t, z_e6,
+    significant)."""
+    base = df.select(d_col.cast("long").alias("d")).filter(
+        F.col("d").isNotNull() & (F.col("d") != 0)
+    )
+    h = base.groupBy(F.abs(F.col("d")).alias("a")).agg(
+        F.count(F.lit(1)).cast("long").alias("t"),
+        F.sum((F.col("d") > 0).cast("long")).cast("long").alias("tp"),
+    )
+    r = with_prefix_sum(h, [F.col("a")], "t", out="ci").select(
+        "a", "t", "tp",
+        (F.lit(2) * F.col("ci") - F.col("t") + 1).cast("long").alias("r2"),
+    )
+    agg = r.agg(
+        F.sum("t").cast("long").alias("n"),
+        F.sum(F.col("tp") * F.col("r2")).cast("long").alias("w2p"),
+        F.sum((F.col("t") - F.col("tp")) * F.col("r2"))
+        .cast("long").alias("w2m"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long").alias("tie_t"),
+    )
+    z = wilcoxon_z_sql()
+    return agg.select(
+        F.col("n").alias("n_nonzero"),
+        F.col("w2p").alias("w2_plus"),
+        F.col("w2m").alias("w2_minus"),
+        "tie_t",
+        F.expr(z).cast("long").alias("z_e6"),
+        F.expr(
+            f"CASE WHEN ({z}) IS NULL THEN NULL"
+            f" ELSE abs(({z})) > 1959964 END"
+        ).alias("significant"),
+    )
+
+
+def brown_forsythe_report(
+    df: DataFrame, group_col: str, score
+) -> DataFrame:
+    """Brown-Forsythe robust variance-equality test (Brown & Forsythe
+    1974 — Levene's test on deviations from the MEDIAN) of an INTEGER
+    score across k groups: does any group's SPREAD sit apart — the
+    scale complement to Kruskal-Wallis's location test, and the
+    honest precondition check before pooling variances anywhere.
+
+    Determinism: per-group 2*median is an exact integer on both
+    engines (for integer data, interpolated percentile(0.5) is a
+    half-integer whose every IEEE op is exact, so 2x casts exactly);
+    deviations z = |2v - 2m| are exact integers, and the per-group
+    moments (n_g, Sz_g, Szz_g) are exact int64 sums (z <= 2*|score|
+    range; Szz needs n_g * (2 range)^2 < 2^63). The between/within
+    sums of squares use the EXACT integer floor(Sz_g^2/n_g) although
+    the square exceeds int64 — the quotient-remainder identity
+    sz^2/n = (sz DIV n)*sz + ((sz % n)*sz)/n keeps every intermediate
+    under 2^63 while n_g * Sz_g < 2^63 (no doubles, no rounding; the
+    <= 1-unit floor slack per group is clamped at SSB >= 0), then
+    F = [(N-k) SSB] / [(k-1) SSW] runs through the
+    overflow-free split with the KW 2^20-shift gate. Significance uses
+    the large-df2 equivalence F(k-1, N-k) -> chi2(k-1)/(k-1) against
+    the shared KW_CHI2_CRIT_E6 literals (documented approximation;
+    exact enough for N in the thousands). Returns one row per group:
+    (group_key, n_rows, med2, z_sum, zz_sum) with pooled
+    (n_total, n_groups, f_e6, significant) replicated."""
+    base = df.select(
+        F.col(group_col).alias("g"), score.cast("long").alias("v")
+    ).filter(F.col("g").isNotNull() & F.col("v").isNotNull())
+    med = (
+        base.groupBy("g")
+        .agg(
+            F.expr("CAST(2 * percentile(v, 0.5) AS BIGINT)").alias("m2")
+        )
+        .localCheckpoint(eager=True)  # k rows; joined back + output
+    )
+    z = base.join(F.broadcast(med), "g").select(
+        "g", "m2", F.abs(F.lit(2) * F.col("v") - F.col("m2")).alias("z")
+    )
+    per_g = (
+        z.groupBy("g", "m2")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_g"),
+            F.sum("z").cast("long").alias("sz"),
+            F.sum(F.col("z") * F.col("z")).cast("long").alias("szz"),
+        )
+        # EXACT integer floor(Sz_g^2 / n_g) although Sz_g^2 exceeds
+        # int64: with a = sz DIV n_g, r = sz % n_g the identity
+        # sz^2/n = a*sz + r*sz/n keeps every intermediate < 2^63 while
+        # n_g * sz < 2^63 (documented bound; no doubles, no rounding)
+        .withColumn(
+            "q",
+            F.expr(
+                "(sz DIV n_g) * sz + ((sz % n_g) * sz) DIV n_g"
+            ).cast("long"),
+        )
+        .localCheckpoint(eager=True)  # k rows; 2 consumers
+    )
+    tot = per_g.agg(
+        F.sum("n_g").cast("long").alias("nn"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("sz").cast("long").alias("szt"),
+        F.sum("szz").cast("long").alias("szzt"),
+        F.sum("q").cast("long").alias("qt"),
+    ).select(
+        "nn", "k",
+        # SSB = sum_g q_g - floor(SZ^2/N) (same exact split), clamped
+        # at 0 because the per-group floors can undershoot the pooled
+        # one by a few units when SSB is ~0; SSW = SZZ - sum_g q_g
+        F.expr(
+            "GREATEST(qt - ((szt DIV nn) * szt"
+            " + ((szt % nn) * szt) DIV nn), 0)"
+        ).cast("long").alias("ssb"),
+        F.expr("szzt - qt").cast("long").alias("ssw"),
+    )
+    crit_case = "CASE " + " ".join(
+        f"WHEN k - 1 = {d} THEN {c}"
+        for d, c in sorted(KW_CHI2_CRIT_E6.items())
+    ) + " ELSE NULL END"
+    # ratio_e6 = 1e6 * SSB / SSW via the overflow-free split, gated at
+    # SSW >= 9e12 by the KW 2^20 shift; F_e6 = ratio_e6 * (N-k) DIV (k-1)
+    ratio = (
+        "CASE WHEN ssw < 9000000000000"
+        " THEN (ssb DIV ssw) * 1000000 + ((ssb % ssw) * 1000000) DIV ssw"
+        " ELSE ((ssb DIV 1048576) * 1000000) DIV (ssw DIV 1048576) END"
+    )
+    pooled = tot.select(
+        F.col("nn").alias("n_total"),
+        F.col("k").alias("n_groups"),
+        F.col("k"),
+        F.expr(
+            f"CASE WHEN ssw <= 0 OR k < 2 THEN CAST(NULL AS BIGINT)"
+            f" ELSE (({ratio}) * (nn - k)) DIV (k - 1) END"
+        ).cast("long").alias("f_e6"),
+    ).select(
+        "n_total", "n_groups", "f_e6",
+        F.expr(
+            f"CASE WHEN f_e6 IS NULL THEN NULL"
+            f" ELSE f_e6 * (k - 1) > ({crit_case}) END"
+        ).alias("significant"),
+    )
+    return (
+        per_g.select(
+            F.col("g").alias("group_key"),
+            F.col("n_g").alias("n_rows"),
+            "m2", F.col("sz").alias("z_sum"), F.col("szz").alias("zz_sum"),
+        )
+        .crossJoin(F.broadcast(pooled))
+        .orderBy("group_key")
+    )
+
+
+def dispersion_index_report(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Index-of-dispersion (variance-to-mean ratio) of per-hour event
+    counts per group — the overdispersion gate for anything that
+    models arrivals as Poisson (anomaly thresholds, rate CIs,
+    power calculations): D = s^2 / mean is 1 under Poisson; D >> 1
+    (bursty users, bot storms) silently invalidates every
+    Poisson-based alarm downstream.
+
+    All-integer: per (group, hour) counts c are exact; n = observed
+    hours, S = sum c, SS = sum c^2 are exact int64. d_e6 = 1e6 *
+    (n*SS - S^2) / (S*(n-1)) runs through the overflow-free split
+    gated at (n*SS - S^2) >= 9e12 by the 2^10 shift (n*SS grows with
+    burst height squared). The one-sided normal test z = (D - 1) *
+    sqrt((n-1)/2) is one shared double expression over d_e6,
+    quantized once at e6; overdispersed compares z_e6 against the
+    hardcoded one-sided 5% literal 1644854. Hours with zero events are
+    NOT in the spine (gap-free fixtures; for sparse groups gap-fill
+    upstream — documented). Returns one row per group:
+    (group_key, n_hours, n_events, d_e6, z_e6, overdispersed)."""
+    base = df.select(
+        F.col(group_col).alias("g"),
+        F.date_trunc("hour", F.col(ts_col)).alias("h"),
+    ).filter(F.col("g").isNotNull() & F.col(ts_col).isNotNull())
+    hourly = base.groupBy("g", "h").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    per_g = hourly.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+    )
+    dnum = "(n * ss - s * s)"
+    dden = "(s * (n - 1))"
+    d_e6 = (
+        f"CASE WHEN n < 2 OR s <= 0 THEN CAST(NULL AS BIGINT)"
+        f" WHEN {dnum} < 9000000000000"
+        f" THEN ({dnum} * 1000000) DIV {dden}"
+        f" ELSE (({dnum} DIV 1024) * 1000000) DIV ({dden} DIV 1024) END"
+    )
+    z = dispersion_z_sql()
+    return (
+        per_g.withColumn("d_e6", F.expr(d_e6).cast("long"))
+        .withColumn("z_e6", F.expr(z).cast("long"))
+        .select(
+            F.col("g").alias("group_key"),
+            F.col("n").alias("n_hours"),
+            F.col("s").alias("n_events"),
+            "d_e6", "z_e6",
+            F.expr(
+                "CASE WHEN z_e6 IS NULL THEN NULL"
+                " ELSE z_e6 > 1644854 END"
+            ).alias("overdispersed"),
+        )
+        .orderBy("group_key")
+    )

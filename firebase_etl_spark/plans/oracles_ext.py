@@ -9646,3 +9646,331 @@ def _kruskal_wallis_oracle() -> str:
 
 
 ORACLES_EXT["events_kruskal_wallis"] = _kruskal_wallis_oracle()
+
+
+# --- round-10 oracles: rank-algebra completions + corpus richness ---------
+
+
+def _spearman_oracle() -> str:
+    """Spearman twin: mirrors the histogram -> prefix-sum ->
+    twice-average-rank construction (DuckDB runs the prefix as an
+    ordered window — single-node, so the engine-side global-window ban
+    does not apply) and evaluates the IDENTICAL rho expression
+    (stats.spearman_rho_sql) over the same exact integer moments."""
+    from firebase_etl_spark.operators.stats import spearman_rho_sql
+
+    return f"""
+    WITH base AS MATERIALIZED (
+        SELECT CAST(n_chars AS BIGINT) AS x,
+               CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                   AS BIGINT) AS y
+        FROM documents
+        WHERE text IS NOT NULL AND n_chars IS NOT NULL
+    ), hx AS (
+        SELECT x, CAST(count(*) AS BIGINT) AS t FROM base GROUP BY x
+    ), rx AS MATERIALIZED (
+        SELECT x,
+               2 * sum(t) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED
+                                PRECEDING AND CURRENT ROW) - t + 1 AS rx2
+        FROM hx
+    ), hy AS (
+        SELECT y, CAST(count(*) AS BIGINT) AS t FROM base GROUP BY y
+    ), ry AS MATERIALIZED (
+        SELECT y,
+               2 * sum(t) OVER (ORDER BY y ROWS BETWEEN UNBOUNDED
+                                PRECEDING AND CURRENT ROW) - t + 1 AS ry2
+        FROM hy
+    ), joint AS (
+        SELECT x, y, CAST(count(*) AS BIGINT) AS c
+        FROM base GROUP BY x, y
+    ), m AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n,
+               CAST(sum(c * rx2) AS BIGINT) AS sx,
+               CAST(sum(c * ry2) AS BIGINT) AS sy,
+               CAST(sum(c * rx2 * rx2) AS BIGINT) AS sxx,
+               CAST(sum(c * ry2 * ry2) AS BIGINT) AS syy,
+               CAST(sum(c * rx2 * ry2) AS BIGINT) AS sxy
+        FROM joint JOIN rx USING (x) JOIN ry USING (y)
+    )
+    SELECT n AS n_rows, sxy AS sum_rxy2,
+           CAST(({spearman_rho_sql()}) AS BIGINT) AS rho_e6
+    FROM m
+"""
+
+
+ORACLES_EXT["doc_length_spearman"] = _spearman_oracle()
+
+
+def _kendall_oracle() -> str:
+    """Kendall tau-b twin over the bounded joint contingency histogram
+    — same cell lattice, same DOUBLED tie margins, identical tau
+    expression (stats.kendall_tau_sql)."""
+    from firebase_etl_spark.operators.stats import kendall_tau_sql
+
+    return f"""
+    WITH base AS MATERIALIZED (
+        SELECT CAST(l_quantity AS BIGINT) AS x,
+               CAST(round(l_discount * 100.0, 0) AS BIGINT) AS y
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+    ), cells AS MATERIALIZED (
+        SELECT x, y, CAST(count(*) AS BIGINT) AS c
+        FROM base GROUP BY x, y
+    ), lat AS (
+        SELECT w.x, w.y, w.c,
+               CAST(coalesce(sum(CASE WHEN v.y < w.y THEN v.c END), 0)
+                   AS BIGINT) AS pc,
+               CAST(coalesce(sum(CASE WHEN v.y > w.y THEN v.c END), 0)
+                   AS BIGINT) AS pd
+        FROM cells w LEFT JOIN cells v ON v.x < w.x
+        GROUP BY w.x, w.y, w.c
+    ), cd AS (
+        SELECT CAST(sum(c * pc) AS BIGINT) AS conc,
+               CAST(sum(c * pd) AS BIGINT) AS disc
+        FROM lat
+    ), margins AS (
+        SELECT (SELECT CAST(sum(c) AS BIGINT) FROM cells) AS n,
+               (SELECT CAST(sum(t * (t - 1)) AS BIGINT) FROM (
+                    SELECT CAST(sum(c) AS BIGINT) AS t FROM cells
+                    GROUP BY x)) AS n1d,
+               (SELECT CAST(sum(t * (t - 1)) AS BIGINT) FROM (
+                    SELECT CAST(sum(c) AS BIGINT) AS t FROM cells
+                    GROUP BY y)) AS n2d
+    )
+    SELECT n AS n_rows, conc AS concordant, disc AS discordant,
+           CAST(({kendall_tau_sql()}) AS BIGINT) AS tau_b_e6
+    FROM cd CROSS JOIN margins
+"""
+
+
+ORACLES_EXT["lineitem_kendall_tau"] = _kendall_oracle()
+
+
+def _wilcoxon_oracle() -> str:
+    """Wilcoxon signed-rank twin: per-user early/late split on the
+    integer-microsecond midpoint (epoch_us mirrors unix_micros), the
+    |d| histogram prefix as an ordered window, identical z expression
+    (stats.wilcoxon_z_sql)."""
+    from firebase_etl_spark.operators.stats import wilcoxon_z_sql
+
+    z = wilcoxon_z_sql()
+    return f"""
+    WITH span AS (
+        SELECT (CAST(min(epoch_us(ts)) AS BIGINT)
+                + CAST(max(epoch_us(ts)) AS BIGINT)) // 2 AS mid
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), per_user AS (
+        SELECT CAST(sum(CASE WHEN epoch_us(ts) > mid THEN 1 ELSE 0 END)
+                   AS BIGINT)
+               - CAST(sum(CASE WHEN epoch_us(ts) <= mid THEN 1 ELSE 0
+                          END) AS BIGINT) AS d
+        FROM events CROSS JOIN span
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        GROUP BY user_id
+    ), h AS (
+        SELECT abs(d) AS a, CAST(count(*) AS BIGINT) AS t,
+               CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS tp
+        FROM per_user WHERE d != 0 GROUP BY abs(d)
+    ), r AS MATERIALIZED (
+        SELECT a, t, tp,
+               2 * sum(t) OVER (ORDER BY a ROWS BETWEEN UNBOUNDED
+                                PRECEDING AND CURRENT ROW) - t + 1 AS r2
+        FROM h
+    ), agg AS (
+        SELECT CAST(sum(t) AS BIGINT) AS n,
+               CAST(sum(tp * r2) AS BIGINT) AS w2p,
+               CAST(sum((t - tp) * r2) AS BIGINT) AS w2m,
+               CAST(sum(t * t * t - t) AS BIGINT) AS tie_t
+        FROM r
+    )
+    SELECT n AS n_nonzero, w2p AS w2_plus, w2m AS w2_minus, tie_t,
+           CAST(({z}) AS BIGINT) AS z_e6,
+           CASE WHEN ({z}) IS NULL THEN NULL
+                ELSE abs(({z})) > 1959964 END AS significant
+    FROM agg
+"""
+
+
+ORACLES_EXT["events_wilcoxon_signed_rank"] = _wilcoxon_oracle()
+
+
+def _brown_forsythe_oracle() -> str:
+    """Brown-Forsythe twin: 2*quantile_cont(0.5) is the same exact
+    half-integer double as Spark's interpolated percentile (every IEEE
+    op in the f=0.5 interpolation is exact for int64 inputs < 2^52),
+    the Sz^2/n floors use the same quotient-remainder split, and the
+    F chain is the same gated integer split with // for DIV (all
+    operands non-negative, where the two semantics agree)."""
+    from firebase_etl_spark.operators.stats import KW_CHI2_CRIT_E6
+
+    crit_case = "CASE " + " ".join(
+        f"WHEN k - 1 = {d} THEN {c}"
+        for d, c in sorted(KW_CHI2_CRIT_E6.items())
+    ) + " ELSE NULL END"
+    ratio = (
+        "CASE WHEN ssw < 9000000000000"
+        " THEN (ssb // ssw) * 1000000 + ((ssb % ssw) * 1000000) // ssw"
+        " ELSE ((ssb // 1048576) * 1000000) // (ssw // 1048576) END"
+    )
+    return f"""
+    WITH base AS MATERIALIZED (
+        SELECT event_type AS g,
+               CAST(round(value * 100.0, 0) AS BIGINT) AS v
+        FROM events
+        WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ), med AS MATERIALIZED (
+        SELECT g, CAST(2 * quantile_cont(v, 0.5) AS BIGINT) AS m2
+        FROM base GROUP BY g
+    ), z AS (
+        SELECT base.g, m2, abs(2 * v - m2) AS z
+        FROM base JOIN med USING (g)
+    ), per_g AS MATERIALIZED (
+        SELECT g, m2, CAST(count(*) AS BIGINT) AS n_g,
+               CAST(sum(z) AS BIGINT) AS sz,
+               CAST(sum(z * z) AS BIGINT) AS szz
+        FROM z GROUP BY g, m2
+    ), per_g2 AS MATERIALIZED (
+        SELECT *, (sz // n_g) * sz + ((sz % n_g) * sz) // n_g AS q
+        FROM per_g
+    ), tot AS (
+        SELECT CAST(sum(n_g) AS BIGINT) AS nn,
+               CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(sz) AS BIGINT) AS szt,
+               CAST(sum(szz) AS BIGINT) AS szzt,
+               CAST(sum(q) AS BIGINT) AS qt
+        FROM per_g2
+    ), ss AS (
+        SELECT nn, k,
+               GREATEST(qt - ((szt // nn) * szt
+                              + ((szt % nn) * szt) // nn), 0) AS ssb,
+               szzt - qt AS ssw
+        FROM tot
+    ), pooled AS (
+        SELECT nn AS n_total, k AS n_groups, k,
+               CASE WHEN ssw <= 0 OR k < 2 THEN CAST(NULL AS BIGINT)
+                    ELSE (({ratio}) * (nn - k)) // (k - 1) END AS f_e6
+        FROM ss
+    )
+    SELECT p.g AS group_key, p.n_g AS n_rows, p.m2,
+           p.sz AS z_sum, p.szz AS zz_sum,
+           t.n_total, t.n_groups, t.f_e6,
+           CASE WHEN t.f_e6 IS NULL THEN NULL
+                ELSE t.f_e6 * (t.k - 1) > ({crit_case.replace("k - 1", "t.k - 1")}) END
+               AS significant
+    FROM per_g2 p CROSS JOIN pooled t
+    ORDER BY group_key
+"""
+
+
+ORACLES_EXT["events_brown_forsythe"] = _brown_forsythe_oracle()
+
+
+def _dispersion_oracle() -> str:
+    """Dispersion-index twin: same per-hour counts, same gated integer
+    split (operands non-negative: n*SS - S^2 >= 0 exactly), identical
+    z expression (stats.dispersion_z_sql)."""
+    from firebase_etl_spark.operators.stats import dispersion_z_sql
+
+    dnum = "(n * ss - s * s)"
+    dden = "(s * (n - 1))"
+    d_e6 = (
+        f"CASE WHEN n < 2 OR s <= 0 THEN CAST(NULL AS BIGINT)"
+        f" WHEN {dnum} < 9000000000000"
+        f" THEN ({dnum} * 1000000) // {dden}"
+        f" ELSE (({dnum} // 1024) * 1000000) // ({dden} // 1024) END"
+    )
+    return f"""
+    WITH hourly AS (
+        SELECT event_type AS g, date_trunc('hour', ts) AS h,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events
+        WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        GROUP BY g, h
+    ), per_g AS (
+        SELECT g, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(c) AS BIGINT) AS s,
+               CAST(sum(c * c) AS BIGINT) AS ss
+        FROM hourly GROUP BY g
+    ), d AS (
+        SELECT g, n, s, CAST(({d_e6}) AS BIGINT) AS d_e6
+        FROM per_g
+    ), dz AS (
+        SELECT g, n, s, d_e6,
+               CAST(({dispersion_z_sql()}) AS BIGINT) AS z_e6
+        FROM d
+    )
+    SELECT g AS group_key, n AS n_hours, s AS n_events, d_e6, z_e6,
+           CASE WHEN z_e6 IS NULL THEN NULL
+                ELSE z_e6 > 1644854 END AS overdispersed
+    FROM dz
+    ORDER BY group_key
+"""
+
+
+ORACLES_EXT["events_dispersion_index"] = _dispersion_oracle()
+
+
+ORACLES_EXT["doc_vocab_chao1"] = """
+    WITH tf AS MATERIALIZED (
+        SELECT source AS g,
+               unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                   AS term
+        FROM documents
+        WHERE text IS NOT NULL AND source IS NOT NULL
+    ), cnt AS (
+        SELECT g, term, CAST(count(*) AS BIGINT) AS c
+        FROM tf GROUP BY g, term
+    ), agg AS (
+        SELECT g, CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS vocab_size,
+               CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS f1,
+               CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS f2
+        FROM cnt GROUP BY g
+    )
+    SELECT g AS group_key, n_tokens, vocab_size, f1, f2,
+           CAST(CASE WHEN f2 > 0
+                THEN vocab_size * 100 + (f1 * f1 * 100) // (2 * f2)
+                ELSE vocab_size * 100 + (f1 * (f1 - 1) * 100) // 2
+                END AS BIGINT) AS chao1_e2,
+           CAST(CASE WHEN vocab_size > 0
+                THEN (f1 * 1000000) // vocab_size
+                ELSE CAST(NULL AS BIGINT) END AS BIGINT)
+               AS hapax_ratio_e6
+    FROM agg
+    ORDER BY group_key
+"""
+
+
+ORACLES_EXT["documents_ngram_diversity"] = """
+    WITH tk AS MATERIALIZED (
+        SELECT source, regexp_split_to_array(lower(trim(text)), '\\s+')
+                   AS a
+        FROM documents
+        WHERE text IS NOT NULL AND source IS NOT NULL
+    ), uni AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(count(DISTINCT t) AS BIGINT) AS distinct_tokens
+        FROM (SELECT source, unnest(a) AS t FROM tk) GROUP BY source
+    ), big AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(count(DISTINCT b) AS BIGINT) AS distinct_bigrams
+        FROM (
+            SELECT source,
+                   unnest(list_transform(range(1, len(a)),
+                          i -> a[i] || ' ' || a[i + 1])) AS b
+            FROM tk
+        ) GROUP BY source
+    )
+    SELECT uni.source, n_tokens, distinct_tokens,
+           CAST((distinct_tokens * 1000000) // n_tokens AS BIGINT)
+               AS distinct1_e6,
+           n_bigrams, distinct_bigrams,
+           CAST(CASE WHEN n_bigrams > 0
+                THEN (distinct_bigrams * 1000000) // n_bigrams
+                ELSE CAST(NULL AS BIGINT) END AS BIGINT) AS distinct2_e6
+    FROM uni JOIN big USING (source)
+    ORDER BY source
+"""

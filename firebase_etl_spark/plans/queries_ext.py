@@ -7333,3 +7333,188 @@ def events_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kruskal_wallis_report(
         e, "event_type", F.round(F.col("value") * 100).cast("long")
     )
+
+
+# --- round-10 additions: rank-algebra completions + corpus richness -------
+
+
+def doc_length_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-aware Spearman rank correlation between document character
+    length and whitespace token count (operators/stats.py:
+    spearman_corr_report) — the monotone-association read-out over
+    the two-phase prefix-sum rank construction. The two lengths are
+    mechanically coupled, so the honest read is strongly positive but
+    NOT 1 (token length varies): a detection fixture, exercising a
+    nearly-unique x axis against a heavily-tied y axis. (The lineitem
+    numeric pairs are drawn independently in this fixture — the null
+    side of the family is certified by lineitem_kendall_tau.)"""
+    from firebase_etl_spark.operators.stats import spearman_corr_report
+    from firebase_etl_spark.operators.text import token_count
+
+    d = load_table(spark, "documents", sf_dir).filter(
+        F.col("text").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    return spearman_corr_report(
+        d, F.col("n_chars"), token_count("text").cast("long")
+    )
+
+
+def lineitem_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Kendall tau-b between quantity and discount percent
+    (operators/stats.py:kendall_tau_report): concordance over the
+    bounded 50x11 joint contingency histogram — exact tau on any
+    corpus size without pair enumeration. The fixture draws the two
+    independently, so the honest read is tau ~ 0 (a null
+    certification, the doc_langid_auc convention) with both tie
+    margins heavy."""
+    from firebase_etl_spark.operators.stats import kendall_tau_report
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return kendall_tau_report(
+        li,
+        F.col("l_quantity"),
+        F.round(F.col("l_discount") * 100).cast("long"),
+    )
+
+
+def events_wilcoxon_signed_rank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Paired Wilcoxon signed-rank test of per-user activity shift
+    (operators/stats.py:wilcoxon_signed_rank_report): each user's
+    event count in the late half of the table's time range minus the
+    early half, zero differences dropped, |d| tied-midranked. The
+    paired complement to the KW/AUC rank family; the fixture's
+    stationary traffic makes the honest read NOT-significant."""
+    from firebase_etl_spark.operators.stats import (
+        wilcoxon_signed_rank_report,
+    )
+
+    e = load_table(spark, "events", sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    us = F.unix_micros(F.col("ts"))
+    span = F.broadcast(
+        e.agg(
+            F.expr(
+                "(CAST(min(unix_micros(ts)) AS BIGINT)"
+                " + CAST(max(unix_micros(ts)) AS BIGINT)) DIV 2"
+            ).alias("mid")
+        )
+    )
+    per_user = (
+        e.crossJoin(span)
+        .groupBy("user_id")
+        .agg(
+            F.sum((us > F.col("mid")).cast("long")).alias("late"),
+            F.sum((us <= F.col("mid")).cast("long")).alias("early"),
+        )
+        .select((F.col("late") - F.col("early")).alias("d"))
+    )
+    return wilcoxon_signed_rank_report(per_user, F.col("d"))
+
+
+def events_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variance-equality test of event value cents
+    across event types (operators/stats.py:brown_forsythe_report) —
+    the SCALE complement to events_kruskal_wallis's location test:
+    medians-based Levene deviations, exact integer moments, pooled F
+    against the chi2(k-1)/(k-1) large-sample literal. The fixture
+    draws value iid across types: the honest read is
+    NOT-significant."""
+    from firebase_etl_spark.operators.stats import brown_forsythe_report
+
+    e = load_table(spark, "events", sf_dir).filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    return brown_forsythe_report(
+        e, "event_type", F.round(F.col("value") * 100).cast("long")
+    )
+
+
+def events_dispersion_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Variance-to-mean dispersion of per-hour event arrivals per type
+    (operators/stats.py:dispersion_index_report) — the Poisson
+    overdispersion gate every rate alarm and arrival CI silently
+    assumes; D >> 1 means bursty traffic and invalidated Poisson
+    thresholds. Exact per-hour counts, split-division fixed point,
+    one-sided normal read against the hardcoded 1.645 literal."""
+    from firebase_etl_spark.operators.stats import dispersion_index_report
+
+    e = load_table(spark, "events", sf_dir)
+    return dispersion_index_report(e, "event_type", "ts")
+
+
+def doc_vocab_chao1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 vocabulary-richness estimate per document source
+    (operators/lm.py:chao1_richness_report): observed vocabulary plus
+    the f1^2/(2 f2) unseen-types correction — the 'will 10x more of
+    this source keep yielding new vocabulary' number next to
+    Good-Turing's unseen probability mass. All-integer with an e2
+    quantize-once correction."""
+    from firebase_etl_spark.operators.lm import chao1_richness_report
+
+    d = load_table(spark, "documents", sf_dir).filter(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    )
+    return chao1_richness_report(d, "source", "text")
+
+
+def documents_ngram_diversity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distinct-1 / distinct-2 n-gram diversity per source — the
+    generation-diversity metric (Li et al. 2016) applied as a
+    training-corpus screen: distinct unigrams over total tokens and
+    distinct bigrams over total bigrams, each an exact e6 integer
+    ratio. Low distinct-2 with normal distinct-1 is the boilerplate /
+    TEMPLATE signature that length and quality filters miss. One
+    corpus explode per modality; counts are map-side combinable."""
+    d = load_table(spark, "documents", sf_dir).filter(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    )
+    toks = d.select(
+        F.col("source"), TX.tokenize("text").alias("tk")
+    )
+    uni = (
+        toks.select("source", F.explode("tk").alias("t"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.countDistinct("t").cast("long").alias("distinct_tokens"),
+        )
+    )
+    big = (
+        toks.select(
+            "source",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("tk"), 1, F.size("tk") - 1),
+                    F.slice(F.col("tk"), 2, F.size("tk") - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("b"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.countDistinct("b").cast("long").alias("distinct_bigrams"),
+        )
+    )
+    return (
+        uni.join(big, "source")
+        .select(
+            "source", "n_tokens", "distinct_tokens",
+            F.expr("(distinct_tokens * 1000000) DIV n_tokens")
+            .cast("long").alias("distinct1_e6"),
+            "n_bigrams", "distinct_bigrams",
+            F.expr(
+                "CASE WHEN n_bigrams > 0 THEN"
+                " (distinct_bigrams * 1000000) DIV n_bigrams"
+                " ELSE CAST(NULL AS BIGINT) END"
+            ).cast("long").alias("distinct2_e6"),
+        )
+        .orderBy("source")
+    )

@@ -127,31 +127,28 @@ def build(spark, n_copies: int) -> None:
 #: the fixture makes every document a member of a ~10-replica mutual
 #: near-dup cluster, the adversarial direction for pair-enumerating ops)
 NEW_OPS = [
-    # round-9 additions (earlier rounds' probe tables are recorded in
+    # round-10 additions (earlier rounds' probe tables are recorded in
     # ROUND{N}_NOTES; the list rotates to whatever the current session
-    # shipped). The replica fixture's ~10-member mutual-dup clusters
-    # stay the adversarial direction for pair-enumerating ops; the
-    # fixed-catalog axis (10x baskets over the same parts) is the hard
-    # direction for the association-rule self-join.
-    "events_hll_distinct_users",
-    "part_association_rules",
-    "events_srm_check",
-    "doc_hard_negatives",
-    "events_cusum_alarms",
-    "embedding_rp_distortion_audit",
-    "doc_textrank_keywords",
-    # perf-fix regression probes: the four repeated-scan fixes + the
-    # restructured bootstrap must still scale linearly after caching
-    "customer_fs_linkage",
-    "doc_retrieval_eval",
-    "orders_winsorized_stats",
-    "orders_conformal_intervals",
-    "orders_bootstrap_ci",
-    "part_copurchase_modularity",
-    "embedding_dbscan_clusters",
-    "orders_simpson_audit",
-    "orders_cmh_test",
+    # shipped). The fixed-codomain axis (10x rows over the same value
+    # grid) is the hard direction for histogram/rank ops; the
+    # fixed-catalog axis for the basket lattice.
+    "doc_length_spearman",
+    "lineitem_kendall_tau",
+    "events_wilcoxon_signed_rank",
+    "events_brown_forsythe",
+    "events_dispersion_index",
+    "doc_vocab_chao1",
+    "documents_ngram_diversity",
+    # perf-fix regression probes: the r10 prefix-sum rewrite, the
+    # two-consumer-tail fixes and the fractional support threshold
+    # must still scale at/below linear
     "events_kruskal_wallis",
+    "doc_langid_auc",
+    "doc_isotonic_calibration",
+    "events_kmv_user_overlap",
+    "categorical_association_audit",
+    "part_association_rules",
+    "customer_fs_linkage",
 ]
 
 
