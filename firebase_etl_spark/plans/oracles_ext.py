@@ -9974,3 +9974,39 @@ ORACLES_EXT["documents_ngram_diversity"] = """
     FROM uni JOIN big USING (source)
     ORDER BY source
 """
+
+
+def _stream_srm_oracle() -> str:
+    """Batch replay of the streaming SRM gate's final emission: the
+    state is two batching-invariant counters, so one GROUP BY
+    reproduces it exactly (event-level arms — the live denominator,
+    vs events_srm_check's distinct units)."""
+    from firebase_etl_spark.operators.stats import SRM_CHI2_CRIT_E6
+
+    return f"""
+    WITH base AS (
+        SELECT event_type AS g, CAST(user_id % 2 AS INT) AS arm
+        FROM events
+        WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+    ), m AS (
+        SELECT g,
+               CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_arm0,
+               CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_arm1,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM base GROUP BY g
+    )
+    SELECT g AS event_type, n_arm0, n_arm1, n_events,
+           CAST(CASE WHEN n_arm0 + n_arm1 > 0 THEN
+                ((n_arm0 - n_arm1) * (n_arm0 - n_arm1) * 1000000)
+                // (n_arm0 + n_arm1) ELSE 0 END AS BIGINT) AS chi2_e6,
+           CASE WHEN n_arm0 + n_arm1 > 0 THEN
+                ((n_arm0 - n_arm1) * (n_arm0 - n_arm1) * 1000000)
+                // (n_arm0 + n_arm1) > {SRM_CHI2_CRIT_E6}
+                ELSE false END AS srm_detected
+    FROM m ORDER BY event_type
+"""
+
+
+ORACLES_EXT["stream_srm_check"] = _stream_srm_oracle()

@@ -7518,3 +7518,58 @@ def documents_ngram_diversity(
         )
         .orderBy("source")
     )
+
+
+def stream_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin #14 — live sample-ratio-mismatch gate
+    (streaming/events.py:streaming_srm_monitor): stateful cumulative
+    arm counts of the id-parity split per event type; the chi-square
+    applies ENGINE-side on the final emission via the same integer
+    expression as the batch srm_check, so the stateful path is two
+    counters per key. Gates EVENT traffic where events_srm_check
+    gates DISTINCT units — the live vs the audit denominator, both
+    deliberate."""
+    import uuid as _uuid
+
+    from firebase_etl_spark.operators.stats import SRM_CHI2_CRIT_E6
+    from firebase_etl_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+        streaming_srm_monitor,
+    )
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    name = f"srm_{_uuid.uuid4().hex[:8]}"
+    inc = run_stream_to_memory(
+        spark,
+        streaming_srm_monitor(stream),
+        name,
+        output_mode="append",
+    )
+    final = (
+        inc.groupBy("g")
+        .agg(
+            F.max("n_seen").alias("n_events"),
+            F.max_by(F.struct("n0", "n1"), F.col("n_seen")).alias("m"),
+        )
+        .select(
+            F.col("g").alias("event_type"),
+            F.col("m.n0").alias("n_arm0"),
+            F.col("m.n1").alias("n_arm1"),
+            F.col("n_events"),
+        )
+    )
+    return final.select(
+        "event_type", "n_arm0", "n_arm1", "n_events",
+        F.expr(
+            "CASE WHEN n_arm0 + n_arm1 > 0 THEN"
+            " ((n_arm0 - n_arm1) * (n_arm0 - n_arm1) * 1000000)"
+            " DIV (n_arm0 + n_arm1) ELSE 0 END"
+        ).cast("long").alias("chi2_e6"),
+        F.expr(
+            f"CASE WHEN n_arm0 + n_arm1 > 0 THEN"
+            f" ((n_arm0 - n_arm1) * (n_arm0 - n_arm1) * 1000000)"
+            f" DIV (n_arm0 + n_arm1) > {SRM_CHI2_CRIT_E6}"
+            f" ELSE false END"
+        ).alias("srm_detected"),
+    ).orderBy("event_type")

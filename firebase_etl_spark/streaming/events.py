@@ -840,3 +840,72 @@ def streaming_hll_distinct(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_srm_monitor(events: DataFrame):
+    """Stateful streaming sample-ratio-mismatch gate — twin #14: per
+    event type, cumulative arm counts of the id-parity experiment
+    split. The FIRST live gate an experimentation platform runs: a
+    drifting split ratio invalidates every downstream read-out
+    (stream_ab_monitor's z included), and catching it mid-experiment
+    is the whole point — batch SRM tells you after the budget is
+    spent.
+
+    State is two BIGINT counters + n_seen — pure functions of the
+    input multiset, batching- and order-insensitive, so the final
+    emission per key bit-equals a batch aggregate and the oracle
+    replays it with one GROUP BY. The chi-square applies ENGINE-side
+    on the final rows (zero Python arithmetic beyond += in the
+    stateful path). NOTE: this twin gates EVENT traffic (the live
+    flavor); the batch events_srm_check gates DISTINCT units — both
+    stated, deliberately different denominators. Emits
+    (g, n_seen, n0, n1) per key per batch."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    out_schema = "g string, n_seen long, n0 long, n1 long"
+    state_schema = "n0 long, n1 long, n_seen long"
+
+    def update(key_tuple, pdfs, state: GroupState):
+        if state.exists:
+            n0, n1, seen = (int(x) for x in state.get)
+        else:
+            n0 = n1 = seen = 0
+        added = 0
+        for pdf in pdfs:
+            for arm in pdf["arm"]:
+                if int(arm) == 0:
+                    n0 += 1
+                else:
+                    n1 += 1
+                added += 1
+        if not added:
+            return
+        seen += added
+        state.update((n0, n1, seen))
+        yield pd.DataFrame(
+            {
+                "g": [str(key_tuple[0])],
+                "n_seen": [seen],
+                "n0": [n0],
+                "n1": [n1],
+            }
+        )
+
+    src = events.filter(
+        F.col("event_type").isNotNull() & F.col("user_id").isNotNull()
+    ).select(
+        F.col("event_type").alias("g"),
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+    )
+    return src.groupBy("g").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -523,3 +523,42 @@ def test_streaming_ab_monitor_matches_batch_moments(spark, sf_dir):
         assert s["n_a"] == b["n_a"] and s["n_b"] == b["n_b"]
         assert s["z_e6"] == b["z_e6"]
         assert s["n_events"] == b["n_a"] + b["n_b"]
+
+
+def test_streaming_srm_matches_batch_counts(spark, sf_dir):
+    """Twin #14: the stateful SRM gate's final emission per key equals
+    the batch event-level arm counts exactly (the state is two
+    counters), and the engine-side chi-square matches a direct batch
+    recomputation of the same integer expression."""
+    from firebase_etl_spark.plans.queries_ext import stream_srm_check
+
+    got = {r["event_type"]: r
+           for r in stream_srm_check(spark, sf_dir).collect()}
+    batch = {
+        r["g"]: r
+        for r in (
+            load_table(spark, "events", sf_dir)
+            .filter(
+                F.col("event_type").isNotNull()
+                & F.col("user_id").isNotNull()
+            )
+            .groupBy(F.col("event_type").alias("g"))
+            .agg(
+                F.sum((F.col("user_id") % 2 == 0).cast("long"))
+                .alias("n0"),
+                F.sum((F.col("user_id") % 2 == 1).cast("long"))
+                .alias("n1"),
+            )
+            .collect()
+        )
+    }
+    assert set(got) == set(batch)
+    for g, s in got.items():
+        b = batch[g]
+        assert s["n_arm0"] == b["n0"] and s["n_arm1"] == b["n1"]
+        assert s["n_events"] == b["n0"] + b["n1"]
+        expect_chi2 = ((b["n0"] - b["n1"]) ** 2 * 1_000_000) // (
+            b["n0"] + b["n1"]
+        )
+        assert s["chi2_e6"] == expect_chi2
+        assert s["srm_detected"] == (expect_chi2 > 3_841_459)
