@@ -3766,3 +3766,51 @@ def dispersion_index_report(
         )
         .orderBy("group_key")
     )
+
+
+def mcnemar_report(df: DataFrame, before_col, after_col) -> DataFrame:
+    """McNemar paired-binary test (McNemar 1947) over per-unit 0/1
+    outcomes in two paired conditions — the PAIRED complement to the
+    SRM/chi-square family: did units FLIP (did users who didn't
+    purchase early start purchasing late), which only the discordant
+    cells b = (1,0) and c = (0,1) can answer; concordant cells carry
+    no information and a two-sample test on the margins silently
+    wastes the pairing.
+
+    All-integer: the 2x2 paired table counts are exact; chi2_e6 =
+    (b-c)^2 * 1e6 DIV (b+c) (no continuity correction — stated; the
+    numerator is a square so truncating DIV == flooring //), NULL
+    when b + c = 0 (no discordant pairs — the test is undefined).
+    Exact while (b-c)^2 * 1e6 < 2^63 (|b-c| <~ 3e6 discordant gap —
+    past that shift both by 2^10, the KW gate). significant compares
+    against the shared chi-square(1) literal SRM_CHI2_CRIT_E6.
+    Returns one row: (n_units, n_both, n_neither, n_before_only,
+    n_after_only, chi2_e6, significant)."""
+    base = df.select(
+        before_col.cast("int").alias("x"), after_col.cast("int").alias("y")
+    ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    agg = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.sum(((F.col("x") == 1) & (F.col("y") == 1)).cast("long"))
+        .cast("long").alias("n_both"),
+        F.sum(((F.col("x") == 0) & (F.col("y") == 0)).cast("long"))
+        .cast("long").alias("n_neither"),
+        F.sum(((F.col("x") == 1) & (F.col("y") == 0)).cast("long"))
+        .cast("long").alias("b"),
+        F.sum(((F.col("x") == 0) & (F.col("y") == 1)).cast("long"))
+        .cast("long").alias("c"),
+    )
+    chi2 = (
+        "CASE WHEN b + c = 0 THEN CAST(NULL AS BIGINT)"
+        " ELSE ((b - c) * (b - c) * 1000000) DIV (b + c) END"
+    )
+    return agg.select(
+        "n_units", "n_both", "n_neither",
+        F.col("b").alias("n_before_only"),
+        F.col("c").alias("n_after_only"),
+        F.expr(chi2).cast("long").alias("chi2_e6"),
+        F.expr(
+            f"CASE WHEN b + c = 0 THEN NULL"
+            f" ELSE ({chi2}) > {SRM_CHI2_CRIT_E6} END"
+        ).alias("significant"),
+    )

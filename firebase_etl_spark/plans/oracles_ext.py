@@ -10010,3 +10010,53 @@ def _stream_srm_oracle() -> str:
 
 
 ORACLES_EXT["stream_srm_check"] = _stream_srm_oracle()
+
+
+def _mcnemar_oracle() -> str:
+    """McNemar twin: same per-user paired 0/1 outcomes on the integer
+    microsecond midpoint split, same all-integer chi-square (operands
+    non-negative, so // == DIV)."""
+    from firebase_etl_spark.operators.stats import SRM_CHI2_CRIT_E6
+
+    chi2 = (
+        "CASE WHEN b + c = 0 THEN CAST(NULL AS BIGINT)"
+        " ELSE ((b - c) * (b - c) * 1000000) // (b + c) END"
+    )
+    return f"""
+    WITH span AS (
+        SELECT (CAST(min(epoch_us(ts)) AS BIGINT)
+                + CAST(max(epoch_us(ts)) AS BIGINT)) // 2 AS mid
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), per_user AS (
+        SELECT user_id,
+               CAST(max(CASE WHEN epoch_us(ts) <= mid
+                        AND event_type = 'purchase'
+                        THEN 1 ELSE 0 END) AS INT) AS x,
+               CAST(max(CASE WHEN epoch_us(ts) > mid
+                        AND event_type = 'purchase'
+                        THEN 1 ELSE 0 END) AS INT) AS y
+        FROM events CROSS JOIN span
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        GROUP BY user_id
+    ), agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_units,
+               CAST(sum(CASE WHEN x = 1 AND y = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_both,
+               CAST(sum(CASE WHEN x = 0 AND y = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_neither,
+               CAST(sum(CASE WHEN x = 1 AND y = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS b,
+               CAST(sum(CASE WHEN x = 0 AND y = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS c
+        FROM per_user
+    )
+    SELECT n_units, n_both, n_neither,
+           b AS n_before_only, c AS n_after_only,
+           CAST(({chi2}) AS BIGINT) AS chi2_e6,
+           CASE WHEN b + c = 0 THEN NULL
+                ELSE ({chi2}) > {SRM_CHI2_CRIT_E6} END AS significant
+    FROM agg
+"""
+
+
+ORACLES_EXT["events_mcnemar_purchase"] = _mcnemar_oracle()

@@ -7573,3 +7573,45 @@ def stream_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" ELSE false END"
         ).alias("srm_detected"),
     ).orderBy("event_type")
+
+
+def events_mcnemar_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """McNemar paired-binary test of per-user purchase behavior, early
+    vs late half of the table's time range (operators/stats.py:
+    mcnemar_report) — did users FLIP purchase state, the paired
+    question the two-sample conversion deltas waste the pairing on.
+    Only the discordant cells enter the statistic; the fixture's
+    stationary traffic makes the honest read NOT-significant."""
+    from firebase_etl_spark.operators.stats import mcnemar_report
+
+    e = load_table(spark, "events", sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    us = F.unix_micros(F.col("ts"))
+    span = F.broadcast(
+        e.agg(
+            F.expr(
+                "(CAST(min(unix_micros(ts)) AS BIGINT)"
+                " + CAST(max(unix_micros(ts)) AS BIGINT)) DIV 2"
+            ).alias("mid")
+        )
+    )
+    per_user = (
+        e.crossJoin(span)
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                ((us <= F.col("mid"))
+                 & (F.col("event_type") == "purchase")).cast("int")
+            ).alias("early_purchase"),
+            F.max(
+                ((us > F.col("mid"))
+                 & (F.col("event_type") == "purchase")).cast("int")
+            ).alias("late_purchase"),
+        )
+    )
+    return mcnemar_report(
+        per_user, F.col("early_purchase"), F.col("late_purchase")
+    )

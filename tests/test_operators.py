@@ -4477,3 +4477,23 @@ def test_ngram_diversity_hand_case(spark):
         ).alias("b"),
     ).collect()
     assert [r["b"] for r in big] == ["a b", "b a", "a b"]
+
+
+def test_mcnemar_textbook(spark):
+    from firebase_etl_spark.operators.stats import mcnemar_report
+    from pyspark.sql import functions as F
+
+    # classic: b=10 flips one way, c=2 the other ->
+    # chi2 = 64/12 = 5.333... > 3.841 -> significant
+    rows = [(1, 0)] * 10 + [(0, 1)] * 2 + [(1, 1)] * 5 + [(0, 0)] * 3
+    df = spark.createDataFrame(rows, "x int, y int")
+    r = mcnemar_report(df, F.col("x"), F.col("y")).collect()[0]
+    assert r["n_units"] == 20 and r["n_both"] == 5 and r["n_neither"] == 3
+    assert r["n_before_only"] == 10 and r["n_after_only"] == 2
+    assert r["chi2_e6"] == (64 * 1_000_000) // 12
+    assert r["significant"] is True
+
+    # no discordant pairs -> NULL
+    df2 = spark.createDataFrame([(1, 1), (0, 0)], "x int, y int")
+    r2 = mcnemar_report(df2, F.col("x"), F.col("y")).collect()[0]
+    assert r2["chi2_e6"] is None and r2["significant"] is None

@@ -139,6 +139,7 @@ NEW_OPS = [
     "events_dispersion_index",
     "doc_vocab_chao1",
     "documents_ngram_diversity",
+    "events_mcnemar_purchase",
     # perf-fix regression probes: the r10 prefix-sum rewrite, the
     # two-consumer-tail fixes and the fractional support threshold
     # must still scale at/below linear
