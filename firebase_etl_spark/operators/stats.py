@@ -3525,15 +3525,14 @@ def kendall_tau_report(df: DataFrame, x, y) -> DataFrame:
     )
     tx = cells.groupBy("x").agg(F.sum("c").cast("long").alias("t"))
     ty = cells.groupBy("y").agg(F.sum("c").cast("long").alias("t"))
-    margins = (
-        cells.agg(F.sum("c").cast("long").alias("n"))
-        .crossJoin(F.broadcast(tx.agg(
-            F.sum(F.col("t") * (F.col("t") - 1)).cast("long").alias("n1d")
-        )))
-        .crossJoin(F.broadcast(ty.agg(
-            F.sum(F.col("t") * (F.col("t") - 1)).cast("long").alias("n2d")
-        )))
-    )
+    # n == sum of x-margins, so one agg over tx yields (n, n1d) — one
+    # fewer 1-row aggregate exchange (the cramers_v totals pattern)
+    margins = tx.agg(
+        F.sum("t").cast("long").alias("n"),
+        F.sum(F.col("t") * (F.col("t") - 1)).cast("long").alias("n1d"),
+    ).crossJoin(F.broadcast(ty.agg(
+        F.sum(F.col("t") * (F.col("t") - 1)).cast("long").alias("n2d")
+    )))
     return cd.crossJoin(F.broadcast(margins)).select(
         F.col("n").alias("n_rows"),
         F.col("conc").alias("concordant"),
