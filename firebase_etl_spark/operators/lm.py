@@ -818,3 +818,86 @@ def chao1_richness_report(
         )
         .orderBy("group_key")
     )
+
+
+def conditional_entropy_report(
+    df: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Bigram conditional entropy H(next | current) in nats per group
+    — the ENTROPY RATE of the token stream (first-order Markov
+    approximation): how predictable is this source token-to-token.
+    Low H(B|A) with normal unigram entropy is templated/boilerplate
+    text; the sequence-level complement to documents_ngram_diversity's
+    type counts and doc_entropy_report's marginal entropy.
+
+        H(B|A) = (1/T) * sum_ab c_ab * (ln c_a - ln c_ab)
+
+    over within-document bigrams, where c_a is the count of a as a
+    bigram FIRST token (the row margin of the bigram table, so the
+    distribution conditions on exactly the transitions scored). Both
+    logs are the portable ln over exact integer counts; each bigram
+    row's term quantizes ONCE at e6 (it is >= 0 since c_a >= c_ab) and
+    integer-sums; the final division by T is a truncating integer op
+    mirrored verbatim. Scale shape: one corpus explode -> (group, a,
+    b) counts (map-side combinable), margins by one more groupBy, the
+    grid join is hash-partitioned on (group, a) — vocabulary-pair
+    sized, never corpus-sized. Returns one row per group: (group_key,
+    n_bigrams, n_distinct_bigrams, cond_entropy_e6)."""
+    from pyspark.sql import functions as F
+
+    from firebase_etl_spark.functions.portable_math import (
+        fixed_e6_expr,
+        with_ln,
+    )
+
+    toks = df.filter(
+        F.col(group_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("g"), tokenize(text_col).alias("tk")
+    )
+    pairs = toks.select(
+        "g",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("tk"), 1, F.size("tk") - 1),
+                F.slice(F.col("tk"), 2, F.size("tk") - 1),
+                lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+            )
+        ).alias("p"),
+    ).select("g", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    cab = (
+        pairs.groupBy("g", "a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)  # vocabulary-pair sized; 3 consumers
+    )
+    ca = cab.groupBy("g", "a").agg(F.sum("c").cast("long").alias("cf"))
+    tot = cab.groupBy("g").agg(
+        F.sum("c").cast("long").alias("t"),
+        F.count(F.lit(1)).cast("long").alias("nd"),
+    )
+    grid = cab.join(ca, ["g", "a"])
+    grid = with_ln(grid, "cf", "__lna")
+    grid = with_ln(grid, "c", "__lnab")
+    per_g = (
+        grid.select(
+            "g",
+            F.expr(
+                fixed_e6_expr("c * (__lna - __lnab)")
+            ).alias("term_e6"),
+        )
+        .groupBy("g")
+        .agg(F.sum("term_e6").cast("long").alias("s_e6"))
+    )
+    return (
+        per_g.join(tot, "g")
+        .select(
+            F.col("g").alias("group_key"),
+            F.col("t").alias("n_bigrams"),
+            F.col("nd").alias("n_distinct_bigrams"),
+            F.expr(
+                "CASE WHEN t > 0 THEN s_e6 DIV t"
+                " ELSE CAST(NULL AS BIGINT) END"
+            ).cast("long").alias("cond_entropy_e6"),
+        )
+        .orderBy("group_key")
+    )

@@ -3813,3 +3813,126 @@ def mcnemar_report(df: DataFrame, before_col, after_col) -> DataFrame:
             f" ELSE ({chi2}) > {SRM_CHI2_CRIT_E6} END"
         ).alias("significant"),
     )
+
+
+def runs_z_sql() -> str:
+    """Wald-Wolfowitz runs-test z (e6 BIGINT) as ONE shared SQL
+    expression over exact integer columns (r, n1, n0) — identical text
+    on both engines (the welch_z_sql convention). NULL when either
+    sign class is empty or the variance degenerates."""
+    from firebase_etl_spark.functions.portable_math import fixed_e6_expr
+
+    nd = "(CAST(n1 AS DOUBLE) + CAST(n0 AS DOUBLE))"
+    p = "(CAST(2 AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE))"
+    mu = f"(CAST(1 AS DOUBLE) + {p} / {nd})"
+    var = f"({p} * ({p} - {nd}) / ({nd} * {nd} * ({nd} - CAST(1 AS DOUBLE))))"
+    return (
+        f"CASE WHEN n1 = 0 OR n0 = 0 OR n1 + n0 < 3 OR ({var}) <= 0"
+        f" THEN CAST(NULL AS BIGINT)"
+        f" ELSE {fixed_e6_expr(f'(CAST(r AS DOUBLE) - {mu}) / sqrt({var})')}"
+        f" END"
+    )
+
+
+def runs_test_report(
+    df: DataFrame,
+    group_col: str,
+    score,
+    order_cols: list | None = None,
+) -> DataFrame:
+    """Wald-Wolfowitz runs test of sequence randomness per group: is
+    the above/below-median pattern of an ordered metric stream random,
+    or does it cluster (trends, regime switches, autocorrelated
+    bursts — the nonparametric 'is this series iid' gate that should
+    run before any test that assumes exchangeability). Values are
+    dichotomized against the per-group median (2*median exact for
+    integer data — the brown_forsythe trick); exact ties at the
+    median DROP (the classic convention, stated).
+
+    DISTRIBUTED two-phase runs counting (never one partition per
+    group): repartitionByRange on (group, order) makes each partition
+    a contiguous slice of each group's timeline; per (group,
+    partition-id) segment a PARTITIONED window counts internal runs
+    and records the first/last sign, then the segment table (at most
+    #groups x #partitions rows — bounded) stitches boundaries with a
+    per-group ordered window over segment ids: R = sum of segment
+    runs minus one per same-sign seam. All counts exact int64; the
+    normal z = (R - mu)/sqrt(V) is one shared double expression
+    (runs_z_sql) quantized once at e6 vs the two-sided 5% literal.
+    Returns one row per group: (group_key, n_obs, n_pos, n_neg,
+    n_runs, z_e6, significant)."""
+    spark = df.sparkSession
+    order_cols = order_cols or []
+    base = df.select(
+        F.col(group_col).alias("g"),
+        score.cast("long").alias("v"),
+        *[c.alias(f"__o{i}") for i, c in enumerate(order_cols)],
+    ).filter(F.col("g").isNotNull() & F.col("v").isNotNull())
+    ocols = [f"__o{i}" for i in range(len(order_cols))]
+    med = (
+        base.groupBy("g")
+        .agg(F.expr("CAST(2 * percentile(v, 0.5) AS BIGINT)").alias("m2"))
+        .localCheckpoint(eager=True)  # k rows
+    )
+    signed = (
+        base.join(F.broadcast(med), "g")
+        .filter(F.lit(2) * F.col("v") != F.col("m2"))
+        .select(
+            "g", *ocols,
+            (F.lit(2) * F.col("v") > F.col("m2")).cast("int").alias("x"),
+        )
+    )
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    d = (
+        signed.repartitionByRange(n, F.col("g"), *[F.col(c) for c in ocols])
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    wseg = Window.partitionBy("g", "__pid").orderBy(*ocols)
+    seg = (
+        d.withColumn(
+            "chg",
+            F.when(
+                F.lag("x").over(wseg).isNull()
+                | (F.lag("x").over(wseg) != F.col("x")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .groupBy("g", "__pid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_seg"),
+            F.sum("x").cast("long").alias("n1_seg"),
+            F.sum("chg").cast("long").alias("r_seg"),
+            F.min(F.struct(*ocols, "x")).getField("x").alias("first_x"),
+            F.max(F.struct(*ocols, "x")).getField("x").alias("last_x"),
+        )
+        .localCheckpoint(eager=True)  # <= k * #partitions rows; bounded
+    )
+    wg = Window.partitionBy("g").orderBy("__pid")
+    stitched = seg.withColumn(
+        "seam",
+        F.when(
+            F.lag("last_x").over(wg).isNotNull()
+            & (F.lag("last_x").over(wg) == F.col("first_x")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    per_g = stitched.groupBy("g").agg(
+        F.sum("n_seg").cast("long").alias("n_obs"),
+        F.sum("n1_seg").cast("long").alias("n1"),
+        (F.sum("n_seg") - F.sum("n1_seg")).cast("long").alias("n0"),
+        (F.sum("r_seg") - F.sum("seam")).cast("long").alias("r"),
+    )
+    z = runs_z_sql()
+    return per_g.select(
+        F.col("g").alias("group_key"),
+        "n_obs",
+        F.col("n1").alias("n_pos"),
+        F.col("n0").alias("n_neg"),
+        F.col("r").alias("n_runs"),
+        F.expr(z).cast("long").alias("z_e6"),
+        F.expr(
+            f"CASE WHEN ({z}) IS NULL THEN NULL"
+            f" ELSE abs(({z})) > 1959964 END"
+        ).alias("significant"),
+    ).orderBy("group_key")

@@ -10060,3 +10060,118 @@ def _mcnemar_oracle() -> str:
 
 
 ORACLES_EXT["events_mcnemar_purchase"] = _mcnemar_oracle()
+
+
+def _runs_test_oracle() -> str:
+    """Runs-test twin: DuckDB counts the runs in one ordered pass per
+    group (single-node — the engine's two-phase segment count is
+    order-deterministic, so the totals agree exactly); identical z
+    expression (stats.runs_z_sql)."""
+    from firebase_etl_spark.operators.stats import runs_z_sql
+
+    z = runs_z_sql()
+    return f"""
+    WITH base AS MATERIALIZED (
+        SELECT event_type AS g,
+               CAST(round(value * 100.0, 0) AS BIGINT) AS v,
+               epoch_us(ts) AS us, CAST(event_id AS BIGINT) AS eid
+        FROM events
+        WHERE value IS NOT NULL AND event_type IS NOT NULL
+          AND ts IS NOT NULL
+    ), med AS (
+        SELECT g, CAST(2 * quantile_cont(v, 0.5) AS BIGINT) AS m2
+        FROM base GROUP BY g
+    ), signed AS (
+        SELECT base.g, us, eid,
+               CAST(2 * v > m2 AS INT) AS x
+        FROM base JOIN med USING (g)
+        WHERE 2 * v != m2
+    ), runs AS (
+        SELECT g,
+               CASE WHEN lag(x) OVER w IS NULL
+                         OR lag(x) OVER w != x THEN 1 ELSE 0 END AS chg,
+               x
+        FROM signed
+        WINDOW w AS (PARTITION BY g ORDER BY us, eid)
+    ), per_g AS (
+        SELECT g, CAST(count(*) AS BIGINT) AS n_obs,
+               CAST(sum(x) AS BIGINT) AS n1,
+               CAST(count(*) - sum(x) AS BIGINT) AS n0,
+               CAST(sum(chg) AS BIGINT) AS r
+        FROM runs GROUP BY g
+    )
+    SELECT g AS group_key, n_obs, n1 AS n_pos, n0 AS n_neg,
+           r AS n_runs,
+           CAST(({z}) AS BIGINT) AS z_e6,
+           CASE WHEN ({z}) IS NULL THEN NULL
+                ELSE abs(({z})) > 1959964 END AS significant
+    FROM per_g
+    ORDER BY group_key
+"""
+
+
+ORACLES_EXT["events_runs_test"] = _runs_test_oracle()
+
+
+def _entropy_rate_oracle() -> str:
+    """Entropy-rate twin: zipped-unnest bigrams, the same portable-ln
+    step chain (ln_select_sql) over the (bigram, first-token margin)
+    grid, identical per-row quantize and truncating final division."""
+    from firebase_etl_spark.functions.portable_math import (
+        fixed_e6_expr,
+        ln_select_sql,
+    )
+
+    grid = """
+        SELECT cab.g, cab.c, ca.cf
+        FROM (
+            SELECT g, a, b, CAST(count(*) AS BIGINT) AS c
+            FROM (
+                SELECT source AS g,
+                       unnest(a[1:len(a)-1]) AS a,
+                       unnest(a[2:len(a)]) AS b
+                FROM (
+                    SELECT source,
+                           regexp_split_to_array(lower(trim(text)),
+                                                 '\\s+') AS a
+                    FROM documents
+                    WHERE text IS NOT NULL AND source IS NOT NULL
+                )
+            ) GROUP BY g, a, b
+        ) cab
+        JOIN (
+            SELECT g, a, CAST(count(*) AS BIGINT) AS cf
+            FROM (
+                SELECT source AS g,
+                       unnest(a[1:len(a)-1]) AS a
+                FROM (
+                    SELECT source,
+                           regexp_split_to_array(lower(trim(text)),
+                                                 '\\s+') AS a
+                    FROM documents
+                    WHERE text IS NOT NULL AND source IS NOT NULL
+                )
+            ) GROUP BY g, a
+        ) ca ON cab.g = ca.g AND cab.a = ca.a
+    """
+    chain = ln_select_sql(grid, [("cf", "__lna"), ("c", "__lnab")])
+    term = fixed_e6_expr("c * (__lna - __lnab)")
+    return f"""
+    WITH terms AS MATERIALIZED (
+        SELECT g, c, {term} AS term_e6 FROM ({chain})
+    ), per_g AS (
+        SELECT g, CAST(sum(c) AS BIGINT) AS t,
+               CAST(count(*) AS BIGINT) AS nd,
+               CAST(sum(term_e6) AS BIGINT) AS s_e6
+        FROM terms GROUP BY g
+    )
+    SELECT g AS group_key, t AS n_bigrams, nd AS n_distinct_bigrams,
+           CAST(CASE WHEN t > 0 THEN s_e6 // t
+                ELSE CAST(NULL AS BIGINT) END AS BIGINT)
+               AS cond_entropy_e6
+    FROM per_g
+    ORDER BY group_key
+"""
+
+
+ORACLES_EXT["documents_entropy_rate"] = _entropy_rate_oracle()

@@ -7615,3 +7615,45 @@ def events_mcnemar_purchase(
     return mcnemar_report(
         per_user, F.col("early_purchase"), F.col("late_purchase")
     )
+
+
+def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test of value-sequence randomness per event
+    type (operators/stats.py:runs_test_report): the above/below-median
+    sign pattern of values ordered by (ts, event_id), runs counted by
+    the DISTRIBUTED two-phase segment-and-stitch shape (never one
+    partition per group). The iid fixture makes the honest read
+    NOT-significant — the exchangeability gate certifying a null."""
+    from firebase_etl_spark.operators.stats import runs_test_report
+
+    e = load_table(spark, "events", sf_dir).filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    return runs_test_report(
+        e,
+        "event_type",
+        F.round(F.col("value") * 100).cast("long"),
+        order_cols=[
+            F.unix_micros(F.col("ts")),
+            F.col("event_id").cast("long"),
+        ],
+    )
+
+
+def documents_entropy_rate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Token-stream entropy rate per source (operators/lm.py:
+    conditional_entropy_report): bigram conditional entropy
+    H(next | current) in e6 nats — the predictability screen that
+    catches templated/boilerplate sources whose type counts look
+    normal. Portable-ln over exact bigram/margin counts; one
+    quantize per bigram row."""
+    from firebase_etl_spark.operators.lm import conditional_entropy_report
+
+    d = load_table(spark, "documents", sf_dir).filter(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    )
+    return conditional_entropy_report(d, "source", "text")

@@ -4497,3 +4497,97 @@ def test_mcnemar_textbook(spark):
     df2 = spark.createDataFrame([(1, 1), (0, 0)], "x int, y int")
     r2 = mcnemar_report(df2, F.col("x"), F.col("y")).collect()[0]
     assert r2["chi2_e6"] is None and r2["significant"] is None
+
+
+def test_runs_test_textbook(spark):
+    import math
+
+    from firebase_etl_spark.operators.stats import runs_test_report
+    from pyspark.sql import functions as F
+
+    # alternating sequence around median: v = 1,9,1,9,... (n=10) ->
+    # median 5 (2*median=10), x alternates -> R = 10 (maximal runs)
+    rows = [("a", i, 1 if i % 2 == 0 else 9) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, o long, v long")
+    r = runs_test_report(
+        df, "g", F.col("v"), order_cols=[F.col("o")]
+    ).collect()[0]
+    assert r["n_obs"] == 10 and r["n_pos"] == 5 and r["n_neg"] == 5
+    assert r["n_runs"] == 10
+    # z = (10 - 6)/sqrt(50*40/900) = 4/sqrt(20/9)
+    mu = 1 + 2 * 5 * 5 / 10
+    var = (2 * 5 * 5) * (2 * 5 * 5 - 10) / (10 * 10 * 9)
+    assert r["z_e6"] == round((10 - mu) / math.sqrt(var) * 1e6 + 1e-9)
+    assert r["significant"] is True  # maximal alternation is non-random
+
+    # one-block sequence: 1,1,1,9,9,9 -> R = 2, strongly clustered
+    rows2 = [("b", i, 1) for i in range(3)] + [
+        ("b", 3 + i, 9) for i in range(3)
+    ]
+    df2 = spark.createDataFrame(rows2, "g string, o long, v long")
+    r2 = runs_test_report(
+        df2, "b".join(["g"][:1]) or "g", F.col("v"),
+        order_cols=[F.col("o")],
+    ).collect()[0]
+    assert r2["n_runs"] == 2
+
+    # median ties drop: 1, 5, 9 with median 5 -> n_obs = 2
+    df3 = spark.createDataFrame(
+        [("c", 0, 1), ("c", 1, 5), ("c", 2, 9)], "g string, o long, v long"
+    )
+    assert (
+        runs_test_report(df3, "g", F.col("v"), order_cols=[F.col("o")])
+        .collect()[0]["n_obs"] == 2
+    )
+
+
+def test_runs_two_phase_matches_single_pass(spark):
+    """The distributed segment-and-stitch runs count equals a direct
+    single-pass count on a sequence long enough to span partitions."""
+    import random
+
+    from firebase_etl_spark.operators.stats import runs_test_report
+    from pyspark.sql import functions as F
+
+    rng = random.Random(11)
+    vals = [rng.randrange(1000) for _ in range(5000)]
+    rows = [("g", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, o long, v long")
+    r = runs_test_report(
+        df, "g", F.col("v"), order_cols=[F.col("o")]
+    ).collect()[0]
+    s = sorted(vals)
+    m2 = s[len(s) // 2 - 1] + s[len(s) // 2]  # 2 * interpolated median
+    signs = [1 if 2 * v > m2 else 0 for v in vals if 2 * v != m2]
+    expect_runs = 1 + sum(
+        1 for i in range(1, len(signs)) if signs[i] != signs[i - 1]
+    )
+    assert r["n_obs"] == len(signs)
+    assert r["n_runs"] == expect_runs
+
+
+def test_conditional_entropy_hand_case(spark):
+    import math
+
+    from firebase_etl_spark.operators.lm import conditional_entropy_report
+
+    # "a b a c": bigrams (a,b),(b,a),(a,c); c_a(first)=2, c_b=1
+    # H = (1/3) * [1*ln(2/1) + 1*ln(1/1) + 1*ln(2/1)] = (2/3) ln 2
+    df = spark.createDataFrame(
+        [("s", "a b a c")], "source string, text string"
+    )
+    r = conditional_entropy_report(df, "source", "text").collect()[0]
+    assert r["n_bigrams"] == 3 and r["n_distinct_bigrams"] == 3
+    # each ln2-term quantizes once at e6 (portable ln agrees with libm
+    # well past 1e-6), then the integer mean truncates
+    ln2_e6 = round(math.log(2.0) * 1e6 + 1e-9)
+    assert r["cond_entropy_e6"] == (2 * ln2_e6) // 3
+
+    # fully deterministic chain "a b a b a b": H(B|A) = 0
+    df2 = spark.createDataFrame(
+        [("s", "a b a b a b")], "source string, text string"
+    )
+    assert (
+        conditional_entropy_report(df2, "source", "text")
+        .collect()[0]["cond_entropy_e6"] == 0
+    )

@@ -140,6 +140,8 @@ NEW_OPS = [
     "doc_vocab_chao1",
     "documents_ngram_diversity",
     "events_mcnemar_purchase",
+    "events_runs_test",
+    "documents_entropy_rate",
     # perf-fix regression probes: the r10 prefix-sum rewrite, the
     # two-consumer-tail fixes and the fractional support threshold
     # must still scale at/below linear
