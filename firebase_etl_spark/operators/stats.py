@@ -3936,3 +3936,146 @@ def runs_test_report(
             f" ELSE abs(({z})) > 1959964 END"
         ).alias("significant"),
     ).orderBy("group_key")
+
+
+def jt_z_sql() -> str:
+    """Jonckheere-Terpstra tie-corrected normal z (e6 BIGINT) as ONE
+    shared SQL expression over exact integer columns (jt2, n, s2, u1,
+    v1, u2, v2, u3, v3) — identical text on both engines. The doubled
+    statistic JT2 (ties count 1, strict orderings 2) has
+    E[JT2] = (N^2 - sum n_g^2)/2 exactly (per cross-group pair the
+    2*P(<) + P(=) expectation is 1 under exchangeability, ties or
+    not); Var[JT2] = 4*Var[JT] with the standard three-term tie
+    correction (Lehmann 1975; the clinfun::jonckheere.test form).
+    Cross-moment products exceed int64, so every term runs in doubles
+    over the exact integer inputs."""
+    from firebase_etl_spark.functions.portable_math import fixed_e6_expr
+
+    nd = "CAST(n AS DOUBLE)"
+    e2 = f"(({nd} * {nd} - CAST(s2 AS DOUBLE)) / CAST(2 AS DOUBLE))"
+    t1 = (
+        f"(({nd} * ({nd} - 1) * (2 * {nd} + 5)"
+        " - CAST(u1 AS DOUBLE) - CAST(v1 AS DOUBLE))"
+        " / CAST(72 AS DOUBLE))"
+    )
+    t2 = (
+        "(CAST(u2 AS DOUBLE) * CAST(v2 AS DOUBLE)"
+        f" / (CAST(36 AS DOUBLE) * {nd} * ({nd} - 1) * ({nd} - 2)))"
+    )
+    t3 = (
+        "(CAST(u3 AS DOUBLE) * CAST(v3 AS DOUBLE)"
+        f" / (CAST(8 AS DOUBLE) * {nd} * ({nd} - 1)))"
+    )
+    var2 = f"(CAST(4 AS DOUBLE) * ({t1} + {t2} + {t3}))"
+    return (
+        f"CASE WHEN n < 3 OR ({var2}) <= 0 THEN CAST(NULL AS BIGINT)"
+        f" ELSE {fixed_e6_expr(f'(CAST(jt2 AS DOUBLE) - {e2}) / sqrt({var2})')}"
+        f" END"
+    )
+
+
+def jonckheere_trend_report(
+    df: DataFrame, group_col: str, score
+) -> DataFrame:
+    """Jonckheere-Terpstra trend test (Terpstra 1952; Jonckheere 1954)
+    of an INTEGER score against an ORDERED factor — the k-group rank
+    test with the alternative that Kruskal-Wallis throws away: do the
+    distributions shift MONOTONICALLY with the factor's order (dose,
+    priority tier, quality band). JT = sum over ordered group pairs
+    i < j of the Mann-Whitney count #(x_i < x_j), ties half; kept
+    DOUBLED (jt2, exact integer).
+
+    Engine shape (no pair enumeration, no per-pair passes): one
+    (group, score) histogram; per-group strictly-smaller prefix
+    counts on the UNION support spine — |spine| x k rows, built by
+    one cross of the distinct-score spine with the k-row group table
+    and a PARTITIONED window per group; then each histogram cell
+    (g_j, s, t_j) joins the spine row (g_i, s) for every EARLIER
+    group (g_i < g_j, lexicographic = the factor's encoded order)
+    and contributes t_j * (2*cum_i(<s) + t_i). Exact int64 while
+    2*N^2 < 2^63 (N <~ 2e9). The tie-corrected normal z is one
+    shared double expression (jt_z_sql) over the exact group/tie
+    moment sums; two-sided 5% literal. Returns one row: (n_total,
+    n_groups, jt2, z_e6, significant).
+
+    NOTE: ``group_col`` values must encode the intended order
+    lexicographically (the caller picks an ordered factor like
+    '1-URGENT' < '2-HIGH'); the honest read on an exchangeable
+    fixture is NOT-significant."""
+    base = df.select(
+        F.col(group_col).cast("string").alias("g"),
+        score.cast("long").alias("s"),
+    ).filter(F.col("g").isNotNull() & F.col("s").isNotNull())
+    hist = (
+        base.groupBy("g", "s")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .localCheckpoint(eager=True)  # group x codomain sized; 4 consumers
+    )
+    groups = hist.select("g").distinct().localCheckpoint(eager=True)
+    spine = hist.select("s").distinct()
+    grid = (
+        spine.crossJoin(F.broadcast(groups))
+        .join(hist, ["g", "s"], "left")
+        .select("g", "s", F.coalesce("t", F.lit(0)).alias("t"))
+    )
+    wg = Window.partitionBy("g").orderBy("s").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = grid.select(
+        "g", "s", "t",
+        F.coalesce(F.sum("t").over(wg), F.lit(0)).cast("long")
+        .alias("cb"),
+    )
+    contrib = (
+        hist.alias("j")
+        .join(
+            cum.alias("i"),
+            (F.col("i.s") == F.col("j.s"))
+            & (F.col("i.g") < F.col("j.g")),
+        )
+        .agg(
+            F.sum(
+                F.col("j.t")
+                * (F.lit(2) * F.col("i.cb") + F.col("i.t"))
+            ).cast("long").alias("jt2")
+        )
+    )
+    per_g = hist.groupBy("g").agg(F.sum("t").cast("long").alias("ng"))
+    gm = per_g.agg(
+        F.sum("ng").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.col("ng") * F.col("ng")).cast("long").alias("s2"),
+        F.sum(
+            F.col("ng") * (F.col("ng") - 1) * (2 * F.col("ng") + 5)
+        ).cast("long").alias("u1"),
+        F.sum(
+            F.col("ng") * (F.col("ng") - 1) * (F.col("ng") - 2)
+        ).cast("long").alias("u2"),
+        F.sum(F.col("ng") * (F.col("ng") - 1)).cast("long").alias("u3"),
+    )
+    ties = hist.groupBy("s").agg(
+        F.sum("t").cast("long").alias("ts")
+    ).agg(
+        F.sum(
+            F.col("ts") * (F.col("ts") - 1) * (2 * F.col("ts") + 5)
+        ).cast("long").alias("v1"),
+        F.sum(
+            F.col("ts") * (F.col("ts") - 1) * (F.col("ts") - 2)
+        ).cast("long").alias("v2"),
+        F.sum(F.col("ts") * (F.col("ts") - 1)).cast("long").alias("v3"),
+    )
+    z = jt_z_sql()
+    return (
+        contrib.crossJoin(F.broadcast(gm))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            F.col("n").alias("n_total"),
+            F.col("k").alias("n_groups"),
+            F.coalesce(F.col("jt2"), F.lit(0)).alias("jt2"),
+            F.expr(z).cast("long").alias("z_e6"),
+            F.expr(
+                f"CASE WHEN ({z}) IS NULL THEN NULL"
+                f" ELSE abs(({z})) > 1959964 END"
+            ).alias("significant"),
+        )
+    )

@@ -10180,3 +10180,61 @@ def _entropy_rate_oracle() -> str:
 
 
 ORACLES_EXT["documents_entropy_rate"] = _entropy_rate_oracle()
+
+
+def _jonckheere_oracle() -> str:
+    """JT twin: same histogram -> union-spine per-group prefix (DuckDB
+    partitioned window) -> earlier-group join, identical doubled-JT
+    integers and z expression (stats.jt_z_sql)."""
+    from firebase_etl_spark.operators.stats import jt_z_sql
+
+    z = jt_z_sql()
+    return f"""
+    WITH base AS MATERIALIZED (
+        SELECT CAST(o_orderpriority AS VARCHAR) AS g,
+               CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS s
+        FROM orders
+        WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+    ), hist AS MATERIALIZED (
+        SELECT g, s, CAST(count(*) AS BIGINT) AS t
+        FROM base GROUP BY g, s
+    ), grid AS (
+        SELECT gr.g, sp.s, CAST(coalesce(h.t, 0) AS BIGINT) AS t
+        FROM (SELECT DISTINCT s FROM hist) sp
+        CROSS JOIN (SELECT DISTINCT g FROM hist) gr
+        LEFT JOIN hist h ON h.g = gr.g AND h.s = sp.s
+    ), cum AS MATERIALIZED (
+        SELECT g, s, t,
+               CAST(coalesce(sum(t) OVER (PARTITION BY g ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS cb
+        FROM grid
+    ), contrib AS (
+        SELECT CAST(coalesce(sum(j.t * (2 * i.cb + i.t)), 0) AS BIGINT)
+                   AS jt2
+        FROM hist j JOIN cum i ON i.s = j.s AND i.g < j.g
+    ), gm AS (
+        SELECT CAST(sum(ng) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(ng * ng) AS BIGINT) AS s2,
+               CAST(sum(ng * (ng - 1) * (2 * ng + 5)) AS BIGINT) AS u1,
+               CAST(sum(ng * (ng - 1) * (ng - 2)) AS BIGINT) AS u2,
+               CAST(sum(ng * (ng - 1)) AS BIGINT) AS u3
+        FROM (SELECT g, CAST(sum(t) AS BIGINT) AS ng
+              FROM hist GROUP BY g)
+    ), ties AS (
+        SELECT CAST(sum(ts * (ts - 1) * (2 * ts + 5)) AS BIGINT) AS v1,
+               CAST(sum(ts * (ts - 1) * (ts - 2)) AS BIGINT) AS v2,
+               CAST(sum(ts * (ts - 1)) AS BIGINT) AS v3
+        FROM (SELECT s, CAST(sum(t) AS BIGINT) AS ts
+              FROM hist GROUP BY s)
+    )
+    SELECT n AS n_total, k AS n_groups, jt2,
+           CAST(({z}) AS BIGINT) AS z_e6,
+           CASE WHEN ({z}) IS NULL THEN NULL
+                ELSE abs(({z})) > 1959964 END AS significant
+    FROM contrib CROSS JOIN gm CROSS JOIN ties
+"""
+
+
+ORACLES_EXT["orders_jonckheere_trend"] = _jonckheere_oracle()

@@ -7657,3 +7657,24 @@ def documents_entropy_rate(
         F.col("text").isNotNull() & F.col("source").isNotNull()
     )
     return conditional_entropy_report(d, "source", "text")
+
+
+def orders_jonckheere_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Jonckheere-Terpstra ordered-trend test of order value (cents)
+    across the NATURALLY ORDERED priority tiers '1-URGENT' .. '5-LOW'
+    (operators/stats.py:jonckheere_trend_report) — the monotone
+    alternative Kruskal-Wallis discards: does order value trend with
+    priority. Union-spine prefix construction, exact doubled JT,
+    tie-corrected z. The fixture draws value independently of
+    priority: the honest read is NOT-significant."""
+    from firebase_etl_spark.operators.stats import jonckheere_trend_report
+
+    o = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderpriority").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+    )
+    return jonckheere_trend_report(
+        o, "o_orderpriority", F.round(F.col("o_totalprice") * 100).cast("long")
+    )

@@ -4591,3 +4591,35 @@ def test_conditional_entropy_hand_case(spark):
         conditional_entropy_report(df2, "source", "text")
         .collect()[0]["cond_entropy_e6"] == 0
     )
+
+
+def test_jonckheere_hand_cases(spark):
+    import math
+
+    from firebase_etl_spark.operators.stats import jonckheere_trend_report
+    from pyspark.sql import functions as F
+
+    # A=[1,2], B=[3,4]: every cross pair ordered -> JT2 = 2*4 = 8;
+    # E2 = (16-8)/2 = 4; no ties: Var = [4*3*13 - 36]/72 = 5/3 (which
+    # equals the textbook two-sample n1*n2*(N+1)/12 = 2*2*5/12);
+    # Var2 = 20/3; z = (8-4)/sqrt(20/3) = 1.549193
+    rows = [("a", 1), ("a", 2), ("b", 3), ("b", 4)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = jonckheere_trend_report(df, "g", F.col("v")).collect()[0]
+    assert r["n_total"] == 4 and r["n_groups"] == 2
+    assert r["jt2"] == 8
+    assert r["z_e6"] == round((8 - 4) / math.sqrt(20.0 / 3.0) * 1e6 + 1e-9)
+
+    # tied case: A=[1,1], B=[1,2] -> JT2 = 2 (ties) + 4 (strict) = 6
+    rows2 = [("a", 1), ("a", 1), ("b", 1), ("b", 2)]
+    df2 = spark.createDataFrame(rows2, "g string, v long")
+    assert (
+        jonckheere_trend_report(df2, "g", F.col("v"))
+        .collect()[0]["jt2"] == 6
+    )
+
+    # reversed trend: A=[3,4], B=[1,2] -> JT2 = 0, z negative
+    rows3 = [("a", 3), ("a", 4), ("b", 1), ("b", 2)]
+    df3 = spark.createDataFrame(rows3, "g string, v long")
+    r3 = jonckheere_trend_report(df3, "g", F.col("v")).collect()[0]
+    assert r3["jt2"] == 0 and r3["z_e6"] < 0

@@ -142,6 +142,7 @@ NEW_OPS = [
     "events_mcnemar_purchase",
     "events_runs_test",
     "documents_entropy_rate",
+    "orders_jonckheere_trend",
     # perf-fix regression probes: the r10 prefix-sum rewrite, the
     # two-consumer-tail fixes and the fractional support threshold
     # must still scale at/below linear
