@@ -777,8 +777,8 @@ def chao1_richness_report(
 
     All-integer: (group, token) counts are exact; D, f1, f2, n are
     exact int64; the Chao1 correction quantizes once at e2 via
-    truncating division (f1^2 is vocabulary-sized squared — < 2^63
-    for f1 < 3e9 types). hapax_ratio_e6 = f1*1e6 DIV D. Scale shape:
+    truncating division (f1^2 * 100 must fit int64 — exact for
+    f1 < ~3e8 singleton types; past that drop the e2 scale or shift). hapax_ratio_e6 = f1*1e6 DIV D. Scale shape:
     one explode -> map-side-combinable (group, token) counts -> one
     group-sized aggregate. Returns one row per group: (group_key,
     n_tokens, vocab_size, f1, f2, chao1_e2, hapax_ratio_e6)."""

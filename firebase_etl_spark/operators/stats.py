@@ -2890,9 +2890,13 @@ def with_prefix_sum(df, order_cols, value_col: str, out: str = "cum") -> DataFra
 
     ``order_cols`` must form a TOTAL order (distinct histogram keys
     qualify). Cost: one range shuffle over a bounded table + one
-    #partitions-row collect."""
+    #partitions-row collect. The input materializes ONCE up front:
+    repartitionByRange runs a separate range-boundary sampling job
+    over its child, which would otherwise re-execute the upstream
+    corpus scan + aggregate a second time."""
     spark = df.sparkSession
     n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    df = df.localCheckpoint(eager=True)
     d = (
         df.repartitionByRange(n, *order_cols)
         .withColumn("__pid", F.spark_partition_id())
@@ -3213,12 +3217,14 @@ def kruskal_wallis_report(
         F.col(group_col).alias("g"),
         score.cast("long").alias("s"),
     ).filter(F.col("g").isNotNull() & F.col("s").isNotNull())
-    hist = base.groupBy("s").agg(
-        F.count(F.lit(1)).cast("long").alias("t")
-    )  # score-codomain-sized
     ghist = base.groupBy("g", "s").agg(
         F.count(F.lit(1)).cast("long").alias("c")
-    )
+    ).localCheckpoint(eager=True)  # k x codomain sized; 2 consumers
+    # the value histogram derives from ghist, so the corpus is
+    # scanned ONCE (it used to be a second base aggregate)
+    hist = ghist.groupBy("s").agg(
+        F.sum("c").cast("long").alias("t")
+    )  # score-codomain-sized
     cums = (
         with_prefix_sum(hist, [F.col("s")], "t", out="cum_incl")
         .select(
@@ -3435,18 +3441,20 @@ def spearman_corr_report(df: DataFrame, x, y) -> DataFrame:
     base = df.select(
         x.cast("long").alias("x"), y.cast("long").alias("y")
     ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
-    hx = base.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("t"))
+    # ONE corpus scan: the joint histogram (distinct-pair bounded)
+    # materializes once and both axis histograms derive from it
+    joint = base.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).localCheckpoint(eager=True)
+    hx = joint.groupBy("x").agg(F.sum("c").cast("long").alias("t"))
     rx = with_prefix_sum(hx, [F.col("x")], "t", out="ci").select(
         "x",
         (F.lit(2) * F.col("ci") - F.col("t") + 1).cast("long").alias("rx2"),
     )
-    hy = base.groupBy("y").agg(F.count(F.lit(1)).cast("long").alias("t"))
+    hy = joint.groupBy("y").agg(F.sum("c").cast("long").alias("t"))
     ry = with_prefix_sum(hy, [F.col("y")], "t", out="ci").select(
         "y",
         (F.lit(2) * F.col("ci") - F.col("t") + 1).cast("long").alias("ry2"),
-    )
-    joint = base.groupBy("x", "y").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
     )
     j = joint.join(rx, "x").join(ry, "y")
     m = j.agg(
@@ -3938,6 +3946,58 @@ def runs_test_report(
     ).orderBy("group_key")
 
 
+def with_grouped_prefix_sum(
+    df, group_col: str, order_cols, value_col: str, out: str = "cum"
+) -> DataFrame:
+    """PER-GROUP scale-safe EXACT inclusive running sum of
+    ``value_col`` in the total order given by ``order_cols`` within
+    each ``group_col`` value — the grouped sibling of with_prefix_sum,
+    for the shape where a Window.partitionBy(group) would put an
+    UNBOUNDED spine (one task sorting ~N rows per group) on k tasks:
+    repartitionByRange on (group, order) keeps each group's order
+    contiguous across ascending partition ids, a PARTITIONED window
+    sums within (group, partition-id) segments, and the per-(group,
+    segment) totals — at most k * #partitions rows — collect to the
+    driver where per-group running offsets are computed and broadcast
+    back. Exact int64; ``group_col`` must be a string column."""
+    spark = df.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    df = df.localCheckpoint(eager=True)
+    d = (
+        df.repartitionByRange(n, F.col(group_col), *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn(
+            "__ls",
+            F.sum(value_col).over(
+                Window.partitionBy(group_col, "__pid")
+                .orderBy(*order_cols)
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).cast("long"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sums = sorted(
+        ((str(r[group_col]), int(r["__pid"]), int(r["c"]))
+         for r in d.groupBy(group_col, "__pid").agg(
+             F.sum(value_col).cast("long").alias("c")
+         ).collect()),
+    )
+    offs, acc = [], {}
+    for g, pid, c in sums:
+        offs.append((g, pid, acc.get(g, 0)))
+        acc[g] = acc.get(g, 0) + c
+    om = F.broadcast(
+        spark.createDataFrame(
+            offs, f"{group_col} string, __pid int, __off long"
+        )
+    )
+    return (
+        d.join(om, [group_col, "__pid"])
+        .withColumn(out, (F.col("__off") + F.col("__ls")).cast("long"))
+        .drop("__pid", "__ls", "__off")
+    )
+
+
 def jt_z_sql() -> str:
     """Jonckheere-Terpstra tie-corrected normal z (e6 BIGINT) as ONE
     shared SQL expression over exact integer columns (jt2, n, s2, u1,
@@ -3989,7 +4049,9 @@ def jonckheere_trend_report(
     (group, score) histogram; per-group strictly-smaller prefix
     counts on the UNION support spine — |spine| x k rows, built by
     one cross of the distinct-score spine with the k-row group table
-    and a PARTITIONED window per group; then each histogram cell
+    and the grouped TWO-PHASE prefix sum (with_grouped_prefix_sum —
+    never one sort task per group; the spine is unbounded for
+    near-unique score axes); then each histogram cell
     (g_j, s, t_j) joins the spine row (g_i, s) for every EARLIER
     group (g_i < g_j, lexicographic = the factor's encoded order)
     and contributes t_j * (2*cum_i(<s) + t_i). Exact int64 while
@@ -4018,13 +4080,16 @@ def jonckheere_trend_report(
         .join(hist, ["g", "s"], "left")
         .select("g", "s", F.coalesce("t", F.lit(0)).alias("t"))
     )
-    wg = Window.partitionBy("g").orderBy("s").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    cum = grid.select(
+    # per-group strictly-smaller prefix via the grouped two-phase
+    # helper: the spine is DISTINCT SCORES (unbounded for near-unique
+    # axes), so a Window.partitionBy(g) would sort ~|spine| rows in
+    # ONE task per group — the constant-parallelism shape the scale
+    # lint cannot see (the partition spec is non-empty)
+    cum = with_grouped_prefix_sum(
+        grid, "g", [F.col("s")], "t", out="ci"
+    ).select(
         "g", "s", "t",
-        F.coalesce(F.sum("t").over(wg), F.lit(0)).cast("long")
-        .alias("cb"),
+        (F.col("ci") - F.col("t")).cast("long").alias("cb"),
     )
     contrib = (
         hist.alias("j")

@@ -9972,11 +9972,13 @@ ORACLES_EXT["documents_ngram_diversity"] = """
     SELECT uni.source, n_tokens, distinct_tokens,
            CAST((distinct_tokens * 1000000) // n_tokens AS BIGINT)
                AS distinct1_e6,
-           n_bigrams, distinct_bigrams,
-           CAST(CASE WHEN n_bigrams > 0
+           CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(coalesce(distinct_bigrams, 0) AS BIGINT)
+               AS distinct_bigrams,
+           CAST(CASE WHEN coalesce(n_bigrams, 0) > 0
                 THEN (distinct_bigrams * 1000000) // n_bigrams
                 ELSE CAST(NULL AS BIGINT) END AS BIGINT) AS distinct2_e6
-    FROM uni JOIN big USING (source)
+    FROM uni LEFT JOIN big USING (source)
     ORDER BY source
 """
 
@@ -9990,7 +9992,10 @@ def _stream_srm_oracle() -> str:
 
     return f"""
     WITH base AS (
-        SELECT event_type AS g, CAST(user_id % 2 AS INT) AS arm
+        -- CASE = 0 / ELSE 1 mirrors the engine's pmod: negative odd
+        -- ids land in arm 1 on both sides
+        SELECT event_type AS g,
+               CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END AS arm
         FROM events
         WHERE event_type IS NOT NULL AND user_id IS NOT NULL
     ), m AS (

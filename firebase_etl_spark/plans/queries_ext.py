@@ -7504,12 +7504,18 @@ def documents_ngram_diversity(
         )
     )
     return (
-        uni.join(big, "source")
+        # LEFT join: a source whose docs all tokenize to single tokens
+        # has no bigram row — it must surface with distinct2_e6 NULL,
+        # not vanish from the report
+        uni.join(big, "source", "left")
         .select(
             "source", "n_tokens", "distinct_tokens",
             F.expr("(distinct_tokens * 1000000) DIV n_tokens")
             .cast("long").alias("distinct1_e6"),
-            "n_bigrams", "distinct_bigrams",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long")
+            .alias("n_bigrams"),
+            F.coalesce("distinct_bigrams", F.lit(0)).cast("long")
+            .alias("distinct_bigrams"),
             F.expr(
                 "CASE WHEN n_bigrams > 0 THEN"
                 " (distinct_bigrams * 1000000) DIV n_bigrams"

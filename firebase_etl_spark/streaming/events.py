@@ -900,7 +900,10 @@ def streaming_srm_monitor(events: DataFrame):
         F.col("event_type").isNotNull() & F.col("user_id").isNotNull()
     ).select(
         F.col("event_type").alias("g"),
-        (F.col("user_id") % 2).cast("int").alias("arm"),
+        # pmod keeps negative ids in {0, 1} (Spark % yields -1 for
+        # negative odd ids, which the n0/n1 split would miscount vs
+        # the oracle's CASE user_id % 2 = 0 form)
+        F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("arm"),
     )
     return src.groupBy("g").applyInPandasWithState(
         update,

@@ -4526,8 +4526,7 @@ def test_runs_test_textbook(spark):
     ]
     df2 = spark.createDataFrame(rows2, "g string, o long, v long")
     r2 = runs_test_report(
-        df2, "b".join(["g"][:1]) or "g", F.col("v"),
-        order_cols=[F.col("o")],
+        df2, "g", F.col("v"), order_cols=[F.col("o")]
     ).collect()[0]
     assert r2["n_runs"] == 2
 
