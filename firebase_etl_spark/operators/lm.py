@@ -850,21 +850,16 @@ def conditional_entropy_report(
         with_ln,
     )
 
-    toks = df.filter(
+    # the bigram pass is the SHARED doc_bigrams corpus pass (the same
+    # slice + arrays_zip pipeline bigram_lm_scores / kn_lm train on),
+    # keyed here by the GROUP column instead of a doc id — one bigram
+    # implementation to audit, not a per-operator re-derivation
+    filtered = df.filter(
         F.col(group_col).isNotNull() & F.col(text_col).isNotNull()
-    ).select(
-        F.col(group_col).alias("g"), tokenize(text_col).alias("tk")
+    ).select(F.col(group_col).alias("g"), F.col(text_col).alias("__t"))
+    pairs = doc_bigrams(filtered, "__t", "g").select(
+        "g", F.col("w1").alias("a"), F.col("w2").alias("b")
     )
-    pairs = toks.select(
-        "g",
-        F.explode(
-            F.zip_with(
-                F.slice(F.col("tk"), 1, F.size("tk") - 1),
-                F.slice(F.col("tk"), 2, F.size("tk") - 1),
-                lambda a, b: F.struct(a.alias("a"), b.alias("b")),
-            )
-        ).alias("p"),
-    ).select("g", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
     cab = (
         pairs.groupBy("g", "a", "b")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))

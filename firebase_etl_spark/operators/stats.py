@@ -1645,11 +1645,14 @@ def winsorized_stats(
     percentile cuts bounds its influence, trimming removes it).
 
     Exact nearest-rank percentiles: rows rank by (value, key) inside
-    each group (one window sort — the same shuffle any exact
-    percentile costs), the cut VALUES are read at ranks
+    each group via the two-phase grouped rank (with_grouped_rank —
+    a Window.partitionBy(group) row_number would sort each group's
+    ENTIRE slice on one task, capping parallelism at #groups at any
+    data size; VERDICT r10 #2), the cut VALUES are read at ranks
     ceil(p*n/100) via one conditional aggregate, and every row clamps
     against its group's cuts. All integer: cent values, truncating
-    sign-split mean divisions quantized once.
+    sign-split mean divisions quantized once. ``group_col`` must be a
+    string column (the grouped-rank offset map's key type).
 
     Returns per group: (group, n_rows, mean_cents,
     winsorized_mean_cents, trimmed_mean_cents, lo_cut_cents,
@@ -1663,12 +1666,14 @@ def winsorized_stats(
         F.expr(value_c_expr).alias("v"),
         F.col(key_col).alias("k"),
     ).filter(F.col("v").isNotNull())
-    win = Window.partitionBy("g").orderBy("v", "k")
-    # ONE window sort, persisted: the count table, the cut-value reads
-    # and the clamp pass all consume `ranked` — without the persist each
-    # consumer re-inlined the base scan + sort (orders×4, VERDICT r8
-    # #3). cnt/cuts are group-count-sized → checkpointed + broadcast.
-    ranked = base.withColumn("r", F.row_number().over(win)).persist()
+    # ONE grouped two-phase rank (range shuffle + partitioned window —
+    # #shuffle-partitions tasks, not #groups), persisted: the count
+    # table, the cut-value reads and the clamp pass all consume
+    # `ranked` — without the persist each consumer re-runs the
+    # broadcast offset join (the checkpoint inside the helper already
+    # pins the expensive rank itself). cnt/cuts are group-count-sized
+    # → checkpointed + broadcast.
+    ranked = with_grouped_rank(base, "g", ["v", "k"], "r").persist()
     cnt = (
         ranked.groupBy("g")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -1753,9 +1758,11 @@ def conformal_interval_report(
     the audit column IS the point of the operator.
 
     All order statistics are exact nearest-rank reads over (value,
-    key) window sorts; everything else is integer cents and one
-    sign-split e6 share. Returns per group: (group, n_train, n_calib,
-    n_test, pred_cents, q_resid_cents, n_covered, coverage_e6)."""
+    key) two-phase grouped ranks (with_grouped_rank — never a
+    one-task-per-group window); everything else is integer cents and
+    one sign-split e6 share. ``group_col`` must be a string column.
+    Returns per group: (group, n_train, n_calib, n_test, pred_cents,
+    q_resid_cents, n_covered, coverage_e6)."""
     from firebase_etl_spark.functions.portable_math import (
         sdiv_scaled_sql,
     )
@@ -1773,12 +1780,17 @@ def conformal_interval_report(
     calib = base.filter(F.col("part") == 1)
     test = base.filter(F.col("part") == 2)
 
-    wtr = Window.partitionBy("g").orderBy("v", "k")
+    # both order-statistic reads rank via the two-phase grouped rank
+    # (with_grouped_rank) — a Window.partitionBy(g) row_number/count
+    # would put each group's whole slice on ONE task (VERDICT r10 #2);
+    # per-group n = max rank, read from the ranked table itself
+    tr_ranked = with_grouped_rank(train, "g", ["v", "k"], "r")
+    ntr = (
+        tr_ranked.groupBy("g").agg(F.max("r").alias("n"))
+        .localCheckpoint(eager=True)  # group-count-sized
+    )
     tr = (
-        train.withColumn("r", F.row_number().over(wtr))
-        .withColumn(
-            "n", F.count(F.lit(1)).over(Window.partitionBy("g"))
-        )
+        tr_ranked.join(F.broadcast(ntr), "g")
         .groupBy("g")
         .agg(
             F.max("n").cast("long").alias("n_train"),
@@ -1793,13 +1805,14 @@ def conformal_interval_report(
     ca = calib.join(F.broadcast(tr), "g").withColumn(
         "resid", F.abs(F.col("v") - F.col("pred"))
     )
-    wca = Window.partitionBy("g").orderBy("resid", "k")
     q_rank = f"least((({100 - alpha_pct}) * (n + 1) + 99) DIV 100, n)"
+    ca_ranked = with_grouped_rank(ca, "g", ["resid", "k"], "r")
+    nca = (
+        ca_ranked.groupBy("g").agg(F.max("r").alias("n"))
+        .localCheckpoint(eager=True)  # group-count-sized
+    )
     qs = (
-        ca.withColumn("r", F.row_number().over(wca))
-        .withColumn(
-            "n", F.count(F.lit(1)).over(Window.partitionBy("g"))
-        )
+        ca_ranked.join(F.broadcast(nca), "g")
         .groupBy("g")
         .agg(
             F.max("n").cast("long").alias("n_calib"),
@@ -2824,6 +2837,17 @@ def isotonic_calibration_report(
     )
 
 
+def _shuffle_partitions(spark) -> int:
+    """Planned parallelism for the two-phase rank/prefix helpers.
+    ``spark.sql.shuffle.partitions`` is not guaranteed numeric on every
+    deployment (some AQE vendors accept 'auto'); fall back to the
+    cluster's default parallelism instead of throwing at plan time."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:
+        return int(spark.sparkContext.defaultParallelism)
+
+
 def with_global_rank(df, order_cols, out: str = "r") -> DataFrame:
     """Scale-safe EXACT global row numbering — the two-phase shape a
     distributed engine uses instead of an empty-PARTITION-BY window
@@ -2840,7 +2864,7 @@ def with_global_rank(df, order_cols, out: str = "r") -> DataFrame:
     a unique tiebreaker). Cost: one range shuffle + one linear
     materialization — what a global sort pays anyway."""
     spark = df.sparkSession
-    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n = _shuffle_partitions(spark)
     d = (
         df.repartitionByRange(n, *order_cols)
         .withColumn("__pid", F.spark_partition_id())
@@ -2893,9 +2917,13 @@ def with_prefix_sum(df, order_cols, value_col: str, out: str = "cum") -> DataFra
     #partitions-row collect. The input materializes ONCE up front:
     repartitionByRange runs a separate range-boundary sampling job
     over its child, which would otherwise re-execute the upstream
-    corpus scan + aggregate a second time."""
+    corpus scan + aggregate a second time.
+
+    NOTE: unlike a pure plan transform, this helper runs Spark jobs
+    EAGERLY at DataFrame-construction time (the localCheckpoint
+    materializations + the bounded offset collect)."""
     spark = df.sparkSession
-    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n = _shuffle_partitions(spark)
     df = df.localCheckpoint(eager=True)
     d = (
         df.repartitionByRange(n, *order_cols)
@@ -3503,6 +3531,18 @@ def kendall_tau_report(df: DataFrame, x, y) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
         .localCheckpoint(eager=True)  # codomain-bounded; 4 consumers
     )
+    # enforce the bounded-codomain precondition at the join site, not
+    # just in prose: a caller passing a near-unique axis would make the
+    # broadcast + O(cells^2) lattice explode. The count is a cheap scan
+    # of the already-checkpointed cell table.
+    n_cells = cells.count()
+    if n_cells > 100_000:
+        raise ValueError(
+            f"kendall_tau_report: {n_cells} joint cells exceed the "
+            "bounded-codomain limit (100k); bucket or discretize the "
+            "axes first — the O(cells^2) lattice join is only safe on "
+            "small codomains"
+        )
     # one bounded BNLJ: for each cell, concordant mass = counts at
     # (x' < x, y' < y), discordant = (x' < x, y' > y)
     lat = (
@@ -3846,7 +3886,7 @@ def runs_test_report(
     df: DataFrame,
     group_col: str,
     score,
-    order_cols: list | None = None,
+    order_cols: list,
 ) -> DataFrame:
     """Wald-Wolfowitz runs test of sequence randomness per group: is
     the above/below-median pattern of an ordered metric stream random,
@@ -3867,10 +3907,21 @@ def runs_test_report(
     runs minus one per same-sign seam. All counts exact int64; the
     normal z = (R - mu)/sqrt(V) is one shared double expression
     (runs_z_sql) quantized once at e6 vs the two-sided 5% literal.
+    ``order_cols`` is REQUIRED and must define the sequence: a runs
+    test is meaningless without a total order, and an empty list would
+    both break the segment window's ORDER BY and make the
+    first/last-sign struct reads pick extreme SIGNS instead of
+    sequence endpoints. The order must be UNIQUE within each group
+    (pass a tiebreaker column).
+
     Returns one row per group: (group_key, n_obs, n_pos, n_neg,
     n_runs, z_e6, significant)."""
     spark = df.sparkSession
-    order_cols = order_cols or []
+    if not order_cols:
+        raise ValueError(
+            "runs_test_report requires order_cols: a non-empty, "
+            "within-group-unique total order over the sequence"
+        )
     base = df.select(
         F.col(group_col).alias("g"),
         score.cast("long").alias("v"),
@@ -3890,7 +3941,7 @@ def runs_test_report(
             (F.lit(2) * F.col("v") > F.col("m2")).cast("int").alias("x"),
         )
     )
-    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n = _shuffle_partitions(spark)
     d = (
         signed.repartitionByRange(n, F.col("g"), *[F.col(c) for c in ocols])
         .withColumn("__pid", F.spark_partition_id())
@@ -3959,9 +4010,13 @@ def with_grouped_prefix_sum(
     sums within (group, partition-id) segments, and the per-(group,
     segment) totals — at most k * #partitions rows — collect to the
     driver where per-group running offsets are computed and broadcast
-    back. Exact int64; ``group_col`` must be a string column."""
+    back. Exact int64; ``group_col`` must be a string column.
+
+    NOTE: like with_prefix_sum, construction is EAGER (checkpoint
+    materializations + the bounded offset collect run as Spark jobs
+    before this function returns)."""
     spark = df.sparkSession
-    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n = _shuffle_partitions(spark)
     df = df.localCheckpoint(eager=True)
     d = (
         df.repartitionByRange(n, F.col(group_col), *order_cols)
@@ -3996,6 +4051,28 @@ def with_grouped_prefix_sum(
         .withColumn(out, (F.col("__off") + F.col("__ls")).cast("long"))
         .drop("__pid", "__ls", "__off")
     )
+
+
+def with_grouped_rank(df, group_col: str, order_cols, out: str = "r") -> DataFrame:
+    """PER-GROUP scale-safe EXACT row numbering in the total order
+    given by ``order_cols`` within each ``group_col`` value — the rank
+    sibling of with_grouped_prefix_sum (the inclusive prefix count of
+    ones IS the row number), and the replacement for
+    ``row_number().over(Window.partitionBy(low_k_col).orderBy(...))``,
+    which sorts each group's ENTIRE slice on one task: a 5-value
+    priority/lang column caps the sort at 5 tasks at any data size
+    (VERDICT r10 #2 — the class the scale lint could not see).
+
+    Same cost shape as the prefix-sum helper: one range shuffle on
+    (group, order), a (group, partition-id)-PARTITIONED window, and a
+    k x #partitions-row offset collect broadcast back. ``order_cols``
+    must form a TOTAL order within each group (pass a unique
+    tiebreaker); ``group_col`` must be a string column. Output rank is
+    int64 (vs row_number's int32) — callers compare, not emit, it.
+    EAGER like its siblings (checkpoints + offset collect run now)."""
+    return with_grouped_prefix_sum(
+        df.withColumn("__one", F.lit(1)), group_col, order_cols, "__one", out
+    ).drop("__one")
 
 
 def jt_z_sql() -> str:

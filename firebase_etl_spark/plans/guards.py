@@ -37,6 +37,48 @@ def _iter_nodes(node):
                 pass
 
 
+#: Known low-cardinality columns (fixture dictionary): single-digit
+#: codomains in the TPC-H-ish tables, plus the generic group alias the
+#: grouped stats operators project their group column to. A window
+#: partitioned ONLY by these runs each group's whole slice on ONE task
+#: — a constant-k parallelism cap the empty-PARTITION-BY check cannot
+#: see (the r10 Jonckheere bug class, VERDICT r10 #3). Two-phase forms
+#: partition by (group, __pid) and never trip this: __pid is not low-k.
+LOW_K_COLUMNS = frozenset(
+    {
+        "o_orderpriority",
+        "o_orderstatus",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipmode",
+        "l_shipinstruct",
+        "c_mktsegment",
+        "r_name",
+        "lang",
+        "event_type",
+        "g",
+        "group_key",
+    }
+)
+
+_ATTR_RE = None
+
+
+def _partition_attr_names(node) -> set[str]:
+    """Attribute names referenced by a window node's partitionSpec,
+    parsed from the JVM expression strings (``col_name#exprId``)."""
+    global _ATTR_RE
+    if _ATTR_RE is None:
+        import re
+
+        _ATTR_RE = re.compile(r"([A-Za-z_][A-Za-z0-9_]*)#\d+")
+    spec = node.partitionSpec()
+    names: set[str] = set()
+    for i in range(spec.size()):
+        names.update(_ATTR_RE.findall(spec.apply(i).toString()))
+    return names
+
+
 def scale_violations(df: DataFrame) -> list[str]:
     """List of human-readable violations in the df's physical plan."""
     plan = df._jdf.queryExecution().executedPlan()
@@ -51,12 +93,30 @@ def scale_violations(df: DataFrame) -> list[str]:
                     f"{name} with empty PARTITION BY: global-order window "
                     "runs on a single partition"
                 )
+            else:
+                attrs = _partition_attr_names(node)
+                if attrs and attrs <= LOW_K_COLUMNS:
+                    out.append(
+                        f"{name} low-k PARTITION BY ({', '.join(sorted(attrs))}): "
+                        "constant-cardinality partition spec caps the window "
+                        "at ~k tasks at any data size — use the two-phase "
+                        "grouped rank/prefix helpers, or allowlist if the "
+                        "input is provably bounded (not data-sized)"
+                    )
     return out
 
 
-def assert_scale_safe(df: DataFrame) -> None:
-    """Raise AssertionError when the plan contains a scale anti-pattern."""
+def assert_scale_safe(df: DataFrame, allow_low_k: bool = False) -> None:
+    """Raise AssertionError when the plan contains a scale anti-pattern.
+
+    ``allow_low_k=True`` tolerates the low-cardinality-PARTITION-BY
+    class only — for triaged queries whose low-k window provably runs
+    over a BOUNDED input (e.g. a <= 3*k*#tasks candidate set or a
+    k*#partitions segment table); the hard violations (cartesian,
+    empty PARTITION BY) still raise."""
     violations = scale_violations(df)
+    if allow_low_k:
+        violations = [v for v in violations if "low-k PARTITION BY" not in v]
     if violations:
         raise AssertionError(
             "scale-unsafe plan: " + "; ".join(sorted(set(violations)))
