@@ -2657,15 +2657,17 @@ def quantile_normalization_map(
 
     def quantiles(frame, part_cols):
         if part_cols:
-            ranked = frame.withColumn(
-                "r",
-                F.row_number().over(
-                    Window.partitionBy(*part_cols).orderBy("v", "k")
-                ),
-            ).withColumn(
-                "n",
-                F.count(F.lit(1)).over(Window.partitionBy(*part_cols)),
+            # grouped level: two-phase grouped rank (a
+            # Window.partitionBy(g) would sort each group's whole
+            # slice on one of k tasks — the low-k class the scale
+            # lint flags); per-group n = max rank, broadcast back
+            ranked = with_grouped_rank(frame, part_cols[0], ["v", "k"], "r")
+            ng = (
+                ranked.groupBy(part_cols[0])
+                .agg(F.max("r").alias("n"))
+                .localCheckpoint(eager=True)  # group-count-sized
             )
+            ranked = ranked.join(F.broadcast(ng), part_cols[0])
         else:
             # pooled level: scale-safe two-phase global rank + one
             # broadcast total (no empty-PARTITION-BY window)
@@ -3998,7 +4000,7 @@ def runs_test_report(
 
 
 def with_grouped_prefix_sum(
-    df, group_col: str, order_cols, value_col: str, out: str = "cum"
+    df, group_col: str, order_cols, value_col, out="cum"
 ) -> DataFrame:
     """PER-GROUP scale-safe EXACT inclusive running sum of
     ``value_col`` in the total order given by ``order_cols`` within
@@ -4012,44 +4014,61 @@ def with_grouped_prefix_sum(
     driver where per-group running offsets are computed and broadcast
     back. Exact int64; ``group_col`` must be a string column.
 
+    ``value_col``/``out`` may be parallel LISTS to compute several
+    running sums in ONE range shuffle + ONE partitioned window (the
+    ks_drift early/late pair) instead of paying the shuffle per
+    column.
+
     NOTE: like with_prefix_sum, construction is EAGER (checkpoint
     materializations + the bounded offset collect run as Spark jobs
     before this function returns)."""
+    vcols = [value_col] if isinstance(value_col, str) else list(value_col)
+    outs = [out] if isinstance(out, str) else list(out)
+    if len(vcols) != len(outs):
+        raise ValueError("value_col and out lists must be parallel")
     spark = df.sparkSession
     n = _shuffle_partitions(spark)
     df = df.localCheckpoint(eager=True)
-    d = (
-        df.repartitionByRange(n, F.col(group_col), *order_cols)
-        .withColumn("__pid", F.spark_partition_id())
-        .withColumn(
-            "__ls",
-            F.sum(value_col).over(
-                Window.partitionBy(group_col, "__pid")
-                .orderBy(*order_cols)
-                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ).cast("long"),
-        )
-        .localCheckpoint(eager=True)
+    wspec = (
+        Window.partitionBy(group_col, "__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    d = df.repartitionByRange(n, F.col(group_col), *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    for v, o in zip(vcols, outs):
+        # same window spec for every column -> ONE WindowExec
+        d = d.withColumn(f"__ls_{o}", F.sum(v).over(wspec).cast("long"))
+    d = d.localCheckpoint(eager=True)
     sums = sorted(
-        ((str(r[group_col]), int(r["__pid"]), int(r["c"]))
-         for r in d.groupBy(group_col, "__pid").agg(
-             F.sum(value_col).cast("long").alias("c")
-         ).collect()),
+        (
+            (str(r[group_col]), int(r["__pid"]),
+             tuple(int(r[f"__c_{o}"]) for o in outs))
+            for r in d.groupBy(group_col, "__pid").agg(
+                *[
+                    F.sum(v).cast("long").alias(f"__c_{o}")
+                    for v, o in zip(vcols, outs)
+                ]
+            ).collect()
+        ),
     )
     offs, acc = [], {}
-    for g, pid, c in sums:
-        offs.append((g, pid, acc.get(g, 0)))
-        acc[g] = acc.get(g, 0) + c
-    om = F.broadcast(
-        spark.createDataFrame(
-            offs, f"{group_col} string, __pid int, __off long"
-        )
+    for g, pid, cs in sums:
+        prev = acc.get(g, (0,) * len(outs))
+        offs.append((g, pid, *prev))
+        acc[g] = tuple(p + c for p, c in zip(prev, cs))
+    off_schema = f"{group_col} string, __pid int, " + ", ".join(
+        f"__off_{o} long" for o in outs
     )
-    return (
-        d.join(om, [group_col, "__pid"])
-        .withColumn(out, (F.col("__off") + F.col("__ls")).cast("long"))
-        .drop("__pid", "__ls", "__off")
+    om = F.broadcast(spark.createDataFrame(offs, off_schema))
+    d = d.join(om, [group_col, "__pid"])
+    for o in outs:
+        d = d.withColumn(
+            o, (F.col(f"__off_{o}") + F.col(f"__ls_{o}")).cast("long")
+        )
+    return d.drop(
+        "__pid", *[f"__ls_{o}" for o in outs], *[f"__off_{o}" for o in outs]
     )
 
 

@@ -711,8 +711,11 @@ def ks_drift_report(
 
     Exact integer formulation over the DISTINCT-VALUE histogram (the
     binary_auc_report trick — codomain-sized, never corpus-sized):
-    per distinct value, cumulative per-half counts c1, c2 by one
-    window over sorted values; D's numerator = max|c1*n2 - c2*n1|
+    per distinct value, cumulative per-half counts c1, c2 by ONE
+    two-phase grouped prefix sum over sorted values (both running
+    sums share the range shuffle; a Window.partitionBy(g) would put
+    each group's whole value spine on one of k tasks — the low-k
+    class the scale lint flags); D's numerator = max|c1*n2 - c2*n1|
     (exact while n1*n2 < 2^63 — ~3e9 rows per half), ks_e6 its
     sign-split e6 quotient. The alpha=0.05 two-sample threshold
     1.3581015... * sqrt((n1+n2)/(n1*n2)) is one shared literal *
@@ -724,6 +727,7 @@ def ks_drift_report(
         fixed_e6_expr,
         sdiv_scaled_sql,
     )
+    from firebase_etl_spark.operators.stats import with_grouped_prefix_sum
 
     base = df.select(
         F.col(group_col).alias("g"),
@@ -754,14 +758,10 @@ def ks_drift_report(
         F.sum("d1").cast("long").alias("n1"),
         F.sum("d2").cast("long").alias("n2"),
     )
-    w = (
-        Window.partitionBy("g")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     cum = (
-        hist.withColumn("c1", F.sum("d1").over(w))
-        .withColumn("c2", F.sum("d2").over(w))
+        with_grouped_prefix_sum(
+            hist, "g", ["v"], ["d1", "d2"], ["c1", "c2"]
+        )
         .join(tot, "g")
         .withColumn(
             "gap", F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))

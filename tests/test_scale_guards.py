@@ -45,11 +45,68 @@ def test_passes_partitioned_window(spark):
     assert_scale_safe(ok)
 
 
+def test_flags_low_k_partition_window(spark):
+    """A window partitioned ONLY by a known low-cardinality column is
+    flagged (the r10 Jonckheere blind spot: non-empty partition spec,
+    constant task count)."""
+    df = spark.createDataFrame(
+        [("1-URGENT", i) for i in range(10)], "o_orderpriority string, v int"
+    )
+    bad = df.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("o_orderpriority").orderBy("v")
+        ),
+    )
+    assert any("low-k PARTITION BY" in v for v in scale_violations(bad))
+    # ...but allow_low_k tolerates exactly this class
+    assert_scale_safe(bad, allow_low_k=True)
+
+
+def test_passes_low_k_plus_pid_window(spark):
+    """The two-phase form — partitioned by (group, __pid) — must NOT
+    trip the low-k rule: __pid is not a low-k column."""
+    df = spark.createDataFrame(
+        [("1-URGENT", i) for i in range(10)], "o_orderpriority string, v int"
+    )
+    ok = df.withColumn("__pid", F.spark_partition_id()).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("o_orderpriority", "__pid").orderBy("v")
+        ),
+    )
+    assert not any("low-k" in v for v in scale_violations(ok))
+
+
+#: Queries whose plan contains a low-k-partitioned window over an input
+#: that is provably BOUNDED (not data-sized) — each triaged by hand;
+#: everything else must be fully clean, so reverting any of the r11
+#: two-phase fixes (winsorized/conformal/mixture/key_skew/ks_drift/
+#: quantile_normalization/percentiles) fails this suite.
+LOW_K_WINDOW_ALLOWLIST = {
+    # segment-stitch window over the <= #groups x #partitions segment
+    # table (runs_test_report's bounded phase-2)
+    "events_runs_test",
+    # final top-3 window over the <= 3 x #types x #tasks candidate set
+    # (two-phase top-k phase 2)
+    "events_key_skew_profile",
+    # share column over the k x k confusion GRID (aggregated, bounded)
+    "doc_langid_confusion",
+    # LOCF over the calendar-bounded hourly spine (hours between min
+    # and max ts — time-bounded, not data-sized)
+    "events_gapfill_hourly",
+    # rank-family demo over a literal-bounded input (o_orderkey <= 2000)
+    "order_rank_stats",
+}
+
+
 @pytest.mark.parametrize("name", sorted(entrymod.queries()))
 def test_driver_queries_scale_safe(name, spark):
     """Every declared query compiles to a plan with no cartesian join and
-    no global-order window. Building the DataFrame executes the queries'
-    internal materialization steps (checkpoints, trainers, bounded
-    streams) at sf0.001 — cheap, and exactly what the driver does."""
+    no global-order window; low-k-partitioned windows are tolerated only
+    for the hand-triaged bounded-spine queries above. Building the
+    DataFrame executes the queries' internal materialization steps
+    (checkpoints, trainers, bounded streams) at sf0.001 — cheap, and
+    exactly what the driver does."""
     df = entrymod.queries()[name](spark, SF_DIR)
-    assert_scale_safe(df)
+    assert_scale_safe(df, allow_low_k=name in LOW_K_WINDOW_ALLOWLIST)
