@@ -278,3 +278,49 @@ def sdiv_scaled_sql(num: str, den: str, scale: int, floordiv: str) -> str:
         f" THEN (({num}) * {scale}) {floordiv} ({den})"
         f" ELSE -((-({num}) * {scale}) {floordiv} ({den})) END"
     )
+
+
+def big_e6_div_sql(num: str, den: str, floordiv: str) -> str:
+    """EXACT ``floor(num * 1e6 / den)`` for NON-NEGATIVE ``num`` and
+    positive ``den`` too large for sdiv_scaled_sql's single multiply
+    (which overflows int64 once num > ~9.2e12): the e6 scale applies
+    in two thousand-steps against the running remainder, so every
+    intermediate stays < den * 1000. Exact while ``den < 2^63 / 1000``
+    (~9.2e15) — the callers state their own magnitude gates against
+    that bound. All three division/modulo sites are non-negative, so
+    Spark ``DIV``/``%`` and DuckDB ``//``/``%`` agree with no sign
+    split; pass ``floordiv`` = ``'DIV'`` (Spark) or ``'//'`` (oracle)."""
+    q = f"(({num}) {floordiv} ({den}))"
+    r1 = f"(({num}) % ({den}))"
+    a = f"(({r1} * 1000) {floordiv} ({den}))"
+    r2 = f"((({r1} * 1000) % ({den})))"
+    b = f"((({r2} * 1000)) {floordiv} ({den}))"
+    return f"({q} * 1000000 + {a} * 1000 + {b})"
+
+
+#: chi-square 95th-percentile critical values at 1..10 dof, e6 BIGINT —
+#: the shared literal table (BH_CRIT convention: no runtime inverse CDF
+#: on either engine) the Friedman / Benford / CMH-style gates read.
+CHI2_CRIT_95_E6 = {
+    1: 3_841_459,
+    2: 5_991_465,
+    3: 7_814_728,
+    4: 9_487_729,
+    5: 11_070_498,
+    6: 12_591_587,
+    7: 14_067_140,
+    8: 15_507_313,
+    9: 16_918_978,
+    10: 18_307_038,
+}
+
+
+def chi2_crit_95_e6_sql(dof: str) -> str:
+    """The CHI2_CRIT_95_E6 lookup as one shared CASE expression over a
+    runtime ``dof`` column (1..10; NULL outside the table) — identical
+    text on both engines."""
+    arms = " ".join(
+        f"WHEN ({dof}) = {d} THEN CAST({v} AS BIGINT)"
+        for d, v in CHI2_CRIT_95_E6.items()
+    )
+    return f"(CASE {arms} ELSE CAST(NULL AS BIGINT) END)"

@@ -896,3 +896,64 @@ def conditional_entropy_report(
         )
         .orderBy("group_key")
     )
+
+
+def simpson_diversity_report(
+    df: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Simpson diversity of the token distribution per group — the
+    collision-probability complement to the entropy/Chao1 richness
+    family (Simpson 1949): lambda = sum c_i(c_i-1) / (T(T-1)) is the
+    exact probability two tokens drawn without replacement are the
+    SAME type (dominance), 1 - lambda the Gini-Simpson diversity, and
+    1/lambda the effective vocabulary size under squared weighting —
+    the q=2 Hill number beside the entropy report's q=1. A corpus
+    whose inverse-Simpson collapses while its raw vocabulary holds is
+    dominated by a few boilerplate tokens — a different failure than
+    low richness.
+
+    All integer: per-term counts from ONE corpus explode (map-side
+    combinable), then per group T = sum c, S2 = sum c(c-1) — both
+    exact; lambda quantizes once via the remainder-stepped
+    big_e6_div (EXACT while T < ~9.6e7 tokens per group; beyond
+    that, per-shard Simpson merges exactly by summing T and S2 —
+    the production plan). Returns per group: (group_key, n_tokens,
+    vocab_size, simpson_e6, gini_simpson_e6, inv_simpson_e2),
+    ordered by group_key."""
+    from firebase_etl_spark.functions.portable_math import big_e6_div_sql
+
+    base = df.filter(
+        F.col(group_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(F.col(group_col).alias("g"), tokenize(text_col).alias("tk"))
+    cnt = (
+        base.select("g", F.explode("tk").alias("t"))
+        .groupBy("g", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    agg = cnt.groupBy("g").agg(
+        F.sum("c").cast("long").alias("t_tok"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("s2"),
+    )
+    lam = big_e6_div_sql("s2", "t_tok * (t_tok - 1)", "DIV")
+    return (
+        agg.select(
+            F.col("g").alias("group_key"),
+            F.col("t_tok").alias("n_tokens"),
+            F.col("v").alias("vocab_size"),
+            F.expr(
+                f"CASE WHEN t_tok >= 2 THEN {lam}"
+                " ELSE CAST(NULL AS BIGINT) END"
+            ).cast("long").alias("simpson_e6"),
+            F.expr(
+                f"CASE WHEN t_tok >= 2 THEN 1000000 - ({lam})"
+                " ELSE CAST(NULL AS BIGINT) END"
+            ).cast("long").alias("gini_simpson_e6"),
+            F.expr(
+                "CASE WHEN t_tok < 2 OR s2 = 0"
+                " THEN CAST(NULL AS BIGINT)"
+                " ELSE (t_tok * (t_tok - 1) * 100) DIV s2 END"
+            ).cast("long").alias("inv_simpson_e2"),
+        )
+        .orderBy("group_key")
+    )

@@ -4240,3 +4240,478 @@ def jonckheere_trend_report(
             ).alias("significant"),
         )
     )
+
+
+def mk_z_sql() -> str:
+    """Mann-Kendall continuity-corrected normal z (e6 BIGINT) as ONE
+    shared SQL expression over exact integer columns (s_stat, var18)
+    — identical text on both engines. VAR18 = 18 * Var[S] carries the
+    standard tie correction n(n-1)(2n+5) - sum t(t-1)(2t+5) (Mann
+    1945; Kendall 1975); the continuity correction subtracts sign(S)
+    before the divide. NULL when the variance degenerates (all values
+    tied), 0 at S = 0."""
+    from firebase_etl_spark.functions.portable_math import fixed_e6_expr
+
+    zc = "(CAST(s_stat AS DOUBLE) - CAST(sign(s_stat) AS DOUBLE))"
+    sd = "sqrt(CAST(var18 AS DOUBLE) / CAST(18 AS DOUBLE))"
+    return (
+        "CASE WHEN var18 <= 0 THEN CAST(NULL AS BIGINT)"
+        " WHEN s_stat = 0 THEN CAST(0 AS BIGINT)"
+        f" ELSE {fixed_e6_expr(f'{zc} / ({sd})')} END"
+    )
+
+
+def mann_kendall_report(
+    series: DataFrame, t_col: str, x_col: str
+) -> DataFrame:
+    """Mann-Kendall monotonic-trend test over a CALENDAR-BOUNDED
+    period series — the nonparametric 'is this KPI drifting' gate
+    (Mann 1945): S = sum over period pairs of sign(x_later -
+    x_earlier), tie-corrected variance, continuity-corrected z. The
+    rank-algebra sibling of Kendall tau with TIME as the second axis
+    — which is what makes the pair join safe: the spine is the
+    period table (days/months between min and max date — bounded by
+    the calendar at ANY corpus size, ~2.4k days for this fixture's
+    7-year span), so the broadcast sign join evaluates a CONSTANT
+    ~n^2/2 comparisons, never corpus-scale (the TRUE bounded-spine
+    case, same convention as kendall_tau_report's cell lattice).
+
+    All-integer: S and VAR18 = n(n-1)(2n+5) - sum t(t-1)(2t+5) are
+    exact int64 (safe to n ~ 2e6 periods); only the final z leaves
+    the integers through mk_z_sql, quantized once at e6 and read
+    against the two-sided 5% literal. ``series`` must already be the
+    per-period aggregate with integer period index ``t_col`` and
+    integer value ``x_col``. Returns one row: (n_periods, s_stat,
+    var18, z_e6, significant)."""
+    base = (
+        series.select(
+            F.col(t_col).cast("long").alias("t"),
+            F.col(x_col).cast("long").alias("x"),
+        )
+        .filter(F.col("t").isNotNull() & F.col("x").isNotNull())
+        .localCheckpoint(eager=True)  # calendar-bounded spine
+    )
+    s_tab = (
+        base.alias("a")
+        .join(F.broadcast(base.alias("b")), F.col("a.t") < F.col("b.t"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("b.x") > F.col("a.x"), 1)
+                    .when(F.col("b.x") < F.col("a.x"), -1)
+                    .otherwise(0)
+                ),
+                F.lit(0),
+            ).cast("long").alias("s")
+        )
+    )
+    nrow = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ties = (
+        base.groupBy("x")
+        .agg(F.count(F.lit(1)).cast("long").alias("tc"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("tc") * (F.col("tc") - 1) * (2 * F.col("tc") + 5)
+                ),
+                F.lit(0),
+            ).cast("long").alias("tie_term")
+        )
+    )
+    z = mk_z_sql()
+    return (
+        s_tab.crossJoin(F.broadcast(nrow))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            F.col("n").alias("n_periods"),
+            F.col("s").alias("s_stat"),
+            (
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                - F.col("tie_term")
+            ).cast("long").alias("var18"),
+        )
+        .select(
+            "n_periods",
+            "s_stat",
+            "var18",
+            F.expr(z).cast("long").alias("z_e6"),
+            F.expr(
+                f"CASE WHEN ({z}) IS NULL THEN NULL"
+                f" ELSE abs(({z})) > 1959964 END"
+            ).alias("significant"),
+        )
+    )
+
+
+def theil_sen_report(
+    series: DataFrame, t_col: str, x_col: str
+) -> DataFrame:
+    """Theil-Sen slope estimate over a CALENDAR-BOUNDED period series
+    — the robust trend MAGNITUDE beside mann_kendall_report's trend
+    EXISTENCE (Theil 1950; Sen 1968): the median of all pairwise
+    slopes, immune to ~29% outlier contamination where OLS breaks at
+    one. Same bounded-spine convention as Mann-Kendall: the pair
+    table is periods^2/2 — a calendar constant, never corpus-scale.
+
+    Exact: each pair's slope quantizes ONCE as the sign-split e6
+    integer ratio (x_j - x_i) * 1e6 DIV (t_j - t_i) (exact while
+    |dx| < 9.2e12 — the callers feed unit-scaled values and state
+    the gate); the median is the LOWER median, the value at rank
+    ceil(m/2) in (slope, t_i, t_j) order — an exact order statistic
+    via the two-phase global rank, no interpolation to diverge
+    between engines. Returns one row: (n_periods, n_pairs,
+    median_slope_e6)."""
+    from firebase_etl_spark.functions.portable_math import sdiv_scaled_sql
+
+    base = (
+        series.select(
+            F.col(t_col).cast("long").alias("t"),
+            F.col(x_col).cast("long").alias("x"),
+        )
+        .filter(F.col("t").isNotNull() & F.col("x").isNotNull())
+        .localCheckpoint(eager=True)  # calendar-bounded spine
+    )
+    slope = sdiv_scaled_sql("xb - xa", "tb - ta", 1_000_000, "DIV")
+    pairs = (
+        base.alias("a")
+        .join(F.broadcast(base.alias("b")), F.col("a.t") < F.col("b.t"))
+        .select(
+            F.col("a.t").alias("ta"),
+            F.col("b.t").alias("tb"),
+            F.col("a.x").alias("xa"),
+            F.col("b.x").alias("xb"),
+        )
+        .select(
+            "ta",
+            "tb",
+            F.expr(slope).cast("long").alias("slope_e6"),
+        )
+    )
+    ranked = with_global_rank(
+        pairs, [F.asc("slope_e6"), F.asc("ta"), F.asc("tb")], "r"
+    )
+    cnt = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+    med = (
+        ranked.crossJoin(F.broadcast(cnt))
+        .filter(F.col("r") == F.expr("(m + 1) DIV 2"))
+        .select(
+            F.col("m").alias("n_pairs"),
+            F.col("slope_e6").alias("median_slope_e6"),
+        )
+    )
+    n = base.agg(F.count(F.lit(1)).cast("long").alias("n_periods"))
+    return n.crossJoin(F.broadcast(med)).select(
+        "n_periods", "n_pairs", "median_slope_e6"
+    )
+
+
+def gini_report(df: DataFrame, value_col: str, key_col: str) -> DataFrame:
+    """Gini concentration coefficient over per-unit non-negative
+    integer values — the inequality summary every revenue/exposure
+    concentration review reads (Gini 1912), computed EXACTLY from the
+    rank formulation G = (2 * sum r*x_r) / (n * sum x) - (n+1)/n over
+    values sorted ascending: ranks come from the two-phase global
+    rank (never a single-partition window), and tied values make the
+    statistic independent of the key tiebreak (swapping equal values
+    across adjacent ranks leaves sum r*x unchanged), so the output is
+    deterministic.
+
+    All integer: with S = sum x, S1 = sum r*x, the numerator
+    2*S1 - (n+1)*S is >= 0 and <= n*S, and gini_e6 applies
+    big_e6_div_sql against den = n*S — EXACT while n*S < 9.2e15
+    (the callers unit-scale values and state the gate; at true
+    100 TB revenue scale the production plan shifts to k-unit
+    granularity, which changes G by < 1e-6 per unit step). Returns
+    one row: (n_units, total_value, gini_e6)."""
+    from firebase_etl_spark.functions.portable_math import big_e6_div_sql
+
+    base = df.select(
+        F.col(value_col).cast("long").alias("v"),
+        F.col(key_col).alias("k"),
+    ).filter(F.col("v").isNotNull() & (F.col("v") >= 0))
+    ranked = with_global_rank(base, [F.asc("v"), F.asc("k")], "r")
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s"),
+        F.sum(F.col("r") * F.col("v")).cast("long").alias("s1"),
+    )
+    g = big_e6_div_sql("2 * s1 - (n + 1) * s", "n * s", "DIV")
+    return agg.select(
+        F.col("n").alias("n_units"),
+        F.col("s").alias("total_value"),
+        F.expr(
+            f"CASE WHEN n > 0 AND s > 0 THEN {g}"
+            " ELSE CAST(NULL AS BIGINT) END"
+        ).cast("long").alias("gini_e6"),
+    )
+
+
+def friedman_report(
+    cells: DataFrame, block_col: str, treat_col: str, x_col: str
+) -> DataFrame:
+    """Friedman rank test over complete blocks — the nonparametric
+    repeated-measures ANOVA (Friedman 1937): do k treatments keep the
+    same within-block rank distribution, judged across n blocks?
+    Input is the (block, treatment, value) CELL table (one row per
+    pair); blocks missing any treatment drop (complete-blocks
+    requirement, stated).
+
+    DOUBLED midranks keep ties integer (the kendall/JT convention):
+    within a block, r2 = 1 + 2*#{smaller} + #{tied incl. self}, so
+    r2 = 2 * midrank exactly. With R2_j = sum of r2 over blocks for
+    treatment j and A4 = sum of r2^2 over all cells, the
+    tie-corrected statistic (Conover 1999 form) reduces to the pure
+    integer ratio chi2 = (k-1) * N4 / D4 with
+    N4 = sum_j (R2_j - n*(k+1))^2 and D4 = A4 - n*k*(k+1)^2 — one e6
+    quantize at the end, read against the shared chi-square 95%
+    table at k-1 dof. The within-block rank join is k^2 per block —
+    treatment-codomain bounded, never data-sized; blocks are the
+    calendar spine. Returns one row: (n_blocks, k_treatments,
+    chi2_e6, crit_e6, significant)."""
+    from firebase_etl_spark.functions.portable_math import (
+        chi2_crit_95_e6_sql,
+    )
+
+    base = cells.select(
+        F.col(block_col).alias("b"),
+        F.col(treat_col).alias("j"),
+        F.col(x_col).cast("long").alias("x"),
+    ).filter(
+        F.col("b").isNotNull() & F.col("j").isNotNull()
+        & F.col("x").isNotNull()
+    )
+    ktab = base.agg(F.count_distinct("j").cast("long").alias("k"))
+    complete = (
+        base.groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("nj"))
+        .crossJoin(F.broadcast(ktab))
+        .filter(F.col("nj") == F.col("k"))
+        .select("b")
+    )
+    kept = base.join(complete, "b").localCheckpoint(
+        eager=True
+    )  # blocks x k cells; consumed by the rank join twice
+    r2 = (
+        kept.alias("w")
+        .join(kept.alias("v"), F.col("w.b") == F.col("v.b"))
+        .groupBy(
+            F.col("w.b").alias("b"), F.col("w.j").alias("j")
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("v.x") < F.col("w.x"), 2)
+                .when(F.col("v.x") == F.col("w.x"), 1)
+                .otherwise(0)
+            ).cast("long").alias("r2")
+        )
+        .withColumn("r2", F.col("r2") + 1)
+    )
+    per_j = r2.groupBy("j").agg(
+        F.sum("r2").cast("long").alias("rr"),
+        F.sum(F.col("r2") * F.col("r2")).cast("long").alias("rr2"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    tot = per_j.agg(
+        F.max("n").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("rr2").cast("long").alias("a4"),
+        F.sum(
+            # N4 needs n and k inside the sum; defer via raw moments:
+            # sum_j R2_j^2 and sum_j R2_j (= n*k*(k+1) identity)
+            F.col("rr") * F.col("rr")
+        ).cast("long").alias("srr2"),
+        F.sum("rr").cast("long").alias("srr"),
+    )
+    # N4 = sum_j R2_j^2 - 2*n*(k+1)*sum_j R2_j + k*n^2*(k+1)^2
+    return tot.select(
+        F.col("n").alias("n_blocks"),
+        F.col("k").alias("k_treatments"),
+        F.expr(
+            "srr2 - 2 * n * (k + 1) * srr + k * n * n * (k + 1) * (k + 1)"
+        ).cast("long").alias("n4"),
+        F.expr("a4 - n * k * (k + 1) * (k + 1)").cast("long").alias("d4"),
+    ).select(
+        "n_blocks",
+        "k_treatments",
+        # n4 is a sum of squares (>= 0), so no sign split is needed
+        F.expr(
+            "CASE WHEN d4 > 0 THEN"
+            " (n4 * ((k_treatments - 1) * 1000000)) DIV d4"
+            " ELSE CAST(NULL AS BIGINT) END"
+        ).cast("long").alias("chi2_e6"),
+        F.expr(
+            chi2_crit_95_e6_sql("k_treatments - 1")
+        ).cast("long").alias("crit_e6"),
+    ).select(
+        "n_blocks",
+        "k_treatments",
+        "chi2_e6",
+        "crit_e6",
+        F.expr(
+            "CASE WHEN chi2_e6 IS NULL OR crit_e6 IS NULL THEN NULL"
+            " ELSE chi2_e6 > crit_e6 END"
+        ).alias("significant"),
+    )
+
+
+def agreement_kappa_report(df: DataFrame, a_col, b_col) -> DataFrame:
+    """Cohen's kappa between two categorical labelings — the
+    chance-corrected agreement score every labeling/classifier audit
+    reads beside raw accuracy (Cohen 1960): kappa = (po - pe) /
+    (1 - pe) with pe the agreement expected from the two marginal
+    label distributions alone. The companion to a confusion-matrix
+    query: same bounded grid, one scalar that says whether the
+    agreement beats chance.
+
+    Scale shape: one corpus scan -> (a, b) cell counts (map-side
+    combinable, codomain-bounded — the kendall cell-count guard
+    applies), margins from the cell table, one broadcast join on the
+    label. All integer: with n items, d = sum of diagonal cells and
+    spe = sum_l rowmargin_l * colmargin_l, kappa_e6 is the sign-split
+    big_e6_div of (d*n - spe) against (n*n - spe) — EXACT while
+    n < ~9.6e7 items (den < 9.2e15; past that, audit a sample — the
+    statistic is an audit, not a pipeline transform). Returns one
+    row: (n_items, n_agree, po_e6, pe_e6, kappa_e6)."""
+    from firebase_etl_spark.functions.portable_math import big_e6_div_sql
+
+    base = df.select(
+        F.col(a_col).cast("string").alias("a") if isinstance(a_col, str)
+        else a_col.cast("string").alias("a"),
+        F.col(b_col).cast("string").alias("b") if isinstance(b_col, str)
+        else b_col.cast("string").alias("b"),
+    ).filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+    cells = (
+        base.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)  # codomain-bounded; 4 consumers
+    )
+    n_cells = cells.count()
+    if n_cells > 100_000:
+        raise ValueError(
+            f"agreement_kappa_report: {n_cells} label cells exceed the "
+            "bounded-codomain limit (100k); kappa is for categorical "
+            "labelings, not near-unique keys"
+        )
+    rm = cells.groupBy("a").agg(F.sum("c").cast("long").alias("rm"))
+    cm = cells.groupBy("b").agg(F.sum("c").cast("long").alias("cm"))
+    spe = (
+        rm.join(cm, rm.a == cm.b)
+        .agg(
+            F.coalesce(F.sum(F.col("rm") * F.col("cm")), F.lit(0))
+            .cast("long").alias("spe")
+        )
+    )
+    tot = cells.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.coalesce(
+            F.sum(F.when(F.col("a") == F.col("b"), F.col("c"))), F.lit(0)
+        ).cast("long").alias("d"),
+    )
+    pos = big_e6_div_sql("d * n - spe", "n * n - spe", "DIV")
+    neg = big_e6_div_sql("spe - d * n", "n * n - spe", "DIV")
+    pe = big_e6_div_sql("spe", "n * n", "DIV")
+    return tot.crossJoin(F.broadcast(spe)).select(
+        F.col("n").alias("n_items"),
+        F.col("d").alias("n_agree"),
+        F.expr(
+            "CASE WHEN n > 0 THEN (d * 1000000) DIV n"
+            " ELSE CAST(NULL AS BIGINT) END"
+        ).cast("long").alias("po_e6"),
+        F.expr(
+            f"CASE WHEN n > 0 THEN {pe}"
+            " ELSE CAST(NULL AS BIGINT) END"
+        ).cast("long").alias("pe_e6"),
+        F.expr(
+            "CASE WHEN n * n - spe <= 0 THEN CAST(NULL AS BIGINT)"
+            f" WHEN d * n >= spe THEN {pos}"
+            f" ELSE -({neg}) END"
+        ).cast("long").alias("kappa_e6"),
+    )
+
+
+#: Benford first-digit probabilities log10(1 + 1/d), d = 1..9, at e6 —
+#: shared literals (they sum to exactly 1e6), never runtime log10
+BENFORD_P_E6 = (301030, 176091, 124939, 96910, 79181, 66947, 57992,
+                51153, 45757)
+
+#: chi-square 95% critical at 8 dof (9 digit bins - 1), e6
+BENFORD_CHI2_CRIT_E6 = 15_507_313
+
+
+def benford_chi2_sql() -> str:
+    """Benford goodness-of-fit chi-square as ONE shared SQL expression
+    over exact integer columns (n, c1..c9): sum_d (o_d*1e6 - n*p_d)^2
+    / (n * p_d * 1e6), each difference exact in int64 (safe to n ~
+    9e12 values) and squared in doubles, quantized once at e6."""
+    from firebase_etl_spark.functions.portable_math import fixed_e6_expr
+
+    terms = []
+    for d, p in enumerate(BENFORD_P_E6, start=1):
+        diff = f"CAST(c{d} * 1000000 - n * {p} AS DOUBLE)"
+        terms.append(f"({diff} * {diff} / (CAST(n AS DOUBLE) * {p} * 1000000.0))")
+    return fixed_e6_expr(" + ".join(terms))
+
+
+def benford_mad_e6_sql(floordiv: str = "DIV") -> str:
+    """Benford mean-absolute-deviation (e6) over (n, c1..c9) — the
+    scale-free companion the chi-square's n-sensitivity needs: the
+    mean |observed share - Benford share| across the 9 digits, all
+    integer (truncating per-digit share, the quantize-once rule; all
+    operands non-negative, so Spark ``DIV`` and DuckDB ``//``
+    agree)."""
+    terms = [
+        f"abs((c{d} * 1000000) {floordiv} n - {p})"
+        for d, p in enumerate(BENFORD_P_E6, start=1)
+    ]
+    return f"((({') + ('.join(terms)})) {floordiv} 9)"
+
+
+def benford_report(
+    df: DataFrame, group_col: str, value_c_expr: str
+) -> DataFrame:
+    """Benford first-significant-digit audit per group — the
+    fabricated/synthetic-data smell test (Newcomb 1881; Benford 1938;
+    standard in forensic accounting): naturally-occurring multiscale
+    positive amounts put digit d first with probability log10(1+1/d);
+    flat or templated generators don't. Published per group: the 9
+    digit counts, the chi-square against the shared e6 Benford
+    literals, and the scale-free MAD.
+
+    The first digit comes from the value's DECIMAL STRING head — no
+    runtime log10 on either engine, and substring-of-cast is
+    identical text in Spark and DuckDB. Counts are one map-side
+    combinable aggregate (9 conditional sums per group); only the
+    chi-square leaves the integers (benford_chi2_sql), quantized
+    once. Zero and negative values drop (no first significant
+    digit), stated. Returns per group: (group_key, n_values, c1..c9,
+    chi2_e6, mad_e6, benford_ok)."""
+    base = df.select(
+        F.col(group_col).alias("g"),
+        F.expr(value_c_expr).cast("long").alias("v"),
+    ).filter(F.col("g").isNotNull() & (F.col("v") > 0))
+    dig = F.substring(F.col("v").cast("string"), 1, 1)
+    agg = base.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *[
+            F.sum((dig == str(d)).cast("long")).cast("long").alias(f"c{d}")
+            for d in range(1, 10)
+        ],
+    )
+    chi = benford_chi2_sql()
+    mad = benford_mad_e6_sql()
+    return (
+        agg.select(
+            F.col("g").alias("group_key"),
+            F.col("n").alias("n_values"),
+            *[F.col(f"c{d}") for d in range(1, 10)],
+            F.expr(chi).cast("long").alias("chi2_e6"),
+            F.expr(mad).cast("long").alias("mad_e6"),
+        )
+        .withColumn(
+            "benford_ok",
+            F.col("chi2_e6") <= F.lit(BENFORD_CHI2_CRIT_E6),
+        )
+        .orderBy("group_key")
+    )

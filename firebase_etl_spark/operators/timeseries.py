@@ -1071,3 +1071,89 @@ def cusum_alarms(
             (r["day"], x, mu0, s_pos, s_neg, s_pos > h, s_neg > h)
         )
     return spark.createDataFrame(out, schema)
+
+
+def pearson_e6_sql() -> str:
+    """Pearson correlation at e6 as ONE shared SQL expression over
+    exact integer moment columns (np, sx, sy, sxy, sxx, syy) —
+    identical text on both engines. The moments stay exact int64
+    (callers state their magnitude gates); the classic
+    (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2)(n*Syy - Sy^2)) combination
+    runs in doubles over them and quantizes ONCE. NULL when either
+    marginal variance degenerates."""
+    from firebase_etl_spark.functions.portable_math import fixed_e6_expr
+
+    num = (
+        "(CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    )
+    vx = (
+        "(CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    )
+    vy = (
+        "(CAST(np AS DOUBLE) * CAST(syy AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+    )
+    return (
+        f"CASE WHEN {vx} <= 0 OR {vy} <= 0 THEN CAST(NULL AS BIGINT)"
+        f" ELSE {fixed_e6_expr(f'{num} / sqrt({vx} * {vy})')} END"
+    )
+
+
+def acf_report(
+    df: DataFrame,
+    ts_col: str = "ts",
+    max_lag: int = 7,
+) -> DataFrame:
+    """Sample autocorrelation of the daily event-count series at lags
+    1..max_lag — the seasonality/persistence read every forecasting
+    and anomaly threshold implicitly assumes away (a strong lag-7
+    spike means weekly cadence; slow decay means bursts violate the
+    iid alarms): per lag, the Pearson correlation between the series
+    and its lag-shifted self over CALENDAR-JOINED day pairs (missing
+    days simply produce no pair — no imputation, stated).
+
+    Scale shape: one corpus scan -> per-day counts (map-side
+    combinable, calendar-bounded spine, checkpointed once), each day
+    row fans out to max_lag (day, lag) probes, and the pair join is
+    an equi-join on the shifted date — hash join on a bounded table,
+    never a window. Integer moments exact while daily counts stay
+    < ~3e9 (products < 2^63 over a 10-year spine — stated bound);
+    only pearson_e6_sql leaves the integers. Returns per lag:
+    (lag, n_pairs, r_e6), ordered by lag."""
+    daily = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.to_date(ts_col).alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+        .localCheckpoint(eager=True)  # calendar-bounded spine
+    )
+    probes = daily.select(
+        "d",
+        F.col("x").alias("xa"),
+        F.explode(
+            F.sequence(F.lit(1), F.lit(max_lag))
+        ).alias("lag"),
+    ).withColumn("d2", F.date_add(F.col("d"), F.col("lag")))
+    pairs = probes.join(
+        daily.select(F.col("d").alias("d2"), F.col("x").alias("xb")),
+        "d2",
+    )
+    z = pearson_e6_sql()
+    return (
+        pairs.groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("np"),
+            F.sum("xa").cast("long").alias("sx"),
+            F.sum("xb").cast("long").alias("sy"),
+            F.sum(F.col("xa") * F.col("xb")).cast("long").alias("sxy"),
+            F.sum(F.col("xa") * F.col("xa")).cast("long").alias("sxx"),
+            F.sum(F.col("xb") * F.col("xb")).cast("long").alias("syy"),
+        )
+        .select(
+            F.col("lag").cast("long").alias("lag"),
+            F.col("np").alias("n_pairs"),
+            F.expr(z).cast("long").alias("r_e6"),
+        )
+        .orderBy("lag")
+    )

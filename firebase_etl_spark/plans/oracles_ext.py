@@ -10243,3 +10243,423 @@ def _jonckheere_oracle() -> str:
 
 
 ORACLES_EXT["orders_jonckheere_trend"] = _jonckheere_oracle()
+
+
+def _mann_kendall_oracle() -> str:
+    """Mann-Kendall twin: same calendar-day spine, same pair sign sum
+    and tie correction, identical z text (stats.mk_z_sql)."""
+    from firebase_etl_spark.operators.stats import mk_z_sql
+
+    z = mk_z_sql()
+    return f"""
+    WITH daily AS (
+        SELECT CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS t,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                   AS BIGINT) AS x
+        FROM orders
+        WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+        GROUP BY 1
+    ), s AS (
+        SELECT CAST(coalesce(sum(CASE WHEN b.x > a.x THEN 1
+                                      WHEN b.x < a.x THEN -1
+                                      ELSE 0 END), 0) AS BIGINT) AS s_stat
+        FROM daily a JOIN daily b ON a.t < b.t
+    ), nn AS (
+        SELECT CAST(count(*) AS BIGINT) AS n FROM daily
+    ), tie AS (
+        SELECT CAST(coalesce(sum(tc * (tc - 1) * (2 * tc + 5)), 0)
+                   AS BIGINT) AS tie_term
+        FROM (SELECT CAST(count(*) AS BIGINT) AS tc FROM daily GROUP BY x)
+    ), base AS (
+        SELECT n AS n_periods, s_stat,
+               CAST(n * (n - 1) * (2 * n + 5) - tie_term AS BIGINT)
+                   AS var18
+        FROM s, nn, tie
+    ), zt AS (
+        SELECT n_periods, s_stat, var18,
+               CAST(({z}) AS BIGINT) AS z_e6
+        FROM base
+    )
+    SELECT n_periods, s_stat, var18, z_e6,
+           CASE WHEN z_e6 IS NULL THEN NULL
+                ELSE abs(z_e6) > 1959964 END AS significant
+    FROM zt
+"""
+
+
+ORACLES_EXT["orders_mann_kendall"] = _mann_kendall_oracle()
+
+
+def _theil_sen_oracle() -> str:
+    """Theil-Sen twin: same monthly spine, same sign-split e6 slope
+    per pair (portable_math.sdiv_scaled_sql), same lower-median rank."""
+    from firebase_etl_spark.functions.portable_math import sdiv_scaled_sql
+
+    slope = sdiv_scaled_sql("b.x - a.x", "b.t - a.t", 1_000_000, "//")
+    return f"""
+    WITH monthly AS (
+        SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate)
+                   AS BIGINT) AS t,
+               CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT)
+                   AS x
+        FROM orders
+        WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+        GROUP BY 1
+    ), pairs AS (
+        SELECT a.t AS ta, b.t AS tb,
+               CAST(({slope}) AS BIGINT) AS slope_e6
+        FROM monthly a JOIN monthly b ON a.t < b.t
+    ), ranked AS (
+        SELECT slope_e6,
+               CAST(row_number() OVER (ORDER BY slope_e6, ta, tb)
+                   AS BIGINT) AS r
+        FROM pairs
+    ), cnt AS (
+        SELECT CAST(count(*) AS BIGINT) AS m FROM pairs
+    ), np AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_periods FROM monthly
+    )
+    SELECT n_periods, m AS n_pairs, slope_e6 AS median_slope_e6
+    FROM ranked, cnt, np
+    WHERE r = (m + 1) // 2
+"""
+
+
+ORACLES_EXT["orders_theil_sen_trend"] = _theil_sen_oracle()
+
+
+def _gini_oracle() -> str:
+    """Gini twin: same whole-dollar per-customer revenue, single-node
+    row_number rank, identical remainder-stepped e6 division
+    (portable_math.big_e6_div_sql)."""
+    from firebase_etl_spark.functions.portable_math import big_e6_div_sql
+
+    g = big_e6_div_sql("2 * s1 - (n + 1) * s", "n * s", "//")
+    return f"""
+    WITH per_c AS (
+        SELECT o_custkey AS k,
+               CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT)
+                   AS v
+        FROM orders GROUP BY o_custkey
+    ), ranked AS (
+        SELECT v, CAST(row_number() OVER (ORDER BY v, k) AS BIGINT) AS r
+        FROM per_c WHERE v >= 0
+    ), agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(v) AS BIGINT) AS s,
+               CAST(sum(r * v) AS BIGINT) AS s1
+        FROM ranked
+    )
+    SELECT n AS n_units, s AS total_value,
+           CAST(CASE WHEN n > 0 AND s > 0 THEN {g}
+                ELSE NULL END AS BIGINT) AS gini_e6
+    FROM agg
+"""
+
+
+ORACLES_EXT["customer_revenue_gini_exact"] = _gini_oracle()
+
+
+def _friedman_oracle() -> str:
+    """Friedman twin: same complete-block filter, same doubled-midrank
+    self-join, same pure-integer statistic and shared chi-square
+    table (portable_math.chi2_crit_95_e6_sql)."""
+    from firebase_etl_spark.functions.portable_math import (
+        chi2_crit_95_e6_sql,
+    )
+
+    crit = chi2_crit_95_e6_sql("k_treatments - 1")
+    return f"""
+    WITH cells AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS b,
+               event_type AS j, CAST(count(*) AS BIGINT) AS x
+        FROM events
+        WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        GROUP BY 1, 2
+    ), ktab AS (
+        SELECT CAST(count(DISTINCT j) AS BIGINT) AS k FROM cells
+    ), complete AS (
+        SELECT b FROM cells, ktab
+        GROUP BY b, k HAVING CAST(count(*) AS BIGINT) = k
+    ), kept AS (
+        SELECT c.* FROM cells c JOIN complete USING (b)
+    ), r2 AS (
+        SELECT w.b, w.j,
+               1 + CAST(sum(CASE WHEN v.x < w.x THEN 2
+                                 WHEN v.x = w.x THEN 1
+                                 ELSE 0 END) AS BIGINT) AS r2
+        FROM kept w JOIN kept v ON v.b = w.b
+        GROUP BY w.b, w.j
+    ), per_j AS (
+        SELECT j, CAST(sum(r2) AS BIGINT) AS rr,
+               CAST(sum(r2 * r2) AS BIGINT) AS rr2,
+               CAST(count(*) AS BIGINT) AS n
+        FROM r2 GROUP BY j
+    ), tot AS (
+        SELECT CAST(max(n) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(rr2) AS BIGINT) AS a4,
+               CAST(sum(rr * rr) AS BIGINT) AS srr2,
+               CAST(sum(rr) AS BIGINT) AS srr
+        FROM per_j
+    ), m AS (
+        SELECT n AS n_blocks, k AS k_treatments,
+               CAST(srr2 - 2 * n * (k + 1) * srr
+                    + k * n * n * (k + 1) * (k + 1) AS BIGINT) AS n4,
+               CAST(a4 - n * k * (k + 1) * (k + 1) AS BIGINT) AS d4
+        FROM tot
+    ), chi AS (
+        SELECT n_blocks, k_treatments,
+               CAST(CASE WHEN d4 > 0 THEN
+                    (n4 * ((k_treatments - 1) * 1000000)) // d4
+                    ELSE NULL END AS BIGINT) AS chi2_e6,
+               CAST({crit} AS BIGINT) AS crit_e6
+        FROM m
+    )
+    SELECT n_blocks, k_treatments, chi2_e6, crit_e6,
+           CASE WHEN chi2_e6 IS NULL OR crit_e6 IS NULL THEN NULL
+                ELSE chi2_e6 > crit_e6 END AS significant
+    FROM chi
+"""
+
+
+ORACLES_EXT["events_friedman_test"] = _friedman_oracle()
+
+
+def _kappa_oracle() -> str:
+    """Cohen's-kappa twin over the SAME marker-word language-ID SQL as
+    doc_langid_confusion; sign-split remainder-stepped e6 kappa
+    (portable_math.big_e6_div_sql)."""
+    from firebase_etl_spark.functions.portable_math import big_e6_div_sql
+
+    pos = big_e6_div_sql("d * n - spe", "n * n - spe", "//")
+    neg = big_e6_div_sql("spe - d * n", "n * n - spe", "//")
+    pe = big_e6_div_sql("spe", "n * n", "//")
+    return f"""
+    WITH hits AS (
+        SELECT lang,
+               len(list_filter(list_distinct({_TOKS}), t -> list_contains(
+                   ['the','a','and','of','to'], t))) AS en_hits,
+               len(list_filter(list_distinct({_TOKS}), t -> list_contains(
+                   ['le','la','et','les','des'], t))) AS fr_hits,
+               len(list_filter(list_distinct({_TOKS}), t -> list_contains(
+                   ['der','die','und','das','ist'], t))) AS de_hits,
+               len(list_filter(list_distinct({_TOKS}), t -> list_contains(
+                   ['el','la','y','los','de'], t))) AS es_hits
+        FROM documents
+        WHERE lang IS NOT NULL AND text IS NOT NULL
+    ), pred AS (
+        SELECT lang AS a, {_LANG_SQL} AS b FROM hits
+    ), cells AS (
+        SELECT a, b, CAST(count(*) AS BIGINT) AS c
+        FROM pred GROUP BY a, b
+    ), rm AS (
+        SELECT a, CAST(sum(c) AS BIGINT) AS rm FROM cells GROUP BY a
+    ), cm AS (
+        SELECT b, CAST(sum(c) AS BIGINT) AS cm FROM cells GROUP BY b
+    ), spet AS (
+        SELECT CAST(coalesce(sum(rm.rm * cm.cm), 0) AS BIGINT) AS spe
+        FROM rm JOIN cm ON rm.a = cm.b
+    ), tot AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n,
+               CAST(coalesce(sum(CASE WHEN a = b THEN c END), 0)
+                   AS BIGINT) AS d
+        FROM cells
+    )
+    SELECT n AS n_items, d AS n_agree,
+           CAST(CASE WHEN n > 0 THEN (d * 1000000) // n
+                ELSE NULL END AS BIGINT) AS po_e6,
+           CAST(CASE WHEN n > 0 THEN {pe}
+                ELSE NULL END AS BIGINT) AS pe_e6,
+           CAST(CASE WHEN n * n - spe <= 0 THEN NULL
+                WHEN d * n >= spe THEN {pos}
+                ELSE -({neg}) END AS BIGINT) AS kappa_e6
+    FROM tot, spet
+"""
+
+
+ORACLES_EXT["doc_langid_kappa"] = _kappa_oracle()
+
+
+def _benford_oracle(final_cols: str) -> str:
+    """Benford twin: same decimal-string first digit, identical
+    chi-square and MAD expressions (stats.benford_chi2_sql /
+    benford_mad_e6_sql). ``final_cols`` picks the batch (with digit
+    counts) or streaming (read-outs only) projection."""
+    from firebase_etl_spark.operators.stats import (
+        BENFORD_CHI2_CRIT_E6,
+        benford_chi2_sql,
+        benford_mad_e6_sql,
+    )
+
+    csum = ", ".join(
+        f"CAST(sum(CASE WHEN dig = '{d}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS c{d}"
+        for d in range(1, 10)
+    )
+    return f"""
+    WITH base AS (
+        SELECT event_type AS g,
+               CAST(round(value * 100) AS BIGINT) AS v
+        FROM events
+        WHERE event_type IS NOT NULL AND value IS NOT NULL
+    ), digs AS (
+        SELECT g, substr(CAST(v AS VARCHAR), 1, 1) AS dig
+        FROM base WHERE v > 0
+    ), agg AS (
+        SELECT g, CAST(count(*) AS BIGINT) AS n, {csum}
+        FROM digs GROUP BY g
+    ), scored AS (
+        SELECT g, n, c1, c2, c3, c4, c5, c6, c7, c8, c9,
+               CAST(({benford_chi2_sql()}) AS BIGINT) AS chi2_e6,
+               CAST(({benford_mad_e6_sql('//')}) AS BIGINT) AS mad_e6
+        FROM agg
+    )
+    SELECT {final_cols},
+           chi2_e6, mad_e6,
+           chi2_e6 <= {BENFORD_CHI2_CRIT_E6} AS benford_ok
+    FROM scored
+    ORDER BY 1
+"""
+
+
+ORACLES_EXT["events_benford_audit"] = _benford_oracle(
+    "g AS group_key, n AS n_values, c1, c2, c3, c4, c5, c6, c7, c8, c9"
+)
+
+ORACLES_EXT["stream_benford_check"] = _benford_oracle(
+    "g AS event_type, n AS n_values"
+)
+
+
+ORACLES_EXT["nation_revenue_hhi"] = """
+    WITH pn AS (
+        SELECT r_name, n_name,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                   AS BIGINT) AS rev
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    ), tot AS (
+        SELECT r_name, CAST(sum(rev) AS BIGINT) AS tot,
+               CAST(count(*) AS BIGINT) AS n_nations
+        FROM pn GROUP BY r_name
+    ), sh AS (
+        SELECT pn.r_name, n_nations, tot,
+               CAST((rev * 1000000) // tot AS BIGINT) AS share_e6
+        FROM pn JOIN tot USING (r_name)
+    )
+    SELECT r_name AS region,
+           CAST(max(n_nations) AS BIGINT) AS n_nations,
+           CAST(max(tot) AS BIGINT) AS total_revenue_cents,
+           CAST(max(share_e6) AS BIGINT) AS top_share_e6,
+           CAST(sum(share_e6 * share_e6) // 1000000 AS BIGINT) AS hhi_e6
+    FROM sh GROUP BY r_name ORDER BY region
+"""
+
+
+def _acf_oracle() -> str:
+    """ACF twin: same calendar-day counts, same shifted-date equi-join
+    pairs, identical Pearson e6 text (timeseries.pearson_e6_sql)."""
+    from firebase_etl_spark.operators.timeseries import pearson_e6_sql
+
+    return f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ), lags AS (
+        SELECT CAST(unnest(range(1, 8)) AS BIGINT) AS lag
+    ), pairs AS (
+        SELECT l.lag AS lag, a.x AS xa, b.x AS xb
+        FROM daily a
+        CROSS JOIN lags l
+        JOIN daily b ON b.d = a.d + CAST(l.lag AS INTEGER)
+    ), mom AS (
+        SELECT lag, CAST(count(*) AS BIGINT) AS np,
+               CAST(sum(xa) AS BIGINT) AS sx,
+               CAST(sum(xb) AS BIGINT) AS sy,
+               CAST(sum(xa * xb) AS BIGINT) AS sxy,
+               CAST(sum(xa * xa) AS BIGINT) AS sxx,
+               CAST(sum(xb * xb) AS BIGINT) AS syy
+        FROM pairs GROUP BY lag
+    )
+    SELECT lag, np AS n_pairs,
+           CAST(({pearson_e6_sql()}) AS BIGINT) AS r_e6
+    FROM mom ORDER BY lag
+"""
+
+
+ORACLES_EXT["events_autocorr_daily"] = _acf_oracle()
+
+
+def _simpson_oracle() -> str:
+    """Simpson-diversity twin: same token explode, same exact integer
+    moments, identical remainder-stepped e6 division."""
+    from firebase_etl_spark.functions.portable_math import big_e6_div_sql
+
+    lam = big_e6_div_sql("s2", "t_tok * (t_tok - 1)", "//")
+    return f"""
+    WITH tf AS MATERIALIZED (
+        SELECT source AS g,
+               unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                   AS t
+        FROM documents
+        WHERE source IS NOT NULL AND text IS NOT NULL
+    ), cnt AS (
+        SELECT g, t, CAST(count(*) AS BIGINT) AS c
+        FROM tf GROUP BY g, t
+    ), agg AS (
+        SELECT g, CAST(sum(c) AS BIGINT) AS t_tok,
+               CAST(count(*) AS BIGINT) AS v,
+               CAST(sum(c * (c - 1)) AS BIGINT) AS s2
+        FROM cnt GROUP BY g
+    )
+    SELECT g AS group_key, t_tok AS n_tokens, v AS vocab_size,
+           CAST(CASE WHEN t_tok >= 2 THEN {lam}
+                ELSE NULL END AS BIGINT) AS simpson_e6,
+           CAST(CASE WHEN t_tok >= 2 THEN 1000000 - ({lam})
+                ELSE NULL END AS BIGINT) AS gini_simpson_e6,
+           CAST(CASE WHEN t_tok < 2 OR s2 = 0 THEN NULL
+                ELSE (t_tok * (t_tok - 1) * 100) // s2 END AS BIGINT)
+               AS inv_simpson_e2
+    FROM agg ORDER BY group_key
+"""
+
+
+ORACLES_EXT["documents_simpson_diversity"] = _simpson_oracle()
+
+
+ORACLES_EXT["orders_qq_drift"] = """
+    WITH base AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+               o_orderkey AS k
+        FROM orders
+        WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+    ), ranked AS (
+        SELECT y, v,
+               CAST(row_number() OVER (PARTITION BY y ORDER BY v, k)
+                   AS BIGINT) AS r
+        FROM base
+    ), ng AS (
+        SELECT y, CAST(max(r) AS BIGINT) AS n FROM ranked GROUP BY y
+    ), qs AS (
+        SELECT CAST(unnest(range(1, 10)) AS BIGINT) AS q_idx
+    ), cuts AS (
+        SELECT rk.y AS o_year, q.q_idx, rk.v AS cut_cents
+        FROM ranked rk
+        JOIN ng ON rk.y = ng.y
+        CROSS JOIN qs q
+        WHERE rk.r = greatest((q.q_idx * ng.n + 9) // 10, 1)
+    )
+    SELECT c.o_year, c.q_idx, c.cut_cents,
+           p.cut_cents AS prev_cut_cents,
+           c.cut_cents - p.cut_cents AS delta_cents
+    FROM cuts c
+    LEFT JOIN cuts p
+      ON p.o_year = c.o_year - 1 AND p.q_idx = c.q_idx
+    ORDER BY c.o_year, c.q_idx
+"""

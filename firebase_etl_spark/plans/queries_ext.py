@@ -7719,3 +7719,345 @@ def orders_jonckheere_trend(
     return jonckheere_trend_report(
         o, "o_orderpriority", F.round(F.col("o_totalprice") * 100).cast("long")
     )
+
+
+def orders_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend gate on daily order revenue
+    (operators/stats.py:mann_kendall_report): S over all day pairs,
+    tie-corrected variance, continuity-corrected z at e6. The spine
+    is the CALENDAR day table (~2.4k days for the 7-year fixture) —
+    the sign join is a constant-size broadcast BNLJ at any corpus
+    scale; only the per-day aggregate touches the fact table. TPC-H
+    order volume is flat by construction: the honest read is
+    NOT-significant."""
+    from firebase_etl_spark.operators.stats import mann_kendall_report
+
+    o = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()
+    )
+    daily = o.groupBy("o_orderdate").agg(
+        F.sum(
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+        ).alias("x")
+    )
+    series = daily.select(
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1992-01-01").cast("date")
+        ).cast("long").alias("t"),
+        "x",
+    )
+    return mann_kendall_report(series, "t", "x")
+
+
+def orders_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust slope of MONTHLY order revenue
+    (operators/stats.py:theil_sen_report): the median pairwise slope
+    in whole dollars/month at e6 — trend MAGNITUDE beside
+    orders_mann_kendall's trend existence, immune to a whale month.
+    Monthly dollars (not cents) keep every pair's e6 slope ratio in
+    int64 headroom (|dx| < 9.2e12 gate: monthly revenue stays under
+    ~9e12 dollars — stated); the ~80-month spine makes the pair join
+    a calendar constant."""
+    from firebase_etl_spark.operators.stats import theil_sen_report
+
+    o = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()
+    )
+    monthly = o.groupBy(
+        (
+            F.year("o_orderdate") * 12 + F.month("o_orderdate")
+        ).cast("long").alias("t")
+    ).agg(
+        F.sum(F.expr("CAST(round(o_totalprice) AS BIGINT)")).alias("x")
+    )
+    return theil_sen_report(monthly, "t", "x")
+
+
+def customer_revenue_gini_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-row Gini of per-customer order revenue
+    (operators/stats.py:gini_report) — the companion to the
+    bucket-resolution customer_revenue_gini, which pre-dates the
+    two-phase global rank and documents exact Gini as needing the
+    single-partition sort the lint bans. with_global_rank removed
+    that constraint: this is the exact rank-formula Gini at e6 over
+    whole-dollar revenue per ordering customer, at
+    #shuffle-partitions parallelism. Dollar granularity keeps the
+    big_e6_div denominator n * sum(x) inside its 9.2e15 exactness
+    gate at driver SFs (stated; k-dollar units buy the next
+    1000x)."""
+    from firebase_etl_spark.operators.stats import gini_report
+
+    o = load_table(spark, "orders", sf_dir)
+    per_c = o.groupBy("o_custkey").agg(
+        F.sum(F.expr("CAST(round(o_totalprice) AS BIGINT)")).alias("rev")
+    )
+    return gini_report(per_c, "rev", "o_custkey")
+
+
+def events_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test of event-type daily traffic profiles
+    (operators/stats.py:friedman_report): blocks = calendar days,
+    treatments = event types, value = the day's count per type — do
+    the types keep the same within-day traffic ranking across days?
+    Doubled midranks (integer ties), pure integer statistic, one e6
+    quantize against the shared chi-square table at k-1 dof. The
+    within-day rank join is k^2 per day — treatment-codomain bounded."""
+    from firebase_etl_spark.operators.stats import friedman_report
+
+    e = load_table(spark, "events", sf_dir).filter(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    )
+    cells = e.groupBy(
+        F.to_date("ts").alias("d"), F.col("event_type").alias("j")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    return friedman_report(cells, "d", "j", "x")
+
+
+def doc_langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the declared ``lang`` column and the
+    marker-word language-ID heuristic
+    (operators/stats.py:agreement_kappa_report) — the one-scalar
+    chance-corrected read of doc_langid_confusion's grid: raw
+    agreement means little when one language dominates the marginals.
+    Same predictor, same bounded label grid; sign-split big_e6_div
+    kappa."""
+    from firebase_etl_spark.operators.stats import agreement_kappa_report
+
+    d = load_table(spark, "documents", sf_dir).filter(
+        F.col("lang").isNotNull() & F.col("text").isNotNull()
+    )
+    pred = d.select("lang", TX.language_id("text").alias("lang_pred"))
+    return agreement_kappa_report(pred, "lang", "lang_pred")
+
+
+def events_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of event values per type
+    (operators/stats.py:benford_report): digit counts from the cent
+    value's decimal-string head, chi-square against the shared e6
+    Benford literals, scale-free MAD. The fixture's synthetic values
+    are NOT Benford-distributed (uniform-ish generator): the honest
+    read is benford_ok = false with a large chi2 — which is exactly
+    what the audit exists to say about synthetic data."""
+    from firebase_etl_spark.operators.stats import benford_report
+
+    e = load_table(spark, "events", sf_dir).filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    )
+    return benford_report(
+        e, "event_type", "CAST(round(value * 100) AS BIGINT)"
+    )
+
+
+def nation_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman revenue-concentration index per region:
+    nation market shares of order revenue within each region, HHI =
+    sum of squared e6 shares (quantize-once: shares truncate at e6
+    BEFORE squaring — one stated rounding, keeps everything in
+    int64). One fact shuffle (orders x customer on custkey), then
+    nation/region dims broadcast and every remaining step runs on the
+    25-nation table."""
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, "nation", sf_dir).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load_table(spark, "region", sf_dir).select(
+        "r_regionkey", "r_name"
+    )
+    per_nation = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum(
+                F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+            ).alias("rev")
+        )
+        .join(
+            F.broadcast(n.join(F.broadcast(r),
+                               n.n_regionkey == r.r_regionkey)),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("r_name", "n_name", "rev")
+        .localCheckpoint(eager=True)  # 25 rows; 2 consumers
+    )
+    tot = per_nation.groupBy("r_name").agg(
+        F.sum("rev").cast("long").alias("tot"),
+        F.count(F.lit(1)).cast("long").alias("n_nations"),
+    )
+    shares = per_nation.join(F.broadcast(tot), "r_name").select(
+        "r_name",
+        "n_nations",
+        "tot",
+        F.expr("(rev * 1000000) DIV tot").cast("long").alias("share_e6"),
+    )
+    return (
+        shares.groupBy("r_name")
+        .agg(
+            F.max("n_nations").alias("n_nations"),
+            F.max("tot").alias("total_revenue_cents"),
+            F.max("share_e6").alias("top_share_e6"),
+            F.expr(
+                "CAST(sum(share_e6 * share_e6) DIV 1000000 AS BIGINT)"
+            ).alias("hhi_e6"),
+        )
+        .select(
+            F.col("r_name").alias("region"),
+            "n_nations",
+            "total_revenue_cents",
+            "top_share_e6",
+            "hhi_e6",
+        )
+        .orderBy("region")
+    )
+
+
+def events_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-count autocorrelation at lags 1..7
+    (operators/timeseries.py:acf_report): the weekly-cadence /
+    burst-persistence read beneath every rate alarm. Calendar-joined
+    day pairs (equi-join on the shifted date, never a window), exact
+    integer moments, one shared Pearson e6 expression."""
+    from firebase_etl_spark.operators.timeseries import acf_report
+
+    e = load_table(spark, "events", sf_dir)
+    return acf_report(e, "ts", 7)
+
+
+def documents_simpson_diversity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Simpson diversity / dominance of the token distribution per
+    source (operators/lm.py:simpson_diversity_report): exact token
+    collision probability, Gini-Simpson diversity, and the q=2 Hill
+    effective vocabulary — the dominance-sensitive complement to
+    entropy (q=1) and Chao1 richness (q=0) already published per
+    source. One corpus explode, map-side-combinable counts."""
+    from firebase_etl_spark.operators.lm import simpson_diversity_report
+
+    d = load_table(spark, "documents", sf_dir)
+    return simpson_diversity_report(d, "source", "text")
+
+
+def orders_qq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year decile drift of order value: exact nearest-rank
+    deciles per order YEAR via the two-phase grouped rank
+    (stats.with_grouped_rank — year is a low-k group; a per-year
+    window sort would cap at #years tasks), each year's cuts joined
+    against the previous year's for the drift delta. The
+    decile-target read uses the hit-explode pattern (each ranked row
+    computes which decile targets its rank hits), so there is ONE
+    rank pass and no per-decile rescan."""
+    from firebase_etl_spark.operators.stats import with_grouped_rank
+
+    o = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()
+    )
+    base = o.select(
+        F.year("o_orderdate").cast("string").alias("g"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("v"),
+        F.col("o_orderkey").alias("k"),
+    )
+    ranked = with_grouped_rank(base, "g", ["v", "k"], "r")
+    ng = (
+        ranked.groupBy("g")
+        .agg(F.max("r").alias("n"))
+        .localCheckpoint(eager=True)  # #years rows
+    )
+    hit = (
+        "filter(transform(sequence(1, 9), i -> CASE WHEN"
+        " r = greatest((i * n + 9) DIV 10, 1) THEN i END),"
+        " x -> x IS NOT NULL)"
+    )
+    cuts = (
+        ranked.join(F.broadcast(ng), "g")
+        .select(
+            F.col("g").cast("long").alias("o_year"),
+            F.col("v"),
+            F.explode(F.expr(hit)).alias("q_idx"),
+        )
+        .select(
+            "o_year",
+            F.col("q_idx").cast("long").alias("q_idx"),
+            F.col("v").alias("cut_cents"),
+        )
+        .localCheckpoint(eager=True)  # #years x 9 rows; 2 consumers
+    )
+    prev = cuts.select(
+        (F.col("o_year") + 1).alias("o_year"),
+        "q_idx",
+        F.col("cut_cents").alias("prev_cut_cents"),
+    )
+    return (
+        cuts.join(F.broadcast(prev), ["o_year", "q_idx"], "left")
+        .select(
+            "o_year",
+            "q_idx",
+            "cut_cents",
+            "prev_cut_cents",
+            (F.col("cut_cents") - F.col("prev_cut_cents")).alias(
+                "delta_cents"
+            ),
+        )
+        .orderBy("o_year", "q_idx")
+    )
+
+
+def stream_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin #15 — live Benford first-digit monitor
+    (streaming/events.py:streaming_benford_monitor): stateful
+    cumulative digit counters per event type; chi-square and MAD
+    apply ENGINE-side on the final emission via the same shared
+    builders as the batch events_benford_audit, so the stateful path
+    is pure counter increments and the final row bit-equals the
+    batch aggregate."""
+    import uuid as _uuid
+
+    from firebase_etl_spark.operators.stats import (
+        BENFORD_CHI2_CRIT_E6,
+        benford_chi2_sql,
+        benford_mad_e6_sql,
+    )
+    from firebase_etl_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+        streaming_benford_monitor,
+    )
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    name = f"benford_{_uuid.uuid4().hex[:8]}"
+    inc = run_stream_to_memory(
+        spark,
+        streaming_benford_monitor(stream),
+        name,
+        output_mode="append",
+    )
+    final = (
+        inc.groupBy("g")
+        .agg(
+            F.max("n_seen").alias("n"),
+            F.max_by(
+                F.struct(*[f"c{d}" for d in range(1, 10)]),
+                F.col("n_seen"),
+            ).alias("m"),
+        )
+        .select(
+            "g",
+            "n",
+            *[F.col(f"m.c{d}").alias(f"c{d}") for d in range(1, 10)],
+        )
+    )
+    return (
+        final.select(
+            F.col("g").alias("event_type"),
+            F.col("n").alias("n_values"),
+            F.expr(benford_chi2_sql()).cast("long").alias("chi2_e6"),
+            F.expr(benford_mad_e6_sql("DIV")).cast("long").alias("mad_e6"),
+        )
+        .withColumn(
+            "benford_ok",
+            F.col("chi2_e6") <= F.lit(BENFORD_CHI2_CRIT_E6),
+        )
+        .orderBy("event_type")
+    )

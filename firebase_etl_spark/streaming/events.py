@@ -912,3 +912,79 @@ def streaming_srm_monitor(events: DataFrame):
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_benford_monitor(events: DataFrame):
+    """Stateful streaming Benford first-digit monitor — twin #15: per
+    event type, cumulative counts of the leading decimal digit of the
+    cent value. The LIVE flavor of events_benford_audit: a feed whose
+    digit profile drifts off its baseline mid-stream (a broken
+    upstream formatter, a synthetic-traffic injection) shows up here
+    batches before a batch audit runs.
+
+    State is nine BIGINT digit counters + n_seen — pure functions of
+    the input multiset, batching- and order-insensitive, so the final
+    emission per key bit-equals the batch aggregate and the oracle
+    replays it with one GROUP BY. The digit is computed ENGINE-side
+    (substring of the cent value's decimal string — the identical
+    expression the batch operator and the oracle use); the chi-square
+    / MAD read-outs apply engine-side on the final rows, so the
+    stateful path is pure counter increments. Emits
+    (g, n_seen, c1..c9) per key per batch."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    out_schema = "g string, n_seen long, " + ", ".join(
+        f"c{d} long" for d in range(1, 10)
+    )
+    state_schema = "n_seen long, " + ", ".join(
+        f"c{d} long" for d in range(1, 10)
+    )
+
+    def update(key_tuple, pdfs, state: GroupState):
+        if state.exists:
+            vals = [int(x) for x in state.get]
+        else:
+            vals = [0] * 10
+        added = 0
+        for pdf in pdfs:
+            for dig in pdf["dig"]:
+                d = int(dig)
+                if 1 <= d <= 9:
+                    vals[d] += 1
+                    added += 1
+        if not added:
+            return
+        vals[0] += added
+        state.update(tuple(vals))
+        out = {"g": [str(key_tuple[0])], "n_seen": [vals[0]]}
+        for d in range(1, 10):
+            out[f"c{d}"] = [vals[d]]
+        yield pd.DataFrame(out)
+
+    src = (
+        events.filter(
+            F.col("event_type").isNotNull() & F.col("value").isNotNull()
+        )
+        .select(
+            F.col("event_type").alias("g"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .filter(F.col("cents") > 0)
+        .select(
+            "g",
+            F.substring(F.col("cents").cast("string"), 1, 1)
+            .cast("int").alias("dig"),
+        )
+    )
+    return src.groupBy("g").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
