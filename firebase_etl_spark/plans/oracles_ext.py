@@ -10254,7 +10254,7 @@ def _mann_kendall_oracle() -> str:
     return f"""
     WITH daily AS (
         SELECT CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS t,
-               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
                    AS BIGINT) AS x
         FROM orders
         WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
@@ -10300,7 +10300,7 @@ def _theil_sen_oracle() -> str:
     WITH monthly AS (
         SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate)
                    AS BIGINT) AS t,
-               CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT)
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT) // 100) AS BIGINT)
                    AS x
         FROM orders
         WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
@@ -10338,7 +10338,7 @@ def _gini_oracle() -> str:
     return f"""
     WITH per_c AS (
         SELECT o_custkey AS k,
-               CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT)
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT) // 100) AS BIGINT)
                    AS v
         FROM orders GROUP BY o_custkey
     ), ranked AS (
@@ -10500,7 +10500,7 @@ def _benford_oracle(final_cols: str) -> str:
     return f"""
     WITH base AS (
         SELECT event_type AS g,
-               CAST(round(value * 100) AS BIGINT) AS v
+               CAST(round(value * 100, 0) AS BIGINT) AS v
         FROM events
         WHERE event_type IS NOT NULL AND value IS NOT NULL
     ), digs AS (
@@ -10535,7 +10535,7 @@ ORACLES_EXT["stream_benford_check"] = _benford_oracle(
 ORACLES_EXT["nation_revenue_hhi"] = """
     WITH pn AS (
         SELECT r_name, n_name,
-               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
                    AS BIGINT) AS rev
         FROM orders
         JOIN customer ON o_custkey = c_custkey
@@ -10635,7 +10635,7 @@ ORACLES_EXT["documents_simpson_diversity"] = _simpson_oracle()
 ORACLES_EXT["orders_qq_drift"] = """
     WITH base AS (
         SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
-               CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v,
                o_orderkey AS k
         FROM orders
         WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL

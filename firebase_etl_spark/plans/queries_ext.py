@@ -7756,8 +7756,11 @@ def orders_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders_mann_kendall's trend existence, immune to a whale month.
     Monthly dollars (not cents) keep every pair's e6 slope ratio in
     int64 headroom (|dx| < 9.2e12 gate: monthly revenue stays under
-    ~9e12 dollars — stated); the ~80-month spine makes the pair join
-    a calendar constant."""
+    ~9e12 dollars — stated); dollars come from TRUNCATING the exact
+    cent value (round at cents is boundary-free for 2-decimal prices;
+    rounding doubles at the dollar boundary is the half-dollar
+    rounding-mode trap the sf0.1 round-audit flags). The ~80-month
+    spine makes the pair join a calendar constant."""
     from firebase_etl_spark.operators.stats import theil_sen_report
 
     o = load_table(spark, "orders", sf_dir).filter(
@@ -7768,7 +7771,7 @@ def orders_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate") * 12 + F.month("o_orderdate")
         ).cast("long").alias("t")
     ).agg(
-        F.sum(F.expr("CAST(round(o_totalprice) AS BIGINT)")).alias("x")
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT) DIV 100")).alias("x")
     )
     return theil_sen_report(monthly, "t", "x")
 
@@ -7789,7 +7792,7 @@ def customer_revenue_gini_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, "orders", sf_dir)
     per_c = o.groupBy("o_custkey").agg(
-        F.sum(F.expr("CAST(round(o_totalprice) AS BIGINT)")).alias("rev")
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT) DIV 100")).alias("rev")
     )
     return gini_report(per_c, "rev", "o_custkey")
 

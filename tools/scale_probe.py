@@ -81,7 +81,7 @@ ID_COLS = {
 #: keep their original foreign keys, so a replicated dim would break
 #: join semantics; these exist only so session-3 probe queries that
 #: join part/nation resolve against tmp_sfbig
-PASSTHRU = ["part", "nation"]
+PASSTHRU = ["part", "nation", "region", "supplier"]
 
 
 def build(spark, n_copies: int) -> None:
@@ -127,32 +127,34 @@ def build(spark, n_copies: int) -> None:
 #: the fixture makes every document a member of a ~10-replica mutual
 #: near-dup cluster, the adversarial direction for pair-enumerating ops)
 NEW_OPS = [
-    # round-10 additions (earlier rounds' probe tables are recorded in
+    # round-11 additions (earlier rounds' probe tables are recorded in
     # ROUND{N}_NOTES; the list rotates to whatever the current session
-    # shipped). The fixed-codomain axis (10x rows over the same value
-    # grid) is the hard direction for histogram/rank ops; the
-    # fixed-catalog axis for the basket lattice.
-    "doc_length_spearman",
-    "lineitem_kendall_tau",
-    "events_wilcoxon_signed_rank",
-    "events_brown_forsythe",
-    "events_dispersion_index",
-    "doc_vocab_chao1",
-    "documents_ngram_diversity",
-    "events_mcnemar_purchase",
-    "events_runs_test",
-    "documents_entropy_rate",
+    # shipped). Calendar-spine ops (Mann-Kendall, Theil-Sen, ACF,
+    # Friedman) should be near-FLAT at 10x rows (same spine, denser
+    # per-period aggregates); rank/concentration ops near-linear.
+    "orders_mann_kendall",
+    "orders_theil_sen_trend",
+    "customer_revenue_gini_exact",
+    "events_friedman_test",
+    "doc_langid_kappa",
+    "events_benford_audit",
+    "nation_revenue_hhi",
+    "events_autocorr_daily",
+    "documents_simpson_diversity",
+    "orders_qq_drift",
+    # perf-fix regression probes: the r11 two-phase grouped-rank
+    # migrations must still scale at/below linear (and now with real
+    # parallelism instead of k tasks)
+    "orders_winsorized_stats",
+    "orders_conformal_intervals",
+    "documents_mixture_sample",
+    "documents_temperature_mixture",
+    "events_key_skew_profile",
+    "events_ks_drift",
+    "events_quantile_normalization",
+    "lineitem_percentiles_approx",
     "orders_jonckheere_trend",
-    # perf-fix regression probes: the r10 prefix-sum rewrite, the
-    # two-consumer-tail fixes and the fractional support threshold
-    # must still scale at/below linear
-    "events_kruskal_wallis",
-    "doc_langid_auc",
-    "doc_isotonic_calibration",
-    "events_kmv_user_overlap",
-    "categorical_association_audit",
-    "part_association_rules",
-    "customer_fs_linkage",
+    "documents_entropy_rate",
 ]
 
 
