@@ -643,6 +643,10 @@ def psi_drift_report(
     span = F.broadcast(
         base.agg(F.min("us").alias("mn"), F.max("us").alias("mx"))
     )
+    # midpoint truncation note (ADVICE r10): Spark DIV truncates
+    # toward zero, the oracle's // floors — identical ONLY while
+    # mn + mx >= 0, i.e. timestamps at/after the 1970 epoch (every
+    # fixture; pre-1970 feeds must sign-split this midpoint)
     halves = base.crossJoin(span).select(
         "g", "v", F.expr("us <= (mn + mx) DIV 2").alias("is_ref")
     )

@@ -738,6 +738,10 @@ def ks_drift_report(
         & F.col("v").isNotNull()
         & F.col("us").isNotNull()
     )
+    # midpoint truncation note (ADVICE r10): Spark DIV truncates
+    # toward zero, the oracle's // floors — identical ONLY while
+    # mn + mx >= 0, i.e. timestamps at/after the 1970 epoch (every
+    # fixture; pre-1970 feeds must sign-split this midpoint)
     span = F.broadcast(
         base.agg(
             F.expr(
@@ -902,6 +906,10 @@ def next_event_accuracy(
         .withColumn("nxt_us", F.lead("us").over(w))
         .filter(F.col("nxt").isNotNull())
     )
+    # midpoint truncation note (ADVICE r10): Spark DIV truncates
+    # toward zero, the oracle's // floors — identical ONLY while
+    # mn + mx >= 0, i.e. timestamps at/after the 1970 epoch (every
+    # fixture; pre-1970 feeds must sign-split this midpoint)
     span = F.broadcast(
         base.agg(
             F.expr(

@@ -6076,6 +6076,10 @@ def events_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").isNotNull()
     )
     us = F.unix_micros(F.col("ts"))
+    # midpoint truncation note (ADVICE r10): Spark DIV truncates
+    # toward zero, the oracle's // floors — identical ONLY while
+    # mn + mx >= 0, i.e. timestamps at/after the 1970 epoch (every
+    # fixture; pre-1970 feeds must sign-split this midpoint)
     mid = F.broadcast(
         e.agg(
             F.expr(
