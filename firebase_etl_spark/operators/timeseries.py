@@ -1165,3 +1165,47 @@ def acf_report(
         )
         .orderBy("lag")
     )
+
+
+def _ols_num_vx() -> tuple[str, str]:
+    num = (
+        "(CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    )
+    vx = (
+        "(CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    )
+    return num, vx
+
+
+def ols_slope_e6_sql() -> str:
+    """OLS slope at e6 over the exact integer moment columns
+    (np, sx, sy, sxy, sxx) — the regression companion to
+    pearson_e6_sql, same shared-text convention: the moments stay
+    exact int64, the (n*Sxy - Sx*Sy)/(n*Sxx - Sx^2) combination runs
+    in doubles and quantizes ONCE. NULL when x is constant."""
+    from firebase_etl_spark.functions.portable_math import fixed_e6_expr
+
+    num, vx = _ols_num_vx()
+    return (
+        f"CASE WHEN {vx} <= 0 THEN CAST(NULL AS BIGINT)"
+        f" ELSE {fixed_e6_expr(f'{num} / {vx}')} END"
+    )
+
+
+def ols_intercept_e6_sql() -> str:
+    """OLS intercept at e6 over the same moment columns:
+    (Sy - slope*Sx)/n in doubles, quantized once; NULL when x is
+    constant."""
+    from firebase_etl_spark.functions.portable_math import fixed_e6_expr
+
+    num, vx = _ols_num_vx()
+    inner = (
+        f"(CAST(sy AS DOUBLE) - ({num} / {vx}) * CAST(sx AS DOUBLE))"
+        " / CAST(np AS DOUBLE)"
+    )
+    return (
+        f"CASE WHEN {vx} <= 0 THEN CAST(NULL AS BIGINT)"
+        f" ELSE {fixed_e6_expr(inner)} END"
+    )

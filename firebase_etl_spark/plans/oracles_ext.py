@@ -10663,3 +10663,151 @@ ORACLES_EXT["orders_qq_drift"] = """
       ON p.o_year = c.o_year - 1 AND p.q_idx = c.q_idx
     ORDER BY c.o_year, c.q_idx
 """
+
+
+def _dow_oracle() -> str:
+    """DOW-seasonality twin: isodow == Spark weekday()+1; identical
+    remainder-stepped index division."""
+    from firebase_etl_spark.functions.portable_math import big_e6_div_sql
+
+    idx = big_e6_div_sql(
+        "(revenue_cents // 100) * days_total",
+        "n_days * (rev_total // 100)",
+        "//",
+    )
+    return f"""
+    WITH per_dow AS (
+        SELECT CAST(isodow(o_orderdate) AS BIGINT) AS dow,
+               CAST(count(DISTINCT o_orderdate) AS BIGINT) AS n_days,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                   AS BIGINT) AS revenue_cents
+        FROM orders
+        WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+        GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(n_days) AS BIGINT) AS days_total,
+               CAST(sum(revenue_cents) AS BIGINT) AS rev_total
+        FROM per_dow
+    )
+    SELECT dow, n_days, n_orders, revenue_cents,
+           CAST(CASE WHEN n_days > 0 AND rev_total >= 100 THEN {idx}
+                ELSE NULL END AS BIGINT) AS seasonality_e6
+    FROM per_dow, tot
+    ORDER BY dow
+"""
+
+
+ORACLES_EXT["orders_dow_seasonality"] = _dow_oracle()
+
+
+ORACLES_EXT["customer_abc_analysis"] = """
+    WITH per_c AS (
+        SELECT o_custkey AS k,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                   AS BIGINT) AS rev
+        FROM orders GROUP BY o_custkey
+    ), cum AS (
+        SELECT rev,
+               CAST(sum(rev) OVER (
+                   ORDER BY rev DESC, k
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_rev
+        FROM per_c
+    ), tot AS (
+        SELECT CAST(sum(rev) AS BIGINT) AS total FROM per_c
+    ), classed AS (
+        SELECT rev, cum_rev, total,
+               CASE WHEN cum_rev * 5 <= total * 4 THEN 'A'
+                    WHEN cum_rev * 20 <= total * 19 THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM cum, tot
+    )
+    SELECT abc_class, n_customers, revenue_cents,
+           CAST(CASE WHEN total > 0 THEN (((revenue_cents) // (total)) * 1000000 + ((((revenue_cents) % (total)) * 1000) // (total)) * 1000 + ((((((((revenue_cents) % (total)) * 1000) % (total))) * 1000)) // (total)))
+                ELSE NULL END AS BIGINT) AS revenue_share_e6
+    FROM (
+        SELECT abc_class,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(rev) AS BIGINT) AS revenue_cents,
+               CAST(max(total) AS BIGINT) AS total
+        FROM classed GROUP BY abc_class
+    ) ORDER BY abc_class
+"""
+
+
+def _ols_oracle() -> str:
+    """OLS twin: identical moment sums, identical shared slope /
+    intercept / Pearson expressions (timeseries.ols_slope_e6_sql,
+    ols_intercept_e6_sql, pearson_e6_sql)."""
+    from firebase_etl_spark.operators.timeseries import (
+        ols_intercept_e6_sql,
+        ols_slope_e6_sql,
+        pearson_e6_sql,
+    )
+
+    return f"""
+    WITH base AS (
+        SELECT CAST(round(l_discount * 100, 0) AS BIGINT) AS x,
+               CAST(l_quantity AS BIGINT) AS y
+        FROM lineitem
+        WHERE l_discount IS NOT NULL AND l_quantity IS NOT NULL
+    ), mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS np,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM base
+    )
+    SELECT np AS n_rows,
+           CAST(({ols_slope_e6_sql()}) AS BIGINT) AS slope_e6,
+           CAST(({ols_intercept_e6_sql()}) AS BIGINT) AS intercept_e6,
+           CAST(({pearson_e6_sql()}) AS BIGINT) AS r_e6
+    FROM mom
+"""
+
+
+ORACLES_EXT["lineitem_ols_slope"] = _ols_oracle()
+
+
+ORACLES_EXT["customer_interpurchase_stats"] = """
+    WITH gaps AS (
+        SELECT o_custkey,
+               CAST(date_diff('day',
+                   lag(o_orderdate) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                   ), o_orderdate) AS BIGINT) AS gap
+        FROM orders WHERE o_orderdate IS NOT NULL
+    ), g AS (
+        SELECT * FROM gaps WHERE gap IS NOT NULL
+    ), hist AS (
+        SELECT gap, CAST(count(*) AS BIGINT) AS c
+        FROM g GROUP BY gap
+    ), cum AS (
+        SELECT gap,
+               CAST(sum(c) OVER (
+                   ORDER BY gap
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum
+        FROM hist
+    ), tot AS (
+        SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_repeat,
+               CAST(count(*) AS BIGINT) AS n_gaps,
+               CAST(sum(gap) AS BIGINT) AS sum_gaps
+        FROM g
+    ), reads AS (
+        SELECT CAST(min(CASE WHEN cum >= (n_gaps + 1) // 2
+                        THEN gap END) AS BIGINT) AS median_gap_days,
+               CAST(min(CASE WHEN cum >= (9 * n_gaps + 9) // 10
+                        THEN gap END) AS BIGINT) AS p90_gap_days
+        FROM cum, tot
+    )
+    SELECT n_repeat, n_gaps,
+           CAST(CASE WHEN n_gaps > 0 THEN (sum_gaps * 100) // n_gaps
+                ELSE NULL END AS BIGINT) AS mean_gap_e2,
+           median_gap_days, p90_gap_days
+    FROM tot, reads
+"""

@@ -8069,3 +8069,226 @@ def stream_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def orders_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week revenue seasonality: per ISO weekday, the observed
+    days, orders, revenue, and a seasonality index = (that weekday's
+    mean daily revenue) / (overall mean daily revenue) at e6 — the
+    profile every staffing/capacity plan and every 'is Monday low or
+    is this an incident' triage reads first. ISO weekday numbering on
+    BOTH engines (Spark weekday()+1 == DuckDB isodow: 1=Mon..7=Sun —
+    Spark dayofweek() and DuckDB dayofweek() disagree on the anchor,
+    so neither is used). The index is the exact integer ratio
+    (dollars_dow * days_total) / (days_dow * dollars_total) through
+    the remainder-stepped big_e6_div, computed over WHOLE-DOLLAR
+    revenue (cents DIV 100 — the x10 probe caught the cent-
+    denominated den = days * cents_total blowing the 9.2e15 gate;
+    dollars buy x100 headroom, exact while days_dow * total dollar
+    revenue < 9.2e15, stated). The revenue_cents output column stays
+    exact cents. Two bounded aggregates over one scan."""
+    from firebase_etl_spark.functions.portable_math import big_e6_div_sql
+
+    o = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()
+    )
+    per_dow = o.groupBy(
+        (F.weekday("o_orderdate") + 1).cast("long").alias("dow")
+    ).agg(
+        F.count_distinct("o_orderdate").cast("long").alias("n_days"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+        ).cast("long").alias("revenue_cents"),
+    ).localCheckpoint(eager=True)  # 7 rows; 2 consumers
+    tot = per_dow.agg(
+        F.sum("n_days").cast("long").alias("days_total"),
+        F.sum("revenue_cents").cast("long").alias("rev_total"),
+    )
+    idx = big_e6_div_sql(
+        "(revenue_cents DIV 100) * days_total",
+        "n_days * (rev_total DIV 100)",
+        "DIV",
+    )
+    return (
+        per_dow.crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "n_days",
+            "n_orders",
+            "revenue_cents",
+            F.expr(
+                f"CASE WHEN n_days > 0 AND rev_total >= 100 THEN {idx}"
+                " ELSE CAST(NULL AS BIGINT) END"
+            ).cast("long").alias("seasonality_e6"),
+        )
+        .orderBy("dow")
+    )
+
+
+def customer_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto-class) customer segmentation: customers ranked by
+    revenue DESC, class A while the cumulative revenue share is
+    <= 80%, B to 95%, C after — the inventory-management classic
+    applied to the revenue base, published as the 3-row class
+    summary. EXACT integer boundaries (cum*5 <= total*4, cum*20 <=
+    total*19 — no float shares anywhere), so class membership is
+    deterministic; ranks tie-break on custkey. The cumulative runs
+    as the two-phase global prefix sum over the rank order
+    (stats.with_prefix_sum — #shuffle-partitions tasks, never a
+    single-partition cum-sum window). Overflow gate: total*20 <
+    2^63 means total revenue < ~4.6e17 cents (stated)."""
+    from firebase_etl_spark.operators.stats import with_prefix_sum
+
+    o = load_table(spark, "orders", sf_dir)
+    per_c = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+        ).alias("rev")
+    )
+    cum = with_prefix_sum(
+        per_c, [F.desc("rev"), F.asc("o_custkey")], "rev", "cum_rev"
+    )
+    tot = cum.agg(F.sum("rev").cast("long").alias("total"))
+    classed = cum.crossJoin(F.broadcast(tot)).withColumn(
+        "abc_class",
+        F.expr(
+            "CASE WHEN cum_rev * 5 <= total * 4 THEN 'A'"
+            " WHEN cum_rev * 20 <= total * 19 THEN 'B'"
+            " ELSE 'C' END"
+        ),
+    )
+    # class totals * 1e6 overflow int64 past ~$92B in one class (the
+    # x10 probe caught it) — the remainder-stepped division holds to
+    # total < 9.2e15 cents
+    share = PM.big_e6_div_sql("revenue_cents", "total", "DIV")
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("rev").cast("long").alias("revenue_cents"),
+            F.max("total").alias("total"),
+        )
+        .select(
+            "abc_class",
+            "n_customers",
+            "revenue_cents",
+            F.expr(
+                f"CASE WHEN total > 0 THEN {share}"
+                " ELSE CAST(NULL AS BIGINT) END"
+            ).cast("long").alias("revenue_share_e6"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+def lineitem_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS regression of quantity on discount (cents) — the
+    'does discounting move volume' read, published as exact-moment
+    least squares: slope, intercept and Pearson r from the five
+    integer moment sums of one map-side-combinable aggregate (the
+    CUPED/ACF moment convention: sums exact in int64, the final
+    combinations in doubles through shared expressions, each
+    quantized once at e6). The fixture draws quantity independently
+    of discount, so the honest read is slope ~ 0, r ~ 0. Moment
+    overflow gate: sum(x*y) <= n * 100cents * 50qty — exact past
+    1e15 rows (stated)."""
+    from firebase_etl_spark.operators.timeseries import (
+        ols_intercept_e6_sql,
+        ols_slope_e6_sql,
+        pearson_e6_sql,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_discount").isNotNull() & F.col("l_quantity").isNotNull()
+    )
+    base = li.select(
+        F.expr("CAST(round(l_discount * 100) AS BIGINT)").alias("x"),
+        F.col("l_quantity").cast("long").alias("y"),
+    )
+    mom = base.agg(
+        F.count(F.lit(1)).cast("long").alias("np"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    return mom.select(
+        F.col("np").alias("n_rows"),
+        F.expr(ols_slope_e6_sql()).cast("long").alias("slope_e6"),
+        F.expr(ols_intercept_e6_sql()).cast("long").alias("intercept_e6"),
+        F.expr(pearson_e6_sql()).cast("long").alias("r_e6"),
+    )
+
+
+def customer_interpurchase_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Inter-purchase gap distribution: per repeat customer, the day
+    gaps between consecutive orders; published as one global summary
+    (repeat customers, gap count, e2 mean, exact nearest-rank median
+    and p90) — the cadence input behind churn windows and
+    replenishment triggers. The lag window partitions on CUSTKEY
+    (data-sized cardinality — real parallelism, not the low-k trap);
+    the order statistics read from the GAP-VALUE histogram (gap
+    codomain is calendar-bounded: <= span days) via the two-phase
+    prefix sum, so no global sort of the gap rows ever happens. All
+    integer."""
+    from firebase_etl_spark.operators.stats import with_prefix_sum
+
+    o = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate").isNotNull()
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    gaps = (
+        o.select(
+            "o_custkey",
+            F.datediff(
+                "o_orderdate", F.lag("o_orderdate").over(w)
+            ).cast("long").alias("gap"),
+        )
+        .filter(F.col("gap").isNotNull())
+        .localCheckpoint(eager=True)  # one row per non-first order
+    )
+    hist = (
+        gaps.groupBy("gap")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    cum = with_prefix_sum(hist, ["gap"], "c", "cum")
+    tot = gaps.agg(
+        F.count_distinct("o_custkey").cast("long").alias("n_repeat"),
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("gap").cast("long").alias("sum_gaps"),
+    )
+    reads = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.min(
+                F.when(
+                    F.expr("cum >= (n_gaps + 1) DIV 2"), F.col("gap")
+                )
+            ).cast("long").alias("median_gap_days"),
+            F.min(
+                F.when(
+                    F.expr("cum >= (9 * n_gaps + 9) DIV 10"),
+                    F.col("gap"),
+                )
+            ).cast("long").alias("p90_gap_days"),
+        )
+    )
+    return (
+        tot.crossJoin(F.broadcast(reads))
+        .select(
+            "n_repeat",
+            "n_gaps",
+            F.expr(
+                "CASE WHEN n_gaps > 0 THEN (sum_gaps * 100) DIV n_gaps"
+                " ELSE CAST(NULL AS BIGINT) END"
+            ).cast("long").alias("mean_gap_e2"),
+            "median_gap_days",
+            "p90_gap_days",
+        )
+    )

@@ -4860,3 +4860,53 @@ def test_simpson_diversity_hand_cases(spark):
     )
     r3 = simpson_diversity_report(df3, "source", "text").collect()[0]
     assert r3["simpson_e6"] is None and r3["inv_simpson_e2"] is None
+
+
+def test_ols_builders_hand_cases(spark):
+    from firebase_etl_spark.operators.timeseries import (
+        ols_intercept_e6_sql,
+        ols_slope_e6_sql,
+    )
+
+    # exact line y = 3x + 2 over x = 0..4: slope 3, intercept 2
+    rows = [(x, 3 * x + 2) for x in range(5)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    mom = df.selectExpr(
+        "CAST(count(*) AS BIGINT) AS np",
+        "CAST(sum(x) AS BIGINT) AS sx",
+        "CAST(sum(y) AS BIGINT) AS sy",
+        "CAST(sum(x * y) AS BIGINT) AS sxy",
+        "CAST(sum(x * x) AS BIGINT) AS sxx",
+    )
+    r = mom.selectExpr(
+        f"CAST(({ols_slope_e6_sql()}) AS BIGINT) AS s",
+        f"CAST(({ols_intercept_e6_sql()}) AS BIGINT) AS i",
+    ).collect()[0]
+    assert r["s"] == 3_000_000 and r["i"] == 2_000_000
+
+    # constant x: variance 0 -> NULLs
+    rows2 = [(7, y) for y in range(5)]
+    df2 = spark.createDataFrame(rows2, "x long, y long")
+    mom2 = df2.selectExpr(
+        "CAST(count(*) AS BIGINT) AS np",
+        "CAST(sum(x) AS BIGINT) AS sx",
+        "CAST(sum(y) AS BIGINT) AS sy",
+        "CAST(sum(x * y) AS BIGINT) AS sxy",
+        "CAST(sum(x * x) AS BIGINT) AS sxx",
+    )
+    r2 = mom2.selectExpr(
+        f"CAST(({ols_slope_e6_sql()}) AS BIGINT) AS s"
+    ).collect()[0]
+    assert r2["s"] is None
+
+
+def test_weekday_isodow_anchor(spark):
+    """orders_dow_seasonality's cross-engine weekday contract:
+    Spark weekday()+1 must equal ISO numbering (1=Monday..7=Sunday).
+    2024-01-01 was a Monday; 2024-01-07 a Sunday."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("2024-01-01",), ("2024-01-07",)], "d string"
+    ).select((F.weekday(F.col("d").cast("date")) + 1).alias("iso"))
+    assert [r["iso"] for r in df.collect()] == [1, 7]

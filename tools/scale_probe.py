@@ -155,6 +155,11 @@ NEW_OPS = [
     "lineitem_percentiles_approx",
     "orders_jonckheere_trend",
     "documents_entropy_rate",
+    # r11 late-batch additions
+    "orders_dow_seasonality",
+    "customer_abc_analysis",
+    "lineitem_ols_slope",
+    "customer_interpurchase_stats",
 ]
 
 
