@@ -670,6 +670,7 @@ def prefix_filter_near_dups(
     id_col: str = "doc_id",
     max_bucket_docs: int | None = None,
     truncation: dict | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT set-similarity self-join via prefix filtering (the
     PPJoin/AllPairs family — Xiao et al. 2008, Bayardo et al. 2007):
@@ -699,16 +700,27 @@ def prefix_filter_near_dups(
     bucket postings are capped (deterministic, id-lowest survive) so
     pair emission is bounded by cap² per bucket — an EXPLICIT recall
     trade whose exact truncation counts land in ``truncation`` (see
-    :func:`_cap_bucket_postings`; never silent)."""
-    sh = (
-        df.select(F.col(id_col), tokenize(text_col).alias("__t"))
-        .select(
-            F.col(id_col),
-            word_shingles_of_tokens(F.col("__t"), shingle_n).alias("sh"),
+    :func:`_cap_bucket_postings`; never silent).
+
+    ``shingles`` lets a caller that ALREADY built the (id, sh) shingle
+    table (e.g. the MinHash recall audit, which tokenizes the same corpus
+    for its signatures) pass it in, skipping a second tokenize + shingle
+    pass; the caller owns its persistence lifecycle. Must be exactly the
+    table this function would build: (id_col, sh=word shingles of
+    tokenize(text), size > 0 rows only)."""
+    caller_owns_sh = shingles is not None
+    if caller_owns_sh:
+        sh = shingles
+    else:
+        sh = (
+            df.select(F.col(id_col), tokenize(text_col).alias("__t"))
+            .select(
+                F.col(id_col),
+                word_shingles_of_tokens(F.col("__t"), shingle_n).alias("sh"),
+            )
+            .filter(F.size("sh") > 0)
+            .persist()
         )
-        .filter(F.size("sh") > 0)
-        .persist()
-    )
     try:
         ex = sh.select(
             F.col(id_col), F.size("sh").alias("n"), F.explode("sh").alias("s")
@@ -802,7 +814,8 @@ def prefix_filter_near_dups(
         )
         out = out.localCheckpoint(eager=True)
     finally:
-        sh.unpersist()
+        if not caller_owns_sh:
+            sh.unpersist()
     return out
 
 
@@ -1021,20 +1034,15 @@ def minhash_portable_recall_audit(
             )
             .distinct()
         )
-        a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-        b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
-        jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
-            F.array_union("sh_a", "sh_b")
-        )
-        found = (
-            cands.join(a, "id_a")
-            .join(b, "id_b")
-            .withColumn("jaccard", F.round(jac, 6))
-            .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", F.lit(1).alias("__found"))
-        )
+        # The exact truth (below) has ZERO false negatives, so the set of
+        # LSH pairs passing the jaccard >= threshold verify is exactly
+        # truth ∩ candidates — no need to re-verify candidates against
+        # the shingle arrays (the old found-side join re-did tokenize +
+        # array_intersect/union per candidate pair; the left join against
+        # the distinct candidate set below is the same rows by identity).
+        found = cands.select("id_a", "id_b", F.lit(1).alias("__found"))
         truth = prefix_filter_near_dups(
-            df, threshold, shingle_n, text_col, id_col
+            df, threshold, shingle_n, text_col, id_col, shingles=sh
         ).select("id_a", "id_b", "jaccard")
         report = (
             truth.join(found, ["id_a", "id_b"], "left")
