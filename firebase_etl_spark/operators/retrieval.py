@@ -545,22 +545,30 @@ def ql_topk(
         .groupBy("did", "dl", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
-    m = (
-        tf.join(F.broadcast(qt), "term")
-        .join(F.broadcast(cf.join(
-            F.broadcast(qt.select("term").distinct()), "term"
-        )), "term")
-        .crossJoin(ctot)
-        .filter(F.col("did") != F.col("query_id"))
-        .withColumn("num", F.expr(f"tf * c_tokens + {mu} * cf"))
-        .withColumn("den", F.expr(f"{mu} * cf"))
+    # Evaluate the portable-ln chains at the granularity their arguments
+    # actually vary on, BEFORE the query join multiplies rows: ln(mu*cf)
+    # depends only on the term (vocabulary-sized), ln(tf*C + mu*cf) only
+    # on the (doc, term) posting — neither depends on query_id, so the
+    # old formulation re-ran both ~|queries|x as many times on the
+    # joined table. Same integer args -> same chains -> bit-identical
+    # adj_e6; the join/group membership is unchanged (join reorder only).
+    cfp = cf.join(F.broadcast(qt.select("term").distinct()), "term")
+    cfp = with_ln(
+        cfp.withColumn("den", F.expr(f"{mu} * cf")), "den", "__lnd"
     )
-    m = with_ln(m, "num", "__lnn")
-    m = with_ln(m, "den", "__lnd")
-    adj = m.withColumn(
+    tfc = (
+        tf.join(F.broadcast(cfp), "term")
+        .crossJoin(ctot)
+        .withColumn("num", F.expr(f"tf * c_tokens + {mu} * cf"))
+    )
+    tfc = with_ln(tfc, "num", "__lnn")
+    adj = tfc.withColumn(
         "adj_e6", F.expr(fixed_e6_expr("__lnn - __lnd"))
     )
-    per_doc = adj.groupBy("query_id", "did", "dl").agg(
+    m = adj.join(F.broadcast(qt), "term").filter(
+        F.col("did") != F.col("query_id")
+    )
+    per_doc = m.groupBy("query_id", "did", "dl").agg(
         F.count(F.lit(1)).cast("long").alias("n_matched"),
         F.sum("adj_e6").cast("long").alias("s_adj"),
     )
