@@ -1423,6 +1423,12 @@ def poisson_bootstrap_ci(
         F.expr(f"u0 DIV {1 << 26}").alias("h1"),
         F.expr(f"u0 % {1 << 26}").alias("h2"),
     )
+    # NOTE (r11): pre-projecting the 64 weight columns and aggregating
+    # over the attributes was tried and measured 26% SLOWER in-session
+    # A/B (6.35s -> 8.01s at sf0.1): whole-stage codegen already
+    # subexpression-eliminates the duplicated CASE chains inside the
+    # aggregate, and the explicit projection only added a 64-column row
+    # materialization. Keeping the inlined form deliberately.
     aggs = [
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum("v").cast("long").alias("tot"),
@@ -1671,19 +1677,17 @@ def winsorized_stats(
         F.col(key_col).alias("k"),
     ).filter(F.col("v").isNotNull())
     # ONE grouped two-phase rank (range shuffle + partitioned window —
-    # #shuffle-partitions tasks, not #groups), persisted: the count
-    # table, the cut-value reads and the clamp pass all consume
-    # `ranked` — without the persist each consumer re-runs the
-    # broadcast offset join (the checkpoint inside the helper already
-    # pins the expensive rank itself). cnt/cuts are group-count-sized
-    # → checkpointed + broadcast.
-    ranked = with_grouped_rank(base, "g", ["v", "k"], "r").persist()
-    cnt = (
-        ranked.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=True)  # group-count-sized
-    )
-    ranked2 = ranked.join(F.broadcast(cnt), "g").withColumn(
+    # #shuffle-partitions tasks, not #groups), persisted: the cut-value
+    # reads and the clamp pass both consume `ranked` — without the
+    # persist each consumer re-runs the broadcast offset join (the
+    # checkpoint inside the helper already pins the expensive rank
+    # itself). Per-group n rides the helper's offset map (total_out) —
+    # the separate count aggregate this used to run is gone. cuts are
+    # group-count-sized → checkpointed + broadcast.
+    ranked = with_grouped_rank(
+        base, "g", ["v", "k"], "r", total_out="n"
+    ).persist()
+    ranked2 = ranked.withColumn(
         "r_lo",
         F.greatest(
             F.expr(f"({lo_pct} * n + 99) DIV 100"), F.lit(1)
@@ -1787,14 +1791,11 @@ def conformal_interval_report(
     # both order-statistic reads rank via the two-phase grouped rank
     # (with_grouped_rank) — a Window.partitionBy(g) row_number/count
     # would put each group's whole slice on ONE task (VERDICT r10 #2);
-    # per-group n = max rank, read from the ranked table itself
-    tr_ranked = with_grouped_rank(train, "g", ["v", "k"], "r")
-    ntr = (
-        tr_ranked.groupBy("g").agg(F.max("r").alias("n"))
-        .localCheckpoint(eager=True)  # group-count-sized
-    )
+    # per-group n rides the helper's broadcast offset map (total_out),
+    # replacing the max-rank aggregate each read used to run
+    tr_ranked = with_grouped_rank(train, "g", ["v", "k"], "r", total_out="n")
     tr = (
-        tr_ranked.join(F.broadcast(ntr), "g")
+        tr_ranked
         .groupBy("g")
         .agg(
             F.max("n").cast("long").alias("n_train"),
@@ -1810,13 +1811,11 @@ def conformal_interval_report(
         "resid", F.abs(F.col("v") - F.col("pred"))
     )
     q_rank = f"least((({100 - alpha_pct}) * (n + 1) + 99) DIV 100, n)"
-    ca_ranked = with_grouped_rank(ca, "g", ["resid", "k"], "r")
-    nca = (
-        ca_ranked.groupBy("g").agg(F.max("r").alias("n"))
-        .localCheckpoint(eager=True)  # group-count-sized
+    ca_ranked = with_grouped_rank(
+        ca, "g", ["resid", "k"], "r", total_out="n"
     )
     qs = (
-        ca_ranked.join(F.broadcast(nca), "g")
+        ca_ranked
         .groupBy("g")
         .agg(
             F.max("n").cast("long").alias("n_calib"),
@@ -2664,23 +2663,16 @@ def quantile_normalization_map(
             # grouped level: two-phase grouped rank (a
             # Window.partitionBy(g) would sort each group's whole
             # slice on one of k tasks — the low-k class the scale
-            # lint flags); per-group n = max rank, broadcast back
-            ranked = with_grouped_rank(frame, part_cols[0], ["v", "k"], "r")
-            ng = (
-                ranked.groupBy(part_cols[0])
-                .agg(F.max("r").alias("n"))
-                .localCheckpoint(eager=True)  # group-count-sized
+            # lint flags); per-group n rides the helper's offset map
+            ranked = with_grouped_rank(
+                frame, part_cols[0], ["v", "k"], "r", total_out="n"
             )
-            ranked = ranked.join(F.broadcast(ng), part_cols[0])
         else:
-            # pooled level: scale-safe two-phase global rank + one
-            # broadcast total (no empty-PARTITION-BY window)
+            # pooled level: scale-safe two-phase global rank; the
+            # total rides the offset map instead of a count aggregate
+            # that re-scanned the input
             ranked = with_global_rank(
-                frame, [F.asc("v"), F.asc("k")], "r"
-            ).crossJoin(
-                F.broadcast(
-                    frame.agg(F.count(F.lit(1)).alias("n"))
-                )
+                frame, [F.asc("v"), F.asc("k")], "r", total_out="n"
             )
         return ranked.select(
             *part_cols, F.col("v").alias("qv"),
@@ -2854,7 +2846,9 @@ def _shuffle_partitions(spark) -> int:
         return int(spark.sparkContext.defaultParallelism)
 
 
-def with_global_rank(df, order_cols, out: str = "r") -> DataFrame:
+def with_global_rank(
+    df, order_cols, out: str = "r", total_out: str | None = None
+) -> DataFrame:
     """Scale-safe EXACT global row numbering — the two-phase shape a
     distributed engine uses instead of an empty-PARTITION-BY window
     (which executes on ONE partition and is banned by the scale
@@ -2868,7 +2862,12 @@ def with_global_rank(df, order_cols, out: str = "r") -> DataFrame:
 
     ``order_cols`` are Column expressions forming a TOTAL order (pass
     a unique tiebreaker). Cost: one range shuffle + one linear
-    materialization — what a global sort pays anyway."""
+    materialization — what a global sort pays anyway.
+
+    ``total_out`` additionally attaches the TOTAL row count as a
+    constant column — FREE (the offset loop already accumulates it),
+    where a caller's separate count aggregate would re-scan the
+    input."""
     spark = df.sparkSession
     n = _shuffle_partitions(spark)
     d = (
@@ -2892,9 +2891,17 @@ def with_global_rank(df, order_cols, out: str = "r") -> DataFrame:
     for pid, c in cnts:
         offs.append((pid, acc))
         acc += c
-    om = F.broadcast(
-        spark.createDataFrame(offs, "__pid int, __off long")
-    )
+    if total_out is None:
+        om = F.broadcast(
+            spark.createDataFrame(offs, "__pid int, __off long")
+        )
+    else:
+        om = F.broadcast(
+            spark.createDataFrame(
+                [(pid, off, acc) for pid, off in offs],
+                f"__pid int, __off long, {total_out} long",
+            )
+        )
     return (
         d.join(om, "__pid")
         .withColumn(out, F.col("__off") + F.col("__lr"))
@@ -2902,7 +2909,10 @@ def with_global_rank(df, order_cols, out: str = "r") -> DataFrame:
     )
 
 
-def with_prefix_sum(df, order_cols, value_col: str, out: str = "cum") -> DataFrame:
+def with_prefix_sum(
+    df, order_cols, value_col: str, out: str = "cum",
+    total_out: str | None = None,
+) -> DataFrame:
     """Scale-safe EXACT inclusive running sum of ``value_col`` in the
     total order given by ``order_cols`` — the two-phase sibling of
     with_global_rank, and the replacement for the O(rows^2) broadcast-
@@ -2954,9 +2964,20 @@ def with_prefix_sum(df, order_cols, value_col: str, out: str = "cum") -> DataFra
     for pid, c in sums:
         offs.append((pid, acc))
         acc += c
-    om = F.broadcast(
-        spark.createDataFrame(offs, "__pid int, __off long")
-    )
+    # total_out: the grand total is the offset accumulator's final
+    # value — attaching it as a constant column is free, where a
+    # caller's separate total aggregate would cost another job
+    if total_out is None:
+        om = F.broadcast(
+            spark.createDataFrame(offs, "__pid int, __off long")
+        )
+    else:
+        om = F.broadcast(
+            spark.createDataFrame(
+                [(pid, off, acc) for pid, off in offs],
+                f"__pid int, __off long, {total_out} long",
+            )
+        )
     return (
         d.join(om, "__pid")
         .withColumn(out, (F.col("__off") + F.col("__ls")).cast("long"))
@@ -4004,7 +4025,7 @@ def runs_test_report(
 
 
 def with_grouped_prefix_sum(
-    df, group_col: str, order_cols, value_col, out="cum"
+    df, group_col: str, order_cols, value_col, out="cum", total_out=None
 ) -> DataFrame:
     """PER-GROUP scale-safe EXACT inclusive running sum of
     ``value_col`` in the total order given by ``order_cols`` within
@@ -4023,6 +4044,13 @@ def with_grouped_prefix_sum(
     ks_drift early/late pair) instead of paying the shuffle per
     column.
 
+    ``total_out`` (str, or list parallel to ``out``; None entries skip)
+    additionally attaches each group's GRAND total of the matching
+    value column as a constant column — FREE: the driver's offset loop
+    already accumulates the per-group totals, so they ride the same
+    broadcast offset map instead of costing callers a separate
+    aggregate job (the per-group n = max-rank pattern).
+
     NOTE: like with_prefix_sum, construction is EAGER (checkpoint
     materializations + the bounded offset collect run as Spark jobs
     before this function returns)."""
@@ -4030,6 +4058,14 @@ def with_grouped_prefix_sum(
     outs = [out] if isinstance(out, str) else list(out)
     if len(vcols) != len(outs):
         raise ValueError("value_col and out lists must be parallel")
+    touts = (
+        [total_out] if isinstance(total_out, str) or total_out is None
+        else list(total_out)
+    )
+    if len(touts) == 1 and len(outs) > 1:
+        touts = touts + [None] * (len(outs) - 1)
+    if len(touts) != len(outs):
+        raise ValueError("total_out must be None, a str, or parallel to out")
     spark = df.sparkSession
     n = _shuffle_partitions(spark)
     df = df.localCheckpoint(eager=True)
@@ -4062,8 +4098,19 @@ def with_grouped_prefix_sum(
         prev = acc.get(g, (0,) * len(outs))
         offs.append((g, pid, *prev))
         acc[g] = tuple(p + c for p, c in zip(prev, cs))
-    off_schema = f"{group_col} string, __pid int, " + ", ".join(
-        f"__off_{o} long" for o in outs
+    tcols = [t for t in touts if t is not None]
+    if tcols:
+        offs = [
+            (*row, *(
+                acc[row[0]][i]
+                for i, t in enumerate(touts) if t is not None
+            ))
+            for row in offs
+        ]
+    off_schema = (
+        f"{group_col} string, __pid int, "
+        + ", ".join(f"__off_{o} long" for o in outs)
+        + "".join(f", {t} long" for t in tcols)
     )
     om = F.broadcast(spark.createDataFrame(offs, off_schema))
     d = d.join(om, [group_col, "__pid"])
@@ -4076,7 +4123,9 @@ def with_grouped_prefix_sum(
     )
 
 
-def with_grouped_rank(df, group_col: str, order_cols, out: str = "r") -> DataFrame:
+def with_grouped_rank(
+    df, group_col: str, order_cols, out: str = "r", total_out=None
+) -> DataFrame:
     """PER-GROUP scale-safe EXACT row numbering in the total order
     given by ``order_cols`` within each ``group_col`` value — the rank
     sibling of with_grouped_prefix_sum (the inclusive prefix count of
@@ -4092,9 +4141,12 @@ def with_grouped_rank(df, group_col: str, order_cols, out: str = "r") -> DataFra
     must form a TOTAL order within each group (pass a unique
     tiebreaker); ``group_col`` must be a string column. Output rank is
     int64 (vs row_number's int32) — callers compare, not emit, it.
+    ``total_out`` names a free per-group row-count column (see
+    with_grouped_prefix_sum — the count of ones IS the group size).
     EAGER like its siblings (checkpoints + offset collect run now)."""
     return with_grouped_prefix_sum(
-        df.withColumn("__one", F.lit(1)), group_col, order_cols, "__one", out
+        df.withColumn("__one", F.lit(1)), group_col, order_cols, "__one",
+        out, total_out=total_out,
     ).drop("__one")
 
 
@@ -4391,14 +4443,14 @@ def theil_sen_report(
             F.expr(slope).cast("long").alias("slope_e6"),
         )
     )
+    # the pair count rides the helper's broadcast offset map
+    # (total_out) — no separate count aggregate + broadcast exchange
     ranked = with_global_rank(
-        pairs, [F.asc("slope_e6"), F.asc("ta"), F.asc("tb")], "r"
-    )
-    cnt = ranked.agg(
-        F.count(F.lit(1)).cast("long").alias("m")
+        pairs, [F.asc("slope_e6"), F.asc("ta"), F.asc("tb")], "r",
+        total_out="m",
     )
     med = (
-        ranked.crossJoin(F.broadcast(cnt))
+        ranked
         .filter(F.col("r") == F.expr("(m + 1) DIV 2"))
         .select(
             F.col("m").alias("n_pairs"),

@@ -758,15 +758,13 @@ def ks_drift_report(
         F.sum("early").cast("long").alias("d1"),
         F.sum(1 - F.col("early")).cast("long").alias("d2"),
     ).localCheckpoint(eager=True)  # distinct-value-sized; 3 consumers
-    tot = hist.groupBy("g").agg(
-        F.sum("d1").cast("long").alias("n1"),
-        F.sum("d2").cast("long").alias("n2"),
-    )
+    # per-group (n1, n2) ride the helper's broadcast offset map
+    # (total_out) — no separate totals aggregate + join
     cum = (
         with_grouped_prefix_sum(
-            hist, "g", ["v"], ["d1", "d2"], ["c1", "c2"]
+            hist, "g", ["v"], ["d1", "d2"], ["c1", "c2"],
+            total_out=["n1", "n2"],
         )
-        .join(tot, "g")
         .withColumn(
             "gap", F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
         )

@@ -607,16 +607,15 @@ def documents_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         rate.alias("rate"),
         F.md5(F.col("doc_id").cast("string")).alias("__h"),
     )
-    ranked = with_grouped_rank(keyed, "lang", ["__h", "doc_id"], "rn")
-    ntot = (
-        ranked.groupBy("lang")
-        .agg(F.max("rn").alias("n_total"))
-        .localCheckpoint(eager=True)  # #languages rows
+    # per-language n_total rides the grouped-rank helper's broadcast
+    # offset map (total_out) — no separate max-rank aggregate
+    ranked = with_grouped_rank(
+        keyed, "lang", ["__h", "doc_id"], "rn", total_out="n_total"
     )
     # round before ceil: rate*n in float64 can land epsilon above an exact
     # integer (0.1*1000 -> 100.0000…01) and ceil would admit one extra doc
     # while a DECIMAL-computing oracle would not
-    sampled = ranked.join(F.broadcast(ntot), "lang").filter(
+    sampled = ranked.filter(
         F.col("rn") <= F.ceil(F.round(F.col("rate") * F.col("n_total"), 6))
     )
     return (
@@ -1775,13 +1774,11 @@ def lineitem_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "l_returnflag", F.col("l_extendedprice").alias("v"), "c"
     )
-    cum = with_grouped_prefix_sum(vals, "l_returnflag", ["v"], "c", "cum")
-    nper = (
-        cum.groupBy("l_returnflag")
-        .agg(F.max("cum").alias("n"))
-        .localCheckpoint(eager=True)  # 3 rows
+    # per-flag n rides the helper's broadcast offset map (total_out) —
+    # no separate max-cum aggregate
+    cum = with_grouped_prefix_sum(
+        vals, "l_returnflag", ["v"], "c", "cum", total_out="n"
     )
-    cum = cum.join(F.broadcast(nper), "l_returnflag")
     exact = cum.groupBy("l_returnflag").agg(
         F.min(F.when(F.col("cum") >= F.ceil(F.col("n") * 0.5), F.col("v"))).alias(
             "p50_exact"
@@ -7967,19 +7964,16 @@ def orders_qq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("v"),
         F.col("o_orderkey").alias("k"),
     )
-    ranked = with_grouped_rank(base, "g", ["v", "k"], "r")
-    ng = (
-        ranked.groupBy("g")
-        .agg(F.max("r").alias("n"))
-        .localCheckpoint(eager=True)  # #years rows
-    )
+    # per-year n rides the grouped-rank helper's broadcast offset map
+    # (total_out) — no separate max-rank aggregate
+    ranked = with_grouped_rank(base, "g", ["v", "k"], "r", total_out="n")
     hit = (
         "filter(transform(sequence(1, 9), i -> CASE WHEN"
         " r = greatest((i * n + 9) DIV 10, 1) THEN i END),"
         " x -> x IS NOT NULL)"
     )
     cuts = (
-        ranked.join(F.broadcast(ng), "g")
+        ranked
         .select(
             F.col("g").cast("long").alias("o_year"),
             F.col("v"),
@@ -8146,11 +8140,13 @@ def customer_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
         ).alias("rev")
     )
+    # the grand total rides the helper's broadcast offset map
+    # (total_out) — no separate sum aggregate + broadcast exchange
     cum = with_prefix_sum(
-        per_c, [F.desc("rev"), F.asc("o_custkey")], "rev", "cum_rev"
+        per_c, [F.desc("rev"), F.asc("o_custkey")], "rev", "cum_rev",
+        total_out="total",
     )
-    tot = cum.agg(F.sum("rev").cast("long").alias("total"))
-    classed = cum.crossJoin(F.broadcast(tot)).withColumn(
+    classed = cum.withColumn(
         "abc_class",
         F.expr(
             "CASE WHEN cum_rev * 5 <= total * 4 THEN 'A'"
