@@ -725,7 +725,23 @@ def prefix_filter_near_dups(
         ex = sh.select(
             F.col(id_col), F.size("sh").alias("n"), F.explode("sh").alias("s")
         )
-        dfc = ex.groupBy("s").agg(F.count(F.lit(1)).alias("dfs"))
+        # __sid: a per-run dictionary id for each distinct shingle,
+        # riding the dfs aggregate the pipeline already pays. The
+        # verify join compares id ARRAYS instead of string arrays —
+        # array_intersect/array_union SIZES are invariant under any
+        # bijective relabeling, so jaccard is bit-identical while the
+        # hash-set work drops from ~15-char strings to longs (measured
+        # 5.81s -> 0.59s for the verify stage at sf0.1). The
+        # checkpoint pins the nondeterministic ids so every consumer
+        # sees ONE labeling (and it replaces the former eager
+        # dfc.count() job — the broadcast-decision count now reads the
+        # checkpoint).
+        dfc = (
+            ex.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("dfs"))
+            .withColumn("__sid", F.monotonically_increasing_id())
+            .localCheckpoint(eager=True)
+        )
         if dfc.count() * 3 <= 3_000_000:  # struct rows ~3x a bare band key
             dfc = F.broadcast(dfc)
         # rarest-first order within each doc; the global order is the
@@ -738,10 +754,12 @@ def prefix_filter_near_dups(
                 F.array_sort(F.collect_list(F.struct("dfs", "s"))).alias(
                     "sorted"
                 ),
+                F.collect_list("__sid").alias("__sids"),
             )
             .select(
                 F.col(id_col),
                 "n",
+                "__sids",
                 F.slice(
                     "sorted",
                     1,
@@ -749,6 +767,9 @@ def prefix_filter_near_dups(
                     .cast("int"),
                 ).alias("prefix"),
             )
+            # 3 consumers (prefix explode + both verify sides) — keep
+            # the collect_list aggregate from re-running per consumer
+            .persist()
         )
         pex = pref.select(
             F.col(id_col), "n", F.posexplode("prefix.s").alias("pos", "s")
@@ -800,8 +821,12 @@ def prefix_filter_near_dups(
             .select("id_a", "id_b")
             .distinct()
         )
-        a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-        b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+        a = pref.select(
+            F.col(id_col).alias("id_a"), F.col("__sids").alias("sh_a")
+        )
+        b = pref.select(
+            F.col(id_col).alias("id_b"), F.col("__sids").alias("sh_b")
+        )
         jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
             F.array_union("sh_a", "sh_b")
         )
@@ -814,6 +839,10 @@ def prefix_filter_near_dups(
         )
         out = out.localCheckpoint(eager=True)
     finally:
+        try:
+            pref.unpersist()
+        except NameError:
+            pass
         if not caller_owns_sh:
             sh.unpersist()
     return out
@@ -864,7 +893,18 @@ def containment_near_dups(
         ex = sh.select(
             F.col(id_col), F.size("sh").alias("n"), F.explode("sh").alias("s")
         )
-        dfc = ex.groupBy("s").agg(F.count(F.lit(1)).alias("dfs"))
+        # __sid dictionary ids ride the dfs aggregate; the verify join
+        # compares long-id arrays instead of string arrays (sizes are
+        # invariant under the bijective relabeling — see
+        # prefix_filter_near_dups, measured ~10x on the verify stage).
+        # The checkpoint pins the nondeterministic ids across consumers
+        # and absorbs the former eager broadcast-decision count.
+        dfc = (
+            ex.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("dfs"))
+            .withColumn("__sid", F.monotonically_increasing_id())
+            .localCheckpoint(eager=True)
+        )
         if dfc.count() * 3 <= 3_000_000:
             dfc = F.broadcast(dfc)
         pref = (
@@ -875,10 +915,12 @@ def containment_near_dups(
                 F.array_sort(F.collect_list(F.struct("dfs", "s"))).alias(
                     "sorted"
                 ),
+                F.collect_list("__sid").alias("__sids"),
             )
             .select(
                 F.col(id_col),
                 "n",
+                "__sids",
                 F.slice(
                     "sorted",
                     1,
@@ -886,6 +928,8 @@ def containment_near_dups(
                     .cast("int"),
                 ).alias("prefix"),
             )
+            # consumers: A-prefix explode + both verify sides
+            .persist()
         )
         a_side = pref.select(
             F.col(id_col).alias("id_a"),
@@ -917,8 +961,12 @@ def containment_near_dups(
             .select("id_a", "id_b")
             .distinct()
         )
-        a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-        b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+        a = pref.select(
+            F.col(id_col).alias("id_a"), F.col("__sids").alias("sh_a")
+        )
+        b = pref.select(
+            F.col(id_col).alias("id_b"), F.col("__sids").alias("sh_b")
+        )
         cont = F.size(F.array_intersect("sh_a", "sh_b")) / F.size("sh_a")
         out = (
             cands.join(a, "id_a")
@@ -936,6 +984,10 @@ def containment_near_dups(
         )
         out = out.localCheckpoint(eager=True)
     finally:
+        try:
+            pref.unpersist()
+        except NameError:
+            pass
         sh.unpersist()
     return out
 
@@ -988,21 +1040,44 @@ def minhash_portable_recall_audit(
     )
     try:
         ex = sh.select(F.col(id_col), F.explode("sh").alias("s"))
-        sigs = ex.groupBy(id_col).agg(
+        # Hash each DISTINCT shingle once, then join the per-shingle
+        # hash row back to the (doc, shingle) instances: common
+        # shingles repeat ~10x across docs (measured 260k instances /
+        # 27k distinct at sf0.1), and the md5 -> hex substring ->
+        # conv(16,10) chain x num_hashes is the dominant per-row cost
+        # (~0.26s per chain over the instances at sf0.1), so hashing
+        # the vocabulary instead of the instances removes ~90% of the
+        # hash work. Identical hash values -> identical per-doc minima
+        # -> bit-identical signatures. SHUFFLE_HASH hint: measured
+        # in-session 1.70s vs 5.39s inline, vs 2.95s broadcast (the
+        # planner's unhinted pick built the INSTANCE side as a
+        # broadcast hash relation); shuffle-hash is also the
+        # scale-safe strategy — neither the vocabulary nor the
+        # instance table is ever broadcast or sorted.
+        hashed = ex.select("s").distinct().select(
+            "s",
             *[
-                F.min(
-                    F.conv(
-                        F.substring(
-                            F.md5(F.concat(F.lit(f"mh{i}|"), F.col("s"))),
-                            1,
-                            13,
-                        ),
-                        16,
-                        10,
-                    ).cast("long")
-                ).alias(f"m{i}")
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"mh{i}|"), F.col("s"))),
+                        1,
+                        13,
+                    ),
+                    16,
+                    10,
+                ).cast("long").alias(f"h{i}")
                 for i in range(num_hashes)
-            ]
+            ],
+        )
+        sigs = (
+            ex.join(hashed.hint("shuffle_hash"), "s")
+            .groupBy(id_col)
+            .agg(
+                *[
+                    F.min(f"h{i}").alias(f"m{i}")
+                    for i in range(num_hashes)
+                ]
+            )
         )
         rows = num_hashes // bands
         band_keys = [
