@@ -6,20 +6,24 @@ per document.
 
 Scale shape:
 
-- **A-priori prune first**: an item in a pair with support >= s must
-  itself have support >= s, so infrequent items are dropped BEFORE pair
-  generation (a semi-join against the aggregated item-count table; the
-  optimizer broadcasts it when small, AQE handles it when not). On a
-  fixture where every item clears the threshold the prune is a no-op —
-  the TPC-H part dictionary is one (measured: ~30 uses/part at every
-  gate SF) — but at real-corpus selectivity it is what keeps the
-  self-join linear-ish; same measured-caveat discipline as BM25's
-  postings prune.
-- **Pair generation is per-basket quadratic**: the basket self-join
-  shuffles on the basket key once and emits C(b, 2) rows per basket.
-  TPC-H baskets hold <= 7 lines; for heavy-tailed corpora pass
-  ``max_basket_size`` to drop degenerate mega-baskets (the standard
-  market-basket guard) — a documented, opt-in truncation.
+- **One basket aggregate, then map-side pair generation** (r11): each
+  basket's DISTINCT items collect into one ascending array
+  (``collect_set`` — map-side combinable, and it subsumes the old
+  separate ``.distinct()`` shuffle), and C(b, 2) ordered pairs per
+  basket are emitted by an array-comprehension ``transform`` in the
+  SAME stage that reads the aggregate — map-side combined into the
+  pair counts. The old shape (distinct + item-count semi-join prune +
+  per-basket self-join) paid two extra full-fact shuffles to trim a
+  fan-out that the basket-size bound already caps; on TPC-H the
+  a-priori prune was a measured no-op (~30 uses/part at every gate
+  SF), and the pair-threshold filter subsumes it exactly (a pair with
+  support >= s forces both items to support >= s, so no surviving row
+  ever depended on the prune).
+- **Pair generation is per-basket quadratic**: C(b, 2) struct rows per
+  basket, materialized map-side only. TPC-H baskets hold <= 7 lines;
+  for heavy-tailed corpora pass ``max_basket_size`` to drop degenerate
+  mega-baskets (the standard market-basket guard, now a cheap
+  ``size(items)`` filter) — a documented, opt-in truncation.
 - **Counts are map-side combinable**; the final top-k is a global
   orderBy + limit (TakeOrderedAndProject, no global window).
 
@@ -35,6 +39,47 @@ from pyspark.sql import functions as F
 
 from firebase_etl_spark.functions.portable_math import round_nudged
 
+#: all ordered pairs (p1 < p2) from the ascending `items` array — the
+#: comprehension form of the old per-basket self-join (same C(b, 2)
+#: rows, emitted map-side with no shuffle of the fact table)
+_PAIR_EXPR = (
+    "flatten(transform(items, (x, i) ->"
+    " transform(slice(items, i + 2, size(items) - i - 1),"
+    " y -> struct(x AS p1, y AS p2))))"
+)
+
+
+def _basket_item_arrays(
+    df: DataFrame, basket_col: str, item_col: str
+) -> DataFrame:
+    """(bk, items): each basket's DISTINCT items as an ascending array.
+    ONE map-side-combinable aggregate replaces the old
+    ``.distinct()`` + per-basket self-join prelude; ``collect_set``
+    dedupes (basket, item) exactly like the distinct did, and
+    ``array_sort`` makes i < j pair emission equal the old
+    ``a.it < z.it`` join predicate."""
+    return (
+        df.select(
+            F.col(basket_col).alias("bk"), F.col(item_col).alias("it")
+        )
+        .filter(
+            F.col(basket_col).isNotNull() & F.col(item_col).isNotNull()
+        )
+        .groupBy("bk")
+        .agg(F.array_sort(F.collect_set("it")).alias("items"))
+    )
+
+
+def _pair_counts(baskets: DataFrame, count_alias: str = "pc") -> DataFrame:
+    """(p1, p2, count) over the basket arrays — map-side pair emission
+    into a map-side-combinable count aggregate."""
+    return (
+        baskets.select(F.explode(F.expr(_PAIR_EXPR)).alias("pr"))
+        .select("pr.p1", "pr.p2")
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias(count_alias))
+    )
+
 
 def frequent_pairs(
     df: DataFrame,
@@ -49,43 +94,26 @@ def frequent_pairs(
     ordered by (pair_count DESC, p1, p2). support = pair_count /
     n_baskets; lift = support / (support(p1) * support(p2)) — lift > 1
     means the items co-occur more than independence predicts."""
-    b = (
-        df.select(
-            F.col(basket_col).alias("bk"), F.col(item_col).alias("it")
-        )
-        .filter(F.col(basket_col).isNotNull() & F.col(item_col).isNotNull())
-        .distinct()
-    )
+    b = _basket_item_arrays(df, basket_col, item_col)
     if max_basket_size is not None:
-        sizes = b.groupBy("bk").agg(F.count(F.lit(1)).alias("bsz"))
-        b = b.join(
-            sizes.filter(F.col("bsz") <= max_basket_size).select("bk"),
-            "bk",
-            "left_semi",
-        )
-    # basket/item pairs feed the basket count, the item counts AND both
-    # sides of the self-join — persist, materialize the bounded top-k,
-    # release (the ann_topk_lsh persist pattern)
+        b = b.filter(F.size("items") <= max_basket_size)
+    # the basket arrays feed the basket count, the item counts AND the
+    # pair emission — persist, materialize the bounded top-k, release
+    # (the ann_topk_lsh persist pattern)
     b = b.persist()
     try:
-        n_b = b.select(F.countDistinct("bk").alias("n_baskets"))
-        item_cnt = b.groupBy("it").agg(F.count(F.lit(1)).alias("ic"))
+        n_b = b.select(F.count(F.lit(1)).alias("n_baskets"))
+        item_cnt = (
+            b.select(F.explode("items").alias("it"))
+            .groupBy("it")
+            .agg(F.count(F.lit(1)).alias("ic"))
+        )
         freq = item_cnt.filter(F.col("ic") >= min_support)
-        bf = b.join(freq.select("it"), "it", "left_semi")  # a-priori prune
-        pairs = (
-            bf.alias("a")
-            .join(
-                bf.alias("z"),
-                (F.col("a.bk") == F.col("z.bk"))
-                & (F.col("a.it") < F.col("z.it")),
-            )
-            .select(
-                F.col("a.it").alias("p1"),
-                F.col("z.it").alias("p2"),
-            )
-            .groupBy("p1", "p2")
-            .agg(F.count(F.lit(1)).alias("pair_count"))
-            .filter(F.col("pair_count") >= min_support)
+        # no a-priori semi-join: a pair with support >= s forces both
+        # items to support >= s, so the pair_count filter subsumes it
+        # (and the lift joins against `freq` below stay inner-complete)
+        pairs = _pair_counts(b, "pair_count").filter(
+            F.col("pair_count") >= min_support
         )
         return (
             pairs.join(
@@ -130,32 +158,11 @@ def cooccurrence_edges(
     """Undirected co-occurrence graph: one (p1, p2) row per item pair
     (p1 < p2) sharing at least ``min_pair_count`` baskets — the edge-set
     view of ``frequent_pairs`` for graph consumers (triangle census,
-    connected components). The a-priori item prune applies here too: an
-    edge endpoint needs item support >= min_pair_count, so infrequent
-    items drop before the self-join without changing the output."""
-    b = (
-        df.select(
-            F.col(basket_col).alias("bk"), F.col(item_col).alias("it")
-        )
-        .filter(F.col(basket_col).isNotNull() & F.col(item_col).isNotNull())
-        .distinct()
-    )
-    item_cnt = b.groupBy("it").agg(F.count(F.lit(1)).alias("ic"))
-    bf = b.join(
-        item_cnt.filter(F.col("ic") >= min_pair_count).select("it"),
-        "it",
-        "left_semi",
-    )
+    connected components). One basket aggregate + map-side pair
+    emission + one pair-count aggregate (module docstring); the pc
+    threshold subsumes the old a-priori endpoint prune exactly."""
     return (
-        bf.alias("a")
-        .join(
-            bf.alias("z"),
-            (F.col("a.bk") == F.col("z.bk"))
-            & (F.col("a.it") < F.col("z.it")),
-        )
-        .select(F.col("a.it").alias("p1"), F.col("z.it").alias("p2"))
-        .groupBy("p1", "p2")
-        .agg(F.count(F.lit(1)).alias("pc"))
+        _pair_counts(_basket_item_arrays(df, basket_col, item_col))
         .filter(F.col("pc") >= min_pair_count)
         .select("p1", "p2")
     )
@@ -176,47 +183,31 @@ def item_similarity(
     SURVIVING pair and fully engine-exact at 6 dp. Top-k partners per
     item via a per-item rank window.
 
-    Scale shape: identical to frequent_pairs — a-priori item prune
-    before the per-basket self-join bounds the pair explosion; the
+    Scale shape: identical to frequent_pairs — one basket-array
+    aggregate + map-side pair emission (module docstring; the pc
+    threshold subsumes the old a-priori endpoint prune); the
     symmetrized pair table (2 rows per pair) is output-sized;
-    denominators come from the UNPRUNED item counts (an item's basket
-    frequency, not its post-prune frequency). Returns (item, partner,
-    n_co, cosine_sim, rank).
+    denominators are the full item basket-frequency counts. Returns
+    (item, partner, n_co, cosine_sim, rank).
 
-    The three shared subplans are MATERIALIZED once (item counts:
-    vocabulary-sized, consumed 3x; the pruned basket table: both sides
-    of the self-join; the pair table: symmetrized 2x) — without this
-    the fact table is scanned ~10x (plan-audit repeated-scans flag,
-    the vocab-growth disease)."""
+    The three shared subplans are MATERIALIZED once (the basket
+    arrays: item counts + pair emission; item counts:
+    vocabulary-sized, consumed 3x; the pair table: symmetrized 2x) —
+    without this the fact table is scanned ~10x (plan-audit
+    repeated-scans flag, the vocab-growth disease)."""
     from pyspark.sql import Window
 
-    b = (
-        df.select(
-            F.col(basket_col).alias("bk"), F.col(item_col).alias("it")
-        )
-        .filter(F.col(basket_col).isNotNull() & F.col(item_col).isNotNull())
-        .distinct()
-    )
+    b = _basket_item_arrays(df, basket_col, item_col).localCheckpoint(
+        eager=True
+    )  # basket arrays feed the item counts AND the pair emission
     item_cnt = (
-        b.groupBy("it")
+        b.select(F.explode("items").alias("it"))
+        .groupBy("it")
         .agg(F.count(F.lit(1)).alias("c"))
         .localCheckpoint(eager=True)
     )
-    bf = b.join(
-        item_cnt.filter(F.col("c") >= min_pair_count).select("it"),
-        "it",
-        "left_semi",
-    ).localCheckpoint(eager=True)
     pairs = (
-        bf.alias("a")
-        .join(
-            bf.alias("z"),
-            (F.col("a.bk") == F.col("z.bk"))
-            & (F.col("a.it") < F.col("z.it")),
-        )
-        .select(F.col("a.it").alias("p1"), F.col("z.it").alias("p2"))
-        .groupBy("p1", "p2")
-        .agg(F.count(F.lit(1)).alias("pc"))
+        _pair_counts(b)
         .filter(F.col("pc") >= min_pair_count)
         .localCheckpoint(eager=True)
     )
@@ -280,9 +271,10 @@ def association_rules(
     corpus prunes by min support long before that (the modularity
     documented-bound convention).
 
-    Scale shape: identical to frequent_pairs (a-priori prune, one
-    basket self-join, map-side-combinable counts); the rule fan-out is
-    2 rows per surviving pair. The effective support threshold is
+    Scale shape: identical to frequent_pairs (one basket-array
+    aggregate, map-side pair emission, map-side-combinable counts; the
+    fractional pair threshold subsumes the old a-priori prune); the
+    rule fan-out is 2 rows per surviving pair. The effective support threshold is
     GREATEST(min_support, n_baskets * support_ppm DIV 1e6) — a
     FRACTIONAL floor, because an absolute count is the scaling bug of
     a-priori at corpus scale: 10x the baskets at a fixed absolute
@@ -294,17 +286,10 @@ def association_rules(
     (confidence_e6 DESC, antecedent, consequent): (antecedent,
     consequent, pair_count, n_antecedent, n_consequent, n_baskets,
     confidence_e6, lift_e6)."""
-    b = (
-        df.select(
-            F.col(basket_col).alias("bk"), F.col(item_col).alias("it")
-        )
-        .filter(F.col(basket_col).isNotNull() & F.col(item_col).isNotNull())
-        .distinct()
-    )
-    b = b.persist()
+    b = _basket_item_arrays(df, basket_col, item_col).persist()
     try:
         n_b = b.select(
-            F.countDistinct("bk").alias("n_baskets")
+            F.count(F.lit(1)).alias("n_baskets")
         ).localCheckpoint(eager=True)  # 1 row; threshold + lift consumer
         thr = F.broadcast(
             n_b.select(
@@ -314,26 +299,21 @@ def association_rules(
                 ).alias("thr")
             )
         )
-        item_cnt = b.groupBy("it").agg(F.count(F.lit(1)).alias("ic"))
+        item_cnt = (
+            b.select(F.explode("items").alias("it"))
+            .groupBy("it")
+            .agg(F.count(F.lit(1)).alias("ic"))
+        )
         freq = (
             item_cnt.crossJoin(thr)
             .filter(F.col("ic") >= F.col("thr"))
             .drop("thr")
         )
-        bf = b.join(freq.select("it"), "it", "left_semi")
+        # the pair-count threshold subsumes the old a-priori semi-join
+        # (pair support >= thr forces both item supports >= thr)
         pairs = (
-            bf.alias("a")
-            .join(
-                bf.alias("z"),
-                (F.col("a.bk") == F.col("z.bk"))
-                & (F.col("a.it") < F.col("z.it")),
-            )
-            .select(
-                F.col("a.it").alias("p1"),
-                F.col("z.it").alias("p2"),
-            )
-            .groupBy("p1", "p2")
-            .agg(F.count(F.lit(1)).cast("long").alias("pair_count"))
+            _pair_counts(b, "pair_count")
+            .withColumn("pair_count", F.col("pair_count").cast("long"))
             .crossJoin(thr)
             .filter(F.col("pair_count") >= F.col("thr"))
             .drop("thr")
