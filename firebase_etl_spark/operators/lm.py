@@ -91,18 +91,18 @@ def bigram_lm_scores(
         c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
         vocab = bg.select(F.count_distinct("w2").alias("v"))
 
-        small = c12.count() <= BROADCAST_MAX_ROWS
-        if small:
-            c12, c1 = F.broadcast(c12), F.broadcast(c1)
-        joined = (
-            bg.join(c12, ["w1", "w2"])
-            .join(c1, "w1")
-            .crossJoin(F.broadcast(vocab))
-        )
+        # Evaluate the portable-ln chains at CELL granularity (distinct
+        # (w1, w2) — vocabulary-pair bounded) instead of per bigram
+        # INSTANCE: the ln arguments depend only on (c12, c1, v), and
+        # instances repeat each cell ~10x, so the two most expensive
+        # expressions in the plan run on the small table (the ql_topk
+        # hoist). Same integer args -> same chains -> bit-identical
+        # per-instance lg2_e6 after the join.
+        cell = c12.join(c1, "w1").crossJoin(F.broadcast(vocab))
         if float(2 * k).is_integer():
             kk = int(2 * k)
-            joined = with_ln(joined, f"(2 * c12 + {kk})", "__lnnum")
-            joined = with_ln(joined, f"(2 * c1 + {kk} * v)", "__lnden")
+            cell = with_ln(cell, f"(2 * c12 + {kk})", "__lnnum")
+            cell = with_ln(cell, f"(2 * c1 + {kk} * v)", "__lnden")
             lg2_e6 = F.expr(
                 fixed_e6_expr(f"(__lnnum - __lnden) / {LN2_LIT}")
             )
@@ -113,8 +113,12 @@ def bigram_lm_scores(
             lg2_e6 = (
                 F.round(F.log2(prob) * 1000000.0 + 1e-9, 0).cast("long")
             )
+        cell = cell.select("w1", "w2", lg2_e6.alias("__lg2_e6"))
+        if c12.count() <= BROADCAST_MAX_ROWS:
+            cell = F.broadcast(cell)
         out = (
-            joined.select(F.col(id_col), lg2_e6.alias("__lg2_e6"))
+            bg.join(cell, ["w1", "w2"])
+            .select(F.col(id_col), "__lg2_e6")
             .groupBy(id_col)
             .agg(
                 F.count(F.lit(1)).alias("n_bigrams"),
@@ -605,26 +609,29 @@ def kneser_ney_scores(
         tt = c12.agg(F.count(F.lit(1)).alias("t"))
         small = c12.count() <= BROADCAST_MAX_ROWS
         if small:
-            c12, c1n1, nc = (
-                F.broadcast(c12),
-                F.broadcast(c1n1),
-                F.broadcast(nc),
-            )
-        joined = (
-            bg.join(c12, ["w1", "w2"])
-            .join(c1n1, "w1")
-            .join(nc, "w2")
-            .crossJoin(F.broadcast(tt))
+            c1n1, nc = F.broadcast(c1n1), F.broadcast(nc)
+        # Cell-granularity ln chains (see bigram_lm_scores): both ln
+        # arguments depend only on the (w1, w2) cell's counts, so the
+        # expensive chains run on the vocabulary-pair table and ONE
+        # join attaches the finished lg2_e6 to the instances —
+        # bit-identical per-instance values, ~10x fewer chain
+        # evaluations.
+        cell = (
+            c12.join(c1n1, "w1").join(nc, "w2").crossJoin(F.broadcast(tt))
         )
-        joined = with_ln(
-            joined,
+        cell = with_ln(
+            cell,
             "((2 * c12 - 1) * 2 * t + 2 * n1w1 * ncw2)",
             "__lnnum",
         )
-        joined = with_ln(joined, "(4 * c1 * t)", "__lnden")
+        cell = with_ln(cell, "(4 * c1 * t)", "__lnden")
         lg2_e6 = F.expr(fixed_e6_expr(f"(__lnnum - __lnden) / {LN2_LIT}"))
+        cell = cell.select("w1", "w2", lg2_e6.alias("__lg2_e6"))
+        if small:
+            cell = F.broadcast(cell)
         out = (
-            joined.select(F.col(id_col), lg2_e6.alias("__lg2_e6"))
+            bg.join(cell, ["w1", "w2"])
+            .select(F.col(id_col), "__lg2_e6")
             .groupBy(id_col)
             .agg(
                 F.count(F.lit(1)).alias("n_bigrams"),
