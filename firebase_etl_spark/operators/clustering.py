@@ -145,46 +145,46 @@ def kmeans_fit(
         cents = [list(r["v"]) for r in seed_rows]
         if not cents:  # empty corpus: nothing to fit
             return []
+        dim = len(cents[0])
         for _ in range(n_iter):
             raw = _cosine_scores_udf(cents)(F.col("v"))
             cell, _ = _cell_cols(raw)
-            # one shuffle per iteration; the k*dim (cell, pos) rows are a
-            # bounded driver pull (IVF's k x dim contract)
+            # one k-row wide aggregate per iteration (k x (dim+1)
+            # columns, bounded driver pull — IVF's k x dim contract).
+            # Per-dimension sums over v[i] replace the old
+            # posexplode -> groupBy(cell, pos) form: same
+            # round(x * SCALE) long addends per (cell, dim), so the
+            # per-cell sums are bit-identical, without shuffling a
+            # rows x dim exploded table every round. Out-of-range v[i]
+            # on a dim-mismatched vector is NULL, but such vectors get
+            # a NULL cell from the scoring UDF anyway (skipped below,
+            # ADVICE r5 #2).
             sums = (
-                vecs.select(
-                    cell.alias("cell"),
-                    F.posexplode("v").alias("pos", "x"),
-                )
-                .groupBy("cell", "pos")
+                vecs.select(cell.alias("cell"), "v")
+                .groupBy("cell")
                 .agg(
-                    F.sum(
-                        F.round(F.col("x") * _SCALE, 0).cast("long")
-                    ).alias("s_e6"),
                     F.count(F.lit(1)).alias("n"),
+                    *[
+                        F.sum(
+                            F.round(F.col("v")[i] * _SCALE, 0).cast("long")
+                        ).alias(f"s{i}")
+                        for i in range(dim)
+                    ],
                 )
                 .collect()
             )
-            acc: dict[int, list] = {}
+            nxt = list(cents)
             for r in sums:
                 if r["cell"] is None:
-                    # the scoring UDF returns NULL for vectors whose
-                    # dimension differs from the seed centroids; such
-                    # rows carry no assignment and must not reach the
-                    # int() below (ADVICE r5 #2)
                     continue
-                acc.setdefault(int(r["cell"]), []).append(
-                    (int(r["pos"]), int(r["s_e6"]), int(r["n"]))
-                )
-            nxt = list(cents)
-            for ci, rows in acc.items():
-                rows.sort()
-                m = [s / (_SCALE * n) for _, s, n in rows]
+                n = int(r["n"])
+                m = [int(r[f"s{i}"]) / (_SCALE * n) for i in range(dim)]
                 ss = 0.0
                 for x in m:  # sequential == list_inner_product(m, m)
                     ss += x * x
                 if ss > 0:
                     nrm = math.sqrt(ss)
-                    nxt[ci] = [x / nrm for x in m]
+                    nxt[int(r["cell"])] = [x / nrm for x in m]
             cents = nxt
     finally:
         vecs.unpersist()
