@@ -1712,10 +1712,19 @@ def events_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch, and the tight <2% pin stays in pytest
     (tests/test_catalog_stats.py)."""
     e = load_table(spark, "events", sf_dir)
+    # Dedup (type, user) FIRST, then run plain count + the sketch over
+    # the deduped rows: mixing a DISTINCT aggregate with the HLL sketch
+    # in one groupBy made Spark carry the ~1640-column sketch buffer
+    # through the per-(type, user) dedup aggregate (a ~13 KB-wide row
+    # per pair; measured 3.49s -> 1.39s at sf0.1). Results identical:
+    # count over distinct pairs IS count_distinct, and HLL registers
+    # are duplicate-insensitive, so the sketch estimate is unchanged.
     return (
-        e.groupBy("event_type")
+        e.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
         .agg(
-            F.count_distinct("user_id").alias("n_users_exact"),
+            F.count("user_id").alias("n_users_exact"),
             F.approx_count_distinct("user_id", rsd=0.01).alias("__approx"),
         )
         .select(
