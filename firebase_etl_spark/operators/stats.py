@@ -1367,14 +1367,29 @@ def boot_mix_constants(reps: int) -> list[tuple[int, int, int]]:
 def boot_weight_sql(a1: int, a2: int, c: int) -> str:
     """The Poisson(1) inverse-CDF weight of one replicate as a SQL
     expression over columns ``h1``/``h2`` — textually identical on
-    Spark and DuckDB (integer multiply-add, %, CASE chain). The
+    Spark and DuckDB (integer multiply-add, %, nested CASE). The
     replicate id is already baked into (a1, a2, c) by
-    boot_mix_constants, so it is not a parameter here."""
+    boot_mix_constants, so it is not a parameter here.
+
+    The weight (#thresholds <= u, 0..9) is emitted as a BINARY
+    decision tree over the sorted thresholds — ~4 comparisons per row
+    instead of the old 9-compare-and-add chain (r11: measured
+    4.26s -> 3.77s on the 64-replicate aggregate at sf0.1, sums
+    bit-identical by construction — same count, different lookup)."""
     u = f"((h1 * {a1} + h2 * {a2} + {c}) % {1 << 52})"
-    return "(" + " + ".join(
-        f"(CASE WHEN {u} >= {t} THEN 1 ELSE 0 END)"
-        for t in _POISSON1_THRESH_E52
-    ) + ")"
+    thr = _POISSON1_THRESH_E52
+
+    def node(lo: int, hi: int) -> str:
+        # decide the weight among lo..hi given thresholds lo..hi-1
+        if lo >= hi:
+            return str(lo)
+        mid = (lo + hi) // 2
+        return (
+            f"(CASE WHEN {u} >= {thr[mid]}"
+            f" THEN {node(mid + 1, hi)} ELSE {node(lo, mid)} END)"
+        )
+
+    return node(0, len(thr))
 
 
 def poisson_bootstrap_ci(
