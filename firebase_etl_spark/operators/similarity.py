@@ -59,6 +59,58 @@ def dot_unrolled(a, b, dim: int) -> Column:
     return expr
 
 
+def _dot_scores_udf(cents: list[list[float]]):
+    """Arrow-batched scorer: vector -> array of k RAW dot products vs the
+    captured k x dim centroid matrix. Accumulates column-by-column
+    left-to-right — the SAME IEEE-754 op sequence as ``dot``
+    (aggregate/zip_with) and DuckDB's ``list_inner_product`` — so each
+    score is bit-identical to ``dot(v, cv)``; no norm division (callers
+    feed unit vectors on both sides, the ivf_topk contract). NULL or
+    dim-mismatched vectors score NULL, as the join-based form dropped
+    them. The k x dim expression-tree alternative evaluates interpreted
+    past codegen limits (see random_projection's caveat).
+
+    Returned non-deterministic (guide §4.4's optimizer fence): the
+    downstream inner join on the argmax cell infers isnotnull(cell),
+    and the optimizer pushes that predicate — with the whole UDF
+    expression inlined — through the projection into the parquet scan's
+    DataFilters, where a Python UDF cannot be evaluated
+    ([INTERNAL_ERROR] Cannot evaluate expression, seen flakily under
+    the bench session). The fence keeps every consumer of the scores
+    ABOVE the ArrowEvalPython node; the function is pure, so values are
+    unaffected."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array(cents, dtype=np.float64)  # k x dim
+    in_dim = C.shape[1]
+
+    @pandas_udf("array<double>")
+    def _score(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        vals = [
+            np.asarray(x, dtype=np.float64)
+            if x is not None and len(x) == in_dim
+            else None
+            for x in v
+        ]
+        ok = [x for x in vals if x is not None]
+        if not ok:
+            return pd.Series([None] * len(vals), dtype=object)
+        M = np.stack(ok)
+        acc = np.zeros((len(M), C.shape[0]))
+        for i in range(in_dim):  # column-by-column == sequential IEEE order
+            acc += M[:, i, None] * C[None, :, i]
+        rows = iter(acc)
+        return pd.Series(
+            [next(rows) if x is not None else None for x in vals],
+            dtype=object,
+        )
+
+    return _score.asNondeterministic()
+
+
 def norm(a) -> Column:
     return F.sqrt(dot(a, a))
 
@@ -543,6 +595,21 @@ def ivf_topk(
     dot against unit vectors) and overrides ``seed_ids``; cells are then
     numbered 0..len-1. Everything downstream of the centroid table is
     identical, as the seed-centroid docstring promises.
+
+    Assignment shape (r11): both paths carry ``v`` ON the assignment
+    row into a broadcast probe join, so the old exact re-rank join —
+    a full PAYLOAD shuffle of the corpus by id — is gone ("decide with
+    small rows, move big rows once"); only the probe-bounded candidate
+    set ever reaches an exchange. The TRAINED path goes further: its
+    centroid matrix is k x dim driver state, so every vector scores
+    against all k cells in ONE Arrow-batched plain-dot pass and
+    argmaxes IN-ROW — zero corpus shuffles at all (the scorer
+    accumulates column-by-column, the ``dot``/list_inner_product IEEE
+    order, and first-max = lowest cell id, so every cosine and winner
+    is bit-identical to the crossJoin form). The SEED path's centroids
+    are a corpus filter, so it keeps the JVM crossJoin+argmax but
+    max_by-carries the vector through that one narrow aggregate
+    exchange (map-side combine collapses the k-way fan-out first).
     """
     def _dot(a, b):
         return dot_unrolled(a, b, dim) if dim else dot(a, b)
@@ -552,47 +619,103 @@ def ivf_topk(
         F.col(id_col), normalized(_to_double(F.col(vec_col))).alias("v")
     )
     if centroids is not None:
-        cents = F.broadcast(
-            df.sparkSession.createDataFrame(
-                [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-                "cell long, cv array<double>",
+        # trained path: cells numbered 0..len-1 in list order; the
+        # centroid matrix is already driver state, so assignment is the
+        # in-row Arrow scorer (zero corpus shuffle)
+        cents_list = [[float(x) for x in c] for c in centroids]
+        if not cents_list:  # degenerate: empty result, same schema
+            assign = (
+                vecs.select(
+                    F.col(id_col),
+                    "v",
+                    F.lit(None).cast("long").alias("cell"),
+                ).limit(0)
             )
-        )
+            cents_df = F.broadcast(
+                df.sparkSession.createDataFrame(
+                    [], "cell long, cv array<double>"
+                )
+            )
+        else:
+            scores = _dot_scores_udf(cents_list)(F.col("v"))
+            base = vecs.select(F.col(id_col), "v", scores.alias("__sc"))
+            rounded = F.transform(F.col("__sc"), lambda x: F.round(x, 6))
+            # nearest cell per vector, in-row: first max = lowest cell
+            # id (a plain projection over the UDF column — generators /
+            # windows over UDF output cannot be evaluated, so the probe
+            # side below uses the k-literal crossJoin form instead)
+            assign = base.select(
+                F.col(id_col),
+                "v",
+                (F.array_position(rounded, F.array_max(rounded)) - 1)
+                .cast("long")
+                .alias("cell"),
+            )
+            cents_df = F.broadcast(
+                df.sparkSession.createDataFrame(
+                    [(i, c) for i, c in enumerate(cents_list)],
+                    "cell long, cv array<double>",
+                )
+            )
     else:
-        cents = F.broadcast(
+        # seed path: the centroid table is a corpus filter, not driver
+        # state — assignment keeps the JVM crossJoin+argmax, but the
+        # max_by struct CARRIES the vector through the one narrow
+        # aggregate shuffle so the old re-rank join (a second, PAYLOAD
+        # shuffle of the whole corpus by id) disappears; map-side
+        # partial aggregation collapses the k-row fan-out to one row
+        # per vector before the exchange. Ordering key (cos, -cell) is
+        # unique per vector, so the carried v is deterministic.
+        cents_df = F.broadcast(
             vecs.filter(F.col(id_col).isin(seeds)).select(
                 F.col(id_col).alias("cell"), F.col("v").alias("cv")
             )
         )
-    sims = vecs.crossJoin(cents).select(
-        id_col,
-        "cell",
-        F.round(_dot(F.col("v"), F.col("cv")), 6).alias("cos"),
+        sims = vecs.crossJoin(cents_df).select(
+            F.col(id_col),
+            "v",
+            "cell",
+            F.round(_dot(F.col("v"), F.col("cv")), 6).alias("cos"),
+        )
+        assign = (
+            sims.groupBy(id_col)
+            .agg(
+                F.max_by(
+                    F.struct("cell", "v"),
+                    F.struct(F.col("cos"), -F.col("cell")),
+                ).alias("b")
+            )
+            .select(F.col(id_col), F.col("b.v").alias("v"), F.col("b.cell").alias("cell"))
+        )
+    # top-n_probe cells per query: the query side is bounded by the
+    # literal id list, so the crossJoin+window shape costs |queries| x k
+    # rows of pure-JVM dot — bit-identical to the trained path's Arrow
+    # scorer (same sequential accumulation)
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("cell")
     )
-    # nearest cell per vector: partial-aggregable argmax, ties -> lower cell
-    assign = sims.groupBy(id_col).agg(
-        F.max_by("cell", F.struct(F.col("cos"), -F.col("cell"))).alias("cell")
-    )
-    # top-n_probe cells per query
-    wq = Window.partitionBy(id_col).orderBy(F.col("cos").desc(), F.col("cell"))
     probes = (
-        sims.filter(F.col(id_col).isin(query_ids))
+        vecs.filter(F.col(id_col).isin(query_ids))
+        .crossJoin(cents_df)
+        .select(
+            F.col(id_col).alias("query_id"),
+            "cell",
+            F.round(_dot(F.col("v"), F.col("cv")), 6).alias("cos"),
+        )
         .withColumn("__rn", F.row_number().over(wq))
         .filter(F.col("__rn") <= n_probe)
-        .select(F.col(id_col).alias("query_id"), "cell")
+        .select("query_id", "cell")
     )
-    cand = probes.join(assign, "cell").select("query_id", id_col)
+    cand = assign.join(F.broadcast(probes), "cell").select(
+        "query_id", id_col, "v"
+    )
     qvecs = vecs.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col("v").alias("q")
     )
-    scored = (
-        cand.join(F.broadcast(qvecs), "query_id")
-        .join(vecs, id_col)
-        .select(
-            "query_id",
-            id_col,
-            F.round(_dot(F.col("v"), F.col("q")), 6).alias("cosine_sim"),
-        )
+    scored = cand.join(F.broadcast(qvecs), "query_id").select(
+        "query_id",
+        id_col,
+        F.round(_dot(F.col("v"), F.col("q")), 6).alias("cosine_sim"),
     )
     wr = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col(id_col)
