@@ -650,31 +650,49 @@ def psi_drift_report(
     halves = base.crossJoin(span).select(
         "g", "v", F.expr("us <= (mn + mx) DIV 2").alias("is_ref")
     )
+    # ONE (group, value, half) histogram pass feeds BOTH the reference
+    # percentile fit and the bucket counts (r11): the raw form shuffled
+    # every early-half ROW into the exact-percentile aggregate and then
+    # re-scanned the corpus to bucket-count — but ``percentile`` takes a
+    # frequency argument (its buffer is a value->count map either way,
+    # so (v, c) pairs yield the bit-identical interpolation), and the
+    # bucket counts are plain sums of c. The value codomain is bounded
+    # (quantized fixture values; at 100 TB the histogram saturates at
+    # groups x codomain x 2 cells while rows keep growing), so every
+    # post-histogram step is cell-sized.
+    hh = (
+        halves.groupBy("g", "v", "is_ref")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)  # codomain-sized; 2 consumers
+    )
     pcts = [round((i + 1) / n_bins, 2) for i in range(n_bins - 1)]
     cuts = (
-        halves.filter("is_ref")
+        hh.filter("is_ref")
         .groupBy("g")
         .agg(
             F.expr(
                 "transform(percentile(v, array("
                 + ",".join(str(p) for p in pcts)
-                + ")), c -> round(c, 6))"
+                + "), c), x -> round(x, 6))"
             ).alias("cuts")
         )
     )
     binned = (
-        halves.join(F.broadcast(cuts), "g")
+        hh.join(F.broadcast(cuts), "g")
         .select(
             "g",
             "is_ref",
-            (F.lit(1) + F.expr("size(filter(cuts, c -> c < v))"))
+            "c",
+            (F.lit(1) + F.expr("size(filter(cuts, x -> x < v))"))
             .cast("int")
             .alias("bkt"),
         )
         .groupBy("g", "bkt")
         .agg(
-            F.sum(F.col("is_ref").cast("long")).alias("cp"),
-            F.sum((~F.col("is_ref")).cast("long")).alias("cq"),
+            F.sum(F.when(F.col("is_ref"), F.col("c")).otherwise(0))
+            .cast("long").alias("cp"),
+            F.sum(F.when(~F.col("is_ref"), F.col("c")).otherwise(0))
+            .cast("long").alias("cq"),
         )
         .localCheckpoint(eager=True)  # groups x bins, 2 consumers
     )
