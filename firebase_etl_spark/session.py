@@ -62,6 +62,13 @@ def get_spark(
         # let Python DataSources (sources/rtdb_datasource.py) receive
         # pushed filters — off by default in Spark 4.1
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        # whole-stage codegen is skipped for operators wider than this
+        # (default 100 fields): the 130-column bootstrap aggregate ran
+        # interpreted and measured 2.5x slower (4.3s -> 1.7s steady at
+        # sf0.1 when compiled). 300 covers the widest shipped plan;
+        # anything that still overflows janino's method limit falls
+        # back to interpreted exactly as before (codegen.fallback).
+        .config("spark.sql.codegen.maxFields", "300")
         # driver testdata stores events.ts as TIMESTAMP(NANOS); Spark has no
         # nanos type — read as long and convert in the loader (tables.py).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
