@@ -107,6 +107,7 @@ def bloom_ngram_overlap(
     text_col: str = "text",
     id_col: str = "doc_id",
     fpp: float = 0.01,
+    corpus_grams: DataFrame | None = None,
 ) -> DataFrame:
     """``ngram_overlap`` behind a Bloom-filter prefilter — the variant for
     probe sets too large to broadcast-hash-join as raw strings (a combined
@@ -138,7 +139,14 @@ def bloom_ngram_overlap(
     broadcast-hashed string): it starts paying when probe gram sets
     reach tens of millions (combined eval suites), where the string
     broadcast costs GBs per executor. Same honest-tie discipline as
-    the BM25 prune A/B (ROUND5_NOTES)."""
+    the BM25 prune A/B (ROUND5_NOTES).
+
+    ``corpus_grams`` is the caller-owned pre-built (id_col, gram) table
+    — exactly ``explode(word_shingles(text_col, n))`` over the corpus
+    (distinct-per-doc word n-grams); a caller that already pays a
+    tokenize + shingle pass over the same corpus (documents_curation_v2
+    shares one with its containment join) passes it in, skipping this
+    function's own corpus scan. The caller owns persistence."""
     import math
 
     import numpy as np
@@ -179,9 +187,12 @@ def bloom_ngram_overlap(
 
     bf_contains = pandas_udf(_bf_contains, "boolean")
 
-    doc_grams = corpus.select(
-        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("gram")
-    )
+    if corpus_grams is not None:
+        doc_grams = corpus_grams
+    else:
+        doc_grams = corpus.select(
+            F.col(id_col), F.explode(word_shingles(text_col, n)).alias("gram")
+        )
     candidates = doc_grams.filter(bf_contains(*positions(F.col("gram"))))
     return (
         candidates.join(F.broadcast(probe_grams), "gram")

@@ -856,6 +856,7 @@ def containment_near_dups(
     id_col: str = "doc_id",
     max_bucket_docs: int | None = None,
     truncation: dict | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT asymmetric-containment join: pairs where |A ∩ B| / |A| >=
     ``threshold`` — document A substantially contained in B. Jaccard
@@ -879,16 +880,25 @@ def containment_near_dups(
     the Jaccard join — same 3-gram choice as prefix_filter_near_dups.
     ``max_bucket_docs`` caps the B-side postings per shingle (the hot
     side) — the explicit bounded-recall mode for mirror-heavy corpora,
-    with exact truncation accounting (:func:`_cap_bucket_postings`)."""
-    sh = (
-        df.select(F.col(id_col), tokenize(text_col).alias("__t"))
-        .select(
-            F.col(id_col),
-            word_shingles_of_tokens(F.col("__t"), shingle_n).alias("sh"),
+    with exact truncation accounting (:func:`_cap_bucket_postings`).
+
+    ``shingles`` is the caller-owned pre-built (id_col, sh) table, same
+    contract as :func:`prefix_filter_near_dups`: exactly the table this
+    function would build (word shingles of tokenize(text), size > 0 rows
+    only); the caller owns its persistence lifecycle."""
+    caller_owns_sh = shingles is not None
+    if caller_owns_sh:
+        sh = shingles
+    else:
+        sh = (
+            df.select(F.col(id_col), tokenize(text_col).alias("__t"))
+            .select(
+                F.col(id_col),
+                word_shingles_of_tokens(F.col("__t"), shingle_n).alias("sh"),
+            )
+            .filter(F.size("sh") > 0)
+            .persist()
         )
-        .filter(F.size("sh") > 0)
-        .persist()
-    )
     try:
         ex = sh.select(
             F.col(id_col), F.size("sh").alias("n"), F.explode("sh").alias("s")
@@ -988,7 +998,8 @@ def containment_near_dups(
             pref.unpersist()
         except NameError:
             pass
-        sh.unpersist()
+        if not caller_owns_sh:
+            sh.unpersist()
     return out
 
 

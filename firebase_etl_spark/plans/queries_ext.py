@@ -5810,6 +5810,24 @@ def documents_curation_v2(
     d = load_table(spark, "documents", sf_dir)
     probes = d.filter(F.col("doc_id") % 89 == 0)
     corpus = d.filter(F.col("doc_id") % 89 != 0)
+    # ONE tokenize + 3-gram shingle pass serves all three consumers:
+    # the containment join's shingle table, the Bloom screen's corpus
+    # grams (same word_shingles(text, 3) by definition), and the final
+    # per-lang token accounting (size of the same tokenize). Before,
+    # the corpus was tokenized 3x and shingled 2x per run.
+    base = (
+        corpus.select(
+            "doc_id", "lang", TX.tokenize("text").alias("__t")
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.size("__t").alias("__ntok"),
+            TX.word_shingles_of_tokens(F.col("__t"), 3).alias("sh"),
+        )
+        .persist()
+    )
+    sh_tbl = base.filter(F.size("sh") > 0).select("doc_id", "sh")
     trunc: dict = {}
     contained = (
         containment_near_dups(
@@ -5818,23 +5836,27 @@ def documents_curation_v2(
             shingle_n=3,
             max_bucket_docs=max_bucket_docs,
             truncation=trunc,
+            shingles=sh_tbl,
         )
         .select(F.col("id_a").alias("doc_id"))
         .distinct()
     )
     trunc_dropped = int(trunc.get("postings_dropped", 0))
+    doc_grams = base.select("doc_id", F.explode("sh").alias("gram"))
     contaminated = (
-        bloom_ngram_overlap(corpus, probes, n=3, fpp=0.01)
+        bloom_ngram_overlap(
+            corpus, probes, n=3, fpp=0.01, corpus_grams=doc_grams
+        )
         .filter(F.col("overlap") >= 2)
         .select("doc_id")
     )
-    flagged = corpus.join(
+    flagged = base.select("doc_id", "lang", "__ntok").join(
         contained.withColumn("__contained", F.lit(1)), "doc_id", "left"
     ).join(
         contaminated.withColumn("__contam", F.lit(1)), "doc_id", "left"
     )
     kept = F.col("__contained").isNull() & F.col("__contam").isNull()
-    return (
+    report = (
         flagged.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_in"),
@@ -5846,14 +5868,17 @@ def documents_curation_v2(
             ).alias("n_contaminated"),
             F.sum(kept.cast("long")).alias("n_kept"),
             F.sum(
-                F.when(kept, F.size(TX.tokenize("text"))).otherwise(0)
+                F.when(kept, F.col("__ntok")).otherwise(0)
             ).alias("tokens_kept"),
         )
         .withColumn(
             "trunc_postings_dropped", F.lit(trunc_dropped).cast("long")
         )
         .orderBy("lang")
+        .localCheckpoint(eager=True)  # 5 rows; lets base unpersist
     )
+    base.unpersist()
+    return report
 
 
 def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
