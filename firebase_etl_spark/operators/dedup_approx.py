@@ -662,6 +662,88 @@ def _cap_bucket_postings(
     return capped
 
 
+def _ppjoin_verify(
+    pref: DataFrame,
+    threshold: float,
+    id_col: str,
+    max_bucket_docs: int | None,
+    truncation: dict | None,
+) -> DataFrame:
+    """Candidate generation + exact verify over a prepared prefix table
+    — the tail of :func:`prefix_filter_near_dups`, shared with the
+    MinHash recall audit (which builds ``pref`` fused with its signature
+    aggregate). ``pref`` must be the persisted
+    (id_col, n, __sids, prefix) table that function builds; returns the
+    (id_a, id_b, jaccard >= threshold) pairs, NOT checkpointed — the
+    caller owns materialization and ``pref``'s lifecycle."""
+    pex = pref.select(
+        F.col(id_col), "n", F.posexplode("prefix.s").alias("pos", "s")
+    )
+    if max_bucket_docs is not None:
+        pex = _cap_bucket_postings(
+            pex,
+            "s",
+            id_col,
+            max_bucket_docs,
+            truncation,
+            "prefix_filter_near_dups",
+        )
+    a_side = pex.select(
+        F.col("s"),
+        F.col(id_col).alias("id_a"),
+        F.col("n").alias("n_a"),
+        F.col("pos").alias("p_a"),
+    )
+    b_side = pex.select(
+        F.col("s"),
+        F.col(id_col).alias("id_b"),
+        F.col("n").alias("n_b"),
+        F.col("pos").alias("p_b"),
+    )
+    # positional filter (PPJoin proper): a pair meeting the Jaccard
+    # threshold needs overlap o = ceil(t/(1+t) * (n_a + n_b)); a
+    # collision at 0-based prefix positions (p_a, p_b) caps the
+    # achievable overlap at 1 + min(n_a - p_a, n_b - p_b) - 1 items
+    # already consumed... i.e. ubound = 1 + least(n_a - p_a - 1,
+    # n_b - p_b - 1). Pairs whose EVERY collision fails the bound
+    # can't qualify — filtering before the distinct prunes the
+    # candidate table the verify join pays for.
+    o_req = F.ceil(
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("n_a") + F.col("n_b"))
+    )
+    ubound = F.lit(1) + F.least(
+        F.col("n_a") - F.col("p_a") - 1, F.col("n_b") - F.col("p_b") - 1
+    )
+    cands = (
+        a_side.join(b_side, "s")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("n_b") >= F.lit(threshold) * F.col("n_a"))
+            & (F.col("n_a") >= F.lit(threshold) * F.col("n_b"))
+            & (ubound >= o_req)
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = pref.select(
+        F.col(id_col).alias("id_a"), F.col("__sids").alias("sh_a")
+    )
+    b = pref.select(
+        F.col(id_col).alias("id_b"), F.col("__sids").alias("sh_b")
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def prefix_filter_near_dups(
     df: DataFrame,
     threshold: float = 0.5,
@@ -771,71 +853,8 @@ def prefix_filter_near_dups(
             # the collect_list aggregate from re-running per consumer
             .persist()
         )
-        pex = pref.select(
-            F.col(id_col), "n", F.posexplode("prefix.s").alias("pos", "s")
-        )
-        if max_bucket_docs is not None:
-            pex = _cap_bucket_postings(
-                pex,
-                "s",
-                id_col,
-                max_bucket_docs,
-                truncation,
-                "prefix_filter_near_dups",
-            )
-        a_side = pex.select(
-            F.col("s"),
-            F.col(id_col).alias("id_a"),
-            F.col("n").alias("n_a"),
-            F.col("pos").alias("p_a"),
-        )
-        b_side = pex.select(
-            F.col("s"),
-            F.col(id_col).alias("id_b"),
-            F.col("n").alias("n_b"),
-            F.col("pos").alias("p_b"),
-        )
-        # positional filter (PPJoin proper): a pair meeting the Jaccard
-        # threshold needs overlap o = ceil(t/(1+t) * (n_a + n_b)); a
-        # collision at 0-based prefix positions (p_a, p_b) caps the
-        # achievable overlap at 1 + min(n_a - p_a, n_b - p_b) - 1 items
-        # already consumed... i.e. ubound = 1 + least(n_a - p_a - 1,
-        # n_b - p_b - 1). Pairs whose EVERY collision fails the bound
-        # can't qualify — filtering before the distinct prunes the
-        # candidate table the verify join pays for.
-        o_req = F.ceil(
-            F.lit(threshold / (1.0 + threshold))
-            * (F.col("n_a") + F.col("n_b"))
-        )
-        ubound = F.lit(1) + F.least(
-            F.col("n_a") - F.col("p_a") - 1, F.col("n_b") - F.col("p_b") - 1
-        )
-        cands = (
-            a_side.join(b_side, "s")
-            .filter(
-                (F.col("id_a") < F.col("id_b"))
-                & (F.col("n_b") >= F.lit(threshold) * F.col("n_a"))
-                & (F.col("n_a") >= F.lit(threshold) * F.col("n_b"))
-                & (ubound >= o_req)
-            )
-            .select("id_a", "id_b")
-            .distinct()
-        )
-        a = pref.select(
-            F.col(id_col).alias("id_a"), F.col("__sids").alias("sh_a")
-        )
-        b = pref.select(
-            F.col(id_col).alias("id_b"), F.col("__sids").alias("sh_b")
-        )
-        jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
-            F.array_union("sh_a", "sh_b")
-        )
-        out = (
-            cands.join(a, "id_a")
-            .join(b, "id_b")
-            .withColumn("jaccard", F.round(jac, 6))
-            .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard")
+        out = _ppjoin_verify(
+            pref, threshold, id_col, max_bucket_docs, truncation
         )
         out = out.localCheckpoint(eager=True)
     finally:
@@ -1050,46 +1069,83 @@ def minhash_portable_recall_audit(
         .persist()
     )
     try:
-        ex = sh.select(F.col(id_col), F.explode("sh").alias("s"))
-        # Hash each DISTINCT shingle once, then join the per-shingle
-        # hash row back to the (doc, shingle) instances: common
-        # shingles repeat ~10x across docs (measured 260k instances /
-        # 27k distinct at sf0.1), and the md5 -> hex substring ->
-        # conv(16,10) chain x num_hashes is the dominant per-row cost
-        # (~0.26s per chain over the instances at sf0.1), so hashing
-        # the vocabulary instead of the instances removes ~90% of the
-        # hash work. Identical hash values -> identical per-doc minima
-        # -> bit-identical signatures. SHUFFLE_HASH hint: measured
-        # in-session 1.70s vs 5.39s inline, vs 2.95s broadcast (the
-        # planner's unhinted pick built the INSTANCE side as a
-        # broadcast hash relation); shuffle-hash is also the
-        # scale-safe strategy — neither the vocabulary nor the
-        # instance table is ever broadcast or sorted.
-        hashed = ex.select("s").distinct().select(
-            "s",
-            *[
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat(F.lit(f"mh{i}|"), F.col("s"))),
-                        1,
-                        13,
-                    ),
-                    16,
-                    10,
-                ).cast("long").alias(f"h{i}")
-                for i in range(num_hashes)
-            ],
+        ex = sh.select(
+            F.col(id_col), F.size("sh").alias("n"), F.explode("sh").alias("s")
         )
-        sigs = (
-            ex.join(hashed.hint("shuffle_hash"), "s")
+        # ONE shingle dictionary serves BOTH sides of the audit: the
+        # per-shingle df counts + __sid labels the exact truth path
+        # needs (prefix_filter_near_dups' dfc) AND the 16 md5 minhash
+        # columns the lossy side needs. Hashing the DISTINCT shingles
+        # instead of the instances removes ~90% of the hash work
+        # (common shingles repeat ~10x: 260k instances / 27k distinct
+        # at sf0.1; the md5 -> hex substring -> conv(16,10) chain was
+        # ~0.26s per chain over the instances). The checkpoint pins
+        # the nondeterministic __sid labeling, exactly as in
+        # prefix_filter_near_dups.
+        dic = (
+            ex.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("dfs"))
+            .withColumn("__sid", F.monotonically_increasing_id())
+            .select(
+                "s",
+                "dfs",
+                "__sid",
+                *[
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"mh{i}|"), F.col("s"))),
+                            1,
+                            13,
+                        ),
+                        16,
+                        10,
+                    ).cast("long").alias(f"h{i}")
+                    for i in range(num_hashes)
+                ],
+            )
+            .localCheckpoint(eager=True)
+        )
+        # ONE instance join + ONE per-doc aggregate builds BOTH the
+        # prefix-filter tables (n, rarest-first sorted structs, __sid
+        # arrays) and the minhash signature (16 mins) — before the
+        # fusion the audit paid the dictionary aggregate, the instance
+        # join and the per-doc aggregate TWICE (once per side).
+        # SHUFFLE_HASH hint: measured in-session 1.70s vs 5.39s inline
+        # vs 2.95s broadcast for the hash join alone (the planner's
+        # unhinted pick built the INSTANCE side as the broadcast hash
+        # relation); it is also the scale-safe strategy — the
+        # vocabulary is never broadcast or sorted.
+        pref_plus = (
+            ex.join(dic.hint("shuffle_hash"), "s")
             .groupBy(id_col)
             .agg(
+                F.first("n").alias("n"),
+                F.array_sort(F.collect_list(F.struct("dfs", "s"))).alias(
+                    "sorted"
+                ),
+                F.collect_list("__sid").alias("__sids"),
                 *[
                     F.min(f"h{i}").alias(f"m{i}")
                     for i in range(num_hashes)
-                ]
+                ],
             )
+            .select(
+                F.col(id_col),
+                "n",
+                "__sids",
+                F.slice(
+                    "sorted",
+                    1,
+                    (F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1)
+                    .cast("int"),
+                ).alias("prefix"),
+                *[f"m{i}" for i in range(num_hashes)],
+            )
+            # consumers: banding explode, prefix explode, both verify
+            # sides
+            .persist()
         )
+        sigs = pref_plus
         rows = num_hashes // bands
         band_keys = [
             F.md5(
@@ -1127,8 +1183,13 @@ def minhash_portable_recall_audit(
         # array_intersect/union per candidate pair; the left join against
         # the distinct candidate set below is the same rows by identity).
         found = cands.select("id_a", "id_b", F.lit(1).alias("__found"))
-        truth = prefix_filter_near_dups(
-            df, threshold, shingle_n, text_col, id_col, shingles=sh
+        # truth over the SAME fused pref table (prefix/__sids columns)
+        # — the dictionary aggregate, instance join and per-doc
+        # aggregate prefix_filter_near_dups would re-run are already
+        # paid above; dfs counts and __sid relabeling are identical by
+        # construction, so the pairs are bit-identical.
+        truth = _ppjoin_verify(
+            pref_plus, threshold, id_col, None, None
         ).select("id_a", "id_b", "jaccard")
         report = (
             truth.join(found, ["id_a", "id_b"], "left")
@@ -1159,5 +1220,9 @@ def minhash_portable_recall_audit(
         )
         report = report.localCheckpoint(eager=True)
     finally:
+        try:
+            pref_plus.unpersist()
+        except NameError:
+            pass
         sh.unpersist()
     return report
