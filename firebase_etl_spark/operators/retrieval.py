@@ -111,40 +111,46 @@ def bm25_topk(
         )
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        # eager cut: the postings feed BOTH the term-level df/idf table
+        # and the scoring join; without it either consumer re-runs the
+        # corpus explode, and the old one-consumer answer (a
+        # term-partitioned count WINDOW) both re-shuffled and re-sorted
+        # every posting AND left the idf ln chains evaluated per
+        # POSTING. Postings are already query-term-pruned, so the
+        # materialization is the sliver the semi join keeps.
+        .localCheckpoint(eager=True)
     )
-    # df (docs containing the term) only matters for query terms, and tf
-    # is already restricted to them. A count over a term-partitioned
-    # window keeps the plan a LINEAR chain — a groupBy+join-back would
-    # make tf a two-consumer subplan and recompute the corpus explode
-    # (column pruning de-duplicates the exchanges, so ReusedExchange
-    # never fires). One small term-keyed exchange of the filtered
-    # postings instead of a second corpus pass.
-    tf = tf.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
-    )
-
-    # Robertson-Sparck-Jones idf ln(1 + (N - df + 0.5)/(df + 0.5)) =
-    # ln(2N + 2) - ln(2df + 1): two integer-argument PORTABLE libm-free
-    # lns (functions/portable_math.py), so both engines quantize the
-    # identical double (DSIR-class hardening)
-    tf = with_ln(tf, str(2 * n_docs + 2), "__lnidfn")
-    tf = with_ln(tf, "(2 * df + 1)", "__lnidfd")
+    # df (docs containing the term) per TERM — a vocabulary-sized
+    # aggregate — and the Robertson-Sparck-Jones idf
+    # ln(1 + (N - df + 0.5)/(df + 0.5)) = ln(2N + 2) - ln(2df + 1) as
+    # two integer-argument PORTABLE libm-free lns
+    # (functions/portable_math.py) evaluated ONCE PER TERM (measured
+    # ~2.1s per run at sf0.1 when they ran per posting), so both
+    # engines quantize the identical double (DSIR-class hardening).
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    df_tbl = with_ln(df_tbl, str(2 * n_docs + 2), "__lnidfn")
+    df_tbl = with_ln(df_tbl, "(2 * df + 1)", "__lnidfd")
     idf = F.col("__lnidfn") - F.col("__lnidfd")
     tfc = (
         F.col("tf")
         * (k1 + 1.0)
         / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl))
     )
+    # per-posting contribution BEFORE the probe join: c_e6 depends only
+    # on the posting, so computing it above the join evaluates it once
+    # per posting instead of once per (probe, posting) pair — same
+    # expression tree, same IEEE order, identical replicated values
+    contrib = tf.join(F.broadcast(df_tbl), "term").select(
+        "doc_id",
+        "term",
+        F.round(idf * tfc * 1000000.0 + 1e-9, 0)
+        .cast("long")
+        .alias("c_e6"),
+    )
     scored = (
-        tf.join(F.broadcast(qt), "term")
+        contrib.join(F.broadcast(qt), "term")
         .filter(F.col("doc_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "doc_id",
-            F.round(idf * tfc * 1000000.0 + 1e-9, 0)
-            .cast("long")
-            .alias("c_e6"),
-        )
+        .select("query_id", "doc_id", "c_e6")
     )
     pair = scored.groupBy("query_id", "doc_id").agg(
         F.count(F.lit(1)).alias("n_terms"),
