@@ -87,12 +87,23 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, "documents", sf_dir)
     toks = d.select("doc_id", F.explode(TX.tokenize("text")).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # eager cut: tf feeds both the df aggregate and the scoring join —
+    # without it the corpus explode + tf aggregate run twice (column
+    # pruning makes the two subplans differ, so ReusedExchange never
+    # fires). The idf ln chains then live on the VOCABULARY-sized df
+    # table (once per term) instead of once per posting — ln(n_docs+1)
+    # rode a broadcast scalar, so it was never constant-folded either.
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
-    base = tf.join(df_, "term").crossJoin(F.broadcast(n_docs))
-    base = with_ln(base, "(n_docs + 1)", "__lnn")
-    base = with_ln(base, "(df + 1)", "__lndf")
+    df_ = df_.crossJoin(F.broadcast(n_docs))
+    df_ = with_ln(df_, "(n_docs + 1)", "__lnn")
+    df_ = with_ln(df_, "(df + 1)", "__lndf")
+    base = tf.join(df_, "term")
     scored = base.withColumn(
         "tfidf",
         F.round(
