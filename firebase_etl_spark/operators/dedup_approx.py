@@ -139,22 +139,14 @@ def jaccard_vs_queries(
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def minhash_signatures(
-    df: DataFrame,
-    num_hashes: int = 32,
-    shingle_n: int = 2,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """Per-doc MinHash signature: sig[i] = min over shingles of
-    xxhash64(shingle, seed_i). Pure Column expressions — the per-seed hash is
-    xxhash64 of the shingle concatenated with the seed."""
-    # Textbook construction: ONE base hash per shingle (JVM xxhash64), then
-    # num_hashes affine mixes a_i*h + b_i of that base hash, min per seed.
-    # The mix runs vectorized in a pandas_udf — as Column expressions it
-    # would be num_hashes interpreted array folds (higher-order functions
-    # don't codegen), and ANSI mode forbids the wrapping multiply anyway
-    # (numpy uint64 wraps, which is exactly what hash mixing wants).
+def _sig_udf(num_hashes: int):
+    """Vectorized MinHash mixer: sig[i] = min over base hashes of the
+    affine mix a_i*h + b_i (uint64 wrap). Textbook construction: ONE
+    base hash per shingle (JVM xxhash64), then num_hashes mixes in a
+    pandas_udf — as Column expressions it would be num_hashes
+    interpreted array folds (higher-order functions don't codegen), and
+    ANSI mode forbids the wrapping multiply anyway (numpy uint64 wraps,
+    which is exactly what hash mixing wants)."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -173,6 +165,21 @@ def minhash_signatures(
             mixed = a[:, None] * hv[None, :] + b[:, None]  # (seeds, shingles)
             out.append((mixed.min(axis=1) >> np.uint64(1)).astype(np.int64))
         return pd.Series(out)
+
+    return sig
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 32,
+    shingle_n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc MinHash signature: sig[i] = min over shingles of
+    xxhash64(shingle, seed_i). Pure Column expressions — the per-seed hash is
+    xxhash64 of the shingle concatenated with the seed."""
+    sig = _sig_udf(num_hashes)
 
     # two-projection tokenizer split (see word_shingles_of_tokens): the
     # shingle tree references the token array shingle_n+1 times
@@ -249,8 +256,12 @@ def minhash_near_dups(
     the banded self-join and the two verify joins would otherwise recompute
     the (wide) hashing expression tree once per branch. At cluster scale the
     same applies — materialize signatures (persist or a table) and join the
-    cheap side back."""
-    sigs = minhash_signatures(df, num_hashes, shingle_n, text_col, id_col).persist()
+    cheap side back.
+
+    The signatures DERIVE from the persisted shingle table (one
+    tokenize + shingle pass total): sig() consumes the xxhash64
+    transform of exactly the arrays the verify side compares, the same
+    expression minhash_signatures builds from scratch."""
     sh = (
         df.select(F.col(id_col), tokenize(text_col).alias("__t"))
         .select(
@@ -259,6 +270,12 @@ def minhash_near_dups(
         )
         .persist()
     )
+    sigs = sh.select(
+        F.col(id_col),
+        _sig_udf(num_hashes)(
+            F.transform("sh", lambda s: F.xxhash64(s))
+        ).alias("signature"),
+    ).persist()
     try:
         # count() materializes the persist and sizes the banded self-join:
         # bands x n_docs build rows at ~16 B broadcast comfortably up to
