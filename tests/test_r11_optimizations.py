@@ -132,3 +132,184 @@ def test_dictionary_id_arrays_preserve_intersect_sizes(spark):
         F.size(F.array_union("a.ids", "b.ids")).alias("u"),
     )
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_sig_from_shingle_table_matches_minhash_signatures(spark):
+    """Signatures derived from the verify shingle table (the one
+    tokenize+shingle pass in minhash_near_dups) equal the ones
+    minhash_signatures builds from scratch."""
+    from firebase_etl_spark.operators.dedup_approx import (
+        _sig_udf,
+        minhash_signatures,
+    )
+    from firebase_etl_spark.operators.text import (
+        tokenize,
+        word_shingles_of_tokens,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb cc dd ee"),
+            (2, "aa bb cc dd ff"),
+            (3, "zz yy"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    ref = {
+        r["doc_id"]: list(r["signature"])
+        for r in minhash_signatures(docs, 32, 2).collect()
+    }
+    sh = docs.select("doc_id", tokenize("text").alias("__t")).select(
+        "doc_id", word_shingles_of_tokens(F.col("__t"), 2).alias("sh")
+    )
+    got = {
+        r["doc_id"]: list(r["signature"])
+        for r in sh.select(
+            "doc_id",
+            _sig_udf(32)(
+                F.transform("sh", lambda s: F.xxhash64(s))
+            ).alias("signature"),
+        ).collect()
+    }
+    assert got == ref
+
+
+def test_simhash_portable_dictionary_matches_inline_chain(spark):
+    """The vocabulary-dictionary md5 hash (one chain per DISTINCT token)
+    reproduces the per-instance-chain fingerprints bit-for-bit."""
+    from firebase_etl_spark.operators.dedup_approx import simhash_portable
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, "the quick brown fox jumps"),
+            (3, "lorem ipsum dolor"),
+            (4, "the the the"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["simhash"] for r in simhash_portable(docs).collect()
+    }
+    # reference: the old inline shape — md5 chain per token instance
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        ).alias("__tok"),
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("__tok"), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("__h"),
+    )
+    h = F.col("__h")
+    sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"__b{i}")
+            for i in range(60)
+        ]
+    )
+    fp = None
+    for i in range(60):
+        term = F.when(F.col(f"__b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        fp = term if fp is None else fp.bitwiseOR(term)
+    ref = {
+        r["doc_id"]: r["simhash"]
+        for r in sums.select(
+            "doc_id", fp.cast("long").alias("simhash")
+        ).collect()
+    }
+    assert got == ref
+
+
+def test_bm25_per_term_idf_matches_per_posting_window(spark):
+    """BM25 scores from the term-level df table + per-posting c_e6 equal
+    the old window-df + per-pair expression form."""
+    from pyspark.sql import Window
+
+    from firebase_etl_spark.functions.portable_math import with_ln
+    from firebase_etl_spark.operators.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana cherry apple"),
+            (2, "banana cherry date"),
+            (3, "apple apple banana"),
+            (4, "cherry date elderberry fig"),
+            (5, "apple fig"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["query_id"], r["doc_id"]): (r["score"], r["rank"])
+        for r in bm25_topk(docs, [1, 4], k=3).collect()
+    }
+    # reference: the old shape — df via term window, lns per posting,
+    # c_e6 after the probe join
+    from firebase_etl_spark.operators.text import tokenize
+
+    k1, b = 1.2, 0.75
+    base = docs.select("doc_id", tokenize("text").alias("toks"))
+    toks = base.select(
+        "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.size("toks")).alias("tdl")
+    ).collect()[0]
+    n_docs = int(tot["n"])
+    avgdl = F.lit(int(tot["tdl"]) / n_docs)
+    qt = (
+        toks.filter(F.col("doc_id").isin([1, 4]))
+        .select(F.col("doc_id").alias("query_id"), "term")
+        .distinct()
+    )
+    tf = (
+        toks.join(F.broadcast(qt.select("term").distinct()), "term", "semi")
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
+    )
+    tf = with_ln(tf, str(2 * n_docs + 2), "__lnidfn")
+    tf = with_ln(tf, "(2 * df + 1)", "__lnidfd")
+    idf = F.col("__lnidfn") - F.col("__lnidfd")
+    tfc = (
+        F.col("tf")
+        * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl))
+    )
+    scored = (
+        tf.join(F.broadcast(qt), "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(idf * tfc * 1000000.0 + 1e-9, 0)
+            .cast("long")
+            .alias("c_e6"),
+        )
+    )
+    pair = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("c_e6").alias("score_e6")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_e6"), "doc_id"
+    )
+    ref = {
+        (r["query_id"], r["doc_id"]): (r["score"], r["rank"])
+        for r in pair.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id",
+            "doc_id",
+            (F.col("score_e6") / 1000000.0).alias("score"),
+            "rank",
+        )
+        .collect()
+    }
+    assert got == ref
