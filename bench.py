@@ -35,6 +35,29 @@ CANARY_REF_SF01 = {
     "order_point_lookup": 0.1374,
 }
 
+#: IO-side drift canary (VERDICT r11 #2): the three CPU canaries above
+#: are tiny-plan CPU-bound queries and demonstrably do NOT track the
+#: host's IO-side window swings (r11: untouched queries inflated 40-65%
+#: while drift_factor read 1.17). This canary is a full-width scan of
+#: the largest input (lineitem, every column forced via the noop sink —
+#: decompress + decode bound, no shuffle), timed OUTSIDE the query
+#: timings three times across the run; the emitted ``drift_factor_io``
+#: = median(now) / ref. Reference measured at r12's canonical window
+#: (min-of-3 at 32 cores, sf0.1) — so r12 itself reads ~1.0 by
+#: construction and the factor becomes informative cross-window/round.
+IO_CANARY_REF_SF01 = 0.42
+
+
+def _io_canary_sec(spark) -> float:
+    """One full-column scan of lineitem through the noop sink (guide
+    §1.4: computes every column of every row, discards the result)."""
+    t0 = time.perf_counter()
+    (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .write.format("noop").mode("overwrite").save()
+    )
+    return time.perf_counter() - t0
+
 
 def _release_session_state(spark) -> None:
     """Drain accumulated session state between measurement blocks.
@@ -93,6 +116,7 @@ def main() -> None:
     # was observed at 62s once); min-of-passes measures the engine, not the
     # stall lottery, while staying honest per query.
     timings: dict[str, float] = {}
+    io_canary: list[float] = [_io_canary_sec(spark)]
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
 
     def _emit_compact() -> None:
@@ -118,6 +142,7 @@ def main() -> None:
         # host-drift factor from the canary queries (sf0.1 refs only
         # apply at sf0.1; other SFs report null rather than a bogus one)
         drift = None
+        drift_io = None
         if abs(float(sf) - 0.1) < 1e-9:
             ratios = sorted(
                 timings[q] / ref
@@ -126,6 +151,9 @@ def main() -> None:
             )
             if ratios:
                 drift = round(ratios[len(ratios) // 2], 3)
+            if io_canary:
+                med_io = sorted(io_canary)[len(io_canary) // 2]
+                drift_io = round(med_io / IO_CANARY_REF_SF01, 3)
         if not only:
             full = {
                 "metric": "total_query_wall_time",
@@ -144,6 +172,8 @@ def main() -> None:
                 # can't be read as marginal cost (VERDICT r5 #6)
                 "batch_total_sec": batch_total,
                 "stream_total_sec": stream_total,
+                "drift_factor_io": drift_io,
+                "io_canary_secs": [round(v, 3) for v in io_canary],
             }
             with open(
                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -164,6 +194,8 @@ def main() -> None:
                     "batch_total_sec": batch_total,
                     "stream_total_sec": stream_total,
                     "drift_factor": drift,
+                    "drift_factor_io": drift_io,
+                    "io_canary_secs": [round(v, 3) for v in io_canary],
                     "queries": {k: round(v, 3) for k, v in top.items()},
                     "subset": bool(only) or None,
                     "full_record": None if only else "BENCH_FULL.json",
@@ -192,6 +224,7 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
         _release_session_state(spark)
 
+    io_canary.append(_io_canary_sec(spark))
     for _ in range(2):
         for name, fn in queries.items():
             if name.startswith("stream_"):
@@ -213,6 +246,8 @@ def main() -> None:
         # valid COMPACT result (pass-1 timings) that fits the driver's
         # 2000-char tail — the full line only goes to BENCH_FULL.json,
         # never stdout, so the tail can't end in a truncated record
+        io_canary.append(_io_canary_sec(spark))
+        _release_session_state(spark)
         _emit_compact()
     spark.stop()
 

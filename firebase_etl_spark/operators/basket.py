@@ -22,8 +22,9 @@ Scale shape:
 - **Pair generation is per-basket quadratic**: C(b, 2) struct rows per
   basket, materialized map-side only. TPC-H baskets hold <= 7 lines;
   for heavy-tailed corpora pass ``max_basket_size`` to drop degenerate
-  mega-baskets (the standard market-basket guard, now a cheap
-  ``size(items)`` filter) — a documented, opt-in truncation.
+  mega-baskets (the standard market-basket guard, enforced BEFORE the
+  array build via a count-distinct semi join so no mega-basket array
+  is ever materialized) — a documented, opt-in truncation.
 - **Counts are map-side combinable**; the final top-k is a global
   orderBy + limit (TakeOrderedAndProject, no global window).
 
@@ -50,22 +51,43 @@ _PAIR_EXPR = (
 
 
 def _basket_item_arrays(
-    df: DataFrame, basket_col: str, item_col: str
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    max_basket_size: int | None = None,
 ) -> DataFrame:
     """(bk, items): each basket's DISTINCT items as an ascending array.
     ONE map-side-combinable aggregate replaces the old
     ``.distinct()`` + per-basket self-join prelude; ``collect_set``
     dedupes (basket, item) exactly like the distinct did, and
     ``array_sort`` makes i < j pair emission equal the old
-    ``a.it < z.it`` join predicate."""
+    ``a.it < z.it`` join predicate.
+
+    ``max_basket_size`` drops baskets with more DISTINCT items than the
+    cap BEFORE the array build: the cap is enforced with a per-basket
+    ``count_distinct`` (two-phase hash aggregate — one row per
+    (basket, item), never an array buffer) + a semi join, so a single
+    degenerate mega-basket (a default key, a null-ish id) can never
+    materialize its full item array in one ``collect_set`` aggregation
+    buffer. ``count_distinct(it) <= cap`` is exactly the old
+    post-build ``size(items) <= cap`` predicate (collect_set dedupes
+    the same pairs), so the surviving baskets — and their arrays — are
+    identical."""
+    src = df.select(
+        F.col(basket_col).alias("bk"), F.col(item_col).alias("it")
+    ).filter(
+        F.col(basket_col).isNotNull() & F.col(item_col).isNotNull()
+    )
+    if max_basket_size is not None:
+        ok = (
+            src.groupBy("bk")
+            .agg(F.count_distinct("it").alias("__nd"))
+            .filter(F.col("__nd") <= max_basket_size)
+            .select("bk")
+        )
+        src = src.join(ok, "bk", "semi")
     return (
-        df.select(
-            F.col(basket_col).alias("bk"), F.col(item_col).alias("it")
-        )
-        .filter(
-            F.col(basket_col).isNotNull() & F.col(item_col).isNotNull()
-        )
-        .groupBy("bk")
+        src.groupBy("bk")
         .agg(F.array_sort(F.collect_set("it")).alias("items"))
     )
 
@@ -94,9 +116,9 @@ def frequent_pairs(
     ordered by (pair_count DESC, p1, p2). support = pair_count /
     n_baskets; lift = support / (support(p1) * support(p2)) — lift > 1
     means the items co-occur more than independence predicts."""
-    b = _basket_item_arrays(df, basket_col, item_col)
-    if max_basket_size is not None:
-        b = b.filter(F.size("items") <= max_basket_size)
+    b = _basket_item_arrays(
+        df, basket_col, item_col, max_basket_size=max_basket_size
+    )
     # the basket arrays feed the basket count, the item counts AND the
     # pair emission — persist, materialize the bounded top-k, release
     # (the ann_topk_lsh persist pattern)

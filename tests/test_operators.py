@@ -1845,6 +1845,39 @@ def as_pair_count(rows, p1, p2):
     return next(r["pair_count"] for r in rows if r["p1"] == p1 and r["p2"] == p2)
 
 
+def test_frequent_pairs_guard_caps_distinct_items_before_array_build(spark):
+    """The mega-basket cap counts DISTINCT items (duplicate rows don't
+    trip it — collect_set deduped them under the old post-build filter
+    too), and it is enforced BEFORE collect_set: the basket-array
+    aggregate's input is semi-join-pruned, so a degenerate basket never
+    materializes its array in an aggregation buffer (VERDICT r11 #3)."""
+    from firebase_etl_spark.operators.basket import (
+        _basket_item_arrays,
+        frequent_pairs,
+    )
+
+    rows = (
+        [(1, i % 3) for i in range(30)]   # 30 rows, 3 DISTINCT: kept
+        + [(2, i) for i in range(9)]      # 9 distinct: dropped at cap 5
+        + [(3, 0), (3, 1), (4, 0), (4, 1)]
+    )
+    df = spark.createDataFrame(rows, "ok long, pk long")
+    got = frequent_pairs(
+        df, "ok", "pk", min_support=2, top=10, max_basket_size=5
+    ).collect()
+    # basket 1 survives (3 distinct <= 5) and pairs with baskets 3/4
+    assert as_pair_count(got, 0, 1) == 3
+    assert all({r["p1"], r["p2"]} <= {0, 1, 2} for r in got)
+    # guard placement: the semi join sits BELOW the collect_set
+    # aggregate (prune first, then build arrays)
+    plan = _basket_item_arrays(
+        df, "ok", "pk", max_basket_size=5
+    )._jdf.queryExecution().executedPlan().toString()
+    semi_at = plan.find("LeftSemi")
+    agg_at = plan.find("collect_set")
+    assert semi_at != -1 and agg_at != -1 and agg_at < semi_at  # deeper = later in toString
+
+
 def test_triangle_stats_known_graph(spark):
     """K4 plus a pendant: 4 triangles, 15 wedges, clustering 0.8;
     duplicate and reversed edge rows collapse; self-loops drop."""

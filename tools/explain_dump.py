@@ -1,12 +1,19 @@
-"""Dump `explain('formatted')` for named queries into plans/r11/.
+"""Dump `explain('formatted')` for named queries into plans/<round>/.
 
 Usage:
-    python tools/explain_dump.py <suffix> <query> [<query> ...] [--sf <dir>]
+    python tools/explain_dump.py <suffix> <query> [<query> ...]
+        [--sf <dir>] [--round r12]
 
-Writes plans/r11/<query>_<suffix>.txt for each query (suffix is
-`before` / `after` per the optimization-round deliverable). Queries that
-eagerly materialize internally (localCheckpoint) show their FINAL-stage
-plan, same convention as tools/plan_audit.py.
+Writes plans/<round>/<query>_<suffix>.txt for each query (suffix is
+`before` / `after` per the optimization-round deliverable).
+
+Queries that eagerly materialize internally (localCheckpoint) used to
+show ONLY their final-stage plan — a 10-line `Scan ExistingRDD` stub
+that hides every Exchange the optimization claims touch (VERDICT r11
+item 7). This tool now intercepts ``DataFrame.localCheckpoint`` during
+query construction and records each checkpointed stage's OWN formatted
+plan, so the dump shows every pre-checkpoint stage followed by the
+final plan.
 """
 
 from __future__ import annotations
@@ -20,34 +27,74 @@ import __spark_entry__ as entrymod  # noqa: E402
 from firebase_etl_spark.session import get_spark  # noqa: E402
 
 
+def _fmt(spark, df) -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
 def main() -> None:
     args = sys.argv[1:]
     sf_dir = "/root/testdata/sf0.01"
+    round_dir = "r12"
     if "--sf" in args:
         i = args.index("--sf")
         sf_dir = args[i + 1]
+        del args[i : i + 2]
+    if "--round" in args:
+        i = args.index("--round")
+        round_dir = args[i + 1]
         del args[i : i + 2]
     suffix, names = args[0], args[1:]
     dest_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r11",
+        round_dir,
     )
     os.makedirs(dest_dir, exist_ok=True)
     spark = get_spark(app_name="explain_dump")
     qs = entrymod.queries()
+
+    from pyspark.sql import DataFrame
+
+    real_ckpt = DataFrame.localCheckpoint
+    stages: list[str] = []
+
+    def recording_ckpt(self, eager=True):
+        # capture the stage's plan BEFORE the checkpoint replaces it
+        # with a Scan ExistingRDD stub
+        try:
+            stages.append(_fmt(spark, self))
+        except Exception as exc:  # plan printing must never break the query
+            stages.append(f"<explain failed: {exc}>")
+        return real_ckpt(self, eager=eager)
+
     for name in names:
-        df = qs[name](spark, sf_dir)
-        s = df._jdf.queryExecution().explainString(
-            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-                "formatted"
-            )
-        )
+        stages.clear()
+        DataFrame.localCheckpoint = recording_ckpt
+        try:
+            df = qs[name](spark, sf_dir)
+        finally:
+            DataFrame.localCheckpoint = real_ckpt
+        final = _fmt(spark, df)
         path = os.path.join(dest_dir, f"{name}_{suffix}.txt")
         with open(path, "w", encoding="utf-8") as fh:
-            fh.write(f"# {name} — explain('formatted') at {sf_dir}\n\n")
-            fh.write(s)
-        print(f"wrote {path}")
+            fh.write(f"# {name} — explain('formatted') at {sf_dir}\n")
+            fh.write(
+                f"# {len(stages)} checkpointed stage(s) + final plan\n\n"
+            )
+            for i, s in enumerate(stages, 1):
+                fh.write(
+                    f"## stage {i}/{len(stages)} "
+                    f"(plan materialized by localCheckpoint)\n\n"
+                )
+                fh.write(s)
+                fh.write("\n")
+            fh.write("## final plan\n\n")
+            fh.write(final)
+        print(f"wrote {path} ({len(stages)} ckpt stages)")
         spark.catalog.clearCache()
     spark.stop()
 
