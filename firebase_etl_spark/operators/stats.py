@@ -1718,7 +1718,8 @@ def winsorized_stats(
     # the separate count aggregate this used to run is gone. cuts are
     # group-count-sized → checkpointed + broadcast.
     ranked = with_grouped_rank(
-        base, "g", ["v", "k"], "r", total_out="n"
+        base, "g", ["v", "k"], "r", total_out="n",
+        materialize_input=False,  # input is a projected parquet scan
     ).persist()
     ranked2 = ranked.withColumn(
         "r_lo",
@@ -1826,7 +1827,10 @@ def conformal_interval_report(
     # would put each group's whole slice on ONE task (VERDICT r10 #2);
     # per-group n rides the helper's broadcast offset map (total_out),
     # replacing the max-rank aggregate each read used to run
-    tr_ranked = with_grouped_rank(train, "g", ["v", "k"], "r", total_out="n")
+    tr_ranked = with_grouped_rank(
+        train, "g", ["v", "k"], "r", total_out="n",
+        materialize_input=False,  # train is a filter of the persisted base
+    )
     tr = (
         tr_ranked
         .groupBy("g")
@@ -1845,7 +1849,10 @@ def conformal_interval_report(
     )
     q_rank = f"least((({100 - alpha_pct}) * (n + 1) + 99) DIV 100, n)"
     ca_ranked = with_grouped_rank(
-        ca, "g", ["resid", "k"], "r", total_out="n"
+        ca, "g", ["resid", "k"], "r", total_out="n",
+        # calib is a filter of the persisted base + a broadcast join on
+        # the checkpointed tr — cheap to re-derive for the sampling job
+        materialize_input=False,
     )
     qs = (
         ca_ranked
@@ -2691,29 +2698,37 @@ def quantile_normalization_map(
         f" THEN i END), x -> x IS NOT NULL)"
     )
 
-    def quantiles(frame, part_cols):
-        if part_cols:
-            # grouped level: two-phase grouped rank (a
-            # Window.partitionBy(g) would sort each group's whole
-            # slice on one of k tasks — the low-k class the scale
-            # lint flags); per-group n rides the helper's offset map
-            ranked = with_grouped_rank(
-                frame, part_cols[0], ["v", "k"], "r", total_out="n"
-            )
-        else:
-            # pooled level: scale-safe two-phase global rank; the
-            # total rides the offset map instead of a count aggregate
-            # that re-scanned the input
-            ranked = with_global_rank(
-                frame, [F.asc("v"), F.asc("k")], "r", total_out="n"
-            )
-        return ranked.select(
-            *part_cols, F.col("v").alias("qv"),
-            F.explode(F.expr(hit)).alias("q_idx"),
+    # BOTH levels (per-group AND pooled) rank through ONE two-phase
+    # helper call (VERDICT r11 #5 job-floor fusion): the pooled level
+    # is just one more "group" — a tagged union ('g:<g>' rows next to
+    # one 'p:' copy of every row) ranks per tag in a single range
+    # shuffle + a single offset collect, where the two separate helper
+    # calls paid the eager sampling/materialize/collect jobs twice.
+    # Per-tag ranks are identical to the split form: each tag is its
+    # own group, the (v, k) order is unchanged, and total_out="n"
+    # yields the per-group n for 'g:' tags and the grand total for
+    # 'p:'. The original (typed) g value rides as payload; 'p:' rows
+    # carry NULL there and never read it.
+    tagged = base.select(
+        F.concat(F.lit("g:"), F.col("g").cast("string")).alias("gt"),
+        "g", "v", "k",
+    ).unionAll(
+        base.select(
+            F.lit("p:").alias("gt"),
+            F.lit(None).cast(base.schema["g"].dataType).alias("g"),
+            "v", "k",
         )
-
-    src = quantiles(base, ["g"])
-    pooled = quantiles(base, []).select(
+    )
+    ranked = with_grouped_rank(
+        tagged, "gt", ["v", "k"], "r", total_out="n",
+        materialize_input=False,  # input is a cheap tagged projection
+    )
+    hits = ranked.select(
+        "gt", "g", F.col("v").alias("qv"),
+        F.explode(F.expr(hit)).alias("q_idx"),
+    )
+    src = hits.filter(F.col("gt") != "p:").select("g", "qv", "q_idx")
+    pooled = hits.filter(F.col("gt") == "p:").select(
         "q_idx", F.col("qv").alias("pooled_q_cents")
     )
     return (
@@ -2900,7 +2915,17 @@ def with_global_rank(
     ``total_out`` additionally attaches the TOTAL row count as a
     constant column — FREE (the offset loop already accumulates it),
     where a caller's separate count aggregate would re-scan the
-    input."""
+    input.
+
+    Job shape (r12): the ranked frame is ``persist``-ed and the offset
+    collect is the job that MATERIALIZES it — one job where the old
+    eager localCheckpoint + separate collect paid two (§2.4 job-floor
+    fusion; these helpers run eagerly inside ~10 bench queries). The
+    pinned partitioning the checkpoint provided is preserved: the
+    offsets and every consumer read the SAME cached partitions, and a
+    (cluster-only) cache-loss recompute is deterministic — the range
+    partitioner object holds its sampled boundaries, and ``order_cols``
+    form a total order, so re-derived ``__pid``/``__lr`` are identical."""
     spark = df.sparkSession
     n = _shuffle_partitions(spark)
     d = (
@@ -2912,7 +2937,7 @@ def with_global_rank(
                 Window.partitionBy("__pid").orderBy(*order_cols)
             ),
         )
-        .localCheckpoint(eager=True)
+        .persist()
     )
     cnts = sorted(
         (int(r["__pid"]), int(r["c"]))
@@ -2944,7 +2969,7 @@ def with_global_rank(
 
 def with_prefix_sum(
     df, order_cols, value_col: str, out: str = "cum",
-    total_out: str | None = None,
+    total_out: str | None = None, materialize_input: bool = True,
 ) -> DataFrame:
     """Scale-safe EXACT inclusive running sum of ``value_col`` in the
     total order given by ``order_cols`` — the two-phase sibling of
@@ -2969,11 +2994,20 @@ def with_prefix_sum(
     corpus scan + aggregate a second time.
 
     NOTE: unlike a pure plan transform, this helper runs Spark jobs
-    EAGERLY at DataFrame-construction time (the localCheckpoint
-    materializations + the bounded offset collect)."""
+    EAGERLY at DataFrame-construction time (the input materialization
+    + the bounded offset collect, which also materializes the summed
+    frame's cache — see with_global_rank's job-shape note).
+
+    ``materialize_input=False`` skips the input localCheckpoint for
+    callers whose input is already materialized (checkpointed /
+    persisted) or is a cheap deterministic scan: the range-boundary
+    sampling job and the shuffle then each re-read that input, which
+    costs less than a full eager materialization job when the input is
+    a sliver or already pinned."""
     spark = df.sparkSession
     n = _shuffle_partitions(spark)
-    df = df.localCheckpoint(eager=True)
+    if materialize_input:
+        df = df.localCheckpoint(eager=True)
     d = (
         df.repartitionByRange(n, *order_cols)
         .withColumn("__pid", F.spark_partition_id())
@@ -2985,7 +3019,7 @@ def with_prefix_sum(
                 .rowsBetween(Window.unboundedPreceding, Window.currentRow)
             ).cast("long"),
         )
-        .localCheckpoint(eager=True)
+        .persist()
     )
     sums = sorted(
         (int(r["__pid"]), int(r["c"]))
@@ -4058,7 +4092,8 @@ def runs_test_report(
 
 
 def with_grouped_prefix_sum(
-    df, group_col: str, order_cols, value_col, out="cum", total_out=None
+    df, group_col: str, order_cols, value_col, out="cum", total_out=None,
+    materialize_input: bool = True,
 ) -> DataFrame:
     """PER-GROUP scale-safe EXACT inclusive running sum of
     ``value_col`` in the total order given by ``order_cols`` within
@@ -4084,9 +4119,12 @@ def with_grouped_prefix_sum(
     broadcast offset map instead of costing callers a separate
     aggregate job (the per-group n = max-rank pattern).
 
-    NOTE: like with_prefix_sum, construction is EAGER (checkpoint
-    materializations + the bounded offset collect run as Spark jobs
-    before this function returns)."""
+    NOTE: like with_prefix_sum, construction is EAGER (the input
+    materialization + the bounded offset collect run as Spark jobs
+    before this function returns; the collect job also materializes
+    the summed frame's cache — one job where the old eager
+    localCheckpoint + separate collect paid two). See with_prefix_sum
+    for the ``materialize_input=False`` contract."""
     vcols = [value_col] if isinstance(value_col, str) else list(value_col)
     outs = [out] if isinstance(out, str) else list(out)
     if len(vcols) != len(outs):
@@ -4101,7 +4139,8 @@ def with_grouped_prefix_sum(
         raise ValueError("total_out must be None, a str, or parallel to out")
     spark = df.sparkSession
     n = _shuffle_partitions(spark)
-    df = df.localCheckpoint(eager=True)
+    if materialize_input:
+        df = df.localCheckpoint(eager=True)
     wspec = (
         Window.partitionBy(group_col, "__pid")
         .orderBy(*order_cols)
@@ -4113,7 +4152,7 @@ def with_grouped_prefix_sum(
     for v, o in zip(vcols, outs):
         # same window spec for every column -> ONE WindowExec
         d = d.withColumn(f"__ls_{o}", F.sum(v).over(wspec).cast("long"))
-    d = d.localCheckpoint(eager=True)
+    d = d.persist()
     sums = sorted(
         (
             (str(r[group_col]), int(r["__pid"]),
@@ -4157,7 +4196,8 @@ def with_grouped_prefix_sum(
 
 
 def with_grouped_rank(
-    df, group_col: str, order_cols, out: str = "r", total_out=None
+    df, group_col: str, order_cols, out: str = "r", total_out=None,
+    materialize_input: bool = True,
 ) -> DataFrame:
     """PER-GROUP scale-safe EXACT row numbering in the total order
     given by ``order_cols`` within each ``group_col`` value — the rank
@@ -4179,7 +4219,7 @@ def with_grouped_rank(
     EAGER like its siblings (checkpoints + offset collect run now)."""
     return with_grouped_prefix_sum(
         df.withColumn("__one", F.lit(1)), group_col, order_cols, "__one",
-        out, total_out=total_out,
+        out, total_out=total_out, materialize_input=materialize_input,
     ).drop("__one")
 
 
@@ -4258,7 +4298,10 @@ def jonckheere_trend_report(
         .agg(F.count(F.lit(1)).cast("long").alias("t"))
         .localCheckpoint(eager=True)  # group x codomain sized; 4 consumers
     )
-    groups = hist.select("g").distinct().localCheckpoint(eager=True)
+    # groups stays LAZY: it broadcasts into the grid crossJoin and the
+    # distinct re-derives from the checkpointed hist in each consumer —
+    # cheaper than its old eager checkpoint job (group-count rows)
+    groups = hist.select("g").distinct()
     spine = hist.select("s").distinct()
     grid = (
         spine.crossJoin(F.broadcast(groups))
@@ -4271,7 +4314,8 @@ def jonckheere_trend_report(
     # ONE task per group — the constant-parallelism shape the scale
     # lint cannot see (the partition spec is non-empty)
     cum = with_grouped_prefix_sum(
-        grid, "g", [F.col("s")], "t", out="ci"
+        grid, "g", [F.col("s")], "t", out="ci",
+        materialize_input=False,  # grid derives from the checkpointed hist
     ).select(
         "g", "s", "t",
         (F.col("ci") - F.col("t")).cast("long").alias("cb"),

@@ -764,6 +764,7 @@ def ks_drift_report(
         with_grouped_prefix_sum(
             hist, "g", ["v"], ["d1", "d2"], ["c1", "c2"],
             total_out=["n1", "n2"],
+            materialize_input=False,  # hist is already checkpointed
         )
         .withColumn(
             "gap", F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))

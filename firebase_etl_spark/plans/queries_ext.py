@@ -621,7 +621,8 @@ def documents_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-language n_total rides the grouped-rank helper's broadcast
     # offset map (total_out) — no separate max-rank aggregate
     ranked = with_grouped_rank(
-        keyed, "lang", ["__h", "doc_id"], "rn", total_out="n_total"
+        keyed, "lang", ["__h", "doc_id"], "rn", total_out="n_total",
+        materialize_input=False,  # keyed is a projected documents scan
     )
     # round before ceil: rate*n in float64 can land epsilon above an exact
     # integer (0.1*1000 -> 100.0000…01) and ceil would admit one extra doc
@@ -2311,7 +2312,10 @@ def documents_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame
     keyed = d.select(
         "doc_id", "lang", F.md5(F.col("doc_id").cast("string")).alias("__h")
     )
-    ranked = with_grouped_rank(keyed, "lang", ["__h", "doc_id"], "rn")
+    ranked = with_grouped_rank(
+        keyed, "lang", ["__h", "doc_id"], "rn",
+        materialize_input=False,  # keyed is a projected documents scan
+    )
     sampled = ranked.join(F.broadcast(quotas), "lang").filter(
         F.col("rn") <= F.col("quota")
     )
@@ -8011,7 +8015,10 @@ def orders_qq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # per-year n rides the grouped-rank helper's broadcast offset map
     # (total_out) — no separate max-rank aggregate
-    ranked = with_grouped_rank(base, "g", ["v", "k"], "r", total_out="n")
+    ranked = with_grouped_rank(
+        base, "g", ["v", "k"], "r", total_out="n",
+        materialize_input=False,  # base is a projected orders scan
+    )
     hit = (
         "filter(transform(sequence(1, 9), i -> CASE WHEN"
         " r = greatest((i * n + 9) DIV 10, 1) THEN i END),"
