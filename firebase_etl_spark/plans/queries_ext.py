@@ -5844,56 +5844,59 @@ def documents_curation_v2(
     )
     sh_tbl = base.filter(F.size("sh") > 0).select("doc_id", "sh")
     trunc: dict = {}
-    contained = (
-        containment_near_dups(
-            corpus,
-            threshold=0.8,
-            shingle_n=3,
-            max_bucket_docs=max_bucket_docs,
-            truncation=trunc,
-            shingles=sh_tbl,
+    try:
+        contained = (
+            containment_near_dups(
+                corpus,
+                threshold=0.8,
+                shingle_n=3,
+                max_bucket_docs=max_bucket_docs,
+                truncation=trunc,
+                shingles=sh_tbl,
+            )
+            .select(F.col("id_a").alias("doc_id"))
+            .distinct()
         )
-        .select(F.col("id_a").alias("doc_id"))
-        .distinct()
-    )
-    trunc_dropped = int(trunc.get("postings_dropped", 0))
-    doc_grams = base.select("doc_id", F.explode("sh").alias("gram"))
-    contaminated = (
-        bloom_ngram_overlap(
-            corpus, probes, n=3, fpp=0.01, corpus_grams=doc_grams
+        trunc_dropped = int(trunc.get("postings_dropped", 0))
+        doc_grams = base.select("doc_id", F.explode("sh").alias("gram"))
+        contaminated = (
+            bloom_ngram_overlap(
+                corpus, probes, n=3, fpp=0.01, corpus_grams=doc_grams
+            )
+            .filter(F.col("overlap") >= 2)
+            .select("doc_id")
         )
-        .filter(F.col("overlap") >= 2)
-        .select("doc_id")
-    )
-    flagged = base.select("doc_id", "lang", "__ntok").join(
-        contained.withColumn("__contained", F.lit(1)), "doc_id", "left"
-    ).join(
-        contaminated.withColumn("__contam", F.lit(1)), "doc_id", "left"
-    )
-    kept = F.col("__contained").isNull() & F.col("__contam").isNull()
-    report = (
-        flagged.groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_in"),
-            F.sum(
-                F.coalesce(F.col("__contained"), F.lit(0)).cast("long")
-            ).alias("n_contained"),
-            F.sum(
-                F.coalesce(F.col("__contam"), F.lit(0)).cast("long")
-            ).alias("n_contaminated"),
-            F.sum(kept.cast("long")).alias("n_kept"),
-            F.sum(
-                F.when(kept, F.col("__ntok")).otherwise(0)
-            ).alias("tokens_kept"),
+        flagged = base.select("doc_id", "lang", "__ntok").join(
+            contained.withColumn("__contained", F.lit(1)), "doc_id", "left"
+        ).join(
+            contaminated.withColumn("__contam", F.lit(1)), "doc_id", "left"
         )
-        .withColumn(
-            "trunc_postings_dropped", F.lit(trunc_dropped).cast("long")
+        kept = F.col("__contained").isNull() & F.col("__contam").isNull()
+        return (
+            flagged.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_in"),
+                F.sum(
+                    F.coalesce(F.col("__contained"), F.lit(0)).cast("long")
+                ).alias("n_contained"),
+                F.sum(
+                    F.coalesce(F.col("__contam"), F.lit(0)).cast("long")
+                ).alias("n_contaminated"),
+                F.sum(kept.cast("long")).alias("n_kept"),
+                F.sum(
+                    F.when(kept, F.col("__ntok")).otherwise(0)
+                ).alias("tokens_kept"),
+            )
+            .withColumn(
+                "trunc_postings_dropped", F.lit(trunc_dropped).cast("long")
+            )
+            .orderBy("lang")
+            .localCheckpoint(eager=True)  # 5 rows; lets base unpersist
         )
-        .orderBy("lang")
-        .localCheckpoint(eager=True)  # 5 rows; lets base unpersist
-    )
-    base.unpersist()
-    return report
+    finally:
+        # an exception from either consumer must not leave the cached
+        # table pinned for the session (ADVICE r11)
+        base.unpersist()
 
 
 def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -46,7 +46,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceStreamArrowWriter,
     EqualTo,
-    SimpleDataSourceStreamReader,
+    DataSourceStreamReader,
     GreaterThan,
     GreaterThanOrEqual,
     In,
@@ -300,8 +300,8 @@ class SqlStoreDataSource(DataSource):
             {k.lower(): v for k, v in self.options.items()}, overwrite
         )
 
-    def simpleStreamReader(self, schema: StructType):  # noqa: N802
-        return SqlStoreSimpleStreamReader(
+    def streamReader(self, schema: StructType):  # noqa: N802
+        return SqlStoreStreamReader(
             {k.lower(): v for k, v in self.options.items()}, schema
         )
 
@@ -579,27 +579,38 @@ class SqlStoreStreamWriter(DataSourceStreamArrowWriter):
         self._cleanup(messages)
 
 
-class SqlStoreSimpleStreamReader(SimpleDataSourceStreamReader):
+class SqlKeyRangePartition(InputPartition):
+    def __init__(self, lo, hi):
+        self.lo = lo  # exclusive (None = from the beginning)
+        self.hi = hi  # inclusive
+
+
+class SqlStoreStreamReader(DataSourceStreamReader):
     """The STREAMING complement of the S8-S10 read contract: incremental
     high-watermark tailing of an append-only table by a monotonically
     increasing integer cursor column (option ``streamkey``) — the classic
     JDBC 'incrementing' ingest mode (Kafka Connect JDBC source), built on
-    Spark 4's SimpleDataSourceStreamReader.
+    Spark 4's partition-based DataSourceStreamReader.
 
     Offsets are ``{"hwm": <long | None>}`` (None = nothing consumed yet).
-    Each microbatch probes MAX(streamkey) once and reads the half-open
-    cursor range (hwm_prev, hwm_now] — ranges are pure functions of the
-    two offsets, so ``readBetweenOffsets`` replays a checkpointed batch
-    byte-for-byte on recovery: exactly-once END-TO-END when paired with
-    an idempotent sink (the repo's SqlStoreStreamWriter batch-id ledger,
-    or any transactional file sink).
+    Each microbatch probes MAX(streamkey) once on the driver
+    (``latestOffset``) and plans the half-open cursor range
+    (hwm_prev, hwm_now] as input partitions whose rows are read ON THE
+    EXECUTORS as Arrow record batches — the same zero-Python-row
+    transfer path as the batch reader. Ranges are pure functions of the
+    two offsets, so a checkpointed batch replays byte-for-byte on
+    recovery: exactly-once END-TO-END when paired with an idempotent
+    sink (the repo's SqlStoreStreamWriter batch-id ledger, or any
+    transactional file sink).
+
+    This replaces the r8 SimpleDataSourceStreamReader implementation,
+    which prefetched every row THROUGH THE DRIVER as pickled Python
+    tuples — a funnel that cannot scale past tail-cadence volumes and
+    measured ~2x slower per bounded drive locally (r12 profile).
 
     Contract: ``streamkey`` must be non-NULL and strictly increasing for
     NEW rows (inserts only — updates/deletes are invisible, as in any
-    incrementing-cursor CDC); rows are emitted as tuples in schema field
-    order through the simple (non-Arrow) reader path, sized for a tail
-    ingest cadence, not a backfill — do the initial load with the batch
-    reader and start the stream from its max key."""
+    incrementing-cursor CDC)."""
 
     def __init__(self, options: dict, schema: StructType):
         self.path = options.get("path")
@@ -629,32 +640,10 @@ class SqlStoreSimpleStreamReader(SimpleDataSourceStreamReader):
 
         return duckdb.connect(self.path, read_only=True)
 
-    def _select(self, lo, hi) -> Iterator[tuple]:
-        if hi is None:
-            return iter(())
-        kq = _quote_ident(self.key)
-        cols = ", ".join(
-            f"CAST({_quote_ident(f.name)} AS {_CAST_MAP[f.dataType]})"
-            f" AS {_quote_ident(f.name)}"
-            for f in self.schema.fields
-        )
-        where = f"{kq} <= ?" if lo is None else f"{kq} > ? AND {kq} <= ?"
-        params = [hi] if lo is None else [lo, hi]
-        con = self._connect()
-        try:
-            rows = con.execute(
-                f"SELECT {cols} FROM {_quote_ident(self.table)}"
-                f" WHERE {where}",
-                params,
-            ).fetchall()
-        finally:
-            con.close()
-        return iter(rows)
-
     def initialOffset(self) -> dict:  # noqa: N802 (API name)
         return {"hwm": self._start}
 
-    def read(self, start: dict):
+    def latestOffset(self) -> dict:  # noqa: N802 (API name)
         con = self._connect()
         try:
             (hwm_now,) = con.execute(
@@ -663,18 +652,53 @@ class SqlStoreSimpleStreamReader(SimpleDataSourceStreamReader):
             ).fetchone()
         finally:
             con.close()
-        hwm_prev = start.get("hwm")
-        if hwm_now is None or (
-            hwm_prev is not None and hwm_now <= hwm_prev
-        ):
-            return iter(()), start  # nothing new: offset unchanged
-        end = {"hwm": int(hwm_now)}
-        return self._select(hwm_prev, int(hwm_now)), end
+        if hwm_now is None:
+            return {"hwm": self._start}
+        hwm_now = int(hwm_now)
+        if self._start is not None and hwm_now < self._start:
+            return {"hwm": self._start}
+        return {"hwm": hwm_now}
 
-    def readBetweenOffsets(  # noqa: N802 (API name)
-        self, start: dict, end: dict
-    ) -> Iterator[tuple]:
-        return self._select(start.get("hwm"), end.get("hwm"))
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start.get("hwm"), end.get("hwm")
+        if hi is None or (lo is not None and hi <= lo):
+            return []  # nothing new this batch
+        return [SqlKeyRangePartition(lo, int(hi))]
+
+    def read(self, partition: SqlKeyRangePartition) -> Iterator:
+        kq = _quote_ident(self.key)
+        cols = ", ".join(
+            f"CAST({_quote_ident(f.name)} AS {_CAST_MAP[f.dataType]})"
+            f" AS {_quote_ident(f.name)}"
+            for f in self.schema.fields
+        )
+        where = (
+            f"{kq} <= ?"
+            if partition.lo is None
+            else f"{kq} > ? AND {kq} <= ?"
+        )
+        params = (
+            [partition.hi]
+            if partition.lo is None
+            else [partition.lo, partition.hi]
+        )
+        con = self._connect()
+        try:
+            cur = con.execute(
+                f"SELECT {cols} FROM {_quote_ident(self.table)}"
+                f" WHERE {where}",
+                params,
+            )
+            # Arrow batches straight off the database cursor (same path
+            # as the batch reader): no Python row objects, no driver hop
+            reader = cur.fetch_record_batch(rows_per_batch=16384)
+            while True:
+                try:
+                    yield reader.read_next_batch()
+                except StopIteration:
+                    break
+        finally:
+            con.close()
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the checkpoint; the source keeps no state

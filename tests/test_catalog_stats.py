@@ -23,8 +23,16 @@ def test_catalog_listing_and_search(spark, sf_dir):
     register_catalog(spark, sf_dir)
     all_tables = {r["table_name"] for r in list_tables(spark).collect()}
     assert {"orders", "lineitem", "customer"} <= all_tables
+    # the session-scoped catalog accumulates temp views from earlier
+    # tests (e.g. a query fixture registering an orders-derived view),
+    # so pin the like-filter's BEHAVIOR, not the exact result set:
+    # "orders" must hit, every hit must match the pattern, and a
+    # non-matching table must not leak in (order-independent — this
+    # assert used to flake after test_scale_guards)
     hits = {r["table_name"] for r in list_tables(spark, like="ORD").collect()}
-    assert hits == {"orders"}
+    assert "orders" in hits
+    assert all("ord" in h.lower() for h in hits)
+    assert "lineitem" not in hits
 
 
 def test_table_columns_metadata(spark, sf_dir):
