@@ -40,6 +40,17 @@ from pyspark.sql import functions as F
 
 from firebase_etl_spark.functions.portable_math import round_nudged
 
+
+def _agg_parallelism(spark) -> int:
+    """Task count for the CPU-bound basket/pair aggregates — the
+    session's planned shuffle parallelism (cores-scaled locally,
+    ops-tuned on a cluster), pinned via explicit repartition so AQE's
+    bytes-based coalescing cannot serialize a compute-heavy stage."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:
+        return int(spark.sparkContext.defaultParallelism)
+
 #: all ordered pairs (p1 < p2) from the ascending `items` array — the
 #: comprehension form of the old per-basket self-join (same C(b, 2)
 #: rows, emitted map-side with no shuffle of the fact table)
@@ -86,8 +97,19 @@ def _basket_item_arrays(
             .select("bk")
         )
         src = src.join(ok, "bk", "semi")
+    # explicit keyed repartition, NOT a bare groupBy: the array build and
+    # the C(b, 2) pair emission reading it are CPU-heavy PER BYTE (a few
+    # MB of (bk, it) pairs fan out quadratically), so AQE's bytes-based
+    # coalescing (coalescePartitions.parallelismFirst=false, session.py)
+    # would fold the reduce stage to one task and serialize the hot loop
+    # — measured 1.5-2x slower family-wide at sf0.1. A user-numbered
+    # repartition is exempt from AQE coalescing, and the following
+    # groupBy on the same key reuses the exchange (guide §2.4), so this
+    # costs nothing: same single shuffle, pinned parallelism.
+    n = _agg_parallelism(src.sparkSession)
     return (
-        src.groupBy("bk")
+        src.repartition(n, "bk")
+        .groupBy("bk")
         .agg(F.array_sort(F.collect_set("it")).alias("items"))
     )
 

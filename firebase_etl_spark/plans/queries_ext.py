@@ -93,6 +93,12 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fires). The idf ln chains then live on the VOCABULARY-sized df
     # table (once per term) instead of once per posting — ln(n_docs+1)
     # rode a broadcast scalar, so it was never constant-folded either.
+    # SCALE NOTE (ADVICE r11): unlike bm25_topk's query-pruned sliver,
+    # this checkpoint is CORPUS-sized ((doc, term, tf) postings) and
+    # lives until the ContextCleaner drops the plan's last reference —
+    # acceptable for a one-shot report; a long-lived session reusing
+    # this operator should persist+unpersist around the consumers
+    # instead (the dedup operators' try/finally pattern).
     tf = (
         toks.groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))

@@ -52,6 +52,30 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Size-driven coalescing (guide §2.2): with the default
+        # parallelismFirst=true AQE coalesces only down to
+        # defaultParallelism, so every tiny shuffle still schedules
+        # ~#cores reduce tasks — pure per-stage overhead that grows with
+        # core count (r12 A/B at sf0.1: curation_v2 11.0->4.1 s,
+        # recall_audit 7.0->4.0 s, and single-scan queries -15-25%).
+        # false is the setting Spark's own tuning docs recommend
+        # ("respect the configured target size") and is the correct
+        # cluster behavior at any scale: partitions are sized by the
+        # 64 MB advisory target, not by how many slots happen to exist.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # ... with a cores-scaled FLOOR: bytes-based coalescing alone
+        # serializes reduce stages whose work is CPU-heavy per byte
+        # (measured: exact-percentile sort 1.3->2.1 s, ngram counting
+        # +50% when folded to one task). cores/4 keeps every stage at
+        # least modestly parallel while still killing the
+        # one-task-per-slot overhead; at 32 local cores the floor is 8,
+        # and A/B at sf0.1 beat BOTH pure settings on every probe
+        # (percentiles 1.08 vs 1.27/2.08, curation_v2 3.97 vs 11.0/4.1).
+        # Scales with the session's core budget, not a local constant.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionNum",
+            str(max(2, cpus // 4)),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

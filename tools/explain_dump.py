@@ -60,36 +60,44 @@ def main() -> None:
     from pyspark.sql import DataFrame
 
     real_ckpt = DataFrame.localCheckpoint
+    real_persist = DataFrame.persist
     stages: list[str] = []
 
-    def recording_ckpt(self, eager=True):
+    def _record(df, kind):
         # capture the stage's plan BEFORE the checkpoint replaces it
-        # with a Scan ExistingRDD stub
+        # with a Scan ExistingRDD stub (or the cache hides it behind
+        # an InMemoryTableScan)
         try:
-            stages.append(_fmt(spark, self))
+            stages.append(f"[{kind}]\n" + _fmt(spark, df))
         except Exception as exc:  # plan printing must never break the query
             stages.append(f"<explain failed: {exc}>")
+
+    def recording_ckpt(self, eager=True):
+        _record(self, "localCheckpoint")
         return real_ckpt(self, eager=eager)
+
+    def recording_persist(self, *a, **kw):
+        _record(self, "persist")
+        return real_persist(self, *a, **kw)
 
     for name in names:
         stages.clear()
         DataFrame.localCheckpoint = recording_ckpt
+        DataFrame.persist = recording_persist
         try:
             df = qs[name](spark, sf_dir)
         finally:
             DataFrame.localCheckpoint = real_ckpt
+            DataFrame.persist = real_persist
         final = _fmt(spark, df)
         path = os.path.join(dest_dir, f"{name}_{suffix}.txt")
         with open(path, "w", encoding="utf-8") as fh:
             fh.write(f"# {name} — explain('formatted') at {sf_dir}\n")
             fh.write(
-                f"# {len(stages)} checkpointed stage(s) + final plan\n\n"
+                f"# {len(stages)} materialized stage(s) + final plan\n\n"
             )
             for i, s in enumerate(stages, 1):
-                fh.write(
-                    f"## stage {i}/{len(stages)} "
-                    f"(plan materialized by localCheckpoint)\n\n"
-                )
+                fh.write(f"## stage {i}/{len(stages)}\n\n")
                 fh.write(s)
                 fh.write("\n")
             fh.write("## final plan\n\n")
