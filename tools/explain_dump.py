@@ -57,7 +57,9 @@ def main() -> None:
     spark = get_spark(app_name="explain_dump")
     qs = entrymod.queries()
 
-    from pyspark.sql import DataFrame
+    # patch the CONCRETE class (pyspark.sql.classic.DataFrame in Spark 4
+    # overrides these; patching the abstract base never fires)
+    DataFrame = type(spark.range(1))
 
     real_ckpt = DataFrame.localCheckpoint
     real_persist = DataFrame.persist
