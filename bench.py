@@ -42,10 +42,11 @@ CANARY_REF_SF01 = {
 #: the largest input (lineitem, every column forced via the noop sink —
 #: decompress + decode bound, no shuffle), timed OUTSIDE the query
 #: timings three times across the run; the emitted ``drift_factor_io``
-#: = median(now) / ref. Reference measured at r12's canonical window
-#: (min-of-3 at 32 cores, sf0.1) — so r12 itself reads ~1.0 by
-#: construction and the factor becomes informative cross-window/round.
-IO_CANARY_REF_SF01 = 0.42
+#: = median(now) / ref. Reference = the median of the per-run medians
+#: across r12's four full-bench runs at 32 cores / sf0.1 (0.36-0.53 s,
+#: CPU-drift 0.6-0.8 windows) — so a neutral window reads ~1.0 and the
+#: factor becomes informative cross-window/round.
+IO_CANARY_REF_SF01 = 0.44
 
 
 def _io_canary_sec(spark) -> float:

@@ -61,16 +61,12 @@ def _rowset(columns, rows):
     )
 
 
-QUERIES = entrymod.queries()
 ORACLES = entrymod.oracle_sql()
 
 
-def _run_pair(name, spark):
-    """(spark_cols, spark_rows, duck_cols, duck_rows) or a captured error."""
+def _duck_side(name):
+    """(duck_cols, duck_rows) or a captured error, per-thread connection."""
     try:
-        sdf = QUERIES[name](spark, SF_DIR)
-        scols = sdf.columns
-        srows = [tuple(r) for r in sdf.collect()]
         con = _duck(SF_DIR)
         try:
             res = con.execute(ORACLES[name])
@@ -78,25 +74,25 @@ def _run_pair(name, spark):
             drows = res.fetchall()
         finally:
             con.close()
-        return (scols, srows, dcols, drows, None)
+        return (dcols, drows, None)
     except Exception as exc:  # surfaced by the query's own test below
-        return (None, None, None, None, exc)
+        return (None, None, exc)
 
 
 @pytest.fixture(scope="module")
-def oracle_outcomes(spark):
+def oracle_outcomes(driver_query_runs):
+    """Spark side comes from the session-shared construction pass
+    (conftest.driver_query_runs); only DuckDB runs here, concurrently."""
     from concurrent.futures import ThreadPoolExecutor
 
     names = sorted(ORACLES)
-    stream = [n for n in names if n.startswith("stream_")]
-    batch = [n for n in names if not n.startswith("stream_")]
-    out = {}
-    for n in stream:  # bounded drives rewrite session confs: never race
-        out[n] = _run_pair(n, spark)
     with ThreadPoolExecutor(max_workers=8) as pool:
-        out.update(
-            zip(batch, pool.map(lambda n: _run_pair(n, spark), batch))
-        )
+        duck = dict(zip(names, pool.map(_duck_side, names)))
+    out = {}
+    for n in names:
+        _, scols, srows, serr = driver_query_runs[n]
+        dcols, drows, derr = duck[n]
+        out[n] = (scols, srows, dcols, drows, serr or derr)
     return out
 
 

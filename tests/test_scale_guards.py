@@ -101,32 +101,18 @@ LOW_K_WINDOW_ALLOWLIST = {
 
 
 @pytest.fixture(scope="module")
-def query_violations(spark):
-    """Construct every declared query ONCE, batch queries concurrently
-    (Spark interleaves jobs from submitter threads — the same shape
-    bench.py's warmup uses; guide §2.6), and record each plan's scale
-    violations. Stream queries build sequentially: a bounded drive
-    temporarily rewrites session confs and must never race."""
-    from concurrent.futures import ThreadPoolExecutor
-
-    qs = entrymod.queries()
-
-    def one(name):
-        try:
-            df = qs[name](spark, SF_DIR)
-            vs = scale_violations(df)
-            if name in LOW_K_WINDOW_ALLOWLIST:
-                vs = [v for v in vs if "low-k PARTITION BY" not in v]
-            return vs
-        except Exception as exc:
-            return [f"construction failed: {exc!r}"]
-
-    names = sorted(qs)
-    stream = [n for n in names if n.startswith("stream_")]
-    batch = [n for n in names if not n.startswith("stream_")]
-    out = {n: one(n) for n in stream}
-    with ThreadPoolExecutor(max_workers=8) as pool:
-        out.update(zip(batch, pool.map(one, batch)))
+def query_violations(driver_query_runs):
+    """Violations come from the session-shared construction pass
+    (conftest.driver_query_runs) — this module no longer pays its own
+    315-query construction sweep."""
+    out = {}
+    for name, (vs, _cols, _rows, err) in driver_query_runs.items():
+        if err is not None:
+            out[name] = [f"construction failed: {err!r}"]
+            continue
+        if name in LOW_K_WINDOW_ALLOWLIST:
+            vs = [v for v in vs if "low-k PARTITION BY" not in v]
+        out[name] = vs
     return out
 
 
