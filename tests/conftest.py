@@ -71,6 +71,6 @@ def driver_query_runs(spark):
     stream = [n for n in names if n.startswith("stream_")]
     batch = [n for n in names if not n.startswith("stream_")]
     out = {n: one(n) for n in stream}
-    with ThreadPoolExecutor(max_workers=8) as pool:
+    with ThreadPoolExecutor(max_workers=16) as pool:
         out.update(zip(batch, pool.map(one, batch)))
     return out

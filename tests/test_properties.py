@@ -61,7 +61,7 @@ _dt_strategy = st.one_of(
 )
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=5, deadline=None)
 @given(st.lists(_dt_strategy, min_size=1, max_size=60))
 def test_parse_datetime_matches_reference(spark, values):
     df = spark.createDataFrame([(v,) for v in values], "v string")
@@ -71,7 +71,7 @@ def test_parse_datetime_matches_reference(spark, values):
         assert g == e, f"input {v!r}: spark={g!r} reference={e!r}"
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=5, deadline=None)
 @given(
     st.lists(
         st.one_of(
@@ -156,7 +156,7 @@ _WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
         max_size=12,
     )
 )
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=5, deadline=None)
 def test_prefix_filter_equals_brute_force_random(spark, corpora):
     """Losslessness of the prefix filter on RANDOM corpora — any false
     negative (a pair the prefix blocking skips) or false positive shows
@@ -187,7 +187,7 @@ def test_prefix_filter_equals_brute_force_random(spark, corpora):
         max_size=8,
     )
 )
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=5, deadline=None)
 def test_duplicate_windows_match_python_recount(spark, corpora):
     """duplicate_window_report vs a direct Python recount of every
     k-token window on random corpora."""
@@ -225,7 +225,7 @@ def test_duplicate_windows_match_python_recount(spark, corpora):
     st.integers(min_value=1, max_value=8),
     st.integers(min_value=1, max_value=8),
 )
-@settings(max_examples=12, deadline=None)
+@settings(max_examples=8, deadline=None)
 def test_passage_chunks_cover_every_token(doc_lens, chunk, stride):
     """For stride <= chunk, every token position of every document is
     covered by at least one chunk, chunk texts reassemble from the
@@ -266,7 +266,7 @@ def test_passage_chunks_cover_every_token(doc_lens, chunk, stride):
         max_size=10,
     )
 )
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=5, deadline=None)
 def test_containment_equals_python_brute_force_random(spark, corpora):
     """Losslessness of the containment prefix filter on RANDOM corpora
     vs a direct Python recount of |A∩B|/|A| over all ordered pairs — a
@@ -308,7 +308,7 @@ def test_containment_equals_python_brute_force_random(spark, corpora):
         max_size=25,
     )
 )
-@settings(max_examples=6, deadline=None)
+@settings(max_examples=4, deadline=None)
 def test_label_propagation_distributed_equals_local_random(spark, raw_edges):
     """LPA path parity on random graphs: the distributed vote loop and
     the driver-local twin must agree bit-for-bit (same fixed rounds,
@@ -341,7 +341,7 @@ def test_label_propagation_distributed_equals_local_random(spark, raw_edges):
         max_size=25,
     )
 )
-@settings(max_examples=6, deadline=None)
+@settings(max_examples=4, deadline=None)
 def test_kcore_matches_python_fixpoint_random(spark, raw_edges):
     """k-core vs a direct Python fixpoint on random graphs, both paths:
     the summary (nodes, edges, converged) must equal the true k-core."""
